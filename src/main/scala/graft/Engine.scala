@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Engine facade: session tuning + SQL entry point.
+  *
+  * The reference's whole query lifecycle (parse → analyze → plan → optimize →
+  * distributed phases; SURVEY.md §3, `io/crate/planner/Planner.java:273`)
+  * collapses onto Catalyst. What remains for us is session configuration and
+  * a small dialect shim ([[Dialect]]).
+  *
+  * Scale notes (targets a 1000-executor cluster even though tests run
+  * local[32]):
+  *  - AQE on: runtime partition coalescing, skew-join splitting and
+  *    dynamic join-strategy switches replace the reference's stats-driven
+  *    `ReorderHashJoin` / circuit-breaker machinery.
+  *  - CBO + join reorder on: mirrors the reference's join-graph reordering
+  *    (`planner/optimizer/rule/EliminateCrossJoin.java:50`).
+  *  - shuffle partitions default to the local core count here; on a real
+  *    cluster set it ~2-3× total cores (AQE coalesces the excess).
+  */
+object Engine {
+  def session(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.registerAll(spark)
+    spark
+  }
+
+  /** SQL entry point with the CrateDB-isms translated. */
+  def sql(spark: SparkSession, stmt: String): DataFrame =
+    spark.sql(Dialect.translate(stmt))
+}
+
+/** Minimal CrateDB → Spark SQL dialect shim (SURVEY.md §4 item 4).
+  *
+  * Only textual renames that are safe as token-level rewrites; anything
+  * structural (OBJECT literals, MATCH) has a Scala API instead.
+  */
+object Dialect {
+  private val renames: Seq[(String, String)] = Seq(
+    "hyperloglog_distinct" -> "approx_count_distinct",
+    "arbitrary"            -> "any_value",
+    "curdate"              -> "current_date",
+    "strpos"               -> "instr"
+  )
+
+  def translate(stmt: String): String = {
+    var s = stmt
+    for ((from, to) <- renames)
+      s = s.replaceAll("(?i)\\b" + from + "\\s*\\(", to + "(")
+    // `expr::type` cast → cast(expr AS type) for simple operands.
+    s = s.replaceAll("(\\w+(?:\\.\\w+)*|'[^']*')::([a-zA-Z_]+(?:\\(\\d+(?:,\\d+)?\\))?)",
+      "CAST($1 AS $2)")
+    s
+  }
+}

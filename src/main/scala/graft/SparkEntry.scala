@@ -1,13 +1,29 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder brief.
+  *
+  * `queries` maps every implemented SURVEY §2 operator (plus the pipeline
+  * extension surface) to a runnable DataFrame build; `oracleSql` holds the
+  * DuckDB-equivalent SQL for the hash-compare correctness gate. Queries
+  * without an oracle (sketches, LSH, engine-specific hashes) get the
+  * driver's weaker rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on sf0.001 (TPC-H Q1 core); driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    QueriesRelational.queries("q02_tpch_q1")(spark, "/root/testdata/sf0.001")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueriesRelational.queries ++ QueriesWindow.queries ++
+      QueriesFunctions.queries ++ QueriesPipeline.queries
+
+  def oracleSql: Map[String, String] =
+    QueriesRelational.oracles ++ QueriesWindow.oracles ++
+      QueriesFunctions.oracles ++ QueriesPipeline.oracles
 }

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table catalog.
+  *
+  * The reference models tables as sharded Lucene indexes
+  * (`server/src/main/java/io/crate/metadata/doc/DocTableInfo.java:159`); here a
+  * table is a Parquet dataset and Catalyst's DataSource V2 scan provides the
+  * pushed-filter + pruned-column read that `Collect`
+  * (`server/src/main/java/io/crate/planner/operators/Collect.java:87`) does via
+  * Lucene queries.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's vectorized
+      // reader rejects. Read nanos as long (legacy conf), then integer-divide
+      // to micros — the same truncation DuckDB applies casting ns → us.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      else raw
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every fixture table as a temp view so `spark.sql` works on the
+    * same names the DuckDB oracle uses. Cheap + idempotent. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

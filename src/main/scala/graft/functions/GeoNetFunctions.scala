@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.UserDefinedFunction
+
+/** Geo + network functions from the reference's scalar inventory
+  * (SURVEY.md §2.8): haversine `distance`
+  * (`server/src/main/java/io/crate/expression/scalar/geo/DistanceFunction.java:57`),
+  * `geohash` (`GeoHashFunction.java:35`), `latitude`/`longitude`
+  * (`CoordinateFunction.java:31`), and the IP-in-CIDR `<<` operator
+  * (`expression/operator/CIDROperator.java:46`).
+  *
+  * A geo_point is modeled as `array<double>` [lon, lat], matching the
+  * reference's `GEO_POINT` representation.
+  */
+object GeoNetFunctions {
+
+  /** Haversine distance in meters between [lon,lat] points (native exprs). */
+  def haversineDistance(p1: Column, p2: Column): Column = {
+    val lon1 = radians(element_at(p1, 1)); val lat1 = radians(element_at(p1, 2))
+    val lon2 = radians(element_at(p2, 1)); val lat2 = radians(element_at(p2, 2))
+    val a = pow(sin((lat2 - lat1) / 2), 2) +
+      cos(lat1) * cos(lat2) * pow(sin((lon2 - lon1) / 2), 2)
+    lit(2.0 * 6371008.8) * asin(least(lit(1.0), sqrt(a)))
+  }
+
+  def latitude(p: Column): Column = element_at(p, 2)
+  def longitude(p: Column): Column = element_at(p, 1)
+
+  private val base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  def geohashString(lon: Double, lat: Double, precision: Int): String = {
+    var (minLat, maxLat, minLon, maxLon) = (-90.0, 90.0, -180.0, 180.0)
+    val sb = new StringBuilder
+    var bit = 0; var ch = 0; var even = true
+    while (sb.length < precision) {
+      if (even) {
+        val mid = (minLon + maxLon) / 2
+        if (lon >= mid) { ch = (ch << 1) | 1; minLon = mid } else { ch = ch << 1; maxLon = mid }
+      } else {
+        val mid = (minLat + maxLat) / 2
+        if (lat >= mid) { ch = (ch << 1) | 1; minLat = mid } else { ch = ch << 1; maxLat = mid }
+      }
+      even = !even
+      bit += 1
+      if (bit == 5) { sb.append(base32.charAt(ch)); bit = 0; ch = 0 }
+    }
+    sb.toString
+  }
+
+  val geohashUdf: UserDefinedFunction =
+    udf((p: Seq[Double], precision: Int) =>
+      if (p == null) null else geohashString(p(0), p(1), precision))
+
+  def geohash(p: Column, precision: Int = 12): Column = geohashUdf(p, lit(precision))
+
+  /** Point-in-bounding-box (the `within(point, shape)` fast path for
+    * envelope shapes; full polygon support would use a JTS UDF). */
+  def withinBBox(p: Column, minLon: Double, minLat: Double,
+                 maxLon: Double, maxLat: Double): Column =
+    longitude(p).between(minLon, maxLon) && latitude(p).between(minLat, maxLat)
+
+  // ---- IPv4 CIDR ----
+
+  def ipv4ToLong(ip: String): Option[Long] = {
+    val parts = ip.split('.')
+    if (parts.length != 4) return None
+    try {
+      val octets = parts.map(_.toInt)
+      if (octets.exists(o => o < 0 || o > 255)) None
+      else Some(octets.foldLeft(0L)((acc, o) => (acc << 8) | o))
+    } catch { case _: NumberFormatException => None }
+  }
+
+  /** `ip << cidr` membership test, e.g. `'10.0.1.7' << '10.0.0.0/16'`. */
+  def ipInCidr(ip: String, cidr: String): Option[Boolean] = {
+    val Array(net, lenStr) = cidr.split('/') match {
+      case a if a.length == 2 => a
+      case _                  => return None
+    }
+    for {
+      ipL <- ipv4ToLong(ip)
+      netL <- ipv4ToLong(net)
+      len <- lenStr.toIntOption if len >= 0 && len <= 32
+    } yield {
+      val mask = if (len == 0) 0L else (0xffffffffL << (32 - len)) & 0xffffffffL
+      (ipL & mask) == (netL & mask)
+    }
+  }
+
+  val ipInCidrUdf: UserDefinedFunction =
+    udf((ip: String, cidr: String) =>
+      if (ip == null || cidr == null) null
+      else ipInCidr(ip, cidr).map(Boolean.box).orNull)
+
+  def inCidr(ip: Column, cidr: Column): Column = ipInCidrUdf(ip, cidr)
+
+  /** `quote_ident` (PG semantics: quote unless a safe lowercase ident). */
+  val quoteIdentUdf: UserDefinedFunction = udf((s: String) =>
+    if (s == null) null
+    else if (s.nonEmpty && s.forall(c => c.isLower || c.isDigit || c == '_') && !s.head.isDigit) s
+    else "\"" + s.replace("\"", "\"\"") + "\"")
+}

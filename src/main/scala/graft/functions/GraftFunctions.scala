@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import java.util.concurrent.ConcurrentHashMap
+
+/** One-stop SQL registration for the graft function pack, so every custom
+  * function is callable from `spark.sql` as well as the Column API.
+  * Idempotent per session.
+  */
+object GraftFunctions {
+  private val registered = ConcurrentHashMap.newKeySet[String]()
+
+  def registerAll(spark: SparkSession): Unit = {
+    if (!registered.add(System.identityHashCode(spark).toString)) return
+    val u = spark.udf
+
+    // text / dedup kernels
+    u.register("minhash_signature",
+      (t: String, sh: Int, n: Int) => if (t == null) null else TextFunctions.minhashSignature(t, sh, n))
+    u.register("simhash", (t: String) => if (t == null) null else Long.box(TextFunctions.simhash64(t)))
+    u.register("fingerprint", (t: String) => if (t == null) null else Long.box(TextFunctions.fingerprint64(t)))
+    u.register("lang_id", (t: String) => if (t == null) null else TextFunctions.langId(t))
+    u.register("shingle_jaccard",
+      (a: String, b: String, sh: Int) =>
+        if (a == null || b == null) null else Double.box(TextFunctions.shingleJaccard(a, b, sh)))
+
+    // geo / net
+    u.register("geohash",
+      (p: Seq[Double], prec: Int) => if (p == null) null else GeoNetFunctions.geohashString(p(0), p(1), prec))
+    u.register("ip_in_cidr",
+      (ip: String, cidr: String) =>
+        if (ip == null || cidr == null) null
+        else GeoNetFunctions.ipInCidr(ip, cidr).map(Boolean.box).orNull)
+    u.register("quote_ident", GeoNetFunctions.quoteIdentUdf)
+
+    // reference-dialect date formatting (execution is native date_format;
+    // only the pattern translation runs in the UDF)
+    u.register("date_format_mysql", (pat: String, ts: java.sql.Timestamp) =>
+      if (ts == null || pat == null) null
+      else java.time.format.DateTimeFormatter
+        .ofPattern(TimeFunctions.translateMySqlPattern(pat))
+        .withZone(java.time.ZoneOffset.UTC).format(ts.toInstant))
+    u.register("to_char", (ts: java.sql.Timestamp, tpl: String) =>
+      if (ts == null || tpl == null) null
+      else java.time.format.DateTimeFormatter
+        .ofPattern(TimeFunctions.translatePgTemplate(tpl))
+        .withZone(java.time.ZoneOffset.UTC).format(ts.toInstant))
+
+    // vector similarity (SQL surface; Column API in VectorFunctions is native)
+    u.register("vector_cosine", (a: Seq[Float], b: Seq[Float]) => {
+      if (a == null || b == null) null
+      else {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+        Double.box(dot / (math.sqrt(na) * math.sqrt(nb)))
+      }
+    })
+
+    // 3-valued-logic helper (reference Ignore3vlFunction.java:52):
+    // null → false, so NOT over it behaves 2-valued.
+    u.register("ignore3vl", (b: java.lang.Boolean) => Boolean.box(b != null && b))
+  }
+}

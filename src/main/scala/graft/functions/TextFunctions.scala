@@ -1,0 +1,189 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.UserDefinedFunction
+
+/** Deterministic text hashing/fingerprint kernels used by the dedup and
+  * text-analysis operators (large-scale training-data pipeline surface).
+  *
+  * Everything here is a pure function of its input — no RNG at eval time —
+  * so results are stable across partitions, retries, and sessions. The hash
+  * family is splitmix64 over a 64-bit FNV-1a base hash; seeds are derived
+  * deterministically from the hash index.
+  */
+object TextFunctions {
+
+  // ---- 64-bit hashing (deterministic, allocation-free) ----
+
+  def fnv1a64(s: CharSequence, from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h ^= s.charAt(i)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+  def fnv1a64(s: String): Long = fnv1a64(s, 0, s.length)
+
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Normalize for shingling: lowercase, collapse whitespace runs. */
+  def normalize(text: String): String =
+    text.toLowerCase.replaceAll("\\s+", " ").trim
+
+  def tokenize(text: String): Array[String] =
+    normalize(text).split(' ').filter(_.nonEmpty)
+
+  // ---- MinHash ----
+
+  /** MinHash signature over character shingles. One base hash per shingle,
+    * then `numHashes` cheap affine derivations (standard one-permutation
+    * family) — O(len + numHashes·shingles) per doc, embarrassingly parallel.
+    * Reference capability: near-dup detection has no CrateDB equivalent; this
+    * is pipeline-extension surface (builder brief).
+    */
+  def minhashSignature(text: String, shingleSize: Int, numHashes: Int): Array[Long] = {
+    val norm = normalize(text)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    if (norm.length < shingleSize) {
+      val base = fnv1a64(norm)
+      var j = 0
+      while (j < numHashes) {
+        val h = splitmix64(base ^ splitmix64(j.toLong))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      return sig
+    }
+    var i = 0
+    val last = norm.length - shingleSize
+    while (i <= last) {
+      val base = fnv1a64(norm, i, i + shingleSize)
+      var j = 0
+      while (j < numHashes) {
+        val h = splitmix64(base ^ splitmix64(j.toLong))
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** LSH band keys from a signature: hash of each band's rows. */
+  def bandKeys(sig: Array[Long], bands: Int): Array[Long] = {
+    val rows = sig.length / bands
+    Array.tabulate(bands) { b =>
+      var h = 0xcbf29ce484222325L ^ splitmix64(b.toLong)
+      var r = b * rows
+      while (r < (b + 1) * rows) { h = splitmix64(h ^ sig(r)); r += 1 }
+      h
+    }
+  }
+
+  /** Exact Jaccard over char-shingle sets (verification step after LSH). */
+  def shingleJaccard(a: String, b: String, shingleSize: Int): Double = {
+    val sa = shingleSet(a, shingleSize)
+    val sb = shingleSet(b, shingleSize)
+    if (sa.isEmpty && sb.isEmpty) return 1.0
+    val inter = sa.count(sb.contains)
+    val union = sa.size + sb.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  def shingleSet(text: String, shingleSize: Int): Set[Long] = {
+    val norm = normalize(text)
+    if (norm.length < shingleSize) return if (norm.isEmpty) Set.empty else Set(fnv1a64(norm))
+    (0 to norm.length - shingleSize).map(i => fnv1a64(norm, i, i + shingleSize)).toSet
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash over word tokens. Hamming-close hashes ⇒ similar docs. */
+  def simhash64(text: String): Long = {
+    val acc = new Array[Int](64)
+    for (tok <- tokenize(text)) {
+      val h = splitmix64(fnv1a64(tok))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Pigeonhole chunks for hamming-distance LSH: if hamming(a,b) <= k, then
+    * a and b agree on at least one of k+1 equal-width chunks. */
+  def simhashChunks(h: Long, chunks: Int): Array[Long] = {
+    val width = 64 / chunks
+    Array.tabulate(chunks)(c => ((h >>> (c * width)) & ((1L << width) - 1)) | (c.toLong << 56))
+  }
+
+  // ---- Fingerprinting ----
+
+  /** Rolling polynomial (Rabin-Karp style) 64-bit document fingerprint. */
+  def fingerprint64(text: String): Long = {
+    var h = 0L
+    val norm = normalize(text)
+    var i = 0
+    while (i < norm.length) { h = h * 1000003L + norm.charAt(i); i += 1 }
+    splitmix64(h)
+  }
+
+  // ---- Language ID (n-gram/stopword heuristic) ----
+
+  private val stopwords: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "a", "in", "is", "that", "it", "for", "on", "with", "as"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit", "von", "auf"),
+    "fr" -> Set("le", "la", "les", "et", "est", "un", "une", "de", "du", "pour", "dans", "que"),
+    "es" -> Set("el", "la", "los", "las", "y", "es", "un", "una", "de", "del", "para", "en", "que"),
+    "it" -> Set("il", "la", "gli", "e", "è", "un", "una", "di", "del", "per", "che", "con"),
+    "pt" -> Set("o", "a", "os", "as", "e", "é", "um", "uma", "de", "do", "da", "para", "que"),
+    "nl" -> Set("de", "het", "een", "en", "is", "niet", "van", "voor", "met", "op", "dat")
+  )
+
+  /** Heuristic language ID: argmax of stopword hit-rate; "und" (undetermined)
+    * when nothing matches. Deterministic tie-break by language code. */
+  def langId(text: String): String = {
+    val toks = tokenize(text)
+    if (toks.isEmpty) return "und"
+    val scores = stopwords.map { case (lang, sw) => lang -> toks.count(sw.contains) }
+    val (bestLang, bestScore) = scores.toSeq.sortBy { case (l, s) => (-s, l) }.head
+    if (bestScore == 0) "und" else bestLang
+  }
+
+  // ---- UDF wrappers (registered by GraftFunctions.registerAll) ----
+
+  val minhashUdf: UserDefinedFunction =
+    udf((text: String, shingle: Int, n: Int) =>
+      if (text == null) null else minhashSignature(text, shingle, n))
+  val simhashUdf: UserDefinedFunction =
+    udf((text: String) => if (text == null) null else Long.box(simhash64(text)))
+  val fingerprintUdf: UserDefinedFunction =
+    udf((text: String) => if (text == null) null else Long.box(fingerprint64(text)))
+  val langIdUdf: UserDefinedFunction =
+    udf((text: String) => if (text == null) null else langId(text))
+  val jaccardUdf: UserDefinedFunction =
+    udf((a: String, b: String, shingle: Int) =>
+      if (a == null || b == null) null else Double.box(shingleJaccard(a, b, shingle)))
+
+  def minhash(text: Column, shingleSize: Int = 5, numHashes: Int = 128): Column =
+    minhashUdf(text, lit(shingleSize), lit(numHashes))
+  def simhash(text: Column): Column = simhashUdf(text)
+  def fingerprint(text: Column): Column = fingerprintUdf(text)
+  def languageOf(text: Column): Column = langIdUdf(text)
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media is carried as opaque `binary` payloads + typed metadata structs —
+  * the lakehouse-standard layout (one row per asset, bytes inline for small
+  * assets; at 100 TB store a URI instead and keep the same schema). The
+  * Spark-side plumbing — schema, batch iteration via `mapPartitions`,
+  * partition sizing — is real; the codec itself is STUBBED with a
+  * deterministic fake because no image/audio libraries exist in this
+  * container. Swap `decodeStub` for a real codec (e.g. javax.imageio /
+  * ffmpeg via pipe) without touching any of the dataflow.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("codec", StringType, nullable = true)
+    )), nullable = true)
+  ))
+
+  /** STUB decode: a real implementation would parse the container format.
+    * The fake derives deterministic pseudo-pixels from the payload hash so
+    * downstream feature code is exercised end-to-end. */
+  private[operators] def decodeStub(payload: Array[Byte], n: Int = 64): Array[Double] = {
+    var h = 0xcbf29ce484222325L
+    if (payload != null) {
+      var i = 0
+      while (i < payload.length) { h ^= payload(i); h *= 0x100000001b3L; i += 1 }
+    }
+    Array.tabulate(n) { i =>
+      var x = h + 0x9e3779b97f4a7c15L * (i + 1)
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      ((x ^ (x >>> 31)) & 0xffL).toDouble / 255.0
+    }
+  }
+
+  /** Build a demo media table from any source df (payload = text bytes). */
+  def syntheticMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("asset_id"),
+      (when(col(idCol) % 3 === 0, "image")
+        .when(col(idCol) % 3 === 1, "audio").otherwise("video")).as("media_type"),
+      col(textCol).cast("binary").as("payload"))
+      .withColumn("meta", struct(
+        lit(640).as("width"), lit(480).as("height"),
+        lit(16000).as("sample_rate"),
+        (length(col("payload")) * 10).cast("long").as("duration_ms"),
+        lit("stub").as("codec")))
+
+  /** Feature extraction over media batches. `mapPartitions` so a real codec
+    * can amortize per-partition init (model load, ffmpeg handle) — the
+    * pattern `mapInPandas` uses in PySpark. Output: fixed-width feature
+    * vector + simple stats per asset. */
+  def extractFeatures(media: DataFrame, dim: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("media_type", StringType, nullable = false),
+      StructField("feature", ArrayType(DoubleType), nullable = false),
+      StructField("feat_mean", DoubleType, nullable = false),
+      StructField("payload_bytes", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(outSchema)
+    media.select("asset_id", "media_type", "payload").mapPartitions { rows =>
+      // per-partition init for a real codec would go here
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val feat = decodeStub(payload, dim)
+        Row(r.getLong(0), r.getString(1), feat.toSeq,
+          feat.sum / feat.length, if (payload == null) 0 else payload.length)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling stub for video: one pseudo-frame per `everyMs`. */
+  def sampleFrames(media: DataFrame, everyMs: Long = 1000L): DataFrame =
+    media.filter(col("media_type") === "video")
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), greatest(col("meta.duration_ms") / everyMs - 1, lit(0L)))))
+      .select(col("asset_id"), col("frame_idx"),
+        xxhash64(col("payload"), col("frame_idx")).as("frame_fingerprint"))
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Reference surface: `knn_match(vec, query, k)`
+  * (`server/src/main/java/io/crate/expression/scalar/KnnMatch.java:48`), which
+  * delegates to a Lucene HNSW index. Spark-first equivalents:
+  *
+  *  - [[bruteForceKnn]]: exact top-k — broadcast the (small) query set,
+  *    one scan of the corpus, per-query top-k via window. Cosine math is
+  *    native `zip_with`/`aggregate` expressions, fully parallel, no index.
+  *    This is the right baseline even at 100 TB when the query set is small
+  *    (cost = one pass).
+  *  - [[ivfKnn]]: IVF-style approximate path — k-means-ish coarse centroids
+  *    (deterministically seeded sample), corpus bucketed by nearest centroid
+  *    (computed once, reusable), queries probe `nprobe` nearest buckets.
+  *    Scan cost drops by ~nprobe/centroids at a small recall cost.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors per query row. `queries` must be small enough to
+    * broadcast (driver guards are the caller's job at scale). */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    qIdCol: String = "vec_id", qVecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("sim", VectorFunctions.cosineSimilarity(col("cvec"), col("qvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rk"))
+  }
+
+  /** Pick `numCentroids` deterministic centroids (first ids by sort — a
+    * seeded sample stand-in; real k-means refinement is a follow-up) and
+    * assign every corpus row to its nearest centroid. Returns the bucketed
+    * corpus (cid, cvec, bucket). The result can be persisted/bucketed once
+    * and reused across query batches — the IVF "index". */
+  def ivfBucketize(corpus: DataFrame, numCentroids: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val centroids = c.orderBy(col("cid")).limit(numCentroids)
+      .select(col("cid").as("centroid_id"), col("cvec").as("centroid"))
+    val assigned = c.crossJoin(broadcast(centroids))
+      .withColumn("sim", VectorFunctions.cosineSimilarity(col("cvec"), col("centroid")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(col("sim").desc, col("centroid_id"))))
+      .filter(col("rk") === 1)
+      .select(col("cid"), col("cvec"), col("centroid_id").as("bucket"))
+    (assigned, centroids)
+  }
+
+  /** Approximate top-k: probe the `nprobe` closest centroid buckets only. */
+  def ivfKnn(bucketed: DataFrame, centroids: DataFrame, queries: DataFrame,
+             k: Int, nprobe: Int = 4,
+             qIdCol: String = "vec_id", qVecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qvec"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("csim", VectorFunctions.cosineSimilarity(col("qvec"), col("centroid")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("centroid_id"))))
+      .filter(col("crk") <= nprobe)
+      .select(col("qid"), col("qvec"), col("centroid_id").as("bucket"))
+    val scored = bucketed.join(broadcast(probes), Seq("bucket"))
+      .withColumn("sim", VectorFunctions.cosineSimilarity(col("cvec"), col("qvec")))
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold).
+    * Blocked by IVF bucket so the pairwise step is per-bucket, not global.
+    */
+  def embeddingNearDupPairs(corpus: DataFrame, threshold: Double,
+                            numCentroids: Int = 16,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (bucketed, _) = ivfBucketize(corpus, numCentroids, idCol, vecCol)
+    val a = bucketed.select(col("bucket"), col("cid").as("id_a"), col("cvec").as("vec_a"))
+    val b = bucketed.select(col("bucket"), col("cid").as("id_b"), col("cvec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", VectorFunctions.cosineSimilarity(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+}

@@ -1,0 +1,264 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{GeoNetFunctions, TextFunctions, VectorFunctions}
+import graft.functions.aggregates.{LttbAggregator, TopKAggregator, TsPoint}
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators (dedup / similarity / text analysis /
+  * multimodal), custom aggregates (topk, lttb, hll), full-text match, and
+  * geo/net functions — the extension surface beyond the reference's
+  * relational core (builder brief + SURVEY.md §7 step 8).
+  *
+  * Near-dup queries run on `documents ∪ shifted-id copy of documents` so the
+  * fixtures are guaranteed to contain exact near-duplicate pairs — the
+  * operator is exercised for real, deterministically, on driver data only.
+  */
+object QueriesPipeline {
+  private def T(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** documents plus an identical copy with doc_id shifted by 10^7. */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionAll(d.select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(docsWithDups(s, dir), "doc_id", Seq("text"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    "q58_token_stats" -> ((s, dir) => {
+      val t = col("text")
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(t).as("n_tokens"),
+        length(t).as("len_chars"),
+        size(array_distinct(TextAnalysis.tokens(t))).as("n_uniq_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q59_fingerprint" -> ((s, dir) => {
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        md5(col("text")).as("md5_fp"),
+        TextFunctions.fingerprint(col("text")).as("rolling_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q60_quality_score" -> ((s, dir) => {
+      T(s, dir, "documents").select(
+        col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q61_lang_id" -> ((s, dir) => {
+      T(s, dir, "documents").select(
+        col("doc_id"), TextAnalysis.languageOf(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q62_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashPairs(docsWithDups(s, dir), "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q63_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(docsWithDups(s, dir), "doc_id", "text", hammingMax = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q64_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(
+        docsWithDups(s, dir).filter(col("doc_id") % 10000000L < 200),
+        "doc_id", "text", n = 3, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q65_knn_bruteforce" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .select(col("qid"), col("rk"), col("cid"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    "q66_knn_ivf" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val (bucketed, centroids) = Similarity.ivfBucketize(emb, numCentroids = 16)
+      Similarity.ivfKnn(bucketed, centroids, emb.filter(col("vec_id") < 10), k = 5, nprobe = 4)
+        .select(col("qid"), col("rk"), col("cid"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    "q67_embedding_neardup" -> ((s, dir) => {
+      Similarity.embeddingNearDupPairs(T(s, dir, "embeddings"), threshold = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q68_topk" -> ((s, dir) => {
+      val topkUdaf = udaf(new TopKAggregator(3), Encoders.STRING)
+      T(s, dir, "events")
+        .agg(topkUdaf(col("event_type")).as("topk"))
+        .select(explode(col("topk")).as("e"))
+        .select(col("e.value").as("event_type"), col("e.cnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("event_type"))
+    }),
+
+    "q69_lttb" -> ((s, dir) => {
+      val lttbUdaf = udaf(new LttbAggregator(20), Encoders.product[TsPoint])
+      T(s, dir, "events").filter(col("user_id") < 5)
+        .groupBy(col("user_id"))
+        .agg(lttbUdaf(unix_millis(col("ts")), col("value")).as("pts"))
+        .select(col("user_id"), explode(col("pts")).as("p"))
+        .select(col("user_id"), col("p.ts").as("ts_ms"), round(col("p.value"), 6).as("value"))
+        .orderBy(col("user_id"), col("ts_ms"))
+    }),
+
+    "q70_hll_distinct" -> ((s, dir) => {
+      T(s, dir, "events").groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q71_match_fulltext" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val index = MatchText.buildIndex(docs, "doc_id", "text")
+      MatchText.search(index, "spark filter window", topN = 20)
+        .select(col("doc_id"), round(col("score"), 6).as("score"), col("terms_hit"))
+    }),
+
+    "q72_match_predicate" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .filter(MatchText.matchPredicate(col("text"), "spark join"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    "q73_multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(T(s, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text")
+      Multimodal.extractFeatures(media, dim = 16)
+        .select(col("asset_id"), col("media_type"),
+          round(col("feat_mean"), 6).as("feat_mean"), col("payload_bytes"))
+        .orderBy(col("asset_id"))
+    }),
+
+    "q74_sessionize" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT user_id, CAST(1 + sum(new_session) AS BIGINT) AS n_sessions
+        FROM (
+          SELECT user_id,
+                 CASE WHEN unix_micros(ts) - lag(unix_micros(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events)
+        GROUP BY user_id ORDER BY user_id""")
+    }),
+
+    "q75_geo_distance" -> ((s, dir) => {
+      val lon = (col("c_custkey") % 360 - 180).cast("double") + 0.5
+      val lat = (col("c_custkey") % 170 - 85).cast("double") + 0.5
+      T(s, dir, "customer")
+        .select(col("c_custkey"), array(lon, lat).as("pt"))
+        .select(col("c_custkey"),
+          round(GeoNetFunctions.haversineDistance(col("pt"),
+            array(lit(0.0), lit(0.0))) / 1000.0, 4).as("dist_km"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q76_geohash" -> ((s, dir) => {
+      val lon = (col("c_custkey") % 360 - 180).cast("double") + 0.5
+      val lat = (col("c_custkey") % 170 - 85).cast("double") + 0.5
+      T(s, dir, "customer")
+        .select(col("c_custkey"), array(lon, lat).as("pt"))
+        .select(col("c_custkey"),
+          GeoNetFunctions.geohash(col("pt"), 8).as("gh"),
+          GeoNetFunctions.latitude(col("pt")).as("lat"),
+          GeoNetFunctions.longitude(col("pt")).as("lon"),
+          GeoNetFunctions.withinBBox(col("pt"), -10, -10, 60, 60).as("in_box"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q77_ip_cidr" -> ((s, dir) => {
+      val ip = concat(lit("10."), (col("user_id") % 256).cast("string"),
+        lit("."), (col("event_id") % 256).cast("string"), lit(".7"))
+      T(s, dir, "events")
+        .select(col("event_id"), ip.as("ip"))
+        .select(col("event_id"), col("ip"),
+          GeoNetFunctions.inCidr(col("ip"), lit("10.0.0.0/8")).as("in_10"),
+          GeoNetFunctions.inCidr(col("ip"), lit("10.5.0.0/16")).as("in_10_5"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q78_json_extract" -> ((s, dir) => {
+      T(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q57_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id FROM (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000000, text FROM documents)
+         GROUP BY text ORDER BY doc_id""",
+    "q58_token_stats" ->
+      """SELECT doc_id,
+                len(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS n_tokens,
+                length(text) AS len_chars,
+                len(list_distinct(list_filter(string_split_regex(text, '\s+'),
+                    x -> length(x) > 0))) AS n_uniq_tokens
+         FROM documents ORDER BY doc_id""",
+    "q59_fingerprint" -> "",  // rolling_fp is engine-specific → rows-only
+    "q60_quality_score" -> "",
+    "q61_lang_id" -> "",
+    "q62_dedup_minhash" -> "",
+    "q63_dedup_simhash" -> "",
+    "q64_ngram_jaccard" -> "",
+    "q65_knn_bruteforce" ->
+      """SELECT qid, rk, cid, round(sim, 6) AS sim FROM (
+           SELECT q.vec_id AS qid, c.vec_id AS cid,
+                  list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                             c.vec_id) AS rk
+           FROM embeddings c, embeddings q WHERE q.vec_id < 10)
+         WHERE rk <= 5 ORDER BY qid, rk""",
+    "q66_knn_ivf" -> "",
+    "q67_embedding_neardup" -> "",
+    "q68_topk" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+         GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 3""",
+    "q69_lttb" -> "",
+    "q70_hll_distinct" -> "",
+    "q71_match_fulltext" -> "",
+    "q72_match_predicate" -> "",
+    "q73_multimodal_features" -> "",
+    "q74_sessionize" ->
+      """SELECT user_id, CAST(1 + sum(new_session) AS BIGINT) AS n_sessions
+         FROM (
+           SELECT user_id,
+                  CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER
+                         (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                       > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events)
+         GROUP BY user_id ORDER BY user_id""",
+    "q75_geo_distance" -> "",
+    "q76_geohash" -> "",
+    "q77_ip_cidr" -> "",
+    "q78_json_extract" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+         FROM events ORDER BY event_id"""
+  ).filter(_._2.nonEmpty)
+}
