@@ -88,7 +88,8 @@ object Multimodal {
   def sampleFrames(media: DataFrame, everyMs: Long = 1000L): DataFrame =
     media.filter(col("media_type") === "video")
       .withColumn("frame_idx",
-        explode(sequence(lit(0L), greatest(col("meta.duration_ms") / everyMs - 1, lit(0L)))))
+        explode(sequence(lit(0L),
+          greatest((col("meta.duration_ms") / everyMs).cast("long") - 1, lit(0L)))))
       .select(col("asset_id"), col("frame_idx"),
         xxhash64(col("payload"), col("frame_idx")).as("frame_fingerprint"))
 }

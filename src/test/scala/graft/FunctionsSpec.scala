@@ -1,0 +1,136 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-kernel tests (no Spark needed): hashing, langid, patterns, CIDR. */
+class TextKernelSpec extends AnyFunSuite {
+  import TextFunctions._
+
+  test("minhash signature is deterministic and length-n") {
+    val a = minhashSignature("the quick brown fox", 3, 64)
+    val b = minhashSignature("the quick brown fox", 3, 64)
+    assert(a.toSeq == b.toSeq && a.length == 64)
+  }
+
+  test("minhash similarity tracks jaccard") {
+    val s1 = minhashSignature("the quick brown fox jumps over the lazy dog", 3, 256)
+    val s2 = minhashSignature("the quick brown fox jumps over the lazy cat", 3, 256)
+    val s3 = minhashSignature("completely different text about spark engines", 3, 256)
+    val sim12 = s1.zip(s2).count { case (x, y) => x == y } / 256.0
+    val sim13 = s1.zip(s3).count { case (x, y) => x == y } / 256.0
+    assert(sim12 > 0.6 && sim13 < 0.3)
+  }
+
+  test("shingleJaccard: identical=1, disjoint=0") {
+    assert(shingleJaccard("abcdef", "abcdef", 3) == 1.0)
+    assert(shingleJaccard("aaaa", "zzzz", 3) == 0.0)
+  }
+
+  test("simhash: identical texts hamming 0; similar texts close") {
+    val h1 = simhash64("spark query engine with hash join and window agg")
+    val h2 = simhash64("spark query engine with hash join and window agg")
+    val h3 = simhash64("spark query engine with hash join and window sum")
+    assert(hamming64(h1, h2) == 0)
+    assert(hamming64(h1, h3) <= 16)
+  }
+
+  test("bandKeys: equal signatures share all bands") {
+    val sig = minhashSignature("hello world", 4, 64)
+    assert(bandKeys(sig, 16).toSeq == bandKeys(sig.clone(), 16).toSeq)
+  }
+
+  test("langId picks stopword-matching language") {
+    assert(langId("the cat and the dog in the house") == "en")
+    assert(langId("der hund und die katze ist nicht da") == "de")
+    assert(langId("xyzzy plugh") == "und")
+  }
+
+  test("fingerprint is normalization-stable") {
+    assert(fingerprint64("A  b\tC") == fingerprint64("a b c"))
+  }
+}
+
+class TimePatternSpec extends AnyFunSuite {
+  import TimeFunctions._
+
+  test("mysql pattern translation") {
+    assert(translateMySqlPattern("%Y-%m-%d") == "yyyy-MM-dd")
+    assert(translateMySqlPattern("%H:%i:%s") == "HH:mm:ss")
+  }
+
+  test("pg template translation") {
+    assert(translatePgTemplate("YYYY-MM-DD") == "yyyy-MM-dd")
+    assert(translatePgTemplate("HH24:MI:SS") == "HH:mm:ss")
+  }
+}
+
+class GeoNetKernelSpec extends AnyFunSuite {
+  import GeoNetFunctions._
+
+  test("ipv4 parse + CIDR membership") {
+    assert(ipv4ToLong("10.0.0.1").contains(0x0a000001L))
+    assert(ipv4ToLong("300.0.0.1").isEmpty)
+    assert(ipInCidr("10.1.2.3", "10.0.0.0/8").contains(true))
+    assert(ipInCidr("11.1.2.3", "10.0.0.0/8").contains(false))
+    assert(ipInCidr("10.5.2.3", "10.5.0.0/16").contains(true))
+    assert(ipInCidr("bogus", "10.0.0.0/8").isEmpty)
+  }
+
+  test("geohash matches known value") {
+    // classic example: (lat 42.605, lon -5.603) → ezs42 (public geohash spec)
+    assert(geohashString(-5.603, 42.605, 5) == "ezs42")
+  }
+}
+
+class DialectSpec extends AnyFunSuite {
+  test("function renames") {
+    assert(Dialect.translate("SELECT arbitrary(x) FROM t") == "SELECT any_value(x) FROM t")
+    assert(Dialect.translate("SELECT hyperloglog_distinct(x) FROM t")
+      == "SELECT approx_count_distinct(x) FROM t")
+  }
+  test(":: cast rewrite") {
+    assert(Dialect.translate("SELECT a::bigint FROM t") == "SELECT CAST(a AS bigint) FROM t")
+    assert(Dialect.translate("SELECT '1'::decimal(10,2)") == "SELECT CAST('1' AS decimal(10,2))")
+  }
+}
+
+/** Spark-evaluated function tests. */
+class SparkFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("vector cosine: identical=1, orthogonal=0") {
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      VectorFunctions.cosineSimilarity($"a", $"b").as("same"),
+      VectorFunctions.cosineSimilarity($"a", $"c").as("orth"),
+      VectorFunctions.l2Distance($"a", $"c").as("l2")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - math.sqrt(2)) < 1e-12)
+  }
+
+  test("date_bin floors to aligned buckets") {
+    val df = Seq("2024-01-01 00:37:11").toDF("s")
+      .select(to_timestamp($"s").as("ts"))
+    val r = df.select(TimeFunctions.dateBin(15L * 60 * 1000 * 1000, $"ts")).head()
+    assert(r.getTimestamp(0).toString == "2024-01-01 00:30:00.0")
+  }
+
+  test("haversine distance London-Paris ~343km") {
+    val df = Seq(1).toDF("x")
+    val d = df.select(GeoNetFunctions.haversineDistance(
+      array(lit(-0.1278), lit(51.5074)), array(lit(2.3522), lit(48.8566)))).head().getDouble(0)
+    assert(d > 330000 && d < 350000)
+  }
+
+  test("sql-registered functions work through spark.sql") {
+    val r = spark.sql(
+      """SELECT simhash('a b c') AS sh, lang_id('the cat and the dog') AS l,
+                ip_in_cidr('10.1.1.1', '10.0.0.0/8') AS cidr,
+                ignore3vl(NULL) AS i3vl""").head()
+    assert(r.getString(1) == "en" && r.getBoolean(2) && !r.getBoolean(3))
+  }
+}

@@ -1,0 +1,149 @@
+package graft
+
+import graft.operators._
+import graft.functions.aggregates.{LttbAggregator, TopKAggregator, TsPoint}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again today"), // near dup of 1
+    (4L, "completely unrelated text about distributed query engines and shuffles"),
+    (5L, "another document that shares nothing with the rest of this tiny corpus")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per text") {
+    val ids = Dedup.exact(docs, "doc_id", Seq("text")).select("doc_id")
+      .as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      numHashes = 128, bands = 32, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhashDedup removes the dup side") {
+    val kept = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(2L))
+  }
+
+  test("simhash pairs: identical docs at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", hammingMax = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+}
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings")
+
+  test("brute-force kNN: self is rank 1 with sim 1") {
+    val top = Similarity.bruteForceKnn(emb, emb.filter($"vec_id" === 7), k = 3)
+      .filter($"rk" === 1).head()
+    assert(top.getAs[Long]("cid") == 7L)
+    assert(math.abs(top.getAs[Double]("sim") - 1.0) < 1e-9)
+  }
+
+  test("IVF kNN recalls self and stays within k") {
+    val (bucketed, centroids) = Similarity.ivfBucketize(emb, numCentroids = 8)
+    val res = Similarity.ivfKnn(bucketed, centroids, emb.filter($"vec_id" < 3), k = 4)
+    val byQ = res.groupBy("qid").count().as[(Long, Long)].collect().toMap
+    assert(byQ.values.forall(_ <= 4))
+    val selfHits = res.filter($"rk" === 1 && $"qid" === $"cid").count()
+    assert(selfHits == 3)
+  }
+}
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("token and quality metrics") {
+    val df = Seq((1L, "The quick brown fox."), (2L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.analyze(df, "doc_id", "text").orderBy("doc_id").collect()
+    assert(r(0).getAs[Int]("n_tokens") == 4)
+    assert(r(0).getAs[Long]("fingerprint") != 0L)
+    assert(r(1).getAs[Int]("n_tokens") == 0)
+    val q = r(0).getAs[Double]("quality")
+    assert(q > 0.0 && q <= 1.0)
+  }
+}
+
+class MatchTextSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "spark filter pushdown with window functions"),
+    (2L, "filter only document"),
+    (3L, "nothing relevant here")).toDF("doc_id", "text")
+
+  test("match predicate requires all terms") {
+    val hits = docs.filter(MatchText.matchPredicate(col("text"), "spark filter"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits == Set(1L))
+  }
+
+  test("tf-idf search ranks the doc with rarer terms first") {
+    val idx = MatchText.buildIndex(docs, "doc_id", "text")
+    val res = MatchText.search(idx, "spark filter", topN = 5)
+      .select("doc_id").as[Long].collect()
+    assert(res.head == 1L)
+    assert(res.toSet == Set(1L, 2L))
+  }
+}
+
+class AggregatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("topk returns exact ordered counts for low cardinality") {
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(1)("c")).toDF("v")
+    val topk = udaf(new TopKAggregator(2), Encoders.STRING)
+    val rows = df.agg(topk($"v").as("t")).select(explode($"t").as("e"))
+      .select($"e.value", $"e.cnt").as[(String, Long)].collect().toSeq
+    assert(rows == Seq(("a", 5L), ("b", 3L)))
+  }
+
+  test("lttb keeps endpoints and bounds size") {
+    val agg = new LttbAggregator(10)
+    val pts = Array.tabulate(100)(i => TsPoint(i.toLong, math.sin(i / 5.0)))
+    val out = agg.lttb(pts, 10)
+    assert(out.length == 10)
+    assert(out.head == pts.head && out.last == pts.last)
+  }
+}
+
+class MultimodalSpec extends SparkTestBase {
+  test("feature extraction is deterministic with stable schema") {
+    val docs = Tables.load(spark, sfDir, "documents").filter(col("doc_id") < 30)
+    val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    val f1 = Multimodal.extractFeatures(media, dim = 8).orderBy("asset_id").collect()
+    val f2 = Multimodal.extractFeatures(media, dim = 8).orderBy("asset_id").collect()
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.head.getSeq[Double](f1.head.fieldIndex("feature")).length == 8)
+  }
+
+  test("frame sampling yields one row per interval") {
+    val docs = Tables.load(spark, sfDir, "documents").filter(col("doc_id") < 30)
+    val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, everyMs = 500)
+    assert(frames.count() > 0)
+  }
+}
