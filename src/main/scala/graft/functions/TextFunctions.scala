@@ -50,29 +50,45 @@ object TextFunctions {
     * Reference capability: near-dup detection has no CrateDB equivalent; this
     * is pipeline-extension surface (builder brief).
     */
+  /** Per-index seeds are fixed for all time — cache them (the inner loop
+    * runs shingles × numHashes times per document). */
+  private val seedCache = new java.util.concurrent.atomic.AtomicReference[Array[Long]](Array.empty)
+  private def seeds(n: Int): Array[Long] = {
+    val cur = seedCache.get()
+    if (cur.length >= n) cur
+    else {
+      val fresh = Array.tabulate(math.max(n, 256))(j => splitmix64(j.toLong))
+      seedCache.compareAndSet(cur, fresh)
+      fresh
+    }
+  }
+
   def minhashSignature(text: String, shingleSize: Int, numHashes: Int): Array[Long] = {
     val norm = normalize(text)
+    val sd = seeds(numHashes)
     val sig = Array.fill(numHashes)(Long.MaxValue)
-    if (norm.length < shingleSize) {
-      val base = fnv1a64(norm)
+    def mix(base: Long): Unit = {
       var j = 0
       while (j < numHashes) {
-        val h = splitmix64(base ^ splitmix64(j.toLong))
+        val h = splitmix64(base ^ sd(j))
         if (h < sig(j)) sig(j) = h
         j += 1
       }
-      return sig
     }
-    var i = 0
+    if (norm.length < shingleSize) { mix(fnv1a64(norm)); return sig }
+    // Dedupe shingle hashes first: the min over a set ignores multiplicity,
+    // and natural text repeats shingles heavily — mixing each distinct base
+    // once cuts the (shingles × numHashes) inner loop substantially.
     val last = norm.length - shingleSize
+    val bases = new Array[Long](last + 1)
+    var i = 0
+    while (i <= last) { bases(i) = fnv1a64(norm, i, i + shingleSize); i += 1 }
+    java.util.Arrays.sort(bases)
+    var prev = 0L
+    i = 0
     while (i <= last) {
-      val base = fnv1a64(norm, i, i + shingleSize)
-      var j = 0
-      while (j < numHashes) {
-        val h = splitmix64(base ^ splitmix64(j.toLong))
-        if (h < sig(j)) sig(j) = h
-        j += 1
-      }
+      val b = bases(i)
+      if (i == 0 || b != prev) { mix(b); prev = b }
       i += 1
     }
     sig

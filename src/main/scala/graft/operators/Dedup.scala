@@ -7,125 +7,140 @@ import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
-  * All variants follow the same scale discipline:
-  *  - signatures are computed in a single map pass (no shuffle),
-  *  - candidate generation shuffles only (bucket-key, id) pairs — never the
-  *    full text — so shuffle volume is O(rows · bands), not O(rows · textLen),
-  *  - quadratic pair expansion happens only inside an LSH bucket, and buckets
-  *    larger than `maxBucket` are dropped (salting-style degenerate-key guard:
-  *    a bucket with thousands of docs means a boilerplate cluster; at 100 TB
-  *    such keys would otherwise OOM one reducer).
+  * Scale discipline shared by all near-dup variants:
+  *  - signatures are computed in ONE map pass and flow into ONE shuffle
+  *    (the bucket groupBy) as narrow (bucket-key, id) rows — the text never
+  *    enters a shuffle;
+  *  - candidate pairs are generated inside a bucket via `collect_list` +
+  *    explode, so there is no self-join and the signature stage is never
+  *    recomputed;
+  *  - buckets larger than `maxBucket` are dropped before pair expansion
+  *    (boilerplate clusters would otherwise go quadratic on one reducer —
+  *    the LSH analogue of skew-salting);
+  *  - only surviving candidates join text back, by id.
   */
 object Dedup {
 
   /** Exact dedup: keep the lowest-id row per identical value of `cols`.
-    * Plain hash groupBy — one shuffle on the dedup key. For wide text at
-    * 100 TB, dedup on a hash of the text (64-char shuffle key) instead of
-    * the text itself. */
+    * One shuffle on a 64-bit hash of the dedup key — for wide text columns
+    * the shuffle key is 8 bytes, not the payload. */
   def exact(df: DataFrame, idCol: String, cols: Seq[String]): DataFrame = {
     val key = if (cols.size == 1) xxhash64(col(cols.head)) else xxhash64(cols.map(col): _*)
     val w = Window.partitionBy(key).orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Candidate near-dup pairs via MinHash + LSH banding.
-    *
-    * Returns (id_a, id_b, jaccard) with id_a < id_b and verified
-    * shingle-Jaccard ≥ `threshold`. Deterministic: fixed hash family
-    * (TextFunctions) and canonical pair ordering.
-    */
+  /** All (id_a, id_b) pairs co-bucketed by some key, deduplicated, with
+    * id_a < id_b. `keyed` must have columns (`key`, `id`). */
+  private def coBucketedPairs(keyed: DataFrame, maxBucket: Int): DataFrame = {
+    val pairUdf = udf((ids: Seq[Long]) => {
+      val s = ids.distinct.sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var i = 0
+      while (i < s.length) {
+        var j = i + 1
+        while (j < s.length) { out += ((s(i), s(j))); j += 1 }
+        i += 1
+      }
+      out.toSeq
+    })
+    keyed.groupBy(col("key")).agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(pairUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Near-dup candidate pairs via MinHash + LSH banding, verified with exact
+    * shingle-Jaccard ≥ `threshold`. Returns (id_a, id_b, jaccard), id_a<id_b.
+    * Deterministic: fixed hash family + canonical pair ordering. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 5,
+                   numHashes: Int = 128, bands: Int = 16, shingleSize: Int = 5,
                    threshold: Double = 0.7, maxBucket: Int = 200): DataFrame = {
     val bandUdf = udf((sig: Seq[Long]) => TextFunctions.bandKeys(sig.toArray, bands))
-    // one row per (band#, bandKey, id): narrow columns only into the shuffle
-    val banded = df
-      .select(col(idCol).as("id"), col(textCol).as("text"))
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val keyed = base
       .withColumn("sig", TextFunctions.minhash(col("text"), shingleSize, numHashes))
-      .select(col("id"), col("text"), posexplode(bandUdf(col("sig"))).as(Seq("pos", "band")))
+      // band# folded into the key so buckets from different bands can't mix
+      .select(col("id"), posexplode(bandUdf(col("sig"))).as(Seq("pos", "bkey")))
+      .select(col("id"), xxhash64(col("pos"), col("bkey")).as("key"))
 
-    // degenerate-bucket guard
-    val sized = banded
-      .withColumn("bsize", count(lit(1)).over(Window.partitionBy(col("pos"), col("band"))))
-      .filter(col("bsize") <= maxBucket)
-
-    val a = sized.select(col("pos"), col("band"), col("id").as("id_a"), col("text").as("text_a"))
-    val b = sized.select(col("pos"), col("band"), col("id").as("id_b"), col("text").as("text_b"))
-    val candidates = a.join(b, Seq("pos", "band"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "text_a", "text_b")
-      .dropDuplicates("id_a", "id_b")
-
-    candidates
+    coBucketedPairs(keyed, maxBucket)
+      .join(base.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
       .withColumn("jaccard",
         TextFunctions.jaccardUdf(col("text_a"), col("text_b"), lit(shingleSize)))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Near-dup dedup: drop all but the lowest id of each connected near-dup
-    * pair (single-link, one union step — not full transitive closure; at
-    * scale run the pair step iteratively or feed pairs to a connected
-    * components pass). */
+  /** Near-dup dedup: drop all but the lowest id of each near-dup pair
+    * (single-link, one union step — feed [[minhashPairs]] to a connected-
+    * components pass for full transitive closure at scale). */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
-                   numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 5,
+                   numHashes: Int = 128, bands: Int = 16, shingleSize: Int = 5,
                    threshold: Double = 0.7): DataFrame = {
     val dupIds = minhashPairs(df, idCol, textCol, numHashes, bands, shingleSize, threshold)
       .select(col("id_b").as(idCol)).distinct()
     df.join(broadcast(dupIds), Seq(idCol), "left_anti")
   }
 
-  /** SimHash near-dup pairs: 64-bit simhash, pigeonhole-bucketed by
-    * (hammingMax+1) chunks, verified by exact hamming distance.
-    * Shuffle volume: (id, 64-bit hash) per chunk — tiny. */
+  /** SimHash near-dup pairs: 64-bit simhash, pigeonhole-bucketed into
+    * (hammingMax+1) chunks, verified by exact hamming distance. The hamming
+    * check runs inside the bucket against collected (id, hash) structs —
+    * nothing but (chunk-key, id, 8-byte hash) is ever shuffled. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    hammingMax: Int = 3, maxBucket: Int = 200): DataFrame = {
     val chunks = hammingMax + 1
     val chunkUdf = udf((h: Long) => TextFunctions.simhashChunks(h, chunks))
     val hashed = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sh", TextFunctions.simhash(col("text")))
-      .withColumn("chunk", explode(chunkUdf(col("sh"))))
+      .select(col("id"), col("sh"), explode(chunkUdf(col("sh"))).as("key"))
 
-    val sized = hashed
-      .withColumn("bsize", count(lit(1)).over(Window.partitionBy(col("chunk"))))
-      .filter(col("bsize") <= maxBucket)
-
-    val a = sized.select(col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = sized.select(col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val hammingUdf = udf((x: Long, y: Long) => TextFunctions.hamming64(x, y))
-    a.join(b, Seq("chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", hammingUdf(col("sh_a"), col("sh_b")))
-      .filter(col("hamming") <= hammingMax)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    val pairUdf = udf((rows: Seq[org.apache.spark.sql.Row]) => {
+      val s = rows.map(r => (r.getLong(0), r.getLong(1))).distinct.sortBy(_._1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      var i = 0
+      while (i < s.length) {
+        var j = i + 1
+        while (j < s.length) {
+          val d = TextFunctions.hamming64(s(i)._2, s(j)._2)
+          if (d <= hammingMax) out += ((s(i)._1, s(j)._1, d))
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    })
+    hashed.groupBy(col("key")).agg(collect_list(struct(col("id"), col("sh"))).as("rows"))
+      .filter(size(col("rows")).between(2, maxBucket))
+      .select(explode(pairUdf(col("rows"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("hamming"))
+      .dropDuplicates("id_a", "id_b")
   }
 
-  /** N-gram (word) Jaccard similarity for all candidate pairs sharing a rare
-    * n-gram. Inverted-index join: explode word n-grams, drop frequent grams
-    * (df > maxGramFreq) — stopword-gram pruning keeps the pair blowup linear.
-    */
+  /** Word n-gram Jaccard pairs over an inverted gram index. Grams with
+    * document frequency > `maxGramFreq` are dropped (stop-gram pruning)
+    * before pair expansion. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxGramFreq: Int = 50): DataFrame = {
     val gramUdf = udf((t: String) =>
       TextFunctions.tokenize(t).sliding(n).filter(_.length == n).map(_.mkString(" ")).toArray.distinct)
-    val grams = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("gram", explode(gramUdf(col("text"))))
-      .withColumn("gfreq", count(lit(1)).over(Window.partitionBy(col("gram"))))
-      .filter(col("gfreq") <= maxGramFreq)
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val keyed = base
+      .select(col("id"), explode(gramUdf(col("text"))).as("gram"))
+      .select(col("id"), xxhash64(col("gram")).as("key"))
 
-    val aa = grams.select(col("gram"), col("id").as("id_a"), col("text").as("text_a"))
-    val bb = grams.select(col("gram"), col("id").as("id_b"), col("text").as("text_b"))
     val jacUdf = udf((x: String, y: String) => {
       val sa = TextFunctions.tokenize(x).sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
       val sb = TextFunctions.tokenize(y).sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
       val un = (sa ++ sb).size
       if (un == 0) 1.0 else sa.intersect(sb).size.toDouble / un
     })
-    aa.join(bb, Seq("gram"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "text_a", "text_b").dropDuplicates("id_a", "id_b")
+    coBucketedPairs(keyed, maxGramFreq)
+      .join(base.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
       .withColumn("jaccard", jacUdf(col("text_a"), col("text_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

@@ -30,8 +30,11 @@ object Similarity {
                     qIdCol: String = "vec_id", qVecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
     val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qvec"))
+    // project down to (qid, cid, sim) BEFORE the top-k shuffle — vectors
+    // never leave the scan stage.
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("sim", VectorFunctions.cosineSimilarity(col("cvec"), col("qvec")))
+      .select(col("qid"), col("cid"),
+        VectorFunctions.cosineSimilarity(col("cvec"), col("qvec")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -48,12 +51,15 @@ object Similarity {
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
     val centroids = c.orderBy(col("cid")).limit(numCentroids)
       .select(col("cid").as("centroid_id"), col("cvec").as("centroid"))
-    val assigned = c.crossJoin(broadcast(centroids))
-      .withColumn("sim", VectorFunctions.cosineSimilarity(col("cvec"), col("centroid")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("cid")).orderBy(col("sim").desc, col("centroid_id"))))
-      .filter(col("rk") === 1)
-      .select(col("cid"), col("cvec"), col("centroid_id").as("bucket"))
+    // nearest-centroid via partial-aggregated max_by on narrow rows (no
+    // window shuffle of vectors); ties break to the lowest centroid id.
+    val best = c.crossJoin(broadcast(centroids))
+      .select(col("cid"),
+        VectorFunctions.cosineSimilarity(col("cvec"), col("centroid")).as("sim"),
+        col("centroid_id"))
+      .groupBy(col("cid"))
+      .agg(expr("max_by(centroid_id, struct(sim, -centroid_id))").as("bucket"))
+    val assigned = c.join(best, Seq("cid")).select(col("cid"), col("cvec"), col("bucket"))
     (assigned, centroids)
   }
 
@@ -69,7 +75,8 @@ object Similarity {
       .filter(col("crk") <= nprobe)
       .select(col("qid"), col("qvec"), col("centroid_id").as("bucket"))
     val scored = bucketed.join(broadcast(probes), Seq("bucket"))
-      .withColumn("sim", VectorFunctions.cosineSimilarity(col("cvec"), col("qvec")))
+      .select(col("qid"), col("cid"),
+        VectorFunctions.cosineSimilarity(col("cvec"), col("qvec")).as("sim"))
     scored.withColumn("rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))))
       .filter(col("rk") <= k)
@@ -82,13 +89,18 @@ object Similarity {
   def embeddingNearDupPairs(corpus: DataFrame, threshold: Double,
                             numCentroids: Int = 16,
                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val (bucketed, _) = ivfBucketize(corpus, numCentroids, idCol, vecCol)
-    val a = bucketed.select(col("bucket"), col("cid").as("id_a"), col("cvec").as("vec_a"))
-    val b = bucketed.select(col("bucket"), col("cid").as("id_b"), col("cvec").as("vec_b"))
+    val (bucketed0, _) = ivfBucketize(corpus, numCentroids, idCol, vecCol)
+    // per-vector norm computed once up front — the quadratic in-bucket pass
+    // then only pays for the dot product
+    val bucketed = bucketed0.withColumn("nrm", VectorFunctions.norm(col("cvec")))
+    val a = bucketed.select(col("bucket"), col("cid").as("id_a"),
+      col("cvec").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = bucketed.select(col("bucket"), col("cid").as("id_b"),
+      col("cvec").as("vec_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", VectorFunctions.cosineSimilarity(col("vec_a"), col("vec_b")))
+      .select(col("id_a"), col("id_b"),
+        (VectorFunctions.dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b"))).as("sim"))
       .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("sim"))
   }
 }

@@ -63,7 +63,7 @@ object QueriesPipeline {
 
     "q62_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashPairs(docsWithDups(s, dir), "doc_id", "text",
-        numHashes = 64, bands = 16, threshold = 0.8)
+        numHashes = 128, bands = 16, threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
