@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** DML semantics over Parquet tables (SURVEY.md §2.12).
+  *
+  * The reference implements INSERT upsert (`ON CONFLICT DO UPDATE`), UPDATE
+  * (rewritten to upsert, `dml/UpdateToInsert.java`), DELETE, and `RETURNING`
+  * on a mutable Lucene store. On an immutable Parquet substrate the same
+  * semantics are copy-on-write: each statement is a declarative DataFrame
+  * transform; `write` produces the next table version (a lakehouse format
+  * would add snapshot isolation on top — the dataflow is identical).
+  *
+  * All transforms are distributed joins/windows — no driver-side row loops.
+  * RETURNING is literally the affected-row DataFrame.
+  */
+object Dml {
+
+  /** INSERT INTO ... SELECT: append semantics (schema aligned by name). */
+  def insertInto(target: DataFrame, rows: DataFrame): DataFrame =
+    target.unionByName(rows.select(target.columns.map(col).toSeq: _*))
+
+  /** INSERT ... ON CONFLICT (key) DO NOTHING: keep existing rows, add only
+    * rows whose key is absent. One anti-join (broadcast when small). */
+  def upsertDoNothing(target: DataFrame, rows: DataFrame, keys: Seq[String]): DataFrame =
+    target.unionByName(
+      rows.join(target.select(keys.map(col).toSeq: _*), keys, "left_anti")
+        .select(target.columns.map(col).toSeq: _*))
+
+  /** INSERT ... ON CONFLICT (key) DO UPDATE SET (full-row replace): new rows
+    * win over existing ones — MERGE INTO semantics, one outer-joined pass.
+    * Last-writer-wins within `rows` is resolved by highest `versionCol`. */
+  def upsertReplace(target: DataFrame, rows: DataFrame, keys: Seq[String],
+                    versionCol: Option[String] = None): DataFrame = {
+    val deduped = versionCol match {
+      case Some(v) =>
+        val w = Window.partitionBy(keys.map(col).toSeq: _*).orderBy(col(v).desc)
+        rows.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      case None => rows.dropDuplicates(keys)
+    }
+    val updates = deduped.select(target.columns.map(col).toSeq: _*)
+    target.join(updates.select(keys.map(col).toSeq: _*), keys, "left_anti")
+      .unionByName(updates)
+  }
+
+  /** UPDATE ... SET assignments WHERE cond, RETURNING *.
+    * Returns (new table state, returning rows). */
+  def update(target: DataFrame, cond: Column, assignments: Map[String, Column]): (DataFrame, DataFrame) = {
+    val updated = target.select(target.columns.map { c =>
+      assignments.get(c) match {
+        case Some(exprCol) => when(cond, exprCol).otherwise(col(c)).as(c)
+        case None          => col(c)
+      }
+    }.toSeq: _*)
+    (updated, updated.filter(cond))
+  }
+
+  /** DELETE WHERE cond, RETURNING *. Returns (new state, deleted rows). */
+  def delete(target: DataFrame, cond: Column): (DataFrame, DataFrame) =
+    (target.filter(!coalesce(cond, lit(false))), target.filter(cond))
+
+  /** CREATE TABLE ... PARTITIONED BY: write value-partitioned Parquet —
+    * the direct analogue of the reference's partitioned tables
+    * (`DocTableInfo.partitionedBy`, one Lucene index per value), and what
+    * makes Catalyst prune partitions from WHERE clauses for free. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  def readTable(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+}

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming extension (SURVEY.md §2.11 — the reference has no
+  * streaming; ingest there is INSERT/COPY + `REFRESH TABLE`). This module is
+  * the strict-superset path: the `events` fixture served as a stream with
+  * event-time semantics.
+  *
+  * Scale notes: all three transforms are incremental, watermark-bounded
+  * state machines — state per key is O(open windows), late data beyond the
+  * watermark is dropped deterministically, and the same code runs on a
+  * file/kafka source unchanged (the transforms only see a streaming
+  * DataFrame).
+  */
+object EventsStream {
+
+  /** Tumbling-window event counts ≈ the batch `date_bin` aggregation
+    * (`QueriesFunctions.q49_date_bin`), expressed incrementally. */
+  def tumblingCounts(events: DataFrame, window: String = "15 minutes",
+                     watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bin"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding-window per-user activity (overlapping windows). */
+  def slidingUserActivity(events: DataFrame, window: String = "30 minutes",
+                          slide: String = "10 minutes",
+                          watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window, slide), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("user_id"), col("n_events"))
+
+  /** Session windows with a 30-minute inactivity gap — the streaming
+    * equivalent of the batch sessionization query (q74). */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("session"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session.start").as("session_start"),
+        col("session.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+}

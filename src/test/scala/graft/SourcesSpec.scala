@@ -1,0 +1,108 @@
+package graft
+
+import graft.sources._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class CopyOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType)))
+
+  test("COPY FROM json: good rows + RETURN SUMMARY error channel") {
+    val dir = Files.createTempDirectory("copyjson").toFile
+    val f = new java.io.File(dir, "in.json")
+    Files.writeString(f.toPath,
+      """{"id": 1, "name": "a"}
+        |{"id": 2, "name": "b"}
+        |{not valid json
+        |{"id": "xx", "name": "c"}
+        |""".stripMargin)
+    val (good, summary) = CopyOps.copyFromJson(spark, schema, f.getAbsolutePath)
+    assert(good.count() == 2)  // malformed line + type-mismatched id are both errors
+    val s = summary.collect()(0)
+    assert(s.getAs[Long]("success_count") == 2 && s.getAs[Long]("error_count") == 2)
+    assert(s.getSeq[String](s.fieldIndex("error_samples")).head.contains("not valid"))
+  }
+
+  test("COPY FROM csv with glob + gzip transparency; COPY TO round-trips") {
+    val dir = Files.createTempDirectory("copycsv").toFile.getAbsolutePath
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "name")
+    CopyOps.copyToCsv(df, s"$dir/out", gzip = true)
+    val (back, summary) = CopyOps.copyFromCsv(spark, schema, header = true, s"$dir/out/*.csv.gz")
+    assert(back.as[(Long, String)].collect().toSet == Set((1L, "x"), (2L, "y"), (3L, "z")))
+    assert(summary.agg(sum("error_count")).head().getLong(0) == 0)
+
+    CopyOps.copyToJson(df, s"$dir/outj")
+    val (backJ, _) = CopyOps.copyFromJson(spark, schema, s"$dir/outj/*.json")
+    assert(backJ.count() == 3)
+  }
+}
+
+class DmlSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+    .toDF("id", "name", "val")
+
+  test("insertInto appends aligned by name") {
+    val rows = Seq((4L, "d", 40.0)).toDF("id", "name", "val").select("val", "name", "id")
+    assert(Dml.insertInto(target, rows).count() == 4)
+  }
+
+  test("upsert DO NOTHING keeps existing, adds new") {
+    val rows = Seq((2L, "B!", 99.0), (4L, "d", 40.0)).toDF("id", "name", "val")
+    val out = Dml.upsertDoNothing(target, rows, Seq("id"))
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("upsert DO UPDATE replaces and inserts (MERGE semantics)") {
+    val rows = Seq((2L, "B!", 99.0), (4L, "d", 40.0)).toDF("id", "name", "val")
+    val out = Dml.upsertReplace(target, rows, Seq("id"))
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "B!", 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("update with RETURNING") {
+    val (state, returning) = Dml.update(target, col("val") >= 20.0,
+      Map("val" -> (col("val") * 2), "name" -> upper(col("name"))))
+    assert(returning.count() == 2)
+    assert(state.filter(col("id") === 3).head().getDouble(2) == 60.0)
+    assert(state.filter(col("id") === 1).head().getString(1) == "a")
+  }
+
+  test("delete with RETURNING") {
+    val (state, deleted) = Dml.delete(target, col("id") === 2)
+    assert(state.count() == 2 && deleted.count() == 1)
+    assert(deleted.head().getLong(0) == 2L)
+  }
+
+  test("partitioned write gets partition pruning in the plan") {
+    val dir = Files.createTempDirectory("part").toFile.getAbsolutePath + "/t"
+    val orders = Tables.load(spark, sfDir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+    Dml.writePartitioned(orders, dir, Seq("o_year"))
+    val pruned = Dml.readTable(spark, dir).filter(col("o_year") === 1997)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_year"))
+    val allYears = Dml.readTable(spark, dir).select("o_year").distinct().count()
+    assert(allYears > 1 && pruned.select("o_year").distinct().count() == 1)
+  }
+}
+
+class InformationSchemaSpec extends SparkTestBase {
+  test("tables and columns views reflect the catalog") {
+    Tables.registerAll(spark, sfDir)
+    InformationSchema.register(spark)
+    val t = spark.sql(
+      "SELECT table_name FROM information_schema_tables WHERE table_name = 'lineitem'")
+    assert(t.count() == 1)
+    val c = spark.sql(
+      """SELECT column_name FROM information_schema_columns
+         WHERE table_name = 'orders' ORDER BY ordinal_position""")
+    assert(c.collect().map(_.getString(0)).contains("o_orderkey"))
+  }
+}
