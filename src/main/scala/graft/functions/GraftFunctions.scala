@@ -59,5 +59,14 @@ object GraftFunctions {
     // 3-valued-logic helper (reference Ignore3vlFunction.java:52):
     // null → false, so NOT over it behaves 2-valued.
     u.register("ignore3vl", (b: java.lang.Boolean) => Boolean.box(b != null && b))
+
+    // native codegen'd vector expressions (graft.plans.VectorExpressions) —
+    // registered in the Catalyst function registry so both SQL and
+    // functions.call_function can reach them.
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_cosine",
+      exprs => graft.plans.CosineSimilarityExpr(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => graft.plans.DotProductExpr(exprs(0), exprs(1)), "scala_udf")
   }
 }

@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
+  /** Codegen'd native cosine (graft.plans.CosineSimilarityExpr). Requires
+    * [[GraftFunctions.registerAll]] on the session (idempotent, cheap).
+    * Bit-identical to [[cosineSimilarity]]; one fused loop, no intermediate
+    * arrays. */
+  def cosineNative(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+
+  /** Codegen'd native dot product (graft.plans.DotProductExpr). */
+  def dotNative(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
   private def d(c: Column): Column = transform(c, x => x.cast("double"))
 
   def dot(a: Column, b: Column): Column =

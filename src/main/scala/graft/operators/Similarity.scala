@@ -28,13 +28,14 @@ object Similarity {
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     qIdCol: String = "vec_id", qVecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
     val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qvec"))
     // project down to (qid, cid, sim) BEFORE the top-k shuffle — vectors
     // never leave the scan stage.
     val scored = c.crossJoin(broadcast(q))
       .select(col("qid"), col("cid"),
-        VectorFunctions.cosineSimilarity(col("cvec"), col("qvec")).as("sim"))
+        VectorFunctions.cosineNative(col("cvec"), col("qvec")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -48,6 +49,7 @@ object Similarity {
     * and reused across query batches — the IVF "index". */
   def ivfBucketize(corpus: DataFrame, numCentroids: Int,
                    idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.registerAll(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
     val centroids = c.orderBy(col("cid")).limit(numCentroids)
       .select(col("cid").as("centroid_id"), col("cvec").as("centroid"))
@@ -55,7 +57,7 @@ object Similarity {
     // window shuffle of vectors); ties break to the lowest centroid id.
     val best = c.crossJoin(broadcast(centroids))
       .select(col("cid"),
-        VectorFunctions.cosineSimilarity(col("cvec"), col("centroid")).as("sim"),
+        VectorFunctions.cosineNative(col("cvec"), col("centroid")).as("sim"),
         col("centroid_id"))
       .groupBy(col("cid"))
       .agg(expr("max_by(centroid_id, struct(sim, -centroid_id))").as("bucket"))
@@ -69,14 +71,14 @@ object Similarity {
              qIdCol: String = "vec_id", qVecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qvec"))
     val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("csim", VectorFunctions.cosineSimilarity(col("qvec"), col("centroid")))
+      .withColumn("csim", VectorFunctions.cosineNative(col("qvec"), col("centroid")))
       .withColumn("crk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("centroid_id"))))
       .filter(col("crk") <= nprobe)
       .select(col("qid"), col("qvec"), col("centroid_id").as("bucket"))
     val scored = bucketed.join(broadcast(probes), Seq("bucket"))
       .select(col("qid"), col("cid"),
-        VectorFunctions.cosineSimilarity(col("cvec"), col("qvec")).as("sim"))
+        VectorFunctions.cosineNative(col("cvec"), col("qvec")).as("sim"))
     scored.withColumn("rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))))
       .filter(col("rk") <= k)
@@ -92,7 +94,7 @@ object Similarity {
     val (bucketed0, _) = ivfBucketize(corpus, numCentroids, idCol, vecCol)
     // per-vector norm computed once up front — the quadratic in-bucket pass
     // then only pays for the dot product
-    val bucketed = bucketed0.withColumn("nrm", VectorFunctions.norm(col("cvec")))
+    val bucketed = bucketed0.withColumn("nrm", sqrt(VectorFunctions.dotNative(col("cvec"), col("cvec"))))
     val a = bucketed.select(col("bucket"), col("cid").as("id_a"),
       col("cvec").as("vec_a"), col("nrm").as("nrm_a"))
     val b = bucketed.select(col("bucket"), col("cid").as("id_b"),
@@ -100,7 +102,7 @@ object Similarity {
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (VectorFunctions.dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b"))).as("sim"))
+        (VectorFunctions.dotNative(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b"))).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

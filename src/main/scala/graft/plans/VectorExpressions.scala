@@ -1,0 +1,110 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for vector math over `array<float>` columns.
+  *
+  * Rationale (builder brief, custom-operator preference order): the
+  * `zip_with` + `aggregate` composition allocates an intermediate array and
+  * a lambda frame per row; a Scala UDF adds serialization. These expressions
+  * generate a single fused primitive loop inside whole-stage codegen — the
+  * same access pattern the reference gets from Lucene's HNSW scorer
+  * (`server/src/main/java/io/crate/expression/scalar/VectorSimilarityFunction.java:35`),
+  * but vectorizable by the JIT.
+  *
+  * Semantics: null input → null; length mismatch → null; zero-norm → null.
+  * Math is double-accumulated in ascending index order, so results are
+  * bit-identical to the HOF formulation they replace.
+  */
+abstract class BinaryFloatVectorExpression extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+}
+
+case class CosineSimilarityExpr(left: Expression, right: Expression)
+    extends BinaryFloatVectorExpression {
+
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble; val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = $a.numElements();
+         |if (n != $b.numElements()) { ${ev.isNull} = true; } else {
+         |  double dot = 0.0, na = 0.0, nb = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    double x = (double) $a.getFloat(i);
+         |    double y = (double) $b.getFloat(i);
+         |    dot += x * y; na += x * x; nb += y * y;
+         |  }
+         |  double denom = java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb);
+         |  if (denom == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = dot / denom; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryFloatVectorExpression {
+
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = $a.numElements();
+         |if (n != $b.numElements()) { ${ev.isNull} = true; } else {
+         |  double dot = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    dot += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |  }
+         |  ${ev.value} = dot;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -134,3 +134,37 @@ class SparkFunctionsSpec extends SparkTestBase {
     assert(r.getString(1) == "en" && r.getBoolean(2) && !r.getBoolean(3))
   }
 }
+
+/** Native codegen'd vector expressions vs the HOF formulation. */
+class VectorExprSpec extends SparkTestBase {
+  import graft.functions.VectorFunctions
+
+  test("native cosine is bit-identical to the HOF cosine on real embeddings") {
+    val emb = Tables.load(spark, sfDir, "embeddings").limit(50)
+    val a = emb.select(org.apache.spark.sql.functions.col("embedding").as("v1"))
+      .crossJoin(emb.select(org.apache.spark.sql.functions.col("embedding").as("v2")).limit(5))
+    val cmp = a.select(
+      VectorFunctions.cosineSimilarity(org.apache.spark.sql.functions.col("v1"),
+        org.apache.spark.sql.functions.col("v2")).as("hof"),
+      VectorFunctions.cosineNative(org.apache.spark.sql.functions.col("v1"),
+        org.apache.spark.sql.functions.col("v2")).as("native"))
+    assert(cmp.filter("hof <> native").count() == 0)
+  }
+
+  test("native cosine stays inside whole-stage codegen") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val df = emb.select(VectorFunctions.cosineNative(
+      org.apache.spark.sql.functions.col("embedding"),
+      org.apache.spark.sql.functions.col("embedding")).as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [graft_cosine"))
+  }
+
+  test("native expressions null out on length mismatch and SQL-resolve") {
+    val r = spark.sql(
+      """SELECT graft_cosine(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS mismatch,
+                graft_dot(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS dot""").head()
+    assert(r.isNullAt(0) && r.getDouble(1) == 6.0)
+  }
+}
