@@ -21,9 +21,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesRelational.queries ++ QueriesWindow.queries ++
-      QueriesFunctions.queries ++ QueriesFunctions2.queries ++ QueriesPipeline.queries
+      QueriesFunctions.queries ++ QueriesFunctions2.queries ++
+      QueriesFunctions3.queries ++ QueriesPipeline.queries
 
   def oracleSql: Map[String, String] =
     QueriesRelational.oracles ++ QueriesWindow.oracles ++
-      QueriesFunctions.oracles ++ QueriesFunctions2.oracles ++ QueriesPipeline.oracles
+      QueriesFunctions.oracles ++ QueriesFunctions2.oracles ++
+      QueriesFunctions3.oracles ++ QueriesPipeline.oracles
 }

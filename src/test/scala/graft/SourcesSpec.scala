@@ -106,3 +106,56 @@ class InformationSchemaSpec extends SparkTestBase {
     assert(c.collect().map(_.getString(0)).contains("o_orderkey"))
   }
 }
+
+class BucketingSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+  import graft.sources.Bucketing
+
+  test("bucketed tables join without a shuffle") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val customer = Tables.load(spark, sfDir, "customer")
+    Bucketing.writeBucketed(orders, "orders_b", 8, Seq("o_custkey"))
+    Bucketing.writeBucketed(customer.withColumnRenamed("c_custkey", "o_custkey"),
+      "customer_b", 8, Seq("o_custkey"))
+    // disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.table(spark, "orders_b")
+        .join(Bucketing.table(spark, "customer_b"), Seq("o_custkey"))
+      assert(joined.count() > 0)
+      assert(Bucketing.isShuffleFree(joined))
+      // same join on unbucketed tables DOES shuffle — the negative control
+      val plain = orders.join(
+        customer.withColumnRenamed("c_custkey", "o_custkey"), Seq("o_custkey"))
+      assert(!Bucketing.isShuffleFree(plain))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+}
+
+class DynamicObjectsSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+  import graft.sources.DynamicObjects
+  import spark.implicits._
+
+  test("dynamic object columns: schema widens across writes (mergeSchema)") {
+    val dir = java.nio.file.Files.createTempDirectory("dyn").toFile.getAbsolutePath + "/t"
+    val v1 = Seq((1L, "a")).toDF("id", "name")
+      .withColumn("obj", struct(lit(1).as("x")))
+    DynamicObjects.appendDynamic(v1, dir)
+    val v2 = Seq((2L, "b")).toDF("id", "name")
+      .withColumn("obj", struct(lit(2).as("x"), lit("extra").as("y")))
+    DynamicObjects.appendDynamic(v2, dir)
+    val merged = DynamicObjects.readDynamic(spark, dir)
+    assert(merged.select("obj.y").collect().map(_.getString(0)).toSet == Set(null, "extra"))
+  }
+
+  test("ignored-policy subscript over raw JSON (events.props)") {
+    val events = Tables.load(spark, sfDir, "events")
+    val k = events.select(DynamicObjects.objectSubscript(col("props"), "k").cast("long").as("k"))
+    assert(k.filter(col("k").isNotNull).count() > 0)
+    val typed = events.select(DynamicObjects.parseObject(col("props"),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))).as("o"))
+    assert(typed.select("o.k").filter(col("k").isNotNull).count() > 0)
+  }
+}
