@@ -126,6 +126,18 @@ class SparkFunctionsSpec extends SparkTestBase {
     assert(d > 330000 && d < 350000)
   }
 
+  test("to_char / mysql date_format / parse_url through the engine") {
+    val r = spark.sql(
+      """SELECT to_char(TIMESTAMP '2024-03-05 14:07:09', 'YYYY-MM-DD HH24:MI') AS pg,
+                date_format_mysql('%Y/%m/%d %H:%i', TIMESTAMP '2024-03-05 14:07:09') AS my,
+                parse_url('https://example.com:8080/a/b?q=1', 'HOST') AS host,
+                quote_ident('weird col') AS qi""").head()
+    assert(r.getString(0) == "2024-03-05 14:07")
+    assert(r.getString(1) == "2024/03/05 14:07")
+    assert(r.getString(2) == "example.com:8080" || r.getString(2) == "example.com")
+    assert(r.getString(3) == "\"weird col\"")
+  }
+
   test("sql-registered functions work through spark.sql") {
     val r = spark.sql(
       """SELECT simhash('a b c') AS sh, lang_id('the cat and the dog') AS l,

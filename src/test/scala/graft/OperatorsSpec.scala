@@ -147,3 +147,26 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.count() > 0)
   }
 }
+
+class SkewSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.operators.Skew
+
+  test("salted join returns the same rows as the plain join") {
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    val supplier = Tables.load(spark, sfDir, "supplier")
+    val plain = lineitem.join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"))
+      .select($"l_orderkey", $"l_linenumber", $"s_name")
+    val salted = Skew.saltedJoin(
+      lineitem.withColumnRenamed("l_suppkey", "k"),
+      supplier.withColumnRenamed("s_suppkey", "k"),
+      "k", uniqueCol = "l_orderkey", saltFactor = 8)
+      .select($"l_orderkey", $"l_linenumber", $"s_name")
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+  }
+
+  test("keyHistogram surfaces hot keys") {
+    val hist = Skew.keyHistogram(Tables.load(spark, sfDir, "lineitem"), "l_returnflag", 3)
+    assert(hist.count() == 3)
+  }
+}
