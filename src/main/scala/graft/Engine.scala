@@ -63,6 +63,12 @@ object Dialect {
     // `expr::type` cast → cast(expr AS type) for simple operands.
     s = s.replaceAll("(\\w+(?:\\.\\w+)*|'[^']*')::([a-zA-Z_]+(?:\\(\\d+(?:,\\d+)?\\))?)",
       "CAST($1 AS $2)")
+    // MATCH(col, 'query') predicate → match_text UDF (boolean best_fields
+    // semantics; registered by GraftFunctions).
+    s = s.replaceAll("(?i)\\bMATCH\\s*\\(\\s*(\\w+)\\s*,\\s*('[^']*')\\s*\\)",
+      "match_text($1, $2)")
+    // array subscript `col[n]` → element_at (1-based, like CrateDB).
+    s = s.replaceAll("\\b(\\w+)\\[(-?\\d+)\\]", "element_at($1, $2)")
     s
   }
 }

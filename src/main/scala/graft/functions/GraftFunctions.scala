@@ -56,6 +56,14 @@ object GraftFunctions {
       }
     })
 
+    // MATCH(col, 'query') dialect predicate: all query terms present.
+    u.register("match_text", (text: String, query: String) =>
+      if (text == null || query == null) null
+      else {
+        val toks = TextFunctions.tokenize(text.toLowerCase).toSet
+        Boolean.box(TextFunctions.tokenize(query.toLowerCase).forall(toks.contains))
+      })
+
     // 3-valued-logic helper (reference Ignore3vlFunction.java:52):
     // null → false, so NOT over it behaves 2-valued.
     u.register("ignore3vl", (b: java.lang.Boolean) => Boolean.box(b != null && b))

@@ -220,7 +220,22 @@ object QueriesPipeline {
                     x -> length(x) > 0))) AS n_uniq_tokens
          FROM documents ORDER BY doc_id""",
     "q59_fingerprint" -> "",  // rolling_fp is engine-specific → rows-only
-    "q60_quality_score" -> "",
+    "q60_quality_score" ->
+      """SELECT doc_id, round(
+                least(ntok / 50.0, 1.0) * 0.4
+                + (CASE WHEN (CASE WHEN ntok > 0 THEN (nchar - ntok + 1) / ntok ELSE 0.0 END)
+                        BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2
+                + (CASE WHEN (CASE WHEN nchar > 0 THEN npunct / nchar ELSE 1.0 END) < 0.2
+                        THEN 1.0 ELSE 0.4 END) * 0.2
+                + (CASE WHEN nchar > 0 THEN nalpha / nchar ELSE 0.0 END) * 0.2, 6) AS quality
+         FROM (
+           SELECT doc_id,
+                  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS DOUBLE) AS ntok,
+                  CAST(length(text) AS DOUBLE) AS nchar,
+                  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS npunct,
+                  CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE) AS nalpha
+           FROM documents)
+         ORDER BY doc_id""",
     "q61_lang_id" -> "",
     "q62_dedup_minhash" -> "",
     "q63_dedup_simhash" -> "",
@@ -241,7 +256,23 @@ object QueriesPipeline {
          GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 3""",
     "q69_lttb" -> "",
     "q70_hll_distinct" -> "",
-    "q71_match_fulltext" -> "",
+    "q71_match_fulltext" ->
+      """SELECT doc_id, round(score, 6) AS score, terms_hit FROM (
+           WITH idx AS (
+             SELECT term, doc_id, count(*) AS tf FROM (
+               SELECT doc_id,
+                      unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                         x -> len(x) > 0)) AS term
+               FROM documents)
+             GROUP BY term, doc_id),
+           dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM idx GROUP BY term),
+           nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM idx)
+           SELECT i.doc_id, sum(i.tf * ln((nd.n + 1.0) / (d.df + 1.0))) AS score,
+                  count(*) AS terms_hit
+           FROM idx i JOIN dfreq d ON i.term = d.term, nd
+           WHERE i.term IN ('spark', 'filter', 'window')
+           GROUP BY i.doc_id
+           ORDER BY score DESC, i.doc_id LIMIT 20)""",
     "q72_match_predicate" -> "",
     "q73_multimodal_features" -> "",
     "q74_sessionize" ->

@@ -94,6 +94,11 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.translate("SELECT a::bigint FROM t") == "SELECT CAST(a AS bigint) FROM t")
     assert(Dialect.translate("SELECT '1'::decimal(10,2)") == "SELECT CAST('1' AS decimal(10,2))")
   }
+  test("MATCH predicate and array subscript rewrites") {
+    assert(Dialect.translate("SELECT * FROM d WHERE MATCH(text, 'spark join')")
+      == "SELECT * FROM d WHERE match_text(text, 'spark join')")
+    assert(Dialect.translate("SELECT toks[1] FROM t") == "SELECT element_at(toks, 1) FROM t")
+  }
 }
 
 /** Spark-evaluated function tests. */
@@ -178,5 +183,18 @@ class VectorExprSpec extends SparkTestBase {
       """SELECT graft_cosine(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS mismatch,
                 graft_dot(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS dot""").head()
     assert(r.isNullAt(0) && r.getDouble(1) == 6.0)
+  }
+}
+
+/** Engine.sql end-to-end over the CrateDB dialect shim. */
+class EngineSqlSpec extends SparkTestBase {
+  test("CrateDB-dialect statement runs end-to-end through Engine.sql") {
+    Tables.registerAll(spark, sfDir)
+    graft.functions.GraftFunctions.registerAll(spark)
+    val df = Engine.sql(spark,
+      """SELECT doc_id, arbitrary(lang) AS lang
+         FROM documents WHERE MATCH(text, 'spark')
+         GROUP BY doc_id ORDER BY doc_id LIMIT 5""")
+    assert(df.count() == 5)
   }
 }
