@@ -273,7 +273,13 @@ object QueriesPipeline {
            WHERE i.term IN ('spark', 'filter', 'window')
            GROUP BY i.doc_id
            ORDER BY score DESC, i.doc_id LIMIT 20)""",
-    "q72_match_predicate" -> "",
+    "q72_match_predicate" ->
+      """SELECT doc_id FROM (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> len(x) > 0) AS toks
+           FROM documents)
+         WHERE list_contains(toks, 'spark') AND list_contains(toks, 'join')
+         ORDER BY doc_id""",
     "q73_multimodal_features" -> "",
     "q74_sessionize" ->
       """SELECT user_id, CAST(1 + sum(new_session) AS BIGINT) AS n_sessions
@@ -285,9 +291,27 @@ object QueriesPipeline {
                        THEN 1 ELSE 0 END AS new_session
            FROM events)
          GROUP BY user_id ORDER BY user_id""",
-    "q75_geo_distance" -> "",
+    "q75_geo_distance" ->
+      """SELECT c_custkey, round(2.0 * 6371008.8 * asin(least(1.0, sqrt(
+                  pow(sin(radians(lat) / 2), 2)
+                  + cos(radians(0.0)) * cos(radians(lat)) * pow(sin(radians(lon) / 2), 2)
+                ))) / 1000.0, 4) AS dist_km
+         FROM (SELECT c_custkey,
+                      CAST(c_custkey % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+                      CAST(c_custkey % 170 - 85 AS DOUBLE) + 0.5 AS lat
+               FROM customer)
+         ORDER BY c_custkey""",
     "q76_geohash" -> "",
-    "q77_ip_cidr" -> "",
+    "q77_ip_cidr" ->
+      """SELECT event_id, ip,
+                CAST(split_part(ip, '.', 1) AS INT) = 10 AS in_10,
+                CAST(split_part(ip, '.', 1) AS INT) = 10
+                  AND CAST(split_part(ip, '.', 2) AS INT) = 5 AS in_10_5
+         FROM (SELECT event_id,
+                      concat('10.', CAST(user_id % 256 AS VARCHAR), '.',
+                             CAST(event_id % 256 AS VARCHAR), '.7') AS ip
+               FROM events)
+         ORDER BY event_id""",
     "q78_json_extract" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
          FROM events ORDER BY event_id"""

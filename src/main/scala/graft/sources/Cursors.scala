@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** DECLARE / FETCH / CLOSE cursor emulation (SURVEY.md §3 sub-lifecycles,
+  * reference `planner/DeclarePlan.java`: a suspended consumer the client
+  * drains in pages).
+  *
+  * Spark equivalent: `toLocalIterator` — partitions are computed lazily and
+  * streamed to the driver one at a time, so a cursor over a 100 TB result
+  * never materializes more than one partition's rows at the driver. */
+final class Cursor private (df: DataFrame) extends AutoCloseable {
+  private val it = df.toLocalIterator()
+  private var open = true
+
+  /** FETCH n — next batch; fewer than n rows means the result is drained. */
+  def fetch(n: Int): Seq[Row] = {
+    require(open, "cursor is closed")
+    val out = Vector.newBuilder[Row]
+    var i = 0
+    while (i < n && it.hasNext) { out += it.next(); i += 1 }
+    out.result()
+  }
+
+  def hasMore: Boolean = open && it.hasNext
+
+  /** CLOSE. */
+  override def close(): Unit = open = false
+}
+
+object Cursor {
+  /** DECLARE c CURSOR FOR <query>. */
+  def declare(df: DataFrame): Cursor = new Cursor(df)
+}

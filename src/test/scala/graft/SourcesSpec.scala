@@ -159,3 +159,42 @@ class DynamicObjectsSpec extends SparkTestBase {
     assert(typed.select("o.k").filter(col("k").isNotNull).count() > 0)
   }
 }
+
+class CursorSpec extends SparkTestBase {
+  test("DECLARE/FETCH/CLOSE drains pages lazily") {
+    val df = Tables.load(spark, sfDir, "orders")
+      .orderBy(col("o_orderkey")).select("o_orderkey")
+    val c = Cursor.declare(df)
+    val p1 = c.fetch(10)
+    val p2 = c.fetch(10)
+    assert(p1.size == 10 && p2.size == 10)
+    assert(p1.map(_.getLong(0)).max < p2.map(_.getLong(0)).min)
+    assert(c.hasMore)
+    c.close()
+    intercept[IllegalArgumentException](c.fetch(1))
+  }
+}
+
+class StatsSpec extends SparkTestBase {
+  test("ANALYZE TABLE feeds CBO row counts (reference TableStatsService analogue)") {
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    Tables.load(spark, sfDir, "nation").write.mode("overwrite").saveAsTable("nation_t")
+    spark.sql("ANALYZE TABLE nation_t COMPUTE STATISTICS FOR ALL COLUMNS")
+    val stats = spark.table("nation_t").queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.exists(_.toLong == 25L))
+    assert(stats.attributeStats.nonEmpty)
+  }
+
+  test("dynamic partition pruning fires on a partitioned fact join") {
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toFile.getAbsolutePath + "/t"
+    val orders = Tables.load(spark, sfDir, "orders").withColumn("o_year", year(col("o_orderdate")))
+    graft.sources.Dml.writePartitioned(orders, dir, Seq("o_year"))
+    import spark.implicits._
+    val dim = Seq((1996, "pick")).toDF("o_year", "tag")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    val joined = graft.sources.Dml.readTable(spark, dir)
+      .join(dim, Seq("o_year")).filter(col("tag") === "pick")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull(o_year"))
+  }
+}
