@@ -76,5 +76,11 @@ object GraftFunctions {
       exprs => graft.plans.CosineSimilarityExpr(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_dot",
       exprs => graft.plans.DotProductExpr(exprs(0), exprs(1)), "scala_udf")
+
+    // UDF→native promotion rule (see plans.GraftExtensions; injected here
+    // dynamically so driver-owned sessions get it without a restart).
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteVectorUdfs))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteVectorUdfs
   }
 }

@@ -57,3 +57,36 @@ class IntervalSpec extends SparkTestBase {
     assert(r.contains("07:00"))
   }
 }
+
+/** Catalyst rule integration: UDF → native expression promotion. */
+class ExtensionsSpec extends SparkTestBase {
+  test("vector_cosine UDF is rewritten to the native codegen expression") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    Tables.registerAll(spark, sfDir)
+    val df = spark.sql(
+      "SELECT vector_cosine(embedding, embedding) AS s FROM embeddings LIMIT 5")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_cosine"))
+    assert(!optimized.contains("UDF"))
+    assert(df.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+  }
+}
+
+/** File-source structured streaming over the events fixture. */
+class FileStreamSpec extends SparkTestBase {
+  test("parquet file stream through the tumbling-count transform") {
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toFile.getAbsolutePath
+    val batch = Tables.load(spark, sfDir, "events")
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = graft.streaming.EventsStream.tumblingCounts(stream, "1 hour")
+      .writeStream.format("memory").queryName("filestream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode emits only watermark-closed windows; compare against batch
+      val streamed = spark.sql("SELECT sum(n) FROM filestream").head().getLong(0)
+      val total = batch.count()
+      assert(streamed > 0 && streamed <= total)
+    } finally q.stop()
+  }
+}

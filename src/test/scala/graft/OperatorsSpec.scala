@@ -170,3 +170,19 @@ class SkewSpec extends SparkTestBase {
     assert(hist.count() == 3)
   }
 }
+
+class TopKSkewSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.functions.aggregates.TopKAggregator
+
+  test("Misra-Gries TopK keeps heavy hitters beyond capacity") {
+    // 2000 distinct cold keys + 3 hot keys, capacity 100 << cardinality
+    val cold = (0 until 2000).map(i => s"cold_$i")
+    val data = cold ++ Seq.fill(500)("hot_a") ++ Seq.fill(300)("hot_b") ++ Seq.fill(200)("hot_c")
+    val df = spark.sparkContext.parallelize(data, 8).toDF("v")
+    val topk = udaf(new TopKAggregator(3, capacity = 100), Encoders.STRING)
+    val rows = df.agg(topk($"v").as("t")).select(explode($"t").as("e"))
+      .select($"e.value").as[String].collect().toSeq
+    assert(rows == Seq("hot_a", "hot_b", "hot_c"))
+  }
+}
