@@ -22,10 +22,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesRelational.queries ++ QueriesWindow.queries ++
       QueriesFunctions.queries ++ QueriesFunctions2.queries ++
-      QueriesFunctions3.queries ++ QueriesFunctions4.queries ++ QueriesPipeline.queries
+      QueriesFunctions3.queries ++ QueriesFunctions4.queries ++
+      QueriesComposite.queries ++ QueriesPipeline.queries
 
   def oracleSql: Map[String, String] =
     QueriesRelational.oracles ++ QueriesWindow.oracles ++
       QueriesFunctions.oracles ++ QueriesFunctions2.oracles ++
-      QueriesFunctions3.oracles ++ QueriesFunctions4.oracles ++ QueriesPipeline.oracles
+      QueriesFunctions3.oracles ++ QueriesFunctions4.oracles ++
+      QueriesComposite.oracles ++ QueriesPipeline.oracles
 }
