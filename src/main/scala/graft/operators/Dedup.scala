@@ -119,6 +119,53 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Transitive closure over near-dup pairs: assign every id the minimum id
+    * of its connected component (large-star label propagation to fixpoint).
+    * Input: (id_a, id_b) pairs; output: (id, component). Each iteration is
+    * one groupBy shuffle on narrow (long, long) rows; converges in
+    * O(log(diameter)) rounds — chains of near-dups collapse fully, unlike
+    * the single-step [[minhashDedup]].
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+      .localCheckpoint()
+    // localCheckpoint each round: iterative algorithms otherwise double the
+    // plan lineage per iteration and optimization time explodes.
+    var labels = edges.select(col("a").as("id")).unionAll(edges.select(col("b").as("id")))
+      .distinct().withColumn("component", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (i < maxIter && !converged) {
+      // every node adopts the min component among itself and its neighbors
+      val viaA = edges.join(labels, edges("a") === labels("id"))
+        .select(col("b").as("id"), col("component"))
+      val viaB = edges.join(labels, edges("b") === labels("id"))
+        .select(col("a").as("id"), col("component"))
+      val next = labels.select(col("id"), col("component"))
+        .unionAll(viaA).unionAll(viaB)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      val changed = next.as("n").join(labels.as("l"), Seq("id"))
+        .filter(col("n.component") =!= col("l.component")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Near-dup dedup with full transitive closure: keep only each
+    * component's minimum id. */
+  def minhashDedupTransitive(df: DataFrame, idCol: String, textCol: String,
+                             threshold: Double = 0.7): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, threshold = threshold)
+    val comps = connectedComponents(pairs)
+    val losers = comps.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(broadcast(losers), Seq(idCol), "left_anti")
+  }
+
   /** Word n-gram Jaccard pairs over an inverted gram index. Grams with
     * document frequency > `maxGramFreq` are dropped (stop-gram pruning)
     * before pair expansion. */

@@ -37,6 +37,35 @@ object EventsStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("win_start"), col("user_id"), col("n_events"))
 
+  /** Streaming exactly-once dedup by key via `flatMapGroupsWithState` —
+    * the custom-state API for semantics the built-in operators can't
+    * express. Emits each key's row the first time it is seen; state is one
+    * boolean per key. At production scale, bound state with an event-time
+    * timeout tied to the watermark (processing-time timeouts interact badly
+    * with test harness clocks, so the demo keeps NoTimeout). */
+  def dedupeStream(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                   keyCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Row
+    val spark = events.sparkSession
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(events.schema)
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] = enc
+    implicit val longEnc = org.apache.spark.sql.Encoders.scalaLong
+    implicit val boolEnc = org.apache.spark.sql.Encoders.scalaBoolean
+    implicit val tupleEnc = org.apache.spark.sql.Encoders.tuple(longEnc, enc)
+    events
+      .groupByKey((r: Row) => r.getAs[Long](keyCol))
+      .flatMapGroupsWithState[Boolean, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[Row], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            rows.toSeq.headOption.iterator
+          }
+      }
+  }
+
   /** Session windows with a 30-minute inactivity gap — the streaming
     * equivalent of the batch sessionization query (q74). */
   def sessionize(events: DataFrame, gap: String = "30 minutes",

@@ -186,3 +186,50 @@ class TopKSkewSpec extends SparkTestBase {
     assert(rows == Seq("hot_a", "hot_b", "hot_c"))
   }
 }
+
+class ConnectedComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.operators.Dedup
+
+  test("transitive closure collapses chains to one component") {
+    // chain 1-2, 2-3, 3-4 plus isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comps(_) == 1L))
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+  }
+
+  test("transitive dedup keeps one doc per near-dup chain") {
+    val docs = Seq(
+      (1L, "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj"),
+      (2L, "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj"),   // = 1
+      (3L, "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj"),   // = 1
+      (4L, "totally different content that stands alone here okay")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.minhashDedupTransitive(docs, "doc_id", "text", threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+  }
+}
+
+class StreamDedupSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  test("flatMapGroupsWithState drops duplicate event_ids across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val stream = mem.toDF().select(col("value").as("event_id"),
+      (col("value") % 5).as("user_id"))
+    val q = graft.streaming.EventsStream.dedupeStream(stream)
+      .writeStream.format("memory").queryName("dedupstream").outputMode("append").start()
+    try {
+      mem.addData(1L, 2L, 2L, 3L)
+      q.processAllAvailable()
+      mem.addData(2L, 3L, 4L)   // 2 and 3 already seen in the previous batch
+      q.processAllAvailable()
+      val seen = spark.sql("SELECT event_id FROM dedupstream").as[Long].collect().toSeq
+      assert(seen.sorted == Seq(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+}
