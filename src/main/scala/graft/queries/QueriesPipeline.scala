@@ -236,7 +236,28 @@ object QueriesPipeline {
                   CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE) AS nalpha
            FROM documents)
          ORDER BY doc_id""",
-    "q61_lang_id" -> "",
+    "q61_lang_id" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(
+                    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                    x -> len(x) > 0) AS t
+           FROM documents),
+         langs(lang, sw) AS (VALUES
+           ('en', ['the','and','of','to','a','in','is','that','it','for','on','with','as']),
+           ('de', ['der','die','das','und','ist','nicht','ein','eine','zu','mit','von','auf']),
+           ('fr', ['le','la','les','et','est','un','une','de','du','pour','dans','que']),
+           ('es', ['el','la','los','las','y','es','un','una','de','del','para','en','que']),
+           ('it', ['il','la','gli','e','è','un','una','di','del','per','che','con']),
+           ('pt', ['o','a','os','as','e','é','um','uma','de','do','da','para','que']),
+           ('nl', ['de','het','een','en','is','niet','van','voor','met','op','dat'])),
+         scored AS (
+           SELECT toks.doc_id, langs.lang,
+                  len(list_filter(toks.t, x -> list_contains(langs.sw, x))) AS score
+           FROM toks CROSS JOIN langs)
+         SELECT doc_id,
+                CASE WHEN max(score) = 0 THEN 'und'
+                     ELSE first(lang ORDER BY score DESC, lang ASC) END AS lang_pred
+         FROM scored GROUP BY doc_id ORDER BY doc_id""",
     "q62_dedup_minhash" -> "",
     "q63_dedup_simhash" -> "",
     "q64_ngram_jaccard" -> "",
