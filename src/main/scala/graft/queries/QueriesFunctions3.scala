@@ -47,10 +47,14 @@ object QueriesFunctions3 {
 
     "q88_percent_rank" -> ((s, dir) => {
       Tables.registerAll(s, dir)
+      // floor(x*1e6), not round(x, 6): percent_rank hits exact decimal
+      // midpoints (k/(n-1)) where Spark's BigDecimal HALF_UP and DuckDB's
+      // multiply-based round disagree; floor on the identical double is
+      // engine-independent.
       s.sql("""
         SELECT c_custkey,
-               round(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 6) AS pr,
-               round(cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 6) AS cd
+               CAST(floor(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) * 1e6) AS BIGINT) AS pr_u,
+               CAST(floor(cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) * 1e6) AS BIGINT) AS cd_u
         FROM customer ORDER BY c_custkey""")
     }),
 
@@ -90,8 +94,8 @@ object QueriesFunctions3 {
          FROM orders ORDER BY o_orderkey""",
     "q88_percent_rank" ->
       """SELECT c_custkey,
-                round(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 6) AS pr,
-                round(cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 6) AS cd
+                CAST(floor(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) * 1e6) AS BIGINT) AS pr_u,
+                CAST(floor(cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) * 1e6) AS BIGINT) AS cd_u
          FROM customer ORDER BY c_custkey""",
     "q89_nulls_ordering" ->
       """SELECT c_custkey,
