@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table-maintenance statements (SURVEY.md §1 API surface): `OPTIMIZE`,
+  * `REFRESH TABLE`, `ANALYZE`, `KILL` — the admin verbs a CrateDB user runs,
+  * mapped to their Spark-substrate equivalents.
+  */
+object Maintenance {
+
+  /** `OPTIMIZE TABLE` — compact a parquet table's small files (the
+    * reference's segment merge). Rewrites to ~`targetFileMB`-sized files;
+    * at scale this is the routine post-ingest compaction pass that keeps
+    * scan parallelism sane (thousands of tiny files → few right-sized ones).
+    */
+  def optimizeTable(spark: SparkSession, path: String, targetFileMB: Int = 128): Unit = {
+    val df = spark.read.parquet(path)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = math.max(1, (bytes / (targetFileMB.toLong * 1024 * 1024)).toInt)
+    val tmp = path + "__optimized"
+    df.repartition(files).write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  /** `REFRESH TABLE` — invalidate cached metadata/data for a catalog table
+    * (the reference's refresh makes new segments visible; Spark's refresh
+    * drops the stale file listing + cache). */
+  def refreshTable(spark: SparkSession, name: String): Unit =
+    spark.catalog.refreshTable(name)
+
+  /** `ANALYZE` — recompute CBO statistics (reference
+    * `TableStatsService.java:101`). */
+  def analyze(spark: SparkSession, table: String): Unit =
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR ALL COLUMNS")
+
+  /** `EXPLAIN [ANALYZE]` — formatted plan; with `analyze=true` runs the
+    * query so the returned plan string carries actual row metrics. */
+  def explain(df: DataFrame, analyze: Boolean = false): String = {
+    if (analyze) df.queryExecution.executedPlan.execute().count()
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString(
+        if (analyze) "formatted" else "extended"))
+  }
+
+  /** `KILL <job-group>` — cancel a running statement group. Tag statements
+    * with `spark.sparkContext.setJobGroup(id, …)` and kill by id. */
+  def kill(spark: SparkSession, jobGroup: String): Unit =
+    spark.sparkContext.cancelJobGroup(jobGroup)
+}

@@ -198,3 +198,24 @@ class StatsSpec extends SparkTestBase {
     assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull(o_year"))
   }
 }
+
+class MaintenanceSpec extends SparkTestBase {
+  test("OPTIMIZE compacts many small files into few") {
+    val dir = java.nio.file.Files.createTempDirectory("opt").toFile.getAbsolutePath + "/t"
+    Tables.load(spark, sfDir, "orders").repartition(24).write.parquet(dir)
+    def nFiles = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles >= 24)
+    val before = spark.read.parquet(dir).count()
+    Maintenance.optimizeTable(spark, dir)
+    assert(nFiles <= 4)
+    assert(spark.read.parquet(dir).count() == before)
+  }
+
+  test("EXPLAIN returns a plan; EXPLAIN ANALYZE embeds runtime shape") {
+    val df = Tables.load(spark, sfDir, "nation").filter(col("n_nationkey") > 3)
+    val plain = Maintenance.explain(df)
+    assert(plain.contains("Physical Plan"))
+    val analyzed = Maintenance.explain(df, analyze = true)
+    assert(analyzed.contains("PushedFilters"))
+  }
+}
