@@ -30,9 +30,49 @@ object Multimodal {
     )), nullable = true)
   ))
 
-  /** STUB decode: a real implementation would parse the container format.
-    * The fake derives deterministic pseudo-pixels from the payload hash so
-    * downstream feature code is exercised end-to-end. */
+  // ---- real container-header parsing (no external libs needed) ----
+
+  /** PNG IHDR width/height (spec: 8-byte signature, IHDR first chunk). */
+  def pngDims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b == null || b.length < 24) return None
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (!b.take(8).sameElements(sig)) return None
+    def be32(o: Int) = ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    Some((be32(16), be32(20)))
+  }
+
+  /** JPEG SOFn frame width/height (walk markers to SOF0/SOF2). */
+  def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b == null || b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var i = 2
+    while (i + 9 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      val marker = b(i + 1) & 0xff
+      val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+      if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+        val h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
+        val w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
+        return Some((w, h))
+      }
+      i += 2 + len
+    }
+    None
+  }
+
+  /** Parse media metadata from real container headers where recognizable;
+    * falls back to nulls for unknown formats. Runs as a distributed map —
+    * the schema is the `meta` struct of [[mediaSchema]]. */
+  def sniffDims(media: DataFrame): DataFrame = {
+    val dimsUdf = udf((payload: Array[Byte]) =>
+      pngDims(payload).orElse(jpegDims(payload)).orNull)
+    media.withColumn("sniffed_dims", dimsUdf(col("payload")))
+  }
+
+  /** STUB decode: full pixel decode would need a codec library (absent in
+    * this container). The fake derives deterministic pseudo-pixels from the
+    * payload hash so downstream feature code is exercised end-to-end; the
+    * header parsing above is real. */
   private[operators] def decodeStub(payload: Array[Byte], n: Int = 64): Array[Double] = {
     var h = 0xcbf29ce484222325L
     if (payload != null) {

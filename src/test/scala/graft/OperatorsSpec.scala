@@ -233,3 +233,66 @@ class StreamDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 }
+
+class MediaHeaderSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.operators.Multimodal
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(26)
+    out.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    out.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
+    out.array()
+  }
+
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(32)
+    out.put(0xff.toByte).put(0xd8.toByte)                       // SOI
+    out.put(0xff.toByte).put(0xe0.toByte).putShort(4).putShort(0) // APP0 len 4
+    out.put(0xff.toByte).put(0xc0.toByte).putShort(10)            // SOF0
+    out.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+    out.array()
+  }
+
+  test("PNG and JPEG header dims parse correctly") {
+    assert(Multimodal.pngDims(pngBytes(640, 480)).contains((640, 480)))
+    assert(Multimodal.jpegDims(jpegBytes(1024, 768)).contains((1024, 768)))
+    assert(Multimodal.pngDims("notapng".getBytes).isEmpty)
+    assert(Multimodal.jpegDims(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("sniffDims runs distributed over a media table") {
+    val media = Seq(
+      (1L, "image", pngBytes(320, 200)),
+      (2L, "image", jpegBytes(64, 32)),
+      (3L, "image", "garbage".getBytes)
+    ).toDF("asset_id", "media_type", "payload")
+    val dims = Multimodal.sniffDims(media)
+      .select($"asset_id", $"sniffed_dims._1".as("w"), $"sniffed_dims._2".as("h"))
+      .orderBy("asset_id").collect()
+    assert(dims(0).getInt(1) == 320 && dims(0).getInt(2) == 200)
+    assert(dims(1).getInt(1) == 64 && dims(1).getInt(2) == 32)
+    assert(dims(2).isNullAt(1))
+  }
+}
+
+class StreamStaticJoinSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  test("stream-static dimension join enriches events incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((0L, "bronze"), (1L, "gold")).toDF("user_id", "tier")
+    val mem = MemoryStream[Long]
+    val stream = mem.toDF().select(col("value").as("event_id"), (col("value") % 2).as("user_id"))
+    val q = stream.join(dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      mem.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      val tiers = spark.sql("SELECT event_id, tier FROM enriched ORDER BY event_id")
+        .as[(Long, String)].collect().toSeq
+      assert(tiers == Seq((1L, "gold"), (2L, "bronze"), (3L, "gold")))
+    } finally q.stop()
+  }
+}
