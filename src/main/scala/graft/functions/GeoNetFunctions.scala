@@ -157,4 +157,27 @@ object GeoNetFunctions {
     if (s == null) null
     else if (s.nonEmpty && s.forall(c => c.isLower || c.isDigit || c == '_') && !s.head.isDigit) s
     else "\"" + s.replace("\"", "\"\"") + "\"")
+
+  /** `parse_ident('a."b.c"')` → parts, honoring double-quoted segments
+    * (reference `expression/scalar/ParseIdentFunction`-equivalent). */
+  def parseIdent(s: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '"') {
+        if (inQuote && i + 1 < s.length && s.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
+        else inQuote = !inQuote
+      } else if (c == '.' && !inQuote) { out += cur.toString; cur.clear() }
+      else cur.append(c)
+      i += 1
+    }
+    out += cur.toString
+    out.toArray
+  }
+
+  val parseIdentUdf: UserDefinedFunction =
+    udf((s: String) => if (s == null) null else parseIdent(s))
 }

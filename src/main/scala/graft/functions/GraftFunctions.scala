@@ -32,6 +32,34 @@ object GraftFunctions {
         if (ip == null || cidr == null) null
         else GeoNetFunctions.ipInCidr(ip, cidr).map(Boolean.box).orNull)
     u.register("quote_ident", GeoNetFunctions.quoteIdentUdf)
+    u.register("parse_ident", GeoNetFunctions.parseIdentUdf)
+
+    // PG bytea escape-format encode/decode (reference EncodeDecodeFunction)
+    u.register("encode_escape", (b: Array[Byte]) =>
+      if (b == null) null
+      else b.map {
+        case 0x5c        => "\\\\"
+        case c if c >= 0x20 && c <= 0x7e => c.toChar.toString
+        case c           => f"\\${c & 0xff}%03o"
+      }.mkString)
+    u.register("decode_escape", (s: String) =>
+      if (s == null) null
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+        var i = 0
+        while (i < s.length) {
+          if (s.charAt(i) == '\\') {
+            if (i + 1 < s.length && s.charAt(i + 1) == '\\') { out += 0x5c.toByte; i += 2 }
+            else { out += Integer.parseInt(s.substring(i + 1, i + 4), 8).toByte; i += 4 }
+          } else { out += s.charAt(i).toByte; i += 1 }
+        }
+        out.toArray
+      })
+
+    // array_set(arr, idx, val) — CrateDB 1-based element replacement
+    u.register("array_set", (arr: Seq[Long], idx: Int, v: Long) =>
+      if (arr == null) null
+      else arr.zipWithIndex.map { case (x, i) => if (i == idx - 1) v else x })
 
     // reference-dialect date formatting (execution is native date_format;
     // only the pattern translation runs in the UDF)

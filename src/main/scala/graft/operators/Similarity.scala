@@ -85,6 +85,18 @@ object Similarity {
       .select(col("qid"), col("cid"), col("sim"), col("rk"))
   }
 
+  /** `knn_match(vec_col, query_vector, k)` — the reference's single-query
+    * signature (`KnnMatch.java:48`): rows of `corpus` whose embedding is
+    * among the k nearest to one literal query vector. */
+  def knnMatch(corpus: DataFrame, queryVec: Array[Float], k: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(corpus.sparkSession)
+    corpus
+      .withColumn("_score", VectorFunctions.cosineNative(col(vecCol), lit(queryVec)))
+      .orderBy(col("_score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold).
     * Blocked by IVF bucket so the pairwise step is per-bucket, not global.
     */

@@ -198,3 +198,52 @@ class EngineSqlSpec extends SparkTestBase {
     assert(df.count() == 5)
   }
 }
+
+/** §2.8 long-tail: parse_ident, escape encode/decode, array_set, session
+  * info functions, btrim char-trim, negative subscripts. */
+class MiscFunctionsSpec extends SparkTestBase {
+
+  test("parse_ident honors quoted segments") {
+    assert(GeoNetFunctions.parseIdent("a.\"b.c\".d").toSeq == Seq("a", "b.c", "d"))
+    val r = spark.sql("""SELECT parse_ident('schema."we.ird".col') AS p""").head()
+    assert(r.getSeq[String](0) == Seq("schema", "we.ird", "col"))
+  }
+
+  test("escape-format encode/decode round-trips binary") {
+    val r = spark.sql(
+      """SELECT decode_escape(encode_escape(CAST('h\\i' AS BINARY))) AS rt,
+                encode_escape(CAST(x'00ff41' AS BINARY)) AS esc""").head()
+    assert(new String(r.getAs[Array[Byte]](0)) == "h\\i")
+    assert(r.getString(1) == "\\000\\377A")
+  }
+
+  test("array_set replaces 1-based element") {
+    val r = spark.sql("SELECT array_set(array(10L, 20L, 30L), 2, 99L) AS a").head()
+    assert(r.getSeq[Long](0) == Seq(10L, 99L, 30L))
+  }
+
+  test("session/system info functions evaluate") {
+    val r = spark.sql(
+      """SELECT current_database() AS db, current_timestamp() AS now,
+                current_date() AS today, version() AS v""").head()
+    assert(r.getString(0).nonEmpty && r.getString(3).nonEmpty)
+  }
+
+  test("btrim with custom chars and negative array subscripts") {
+    val r = spark.sql(
+      """SELECT trim(BOTH 'x' FROM 'xxhixx') AS t,
+                element_at(array(1, 2, 3), -1) AS last""").head()
+    assert(r.getString(0) == "hi" && r.getInt(1) == 3)
+  }
+}
+
+class KnnMatchSpec extends SparkTestBase {
+  test("knn_match single-query signature returns k nearest with self first") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val q7 = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 7)
+      .head().getSeq[Float](1).toArray
+    val res = graft.operators.Similarity.knnMatch(emb, q7, k = 3)
+    val ids = res.select("vec_id").collect().map(_.getLong(0))
+    assert(ids.length == 3 && ids.head == 7L)
+  }
+}
