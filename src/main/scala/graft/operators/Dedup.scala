@@ -57,7 +57,8 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 128, bands: Int = 16, shingleSize: Int = 5,
                    threshold: Double = 0.7, maxBucket: Int = 200): DataFrame = {
-    val bandUdf = udf((sig: Seq[Long]) => TextFunctions.bandKeys(sig.toArray, bands))
+    val bandUdf = udf((sig: Seq[Long]) =>
+      if (sig == null) null else TextFunctions.bandKeys(sig.toArray, bands))
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
     val keyed = base
       .withColumn("sig", TextFunctions.minhash(col("text"), shingleSize, numHashes))
@@ -173,17 +174,21 @@ object Dedup {
                         n: Int = 3, threshold: Double = 0.5,
                         maxGramFreq: Int = 50): DataFrame = {
     val gramUdf = udf((t: String) =>
-      TextFunctions.tokenize(t).sliding(n).filter(_.length == n).map(_.mkString(" ")).toArray.distinct)
+      if (t == null) null
+      else TextFunctions.tokenize(t).sliding(n).filter(_.length == n).map(_.mkString(" ")).toArray.distinct)
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
     val keyed = base
       .select(col("id"), explode(gramUdf(col("text"))).as("gram"))
       .select(col("id"), xxhash64(col("gram")).as("key"))
 
     val jacUdf = udf((x: String, y: String) => {
-      val sa = TextFunctions.tokenize(x).sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
-      val sb = TextFunctions.tokenize(y).sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
-      val un = (sa ++ sb).size
-      if (un == 0) 1.0 else sa.intersect(sb).size.toDouble / un
+      if (x == null || y == null) null
+      else {
+        val sa = TextFunctions.tokenize(x).sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+        val sb = TextFunctions.tokenize(y).sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+        val un = (sa ++ sb).size
+        Double.box(if (un == 0) 1.0 else sa.intersect(sb).size.toDouble / un)
+      }
     })
     coBucketedPairs(keyed, maxGramFreq)
       .join(base.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))

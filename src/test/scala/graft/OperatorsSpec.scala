@@ -296,3 +296,38 @@ class StreamStaticJoinSpec extends SparkTestBase {
     } finally q.stop()
   }
 }
+
+class NullSafetySpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.operators._
+
+  private lazy val withNulls = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),
+    (3L, null.asInstanceOf[String]),
+    (4L, "")
+  ).toDF("doc_id", "text")
+
+  test("dedup operators tolerate null and empty text") {
+    assert(Dedup.minhashPairs(withNulls, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(Dedup.simhashPairs(withNulls, "doc_id", "text").count() >= 1)
+    assert(Dedup.ngramJaccardPairs(withNulls, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(Dedup.exact(withNulls, "doc_id", Seq("text")).count() == 3) // null+""+1 dup removed
+  }
+
+  test("text analysis yields nulls (not errors) for null text") {
+    val r = TextAnalysis.analyze(withNulls, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(2).isNullAt(r(2).fieldIndex("n_tokens")))
+    assert(r(3).getAs[Int]("n_tokens") == 0)
+  }
+
+  test("empty inputs flow through LSH and kNN") {
+    val empty = withNulls.filter($"doc_id" < 0)
+    assert(Dedup.minhashPairs(empty, "doc_id", "text").count() == 0)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    assert(Similarity.bruteForceKnn(emb, emb.filter($"vec_id" < 0), k = 3).count() == 0)
+  }
+}
