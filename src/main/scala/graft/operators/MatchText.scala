@@ -35,6 +35,32 @@ object MatchText {
     df.select(col(idCol).as("doc_id"), explode(termCol(col(textCol))).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
 
+  /** BM25-ranked search (Robertson/Sparck-Jones, the scoring the reference
+    * gets from Lucene): idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) summed over
+    * query terms. Document length and avgdl come from the same index in two
+    * cheap aggregations; scoring joins stay broadcast on the term side. */
+  def searchBM25(index: DataFrame, query: String, topN: Int = 10,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val terms = TextFunctions.tokenize(query.toLowerCase).distinct.toSeq.toDF("term")
+    val docLen = index.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val statsRow = docLen.agg(count(lit(1)), avg(col("dl"))).head()
+    val nDocs = statsRow.getLong(0).toDouble
+    val avgdl = statsRow.getDouble(1)
+    val df_ = index.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    index.join(broadcast(terms), Seq("term"))
+      .join(df_, Seq("term"))
+      .join(docLen, Seq("doc_id"))
+      .withColumn("idf", log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w", col("idf") * col("tf") * (k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)))
+      .groupBy("doc_id")
+      .agg(sum(col("w")).as("score"), count(lit(1)).as("terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
+  }
+
   /** tf-idf ranked search over a prebuilt index. Query terms are a tiny
     * DataFrame → broadcast hash join against the postings. */
   def search(index: DataFrame, query: String, topN: Int = 10): DataFrame = {

@@ -40,6 +40,13 @@ object QueriesComposite {
         FROM events ORDER BY event_id""")
     }),
 
+    "q96_match_bm25" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val index = graft.operators.MatchText.buildIndex(docs, "doc_id", "text")
+      graft.operators.MatchText.searchBM25(index, "spark filter window", topN = 20)
+        .select(col("doc_id"), round(col("score"), 6).as("score"), col("terms_hit"))
+    }),
+
     "q95_like_escape" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql("""
@@ -58,6 +65,29 @@ object QueriesComposite {
                 count(*) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_last_hour
          FROM events ORDER BY event_id""",
+    "q96_match_bm25" ->
+      """SELECT doc_id, round(score, 6) AS score, terms_hit FROM (
+           WITH idx AS (
+             SELECT term, doc_id, count(*) AS tf FROM (
+               SELECT doc_id,
+                      unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                         x -> len(x) > 0)) AS term
+               FROM documents)
+             GROUP BY term, doc_id),
+           dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM idx GROUP BY doc_id),
+           stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+           dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM idx GROUP BY term)
+           SELECT i.doc_id,
+                  sum(ln(1.0 + (stats.n - d.df + 0.5) / (d.df + 0.5))
+                      * i.tf * (1.2 + 1) /
+                      (i.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / stats.avgdl))) AS score,
+                  count(*) AS terms_hit
+           FROM idx i JOIN dfreq d ON i.term = d.term
+           JOIN dl ON i.doc_id = dl.doc_id, stats
+           WHERE i.term IN ('spark', 'filter', 'window')
+           GROUP BY i.doc_id
+           ORDER BY score DESC, i.doc_id LIMIT 20)""",
+
     "q95_like_escape" ->
       """SELECT c_custkey, masked,
                 masked LIKE '%!_00%' ESCAPE '!' AS has_u00,
