@@ -65,6 +65,54 @@ object Similarity {
     (assigned, centroids)
   }
 
+  /** Lloyd-refined IVF centroids: start from the deterministic first-k seed,
+    * then `iters` rounds of assign → per-bucket elementwise mean. The mean
+    * is computed by exploding (bucket, dim, value) triples — one narrow
+    * shuffle per round, no vectors in the groupBy state — and rounds are
+    * localCheckpoint-ed so lineage stays flat. Refined centroids tighten
+    * buckets, which directly improves ivfKnn recall at the same nprobe. */
+  def kmeansBucketize(corpus: DataFrame, numCentroids: Int, iters: Int = 3,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.registerAll(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec")).localCheckpoint()
+    var centroids = c.orderBy(col("cid")).limit(numCentroids)
+      .select(col("cid").as("centroid_id"), col("cvec").as("centroid"))
+      .localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val assigned = assignBuckets(c, centroids)
+      centroids = assigned
+        .select(col("bucket"), posexplode(col("cvec")).as(Seq("dim", "v")))
+        .groupBy(col("bucket"), col("dim")).agg(avg(col("v")).as("m"))
+        .groupBy(col("bucket"))
+        .agg(collect_list(struct(col("dim"), col("m"))).as("dims"))
+        .select(col("bucket").as("centroid_id"),
+          transform(array_sort(col("dims")), x => x.getField("m").cast("float")).as("centroid"))
+        .localCheckpoint()
+      it += 1
+    }
+    (assignBuckets(c, centroids), centroids)
+  }
+
+  private def assignBuckets(c: DataFrame, centroids: DataFrame): DataFrame =
+    c.crossJoin(broadcast(centroids))
+      .select(col("cid"),
+        VectorFunctions.cosineNative(col("cvec"), col("centroid")).as("sim"),
+        col("centroid_id"))
+      .groupBy(col("cid"))
+      .agg(expr("max_by(centroid_id, struct(sim, -centroid_id))").as("bucket"))
+      .join(c, Seq("cid")).select(col("cid"), col("cvec"), col("bucket"))
+
+  /** recall@k of an approximate kNN result vs the exact brute-force result
+    * (both in (qid, cid, rk) shape) — the tuning metric for nprobe/centroid
+    * counts. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): Double = {
+    val hits = approx.select(col("qid"), col("cid"))
+      .intersect(exact.select(col("qid"), col("cid"))).count().toDouble
+    val total = exact.count().toDouble
+    if (total == 0) 1.0 else hits / total
+  }
+
   /** Approximate top-k: probe the `nprobe` closest centroid buckets only. */
   def ivfKnn(bucketed: DataFrame, centroids: DataFrame, queries: DataFrame,
              k: Int, nprobe: Int = 4,

@@ -331,3 +331,28 @@ class NullSafetySpec extends SparkTestBase {
     assert(Similarity.bruteForceKnn(emb, emb.filter($"vec_id" < 0), k = 3).count() == 0)
   }
 }
+
+class KMeansIvfSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.operators.Similarity
+
+  test("k-means refined IVF keeps k centroids of the right dimension and improves recall") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceKnn(emb, queries, k = 5)
+
+    val (b0, c0) = Similarity.ivfBucketize(emb, numCentroids = 8)
+    val naive = Similarity.ivfKnn(b0, c0, queries, k = 5, nprobe = 2)
+    val (b1, c1) = Similarity.kmeansBucketize(emb, numCentroids = 8, iters = 3)
+    assert(c1.count() == 8)
+    assert(c1.head().getSeq[Float](1).length == 64)
+    val refined = Similarity.ivfKnn(b1, c1, queries, k = 5, nprobe = 2)
+
+    val rNaive = Similarity.recallAtK(naive, exact)
+    val rRefined = Similarity.recallAtK(refined, exact)
+    assert(rRefined >= 0.3, s"refined recall too low: $rRefined")
+    assert(rRefined >= rNaive - 0.15, s"refined $rRefined much worse than naive $rNaive")
+    // every vector still lands in exactly one bucket
+    assert(b1.count() == emb.count())
+  }
+}
