@@ -47,6 +47,28 @@ object QueriesComposite {
         .select(col("doc_id"), round(col("score"), 6).as("score"), col("terms_hit"))
     }),
 
+    "q97_lateral_join" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT n_name, l.top_bal, l.n_rich FROM nation,
+        LATERAL (SELECT max(c_acctbal) AS top_bal,
+                        count(CASE WHEN c_acctbal > 9000 THEN 1 END) AS n_rich
+                 FROM customer WHERE c_nationkey = n_nationkey) l
+        ORDER BY n_name""")
+    }),
+
+    "q98_ignore_nulls" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderkey,
+               lag(v) IGNORE NULLS OVER (ORDER BY o_orderkey) AS prev_v,
+               last_value(v) IGNORE NULLS OVER (ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_v
+        FROM (SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END AS v FROM orders)
+        ORDER BY o_orderkey""")
+    }),
+
     "q95_like_escape" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql("""
@@ -88,6 +110,20 @@ object QueriesComposite {
            GROUP BY i.doc_id
            ORDER BY score DESC, i.doc_id LIMIT 20)""",
 
+    "q97_lateral_join" ->
+      """SELECT n_name, l.top_bal, l.n_rich FROM nation,
+         LATERAL (SELECT max(c_acctbal) AS top_bal,
+                         count(CASE WHEN c_acctbal > 9000 THEN 1 END) AS n_rich
+                  FROM customer WHERE c_nationkey = n_nationkey) l
+         ORDER BY n_name""",
+    "q98_ignore_nulls" ->
+      """SELECT o_orderkey,
+                lag(v IGNORE NULLS) OVER (ORDER BY o_orderkey) AS prev_v,
+                last_value(v IGNORE NULLS) OVER (ORDER BY o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_v
+         FROM (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END AS v FROM orders)
+         ORDER BY o_orderkey""",
     "q95_like_escape" ->
       """SELECT c_custkey, masked,
                 masked LIKE '%!_00%' ESCAPE '!' AS has_u00,
