@@ -69,6 +69,29 @@ object QueriesComposite {
         ORDER BY o_orderkey""")
     }),
 
+    // NOT IN over a subquery containing NULL is three-valued-logic's classic
+    // trap: the predicate can never be TRUE, so zero rows — verified to agree
+    // with DuckDB (and a sibling query shows the NOT EXISTS rewrite differs).
+    "q99_not_in_nulls" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT count(*) AS n_not_in,
+               (SELECT count(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE nullif(o.o_custkey, 7) = c.c_custkey)) AS n_not_exists
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM orders)""")
+    }),
+
+    "q100_having" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_custkey, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM orders GROUP BY o_custkey
+        HAVING count(*) >= 12 AND sum(CAST(o_totalprice AS DECIMAL(18,2))) > 2000000
+        ORDER BY o_custkey""")
+    }),
+
     "q95_like_escape" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql("""
@@ -124,6 +147,18 @@ object QueriesComposite {
          FROM (SELECT o_orderkey,
                       CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END AS v FROM orders)
          ORDER BY o_orderkey""",
+    "q99_not_in_nulls" ->
+      """SELECT count(*) AS n_not_in,
+                (SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE nullif(o.o_custkey, 7) = c.c_custkey)) AS n_not_exists
+         FROM customer
+         WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM orders)""",
+    "q100_having" ->
+      """SELECT o_custkey, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+         FROM orders GROUP BY o_custkey
+         HAVING count(*) >= 12 AND sum(CAST(o_totalprice AS DECIMAL(18,2))) > 2000000
+         ORDER BY o_custkey""",
     "q95_like_escape" ->
       """SELECT c_custkey, masked,
                 masked LIKE '%!_00%' ESCAPE '!' AS has_u00,
