@@ -1,0 +1,459 @@
+package graft
+
+/** CrateDB → Spark SQL dialect front-end (SURVEY.md §4 item 4; reference
+  * grammar `libs/sql-parser/src/main/antlr/SqlBaseParser.g4`).
+  *
+  * A token-level rewriter, NOT regex-over-text: the statement is lexed first
+  * (string literals, quoted identifiers and comments become opaque tokens),
+  * so rewrites can never corrupt literal text like `SELECT 'a::int'` — the
+  * round-1 defect of the regex shim. Handled constructs:
+  *
+  *  - function renames (`arbitrary` → `any_value`, …)
+  *  - `expr::type` casts, including on parenthesized expressions, function
+  *    calls, string/number literals, and array types (`x::int[]`), with
+  *    CrateDB type names mapped to Spark's
+  *  - array subscripts `expr[n]` / `expr[i+1]` → `element_at(expr, n)`
+  *    (CrateDB is 1-based; Spark's native `[]` is 0-based). String-key
+  *    subscripts `obj['k']` are left alone — Spark's `[]` already resolves
+  *    map keys and struct fields by name
+  *  - array literals `[1, 2, 3]` → `array(1, 2, 3)`, `ARRAY[...]` too
+  *  - OBJECT literals `{k = v, 'k2' = v2}` → `named_struct('k', v, …)`
+  *  - `x <op> ANY/SOME/ALL(array_expr)` → `exists`/`forall` higher-order
+  *    predicates (SQL 3VL preserved: null element + no match → NULL)
+  *  - `MATCH(col, 'q')`, `MATCH((c1 [boost], c2), 'q') [USING best_fields |
+  *    phrase]` → boolean `match_text` / phrase containment predicates
+  *
+  * Quantified comparisons over *subqueries* (`x > ANY (SELECT …)`) are left
+  * untouched here — they need the subquery's shape; use the oracle-checked
+  * rewrites in `QueriesComposite` (q101+) / the Column API instead.
+  */
+object Dialect {
+
+  // ---------- lexer ----------
+
+  sealed trait Kind
+  private object K {
+    case object Ws extends Kind; case object Cmt extends Kind
+    case object Str extends Kind; case object QId extends Kind
+    case object Word extends Kind; case object Num extends Kind
+    case object Sym extends Kind
+  }
+  final case class Tok(kind: Kind, text: String) {
+    def is(s: String): Boolean = text.equalsIgnoreCase(s)
+    def isSym(s: String): Boolean = kind == K.Sym && text == s
+    def sig: Boolean = kind != K.Ws && kind != K.Cmt
+  }
+
+  private val twoCharSyms = Set("::", "<=", ">=", "<>", "!=", "||", "->")
+
+  private[graft] def lex(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val c = s(i)
+      if (c.isWhitespace) {
+        var k = i; while (k < n && s(k).isWhitespace) k += 1
+        out += Tok(K.Ws, s.substring(i, k)); i = k
+      } else if (c == '-' && i + 1 < n && s(i + 1) == '-') {
+        var k = i; while (k < n && s(k) != '\n') k += 1
+        out += Tok(K.Cmt, s.substring(i, k)); i = k
+      } else if (c == '/' && i + 1 < n && s(i + 1) == '*') {
+        val e = s.indexOf("*/", i + 2); val k = if (e < 0) n else e + 2
+        out += Tok(K.Cmt, s.substring(i, k)); i = k
+      } else if (c == '\'') {
+        var k = i + 1; var open = true
+        while (k < n && open) {
+          if (s(k) == '\'') { if (k + 1 < n && s(k + 1) == '\'') k += 2 else { open = false; k += 1 } }
+          else k += 1
+        }
+        out += Tok(K.Str, s.substring(i, k)); i = k
+      } else if (c == '"') {
+        var k = i + 1; var open = true
+        while (k < n && open) {
+          if (s(k) == '"') { if (k + 1 < n && s(k + 1) == '"') k += 2 else { open = false; k += 1 } }
+          else k += 1
+        }
+        out += Tok(K.QId, s.substring(i, k)); i = k
+      } else if (c.isLetter || c == '_') {
+        var k = i; while (k < n && (s(k).isLetterOrDigit || s(k) == '_' || s(k) == '$')) k += 1
+        out += Tok(K.Word, s.substring(i, k)); i = k
+      } else if (c.isDigit) {
+        var k = i
+        while (k < n && (s(k).isDigit || s(k) == '.' ||
+          ((s(k) == 'e' || s(k) == 'E') && k + 1 < n && (s(k + 1).isDigit || s(k + 1) == '+' || s(k + 1) == '-')) ||
+          ((s(k) == '+' || s(k) == '-') && k > i && (s(k - 1) == 'e' || s(k - 1) == 'E')))) k += 1
+        out += Tok(K.Num, s.substring(i, k)); i = k
+      } else {
+        if (i + 1 < n && twoCharSyms(s.substring(i, i + 2))) { out += Tok(K.Sym, s.substring(i, i + 2)); i += 2 }
+        else { out += Tok(K.Sym, c.toString); i += 1 }
+      }
+    }
+    out.result()
+  }
+
+  private def render(ts: Seq[Tok]): String = ts.map(_.text).mkString
+
+  // ---------- token navigation ----------
+
+  private def prevSig(ts: Vector[Tok], i: Int): Int = {
+    var k = i - 1; while (k >= 0 && !ts(k).sig) k -= 1; k
+  }
+  private def nextSig(ts: Vector[Tok], i: Int): Int = {
+    var k = i + 1; while (k < ts.length && !ts(k).sig) k += 1
+    if (k < ts.length) k else -1
+  }
+
+  /** `i` points at a closing `)`/`]`/`}` — index of its opener, or -1. */
+  private def matchBack(ts: Vector[Tok], i: Int): Int = {
+    val close = ts(i).text; val open = close match { case ")" => "(" case "]" => "[" case _ => "{" }
+    var depth = 0; var k = i
+    while (k >= 0) {
+      if (ts(k).isSym(close)) depth += 1
+      else if (ts(k).isSym(open)) { depth -= 1; if (depth == 0) return k }
+      k -= 1
+    }
+    -1
+  }
+
+  /** `i` points at an opening `(`/`[`/`{` — index of its closer, or -1. */
+  private def matchFwd(ts: Vector[Tok], i: Int): Int = {
+    val open = ts(i).text; val close = open match { case "(" => ")" case "[" => "]" case _ => "}" }
+    var depth = 0; var k = i
+    while (k < ts.length) {
+      if (ts(k).isSym(open)) depth += 1
+      else if (ts(k).isSym(close)) { depth -= 1; if (depth == 0) return k }
+      k += 1
+    }
+    -1
+  }
+
+  /** Start index of the operand whose LAST significant token is at `i`:
+    * literals stand alone; words extend back over dotted paths; a closing
+    * paren/bracket extends to its opener plus a preceding call name. */
+  private def operandStart(ts: Vector[Tok], i: Int): Int = {
+    val t = ts(i)
+    if (t.kind == K.Str || t.kind == K.Num) i
+    else if (t.kind == K.Word || t.kind == K.QId) {
+      var s = i
+      var p = prevSig(ts, s)
+      while (p >= 0 && ts(p).isSym(".") && prevSig(ts, p) >= 0 &&
+        (ts(prevSig(ts, p)).kind == K.Word || ts(prevSig(ts, p)).kind == K.QId)) {
+        s = prevSig(ts, p); p = prevSig(ts, s)
+      }
+      s
+    } else if (t.isSym(")") || t.isSym("]")) {
+      val o = matchBack(ts, i)
+      if (o < 0) i
+      else {
+        val p = prevSig(ts, o)
+        if (p >= 0 && (ts(p).kind == K.Word || ts(p).kind == K.QId) &&
+          ts(i).isSym(")") && !keywords(ts(p).text.toLowerCase))
+          operandStart(ts, p) // function call: include the (possibly dotted) name
+        else o
+      }
+    } else i
+  }
+
+  /** SQL keywords that can directly precede `(` without being a call name. */
+  private val keywords = Set(
+    "select", "where", "from", "and", "or", "not", "on", "when", "then",
+    "else", "in", "as", "by", "having", "case", "end", "join", "all", "any",
+    "some", "distinct", "union", "intersect", "except", "values", "set",
+    "like", "ilike", "between", "is", "over", "partition", "order", "group",
+    "limit", "offset", "returning", "using", "into", "insert", "update",
+    "delete", "with", "recursive")
+
+  // ---------- rewrite passes (each: first applicable site → splice) ----------
+
+  private val renames: Map[String, String] = Map(
+    "hyperloglog_distinct" -> "approx_count_distinct",
+    "arbitrary"            -> "any_value",
+    "curdate"              -> "current_date",
+    "strpos"               -> "instr",
+    "array_cat"            -> "concat",
+    "array_unique"         -> "array_distinct",
+    "array_difference"     -> "array_except",
+    "object_keys"          -> "map_keys",
+    "random"               -> "rand",
+    "format"               -> "format_string",
+    "date_format"          -> "date_format_mysql"
+  )
+
+  private def passRenames(ts: Vector[Tok]): Option[Vector[Tok]] = {
+    var i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      if (t.kind == K.Word) {
+        renames.get(t.text.toLowerCase) match {
+          case Some(to) =>
+            val nx = nextSig(ts, i)
+            if (nx >= 0 && ts(nx).isSym("("))
+              return Some(ts.updated(i, Tok(K.Word, to)))
+          case None =>
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
+  private val typeMap: Map[String, String] = Map(
+    "text" -> "STRING", "string" -> "STRING", "ip" -> "STRING",
+    "varchar" -> "VARCHAR", "char" -> "CHAR", "character" -> "STRING",
+    "int" -> "INT", "integer" -> "INT", "long" -> "BIGINT", "bigint" -> "BIGINT",
+    "smallint" -> "SMALLINT", "short" -> "SMALLINT", "byte" -> "TINYINT",
+    "real" -> "FLOAT", "float4" -> "FLOAT", "float" -> "FLOAT",
+    "double" -> "DOUBLE", "float8" -> "DOUBLE",
+    "boolean" -> "BOOLEAN", "bool" -> "BOOLEAN",
+    "timestamp" -> "TIMESTAMP", "timestamptz" -> "TIMESTAMP",
+    "date" -> "DATE", "decimal" -> "DECIMAL", "numeric" -> "DECIMAL",
+    "geo_point" -> "ARRAY<DOUBLE>"
+  )
+
+  private def passCasts(ts: Vector[Tok]): Option[Vector[Tok]] = {
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).isSym("::")) {
+        val opEnd = prevSig(ts, i)
+        val tyStart = nextSig(ts, i)
+        if (opEnd >= 0 && tyStart >= 0 && ts(tyStart).kind == K.Word) {
+          val opStart = operandStart(ts, opEnd)
+          // consume type: word [ "precision" ] [ (n[,m]) ] [ [] ]
+          var tyEnd = tyStart
+          var base = ts(tyStart).text.toLowerCase
+          var params = ""
+          if (base == "double") {
+            val nx = nextSig(ts, tyEnd)
+            if (nx >= 0 && ts(nx).is("precision")) tyEnd = nx
+          }
+          if (base == "timestamp" || base == "time") {
+            // optional "with|without time zone" (all map to TIMESTAMP — Spark
+            // timestamps are session-TZ'd)
+            val w1 = nextSig(ts, tyEnd)
+            if (w1 >= 0 && (ts(w1).is("with") || ts(w1).is("without"))) {
+              val w2 = nextSig(ts, w1)
+              val w3 = if (w2 >= 0) nextSig(ts, w2) else -1
+              if (w2 >= 0 && ts(w2).is("time") && w3 >= 0 && ts(w3).is("zone")) tyEnd = w3
+            }
+          }
+          var nx = nextSig(ts, tyEnd)
+          if (nx >= 0 && ts(nx).isSym("(")) {
+            val cl = matchFwd(ts, nx)
+            if (cl > 0 && ts.slice(nx + 1, cl).forall(t => !t.sig || t.kind == K.Num || t.isSym(","))) {
+              params = render(ts.slice(nx, cl + 1)).replaceAll("\\s", "")
+              tyEnd = cl
+            }
+          }
+          var isArray = false
+          nx = nextSig(ts, tyEnd)
+          if (nx >= 0 && ts(nx).isSym("[")) {
+            val cl = nextSig(ts, nx)
+            if (cl >= 0 && ts(cl).isSym("]")) { isArray = true; tyEnd = cl }
+          }
+          val mapped = typeMap.getOrElse(base, ts(tyStart).text) + params
+          val sparkTy = if (isArray) s"ARRAY<$mapped>" else mapped
+          val operand = render(ts.slice(opStart, opEnd + 1))
+          val repl = lex(s"CAST($operand AS $sparkTy)")
+          return Some(ts.slice(0, opStart) ++ repl ++ ts.slice(tyEnd + 1, ts.length))
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
+  private val cmpOps = Set("=", "!=", "<>", "<", "<=", ">", ">=")
+
+  private def passAnyAll(ts: Vector[Tok]): Option[Vector[Tok]] = {
+    var i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      if (t.kind == K.Word && (t.is("any") || t.is("some") || t.is("all"))) {
+        val op = prevSig(ts, i)
+        val par = nextSig(ts, i)
+        if (op >= 0 && par >= 0 && ts(par).isSym("(") &&
+          (cmpOps.contains(ts(op).text) || ts(op).is("like") || ts(op).is("ilike"))) {
+          val close = matchFwd(ts, par)
+          val inner = ts.slice(par + 1, close)
+          val innerFirst = inner.find(_.sig)
+          if (close > 0 && !innerFirst.exists(_.is("select"))) {
+            val lhsEnd = prevSig(ts, op)
+            if (lhsEnd >= 0) {
+              val lhsStart = operandStart(ts, lhsEnd)
+              val lhs = render(ts.slice(lhsStart, lhsEnd + 1))
+              val arr = render(inner).trim
+              val cmp = ts(op).text
+              val hof = if (t.is("all")) "forall" else "exists"
+              val repl = lex(s"$hof($arr, __t -> $lhs $cmp __t)")
+              return Some(ts.slice(0, lhsStart) ++ repl ++ ts.slice(close + 1, ts.length))
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
+  private def passMatch(ts: Vector[Tok]): Option[Vector[Tok]] = {
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).kind == K.Word && ts(i).is("match")) {
+        val par = nextSig(ts, i)
+        if (par >= 0 && ts(par).isSym("(")) {
+          val close = matchFwd(ts, par)
+          if (close > 0) {
+            val args = ts.slice(par + 1, close)
+            // split top-level on the last comma: cols , 'query'
+            val splitAt = {
+              var depth = 0; var at = -1; var k = 0
+              while (k < args.length) {
+                if (args(k).isSym("(") || args(k).isSym("[") || args(k).isSym("{")) depth += 1
+                else if (args(k).isSym(")") || args(k).isSym("]") || args(k).isSym("}")) depth -= 1
+                else if (args(k).isSym(",") && depth == 0) at = k
+                k += 1
+              }
+              at
+            }
+            if (splitAt > 0 && args.drop(splitAt + 1).exists(a => a.kind == K.Str)) {
+              val queryTok = args.drop(splitAt + 1).find(_.sig).get
+              if (queryTok.kind == K.Str) {
+                val colsPart = args.slice(0, splitAt).filter(_.sig)
+                // cols: either one column, or (c1 [boost], c2 [boost], ...)
+                val cols: Seq[String] =
+                  if (colsPart.nonEmpty && colsPart.head.isSym("(")) {
+                    colsPart.slice(1, colsPart.length - 1)
+                      .filter(t => t.kind == K.Word || t.kind == K.QId)
+                      .map(_.text)
+                  } else Seq(render(args.slice(0, splitAt)).trim)
+                // optional trailing USING <method>
+                var end = close
+                var method = "best_fields"
+                val u = nextSig(ts, close)
+                if (u >= 0 && ts(u).is("using")) {
+                  val m = nextSig(ts, u)
+                  if (m >= 0 && ts(m).kind == K.Word) { method = ts(m).text.toLowerCase; end = m }
+                }
+                val q = queryTok.text
+                val pred = method match {
+                  case "phrase" =>
+                    cols.map(c => s"contains(lower($c), lower($q))").mkString("(", " OR ", ")")
+                  case _ =>
+                    cols.map(c => s"match_text($c, $q)").mkString("(", " OR ", ")")
+                }
+                return Some(ts.slice(0, i) ++ lex(pred) ++ ts.slice(end + 1, ts.length))
+              }
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
+  private def passObjectLiteral(ts: Vector[Tok]): Option[Vector[Tok]] = {
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).isSym("{")) {
+        val close = matchFwd(ts, i)
+        if (close > i + 1) {
+          val inner = ts.slice(i + 1, close)
+          // split on top-level commas
+          val parts = {
+            val buf = Vector.newBuilder[Vector[Tok]]
+            var depth = 0; var start = 0; var k = 0
+            while (k < inner.length) {
+              val t = inner(k)
+              if (t.isSym("(") || t.isSym("[") || t.isSym("{")) depth += 1
+              else if (t.isSym(")") || t.isSym("]") || t.isSym("}")) depth -= 1
+              else if (t.isSym(",") && depth == 0) { buf += inner.slice(start, k); start = k + 1 }
+              k += 1
+            }
+            buf += inner.slice(start, inner.length)
+            buf.result()
+          }
+          val entries = parts.map { p =>
+            val sig = p.filter(_.sig)
+            val eq = sig.indexWhere(_.isSym("="))
+            if (eq <= 0) return None // not an object literal (e.g. a hint block) — leave alone
+            val keyTok = sig.head
+            val key = keyTok.kind match {
+              case K.Str => keyTok.text
+              case K.QId => "'" + keyTok.text.stripPrefix("\"").stripSuffix("\"").replace("\"\"", "\"") + "'"
+              case _     => "'" + keyTok.text + "'"
+            }
+            // value = everything after the FIRST top-level '=' in original order
+            val eqIdx = p.indexWhere(_.isSym("="))
+            key + ", " + render(p.slice(eqIdx + 1, p.length)).trim
+          }
+          val repl = lex(entries.mkString("named_struct(", ", ", ")"))
+          return Some(ts.slice(0, i) ++ repl ++ ts.slice(close + 1, ts.length))
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
+  private def passBrackets(ts: Vector[Tok]): Option[Vector[Tok]] = {
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).isSym("[")) {
+        val close = matchFwd(ts, i)
+        if (close > 0) {
+          val p = prevSig(ts, i)
+          val prevIsOperand = p >= 0 && (ts(p).kind == K.QId ||
+            (ts(p).kind == K.Word && !ts(p).is("array") && !keywords(ts(p).text.toLowerCase)) ||
+            ts(p).isSym(")") || ts(p).isSym("]"))
+          val inner = ts.slice(i + 1, close)
+          val innerSig = inner.filter(_.sig)
+          if (p >= 0 && ts(p).kind == K.Word && ts(p).is("array")) {
+            // PG-style ARRAY[...] constructor
+            val repl = lex("array(" + render(inner) + ")")
+            return Some(ts.slice(0, p) ++ repl ++ ts.slice(close + 1, ts.length))
+          } else if (prevIsOperand) {
+            // subscript. String-key subscripts are valid Spark already
+            // (map/struct access by name) — only numeric/expression
+            // subscripts need the 1-based element_at rewrite.
+            if (!(innerSig.length == 1 && innerSig.head.kind == K.Str) && innerSig.nonEmpty) {
+              val opStart = operandStart(ts, p)
+              val operand = render(ts.slice(opStart, p + 1))
+              val repl = lex(s"element_at($operand, ${render(inner).trim})")
+              return Some(ts.slice(0, opStart) ++ repl ++ ts.slice(close + 1, ts.length))
+            }
+          } else if (innerSig.nonEmpty) {
+            // array literal
+            val repl = lex("array(" + render(inner) + ")")
+            return Some(ts.slice(0, i) ++ repl ++ ts.slice(close + 1, ts.length))
+          }
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
+  private val passes: Seq[Vector[Tok] => Option[Vector[Tok]]] =
+    Seq(passRenames, passMatch, passCasts, passAnyAll, passObjectLiteral, passBrackets)
+
+  def translate(stmt: String): String = {
+    var ts = lex(stmt)
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < 200) {
+      changed = false
+      var pi = 0
+      while (!changed && pi < passes.length) {
+        passes(pi)(ts) match {
+          case Some(next) => ts = next; changed = true
+          case None       =>
+        }
+        pi += 1
+      }
+      rounds += 1
+    }
+    render(ts)
+  }
+}

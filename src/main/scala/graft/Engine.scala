@@ -38,37 +38,7 @@ object Engine {
     spark
   }
 
-  /** SQL entry point with the CrateDB-isms translated. */
+  /** SQL entry point with the CrateDB-isms translated (see [[Dialect]]). */
   def sql(spark: SparkSession, stmt: String): DataFrame =
     spark.sql(Dialect.translate(stmt))
-}
-
-/** Minimal CrateDB → Spark SQL dialect shim (SURVEY.md §4 item 4).
-  *
-  * Only textual renames that are safe as token-level rewrites; anything
-  * structural (OBJECT literals, MATCH) has a Scala API instead.
-  */
-object Dialect {
-  private val renames: Seq[(String, String)] = Seq(
-    "hyperloglog_distinct" -> "approx_count_distinct",
-    "arbitrary"            -> "any_value",
-    "curdate"              -> "current_date",
-    "strpos"               -> "instr"
-  )
-
-  def translate(stmt: String): String = {
-    var s = stmt
-    for ((from, to) <- renames)
-      s = s.replaceAll("(?i)\\b" + from + "\\s*\\(", to + "(")
-    // `expr::type` cast → cast(expr AS type) for simple operands.
-    s = s.replaceAll("(\\w+(?:\\.\\w+)*|'[^']*')::([a-zA-Z_]+(?:\\(\\d+(?:,\\d+)?\\))?)",
-      "CAST($1 AS $2)")
-    // MATCH(col, 'query') predicate → match_text UDF (boolean best_fields
-    // semantics; registered by GraftFunctions).
-    s = s.replaceAll("(?i)\\bMATCH\\s*\\(\\s*(\\w+)\\s*,\\s*('[^']*')\\s*\\)",
-      "match_text($1, $2)")
-    // array subscript `col[n]` → element_at (1-based, like CrateDB).
-    s = s.replaceAll("\\b(\\w+)\\[(-?\\d+)\\]", "element_at($1, $2)")
-    s
-  }
 }

@@ -23,11 +23,13 @@ object SparkEntry {
     QueriesRelational.queries ++ QueriesWindow.queries ++
       QueriesFunctions.queries ++ QueriesFunctions2.queries ++
       QueriesFunctions3.queries ++ QueriesFunctions4.queries ++
+      QueriesFunctions5.queries ++
       QueriesComposite.queries ++ QueriesPipeline.queries
 
   def oracleSql: Map[String, String] =
     QueriesRelational.oracles ++ QueriesWindow.oracles ++
       QueriesFunctions.oracles ++ QueriesFunctions2.oracles ++
       QueriesFunctions3.oracles ++ QueriesFunctions4.oracles ++
+      QueriesFunctions5.oracles ++
       QueriesComposite.oracles ++ QueriesPipeline.oracles
 }

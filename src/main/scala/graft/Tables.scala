@@ -33,4 +33,20 @@ object Tables {
     * same names the DuckDB oracle uses. Cheap + idempotent. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Register fixture tables as catalog (external parquet) tables and run
+    * `ANALYZE TABLE … COMPUTE STATISTICS` on each — this is what actually
+    * feeds `spark.sql.cbo.joinReorder` (reference
+    * `TableStatsService.java:101`): CBO needs rowCount stats, which temp
+    * views over bare file scans never have. `events` is excluded (its
+    * TIMESTAMP(NANOS) column needs the converted temp view from [[load]]).
+    * Idempotent; call once per session before stats-sensitive planning. */
+  def registerAllWithStats(spark: SparkSession, dir: String): Unit = {
+    names.filterNot(_ == "events").foreach { n =>
+      spark.catalog.dropTempView(n)
+      spark.sql(s"CREATE TABLE IF NOT EXISTS $n USING parquet LOCATION '$dir/$n.parquet'")
+      spark.sql(s"ANALYZE TABLE $n COMPUTE STATISTICS")
+    }
+    load(spark, dir, "events").createOrReplaceTempView("events")
+  }
 }

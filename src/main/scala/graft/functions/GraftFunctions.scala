@@ -74,13 +74,17 @@ object GraftFunctions {
         .ofPattern(TimeFunctions.translatePgTemplate(tpl))
         .withZone(java.time.ZoneOffset.UTC).format(ts.toInstant))
 
-    // vector similarity (SQL surface; Column API in VectorFunctions is native)
+    // vector similarity (SQL surface; Column API in VectorFunctions is
+    // native). Edge cases match plans.CosineSimilarityExpr exactly — null on
+    // length mismatch and on zero-norm input — so the RewriteVectorUdfs
+    // promotion is observationally pure.
     u.register("vector_cosine", (a: Seq[Float], b: Seq[Float]) => {
-      if (a == null || b == null) null
+      if (a == null || b == null || a.length != b.length) null
       else {
         var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
         while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
-        Double.box(dot / (math.sqrt(na) * math.sqrt(nb)))
+        if (na == 0.0 || nb == 0.0) null
+        else Double.box(dot / (math.sqrt(na) * math.sqrt(nb)))
       }
     })
 

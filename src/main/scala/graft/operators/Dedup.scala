@@ -77,13 +77,19 @@ object Dedup {
 
   /** Near-dup dedup: drop all but the lowest id of each near-dup pair
     * (single-link, one union step — feed [[minhashPairs]] to a connected-
-    * components pass for full transitive closure at scale). */
+    * components pass for full transitive closure at scale).
+    *
+    * The anti-join is deliberately NOT broadcast-hinted: the dup-id set is
+    * proportional to corpus duplication (30–50% of a crawl), so at 100 TB a
+    * forced broadcast would OOM the driver. A shuffled anti-join on the
+    * 8-byte id is correct and scales; AQE will still choose broadcast on its
+    * own when the set happens to be small. */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 128, bands: Int = 16, shingleSize: Int = 5,
                    threshold: Double = 0.7): DataFrame = {
     val dupIds = minhashPairs(df, idCol, textCol, numHashes, bands, shingleSize, threshold)
       .select(col("id_b").as(idCol)).distinct()
-    df.join(broadcast(dupIds), Seq(idCol), "left_anti")
+    df.join(dupIds, Seq(idCol), "left_anti")
   }
 
   /** SimHash near-dup pairs: 64-bit simhash, pigeonhole-bucketed into
@@ -121,13 +127,19 @@ object Dedup {
   }
 
   /** Transitive closure over near-dup pairs: assign every id the minimum id
-    * of its connected component (large-star label propagation to fixpoint).
-    * Input: (id_a, id_b) pairs; output: (id, component). Each iteration is
-    * one groupBy shuffle on narrow (long, long) rows; converges in
-    * O(log(diameter)) rounds — chains of near-dups collapse fully, unlike
-    * the single-step [[minhashDedup]].
+    * of its connected component. Input: (id_a, id_b) pairs; output:
+    * (id, component).
+    *
+    * Each round is min-label propagation (hooking) followed by pointer
+    * jumping (`comp(id) := comp(comp(id))`), the classic Shiloach–Vishkin
+    * shortcut: label-chain length halves every round, so convergence is
+    * O(log(diameter)) — plain propagation alone would need O(diameter)
+    * rounds and a long duplicate chain would silently come back unmerged.
+    * All shuffles are narrow (long, long) rows. If the loop still exits
+    * without a fixpoint, a warning is logged rather than returning silently
+    * wrong components.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
     val edges = pairs.select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
       .localCheckpoint()
     // localCheckpoint each round: iterative algorithms otherwise double the
@@ -138,33 +150,48 @@ object Dedup {
     var converged = false
     var i = 0
     while (i < maxIter && !converged) {
-      // every node adopts the min component among itself and its neighbors
+      // hooking: every node adopts the min component among itself + neighbors
       val viaA = edges.join(labels, edges("a") === labels("id"))
         .select(col("b").as("id"), col("component"))
       val viaB = edges.join(labels, edges("b") === labels("id"))
         .select(col("a").as("id"), col("component"))
-      val next = labels.select(col("id"), col("component"))
+      // checkpoint before the self-join: cuts the Union lineage (otherwise
+      // Catalyst's union constraint rewrite trips on the dup attribute ids)
+      val hooked = labels.select(col("id"), col("component"))
         .unionAll(viaA).unionAll(viaB)
         .groupBy(col("id")).agg(min(col("component")).as("component"))
         .localCheckpoint()
+      // pointer jumping: comp(id) := comp(comp(id)). Every component value is
+      // itself a node id, so the self-join always resolves; chains halve.
+      val next = hooked.as("x")
+        .join(hooked.select(col("id").as("cid"), col("component").as("ccomp")).as("y"),
+          col("x.component") === col("y.cid"), "left")
+        .select(col("x.id"), least(col("x.component"),
+          coalesce(col("y.ccomp"), col("x.component"))).as("component"))
       val changed = next.as("n").join(labels.as("l"), Seq("id"))
         .filter(col("n.component") =!= col("l.component")).limit(1).count()
       labels = next
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"connectedComponents: no fixpoint after $maxIter rounds; " +
+          "components may be under-merged — raise maxIter")
     labels
   }
 
   /** Near-dup dedup with full transitive closure: keep only each
-    * component's minimum id. */
+    * component's minimum id. Like [[minhashDedup]], the loser set is
+    * unbounded, so the anti-join is left un-hinted (shuffle scales; AQE
+    * broadcasts small sets by itself). */
   def minhashDedupTransitive(df: DataFrame, idCol: String, textCol: String,
                              threshold: Double = 0.7): DataFrame = {
     val pairs = minhashPairs(df, idCol, textCol, threshold = threshold)
     val comps = connectedComponents(pairs)
     val losers = comps.filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
-    df.join(broadcast(losers), Seq(idCol), "left_anti")
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Word n-gram Jaccard pairs over an inverted gram index. Grams with

@@ -10,14 +10,84 @@ import org.apache.spark.sql.functions._
   *
   *  1. [[matchPredicate]] — row-local predicate: all/any query terms appear
   *     in the column (best_fields-ish boolean semantics). Native expressions.
-  *  2. [[buildIndex]] / [[search]] — distributed inverted index as a
-  *     DataFrame of postings with tf-idf scoring; the scale path (the index
-  *     build is one shuffle; searches are broadcast-joined term lookups).
+  *  2. [[buildIndex]] / [[search]] / [[searchBM25]] — distributed inverted
+  *     index with ALL global statistics (doc lengths, avgdl, nDocs, per-term
+  *     document frequency) computed ONCE at build time. A search is then a
+  *     pure join of the (tiny, broadcast) query-term set against the matched
+  *     postings — no full-index aggregation and no driver action per query,
+  *     which is what makes repeated searches viable over a 100 TB index.
+  *  3. [[buildFieldedIndex]] / [[searchFielded]] — multi-column MATCH with
+  *     per-field boosts and `best_fields` / `most_fields` combination
+  *     (reference `MatchPredicate.java:85`, `docs/general/dql/fulltext.rst`).
   */
 object MatchText {
 
-  private def termCol(text: Column): Column =
-    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+  /** Per-index analyzer chain (reference
+    * `analyze/CreateAnalyzerStatementAnalyzer.java` / `FulltextIndexer.java`:
+    * CrateDB exposes tokenizer + token-filter options per fulltext index).
+    * Entirely native Column expressions — the chain compiles into the same
+    * one-pass projection as the default tokenizer:
+    *
+    *  - `stopwords`: dropped after tokenization (e.g. the English set)
+    *  - `minTokenLength`: shorter tokens dropped
+    *  - `sStem`: minimal English s-stemmer (Harman 1991 "How effective is
+    *    suffixing?"): -sses→-ss, -ies→-i, trailing -s dropped unless the
+    *    token ends in -ss/-us/-is. Cheap, deterministic and SQL-replayable —
+    *    the property the oracle check needs; a full Porter stemmer would be
+    *    a UDF and untestable against DuckDB.
+    */
+  final case class Analyzer(stopwords: Seq[String] = Nil,
+                            minTokenLength: Int = 1,
+                            sStem: Boolean = false) {
+    def apply(text: Column): Column = {
+      var toks = filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+      if (minTokenLength > 1)
+        toks = filter(toks, t => length(t) >= minTokenLength)
+      if (stopwords.nonEmpty) {
+        val sw = array(stopwords.map(lit): _*)
+        toks = filter(toks, t => !array_contains(sw, t))
+      }
+      if (sStem) toks = transform(toks, stemCol(_))
+      toks
+    }
+    /** Same chain over a driver-side string (for query terms). */
+    def tokens(s: String): Seq[String] = {
+      var t = s.toLowerCase.split("[^\\p{L}\\p{N}]+").toSeq.filter(_.nonEmpty)
+      if (minTokenLength > 1) t = t.filter(_.length >= minTokenLength)
+      if (stopwords.nonEmpty) { val sw = stopwords.toSet; t = t.filterNot(sw) }
+      if (sStem) t = t.map(stemStr)
+      t
+    }
+  }
+  object Analyzer {
+    val default: Analyzer = Analyzer()
+    /** CrateDB's `english` analyzer approximated: standard tokenizer +
+      * English stopwords + light stemming. */
+    val english: Analyzer = Analyzer(stopwords = englishStopwords, sStem = true)
+  }
+
+  /** The reference's English stop set (Lucene `EnglishAnalyzer#ENGLISH_STOP_WORDS_SET`). */
+  val englishStopwords: Seq[String] = Seq(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such", "that",
+    "the", "their", "then", "there", "these", "they", "this", "to", "was",
+    "will", "with")
+
+  private def dropRight(t: Column, n: Int): Column = t.substr(lit(1), length(t) - n)
+  private def stemCol(t: Column): Column =
+    when(t.endsWith("sses"), dropRight(t, 2))
+      .when(t.endsWith("ies"), dropRight(t, 2))
+      .when(t.endsWith("ss") || t.endsWith("us") || t.endsWith("is"), t)
+      .when(t.endsWith("s") && length(t) > 2, dropRight(t, 1))
+      .otherwise(t)
+  private def stemStr(s: String): String =
+    if (s.endsWith("sses")) s.dropRight(2)
+    else if (s.endsWith("ies")) s.dropRight(2)
+    else if (s.endsWith("ss") || s.endsWith("us") || s.endsWith("is")) s
+    else if (s.endsWith("s") && s.length > 2) s.dropRight(1)
+    else s
+
+  private def termCol(text: Column): Column = Analyzer.default(text)
 
   /** `MATCH(col, 'query')` boolean: every query term occurs in the text. */
   def matchPredicate(text: Column, query: String): Column = {
@@ -29,53 +99,128 @@ object MatchText {
   def phrasePredicate(text: Column, phrase: String): Column =
     lower(text).contains(phrase.toLowerCase)
 
-  /** Inverted index: one row per (term, doc, tf) + doc count for idf.
-    * Partitioned by term — the posting list layout a search engine shards. */
-  def buildIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"), explode(termCol(col(textCol))).as("term"))
+  /** Prebuilt inverted index bundle. `postings` is one row per
+    * (term, doc_id) with the term frequency AND the document length baked
+    * in, so scoring never re-joins a doc-length table; `termStats` is the
+    * per-term document frequency; `nDocs`/`avgdl` are corpus scalars fixed
+    * at build time. At scale, persist `postings` (bucketed by term) and
+    * re-create the bundle from storage. */
+  final case class InvertedIndex(postings: DataFrame, termStats: DataFrame,
+                                 nDocs: Long, avgdl: Double,
+                                 analyzer: Analyzer = Analyzer.default)
+
+  /** Build the index: one explode + one groupBy shuffle for postings, then
+    * the global stats in two cheap aggregations — paid ONCE, not per query.
+    * Postings layout matches what a search engine shards: partitioned by
+    * term. The `analyzer` is carried in the bundle so queries are analyzed
+    * identically to documents (stopwords/stemming applied to both sides). */
+  def buildIndex(df: DataFrame, idCol: String, textCol: String,
+                 analyzer: Analyzer = Analyzer.default): InvertedIndex = {
+    val p0 = df.select(col(idCol).as("doc_id"), explode(analyzer(col(textCol))).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val docLen = p0.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val postings = p0.join(docLen, Seq("doc_id"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .persist()
+    // (term, doc_id) is unique in p0, so df is a plain count — no
+    // countDistinct state.
+    val termStats = p0.groupBy("term").agg(count(lit(1)).as("df")).persist()
+    val statsRow = docLen.agg(count(lit(1)), avg(col("dl"))).head()
+    InvertedIndex(postings, termStats, statsRow.getLong(0), statsRow.getDouble(1), analyzer)
+  }
 
   /** BM25-ranked search (Robertson/Sparck-Jones, the scoring the reference
     * gets from Lucene): idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) summed over
-    * query terms. Document length and avgdl come from the same index in two
-    * cheap aggregations; scoring joins stay broadcast on the term side. */
-  def searchBM25(index: DataFrame, query: String, topN: Int = 10,
+    * query terms. Pure plan: broadcast the query terms into the postings and
+    * term stats; only matched postings flow — no full-index work. */
+  def searchBM25(index: InvertedIndex, query: String, topN: Int = 10,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val spark = index.sparkSession
+    val spark = index.postings.sparkSession
     import spark.implicits._
-    val terms = TextFunctions.tokenize(query.toLowerCase).distinct.toSeq.toDF("term")
-    val docLen = index.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-    val statsRow = docLen.agg(count(lit(1)), avg(col("dl"))).head()
-    val nDocs = statsRow.getLong(0).toDouble
-    val avgdl = statsRow.getDouble(1)
-    val df_ = index.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
-    index.join(broadcast(terms), Seq("term"))
-      .join(df_, Seq("term"))
-      .join(docLen, Seq("doc_id"))
+    val terms = index.analyzer.tokens(query).distinct.toDF("term")
+    val nDocs = index.nDocs.toDouble
+    index.postings.join(broadcast(terms), Seq("term"))
+      .join(index.termStats.join(broadcast(terms), Seq("term")), Seq("term"))
       .withColumn("idf", log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("w", col("idf") * col("tf") * (k1 + 1) /
-        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)))
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / index.avgdl)))
       .groupBy("doc_id")
       .agg(sum(col("w")).as("score"), count(lit(1)).as("terms_hit"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topN)
   }
 
-  /** tf-idf ranked search over a prebuilt index. Query terms are a tiny
-    * DataFrame → broadcast hash join against the postings. */
-  def search(index: DataFrame, query: String, topN: Int = 10): DataFrame = {
-    val spark = index.sparkSession
+  /** tf-idf ranked search over a prebuilt index — same pure-join shape. */
+  def search(index: InvertedIndex, query: String, topN: Int = 10): DataFrame = {
+    val spark = index.postings.sparkSession
     import spark.implicits._
-    val terms = TextFunctions.tokenize(query.toLowerCase).distinct.toSeq.toDF("term")
-    val nDocs = index.select(col("doc_id")).distinct().count().toDouble
-    val df_ = index.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
-    index.join(broadcast(terms), Seq("term"))
-      .join(df_, Seq("term"))
+    val terms = index.analyzer.tokens(query).distinct.toDF("term")
+    val nDocs = index.nDocs.toDouble
+    index.postings.join(broadcast(terms), Seq("term"))
+      .join(index.termStats.join(broadcast(terms), Seq("term")), Seq("term"))
       .withColumn("idf", log(lit(nDocs + 1.0) / (col("df") + 1.0)))
       .withColumn("w", col("tf") * col("idf"))
       .groupBy("doc_id")
       .agg(sum(col("w")).as("score"), count(lit(1)).as("terms_hit"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topN)
+  }
+
+  /** Fielded index: like [[InvertedIndex]] but postings/termStats carry a
+    * `field` column and the per-field (nDocs, avgdl) live in `fieldStats`
+    * (tiny: one row per indexed column — kept as a DataFrame so scoring
+    * stays one declarative plan). */
+  final case class FieldedIndex(postings: DataFrame, termStats: DataFrame,
+                                fieldStats: DataFrame)
+
+  /** Build one index over several text columns, e.g. title + body. Single
+    * explode over a stacked (field, text) projection → still one shuffle. */
+  def buildFieldedIndex(df: DataFrame, idCol: String, fields: Seq[String]): FieldedIndex = {
+    val stacked = df.select(col(idCol).as("doc_id"),
+        explode(array(fields.map(f => struct(lit(f).as("field"), col(f).as("text"))): _*)).as("ft"))
+      .select(col("doc_id"), col("ft.field").as("field"), col("ft.text").as("text"))
+    val p0 = stacked
+      .select(col("doc_id"), col("field"), explode(termCol(col("text"))).as("term"))
+      .groupBy("field", "term", "doc_id").agg(count(lit(1)).as("tf"))
+    val docLen = p0.groupBy("field", "doc_id").agg(sum(col("tf")).as("dl"))
+    val postings = p0.join(docLen, Seq("field", "doc_id"))
+      .select(col("field"), col("term"), col("doc_id"), col("tf"), col("dl"))
+      .persist()
+    val termStats = p0.groupBy("field", "term").agg(count(lit(1)).as("df")).persist()
+    val fieldStats = docLen.groupBy("field")
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")).persist()
+    FieldedIndex(postings, termStats, fieldStats)
+  }
+
+  /** Multi-column BM25: per-field scores combined with per-field boosts.
+    * `matchType`: "best_fields" = max of the boosted field scores (the
+    * reference/Lucene default — best single field wins), "most_fields" =
+    * their sum (every matching field adds evidence). */
+  def searchFielded(index: FieldedIndex, query: String,
+                    boosts: Map[String, Double] = Map.empty,
+                    matchType: String = "best_fields",
+                    topN: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(matchType == "best_fields" || matchType == "most_fields",
+      s"unsupported match type: $matchType")
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val terms = TextFunctions.tokenize(query.toLowerCase).distinct.toSeq.toDF("term")
+    val boostDf = index.fieldStats.select(col("field")).collect()
+      .map(r => (r.getString(0), boosts.getOrElse(r.getString(0), 1.0))).toSeq
+      .toDF("field", "boost")
+    val perField = index.postings.join(broadcast(terms), Seq("term"))
+      .join(index.termStats.join(broadcast(terms), Seq("term")), Seq("field", "term"))
+      .join(broadcast(index.fieldStats), Seq("field"))
+      .join(broadcast(boostDf), Seq("field"))
+      .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w", col("idf") * col("tf") * (k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("field", "doc_id", "boost")
+      .agg(sum(col("w")).as("fscore"))
+      .select(col("doc_id"), (col("fscore") * col("boost")).as("boosted"))
+    val combined =
+      if (matchType == "best_fields") perField.groupBy("doc_id").agg(max(col("boosted")).as("score"))
+      else perField.groupBy("doc_id").agg(sum(col("boosted")).as("score"))
+    combined.orderBy(col("score").desc, col("doc_id")).limit(topN)
   }
 }

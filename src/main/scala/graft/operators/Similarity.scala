@@ -42,16 +42,18 @@ object Similarity {
       .select(col("qid"), col("cid"), col("sim"), col("rk"))
   }
 
-  /** Pick `numCentroids` deterministic centroids (first ids by sort — a
-    * seeded sample stand-in; real k-means refinement is a follow-up) and
-    * assign every corpus row to its nearest centroid. Returns the bucketed
-    * corpus (cid, cvec, bucket). The result can be persisted/bucketed once
-    * and reused across query batches — the IVF "index". */
+  /** Pick `numCentroids` deterministic centroids and assign every corpus row
+    * to its nearest centroid. Seeds are the top-k rows by xxhash64(id) — a
+    * deterministic pseudo-random sample (TakeOrdered, no full sort), unlike
+    * a first-k-ids pick which is biased toward whatever the id order
+    * clusters. Returns the bucketed corpus (cid, cvec, bucket). The result
+    * can be persisted/bucketed once and reused across query batches — the
+    * IVF "index". */
   def ivfBucketize(corpus: DataFrame, numCentroids: Int,
                    idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.registerAll(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-    val centroids = c.orderBy(col("cid")).limit(numCentroids)
+    val centroids = c.orderBy(xxhash64(col("cid")), col("cid")).limit(numCentroids)
       .select(col("cid").as("centroid_id"), col("cvec").as("centroid"))
     // nearest-centroid via partial-aggregated max_by on narrow rows (no
     // window shuffle of vectors); ties break to the lowest centroid id.
@@ -75,7 +77,8 @@ object Similarity {
                       idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.registerAll(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec")).localCheckpoint()
-    var centroids = c.orderBy(col("cid")).limit(numCentroids)
+    // same deterministic hash-sample seeding as ivfBucketize
+    var centroids = c.orderBy(xxhash64(col("cid")), col("cid")).limit(numCentroids)
       .select(col("cid").as("centroid_id"), col("cvec").as("centroid"))
       .localCheckpoint()
     var it = 0
@@ -146,18 +149,32 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold).
-    * Blocked by IVF bucket so the pairwise step is per-bucket, not global.
+    * Blocked by IVF bucket so the pairwise step is per-bucket, not global,
+    * with two scale guards the text-LSH paths already have:
+    *
+    *  - `numCentroids <= 0` auto-scales to ≈ N/4096 buckets (min 16), so the
+    *    expected bucket stays a few thousand vectors regardless of corpus
+    *    size — a fixed 16 would go quadratic at 100 TB;
+    *  - buckets larger than `maxBucket` are dropped before the pairwise
+    *    join (the skew guard mirroring `Dedup.coBucketedPairs`): one dense
+    *    cluster can't pin a single reducer on O(bucket²) work.
     */
   def embeddingNearDupPairs(corpus: DataFrame, threshold: Double,
-                            numCentroids: Int = 16,
+                            numCentroids: Int = 0, maxBucket: Int = 4096,
                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val (bucketed0, _) = ivfBucketize(corpus, numCentroids, idCol, vecCol)
+    val k =
+      if (numCentroids > 0) numCentroids
+      else math.max(16, (corpus.count() / 4096L).toInt)
+    val (bucketed0, _) = ivfBucketize(corpus, k, idCol, vecCol)
     // per-vector norm computed once up front — the quadratic in-bucket pass
     // then only pays for the dot product
     val bucketed = bucketed0.withColumn("nrm", sqrt(VectorFunctions.dotNative(col("cvec"), col("cvec"))))
-    val a = bucketed.select(col("bucket"), col("cid").as("id_a"),
+    val okBuckets = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, maxBucket)).select(col("bucket"))
+    val capped = bucketed.join(okBuckets, Seq("bucket"))
+    val a = capped.select(col("bucket"), col("cid").as("id_a"),
       col("cvec").as("vec_a"), col("nrm").as("nrm_a"))
-    val b = bucketed.select(col("bucket"), col("cid").as("id_b"),
+    val b = capped.select(col("bucket"), col("cid").as("id_b"),
       col("cvec").as("vec_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))

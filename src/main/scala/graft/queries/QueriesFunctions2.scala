@@ -52,11 +52,12 @@ object QueriesFunctions2 {
         .orderBy(col("p_partkey"))
     }),
 
+    // Struct serialized via to_json so the harness can hash it.
     "q83_struct_subscript" -> ((s, dir) => {
       val st = struct(col("n_nationkey").as("key"), col("n_name").as("name"))
       T(s, dir, "nation").select(
         col("n_nationkey"),
-        st.as("rec"),
+        to_json(st).as("rec"),
         st.getField("name").as("rec_name"))
         .orderBy(col("n_nationkey"))
     }),
@@ -102,7 +103,7 @@ object QueriesFunctions2 {
          FROM part ORDER BY p_partkey""",
     "q83_struct_subscript" ->
       """SELECT n_nationkey,
-                {'key': n_nationkey, 'name': n_name} AS rec,
+                CAST(to_json({'key': n_nationkey, 'name': n_name}) AS VARCHAR) AS rec,
                 n_name AS rec_name
          FROM nation ORDER BY n_nationkey""",
     "q84_any_all_array" ->

@@ -14,10 +14,11 @@ object QueriesFunctions3 {
   private val stop = Array("the", "a", "of", "and", "data")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Array results serialized via to_json for harness hashability.
     "q85_regexp_extract_all" -> ((s, dir) => {
       T(s, dir, "part").select(
         col("p_partkey"),
-        regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0)).as("words"),
+        to_json(regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0))).as("words"),
         size(regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0))).as("n_words"))
         .orderBy(col("p_partkey"))
     }),
@@ -27,8 +28,8 @@ object QueriesFunctions3 {
       val sw = lit(stop)
       T(s, dir, "documents").filter(col("doc_id") < 100).select(
         col("doc_id"),
-        sort_array(array_intersect(toks, sw)).as("stop_hits"),
-        sort_array(array_except(toks, sw)).as("content_toks"),
+        to_json(sort_array(array_intersect(toks, sw))).as("stop_hits"),
+        to_json(sort_array(array_except(toks, sw))).as("content_toks"),
         size(array_union(toks, sw)).as("n_union"),
         arrays_overlap(toks, sw).as("has_stop"))
         .orderBy(col("doc_id"))
@@ -71,13 +72,13 @@ object QueriesFunctions3 {
   val oracles: Map[String, String] = Map(
     "q85_regexp_extract_all" ->
       """SELECT p_partkey,
-                regexp_extract_all(p_name, '[a-z]+') AS words,
+                CAST(to_json(regexp_extract_all(p_name, '[a-z]+')) AS VARCHAR) AS words,
                 len(regexp_extract_all(p_name, '[a-z]+')) AS n_words
          FROM part ORDER BY p_partkey""",
     "q86_array_setops" ->
       """SELECT doc_id,
-                list_sort(list_filter(toks, x -> list_contains(sw, x))) AS stop_hits,
-                list_sort(list_filter(toks, x -> NOT list_contains(sw, x))) AS content_toks,
+                CAST(to_json(list_sort(list_filter(toks, x -> list_contains(sw, x)))) AS VARCHAR) AS stop_hits,
+                CAST(to_json(list_sort(list_filter(toks, x -> NOT list_contains(sw, x)))) AS VARCHAR) AS content_toks,
                 len(toks) + len(list_filter(sw, x -> NOT list_contains(toks, x))) AS n_union,
                 list_has_any(toks, sw) AS has_stop
          FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,

@@ -19,18 +19,20 @@ object QueriesFunctions4 {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     }),
 
+    // Array columns serialized via to_json for harness hashability; the
+    // long casts keep JSON integer text identical to DuckDB's BIGINT lists.
     "q91_array_numeric" -> ((s, dir) => {
-      val arr = sequence(lit(1), col("p_size") % 5 + 2)
+      val arr = sequence(lit(1L), (col("p_size") % 5 + 2).cast("long"))
       T(s, dir, "part").select(
         col("p_partkey"),
-        arr.as("seq_arr"),
+        to_json(arr).as("seq_arr"),
         aggregate(arr, lit(0L), (acc, x) => acc + x).as("arr_sum"),
         array_min(arr).cast("long").as("arr_min"),
         array_max(arr).cast("long").as("arr_max"),
         size(arr).cast("long").as("arr_len"),
         (aggregate(arr, lit(0L), (acc, x) => acc + x).cast("double") / size(arr)).as("arr_avg"),
-        concat(array(lit(0L)), arr).as("prepended"),
-        flatten(array(arr, array(lit(99L)))).as("appended"))
+        to_json(concat(array(lit(0L)), arr)).as("prepended"),
+        to_json(flatten(array(arr, array(lit(99L))))).as("appended"))
         .orderBy(col("p_partkey"))
     }),
 
@@ -49,14 +51,14 @@ object QueriesFunctions4 {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = 1042""",
     "q91_array_numeric" ->
       """SELECT p_partkey,
-                arr AS seq_arr,
+                CAST(to_json(arr) AS VARCHAR) AS seq_arr,
                 list_sum(arr) AS arr_sum,
                 CAST(list_min(arr) AS BIGINT) AS arr_min,
                 CAST(list_max(arr) AS BIGINT) AS arr_max,
                 CAST(len(arr) AS BIGINT) AS arr_len,
                 list_sum(arr) / CAST(len(arr) AS DOUBLE) AS arr_avg,
-                list_prepend(CAST(0 AS BIGINT), arr) AS prepended,
-                list_append(arr, 99) AS appended
+                CAST(to_json(list_prepend(CAST(0 AS BIGINT), arr)) AS VARCHAR) AS prepended,
+                CAST(to_json(list_append(arr, CAST(99 AS BIGINT))) AS VARCHAR) AS appended
          FROM (SELECT p_partkey, generate_series(CAST(1 AS BIGINT), p_size % 5 + 2) AS arr FROM part)
          ORDER BY p_partkey""",
     "q92_chr_ascii" ->

@@ -1,0 +1,236 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{MatchText, Quantified}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-2 coverage batch: quantified subquery comparisons (`> ANY`,
+  * `= ALL`, … — reference `operator/any/AnyOperators.java`,
+  * `operator/all/AllOperator.java`), multi-column MATCH with boosts
+  * (`MatchPredicate.java:85`), CrateDB-shaped `parse_url`
+  * (`scalar/ParseURLFunction.java:50`) and `regexp_matches` first-match
+  * groups (`tablefunctions/MatchesFunction.java`).
+  */
+object QueriesFunctions5 {
+  private def T(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ANY over subqueries with NULL elements, NULL lhs, and an empty
+    // subquery — the full 3VL surface, oracle'd by DuckDB's native ANY.
+    "q101_quantified_any" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      val sub = orders.filter(col("o_totalprice") > 90000)
+        .select(when(col("o_orderkey") % 5 === 0, lit(null).cast("double"))
+          .otherwise(col("o_totalprice")).as("v"))
+      val subEmpty = orders.filter(col("o_totalprice") < 0)
+        .select(col("o_totalprice").as("v"))
+      val base = T(s, dir, "customer").select(col("c_custkey"),
+        when(col("c_custkey") % 11 === 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal")).as("bal"))
+      val a = Quantified.anyComparison(base, col("bal") * 20, ">", sub, "gt_any")
+      val b = Quantified.anyComparison(a, col("bal") * 20, "<", sub, "lt_any")
+      val c = Quantified.anyComparison(b, col("bal") * 20, "!=", sub, "ne_any")
+      Quantified.anyComparison(c, col("bal"), ">", subEmpty, "gt_any_empty")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ALL over subqueries (De Morgan duals) + membership `= ANY` on strings.
+    "q102_quantified_all" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      val sub = orders.filter(col("o_totalprice") > 90000)
+        .select(when(col("o_orderkey") % 5 === 0, lit(null).cast("double"))
+          .otherwise(col("o_totalprice")).as("v"))
+      val subEmpty = orders.filter(col("o_totalprice") < 0)
+        .select(col("o_totalprice").as("v"))
+      val segs = T(s, dir, "customer").filter(col("c_custkey") < 100)
+        .select(col("c_mktsegment").as("v"))
+      val base = T(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"),
+        when(col("c_custkey") % 11 === 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal")).as("bal"))
+      val a = Quantified.allComparison(base, col("bal") * 20, ">", sub, "gt_all")
+      val b = Quantified.allComparison(a, col("bal"), "!=", sub, "ne_all")
+      val c = Quantified.allComparison(b, col("bal"), "<", subEmpty, "lt_all_empty")
+      Quantified.anyComparison(c, col("c_mktsegment"), "=", segs, "seg_eq_any")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Multi-column MATCH with per-field boosts, most_fields combination —
+    // the weighted BM25 formula is replayed verbatim in the DuckDB oracle.
+    "q103_match_multicol" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("title"),
+          col("text").as("body"))
+      val idx = MatchText.buildFieldedIndex(docs, "doc_id", Seq("title", "body"))
+      MatchText.searchFielded(idx, "spark filter window",
+          boosts = Map("title" -> 2.0), matchType = "most_fields", topN = 20)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+    }),
+
+    // CrateDB-shaped parse_url: one OBJECT column in the reference; emitted
+    // here as its scalar fields so the result stays hash-comparable.
+    "q104_parse_url" -> ((s, dir) => {
+      val url = concat(lit("https://user"), col("c_custkey") % 7,
+        lit(":pw@example"), col("c_custkey") % 13, lit(".com:"),
+        (lit(8000) + col("c_custkey") % 100).cast("string"),
+        lit("/api/v"), col("c_custkey") % 3, lit("/items?k="),
+        col("c_custkey") % 5, lit("&m=1#frag"), col("c_custkey") % 2)
+      T(s, dir, "customer").select(
+        col("c_custkey"), url.as("url"),
+        parse_url(url, lit("PROTOCOL")).as("scheme"),
+        parse_url(url, lit("USERINFO")).as("userinfo"),
+        parse_url(url, lit("HOST")).as("hostname"),
+        regexp_extract(parse_url(url, lit("AUTHORITY")), ":(\\d+)$", 1)
+          .cast("int").as("port"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY")).as("query"),
+        parse_url(url, lit("REF")).as("fragment"),
+        parse_url(url, lit("QUERY"), lit("k")).cast("int").as("param_k"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Custom fulltext analyzer (english: stopwords + light stemming,
+    // reference `CreateAnalyzerStatementAnalyzer.java`): the query terms are
+    // analyzed with the same chain, so 'sparks filters windows' stems to the
+    // same terms the index holds. Oracle replays the chain in DuckDB SQL.
+    "q106_analyzer_search" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val idx = MatchText.buildIndex(docs, "doc_id", "text", MatchText.Analyzer.english)
+      MatchText.search(idx, "sparks filters windows", topN = 20)
+        .select(col("doc_id"), round(col("score"), 6).as("score"), col("terms_hit"))
+    }),
+
+    // regexp_matches first-match capture groups (no 'g' flag): an array of
+    // group values, or NULL when the pattern does not match.
+    "q105_regexp_matches" -> ((s, dir) => {
+      val pat = "([a-z]+)#(\\d+)"
+      val src = T(s, dir, "customer")
+        .select(col("c_custkey"), lower(col("c_name")).as("nm"))
+      src.select(
+        col("c_custkey"),
+        when(col("nm").rlike(pat),
+          to_json(array(regexp_extract(col("nm"), pat, 1),
+            regexp_extract(col("nm"), pat, 2)))).as("groups"),
+        regexp_count(col("nm"), lit("0")).as("n_zero"))
+        .orderBy(col("c_custkey"))
+    })
+  )
+
+  private val anySubSql =
+    """SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END
+       FROM orders WHERE o_totalprice > 90000"""
+  private val emptySubSql = "SELECT o_totalprice FROM orders WHERE o_totalprice < 0"
+
+  val oracles: Map[String, String] = Map(
+    "q101_quantified_any" ->
+      s"""SELECT c_custkey, bal,
+                 bal * 20 > ANY ($anySubSql) AS gt_any,
+                 bal * 20 < ANY ($anySubSql) AS lt_any,
+                 bal * 20 != ANY ($anySubSql) AS ne_any,
+                 bal > ANY ($emptySubSql) AS gt_any_empty
+          FROM (SELECT c_custkey,
+                       CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_acctbal END AS bal
+                FROM customer)
+          ORDER BY c_custkey""",
+    "q102_quantified_all" ->
+      s"""SELECT c_custkey, c_mktsegment, bal,
+                 bal * 20 > ALL ($anySubSql) AS gt_all,
+                 bal != ALL ($anySubSql) AS ne_all,
+                 bal < ALL ($emptySubSql) AS lt_all_empty,
+                 c_mktsegment = ANY (SELECT c_mktsegment FROM customer WHERE c_custkey < 100) AS seg_eq_any
+          FROM (SELECT c_custkey, c_mktsegment,
+                       CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_acctbal END AS bal
+                FROM customer)
+          ORDER BY c_custkey""",
+    "q103_match_multicol" ->
+      """SELECT doc_id, round(score, 6) AS score FROM (
+           WITH src AS (
+             SELECT doc_id,
+                    array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS title,
+                    text AS body
+             FROM documents),
+           fields AS (
+             SELECT doc_id, 'title' AS field, title AS txt FROM src
+             UNION ALL SELECT doc_id, 'body', body FROM src),
+           idx AS (
+             SELECT field, term, doc_id, count(*) AS tf FROM (
+               SELECT field, doc_id,
+                      unnest(list_filter(string_split_regex(lower(txt), '[^a-z0-9]+'),
+                                         x -> len(x) > 0)) AS term
+               FROM fields)
+             GROUP BY field, term, doc_id),
+           dl AS (SELECT field, doc_id, CAST(sum(tf) AS DOUBLE) AS dl
+                  FROM idx GROUP BY field, doc_id),
+           stats AS (SELECT field, CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+                     FROM dl GROUP BY field),
+           dfreq AS (SELECT field, term, count(*) AS df FROM idx GROUP BY field, term),
+           perfield AS (
+             SELECT i.field, i.doc_id,
+                    sum(ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+                        * i.tf * (1.2 + 1) /
+                        (i.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / st.avgdl))) AS fscore
+             FROM idx i
+             JOIN dfreq d ON i.field = d.field AND i.term = d.term
+             JOIN dl ON i.field = dl.field AND i.doc_id = dl.doc_id
+             JOIN stats st ON i.field = st.field
+             WHERE i.term IN ('spark', 'filter', 'window')
+             GROUP BY i.field, i.doc_id)
+           SELECT doc_id,
+                  sum(fscore * CASE field WHEN 'title' THEN 2.0 ELSE 1.0 END) AS score
+           FROM perfield GROUP BY doc_id
+           ORDER BY score DESC, doc_id LIMIT 20)""",
+    "q104_parse_url" ->
+      """SELECT c_custkey, url,
+                regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+                regexp_extract(url, '://([^@/]+)@', 1) AS userinfo,
+                regexp_extract(url, '@([^:/]+)', 1) AS hostname,
+                CAST(regexp_extract(url, ':(\d+)/', 1) AS INT) AS port,
+                regexp_extract(url, ':\d+(/[^?#]*)', 1) AS path,
+                regexp_extract(url, '\?([^#]*)', 1) AS query,
+                regexp_extract(url, '#(.*)$', 1) AS fragment,
+                CAST(regexp_extract(url, '[?&]k=([^&#]*)', 1) AS INT) AS param_k
+         FROM (SELECT c_custkey,
+                      'https://user' || (c_custkey % 7) || ':pw@example' || (c_custkey % 13)
+                      || '.com:' || (8000 + c_custkey % 100) || '/api/v' || (c_custkey % 3)
+                      || '/items?k=' || (c_custkey % 5) || '&m=1#frag' || (c_custkey % 2) AS url
+               FROM customer)
+         ORDER BY c_custkey""",
+    "q106_analyzer_search" ->
+      """SELECT doc_id, round(score, 6) AS score, terms_hit FROM (
+           WITH toks AS (
+             SELECT doc_id, list_transform(
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                 x -> len(x) > 0 AND NOT list_contains(
+                   ['a','an','and','are','as','at','be','but','by','for','if',
+                    'in','into','is','it','no','not','of','on','or','such','that',
+                    'the','their','then','there','these','they','this','to','was',
+                    'will','with'], x)),
+               t -> CASE WHEN t LIKE '%sses' THEN substr(t, 1, len(t) - 2)
+                         WHEN t LIKE '%ies' THEN substr(t, 1, len(t) - 2)
+                         WHEN t LIKE '%ss' OR t LIKE '%us' OR t LIKE '%is' THEN t
+                         WHEN t LIKE '%s' AND len(t) > 2 THEN substr(t, 1, len(t) - 1)
+                         ELSE t END) AS ts
+             FROM documents),
+           idx AS (SELECT term, doc_id, count(*) AS tf
+                   FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+                   GROUP BY term, doc_id),
+           dfreq AS (SELECT term, count(*) AS df FROM idx GROUP BY term),
+           nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM idx)
+           SELECT i.doc_id, sum(i.tf * ln((nd.n + 1.0) / (d.df + 1.0))) AS score,
+                  count(*) AS terms_hit
+           FROM idx i JOIN dfreq d ON i.term = d.term, nd
+           WHERE i.term IN ('spark', 'filter', 'window')
+           GROUP BY i.doc_id
+           ORDER BY score DESC, i.doc_id LIMIT 20)""",
+    "q105_regexp_matches" ->
+      """SELECT c_custkey,
+                CASE WHEN regexp_matches(nm, '([a-z]+)#(\d+)')
+                     THEN CAST(to_json([regexp_extract(nm, '([a-z]+)#(\d+)', 1),
+                                        regexp_extract(nm, '([a-z]+)#(\d+)', 2)]) AS VARCHAR)
+                END AS groups,
+                length(nm) - length(replace(nm, '0', '')) AS n_zero
+         FROM (SELECT c_custkey, lower(c_name) AS nm FROM customer)
+         ORDER BY c_custkey"""
+  )
+}

@@ -88,11 +88,19 @@ object QueriesPipeline {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // IVF with k-means-refined centroids; recall@5 vs the exact result is
+    // emitted as a column so the check pins approximation quality, not just
+    // row shape (reference gets high recall from Lucene HNSW — ours is
+    // measured, not assumed).
     "q66_knn_ivf" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val (bucketed, centroids) = Similarity.ivfBucketize(emb, numCentroids = 16)
-      Similarity.ivfKnn(bucketed, centroids, emb.filter(col("vec_id") < 10), k = 5, nprobe = 4)
-        .select(col("qid"), col("rk"), col("cid"), round(col("sim"), 6).as("sim"))
+      val qs = emb.filter(col("vec_id") < 10)
+      val (bucketed, centroids) = Similarity.kmeansBucketize(emb, numCentroids = 16, iters = 2)
+      val approx = Similarity.ivfKnn(bucketed, centroids, qs, k = 5, nprobe = 4)
+      val rec = Similarity.recallAtK(approx, Similarity.bruteForceKnn(emb, qs, k = 5))
+      approx
+        .select(col("qid"), col("rk"), col("cid"), round(col("sim"), 6).as("sim"),
+          round(lit(rec), 4).as("recall_at_5"))
         .orderBy(col("qid"), col("rk"))
     }),
 

@@ -143,17 +143,19 @@ object QueriesWindow {
         .orderBy(col("c_custkey"))
     }),
 
+    // Array-valued result serialized with to_json so the driver's pandas
+    // comparator can sort/hash it (arrays are unhashable in the harness).
     "q40_array_string_agg" -> ((s, dir) => {
       T(s, dir, "nation").groupBy(col("n_regionkey"))
         .agg(
-          sort_array(collect_list(col("n_name"))).as("nations"),
+          to_json(sort_array(collect_list(col("n_name")))).as("nations"),
           concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations_csv"))
         .orderBy(col("n_regionkey"))
     }),
 
     "q41_collect_set" -> ((s, dir) => {
       T(s, dir, "lineitem").groupBy(col("l_returnflag"))
-        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"))
+        .agg(to_json(sort_array(collect_set(col("l_linestatus")))).as("statuses"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -256,11 +258,12 @@ object QueriesWindow {
       """SELECT c_custkey, any_value(c_name) AS name, count(*) AS cnt
          FROM customer GROUP BY c_custkey ORDER BY c_custkey""",
     "q40_array_string_agg" ->
-      """SELECT n_regionkey, list_sort(array_agg(n_name)) AS nations,
+      """SELECT n_regionkey, CAST(to_json(list_sort(array_agg(n_name))) AS VARCHAR) AS nations,
                 string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     "q41_collect_set" ->
-      """SELECT l_returnflag, list_sort(list_distinct(array_agg(l_linestatus))) AS statuses
+      """SELECT l_returnflag,
+                CAST(to_json(list_sort(list_distinct(array_agg(l_linestatus)))) AS VARCHAR) AS statuses
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q42_conditional_agg" ->
       """SELECT o_orderpriority,

@@ -21,8 +21,21 @@ object Maintenance {
     df.repartition(files).write.mode("overwrite").parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
+    val oldP = new org.apache.hadoop.fs.Path(path + "__pre_optimize")
+    // verify the rewrite committed before touching the original
+    require(fs.exists(new org.apache.hadoop.fs.Path(tmpP, "_SUCCESS")),
+      s"optimize aborted: rewrite of $path did not commit")
+    // swap via rename, never delete-first: a crash mid-swap leaves BOTH
+    // copies on disk (old at __pre_optimize), so no window loses the table.
+    fs.delete(oldP, true)
+    if (!fs.rename(dst, oldP))
+      throw new java.io.IOException(s"optimize: could not move $dst aside")
+    if (!fs.rename(tmpP, dst)) {
+      fs.rename(oldP, dst) // roll back
+      throw new java.io.IOException(s"optimize: could not publish $tmp; rolled back")
+    }
+    fs.delete(oldP, true)
   }
 
   /** `REFRESH TABLE` — invalidate cached metadata/data for a catalog table

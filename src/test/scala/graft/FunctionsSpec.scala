@@ -84,20 +84,80 @@ class GeoNetKernelSpec extends AnyFunSuite {
   }
 }
 
+/** Table-driven corpus of representative CrateDB statements (shapes from the
+  * reference docs `docs/general/dql/` + `blackbox/` doctests) that the
+  * dialect front-end must translate correctly — including the literal-safety
+  * cases the round-1 regex shim corrupted. */
 class DialectSpec extends AnyFunSuite {
-  test("function renames") {
-    assert(Dialect.translate("SELECT arbitrary(x) FROM t") == "SELECT any_value(x) FROM t")
-    assert(Dialect.translate("SELECT hyperloglog_distinct(x) FROM t")
-      == "SELECT approx_count_distinct(x) FROM t")
+  private val corpus: Seq[(String, String)] = Seq(
+    // function renames
+    "SELECT arbitrary(x) FROM t" -> "SELECT any_value(x) FROM t",
+    "SELECT hyperloglog_distinct(x) FROM t" -> "SELECT approx_count_distinct(x) FROM t",
+    "SELECT curdate()" -> "SELECT current_date()",
+    "SELECT strpos(name, 'a') FROM t" -> "SELECT instr(name, 'a') FROM t",
+    "SELECT array_cat(a, b), array_unique(a), array_difference(a, b) FROM t" ->
+      "SELECT concat(a, b), array_distinct(a), array_except(a, b) FROM t",
+    // :: casts — simple, literal, parenthesized, call, array type
+    "SELECT a::bigint FROM t" -> "SELECT CAST(a AS BIGINT) FROM t",
+    "SELECT '1'::decimal(10,2)" -> "SELECT CAST('1' AS DECIMAL(10,2))",
+    "SELECT (a + b)::double FROM t" -> "SELECT CAST((a + b) AS DOUBLE) FROM t",
+    "SELECT (price * 1.1)::integer FROM orders" -> "SELECT CAST((price * 1.1) AS INT) FROM orders",
+    "SELECT abs(x)::text FROM t" -> "SELECT CAST(abs(x) AS STRING) FROM t",
+    "SELECT x::int[] FROM t" -> "SELECT CAST(x AS ARRAY<INT>) FROM t",
+    "SELECT ts::timestamp with time zone FROM t" -> "SELECT CAST(ts AS TIMESTAMP) FROM t",
+    "SELECT o.col::ip FROM t" -> "SELECT CAST(o.col AS STRING) FROM t",
+    // literal safety: rewrite-pattern text inside strings must survive
+    "SELECT 'a::int'" -> "SELECT 'a::int'",
+    "SELECT 'arr[1]' FROM t" -> "SELECT 'arr[1]' FROM t",
+    "SELECT 'curdate(' FROM t" -> "SELECT 'curdate(' FROM t",
+    "SELECT x FROM t -- y::int comment" -> "SELECT x FROM t -- y::int comment",
+    // subscripts (1-based → element_at) and object access (native [])
+    "SELECT toks[1] FROM t" -> "SELECT element_at(toks, 1) FROM t",
+    "SELECT arr[i + 1] FROM t" -> "SELECT element_at(arr, i + 1) FROM t",
+    "SELECT matrix[1][2] FROM t" -> "SELECT element_at(element_at(matrix, 1), 2) FROM t",
+    "SELECT obj['k'] FROM t" -> "SELECT obj['k'] FROM t",
+    "SELECT f(x)[2] FROM t" -> "SELECT element_at(f(x), 2) FROM t",
+    // array + object literals
+    "SELECT [1, 2, 3]" -> "SELECT array(1, 2, 3)",
+    "SELECT ARRAY[1, 2]" -> "SELECT array(1, 2)",
+    "SELECT [[1, 2], [3]]" -> "SELECT array(array(1, 2), array(3))",
+    "SELECT {name = 'x', age = 3}" -> "SELECT named_struct('name', 'x', 'age', 3)",
+    "SELECT {\"a b\" = 1}" -> "SELECT named_struct('a b', 1)",
+    "INSERT INTO t (o) VALUES ({inner = {k = 1}})" ->
+      "INSERT INTO t (o) VALUES (named_struct('inner', named_struct('k', 1)))",
+    // quantified comparisons over arrays
+    "SELECT 5 = ANY(tags) FROM t" -> "SELECT exists(tags, __t -> 5 = __t) FROM t",
+    "SELECT price > ANY(costs) FROM t" -> "SELECT exists(costs, __t -> price > __t) FROM t",
+    "SELECT x != ALL(ys) FROM t" -> "SELECT forall(ys, __t -> x != __t) FROM t",
+    "SELECT name LIKE ANY(patterns) FROM t" -> "SELECT exists(patterns, __t -> name LIKE __t) FROM t",
+    // ANY over subqueries is left for the Column-API rewrites (q101+)
+    "SELECT x FROM t WHERE x > ANY (SELECT y FROM u)" ->
+      "SELECT x FROM t WHERE x > ANY (SELECT y FROM u)",
+    // UNION ALL / SELECT ALL must NOT trip the ALL rewrite
+    "SELECT a FROM t UNION ALL SELECT b FROM u" -> "SELECT a FROM t UNION ALL SELECT b FROM u",
+    // MATCH: single col, multi-col with boosts, phrase
+    "SELECT * FROM d WHERE MATCH(text, 'spark join')" ->
+      "SELECT * FROM d WHERE (match_text(text, 'spark join'))",
+    "SELECT * FROM d WHERE MATCH((title, body), 'q')" ->
+      "SELECT * FROM d WHERE (match_text(title, 'q') OR match_text(body, 'q'))",
+    "SELECT * FROM d WHERE MATCH((title 2.0, body), 'q') USING best_fields" ->
+      "SELECT * FROM d WHERE (match_text(title, 'q') OR match_text(body, 'q'))",
+    "SELECT * FROM d WHERE MATCH(content, 'exact phrase') USING phrase" ->
+      "SELECT * FROM d WHERE (contains(lower(content), lower('exact phrase')))"
+  )
+
+  test("corpus translates exactly") {
+    for ((in, want) <- corpus) {
+      val got = Dialect.translate(in)
+      assert(got == want, s"\ninput: $in\n  got: $got\n want: $want")
+    }
   }
-  test(":: cast rewrite") {
-    assert(Dialect.translate("SELECT a::bigint FROM t") == "SELECT CAST(a AS bigint) FROM t")
-    assert(Dialect.translate("SELECT '1'::decimal(10,2)") == "SELECT CAST('1' AS decimal(10,2))")
-  }
-  test("MATCH predicate and array subscript rewrites") {
-    assert(Dialect.translate("SELECT * FROM d WHERE MATCH(text, 'spark join')")
-      == "SELECT * FROM d WHERE match_text(text, 'spark join')")
-    assert(Dialect.translate("SELECT toks[1] FROM t") == "SELECT element_at(toks, 1) FROM t")
+
+  test("idempotent on already-translated output") {
+    for ((in, _) <- corpus) {
+      val once = Dialect.translate(in)
+      assert(Dialect.translate(once) == once, s"not idempotent for: $in")
+    }
   }
 }
 

@@ -37,6 +37,20 @@ class DedupSpec extends SparkTestBase {
     assert(kept.contains(1L) && !kept.contains(2L))
   }
 
+  test("minhashDedup anti-join is not broadcast-hinted (unbounded dup set)") {
+    // the logical plan must carry no broadcast hint on the dup-id side —
+    // the set is O(corpus) at scale; AQE may still pick broadcast when the
+    // runtime size is small, but graft must not force it.
+    val plan = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.9)
+      .queryExecution.optimizedPlan
+    val hinted = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.hint.leftHint.exists(_.strategy.isDefined) ||
+           j.hint.rightHint.exists(_.strategy.isDefined) => j
+    }
+    assert(hinted.isEmpty, s"found broadcast-hinted join(s): $hinted")
+  }
+
   test("simhash pairs: identical docs at hamming 0") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", hammingMax = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -70,6 +84,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(byQ.values.forall(_ <= 4))
     val selfHits = res.filter($"rk" === 1 && $"qid" === $"cid").count()
     assert(selfHits == 3)
+  }
+
+  test("embedding near-dup: oversized buckets are dropped, not exploded") {
+    // 30 identical vectors forced into 1 centroid: with maxBucket below the
+    // cluster size the pairwise stage must emit nothing (the O(bucket²)
+    // blowup guard); with a generous cap it emits all pairs.
+    val dense = (1L to 30L).map(i => (i, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val capped = Similarity.embeddingNearDupPairs(dense, threshold = 0.9,
+      numCentroids = 1, maxBucket = 10)
+    assert(capped.count() == 0)
+    val uncapped = Similarity.embeddingNearDupPairs(dense, threshold = 0.9,
+      numCentroids = 1, maxBucket = 100)
+    assert(uncapped.count() == 30L * 29L / 2)
   }
 }
 
@@ -107,6 +134,46 @@ class MatchTextSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect()
     assert(res.head == 1L)
     assert(res.toSet == Set(1L, 2L))
+  }
+
+  test("search on a built index runs no full-index aggregation") {
+    // all global stats (nDocs, avgdl, df, dl) are fixed at build time; a
+    // search plan must contain exactly ONE aggregate — the per-doc score
+    // groupBy over the matched postings — and no countDistinct/docLen pass.
+    val idx = MatchText.buildIndex(docs, "doc_id", "text")
+    val plan = MatchText.searchBM25(idx, "spark filter", topN = 5)
+      .queryExecution.optimizedPlan
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.length == 1, s"expected 1 aggregate (score groupBy), got ${aggs.length}")
+  }
+
+  test("analyzer chain: stopwords dropped, s-stemming identical on both paths") {
+    val an = MatchText.Analyzer.english
+    // driver-side query analysis must equal the Column-side doc analysis
+    assert(an.tokens("The sparks and glasses of boxes") ==
+      Seq("spark", "glass", "boxe"))
+    val colSide = Seq(Tuple1("The sparks and glasses of boxes")).toDF("t")
+      .select(an(col("t"))).as[Seq[String]].head()
+    assert(colSide == Seq("spark", "glass", "boxe"))
+  }
+
+  test("fielded search: best_fields=max, most_fields=sum, boosts applied") {
+    val fdocs = Seq(
+      (1L, "spark engine", "a long body about databases and storage layers"),
+      (2L, "storage notes", "spark spark spark appears often in this body"),
+      (3L, "unrelated title", "nothing relevant at all")
+    ).toDF("doc_id", "title", "body")
+    val idx = MatchText.buildFieldedIndex(fdocs, "doc_id", Seq("title", "body"))
+    val best = MatchText.searchFielded(idx, "spark", Map("title" -> 2.0), "best_fields", 5)
+      .select("doc_id").as[Long].collect()
+    val most = MatchText.searchFielded(idx, "spark", Map("title" -> 2.0), "most_fields", 5)
+      .select("doc_id").as[Long].collect()
+    // doc 3 never matches; docs 1 and 2 rank under both combinations
+    assert(best.toSet == Set(1L, 2L) && most.toSet == Set(1L, 2L))
+    // boosted title makes doc 1 win best_fields
+    assert(best.head == 1L)
   }
 }
 

@@ -36,4 +36,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("HashAggregate(keys=[l_returnflag"))
     assert(plan.contains("partial_"))
   }
+
+  test("ANALYZE feeds CBO: catalog tables carry rowCount statistics") {
+    Tables.registerAllWithStats(spark, sfDir)
+    for (t <- Seq("nation", "region", "customer", "orders")) {
+      val stats = spark.table(t).queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.isDefined && stats.rowCount.get > 0,
+        s"$t has no rowCount after ANALYZE — cbo.joinReorder would be inert")
+    }
+    // with stats present, a dim-last join still plans the small sides as
+    // broadcast builds (CBO + AQE see real sizes, not defaults)
+    val joined = spark.sql(
+      """SELECT r_name, count(*) AS c
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
 }

@@ -105,6 +105,22 @@ class InformationSchemaSpec extends SparkTestBase {
          WHERE table_name = 'orders' ORDER BY ordinal_position""")
     assert(c.collect().map(_.getString(0)).contains("o_orderkey"))
   }
+
+  test("schemata, views, routines, constraints, charsets views register") {
+    Tables.registerAll(spark, sfDir)
+    InformationSchema.register(spark)
+    assert(spark.sql("SELECT * FROM information_schema_schemata").count() >= 1)
+    // the fixture temp views appear in the views listing
+    assert(spark.sql(
+      "SELECT * FROM information_schema_views WHERE table_name = 'orders'").count() == 1)
+    // registered graft UDFs are visible as routines
+    assert(spark.sql(
+      "SELECT * FROM information_schema_routines WHERE routine_name = 'vector_cosine'")
+      .count() == 1)
+    assert(spark.sql("SELECT * FROM information_schema_table_constraints").count() == 0)
+    assert(spark.sql(
+      "SELECT character_set_name FROM information_schema_character_sets").head().getString(0) == "UTF8")
+  }
 }
 
 class BucketingSpec extends SparkTestBase {
