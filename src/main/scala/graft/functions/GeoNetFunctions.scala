@@ -152,6 +152,16 @@ object GeoNetFunctions {
 
   def inCidr(ip: Column, cidr: Column): Column = ipInCidrUdf(ip, cidr)
 
+  /** Numeric sort key for an IPv4 string — gives the `IP` type the total
+    * order the reference's IpType has (`metadata/IpType.java` orders by
+    * numeric value, not lexicographically: '9.x' < '10.x'). Fully native
+    * (split + arithmetic), codegen'd; null/malformed → null via cast. */
+  def ipOrderKey(ip: Column): Column = {
+    val p = split(ip, "\\.")
+    element_at(p, 1).cast("long") * 16777216L + element_at(p, 2).cast("long") * 65536L +
+      element_at(p, 3).cast("long") * 256L + element_at(p, 4).cast("long")
+  }
+
   /** `quote_ident` (PG semantics: quote unless a safe lowercase ident). */
   val quoteIdentUdf: UserDefinedFunction = udf((s: String) =>
     if (s == null) null

@@ -101,6 +101,61 @@ object QueriesFunctions5 {
         .select(col("doc_id"), round(col("score"), 6).as("score"), col("terms_hit"))
     }),
 
+    // Byte-level length functions on multibyte text (reference
+    // `scalar/string/LengthFunction.java`: char_length vs octet_length vs
+    // bit_length differ on non-ASCII).
+    "q107_length_funcs" -> ((s, dir) => {
+      val txt = concat(col("n_name"), lit("é→"), col("n_name"))
+      T(s, dir, "nation").select(
+        col("n_nationkey"),
+        length(txt).as("n_chars"),
+        octet_length(txt).as("n_bytes"),
+        bit_length(txt).as("n_bits"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // IP as an ordered type (IpType.java sorts numerically, so '9.x' <
+    // '10.x' unlike string order): rank events by the numeric ip key.
+    "q108_ip_order" -> ((s, dir) => {
+      import graft.functions.GeoNetFunctions
+      val ip = concat((col("event_id") % 250 + 1).cast("string"), lit("."),
+        (col("user_id") % 256).cast("string"), lit(".0."),
+        (col("event_id") % 100).cast("string"))
+      T(s, dir, "events").filter(col("event_id") < 500)
+        .select(col("event_id"), ip.as("ip"))
+        .select(col("event_id"), col("ip"),
+          GeoNetFunctions.ipOrderKey(col("ip")).as("ip_num"))
+        .orderBy(col("ip_num"), col("event_id"))
+        .limit(200)
+    }),
+
+    // PG to_char + MySQL date_format templates over the same timestamps,
+    // both translated at plan time to Spark's native date_format.
+    "q109_date_templates" -> ((s, dir) => {
+      import graft.functions.TimeFunctions
+      val ts = col("o_orderdate").cast("timestamp")
+      T(s, dir, "orders").select(
+        col("o_orderkey"),
+        TimeFunctions.toChar(ts, "YYYY-MM-DD HH24:MI").as("pg_fmt"),
+        TimeFunctions.dateFormatMySql(ts, "%Y-%m").as("mysql_ym"),
+        TimeFunctions.toChar(ts, "DD Mon YYYY").as("pg_mon"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // CBO-fed join: catalog tables ANALYZE'd first (TableStatsService.java
+    // analogue), so joinReorder/broadcast decisions run on real stats.
+    "q110_cbo_join" -> ((s, dir) => {
+      graft.Tables.registerAllWithStats(s, dir)
+      s.sql("""
+        SELECT r_name, o_orderpriority, count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, o_orderpriority
+        ORDER BY r_name, o_orderpriority""")
+    }),
+
     // regexp_matches first-match capture groups (no 'g' flag): an array of
     // group values, or NULL when the pattern does not match.
     "q105_regexp_matches" -> ((s, dir) => {
@@ -223,6 +278,38 @@ object QueriesFunctions5 {
            WHERE i.term IN ('spark', 'filter', 'window')
            GROUP BY i.doc_id
            ORDER BY score DESC, i.doc_id LIMIT 20)""",
+    "q107_length_funcs" ->
+      """SELECT n_nationkey,
+                length(txt) AS n_chars,
+                octet_length(encode(txt)) AS n_bytes,
+                bit_length(txt) AS n_bits
+         FROM (SELECT n_nationkey, n_name || 'é→' || n_name AS txt FROM nation)
+         ORDER BY n_nationkey""",
+    "q108_ip_order" ->
+      """SELECT event_id, ip,
+                CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216
+                + CAST(split_part(ip, '.', 2) AS BIGINT) * 65536
+                + CAST(split_part(ip, '.', 3) AS BIGINT) * 256
+                + CAST(split_part(ip, '.', 4) AS BIGINT) AS ip_num
+         FROM (SELECT event_id,
+                      (event_id % 250 + 1) || '.' || (user_id % 256) || '.0.'
+                        || (event_id % 100) AS ip
+               FROM events WHERE event_id < 500)
+         ORDER BY ip_num, event_id LIMIT 200""",
+    "q109_date_templates" ->
+      """SELECT o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d %H:%M') AS pg_fmt,
+                strftime(o_orderdate, '%Y-%m') AS mysql_ym,
+                strftime(o_orderdate, '%d %b %Y') AS pg_mon
+         FROM orders ORDER BY o_orderkey""",
+    "q110_cbo_join" ->
+      """SELECT r_name, o_orderpriority, count(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, o_orderpriority
+         ORDER BY r_name, o_orderpriority""",
     "q105_regexp_matches" ->
       """SELECT c_custkey,
                 CASE WHEN regexp_matches(nm, '([a-z]+)#(\d+)')

@@ -69,4 +69,23 @@ object Dml {
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
   def readTable(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** Atomically publish `next` as the new version of the Parquet table at
+    * `path` — the commit protocol that makes copy-on-write DML real (the
+    * reference gets the same guarantee from the Lucene translog,
+    * `execution/dml/upsert/TransportShardUpsertAction.java:91`):
+    *
+    *  1. `next` (which may read FROM `path`) is fully materialized into a
+    *     staging dir — the source is still intact if the job dies here;
+    *  2. the staging write's `_SUCCESS` marker is verified;
+    *  3. old and new are swapped by rename only ([[Maintenance.atomicSwap]]),
+    *     so every moment in time has at least one complete copy on disk.
+    *
+    * Readers racing the swap see the old or the new version, never a
+    * partial one. */
+  def commitVersion(spark: SparkSession, next: DataFrame, path: String): Unit = {
+    val staging = path + "__staging"
+    next.write.mode("overwrite").parquet(staging)
+    Maintenance.atomicSwap(spark, staging, path)
+  }
 }

@@ -19,21 +19,27 @@ object Maintenance {
     val files = math.max(1, (bytes / (targetFileMB.toLong * 1024 * 1024)).toInt)
     val tmp = path + "__optimized"
     df.repartition(files).write.mode("overwrite").parquet(tmp)
+    atomicSwap(spark, tmp, path)
+  }
+
+  /** Publish the committed staging dir `tmp` as the new content of `dst` —
+    * swap via rename, never delete-first: a crash mid-swap leaves BOTH
+    * copies on disk (the old one at `dst__prev`), so no window loses the
+    * table. The staging write must have produced a `_SUCCESS` marker (the
+    * Hadoop committer's commit record) or the swap refuses to run. */
+  def atomicSwap(spark: SparkSession, tmp: String, dst: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
+    val dstP = new org.apache.hadoop.fs.Path(dst)
     val tmpP = new org.apache.hadoop.fs.Path(tmp)
-    val oldP = new org.apache.hadoop.fs.Path(path + "__pre_optimize")
-    // verify the rewrite committed before touching the original
+    val oldP = new org.apache.hadoop.fs.Path(dst + "__prev")
     require(fs.exists(new org.apache.hadoop.fs.Path(tmpP, "_SUCCESS")),
-      s"optimize aborted: rewrite of $path did not commit")
-    // swap via rename, never delete-first: a crash mid-swap leaves BOTH
-    // copies on disk (old at __pre_optimize), so no window loses the table.
+      s"swap aborted: staging write $tmp did not commit")
     fs.delete(oldP, true)
-    if (!fs.rename(dst, oldP))
-      throw new java.io.IOException(s"optimize: could not move $dst aside")
-    if (!fs.rename(tmpP, dst)) {
-      fs.rename(oldP, dst) // roll back
-      throw new java.io.IOException(s"optimize: could not publish $tmp; rolled back")
+    if (!fs.rename(dstP, oldP))
+      throw new java.io.IOException(s"swap: could not move $dst aside")
+    if (!fs.rename(tmpP, dstP)) {
+      fs.rename(oldP, dstP) // roll back
+      throw new java.io.IOException(s"swap: could not publish $tmp; rolled back")
     }
     fs.delete(oldP, true)
   }

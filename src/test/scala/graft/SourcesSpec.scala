@@ -59,6 +59,22 @@ class DmlSpec extends SparkTestBase {
     assert(out == Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)))
   }
 
+  test("commitVersion: read-modify-write on the same path is atomic") {
+    val dir = java.nio.file.Files.createTempDirectory("dml").toFile.getAbsolutePath + "/t"
+    target.write.parquet(dir)
+    // next version reads FROM the path it will replace — the staging dir
+    // makes that safe
+    val cur = Dml.readTable(spark, dir)
+    val next = Dml.upsertReplace(cur,
+      Seq((2L, "B!", 99.0), (4L, "d", 40.0)).toDF("id", "name", "val"), Seq("id"))
+    Dml.commitVersion(spark, next, dir)
+    val out = spark.read.parquet(dir).orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "B!", 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+    // no staging/prev leftovers
+    val parent = new java.io.File(dir).getParentFile
+    assert(parent.listFiles().map(_.getName).toSet == Set("t"))
+  }
+
   test("upsert DO UPDATE replaces and inserts (MERGE semantics)") {
     val rows = Seq((2L, "B!", 99.0), (4L, "d", 40.0)).toDF("id", "name", "val")
     val out = Dml.upsertReplace(target, rows, Seq("id"))
