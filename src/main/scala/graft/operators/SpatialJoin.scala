@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.functions.GeoNetFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed radius (distance) join over geo points.
+  *
+  * Reference surface: `within(point, shape)` / `distance(p1, p2) < r`
+  * predicates (`expression/scalar/geo/DistanceFunction.java`,
+  * `WithinFunction.java`) — on Lucene these run against a spatial index; a
+  * naive Spark translation is a cross join, which is O(|A|·|B|) and dead at
+  * 100 TB.
+  *
+  * Scale design — grid blocking: each point maps to an integer
+  * (lat, lon) cell sized so the radius spans at most one neighbor ring; the
+  * LEFT side explodes to its 3×3 neighbor cells (9 narrow rows), the RIGHT
+  * side keeps one row per point, and the candidate join is an equi-join on
+  * the cell key that Catalyst shuffles/broadcasts like any other. Haversine
+  * verifies candidates. Same shape as the LSH band-bucket dedup joins:
+  * block → equi-join → verify.
+  */
+object SpatialJoin {
+
+  /** All (a, b) pairs within `radiusKm`, points as `array(lon, lat)`
+    * columns. Output: aIdCol, bIdCol, dist_km. `cellDeg` must be ≥ the
+    * radius in LONGITUDE degrees at the highest latitude present
+    * (radiusKm / 111 / cos(maxLat)) — the default sizes cells for the
+    * equator only. Caveats (documented limits, same as one grid level of a
+    * spatial index): points straddling the ±180° antimeridian are not
+    * paired (seam cells are not duplicated), and data above ~±80° latitude
+    * should use a polar-cap cell override. */
+  def radiusJoin(a: DataFrame, b: DataFrame, radiusKm: Double,
+                 aIdCol: String, aPtCol: String,
+                 bIdCol: String, bPtCol: String,
+                 cellDeg: Double = 0.0): DataFrame = {
+    // 1° latitude ≈ 111.32 km; longitude shrinks with cos(lat), so the
+    // equator-sized cell is the conservative lower bound for latitude
+    // bands; the 3×3 ring covers the radius as long as cell ≥ radius.
+    val cell = if (cellDeg > 0) cellDeg else math.max(radiusKm / 111.0, 0.5)
+    val aPts = a.select(col(aIdCol).as("__aid"),
+      GeoNetFunctions.longitude(col(aPtCol)).as("__alon"),
+      GeoNetFunctions.latitude(col(aPtCol)).as("__alat"))
+    val bPts = b.select(col(bIdCol).as("__bid"),
+      GeoNetFunctions.longitude(col(bPtCol)).as("__blon"),
+      GeoNetFunctions.latitude(col(bPtCol)).as("__blat"))
+    val offsets = Seq(-1, 0, 1).flatMap(dy => Seq(-1, 0, 1).map(dx => (dx, dy)))
+    val offCol = array(offsets.map { case (dx, dy) =>
+      struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    }: _*)
+    val aCells = aPts
+      .withColumn("__o", explode(offCol))
+      .select(col("__aid"), col("__alon"), col("__alat"),
+        concat_ws(":",
+          (floor(col("__alat") / cell) + col("__o.dy")).cast("long"),
+          (floor(col("__alon") / cell) + col("__o.dx")).cast("long")).as("__cell"))
+    val bCells = bPts.select(col("__bid"), col("__blon"), col("__blat"),
+      concat_ws(":",
+        floor(col("__blat") / cell).cast("long"),
+        floor(col("__blon") / cell).cast("long")).as("__cell"))
+    aCells.join(bCells, Seq("__cell"))
+      .withColumn("dist_km",
+        GeoNetFunctions.haversineDistance(
+          array(col("__alon"), col("__alat")),
+          array(col("__blon"), col("__blat"))) / 1000.0)
+      .filter(col("dist_km") <= radiusKm)
+      .select(col("__aid").as(aIdCol), col("__bid").as(bIdCol),
+        round(col("dist_km"), 4).as("dist_km"))
+      .dropDuplicates(aIdCol, bIdCol)
+  }
+}

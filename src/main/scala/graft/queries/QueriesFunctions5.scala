@@ -142,6 +142,36 @@ object QueriesFunctions5 {
         .orderBy(col("o_orderkey"))
     }),
 
+    // As-of join (latest right row at or before each left timestamp) as a
+    // single window pass — DuckDB's native ASOF JOIN is the oracle.
+    "q111_asof_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"))
+      // sparse "tier changes" stream: every 20th event sets the user's tier;
+      // ts made unique per (user, ts) so the match is well-defined
+      val tiers = ev.filter(col("event_id") % 20 === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id") % 7).as("tier"))
+      graft.operators.Temporal.asofJoin(ev, tiers, Seq("user_id"), "ts", Seq("tier"))
+        .select(col("event_id"), col("tier"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Distance join via grid blocking (block → equi-join → haversine
+    // verify); the oracle is the brute-force cross join, feasible at sf0.01.
+    "q112_geo_radius_join" -> ((s, dir) => {
+      val cust = T(s, dir, "customer").select(col("c_custkey"),
+        array((col("c_custkey") % 180 - 90).cast("double") + 0.5,
+          (col("c_custkey") % 120 - 60).cast("double") + 0.5).as("pt"))
+      val supp = T(s, dir, "supplier").select(col("s_suppkey"),
+        array((col("s_suppkey") * 37 % 180 - 90).cast("double") + 0.25,
+          (col("s_suppkey") * 53 % 120 - 60).cast("double") + 0.25).as("pt"))
+      // fixtures span ±60° lat → cell ≥ 1000/111/cos(60°) ≈ 18°
+      graft.operators.SpatialJoin.radiusJoin(cust, supp, radiusKm = 1000.0,
+        "c_custkey", "pt", "s_suppkey", "pt", cellDeg = 18.1)
+        .orderBy(col("c_custkey"), col("s_suppkey"))
+    }),
+
     // CBO-fed join: catalog tables ANALYZE'd first (TableStatsService.java
     // analogue), so joinReorder/broadcast decisions run on real stats.
     "q110_cbo_join" -> ((s, dir) => {
@@ -302,6 +332,32 @@ object QueriesFunctions5 {
                 strftime(o_orderdate, '%Y-%m') AS mysql_ym,
                 strftime(o_orderdate, '%d %b %Y') AS pg_mon
          FROM orders ORDER BY o_orderkey""",
+    "q111_asof_join" ->
+      """SELECT l.event_id, r.tier
+         FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) l
+         ASOF LEFT JOIN (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id % 7) AS tier
+           FROM events WHERE event_id % 20 = 0
+           GROUP BY user_id, CAST(ts AS TIMESTAMP)
+         ) r ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id""",
+    "q112_geo_radius_join" ->
+      """SELECT c_custkey, s_suppkey, round(dist_km, 4) AS dist_km FROM (
+           SELECT c.c_custkey, s.s_suppkey,
+                  2 * 6371.0088 * asin(least(1.0, sqrt(
+                    pow(sin(radians(s.lat - c.lat) / 2), 2)
+                    + cos(radians(c.lat)) * cos(radians(s.lat))
+                      * pow(sin(radians(s.lon - c.lon) / 2), 2)))) AS dist_km
+           FROM (SELECT c_custkey,
+                        CAST(c_custkey % 180 - 90 AS DOUBLE) + 0.5 AS lon,
+                        CAST(c_custkey % 120 - 60 AS DOUBLE) + 0.5 AS lat
+                 FROM customer) c
+           CROSS JOIN (SELECT s_suppkey,
+                              CAST(s_suppkey * 37 % 180 - 90 AS DOUBLE) + 0.25 AS lon,
+                              CAST(s_suppkey * 53 % 120 - 60 AS DOUBLE) + 0.25 AS lat
+                       FROM supplier) s)
+         WHERE dist_km <= 1000.0
+         ORDER BY c_custkey, s_suppkey""",
     "q110_cbo_join" ->
       """SELECT r_name, o_orderpriority, count(*) AS n_orders
          FROM orders

@@ -100,6 +100,48 @@ class SimilaritySpec extends SparkTestBase {
   }
 }
 
+class TemporalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("asof join carries the latest prior right value, inclusive ties") {
+    val left = Seq((1L, "u", 10L), (2L, "u", 20L), (3L, "u", 25L), (4L, "v", 5L))
+      .toDF("id", "k", "t")
+    val right = Seq(("u", 10L, "a"), ("u", 22L, "b"), ("v", 9L, "z"))
+      .toDF("k", "t", "tag")
+    val out = Temporal.asofJoin(left, right, Seq("k"), "t", Seq("tag"))
+      .select("id", "tag").as[(Long, String)].collect().toMap
+    // id=1: right at t=10 matches inclusively; id=3: latest ≤25 is t=22;
+    // id=4: no right row at or before t=5 → null
+    assert(out == Map(1L -> "a", 2L -> "a", 3L -> "b", 4L -> null))
+  }
+}
+
+class SpatialJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("radius join finds cross-cell neighbors and excludes far points") {
+    // two points 0.9° apart straddling a cell boundary, one far away
+    val a = Seq((1L, Seq(0.05, 0.0)), (2L, Seq(50.0, 10.0))).toDF("aid", "pt")
+    val b = Seq((10L, Seq(-0.85, 0.0)), (20L, Seq(120.0, 40.0))).toDF("bid", "pt")
+    val pairs = SpatialJoin.radiusJoin(a, b, radiusKm = 150.0, "aid", "pt", "bid", "pt")
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 10L)))
+  }
+
+  test("radius join equals brute force on fixture points") {
+    val pts = (1L to 60L).map(i =>
+      (i, Seq((i % 50 - 25) * 1.0 + 0.3, (i % 30 - 15) * 1.0 + 0.7))).toDF("id", "pt")
+    val blocked = SpatialJoin.radiusJoin(pts, pts.toDF("id2", "pt"), 500.0,
+        "id", "pt", "id2", "pt")
+      .filter($"id" < $"id2").select("id", "id2").as[(Long, Long)].collect().toSet
+    val brute = pts.as("x").crossJoin(pts.toDF("id2", "pt2").as("y"))
+      .filter($"id" < $"id2")
+      .filter(graft.functions.GeoNetFunctions.haversineDistance($"pt", $"pt2") / 1000.0 <= 500.0)
+      .select("id", "id2").as[(Long, Long)].collect().toSet
+    assert(blocked == brute)
+  }
+}
+
 class TextAnalysisSpec extends SparkTestBase {
   import spark.implicits._
 
