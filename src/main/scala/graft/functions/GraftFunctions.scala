@@ -108,6 +108,16 @@ object GraftFunctions {
       exprs => graft.plans.CosineSimilarityExpr(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_dot",
       exprs => graft.plans.DotProductExpr(exprs(0), exprs(1)), "scala_udf")
+    def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      e.eval(null) match {
+        case i: Int  => i
+        case l: Long => l.toInt
+        case other   => throw new IllegalArgumentException(
+          s"graft_minhash_bands expects integer literals, got $other")
+      }
+    reg.createOrReplaceTempFunction("graft_minhash_bands",
+      exprs => graft.plans.MinHashBandsExpr(exprs(0),
+        litInt(exprs(1)), litInt(exprs(2)), litInt(exprs(3))), "scala_udf")
 
     // UDF→native promotion rule (see plans.GraftExtensions; injected here
     // dynamically so driver-owned sessions get it without a restart).

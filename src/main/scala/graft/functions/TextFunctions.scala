@@ -94,6 +94,12 @@ object TextFunctions {
     sig
   }
 
+  /** Fused text → LSH band keys kernel (signature never escapes the local
+    * frame). Called from the codegen'd `MinHashBandsExpr` — keep this a
+    * plain static-forwardable method so generated Java can reach it. */
+  def minhashBandKeys(text: String, shingleSize: Int, numHashes: Int, bands: Int): Array[Long] =
+    bandKeys(minhashSignature(text, shingleSize, numHashes), bands)
+
   /** LSH band keys from a signature: hash of each band's rows. */
   def bandKeys(sig: Array[Long], bands: Int): Array[Long] = {
     val rows = sig.length / bands

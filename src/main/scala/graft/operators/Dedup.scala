@@ -57,13 +57,14 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 128, bands: Int = 16, shingleSize: Int = 5,
                    threshold: Double = 0.7, maxBucket: Int = 200): DataFrame = {
-    val bandUdf = udf((sig: Seq[Long]) =>
-      if (sig == null) null else TextFunctions.bandKeys(sig.toArray, bands))
+    graft.functions.GraftFunctions.registerAll(df.sparkSession)
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
     val keyed = base
-      .withColumn("sig", TextFunctions.minhash(col("text"), shingleSize, numHashes))
+      // fused codegen'd text→band-keys expression (plans.MinHashBandsExpr):
+      // one native call per doc, signature never materialized in the row
+      .select(col("id"), posexplode(call_function("graft_minhash_bands",
+        col("text"), lit(shingleSize), lit(numHashes), lit(bands))).as(Seq("pos", "bkey")))
       // band# folded into the key so buckets from different bands can't mix
-      .select(col("id"), posexplode(bandUdf(col("sig"))).as(Seq("pos", "bkey")))
       .select(col("id"), xxhash64(col("pos"), col("bkey")).as("key"))
 
     coBucketedPairs(keyed, maxBucket)

@@ -1,0 +1,47 @@
+package graft.plans
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd text → MinHash LSH band keys, fused into one expression.
+  *
+  * The dedup hot path previously ran TWO Scala UDFs per document (signature,
+  * then band keys), each paying a serialization round-trip and breaking
+  * whole-stage codegen. This expression calls the same deterministic kernel
+  * (`TextFunctions.minhashBandKeys` — splitmix64/FNV family, shingle-dedup
+  * optimization) directly from generated code: the 128-long signature never
+  * leaves the local frame, and the projection stays inside the codegen span.
+  * Registered as `graft_minhash_bands` by `GraftFunctions.registerAll`.
+  */
+case class MinHashBandsExpr(child: Expression, shingleSize: Int,
+                            numHashes: Int, bands: Int)
+    extends UnaryExpression {
+
+  override def prettyName: String = "graft_minhash_bands"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextFunctions.minhashBandKeys(
+      input.asInstanceOf[UTF8String].toString, shingleSize, numHashes, bands))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.TextFunctions.minhashBandKeys(
+         |    $c.toString(), $shingleSize, $numHashes, $bands));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
