@@ -35,45 +35,71 @@ object Quantified {
     case o    => throw new IllegalArgumentException(s"unsupported operator: $o")
   }
 
-  /** Adds boolean column `as` = `lhs op ANY(sub)`. `sub` must have exactly
-    * one column (the subquery select list). */
-  def anyComparison(df: DataFrame, lhs: Column, op: String, sub: DataFrame,
-                    as: String): DataFrame = {
+  /** One comparison to evaluate in a [[comparisons]] batch: `quantifier` is
+    * "any" or "all". */
+  final case class Spec(lhs: Column, op: String, quantifier: String, as: String)
+
+  private def summarize(sub: DataFrame): DataFrame = {
     require(sub.columns.length == 1, "quantified subquery must select one column")
     val v = col(sub.columns.head)
-    val summary = sub.agg(
+    sub.agg(
       min(v).as("__minv"), max(v).as("__maxv"),
       count(lit(1)).as("__cnt"),
       sum(when(v.isNull, 1).otherwise(0)).as("__nnull"))
-    val withS = df.crossJoin(broadcast(summary))
-    val out = op match {
-      case ">" | ">=" | "<" | "<=" | "!=" =>
-        val probe = op match {
-          case ">"  => lhs > col("__minv")
-          case ">=" => lhs >= col("__minv")
-          case "<"  => lhs < col("__maxv")
-          case "<=" => lhs <= col("__maxv")
-          // ∃v ≠ x ⟺ min ≠ x or max ≠ x (over non-null values)
-          case "!=" => (lhs =!= col("__minv")) || (lhs =!= col("__maxv"))
-        }
-        withS.withColumn(as,
-          when(col("__cnt") === 0, lit(false))
-            .when(probe, lit(true)) // NULL probe falls through
-            .when(col("__nnull") > 0 || lhs.isNull, lit(null).cast("boolean"))
-            .otherwise(lit(false)))
-      case "=" =>
-        val probe = sub.select(v.as("__v")).where(col("__v").isNotNull).distinct()
-        withS.withColumn("__lhs", lhs)
-          .join(probe, col("__lhs") === col("__v"), "left")
-          .withColumn(as,
-            when(col("__cnt") === 0, lit(false))
-              .when(col("__v").isNotNull, lit(true))
-              .when(col("__nnull") > 0 || col("__lhs").isNull, lit(null).cast("boolean"))
-              .otherwise(lit(false)))
-          .drop("__lhs", "__v")
-      case o => throw new IllegalArgumentException(s"unsupported operator: $o")
+  }
+
+  private def anyOrderingResult(lhs: Column, op: String): Column = {
+    val probe = op match {
+      case ">"  => lhs > col("__minv")
+      case ">=" => lhs >= col("__minv")
+      case "<"  => lhs < col("__maxv")
+      case "<=" => lhs <= col("__maxv")
+      // ∃v ≠ x ⟺ min ≠ x or max ≠ x (over non-null values)
+      case "!=" => (lhs =!= col("__minv")) || (lhs =!= col("__maxv"))
+      case o    => throw new IllegalArgumentException(s"unsupported ordering operator: $o")
+    }
+    when(col("__cnt") === 0, lit(false))
+      .when(probe, lit(true)) // NULL probe falls through
+      .when(col("__nnull") > 0 || lhs.isNull, lit(null).cast("boolean"))
+      .otherwise(lit(false))
+  }
+
+  /** Evaluate MANY ordering comparisons against the SAME subquery with ONE
+    * summary scan and one broadcast — at scale the subquery aggregation is
+    * the dominant cost, so q-per-op rewrites (one scan each) waste |specs|−1
+    * scans. Membership ops (`= ANY` / `!= ALL`) need the join path — use
+    * [[anyComparison]]/[[allComparison]] for those. */
+  def comparisons(df: DataFrame, sub: DataFrame, specs: Seq[Spec]): DataFrame = {
+    val withS = df.crossJoin(broadcast(summarize(sub)))
+    val out = specs.foldLeft(withS) { (acc, s) =>
+      s.quantifier match {
+        case "any" => acc.withColumn(s.as, anyOrderingResult(s.lhs, s.op))
+        case "all" => acc.withColumn(s.as, !anyOrderingResult(s.lhs, negate(s.op)))
+        case q     => throw new IllegalArgumentException(s"unsupported quantifier: $q")
+      }
     }
     out.drop("__minv", "__maxv", "__cnt", "__nnull")
+  }
+
+  /** Adds boolean column `as` = `lhs op ANY(sub)`. `sub` must have exactly
+    * one column (the subquery select list). */
+  def anyComparison(df: DataFrame, lhs: Column, op: String, sub: DataFrame,
+                    as: String): DataFrame = op match {
+    case ">" | ">=" | "<" | "<=" | "!=" =>
+      comparisons(df, sub, Seq(Spec(lhs, op, "any", as)))
+    case "=" =>
+      val v = col(sub.columns.head)
+      val probe = sub.select(v.as("__v")).where(col("__v").isNotNull).distinct()
+      df.crossJoin(broadcast(summarize(sub)))
+        .withColumn("__lhs", lhs)
+        .join(probe, col("__lhs") === col("__v"), "left")
+        .withColumn(as,
+          when(col("__cnt") === 0, lit(false))
+            .when(col("__v").isNotNull, lit(true))
+            .when(col("__nnull") > 0 || col("__lhs").isNull, lit(null).cast("boolean"))
+            .otherwise(lit(false)))
+        .drop("__lhs", "__v", "__minv", "__maxv", "__cnt", "__nnull")
+    case o => throw new IllegalArgumentException(s"unsupported operator: $o")
   }
 
   /** Adds boolean column `as` = `lhs op ALL(sub)` via the De Morgan dual. */

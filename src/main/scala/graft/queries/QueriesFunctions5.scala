@@ -28,10 +28,12 @@ object QueriesFunctions5 {
       val base = T(s, dir, "customer").select(col("c_custkey"),
         when(col("c_custkey") % 11 === 0, lit(null).cast("double"))
           .otherwise(col("c_acctbal")).as("bal"))
-      val a = Quantified.anyComparison(base, col("bal") * 20, ">", sub, "gt_any")
-      val b = Quantified.anyComparison(a, col("bal") * 20, "<", sub, "lt_any")
-      val c = Quantified.anyComparison(b, col("bal") * 20, "!=", sub, "ne_any")
-      Quantified.anyComparison(c, col("bal"), ">", subEmpty, "gt_any_empty")
+      // batched: one summary scan serves all three comparisons on `sub`
+      val batched = Quantified.comparisons(base, sub, Seq(
+        Quantified.Spec(col("bal") * 20, ">", "any", "gt_any"),
+        Quantified.Spec(col("bal") * 20, "<", "any", "lt_any"),
+        Quantified.Spec(col("bal") * 20, "!=", "any", "ne_any")))
+      Quantified.anyComparison(batched, col("bal"), ">", subEmpty, "gt_any_empty")
         .orderBy(col("c_custkey"))
     }),
 
@@ -48,7 +50,9 @@ object QueriesFunctions5 {
       val base = T(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"),
         when(col("c_custkey") % 11 === 0, lit(null).cast("double"))
           .otherwise(col("c_acctbal")).as("bal"))
-      val a = Quantified.allComparison(base, col("bal") * 20, ">", sub, "gt_all")
+      val a = Quantified.comparisons(base, sub, Seq(
+        Quantified.Spec(col("bal") * 20, ">", "all", "gt_all")))
+      // != ALL is NOT IN — membership, so it takes the join path
       val b = Quantified.allComparison(a, col("bal"), "!=", sub, "ne_all")
       val c = Quantified.allComparison(b, col("bal"), "<", subEmpty, "lt_all_empty")
       Quantified.anyComparison(c, col("c_mktsegment"), "=", segs, "seg_eq_any")
@@ -170,6 +174,22 @@ object QueriesFunctions5 {
       graft.operators.SpatialJoin.radiusJoin(cust, supp, radiusKm = 1000.0,
         "c_custkey", "pt", "s_suppkey", "pt", cellDeg = 18.1)
         .orderBy(col("c_custkey"), col("s_suppkey"))
+    }),
+
+    // Array long tail part 2 (ArrayFunctions in the reference scalar pack):
+    // position, remove, compact (null-strip), slice, reverse, flatten.
+    "q113_array_funcs2" -> ((s, dir) => {
+      val arr = sequence(lit(1L), (col("p_size") % 6 + 3).cast("long"))
+      val withNull = concat(arr, array(lit(null).cast("long")), arr)
+      T(s, dir, "part").select(
+        col("p_partkey"),
+        array_position(withNull, 7L).as("pos7"),
+        to_json(array_remove(arr, 2L)).as("no2"),
+        to_json(array_compact(withNull)).as("compacted"),
+        to_json(slice(arr, 2, 3)).as("sliced"),
+        to_json(reverse(arr)).as("rev"),
+        to_json(flatten(array(arr, arr))).as("flat"))
+        .orderBy(col("p_partkey"))
     }),
 
     // CBO-fed join: catalog tables ANALYZE'd first (TableStatsService.java
@@ -358,6 +378,19 @@ object QueriesFunctions5 {
                        FROM supplier) s)
          WHERE dist_km <= 1000.0
          ORDER BY c_custkey, s_suppkey""",
+    "q113_array_funcs2" ->
+      """SELECT p_partkey,
+                list_position(with_null, 7) AS pos7,
+                CAST(to_json(list_filter(arr, x -> x != 2)) AS VARCHAR) AS no2,
+                CAST(to_json(list_filter(with_null, x -> x IS NOT NULL)) AS VARCHAR) AS compacted,
+                CAST(to_json(arr[2:4]) AS VARCHAR) AS sliced,
+                CAST(to_json(list_reverse(arr)) AS VARCHAR) AS rev,
+                CAST(to_json(flatten([arr, arr])) AS VARCHAR) AS flat
+         FROM (SELECT p_partkey, arr, arr || [NULL] || arr AS with_null
+               FROM (SELECT p_partkey,
+                            generate_series(CAST(1 AS BIGINT), p_size % 6 + 3) AS arr
+                     FROM part))
+         ORDER BY p_partkey""",
     "q110_cbo_join" ->
       """SELECT r_name, o_orderpriority, count(*) AS n_orders
          FROM orders

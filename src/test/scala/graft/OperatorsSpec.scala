@@ -100,6 +100,51 @@ class SimilaritySpec extends SparkTestBase {
   }
 }
 
+class QuantifiedSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.operators.Quantified
+
+  private def run(df: org.apache.spark.sql.DataFrame): Map[Int, Any] =
+    df.collect().map(r => r.getInt(0) -> r.get(r.length - 1)).toMap
+
+  test("3VL truth table: ordering ANY/ALL with nulls and empty subquery") {
+    val base = Seq((1, Some(5.0)), (2, None: Option[Double])).toDF("id", "x")
+    val withNull = Seq(Some(3.0), None).toDF("v")
+    val empty = Seq.empty[Double].toDF("v")
+    // 5 > ANY {3, null} = TRUE; null lhs → NULL
+    assert(run(Quantified.anyComparison(base, $"x", ">", withNull, "r"))
+      == Map(1 -> true, 2 -> null))
+    // 5 < ANY {3, null}: 5<3 false, 5<null null → NULL
+    assert(run(Quantified.anyComparison(base, $"x", "<", withNull, "r"))
+      == Map(1 -> null, 2 -> null))
+    // ANY over empty set is FALSE even for null lhs
+    assert(run(Quantified.anyComparison(base, $"x", ">", empty, "r"))
+      == Map(1 -> false, 2 -> false))
+    // ALL over empty set is TRUE even for null lhs
+    assert(run(Quantified.allComparison(base, $"x", "<", empty, "r"))
+      == Map(1 -> true, 2 -> true))
+    // 5 > ALL {3, null}: 5>3 true, 5>null null → NULL; refuted lhs → FALSE
+    assert(run(Quantified.allComparison(base, $"x", ">", withNull, "r"))
+      == Map(1 -> null, 2 -> null))
+  }
+
+  test("3VL membership: = ANY and != ALL (NOT IN)") {
+    val base = Seq((1, Some(3.0)), (2, Some(9.0)), (3, None: Option[Double])).toDF("id", "x")
+    val withNull = Seq(Some(3.0), None).toDF("v")
+    val noNull = Seq(3.0, 4.0).toDF("v")
+    // membership hit → TRUE regardless of nulls; miss + null present → NULL
+    assert(run(Quantified.anyComparison(base, $"x", "=", withNull, "r"))
+      == Map(1 -> true, 2 -> null, 3 -> null))
+    assert(run(Quantified.anyComparison(base, $"x", "=", noNull, "r"))
+      == Map(1 -> true, 2 -> false, 3 -> null))
+    // NOT IN: hit → FALSE; miss with null in set → NULL (the classic trap)
+    assert(run(Quantified.allComparison(base, $"x", "!=", withNull, "r"))
+      == Map(1 -> false, 2 -> null, 3 -> null))
+    assert(run(Quantified.allComparison(base, $"x", "!=", noNull, "r"))
+      == Map(1 -> false, 2 -> true, 3 -> null))
+  }
+}
+
 class TemporalSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -402,6 +447,39 @@ class StreamStaticJoinSpec extends SparkTestBase {
       val tiers = spark.sql("SELECT event_id, tier FROM enriched ORDER BY event_id")
         .as[(Long, String)].collect().toSeq
       assert(tiers == Seq((1L, "gold"), (2L, "bronze"), (3L, "gold")))
+    } finally q.stop()
+  }
+}
+
+class StreamStreamJoinSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  test("watermarked stream-stream interval join pairs click with impression") {
+    implicit val sqlCtx = spark.sqlContext
+    val impressions = MemoryStream[Long]
+    val clicks = MemoryStream[Long]
+    val imp = impressions.toDF()
+      .select(col("value").as("ad_id"),
+        timestamp_seconds(lit(1000) + col("value")).as("imp_ts"))
+      .withWatermark("imp_ts", "10 seconds")
+    val clk = clicks.toDF()
+      .select(col("value").as("ad_id"),
+        timestamp_seconds(lit(1005) + col("value")).as("clk_ts"))
+      .withWatermark("clk_ts", "10 seconds")
+    // click must land within 30s after its impression — the state-bounded
+    // interval join Structured Streaming supports at scale
+    val q = imp.as("imp").join(clk.as("clk"),
+        expr("imp.ad_id = clk.ad_id AND clk_ts BETWEEN imp_ts AND imp_ts + INTERVAL 30 seconds"))
+      .select(col("imp.ad_id").as("ad_id"))
+      .writeStream.format("memory").queryName("attributed").outputMode("append").start()
+    try {
+      impressions.addData(1L, 2L, 3L)
+      clicks.addData(1L, 3L)
+      q.processAllAvailable()
+      val hits = spark.sql("SELECT ad_id FROM attributed ORDER BY ad_id")
+        .as[Long].collect().toSeq
+      assert(hits == Seq(1L, 3L))
     } finally q.stop()
   }
 }
