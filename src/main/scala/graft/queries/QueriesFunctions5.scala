@@ -176,6 +176,38 @@ object QueriesFunctions5 {
         .orderBy(col("c_custkey"), col("s_suppkey"))
     }),
 
+    // generate_series over dates with an interval step (reference
+    // `tablefunctions/GenerateSeries.java` timestamp overloads; q53 covers
+    // the numeric form).
+    "q115_series_ts" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT n_nationkey, CAST(d AS DATE) AS d
+        FROM (SELECT n_nationkey,
+                     explode(sequence(DATE'2024-01-01',
+                       date_add(DATE'2024-01-01', CAST(n_nationkey % 3 + 2 AS INT)),
+                       interval 1 day)) AS d
+              FROM nation)
+        ORDER BY n_nationkey, d""")
+    }),
+
+    // Statistical aggregates round 2: exact median/percentile, correlation,
+    // covariance, linear regression, bool_and/bool_or (reference
+    // `aggregation/impl/` corr/covar/regr pack).
+    "q114_stats_agg2" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT c_nationkey,
+               round(median(c_acctbal), 4) AS med_bal,
+               round(percentile(c_acctbal, 0.25), 4) AS p25,
+               round(corr(c_acctbal, CAST(c_custkey % 100 AS DOUBLE)), 4) AS corr_k,
+               round(covar_pop(c_acctbal, CAST(c_custkey % 100 AS DOUBLE)), 2) AS cov_k,
+               round(regr_slope(c_acctbal, CAST(c_custkey % 100 AS DOUBLE)), 4) AS slope_k,
+               bool_and(c_acctbal > -1000) AS all_above,
+               bool_or(c_acctbal > 9900) AS any_rich
+        FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")
+    }),
+
     // Array long tail part 2 (ArrayFunctions in the reference scalar pack):
     // position, remove, compact (null-strip), slice, reverse, flatten.
     "q113_array_funcs2" -> ((s, dir) => {
@@ -378,6 +410,24 @@ object QueriesFunctions5 {
                        FROM supplier) s)
          WHERE dist_km <= 1000.0
          ORDER BY c_custkey, s_suppkey""",
+    "q115_series_ts" ->
+      """SELECT n_nationkey, CAST(d AS DATE) AS d
+         FROM (SELECT n_nationkey,
+                      CAST(unnest(generate_series(DATE '2024-01-01',
+                        DATE '2024-01-01' + CAST(n_nationkey % 3 + 2 AS INT),
+                        INTERVAL 1 DAY)) AS DATE) AS d
+               FROM nation)
+         ORDER BY n_nationkey, d""",
+    "q114_stats_agg2" ->
+      """SELECT c_nationkey,
+                round(median(c_acctbal), 4) AS med_bal,
+                round(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+                round(corr(c_acctbal, CAST(c_custkey % 100 AS DOUBLE)), 4) AS corr_k,
+                round(covar_pop(c_acctbal, CAST(c_custkey % 100 AS DOUBLE)), 2) AS cov_k,
+                round(regr_slope(c_acctbal, CAST(c_custkey % 100 AS DOUBLE)), 4) AS slope_k,
+                bool_and(c_acctbal > -1000) AS all_above,
+                bool_or(c_acctbal > 9900) AS any_rich
+         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q113_array_funcs2" ->
       """SELECT p_partkey,
                 list_position(with_null, 7) AS pos7,

@@ -77,4 +77,14 @@ object CopyOps {
     val w = df.write.mode("overwrite").option("header", header.toString)
     (if (gzip) w.option("compression", "gzip") else w).csv(path)
   }
+
+  /** COPY TO in the engine-native columnar format, optionally
+    * value-partitioned (`COPY (query) TO dir WITH (format = parquet)
+    * PARTITION BY (col)`): what a pipeline stage hands to the next one.
+    * Partition columns become directory keys → downstream scans prune. */
+  def copyToParquet(df: DataFrame, path: String,
+                    partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
 }

@@ -257,6 +257,32 @@ class EngineSqlSpec extends SparkTestBase {
          GROUP BY doc_id ORDER BY doc_id LIMIT 5""")
     assert(df.count() == 5)
   }
+
+  test("translated constructs EXECUTE, not just parse: casts, subscripts, literals, ANY") {
+    Tables.registerAll(spark, sfDir)
+    graft.functions.GraftFunctions.registerAll(spark)
+    // :: casts on expressions + literals
+    val casts = Engine.sql(spark,
+      "SELECT (c_acctbal * 2)::bigint AS b, '42'::int AS i FROM customer LIMIT 1").head()
+    assert(casts.getInt(1) == 42)
+    // array literal, 1-based subscript, ANY over the array
+    val arr = Engine.sql(spark,
+      "SELECT [10, 20, 30][1] AS first_el, 20 = ANY([10, 20, 30]) AS has20").head()
+    assert(arr.getInt(0) == 10 && arr.getBoolean(1))
+    // OBJECT literal + field access through native bracket syntax
+    val obj = Engine.sql(spark,
+      "SELECT {name = 'x', rank = 3}['rank'] AS r").head()
+    assert(obj.getInt(0) == 3)
+    // multi-column MATCH over two text-ish columns
+    val m = Engine.sql(spark,
+      """SELECT count(*) AS n FROM documents
+         WHERE MATCH((text, lang), 'spark') AND lang = 'en'""").head()
+    assert(m.getLong(0) > 0)
+    // quantified ALL over array with a comparison operator
+    val all = Engine.sql(spark,
+      "SELECT 5 > ALL([1, 2, 3]) AS gt_all, 2 > ALL([1, 2, 3]) AS not_all").head()
+    assert(all.getBoolean(0) && !all.getBoolean(1))
+  }
 }
 
 /** §2.8 long-tail: parse_ident, escape encode/decode, array_set, session

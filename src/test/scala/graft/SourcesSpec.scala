@@ -11,6 +11,16 @@ class CopyOpsSpec extends SparkTestBase {
   private val schema = StructType(Seq(
     StructField("id", LongType), StructField("name", StringType)))
 
+  test("COPY TO parquet with PARTITION BY prunes downstream scans") {
+    val dir = Files.createTempDirectory("copypq").toFile.getAbsolutePath + "/out"
+    val df = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "x")).toDF("id", "v", "part")
+    CopyOps.copyToParquet(df, dir, partitionBy = Seq("part"))
+    assert(new java.io.File(dir, "part=x").isDirectory)
+    val pruned = spark.read.parquet(dir).filter(col("part") === "x")
+    assert(pruned.count() == 2)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
   test("COPY FROM json: good rows + RETURN SUMMARY error channel") {
     val dir = Files.createTempDirectory("copyjson").toFile
     val f = new java.io.File(dir, "in.json")
