@@ -42,6 +42,9 @@ object Tables {
     * TIMESTAMP(NANOS) column needs the converted temp view from [[load]]).
     * Idempotent; call once per session before stats-sensitive planning. */
   def registerAllWithStats(spark: SparkSession, dir: String): Unit = {
+    // stats are pointless unless the planner consumes them
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     names.filterNot(_ == "events").foreach { n =>
       spark.catalog.dropTempView(n)
       spark.sql(s"CREATE TABLE IF NOT EXISTS $n USING parquet LOCATION '$dir/$n.parquet'")

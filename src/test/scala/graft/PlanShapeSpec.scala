@@ -37,6 +37,32 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("partial_"))
   }
 
+  test("as-of join plans as window passes, not a range join") {
+    val plan = queries.QueriesFunctions5.queries("q111_asof_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // no join operator at all — the union+window formulation
+    assert(!plan.contains("Join"), "asof must not plan a join")
+    assert(plan.contains("Window"), "asof must carry values via a window")
+  }
+
+  test("geo radius join is a broadcast/hash equi-join on the cell key") {
+    val plan = queries.QueriesFunctions5.queries("q112_geo_radius_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "radius join must never fall back to a cross join")
+    assert(plan.contains("__cell"), "join key must be the grid cell")
+  }
+
+  test("quantified ordering comparisons broadcast one 1-row summary each") {
+    val plan = queries.QueriesFunctions5.queries("q101_quantified_any")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // two summary subqueries (sub + empty sub) → exactly 2 broadcast
+    // nested-loop joins of IdentityBroadcastMode 1-row relations; the big
+    // side is never shuffled for the comparison itself
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj == 2, s"expected 2 summary broadcasts, got $bnlj")
+  }
+
   test("ANALYZE feeds CBO: catalog tables carry rowCount statistics") {
     Tables.registerAllWithStats(spark, sfDir)
     for (t <- Seq("nation", "region", "customer", "orders")) {

@@ -119,6 +119,41 @@ class DmlSpec extends SparkTestBase {
   }
 }
 
+class VersionedTableSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("commit / read / time travel / transact / vacuum lifecycle") {
+    val path = java.nio.file.Files.createTempDirectory("vt").toFile.getAbsolutePath + "/t"
+    val v1 = VersionedTable.commit(spark,
+      path, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(v1 == 1)
+    // snapshot isolation: pin v1's DataFrame, commit v2, v1 read is unchanged
+    val snapshotV1 = VersionedTable.readVersion(spark, path, 1)
+    val v2 = VersionedTable.transact(spark, path,
+      cur => Dml.upsertReplace(cur, Seq((2L, "B!"), (3L, "c")).toDF("id", "v"), Seq("id")))
+    assert(v2 == 2)
+    assert(VersionedTable.read(spark, path).count() == 3)
+    assert(snapshotV1.count() == 2)
+    assert(VersionedTable.readVersion(spark, path, 1)
+      .orderBy("id").as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
+    assert(VersionedTable.read(spark, path)
+      .orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B!"), (3L, "c")))
+    // a crashed commit (data dir without manifest) is invisible to readers
+    Seq((9L, "junk")).toDF("id", "v").write
+      .parquet(path + "/data/v00099")
+    assert(VersionedTable.read(spark, path).count() == 3)
+    assert(VersionedTable.versions(spark, path) == Seq(1, 2))
+    // vacuum drops old versions and the orphan
+    VersionedTable.commit(spark, path, Seq((4L, "d")).toDF("id", "v"))
+    VersionedTable.vacuum(spark, path, keep = 1)
+    assert(VersionedTable.versions(spark, path) == Seq(3))
+    assert(!new java.io.File(path + "/data/v00099").exists)
+    assert(!new java.io.File(path + "/data/v00001").exists)
+    assert(VersionedTable.read(spark, path).count() == 1)
+  }
+}
+
 class InformationSchemaSpec extends SparkTestBase {
   test("tables and columns views reflect the catalog") {
     Tables.registerAll(spark, sfDir)
