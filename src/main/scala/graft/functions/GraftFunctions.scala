@@ -118,6 +118,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_minhash_bands",
       exprs => graft.plans.MinHashBandsExpr(exprs(0),
         litInt(exprs(1)), litInt(exprs(2)), litInt(exprs(3))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      exprs => graft.plans.SimHashExpr(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_fingerprint",
+      exprs => graft.plans.FingerprintExpr(exprs(0)), "scala_udf")
 
     // UDF→native promotion rule (see plans.GraftExtensions; injected here
     // dynamically so driver-owned sessions get it without a restart).

@@ -205,7 +205,10 @@ object TextFunctions {
 
   def minhash(text: Column, shingleSize: Int = 5, numHashes: Int = 128): Column =
     minhashUdf(text, lit(shingleSize), lit(numHashes))
-  def simhash(text: Column): Column = simhashUdf(text)
-  def fingerprint(text: Column): Column = fingerprintUdf(text)
+  // simhash/fingerprint route to the codegen'd native expressions
+  // (plans.TextExpressions) — requires GraftFunctions.registerAll, which
+  // every operator entry point calls.
+  def simhash(text: Column): Column = call_function("graft_simhash", text)
+  def fingerprint(text: Column): Column = call_function("graft_fingerprint", text)
   def languageOf(text: Column): Column = langIdUdf(text)
 }

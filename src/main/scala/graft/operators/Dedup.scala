@@ -99,6 +99,7 @@ object Dedup {
     * nothing but (chunk-key, id, 8-byte hash) is ever shuffled. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    hammingMax: Int = 3, maxBucket: Int = 200): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(df.sparkSession)
     val chunks = hammingMax + 1
     val chunkUdf = udf((h: Long) => TextFunctions.simhashChunks(h, chunks))
     val hashed = df.select(col(idCol).as("id"), col(textCol).as("text"))

@@ -176,6 +176,33 @@ object QueriesFunctions5 {
         .orderBy(col("c_custkey"), col("s_suppkey"))
     }),
 
+    // Time-series gap filling: hourly grid per user + last-observation-
+    // carried-forward over the gaps (the TSDB resample/locf pattern the
+    // reference serves with time-bucketed GROUP BYs + client-side fill).
+    "q116_gap_fill" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        WITH bounds AS (
+          SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS t0,
+                 date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS t1
+          FROM events WHERE user_id < 3),
+        users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 3),
+        grid AS (
+          SELECT user_id, explode(sequence(t0, t1, interval 1 hour)) AS h
+          FROM users CROSS JOIN bounds),
+        obs AS (
+          SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                 round(avg(value), 6) AS v
+          FROM events WHERE user_id < 3 GROUP BY 1, 2)
+        SELECT g.user_id, g.h,
+               last_value(o.v) IGNORE NULLS OVER (
+                 PARTITION BY g.user_id ORDER BY g.h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+               (o.v IS NULL) AS was_gap
+        FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+        ORDER BY g.user_id, g.h""")
+    }),
+
     // generate_series over dates with an interval step (reference
     // `tablefunctions/GenerateSeries.java` timestamp overloads; q53 covers
     // the numeric form).
@@ -410,6 +437,26 @@ object QueriesFunctions5 {
                        FROM supplier) s)
          WHERE dist_km <= 1000.0
          ORDER BY c_custkey, s_suppkey""",
+    "q116_gap_fill" ->
+      """WITH bounds AS (
+           SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS t0,
+                  date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS t1
+           FROM events WHERE user_id < 3),
+         users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 3),
+         grid AS (
+           SELECT user_id, unnest(generate_series(b.t0, b.t1, INTERVAL 1 HOUR)) AS h
+           FROM users, bounds b),
+         obs AS (
+           SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                  round(avg(value), 6) AS v
+           FROM events WHERE user_id < 3 GROUP BY 1, 2)
+         SELECT g.user_id, g.h,
+                last_value(o.v IGNORE NULLS) OVER (
+                  PARTITION BY g.user_id ORDER BY g.h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+                (o.v IS NULL) AS was_gap
+         FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+         ORDER BY g.user_id, g.h""",
     "q115_series_ts" ->
       """SELECT n_nationkey, CAST(d AS DATE) AS d
          FROM (SELECT n_nationkey,
