@@ -36,7 +36,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // backstop for stdout-prefix mangling: the same line on disk
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
