@@ -75,6 +75,14 @@ object Dialect {
           else k += 1
         }
         out += Tok(K.QId, s.substring(i, k)); i = k
+      } else if (c == '`') {
+        // backtick identifiers (already-Spark text, e.g. re-translation)
+        var k = i + 1; var open = true
+        while (k < n && open) {
+          if (s(k) == '`') { if (k + 1 < n && s(k + 1) == '`') k += 2 else { open = false; k += 1 } }
+          else k += 1
+        }
+        out += Tok(K.QId, s.substring(i, k)); i = k
       } else if (c.isLetter || c == '_') {
         var k = i; while (k < n && (s(k).isLetterOrDigit || s(k) == '_' || s(k) == '$')) k += 1
         out += Tok(K.Word, s.substring(i, k)); i = k
@@ -435,8 +443,42 @@ object Dialect {
     None
   }
 
+  /** `FETCH { FIRST | NEXT } [n] { ROW | ROWS } ONLY` → `LIMIT n` (n
+    * defaults to 1), and `OFFSET n { ROW | ROWS }` → `OFFSET n` — the
+    * SQL-standard forms CrateDB accepts and Spark does not. */
+  private def passFetchOffset(ts: Vector[Tok]): Option[Vector[Tok]] = {
+    var i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      if (t.kind == K.Word && t.is("fetch")) {
+        val w1 = nextSig(ts, i)
+        if (w1 >= 0 && (ts(w1).is("first") || ts(w1).is("next"))) {
+          var n = "1"
+          var k = nextSig(ts, w1)
+          if (k >= 0 && ts(k).kind == K.Num) { n = ts(k).text; k = nextSig(ts, k) }
+          if (k >= 0 && (ts(k).is("row") || ts(k).is("rows"))) {
+            val only = nextSig(ts, k)
+            if (only >= 0 && ts(only).is("only"))
+              return Some(ts.slice(0, i) ++ lex(s"LIMIT $n") ++ ts.slice(only + 1, ts.length))
+          }
+        }
+      }
+      if (t.kind == K.Word && t.is("offset")) {
+        val num = nextSig(ts, i)
+        if (num >= 0 && ts(num).kind == K.Num) {
+          val rw = nextSig(ts, num)
+          if (rw >= 0 && (ts(rw).is("row") || ts(rw).is("rows")))
+            return Some(ts.slice(0, num + 1) ++ ts.slice(rw + 1, ts.length))
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
   private val passes: Seq[Vector[Tok] => Option[Vector[Tok]]] =
-    Seq(passRenames, passMatch, passCasts, passAnyAll, passObjectLiteral, passBrackets)
+    Seq(passRenames, passMatch, passCasts, passAnyAll, passObjectLiteral,
+      passBrackets, passFetchOffset)
 
   def translate(stmt: String): String = {
     var ts = lex(stmt)
@@ -454,6 +496,15 @@ object Dialect {
       }
       rounds += 1
     }
-    render(ts)
+    // Final render: double-quoted identifiers (PG/CrateDB) become backticked
+    // (Spark) — left as QId tokens until now so the structural passes could
+    // recognize them. Done at render time only, so intermediate re-lexing
+    // during passes never sees backticks.
+    ts.map { t =>
+      if (t.kind == K.QId && t.text.startsWith("\"")) {
+        val inner = t.text.stripPrefix("\"").stripSuffix("\"").replace("\"\"", "\"")
+        "`" + inner.replace("`", "``") + "`"
+      } else t.text
+    }.mkString
   }
 }

@@ -135,6 +135,13 @@ class DialectSpec extends AnyFunSuite {
       "SELECT x FROM t WHERE x > ANY (SELECT y FROM u)",
     // UNION ALL / SELECT ALL must NOT trip the ALL rewrite
     "SELECT a FROM t UNION ALL SELECT b FROM u" -> "SELECT a FROM t UNION ALL SELECT b FROM u",
+    // SQL-standard FETCH/OFFSET forms
+    "SELECT a FROM t OFFSET 5 ROWS FETCH FIRST 10 ROWS ONLY" ->
+      "SELECT a FROM t OFFSET 5 LIMIT 10",
+    "SELECT a FROM t FETCH NEXT ROW ONLY" -> "SELECT a FROM t LIMIT 1",
+    // double-quoted identifiers → backticks (Spark reads "x" as a string)
+    "SELECT \"my col\" FROM \"weird table\"" -> "SELECT `my col` FROM `weird table`",
+    "SELECT \"a\"\"b\" FROM t" -> "SELECT `a\"b` FROM t",
     // MATCH: single col, multi-col with boosts, phrase
     "SELECT * FROM d WHERE MATCH(text, 'spark join')" ->
       "SELECT * FROM d WHERE (match_text(text, 'spark join'))",
