@@ -476,9 +476,63 @@ object Dialect {
     None
   }
 
+  /** `agg(args) FILTER (WHERE cond)` → `agg(CASE WHEN cond THEN args END)`
+    * (PG/CrateDB aggregate filter clause; Spark has no FILTER syntax).
+    * `count(*)` maps to `count(CASE WHEN cond THEN 1 END)`; a leading
+    * DISTINCT is preserved. Multi-argument aggregates are left untouched
+    * (no single-CASE equivalent). */
+  private def passFilterClause(ts: Vector[Tok]): Option[Vector[Tok]] = {
+    var i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      if (t.kind == K.Word && t.is("filter")) {
+        val closeArgs = prevSig(ts, i)
+        val par = nextSig(ts, i)
+        if (closeArgs >= 0 && ts(closeArgs).isSym(")") && par >= 0 && ts(par).isSym("(")) {
+          val openArgs = matchBack(ts, closeArgs)
+          val aggName = if (openArgs > 0) prevSig(ts, openArgs) else -1
+          val filterClose = matchFwd(ts, par)
+          val inner = ts.slice(par + 1, filterClose)
+          val innerFirst = inner.find(_.sig)
+          if (openArgs > 0 && aggName >= 0 && ts(aggName).kind == K.Word &&
+            !keywords(ts(aggName).text.toLowerCase) &&
+            filterClose > 0 && innerFirst.exists(_.is("where"))) {
+            val whereIdx = inner.indexWhere(_.is("where"))
+            val cond = render(inner.slice(whereIdx + 1, inner.length)).trim
+            val args = ts.slice(openArgs + 1, closeArgs)
+            val argsSig = args.filter(_.sig)
+            // bail on multi-arg aggregates (top-level comma)
+            val topComma = {
+              var depth = 0; var has = false
+              args.foreach { a =>
+                if (a.isSym("(")) depth += 1
+                else if (a.isSym(")")) depth -= 1
+                else if (a.isSym(",") && depth == 0) has = true
+              }
+              has
+            }
+            if (!topComma) {
+              val newArgs =
+                if (argsSig.length == 1 && argsSig.head.isSym("*"))
+                  s"CASE WHEN $cond THEN 1 END"
+                else if (argsSig.nonEmpty && argsSig.head.is("distinct"))
+                  s"DISTINCT CASE WHEN $cond THEN ${render(args.dropWhile(!_.is("distinct")).drop(1)).trim} END"
+                else
+                  s"CASE WHEN $cond THEN ${render(args).trim} END"
+              val repl = lex(ts(aggName).text + "(" + newArgs + ")")
+              return Some(ts.slice(0, aggName) ++ repl ++ ts.slice(filterClose + 1, ts.length))
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
   private val passes: Seq[Vector[Tok] => Option[Vector[Tok]]] =
     Seq(passRenames, passMatch, passCasts, passAnyAll, passObjectLiteral,
-      passBrackets, passFetchOffset)
+      passBrackets, passFetchOffset, passFilterClause)
 
   def translate(stmt: String): String = {
     var ts = lex(stmt)

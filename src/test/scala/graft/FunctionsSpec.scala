@@ -135,6 +135,13 @@ class DialectSpec extends AnyFunSuite {
       "SELECT x FROM t WHERE x > ANY (SELECT y FROM u)",
     // UNION ALL / SELECT ALL must NOT trip the ALL rewrite
     "SELECT a FROM t UNION ALL SELECT b FROM u" -> "SELECT a FROM t UNION ALL SELECT b FROM u",
+    // aggregate FILTER clause
+    "SELECT count(*) FILTER (WHERE x > 3) FROM t" ->
+      "SELECT count(CASE WHEN x > 3 THEN 1 END) FROM t",
+    "SELECT sum(v) FILTER (WHERE k = 'a') AS s FROM t" ->
+      "SELECT sum(CASE WHEN k = 'a' THEN v END) AS s FROM t",
+    "SELECT count(DISTINCT v) FILTER (WHERE ok) FROM t" ->
+      "SELECT count(DISTINCT CASE WHEN ok THEN v END) FROM t",
     // SQL-standard FETCH/OFFSET forms
     "SELECT a FROM t OFFSET 5 ROWS FETCH FIRST 10 ROWS ONLY" ->
       "SELECT a FROM t OFFSET 5 LIMIT 10",
