@@ -15,7 +15,6 @@ run / fork := true
 // JSON line from stdout, and sbt's default logger prepends "[info] " to
 // every forwarded line, which breaks that parse.
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
-Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -124,6 +124,44 @@ object Multimodal {
     }(enc)
   }
 
+  /** Nearest-neighbor resample of a (w0 × h0) pixel grid to (w × h). The
+    * resampling arithmetic is REAL — only the pixel source is the stub
+    * decoder; swap that and this is a production thumbnail pass. */
+  def resampleNearest(px: Array[Double], w0: Int, h0: Int,
+                      w: Int, h: Int): Array[Double] = {
+    val out = new Array[Double](w * h)
+    var y = 0
+    while (y < h) {
+      val sy = math.min(h0 - 1, y * h0 / h)
+      var x = 0
+      while (x < w) {
+        out(y * w + x) = px(sy * w0 + math.min(w0 - 1, x * w0 / w))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Resize pass: decode (stub) at source resolution, nearest-neighbor
+    * resample to (w × h), emit the thumbnail vector. Same `mapPartitions`
+    * batch shape as [[extractFeatures]] so a real codec amortizes init. */
+  def resize(media: DataFrame, w: Int, h: Int,
+             srcW: Int = 8, srcH: Int = 8): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("thumb", ArrayType(DoubleType), nullable = false),
+      StructField("thumb_w", IntegerType, nullable = false),
+      StructField("thumb_h", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(outSchema)
+    media.select("asset_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val px = decodeStub(r.getAs[Array[Byte]]("payload"), srcW * srcH)
+        Row(r.getLong(0), resampleNearest(px, srcW, srcH, w, h).toSeq, w, h)
+      }
+    }(enc)
+  }
+
   /** Frame sampling stub for video: one pseudo-frame per `everyMs`. */
   def sampleFrames(media: DataFrame, everyMs: Long = 1000L): DataFrame =
     media.filter(col("media_type") === "video")

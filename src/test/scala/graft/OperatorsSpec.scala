@@ -300,6 +300,20 @@ class MultimodalSpec extends SparkTestBase {
     val frames = Multimodal.sampleFrames(media, everyMs = 500)
     assert(frames.count() > 0)
   }
+
+  test("resize: nearest-neighbor resample preserves grid structure") {
+    // pure-kernel check: 2× downsample picks every other source pixel
+    val src = Array.tabulate(64)(_.toDouble) // 8×8 grid: px(y*8+x)=y*8+x
+    val out = Multimodal.resampleNearest(src, 8, 8, 4, 4)
+    assert(out.length == 16)
+    assert(out(0) == 0.0 && out(5) == src(2 * 8 + 2) && out(15) == src(6 * 8 + 6))
+    // distributed pass: stable schema, one thumb per asset
+    val docs = Tables.load(spark, sfDir, "documents").filter(col("doc_id") < 10)
+    val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    val thumbs = Multimodal.resize(media, 4, 4).collect()
+    assert(thumbs.length == 10)
+    assert(thumbs.forall(_.getSeq[Double](1).length == 16))
+  }
 }
 
 class SkewSpec extends SparkTestBase {
