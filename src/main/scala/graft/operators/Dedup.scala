@@ -51,19 +51,34 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Choose (bands, rows) for an LSH banding so the S-curve midpoint
+    * `(1/bands)^(1/rows)` sits closest to the target Jaccard threshold —
+    * the standard tuning rule (Leskovec/Rajaraman/Ullman, MMDS §3.4.3).
+    * Candidates are the divisor pairs of `numHashes`. */
+  def bandingFor(numHashes: Int, threshold: Double): (Int, Int) = {
+    require(numHashes > 0 && threshold > 0 && threshold < 1)
+    val best = (1 to numHashes).filter(numHashes % _ == 0).minBy { b =>
+      math.abs(math.pow(1.0 / b, b.toDouble / numHashes) - threshold)
+    }
+    (best, numHashes / best)
+  }
+
   /** Near-dup candidate pairs via MinHash + LSH banding, verified with exact
     * shingle-Jaccard ≥ `threshold`. Returns (id_a, id_b, jaccard), id_a<id_b.
-    * Deterministic: fixed hash family + canonical pair ordering. */
+    * Deterministic: fixed hash family + canonical pair ordering. Pass
+    * `bands = 0` to auto-tune the banding to `threshold` via
+    * [[bandingFor]]. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 128, bands: Int = 16, shingleSize: Int = 5,
                    threshold: Double = 0.7, maxBucket: Int = 200): DataFrame = {
     graft.functions.GraftFunctions.registerAll(df.sparkSession)
+    val nBands = if (bands > 0) bands else bandingFor(numHashes, threshold)._1
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
     val keyed = base
       // fused codegen'd text→band-keys expression (plans.MinHashBandsExpr):
       // one native call per doc, signature never materialized in the row
       .select(col("id"), posexplode(call_function("graft_minhash_bands",
-        col("text"), lit(shingleSize), lit(numHashes), lit(bands))).as(Seq("pos", "bkey")))
+        col("text"), lit(shingleSize), lit(numHashes), lit(nBands))).as(Seq("pos", "bkey")))
       // band# folded into the key so buckets from different bands can't mix
       .select(col("id"), xxhash64(col("pos"), col("bkey")).as("key"))
 

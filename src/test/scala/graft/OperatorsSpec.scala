@@ -37,6 +37,16 @@ class DedupSpec extends SparkTestBase {
     assert(kept.contains(1L) && !kept.contains(2L))
   }
 
+  test("bandingFor tunes the S-curve midpoint to the threshold") {
+    // midpoint (1/b)^(1/r): 16×8 → 0.707, 8×16 → 0.878
+    assert(Dedup.bandingFor(128, 0.7) == (16, 8))
+    assert(Dedup.bandingFor(128, 0.88) == (8, 16))
+    // higher thresholds always get fewer (wider) bands
+    val b1 = Dedup.bandingFor(128, 0.5)._1
+    val b2 = Dedup.bandingFor(128, 0.9)._1
+    assert(b1 > b2)
+  }
+
   test("minhashDedup anti-join is not broadcast-hinted (unbounded dup set)") {
     // the logical plan must carry no broadcast hint on the dup-id side —
     // the set is O(corpus) at scale; AQE may still pick broadcast when the
