@@ -330,7 +330,30 @@ object QueriesPipeline {
                       CAST(c_custkey % 170 - 85 AS DOUBLE) + 0.5 AS lat
                FROM customer)
          ORDER BY c_custkey""",
-    "q76_geohash" -> "",
+    // geohash replayed in closed form: interleave the 20-bit scaled lon/lat
+    // (bisection ⟺ floor-scaling; fixture grid points stay ≥1e-9 away from
+    // cell boundaries, far beyond double rounding error)
+    "q76_geohash" ->
+      """WITH pts AS (SELECT c_custkey,
+                             CAST(c_custkey % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+                             CAST(c_custkey % 170 - 85 AS DOUBLE) + 0.5 AS lat
+                      FROM customer),
+         bits AS (SELECT c_custkey, lon, lat,
+            least(CAST(floor((lon + 180) / 360 * 1048576) AS BIGINT), 1048575) AS lonb,
+            least(CAST(floor((lat + 90) / 180 * 1048576) AS BIGINT), 1048575) AS latb
+          FROM pts),
+         v AS (SELECT c_custkey, lon, lat,
+            (SELECT sum((((lonb >> i.i) & 1) << (2 * i.i + 1))
+                      + (((latb >> i.i) & 1) << (2 * i.i)))
+             FROM (SELECT unnest(generate_series(0, 19)) AS i) i) AS iv
+          FROM bits)
+         SELECT c_custkey,
+                (SELECT string_agg(substring('0123456789bcdefghjkmnpqrstuvwxyz',
+                    CAST(((iv >> (35 - 5 * k.k)) & 31) AS INT) + 1, 1), '' ORDER BY k.k)
+                 FROM (SELECT unnest(generate_series(0, 7)) AS k) k) AS gh,
+                lat, lon,
+                (lon BETWEEN -10 AND 60) AND (lat BETWEEN -10 AND 60) AS in_box
+         FROM v ORDER BY c_custkey""",
     "q77_ip_cidr" ->
       """SELECT event_id, ip,
                 CAST(split_part(ip, '.', 1) AS INT) = 10 AS in_10,
