@@ -176,6 +176,30 @@ object QueriesFunctions5 {
         .orderBy(col("c_custkey"), col("s_suppkey"))
     }),
 
+    // Relational reshaping: UNPIVOT (wide→long) and PIVOT (long→wide) —
+    // native Catalyst Unpivot/Expand operators, not manual CASE stacks.
+    "q117_unpivot" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT c_nationkey, metric, CAST(val AS DOUBLE) AS val FROM (
+          SELECT c_nationkey, round(avg(c_acctbal), 2) AS avg_bal,
+                 round(min(c_acctbal), 2) AS min_bal,
+                 round(max(c_acctbal), 2) AS max_bal
+          FROM customer GROUP BY c_nationkey)
+        UNPIVOT (val FOR metric IN (avg_bal, min_bal, max_bal))
+        ORDER BY c_nationkey, metric""")
+    }),
+
+    "q118_pivot" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderpriority,
+               coalesce(F, 0) AS n_f, coalesce(O, 0) AS n_o, coalesce(P, 0) AS n_p
+        FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+        PIVOT (count(*) FOR o_orderstatus IN ('F', 'O', 'P'))
+        ORDER BY o_orderpriority""")
+    }),
+
     // Time-series gap filling: hourly grid per user + last-observation-
     // carried-forward over the gaps (the TSDB resample/locf pattern the
     // reference serves with time-bucketed GROUP BYs + client-side fill).
@@ -437,6 +461,20 @@ object QueriesFunctions5 {
                        FROM supplier) s)
          WHERE dist_km <= 1000.0
          ORDER BY c_custkey, s_suppkey""",
+    "q117_unpivot" ->
+      """SELECT c_nationkey, metric, CAST(val AS DOUBLE) AS val FROM (
+           SELECT c_nationkey, round(avg(c_acctbal), 2) AS avg_bal,
+                  round(min(c_acctbal), 2) AS min_bal,
+                  round(max(c_acctbal), 2) AS max_bal
+           FROM customer GROUP BY c_nationkey)
+         UNPIVOT (val FOR metric IN (avg_bal, min_bal, max_bal))
+         ORDER BY c_nationkey, metric""",
+    "q118_pivot" ->
+      """SELECT o_orderpriority,
+                coalesce(F, 0) AS n_f, coalesce(O, 0) AS n_o, coalesce(P, 0) AS n_p
+         FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+         PIVOT (count(*) FOR o_orderstatus IN ('F', 'O', 'P'))
+         ORDER BY o_orderpriority""",
     "q116_gap_fill" ->
       """WITH bounds AS (
            SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS t0,
