@@ -16,6 +16,33 @@ import org.apache.spark.sql.functions._
   */
 object EventsStream {
 
+  /** Streaming upsert sink into a [[graft.sources.VersionedTable]]: every
+    * micro-batch MERGEs into the latest snapshot and publishes ONE atomic
+    * version — the streaming analogue of the reference's INSERT-on-conflict
+    * ingest path, with readers isolated from in-flight batches. With a
+    * replayable source + checkpoint, a replayed epoch re-applies the same
+    * deterministic merge, so the table converges (idempotent upsert). */
+  def upsertStream(stream: DataFrame, path: String, keys: Seq[String],
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.persist()
+        try {
+          if (!b.isEmpty) {
+            if (graft.sources.VersionedTable.latestVersion(spark, path).isEmpty)
+              graft.sources.VersionedTable.commit(spark, path, b)
+            else
+              graft.sources.VersionedTable.transact(spark, path,
+                cur => graft.sources.Dml.upsertReplace(cur, b, keys))
+          }
+        } finally b.unpersist()
+        ()
+      }
+      .start()
+
   /** Tumbling-window event counts ≈ the batch `date_bin` aggregation
     * (`QueriesFunctions.q49_date_bin`), expressed incrementally. */
   def tumblingCounts(events: DataFrame, window: String = "15 minutes",

@@ -508,6 +508,33 @@ class StreamStreamJoinSpec extends SparkTestBase {
   }
 }
 
+class StreamUpsertSinkSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  test("micro-batch upsert publishes one atomic version per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("vts").toFile.getAbsolutePath
+    val path = tmp + "/t"
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventsStream.upsertStream(
+      mem.toDF().toDF("id", "v"), path, Seq("id"), tmp + "/ckpt")
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      assert(graft.sources.VersionedTable.read(spark, path).count() == 2)
+      mem.addData((2L, "B!"), (3L, "c"))
+      q.processAllAvailable()
+      val out = graft.sources.VersionedTable.read(spark, path)
+        .orderBy("id").as[(Long, String)].collect().toSeq
+      assert(out == Seq((1L, "a"), (2L, "B!"), (3L, "c")))
+      assert(graft.sources.VersionedTable.versions(spark, path) == Seq(1, 2))
+      // time travel still sees the first batch unmodified
+      assert(graft.sources.VersionedTable.readVersion(spark, path, 1).count() == 2)
+    } finally q.stop()
+  }
+}
+
 class NullSafetySpec extends SparkTestBase {
   import spark.implicits._
   import graft.operators._
