@@ -29,7 +29,11 @@ object Temporal {
     require(valueCols.forall(v => !left.columns.contains(v)),
       "right value columns must not collide with left columns")
     val l = left.withColumn("__side", lit(1))
-    val r = right.select((keyCols :+ tsCol).map(col) ++ valueCols.map(col): _*)
+    // right rows with a NULL timestamp can never be "at or before" anything;
+    // unguarded they'd sort first (NULLS FIRST) and leak their values into
+    // every left row of the key
+    val r = right.where(col(tsCol).isNotNull)
+      .select((keyCols :+ tsCol).map(col) ++ valueCols.map(col): _*)
       .withColumn("__side", lit(0))
     // right sorts before left at equal ts → `<=` (inclusive) semantics
     val unioned = l.unionByName(r, allowMissingColumns = true)

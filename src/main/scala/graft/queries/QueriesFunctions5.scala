@@ -176,6 +176,33 @@ object QueriesFunctions5 {
         .orderBy(col("c_custkey"), col("s_suppkey"))
     }),
 
+    // Multiset set operations (INTERSECT ALL / EXCEPT ALL preserve
+    // duplicate counts — the bag semantics PG/CrateDB define).
+    "q119_setops_all" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT 'intersect' AS op, x FROM (
+          SELECT c_nationkey AS x FROM customer WHERE c_custkey <= 60
+          INTERSECT ALL
+          SELECT c_nationkey FROM customer WHERE c_custkey > 30 AND c_custkey <= 90)
+        UNION ALL
+        SELECT 'except', x FROM (
+          SELECT c_nationkey AS x FROM customer WHERE c_custkey <= 60
+          EXCEPT ALL
+          SELECT c_nationkey FROM customer WHERE c_custkey > 30 AND c_custkey <= 90)
+        ORDER BY op, x""")
+    }),
+
+    // Outer unnest: rows with empty arrays survive with a NULL element
+    // (LEFT JOIN LATERAL unnest semantics; Spark explode_outer).
+    "q120_explode_outer" -> ((s, dir) => {
+      T(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), t => length(t) > 12).as("arr"))
+        .select(col("doc_id"), explode_outer(col("arr")).as("tok"))
+        .orderBy(col("doc_id"), col("tok"))
+    }),
+
     // Relational reshaping: UNPIVOT (wide→long) and PIVOT (long→wide) —
     // native Catalyst Unpivot/Expand operators, not manual CASE stacks.
     "q117_unpivot" -> ((s, dir) => {
@@ -461,6 +488,25 @@ object QueriesFunctions5 {
                        FROM supplier) s)
          WHERE dist_km <= 1000.0
          ORDER BY c_custkey, s_suppkey""",
+    "q119_setops_all" ->
+      """SELECT 'intersect' AS op, x FROM (
+           SELECT c_nationkey AS x FROM customer WHERE c_custkey <= 60
+           INTERSECT ALL
+           SELECT c_nationkey FROM customer WHERE c_custkey > 30 AND c_custkey <= 90)
+         UNION ALL
+         SELECT 'except', x FROM (
+           SELECT c_nationkey AS x FROM customer WHERE c_custkey <= 60
+           EXCEPT ALL
+           SELECT c_nationkey FROM customer WHERE c_custkey > 30 AND c_custkey <= 90)
+         ORDER BY op, x""",
+    "q120_explode_outer" ->
+      """WITH base AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 12) AS arr
+           FROM documents WHERE doc_id < 200),
+         ex AS (SELECT doc_id, unnest(arr) AS tok FROM base)
+         SELECT b.doc_id, ex.tok
+         FROM base b LEFT JOIN ex ON b.doc_id = ex.doc_id
+         ORDER BY b.doc_id, ex.tok""",
     "q117_unpivot" ->
       """SELECT c_nationkey, metric, CAST(val AS DOUBLE) AS val FROM (
            SELECT c_nationkey, round(avg(c_acctbal), 2) AS avg_bal,

@@ -158,6 +158,15 @@ class QuantifiedSpec extends SparkTestBase {
 class TemporalSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("asof join ignores null-timestamp right rows; null-ts left rows get null") {
+    val left = Seq((1L, "u", Some(10L)), (2L, "u", None: Option[Long])).toDF("id", "k", "t")
+    val right = Seq(("u", Some(5L), "ok"), ("u", None: Option[Long], "poison"))
+      .toDF("k", "t", "tag")
+    val out = Temporal.asofJoin(left, right, Seq("k"), "t", Seq("tag"))
+      .select("id", "tag").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "ok", 2L -> null))
+  }
+
   test("asof join carries the latest prior right value, inclusive ties") {
     val left = Seq((1L, "u", 10L), (2L, "u", 20L), (3L, "u", 25L), (4L, "v", 5L))
       .toDF("id", "k", "t")
