@@ -205,15 +205,19 @@ object QueriesFunctions5 {
 
     // Relational reshaping: UNPIVOT (wide→long) and PIVOT (long→wide) —
     // native Catalyst Unpivot/Expand operators, not manual CASE stacks.
+    // floor-scaled cents, not round(,2): round() half-point behavior
+    // differs between engines on doubles (the q88 class of bug); floor of
+    // the identical double is engine-independent.
     "q117_unpivot" -> ((s, dir) => {
       graft.Tables.registerAll(s, dir)
       s.sql("""
-        SELECT c_nationkey, metric, CAST(val AS DOUBLE) AS val FROM (
-          SELECT c_nationkey, round(avg(c_acctbal), 2) AS avg_bal,
-                 round(min(c_acctbal), 2) AS min_bal,
-                 round(max(c_acctbal), 2) AS max_bal
+        SELECT c_nationkey, metric, val FROM (
+          SELECT c_nationkey,
+                 CAST(floor(avg(c_acctbal) * 100) AS BIGINT) AS avg_cents,
+                 CAST(floor(min(c_acctbal) * 100) AS BIGINT) AS min_cents,
+                 CAST(floor(max(c_acctbal) * 100) AS BIGINT) AS max_cents
           FROM customer GROUP BY c_nationkey)
-        UNPIVOT (val FOR metric IN (avg_bal, min_bal, max_bal))
+        UNPIVOT (val FOR metric IN (avg_cents, min_cents, max_cents))
         ORDER BY c_nationkey, metric""")
     }),
 
@@ -508,12 +512,13 @@ object QueriesFunctions5 {
          FROM base b LEFT JOIN ex ON b.doc_id = ex.doc_id
          ORDER BY b.doc_id, ex.tok""",
     "q117_unpivot" ->
-      """SELECT c_nationkey, metric, CAST(val AS DOUBLE) AS val FROM (
-           SELECT c_nationkey, round(avg(c_acctbal), 2) AS avg_bal,
-                  round(min(c_acctbal), 2) AS min_bal,
-                  round(max(c_acctbal), 2) AS max_bal
+      """SELECT c_nationkey, metric, val FROM (
+           SELECT c_nationkey,
+                  CAST(floor(avg(c_acctbal) * 100) AS BIGINT) AS avg_cents,
+                  CAST(floor(min(c_acctbal) * 100) AS BIGINT) AS min_cents,
+                  CAST(floor(max(c_acctbal) * 100) AS BIGINT) AS max_cents
            FROM customer GROUP BY c_nationkey)
-         UNPIVOT (val FOR metric IN (avg_bal, min_bal, max_bal))
+         UNPIVOT (val FOR metric IN (avg_cents, min_cents, max_cents))
          ORDER BY c_nationkey, metric""",
     "q118_pivot" ->
       """SELECT o_orderpriority,
