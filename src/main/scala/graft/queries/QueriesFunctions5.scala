@@ -176,6 +176,20 @@ object QueriesFunctions5 {
         .orderBy(col("c_custkey"), col("s_suppkey"))
     }),
 
+    // JOIN USING (coalesced join column appears once) and NATURAL JOIN
+    // (implicit common-column equi-join) — both SQL-standard forms the
+    // reference accepts.
+    "q121_join_using" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT n_nationkey, r.r_name, counts.n_cust
+        FROM (SELECT n_nationkey, n_regionkey AS r_regionkey FROM nation) n
+        JOIN region r USING (r_regionkey)
+        JOIN (SELECT c_nationkey AS n_nationkey, count(*) AS n_cust
+              FROM customer GROUP BY c_nationkey) counts USING (n_nationkey)
+        ORDER BY n_nationkey""")
+    }),
+
     // Multiset set operations (INTERSECT ALL / EXCEPT ALL preserve
     // duplicate counts — the bag semantics PG/CrateDB define).
     "q119_setops_all" -> ((s, dir) => {
@@ -492,6 +506,13 @@ object QueriesFunctions5 {
                        FROM supplier) s)
          WHERE dist_km <= 1000.0
          ORDER BY c_custkey, s_suppkey""",
+    "q121_join_using" ->
+      """SELECT n_nationkey, r.r_name, counts.n_cust
+         FROM (SELECT n_nationkey, n_regionkey AS r_regionkey FROM nation) n
+         JOIN region r USING (r_regionkey)
+         JOIN (SELECT c_nationkey AS n_nationkey, count(*) AS n_cust
+               FROM customer GROUP BY c_nationkey) counts USING (n_nationkey)
+         ORDER BY n_nationkey""",
     "q119_setops_all" ->
       """SELECT 'intersect' AS op, x FROM (
            SELECT c_nationkey AS x FROM customer WHERE c_custkey <= 60

@@ -175,6 +175,38 @@ class DialectSpec extends AnyFunSuite {
   }
 }
 
+/** Property test: string literals survive translation byte-for-byte even
+  * when they contain rewrite-pattern text — the exact failure mode of the
+  * round-1 regex shim. */
+class DialectPropertySpec extends AnyFunSuite {
+  import org.scalacheck.{Gen, Prop}
+  import org.scalacheck.Prop.forAll
+
+  private val trapFragments = Gen.oneOf(
+    "a::int", "arr[1]", "curdate(", "MATCH(x, 'q')", "{k = 1}", "[1,2,3]",
+    "5 = ANY(t)", "x FILTER (WHERE y)", "\"quoted\"", "FETCH FIRST 3 ROWS ONLY",
+    "plain text", "100%", "semi;colon", "a -- comment", "/* block */")
+
+  private val literalGen: Gen[String] = for {
+    n <- Gen.choose(1, 3)
+    parts <- Gen.listOfN(n, trapFragments)
+  } yield parts.mkString(" ")
+
+  test("literals containing rewrite patterns are preserved verbatim") {
+    val prop = forAll(literalGen) { lit =>
+      val sqlLit = "'" + lit.replace("'", "''") + "'"
+      val stmt = s"SELECT $sqlLit AS s, x::int FROM t WHERE y = $sqlLit"
+      val out = Dialect.translate(stmt)
+      Prop(out.contains(sqlLit) &&
+        out.indexOf(sqlLit) != out.lastIndexOf(sqlLit) && // both occurrences
+        out.contains("CAST(x AS INT)"))
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(result.passed, result.status.toString)
+  }
+}
+
 /** Spark-evaluated function tests. */
 class SparkFunctionsSpec extends SparkTestBase {
   import spark.implicits._
