@@ -176,6 +176,19 @@ object QueriesFunctions5 {
         .orderBy(col("c_custkey"), col("s_suppkey"))
     }),
 
+    // Fuzzy join: customers linked to deterministically-corrupted copies at
+    // edit distance ≤ 1 via gram blocking; brute-force levenshtein oracle.
+    "q122_fuzzy_join" -> ((s, dir) => {
+      val cust = T(s, dir, "customer").filter(col("c_custkey") <= 300)
+        .select(col("c_custkey"), col("c_name"))
+      val corrupted = cust.select((col("c_custkey") + 1000000L).as("cid"),
+        concat(expr("substring(c_name, 1, length(c_name) - 1)"),
+          expr("char(97 + c_custkey % 26)")).as("cname"))
+      graft.operators.FuzzyJoin.pairs(cust, "c_custkey", "c_name",
+          corrupted, "cid", "cname", maxDist = 1)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // JOIN USING (coalesced join column appears once) and NATURAL JOIN
     // (implicit common-column equi-join) — both SQL-standard forms the
     // reference accepts.
@@ -506,6 +519,17 @@ object QueriesFunctions5 {
                        FROM supplier) s)
          WHERE dist_km <= 1000.0
          ORDER BY c_custkey, s_suppkey""",
+    "q122_fuzzy_join" ->
+      """WITH cust AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 300),
+         corr AS (SELECT c_custkey + 1000000 AS cid,
+                         substring(c_name, 1, length(c_name) - 1)
+                           || chr(97 + CAST(c_custkey % 26 AS INT)) AS cname
+                  FROM customer WHERE c_custkey <= 300)
+         SELECT c.c_custkey AS id_a, corr.cid AS id_b,
+                levenshtein(c.c_name, corr.cname) AS dist
+         FROM cust c CROSS JOIN corr
+         WHERE levenshtein(c.c_name, corr.cname) <= 1
+         ORDER BY id_a, id_b""",
     "q121_join_using" ->
       """SELECT n_nationkey, r.r_name, counts.n_cust
          FROM (SELECT n_nationkey, n_regionkey AS r_regionkey FROM nation) n

@@ -110,6 +110,32 @@ class SimilaritySpec extends SparkTestBase {
   }
 }
 
+class FuzzyJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("gram-blocked edit-distance join finds near matches, skips far ones") {
+    val a = Seq((1L, "jonathan smith"), (2L, "maria garcia"), (3L, "zzz"))
+      .toDF("id", "name")
+    val b = Seq((10L, "jonathon smith"), (20L, "marla garcia"), (30L, "completely different"))
+      .toDF("id", "name")
+    val pairs = FuzzyJoin.pairs(a, "id", "name", b, "id", "name", maxDist = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 10L), (2L, 20L)))
+  }
+
+  test("stop-gram pruning bounds candidate generation") {
+    // every string shares the boilerplate prefix; with the prefix grams
+    // pruned, only true near-pairs survive as candidates
+    val a = (1L to 50L).map(i => (i, f"common-prefix-$i%03d")).toDF("id", "name")
+    val b = (1L to 50L).map(i => (i + 100L, f"common-prefix-$i%03d")).toDF("id", "name")
+    val strict = FuzzyJoin.pairs(a, "id", "name", b, "id", "name",
+      maxDist = 0, maxGramFreq = 10)
+    // exact copies share their (rare) numeric suffix grams → found even
+    // though all boilerplate grams were pruned
+    assert(strict.count() == 50)
+  }
+}
+
 class QuantifiedSpec extends SparkTestBase {
   import spark.implicits._
   import graft.operators.Quantified
