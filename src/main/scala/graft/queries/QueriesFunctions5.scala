@@ -176,6 +176,22 @@ object QueriesFunctions5 {
         .orderBy(col("c_custkey"), col("s_suppkey"))
     }),
 
+    // String pad/trim family (TrimFunctions/PadFunctions in the reference
+    // scalar pack): lpad/rpad, character-set trims, left/right, repeat.
+    "q123_pad_trim" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT n_nationkey,
+               lpad(n_name, 12, '.') AS pad_l,
+               rpad(n_name, 12, '.') AS pad_r,
+               trim(BOTH 'AEIOU' FROM n_name) AS trimmed,
+               ltrim('AEIOU', n_name) AS ltrimmed,
+               left(n_name, 3) AS l3,
+               right(n_name, 3) AS r3,
+               repeat(left(n_name, 2), 3) AS rep
+        FROM nation ORDER BY n_nationkey""")
+    }),
+
     // Fuzzy join: customers linked to deterministically-corrupted copies at
     // edit distance ≤ 1 via gram blocking; brute-force levenshtein oracle.
     "q122_fuzzy_join" -> ((s, dir) => {
@@ -519,6 +535,16 @@ object QueriesFunctions5 {
                        FROM supplier) s)
          WHERE dist_km <= 1000.0
          ORDER BY c_custkey, s_suppkey""",
+    "q123_pad_trim" ->
+      """SELECT n_nationkey,
+                lpad(n_name, 12, '.') AS pad_l,
+                rpad(n_name, 12, '.') AS pad_r,
+                trim(n_name, 'AEIOU') AS trimmed,
+                ltrim(n_name, 'AEIOU') AS ltrimmed,
+                left(n_name, 3) AS l3,
+                right(n_name, 3) AS r3,
+                repeat(left(n_name, 2), 3) AS rep
+         FROM nation ORDER BY n_nationkey""",
     "q122_fuzzy_join" ->
       """WITH cust AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 300),
          corr AS (SELECT c_custkey + 1000000 AS cid,
