@@ -176,6 +176,17 @@ object QueriesFunctions5 {
         .orderBy(col("c_custkey"), col("s_suppkey"))
     }),
 
+    // width_bucket histogram (reference `scalar/WidthBucketFunction.java`):
+    // equi-width bucketing of account balances into a 10-bin histogram.
+    "q124_width_bucket" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT bucket, count(*) AS n
+        FROM (SELECT width_bucket(c_acctbal, -1000.0, 10000.0, 10) AS bucket
+              FROM customer)
+        GROUP BY bucket ORDER BY bucket""")
+    }),
+
     // String pad/trim family (TrimFunctions/PadFunctions in the reference
     // scalar pack): lpad/rpad, character-set trims, left/right, repeat.
     "q123_pad_trim" -> ((s, dir) => {
@@ -535,6 +546,14 @@ object QueriesFunctions5 {
                        FROM supplier) s)
          WHERE dist_km <= 1000.0
          ORDER BY c_custkey, s_suppkey""",
+    "q124_width_bucket" ->
+      """SELECT bucket, count(*) AS n
+         FROM (SELECT CASE WHEN c_acctbal < -1000.0 THEN 0
+                           WHEN c_acctbal >= 10000.0 THEN 11
+                           ELSE CAST(floor((c_acctbal - (-1000.0)) / 11000.0 * 10) AS BIGINT) + 1
+                      END AS bucket
+               FROM customer)
+         GROUP BY bucket ORDER BY bucket""",
     "q123_pad_trim" ->
       """SELECT n_nationkey,
                 lpad(n_name, 12, '.') AS pad_l,
