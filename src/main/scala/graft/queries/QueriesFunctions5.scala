@@ -176,6 +176,21 @@ object QueriesFunctions5 {
         .orderBy(col("c_custkey"), col("s_suppkey"))
     }),
 
+    // Null-safe equality join (ON a.k IS NOT DISTINCT FROM b.k): NULL keys
+    // match each other — Catalyst plans EqualNullSafe as a hash join, not a
+    // nested loop.
+    "q125_null_safe_join" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT a.k, count(*) AS n
+        FROM (SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL
+                          ELSE c_nationkey END AS k FROM customer) a
+        JOIN (SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                          ELSE n_nationkey END AS k FROM nation) b
+          ON a.k IS NOT DISTINCT FROM b.k
+        GROUP BY a.k ORDER BY a.k NULLS FIRST""")
+    }),
+
     // width_bucket histogram (reference `scalar/WidthBucketFunction.java`):
     // equi-width bucketing of account balances into a 10-bin histogram.
     "q124_width_bucket" -> ((s, dir) => {
@@ -546,6 +561,14 @@ object QueriesFunctions5 {
                        FROM supplier) s)
          WHERE dist_km <= 1000.0
          ORDER BY c_custkey, s_suppkey""",
+    "q125_null_safe_join" ->
+      """SELECT a.k, count(*) AS n
+         FROM (SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL
+                           ELSE c_nationkey END AS k FROM customer) a
+         JOIN (SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                           ELSE n_nationkey END AS k FROM nation) b
+           ON a.k IS NOT DISTINCT FROM b.k
+         GROUP BY a.k ORDER BY a.k NULLS FIRST""",
     "q124_width_bucket" ->
       """SELECT bucket, count(*) AS n
          FROM (SELECT CASE WHEN c_acctbal < -1000.0 THEN 0
