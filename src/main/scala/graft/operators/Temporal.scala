@@ -20,6 +20,24 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
+  /** Sessionize: assign each row a per-key session ordinal, starting a new
+    * session when the gap since the previous event of the same key exceeds
+    * `gapSeconds`. One window pass over (key, ts) — no driver state, the
+    * same shape the reference's clients compute with time-bucketed SQL.
+    * `tieCol` breaks equal-timestamp ordering deterministically. */
+  def sessionize(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                 gapSeconds: Long, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val gapUs = gapSeconds * 1000000L
+    val newSession = when(
+      unix_micros(col(tsCol).cast("timestamp")) -
+        lag(unix_micros(col(tsCol).cast("timestamp")), 1).over(w) > gapUs, 1L)
+      .otherwise(0L)
+    df.withColumn("session_id",
+      sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) + 1L)
+  }
+
   /** As-of (backward) join: for every `left` row, append `valueCols` from
     * the latest `right` row with `right.tsCol <= left.tsCol`, matching on
     * `keyCols`. Rows with no prior right row get nulls (LEFT semantics).

@@ -184,6 +184,17 @@ class QuantifiedSpec extends SparkTestBase {
 class TemporalSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("sessionize matches the SQL sessionization query (q74 parity)") {
+    val events = Tables.load(spark, sfDir, "events")
+    val api = Temporal.sessionize(events, Seq("user_id"), "ts", 1800L, "event_id")
+      .groupBy("user_id").agg(max(col("session_id")).as("n_sessions"))
+      .orderBy("user_id")
+      .as[(Long, Long)].collect().toSeq
+    val sqlSide = queries.QueriesPipeline.queries("q74_sessionize")(spark, sfDir)
+      .as[(Long, Long)].collect().toSeq
+    assert(api == sqlSide)
+  }
+
   test("asof join ignores null-timestamp right rows; null-ts left rows get null") {
     val left = Seq((1L, "u", Some(10L)), (2L, "u", None: Option[Long])).toDF("id", "k", "t")
     val right = Seq(("u", Some(5L), "ok"), ("u", None: Option[Long], "poison"))
