@@ -176,6 +176,20 @@ object QueriesFunctions5 {
         .orderBy(col("c_custkey"), col("s_suppkey"))
     }),
 
+    // Correlated NOT EXISTS with an inequality correlate — the decorrelation
+    // case beyond plain key-equality anti joins (q14/q99).
+    "q128_not_exists_range" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n_quick
+        FROM orders o
+        WHERE NOT EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
     // TPC-H Q4 shape: aggregation over a correlated-EXISTS semi join.
     "q126_tpch_q4ish" -> ((s, dir) => {
       graft.Tables.registerAll(s, dir)
@@ -587,6 +601,14 @@ object QueriesFunctions5 {
                        FROM supplier) s)
          WHERE dist_km <= 1000.0
          ORDER BY c_custkey, s_suppkey""",
+    "q128_not_exists_range" ->
+      """SELECT o_orderpriority, count(*) AS n_quick
+         FROM orders o
+         WHERE NOT EXISTS (
+           SELECT 1 FROM lineitem l
+           WHERE l.l_orderkey = o.o_orderkey
+             AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q126_tpch_q4ish" ->
       """SELECT o_orderpriority, count(*) AS order_count
          FROM orders
