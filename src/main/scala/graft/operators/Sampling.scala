@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting for training pipelines.
+  *
+  * RNG-based `df.sample` changes membership with partitioning, retries and
+  * Spark versions; a 100 TB curation run needs the same document to land in
+  * the same split every time. These operators key every decision on a
+  * 64-bit hash of a stable id — no RNG, no state, embarrassingly parallel,
+  * and a row's assignment is reproducible from its id alone.
+  */
+object Sampling {
+
+  private def unit(idCol: Column): Column =
+    (pmod(xxhash64(idCol), lit(1000000L)).cast("double") / 1000000.0)
+
+  /** Add a `split` column assigning each row to one of `names` with the
+    * given `weights` (normalized). Same id → same split, always. */
+  def hashSplit(df: DataFrame, idCol: String,
+                weights: Seq[Double], names: Seq[String]): DataFrame = {
+    require(weights.length == names.length && weights.nonEmpty, "weights/names mismatch")
+    require(weights.forall(_ > 0), "weights must be positive")
+    val total = weights.sum
+    val cuts = weights.scanLeft(0.0)(_ + _).tail.map(_ / total)
+    val u = unit(col(idCol))
+    val expr0 = names.zip(cuts).reverse
+      .foldLeft(lit(names.last): Column) { case (acc, (name, cut)) =>
+        when(u < cut, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", expr0)
+  }
+
+  /** Deterministic fraction sample: keeps ids whose hash falls below
+    * `fraction` — stable under re-partitioning and retries, unlike
+    * `df.sample`. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1)
+    df.filter(unit(col(idCol)) < fraction)
+  }
+}

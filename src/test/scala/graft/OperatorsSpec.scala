@@ -110,6 +110,31 @@ class SimilaritySpec extends SparkTestBase {
   }
 }
 
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hash split is deterministic, disjoint, and roughly proportional") {
+    val ids = (1L to 10000L).toDF("id")
+    val s1 = Sampling.hashSplit(ids, "id", Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+    val s2 = Sampling.hashSplit(ids.repartition(13), "id",
+      Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+    // identical assignment regardless of partitioning
+    assert(s1.orderBy("id").collect().toSeq == s2.orderBy("id").collect().toSeq)
+    val counts = s1.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 10000L) // disjoint + exhaustive
+    assert(math.abs(counts("train") - 8000L) < 300)
+    assert(math.abs(counts("val") - 1000L) < 150)
+  }
+
+  test("hash sample is stable and monotone in the fraction") {
+    val ids = (1L to 5000L).toDF("id")
+    val small = Sampling.hashSample(ids, "id", 0.1).as[Long].collect().toSet
+    val big = Sampling.hashSample(ids, "id", 0.3).as[Long].collect().toSet
+    assert(small.subsetOf(big)) // growing the fraction only adds rows
+    assert(math.abs(small.size - 500) < 100)
+  }
+}
+
 class FuzzyJoinSpec extends SparkTestBase {
   import spark.implicits._
 
