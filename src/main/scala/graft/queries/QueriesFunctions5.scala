@@ -176,6 +176,21 @@ object QueriesFunctions5 {
         .orderBy(col("c_custkey"), col("s_suppkey"))
     }),
 
+    // OBJECT/map surface: constructor, merge (`||`/ObjectMergeFunction),
+    // object_keys, subscript — serialized via to_json for the comparator.
+    "q129_object_map" -> ((s, dir) => {
+      T(s, dir, "nation").select(
+        col("n_nationkey"),
+        to_json(map(lit("key"), col("n_nationkey"), lit("region"), col("n_regionkey")))
+          .as("obj"),
+        to_json(map_concat(map(lit("a"), col("n_nationkey")), map(lit("b"), lit(7L))))
+          .as("merged"),
+        to_json(map_keys(map(lit("x"), col("n_nationkey"), lit("y"), col("n_regionkey"))))
+          .as("keys"),
+        element_at(map(lit("k"), col("n_name")), "k").as("subscript"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // Correlated NOT EXISTS with an inequality correlate — the decorrelation
     // case beyond plain key-equality anti joins (q14/q99).
     "q128_not_exists_range" -> ((s, dir) => {
@@ -601,6 +616,13 @@ object QueriesFunctions5 {
                        FROM supplier) s)
          WHERE dist_km <= 1000.0
          ORDER BY c_custkey, s_suppkey""",
+    "q129_object_map" ->
+      """SELECT n_nationkey,
+                CAST(to_json(MAP {'key': n_nationkey, 'region': n_regionkey}) AS VARCHAR) AS obj,
+                CAST(to_json(map_concat(MAP {'a': n_nationkey}, MAP {'b': 7})) AS VARCHAR) AS merged,
+                CAST(to_json(map_keys(MAP {'x': n_nationkey, 'y': n_regionkey})) AS VARCHAR) AS keys,
+                ((MAP {'k': n_name})['k'])[1] AS subscript
+         FROM nation ORDER BY n_nationkey""",
     "q128_not_exists_range" ->
       """SELECT o_orderpriority, count(*) AS n_quick
          FROM orders o
