@@ -15,6 +15,10 @@ run / fork := true
 // JSON line from stdout, and sbt's default logger prepends "[info] " to
 // every forwarded line, which breaks that parse.
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's trailing "[success] Total time: ..." line so the
+// bench JSON stays the LAST line on stdout (the driver parses the last
+// line; BENCH_r01/r02 both recorded parsed:null because of that banner).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -37,10 +37,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
     // backstop for stdout-prefix mangling: the same line on disk
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json)
     catch { case _: Throwable => () }
+    // stop BEFORE printing: the JSON must be the last stdout line (the
+    // driver parses it from there), and executor shutdown must not be able
+    // to interleave output after it.
     spark.stop()
+    println(json)
   }
 }

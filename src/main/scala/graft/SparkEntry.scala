@@ -24,12 +24,14 @@ object SparkEntry {
       QueriesFunctions.queries ++ QueriesFunctions2.queries ++
       QueriesFunctions3.queries ++ QueriesFunctions4.queries ++
       QueriesFunctions5.queries ++
-      QueriesComposite.queries ++ QueriesPipeline.queries
+      QueriesComposite.queries ++ QueriesPipeline.queries ++
+      QueriesRound3.queries
 
   def oracleSql: Map[String, String] =
     QueriesRelational.oracles ++ QueriesWindow.oracles ++
       QueriesFunctions.oracles ++ QueriesFunctions2.oracles ++
       QueriesFunctions3.oracles ++ QueriesFunctions4.oracles ++
       QueriesFunctions5.oracles ++
-      QueriesComposite.oracles ++ QueriesPipeline.oracles
+      QueriesComposite.oracles ++ QueriesPipeline.oracles ++
+      QueriesRound3.oracles
 }

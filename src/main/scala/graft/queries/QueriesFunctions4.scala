@@ -52,7 +52,7 @@ object QueriesFunctions4 {
     "q91_array_numeric" ->
       """SELECT p_partkey,
                 CAST(to_json(arr) AS VARCHAR) AS seq_arr,
-                list_sum(arr) AS arr_sum,
+                CAST(list_sum(arr) AS BIGINT) AS arr_sum,
                 CAST(list_min(arr) AS BIGINT) AS arr_min,
                 CAST(list_max(arr) AS BIGINT) AS arr_max,
                 CAST(len(arr) AS BIGINT) AS arr_len,

@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Redact
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-3 coverage batch: the deep TPC-H join shapes the catalog still
+  * lacked (Q7 two-sided dimension pair, Q2 correlated-min over a 5-way
+  * join, Q22 anti-join + global scalar threshold, Q11 HAVING vs global
+  * aggregate) and the PII-redaction pipeline operator.
+  *
+  * All four TPC-H shapes run through `spark.sql` so Catalyst plans them the
+  * way a SQL user would get them: broadcast dims, partial aggregation,
+  * decorrelated subqueries — the same statement text runs in DuckDB as the
+  * oracle (double sums stabilized through DECIMAL(18,4), the catalog-wide
+  * pattern).
+  */
+object QueriesRound3 {
+  private def T(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** Same statement text for Spark and DuckDB (ANSI-only constructs). */
+  private val tpchQ7 =
+    """SELECT supp_nation, cust_nation, l_year,
+       |       CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       |             l_extendedprice * (1 - l_discount) AS volume
+       |      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+       |           JOIN orders ON o_orderkey = l_orderkey
+       |           JOIN customer ON c_custkey = o_custkey
+       |           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       |          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+       |        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00') shipping
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  private val tpchQ2 =
+    """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_brand
+       |FROM part JOIN lineitem ON p_partkey = l_partkey
+       |     JOIN supplier ON s_suppkey = l_suppkey
+       |     JOIN nation ON n_nationkey = s_nationkey
+       |     JOIN region ON r_regionkey = n_regionkey
+       |WHERE p_size = 15 AND r_name = 'EUROPE'
+       |  AND l_extendedprice = (
+       |        SELECT min(l2.l_extendedprice)
+       |        FROM lineitem l2 JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+       |             JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+       |             JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+       |        WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+       |LIMIT 20""".stripMargin
+
+  private val tpchQ22 =
+    """SELECT cntrycode, count(*) AS numcust,
+       |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+       |FROM (SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode, c_acctbal
+       |      FROM customer
+       |      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+       |                         WHERE c_acctbal > 0.0)
+       |        AND NOT EXISTS (SELECT 1 FROM orders
+       |                        WHERE o_custkey = c_custkey
+       |                          AND o_totalprice > 350000.0)
+       |     ) custsale
+       |GROUP BY cntrycode
+       |ORDER BY cntrycode""".stripMargin
+
+  private val tpchQ11 =
+    """SELECT l_suppkey,
+       |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS supp_value
+       |FROM lineitem
+       |GROUP BY l_suppkey
+       |HAVING sum(CAST(l_extendedprice AS DECIMAL(18,4))) >
+       |       (SELECT sum(CAST(l_extendedprice AS DECIMAL(18,4))) * 0.011 FROM lineitem)
+       |ORDER BY supp_value DESC, l_suppkey""".stripMargin
+
+  /** Deterministic synthetic contact string so the redaction pass has real
+    * spans to scrub (the fixture corpus is PII-free word salad). */
+  private def contactSql(custkey: String, name: String, nationkey: String) =
+    s"concat('cust ', $name, ' <user', $custkey, '@example.org> tel 1-555-000-', " +
+      s"lpad(CAST($custkey % 10000 AS STRING), 4, '0'), " +
+      s"' ip 10.0.', CAST($custkey % 256 AS STRING), '.', CAST($nationkey AS STRING), " +
+      s"' card 4111111111111111')"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_tpch_q7ish" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(tpchQ7) }),
+    "q131_tpch_q2ish" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(tpchQ2) }),
+    "q132_tpch_q22ish" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(tpchQ22) }),
+    "q133_tpch_q11ish" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(tpchQ11) }),
+
+    // PII scrub: one codegen'd map stage (regexp_replace chain), audit
+    // counts per rule. Shuffle-free — `.explain` shows a single Project
+    // over the scan.
+    "q134_redact_pii" -> ((s, dir) => {
+      val contact = expr(contactSql("c_custkey", "c_name", "c_nationkey"))
+      T(s, dir, "customer")
+        .filter(col("c_custkey") < 200)
+        .select(col("c_custkey"), contact.as("contact"))
+        .select(
+          col("c_custkey"),
+          Redact.redact(col("contact")).as("redacted"),
+          Redact.hitCount(col("contact"), Redact.email).as("email_hits"),
+          Redact.hitCount(col("contact"), Redact.phone).as("phone_hits"),
+          Redact.hitCount(col("contact"), Redact.ipv4).as("ipv4_hits"),
+          Redact.hitCount(col("contact"), Redact.longDigits).as("num_hits"))
+        .orderBy(col("c_custkey"))
+    })
+  )
+
+  // DuckDB string literals are PG-style: backslashes pass through verbatim,
+  // so the Java pattern text is embedded as-is (patterns contain no quotes).
+  private def duckRedact(in: String): String =
+    Redact.defaultRules.foldLeft(in)((acc, r) =>
+      s"regexp_replace($acc, '${r.pattern}', '${r.placeholder}', 'g')")
+
+  private def duckHits(in: String, r: Redact.Rule): String =
+    s"len(regexp_extract_all($in, '${r.pattern}'))"
+
+  val oracles: Map[String, String] = Map(
+    "q130_tpch_q7ish" -> tpchQ7,
+    "q131_tpch_q2ish" -> tpchQ2,
+    "q132_tpch_q22ish" -> tpchQ22,
+    "q133_tpch_q11ish" -> tpchQ11,
+    "q134_redact_pii" -> {
+      val contact = "('cust ' || c_name || ' <user' || c_custkey || '@example.org> tel 1-555-000-' || " +
+        "lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || " +
+        "' ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.' || CAST(c_nationkey AS VARCHAR) || " +
+        "' card 4111111111111111')"
+      s"""SELECT c_custkey,
+          ${duckRedact(contact)} AS redacted,
+          ${duckHits(contact, Redact.email)} AS email_hits,
+          ${duckHits(contact, Redact.phone)} AS phone_hits,
+          ${duckHits(contact, Redact.ipv4)} AS ipv4_hits,
+          ${duckHits(contact, Redact.longDigits)} AS num_hits
+          FROM customer WHERE c_custkey < 200 ORDER BY c_custkey"""
+    }
+  )
+}

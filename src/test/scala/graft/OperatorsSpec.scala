@@ -665,3 +665,37 @@ class KMeansIvfSpec extends SparkTestBase {
     assert(b1.count() == emb.count())
   }
 }
+
+class RedactSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val rows = Seq(
+    (1L, "reach me at jane.doe+spam@mail.example.org or 1-555-867-5309 thanks"),
+    (2L, "server 192.168.0.1 billed card 4111111111111111 yesterday"),
+    (3L, "nothing sensitive here at all"),
+    (4L, null.asInstanceOf[String])
+  ).toDF("id", "txt")
+
+  test("redact replaces every rule's spans with typed placeholders") {
+    val out = Redact.scrub(rows, Seq("txt")).orderBy($"id")
+      .select($"txt").as[String].collect()
+    assert(out(0) == "reach me at <EMAIL> or <PHONE> thanks")
+    assert(out(1) == "server <IP> billed card <NUM> yesterday")
+    assert(out(2) == "nothing sensitive here at all")
+    assert(out(3) == null) // null text passes through as null, not an error
+  }
+
+  test("audit hit counts match the spans redacted") {
+    val audited = Redact.scrub(rows, Seq("txt")).orderBy($"id")
+      .select($"email_hits", $"phone_hits", $"ipv4_hits", $"long_digits_hits")
+      .collect()
+    assert(audited(0).toSeq == Seq(1, 1, 0, 0))
+    assert(audited(1).toSeq == Seq(0, 0, 1, 1))
+    assert(audited(2).toSeq == Seq(0, 0, 0, 0))
+  }
+
+  test("redaction plan is a single shuffle-free projection") {
+    val plan = Redact.scrub(rows, Seq("txt")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}
