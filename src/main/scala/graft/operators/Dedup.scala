@@ -32,7 +32,7 @@ object Dedup {
 
   /** All (id_a, id_b) pairs co-bucketed by some key, deduplicated, with
     * id_a < id_b. `keyed` must have columns (`key`, `id`). */
-  private def coBucketedPairs(keyed: DataFrame, maxBucket: Int): DataFrame = {
+  private[operators] def coBucketedPairs(keyed: DataFrame, maxBucket: Int): DataFrame = {
     val pairUdf = udf((ids: Seq[Long]) => {
       val s = ids.distinct.sorted
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]

@@ -39,4 +39,31 @@ object Sampling {
     require(fraction >= 0 && fraction <= 1)
     df.filter(unit(col(idCol)) < fraction)
   }
+
+  /** Deterministic global shuffle + shard assignment for training output.
+    *
+    * A training run wants (a) fixed shard membership — restarts and
+    * different cluster sizes must produce the same shards, (b) rows shuffled
+    * within a shard (no residual corpus order for the data loader to learn),
+    * (c) balanced shard sizes. All three come from id hashes, no RNG:
+    * `shard = xxhash64(id) mod n`, intra-shard order = an independent
+    * second hash. One shuffle (the repartition); the sort is per-partition.
+    */
+  def packShards(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    require(numShards > 0)
+    df.withColumn("shard",
+        pmod(xxhash64(col(idCol)), lit(numShards.toLong)).cast("int"))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(xxhash64(lit(1L), col(idCol)), col(idCol))
+  }
+
+  /** Write `df` as `numShards` training shards under `path`
+    * (`shard=K/part-*.parquet`), each file capped at `maxRecordsPerFile`
+    * rows so data-loader workers get uniformly sized units. */
+  def writeShards(df: DataFrame, idCol: String, path: String,
+                  numShards: Int, maxRecordsPerFile: Long = 100000L): Unit =
+    packShards(df, idCol, numShards)
+      .write.partitionBy("shard")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite").parquet(path)
 }

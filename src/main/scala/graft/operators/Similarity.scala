@@ -159,6 +159,61 @@ object Similarity {
     *    join (the skew guard mirroring `Dedup.coBucketedPairs`): one dense
     *    cluster can't pin a single reducer on O(bucket²) work.
     */
+  /** Random-hyperplane LSH near-dup pairs — the blocking alternative to
+    * [[embeddingNearDupPairs]] when the corpus has no clusterable structure
+    * (IVF buckets degenerate) or when an extra global `count()` pass to size
+    * centroids is unwanted. Each of `tables` hash tables maps a vector to a
+    * `bits`-bit signature (sign of the dot product against deterministic
+    * seeded Gaussian hyperplanes); co-bucketed ids become candidates, capped
+    * at `maxBucket` per bucket (the same skew guard as the text-LSH paths),
+    * then verified with exact cosine — so precision is exact and only recall
+    * is approximate. P[same bucket] = (1 - θ/π)^bits per table; more tables
+    * raise recall, more bits raise precision of the blocking.
+    *
+    * Scale shape: one map pass computes all signatures (closure ships a
+    * tables×bits×dim plane matrix, ~32 KB at the defaults); one narrow
+    * (key, id) shuffle; vectors rejoin only for surviving candidates. */
+  def hyperplaneNearDupPairs(corpus: DataFrame, threshold: Double,
+                             bits: Int = 16, tables: Int = 4,
+                             maxBucket: Int = 2000,
+                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(bits > 0 && bits <= 62 && tables > 0)
+    graft.functions.GraftFunctions.registerAll(corpus.sparkSession)
+    val base = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val dim = base.select(size(col("vec"))).head().getInt(0)
+    // fixed seed → identical planes (and signatures) on every run/partition
+    val rnd = new scala.util.Random(0x5EED5EEDL)
+    val planes: Array[Array[Array[Double]]] =
+      Array.fill(tables, bits, dim)(rnd.nextGaussian())
+    val sigUdf = udf((v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        val out = new Array[Long](tables)
+        var t = 0
+        while (t < tables) {
+          var sig = 0L; var b = 0
+          while (b < bits) {
+            val p = planes(t)(b)
+            var d = 0.0; var i = 0; val n = math.min(v.length, p.length)
+            while (i < n) { d += v(i) * p(i); i += 1 }
+            if (d > 0) sig |= 1L << b
+            b += 1
+          }
+          out(t) = sig; t += 1
+        }
+        out.toSeq
+      })
+    val keyed = base
+      .select(col("id"), posexplode(sigUdf(col("vec"))).as(Seq("t", "sig")))
+      .select(col("id"), xxhash64(col("t"), col("sig")).as("key"))
+    Dedup.coBucketedPairs(keyed, maxBucket)
+      .join(base.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosineNative(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   def embeddingNearDupPairs(corpus: DataFrame, threshold: Double,
                             numCentroids: Int = 0, maxBucket: Int = 4096,
                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Redact
+import graft.operators.{Redact, Sampling, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -107,6 +107,38 @@ object QueriesRound3 {
           Redact.hitCount(col("contact"), Redact.ipv4).as("ipv4_hits"),
           Redact.hitCount(col("contact"), Redact.longDigits).as("num_hits"))
         .orderBy(col("c_custkey"))
+    }),
+
+    // Hyperplane-LSH blocking for embedding near-dups (the non-IVF scale
+    // path). bits=4/tables=12 targets the fixture's low-sim synthetic
+    // vectors (recall ≈ 1-(1-p^bits)^tables with p = 1-θ/π); real near-dup
+    // corpora (sim ≥ 0.9) would run 16 bits. Exact-cosine verification makes
+    // precision exact; no oracle (xxhash bucketing), rows-only check.
+    "q135_embedding_neardup_lsh" -> ((s, dir) => {
+      Similarity.hyperplaneNearDupPairs(T(s, dir, "embeddings"),
+          threshold = 0.4, bits = 4, tables = 12)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Deterministic train/val/test split distribution (xxhash64 membership —
+    // no DuckDB equivalent, rows-only).
+    "q136_train_split" -> ((s, dir) => {
+      Sampling.hashSplit(T(s, dir, "documents"), "doc_id",
+          Seq(0.9, 0.05, 0.05), Seq("train", "val", "test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("split"))
+    }),
+
+    // Training-shard packing summary: stable hash shard per doc, balanced
+    // sizes (rows-only — xxhash64 assignment).
+    "q137_pack_shards" -> ((s, dir) => {
+      Sampling.packShards(T(s, dir, "documents"), "doc_id", numShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("shard"))
     })
   )
 

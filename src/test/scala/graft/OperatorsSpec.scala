@@ -699,3 +699,68 @@ class RedactSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 }
+
+class HyperplaneLshSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hyperplane LSH pairs: exact precision, bounded recall loss") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val e = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val exact = e.as("a").crossJoin(e.as("b"))
+      .filter($"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+        graft.functions.VectorFunctions.cosineNative($"a.vec", $"b.vec").as("sim"))
+      .filter($"sim" >= 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    val found = Similarity.hyperplaneNearDupPairs(emb, threshold = 0.4,
+        bits = 4, tables = 12)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    // precision is exact by construction (cosine-verified candidates)
+    assert(found.subsetOf(exact), s"false positives: ${found.diff(exact).take(3)}")
+    // blocking recall: 1-(1-p^4)^12 with p ≈ 0.63 at θ(0.4) → ~0.87 expected
+    val recall = if (exact.isEmpty) 1.0 else found.size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall too low (${found.size}/${exact.size})")
+  }
+
+  test("signatures are deterministic across runs") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val r1 = Similarity.hyperplaneNearDupPairs(emb, 0.4, bits = 4, tables = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val r2 = Similarity.hyperplaneNearDupPairs(emb.repartition(7), 0.4, bits = 4, tables = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(r1 == r2)
+  }
+}
+
+class PackShardsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("shard assignment is stable under repartitioning and balanced") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val s1 = Sampling.packShards(docs, "doc_id", 8)
+      .select($"doc_id", $"shard").as[(Long, Int)].collect().toMap
+    val s2 = Sampling.packShards(docs.repartition(13), "doc_id", 8)
+      .select($"doc_id", $"shard").as[(Long, Int)].collect().toMap
+    assert(s1 == s2)
+    assert(s1.values.forall(s => s >= 0 && s < 8))
+    val sizes = s1.values.groupBy(identity).map(_._2.size)
+    val n = s1.size.toDouble / 8
+    assert(sizes.min > n * 0.5 && sizes.max < n * 1.5,
+      s"shards unbalanced: ${sizes.toSeq.sorted}")
+  }
+
+  test("writeShards lays out shard=K dirs capped by maxRecordsPerFile") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    Sampling.writeShards(docs, "doc_id", out, numShards = 4, maxRecordsPerFile = 50)
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    assert(back.select($"shard").distinct().count() == 4)
+    // every file respects the cap: 500 docs / 4 shards / 50-row cap → ≥3 files/shard
+    val files = new java.io.File(out).listFiles().filter(_.getName.startsWith("shard="))
+      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(files.forall(_._2 >= 2), files.mkString(", "))
+  }
+}
