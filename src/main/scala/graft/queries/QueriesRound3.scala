@@ -131,6 +131,26 @@ object QueriesRound3 {
         .orderBy(col("split"))
     }),
 
+    // End-to-end CrateDB-dialect statement: `::` casts, array literal +
+    // 1-based subscript, OBJECT literal + string subscript, quantified
+    // ANY over an array, FETCH FIRST — translated by Dialect.translate and
+    // executed by Catalyst, hash-checked against a hand-written DuckDB
+    // equivalent. This puts the SQL front-end itself under the correctness
+    // gate, not just under unit tests.
+    "q138_dialect_e2e" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(graft.Dialect.translate(
+        """SELECT c_custkey,
+          |       c_acctbal::long AS bal_long,
+          |       ['lo', 'mid', 'hi'][(1 + c_custkey % 3)::int] AS tag,
+          |       (c_custkey % 10) = ANY([0, 1, 2]) AS low_digit,
+          |       {src = 'crate', v = 1}['src'] AS src
+          |FROM customer
+          |WHERE c_name LIKE 'Customer#%'
+          |ORDER BY c_custkey
+          |FETCH FIRST 50 ROWS ONLY""".stripMargin))
+    }),
+
     // Training-shard packing summary: stable hash shard per doc, balanced
     // sizes (rows-only — xxhash64 assignment).
     "q137_pack_shards" -> ((s, dir) => {
@@ -152,6 +172,16 @@ object QueriesRound3 {
     s"len(regexp_extract_all($in, '${r.pattern}'))"
 
   val oracles: Map[String, String] = Map(
+    "q138_dialect_e2e" ->
+      """SELECT c_custkey,
+        |       CAST(trunc(c_acctbal) AS BIGINT) AS bal_long, -- Spark's double->long cast truncates; DuckDB's rounds
+        |       (['lo', 'mid', 'hi'])[CAST(1 + c_custkey % 3 AS INT)] AS tag,
+        |       list_contains([0, 1, 2], c_custkey % 10) AS low_digit,
+        |       'crate' AS src
+        |FROM customer
+        |WHERE c_name LIKE 'Customer#%'
+        |ORDER BY c_custkey
+        |LIMIT 50""".stripMargin,
     "q130_tpch_q7ish" -> tpchQ7,
     "q131_tpch_q2ish" -> tpchQ2,
     "q132_tpch_q22ish" -> tpchQ22,
