@@ -7,6 +7,11 @@ import java.util.concurrent.ConcurrentHashMap
   * function is callable from `spark.sql` as well as the Column API.
   * Idempotent per session.
   */
+/** `parse_uri` return shape (reference ParseURIFunction.java:47). */
+final case class ParsedUri(scheme: String, userinfo: String, hostname: String,
+                           port: Option[Int], path: String, query: String,
+                           fragment: String)
+
 object GraftFunctions {
   private val registered = ConcurrentHashMap.newKeySet[String]()
 
@@ -33,6 +38,18 @@ object GraftFunctions {
         else GeoNetFunctions.ipInCidr(ip, cidr).map(Boolean.box).orNull)
     u.register("quote_ident", GeoNetFunctions.quoteIdentUdf)
     u.register("parse_ident", GeoNetFunctions.parseIdentUdf)
+    // CrateDB parse_uri → OBJECT(scheme, userinfo, hostname, port, path,
+    // query, fragment) (reference scalar/string/ParseURIFunction.java:47 —
+    // same java.net.URI backing, so component semantics match exactly;
+    // unparseable input raises, like the reference's IllegalArgument).
+    u.register("parse_uri", (s: String) =>
+      if (s == null) null
+      else {
+        val x = new java.net.URI(s)
+        ParsedUri(x.getScheme, x.getUserInfo, x.getHost,
+          if (x.getPort == -1) None else Some(x.getPort),
+          x.getPath, x.getQuery, x.getFragment)
+      })
 
     // PG bytea escape-format encode/decode (reference EncodeDecodeFunction)
     u.register("encode_escape", (b: Array[Byte]) =>

@@ -151,6 +151,26 @@ object QueriesRound3 {
           |FETCH FIRST 50 ROWS ONLY""".stripMargin))
     }),
 
+    // CrateDB parse_uri (OBJECT return, ParseURIFunction.java:47): parse a
+    // synthetic URI and flatten every component; the oracle reconstructs
+    // each field from the same deterministic inputs — ground-truth check of
+    // the parser, not a parser-vs-parser comparison.
+    "q139_parse_uri" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT c_custkey, u.scheme, u.userinfo, u.hostname, u.port, u.path,
+               u.query, u.fragment
+        FROM (SELECT c_custkey,
+                     parse_uri(concat('https://u', c_custkey % 7, '@h',
+                       c_custkey % 13, '.example.org:',
+                       CAST(8000 + c_custkey % 100 AS STRING),
+                       '/a/b', c_custkey % 3, '?k=', c_custkey % 5,
+                       '#f', c_custkey % 2)) AS u
+              FROM customer) t
+        ORDER BY c_custkey""")
+    }),
+
     // Training-shard packing summary: stable hash shard per doc, balanced
     // sizes (rows-only — xxhash64 assignment).
     "q137_pack_shards" -> ((s, dir) => {
@@ -182,6 +202,16 @@ object QueriesRound3 {
         |WHERE c_name LIKE 'Customer#%'
         |ORDER BY c_custkey
         |LIMIT 50""".stripMargin,
+    "q139_parse_uri" ->
+      """SELECT c_custkey,
+        |       'https' AS scheme,
+        |       'u' || CAST(c_custkey % 7 AS VARCHAR) AS userinfo,
+        |       'h' || CAST(c_custkey % 13 AS VARCHAR) || '.example.org' AS hostname,
+        |       CAST(8000 + c_custkey % 100 AS INT) AS port,
+        |       '/a/b' || CAST(c_custkey % 3 AS VARCHAR) AS path,
+        |       'k=' || CAST(c_custkey % 5 AS VARCHAR) AS query,
+        |       'f' || CAST(c_custkey % 2 AS VARCHAR) AS fragment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q130_tpch_q7ish" -> tpchQ7,
     "q131_tpch_q2ish" -> tpchQ2,
     "q132_tpch_q22ish" -> tpchQ22,

@@ -62,14 +62,100 @@ object InformationSchema {
       .toDF("routine_name", "routine_type", "specific_name", "is_temporary")
   }
 
-  /** `information_schema.table_constraints` — Spark tables carry no
-    * enforced constraints; the view exists (reference parity) and is empty,
-    * exactly like a constraint-free CrateDB schema. */
+  /** Declared primary keys for the fixture tables — Spark enforces none
+    * (parquet has no PK), but the reference surfaces them in
+    * `table_constraints` / `key_column_usage`
+    * (`InformationTableConstraintsTableInfo.java`,
+    * `InformationKeyColumnUsageTableInfo.java`), so the metadata surface
+    * does too. */
+  val primaryKeys: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey"), "nation" -> Seq("n_nationkey"),
+    "customer" -> Seq("c_custkey"), "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"), "orders" -> Seq("o_orderkey"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "events" -> Seq("event_id"), "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  /** `information_schema.table_constraints` — one PRIMARY KEY row per
+    * registered fixture table (reference naming: `<table>_pkey`). */
   def tableConstraints(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq.empty[(String, String, String, String, String)]
+    val registered = spark.catalog.listTables().collect().map(_.name).toSet
+    primaryKeys.keys.filter(registered).toSeq.sorted
+      .map(t => ("spark_catalog", "default", s"${t}_pkey", t, "PRIMARY KEY"))
       .toDF("constraint_catalog", "constraint_schema", "constraint_name",
         "table_name", "constraint_type")
+  }
+
+  /** `information_schema.key_column_usage` — PK member columns with their
+    * position (`InformationKeyColumnUsageTableInfo.java`). */
+  def keyColumnUsage(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val registered = spark.catalog.listTables().collect().map(_.name).toSet
+    primaryKeys.toSeq.filter(kv => registered(kv._1)).sortBy(_._1)
+      .flatMap { case (t, cols) =>
+        cols.zipWithIndex.map { case (c, i) =>
+          ("spark_catalog", "default", s"${t}_pkey", t, c, i + 1)
+        }
+      }
+      .toDF("constraint_catalog", "constraint_schema", "constraint_name",
+        "table_name", "column_name", "ordinal_position")
+  }
+
+  /** `information_schema.referential_constraints` — schema-correct and
+    * empty: neither the fixtures nor CrateDB's own docs tables declare
+    * foreign keys (the reference emits the same empty relation). */
+  def referentialConstraints(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, String, String, String, String)]
+      .toDF("constraint_catalog", "constraint_schema", "constraint_name",
+        "unique_constraint_name", "match_option", "update_rule")
+  }
+
+  /** `information_schema.collations` — the reference ships exactly the
+    * UCS_BASIC-style binary collation surface; Spark string comparison is
+    * UTF8 binary. */
+  def collations(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(("spark_catalog", "information_schema", "UCS_BASIC", "NO PAD"))
+      .toDF("collation_catalog", "collation_schema", "collation_name",
+        "pad_attribute")
+  }
+
+  /** `information_schema.sql_features` — the SQL-standard feature taxonomy
+    * rows relevant to this engine, with honest support flags
+    * (`InformationSqlFeaturesTableInfo.java` loads the full ISO list; this
+    * is the subset a query surface audit actually consults). */
+  def sqlFeatures(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("E011", "Numeric data types", true),
+      ("E021", "Character string types", true),
+      ("E031", "Identifiers", true),
+      ("E051", "Basic query specification", true),
+      ("E061", "Basic predicates and search conditions", true),
+      ("E071", "Basic query expressions (UNION/EXCEPT)", true),
+      ("E091", "Set functions", true),
+      ("E101", "Basic data manipulation", true),
+      ("E121", "Basic cursor support", true),
+      ("E152", "Basic SET TRANSACTION statement", false),
+      ("F031", "Basic schema manipulation", true),
+      ("F041", "Basic joined table", true),
+      ("F051", "Basic date and time", true),
+      ("F081", "UNION and EXCEPT in views", true),
+      ("F131", "Grouped operations", true),
+      ("F201", "CAST function", true),
+      ("F221", "Explicit defaults", false),
+      ("F261", "CASE expression", true),
+      ("F311", "Schema definition statement", true),
+      ("F401", "Extended joined table (FULL/CROSS)", true),
+      ("F471", "Scalar subquery values", true),
+      ("F481", "Expanded NULL predicate", true),
+      ("T321", "Basic SQL-invoked routines", true),
+      ("T431", "Extended grouping capabilities (GROUPING SETS)", true),
+      ("T611", "Elementary OLAP operations (window functions)", true),
+      ("T621", "Enhanced numeric functions", true)
+    ).toDF("feature_id", "feature_name", "is_supported")
   }
 
   /** `information_schema.character_sets` — single UTF8 row (reference
@@ -89,5 +175,9 @@ object InformationSchema {
     routines(spark).createOrReplaceTempView("information_schema_routines")
     tableConstraints(spark).createOrReplaceTempView("information_schema_table_constraints")
     characterSets(spark).createOrReplaceTempView("information_schema_character_sets")
+    keyColumnUsage(spark).createOrReplaceTempView("information_schema_key_column_usage")
+    referentialConstraints(spark).createOrReplaceTempView("information_schema_referential_constraints")
+    collations(spark).createOrReplaceTempView("information_schema_collations")
+    sqlFeatures(spark).createOrReplaceTempView("information_schema_sql_features")
   }
 }

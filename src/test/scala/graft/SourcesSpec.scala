@@ -178,9 +178,33 @@ class InformationSchemaSpec extends SparkTestBase {
     assert(spark.sql(
       "SELECT * FROM information_schema_routines WHERE routine_name = 'vector_cosine'")
       .count() == 1)
-    assert(spark.sql("SELECT * FROM information_schema_table_constraints").count() == 0)
     assert(spark.sql(
       "SELECT character_set_name FROM information_schema_character_sets").head().getString(0) == "UTF8")
+  }
+
+  test("primary keys surface in table_constraints and key_column_usage") {
+    Tables.registerAll(spark, sfDir)
+    InformationSchema.register(spark)
+    val tc = spark.sql(
+      """SELECT constraint_name, constraint_type
+         FROM information_schema_table_constraints WHERE table_name = 'orders'""").head()
+    assert(tc.getString(0) == "orders_pkey" && tc.getString(1) == "PRIMARY KEY")
+    // composite PK keeps column order
+    val kcu = spark.sql(
+      """SELECT column_name FROM information_schema_key_column_usage
+         WHERE table_name = 'lineitem' ORDER BY ordinal_position""")
+      .collect().map(_.getString(0)).toSeq
+    assert(kcu == Seq("l_orderkey", "l_linenumber"))
+  }
+
+  test("referential_constraints, collations, sql_features views register") {
+    InformationSchema.register(spark)
+    assert(spark.sql("SELECT * FROM information_schema_referential_constraints").count() == 0)
+    assert(spark.sql("SELECT collation_name FROM information_schema_collations")
+      .head().getString(0) == "UCS_BASIC")
+    val feats = spark.sql(
+      "SELECT count(*) FROM information_schema_sql_features WHERE is_supported").head().getLong(0)
+    assert(feats >= 20)
   }
 }
 
