@@ -530,9 +530,26 @@ object Dialect {
     None
   }
 
+  /** `information_schema.x` / `sys.x` → the flat `information_schema_x` /
+    * `sys_x` temp-view names registered by sources.InformationSchema /
+    * sources.SysCatalog (Spark temp views cannot carry a schema qualifier). */
+  private def passSystemSchemas(ts: Vector[Tok]): Option[Vector[Tok]] = {
+    var i = 0
+    while (i + 2 < ts.length) {
+      val t = ts(i)
+      if (t.kind == K.Word &&
+          (t.text.equalsIgnoreCase("information_schema") || t.text.equalsIgnoreCase("sys")) &&
+          ts(i + 1).isSym(".") && ts(i + 2).kind == K.Word)
+        return Some(ts.patch(i, Seq(
+          Tok(K.Word, t.text.toLowerCase + "_" + ts(i + 2).text)), 3))
+      i += 1
+    }
+    None
+  }
+
   private val passes: Seq[Vector[Tok] => Option[Vector[Tok]]] =
     Seq(passRenames, passMatch, passCasts, passAnyAll, passObjectLiteral,
-      passBrackets, passFetchOffset, passFilterClause)
+      passBrackets, passFetchOffset, passFilterClause, passSystemSchemas)
 
   def translate(stmt: String): String = {
     var ts = lex(stmt)

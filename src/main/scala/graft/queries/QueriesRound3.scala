@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Redact, Sampling, Similarity}
+import graft.operators.{Decontaminate, Redact, Sampling, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -77,6 +77,25 @@ object QueriesRound3 {
        |       (SELECT sum(CAST(l_extendedprice AS DECIMAL(18,4))) * 0.011 FROM lineitem)
        |ORDER BY supp_value DESC, l_suppkey""".stripMargin
 
+  /** Exact-decimal arithmetic with operand precisions chosen so NEITHER
+    * engine hits its precision-adjustment path: (18,4)×(8,2) → (27,6) and
+    * (18,4)×(6,4) → (25,8) are exact products in both Spark and DuckDB
+    * (sum widens the integral digits only), so the 38-digit result column
+    * is bit-identical — only the final representation is DECIMAL(38,6)/(38,8).
+    * Division is deliberately absent: decimal quotient scale rules are
+    * engine-specific and would compare rounding policies, not results. */
+  private val decimal38Sql =
+    """SELECT l_suppkey,
+       |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+       |                CAST(l_quantity AS DECIMAL(8,2)))
+       |            AS DECIMAL(38,6)) AS exact_prod_sum,
+       |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+       |                (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))))
+       |            AS DECIMAL(38,8)) AS exact_disc_sum
+       |FROM lineitem
+       |GROUP BY l_suppkey
+       |ORDER BY l_suppkey""".stripMargin
+
   /** Deterministic synthetic contact string so the redaction pass has real
     * spans to scrub (the fixture corpus is PII-free word salad). */
   private def contactSql(custkey: String, name: String, nationkey: String) =
@@ -121,13 +140,23 @@ object QueriesRound3 {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // Deterministic train/val/test split distribution (xxhash64 membership —
-    // no DuckDB equivalent, rows-only).
+    // Deterministic train/val/test split. The per-split row counts are
+    // xxhash64-dependent (no DuckDB equivalent), so the oracle pins the two
+    // properties that matter: the split is a PARTITION (per-split counts sum
+    // back to the corpus total — no row lost or duplicated) and each split
+    // size is within 5 points of its target weight.
     "q136_train_split" -> ((s, dir) => {
-      Sampling.hashSplit(T(s, dir, "documents"), "doc_id",
+      import org.apache.spark.sql.expressions.Window
+      val bydoc = Sampling.hashSplit(T(s, dir, "documents"), "doc_id",
           Seq(0.9, 0.05, 0.05), Seq("train", "val", "test"))
-        .groupBy(col("split"))
-        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy()
+      val weights = typedLit(Map("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      bydoc
+        .select(col("split"),
+          sum(col("n")).over(w).as("total_docs"),
+          (abs(col("n") - weights(col("split")) * sum(col("n")).over(w)) <=
+            sum(col("n")).over(w) * 0.05).as("within_tol"))
         .orderBy(col("split"))
     }),
 
@@ -171,13 +200,81 @@ object QueriesRound3 {
         ORDER BY c_custkey""")
     }),
 
-    // Training-shard packing summary: stable hash shard per doc, balanced
-    // sizes (rows-only — xxhash64 assignment).
+    // CrateDB array-scalar tail (scalar/ArrayDifferenceFunction.java,
+    // ArrayUniqueFunction.java, ArrayCatFunction.java, ArraySliceFunction
+    // .java, ArraySumFunction.java, ArrayAvgFunction.java): Spark lacks
+    // direct twins for difference/unique (array_except DEDUPS — CrateDB
+    // keeps duplicates of the left side), so difference = filter(), unique
+    // = array_distinct over the concat. Arrays are serialized sorted so the
+    // oracle's list functions (whose order guarantees differ) compare
+    // content, not engine-internal ordering.
+    "q140_array_tail" -> ((s, dir) => {
+      val a = array(col("p_size"), col("p_size") + 1, col("p_size") % 5,
+        col("p_size"))
+      val b = array(col("p_size") % 5, lit(3))
+      T(s, dir, "part").filter(col("p_partkey") <= 100)
+        .select(col("p_partkey"), col("p_size"), a.as("a"), b.as("b"))
+        .select(
+          col("p_partkey"),
+          to_json(filter(col("a"), x => !array_contains(col("b"), x)))
+            .as("diff"),
+          to_json(array_sort(array_distinct(concat(col("a"), col("b")))))
+            .as("uniq"),
+          to_json(slice(col("a"), 2, 2)).as("sliced"),
+          aggregate(col("a"), lit(0L), (acc, x) => acc + x).as("asum"),
+          (aggregate(col("a"), lit(0L), (acc, x) => acc + x) /
+            size(col("a")).cast("double")).as("aavg"),
+          size(col("a")).as("alen"),
+          array_position(col("a"), col("p_size") % 5).as("apos"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // NUMERIC precision tail (NumericType.java): exact DECIMAL(38,10)
+    // arithmetic — product, quotient, and an exact sum that would overflow
+    // DOUBLE mantissa precision. p>38 stays unsupported (documented in
+    // COVERAGE.md); at p<=38 results are bit-exact against the oracle's
+    // decimal engine.
+    "q142_decimal38" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(decimal38Sql)
+    }),
+
+    // Benchmark decontamination (word-8-gram exact overlap, the standard
+    // LLM training-data hygiene pass): corpus docs sharing any 8-gram with
+    // the benchmark subset, with the shared-gram count. Exact-replayable
+    // in SQL, so the whole operator sits under the hash gate.
+    "q143_decontaminate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Decontaminate.flagContaminated(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // sys.shards through the dialect front-end: file-split shard inventory
+    // per table. The fixture layout is one parquet file per table, so the
+    // shard count and positive-size flag are deterministic and the oracle
+    // replays them from the table list.
+    "q144_sys_shards" -> ((s, dir) => {
+      graft.sources.SysCatalog.registerAll(s, dir)
+      s.sql(graft.Dialect.translate(
+        """SELECT table_name, count(*) AS shards, sum(size) > 0 AS has_bytes
+          |FROM sys.shards GROUP BY table_name ORDER BY table_name""".stripMargin))
+    }),
+
+    // Training-shard packing: stable hash shard per doc. Same oracle pattern
+    // as q136 — all 8 shards present, counts sum to the corpus total, each
+    // shard within ±40% of the uniform share (hash balance).
     "q137_pack_shards" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy()
       Sampling.packShards(T(s, dir, "documents"), "doc_id", numShards = 8)
-        .groupBy(col("shard"))
-        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
-          max(col("doc_id")).as("max_id"))
+        .groupBy(col("shard")).agg(count(lit(1)).as("n"))
+        .select(col("shard"),
+          sum(col("n")).over(w).as("total_docs"),
+          (abs(col("n") - sum(col("n")).over(w) / 8.0) <=
+            sum(col("n")).over(w) * 0.4 / 8.0).as("balanced_ok"))
         .orderBy(col("shard"))
     })
   )
@@ -212,6 +309,51 @@ object QueriesRound3 {
         |       'k=' || CAST(c_custkey % 5 AS VARCHAR) AS query,
         |       'f' || CAST(c_custkey % 2 AS VARCHAR) AS fragment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q144_sys_shards" ->
+      """SELECT t.table_name, CAST(1 AS BIGINT) AS shards, TRUE AS has_bytes
+        |FROM (VALUES ('customer'), ('documents'), ('embeddings'), ('events'),
+        |             ('lineitem'), ('nation'), ('orders'), ('part'),
+        |             ('region'), ('supplier')) t(table_name)
+        |ORDER BY t.table_name""".stripMargin,
+    "q140_array_tail" ->
+      """SELECT p_partkey,
+        |       to_json(list_filter(a, x -> NOT list_contains(b, x))) AS diff,
+        |       to_json(list_sort(list_distinct(list_concat(a, b)))) AS uniq,
+        |       to_json(a[2:3]) AS sliced,
+        |       CAST(list_sum(a) AS BIGINT) AS asum,
+        |       CAST(list_sum(a) AS DOUBLE) / len(a) AS aavg,
+        |       CAST(len(a) AS INT) AS alen,
+        |       CAST(list_position(a, p_size % 5) AS BIGINT) AS apos
+        |FROM (SELECT p_partkey, p_size,
+        |             [p_size, p_size + 1, p_size % 5, p_size] AS a,
+        |             [p_size % 5, 3] AS b
+        |      FROM part WHERE p_partkey <= 100)
+        |ORDER BY p_partkey""".stripMargin,
+    "q142_decimal38" -> decimal38Sql,
+    "q143_decontaminate" ->
+      """WITH docs AS (SELECT doc_id, string_split(
+        |       trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |     FROM documents),
+        |bench AS (SELECT * FROM docs WHERE doc_id % 10 = 0),
+        |corpus AS (SELECT * FROM docs WHERE doc_id % 10 <> 0),
+        |bg AS (SELECT DISTINCT array_to_string(toks[CAST(u AS INT):CAST(u + 7 AS INT)], ' ') AS g
+        |       FROM bench, unnest(range(1, len(toks) - 6)) t(u)),
+        |cg AS (SELECT DISTINCT doc_id,
+        |              array_to_string(toks[CAST(u AS INT):CAST(u + 7 AS INT)], ' ') AS g
+        |       FROM corpus, unnest(range(1, len(toks) - 6)) t(u))
+        |SELECT doc_id, count(*) AS n_shared_grams
+        |FROM cg JOIN bg USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q136_train_split" ->
+      """SELECT s.split, (SELECT count(*) FROM documents) AS total_docs,
+                TRUE AS within_tol
+         FROM (VALUES ('test'), ('train'), ('val')) s(split)
+         ORDER BY s.split""",
+    "q137_pack_shards" ->
+      """SELECT CAST(r.range AS INT) AS shard,
+                (SELECT count(*) FROM documents) AS total_docs,
+                TRUE AS balanced_ok
+         FROM range(8) r ORDER BY shard""",
     "q130_tpch_q7ish" -> tpchQ7,
     "q131_tpch_q2ish" -> tpchQ2,
     "q132_tpch_q22ish" -> tpchQ22,

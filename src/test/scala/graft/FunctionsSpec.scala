@@ -106,6 +106,11 @@ class DialectSpec extends AnyFunSuite {
     "SELECT x::int[] FROM t" -> "SELECT CAST(x AS ARRAY<INT>) FROM t",
     "SELECT ts::timestamp with time zone FROM t" -> "SELECT CAST(ts AS TIMESTAMP) FROM t",
     "SELECT o.col::ip FROM t" -> "SELECT CAST(o.col AS STRING) FROM t",
+    // system-schema qualifiers → flat registered view names
+    "SELECT * FROM sys.shards" -> "SELECT * FROM sys_shards",
+    "SELECT table_name FROM information_schema.tables" ->
+      "SELECT table_name FROM information_schema_tables",
+    "SELECT 'sys.shards' FROM t" -> "SELECT 'sys.shards' FROM t",
     // literal safety: rewrite-pattern text inside strings must survive
     "SELECT 'a::int'" -> "SELECT 'a::int'",
     "SELECT 'arr[1]' FROM t" -> "SELECT 'arr[1]' FROM t",

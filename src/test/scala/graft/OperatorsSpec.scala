@@ -764,3 +764,37 @@ class PackShardsSpec extends SparkTestBase {
     assert(files.forall(_._2 >= 2), files.mkString(", "))
   }
 }
+
+class DecontaminateSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+
+  test("flags exactly the docs sharing an 8-gram with the benchmark") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val flagged = graft.operators.Decontaminate
+      .flagContaminated(corpus, bench, "doc_id", "text", n = 8)
+    // a doc that IS in the benchmark can never be flagged (disjoint inputs)
+    assert(flagged.join(bench, flagged("doc_id") === bench("doc_id")).count() == 0)
+    // planting a benchmark document verbatim in the corpus must flag it
+    val planted = corpus.unionByName(
+      bench.limit(1).withColumn("doc_id", lit(999999L)))
+    val f2 = graft.operators.Decontaminate
+      .flagContaminated(planted, bench, "doc_id", "text", n = 8)
+    assert(f2.filter(col("doc_id") === 999999L).count() == 1)
+    // dropContaminated removes exactly the flagged set
+    val kept = graft.operators.Decontaminate
+      .dropContaminated(planted, bench, "doc_id", "text", n = 8)
+    assert(kept.count() == planted.count() - f2.count())
+  }
+
+  test("benchmark gram set is broadcast, corpus is not shuffled before the match") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val flagged = graft.operators.Decontaminate.flagContaminated(
+      docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", n = 8)
+    val plan = flagged.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      "benchmark side must broadcast")
+  }
+}

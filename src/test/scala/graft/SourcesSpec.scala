@@ -320,3 +320,30 @@ class MaintenanceSpec extends SparkTestBase {
     assert(analyzed.contains("PushedFilters"))
   }
 }
+
+class SysCatalogSpec extends SparkTestBase {
+  test("sys views register and report sane runtime facts") {
+    graft.sources.SysCatalog.registerAll(spark, sfDir)
+    val cl = spark.sql("SELECT * FROM sys_cluster").collect()
+    assert(cl.length == 1 && cl(0).getString(2).startsWith("local["))
+    assert(spark.sql("SELECT * FROM sys_nodes").count() >= 1)
+    val sh = spark.sql(
+      "SELECT table_name, count(*) AS n, sum(size) AS bytes FROM sys_shards GROUP BY table_name")
+    assert(sh.count() == graft.Tables.names.length)
+    assert(sh.filter(col("bytes") <= 0).count() == 0)
+    val health = spark.sql("SELECT * FROM sys_health WHERE health <> 'GREEN'")
+    assert(health.count() == 0)
+    // all configured checks pass on the test session
+    assert(spark.sql("SELECT * FROM sys_checks WHERE NOT passed").count() == 0)
+    // sys.jobs is point-in-time; between queries it is empty but must parse
+    assert(spark.sql("SELECT * FROM sys_jobs").columns.sameElements(
+      Array("id", "status", "stages")))
+  }
+
+  test("dialect resolves sys.* and information_schema.* qualifiers") {
+    graft.sources.SysCatalog.registerAll(spark, sfDir)
+    val n = spark.sql(graft.Dialect.translate(
+      "SELECT table_name FROM sys.shards GROUP BY table_name")).count()
+    assert(n == graft.Tables.names.length)
+  }
+}
