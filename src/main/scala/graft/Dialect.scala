@@ -551,6 +551,164 @@ object Dialect {
     Seq(passRenames, passMatch, passCasts, passAnyAll, passObjectLiteral,
       passBrackets, passFetchOffset, passFilterClause, passSystemSchemas)
 
+  // ---------- DDL: CREATE TABLE ----------
+
+  /** CrateDB `CREATE TABLE` → Spark SQL DDL (reference grammar
+    * `libs/sql-parser/src/main/antlr/SqlBaseParser.g4` createTable;
+    * docs/general/ddl/create-table.rst).
+    *
+    * Mappings (Spark-first, lossy where Spark has no equivalent):
+    *  - scalar types through [[typeMap]]; `ARRAY(T)` → `ARRAY<T>`;
+    *    `OBJECT [( DYNAMIC|STRICT|IGNORED )] AS (subcols)` → `STRUCT<...>`
+    *    (nested objects recurse); bare `OBJECT` → `MAP<STRING,STRING>`;
+    *    `GEO_POINT` → `ARRAY<DOUBLE>`; `GEO_SHAPE` → `STRING` (GeoJSON)
+    *  - `NOT NULL` kept; `PRIMARY KEY`, `INDEX USING FULLTEXT`,
+    *    `DEFAULT`/`GENERATED` exprs, `STORAGE WITH`, named constraints:
+    *    dropped (no Spark DDL equivalent; enforce in the write path)
+    *  - `CLUSTERED BY (c) INTO n SHARDS` → `CLUSTERED BY (c) INTO n
+    *    BUCKETS` (Spark bucketed table — the co-location survives);
+    *    `CLUSTERED INTO n SHARDS` (no routing column) is dropped
+    *  - `PARTITIONED BY (...)` kept verbatim; `WITH (...)` table settings
+    *    dropped; storage is always `USING parquet`.
+    */
+  def translateDdl(stmt: String): String = {
+    val ts = lex(stmt).filter(_.sig)
+    def isw(i: Int, s: String) = i < ts.length && ts(i).kind == K.Word && ts(i).is(s)
+    require(isw(0, "create") && isw(1, "table"), "translateDdl handles CREATE TABLE only")
+    var i = 2
+    if (isw(i, "if") && isw(i + 1, "not") && isw(i + 2, "exists")) i += 3
+    val nameParts = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (i < ts.length && !ts(i).isSym("(")) { nameParts += ts(i).text; i += 1 }
+    require(i < ts.length, "CREATE TABLE without column list")
+    val open = i; val close = matchFwd(ts, open)
+    require(close > open, "unbalanced column list")
+
+    // split depth-1 commas
+    val defs = scala.collection.mutable.ArrayBuffer.empty[Vector[Tok]]
+    var depth = 0; var cur = Vector.newBuilder[Tok]
+    for (k <- open + 1 until close) {
+      val t = ts(k)
+      if (t.isSym("(")) depth += 1
+      if (t.isSym(")")) depth -= 1
+      if (t.isSym(",") && depth == 0) { defs += cur.result(); cur = Vector.newBuilder[Tok] }
+      else cur += t
+    }
+    val last = cur.result(); if (last.nonEmpty) defs += last
+
+    // type spelling starting at index j of d; returns (sparkType, next index)
+    def mapType(d: Vector[Tok], j: Int): (String, Int) = {
+      val w = d(j).text.toLowerCase
+      w match {
+        case "array" if j + 1 < d.length && d(j + 1).isSym("(") =>
+          val c = matchFwdIn(d, j + 1)
+          val (inner, _) = mapType(d, j + 2)
+          (s"ARRAY<$inner>", c + 1)
+        case "object" =>
+          var k = j + 1
+          if (k < d.length && d(k).isSym("(")) k = matchFwdIn(d, k) + 1 // policy
+          if (k < d.length && d(k).is("as") && k + 1 < d.length && d(k + 1).isSym("(")) {
+            val c = matchFwdIn(d, k + 1)
+            val subs = splitCommas(d.slice(k + 2, c))
+            val fields = subs.map { sd =>
+              val fname = ident(sd(0).text)
+              val (ft, _) = mapType(sd, 1)
+              s"$fname: $ft"
+            }
+            (s"STRUCT<${fields.mkString(", ")}>", c + 1)
+          } else ("MAP<STRING,STRING>", k)
+        case "geo_point" => ("ARRAY<DOUBLE>", j + 1)
+        case "geo_shape" => ("STRING", j + 1)
+        case "double" if j + 1 < d.length && d(j + 1).is("precision") => ("DOUBLE", j + 2)
+        case "timestamp" =>
+          if (d.lift(j + 1).exists(t => t.is("with") || t.is("without")))
+            ("TIMESTAMP", j + 4) // [with|without] time zone
+          else ("TIMESTAMP", j + 1)
+        case tw =>
+          val base = typeMap.getOrElse(tw, tw.toUpperCase)
+          // precision args e.g. DECIMAL(10,2), VARCHAR(20)
+          if (j + 1 < d.length && d(j + 1).isSym("(")) {
+            val c = matchFwdIn(d, j + 1)
+            (base + render(d.slice(j + 1, c + 1)).replaceAll("\\s", ""), c + 1)
+          } else (base, j + 1)
+      }
+    }
+
+    def splitCommas(v: Vector[Tok]): Seq[Vector[Tok]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Vector[Tok]]
+      var dep = 0; var b = Vector.newBuilder[Tok]
+      for (t <- v) {
+        if (t.isSym("(") || t.isSym("<")) dep += 1
+        if (t.isSym(")") || t.isSym(">")) dep -= 1
+        if (t.isSym(",") && dep == 0) { out += b.result(); b = Vector.newBuilder[Tok] }
+        else b += t
+      }
+      val l = b.result(); if (l.nonEmpty) out += l
+      out.toSeq
+    }
+
+    def ident(raw: String): String =
+      if (raw.startsWith("\"")) "`" + raw.stripPrefix("\"").stripSuffix("\"").replace("\"\"", "\"") + "`"
+      else raw
+
+    val cols = defs.flatMap { d =>
+      val head = d(0).text.toLowerCase
+      if (head == "primary" || head == "index" || head == "constraint" || head == "check")
+        None // table-level constraint / fulltext index: no Spark DDL twin
+      else {
+        val name = ident(d(0).text)
+        val (ty, after) = mapType(d, 1)
+        val notNull = d.indexWhere(_.is("not")) match {
+          case n if n >= after && n + 1 < d.length && d(n + 1).is("null") => " NOT NULL"
+          case _ => ""
+        }
+        Some(s"$name $ty$notNull")
+      }
+    }
+
+    // tail clauses after the column list
+    var bucketCol: Option[String] = None; var nBuckets: Option[String] = None
+    var partitionBy: Option[String] = None
+    var k = close + 1
+    while (k < ts.length) {
+      if (ts(k).is("clustered")) {
+        var m = k + 1
+        if (m < ts.length && ts(m).is("by") && ts(m + 1).isSym("(")) {
+          val c = matchFwd(ts, m + 1)
+          bucketCol = Some(render(ts.slice(m + 2, c)).trim)
+          m = c + 1
+        }
+        if (m < ts.length && ts(m).is("into")) { nBuckets = Some(ts(m + 1).text); m += 3 } // INTO n SHARDS
+        k = m
+      } else if (ts(k).is("partitioned") && k + 1 < ts.length && ts(k + 1).is("by") &&
+                 ts(k + 2).isSym("(")) {
+        val c = matchFwd(ts, k + 2)
+        partitionBy = Some(render(ts.slice(k + 3, c)).trim)
+        k = c + 1
+      } else k += 1 // WITH (...) and anything else: dropped
+    }
+
+    val b = new StringBuilder
+    b.append("CREATE TABLE ").append(nameParts.map(ident).mkString)
+      .append(" (").append(cols.mkString(", ")).append(") USING parquet")
+    partitionBy.foreach(p => b.append(s" PARTITIONED BY ($p)"))
+    (bucketCol, nBuckets) match {
+      case (Some(c), Some(n)) => b.append(s" CLUSTERED BY ($c) INTO $n BUCKETS")
+      case _ => // routing without a column (CLUSTERED INTO n SHARDS): dropped
+    }
+    b.toString
+  }
+
+  /** [[matchFwd]] over an arbitrary slice (defs are sub-vectors). */
+  private def matchFwdIn(d: Vector[Tok], i: Int): Int = {
+    var depth = 0; var k = i
+    while (k < d.length) {
+      if (d(k).isSym("(")) depth += 1
+      else if (d(k).isSym(")")) { depth -= 1; if (depth == 0) return k }
+      k += 1
+    }
+    -1
+  }
+
   def translate(stmt: String): String = {
     var ts = lex(stmt)
     var changed = true

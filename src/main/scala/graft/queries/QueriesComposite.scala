@@ -104,7 +104,50 @@ object QueriesComposite {
   )
 
   val oracles: Map[String, String] = Map(
-    // q93: minhash stage is not SQL-expressible → rows-only
+    // Full pipeline replay: quality formula (q60's oracle), token counts
+    // (q58's), exact dedup (q57's), then the near-dup stage replayed as the
+    // EXACT 5-shingle Jaccard ≥ 0.9 loser set (minhashDedup post-verifies
+    // with exact Jaccard, and q62's oracle already proved LSH recall is 1.0
+    // on this corpus), and the final per-language rollup.
+    "q93_curation_pipeline" ->
+      """WITH feats AS (
+        |  SELECT doc_id, lang, text,
+        |         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS DOUBLE) AS ntok,
+        |         CAST(length(text) AS DOUBLE) AS nchar,
+        |         CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS npunct,
+        |         CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE) AS nalpha
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang, text, CAST(ntok AS INT) AS n_tokens,
+        |         round(least(ntok / 50.0, 1.0) * 0.4
+        |         + (CASE WHEN (CASE WHEN ntok > 0 THEN (nchar - ntok + 1) / ntok ELSE 0.0 END)
+        |                 BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.2
+        |         + (CASE WHEN (CASE WHEN nchar > 0 THEN npunct / nchar ELSE 1.0 END) < 0.2
+        |                 THEN 1.0 ELSE 0.4 END) * 0.2
+        |         + (CASE WHEN nchar > 0 THEN nalpha / nchar ELSE 0.0 END) * 0.2, 6) AS quality
+        |  FROM feats),
+        |filtered AS (SELECT * FROM scored WHERE quality >= 0.5 AND n_tokens >= 10),
+        |ex AS (SELECT * FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |         FROM filtered) WHERE rn = 1),
+        |docs2 AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM ex),
+        |grams AS (SELECT DISTINCT doc_id,
+        |                 CASE WHEN len(norm) < 5 THEN norm
+        |                      ELSE substring(norm, CAST(u AS INT), 5) END AS g
+        |          FROM docs2, unnest(range(1, greatest(len(norm) - 3, 2))) t(u)
+        |          WHERE len(norm) > 0),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |losers AS (SELECT DISTINCT id_b FROM inter
+        |           JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |           WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.9),
+        |cleaned AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT id_b FROM losers))
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       round(avg(quality), 4) AS avg_quality
+        |FROM cleaned GROUP BY lang ORDER BY lang""".stripMargin,
     "q94_range_interval_frame" ->
       """SELECT event_id, user_id,
                 count(*) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)

@@ -384,3 +384,55 @@ class KnnMatchSpec extends SparkTestBase {
     assert(ids.length == 3 && ids.head == 7L)
   }
 }
+
+class DialectDdlSpec extends SparkTestBase {
+  private def t(in: String): String = Dialect.translateDdl(in)
+
+  test("scalar types, arrays, objects, geo, ip map to Spark DDL") {
+    assert(t("CREATE TABLE t (id BIGINT PRIMARY KEY, name TEXT NOT NULL, ip_addr IP)") ==
+      "CREATE TABLE t (id BIGINT, name STRING NOT NULL, ip_addr STRING) USING parquet")
+    assert(t("CREATE TABLE t (tags ARRAY(TEXT), scores ARRAY(DOUBLE))") ==
+      "CREATE TABLE t (tags ARRAY<STRING>, scores ARRAY<DOUBLE>) USING parquet")
+    assert(t("CREATE TABLE t (meta OBJECT(DYNAMIC) AS (a INT, b TEXT), free OBJECT)") ==
+      "CREATE TABLE t (meta STRUCT<a: INT, b: STRING>, free MAP<STRING,STRING>) USING parquet")
+    assert(t("CREATE TABLE t (loc GEO_POINT, shape GEO_SHAPE, ts TIMESTAMP WITH TIME ZONE)") ==
+      "CREATE TABLE t (loc ARRAY<DOUBLE>, shape STRING, ts TIMESTAMP) USING parquet")
+    assert(t("CREATE TABLE t (v DECIMAL(10,2), s VARCHAR(20))") ==
+      "CREATE TABLE t (v DECIMAL(10,2), s VARCHAR(20)) USING parquet")
+  }
+
+  test("nested objects recurse") {
+    assert(t("CREATE TABLE t (o OBJECT AS (inner OBJECT AS (x INT), ys ARRAY(LONG)))") ==
+      "CREATE TABLE t (o STRUCT<inner: STRUCT<x: INT>, ys: ARRAY<BIGINT>>) USING parquet")
+  }
+
+  test("sharding, partitioning, constraints and settings") {
+    assert(t("""CREATE TABLE IF NOT EXISTS doc.metrics (
+                  ts TIMESTAMP, host TEXT, val DOUBLE,
+                  PRIMARY KEY (ts, host),
+                  INDEX host_ft USING FULLTEXT (host) WITH (analyzer = 'english'))
+                CLUSTERED BY (host) INTO 6 SHARDS
+                PARTITIONED BY (ts)
+                WITH (number_of_replicas = 1)""") ==
+      "CREATE TABLE doc.metrics (ts TIMESTAMP, host STRING, val DOUBLE) USING parquet " +
+        "PARTITIONED BY (ts) CLUSTERED BY (host) INTO 6 BUCKETS")
+    // routing without a column: bucket spec dropped
+    assert(t("CREATE TABLE t (x INT) CLUSTERED INTO 4 SHARDS") ==
+      "CREATE TABLE t (x INT) USING parquet")
+  }
+
+  test("translated DDL executes: create, insert, bucketed read back") {
+    spark.sql("DROP TABLE IF EXISTS graft_ddl_t")
+    val ddl = t("CREATE TABLE graft_ddl_t (id BIGINT PRIMARY KEY, name TEXT, tags ARRAY(TEXT)) " +
+      "CLUSTERED BY (id) INTO 2 SHARDS")
+    spark.sql(ddl)
+    spark.sql("INSERT INTO graft_ddl_t VALUES (1, 'a', array('x','y')), (2, 'b', array())")
+    val rows = spark.sql("SELECT id, name, size(tags) AS n FROM graft_ddl_t ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((1L, "a", 2), (2L, "b", 0)))
+    // bucket metadata survived the translation
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED graft_ddl_t").collect().map(_.mkString("|")).mkString("\n")
+    assert(desc.contains("Num Buckets") && desc.contains("2"))
+    spark.sql("DROP TABLE graft_ddl_t")
+  }
+}
