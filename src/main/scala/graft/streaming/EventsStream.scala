@@ -104,4 +104,27 @@ object EventsStream {
       .select(col("session.start").as("session_start"),
         col("session.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Stream–stream time-interval join: each `clicks` row matched to the
+    * `views` row of the same user within the preceding `horizon`. Both
+    * sides carry watermarks so Spark bounds the join state — without the
+    * interval condition the state store grows unboundedly (the canonical
+    * stream-join footgun at scale). */
+  def intervalJoin(views: DataFrame, clicks: DataFrame,
+                   horizon: String = "1 hour",
+                   watermark: String = "30 minutes"): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", watermark)
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermark)
+    c.join(v,
+      col("c_user") === col("v_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") >= col("c_ts") - expr(s"INTERVAL $horizon"),
+      "inner")
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("c_ts"), col("v_ts"))
+  }
 }

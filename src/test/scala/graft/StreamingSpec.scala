@@ -53,3 +53,53 @@ class StreamingSpec extends SparkTestBase {
     assert(a == b)
   }
 }
+
+case class EvJ(ts: Timestamp, user_id: Long, event_id: Long)
+
+class StreamJoinSpec extends SparkTestBase {
+  import spark.implicits._
+  private def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("stream-stream interval join matches views to clicks within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[EvJ]
+    val clicks = MemoryStream[EvJ]
+    views.addData(EvJ(ts(0), 1, 100), EvJ(ts(5), 1, 101), EvJ(ts(0), 2, 200))
+    // click at 10:30 joins views within [09:30, 10:30]; user 3 has no view
+    clicks.addData(EvJ(ts(30), 1, 900), EvJ(ts(31), 3, 901))
+    val q = EventsStream.intervalJoin(views.toDF(), clicks.toDF(), horizon = "1 hour")
+      .writeStream.format("memory").queryName("sjoin").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT click_id, view_id FROM sjoin ORDER BY view_id").collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((900L, 100L), (900L, 101L)))
+    } finally q.stop()
+  }
+}
+
+/** Type-system fringe the engine does NOT support (SURVEY §7 hard parts):
+  * each case pins the FAILURE MODE — a loud error, never silent coercion —
+  * so a user porting schemas knows what happens (reference types:
+  * NumericType.java unbounded precision, TimeTZType.java, BitStringType
+  * .java). */
+class TypeFringeSpec extends SparkTestBase {
+  test("NUMERIC beyond precision 38 errors loudly") {
+    val e = intercept[Exception](spark.sql("SELECT CAST(1 AS DECIMAL(40,2))").collect())
+    assert(e.getMessage.toLowerCase.contains("decimal") ||
+      e.getMessage.contains("38"), e.getMessage)
+  }
+
+  test("TIMETZ has no Spark type: DDL errors, does not coerce") {
+    val e = intercept[Exception](
+      spark.sql("CREATE TABLE graft_timetz_t (t TIMETZ) USING parquet").collect())
+    assert(e.getMessage.toUpperCase.contains("TIMETZ") ||
+      e.getMessage.toLowerCase.contains("datatype"), e.getMessage)
+  }
+
+  test("BIT(n) has no Spark type: DDL errors, does not coerce") {
+    val e = intercept[Exception](
+      spark.sql("CREATE TABLE graft_bit_t (b BIT(3)) USING parquet").collect())
+    assert(e.getMessage.toUpperCase.contains("BIT") ||
+      e.getMessage.toLowerCase.contains("datatype"), e.getMessage)
+  }
+}
