@@ -44,7 +44,7 @@ object Dialect {
     def sig: Boolean = kind != K.Ws && kind != K.Cmt
   }
 
-  private val twoCharSyms = Set("::", "<=", ">=", "<>", "!=", "||", "->")
+  private val twoCharSyms = Set("::", "<=", ">=", "<>", "!=", "||", "->", "&&")
 
   private[graft] def lex(s: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -163,6 +163,30 @@ object Dialect {
     } else i
   }
 
+  /** End index of the operand whose FIRST significant token is at `i`:
+    * the forward mirror of `operandStart` — literals stand alone; words
+    * extend over dotted paths and a call's argument list; an opening
+    * paren/bracket extends to its closer; trailing subscripts attach. */
+  private def operandEnd(ts: Vector[Tok], i: Int): Int = {
+    val t = ts(i)
+    var e =
+      if (t.kind == K.Str || t.kind == K.Num) i
+      else if (t.kind == K.Word || t.kind == K.QId) {
+        var p = i
+        var nx = nextSig(ts, p)
+        while (nx >= 0 && ts(nx).isSym(".") && nextSig(ts, nx) >= 0 &&
+          (ts(nextSig(ts, nx)).kind == K.Word || ts(nextSig(ts, nx)).kind == K.QId)) {
+          p = nextSig(ts, nx); nx = nextSig(ts, p)
+        }
+        if (nx >= 0 && (ts(nx).isSym("(") || ts(nx).isSym("["))) matchFwd(ts, nx) else p
+      } else if (t.isSym("(") || t.isSym("[")) matchFwd(ts, i)
+      else i
+    // trailing subscripts: expr[...] [...]
+    var nx = nextSig(ts, e)
+    while (nx >= 0 && ts(nx).isSym("[")) { e = matchFwd(ts, nx); nx = nextSig(ts, e) }
+    e
+  }
+
   /** SQL keywords that can directly precede `(` without being a call name. */
   private val keywords = Set(
     "select", "where", "from", "and", "or", "not", "on", "when", "then",
@@ -185,7 +209,14 @@ object Dialect {
     "object_keys"          -> "map_keys",
     "random"               -> "rand",
     "format"               -> "format_string",
-    "date_format"          -> "date_format_mysql"
+    "date_format"          -> "date_format_mysql",
+    "array_overlap"        -> "arrays_overlap",
+    "gen_random_text_uuid" -> "uuid",
+    // CrateDB keeps PG argument order array_prepend(value, array)
+    // (ArrayPrependFunction.java:47); Spark's builtin is (array, value).
+    // Renamed to a graft-registered twin with the CrateDB order — an
+    // in-place argument swap would break translate's idempotence.
+    "array_prepend"        -> "graft_array_prepend"
   )
 
   private def passRenames(ts: Vector[Tok]): Option[Vector[Tok]] = {
@@ -547,9 +578,35 @@ object Dialect {
     None
   }
 
+  /** `a && b` (CrateDB/PG array-overlap operator, ArrayOverlapFunction
+    * .java:41) → `arrays_overlap(a, b)`. Operands are simple expressions:
+    * (dotted) identifiers, literals, calls, parenthesized groups, array
+    * literals, subscripted forms — the shapes `operandStart`/`operandEnd`
+    * recognize. */
+  private def passArrayOverlap(ts: Vector[Tok]): Option[Vector[Tok]] = {
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).isSym("&&")) {
+        val lhsEnd = prevSig(ts, i)
+        val rhsStart = nextSig(ts, i)
+        if (lhsEnd >= 0 && rhsStart >= 0) {
+          val lhsStart = operandStart(ts, lhsEnd)
+          val rhsEnd = operandEnd(ts, rhsStart)
+          val lhs = render(ts.slice(lhsStart, lhsEnd + 1))
+          val rhs = render(ts.slice(rhsStart, rhsEnd + 1))
+          val repl = lex(s"arrays_overlap($lhs, $rhs)")
+          return Some(ts.slice(0, lhsStart) ++ repl ++ ts.slice(rhsEnd + 1, ts.length))
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
   private val passes: Seq[Vector[Tok] => Option[Vector[Tok]]] =
     Seq(passRenames, passMatch, passCasts, passAnyAll, passObjectLiteral,
-      passBrackets, passFetchOffset, passFilterClause, passSystemSchemas)
+      passBrackets, passFetchOffset, passFilterClause, passSystemSchemas,
+      passArrayOverlap)
 
   // ---------- DDL: CREATE TABLE ----------
 

@@ -117,6 +117,17 @@ object GraftFunctions {
     // null → false, so NOT over it behaves 2-valued.
     u.register("ignore3vl", (b: java.lang.Boolean) => Boolean.box(b != null && b))
 
+    // PG-style string_to_array (reference StringToArrayFunction.java:41):
+    // null input → null, empty → [], null separator → one element per char,
+    // empty separator → whole string. Splits on the LITERAL separator
+    // (unlike Spark's regex `split`).
+    u.register("string_to_array", (s: String, sep: String) =>
+      if (s == null) null
+      else if (s.isEmpty) Seq.empty[String]
+      else if (sep == null) s.map(_.toString)
+      else if (sep.isEmpty) Seq(s)
+      else s.split(java.util.regex.Pattern.quote(sep), -1).toSeq)
+
     // native codegen'd vector expressions (graft.plans.VectorExpressions) —
     // registered in the Catalyst function registry so both SQL and
     // functions.call_function can reach them.
@@ -139,6 +150,34 @@ object GraftFunctions {
       exprs => graft.plans.SimHashExpr(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_fingerprint",
       exprs => graft.plans.FingerprintExpr(exprs(0)), "scala_udf")
+
+    // CrateDB array-bound / emptiness scalars as pure Catalyst compositions
+    // (codegen'd, no UDF): null_or_empty covers BOTH the OBJECT and ARRAY
+    // reference signatures (NullOrEmptyFunction.java:57 — Size() handles
+    // arrays and maps); array_lower/array_upper support dimension 1 (Spark
+    // arrays are 1-D; nested-array dims return NULL, documented in
+    // COVERAGE.md) per ArrayLowerFunction.java:76 / ArrayUpperFunction.
+    {
+      import org.apache.spark.sql.catalyst.expressions.{
+        And, CaseWhen, EqualTo, GreaterThan, Literal, Or, IsNull, Size}
+      import org.apache.spark.sql.types.IntegerType
+      reg.createOrReplaceTempFunction("null_or_empty",
+        exprs => Or(IsNull(exprs(0)), EqualTo(Size(exprs(0)), Literal(0))),
+        "scala_udf")
+      reg.createOrReplaceTempFunction("array_lower",
+        exprs => CaseWhen(Seq((And(EqualTo(exprs(1), Literal(1)),
+          GreaterThan(Size(exprs(0)), Literal(0))), Literal(1))),
+          Literal(null, IntegerType)), "scala_udf")
+      reg.createOrReplaceTempFunction("array_upper",
+        exprs => CaseWhen(Seq((And(EqualTo(exprs(1), Literal(1)),
+          GreaterThan(Size(exprs(0)), Literal(0))), Size(exprs(0)))),
+          Literal(null, IntegerType)), "scala_udf")
+      // CrateDB/PG argument order array_prepend(value, array)
+      // (ArrayPrependFunction.java:47) — the Dialect renames to this twin.
+      reg.createOrReplaceTempFunction("graft_array_prepend",
+        exprs => org.apache.spark.sql.catalyst.expressions.ArrayPrepend(
+          exprs(1), exprs(0)), "scala_udf")
+    }
 
     // UDF→native promotion rule (see plans.GraftExtensions; injected here
     // dynamically so driver-owned sessions get it without a restart).

@@ -263,6 +263,29 @@ object QueriesRound3 {
           |FROM sys.shards GROUP BY table_name ORDER BY table_name""".stripMargin))
     }),
 
+    // Remaining scalar tail through the dialect front-end, end-to-end:
+    // array_append / array_prepend (PG argument order, swapped by the
+    // dialect), string_to_array (literal separator), the `&&` array-overlap
+    // operator (ArrayOverlapFunction.java:41), array_lower/array_upper
+    // bounds, null_or_empty, sha — every one oracle-replayed.
+    "q145_scalar_tail" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      graft.functions.GraftFunctions.registerAll(s)
+      s.sql(graft.Dialect.translate(
+        """SELECT p_partkey,
+          |       to_json(array_append([p_size, p_size + 1, p_size % 7], 9)) AS appended,
+          |       to_json(array_prepend(0, [p_size, p_size + 1, p_size % 7])) AS prepended,
+          |       to_json(string_to_array(p_name, ' ')) AS words,
+          |       [p_size, p_size + 1, p_size % 7] && [p_size % 7, 42] AS overlaps,
+          |       array_lower([p_size, p_size + 1], 1) AS albound,
+          |       array_upper([p_size, p_size + 1, p_size % 7], 1) AS aubound,
+          |       null_or_empty(string_to_array('', ' ')) AS empty_arr,
+          |       sha2(p_name, 256) AS sha
+          |FROM part
+          |WHERE p_partkey <= 100
+          |ORDER BY p_partkey""".stripMargin))
+    }),
+
     // Training-shard packing: stable hash shard per doc. Same oracle pattern
     // as q136 — all 8 shards present, counts sum to the corpus total, each
     // shard within ±40% of the uniform share (hash balance).
@@ -330,6 +353,17 @@ object QueriesRound3 {
         |      FROM part WHERE p_partkey <= 100)
         |ORDER BY p_partkey""".stripMargin,
     "q142_decimal38" -> decimal38Sql,
+    "q145_scalar_tail" ->
+      """SELECT p_partkey,
+        |       to_json(list_append([p_size, p_size + 1, p_size % 7], 9)) AS appended,
+        |       to_json(list_prepend(0, [p_size, p_size + 1, p_size % 7])) AS prepended,
+        |       to_json(string_split(p_name, ' ')) AS words,
+        |       list_has_any([p_size, p_size + 1, p_size % 7], [p_size % 7, 42]) AS overlaps,
+        |       1 AS albound,
+        |       3 AS aubound,
+        |       TRUE AS empty_arr,
+        |       sha256(p_name) AS sha
+        |FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""".stripMargin,
     "q143_decontaminate" ->
       """WITH docs AS (SELECT doc_id, string_split(
         |       trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks

@@ -106,6 +106,16 @@ class DialectSpec extends AnyFunSuite {
     "SELECT x::int[] FROM t" -> "SELECT CAST(x AS ARRAY<INT>) FROM t",
     "SELECT ts::timestamp with time zone FROM t" -> "SELECT CAST(ts AS TIMESTAMP) FROM t",
     "SELECT o.col::ip FROM t" -> "SELECT CAST(o.col AS STRING) FROM t",
+    // array-overlap operator and PG-argument-order swaps
+    "SELECT tags && ['a', 'b'] FROM t" ->
+      "SELECT arrays_overlap(tags, array('a', 'b')) FROM t",
+    "SELECT a.tags && other_tags FROM t WHERE x = 1" ->
+      "SELECT arrays_overlap(a.tags, other_tags) FROM t WHERE x = 1",
+    "SELECT array_prepend(0, arr) FROM t" ->
+      "SELECT graft_array_prepend(0, arr) FROM t",
+    "SELECT array_overlap(a, b) FROM t" -> "SELECT arrays_overlap(a, b) FROM t",
+    "SELECT gen_random_text_uuid() FROM t" -> "SELECT uuid() FROM t",
+    "SELECT 'a && b' FROM t" -> "SELECT 'a && b' FROM t",
     // system-schema qualifiers → flat registered view names
     "SELECT * FROM sys.shards" -> "SELECT * FROM sys_shards",
     "SELECT table_name FROM information_schema.tables" ->
@@ -215,6 +225,44 @@ class DialectPropertySpec extends AnyFunSuite {
 /** Spark-evaluated function tests. */
 class SparkFunctionsSpec extends SparkTestBase {
   import spark.implicits._
+
+  test("string_to_array PG edge cases: null/empty input, null/empty separator") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT string_to_array('a b c', ' ') AS s1,
+        |       string_to_array('', ' ') AS s2,
+        |       string_to_array('ab', NULL) AS s3,
+        |       string_to_array('ab', '') AS s4,
+        |       string_to_array(NULL, ' ') AS s5""".stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("a", "b", "c"))
+    assert(r.getSeq[String](1) == Seq.empty)
+    assert(r.getSeq[String](2) == Seq("a", "b"))
+    assert(r.getSeq[String](3) == Seq("ab"))
+    assert(r.isNullAt(4))
+  }
+
+  test("null_or_empty covers arrays AND maps; array bounds dimension-1 only") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT null_or_empty(array()) AS e1,
+        |       null_or_empty(array(1)) AS e2,
+        |       null_or_empty(map()) AS e3,
+        |       null_or_empty(map('k', 1)) AS e4,
+        |       null_or_empty(CAST(NULL AS ARRAY<INT>)) AS e5,
+        |       array_lower(array(7, 8), 1) AS lo,
+        |       array_upper(array(7, 8), 1) AS hi,
+        |       array_lower(array(7, 8), 2) AS lo2,
+        |       array_lower(array(), 1) AS loe""".stripMargin).head()
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2) && !r.getBoolean(3) && r.getBoolean(4))
+    assert(r.getInt(5) == 1 && r.getInt(6) == 2)
+    assert(r.isNullAt(7) && r.isNullAt(8))
+  }
+
+  test("graft_array_prepend uses CrateDB (value, array) order") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql("SELECT graft_array_prepend(0, array(1, 2)) AS p").head()
+    assert(r.getSeq[Int](0) == Seq(0, 1, 2))
+  }
 
   test("vector cosine: identical=1, orthogonal=0") {
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
