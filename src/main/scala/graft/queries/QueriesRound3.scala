@@ -77,6 +77,77 @@ object QueriesRound3 {
        |       (SELECT sum(CAST(l_extendedprice AS DECIMAL(18,4))) * 0.011 FROM lineitem)
        |ORDER BY supp_value DESC, l_suppkey""".stripMargin
 
+  /** TPC-H Q8 shape: 8-way join with two nation roles, market share as a
+    * conditional-sum ratio per year. */
+  private val tpchQ8 =
+    """SELECT o_year,
+       |       round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+       |                          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+       |             CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+       |FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       |             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume,
+       |             n2.n_name AS nation
+       |      FROM part JOIN lineitem ON p_partkey = l_partkey
+       |           JOIN supplier ON s_suppkey = l_suppkey
+       |           JOIN orders ON l_orderkey = o_orderkey
+       |           JOIN customer ON o_custkey = c_custkey
+       |           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       |           JOIN region ON n1.n_regionkey = r_regionkey
+       |           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       |      WHERE r_name = 'EUROPE' AND p_type = 'PROMO') all_nations
+       |GROUP BY o_year
+       |ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q10 shape: returned-item revenue ranking. */
+  private val tpchQ10 =
+    """SELECT c_custkey, c_name,
+       |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+       |            AS DOUBLE) AS revenue,
+       |       c_acctbal, n_name
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |     JOIN lineitem ON l_orderkey = o_orderkey
+       |     JOIN nation ON c_nationkey = n_nationkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
+  /** TPC-H Q14 shape: promo revenue share over one month. */
+  private val tpchQ14 =
+    """SELECT round(100.0 *
+       |       CAST(sum(CASE WHEN p_type = 'PROMO'
+       |                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+       |                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+       |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+       |            AS DOUBLE), 6) AS promo_revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+       |  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'""".stripMargin
+
+  /** TPC-H Q18 shape: large-quantity orders via IN over a grouped HAVING. */
+  private val tpchQ18 =
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       |       CAST(sum(l_quantity) AS DOUBLE) AS total_qty
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |     JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+       |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+       |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+       |ORDER BY o_totalprice DESC, o_orderkey
+       |LIMIT 20""".stripMargin
+
+  /** TPC-H Q19 shape: disjunction of brand/quantity/size range conjuncts —
+    * the planner must keep the join equi-key while pushing the OR residual. */
+  private val tpchQ19 =
+    """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+       |            AS DOUBLE) AS revenue
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+       |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+       |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin
+
   /** Exact-decimal arithmetic with operand precisions chosen so NEITHER
     * engine hits its precision-adjustment path: (18,4)×(8,2) → (27,6) and
     * (18,4)×(6,4) → (25,8) are exact products in both Spark and DuckDB
@@ -107,6 +178,11 @@ object QueriesRound3 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_tpch_q7ish" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(tpchQ7) }),
     "q131_tpch_q2ish" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(tpchQ2) }),
+    "q146_tpch_q8ish" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(tpchQ8) }),
+    "q147_tpch_q10ish" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(tpchQ10) }),
+    "q148_tpch_q14ish" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(tpchQ14) }),
+    "q149_tpch_q18ish" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(tpchQ18) }),
+    "q150_tpch_q19ish" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(tpchQ19) }),
     "q132_tpch_q22ish" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(tpchQ22) }),
     "q133_tpch_q11ish" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(tpchQ11) }),
 
@@ -389,6 +465,11 @@ object QueriesRound3 {
                 TRUE AS balanced_ok
          FROM range(8) r ORDER BY shard""",
     "q130_tpch_q7ish" -> tpchQ7,
+    "q146_tpch_q8ish" -> tpchQ8,
+    "q147_tpch_q10ish" -> tpchQ10,
+    "q148_tpch_q14ish" -> tpchQ14,
+    "q149_tpch_q18ish" -> tpchQ18,
+    "q150_tpch_q19ish" -> tpchQ19,
     "q131_tpch_q2ish" -> tpchQ2,
     "q132_tpch_q22ish" -> tpchQ22,
     "q133_tpch_q11ish" -> tpchQ11,

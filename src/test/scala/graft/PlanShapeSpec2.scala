@@ -40,4 +40,32 @@ class PlanShapeSpec2 extends SparkTestBase {
     // one Exchange for the global orderBy; no join/aggregate shuffles
     assert("Exchange".r.findAllIn(p).size <= 1, p)
   }
+
+  test("Q8 shape: all six dims broadcast around the lineitem probe, no cartesian") {
+    val p = plan("q146_tpch_q8ish")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      "dimension tables must broadcast against the fact scan")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_"), "map-side combine missing")
+  }
+
+  test("Q10 shape: returnflag filter pushed to the lineitem scan, top-k bounded") {
+    val p = plan("q147_tpch_q10ish")
+    assert(p.contains("PushedFilters") && p.contains("l_returnflag"),
+      "returnflag must reach the parquet scan")
+    assert(p.contains("TakeOrderedAndProject"), "LIMIT must not global-sort")
+  }
+
+  test("Q18 shape: IN over grouped HAVING plans as a semi join, no cartesian") {
+    val p = plan("q149_tpch_q18ish")
+    assert(p.contains("LeftSemi"), "IN subquery must become a semi join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("Q19 shape: disjunctive ranges keep the partkey equi-join") {
+    val p = plan("q150_tpch_q19ish")
+    assert(p.contains("HashJoin"), "equi-join must survive the OR residual")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "OR predicate must not degrade the join to a loop")
+  }
 }
