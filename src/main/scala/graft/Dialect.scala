@@ -100,7 +100,7 @@ object Dialect {
     out.result()
   }
 
-  private def render(ts: Seq[Tok]): String = ts.map(_.text).mkString
+  private[graft] def render(ts: Seq[Tok]): String = ts.map(_.text).mkString
 
   // ---------- token navigation ----------
 

@@ -1,0 +1,297 @@
+package graft
+
+import graft.sources.{Dml, VersionedTable}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.hadoop.fs.Path
+
+/** Full-statement execution — the porting entry point for a CrateDB client.
+  *
+  * The reference's user surface is SQL statements over mutable tables
+  * (`SqlBaseParser.g4`, `AstBuilder.java`); graft's storage substrate is
+  * immutable Parquet. This router closes the gap: every statement class a
+  * CrateDB application sends — CREATE TABLE, INSERT [ON CONFLICT DO
+  * NOTHING | DO UPDATE SET], UPDATE [RETURNING], DELETE [RETURNING], DROP
+  * TABLE, SELECT — executes against versioned-parquet table roots under
+  * `root`, with copy-on-write semantics and atomic manifest commits
+  * ([[sources.VersionedTable]]), so readers racing a write always see a
+  * complete snapshot (the reference gets the same guarantee from the Lucene
+  * translog, `TransportShardUpsertAction.java:91`).
+  *
+  * Statements are first run through [[Dialect.translate]] (or
+  * [[Dialect.translateDdl]]), so CrateDB-isms — `::` casts, OBJECT literals,
+  * `ANY(array)`, renamed functions — work in every clause, including SET
+  * assignments and WHERE conditions.
+  *
+  * Scale: every DML transform is a distributed join/window ([[sources.Dml]]
+  * — no driver-side row loops); the commit itself moves manifests, not
+  * data. DML result is the affected-row count (CrateDB's wire response) or
+  * the RETURNING rows.
+  */
+class StatementRouter(spark: SparkSession, root: String) {
+  import Dialect.Tok
+
+  graft.functions.GraftFunctions.registerAll(spark)
+
+  private def tablePath(name: String) = s"$root/$name"
+
+  /** Render significant tokens back to SQL (whitespace was filtered out). */
+  private def renderSig(v: Seq[Dialect.Tok]): String = v.map(_.text).mkString(" ")
+
+  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Latest snapshot of every table under the root, as temp views. */
+  def registerViews(): Unit = {
+    val rp = new Path(root)
+    if (fs.exists(rp)) fs.listStatus(rp).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && fs.exists(new Path(st.getPath, "_manifests")))
+        VersionedTable.read(spark, st.getPath.toString).createOrReplaceTempView(name)
+    }
+  }
+
+  def execute(stmt: String): DataFrame = {
+    val sig = Dialect.lex(stmt).filter(_.sig)
+    require(sig.nonEmpty, "empty statement")
+    sig(0).text.toLowerCase match {
+      case "create" if sig.length > 1 && sig(1).is("table") => createTable(stmt)
+      case "drop" if sig.length > 1 && sig(1).is("table")   => dropTable(sig)
+      case "insert" => insert(stmt)
+      case "update" => update(stmt)
+      case "delete" => delete(stmt)
+      case _        => registerViews(); Engine.sql(spark, stmt)
+    }
+  }
+
+  private def summary(n: Long): DataFrame = {
+    import spark.implicits._
+    Seq(n).toDF("rows_affected")
+  }
+
+  // ---------- CREATE / DROP ----------
+
+  private def createTable(stmt: String): DataFrame = {
+    val ddl = Dialect.translateDdl(stmt)
+    // "CREATE TABLE <name> (<cols>) USING parquet[ PARTITIONED ...]"
+    val open = ddl.indexOf('(')
+    val closeMark = ddl.indexOf(") USING parquet")
+    require(open > 0 && closeMark > open, s"unexpected DDL shape: $ddl")
+    val name = ddl.substring("CREATE TABLE ".length, open).trim
+    val schema = StructType.fromDDL(
+      ddl.substring(open + 1, closeMark).replace(" NOT NULL", ""))
+    val ifNotExists = Dialect.lex(stmt).filter(_.sig).lift(2).exists(_.is("if"))
+    if (VersionedTable.latestVersion(spark, tablePath(name)).isDefined) {
+      require(ifNotExists, s"table $name already exists")
+      return summary(0L)
+    }
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    VersionedTable.commit(spark, tablePath(name), empty)
+    summary(0L)
+  }
+
+  private def dropTable(sig: Vector[Tok]): DataFrame = {
+    var i = 2
+    val ifExists = sig.lift(i).exists(_.is("if")) && sig.lift(i + 1).exists(_.is("exists"))
+    if (ifExists) i += 2
+    val name = sig(i).text
+    val p = new Path(tablePath(name))
+    if (!fs.exists(p)) require(ifExists, s"table $name does not exist")
+    else fs.delete(p, true)
+    spark.catalog.dropTempView(name)
+    summary(0L)
+  }
+
+  // ---------- INSERT ----------
+
+  private def insert(stmt: String): DataFrame = {
+    val ts = Dialect.lex(Dialect.translate(stmt)).filter(_.sig)
+    require(ts(0).is("insert") && ts(1).is("into"), "INSERT INTO expected")
+    var i = 2
+    val name = ts(i).text; i += 1
+    val target = VersionedTable.read(spark, tablePath(name))
+    // optional explicit column list
+    var cols: Seq[String] = target.schema.fieldNames.toSeq
+    if (i < ts.length && ts(i).isSym("(")) {
+      val c = matchFwd(ts, i)
+      cols = ts.slice(i + 1, c).filterNot(_.isSym(",")).map(_.text)
+      i = c + 1
+    }
+    // split the source from an optional top-level ON CONFLICT clause
+    var depth = 0; var oc = -1; var k = i
+    while (k < ts.length && oc < 0) {
+      val t = ts(k)
+      if (t.isSym("(")) depth += 1
+      else if (t.isSym(")")) depth -= 1
+      else if (depth == 0 && t.is("on") && k + 1 < ts.length && ts(k + 1).is("conflict")) oc = k
+      k += 1
+    }
+    val srcEnd = if (oc >= 0) oc else ts.length
+    val srcToks = ts.slice(i, srcEnd)
+    val rowsRaw =
+      if (srcToks.headOption.exists(_.is("values")))
+        spark.sql("SELECT * FROM " + renderSig(srcToks) +
+          s" AS __v(${cols.mkString(", ")})")
+      else { registerViews(); spark.sql(renderSig(srcToks)).toDF(cols: _*) }
+    // align to the full target schema: unlisted columns become typed nulls
+    val aligned = rowsRaw.select(target.schema.fields.map { f =>
+      if (cols.contains(f.name)) rowsRaw(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    val n = aligned.count()
+    val next: DataFrame => DataFrame =
+      if (oc < 0) cur => Dml.insertInto(cur, aligned)
+      else {
+        // ON CONFLICT (keys) DO NOTHING | DO UPDATE SET a = expr, ...
+        var j = oc + 2
+        require(ts(j).isSym("("), "ON CONFLICT requires a key list")
+        val c = matchFwd(ts, j)
+        val keys = ts.slice(j + 1, c).filterNot(_.isSym(",")).map(_.text)
+        j = c + 1
+        require(ts(j).is("do"), "DO expected after conflict keys")
+        if (ts(j + 1).is("nothing")) cur => Dml.upsertDoNothing(cur, aligned, keys)
+        else {
+          require(ts(j + 1).is("update") && ts(j + 2).is("set"), "DO UPDATE SET expected")
+          val assigns = parseAssignments(ts.slice(j + 3, ts.length))
+          cur => mergeUpsert(cur, aligned, keys, assigns)
+        }
+      }
+    VersionedTable.transact(spark, tablePath(name), next)
+    summary(n)
+  }
+
+  /** Partial-assignment upsert (`DO UPDATE SET v = excluded.v || '!'`):
+    * one full-outer merge — new keys insert whole rows, matched keys apply
+    * the assignments (rhs may reference `excluded.<col>` = the incoming row
+    * and bare `<col>` = the current row), unmatched targets pass through. */
+  private def mergeUpsert(target: DataFrame, rows: DataFrame, keys: Seq[String],
+                          assigns: Seq[(String, String)]): DataFrame = {
+    val t = target.as("__t")
+    val e = rows.dropDuplicates(keys).as("__e")
+    val joined = t.join(e, keys.map(k => t(k) === e(k)).reduce(_ && _), "full_outer")
+    val matched = keys.map(k => t(k).isNotNull && e(k).isNotNull).reduce(_ && _)
+    val inserted = keys.map(k => t(k).isNull).reduce(_ && _)
+    val assignMap = assigns.toMap
+    joined.select(target.schema.fieldNames.map { cname =>
+      val base = when(inserted, e(cname)).otherwise(t(cname))
+      assignMap.get(cname) match {
+        case Some(rhs) =>
+          val rewritten = qualifyExcluded(rhs)
+          when(matched, expr(rewritten)).otherwise(base).as(cname)
+        case None => base.as(cname)
+      }
+    }.toSeq: _*)
+  }
+
+  /** `excluded.x` → `__e.x`; bare column words stay unqualified, which
+    * resolves against the join output — ambiguous only if the same name is
+    * assigned AND referenced bare, so bare refs are qualified to `__t`. */
+  private def qualifyExcluded(rhsSql: String): String = {
+    val toks = Dialect.lex(rhsSql).filter(_.sig)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.is("excluded") && i + 1 < toks.length && toks(i + 1).isSym(".") &&
+          i + 2 < toks.length) {
+        out += s"__e.${toks(i + 2).text}"
+        i += 3
+      } else { out += t.text; i += 1 }
+    }
+    out.mkString(" ")
+  }
+
+  // ---------- UPDATE / DELETE ----------
+
+  private def update(stmt: String): DataFrame = {
+    val ts = Dialect.lex(Dialect.translate(stmt)).filter(_.sig)
+    require(ts(0).is("update") && ts(2).is("set"), "UPDATE <t> SET expected")
+    val name = ts(1).text
+    val (setEnd, whereToks, retToks) = tailClauses(ts, 3)
+    val assigns = parseAssignments(ts.slice(3, setEnd))
+    val cond = whereToks.map(w => expr(renderSig(w))).getOrElse(lit(true))
+    val cur = VersionedTable.read(spark, tablePath(name))
+    val (next, touched) = Dml.update(cur, cond,
+      assigns.map { case (c, rhs) => c -> expr(rhs) }.toMap)
+    val result = retToks match {
+      case Some(r) => selectReturning(touched, r).localCheckpoint()
+      case None    => summary(cur.filter(cond).count())
+    }
+    VersionedTable.commit(spark, tablePath(name), next)
+    result
+  }
+
+  private def delete(stmt: String): DataFrame = {
+    val ts = Dialect.lex(Dialect.translate(stmt)).filter(_.sig)
+    require(ts(0).is("delete") && ts(1).is("from"), "DELETE FROM expected")
+    val name = ts(2).text
+    val (_, whereToks, retToks) = tailClauses(ts, 3)
+    val cond = whereToks.map(w => expr(renderSig(w))).getOrElse(lit(true))
+    val cur = VersionedTable.read(spark, tablePath(name))
+    val (next, deleted) = Dml.delete(cur, cond)
+    val result = retToks match {
+      case Some(r) => selectReturning(deleted, r).localCheckpoint()
+      case None    => summary(cur.filter(cond).count())
+    }
+    VersionedTable.commit(spark, tablePath(name), next)
+    result
+  }
+
+  private def selectReturning(rows: DataFrame, ret: Vector[Tok]): DataFrame =
+    if (ret.length == 1 && ret(0).isSym("*")) rows
+    else {
+      val parts = splitTopCommas(ret).map(p => expr(renderSig(p)))
+      rows.select(parts: _*)
+    }
+
+  /** Locate top-level WHERE / RETURNING; returns (end-of-SET-list index,
+    * where tokens, returning tokens). */
+  private def tailClauses(ts: Vector[Tok], from: Int):
+      (Int, Option[Vector[Tok]], Option[Vector[Tok]]) = {
+    var depth = 0; var w = -1; var r = -1; var k = from
+    while (k < ts.length) {
+      val t = ts(k)
+      if (t.isSym("(")) depth += 1
+      else if (t.isSym(")")) depth -= 1
+      else if (depth == 0 && t.is("where") && w < 0) w = k
+      else if (depth == 0 && t.is("returning") && r < 0) r = k
+      k += 1
+    }
+    val setEnd = if (w >= 0) w else if (r >= 0) r else ts.length
+    val whereToks = if (w >= 0) Some(ts.slice(w + 1, if (r >= 0) r else ts.length)) else None
+    val retToks = if (r >= 0) Some(ts.slice(r + 1, ts.length)) else None
+    (setEnd, whereToks, retToks)
+  }
+
+  /** `a = expr, b = expr` (top-level commas, first top-level `=`). */
+  private def parseAssignments(v: Vector[Tok]): Seq[(String, String)] =
+    splitTopCommas(v).map { part =>
+      val eq = part.indexWhere(_.isSym("="))
+      require(eq > 0, s"assignment expected in: ${renderSig(part)}")
+      (part(eq - 1).text, renderSig(part.slice(eq + 1, part.length)))
+    }
+
+  private def splitTopCommas(v: Vector[Tok]): Seq[Vector[Tok]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Vector[Tok]]
+    var depth = 0; var b = Vector.newBuilder[Tok]
+    for (t <- v) {
+      if (t.isSym("(") || t.isSym("[")) depth += 1
+      if (t.isSym(")") || t.isSym("]")) depth -= 1
+      if (t.isSym(",") && depth == 0) { out += b.result(); b = Vector.newBuilder[Tok] }
+      else b += t
+    }
+    val l = b.result(); if (l.nonEmpty) out += l
+    out.toSeq
+  }
+
+  private def matchFwd(ts: Vector[Tok], i: Int): Int = {
+    var depth = 0; var k = i
+    while (k < ts.length) {
+      if (ts(k).isSym("(")) depth += 1
+      else if (ts(k).isSym(")")) { depth -= 1; if (depth == 0) return k }
+      k += 1
+    }
+    -1
+  }
+}
