@@ -57,11 +57,73 @@ class StatementRouter(spark: SparkSession, root: String) {
     sig(0).text.toLowerCase match {
       case "create" if sig.length > 1 && sig(1).is("table") => createTable(stmt)
       case "drop" if sig.length > 1 && sig(1).is("table")   => dropTable(sig)
-      case "insert" => insert(stmt)
-      case "update" => update(stmt)
-      case "delete" => delete(stmt)
-      case _        => registerViews(); Engine.sql(spark, stmt)
+      case "insert"  => insert(stmt)
+      case "update"  => update(stmt)
+      case "delete"  => delete(stmt)
+      case "copy"    => copyStmt(stmt)
+      case "explain" => explainStmt(stmt)
+      case _         => registerViews(); Engine.sql(spark, stmt)
     }
+  }
+
+  /** `COPY t FROM '<glob>' [WITH (…)] [RETURN SUMMARY]` /
+    * `COPY t TO [DIRECTORY] '<path>' [WITH (format = …, compression = …)]`
+    * (reference `CopyFromPlan.java` / `CopyToPlan.java` via
+    * [[sources.CopyOps]]). FROM appends the parsed rows as a new table
+    * version; RETURN SUMMARY yields the per-file error channel. */
+  private def copyStmt(stmt: String): DataFrame = {
+    val ts = Dialect.lex(stmt).filter(_.sig)
+    val name = ts(1).text
+    val dirIdx = ts.indexWhere(t => t.is("from") || t.is("to"))
+    require(dirIdx > 0, "COPY requires FROM or TO")
+    val isFrom = ts(dirIdx).is("from")
+    val path = ts.drop(dirIdx + 1).find(_.text.startsWith("'"))
+      .getOrElse(sys.error("COPY requires a quoted path"))
+      .text.stripPrefix("'").stripSuffix("'")
+    val wIdx = ts.indexWhere(_.is("with"))
+    val opts: Map[String, String] =
+      if (wIdx >= 0 && wIdx + 1 < ts.length && ts(wIdx + 1).isSym("(")) {
+        val c = matchFwd(ts, wIdx + 1)
+        splitTopCommas(ts.slice(wIdx + 2, c)).flatMap { p =>
+          val eq = p.indexWhere(_.isSym("="))
+          if (eq > 0) Some(p(eq - 1).text.toLowerCase ->
+            p.slice(eq + 1, p.length).map(_.text).mkString
+              .stripPrefix("'").stripSuffix("'").toLowerCase)
+          else None
+        }.toMap
+      } else Map.empty
+    val fmt = opts.getOrElse("format",
+      if (path.replaceAll("\\.gz$", "").endsWith(".csv")) "csv" else "json")
+    val gzip = opts.get("compression").contains("gzip")
+    if (isFrom) {
+      val target = VersionedTable.read(spark, tablePath(name))
+      val (rows, fileSummary) =
+        if (fmt == "csv")
+          sources.CopyOps.copyFromCsv(spark, target.schema,
+            opts.getOrElse("header", "true").toBoolean, path)
+        else sources.CopyOps.copyFromJson(spark, target.schema, path)
+      val n = rows.count()
+      VersionedTable.transact(spark, tablePath(name), cur => Dml.insertInto(cur, rows))
+      if (ts.exists(_.is("summary"))) fileSummary else summary(n)
+    } else {
+      val cur = VersionedTable.read(spark, tablePath(name))
+      fmt match {
+        case "csv"     => sources.CopyOps.copyToCsv(cur, path, gzip = gzip)
+        case "parquet" => sources.CopyOps.copyToParquet(cur, path)
+        case _         => sources.CopyOps.copyToJson(cur, path, gzip = gzip)
+      }
+      summary(cur.count())
+    }
+  }
+
+  /** `EXPLAIN [ANALYZE] <select>` → one plan-text row (reference
+    * `ExplainPlan.java`; ANALYZE runs the plan and reports actual metrics). */
+  private def explainStmt(stmt: String): DataFrame = {
+    import spark.implicits._
+    val analyze = "(?i)^\\s*explain\\s+analyze".r.findFirstIn(stmt).isDefined
+    val inner = stmt.trim.replaceFirst("(?i)^explain\\s+(analyze\\s+)?", "")
+    registerViews()
+    Seq(sources.Maintenance.explain(Engine.sql(spark, inner), analyze)).toDF("plan")
   }
 
   private def summary(n: Long): DataFrame = {

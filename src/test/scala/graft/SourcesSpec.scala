@@ -407,3 +407,32 @@ class StatementRouterSpec extends SparkTestBase {
     assert(VersionedTable.latestVersion(spark, s"$root/kv2").isEmpty)
   }
 }
+
+class StatementRouterCopySpec extends SparkTestBase {
+  test("COPY FROM json appends a version; RETURN SUMMARY reports bad rows; COPY TO round-trips") {
+    val root = Files.createTempDirectory("graftcopy").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute("CREATE TABLE imp (id BIGINT, name TEXT)")
+
+    val src = Files.createTempDirectory("graftcopysrc").toFile.getAbsolutePath
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$src/a.json"),
+      "{\"id\": 1, \"name\": \"x\"}\n{\"id\": 2, \"name\": \"y\"}\nnot json at all\n".getBytes)
+
+    val n = r.execute(s"COPY imp FROM '$src/a.json'")
+    assert(n.head().getLong(0) == 2)
+    assert(r.execute("SELECT count(*) AS n FROM imp").head().getLong(0) == 2)
+
+    val sum = r.execute(s"COPY imp FROM '$src/a.json' RETURN SUMMARY")
+    assert(sum.columns.contains("error_count"))
+    assert(sum.collect().map(_.getAs[Long]("error_count")).sum == 1)
+
+    val out = Files.createTempDirectory("graftcopyout").toFile.getAbsolutePath + "/exp"
+    val exported = r.execute(s"COPY imp TO DIRECTORY '$out' WITH (format = 'csv')")
+    assert(exported.head().getLong(0) == 4) // two loads of the same file
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.count() == 4)
+
+    val plan = r.execute("EXPLAIN SELECT count(*) FROM imp").head().getString(0)
+    assert(plan.contains("Physical Plan"))
+  }
+}
