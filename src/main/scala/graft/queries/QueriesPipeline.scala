@@ -316,7 +316,72 @@ object QueriesPipeline {
                     JOIN sizes sb ON sb.doc_id = id_b
          WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
          ORDER BY id_a, id_b""",
-    "q63_dedup_simhash" -> "",
+    // Exact replay of the ENGINE-SPECIFIC sketch: the oracle recomputes
+    // simhash64 bit-for-bit in SQL — FNV-1a per token folded with
+    // list_reduce, splitmix64 finalization with the 64-bit wrapping
+    // multiplies decomposed into 32-bit halves over HUGEINT (UBIGINT for
+    // xor/logical shifts), ±1 bit voting, then all-pairs hamming via
+    // bit_count(xor). Valid because the pigeonhole chunk-LSH is exact for
+    // hamming <= hammingMax and no fixture bucket reaches the maxBucket
+    // cap, so the Spark pair set IS the full hamming<=3 set. A hash match
+    // pins the whole hash family, the voting, and the banding — the
+    // strongest check any sketch query in the catalog has.
+    "q63_dedup_simhash" ->
+      """WITH base AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000000, text FROM documents),
+         docs AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM base),
+         toks AS (
+           SELECT doc_id, u.tok
+           FROM docs, unnest(string_split(norm, ' ')) u(tok)
+           WHERE u.tok <> ''),
+         fnv AS (
+           SELECT doc_id, tok,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS UBIGINT),
+                            list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS UBIGINT))),
+               (acc, c) -> CAST((
+                   CAST((xor(acc, c) & 4294967295) * 435 AS HUGEINT) +
+                   CAST(((xor(acc, c) & 4294967295) * 256 + (xor(acc, c) >> 32) * 435) % 4294967296 AS HUGEINT) * 4294967296
+                 ) % 18446744073709551616 AS UBIGINT)
+             ) AS h0
+           FROM toks),
+         sm1 AS (SELECT doc_id, tok,
+           CAST((CAST(h0 AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS y
+           FROM fnv),
+         sm2 AS (SELECT doc_id, tok, xor(y, y >> 30) AS z FROM sm1),
+         sm3 AS (SELECT doc_id, tok,
+           CAST((
+             CAST((z & 4294967295) * 484763065 AS HUGEINT) +
+             CAST(((z & 4294967295) * 3210233709 + (z >> 32) * 484763065) % 4294967296 AS HUGEINT) * 4294967296
+           ) % 18446744073709551616 AS UBIGINT) AS z2
+           FROM sm2),
+         sm4 AS (SELECT doc_id, tok, xor(z2, z2 >> 27) AS w FROM sm3),
+         sm5 AS (SELECT doc_id, tok,
+           CAST((
+             CAST((w & 4294967295) * 321982955 AS HUGEINT) +
+             CAST(((w & 4294967295) * 2496678331 + (w >> 32) * 321982955) % 4294967296 AS HUGEINT) * 4294967296
+           ) % 18446744073709551616 AS UBIGINT) AS w2
+           FROM sm4),
+         th AS (SELECT doc_id, xor(w2, w2 >> 31) AS h FROM sm5),
+         bits AS (
+           SELECT doc_id, CAST(b.range AS INT) AS b,
+                  sum(CASE WHEN ((h >> CAST(b.range AS INT)) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+           FROM th, range(64) b GROUP BY 1, 2),
+         sh AS (
+           SELECT doc_id,
+                  sum(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END) AS sh_h
+           FROM bits GROUP BY 1),
+         shs AS (
+           SELECT doc_id,
+                  CAST(CASE WHEN sh_h >= 9223372036854775808 THEN sh_h - 18446744073709551616
+                            ELSE sh_h END AS BIGINT) AS s
+           FROM sh)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+         FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.s, b.s)) <= 3
+         ORDER BY id_a, id_b""",
     // Same exact-replay pattern over word 3-grams on the q64 subset.
     "q64_ngram_jaccard" ->
       """WITH base AS (
