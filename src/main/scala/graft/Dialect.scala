@@ -455,11 +455,33 @@ object Dialect {
           } else if (prevIsOperand) {
             // subscript. String-key subscripts are valid Spark already
             // (map/struct access by name) — only numeric/expression
-            // subscripts need the 1-based element_at rewrite.
-            if (!(innerSig.length == 1 && innerSig.head.kind == K.Str) && innerSig.nonEmpty) {
+            // subscripts need the 1-based rewrite. CrateDB returns NULL for
+            // out-of-range or non-positive indexes (SubscriptFunction
+            // .java:208 catches IndexOutOfBounds); Spark under ANSI mode
+            // errors, so the rewrite guards with try_element_at + an index
+            // floor (Spark's negative index = from-the-end would otherwise
+            // silently diverge).
+            val colonIdx = innerSig.indexWhere(_.isSym(":"))
+            if (colonIdx >= 0) {
+              // slice a[from:to] — 1-based inclusive ends, both optional,
+              // to clamped to length (ArraySliceFunction.java:71-80)
               val opStart = operandStart(ts, p)
               val operand = render(ts.slice(opStart, p + 1))
-              val repl = lex(s"element_at($operand, ${render(inner).trim})")
+              val colonAbs = (i + 1 until close).find(k => ts(k).isSym(":")).get
+              val f = render(ts.slice(i + 1, colonAbs)).trim
+              val t = render(ts.slice(colonAbs + 1, close)).trim
+              val repl = (f.nonEmpty, t.nonEmpty) match {
+                case (true, true)  => lex(s"slice($operand, $f, greatest(($t) - ($f) + 1, 0))")
+                case (true, false) => lex(s"slice($operand, $f, greatest(size($operand) - ($f) + 1, 0))")
+                case (false, true) => lex(s"slice($operand, 1, greatest($t, 0))")
+                case _             => lex(operand)
+              }
+              return Some(ts.slice(0, opStart) ++ repl ++ ts.slice(close + 1, ts.length))
+            } else if (!(innerSig.length == 1 && innerSig.head.kind == K.Str) && innerSig.nonEmpty) {
+              val opStart = operandStart(ts, p)
+              val operand = render(ts.slice(opStart, p + 1))
+              val idx = render(inner).trim
+              val repl = lex(s"if(($idx) <= 0, null, try_element_at($operand, $idx))")
               return Some(ts.slice(0, opStart) ++ repl ++ ts.slice(close + 1, ts.length))
             }
           } else if (innerSig.nonEmpty) {

@@ -126,12 +126,21 @@ class DialectSpec extends AnyFunSuite {
     "SELECT 'arr[1]' FROM t" -> "SELECT 'arr[1]' FROM t",
     "SELECT 'curdate(' FROM t" -> "SELECT 'curdate(' FROM t",
     "SELECT x FROM t -- y::int comment" -> "SELECT x FROM t -- y::int comment",
-    // subscripts (1-based → element_at) and object access (native [])
-    "SELECT toks[1] FROM t" -> "SELECT element_at(toks, 1) FROM t",
-    "SELECT arr[i + 1] FROM t" -> "SELECT element_at(arr, i + 1) FROM t",
-    "SELECT matrix[1][2] FROM t" -> "SELECT element_at(element_at(matrix, 1), 2) FROM t",
+    // subscripts (1-based, out-of-range/non-positive → NULL like CrateDB's
+    // SubscriptFunction under Spark ANSI mode) and object access (native [])
+    "SELECT toks[1] FROM t" ->
+      "SELECT if((1) <= 0, null, try_element_at(toks, 1)) FROM t",
+    "SELECT arr[i + 1] FROM t" ->
+      "SELECT if((i + 1) <= 0, null, try_element_at(arr, i + 1)) FROM t",
+    "SELECT matrix[1][2] FROM t" ->
+      "SELECT if((2) <= 0, null, try_element_at(if((1) <= 0, null, try_element_at(matrix, 1)), 2)) FROM t",
     "SELECT obj['k'] FROM t" -> "SELECT obj['k'] FROM t",
-    "SELECT f(x)[2] FROM t" -> "SELECT element_at(f(x), 2) FROM t",
+    "SELECT f(x)[2] FROM t" ->
+      "SELECT if((2) <= 0, null, try_element_at(f(x), 2)) FROM t",
+    // slices: 1-based inclusive ends, both optional, to clamped to length
+    "SELECT a[2:3] FROM t" -> "SELECT slice(a, 2, greatest((3) - (2) + 1, 0)) FROM t",
+    "SELECT a[2:] FROM t" -> "SELECT slice(a, 2, greatest(size(a) - (2) + 1, 0)) FROM t",
+    "SELECT a[:3] FROM t" -> "SELECT slice(a, 1, greatest(3, 0)) FROM t",
     // array + object literals
     "SELECT [1, 2, 3]" -> "SELECT array(1, 2, 3)",
     "SELECT ARRAY[1, 2]" -> "SELECT array(1, 2)",
@@ -347,6 +356,22 @@ class VectorExprSpec extends SparkTestBase {
 
 /** Engine.sql end-to-end over the CrateDB dialect shim. */
 class EngineSqlSpec extends SparkTestBase {
+  test("subscript semantics match CrateDB: out-of-range and non-positive → NULL, slices clamp") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = Engine.sql(spark,
+      """SELECT [10, 20, 30][2] AS ok, [10, 20, 30][9] AS oob,
+        |       [10, 20, 30][0] AS zero, [10, 20, 30][-1] AS neg,
+        |       [10, 20, 30][2:3] AS sl, [10, 20, 30][2:] AS sl_open,
+        |       [10, 20, 30][:2] AS sl_to, [10, 20, 30][2:99] AS sl_clamp""".stripMargin).head()
+    assert(r.getInt(0) == 20)
+    assert(r.isNullAt(1), "out-of-range must be NULL, not an ANSI error")
+    assert(r.isNullAt(2) && r.isNullAt(3), "CrateDB has no negative indexing")
+    assert(r.getSeq[Int](4) == Seq(20, 30))
+    assert(r.getSeq[Int](5) == Seq(20, 30))
+    assert(r.getSeq[Int](6) == Seq(10, 20))
+    assert(r.getSeq[Int](7) == Seq(20, 30), "to beyond length clamps")
+  }
+
   test("CrateDB-dialect statement runs end-to-end through Engine.sql") {
     Tables.registerAll(spark, sfDir)
     graft.functions.GraftFunctions.registerAll(spark)
