@@ -44,7 +44,7 @@ object Dialect {
     def sig: Boolean = kind != K.Ws && kind != K.Cmt
   }
 
-  private val twoCharSyms = Set("::", "<=", ">=", "<>", "!=", "||", "->", "&&")
+  private val twoCharSyms = Set("::", "<=", ">=", "<>", "!=", "||", "->", "&&", "~*", "!~")
 
   private[graft] def lex(s: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -625,10 +625,49 @@ object Dialect {
     None
   }
 
+  /** PG/CrateDB regex-match operators (RegexpMatchOperator.java:50):
+    * `a ~ 'p'` → rlike, `~*` case-insensitive, `!~`/`!~*` negated. Binary
+    * use only — a `~` with no operand on its left is Spark's bitwise NOT
+    * and is left alone. PG bitwise XOR `#` → Spark `^`. */
+  private def passRegexOps(ts: Vector[Tok]): Option[Vector[Tok]] = {
+    var i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      val neg = t.isSym("!~")
+      val negCi = neg && i + 1 < ts.length && ts(i + 1).isSym("*")
+      val ci = t.isSym("~*")
+      if (t.isSym("#")) return Some(ts.updated(i, Tok(K.Sym, "^")))
+      if (t.isSym("~") || ci || neg) {
+        val lhsEnd = prevSig(ts, i)
+        val binary = lhsEnd >= 0 && {
+          val p = ts(lhsEnd)
+          p.kind == K.Word && !keywords(p.text.toLowerCase) ||
+            p.kind == K.QId || p.kind == K.Str || p.isSym(")") || p.isSym("]")
+        }
+        if (binary) {
+          val rhsStart = nextSig(ts, if (negCi) i + 1 else i)
+          if (rhsStart >= 0) {
+            val lhsStart = operandStart(ts, lhsEnd)
+            val rhsEnd = operandEnd(ts, rhsStart)
+            val lhs = render(ts.slice(lhsStart, lhsEnd + 1))
+            val rhs = render(ts.slice(rhsStart, rhsEnd + 1))
+            val body =
+              if (ci || negCi) s"$lhs rlike concat('(?i)', $rhs)"
+              else s"$lhs rlike $rhs"
+            val repl = lex(if (neg) s"NOT ($body)" else s"($body)")
+            return Some(ts.slice(0, lhsStart) ++ repl ++ ts.slice(rhsEnd + 1, ts.length))
+          }
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
   private val passes: Seq[Vector[Tok] => Option[Vector[Tok]]] =
     Seq(passRenames, passMatch, passCasts, passAnyAll, passObjectLiteral,
       passBrackets, passFetchOffset, passFilterClause, passSystemSchemas,
-      passArrayOverlap)
+      passArrayOverlap, passRegexOps)
 
   // ---------- DDL: CREATE TABLE ----------
 

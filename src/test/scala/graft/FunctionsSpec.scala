@@ -106,6 +106,18 @@ class DialectSpec extends AnyFunSuite {
     "SELECT x::int[] FROM t" -> "SELECT CAST(x AS ARRAY<INT>) FROM t",
     "SELECT ts::timestamp with time zone FROM t" -> "SELECT CAST(ts AS TIMESTAMP) FROM t",
     "SELECT o.col::ip FROM t" -> "SELECT CAST(o.col AS STRING) FROM t",
+    // regex-match operators and PG bitwise XOR
+    "SELECT * FROM t WHERE name ~ '^ab.*'" ->
+      "SELECT * FROM t WHERE (name rlike '^ab.*')",
+    "SELECT * FROM t WHERE name ~* '^ab'" ->
+      "SELECT * FROM t WHERE (name rlike concat('(?i)', '^ab'))",
+    "SELECT * FROM t WHERE name !~ 'x$'" ->
+      "SELECT * FROM t WHERE NOT (name rlike 'x$')",
+    "SELECT * FROM t WHERE name !~* 'x$'" ->
+      "SELECT * FROM t WHERE NOT (name rlike concat('(?i)', 'x$'))",
+    "SELECT a # b FROM t" -> "SELECT a ^ b FROM t",
+    "SELECT ~flags FROM t" -> "SELECT ~flags FROM t",
+    "SELECT 'a ~ b' FROM t" -> "SELECT 'a ~ b' FROM t",
     // array-overlap operator and PG-argument-order swaps
     "SELECT tags && ['a', 'b'] FROM t" ->
       "SELECT arrays_overlap(tags, array('a', 'b')) FROM t",
