@@ -498,7 +498,49 @@ object QueriesPipeline {
            FROM documents)
          WHERE list_contains(toks, 'spark') AND list_contains(toks, 'join')
          ORDER BY doc_id""",
-    "q73_multimodal_features" -> "",
+    // Exact replay of the deterministic decode stub: payload = the raw text
+    // bytes (pure-ASCII fixture, so FNV over bytes == FNV over codepoints),
+    // features = splitmix64(h + GOLD*i) & 255 / 255 — the same HUGEINT
+    // wrapping-multiply machinery as the q63 simhash oracle. A hash match
+    // pins the whole mapPartitions decode→feature dataflow; only the codec
+    // call itself is stubbed (no media libs in the container).
+    "q73_multimodal_features" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+         fnv AS (
+           SELECT doc_id, text,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS UBIGINT),
+                            list_transform(string_split(text, ''), c -> CAST(unicode(c) AS UBIGINT))),
+               (acc, c) -> CAST((
+                   CAST((xor(acc, c) & 4294967295) * 435 AS HUGEINT) +
+                   CAST(((xor(acc, c) & 4294967295) * 256 + (xor(acc, c) >> 32) * 435) % 4294967296 AS HUGEINT) * 4294967296
+                 ) % 18446744073709551616 AS UBIGINT)
+             ) AS h
+           FROM docs),
+         seeded AS (
+           SELECT doc_id, text, CAST(i.i AS INT) AS i,
+             CAST((CAST(h AS HUGEINT) + CAST(11400714819323198485 AS HUGEINT) * i.i) % 18446744073709551616 AS UBIGINT) AS y
+           FROM fnv, unnest(generate_series(1, 16)) i(i)),
+         m1 AS (SELECT doc_id, text, i, xor(y, y >> 30) AS z FROM seeded),
+         m2 AS (SELECT doc_id, text, i,
+           CAST((
+             CAST((z & 4294967295) * 484763065 AS HUGEINT) +
+             CAST(((z & 4294967295) * 3210233709 + (z >> 32) * 484763065) % 4294967296 AS HUGEINT) * 4294967296
+           ) % 18446744073709551616 AS UBIGINT) AS z2 FROM m1),
+         m3 AS (SELECT doc_id, text, i, xor(z2, z2 >> 27) AS w FROM m2),
+         m4 AS (SELECT doc_id, text, i,
+           CAST((
+             CAST((w & 4294967295) * 321982955 AS HUGEINT) +
+             CAST(((w & 4294967295) * 2496678331 + (w >> 32) * 321982955) % 4294967296 AS HUGEINT) * 4294967296
+           ) % 18446744073709551616 AS UBIGINT) AS w2 FROM m3),
+         feat AS (SELECT doc_id, text, i,
+           CAST(xor(w2, w2 >> 31) & 255 AS DOUBLE) / 255.0 AS f FROM m4)
+         SELECT doc_id AS asset_id,
+                CASE WHEN doc_id % 3 = 0 THEN 'image'
+                     WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+                round(avg(f), 6) AS feat_mean,
+                CAST(strlen(any_value(text)) AS INT) AS payload_bytes
+         FROM feat GROUP BY doc_id ORDER BY asset_id""",
     "q74_sessionize" ->
       """SELECT user_id, CAST(1 + sum(new_session) AS BIGINT) AS n_sessions
          FROM (
