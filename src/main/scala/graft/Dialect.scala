@@ -327,6 +327,22 @@ object Dialect {
               val repl = lex(s"$hof($arr, __t -> $lhs $cmp __t)")
               return Some(ts.slice(0, lhsStart) ++ repl ++ ts.slice(close + 1, ts.length))
             }
+          } else if (close > 0 && innerFirst.exists(_.is("select")) &&
+            cmpOps.contains(ts(op).text)) {
+            // quantified comparison over a SUBQUERY (AnyOperator.java /
+            // AllOperator.java — 12 variants). Spark has only IN/EXISTS, so:
+            // `= ANY` → IN, `<> ALL` → NOT IN (both natively 3VL-exact);
+            // ordering ops → min/max summary CASE preserving SQL 3VL (empty
+            // set dominates, FALSE dominates ALL, NULL when undecidable).
+            val lhsEnd = prevSig(ts, op)
+            if (lhsEnd >= 0) {
+              val lhsStart = operandStart(ts, lhsEnd)
+              val lhs = render(ts.slice(lhsStart, lhsEnd + 1))
+              quantifiedSubquery(lhs, ts(op).text, t.text.toLowerCase, inner)
+                .foreach { sql =>
+                  return Some(ts.slice(0, lhsStart) ++ lex(sql) ++ ts.slice(close + 1, ts.length))
+                }
+            }
           }
         }
       }
@@ -662,6 +678,76 @@ object Dialect {
       i += 1
     }
     None
+  }
+
+  /** Rewrite `lhs <op> ANY|ALL (SELECT item FROM …)` to 3VL-exact Spark
+    * SQL. `= ANY`/`<> ALL` map to IN/NOT IN directly. Ordering operators
+    * summarize the subquery with injected min/max/count aggregates, which
+    * requires a single un-aliased select item and no top-level
+    * DISTINCT/GROUP/ORDER/LIMIT/set-op (those change set membership or
+    * defeat the aggregate injection) — unsupported shapes are left
+    * untranslated so Spark reports the original statement. */
+  private def quantifiedSubquery(lhs: String, op: String, quant: String,
+                                 inner: Vector[Tok]): Option[String] = {
+    val isAll = quant == "all"
+    // locate SELECT … FROM at depth 0
+    var depth = 0; var selIdx = -1; var fromIdx = -1; var k = 0
+    var bad = false; var commaAtTop = false
+    while (k < inner.length) {
+      val x = inner(k)
+      if (x.isSym("(")) depth += 1
+      else if (x.isSym(")")) depth -= 1
+      else if (depth == 0 && x.sig) {
+        if (x.is("select") && selIdx < 0) selIdx = k
+        else if (x.is("from") && fromIdx < 0) fromIdx = k
+        else if (x.isSym(",") && fromIdx < 0) commaAtTop = true
+        else if (x.is("distinct") && fromIdx < 0) bad = true
+        else if (x.is("group") || x.is("order") || x.is("limit") ||
+          x.is("having") || x.is("union") || x.is("intersect") ||
+          x.is("except")) bad = true
+      }
+      k += 1
+    }
+    if (selIdx != inner.indexWhere(_.sig) || fromIdx < 0 || commaAtTop || bad)
+      return None
+    val item = render(inner.slice(selIdx + 1, fromIdx)).trim
+    val rest = render(inner.slice(fromIdx, inner.length)).trim
+    def q(agg: String) = s"(SELECT $agg $rest)"
+    val cnt = q("count(*)")
+    val nulls = q(s"count(CASE WHEN ($item) IS NULL THEN 1 END)")
+    val nul = "CAST(NULL AS BOOLEAN)"
+    op match {
+      case ">" | ">=" | "<" | "<=" =>
+        val bound = if ((op == ">" || op == ">=") ^ isAll) q(s"min($item)") else q(s"max($item)")
+        Some(if (isAll)
+          s"CASE WHEN $cnt = 0 THEN TRUE WHEN NOT (($lhs) $op $bound) THEN FALSE " +
+            s"WHEN $nulls > 0 OR ($lhs) IS NULL THEN $nul ELSE TRUE END"
+        else
+          s"CASE WHEN $cnt = 0 THEN FALSE WHEN ($lhs) $op $bound THEN TRUE " +
+            s"WHEN $nulls > 0 OR ($lhs) IS NULL THEN $nul ELSE FALSE END")
+      case "=" | "<>" | "!=" =>
+        // Spark's IN-subquery collapses the undecidable case to FALSE in
+        // projection position (semi-join semantics), so equality quantifiers
+        // count matches explicitly instead — 3VL-exact like the reference.
+        val matches = q(s"count(CASE WHEN ($item) = ($lhs) THEN 1 END)")
+        Some((op, isAll) match {
+          case ("=", false) => // = ANY
+            s"CASE WHEN $cnt = 0 THEN FALSE WHEN $matches > 0 THEN TRUE " +
+              s"WHEN $nulls > 0 OR ($lhs) IS NULL THEN $nul ELSE FALSE END"
+          case ("=", true) => // = ALL
+            s"CASE WHEN $cnt = 0 THEN TRUE WHEN ($lhs) IS NULL THEN $nul " +
+              s"WHEN ($cnt - $nulls) - $matches > 0 THEN FALSE " +
+              s"WHEN $nulls > 0 THEN $nul ELSE TRUE END"
+          case (_, false) => // <> ANY
+            s"CASE WHEN $cnt = 0 THEN FALSE WHEN ($lhs) IS NULL THEN $nul " +
+              s"WHEN ($cnt - $nulls) - $matches > 0 THEN TRUE " +
+              s"WHEN $nulls > 0 THEN $nul ELSE FALSE END"
+          case (_, true) => // <> ALL
+            s"CASE WHEN $cnt = 0 THEN TRUE WHEN $matches > 0 THEN FALSE " +
+              s"WHEN $nulls > 0 OR ($lhs) IS NULL THEN $nul ELSE TRUE END"
+        })
+      case _ => None
+    }
   }
 
   private val passes: Seq[Vector[Tok] => Option[Vector[Tok]]] =

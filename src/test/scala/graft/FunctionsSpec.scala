@@ -168,7 +168,13 @@ class DialectSpec extends AnyFunSuite {
     "SELECT name LIKE ANY(patterns) FROM t" -> "SELECT exists(patterns, __t -> name LIKE __t) FROM t",
     // ANY over subqueries is left for the Column-API rewrites (q101+)
     "SELECT x FROM t WHERE x > ANY (SELECT y FROM u)" ->
-      "SELECT x FROM t WHERE x > ANY (SELECT y FROM u)",
+      ("SELECT x FROM t WHERE CASE WHEN (SELECT count(*) FROM u) = 0 THEN FALSE " +
+        "WHEN (x) > (SELECT min(y) FROM u) THEN TRUE " +
+        "WHEN (SELECT count(CASE WHEN (y) IS NULL THEN 1 END) FROM u) > 0 " +
+        "OR (x) IS NULL THEN CAST(NULL AS BOOLEAN) ELSE FALSE END"),
+    // unsupported subquery shapes stay untouched (Spark reports the original)
+    "SELECT x FROM t WHERE x > ANY (SELECT y FROM u LIMIT 3)" ->
+      "SELECT x FROM t WHERE x > ANY (SELECT y FROM u LIMIT 3)",
     // UNION ALL / SELECT ALL must NOT trip the ALL rewrite
     "SELECT a FROM t UNION ALL SELECT b FROM u" -> "SELECT a FROM t UNION ALL SELECT b FROM u",
     // aggregate FILTER clause
@@ -382,6 +388,50 @@ class EngineSqlSpec extends SparkTestBase {
     assert(r.getSeq[Int](5) == Seq(20, 30))
     assert(r.getSeq[Int](6) == Seq(10, 20))
     assert(r.getSeq[Int](7) == Seq(20, 30), "to beyond length clamps")
+  }
+
+  test("quantified subquery comparisons: full 3VL matrix (AnyOperator/AllOperator parity)") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    spark.sql("SELECT * FROM VALUES (1), (5), (9) AS t(y)").createOrReplaceTempView("qsub")
+    spark.sql("SELECT * FROM VALUES (1), (5), (CAST(NULL AS INT)) AS t(y)")
+      .createOrReplaceTempView("qsub_null")
+    spark.sql("SELECT * FROM VALUES (1) AS t(y) WHERE y < 0").createOrReplaceTempView("qsub_empty")
+    def run(expr: String): Any = {
+      val r = Engine.sql(spark, s"SELECT $expr AS v").head()
+      if (r.isNullAt(0)) null else r.getBoolean(0)
+    }
+    // ordering ANY
+    assert(run("3 > ANY (SELECT y FROM qsub)") == true)
+    assert(run("0 > ANY (SELECT y FROM qsub)") == false)
+    assert(run("10 <= ANY (SELECT y FROM qsub)") == false)
+    assert(run("9 <= ANY (SELECT y FROM qsub)") == true)
+    assert(run("3 > ANY (SELECT y FROM qsub_empty)") == false, "empty -> FALSE")
+    assert(run("3 > ANY (SELECT y FROM qsub_null)") == true, "TRUE beats null row")
+    assert(run("0 > ANY (SELECT y FROM qsub_null)") == null, "undecidable -> NULL")
+    assert(run("CAST(NULL AS INT) > ANY (SELECT y FROM qsub)") == null)
+    assert(run("CAST(NULL AS INT) > ANY (SELECT y FROM qsub_empty)") == false)
+    // ordering ALL
+    assert(run("10 > ALL (SELECT y FROM qsub)") == true)
+    assert(run("5 > ALL (SELECT y FROM qsub)") == false)
+    assert(run("3 > ALL (SELECT y FROM qsub_empty)") == true, "empty -> TRUE")
+    assert(run("0 > ALL (SELECT y FROM qsub_null)") == false, "FALSE dominates null")
+    assert(run("10 > ALL (SELECT y FROM qsub_null)") == null, "no FALSE + null -> NULL")
+    assert(run("CAST(NULL AS INT) > ALL (SELECT y FROM qsub_empty)") == true)
+    // equality quantifiers
+    assert(run("5 = ANY (SELECT y FROM qsub)") == true)
+    assert(run("4 = ANY (SELECT y FROM qsub)") == false)
+    assert(run("4 = ANY (SELECT y FROM qsub_null)") == null, "IN 3VL")
+    assert(run("4 <> ALL (SELECT y FROM qsub)") == true)
+    assert(run("5 <> ALL (SELECT y FROM qsub)") == false)
+    assert(run("4 <> ALL (SELECT y FROM qsub_null)") == null, "NOT IN 3VL")
+    assert(run("7 = ALL (SELECT y FROM qsub)") == false)
+    assert(run("7 = ALL (SELECT y FROM qsub WHERE y = 7)") == true)
+    assert(run("5 = ALL (SELECT y FROM qsub_null WHERE y = 5)") == true)
+    assert(run("5 = ALL (SELECT y FROM qsub_null)") == false)
+    assert(run("9 <> ANY (SELECT y FROM qsub)") == true)
+    assert(run("5 <> ANY (SELECT y FROM qsub WHERE y = 5)") == false)
+    // SOME is a synonym for ANY
+    assert(run("3 > SOME (SELECT y FROM qsub)") == true)
   }
 
   test("CrateDB-dialect statement runs end-to-end through Engine.sql") {
