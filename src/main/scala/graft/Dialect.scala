@@ -750,10 +750,66 @@ object Dialect {
     }
   }
 
+  /** `ARRAY(SELECT item FROM …)` constructor (CrateDB array-subquery,
+    * `ArrayFunction.java` + analyzer support) → a scalar subquery with
+    * `collect_list` injected around the single select item. Same shape
+    * guard as [[quantifiedSubquery]]; additionally rejects ORDER BY
+    * (collect_list gives no order guarantee — better untranslated than
+    * silently unordered). */
+  private def passArraySubquery(ts: Vector[Tok]): Option[Vector[Tok]] = {
+    var i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      if (t.kind == K.Word && t.is("array")) {
+        val par = nextSig(ts, i)
+        if (par >= 0 && ts(par).isSym("(")) {
+          val close = matchFwd(ts, par)
+          val inner = ts.slice(par + 1, close)
+          if (close > 0 && inner.find(_.sig).exists(_.is("select"))) {
+            collectListSubquery(inner).foreach { sql =>
+              return Some(ts.slice(0, i) ++ lex(sql) ++ ts.slice(close + 1, ts.length))
+            }
+            // unsupported shape: rename so the pass cannot loop, Spark
+            // then reports the unresolved function with the original text
+            return Some(ts.updated(i, Tok(K.Word, "array_subquery_unsupported")))
+          }
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
+  private def collectListSubquery(inner: Vector[Tok]): Option[String] = {
+    var depth = 0; var selIdx = -1; var fromIdx = -1; var k = 0
+    var bad = false; var commaAtTop = false
+    while (k < inner.length) {
+      val x = inner(k)
+      if (x.isSym("(")) depth += 1
+      else if (x.isSym(")")) depth -= 1
+      else if (depth == 0 && x.sig) {
+        if (x.is("select") && selIdx < 0) selIdx = k
+        else if (x.is("from") && fromIdx < 0) fromIdx = k
+        else if (x.isSym(",") && fromIdx < 0) commaAtTop = true
+        else if (x.is("distinct") && fromIdx < 0) bad = true
+        else if (x.is("group") || x.is("order") || x.is("limit") ||
+          x.is("having") || x.is("union") || x.is("intersect") ||
+          x.is("except")) bad = true
+      }
+      k += 1
+    }
+    if (selIdx != inner.indexWhere(_.sig) || fromIdx < 0 || commaAtTop || bad) None
+    else {
+      val item = render(inner.slice(selIdx + 1, fromIdx)).trim
+      val rest = render(inner.slice(fromIdx, inner.length)).trim
+      Some(s"(SELECT coalesce(collect_list($item), array()) $rest)")
+    }
+  }
+
   private val passes: Seq[Vector[Tok] => Option[Vector[Tok]]] =
     Seq(passRenames, passMatch, passCasts, passAnyAll, passObjectLiteral,
       passBrackets, passFetchOffset, passFilterClause, passSystemSchemas,
-      passArrayOverlap, passRegexOps)
+      passArrayOverlap, passRegexOps, passArraySubquery)
 
   // ---------- DDL: CREATE TABLE ----------
 

@@ -175,6 +175,10 @@ class DialectSpec extends AnyFunSuite {
     // unsupported subquery shapes stay untouched (Spark reports the original)
     "SELECT x FROM t WHERE x > ANY (SELECT y FROM u LIMIT 3)" ->
       "SELECT x FROM t WHERE x > ANY (SELECT y FROM u LIMIT 3)",
+    // ARRAY(subquery) constructor
+    "SELECT ARRAY(SELECT y FROM u) AS arr" ->
+      "SELECT (SELECT coalesce(collect_list(y), array()) FROM u) AS arr",
+    "SELECT array(1, 2) FROM t" -> "SELECT array(1, 2) FROM t",
     // UNION ALL / SELECT ALL must NOT trip the ALL rewrite
     "SELECT a FROM t UNION ALL SELECT b FROM u" -> "SELECT a FROM t UNION ALL SELECT b FROM u",
     // aggregate FILTER clause
@@ -432,6 +436,12 @@ class EngineSqlSpec extends SparkTestBase {
     assert(run("5 <> ANY (SELECT y FROM qsub WHERE y = 5)") == false)
     // SOME is a synonym for ANY
     assert(run("3 > SOME (SELECT y FROM qsub)") == true)
+    // ARRAY(subquery) constructor executes; empty subquery → empty array
+    val arr = Engine.sql(spark,
+      "SELECT sort_array(ARRAY(SELECT y FROM qsub)) AS a").head().getSeq[Int](0)
+    assert(arr == Seq(1, 5, 9))
+    assert(Engine.sql(spark,
+      "SELECT ARRAY(SELECT y FROM qsub_empty) AS a").head().getSeq[Int](0).isEmpty)
   }
 
   test("CrateDB-dialect statement runs end-to-end through Engine.sql") {
