@@ -51,6 +51,26 @@ class StatementRouter(spark: SparkSession, root: String) {
     }
   }
 
+  /** Run a multi-statement script (what a CrateDB client sends over one
+    * connection): statements split on top-level semicolons — literal-safe,
+    * since the split walks [[Dialect.lex]] tokens, never raw text. Returns
+    * the last statement's result. Each DML statement commits its own table
+    * version, so a crash mid-script leaves every completed statement
+    * durable and the in-flight one invisible (statement-level atomicity,
+    * the reference's granularity as well — it has no multi-statement
+    * transactions). */
+  def executeScript(script: String): DataFrame = {
+    val stmts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    for (t <- Dialect.lex(script)) {
+      if (t.isSym(";")) { if (cur.toString.trim.nonEmpty) stmts += cur.toString; cur.clear() }
+      else cur.append(t.text)
+    }
+    if (cur.toString.trim.nonEmpty) stmts += cur.toString
+    require(stmts.nonEmpty, "empty script")
+    stmts.map(execute).last
+  }
+
   def execute(stmt: String): DataFrame = {
     val sig = Dialect.lex(stmt).filter(_.sig)
     require(sig.nonEmpty, "empty statement")

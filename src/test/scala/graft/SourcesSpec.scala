@@ -436,3 +436,19 @@ class StatementRouterCopySpec extends SparkTestBase {
     assert(plan.contains("Physical Plan"))
   }
 }
+
+class StatementScriptSpec extends SparkTestBase {
+  test("multi-statement script: split is literal-safe, last result returned, each stmt durable") {
+    val root = Files.createTempDirectory("graftscript").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    val out = r.executeScript(
+      """CREATE TABLE s1 (k BIGINT, v TEXT);
+        |INSERT INTO s1 (k, v) VALUES (1, 'a;b'), (2, 'c');
+        |UPDATE s1 SET v = v || '!' WHERE k = 1;
+        |SELECT k, v FROM s1 ORDER BY k""".stripMargin)
+    assert(out.collect().map(x => (x.getLong(0), x.getString(1))).toSeq ==
+      Seq((1L, "a;b!"), (2L, "c")))
+    // three writes → three committed versions (create, insert, update)
+    assert(VersionedTable.versions(spark, s"$root/s1") == Seq(1, 2, 3))
+  }
+}
