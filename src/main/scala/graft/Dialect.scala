@@ -23,9 +23,12 @@ package graft
   *  - `MATCH(col, 'q')`, `MATCH((c1 [boost], c2), 'q') [USING best_fields |
   *    phrase]` → boolean `match_text` / phrase containment predicates
   *
-  * Quantified comparisons over *subqueries* (`x > ANY (SELECT …)`) are left
-  * untouched here — they need the subquery's shape; use the oracle-checked
-  * rewrites in `QueriesComposite` (q101+) / the Column API instead.
+  *  - quantified comparisons over *subqueries* (`x > ANY (SELECT …)`, all
+  *    12 ANY/SOME/ALL × operator variants) → 3VL-exact CASE over injected
+  *    min/max/count aggregate subqueries. The outer operand never enters
+  *    subquery scope, so same-named inner columns cannot capture it and
+  *    correlated inner queries translate as-is (Catalyst decorrelates the
+  *    injected aggregates).
   */
 object Dialect {
 
@@ -726,24 +729,32 @@ object Dialect {
           s"CASE WHEN $cnt = 0 THEN FALSE WHEN ($lhs) $op $bound THEN TRUE " +
             s"WHEN $nulls > 0 OR ($lhs) IS NULL THEN $nul ELSE FALSE END")
       case "=" | "<>" | "!=" =>
-        // Spark's IN-subquery collapses the undecidable case to FALSE in
-        // projection position (semi-join semantics), so equality quantifiers
-        // count matches explicitly instead — 3VL-exact like the reference.
-        val matches = q(s"count(CASE WHEN ($item) = ($lhs) THEN 1 END)")
+        // The lhs operand must NEVER appear inside subquery scope: a
+        // same-named inner column would capture it (`y = ANY (SELECT y
+        // FROM u)` binding both sides to u.y), and keeping it outside is
+        // also what lets correlated inner queries translate — the injected
+        // aggregates preserve the correlation predicates verbatim and
+        // Catalyst decorrelates them. Membership itself uses IN (TRUE is
+        // reliable in any position; Spark collapses only the undecidable
+        // case, which the surrounding CASE resolves from the null counts),
+        // and the differs-from-lhs test uses min/max: all non-null items
+        // equal lhs ⟺ min = max = lhs.
+        val members = q(item)
+        val mn = q(s"min($item)"); val mx = q(s"max($item)")
         Some((op, isAll) match {
           case ("=", false) => // = ANY
-            s"CASE WHEN $cnt = 0 THEN FALSE WHEN $matches > 0 THEN TRUE " +
+            s"CASE WHEN $cnt = 0 THEN FALSE WHEN ($lhs) IN $members THEN TRUE " +
               s"WHEN $nulls > 0 OR ($lhs) IS NULL THEN $nul ELSE FALSE END"
           case ("=", true) => // = ALL
             s"CASE WHEN $cnt = 0 THEN TRUE WHEN ($lhs) IS NULL THEN $nul " +
-              s"WHEN ($cnt - $nulls) - $matches > 0 THEN FALSE " +
+              s"WHEN $mn <> ($lhs) OR $mx <> ($lhs) THEN FALSE " +
               s"WHEN $nulls > 0 THEN $nul ELSE TRUE END"
           case (_, false) => // <> ANY
             s"CASE WHEN $cnt = 0 THEN FALSE WHEN ($lhs) IS NULL THEN $nul " +
-              s"WHEN ($cnt - $nulls) - $matches > 0 THEN TRUE " +
+              s"WHEN $mn <> ($lhs) OR $mx <> ($lhs) THEN TRUE " +
               s"WHEN $nulls > 0 THEN $nul ELSE FALSE END"
           case (_, true) => // <> ALL
-            s"CASE WHEN $cnt = 0 THEN TRUE WHEN $matches > 0 THEN FALSE " +
+            s"CASE WHEN $cnt = 0 THEN TRUE WHEN ($lhs) IN $members THEN FALSE " +
               s"WHEN $nulls > 0 OR ($lhs) IS NULL THEN $nul ELSE TRUE END"
         })
       case _ => None

@@ -362,6 +362,29 @@ object QueriesRound3 {
           |ORDER BY p_partkey""".stripMargin))
     }),
 
+    // Correlated quantified subquery comparisons through the dialect
+    // front-end (reference `operator/any/AnyOperators.java`,
+    // `operator/all/AllOperator.java` over correlated inner queries): the
+    // rewrite keeps the outer operand OUT of subquery scope, so the
+    // injected min/max/count aggregates carry the correlation predicate
+    // verbatim and Catalyst decorrelates them into joins — no per-row
+    // subquery execution, the 100 TB-safe plan.
+    "q151_quantified_correlated" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      graft.functions.GraftFunctions.registerAll(s)
+      s.sql(graft.Dialect.translate(
+        """SELECT o_orderkey,
+          |       o_totalprice >= ALL (SELECT l_extendedprice * 3 FROM lineitem
+          |                            WHERE l_orderkey = o_orderkey) AS dominates,
+          |       o_totalprice < ANY (SELECT l_extendedprice * 10 FROM lineitem
+          |                           WHERE l_orderkey = o_orderkey) AS below_some,
+          |       o_custkey = ANY (SELECT c_custkey FROM customer
+          |                        WHERE c_custkey = o_custkey AND c_acctbal > 0) AS pos_cust
+          |FROM orders
+          |WHERE o_orderkey % 7 = 0
+          |ORDER BY o_orderkey""".stripMargin))
+    }),
+
     // Training-shard packing: stable hash shard per doc. Same oracle pattern
     // as q136 — all 8 shards present, counts sum to the corpus total, each
     // shard within ±40% of the uniform share (hash balance).
@@ -464,6 +487,20 @@ object QueriesRound3 {
                 (SELECT count(*) FROM documents) AS total_docs,
                 TRUE AS balanced_ok
          FROM range(8) r ORDER BY shard""",
+    // Quantified semantics spelled out for DuckDB: >= ALL over a
+    // null-free set is >= max (empty -> TRUE), < ANY is < max (empty ->
+    // FALSE), = ANY is EXISTS.
+    "q151_quantified_correlated" ->
+      """SELECT o_orderkey,
+        |       coalesce(o_totalprice >= 3 * (SELECT max(l_extendedprice)
+        |           FROM lineitem WHERE l_orderkey = o_orderkey), TRUE) AS dominates,
+        |       coalesce(o_totalprice < 10 * (SELECT max(l_extendedprice)
+        |           FROM lineitem WHERE l_orderkey = o_orderkey), FALSE) AS below_some,
+        |       EXISTS (SELECT 1 FROM customer
+        |               WHERE c_custkey = o_custkey AND c_acctbal > 0) AS pos_cust
+        |FROM orders
+        |WHERE o_orderkey % 7 = 0
+        |ORDER BY o_orderkey""".stripMargin,
     "q130_tpch_q7ish" -> tpchQ7,
     "q146_tpch_q8ish" -> tpchQ8,
     "q147_tpch_q10ish" -> tpchQ10,

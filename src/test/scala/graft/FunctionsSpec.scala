@@ -436,6 +436,36 @@ class EngineSqlSpec extends SparkTestBase {
     assert(run("5 <> ANY (SELECT y FROM qsub WHERE y = 5)") == false)
     // SOME is a synonym for ANY
     assert(run("3 > SOME (SELECT y FROM qsub)") == true)
+    // same-named columns must NOT capture the outer operand: outer y vs
+    // qsub.y ∈ {1,5,9}
+    val cap = Engine.sql(spark,
+      """SELECT o.y, o.y = ANY (SELECT y FROM qsub) AS m,
+        |       o.y = ALL (SELECT y FROM qsub WHERE y = 5) AS a,
+        |       o.y <> ANY (SELECT y FROM qsub WHERE y = 5) AS d,
+        |       o.y <> ALL (SELECT y FROM qsub) AS n
+        |FROM (SELECT 4 AS y UNION ALL SELECT 5 AS y) o ORDER BY o.y""".stripMargin)
+      .collect()
+    assert(cap(0).getBoolean(1) == false && cap(1).getBoolean(1) == true,
+      "= ANY captured the inner column")
+    assert(cap(0).getBoolean(2) == false && cap(1).getBoolean(2) == true)
+    assert(cap(0).getBoolean(3) == true && cap(1).getBoolean(3) == false)
+    assert(cap(0).getBoolean(4) == true && cap(1).getBoolean(4) == false)
+    // correlated inner queries translate and decorrelate (the aggregate
+    // subqueries keep the correlation predicate verbatim)
+    spark.sql("SELECT * FROM VALUES (1, 10), (1, 20), (2, 5) AS t(k, v)")
+      .createOrReplaceTempView("qcorr")
+    val corr = Engine.sql(spark,
+      """SELECT t.k, t.x > ANY (SELECT v FROM qcorr WHERE qcorr.k = t.k) AS gt,
+        |       t.x = ALL (SELECT v FROM qcorr WHERE qcorr.k = t.k) AS eq,
+        |       t.x = ANY (SELECT v - 5 FROM qcorr WHERE qcorr.k = t.k) AS m
+        |FROM (SELECT * FROM VALUES (1, 15), (2, 5), (3, 0) AS v(k, x)) t
+        |ORDER BY t.k""".stripMargin).collect()
+    assert(corr(0).getBoolean(3) == true && corr(1).getBoolean(3) == false &&
+      corr(2).getBoolean(3) == false, "correlated = ANY (IN path)")
+    assert(corr(0).getBoolean(1) == true && corr(0).getBoolean(2) == false)
+    assert(corr(1).getBoolean(1) == false && corr(1).getBoolean(2) == true)
+    assert(corr(2).getBoolean(1) == false, "empty correlated set -> FALSE for ANY")
+    assert(corr(2).getBoolean(2) == true, "empty correlated set -> TRUE for ALL")
     // ARRAY(subquery) constructor executes; empty subquery → empty array
     val arr = Engine.sql(spark,
       "SELECT sort_array(ARRAY(SELECT y FROM qsub)) AS a").head().getSeq[Int](0)
