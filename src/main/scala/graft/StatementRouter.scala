@@ -36,29 +36,81 @@ class StatementRouter(spark: SparkSession, root: String) {
 
   private def tablePath(name: String) = s"$root/$name"
 
+  // ---------- transactions ----------
+
+  /** Open-transaction buffer: table name → staged snapshot. `None` =
+    * autocommit (every DML statement commits its own version — the
+    * reference's granularity). BEGIN…COMMIT batches any number of DML
+    * statements into ONE versioned commit per touched table: statements
+    * inside the transaction read their own writes (staged snapshots are
+    * materialized eagerly), readers outside see nothing until COMMIT, and
+    * ROLLBACK discards the staged state without a trace. Atomicity is
+    * per-table (one manifest rename each) — a superset of the reference,
+    * which has no multi-statement transactions at all. */
+  private var txn: Option[scala.collection.mutable.LinkedHashMap[String, DataFrame]] = None
+
+  /** Current snapshot: the staged transactional state if present, else the
+    * latest committed version. */
+  private def readTable(name: String): DataFrame =
+    txn.flatMap(_.get(name)).getOrElse(VersionedTable.read(spark, tablePath(name)))
+
+  /** Stage (in a transaction) or commit (autocommit) the next snapshot.
+    * Staged snapshots are localCheckpoint'ed: the transform is computed
+    * once, later statements in the transaction read a stable materialized
+    * state, and lineage cannot pile up across a long script. */
+  private def writeTable(name: String, next: DataFrame): Unit =
+    txn match {
+      case Some(buf) => buf(name) = next.localCheckpoint()
+      case None      => VersionedTable.commit(spark, tablePath(name), next)
+    }
+
+  private def beginTxn(): DataFrame = {
+    require(txn.isEmpty, "nested transactions are not supported")
+    txn = Some(scala.collection.mutable.LinkedHashMap.empty)
+    summary(0L)
+  }
+
+  private def commitTxn(): DataFrame = {
+    val buf = txn.getOrElse(sys.error("COMMIT without BEGIN"))
+    txn = None
+    buf.foreach { case (name, df) =>
+      VersionedTable.commit(spark, tablePath(name), df)
+    }
+    summary(buf.size.toLong)
+  }
+
+  private def rollbackTxn(): DataFrame = {
+    require(txn.isDefined, "ROLLBACK without BEGIN")
+    txn = None
+    summary(0L)
+  }
+
   /** Render significant tokens back to SQL (whitespace was filtered out). */
   private def renderSig(v: Seq[Dialect.Tok]): String = v.map(_.text).mkString(" ")
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Latest snapshot of every table under the root, as temp views. */
+  /** Latest snapshot of every table under the root, as temp views; inside
+    * a transaction the staged snapshots overlay the committed ones (read
+    * your own writes). */
   def registerViews(): Unit = {
     val rp = new Path(root)
     if (fs.exists(rp)) fs.listStatus(rp).foreach { st =>
       val name = st.getPath.getName
       if (st.isDirectory && fs.exists(new Path(st.getPath, "_manifests")))
-        VersionedTable.read(spark, st.getPath.toString).createOrReplaceTempView(name)
+        readTable(name).createOrReplaceTempView(name)
     }
   }
 
   /** Run a multi-statement script (what a CrateDB client sends over one
     * connection): statements split on top-level semicolons — literal-safe,
     * since the split walks [[Dialect.lex]] tokens, never raw text. Returns
-    * the last statement's result. Each DML statement commits its own table
-    * version, so a crash mid-script leaves every completed statement
-    * durable and the in-flight one invisible (statement-level atomicity,
-    * the reference's granularity as well — it has no multi-statement
-    * transactions). */
+    * the last statement's result. In autocommit each DML statement commits
+    * its own table version, so a crash mid-script leaves every completed
+    * statement durable and the in-flight one invisible (statement-level
+    * atomicity, the reference's granularity as well). `BEGIN; …; COMMIT`
+    * inside the script batches the enclosed DML into one versioned commit
+    * per touched table instead. */
   def executeScript(script: String): DataFrame = {
     val stmts = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
@@ -77,12 +129,17 @@ class StatementRouter(spark: SparkSession, root: String) {
     sig(0).text.toLowerCase match {
       case "create" if sig.length > 1 && sig(1).is("table") => createTable(stmt)
       case "drop" if sig.length > 1 && sig(1).is("table")   => dropTable(sig)
-      case "insert"  => insert(stmt)
-      case "update"  => update(stmt)
-      case "delete"  => delete(stmt)
-      case "copy"    => copyStmt(stmt)
-      case "explain" => explainStmt(stmt)
-      case _         => registerViews(); Engine.sql(spark, stmt)
+      case "insert"   => insert(stmt)
+      case "update"   => update(stmt)
+      case "delete"   => delete(stmt)
+      case "copy"     => copyStmt(stmt)
+      case "explain"  => explainStmt(stmt)
+      case "begin"    => beginTxn()
+      case "start" if sig.length > 1 && sig(1).is("transaction") => beginTxn()
+      case "commit"   => commitTxn()
+      case "end" if txn.isDefined => commitTxn()
+      case "rollback" => rollbackTxn()
+      case _          => registerViews(); Engine.sql(spark, stmt)
     }
   }
 
@@ -116,17 +173,17 @@ class StatementRouter(spark: SparkSession, root: String) {
       if (path.replaceAll("\\.gz$", "").endsWith(".csv")) "csv" else "json")
     val gzip = opts.get("compression").contains("gzip")
     if (isFrom) {
-      val target = VersionedTable.read(spark, tablePath(name))
+      val target = readTable(name)
       val (rows, fileSummary) =
         if (fmt == "csv")
           sources.CopyOps.copyFromCsv(spark, target.schema,
             opts.getOrElse("header", "true").toBoolean, path)
         else sources.CopyOps.copyFromJson(spark, target.schema, path)
       val n = rows.count()
-      VersionedTable.transact(spark, tablePath(name), cur => Dml.insertInto(cur, rows))
+      writeTable(name, Dml.insertInto(target, rows))
       if (ts.exists(_.is("summary"))) fileSummary else summary(n)
     } else {
-      val cur = VersionedTable.read(spark, tablePath(name))
+      val cur = readTable(name)
       fmt match {
         case "csv"     => sources.CopyOps.copyToCsv(cur, path, gzip = gzip)
         case "parquet" => sources.CopyOps.copyToParquet(cur, path)
@@ -167,6 +224,16 @@ class StatementRouter(spark: SparkSession, root: String) {
       require(ifNotExists, s"table $name already exists")
       return summary(0L)
     }
+    // CLUSTERED BY (c) INTO n SHARDS → persistent bucket spec: every
+    // version of this table is written bucketed, so repeated joins on the
+    // clustering key plan shuffle-free (the reference's shard routing,
+    // DocTableInfo.clusteredBy).
+    "CLUSTERED BY \\((.+?)\\) INTO (\\d+) BUCKETS".r.findFirstMatchIn(ddl)
+      .foreach { m =>
+        VersionedTable.setBucketSpec(spark, tablePath(name),
+          VersionedTable.BucketSpec(m.group(2).toInt,
+            m.group(1).split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq))
+      }
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
     VersionedTable.commit(spark, tablePath(name), empty)
@@ -180,7 +247,10 @@ class StatementRouter(spark: SparkSession, root: String) {
     val name = sig(i).text
     val p = new Path(tablePath(name))
     if (!fs.exists(p)) require(ifExists, s"table $name does not exist")
-    else fs.delete(p, true)
+    else {
+      VersionedTable.dropCatalogEntries(spark, tablePath(name))
+      fs.delete(p, true)
+    }
     spark.catalog.dropTempView(name)
     summary(0L)
   }
@@ -192,7 +262,7 @@ class StatementRouter(spark: SparkSession, root: String) {
     require(ts(0).is("insert") && ts(1).is("into"), "INSERT INTO expected")
     var i = 2
     val name = ts(i).text; i += 1
-    val target = VersionedTable.read(spark, tablePath(name))
+    val target = readTable(name)
     // optional explicit column list
     var cols: Seq[String] = target.schema.fieldNames.toSeq
     if (i < ts.length && ts(i).isSym("(")) {
@@ -239,7 +309,7 @@ class StatementRouter(spark: SparkSession, root: String) {
           cur => mergeUpsert(cur, aligned, keys, assigns)
         }
       }
-    VersionedTable.transact(spark, tablePath(name), next)
+    writeTable(name, next(target))
     summary(n)
   }
 
@@ -293,14 +363,14 @@ class StatementRouter(spark: SparkSession, root: String) {
     val (setEnd, whereToks, retToks) = tailClauses(ts, 3)
     val assigns = parseAssignments(ts.slice(3, setEnd))
     val cond = whereToks.map(w => expr(renderSig(w))).getOrElse(lit(true))
-    val cur = VersionedTable.read(spark, tablePath(name))
+    val cur = readTable(name)
     val (next, touched) = Dml.update(cur, cond,
       assigns.map { case (c, rhs) => c -> expr(rhs) }.toMap)
     val result = retToks match {
       case Some(r) => selectReturning(touched, r).localCheckpoint()
       case None    => summary(cur.filter(cond).count())
     }
-    VersionedTable.commit(spark, tablePath(name), next)
+    writeTable(name, next)
     result
   }
 
@@ -310,13 +380,13 @@ class StatementRouter(spark: SparkSession, root: String) {
     val name = ts(2).text
     val (_, whereToks, retToks) = tailClauses(ts, 3)
     val cond = whereToks.map(w => expr(renderSig(w))).getOrElse(lit(true))
-    val cur = VersionedTable.read(spark, tablePath(name))
+    val cur = readTable(name)
     val (next, deleted) = Dml.delete(cur, cond)
     val result = retToks match {
       case Some(r) => selectReturning(deleted, r).localCheckpoint()
       case None    => summary(cur.filter(cond).count())
     }
-    VersionedTable.commit(spark, tablePath(name), next)
+    writeTable(name, next)
     result
   }
 

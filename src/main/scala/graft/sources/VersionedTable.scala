@@ -39,6 +39,65 @@ object VersionedTable {
 
   private def manifestDir(path: String) = new Path(path, "_manifests")
 
+  // ---------- bucketing (CLUSTERED BY) ----------
+
+  /** `CLUSTERED BY (cols) INTO n SHARDS` carried onto the versioned
+    * substrate (reference `DocTableInfo.clusteredBy` — same-key rows on the
+    * same shard). Spark's twin is a bucketed table; bucket metadata lives
+    * in the session catalog, so each version's data dir is written through
+    * an external catalog table (`bucketBy` cannot target a bare path) and
+    * readers re-register that entry when absent (fresh session). Joins on
+    * the clustering key between co-bucketed tables then plan shuffle-free.
+    */
+  final case class BucketSpec(numBuckets: Int, cols: Seq[String])
+
+  private def bucketSpecFile(path: String) = new Path(path, "_bucketspec")
+
+  /** Record the clustering for all future commits at `path` (call before
+    * the first commit; CREATE TABLE does). */
+  def setBucketSpec(spark: SparkSession, path: String, spec: BucketSpec): Unit = {
+    val f = fs(spark)
+    f.mkdirs(new Path(path))
+    val out = f.create(bucketSpecFile(path), true)
+    out.write(s"${spec.numBuckets}\t${spec.cols.mkString(",")}".getBytes("UTF-8"))
+    out.close()
+  }
+
+  def bucketSpec(spark: SparkSession, path: String): Option[BucketSpec] = {
+    val f = fs(spark)
+    val p = bucketSpecFile(path)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val bytes = new Array[Byte](in.available())
+      in.readFully(bytes); in.close()
+      val Array(n, cols) = new String(bytes, "UTF-8").trim.split("\t", 2)
+      Some(BucketSpec(n.toInt, cols.split(",").toSeq))
+    }
+  }
+
+  /** Catalog identifier for one version's external bucketed table — derived
+    * from the table path so concurrent tests/roots cannot collide. */
+  private def catalogName(path: String, version: Int): String = {
+    val base = new Path(path).getName.replaceAll("[^A-Za-z0-9_]", "_")
+    val h = Integer.toHexString(path.hashCode)
+    f"graft_vt_${base}_${h}_v$version%05d"
+  }
+
+  private def ensureCatalogEntry(spark: SparkSession, path: String, version: Int,
+                                 dataDir: String, spec: BucketSpec): String = {
+    val name = catalogName(path, version)
+    if (!spark.catalog.tableExists(name)) {
+      val schema = spark.read.parquet(dataDir).schema.toDDL
+      spark.sql(
+        s"""CREATE TABLE $name ($schema) USING parquet
+           |CLUSTERED BY (${spec.cols.mkString(", ")})
+           |INTO ${spec.numBuckets} BUCKETS
+           |LOCATION '$dataDir'""".stripMargin)
+    }
+    name
+  }
+
   private def versionOf(p: Path): Option[Int] = {
     val n = p.getName
     if (n.endsWith(".manifest")) n.stripSuffix(".manifest").stripPrefix("v").toIntOption
@@ -63,7 +122,17 @@ object VersionedTable {
     val f = fs(spark)
     val next = latestVersion(spark, path).getOrElse(0) + 1
     val dataDir = new Path(path, f"data/v$next%05d")
-    df.write.mode("error").parquet(dataDir.toString)
+    bucketSpec(spark, path) match {
+      case Some(spec) =>
+        // bucketed write: bucket metadata must live in the catalog, so the
+        // version is written through an external table at the data dir
+        df.write.mode("error").option("path", dataDir.toString)
+          .bucketBy(spec.numBuckets, spec.cols.head, spec.cols.tail: _*)
+          .sortBy(spec.cols.head, spec.cols.tail: _*)
+          .format("parquet").saveAsTable(catalogName(path, next))
+      case None =>
+        df.write.mode("error").parquet(dataDir.toString)
+    }
     require(f.exists(new Path(dataDir, "_SUCCESS")),
       s"versioned commit aborted: data write $dataDir did not complete")
     val md = manifestDir(path)
@@ -95,14 +164,30 @@ object VersionedTable {
     readVersion(spark, path, v)
   }
 
-  /** Time travel: read an exact committed version. */
-  def readVersion(spark: SparkSession, path: String, version: Int): DataFrame =
-    spark.read.parquet(dataDirFor(spark, path, version))
+  /** Time travel: read an exact committed version. Bucketed tables read
+    * through their catalog entry (re-registered if the session is fresh)
+    * so the clustering survives into join planning. */
+  def readVersion(spark: SparkSession, path: String, version: Int): DataFrame = {
+    val dataDir = dataDirFor(spark, path, version)
+    bucketSpec(spark, path) match {
+      case Some(spec) =>
+        spark.table(ensureCatalogEntry(spark, path, version, dataDir, spec))
+      case None => spark.read.parquet(dataDir)
+    }
+  }
 
   /** Copy-on-write DML on the versioned table: apply `f` to the latest
     * snapshot and commit the result as a new version. */
   def transact(spark: SparkSession, path: String, f: DataFrame => DataFrame): Int =
     commit(spark, path, f(read(spark, path)))
+
+  /** Remove every catalog entry this table's bucketed versions registered
+    * (call before deleting the table root — a later CREATE TABLE at the
+    * same path would otherwise resolve a stale entry). */
+  def dropCatalogEntries(spark: SparkSession, path: String): Unit =
+    versions(spark, path).foreach { v =>
+      spark.sql(s"DROP TABLE IF EXISTS ${catalogName(path, v)}")
+    }
 
   /** Drop data + manifests of all but the newest `keep` versions, plus any
     * orphan data dirs from crashed commits (dirs without a manifest). */
@@ -112,6 +197,7 @@ object VersionedTable {
     val dead = vs.dropRight(math.max(keep, 1))
     dead.foreach { v =>
       val dd = new Path(dataDirFor(spark, path, v))
+      spark.sql(s"DROP TABLE IF EXISTS ${catalogName(path, v)}")
       f.delete(new Path(manifestDir(path), f"v$v%05d.manifest"), false)
       f.delete(dd, true)
     }

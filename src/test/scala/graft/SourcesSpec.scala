@@ -452,3 +452,78 @@ class StatementScriptSpec extends SparkTestBase {
     assert(VersionedTable.versions(spark, s"$root/s1") == Seq(1, 2, 3))
   }
 }
+
+class TransactionSpec extends SparkTestBase {
+  test("BEGIN/COMMIT batches DML into one version per table; ROLLBACK discards; reads see own writes") {
+    val root = Files.createTempDirectory("grafttxn").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute("CREATE TABLE tx (k BIGINT, v TEXT)")    // v1
+    r.execute("INSERT INTO tx (k, v) VALUES (1, 'a')") // v2
+    r.executeScript(
+      """BEGIN;
+        |INSERT INTO tx (k, v) VALUES (2, 'b');
+        |UPDATE tx SET v = v || '!' WHERE k = 1;
+        |INSERT INTO tx (k, v) VALUES (3, 'c');
+        |COMMIT""".stripMargin)
+    // three DML statements, ONE new committed version
+    assert(VersionedTable.versions(spark, s"$root/tx") == Seq(1, 2, 3))
+    assert(r.execute("SELECT count(*) AS n FROM tx").head().getLong(0) == 3)
+    assert(r.execute("SELECT v FROM tx WHERE k = 1").head().getString(0) == "a!")
+
+    // inside an open transaction: own writes visible through the router,
+    // invisible to a direct committed-snapshot reader
+    r.execute("BEGIN")
+    r.execute("DELETE FROM tx WHERE k = 2")
+    assert(r.execute("SELECT count(*) AS n FROM tx").head().getLong(0) == 2)
+    assert(VersionedTable.read(spark, s"$root/tx").count() == 3)
+    r.execute("ROLLBACK")
+    assert(r.execute("SELECT count(*) AS n FROM tx").head().getLong(0) == 3)
+    assert(VersionedTable.versions(spark, s"$root/tx") == Seq(1, 2, 3))
+
+    // a transaction touching two tables commits one version on each
+    r.execute("CREATE TABLE tx2 (k BIGINT, v TEXT)")
+    r.executeScript(
+      """START TRANSACTION;
+        |INSERT INTO tx2 SELECT k, v FROM tx;
+        |DELETE FROM tx WHERE k = 3;
+        |COMMIT""".stripMargin)
+    assert(VersionedTable.versions(spark, s"$root/tx") == Seq(1, 2, 3, 4))
+    assert(VersionedTable.versions(spark, s"$root/tx2") == Seq(1, 2))
+    assert(r.execute("SELECT count(*) AS n FROM tx2").head().getLong(0) == 3)
+    assert(r.execute("SELECT count(*) AS n FROM tx").head().getLong(0) == 2)
+  }
+}
+
+class VersionedBucketingSpec extends SparkTestBase {
+  test("CLUSTERED BY INTO n SHARDS threads to bucketed versions; co-bucketed join shuffle-free across DML") {
+    val root = Files.createTempDirectory("graftvbucket").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute("CREATE TABLE bta (k BIGINT, v TEXT) CLUSTERED BY (k) INTO 4 SHARDS")
+    r.execute("CREATE TABLE btb (k BIGINT, w TEXT) CLUSTERED BY (k) INTO 4 SHARDS")
+    r.execute("INSERT INTO bta (k, v) VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
+    r.execute("INSERT INTO btb (k, w) VALUES (1, 'x'), (2, 'y')")
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      r.registerViews()
+      val joined = spark.table("bta").join(spark.table("btb"), "k")
+      assert(joined.count() == 2)
+      assert(Bucketing.isShuffleFree(joined),
+        "co-bucketed versioned tables must join without a shuffle exchange")
+
+      // bucketing survives DML: the new version is written bucketed too
+      r.execute("UPDATE bta SET v = v || '!' WHERE k = 1")
+      r.registerViews()
+      val joined2 = spark.table("bta").join(spark.table("btb"), "k")
+      assert(joined2.count() == 2)
+      assert(Bucketing.isShuffleFree(joined2))
+      assert(r.execute("SELECT v FROM bta WHERE k = 1").head().getString(0) == "a!")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    // DROP cleans the catalog entries; re-creating the table works
+    r.execute("DROP TABLE bta")
+    r.execute("CREATE TABLE bta (k BIGINT, v TEXT) CLUSTERED BY (k) INTO 4 SHARDS")
+    assert(r.execute("SELECT count(*) AS n FROM bta").head().getLong(0) == 0)
+  }
+}
