@@ -150,6 +150,8 @@ object GraftFunctions {
       exprs => graft.plans.SimHashExpr(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_fingerprint",
       exprs => graft.plans.FingerprintExpr(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("blake3",
+      exprs => graft.plans.Blake3Expr(exprs(0)), "scala_udf")
 
     // CrateDB array-bound / emptiness scalars as pure Catalyst compositions
     // (codegen'd, no UDF): null_or_empty covers BOTH the OBJECT and ARRAY
@@ -177,6 +179,69 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("graft_array_prepend",
         exprs => org.apache.spark.sql.catalyst.expressions.ArrayPrepend(
           exprs(1), exprs(0)), "scala_udf")
+    }
+
+    // CrateDB array summary / reshaping scalars as pure analyzer-resolvable
+    // compositions over Spark's higher-order functions (codegen'd end to
+    // end, no UDF). Null/empty contracts follow the reference:
+    //   array_sum/array_avg   — null array OR empty array → null; nulls
+    //                           inside the array ignored (ArraySumFunction
+    //                           .java:95, ArrayAvgFunction.java:60)
+    //   array_unnest          — one-level flatten, null inner arrays skipped
+    //                           (ArrayUnnestFunction.java:84)
+    //   collection_count      — element count incl. nulls (CollectionCount
+    //                           Function.java:60)
+    //   array_slice           — 1-based inclusive [from,to], to clamped
+    //                           (ArraySliceFunction.java:71)
+    // The `aggregate` zero is `try_element_at(arr, size(arr)+1)` — a NULL
+    // literal that carries the array's element type, so the sum stays LONG
+    // for integral arrays and DOUBLE for float arrays with no hand-written
+    // type dispatch (the reference registers one signature per type).
+    {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+      import org.apache.spark.sql.catalyst.expressions.{
+        Add, Cast, If, IsNotNull, IsNull, LambdaFunction, Literal, Subtract,
+        UnresolvedNamedLambdaVariable}
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+
+      def call(name: String, args: org.apache.spark.sql.catalyst.expressions.Expression*) =
+        UnresolvedFunction(Seq(name), args.toSeq, isDistinct = false)
+      def lv(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
+      def nonNull(a: org.apache.spark.sql.catalyst.expressions.Expression) = {
+        val e = lv("e"); call("filter", a, LambdaFunction(IsNotNull(e), Seq(e)))
+      }
+      def typedNull(a: org.apache.spark.sql.catalyst.expressions.Expression) =
+        call("try_element_at", a, Add(call("size", a), Literal(1)))
+      def sumExpr(a: org.apache.spark.sql.catalyst.expressions.Expression) = {
+        val acc = lv("acc"); val e = lv("e")
+        call("aggregate", nonNull(a), typedNull(a),
+          LambdaFunction(If(IsNull(acc), e, Add(acc, e)), Seq(acc, e)))
+      }
+      def avgExpr(a: org.apache.spark.sql.catalyst.expressions.Expression) =
+        org.apache.spark.sql.catalyst.expressions.Divide(
+          Cast(sumExpr(a), DoubleType), Cast(call("size", nonNull(a)), DoubleType))
+
+      reg.createOrReplaceTempFunction("array_sum",
+        exprs => sumExpr(exprs(0)), "scala_udf")
+      reg.createOrReplaceTempFunction("array_avg",
+        exprs => avgExpr(exprs(0)), "scala_udf")
+      reg.createOrReplaceTempFunction("collection_avg",
+        exprs => avgExpr(exprs(0)), "scala_udf")
+      reg.createOrReplaceTempFunction("collection_mean",
+        exprs => avgExpr(exprs(0)), "scala_udf")
+      reg.createOrReplaceTempFunction("collection_count",
+        exprs => Cast(call("size", exprs(0)), LongType), "scala_udf")
+      reg.createOrReplaceTempFunction("array_unnest",
+        exprs => call("flatten", nonNull(exprs(0))), "scala_udf")
+      reg.createOrReplaceTempFunction("array_slice",
+        exprs => call("slice", exprs(0), exprs(1),
+          call("greatest", Add(Subtract(exprs(2), exprs(1)), Literal(1)), Literal(0))),
+        "scala_udf")
+      reg.createOrReplaceTempFunction("pg_typeof",
+        exprs => graft.plans.PgTypeofExpr(exprs(0)), "scala_udf")
+      reg.createOrReplaceTempFunction("current_setting",
+        exprs => graft.plans.CurrentSettingExpr(exprs(0), exprs.drop(1).headOption),
+        "scala_udf")
     }
 
     // UDF→native promotion rule (see plans.GraftExtensions; injected here

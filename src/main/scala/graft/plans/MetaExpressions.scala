@@ -1,0 +1,104 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `pg_typeof(expr)` — returns the CrateDB display name of the argument's
+  * type as a plan-time constant (reference
+  * scalar/systeminformation/PgTypeofFunction.java:58 captures the BOUND
+  * argument type, not the runtime value, so `pg_typeof(null::bigint)` is
+  * `'bigint'` and the value is never inspected). Foldable: the name is known
+  * once analysis binds the child, so ConstantFolding erases it from the
+  * physical plan entirely.
+  */
+case class PgTypeofExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "pg_typeof"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = true
+
+  override def eval(input: InternalRow): Any =
+    UTF8String.fromString(PgTypeofExpr.crateName(child.dataType))
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PgTypeofExpr {
+  /** Spark type → CrateDB type display name (reference io/crate/types/
+    * DataTypes.java:397 name registry; ArrayType.java:223 `<inner>_array`). */
+  def crateName(dt: DataType): String = dt match {
+    case NullType           => "undefined"
+    case BooleanType        => "boolean"
+    case ByteType           => "byte"
+    case ShortType          => "smallint"
+    case IntegerType        => "integer"
+    case LongType           => "bigint"
+    case FloatType          => "real"
+    case DoubleType         => "double precision"
+    case _: DecimalType     => "numeric"
+    case _: StringType      => "text"
+    case DateType           => "date"
+    case TimestampType      => "timestamp with time zone"
+    case TimestampNTZType   => "timestamp without time zone"
+    case _: DayTimeIntervalType | _: YearMonthIntervalType
+                            => "interval"
+    case ArrayType(e, _)    => crateName(e) + "_array"
+    case _: MapType | _: StructType => "object"
+    case other              => other.simpleString
+  }
+}
+
+/** `current_setting(name [, missing_ok])` — session-setting lookup
+  * (reference scalar/CurrentSettingFunction — pg compat). Reads the Spark
+  * SQL conf: `SQLConf.get` resolves to the session conf on the driver and to
+  * the propagated snapshot inside tasks, so the expression is safe wherever
+  * it lands in the plan. Unknown setting → error, unless `missing_ok` is
+  * true → null (the PG contract).
+  */
+case class CurrentSettingExpr(name: Expression, missingOk: Option[Expression])
+    extends Expression with CodegenFallback {
+
+  override def prettyName: String = "current_setting"
+  override def children: Seq[Expression] = name +: missingOk.toSeq
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  // Settings are per-session constants: with literal arguments the lookup
+  // folds on the DRIVER during optimization, where the full session conf is
+  // visible (tasks only see the propagated spark.sql.* snapshot).
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (name.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects a string setting name")
+    else if (missingOk.exists(_.dataType != BooleanType))
+      TypeCheckResult.TypeCheckFailure(s"$prettyName missing_ok must be boolean")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def eval(input: InternalRow): Any = {
+    val n = name.eval(input)
+    if (n == null) return null
+    val key = n.toString
+    val v = try Option(SQLConf.get.getConfString(key, null)) catch {
+      case _: Exception => None
+    }
+    v match {
+      case Some(s) => UTF8String.fromString(s)
+      case None =>
+        val ok = missingOk.exists(e => e.eval(input) == true)
+        if (ok) null
+        else throw new IllegalArgumentException(s"Unrecognised setting: $key")
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(name = newChildren.head, missingOk = newChildren.drop(1).headOption)
+}

@@ -96,3 +96,32 @@ case class FingerprintExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Codegen'd BLAKE3 hex digest (`graft.functions.Blake3` kernel — public
+  * BLAKE3 spec; digests pinned to the reference's HashFunctionsTest
+  * vectors). Registered as `blake3`, completing the reference hash family
+  * (md5/sha1 are Spark built-ins). */
+case class Blake3Expr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "blake3"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      graft.functions.Blake3.hexDigest(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.functions.Blake3.hexDigest($c.toString()));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -398,6 +398,62 @@ object QueriesRound3 {
           (abs(col("n") - sum(col("n")).over(w) / 8.0) <=
             sum(col("n")).over(w) * 0.4 / 8.0).as("balanced_ok"))
         .orderBy(col("shard"))
+    }),
+
+    // Array summary/reshaping scalar tail (reference ArraySumFunction,
+    // ArrayAvgFunction, CollectionCountFunction, ArraySliceFunction,
+    // ArrayUnnestFunction): per-order quantity vectors exercised through
+    // the SQL surface. Sums stay integral (BIGINT elements → BIGINT sum —
+    // the reference's per-type signature dispatch, done here by the typed
+    // null zero in GraftFunctions), slices are 1-based inclusive with the
+    // upper end clamped.
+    "q152_array_summary" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      graft.functions.GraftFunctions.registerAll(s)
+      s.sql(
+        """WITH g AS (SELECT l_orderkey,
+          |                  sort_array(collect_list(CAST(l_quantity AS BIGINT))) AS qs
+          |           FROM lineitem WHERE l_orderkey % 11 = 0
+          |           GROUP BY l_orderkey)
+          |SELECT l_orderkey,
+          |       array_sum(qs) AS q_sum,
+          |       array_avg(qs) AS q_avg,
+          |       collection_count(qs) AS q_n,
+          |       to_json(array_slice(qs, 2, 4)) AS q_mid,
+          |       array_sum(array_unnest(array(qs, qs))) AS q_dbl
+          |FROM g ORDER BY l_orderkey""".stripMargin)
+    }),
+
+    // pg_typeof (bound-type names, value never read — reference
+    // systeminformation/PgTypeofFunction.java:58) and current_setting over
+    // the session conf; the setting is planted by the query itself so the
+    // oracle is harness-independent.
+    "q153_typeof_setting" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      graft.functions.GraftFunctions.registerAll(s)
+      s.conf.set("graft.answer", "42")
+      s.sql(
+        """SELECT pg_typeof(c_custkey) AS t_key,
+          |       pg_typeof(c_name) AS t_name,
+          |       pg_typeof(c_acctbal) AS t_bal,
+          |       pg_typeof(array(c_custkey)) AS t_arr,
+          |       pg_typeof(1 + CAST(1 AS SMALLINT)) AS t_promoted,
+          |       pg_typeof(CAST(NULL AS BIGINT)) AS t_null_bound,
+          |       current_setting('graft.answer') AS setting_val,
+          |       current_setting('graft.missing', true) IS NULL AS missing_null
+          |FROM customer WHERE c_custkey = 1""".stripMargin)
+    }),
+
+    // regexp_instr — Spark's native PG-contract implementation (reference
+    // regex/RegexpPositionFunction.java registers the same name): 1-based
+    // match position, 0 when the pattern does not occur.
+    "q154_regexp_instr" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT doc_id,
+          |       CAST(regexp_instr(text, '[0-9]+') AS BIGINT) AS num_pos,
+          |       CAST(regexp_instr(lang, 'z') AS BIGINT) AS no_match
+          |FROM documents ORDER BY doc_id""".stripMargin)
     })
   )
 
@@ -522,6 +578,37 @@ object QueriesRound3 {
           ${duckHits(contact, Redact.ipv4)} AS ipv4_hits,
           ${duckHits(contact, Redact.longDigits)} AS num_hits
           FROM customer WHERE c_custkey < 200 ORDER BY c_custkey"""
-    }
+    },
+    // Replayed from the base rows: a left fold over the sorted BIGINT list
+    // equals the group sum exactly (integer addition is associative), and
+    // DuckDB's 1-based inclusive list slice mirrors array_slice's clamping.
+    "q152_array_summary" ->
+      """SELECT l_orderkey,
+        |       CAST(sum(q) AS BIGINT) AS q_sum,
+        |       CAST(sum(q) AS DOUBLE) / count(*) AS q_avg,
+        |       count(*) AS q_n,
+        |       to_json(list_sort(list(q))[2:4]) AS q_mid,
+        |       CAST(2 * sum(q) AS BIGINT) AS q_dbl
+        |FROM (SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS q
+        |      FROM lineitem WHERE l_orderkey % 11 = 0)
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    // The oracle pins the reference's documented type names (io/crate/types
+    // DataTypes name registry) — the engine must bind and report them.
+    "q153_typeof_setting" ->
+      """SELECT 'bigint' AS t_key, 'text' AS t_name,
+        |       'double precision' AS t_bal, 'bigint_array' AS t_arr,
+        |       'integer' AS t_promoted, 'bigint' AS t_null_bound,
+        |       '42' AS setting_val, TRUE AS missing_null
+        |FROM customer WHERE c_custkey = 1""".stripMargin,
+    // First-match position replay: for patterns where every occurrence of
+    // the matched text is itself a valid match start (digit runs), the
+    // first occurrence of the first extracted match IS the match position.
+    "q154_regexp_instr" ->
+      """SELECT doc_id,
+        |       CAST(CASE WHEN regexp_matches(text, '[0-9]+')
+        |            THEN position(regexp_extract(text, '[0-9]+') IN text)
+        |            ELSE 0 END AS BIGINT) AS num_pos,
+        |       CAST(CASE WHEN lang LIKE '%z%' THEN position('z' IN lang) ELSE 0 END AS BIGINT) AS no_match
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

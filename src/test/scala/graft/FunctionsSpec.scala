@@ -611,3 +611,122 @@ class DialectDdlSpec extends SparkTestBase {
     spark.sql("DROP TABLE graft_ddl_t")
   }
 }
+
+/** Reference scalar long tail: array summary/reshaping scalars, pg_typeof,
+  * current_setting (reference ArraySumFunction, ArrayAvgFunction,
+  * ArrayUnnestFunction, CollectionCountFunction, ArraySliceFunction,
+  * systeminformation/PgTypeofFunction, pg CurrentSettingFunction). */
+class ScalarTailSpec extends SparkTestBase {
+
+  test("array_sum/array_avg: null-skipping, null on null/empty, native typing") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT array_sum(array(1L, NULL, 3L)) AS s1,
+        |       array_sum(array(1.5D, 2.5D)) AS s2,
+        |       array_sum(CAST(array() AS ARRAY<BIGINT>)) AS s3,
+        |       array_sum(CAST(NULL AS ARRAY<BIGINT>)) AS s4,
+        |       array_avg(array(1L, NULL, 3L)) AS a1,
+        |       collection_avg(array(2.0D, 4.0D)) AS a2,
+        |       collection_mean(array(2.0D, 4.0D)) AS a3""".stripMargin).head()
+    assert(r.getLong(0) == 4L, "sum skips embedded nulls, stays integral")
+    assert(r.getDouble(1) == 4.0)
+    assert(r.isNullAt(2) && r.isNullAt(3))
+    assert(r.getDouble(4) == 2.0, "avg divides by non-null count")
+    assert(r.getDouble(5) == 3.0 && r.getDouble(6) == 3.0)
+  }
+
+  test("array_unnest flattens one level and skips null inner arrays") {
+    val r = spark.sql(
+      """SELECT array_unnest(array(array(1, 2), NULL, array(3))) AS u1,
+        |       array_unnest(CAST(NULL AS ARRAY<ARRAY<INT>>)) AS u2,
+        |       array_unnest(array(array(array(1)), array(array(2)))) AS u3""".stripMargin).head()
+    assert(r.getSeq[Int](0) == Seq(1, 2, 3))
+    assert(r.isNullAt(1))
+    assert(r.getSeq[Seq[Int]](2) == Seq(Seq(1), Seq(2)), "only ONE level removed")
+  }
+
+  test("collection_count counts nulls; array_slice 1-based inclusive, clamped") {
+    val r = spark.sql(
+      """SELECT collection_count(array(1, NULL, 3)) AS c1,
+        |       collection_count(CAST(NULL AS ARRAY<INT>)) AS c2,
+        |       array_slice(array(10, 20, 30, 40), 2, 3) AS sl1,
+        |       array_slice(array(10, 20, 30, 40), 3, 99) AS sl2,
+        |       array_slice(array(10, 20, 30, 40), 3, 2) AS sl3""".stripMargin).head()
+    assert(r.getLong(0) == 3L, "collection_count includes null elements")
+    assert(r.isNullAt(1))
+    assert(r.getSeq[Int](2) == Seq(20, 30))
+    assert(r.getSeq[Int](3) == Seq(30, 40), "to clamped to array length")
+    assert(r.getSeq[Int](4) == Seq.empty, "from > to yields empty, not error")
+  }
+
+  test("pg_typeof returns CrateDB type display names as plan-time constants") {
+    val r = spark.sql(
+      """SELECT pg_typeof(1) AS t1,
+        |       pg_typeof(8765134432441) AS t2,
+        |       pg_typeof('x') AS t3,
+        |       pg_typeof(1.5D) AS t4,
+        |       pg_typeof(CAST(NULL AS BIGINT)) AS t5,
+        |       pg_typeof(array(1, 2)) AS t6,
+        |       pg_typeof(map('k', 1)) AS t7,
+        |       pg_typeof(current_timestamp) AS t8""".stripMargin).head()
+    assert(r.getString(0) == "integer" && r.getString(1) == "bigint")
+    assert(r.getString(2) == "text" && r.getString(3) == "double precision")
+    assert(r.getString(4) == "bigint", "type of the BOUND argument, value never read")
+    assert(r.getString(5) == "integer_array" && r.getString(6) == "object")
+    assert(r.getString(7) == "timestamp with time zone")
+  }
+
+  test("current_setting reads the session conf; missing_ok controls the error") {
+    val r = spark.sql(
+      "SELECT current_setting('spark.sql.shuffle.partitions') AS v, " +
+      "current_setting('graft.no_such_setting', true) AS m").head()
+    assert(r.getString(0) == "4")
+    assert(r.isNullAt(1))
+    val err = intercept[Exception](
+      spark.sql("SELECT current_setting('graft.no_such_setting')").collect())
+    assert(err.getMessage.contains("no_such_setting"))
+  }
+
+  test("regexp_instr (Spark-native) matches the PG/CrateDB position contract") {
+    val r = spark.sql(
+      """SELECT regexp_instr('abc123def', '[0-9]+') AS p1,
+        |       regexp_instr('abcdef', '[0-9]+') AS p2""".stripMargin).head()
+    assert(r.getInt(0) == 4 && r.getInt(1) == 0)
+  }
+}
+
+/** BLAKE3 digests pinned to the reference's own test vectors
+  * (HashFunctionsTest.java:42-44) — covers empty input, single-block ASCII,
+  * and multi-byte UTF-8. Multi-block and multi-chunk tree paths follow the
+  * public spec and are exercised structurally below. */
+class Blake3Spec extends SparkTestBase {
+  import graft.functions.Blake3
+
+  test("reference-pinned vectors") {
+    assert(Blake3.hexDigest("") ==
+      "af1349b9f5f9a1a6a0404dea36dcc9499bcb25c9adc112b7cc9a93cae41f3262")
+    assert(Blake3.hexDigest("crate") ==
+      "012efcab3db1a63a5d50510e48f1fbf3ac26dbd28a3cec099457eff5fefa96aa")
+    assert(Blake3.hexDigest("©rate") ==
+      "7e60e9aec3049dd63fc695ea89fc20ae8abe5ea32388a5a60cf08d97b9e25ff4")
+  }
+
+  test("multi-block and multi-chunk inputs are stable, distinct, and boundary-sensitive") {
+    // 64 B (exact block), 65 B, 1024 B (exact chunk), 1025 B, 4096 B, 4097 B:
+    // every boundary case hashes, all digests differ, trailing-byte change
+    // propagates (tree path actually mixes the last chunk in).
+    val sizes = Seq(64, 65, 1024, 1025, 4096, 4097)
+    val digests = sizes.map(n => Blake3.hexDigest("x" * n))
+    assert(digests.distinct.size == sizes.size)
+    assert(digests.forall(_.length == 64))
+    assert(Blake3.hexDigest("x" * 4096 + "y") != Blake3.hexDigest("x" * 4097))
+  }
+
+  test("blake3 is registered in SQL and null-safe") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT blake3('crate') AS h, blake3(CAST(NULL AS STRING)) AS n").head()
+    assert(r.getString(0) == "012efcab3db1a63a5d50510e48f1fbf3ac26dbd28a3cec099457eff5fefa96aa")
+    assert(r.isNullAt(1))
+  }
+}
