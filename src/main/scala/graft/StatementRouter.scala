@@ -129,6 +129,17 @@ class StatementRouter(spark: SparkSession, root: String) {
     sig(0).text.toLowerCase match {
       case "create" if sig.length > 1 && sig(1).is("table") => createTable(stmt)
       case "drop" if sig.length > 1 && sig(1).is("table")   => dropTable(sig)
+      case "create" if sig.length > 1 && sig(1).is("server") => createServer(sig)
+      case "drop" if sig.length > 1 && sig(1).is("server") =>
+        graft.sources.Fdw.dropServer(sig(if (sig.lift(2).exists(_.is("if"))) 4 else 2).text)
+        summary(0L)
+      case "create" if sig.length > 2 && sig(1).is("foreign") && sig(2).is("table") =>
+        createForeignTable(sig)
+      case "drop" if sig.length > 2 && sig(1).is("foreign") && sig(2).is("table") =>
+        graft.sources.Fdw.dropForeignTable(sig(if (sig.lift(3).exists(_.is("if"))) 5 else 3).text)
+        summary(0L)
+      case "create" if sig.length > 2 && sig(1).is("user") && sig(2).is("mapping") =>
+        createUserMapping(sig)
       case "insert"   => insert(stmt)
       case "update"   => update(stmt)
       case "delete"   => delete(stmt)
@@ -237,6 +248,74 @@ class StatementRouter(spark: SparkSession, root: String) {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
     VersionedTable.commit(spark, tablePath(name), empty)
+    summary(0L)
+  }
+
+  // ---------- FDW DDL (reference fdw/CreateServerPlan.java,
+  // CreateForeignTablePlan.java, CreateUserMappingPlan.java — the metadata
+  // half is fully functional; the actual JDBC scan needs an endpoint) ----------
+
+  private def unq(t: Tok): String =
+    if (t.text.length >= 2 && t.text.head == '\'' && t.text.last == '\'')
+      t.text.substring(1, t.text.length - 1).replace("''", "'")
+    else if (t.text.length >= 2 && t.text.head == '"' && t.text.last == '"')
+      t.text.substring(1, t.text.length - 1)
+    else t.text
+
+  /** `OPTIONS (key 'value', ...)` anywhere after `from`. */
+  private def parseOptions(sig: Vector[Tok], from: Int): Map[String, String] = {
+    val oi = sig.indexWhere(_.is("options"), from)
+    if (oi < 0) return Map.empty
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var i = oi + 2 // skip OPTIONS (
+    while (i + 1 < sig.length && !sig(i).isSym(")")) {
+      out(unq(sig(i))) = unq(sig(i + 1))
+      i += 2
+      if (i < sig.length && sig(i).isSym(",")) i += 1
+    }
+    out.toMap
+  }
+
+  private def createServer(sig: Vector[Tok]): DataFrame = {
+    var i = 2
+    if (sig.lift(i).exists(_.is("if"))) i += 3
+    val name = sig(i).text
+    val opts = parseOptions(sig, i)
+    graft.sources.Fdw.createServer(name,
+      graft.sources.Fdw.Server(url = opts.getOrElse("url", ""), options = opts - "url"))
+    summary(0L)
+  }
+
+  private def createForeignTable(sig: Vector[Tok]): DataFrame = {
+    var i = 3
+    if (sig.lift(i).exists(_.is("if"))) i += 3
+    val name = sig(i).text
+    val si = sig.lastIndexWhere(_.is("server"))
+    require(si > 0 && si + 1 < sig.length, "CREATE FOREIGN TABLE needs SERVER <name>")
+    val server = sig(si + 1).text
+    val opts = parseOptions(sig, si)
+    val remote = (opts.get("schema_name"), opts.get("table_name")) match {
+      case (Some(s), Some(t)) => s + "." + t
+      case (_, Some(t))       => t
+      case _                  => name
+    }
+    graft.sources.Fdw.createForeignTable(name,
+      graft.sources.Fdw.ForeignTable(server, remote,
+        opts -- Seq("schema_name", "table_name")))
+    summary(0L)
+  }
+
+  private def createUserMapping(sig: Vector[Tok]): DataFrame = {
+    val fi = sig.indexWhere(_.is("for"))
+    require(fi > 0 && fi + 1 < sig.length, "CREATE USER MAPPING needs FOR <user>")
+    val userTok = sig(fi + 1)
+    val user =
+      if (userTok.is("user") || userTok.is("current_user") || userTok.is("current_role"))
+        spark.sparkContext.sparkUser
+      else unq(userTok)
+    val si = sig.indexWhere(_.is("server"), fi)
+    require(si > 0 && si + 1 < sig.length, "CREATE USER MAPPING needs SERVER <name>")
+    graft.sources.Fdw.createUserMapping(user, sig(si + 1).text, parseOptions(sig, si))
     summary(0L)
   }
 

@@ -46,6 +46,34 @@ object TextAnalysis {
 
   def fingerprint(text: Column): Column = TextFunctions.fingerprint(text)
 
+  /** Token-bounded chunking with overlap — the context-window packing step
+    * of a training pipeline: each document becomes `ceil` chunks of at most
+    * `maxTokens` whitespace tokens, consecutive chunks sharing `overlap`
+    * tokens. Entirely native expressions (split → transform over a chunk
+    * sequence → posexplode): per-row map + generate, no shuffle, no UDF —
+    * the plan is a single codegen'd scan-project at any corpus size.
+    *
+    * Chunk i covers tokens [i*step, i*step + maxTokens) with
+    * step = maxTokens - overlap; short/empty documents yield exactly one
+    * (possibly empty) chunk so no input row is silently dropped.
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    maxTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(maxTokens > overlap && overlap >= 0,
+      s"need maxTokens > overlap >= 0, got ($maxTokens, $overlap)")
+    val step = maxTokens - overlap
+    val toks = tokens(col(textCol))
+    val lastChunk = greatest(lit(0),
+      ceil((size(toks).cast("double") - maxTokens) / step).cast("int"))
+    val chunks = transform(sequence(lit(0), lastChunk), i => {
+      val sl = slice(toks, i * step + 1, lit(maxTokens))
+      struct(array_join(sl, " ").as("chunk_text"), size(sl).as("n_tok"))
+    })
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "c")))
+      .select(col(idCol), col("chunk_id"),
+        col("c.chunk_text").as("chunk_text"), col("c.n_tok").as("n_tok"))
+  }
+
   /** Full per-document report. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -73,8 +73,16 @@ object QueriesPipeline {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // maxBucket is raised above the default here because THIS query pins
+    // exactness: pigeonhole chunking guarantees recall 1.0 at hamming ≤ 3
+    // only if no bucket is dropped, and at sf0.1 the hottest chunk bucket
+    // already exceeds the library default of 200 (dropping it made the
+    // sf0.1 pair count diverge from the all-pairs oracle, 8488 vs 10572).
+    // The default stays 200 for library users — a recall/cost knob for
+    // boilerplate-heavy corpora (DedupSpec pins the capped behavior).
     "q63_dedup_simhash" -> ((s, dir) => {
-      Dedup.simhashPairs(docsWithDups(s, dir), "doc_id", "text", hammingMax = 3)
+      Dedup.simhashPairs(docsWithDups(s, dir), "doc_id", "text",
+        hammingMax = 3, maxBucket = 100000)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

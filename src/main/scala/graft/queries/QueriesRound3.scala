@@ -444,6 +444,17 @@ object QueriesRound3 {
           |FROM customer WHERE c_custkey = 1""".stripMargin)
     }),
 
+    // Context-window chunking (training-pipeline packing step): ≤64-token
+    // chunks, 16-token overlap, one (possibly empty) chunk minimum per doc.
+    // Pure scan-project plan — split/transform/posexplode, no shuffle.
+    "q155_chunk_docs" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      TextAnalysis.chunkByTokens(
+        T(s, dir, "documents").filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", maxTokens = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // regexp_instr — Spark's native PG-contract implementation (reference
     // regex/RegexpPositionFunction.java registers the same name): 1-based
     // match position, 0 when the pattern does not occur.
@@ -600,6 +611,21 @@ object QueriesRound3 {
         |       'integer' AS t_promoted, 'bigint' AS t_null_bound,
         |       '42' AS setting_val, TRUE AS missing_null
         |FROM customer WHERE c_custkey = 1""".stripMargin,
+    // Chunk grid replayed with an unnested range per document; slice bounds
+    // are the same 1-based inclusive arithmetic as the Spark transform.
+    "q155_chunk_docs" ->
+      """WITH t AS (SELECT doc_id,
+        |                  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |           FROM documents WHERE doc_id % 7 = 0),
+        |b AS (SELECT doc_id, toks, len(toks) AS n,
+        |             greatest(0, CAST(ceil((len(toks) - 64) / 48.0) AS INT)) AS last_chunk
+        |      FROM t),
+        |c AS (SELECT doc_id, unnest(range(0, last_chunk + 1)) AS chunk_id, toks, n FROM b)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |       array_to_string(toks[chunk_id*48+1 : least(chunk_id*48+64, n)], ' ') AS chunk_text,
+        |       CAST(greatest(0, least(64, n - chunk_id*48)) AS INT) AS n_tok
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
     // First-match position replay: for patterns where every occurrence of
     // the matched text is itself a valid match start (digit runs), the
     // first occurrence of the first extracted match IS the match position.

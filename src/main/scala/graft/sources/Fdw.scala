@@ -17,6 +17,51 @@ object Fdw {
   final case class Server(url: String, user: String = "", password: String = "",
                           options: Map[String, String] = Map.empty)
 
+  /** One foreign table: local name → (server, remote table, options). */
+  final case class ForeignTable(server: String, remoteTable: String,
+                                options: Map[String, String] = Map.empty)
+
+  /** `CREATE SERVER` / `CREATE FOREIGN TABLE` / `CREATE USER MAPPING`
+    * registry (reference `fdw/ServersMetadata.java` persists the same three
+    * maps in cluster state). Driver-held: FDW DDL is catalog metadata, not
+    * data — `information_schema.foreign_*` and `user_mappings` read it. */
+  private val servers = scala.collection.concurrent.TrieMap.empty[String, Server]
+  private val foreignTables = scala.collection.concurrent.TrieMap.empty[String, ForeignTable]
+  private val userMappings = scala.collection.concurrent.TrieMap.empty[(String, String), Map[String, String]]
+
+  def createServer(name: String, server: Server): Unit = servers.put(name, server)
+  def dropServer(name: String): Unit = {
+    servers.remove(name)
+    foreignTables.filterInPlace((_, ft) => ft.server != name)
+    userMappings.filterInPlace((k, _) => k._2 != name)
+  }
+  def createForeignTable(name: String, ft: ForeignTable): Unit = {
+    require(servers.contains(ft.server), s"no such server: ${ft.server}")
+    foreignTables.put(name, ft)
+  }
+  def dropForeignTable(name: String): Unit = foreignTables.remove(name)
+  def createUserMapping(user: String, server: String, options: Map[String, String]): Unit = {
+    require(servers.contains(server), s"no such server: $server")
+    userMappings.put((user, server), options)
+  }
+
+  def listServers: Seq[(String, Server)] = servers.toSeq.sortBy(_._1)
+  def listForeignTables: Seq[(String, ForeignTable)] = foreignTables.toSeq.sortBy(_._1)
+  def listUserMappings: Seq[((String, String), Map[String, String])] =
+    userMappings.toSeq.sortBy(_._1)
+
+  /** Scan a registered foreign table by local name (applies the server's
+    * user mapping for the session user if one exists). */
+  def scan(spark: SparkSession, name: String, user: String = ""): DataFrame = {
+    val ft = foreignTables.getOrElse(name, sys.error(s"no such foreign table: $name"))
+    val base = servers(ft.server)
+    val mapped = userMappings.get((user, ft.server)).orElse(userMappings.get(("", ft.server)))
+      .map(m => base.copy(user = m.getOrElse("user", base.user),
+        password = m.getOrElse("password", base.password)))
+      .getOrElse(base)
+    foreignTable(spark, mapped, ft.remoteTable)
+  }
+
   /** `SELECT ... FROM foreign_table` — whole-table or pushdown-filtered scan. */
   def foreignTable(spark: SparkSession, server: Server, table: String): DataFrame = {
     val r = spark.read.format("jdbc")

@@ -166,6 +166,137 @@ object InformationSchema {
       "form_of_use")
   }
 
+  /** `information_schema.constraint_column_usage` — columns each PRIMARY
+    * KEY constraint touches (reference
+    * `InformationConstraintColumnUsage.java`). */
+  def constraintColumnUsage(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val registered = spark.catalog.listTables().collect().map(_.name).toSet
+    primaryKeys.toSeq.filter(kv => registered(kv._1)).sortBy(_._1)
+      .flatMap { case (t, cols) =>
+        cols.map(c => ("spark_catalog", "default", t, c, s"${t}_pkey"))
+      }
+      .toDF("table_catalog", "table_schema", "table_name", "column_name",
+        "constraint_name")
+  }
+
+  /** `information_schema.view_column_usage` — schema-correct and empty:
+    * Spark's catalog does not retain the referenced-column graph for temp
+    * views (the `views` view likewise carries a null definition there). */
+  def viewColumnUsage(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, String, String)]
+      .toDF("view_name", "table_name", "column_name", "table_schema")
+  }
+
+  /** `information_schema.partitions` — one row per partition of every
+    * partitioned catalog table (reference `InformationPartitions.java`
+    * surfaces partition idents + values the same way). Unpartitioned and
+    * temp tables contribute nothing. */
+  def partitions(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = spark.catalog.listTables().collect().toSeq
+      .filter(t => t.tableType != null && t.tableType.toUpperCase == "MANAGED")
+      .flatMap { t =>
+        try {
+          spark.sql(s"SHOW PARTITIONS ${t.name}").collect().toSeq
+            .map(r => ("spark_catalog", "default", t.name, r.getString(0)))
+        } catch { case _: Exception => Nil } // not partitioned
+      }
+    rows.toDF("table_catalog", "table_schema", "table_name", "partition_ident")
+  }
+
+  private def sessionUser(spark: SparkSession): String =
+    spark.sparkContext.sparkUser
+
+  /** `information_schema.enabled_roles` / `applicable_roles` /
+    * `administrable_role_authorizations` / `role_table_grants` — the
+    * single-user surface: Spark has no role catalog, so the session user is
+    * the one enabled role holding every privilege on every table
+    * (reference `InformationEnabledRoles.java` et al. enumerate the granted
+    * graph; here the graph is the implicit superuser). */
+  def enabledRoles(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(Tuple1(sessionUser(spark))).toDF("role_name")
+  }
+
+  def applicableRoles(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((sessionUser(spark), sessionUser(spark), false))
+      .toDF("grantee", "role_name", "is_grantable")
+  }
+
+  def administrableRoleAuthorizations(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, Boolean)]
+      .toDF("grantee", "role_name", "is_grantable")
+  }
+
+  def roleTableGrants(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val u = sessionUser(spark)
+    spark.catalog.listTables().collect().toSeq.flatMap { t =>
+      Seq("SELECT", "INSERT", "UPDATE", "DELETE").map(p =>
+        (u, u, "spark_catalog", "default", t.name, p, false, "NO"))
+    }.toDF("grantor", "grantee", "table_catalog", "table_schema", "table_name",
+      "privilege_type", "is_grantable", "with_hierarchy")
+  }
+
+  /** `information_schema.foreign_servers` + options, `foreign_tables` +
+    * options, `user_mappings` + options — read from the FDW registry
+    * (reference `fdw/` metadata tables; passwords are NOT surfaced in
+    * options, matching the reference's redaction). */
+  def foreignServers(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Fdw.listServers.map { case (n, _) => ("spark_catalog", n, "jdbc") }
+      .toDF("foreign_server_catalog", "foreign_server_name", "foreign_data_wrapper_name")
+  }
+
+  def foreignServerOptions(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Fdw.listServers.flatMap { case (n, s) =>
+      (("url" -> s.url) +: s.options.toSeq.sortBy(_._1)).map {
+        case (k, v) => ("spark_catalog", n, k, v)
+      }
+    }.toDF("foreign_server_catalog", "foreign_server_name", "option_name", "option_value")
+  }
+
+  def foreignTables(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Fdw.listForeignTables.map { case (n, ft) =>
+      ("spark_catalog", "default", n, "spark_catalog", ft.server)
+    }.toDF("foreign_table_catalog", "foreign_table_schema", "foreign_table_name",
+      "foreign_server_catalog", "foreign_server_name")
+  }
+
+  def foreignTableOptions(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Fdw.listForeignTables.flatMap { case (n, ft) =>
+      (("table_name" -> ft.remoteTable) +: ft.options.toSeq.sortBy(_._1)).map {
+        case (k, v) => ("spark_catalog", "default", n, k, v)
+      }
+    }.toDF("foreign_table_catalog", "foreign_table_schema", "foreign_table_name",
+      "option_name", "option_value")
+  }
+
+  def userMappings(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Fdw.listUserMappings.map { case ((u, srv), _) =>
+      (if (u.isEmpty) "PUBLIC" else u, "spark_catalog", srv)
+    }.toDF("authorization_identifier", "foreign_server_catalog", "foreign_server_name")
+  }
+
+  def userMappingOptions(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Fdw.listUserMappings.flatMap { case ((u, srv), opts) =>
+      opts.toSeq.sortBy(_._1).map { case (k, v) =>
+        (if (u.isEmpty) "PUBLIC" else u, "spark_catalog", srv, k,
+          if (k == "password") "********" else v)
+      }
+    }.toDF("authorization_identifier", "foreign_server_catalog",
+      "foreign_server_name", "option_name", "option_value")
+  }
+
   /** Register all views under information_schema-style names. */
   def register(spark: SparkSession): Unit = {
     tables(spark).createOrReplaceTempView("information_schema_tables")
@@ -179,5 +310,19 @@ object InformationSchema {
     referentialConstraints(spark).createOrReplaceTempView("information_schema_referential_constraints")
     collations(spark).createOrReplaceTempView("information_schema_collations")
     sqlFeatures(spark).createOrReplaceTempView("information_schema_sql_features")
+    constraintColumnUsage(spark).createOrReplaceTempView("information_schema_constraint_column_usage")
+    viewColumnUsage(spark).createOrReplaceTempView("information_schema_view_column_usage")
+    partitions(spark).createOrReplaceTempView("information_schema_partitions")
+    enabledRoles(spark).createOrReplaceTempView("information_schema_enabled_roles")
+    applicableRoles(spark).createOrReplaceTempView("information_schema_applicable_roles")
+    administrableRoleAuthorizations(spark)
+      .createOrReplaceTempView("information_schema_administrable_role_authorizations")
+    roleTableGrants(spark).createOrReplaceTempView("information_schema_role_table_grants")
+    foreignServers(spark).createOrReplaceTempView("information_schema_foreign_servers")
+    foreignServerOptions(spark).createOrReplaceTempView("information_schema_foreign_server_options")
+    foreignTables(spark).createOrReplaceTempView("information_schema_foreign_tables")
+    foreignTableOptions(spark).createOrReplaceTempView("information_schema_foreign_table_options")
+    userMappings(spark).createOrReplaceTempView("information_schema_user_mappings")
+    userMappingOptions(spark).createOrReplaceTempView("information_schema_user_mapping_options")
   }
 }

@@ -43,6 +43,13 @@ class IntervalSpec extends SparkTestBase {
     assert(total.contains("6"))  // 6 hours
   }
 
+  test("interval avg aggregates day-time intervals (reference IntervalAverageAggregation)") {
+    val df = Seq(1, 2, 3).toDF("n")
+      .select((col("n") * expr("INTERVAL '1' HOUR")).as("iv"))
+    val mean = df.agg(avg($"iv")).head().get(0).toString
+    assert(mean.contains("2"), s"avg of 1h,2h,3h is 2h, got $mean")
+  }
+
   test("age produces symbolic year-month intervals") {
     val df = Seq(("2024-03-15", "2021-01-10")).toDF("a", "b")
       .select(to_timestamp($"a").as("a"), to_timestamp($"b").as("b"))

@@ -61,6 +61,17 @@ class DedupSpec extends SparkTestBase {
     assert(hinted.isEmpty, s"found broadcast-hinted join(s): $hinted")
   }
 
+  test("simhash maxBucket cap drops oversized buckets (recall/cost knob)") {
+    // 30 identical docs -> every chunk bucket has 30 members. Cap below 30
+    // drops them all (zero pairs); cap above yields all 435 exact pairs.
+    val many = spark.range(30).selectExpr("id AS doc_id",
+      "'same boilerplate text repeated across the corpus shard' AS text")
+    assert(Dedup.simhashPairs(many, "doc_id", "text", hammingMax = 3,
+      maxBucket = 10).count() == 0)
+    assert(Dedup.simhashPairs(many, "doc_id", "text", hammingMax = 3,
+      maxBucket = 100).count() == 435)
+  }
+
   test("simhash pairs: identical docs at hamming 0") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", hammingMax = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -796,5 +807,50 @@ class DecontaminateSpec extends SparkTestBase {
     val plan = flagged.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
       "benchmark side must broadcast")
+  }
+}
+
+/** Token-window chunking (TextAnalysis.chunkByTokens): boundary arithmetic,
+  * overlap stitching, degenerate docs, and the no-shuffle plan contract. */
+class ChunkingSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.operators.TextAnalysis
+
+  test("chunks cover all tokens with the declared overlap") {
+    val text = (1 to 150).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val rows = TextAnalysis.chunkByTokens(df, "doc_id", "text", 64, 16)
+      .orderBy("chunk_id").collect()
+    // 150 tokens, step 48: chunks at 0,48,96 -> 3 chunks
+    assert(rows.length == 3)
+    assert(rows(0).getInt(3) == 64 && rows(1).getInt(3) == 64 && rows(2).getInt(3) == 54)
+    val c0 = rows(0).getString(2).split(" ")
+    val c1 = rows(1).getString(2).split(" ")
+    // 16-token overlap: last 16 of chunk 0 == first 16 of chunk 1
+    assert(c0.takeRight(16).toSeq == c1.take(16).toSeq)
+    assert(c1.head == "w49", "chunk 1 starts at token step+1")
+    // full coverage: union of chunks == original tokens
+    assert((c0 ++ c1.drop(16) ++ rows(2).getString(2).split(" ").drop(16)).toSeq ==
+      text.split(" ").toSeq)
+  }
+
+  test("short, exact-size, and empty docs each yield exactly one chunk") {
+    val df = Seq((1L, "a b c"), (2L, (1 to 64).map("t" + _).mkString(" ")),
+      (3L, ""), (4L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkByTokens(df, "doc_id", "text", 64, 16)
+      .orderBy("doc_id").collect()
+    assert(out.length == 4)
+    assert(out.map(_.getInt(1)).forall(_ == 0), "all single chunks")
+    assert(out(0).getInt(3) == 3 && out(1).getInt(3) == 64)
+    assert(out(2).getInt(3) == 0 && out(2).getString(2) == "")
+    assert(out(3).getInt(3) == 0, "whitespace-only doc has zero tokens")
+  }
+
+  test("chunking plans as scan-project-generate with no exchange") {
+    val df = Tables.load(spark, sfDir, "documents")
+    val plan = TextAnalysis.chunkByTokens(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+    assert(plan.contains("Generate"), "posexplode plans as Generate")
   }
 }

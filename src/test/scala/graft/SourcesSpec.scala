@@ -206,6 +206,72 @@ class InformationSchemaSpec extends SparkTestBase {
       "SELECT count(*) FROM information_schema_sql_features WHERE is_supported").head().getLong(0)
     assert(feats >= 20)
   }
+
+  test("grants/roles, partitions, constraint_column_usage views register") {
+    Tables.registerAll(spark, sfDir)
+    InformationSchema.register(spark)
+    val u = spark.sparkContext.sparkUser
+    assert(spark.sql("SELECT role_name FROM information_schema_enabled_roles")
+      .head().getString(0) == u)
+    assert(spark.sql("SELECT * FROM information_schema_applicable_roles").count() == 1)
+    assert(spark.sql(
+      "SELECT * FROM information_schema_administrable_role_authorizations").count() == 0)
+    // the implicit single-user grant graph: 4 privileges per table
+    val g = spark.sql(
+      """SELECT privilege_type FROM information_schema_role_table_grants
+         WHERE table_name = 'orders'""").collect().map(_.getString(0)).toSet
+    assert(g == Set("SELECT", "INSERT", "UPDATE", "DELETE"))
+    assert(spark.sql("SELECT * FROM information_schema_view_column_usage").count() == 0)
+    assert(spark.sql("SELECT * FROM information_schema_partitions").count() == 0)
+    val ccu = spark.sql(
+      """SELECT column_name FROM information_schema_constraint_column_usage
+         WHERE table_name = 'lineitem' ORDER BY column_name""")
+      .collect().map(_.getString(0)).toSeq
+    assert(ccu == Seq("l_linenumber", "l_orderkey"))
+  }
+
+  test("FDW DDL populates foreign_servers/foreign_tables/user_mappings") {
+    val router = new StatementRouter(spark,
+      java.nio.file.Files.createTempDirectory("graft-fdw").toString)
+    router.execute(
+      "CREATE SERVER pg_prod FOREIGN DATA WRAPPER jdbc " +
+      "OPTIONS (url 'jdbc:postgresql://remote:5432/db', fetch_size '500')")
+    router.execute(
+      "CREATE FOREIGN TABLE remote_orders (id BIGINT, total DOUBLE) SERVER pg_prod " +
+      "OPTIONS (schema_name 'public', table_name 'orders')")
+    router.execute(
+      "CREATE USER MAPPING FOR CURRENT_USER SERVER pg_prod " +
+      "OPTIONS (\"user\" 'report', password 'secret')")
+    InformationSchema.register(spark)
+    val srv = spark.sql(
+      """SELECT foreign_data_wrapper_name FROM information_schema_foreign_servers
+         WHERE foreign_server_name = 'pg_prod'""").head()
+    assert(srv.getString(0) == "jdbc")
+    assert(spark.sql(
+      """SELECT option_value FROM information_schema_foreign_server_options
+         WHERE foreign_server_name = 'pg_prod' AND option_name = 'url'""")
+      .head().getString(0).startsWith("jdbc:postgresql"))
+    val ft = spark.sql(
+      """SELECT foreign_server_name FROM information_schema_foreign_tables
+         WHERE foreign_table_name = 'remote_orders'""").head()
+    assert(ft.getString(0) == "pg_prod")
+    assert(spark.sql(
+      """SELECT option_value FROM information_schema_foreign_table_options
+         WHERE option_name = 'table_name'""").head().getString(0) == "public.orders")
+    // password is redacted in the options view, never surfaced
+    val pw = spark.sql(
+      """SELECT option_value FROM information_schema_user_mapping_options
+         WHERE option_name = 'password'""").head().getString(0)
+    assert(pw == "********")
+    // DROP SERVER cascades to its tables and mappings
+    router.execute("DROP SERVER pg_prod")
+    InformationSchema.register(spark)
+    assert(spark.sql("SELECT * FROM information_schema_foreign_servers " +
+      "WHERE foreign_server_name = 'pg_prod'").count() == 0)
+    assert(spark.sql("SELECT * FROM information_schema_foreign_tables " +
+      "WHERE foreign_table_name = 'remote_orders'").count() == 0)
+    assert(spark.sql("SELECT * FROM information_schema_user_mappings").count() == 0)
+  }
 }
 
 class BucketingSpec extends SparkTestBase {
