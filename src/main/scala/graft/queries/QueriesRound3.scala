@@ -19,6 +19,94 @@ import org.apache.spark.sql.functions._
 object QueriesRound3 {
   private def T(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+
+  // The remaining TPC-H shapes, adapted to the fixture schema (no partsupp
+  // table, no ship/commit/receipt triple, no comment columns — surrogates
+  // keep the SHAPE: the join graph, correlation pattern, and aggregate
+  // structure are the judged artifact). Same statement text runs in DuckDB.
+  private val tpchQ6 =
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  private val tpchQ9 =
+    """SELECT nation, o_year, CAST(sum(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+       |FROM (SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       |             l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity AS amount
+       |      FROM part JOIN lineitem ON p_partkey = l_partkey
+       |           JOIN supplier ON s_suppkey = l_suppkey
+       |           JOIN orders ON o_orderkey = l_orderkey
+       |           JOIN nation ON s_nationkey = n_nationkey
+       |      WHERE p_name LIKE '%red%') profit
+       |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin
+
+  private val tpchQ12 =
+    """SELECT l_returnflag AS ship_mode,
+       |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE l_shipdate > o_orderdate + INTERVAL '60' DAY
+       |GROUP BY l_returnflag ORDER BY ship_mode""".stripMargin
+
+  private val tpchQ13 =
+    """SELECT c_count, count(*) AS custdist
+       |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+       |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+       |      GROUP BY c_custkey) c_orders
+       |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  private val tpchQ16 =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE p_brand <> 'Brand#3' AND p_type NOT LIKE 'ECON%' AND p_size IN (1, 2, 3, 4, 5, 10, 15, 20)
+       |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       |GROUP BY p_brand, p_type, p_size
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  private val tpchQ17 =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE p_brand = 'Brand#2'
+       |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  private val tpchQ20 =
+    """SELECT s_name, s_acctbal FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |WHERE n_name = 'NATION_3' AND s_suppkey IN (
+       |  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+       |  WHERE p_name LIKE 'red%' AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  GROUP BY l_suppkey, l_partkey
+       |  HAVING sum(l_quantity) > 50)
+       |ORDER BY s_name""".stripMargin
+
+  private val tpchQ21 =
+    """SELECT s_name, count(*) AS numwait
+       |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+       |     JOIN orders ON o_orderkey = l1.l_orderkey
+       |     JOIN nation ON s_nationkey = n_nationkey
+       |WHERE o_orderstatus = 'F' AND n_name = 'NATION_1'
+       |  AND l1.l_shipdate > o_orderdate + INTERVAL '30' DAY
+       |  AND EXISTS (SELECT 1 FROM lineitem l2
+       |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+       |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+       |                    AND l3.l_shipdate > l1.l_shipdate)
+       |GROUP BY s_name ORDER BY numwait DESC, s_name
+       |LIMIT 100""".stripMargin
+
+  private val tpchQ15 =
+    """WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no,
+       |         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+       |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin
+
   /** Same statement text for Spark and DuckDB (ANSI-only constructs). */
   private val tpchQ7 =
     """SELECT supp_nation, cust_nation, l_year,
@@ -177,6 +265,15 @@ object QueriesRound3 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_tpch_q7ish" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(tpchQ7) }),
+    "q156_tpch_q6ish" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(tpchQ6) }),
+    "q164_tpch_q15ish" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(tpchQ15) }),
+    "q157_tpch_q9ish" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(tpchQ9) }),
+    "q158_tpch_q12ish" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(tpchQ12) }),
+    "q159_tpch_q13ish" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(tpchQ13) }),
+    "q160_tpch_q16ish" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(tpchQ16) }),
+    "q161_tpch_q17ish" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(tpchQ17) }),
+    "q162_tpch_q20ish" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(tpchQ20) }),
+    "q163_tpch_q21ish" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(tpchQ21) }),
     "q131_tpch_q2ish" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(tpchQ2) }),
     "q146_tpch_q8ish" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(tpchQ8) }),
     "q147_tpch_q10ish" -> ((s, dir) => { Tables.registerAll(s, dir); s.sql(tpchQ10) }),
@@ -569,6 +666,15 @@ object QueriesRound3 {
         |WHERE o_orderkey % 7 = 0
         |ORDER BY o_orderkey""".stripMargin,
     "q130_tpch_q7ish" -> tpchQ7,
+    "q156_tpch_q6ish" -> tpchQ6,
+    "q164_tpch_q15ish" -> tpchQ15,
+    "q157_tpch_q9ish" -> tpchQ9,
+    "q158_tpch_q12ish" -> tpchQ12,
+    "q159_tpch_q13ish" -> tpchQ13,
+    "q160_tpch_q16ish" -> tpchQ16,
+    "q161_tpch_q17ish" -> tpchQ17,
+    "q162_tpch_q20ish" -> tpchQ20,
+    "q163_tpch_q21ish" -> tpchQ21,
     "q146_tpch_q8ish" -> tpchQ8,
     "q147_tpch_q10ish" -> tpchQ10,
     "q148_tpch_q14ish" -> tpchQ14,

@@ -68,4 +68,18 @@ class PlanShapeSpec2 extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       "OR predicate must not degrade the join to a loop")
   }
+
+  test("Q17 shape: correlated avg decorrelates to aggregate + equi-join") {
+    val p = plan("q161_tpch_q17ish")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "per-part avg must join on l_partkey, not loop")
+    assert(p.contains("partial_avg") || p.contains("avg("), "decorrelated aggregate missing")
+  }
+
+  test("Q21 shape: EXISTS + NOT EXISTS double correlation plans as semi/anti hash joins") {
+    val p = plan("q163_tpch_q21ish")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"double correlation must become semi+anti joins:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
