@@ -43,7 +43,19 @@ object Engine {
     spark
   }
 
-  /** SQL entry point with the CrateDB-isms translated (see [[Dialect]]). */
-  def sql(spark: SparkSession, stmt: String): DataFrame =
-    spark.sql(Dialect.translate(stmt))
+  /** SQL entry point with the CrateDB-isms translated (see [[Dialect]]).
+    * Every statement lands in the `sys.jobs_log` ring buffer with its wall
+    * time and outcome (reference `SysJobsLogTableInfo.java`). */
+  def sql(spark: SparkSession, stmt: String): DataFrame = {
+    val t0 = System.currentTimeMillis
+    try {
+      val df = spark.sql(Dialect.translate(stmt))
+      sources.SysCatalog.recordJob(stmt, t0, System.currentTimeMillis)
+      df
+    } catch {
+      case e: Exception =>
+        sources.SysCatalog.recordJob(stmt, t0, System.currentTimeMillis, e.getMessage)
+        throw e
+    }
+  }
 }

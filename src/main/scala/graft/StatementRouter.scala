@@ -124,6 +124,21 @@ class StatementRouter(spark: SparkSession, root: String) {
   }
 
   def execute(stmt: String): DataFrame = {
+    val t0 = System.currentTimeMillis
+    try {
+      val df = executeRouted(stmt)
+      // SELECTs route through Engine.sql which records its own entry.
+      if (!stmt.trim.toLowerCase.startsWith("select") && !stmt.trim.toLowerCase.startsWith("with"))
+        sources.SysCatalog.recordJob(stmt, t0, System.currentTimeMillis)
+      df
+    } catch {
+      case e: Exception =>
+        sources.SysCatalog.recordJob(stmt, t0, System.currentTimeMillis, e.getMessage)
+        throw e
+    }
+  }
+
+  private def executeRouted(stmt: String): DataFrame = {
     val sig = Dialect.lex(stmt).filter(_.sig)
     require(sig.nonEmpty, "empty statement")
     sig(0).text.toLowerCase match {
@@ -150,8 +165,52 @@ class StatementRouter(spark: SparkSession, root: String) {
       case "commit"   => commitTxn()
       case "end" if txn.isDefined => commitTxn()
       case "rollback" => rollbackTxn()
+      case "set"      => setStmt(sig)
+      case "reset"    => spark.conf.unset(sig.drop(1).map(_.text).mkString); summary(0L)
+      case "show" if sig.length > 2 && sig(1).is("create") && sig(2).is("table") =>
+        showCreateTable(sig(3).text)
       case _          => registerViews(); Engine.sql(spark, stmt)
     }
+  }
+
+  /** `SET [SESSION | GLOBAL] [PERSISTENT | TRANSIENT] key { = | TO } value
+    * [, value…]` (reference `SetSessionPlan.java` / `UpdateSettingsPlan
+    * .java`): scope modifiers collapse to the session conf — Spark has one
+    * runtime-config surface, which `current_setting` reads back. */
+  private def setStmt(sig: Vector[Tok]): DataFrame = {
+    var i = 1
+    while (i < sig.length &&
+      (sig(i).is("session") || sig(i).is("global") ||
+        sig(i).is("persistent") || sig(i).is("transient") || sig(i).is("local"))) i += 1
+    // dotted key: idents joined by '.'
+    val key = new StringBuilder
+    while (i < sig.length && !sig(i).isSym("=") && !sig(i).is("to")) {
+      key.append(sig(i).text); i += 1
+    }
+    require(i < sig.length, s"SET needs '=' or TO: $sig")
+    val value = sig.drop(i + 1).map(unq).mkString(",")
+    spark.conf.set(key.toString, value)
+    summary(0L)
+  }
+
+  /** `SHOW CREATE TABLE t` — synthesized from the current snapshot schema
+    * plus the persistent bucket spec (reference `SHOW CREATE TABLE` emits
+    * the same reconstructed DDL, `MetadataToASTVisitor.java`). */
+  private def showCreateTable(name: String): DataFrame = {
+    import spark.implicits._
+    val schema = readTable(name).schema
+    val cols = schema.fields.map { f =>
+      val t = graft.plans.PgTypeofExpr.crateName(f.dataType) match {
+        case "text" => "TEXT"
+        case other  => other.toUpperCase
+      }
+      s"   ${f.name} $t" + (if (f.nullable) "" else " NOT NULL")
+    }.mkString(",\n")
+    val clustered = VersionedTable.bucketSpec(spark, tablePath(name))
+      .map(b => s"\nCLUSTERED BY (${b.cols.mkString(", ")}) INTO ${b.numBuckets} SHARDS")
+      .getOrElse("")
+    Seq(s"CREATE TABLE IF NOT EXISTS $name (\n$cols\n)$clustered")
+      .toDF("create_table")
   }
 
   /** `COPY t FROM '<glob>' [WITH (…)] [RETURN SUMMARY]` /

@@ -74,6 +74,47 @@ object TextAnalysis {
         col("c.chunk_text").as("chunk_text"), col("c.n_tok").as("n_tok"))
   }
 
+  /** Within-document repetition metrics — the Gopher/MassiveText-style
+    * quality signals used to drop boilerplate-heavy pages from training
+    * corpora (published rule set: duplicate line fraction, most-frequent
+    * n-gram share). Per-document:
+    *   dup_line_frac    = 1 - distinct(non-empty lines) / lines
+    *   top_bigram_share = count(most frequent word 2-gram) / total 2-grams
+    *                      (0.0 for documents with fewer than 2 tokens)
+    *
+    * Plan: one explode of per-doc bigrams → two-level aggregation keyed by
+    * (doc, gram) then doc — partial aggregation applies at both levels, the
+    * only shuffle key is (doc_id, gram), and nothing is ever collected per
+    * doc into one row except the final counters. Line stats are pure
+    * expressions on the scan.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = filter(split(col(textCol), "\n"), l => length(trim(l)) > 0)
+    val lineStats = df.select(
+      col(idCol),
+      size(lines).as("n_lines"),
+      when(size(lines) > 0,
+        lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines))
+        .otherwise(0.0).as("dup_line_frac"))
+
+    val toks = tokens(col(textCol))
+    val bigrams = df
+      .select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1)))).as("gram"))
+    val share = bigrams.groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg((max(col("c")).cast("double") / sum(col("c"))).as("top_bigram_share"))
+
+    // docs with < 2 tokens have no bigrams: share 0.0 by definition
+    lineStats.join(share, Seq(idCol), "left")
+      .withColumn("top_bigram_share", coalesce(col("top_bigram_share"), lit(0.0)))
+  }
+
   /** Full per-document report. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

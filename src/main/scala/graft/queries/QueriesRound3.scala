@@ -552,6 +552,16 @@ object QueriesRound3 {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // Within-document repetition metrics (Gopher/MassiveText quality
+    // rules): duplicate-line fraction as pure scan expressions, top-bigram
+    // share via a two-level aggregation whose only shuffle key is
+    // (doc_id, gram) — partial aggregation applies at both levels.
+    "q165_repetition" -> ((s, dir) => {
+      graft.operators.TextAnalysis.repetitionStats(
+        T(s, dir, "documents").filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // regexp_instr — Spark's native PG-contract implementation (reference
     // regex/RegexpPositionFunction.java registers the same name): 1-based
     // match position, 0 when the pattern does not occur.
@@ -731,6 +741,27 @@ object QueriesRound3 {
         |       array_to_string(toks[chunk_id*48+1 : least(chunk_id*48+64, n)], ' ') AS chunk_text,
         |       CAST(greatest(0, least(64, n - chunk_id*48)) AS INT) AS n_tok
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q165_repetition" ->
+      """WITH lines AS (
+        |  SELECT doc_id, list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |line_stats AS (
+        |  SELECT doc_id, len(ls) AS n_lines,
+        |         CASE WHEN len(ls) > 0 THEN 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE)/len(ls) ELSE 0.0 END AS dup_line_frac
+        |  FROM lines),
+        |toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |         FROM documents WHERE doc_id % 5 = 0),
+        |grams AS (
+        |  SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i+1 AS INT)] AS gram
+        |  FROM toks, unnest(range(1, len(t))) u(i)
+        |  WHERE len(t) >= 2),
+        |counts AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
+        |share AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_share FROM counts GROUP BY 1)
+        |SELECT l.doc_id AS doc_id, n_lines, dup_line_frac,
+        |       coalesce(top_bigram_share, 0.0) AS top_bigram_share
+        |FROM line_stats l LEFT JOIN share s ON l.doc_id = s.doc_id
+        |ORDER BY l.doc_id""".stripMargin,
 
     // First-match position replay: for patterns where every occurrence of
     // the matched text is itself a valid match start (digit runs), the

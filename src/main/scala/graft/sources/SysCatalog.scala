@@ -96,6 +96,30 @@ object SysCatalog {
     ).toDF("id", "description", "passed", "severity")
   }
 
+  /** `sys.jobs_log` — completed-statement ring buffer (reference
+    * `SysJobsLogTableInfo.java`; bounded like the reference's
+    * `stats.jobs_log_size`, default 10_000). Statements are recorded by
+    * [[graft.Engine.sql]] and `StatementRouter.execute`; the buffer is
+    * driver-held metadata, never data-sized. */
+  private val jobsLogSize = 10000
+  private val jobLog =
+    new java.util.concurrent.ConcurrentLinkedDeque[(Long, String, String, Long, Long, String)]
+  private val jobSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def recordJob(stmt: String, startedMs: Long, endedMs: Long,
+                error: String = null): Unit = {
+    val cls = stmt.trim.split("\\s+").headOption.getOrElse("").toUpperCase
+    jobLog.addLast((jobSeq.incrementAndGet(), stmt, cls, startedMs, endedMs, error))
+    while (jobLog.size > jobsLogSize) jobLog.pollFirst()
+  }
+
+  def jobsLog(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    jobLog.iterator.asScala.toSeq
+      .toDF("id", "stmt", "classification", "started", "ended", "error")
+  }
+
   /** Register every sys view as `sys_<name>` temp views. */
   def registerAll(spark: SparkSession, dir: String): Unit = {
     cluster(spark).createOrReplaceTempView("sys_cluster")
@@ -104,5 +128,6 @@ object SysCatalog {
     jobs(spark).createOrReplaceTempView("sys_jobs")
     health(spark, dir).createOrReplaceTempView("sys_health")
     checks(spark).createOrReplaceTempView("sys_checks")
+    jobsLog(spark).createOrReplaceTempView("sys_jobs_log")
   }
 }

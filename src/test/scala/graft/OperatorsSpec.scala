@@ -854,3 +854,29 @@ class ChunkingSpec extends SparkTestBase {
     assert(plan.contains("Generate"), "posexplode plans as Generate")
   }
 }
+
+/** Repetition metrics (TextAnalysis.repetitionStats) — the published
+  * Gopher/MassiveText quality-rule shapes over synthetic repetitive docs. */
+class RepetitionSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.operators.TextAnalysis
+
+  test("duplicate lines and dominant bigrams are measured per document") {
+    val docs = Seq(
+      (1L, "unique one\nunique two\nunique three"),              // no dups
+      (2L, "same line\nsame line\nsame line\nother line"),       // 3/4 same
+      (3L, "buy now buy now buy now buy now"),                   // dominant bigram
+      (4L, "word"),                                              // < 2 tokens
+      (5L, "")                                                   // empty
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getDouble(2) == 0.0, "doc 1 has no duplicate lines")
+    assert(math.abs(r(1).getDouble(2) - 0.5) < 1e-12, "doc 2: 4 lines, 2 distinct -> 0.5")
+    // "buy now buy now..." bigrams: 'buy now' x4, 'now buy' x3 -> 4/7
+    assert(math.abs(r(2).getDouble(3) - 4.0 / 7.0) < 1e-12)
+    assert(r(3).getDouble(3) == 0.0 && r(4).getDouble(3) == 0.0,
+      "degenerate docs have zero bigram share")
+    assert(r(4).getInt(1) == 0, "empty doc has zero lines")
+  }
+}

@@ -418,6 +418,44 @@ class SysCatalogSpec extends SparkTestBase {
   * CrateDB client sends, against versioned-parquet storage with atomic
   * commits. Each step asserts both the result AND the durable state. */
 class StatementRouterSpec extends SparkTestBase {
+
+  test("SET/RESET, SHOW CREATE TABLE, and the sys.jobs_log trail") {
+    val root = Files.createTempDirectory("graftset").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+
+    // SET with scope modifiers collapses onto the session conf,
+    // readable back through current_setting()
+    r.execute("SET SESSION graft.answer = '42'")
+    r.execute("SET GLOBAL TRANSIENT graft.mode TO fast")
+    graft.functions.GraftFunctions.registerAll(spark)
+    val vals = r.execute(
+      "SELECT current_setting('graft.answer') AS a, current_setting('graft.mode') AS m").head()
+    assert(vals.getString(0) == "42" && vals.getString(1) == "fast")
+    r.execute("RESET graft.answer")
+    assert(r.execute("SELECT current_setting('graft.answer', true) AS a").head().isNullAt(0))
+
+    // SHOW CREATE TABLE reconstructs columns + bucket spec from the snapshot
+    r.execute("CREATE TABLE sct (id BIGINT PRIMARY KEY, name TEXT, score DOUBLE) " +
+      "CLUSTERED BY (id) INTO 4 SHARDS")
+    val ddl = r.execute("SHOW CREATE TABLE sct").head().getString(0)
+    assert(ddl.contains("CREATE TABLE IF NOT EXISTS sct"), ddl)
+    assert(ddl.contains("id BIGINT") && ddl.contains("name TEXT") &&
+      ddl.contains("score DOUBLE PRECISION"), ddl)
+    assert(ddl.contains("CLUSTERED BY (id) INTO 4 SHARDS"), ddl)
+
+    // every routed statement (and its failure) lands in sys.jobs_log
+    intercept[Exception](r.execute("INSERT INTO missing_table VALUES (1)"))
+    SysCatalog.registerAll(spark, root)
+    val log = spark.sql(
+      """SELECT classification, error FROM sys_jobs_log
+         WHERE stmt LIKE '%sct%' OR stmt LIKE '%missing_table%'
+         ORDER BY id""").collect()
+    assert(log.exists(x => x.getString(0) == "CREATE" && x.isNullAt(1)))
+    assert(log.exists(x => x.getString(0) == "SHOW" && x.isNullAt(1)))
+    assert(log.exists(x => x.getString(0) == "INSERT" && !x.isNullAt(1)),
+      "failed statement must be recorded with its error")
+  }
+
   test("full CrateDB client session: DDL, upserts, update/delete returning, select") {
     val root = Files.createTempDirectory("graftsql").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
