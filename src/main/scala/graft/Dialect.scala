@@ -614,6 +614,10 @@ object Dialect {
           ts(i + 1).isSym(".") && ts(i + 2).kind == K.Word)
         return Some(ts.patch(i, Seq(
           Tok(K.Word, t.text.toLowerCase + "_" + ts(i + 2).text)), 3))
+      // pg_catalog.pg_x → the unqualified pg_x view name
+      if (t.kind == K.Word && t.text.equalsIgnoreCase("pg_catalog") &&
+          ts(i + 1).isSym(".") && ts(i + 2).kind == K.Word)
+        return Some(ts.patch(i, Seq(Tok(K.Word, ts(i + 2).text)), 3))
       i += 1
     }
     None

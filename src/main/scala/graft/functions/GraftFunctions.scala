@@ -239,6 +239,15 @@ object GraftFunctions {
         "scala_udf")
       reg.createOrReplaceTempFunction("pg_typeof",
         exprs => graft.plans.PgTypeofExpr(exprs(0)), "scala_udf")
+      // pg compat shims (reference scalar/systeminformation/Has*Privilege:
+      // the single-user engine grants everything, so any arity folds TRUE;
+      // pg_backend_pid is the JVM pid, like the reference's node id hash)
+      Seq("has_table_privilege", "has_schema_privilege",
+        "has_database_privilege", "has_function_privilege").foreach { n =>
+        reg.createOrReplaceTempFunction(n, _ => Literal(true), "scala_udf")
+      }
+      reg.createOrReplaceTempFunction("pg_backend_pid",
+        _ => Literal(ProcessHandle.current().pid().toInt), "scala_udf")
       reg.createOrReplaceTempFunction("current_setting",
         exprs => graft.plans.CurrentSettingExpr(exprs(0), exprs.drop(1).headOption),
         "scala_udf")

@@ -552,6 +552,13 @@ object QueriesRound3 {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // pg_catalog compat core: pg_type is a fixed relation of the wire-level
+    // Postgres type OIDs (clients hardcode these), so it hash-gates exactly.
+    "q166_pg_type" -> ((s, dir) => {
+      graft.sources.PgCatalog.registerAll(s)
+      s.sql("SELECT oid, typname, typlen FROM pg_type ORDER BY oid")
+    }),
+
     // Within-document repetition metrics (Gopher/MassiveText quality
     // rules): duplicate-line fraction as pure scan expressions, top-bigram
     // share via a two-level aggregation whose only shuffle key is
@@ -741,6 +748,18 @@ object QueriesRound3 {
         |       array_to_string(toks[chunk_id*48+1 : least(chunk_id*48+64, n)], ' ') AS chunk_text,
         |       CAST(greatest(0, least(64, n - chunk_id*48)) AS INT) AS n_tok
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q166_pg_type" ->
+      """SELECT * FROM (VALUES
+        |  (16, 'bool', 1), (17, 'bytea', -1), (20, 'int8', 8), (21, 'int2', 2),
+        |  (23, 'int4', 4), (25, 'text', -1), (114, 'json', -1),
+        |  (700, 'float4', 4), (701, 'float8', 8),
+        |  (1000, '_bool', -1), (1007, '_int4', -1), (1009, '_text', -1),
+        |  (1016, '_int8', -1), (1021, '_float4', -1), (1022, '_float8', -1),
+        |  (1043, 'varchar', -1), (1082, 'date', 4), (1114, 'timestamp', 8),
+        |  (1184, 'timestamptz', 8), (1700, 'numeric', -1), (2249, 'record', -1),
+        |  (2287, '_record', -1)) t(oid, typname, typlen)
+        |ORDER BY oid""".stripMargin,
 
     "q165_repetition" ->
       """WITH lines AS (

@@ -417,6 +417,37 @@ class SysCatalogSpec extends SparkTestBase {
 /** The porting story end-to-end: one router, every statement class a
   * CrateDB client sends, against versioned-parquet storage with atomic
   * commits. Each step asserts both the result AND the durable state. */
+class PgCatalogSpec extends SparkTestBase {
+  test("pg_catalog compat core: class/attribute/type join, dialect qualifier strip") {
+    Tables.registerAll(spark, sfDir)
+    graft.functions.GraftFunctions.registerAll(spark)
+    PgCatalog.registerAll(spark)
+    // the probe a Postgres client sends on connect: columns of a relation
+    // with their type names, through the pg_catalog.* qualified spelling
+    val cols = Engine.sql(spark,
+      """SELECT a.attname, t.typname
+         FROM pg_catalog.pg_attribute a
+         JOIN pg_catalog.pg_class c ON a.attrelid = c.oid
+         JOIN pg_catalog.pg_type t ON a.atttypid = t.oid
+         WHERE c.relname = 'orders' ORDER BY a.attnum""").collect()
+    assert(cols.map(_.getString(0)).contains("o_orderkey"))
+    assert(cols.find(_.getString(0) == "o_orderkey").get.getString(1) == "int8")
+    assert(cols.find(_.getString(0) == "o_totalprice").get.getString(1) == "float8")
+    // settings + database + namespace views answer
+    assert(Engine.sql(spark,
+      "SELECT setting FROM pg_settings WHERE name = 'spark.sql.shuffle.partitions'")
+      .head().getString(0) == "4")
+    assert(Engine.sql(spark, "SELECT datname FROM pg_database").head().getString(0) == "graft")
+    assert(Engine.sql(spark,
+      "SELECT nspname FROM pg_catalog.pg_namespace WHERE oid = 11").head().getString(0) == "pg_catalog")
+    // privilege shims fold TRUE at any arity; pg_backend_pid is this JVM
+    val p = Engine.sql(spark,
+      "SELECT has_table_privilege('orders', 'SELECT') AS a, " +
+      "has_schema_privilege('u', 'doc', 'USAGE') AS b, pg_backend_pid() AS pid").head()
+    assert(p.getBoolean(0) && p.getBoolean(1) && p.getInt(2) > 0)
+  }
+}
+
 class StatementRouterSpec extends SparkTestBase {
 
   test("SET/RESET, SHOW CREATE TABLE, and the sys.jobs_log trail") {
