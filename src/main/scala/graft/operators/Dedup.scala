@@ -22,11 +22,15 @@ import org.apache.spark.sql.expressions.Window
 object Dedup {
 
   /** Exact dedup: keep the lowest-id row per identical value of `cols`.
-    * One shuffle on a 64-bit hash of the dedup key — for wide text columns
-    * the shuffle key is 8 bytes, not the payload. */
+    * One shuffle, partitioned by a 64-bit hash of the dedup key — the hash
+    * keeps the sort key fixed-width for wide text columns. The real columns
+    * are ALSO in the partition spec: rows shuffle whole either way, and
+    * without them a 64-bit hash collision between two different texts
+    * would silently drop one (at 10^9+ documents that is no longer
+    * hypothetical — birthday bound). */
   def exact(df: DataFrame, idCol: String, cols: Seq[String]): DataFrame = {
     val key = if (cols.size == 1) xxhash64(col(cols.head)) else xxhash64(cols.map(col): _*)
-    val w = Window.partitionBy(key).orderBy(col(idCol))
+    val w = Window.partitionBy(key +: cols.map(col): _*).orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 

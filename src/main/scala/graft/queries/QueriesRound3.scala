@@ -552,6 +552,25 @@ object QueriesRound3 {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // Training-export composite: repetition/quality gate -> exact dedup ->
+    // context-window chunking, one declarative plan end to end (the export
+    // half of the reference-plus story; q93 covers the ingest half). The
+    // doubled corpus exercises the dedup stage; chunk output is the
+    // pipeline's actual training artifact.
+    "q167_training_export" -> ((s, dir) => {
+      import graft.operators.{Dedup, TextAnalysis}
+      val d = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = d.unionAll(d.select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      val rep = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      val quality = docs.join(rep, Seq("doc_id"))
+        .filter(TextAnalysis.tokenCount(col("text")) >= 20 &&
+          col("top_bigram_share") < lit(0.2))
+        .select(col("doc_id"), col("text"))
+      val deduped = Dedup.exact(quality, "doc_id", Seq("text"))
+      TextAnalysis.chunkByTokens(deduped, "doc_id", "text", maxTokens = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // pg_catalog compat core: pg_type is a fixed relation of the wire-level
     // Postgres type OIDs (clients hardcode these), so it hash-gates exactly.
     "q166_pg_type" -> ((s, dir) => {
@@ -746,6 +765,34 @@ object QueriesRound3 {
         |c AS (SELECT doc_id, unnest(range(0, last_chunk + 1)) AS chunk_id, toks, n FROM b)
         |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
         |       array_to_string(toks[chunk_id*48+1 : least(chunk_id*48+64, n)], ' ') AS chunk_text,
+        |       CAST(greatest(0, least(64, n - chunk_id*48)) AS INT) AS n_tok
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q167_training_export" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000000, text FROM documents),
+        |toks0 AS (SELECT doc_id, text,
+        |                 list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |          FROM docs),
+        |grams AS (
+        |  SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i+1 AS INT)] AS gram
+        |  FROM toks0, unnest(range(1, len(t))) u(i) WHERE len(t) >= 2),
+        |counts AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
+        |share AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS tb FROM counts GROUP BY 1),
+        |quality AS (
+        |  SELECT k.doc_id, k.text, k.t
+        |  FROM toks0 k LEFT JOIN share s ON k.doc_id = s.doc_id
+        |  WHERE len(k.t) >= 20 AND coalesce(tb, 0.0) < 0.2),
+        |dedup AS (
+        |  SELECT min(doc_id) AS doc_id, any_value(t) AS t
+        |  FROM quality GROUP BY text),
+        |b AS (SELECT doc_id, t, len(t) AS n,
+        |             greatest(0, CAST(ceil((len(t) - 64) / 48.0) AS INT)) AS last_chunk
+        |      FROM dedup),
+        |c AS (SELECT doc_id, unnest(range(0, last_chunk + 1)) AS chunk_id, t, n FROM b)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |       array_to_string(t[chunk_id*48+1 : least(chunk_id*48+64, n)], ' ') AS chunk_text,
         |       CAST(greatest(0, least(64, n - chunk_id*48)) AS INT) AS n_tok
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
