@@ -394,6 +394,18 @@ class EngineSqlSpec extends SparkTestBase {
     assert(r.getSeq[Int](7) == Seq(20, 30), "to beyond length clamps")
   }
 
+  test("string-key subscript over array-of-objects yields the value array (SubscriptFunctions parity)") {
+    // CrateDB: array(object)['field'] → array of the field values
+    // (SubscriptFunctions.java); Spark resolves the same spelling through
+    // GetArrayStructFields, so the dialect passes string keys through.
+    val r = Engine.sql(spark,
+      """SELECT objs['name'] AS names, objs[1]['name'] AS first_name
+        |FROM (SELECT array(named_struct('name', 'a', 'rank', 1),
+        |                   named_struct('name', 'b', 'rank', 2)) AS objs)""".stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("a", "b"))
+    assert(r.getString(1) == "a", "numeric then string subscript chains")
+  }
+
   test("quantified subquery comparisons: full 3VL matrix (AnyOperator/AllOperator parity)") {
     graft.functions.GraftFunctions.registerAll(spark)
     spark.sql("SELECT * FROM VALUES (1), (5), (9) AS t(y)").createOrReplaceTempView("qsub")
