@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -22,6 +22,25 @@ import org.apache.spark.sql.expressions.Window
   *    Scan cost drops by ~nprobe/centroids at a small recall cost.
   */
 object Similarity {
+
+  /** Symmetric int8 quantization of an embedding vector: per-vector scale
+    * `max(|x|)/127` stored beside the TINYINT codes — 4× smaller than
+    * FLOAT at rest and on the shuffle wire, which is the difference between
+    * shipping 100 TB and 25 TB of embeddings between stages. Pure
+    * higher-order expressions (codegen'd, no UDF); max reconstruction error
+    * is half a quantization step. Reference analogue: `float_vector`
+    * storage (KnnMatch.java) keeps full floats — this is the scale path the
+    * reference lacks. */
+  def quantizeInt8(vec: Column): Column = {
+    val mxd = greatest(array_max(transform(vec, x => abs(x))).cast("double"), lit(1e-30))
+    val codes = transform(vec, x => round(x.cast("double") / mxd * 127).cast("tinyint"))
+    struct(codes.as("codes"), (mxd / 127.0).as("scale"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: `code * scale` back to FLOAT. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"),
+      c => (c.cast("double") * q.getField("scale")).cast("float"))
 
   /** Exact top-k neighbors per query row. `queries` must be small enough to
     * broadcast (driver guards are the caller's job at scale). */

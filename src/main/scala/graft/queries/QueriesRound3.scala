@@ -552,6 +552,24 @@ object QueriesRound3 {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // int8 embedding quantization (the 4x storage/bandwidth path for
+    // 100 TB embedding corpora): codes + per-vector scale + max
+    // reconstruction error, all in double-stable arithmetic the oracle
+    // replays bit-for-bit.
+    "q168_quantize_int8" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") % 3 === 0)
+      val q = emb.select(col("vec_id"), col("embedding"),
+        Similarity.quantizeInt8(col("embedding")).as("q"))
+      q.select(col("vec_id"),
+        to_json(col("q.codes")).as("codes_json"),
+        col("q.scale").as("scale"),
+        array_max(zip_with(col("embedding"), col("q.codes"),
+          (x, c) => abs(x.cast("double") - c.cast("double") * col("q.scale"))))
+          .as("max_err"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Training-export composite: repetition/quality gate -> exact dedup ->
     // context-window chunking, one declarative plan end to end (the export
     // half of the reference-plus story; q93 covers the ingest half). The
@@ -767,6 +785,19 @@ object QueriesRound3 {
         |       array_to_string(toks[chunk_id*48+1 : least(chunk_id*48+64, n)], ' ') AS chunk_text,
         |       CAST(greatest(0, least(64, n - chunk_id*48)) AS INT) AS n_tok
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q168_quantize_int8" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |         greatest(CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE), 1e-30) AS md
+        |  FROM embeddings WHERE vec_id % 3 = 0),
+        |c AS (SELECT vec_id, embedding, md,
+        |             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / md * 127) AS TINYINT)) AS codes
+        |      FROM q)
+        |SELECT vec_id, CAST(to_json(codes) AS VARCHAR) AS codes_json, md / 127 AS scale,
+        |       list_max(list_transform(range(1, len(embedding) + 1),
+        |         i -> abs(CAST(embedding[CAST(i AS INT)] AS DOUBLE) - CAST(codes[CAST(i AS INT)] AS DOUBLE) * (md / 127)))) AS max_err
+        |FROM c ORDER BY vec_id""".stripMargin,
 
     "q167_training_export" ->
       """WITH docs AS (

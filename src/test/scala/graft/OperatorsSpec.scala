@@ -880,3 +880,25 @@ class RepetitionSpec extends SparkTestBase {
     assert(r(4).getInt(1) == 0, "empty doc has zero lines")
   }
 }
+
+/** int8 embedding quantization: code bounds and the half-step error
+  * contract of symmetric quantization. */
+class QuantizeSpec extends SparkTestBase {
+  import graft.operators.Similarity
+
+  test("round trip stays within half a quantization step; codes bounded") {
+    val emb = Tables.load(spark, sfDir, "embeddings").limit(200)
+    val q = emb.select(col("vec_id"), col("embedding"),
+      Similarity.quantizeInt8(col("embedding")).as("q"))
+    val checked = q.select(
+      array_max(transform(col("q.codes"), c => abs(c.cast("int")))).as("max_code"),
+      col("q.scale").as("scale"),
+      array_max(zip_with(col("embedding"), Similarity.dequantizeInt8(col("q")),
+        (a, b) => abs(a.cast("double") - b.cast("double")))).as("err"))
+    val bad = checked.filter(col("max_code") > 127 ||
+      col("err") > col("scale") * 0.5 + 1e-9).count()
+    assert(bad == 0, "every vector reconstructs within scale/2")
+    val worst = checked.agg(max(col("err") / col("scale"))).head().getDouble(0)
+    assert(worst <= 0.5 + 1e-9 && worst > 0.0)
+  }
+}
