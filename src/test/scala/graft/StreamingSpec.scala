@@ -103,3 +103,30 @@ class TypeFringeSpec extends SparkTestBase {
       e.getMessage.toLowerCase.contains("datatype"), e.getMessage)
   }
 }
+
+/** The stateless pipeline operators run on streams verbatim: chunking is
+  * scan-project-generate (no state, no watermark needed), so a streaming
+  * ingest can emit training chunks incrementally. */
+class StreamChunkSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("chunkByTokens over a memory stream emits chunks incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = graft.operators.TextAnalysis
+      .chunkByTokens(docs, "doc_id", "text", maxTokens = 8, overlap = 2)
+      .writeStream.format("memory").queryName("chunks").outputMode("append").start()
+    try {
+      mem.addData((1L, (1 to 14).map("w" + _).mkString(" ")))
+      q.processAllAvailable()
+      mem.addData((2L, "short doc"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM chunks ORDER BY doc_id, chunk_id").collect()
+      // doc 1: 14 tokens, step 6 -> chunks at 0,6 -> 2 chunks; doc 2: 1 chunk
+      assert(rows.length == 3)
+      assert(rows(0).getInt(3) == 8 && rows(1).getInt(3) == 8)
+      assert(rows(2).getString(2) == "short doc")
+    } finally q.stop()
+  }
+}
