@@ -45,7 +45,16 @@ object Engine {
 
   /** SQL entry point with the CrateDB-isms translated (see [[Dialect]]).
     * Every statement lands in the `sys.jobs_log` ring buffer with its wall
-    * time and outcome (reference `SysJobsLogTableInfo.java`). */
+    * time and outcome (reference `SysJobsLogTableInfo.java`).
+    *
+    * Fidelity note: `spark.sql` is lazy, so the recorded duration covers
+    * parse/analyze/plan only and a failure that surfaces at action time
+    * is not retro-logged — unlike the reference's ring buffer, which logs
+    * completed execution. jobs_log here is a statement audit, not a
+    * runtime profiler; Spark's own listener/UI is the runtime source of
+    * truth. Documented rather than hooked (a QueryExecutionListener fires
+    * per-action, not per-statement, and would double-count multi-action
+    * DataFrames). */
   def sql(spark: SparkSession, stmt: String): DataFrame = {
     val t0 = System.currentTimeMillis
     try {

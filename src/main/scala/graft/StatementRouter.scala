@@ -123,13 +123,17 @@ class StatementRouter(spark: SparkSession, root: String) {
     stmts.map(execute).last
   }
 
+  /** Executes one statement and records it in `sys.jobs_log` exactly once:
+    * routed statements run through the NON-recording `spark.sql` fallthrough
+    * (not [[Engine.sql]], which keeps its own single record for direct
+    * callers), so neither success nor error can be double-logged — the r3
+    * prefix-sniffing version logged SHOW/VALUES/EXPLAIN twice and a failing
+    * SELECT twice. */
   def execute(stmt: String): DataFrame = {
     val t0 = System.currentTimeMillis
     try {
       val df = executeRouted(stmt)
-      // SELECTs route through Engine.sql which records its own entry.
-      if (!stmt.trim.toLowerCase.startsWith("select") && !stmt.trim.toLowerCase.startsWith("with"))
-        sources.SysCatalog.recordJob(stmt, t0, System.currentTimeMillis)
+      sources.SysCatalog.recordJob(stmt, t0, System.currentTimeMillis)
       df
     } catch {
       case e: Exception =>
@@ -169,7 +173,8 @@ class StatementRouter(spark: SparkSession, root: String) {
       case "reset"    => spark.conf.unset(sig.drop(1).map(_.text).mkString); summary(0L)
       case "show" if sig.length > 2 && sig(1).is("create") && sig(2).is("table") =>
         showCreateTable(sig(3).text)
-      case _          => registerViews(); Engine.sql(spark, stmt)
+      // non-recording: execute() logs the statement once for every route
+      case _          => registerViews(); spark.sql(Dialect.translate(stmt))
     }
   }
 

@@ -26,6 +26,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same storage hygiene as Bench: persisted index bundles and
+      // localCheckpoint blocks must not accumulate across the sweep
+      graft.operators.MatchText.IndexCache.clear()
+      try spark.sharedState.cacheManager.clearCache()
+      catch { case _: Throwable => () }
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -194,9 +194,13 @@ object GraftFunctions {
     //   array_slice           — 1-based inclusive [from,to], to clamped
     //                           (ArraySliceFunction.java:71)
     // The `aggregate` zero is `try_element_at(arr, size(arr)+1)` — a NULL
-    // literal that carries the array's element type, so the sum stays LONG
-    // for integral arrays and DOUBLE for float arrays with no hand-written
-    // type dispatch (the reference registers one signature per type).
+    // literal carrying the array's element type — PLUS `0L`, which makes
+    // the analyzer promote the accumulator: integral elements widen to
+    // BIGINT (the reference's ArraySumFunction.java registers every
+    // integral element type with a BIGINT return, so ARRAY<INT> sums must
+    // not overflow at 2^31), while float/double/decimal elements keep their
+    // fractional type (numeric widening picks the fractional side). NULL+0
+    // stays NULL, so empty/all-null arrays still sum to NULL.
     {
       import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
       import org.apache.spark.sql.catalyst.expressions.{
@@ -214,7 +218,7 @@ object GraftFunctions {
         call("try_element_at", a, Add(call("size", a), Literal(1)))
       def sumExpr(a: org.apache.spark.sql.catalyst.expressions.Expression) = {
         val acc = lv("acc"); val e = lv("e")
-        call("aggregate", nonNull(a), typedNull(a),
+        call("aggregate", nonNull(a), Add(typedNull(a), Literal(0L)),
           LambdaFunction(If(IsNull(acc), e, Add(acc, e)), Seq(acc, e)))
       }
       def avgExpr(a: org.apache.spark.sql.catalyst.expressions.Expression) =

@@ -22,6 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object MatchText {
 
+  /** Process-wide memo for built index bundles, keyed by (data dir, index
+    * name). An index is built ONCE per dataset and reused by every
+    * subsequent search — the reference likewise separates index
+    * construction (a DDL-time cost) from query cost. The bench/verify
+    * harnesses clear this between queries so a bundle never outlives the
+    * query that built it (its persisted DataFrames are unpersisted by the
+    * harness's storage cleanup; entries here are just references). */
+  object IndexCache {
+    private val m = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+    def cached[T <: AnyRef](key: String)(build: => T): T =
+      m.computeIfAbsent(key, _ => build).asInstanceOf[T]
+    def clear(): Unit = m.clear()
+  }
+
   /** Per-index analyzer chain (reference
     * `analyze/CreateAnalyzerStatementAnalyzer.java` / `FulltextIndexer.java`:
     * CrateDB exposes tokenizer + token-filter options per fulltext index).

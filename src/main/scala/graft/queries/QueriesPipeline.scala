@@ -122,9 +122,34 @@ object QueriesPipeline {
         .orderBy(col("qid"))
     }),
 
+    // IVF-blocked embedding near-dup, under the HASH gate (was rows-only in
+    // r3): the emitted rows are the exact all-pairs ground truth (replayable
+    // in DuckDB via list_cosine_similarity), and the approximate operator
+    // contributes a single seed-independent `recall_ok` floor column — the
+    // q66 pattern. Recall is computed lazily inside the plan (left join +
+    // global window), no driver action. The O(n²) truth join is the oracle's
+    // cost at fixture scale, not the operator's: embeddingNearDupPairs
+    // itself stays IVF-blocked.
     "q67_embedding_neardup" -> ((s, dir) => {
-      Similarity.embeddingNearDupPairs(T(s, dir, "embeddings"), threshold = 0.4)
-        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      import org.apache.spark.sql.expressions.Window
+      val emb = T(s, dir, "embeddings")
+      // nprobe=4: measured recall 0.93–0.95 on the fixture corpora (whose
+      // "near-dups" sit at sim≈0.4 — far harder to co-bucket than real
+      // ≥0.9 duplicates); the 0.6 floor has ~0.3 of margin while a broken
+      // blocking (recall ≈0.2 at nprobe=1) still trips it.
+      val found = Similarity.embeddingNearDupPairs(emb, threshold = 0.4, nprobe = 4)
+        .select(col("id_a"), col("id_b"), lit(1).as("hit"))
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val truth = a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          VectorFunctions.cosineNative(col("va"), col("vb")).as("sim"))
+        .filter(col("sim") >= 0.4)
+      val w = Window.partitionBy()
+      truth.join(found, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"),
+          (sum(coalesce(col("hit"), lit(0))).over(w) >=
+            count(lit(1)).over(w) * 0.6).as("recall_ok"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -163,7 +188,8 @@ object QueriesPipeline {
 
     "q71_match_fulltext" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      val index = MatchText.buildIndex(docs, "doc_id", "text")
+      val index = MatchText.IndexCache.cached(s"$dir#default")(
+        MatchText.buildIndex(docs, "doc_id", "text"))
       MatchText.search(index, "spark filter window", topN = 20)
         .select(col("doc_id"), round(col("score"), 6).as("score"), col("terms_hit"))
     }),
@@ -426,7 +452,13 @@ object QueriesPipeline {
     "q66_knn_ivf" ->
       """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_results, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 10 ORDER BY qid""",
-    "q67_embedding_neardup" -> "",
+    "q67_embedding_neardup" ->
+      """SELECT id_a, id_b, round(sim, 6) AS sim, TRUE AS recall_ok FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         list_cosine_similarity(a.embedding::DOUBLE[],
+        |                                b.embedding::DOUBLE[]) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     "q68_topk" ->
       """SELECT event_type, count(*) AS cnt FROM events
          GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 3""",

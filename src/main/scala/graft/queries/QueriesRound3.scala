@@ -243,14 +243,19 @@ object QueriesRound3 {
     * is bit-identical — only the final representation is DECIMAL(38,6)/(38,8).
     * Division is deliberately absent: decimal quotient scale rules are
     * engine-specific and would compare rounding policies, not results. */
+  /** The final projection is a fixed-scale STRING on BOTH sides: the math is
+    * exact in each engine, but the r3 hash gate showed the driver comparator
+    * is sensitive to decimal *representation* (physical scale/precision of
+    * the parquet decimal vs DuckDB's), so values are canonicalized to their
+    * textual form — "123.450000" is identical however the engine stored it. */
   private val decimal38Sql =
     """SELECT l_suppkey,
-       |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-       |                CAST(l_quantity AS DECIMAL(8,2)))
-       |            AS DECIMAL(38,6)) AS exact_prod_sum,
-       |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-       |                (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))))
-       |            AS DECIMAL(38,8)) AS exact_disc_sum
+       |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+       |                     CAST(l_quantity AS DECIMAL(8,2)))
+       |                 AS DECIMAL(38,6)) AS STRING) AS exact_prod_sum,
+       |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+       |                     (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))))
+       |                 AS DECIMAL(38,8)) AS STRING) AS exact_disc_sum
        |FROM lineitem
        |GROUP BY l_suppkey
        |ORDER BY l_suppkey""".stripMargin
@@ -304,12 +309,29 @@ object QueriesRound3 {
     // Hyperplane-LSH blocking for embedding near-dups (the non-IVF scale
     // path). bits=4/tables=12 targets the fixture's low-sim synthetic
     // vectors (recall ≈ 1-(1-p^bits)^tables with p = 1-θ/π); real near-dup
-    // corpora (sim ≥ 0.9) would run 16 bits. Exact-cosine verification makes
-    // precision exact; no oracle (xxhash bucketing), rows-only check.
+    // corpora (sim ≥ 0.9) would run 16 bits. Under the HASH gate since r4:
+    // rows are the exact all-pairs ground truth (DuckDB-replayable), and the
+    // LSH operator contributes the seed-independent `recall_ok` floor — its
+    // candidate SET is hash-seeded and not SQL-replayable, but its recall
+    // against exact truth is a deterministic property the oracle can pin.
     "q135_embedding_neardup_lsh" -> ((s, dir) => {
-      Similarity.hyperplaneNearDupPairs(T(s, dir, "embeddings"),
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorFunctions
+      val emb = T(s, dir, "embeddings")
+      val found = Similarity.hyperplaneNearDupPairs(emb,
           threshold = 0.4, bits = 4, tables = 12)
-        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+        .select(col("id_a"), col("id_b"), lit(1).as("hit"))
+      val a = emb.select(col("vec_id").cast("long").as("id_a"), col("embedding").as("va"))
+      val b = emb.select(col("vec_id").cast("long").as("id_b"), col("embedding").as("vb"))
+      val truth = a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          VectorFunctions.cosineNative(col("va"), col("vb")).as("sim"))
+        .filter(col("sim") >= 0.4)
+      val w = Window.partitionBy()
+      truth.join(found, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"),
+          (sum(coalesce(col("hit"), lit(0))).over(w) >=
+            count(lit(1)).over(w) * 0.6).as("recall_ok"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -737,6 +759,13 @@ object QueriesRound3 {
     "q131_tpch_q2ish" -> tpchQ2,
     "q132_tpch_q22ish" -> tpchQ22,
     "q133_tpch_q11ish" -> tpchQ11,
+    "q135_embedding_neardup_lsh" ->
+      """SELECT id_a, id_b, round(sim, 6) AS sim, TRUE AS recall_ok FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         list_cosine_similarity(a.embedding::DOUBLE[],
+        |                                b.embedding::DOUBLE[]) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     "q134_redact_pii" -> {
       val contact = "('cust ' || c_name || ' <user' || c_custkey || '@example.org> tel 1-555-000-' || " +
         "lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || " +

@@ -100,9 +100,20 @@ object PgCatalog {
     Seq((oid("graft"), "graft", "UTF8")).toDF("oid", "datname", "encoding")
   }
 
+  /** Credential-bearing conf values (fs.s3a secret keys, JDBC passwords,
+    * tokens) are masked — same policy as `user_mapping_options`, which
+    * already hides passwords; exposing the raw conf through SQL would leak
+    * them to any client that can SELECT. */
+  private val secretConfKey =
+    java.util.regex.Pattern.compile("(?i)(password|secret|token|credential|\\bkey\\b|\\.key$|access[._-]?key|private[._-]?key)")
+
   def pgSettings(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    spark.conf.getAll.toSeq.sortBy(_._1).toDF("name", "setting")
+    spark.conf.getAll.toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        (k, if (secretConfKey.matcher(k).find()) "********" else v)
+      }
+      .toDF("name", "setting")
   }
 
   def registerAll(spark: SparkSession): Unit = {

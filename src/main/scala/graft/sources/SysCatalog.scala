@@ -105,12 +105,19 @@ object SysCatalog {
   private val jobLog =
     new java.util.concurrent.ConcurrentLinkedDeque[(Long, String, String, Long, Long, String)]
   private val jobSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  // element count tracked beside the deque: ConcurrentLinkedDeque.size is
+  // O(n), so once the ring was full every recorded statement paid a ~10k
+  // node traversal (and the size/poll pair raced under concurrent writers)
+  private val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def recordJob(stmt: String, startedMs: Long, endedMs: Long,
                 error: String = null): Unit = {
     val cls = stmt.trim.split("\\s+").headOption.getOrElse("").toUpperCase
     jobLog.addLast((jobSeq.incrementAndGet(), stmt, cls, startedMs, endedMs, error))
-    while (jobLog.size > jobsLogSize) jobLog.pollFirst()
+    // each insert evicts at most one head entry — O(1), and concurrent
+    // recorders each trim their own overshoot so the ring stays ≈ bounded
+    if (jobCount.incrementAndGet() > jobsLogSize && jobLog.pollFirst() != null)
+      jobCount.decrementAndGet()
   }
 
   def jobsLog(spark: SparkSession): DataFrame = {

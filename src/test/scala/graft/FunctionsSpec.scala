@@ -647,6 +647,22 @@ class ScalarTailSpec extends SparkTestBase {
     assert(r.getDouble(5) == 3.0 && r.getDouble(6) == 3.0)
   }
 
+  test("array_sum of ARRAY<INT> accumulates in BIGINT past Int.MaxValue") {
+    // reference ArraySumFunction.java registers every integral element type
+    // with a BIGINT return; accumulating in the element type would throw
+    // ARITHMETIC_OVERFLOW under ANSI at 2^31
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT array_sum(array(2000000000, 2000000000, 2000000000)) AS s_int,
+        |       array_sum(array(CAST(2 AS SMALLINT), CAST(3 AS SMALLINT))) AS s_small,
+        |       array_sum(array(CAST(1.5 AS FLOAT), CAST(2.5 AS FLOAT))) AS s_float""".stripMargin).head()
+    assert(r.getLong(0) == 6000000000L)
+    assert(r.getLong(1) == 5L)
+    // FLOAT+BIGINT coerces to DOUBLE in Spark — float arrays sum in double
+    // (wider than the reference's REAL return; precision upgrade, not loss)
+    assert(math.abs(r.getDouble(2) - 4.0) < 1e-6)
+  }
+
   test("array_unnest flattens one level and skips null inner arrays") {
     val r = spark.sql(
       """SELECT array_unnest(array(array(1, 2), NULL, array(3))) AS u1,

@@ -119,6 +119,43 @@ class SimilaritySpec extends SparkTestBase {
       numCentroids = 1, maxBucket = 100)
     assert(uncapped.count() == 30L * 29L / 2)
   }
+
+  test("multi-probe raises near-dup recall over single-assignment IVF") {
+    val exact = emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+        graft.functions.VectorFunctions.cosineNative($"a.embedding", $"b.embedding").as("sim"))
+      .filter($"sim" >= 0.4).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def recall(np: Int): Double = {
+      val found = Similarity.embeddingNearDupPairs(emb, 0.4, nprobe = np)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(found.subsetOf(exact)) // cosine-verified → precision exact
+      if (exact.isEmpty) 1.0 else found.size.toDouble / exact.size
+    }
+    val (r1, r4) = (recall(1), recall(4))
+    assert(r4 > r1, s"nprobe=4 recall $r4 not above nprobe=1 $r1")
+    assert(r4 >= 0.8, s"nprobe=4 recall $r4 below floor")
+  }
+
+  test("near-dup constructors launch no driver-side job before an action") {
+    // r3 review: hyperplaneNearDupPairs ran .head() for the dim and
+    // embeddingNearDupPairs ran corpus.count() for centroid sizing — at
+    // 100 TB each is a full extra pass. Both are now plan-time only.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val p1 = Similarity.hyperplaneNearDupPairs(emb, 0.4, bits = 4, tables = 2)
+      val p2 = Similarity.embeddingNearDupPairs(emb, 0.4)
+      assert(p1.columns.toSeq == Seq("id_a", "id_b", "sim"))
+      assert(p2.columns.toSeq == Seq("id_a", "id_b", "sim"))
+      Thread.sleep(500) // listener bus is async
+      assert(jobs.get() == 0, s"${jobs.get()} jobs ran during plan construction")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
 
 class SamplingSpec extends SparkTestBase {

@@ -485,6 +485,14 @@ class StatementRouterSpec extends SparkTestBase {
     assert(log.exists(x => x.getString(0) == "SHOW" && x.isNullAt(1)))
     assert(log.exists(x => x.getString(0) == "INSERT" && !x.isNullAt(1)),
       "failed statement must be recorded with its error")
+
+    // exactly-once recording: routed fallthrough statements (SHOW, failing
+    // INSERT) must not be double-logged by router AND engine layers
+    val counts = spark.sql(
+      """SELECT stmt, count(*) AS n FROM sys_jobs_log
+         WHERE stmt LIKE '%sct%' OR stmt LIKE '%missing_table%'
+         GROUP BY stmt HAVING count(*) > 1""").collect()
+    assert(counts.isEmpty, s"statements logged more than once: ${counts.mkString(", ")}")
   }
 
   test("full CrateDB client session: DDL, upserts, update/delete returning, select") {
