@@ -11,6 +11,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // ContextCleaner reaps broadcast/accumulator blocks only after a
+      // driver GC; its periodic GC defaults to 30 MINUTES, which never
+      // fires inside a bench sweep — the 167-query run accumulates every
+      // query's broadcast blocks meanwhile (see cleanupStorage below)
+      .config("spark.cleaner.periodicGC.interval", "15s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.registerAll(spark)
@@ -33,6 +38,12 @@ object Bench {
       try spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       catch { case _: Throwable => () }
+      // surface dead broadcast references to ContextCleaner NOW: without
+      // this, broadcast blocks from all prior queries pile up until a
+      // natural full GC, and the queries unlucky enough to run during the
+      // eventual collection record 10-40× wall times (the r4 first-rerun
+      // q168=24s / q16=20s window — both fast in isolation)
+      System.gc()
     }
 
     // noop sink: executes the complete plan (projection included) without

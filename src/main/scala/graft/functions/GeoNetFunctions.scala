@@ -106,15 +106,15 @@ object GeoNetFunctions {
   def withinPolygon(p: Column, ring: Column): Column = withinPolygonUdf(p, ring)
   def area(ring: Column): Column = areaUdf(ring)
 
-  /** `intersects(shapeA, shapeB)` for convex-ish rings: any vertex of one
-    * inside the other (sufficient for the overlap cases the fixtures
-    * exercise; a full clipping test is a JTS swap-in). */
+  /** `intersects(ringA, ringB)` on bare rings — JTS-decided since r4 (the
+    * r3 vertex-containment shortcut missed edge-crossing concave pairs
+    * whose vertices are all outside each other). Full shapes with holes /
+    * WKT / GeoJSON live in [[GeoShapeFunctions]]; this keeps the legacy
+    * array<array<double>> ring signature on the corrected predicate. */
   val intersectsUdf: UserDefinedFunction =
     udf((a: Seq[Seq[Double]], b: Seq[Seq[Double]]) =>
       if (a == null || b == null) null
-      else Boolean.box(
-        a.exists(v => pointInPolygon(v(0), v(1), b)) ||
-          b.exists(v => pointInPolygon(v(0), v(1), a))))
+      else Boolean.box(GeoShapeFunctions.ringGeometry(a).intersects(GeoShapeFunctions.ringGeometry(b))))
   def intersects(a: Column, b: Column): Column = intersectsUdf(a, b)
 
   // ---- IPv4 CIDR ----

@@ -36,6 +36,24 @@ object GraftFunctions {
       (ip: String, cidr: String) =>
         if (ip == null || cidr == null) null
         else GeoNetFunctions.ipInCidr(ip, cidr).map(Boolean.box).orNull)
+    GeoShapeFunctions.registerAll(spark) // geo_within/geo_intersects/geo_area/…
+    // full regexp_matches TABLE semantics (reference tablefunctions/
+    // MatchesFunction.java returns one row per match, each row the array of
+    // capture groups — or the whole match when the pattern has no groups).
+    // Spark's regexp_extract_all covers ONE group; this returns all matches
+    // × all groups, and `posexplode` supplies the row-per-match shape.
+    u.register("regexp_matches_all", (s: String, pattern: String) =>
+      if (s == null || pattern == null) null
+      else {
+        val m = java.util.regex.Pattern.compile(pattern).matcher(s)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+        while (m.find())
+          out += (if (m.groupCount() == 0) Seq(m.group(0))
+                  else (1 to m.groupCount()).map(m.group))
+        out.toSeq
+      })
+    // Porter 1980 stemmer (reference `english` analyzer's PorterStemFilter)
+    u.register("porter_stem", (t: String) => graft.functions.Porter.stem(t))
     u.register("quote_ident", GeoNetFunctions.quoteIdentUdf)
     u.register("parse_ident", GeoNetFunctions.parseIdentUdf)
     // CrateDB parse_uri → OBJECT(scheme, userinfo, hostname, port, path,

@@ -52,7 +52,8 @@ object MatchText {
     */
   final case class Analyzer(stopwords: Seq[String] = Nil,
                             minTokenLength: Int = 1,
-                            sStem: Boolean = false) {
+                            sStem: Boolean = false,
+                            porter: Boolean = false) {
     def apply(text: Column): Column = {
       var toks = filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
       if (minTokenLength > 1)
@@ -61,7 +62,8 @@ object MatchText {
         val sw = array(stopwords.map(lit): _*)
         toks = filter(toks, t => !array_contains(sw, t))
       }
-      if (sStem) toks = transform(toks, stemCol(_))
+      if (porter) toks = transform(toks, porterUdf(_))
+      else if (sStem) toks = transform(toks, stemCol(_))
       toks
     }
     /** Same chain over a driver-side string (for query terms). */
@@ -69,16 +71,24 @@ object MatchText {
       var t = s.toLowerCase.split("[^\\p{L}\\p{N}]+").toSeq.filter(_.nonEmpty)
       if (minTokenLength > 1) t = t.filter(_.length >= minTokenLength)
       if (stopwords.nonEmpty) { val sw = stopwords.toSet; t = t.filterNot(sw) }
-      if (sStem) t = t.map(stemStr)
+      if (porter) t = t.map(graft.functions.Porter.stem)
+      else if (sStem) t = t.map(stemStr)
       t
     }
   }
   object Analyzer {
     val default: Analyzer = Analyzer()
     /** CrateDB's `english` analyzer approximated: standard tokenizer +
-      * English stopwords + light stemming. */
+      * English stopwords + light stemming (SQL-replayable — the property
+      * the DuckDB oracle queries need). */
     val english: Analyzer = Analyzer(stopwords = englishStopwords, sStem = true)
+    /** Full-fidelity `english`: Lucene uses PorterStemFilter; so does this
+      * (spec-pinned against the published algorithm's vocabulary). */
+    val englishPorter: Analyzer = Analyzer(stopwords = englishStopwords, porter = true)
   }
+
+  private val porterUdf =
+    udf((t: String) => graft.functions.Porter.stem(t))
 
   /** The reference's English stop set (Lucene `EnglishAnalyzer#ENGLISH_STOP_WORDS_SET`). */
   val englishStopwords: Seq[String] = Seq(
@@ -103,15 +113,64 @@ object MatchText {
 
   private def termCol(text: Column): Column = Analyzer.default(text)
 
-  /** `MATCH(col, 'query')` boolean: every query term occurs in the text. */
-  def matchPredicate(text: Column, query: String): Column = {
-    val terms = TextFunctions.tokenize(query.toLowerCase)
-    terms.map(t => array_contains(termCol(text), t)).reduceOption(_ && _).getOrElse(lit(true))
+  /** `MATCH(col, 'query')` with the reference's options
+    * (`MatchPredicate.java:85`, `docs/general/dql/fulltext.rst`):
+    *
+    *  - `operator`: "and" (default — every term must occur) or "or" (any
+    *    term suffices, Lucene's `operator OR`);
+    *  - `fuzziness`: a query term also matches any text token within this
+    *    Levenshtein distance (0 = exact). Native `exists` + `levenshtein`
+    *    expressions — codegen'd, and replayable in the DuckDB oracle, which
+    *    has the same `levenshtein` scalar.
+    */
+  def matchPredicate(text: Column, query: String,
+                     operator: String = "and", fuzziness: Int = 0,
+                     analyzer: Analyzer = Analyzer.default): Column = {
+    require(operator == "and" || operator == "or", s"unsupported operator: $operator")
+    val terms = analyzer.tokens(query).distinct
+    val toks = analyzer(text)
+    val perTerm = terms.map { t =>
+      if (fuzziness <= 0) array_contains(toks, t)
+      else exists(toks, tok => levenshtein(tok, lit(t)) <= fuzziness)
+    }
+    val combined =
+      if (operator == "and") perTerm.reduceOption(_ && _)
+      else perTerm.reduceOption(_ || _)
+    combined.getOrElse(lit(true))
   }
 
   /** `MATCH ... USING phrase`: exact phrase containment (normalized). */
   def phrasePredicate(text: Column, phrase: String): Column =
     lower(text).contains(phrase.toLowerCase)
+
+  /** `MATCH ... USING phrase WITH (slop = n)` (`MatchPredicate.java:85`;
+    * Lucene sloppy phrase): the phrase terms appear IN ORDER with at most
+    * `slop` extra tokens stretched across the whole window — i.e. there
+    * exist positions p1 < p2 < … < pk with pk − p1 ≤ k−1+slop. slop = 0
+    * degenerates to the adjacent-phrase test. (Lucene's full edit-distance
+    * slop also counts transpositions; the in-order form is the documented
+    * common case and is exactly SQL-replayable.)
+    *
+    * Built from native higher-order expressions only: per-term position
+    * arrays via `filter` over a posexplode-free zip_with index trick, then
+    * a nested `exists` chain — no UDF, stays in codegen. */
+  def phraseSlopPredicate(text: Column, phrase: String, slop: Int,
+                          analyzer: Analyzer = Analyzer.default): Column = {
+    val terms = analyzer.tokens(phrase)
+    require(terms.nonEmpty, "empty phrase")
+    val toks = analyzer(text)
+    // positions of each phrase term in the token array (1-based)
+    def positions(term: String): Column =
+      filter(zip_with(toks, sequence(lit(1), size(toks)),
+        (tok, i) => when(tok === term, i).otherwise(lit(null))), p => p.isNotNull)
+    // fold right: exists p_k > p_{k-1} … with the window bound on (p1, pk)
+    val k = terms.length
+    def build(i: Int, prev: Column, first: Column): Column =
+      if (i == k) (prev - first) <= lit(k - 1 + slop)
+      else exists(positions(terms(i)), p => p > prev && build(i + 1, p, first))
+    if (k == 1) exists(toks, _ === terms.head)
+    else exists(positions(terms.head), p => build(1, p, p))
+  }
 
   /** Prebuilt inverted index bundle. `postings` is one row per
     * (term, doc_id) with the term frequency AND the document length baked

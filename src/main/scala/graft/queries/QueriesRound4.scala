@@ -1,0 +1,226 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.GeoShapeFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-4 coverage batch: JTS-backed GEO_SHAPE semantics (reference
+  * `types/GeoShapeType.java`, `expression/scalar/geo/`), MATCH options
+  * (`operator`, `fuzziness`, `slop` — `MatchPredicate.java:85`), the Porter
+  * stemmer analyzer, and full `regexp_matches` table semantics
+  * (`tablefunctions/MatchesFunction.java`).
+  */
+object QueriesRound4 {
+  private def T(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** Concave L-polygon with a square hole in its lower arm: chosen because
+    * it is simultaneously a hard case for geometry code (concavity + hole)
+    * and a UNION OF RECTANGLES, so the DuckDB oracle can replay every
+    * predicate with closed-form interval arithmetic — ground truth, not a
+    * JTS-vs-JTS comparison. */
+  private val lShape =
+    "POLYGON ((0 0, 10 0, 10 4, 4 4, 4 10, 0 10, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // GEO_SHAPE within/intersects/area on a deterministic point grid.
+    // Points sit at x.25/x.75 offsets so nothing ever lands on a polygon
+    // edge — the result is boundary-convention-independent. The per-row
+    // test square (side 1 around the point) exercises intersects for
+    // partial overlap, full containment, disjoint, and the
+    // entirely-inside-the-hole case.
+    "q169_geo_shape" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      val base = T(s, dir, "customer").select(col("c_custkey"),
+        ((col("c_custkey") % 23) * 0.5 + 0.25).as("lon"),
+        ((col("c_custkey") % 19) * 0.5 + 0.25).as("lat"))
+      def d(c: org.apache.spark.sql.Column) = c.cast("string")
+      val sq = concat(lit("POLYGON (("),
+        d(col("lon") - 0.5), lit(" "), d(col("lat") - 0.5), lit(", "),
+        d(col("lon") + 0.5), lit(" "), d(col("lat") - 0.5), lit(", "),
+        d(col("lon") + 0.5), lit(" "), d(col("lat") + 0.5), lit(", "),
+        d(col("lon") - 0.5), lit(" "), d(col("lat") + 0.5), lit(", "),
+        d(col("lon") - 0.5), lit(" "), d(col("lat") - 0.5), lit("))"))
+      base.select(col("c_custkey"), col("lon"), col("lat"),
+          GeoShapeFunctions.pointWithinShape(array(col("lon"), col("lat")), lit(lShape)).as("pt_in"),
+          GeoShapeFunctions.shapeIntersects(sq, lit(lShape)).as("sq_x"),
+          GeoShapeFunctions.shapeArea(lit(lShape)).as("area"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // regexp_matches with full table semantics: one row per MATCH with the
+    // capture-group array (reference tablefunctions/MatchesFunction.java —
+    // q105 covers only the first match's groups). Input is deterministic so
+    // every row has exactly two matches; the DuckDB oracle replays via
+    // group-wise regexp_extract_all + subscripts.
+    "q170_regexp_matches_rows" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT c_custkey, idx, element_at(m, 1) AS g1, element_at(m, 2) AS g2
+        FROM (SELECT c_custkey,
+                     concat('x', c_custkey % 7, 'y', c_custkey % 3, ' x',
+                            c_custkey % 5, 'y', c_custkey % 2, 'z') AS txt
+              FROM customer) t
+        LATERAL VIEW posexplode(regexp_matches_all(txt, 'x(\\d+)y(\\d+)')) p AS idx, m
+        ORDER BY c_custkey, idx""")
+    }),
+
+    // MATCH options `operator OR` + `fuzziness` (MatchPredicate.java:85):
+    // any-term semantics, and query terms match text tokens within
+    // Levenshtein 1 — 'sparkz' finds documents containing 'spark'. The
+    // oracle replays tokenization + levenshtein in DuckDB, so the fuzzy
+    // matcher itself is hash-gated.
+    "q171_match_options" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      docs.filter(graft.operators.MatchText.matchPredicate(
+          col("text"), "sparkz nonexistentterm", operator = "or", fuzziness = 1))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // MATCH USING phrase WITH (slop): the phrase terms appear in order
+    // within a stretched window. slop=2 vs slop=0 over the same phrase
+    // exposes the windowing (a pure adjacency test would return the
+    // sloppy rows too — the oracle computes both from token positions).
+    "q172_match_phrase_slop" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      docs.select(col("doc_id"),
+          graft.operators.MatchText.phraseSlopPredicate(col("text"), "spark filter", 0).as("adjacent"),
+          graft.operators.MatchText.phraseSlopPredicate(col("text"), "spark filter", 2).as("slop2"))
+        .filter(col("slop2"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Porter stemmer pinned to the algorithm's published behavior: the
+    // word list and expected stems are ground truth from the paper's
+    // examples (step tables + the full-pipeline examples GENERALIZATIONS →
+    // GENER, OSCILLATORS → OSCIL), not an implementation round-trip.
+    "q173_porter_stem" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT w, porter_stem(w) AS stem
+        FROM (SELECT explode(array(
+          'caresses', 'ponies', 'ties', 'caress', 'cats',
+          'feed', 'agreed', 'plastered', 'bled', 'motoring', 'sing',
+          'conflated', 'troubled', 'sized', 'hopping', 'tanned', 'falling',
+          'hissing', 'fizzed', 'failing', 'filing',
+          'happy', 'sky',
+          'relational', 'conditional', 'rational', 'valenci', 'hesitanci',
+          'digitizer', 'conformabli', 'radicalli', 'differentli', 'vileli',
+          'analogousli', 'vietnamization', 'predication', 'operator',
+          'feudalism', 'decisiveness', 'hopefulness', 'callousness',
+          'formaliti', 'sensitiviti', 'sensibiliti',
+          'triplicate', 'formative', 'formalize', 'electriciti', 'electrical',
+          'hopeful', 'goodness',
+          'revival', 'allowance', 'inference', 'airliner', 'gyroscopic',
+          'adjustable', 'defensible', 'irritant', 'replacement', 'adjustment',
+          'dependent', 'adoption', 'homologou', 'communism', 'activate',
+          'angulariti', 'homologous', 'effective', 'bowdlerize',
+          'probate', 'rate', 'cease',
+          'controlling', 'rolling',
+          'generalizations', 'oscillators')) AS w)
+        ORDER BY w""")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q170_regexp_matches_rows" ->
+      """SELECT c_custkey, CAST(i - 1 AS INT) AS idx,
+        |       regexp_extract_all(txt, 'x(\d+)y(\d+)', 1)[CAST(i AS INT)] AS g1,
+        |       regexp_extract_all(txt, 'x(\d+)y(\d+)', 2)[CAST(i AS INT)] AS g2
+        |FROM (SELECT c_custkey,
+        |             'x' || (c_custkey % 7) || 'y' || (c_custkey % 3) || ' x' ||
+        |             (c_custkey % 5) || 'y' || (c_custkey % 2) || 'z' AS txt
+        |      FROM customer) t, unnest(range(1, 3)) u(i)
+        |ORDER BY c_custkey, idx""".stripMargin,
+
+    "q171_match_options" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             x -> len(x) > 0) AS toks
+        |  FROM documents)
+        |WHERE len(list_filter(toks, x -> levenshtein(x, 'sparkz') <= 1)) > 0
+        |   OR len(list_filter(toks, x -> levenshtein(x, 'nonexistentterm') <= 1)) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q172_match_phrase_slop" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                             x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, i, toks[CAST(i AS INT)] AS tok
+        |  FROM d, unnest(range(1, len(toks) + 1)) t(i)),
+        |pairs AS (
+        |  SELECT a.doc_id,
+        |         max(CASE WHEN b.i - a.i <= 1 THEN 1 ELSE 0 END) AS adj,
+        |         max(CASE WHEN b.i - a.i <= 3 THEN 1 ELSE 0 END) AS sl2
+        |  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.i > a.i
+        |  WHERE a.tok = 'spark' AND b.tok = 'filter'
+        |  GROUP BY a.doc_id)
+        |SELECT doc_id, adj = 1 AS adjacent, TRUE AS slop2
+        |FROM pairs WHERE sl2 = 1 ORDER BY doc_id""".stripMargin,
+
+    // Ground truth from the published algorithm's own examples (per-step
+    // tables continued through the remaining steps, plus the paper's
+    // full-pipeline GENERALIZATIONS → GENER and OSCILLATORS → OSCIL).
+    "q173_porter_stem" ->
+      """SELECT w, stem FROM (VALUES
+        |  ('caresses','caress'), ('ponies','poni'), ('ties','ti'),
+        |  ('caress','caress'), ('cats','cat'),
+        |  ('feed','feed'), ('agreed','agre'), ('plastered','plaster'),
+        |  ('bled','bled'), ('motoring','motor'), ('sing','sing'),
+        |  ('conflated','conflat'), ('troubled','troubl'), ('sized','size'),
+        |  ('hopping','hop'), ('tanned','tan'), ('falling','fall'),
+        |  ('hissing','hiss'), ('fizzed','fizz'), ('failing','fail'),
+        |  ('filing','file'),
+        |  ('happy','happi'), ('sky','sky'),
+        |  ('relational','relat'), ('conditional','condit'), ('rational','ration'),
+        |  ('valenci','valenc'), ('hesitanci','hesit'),
+        |  ('digitizer','digit'), ('conformabli','conform'),
+        |  ('radicalli','radic'), ('differentli','differ'), ('vileli','vile'),
+        |  ('analogousli','analog'), ('vietnamization','vietnam'),
+        |  ('predication','predic'), ('operator','oper'),
+        |  ('feudalism','feudal'), ('decisiveness','decis'),
+        |  ('hopefulness','hope'), ('callousness','callous'),
+        |  ('formaliti','formal'), ('sensitiviti','sensit'),
+        |  ('sensibiliti','sensibl'),
+        |  ('triplicate','triplic'), ('formative','form'), ('formalize','formal'),
+        |  ('electriciti','electr'), ('electrical','electr'),
+        |  ('hopeful','hope'), ('goodness','good'),
+        |  ('revival','reviv'), ('allowance','allow'), ('inference','infer'),
+        |  ('airliner','airlin'), ('gyroscopic','gyroscop'),
+        |  ('adjustable','adjust'), ('defensible','defens'),
+        |  ('irritant','irrit'), ('replacement','replac'),
+        |  ('adjustment','adjust'), ('dependent','depend'),
+        |  ('adoption','adopt'), ('homologou','homolog'), ('communism','commun'),
+        |  ('activate','activ'), ('angulariti','angular'),
+        |  ('homologous','homolog'), ('effective','effect'),
+        |  ('bowdlerize','bowdler'),
+        |  ('probate','probat'), ('rate','rate'), ('cease','ceas'),
+        |  ('controlling','control'), ('rolling','roll'),
+        |  ('generalizations','gener'), ('oscillators','oscil')
+        |) AS t(w, stem) ORDER BY w""".stripMargin,
+
+    // interval-arithmetic ground truth: the L is armA (0..10 × 0..4) ∪
+    // armB (0..4 × 0..10) minus hole (1..3 × 1..3); a rectangle intersects
+    // the region iff it overlaps either arm and is not fully inside the
+    // hole (the hole sits strictly inside armA, so hole-only overlap
+    // implies arm overlap)
+    "q169_geo_shape" ->
+      """SELECT c_custkey, lon, lat,
+        |  (((lon > 0 AND lon < 10 AND lat > 0 AND lat < 4)
+        |    OR (lon > 0 AND lon < 4 AND lat > 0 AND lat < 10))
+        |   AND NOT (lon > 1 AND lon < 3 AND lat > 1 AND lat < 3)) AS pt_in,
+        |  (((lon - 0.5 < 10 AND lon + 0.5 > 0 AND lat - 0.5 < 4 AND lat + 0.5 > 0)
+        |    OR (lon - 0.5 < 4 AND lon + 0.5 > 0 AND lat - 0.5 < 10 AND lat + 0.5 > 0))
+        |   AND NOT (lon - 0.5 > 1 AND lon + 0.5 < 3 AND lat - 0.5 > 1 AND lat + 0.5 < 3)) AS sq_x,
+        |  CAST(60.0 AS DOUBLE) AS area
+        |FROM (SELECT c_custkey,
+        |             (c_custkey % 23) * 0.5 + 0.25 AS lon,
+        |             (c_custkey % 19) * 0.5 + 0.25 AS lat
+        |      FROM customer)
+        |ORDER BY c_custkey""".stripMargin
+  )
+}

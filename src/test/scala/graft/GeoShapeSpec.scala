@@ -31,6 +31,69 @@ class GeoShapeSpec extends SparkTestBase {
     val row = df2.head()
     assert(row.getBoolean(0) && !row.getBoolean(1))
   }
+
+  test("edge-crossing intersection with all vertices outside (r3 defect)") {
+    // A plus-sign configuration: a wide flat bar and a tall thin bar cross
+    // in the middle, but every vertex of each lies outside the other — the
+    // vertex-containment shortcut said disjoint; real geometry says cross.
+    val wide = Seq(Seq(0.0, 4.0), Seq(10.0, 4.0), Seq(10.0, 6.0), Seq(0.0, 6.0))
+    val tall = Seq(Seq(4.0, 0.0), Seq(6.0, 0.0), Seq(6.0, 10.0), Seq(4.0, 10.0))
+    val r = spark.range(1)
+      .select(intersects(typedLit(wide), typedLit(tall)).as("x")).head()
+    assert(r.getBoolean(0), "crossing bars must intersect")
+  }
+
+  test("concave-overlap and hole-exclusion via WKT shapes") {
+    import graft.functions.GeoShapeFunctions._
+    // L-shaped (concave) polygon with a square hole in its lower arm
+    val lShape = "POLYGON ((0 0, 10 0, 10 4, 4 4, 4 10, 0 10, 0 0), " +
+      "(1 1, 3 1, 3 3, 1 3, 1 1))"
+    val inHole = "POINT (2 2)"          // inside hole → NOT within
+    val inArm = "POINT (8 2)"           // lower arm → within
+    val inNotch = "POINT (8 8)"         // the concave notch → NOT within
+    val notchSquare = "POLYGON ((6 6, 9 6, 9 9, 6 9, 6 6))" // entirely in notch
+    val r = spark.range(1).select(
+      shapeWithin(lit(inHole), lit(lShape)).as("hole"),
+      shapeWithin(lit(inArm), lit(lShape)).as("arm"),
+      shapeWithin(lit(inNotch), lit(lShape)).as("notch"),
+      shapeIntersects(lit(notchSquare), lit(lShape)).as("notch_sq"),
+      shapeArea(lit(lShape)).as("area")).head()
+    assert(!r.getBoolean(0), "point in hole is excluded")
+    assert(r.getBoolean(1), "point in the arm is within")
+    assert(!r.getBoolean(2), "point in the concave notch is outside")
+    assert(!r.getBoolean(3), "square inside the notch does not intersect the L")
+    // area = L (10*4 + 4*6) - hole (2*2) = 64 - 4 = 60 square degrees
+    assert(math.abs(r.getDouble(4) - 60.0) < 1e-9)
+  }
+
+  test("GeoJSON parses to the same geometry as WKT") {
+    import graft.functions.GeoShapeFunctions._
+    val wkt = "POLYGON ((0 0, 10 0, 10 4, 4 4, 4 10, 0 10, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))"
+    val gj = """{"type": "Polygon", "coordinates": [
+      [[0,0],[10,0],[10,4],[4,4],[4,10],[0,10],[0,0]],
+      [[1,1],[3,1],[3,3],[1,3],[1,1]]]}"""
+    val r = spark.range(1).select(
+      shapeArea(lit(gj)).as("a"),
+      shapeWithin(lit("""{"type": "Point", "coordinates": [8, 2]}"""), lit(wkt)).as("w"),
+      shapeIntersects(lit(gj), lit(wkt)).as("x"),
+      shapeAsWkt(lit("""{"type": "Point", "coordinates": [1.5, 2.5]}""")).as("wkt")).head()
+    assert(math.abs(r.getDouble(0) - 60.0) < 1e-9)
+    assert(r.getBoolean(1) && r.getBoolean(2))
+    assert(r.getString(3) == "POINT (1.5 2.5)")
+  }
+
+  test("multipolygon and linestring predicates") {
+    import graft.functions.GeoShapeFunctions._
+    val mp = """{"type": "MultiPolygon", "coordinates": [
+      [[[0,0],[2,0],[2,2],[0,2],[0,0]]],
+      [[[10,10],[12,10],[12,12],[10,12],[10,10]]]]}"""
+    val line = "LINESTRING (1 -1, 1 3)" // crosses the first part only
+    val r = spark.range(1).select(
+      shapeIntersects(lit(line), lit(mp)).as("x"),
+      shapeWithin(lit("POINT (11 11)"), lit(mp)).as("w"),
+      shapeDisjoint(lit("POINT (5 5)"), lit(mp)).as("d")).head()
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
+  }
 }
 
 class IntervalSpec extends SparkTestBase {

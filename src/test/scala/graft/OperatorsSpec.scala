@@ -344,6 +344,44 @@ class MatchTextSpec extends SparkTestBase {
     assert(hits == Set(1L))
   }
 
+  test("operator OR matches any term; fuzziness matches within edit distance") {
+    val or = docs.filter(MatchText.matchPredicate(col("text"), "spark document",
+        operator = "or")).select("doc_id").as[Long].collect().toSet
+    assert(or == Set(1L, 2L), "OR = any term suffices")
+    val fuzzy = docs.filter(MatchText.matchPredicate(col("text"), "sparkz filterz",
+        fuzziness = 1)).select("doc_id").as[Long].collect().toSet
+    assert(fuzzy == Set(1L), "both fuzzy terms hit doc 1 only")
+    val exact = docs.filter(MatchText.matchPredicate(col("text"), "sparkz filterz"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact.isEmpty, "fuzziness 0 stays exact")
+  }
+
+  test("phrase slop stretches the window in order only") {
+    // doc 1: "spark filter …" adjacent; doc 4: one word between; doc 5:
+    // reversed order — never matches regardless of slop
+    val d = docs.union(Seq(
+      (4L, "spark pushdown filter chain"),
+      (5L, "filter the spark")).toDF("doc_id", "text"))
+    def hits(slop: Int) =
+      d.filter(MatchText.phraseSlopPredicate(col("text"), "spark filter", slop))
+        .select("doc_id").as[Long].collect().toSet
+    assert(hits(0) == Set(1L))
+    assert(hits(1) == Set(1L, 4L))
+    assert(hits(5) == Set(1L, 4L), "reversed order never matches")
+  }
+
+  test("porter analyzer conflates morphological variants") {
+    val d = Seq((1L, "the running dogs relational"),
+      (2L, "runs dog relate")).toDF("doc_id", "text")
+    val a = MatchText.Analyzer.englishPorter
+    val t1 = d.select(a(col("text"))).as[Seq[String]].collect()
+    assert(t1(0) == Seq("run", "dog", "relat"))
+    assert(t1(1) == Seq("run", "dog", "relat"),
+      "index-side and variant terms stem to the same forms")
+    assert(a.tokens("running relations") == Seq("run", "relat"),
+      "query side stems through the same chain")
+  }
+
   test("tf-idf search ranks the doc with rarer terms first") {
     val idx = MatchText.buildIndex(docs, "doc_id", "text")
     val res = MatchText.search(idx, "spark filter", topN = 5)
