@@ -158,9 +158,17 @@ object Dialect {
       if (o < 0) i
       else {
         val p = prevSig(ts, o)
-        if (p >= 0 && (ts(p).kind == K.Word || ts(p).kind == K.QId) &&
+        if (p < 0) o
+        else if ((ts(p).kind == K.Word || ts(p).kind == K.QId) &&
           ts(i).isSym(")") && !keywords(ts(p).text.toLowerCase))
           operandStart(ts, p) // function call: include the (possibly dotted) name
+        else if (ts(i).isSym("]") &&
+          (ts(p).kind == K.QId || ts(p).isSym(")") || ts(p).isSym("]") ||
+            (ts(p).kind == K.Word && !keywords(ts(p).text.toLowerCase))))
+          // subscript in a chain: `a['k'][1]`'s base is ALL of `a['k']`,
+          // not just the inner bracket group — without this the 1-based
+          // rewrite detached the root (`a` + try_element_at(['k'], 1))
+          operandStart(ts, p)
         else o
       }
     } else i
@@ -327,7 +335,11 @@ object Dialect {
               val arr = render(inner).trim
               val cmp = ts(op).text
               val hof = if (t.is("all")) "forall" else "exists"
-              val repl = lex(s"$hof($arr, __t -> $lhs $cmp __t)")
+              // graft_dim_match auto-unnests the array to the lhs's
+              // dimension at analysis time (ANY over [[1,2],[3,4]] with a
+              // scalar lhs — selects.rst "unnests … as required"); it is
+              // identity when dimensions already line up.
+              val repl = lex(s"$hof(graft_dim_match($lhs, $arr), __t -> $lhs $cmp __t)")
               return Some(ts.slice(0, lhsStart) ++ repl ++ ts.slice(close + 1, ts.length))
             }
           } else if (close > 0 && innerFirst.exists(_.is("select")) &&
@@ -416,6 +428,12 @@ object Dialect {
     while (i < ts.length) {
       if (ts(i).isSym("{")) {
         val close = matchFwd(ts, i)
+        if (close == i + 1) {
+          // `{}` — the empty OBJECT literal (null_or_empty({}) in the
+          // reference doctests). Bare OBJECT maps to MAP<STRING,STRING>
+          // in DDL, so the empty literal is the empty map.
+          return Some(ts.slice(0, i) ++ lex("map()") ++ ts.slice(close + 1, ts.length))
+        }
         if (close > i + 1) {
           val inner = ts.slice(i + 1, close)
           // split on top-level commas
@@ -503,8 +521,8 @@ object Dialect {
               val repl = lex(s"if(($idx) <= 0, null, try_element_at($operand, $idx))")
               return Some(ts.slice(0, opStart) ++ repl ++ ts.slice(close + 1, ts.length))
             }
-          } else if (innerSig.nonEmpty) {
-            // array literal
+          } else if (!prevIsOperand) {
+            // array literal — `[]` (empty) included
             val repl = lex("array(" + render(inner) + ")")
             return Some(ts.slice(0, i) ++ repl ++ ts.slice(close + 1, ts.length))
           }

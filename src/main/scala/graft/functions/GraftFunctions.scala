@@ -173,17 +173,19 @@ object GraftFunctions {
 
     // CrateDB array-bound / emptiness scalars as pure Catalyst compositions
     // (codegen'd, no UDF): null_or_empty covers BOTH the OBJECT and ARRAY
-    // reference signatures (NullOrEmptyFunction.java:57 — Size() handles
-    // arrays and maps); array_lower/array_upper support dimension 1 (Spark
+    // reference signatures (NullOrEmptyFunction.java:57) — type-aware, since
+    // OBJECT literals land as structs where only the null test applies;
+    // array_lower/array_upper support dimension 1 (Spark
     // arrays are 1-D; nested-array dims return NULL, documented in
     // COVERAGE.md) per ArrayLowerFunction.java:76 / ArrayUpperFunction.
     {
       import org.apache.spark.sql.catalyst.expressions.{
-        And, CaseWhen, EqualTo, GreaterThan, Literal, Or, IsNull, Size}
+        And, CaseWhen, EqualTo, GreaterThan, Literal, Size}
       import org.apache.spark.sql.types.IntegerType
       reg.createOrReplaceTempFunction("null_or_empty",
-        exprs => Or(IsNull(exprs(0)), EqualTo(Size(exprs(0)), Literal(0))),
-        "scala_udf")
+        exprs => graft.plans.NullOrEmptyExpr(exprs(0)), "scala_udf")
+      reg.createOrReplaceTempFunction("graft_dim_match",
+        exprs => graft.plans.DimMatchExpr(exprs(0), exprs(1)), "scala_udf")
       reg.createOrReplaceTempFunction("array_lower",
         exprs => CaseWhen(Seq((And(EqualTo(exprs(1), Literal(1)),
           GreaterThan(Size(exprs(0)), Literal(0))), Literal(1))),

@@ -102,3 +102,60 @@ case class CurrentSettingExpr(name: Expression, missingOk: Option[Expression])
       newChildren: IndexedSeq[Expression]): Expression =
     copy(name = newChildren.head, missingOk = newChildren.drop(1).headOption)
 }
+
+/** `null_or_empty(object_or_array)` — true when the argument is NULL or has
+  * no elements (reference scalar/NullOrEmptyFunction.java:57, registered for
+  * both the OBJECT and ARRAY signatures). Type-aware at analysis time:
+  * arrays/maps test `size() = 0`; a struct (how graft represents typed
+  * OBJECT literals) always carries its declared fields, so only the null
+  * test applies. RuntimeReplaceable — the optimizer substitutes the plain
+  * codegen'd composition, nothing here survives into the physical plan.
+  */
+case class NullOrEmptyExpr(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  import org.apache.spark.sql.catalyst.expressions.{EqualTo, IsNull, Literal, Or, Size}
+
+  override def prettyName: String = "null_or_empty"
+
+  override lazy val replacement: Expression = child.dataType match {
+    case NullType      => Literal(true)
+    case _: StructType => IsNull(child)
+    case _             => Or(IsNull(child), EqualTo(Size(child), Literal(0)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_dim_match(lhs, arr)` — the array argument of a quantified
+  * comparison, auto-unnested "to the number of dimensions required"
+  * (reference `docs/general/dql/selects.rst`: `1 = ANY([[1, 2], [3, 4]])`
+  * is TRUE; AnyOperator binds the comparison at the lhs's dimension).
+  * Resolved purely at analysis time: while the element type is itself an
+  * array that does not structurally match the lhs type, wrap in `flatten`.
+  * The lhs child is only consulted for its TYPE — it never evaluates here,
+  * so the dialect can mention it twice without double execution.
+  */
+case class DimMatchExpr(left: Expression, arr: Expression)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  import org.apache.spark.sql.catalyst.expressions.Flatten
+
+  override def prettyName: String = "graft_dim_match"
+  override def children: Seq[Expression] = Seq(left, arr)
+
+  override lazy val replacement: Expression = {
+    def loop(a: Expression): Expression = a.dataType match {
+      case ArrayType(et: ArrayType, _)
+          if !DataType.equalsStructurally(left.dataType, et, ignoreNullability = true) =>
+        loop(Flatten(a))
+      case _ => a
+    }
+    loop(arr)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(left = newChildren(0), arr = newChildren(1))
+}

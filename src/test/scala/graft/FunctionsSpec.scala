@@ -161,11 +161,36 @@ class DialectSpec extends AnyFunSuite {
     "SELECT {\"a b\" = 1}" -> "SELECT named_struct('a b', 1)",
     "INSERT INTO t (o) VALUES ({inner = {k = 1}})" ->
       "INSERT INTO t (o) VALUES (named_struct('inner', named_struct('k', 1)))",
-    // quantified comparisons over arrays
-    "SELECT 5 = ANY(tags) FROM t" -> "SELECT exists(tags, __t -> 5 = __t) FROM t",
-    "SELECT price > ANY(costs) FROM t" -> "SELECT exists(costs, __t -> price > __t) FROM t",
-    "SELECT x != ALL(ys) FROM t" -> "SELECT forall(ys, __t -> x != __t) FROM t",
-    "SELECT name LIKE ANY(patterns) FROM t" -> "SELECT exists(patterns, __t -> name LIKE __t) FROM t",
+    // OBJECT literal edge corpus from the reference doctests
+    // (docs/general/builtins/scalar-functions.rst, dql/selects.rst)
+    "SELECT null_or_empty({}) x, null_or_empty({x=10}) z" ->
+      "SELECT null_or_empty(map()) x, null_or_empty(named_struct('x', 10)) z",
+    "SELECT {'k2' = 5} AS o" -> "SELECT named_struct('k2', 5) AS o",
+    "SELECT {a = [1, 2], b = {c = 'x'}} AS nested" ->
+      "SELECT named_struct('a', array(1, 2), 'b', named_struct('c', 'x')) AS nested",
+    "SELECT {ts = curdate(), n = abs(-1)} AS v" ->
+      "SELECT named_struct('ts', current_date(), 'n', abs(-1)) AS v",
+    // subscripts on literals, function results, and chains
+    "SELECT {inner = {k = 1}}['inner']['k'] AS v" ->
+      "SELECT named_struct('inner', named_struct('k', 1))['inner']['k'] AS v",
+    "SELECT parse_uri(u)['hostname'] FROM t" ->
+      "SELECT parse_uri(u)['hostname'] FROM t",
+    "SELECT information[1]['population'] FROM locations" ->
+      "SELECT if((1) <= 0, null, try_element_at(information, 1))['population'] FROM locations",
+    "SELECT inhabitants['interests'][1] FROM locations" ->
+      "SELECT if((1) <= 0, null, try_element_at(inhabitants['interests'], 1)) FROM locations",
+    "SELECT 1 = ANY([[1, 2], [3, 4]]) AS m" ->
+      "SELECT exists(graft_dim_match(1, array(array(1, 2), array(3, 4))), __t -> 1 = __t) AS m",
+    // quantified comparisons over arrays (graft_dim_match auto-unnests to
+    // the lhs's dimension; identity when dimensions already line up)
+    "SELECT 5 = ANY(tags) FROM t" ->
+      "SELECT exists(graft_dim_match(5, tags), __t -> 5 = __t) FROM t",
+    "SELECT price > ANY(costs) FROM t" ->
+      "SELECT exists(graft_dim_match(price, costs), __t -> price > __t) FROM t",
+    "SELECT x != ALL(ys) FROM t" ->
+      "SELECT forall(graft_dim_match(x, ys), __t -> x != __t) FROM t",
+    "SELECT name LIKE ANY(patterns) FROM t" ->
+      "SELECT exists(graft_dim_match(name, patterns), __t -> name LIKE __t) FROM t",
     // ANY over subqueries is left for the Column-API rewrites (q101+)
     "SELECT x FROM t WHERE x > ANY (SELECT y FROM u)" ->
       ("SELECT x FROM t WHERE CASE WHEN (SELECT count(*) FROM u) = 0 THEN FALSE " +
@@ -392,6 +417,38 @@ class EngineSqlSpec extends SparkTestBase {
     assert(r.getSeq[Int](5) == Seq(20, 30))
     assert(r.getSeq[Int](6) == Seq(10, 20))
     assert(r.getSeq[Int](7) == Seq(20, 30), "to beyond length clamps")
+  }
+
+  test("reference doctest OBJECT statements execute end-to-end") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    // docs/general/builtins/scalar-functions.rst:3873
+    val ne = Engine.sql(spark,
+      "SELECT null_or_empty({}) x, null_or_empty(NULL) y, null_or_empty({x=10}) z").head()
+    assert(ne.getBoolean(0) && ne.getBoolean(1) && !ne.getBoolean(2))
+    assert(Engine.sql(spark, "SELECT null_or_empty([]) e").head().getBoolean(0),
+      "empty array literal is empty")
+    // nested literal + chained subscripts on the literal itself
+    val v = Engine.sql(spark,
+      "SELECT {inner = {k = 41 + 1}}['inner']['k'] AS v").head()
+    assert(v.getInt(0) == 42)
+    // subscript chain rooted at a column: string key then 1-based index
+    val chain = Engine.sql(spark,
+      """SELECT o['xs'][2] AS second, o['xs'][9] AS oob
+        |FROM (SELECT {xs = [7, 8, 9]} AS o)""".stripMargin).head()
+    assert(chain.getInt(0) == 8 && chain.isNullAt(1))
+    // subscript on a function result (scalar-functions.rst:1030)
+    val host = Engine.sql(spark,
+      "SELECT parse_uri('crate://my_user@cluster.crate.io:5432')['hostname'] AS h").head()
+    assert(host.getString(0) == "cluster.crate.io")
+    // ANY over an array-of-arrays literal (selects.rst:693): a scalar lhs
+    // auto-unnests to the required dimension; an array lhs compares whole
+    // inner arrays without unnesting
+    val m = Engine.sql(spark,
+      """SELECT 1 = ANY([[1, 2], [3, 4]]) AS scalar_unnest,
+        |       9 = ANY([[1, 2], [3, 4]]) AS scalar_miss,
+        |       [1, 2] = ANY([[1, 2], [3, 4]]) AS whole_array,
+        |       5 > ALL([[1, 2], [3, 4]]) AS all_unnest""".stripMargin).head()
+    assert(m.getBoolean(0) && !m.getBoolean(1) && m.getBoolean(2) && m.getBoolean(3))
   }
 
   test("string-key subscript over array-of-objects yields the value array (SubscriptFunctions parity)") {
