@@ -121,10 +121,58 @@ object QueriesRound4 {
           'controlling', 'rolling',
           'generalizations', 'oscillators')) AS w)
         ORDER BY w""")
+    }),
+
+    // Full pg_catalog breadth (reference PgCatalogTableDefinitions.java
+    // ships 31 relations): PK constraints join their pg_index rows on the
+    // hash OID, conkey/indkey carry the 1-based attnums of the PK member
+    // columns, the empty-by-design relations (locks/am/enum/depend/
+    // matviews/publication) really are empty, and the role tables surface
+    // exactly one superuser. Filtered to the fixture tables so the result
+    // is independent of what else the session registered.
+    "q174_pg_catalog" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      graft.sources.PgCatalog.registerAll(s)
+      s.sql("""
+        SELECT replace(c.conname, '_pkey', '') AS tbl,
+               c.contype,
+               CAST(c.conkey AS ARRAY<INT>) AS conkey,
+               i.indkey,
+               CAST(i.indnkeyatts AS INT) AS nkeys,
+               i.indisprimary,
+               (SELECT count(*) FROM pg_locks) + (SELECT count(*) FROM pg_am)
+                 + (SELECT count(*) FROM pg_enum) + (SELECT count(*) FROM pg_depend)
+                 + (SELECT count(*) FROM pg_matviews)
+                 + (SELECT count(*) FROM pg_publication) AS empty_side,
+               (SELECT count(*) FROM pg_roles) AS nroles
+        FROM pg_constraint c
+        JOIN pg_index i ON i.indexrelid = c.oid
+        WHERE replace(c.conname, '_pkey', '') IN
+          ('region','nation','customer','supplier','part','orders',
+           'lineitem','events','documents','embeddings')
+        ORDER BY tbl""")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // ground truth: every fixture PK is its table's first field except
+    // lineitem's composite (l_orderkey, l_linenumber) at positions 1 and 4
+    "q174_pg_catalog" ->
+      """SELECT * FROM (VALUES
+        |  ('customer',  'p', [1],    [1],    1, TRUE, 0, 1),
+        |  ('documents', 'p', [1],    [1],    1, TRUE, 0, 1),
+        |  ('embeddings','p', [1],    [1],    1, TRUE, 0, 1),
+        |  ('events',    'p', [1],    [1],    1, TRUE, 0, 1),
+        |  ('lineitem',  'p', [1, 4], [1, 4], 2, TRUE, 0, 1),
+        |  ('nation',    'p', [1],    [1],    1, TRUE, 0, 1),
+        |  ('orders',    'p', [1],    [1],    1, TRUE, 0, 1),
+        |  ('part',      'p', [1],    [1],    1, TRUE, 0, 1),
+        |  ('region',    'p', [1],    [1],    1, TRUE, 0, 1),
+        |  ('supplier',  'p', [1],    [1],    1, TRUE, 0, 1)
+        |) AS t(tbl, contype, conkey, indkey, nkeys, indisprimary,
+        |       empty_side, nroles)
+        |ORDER BY tbl""".stripMargin,
+
     "q170_regexp_matches_rows" ->
       """SELECT c_custkey, CAST(i - 1 AS INT) AS idx,
         |       regexp_extract_all(txt, 'x(\d+)y(\d+)', 1)[CAST(i AS INT)] AS g1,

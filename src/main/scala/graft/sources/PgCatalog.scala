@@ -3,13 +3,19 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types._
 
-/** Minimal `pg_catalog` emulation — the tables PostgreSQL clients and BI
-  * tools actually probe on connect (reference `metadata/pgcatalog/` ships
-  * 31; this is the compat core: pg_type, pg_namespace, pg_class,
-  * pg_attribute, pg_proc, pg_database, pg_settings). OIDs are stable
-  * name hashes, the same trick the reference uses (`OidHash.java`) since
-  * neither engine has real Postgres OIDs. `Dialect.translate` strips the
-  * `pg_catalog.` qualifier, so `SELECT * FROM pg_catalog.pg_type` works.
+/** Full `pg_catalog` emulation — all 31 relations the reference ships
+  * (`metadata/pgcatalog/PgCatalogTableDefinitions.java`). Populated from
+  * live session metadata where the reference populates them (tables,
+  * columns, types, PK indexes/constraints, roles, cursors, settings,
+  * column stats); schema-correct and empty where the reference itself
+  * serves an empty relation (pg_locks, pg_am, pg_enum, pg_range,
+  * pg_depend, pg_matviews, pg_event_trigger, pg_description,
+  * pg_shdescription, pg_attrdef, pg_tablespace, pg_indexes) or where the
+  * feature is unconfigured here (logical-replication publications/
+  * subscriptions). OIDs are stable name hashes, the same trick the
+  * reference uses (`OidHash.java`) since neither engine has real Postgres
+  * OIDs. `Dialect.translate` strips the `pg_catalog.` qualifier, so
+  * `SELECT * FROM pg_catalog.pg_type` works.
   */
 object PgCatalog {
 
@@ -116,6 +122,274 @@ object PgCatalog {
       .toDF("name", "setting")
   }
 
+  // -- derived relations -----------------------------------------------
+
+  /** `pg_tables` (reference PgTablesTable.java) — one row per base table. */
+  def pgTables(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val user = spark.sparkContext.sparkUser
+    spark.catalog.listTables().collect().toSeq
+      .filter(t => t.tableType == null || !t.tableType.toUpperCase.contains("VIEW"))
+      .map(t => ("doc", t.name, user, null: String, false, false, false, false))
+      .toDF("schemaname", "tablename", "tableowner", "tablespace",
+        "hasindexes", "hasrules", "hastriggers", "rowsecurity")
+  }
+
+  /** `pg_views` (PgViewsTable.java) — temp/global views; definition NULL,
+    * same as the reference (it does not reconstruct view SQL here). */
+  def pgViews(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val user = spark.sparkContext.sparkUser
+    spark.catalog.listTables().collect().toSeq
+      .filter(t => t.tableType != null && t.tableType.toUpperCase.contains("VIEW"))
+      .map(t => ("doc", t.name, user, null: String))
+      .toDF("schemaname", "viewname", "viewowner", "definition")
+  }
+
+  /** `pg_index` (PgIndexTable.java) — one row per primary key, exactly the
+    * reference's `informationSchemaIterables.pgIndices()`: PK-only, indnatts
+    * pinned to 0, indkey = 1-based attnums of the PK member columns. */
+  def pgIndex(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val registered = spark.catalog.listTables().collect().map(_.name).toSet
+    InformationSchema.primaryKeys.toSeq.filter(kv => registered(kv._1)).sortBy(_._1)
+      .map { case (t, cols) =>
+        val attnums = try {
+          val fields = spark.table(t).schema.fieldNames
+          cols.map(c => fields.indexOf(c) + 1)
+        } catch { case _: Exception => cols.indices.map(_ + 1) }
+        (oid(s"${t}_pkey"), oid(t), 0.toShort, cols.size.toShort,
+          false, true, false, true, false, true, false, true, true, false,
+          attnums, null: Seq[Int], null: Seq[Int], null: Seq[Short],
+          null: String, null: String)
+      }
+      .toDF("indexrelid", "indrelid", "indnatts", "indnkeyatts",
+        "indisunique", "indisprimary", "indisexclusion", "indimmediate",
+        "indisclustered", "indisvalid", "indcheckxmin", "indisready",
+        "indislive", "indisreplident", "indkey", "indcollation", "indclass",
+        "indoption", "indexprs", "indpred")
+  }
+
+  /** `pg_constraint` (PgConstraintTable.java) — PK constraints with conkey
+    * attnums; FK action chars pinned to NO ACTION / MATCH SIMPLE like the
+    * reference. */
+  def pgConstraint(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.Row
+    val registered = spark.catalog.listTables().collect().map(_.name).toSet
+    val rows = InformationSchema.primaryKeys.toSeq
+      .filter(kv => registered(kv._1)).sortBy(_._1)
+      .map { case (t, cols) =>
+        val conkey: Seq[Short] = try {
+          val fields = spark.table(t).schema.fieldNames
+          cols.map(c => (fields.indexOf(c) + 1).toShort)
+        } catch { case _: Exception => cols.indices.map(i => (i + 1).toShort) }
+        Row(oid(s"${t}_pkey"), s"${t}_pkey", 2200, "p", false, false, true,
+          oid(t), 0, 0, 0, 0, "a", "a", "s", true, 0, true,
+          conkey, null, null, null, null, null, null)
+      }
+    val schema = StructType(Seq(
+      StructField("oid", IntegerType), StructField("conname", StringType),
+      StructField("connamespace", IntegerType), StructField("contype", StringType),
+      StructField("condeferrable", BooleanType), StructField("condeferred", BooleanType),
+      StructField("convalidated", BooleanType), StructField("conrelid", IntegerType),
+      StructField("contypid", IntegerType), StructField("conindid", IntegerType),
+      StructField("conparentid", IntegerType), StructField("confrelid", IntegerType),
+      StructField("confupdtype", StringType), StructField("confdeltype", StringType),
+      StructField("confmatchtype", StringType), StructField("conislocal", BooleanType),
+      StructField("coninhcount", IntegerType), StructField("connoinherit", BooleanType),
+      StructField("conkey", ArrayType(ShortType)), StructField("confkey", ArrayType(ShortType)),
+      StructField("conpfeqop", ArrayType(IntegerType)), StructField("conppeqop", ArrayType(IntegerType)),
+      StructField("conffeqop", ArrayType(IntegerType)), StructField("conexclop", ArrayType(IntegerType)),
+      StructField("conbin", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** `pg_roles` (PgRolesTable.java) — the session user as superuser;
+    * rolpassword is always the '********' mask, as in the reference. */
+  def pgRoles(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val user = spark.sparkContext.sparkUser
+    Seq((user, true, true, true, true, true, false, -1, "********",
+      null: String, false, null: Seq[String], oid(user)))
+      .toDF("rolname", "rolsuper", "rolinherit", "rolcreaterole",
+        "rolcreatedb", "rolcanlogin", "rolreplication", "rolconnlimit",
+        "rolpassword", "rolvaliduntil", "rolbypassrls", "rolconfig", "oid")
+  }
+
+  /** `pg_user` (PgUserTable.java) — view over the same single role. */
+  def pgUser(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val user = spark.sparkContext.sparkUser
+    Seq((user, oid(user), true, true, false, false, "********",
+      null: String, null: Seq[String]))
+      .toDF("usename", "usesysid", "usecreatedb", "usesuper", "userepl",
+        "usebypassrls", "passwd", "valuntil", "useconfig")
+  }
+
+  /** `pg_auth_members` (PgAuthMembersTable.java) — role grants; a single
+    * superuser session has none, same as the reference's
+    * `authMembers(roles)` over one role. */
+  def pgAuthMembers(spark: SparkSession): DataFrame =
+    empty(spark, StructType(Seq(
+      StructField("oid", IntegerType), StructField("roleid", IntegerType),
+      StructField("member", IntegerType), StructField("grantor", IntegerType),
+      StructField("admin_option", BooleanType),
+      StructField("inherit_option", BooleanType),
+      StructField("set_option", BooleanType))))
+
+  /** `pg_cursors` (PgCursors.java) — currently-open named cursors. */
+  def pgCursors(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Cursor.openCursors.map { case (name, (stmt, createdMs)) =>
+      (name, stmt, false, false, false,
+        new java.sql.Timestamp(createdMs))
+    }.toSeq.sortBy(_._1)
+      .toDF("name", "statement", "is_holdable", "is_binary",
+        "is_scrollable", "creation_time")
+  }
+
+  /** `pg_stats` (PgStatsTable.java) — per-column statistics, populated the
+    * way the reference populates it from `TableStats`: only for columns the
+    * session has ANALYZEd (`ANALYZE TABLE … FOR COLUMNS`); tables without
+    * column stats contribute no rows. */
+  def pgStats(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = spark.catalog.listTables().collect().toSeq.flatMap { t =>
+      try {
+        val plan = spark.table(t.name).queryExecution.optimizedPlan
+        val rowCount = plan.stats.rowCount.map(_.toDouble)
+        plan.stats.attributeStats.toSeq.map { case (attr, cs) =>
+          val nullFrac = (for (n <- cs.nullCount; rc <- rowCount; if rc > 0)
+            yield (n.toDouble / rc).toFloat).getOrElse(0f)
+          ("doc", t.name, attr.name, false, nullFrac,
+            cs.avgLen.map(_.toInt).getOrElse(0),
+            cs.distinctCount.map(_.toFloat).getOrElse(-1f))
+        }
+      } catch { case _: Exception => Nil }
+    }
+    rows.toDF("schemaname", "tablename", "attname", "inherited",
+        "null_frac", "avg_width", "n_distinct")
+      .withColumn("correlation", org.apache.spark.sql.functions.lit(null).cast(FloatType))
+      .withColumn("most_common_elems", org.apache.spark.sql.functions.lit(null).cast(ArrayType(StringType)))
+      .withColumn("most_common_elem_freqs", org.apache.spark.sql.functions.lit(null).cast(ArrayType(FloatType)))
+      .withColumn("elem_count_histogram", org.apache.spark.sql.functions.lit(null).cast(ArrayType(FloatType)))
+  }
+
+  // -- empty-by-design relations (the reference serves these empty too:
+  // PgCatalogTableDefinitions.java `completedFuture(emptyList())`) --------
+
+  private def empty(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  def pgAttrDef(spark: SparkSession): DataFrame =
+    empty(spark, StructType(Seq(
+      StructField("oid", IntegerType), StructField("adrelid", IntegerType),
+      StructField("adnum", ShortType), StructField("adbin", StringType),
+      StructField("adsrc", StringType))))
+
+  def pgDescription(spark: SparkSession): DataFrame =
+    empty(spark, StructType(Seq(
+      StructField("objoid", IntegerType), StructField("classoid", IntegerType),
+      StructField("objsubid", IntegerType), StructField("description", StringType))))
+
+  def pgShdescription(spark: SparkSession): DataFrame =
+    empty(spark, StructType(Seq(
+      StructField("objoid", IntegerType), StructField("classoid", IntegerType),
+      StructField("description", StringType))))
+
+  def pgEnum(spark: SparkSession): DataFrame =
+    empty(spark, StructType(Seq(
+      StructField("oid", IntegerType), StructField("enumtypid", IntegerType),
+      StructField("enumsortorder", FloatType), StructField("enumlabel", StringType))))
+
+  def pgRange(spark: SparkSession): DataFrame =
+    empty(spark, StructType(Seq(
+      StructField("rngtypid", IntegerType), StructField("rngsubtype", IntegerType),
+      StructField("rngmultitypid", IntegerType), StructField("rngcollation", IntegerType),
+      StructField("rngsubopc", IntegerType), StructField("rngcanonical", StringType),
+      StructField("rngsubdiff", StringType))))
+
+  def pgAm(spark: SparkSession): DataFrame =
+    empty(spark, StructType(Seq(
+      StructField("oid", IntegerType), StructField("amname", StringType),
+      StructField("amhandler", StringType), StructField("amtype", StringType))))
+
+  def pgTablespace(spark: SparkSession): DataFrame =
+    empty(spark, StructType(Seq(
+      StructField("oid", IntegerType), StructField("spcname", StringType),
+      StructField("spcowner", IntegerType), StructField("spcacl", ArrayType(StringType)),
+      StructField("spcoptions", ArrayType(StringType)))))
+
+  def pgIndexes(spark: SparkSession): DataFrame =
+    empty(spark, StructType(Seq(
+      StructField("schemaname", StringType), StructField("tablename", StringType),
+      StructField("indexname", StringType), StructField("tablespace", StringType),
+      StructField("indexdef", StringType))))
+
+  def pgLocks(spark: SparkSession): DataFrame =
+    empty(spark, StructType(Seq(
+      StructField("locktype", StringType), StructField("database", IntegerType),
+      StructField("relation", IntegerType), StructField("page", IntegerType),
+      StructField("tuple", ShortType), StructField("virtualxid", StringType),
+      StructField("transactionid", LongType), StructField("classid", IntegerType),
+      StructField("objid", IntegerType), StructField("objsubid", ShortType),
+      StructField("virtualtransaction", StringType), StructField("pid", IntegerType),
+      StructField("mode", StringType), StructField("granted", BooleanType),
+      StructField("fastpath", BooleanType), StructField("waitstart", TimestampType))))
+
+  def pgEventTrigger(spark: SparkSession): DataFrame =
+    empty(spark, StructType(Seq(
+      StructField("oid", IntegerType), StructField("evtname", StringType),
+      StructField("evtevent", StringType), StructField("evtowner", IntegerType),
+      StructField("evtfoid", IntegerType), StructField("evtenabled", StringType),
+      StructField("evttags", ArrayType(StringType)))))
+
+  def pgDepend(spark: SparkSession): DataFrame =
+    empty(spark, StructType(Seq(
+      StructField("classid", IntegerType), StructField("objid", IntegerType),
+      StructField("objsubid", IntegerType), StructField("refclassid", IntegerType),
+      StructField("refobjid", IntegerType), StructField("refobjsubid", IntegerType),
+      StructField("deptype", StringType))))
+
+  def pgMatviews(spark: SparkSession): DataFrame =
+    empty(spark, StructType(Seq(
+      StructField("schemaname", StringType), StructField("matviewname", StringType),
+      StructField("matviewowner", StringType), StructField("tablespace", StringType),
+      StructField("hasindexes", BooleanType), StructField("ispopulated", BooleanType),
+      StructField("definition", StringType))))
+
+  // logical replication is not configured in this engine — the relations
+  // exist with the reference's schemas and are empty, exactly what the
+  // reference serves with no publications/subscriptions defined
+  def pgPublication(spark: SparkSession): DataFrame =
+    empty(spark, StructType(Seq(
+      StructField("oid", IntegerType), StructField("pubname", StringType),
+      StructField("pubowner", IntegerType), StructField("puballtables", BooleanType),
+      StructField("pubinsert", BooleanType), StructField("pubupdate", BooleanType),
+      StructField("pubdelete", BooleanType))))
+
+  def pgPublicationTables(spark: SparkSession): DataFrame =
+    empty(spark, StructType(Seq(
+      StructField("pubname", StringType), StructField("schemaname", StringType),
+      StructField("tablename", StringType))))
+
+  def pgSubscription(spark: SparkSession): DataFrame =
+    empty(spark, StructType(Seq(
+      StructField("oid", IntegerType), StructField("subdbid", IntegerType),
+      StructField("subname", StringType), StructField("subowner", IntegerType),
+      StructField("subenabled", BooleanType), StructField("subbinary", BooleanType),
+      StructField("substream", BooleanType), StructField("subconninfo", StringType),
+      StructField("subslotname", StringType), StructField("subsynccommit", StringType),
+      StructField("subpublications", ArrayType(StringType)))))
+
+  def pgSubscriptionRel(spark: SparkSession): DataFrame =
+    empty(spark, StructType(Seq(
+      StructField("srsubid", IntegerType), StructField("srrelid", IntegerType),
+      StructField("srsubstate", StringType),
+      StructField("srsubstate_reason", StringType),
+      StructField("srsublsn", LongType))))
+
   def registerAll(spark: SparkSession): Unit = {
     pgType(spark).createOrReplaceTempView("pg_type")
     pgNamespace(spark).createOrReplaceTempView("pg_namespace")
@@ -124,5 +398,30 @@ object PgCatalog {
     pgProc(spark).createOrReplaceTempView("pg_proc")
     pgDatabase(spark).createOrReplaceTempView("pg_database")
     pgSettings(spark).createOrReplaceTempView("pg_settings")
+    pgTables(spark).createOrReplaceTempView("pg_tables")
+    pgViews(spark).createOrReplaceTempView("pg_views")
+    pgIndex(spark).createOrReplaceTempView("pg_index")
+    pgConstraint(spark).createOrReplaceTempView("pg_constraint")
+    pgRoles(spark).createOrReplaceTempView("pg_roles")
+    pgUser(spark).createOrReplaceTempView("pg_user")
+    pgAuthMembers(spark).createOrReplaceTempView("pg_auth_members")
+    pgCursors(spark).createOrReplaceTempView("pg_cursors")
+    pgStats(spark).createOrReplaceTempView("pg_stats")
+    pgAttrDef(spark).createOrReplaceTempView("pg_attrdef")
+    pgDescription(spark).createOrReplaceTempView("pg_description")
+    pgShdescription(spark).createOrReplaceTempView("pg_shdescription")
+    pgEnum(spark).createOrReplaceTempView("pg_enum")
+    pgRange(spark).createOrReplaceTempView("pg_range")
+    pgAm(spark).createOrReplaceTempView("pg_am")
+    pgTablespace(spark).createOrReplaceTempView("pg_tablespace")
+    pgIndexes(spark).createOrReplaceTempView("pg_indexes")
+    pgLocks(spark).createOrReplaceTempView("pg_locks")
+    pgEventTrigger(spark).createOrReplaceTempView("pg_event_trigger")
+    pgDepend(spark).createOrReplaceTempView("pg_depend")
+    pgMatviews(spark).createOrReplaceTempView("pg_matviews")
+    pgPublication(spark).createOrReplaceTempView("pg_publication")
+    pgPublicationTables(spark).createOrReplaceTempView("pg_publication_tables")
+    pgSubscription(spark).createOrReplaceTempView("pg_subscription")
+    pgSubscriptionRel(spark).createOrReplaceTempView("pg_subscription_rel")
   }
 }

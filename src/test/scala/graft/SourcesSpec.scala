@@ -446,6 +446,44 @@ class PgCatalogSpec extends SparkTestBase {
       "has_schema_privilege('u', 'doc', 'USAGE') AS b, pg_backend_pid() AS pid").head()
     assert(p.getBoolean(0) && p.getBoolean(1) && p.getInt(2) > 0)
   }
+
+  test("full 31-relation breadth: PK index/constraint rows, roles, cursors, empties") {
+    Tables.registerAll(spark, sfDir)
+    PgCatalog.registerAll(spark)
+    // every relation the reference ships answers SELECT
+    val all = Seq("pg_type", "pg_namespace", "pg_class", "pg_attribute",
+      "pg_proc", "pg_database", "pg_settings", "pg_tables", "pg_views",
+      "pg_index", "pg_constraint", "pg_roles", "pg_user", "pg_auth_members",
+      "pg_cursors", "pg_stats", "pg_attrdef", "pg_description",
+      "pg_shdescription", "pg_enum", "pg_range", "pg_am", "pg_tablespace",
+      "pg_indexes", "pg_locks", "pg_event_trigger", "pg_depend",
+      "pg_matviews", "pg_publication", "pg_publication_tables",
+      "pg_subscription", "pg_subscription_rel")
+    assert(all.size == 31 + 1) // 31 reference relations + pg_user view
+    all.foreach(v => spark.sql(s"SELECT * FROM $v").collect())
+    // composite PK: conkey/indkey carry the member attnums in PK order
+    val li = spark.sql(
+      """SELECT c.conkey, i.indkey, i.indnkeyatts FROM pg_constraint c
+         JOIN pg_index i ON i.indexrelid = c.oid
+         WHERE c.conname = 'lineitem_pkey'""").head()
+    assert(li.getSeq[Short](0) == Seq(1.toShort, 4.toShort))
+    assert(li.getSeq[Int](1) == Seq(1, 4))
+    assert(li.getShort(2) == 2)
+    // one superuser, no grants
+    assert(spark.sql("SELECT rolsuper FROM pg_roles").collect().map(_.getBoolean(0)).toSeq == Seq(true))
+    assert(spark.table("pg_auth_members").isEmpty)
+    // named cursors appear while open and vanish on CLOSE
+    val cur = Cursor.declare("c_test", "SELECT * FROM orders", spark.table("orders"))
+    PgCatalog.registerAll(spark) // snapshot views — re-register to refresh
+    val listed = spark.sql("SELECT name, statement FROM pg_cursors").collect()
+    assert(listed.exists(r => r.getString(0) == "c_test" &&
+      r.getString(1) == "SELECT * FROM orders"))
+    cur.close()
+    PgCatalog.registerAll(spark)
+    assert(spark.table("pg_cursors").isEmpty)
+    // pg_stats: empty without ANALYZEd column stats, schema answers
+    assert(spark.table("pg_stats").columns.length == 11)
+  }
 }
 
 class StatementRouterSpec extends SparkTestBase {
