@@ -86,33 +86,75 @@ object Similarity {
     (assigned, centroids)
   }
 
-  /** Lloyd-refined IVF centroids: start from the deterministic first-k seed,
-    * then `iters` rounds of assign → per-bucket elementwise mean. The mean
-    * is computed by exploding (bucket, dim, value) triples — one narrow
-    * shuffle per round, no vectors in the groupBy state — and rounds are
-    * localCheckpoint-ed so lineage stays flat. Refined centroids tighten
-    * buckets, which directly improves ivfKnn recall at the same nprobe. */
+  /** Lloyd-refined IVF centroids, trained on a bounded deterministic
+    * sample at the driver — the standard IVF recipe (FAISS trains on
+    * ~`40×k` sampled vectors, never the full corpus): take the top
+    * `trainCap` rows by xxhash64(id) (a deterministic pseudo-random
+    * sample, TakeOrdered — no full sort), run Lloyd locally, broadcast the
+    * centroids back for ONE distributed assignment pass. Compared to
+    * distributed Lloyd this removes `iters × 3` shuffle/checkpoint jobs —
+    * centroid training cost is O(trainCap·k·dim) at the driver and does
+    * not grow with the corpus — while the assignment semantics
+    * (cosine, ties to the lowest centroid id) stay identical to
+    * [[ivfBucketize]]. Refined centroids tighten buckets, which directly
+    * improves ivfKnn recall at the same nprobe.
+    *
+    * Driver memory bound: `trainCap` vectors (default 65536 × dim floats ≈
+    * 16 MB at dim 64) — a cap, not a scan; the sample job reads only
+    * (id, vec) columns. */
   def kmeansBucketize(corpus: DataFrame, numCentroids: Int, iters: Int = 3,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
-    graft.functions.GraftFunctions.registerAll(corpus.sparkSession)
-    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec")).localCheckpoint()
-    // same deterministic hash-sample seeding as ivfBucketize
-    var centroids = c.orderBy(xxhash64(col("cid")), col("cid")).limit(numCentroids)
-      .select(col("cid").as("centroid_id"), col("cvec").as("centroid"))
-      .localCheckpoint()
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      trainCap: Int = 65536): (DataFrame, DataFrame) = {
+    require(numCentroids > 0 && numCentroids <= trainCap)
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.registerAll(spark)
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    // deterministic training sample; the first `numCentroids` of it are the
+    // same seeds ivfBucketize picks
+    val sample: Array[(Long, Array[Double])] =
+      c.orderBy(xxhash64(col("cid")), col("cid")).limit(trainCap)
+        .select(col("cid").cast("long"), col("cvec").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val dim = if (sample.nonEmpty) sample.head._2.length else 0
+    var cents: Array[(Long, Array[Double])] =
+      sample.take(numCentroids).map { case (id, v) => (id, v.clone()) }
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
     var it = 0
     while (it < iters) {
-      val assigned = assignBuckets(c, centroids)
-      centroids = assigned
-        .select(col("bucket"), posexplode(col("cvec")).as(Seq("dim", "v")))
-        .groupBy(col("bucket"), col("dim")).agg(avg(col("v")).as("m"))
-        .groupBy(col("bucket"))
-        .agg(collect_list(struct(col("dim"), col("m"))).as("dims"))
-        .select(col("bucket").as("centroid_id"),
-          transform(array_sort(col("dims")), x => x.getField("m").cast("float")).as("centroid"))
-        .localCheckpoint()
+      // assign each sample vector to its best centroid (ties → lowest id,
+      // matching the distributed max_by(centroid_id, struct(sim, -id)))
+      val sums = scala.collection.mutable.LinkedHashMap[Long, (Array[Double], Long)]()
+      sample.foreach { case (_, v) =>
+        var best = -1L; var bestSim = Double.NegativeInfinity
+        cents.foreach { case (cid, cv) =>
+          val s = cosine(v, cv)
+          if (s > bestSim || (s == bestSim && (best < 0 || cid < best))) {
+            bestSim = s; best = cid
+          }
+        }
+        val (acc, n) = sums.getOrElseUpdate(best, (new Array[Double](dim), 0L))
+        var i = 0
+        while (i < dim) { acc(i) += v(i); i += 1 }
+        sums(best) = (acc, n + 1)
+      }
+      // empty clusters keep their previous centroid
+      cents = cents.map { case (cid, prev) =>
+        sums.get(cid) match {
+          case Some((acc, n)) if n > 0 => (cid, acc.map(_ / n))
+          case _                       => (cid, prev)
+        }
+      }
       it += 1
     }
+    import spark.implicits._
+    val centroids = cents.toSeq
+      .map { case (cid, v) => (cid, v.map(_.toFloat).toSeq) }
+      .toDF("centroid_id", "centroid")
     (assignBuckets(c, centroids), centroids)
   }
 
@@ -171,9 +213,10 @@ object Similarity {
     * Blocked by IVF bucket so the pairwise step is per-bucket, not global,
     * with two scale guards the text-LSH paths already have:
     *
-    *  - `numCentroids <= 0` auto-scales to ≈ N/4096 buckets (min 16), so the
-    *    expected bucket stays a few thousand vectors regardless of corpus
-    *    size — a fixed 16 would go quadratic at 100 TB;
+    *  - `numCentroids <= 0` auto-scales to ≈ N·nprobe/256 buckets (min 32,
+    *    cap 65536), so the expected bucket stays ~256 assignments and the
+    *    candidate set stays linear in N regardless of corpus size — a fixed
+    *    centroid count would go quadratic at 100 TB;
     *  - buckets larger than `maxBucket` are dropped before the pairwise
     *    join (the skew guard mirroring `Dedup.coBucketedPairs`): one dense
     *    cluster can't pin a single reducer on O(bucket²) work.
@@ -284,9 +327,19 @@ object Similarity {
                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(nprobe >= 1)
     graft.functions.GraftFunctions.registerAll(corpus.sparkSession)
+    // Auto-scale targets an expected bucket of ~256 assignments
+    // (N·nprobe/k ≈ 256): per-bucket pairing is quadratic, so bucket size —
+    // not centroid count — is what must stay bounded. k ≈ N·nprobe/256
+    // keeps the candidate set ≈ 128·nprobe·N, linear in N, where the old
+    // N/4096 target produced ~2048-vector buckets whose pairing cost WAS
+    // the all-pairs join it was supposed to avoid. Capped at 65536 so the
+    // centroid broadcast stays ≤ ~16 MB; corpora big enough to hit the cap
+    // (≥ ~4B assignments) should block with [[hyperplaneNearDupPairs]],
+    // whose signature width is corpus-size-independent.
     val k =
       if (numCentroids > 0) numCentroids
-      else math.max(16, (estimateRows(corpus) / 4096L).toInt)
+      else math.min(65536L,
+        math.max(32L, estimateRows(corpus) * nprobe / 256L)).toInt
     val base = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     val centroids = base.orderBy(xxhash64(col("id")), col("id")).limit(k)
       .select(col("id").as("centroid_id"), col("vec").as("centroid"))

@@ -115,10 +115,19 @@ object QueriesPipeline {
       val qs = emb.filter(col("vec_id") < 10)
       val (bucketed, centroids) = Similarity.kmeansBucketize(emb, numCentroids = 16, iters = 2)
       val approx = Similarity.ivfKnn(bucketed, centroids, qs, k = 5, nprobe = 8)
-      val rec = Similarity.recallAtK(approx, Similarity.bruteForceKnn(emb, qs, k = 5))
+      // recall vs the exact top-5 computed lazily inside the plan (exact
+      // side left-joins the approx hits, one global aggregate) — no
+      // driver-side count() jobs at construction, the q67 pattern
+      val hits = approx.select(col("qid"), col("cid"), lit(1).as("hit"))
+      val rec = Similarity.bruteForceKnn(emb, qs, k = 5)
+        .select(col("qid"), col("cid"))
+        .join(hits, Seq("qid", "cid"), "left")
+        .agg((sum(coalesce(col("hit"), lit(0))) >=
+          count(lit(1)) * 0.7).as("recall_ok"))
       approx.groupBy(col("qid"))
         .agg(count(lit(1)).as("n_results"))
-        .select(col("qid"), col("n_results"), (lit(rec) >= 0.7).as("recall_ok"))
+        .crossJoin(rec)
+        .select(col("qid"), col("n_results"), col("recall_ok"))
         .orderBy(col("qid"))
     }),
 
