@@ -159,6 +159,11 @@ class StatementRouter(spark: SparkSession, root: String) {
         summary(0L)
       case "create" if sig.length > 2 && sig(1).is("user") && sig(2).is("mapping") =>
         createUserMapping(sig)
+      case "create" if sig.length > 1 && sig(1).is("analyzer") => createAnalyzer(sig)
+      case "drop" if sig.length > 1 && sig(1).is("analyzer") =>
+        graft.operators.MatchText.Analyzer.drop(
+          sig(if (sig.lift(2).exists(_.is("if"))) 4 else 2).text)
+        summary(0L)
       case "insert"   => insert(stmt)
       case "update"   => update(stmt)
       case "delete"   => delete(stmt)
@@ -381,6 +386,158 @@ class StatementRouter(spark: SparkSession, root: String) {
     require(si > 0 && si + 1 < sig.length, "CREATE USER MAPPING needs SERVER <name>")
     graft.sources.Fdw.createUserMapping(user, sig(si + 1).text, parseOptions(sig, si))
     summary(0L)
+  }
+
+  /** `CREATE ANALYZER name (TOKENIZER t [WITH (…)], TOKEN_FILTERS (f [WITH
+    * (…)], …), CHAR_FILTERS (f [WITH (…)], …))` and the `EXTENDS base WITH
+    * (…)` form (reference `CreateAnalyzerStatementAnalyzer.java`,
+    * `docs/general/ddl/fulltext-indices.rst`). Builds a
+    * [[graft.operators.MatchText.Analyzer]] chain and registers it for
+    * MATCH / fulltext-index use by name. Supported pieces — tokenizers
+    * standard/whitespace/letter/lowercase/keyword; token filters lowercase,
+    * stop (stopwords=[…] or the English set), length (min/max), kstem /
+    * porter_stem / snowball (English), s_stem; char filters html_strip,
+    * mapping (mappings=['a=>b',…]), pattern_replace (pattern, replacement).
+    * Anything else raises, listing what the statement asked for. */
+  private def createAnalyzer(sig: Vector[Tok]): DataFrame = {
+    import graft.operators.MatchText.{Analyzer, CharFilter}
+    val name = sig(2).text
+    val exi = sig.indexWhere(_.is("extends"))
+    if (exi > 0) {
+      // CREATE ANALYZER x EXTENDS base WITH (k = v, …)
+      val base = sig(exi + 1).text.toLowerCase
+      val opts = parseKvOptions(sig, exi + 1)
+      val built = base match {
+        case "snowball" =>
+          val lang = opts.getOrElse("language", Seq("english")).head.toLowerCase
+          require(lang == "english" || lang == "en",
+            s"snowball language '$lang' unsupported (English stemming only)")
+          Analyzer(stopwords = graft.operators.MatchText.englishStopwords, porter = true)
+        case b if Analyzer.exists(b) =>
+          val a = Analyzer.byName(b)
+          opts.get("stopwords").map(sw => a.copy(stopwords = sw)).getOrElse(a)
+        case other => throw new IllegalArgumentException(s"unknown base analyzer: $other")
+      }
+      Analyzer.register(name, built)
+      return summary(1L)
+    }
+    // body form: walk the top-level parenthesized list
+    val open = sig.indexWhere(_.isSym("("))
+    require(open > 0, "CREATE ANALYZER needs a definition body or EXTENDS")
+    var a = Analyzer(lowercase = false)
+    var hasLower = false
+    var i = open + 1
+    def parenEnd(from: Int): Int = {
+      var depth = 0; var j = from
+      while (j < sig.length) {
+        if (sig(j).isSym("(") || sig(j).isSym("[")) depth += 1
+        else if (sig(j).isSym(")") || sig(j).isSym("]")) {
+          depth -= 1; if (depth == 0) return j
+        }
+        j += 1
+      }
+      sig.length - 1
+    }
+    def applyTokenFilter(f: String, opts: Map[String, Seq[String]]): Unit = f match {
+      case "lowercase" => hasLower = true
+      case "stop" => a = a.copy(stopwords =
+        opts.getOrElse("stopwords", graft.operators.MatchText.englishStopwords))
+      case "length" => a = a.copy(
+        minTokenLength = opts.get("min").map(_.head.toInt).getOrElse(a.minTokenLength),
+        maxTokenLength = opts.get("max").map(_.head.toInt).getOrElse(a.maxTokenLength))
+      case "kstem" | "porter_stem" => a = a.copy(porter = true)
+      case "snowball" =>
+        val lang = opts.getOrElse("language", Seq("english")).head.toLowerCase
+        require(lang == "english" || lang == "en",
+          s"snowball language '$lang' unsupported (English stemming only)")
+        a = a.copy(porter = true)
+      case "s_stem" => a = a.copy(sStem = true)
+      case other => throw new IllegalArgumentException(s"unknown token filter: $other")
+    }
+    def applyCharFilter(f: String, opts: Map[String, Seq[String]]): Unit = {
+      val kind = opts.get("type").map(_.head).getOrElse(f)
+      val cf = kind match {
+        case "html_strip" => CharFilter("html_strip")
+        case "mapping" => CharFilter("mapping",
+          mappings = opts.getOrElse("mappings",
+            throw new IllegalArgumentException("mapping char filter needs mappings=[…]")))
+        case "pattern_replace" => CharFilter("pattern_replace",
+          pattern = opts.getOrElse("pattern", Seq("")).head,
+          replacement = opts.getOrElse("replacement", Seq("")).head)
+        case other => throw new IllegalArgumentException(s"unknown char filter: $other")
+      }
+      a = a.copy(charFilters = a.charFilters :+ cf)
+    }
+    while (i < sig.length && !sig(i).isSym(")")) {
+      if (sig(i).is("tokenizer")) {
+        a = a.copy(tokenizer = sig(i + 1).text.toLowerCase)
+        i += 2
+        if (i < sig.length && sig(i).is("with")) i = parenEnd(i + 1) + 1
+      } else if (sig(i).is("token_filters") || sig(i).is("char_filters")) {
+        val isToken = sig(i).is("token_filters")
+        val end = parenEnd(i + 1)
+        var j = i + 2
+        while (j < end) {
+          val fname = sig(j).text.toLowerCase
+          var opts = Map.empty[String, Seq[String]]
+          j += 1
+          if (j < end && sig(j).is("with")) {
+            val oEnd = parenEnd(j + 1)
+            opts = parseKvBody(sig, j + 2, oEnd)
+            j = oEnd + 1
+          }
+          if (isToken) applyTokenFilter(fname, opts) else applyCharFilter(fname, opts)
+          if (j < end && sig(j).isSym(",")) j += 1
+        }
+        i = end + 1
+      } else i += 1
+      if (i < sig.length && sig(i).isSym(",")) i += 1
+    }
+    Analyzer.register(name, a.copy(lowercase = hasLower))
+    summary(1L)
+  }
+
+  /** `WITH ( k = v, k2 = [v, v2], … )` starting at or after `from` →
+    * key → values (arrays flattened, strings unquoted). */
+  private def parseKvOptions(sig: Vector[Tok], from: Int): Map[String, Seq[String]] = {
+    val wi = sig.indexWhere(_.is("with"), from)
+    if (wi < 0 || wi + 1 >= sig.length || !sig(wi + 1).isSym("(")) Map.empty
+    else {
+      var depth = 1; var end = wi + 2
+      while (end < sig.length && depth > 0) {
+        if (sig(end).isSym("(")) depth += 1
+        else if (sig(end).isSym(")")) depth -= 1
+        if (depth > 0) end += 1
+      }
+      parseKvBody(sig, wi + 2, end)
+    }
+  }
+
+  /** key `=` value (scalar or `[v, v, …]` list) pairs between `from`
+    * (inclusive) and `end` (exclusive). */
+  private def parseKvBody(sig: Vector[Tok], from: Int, end: Int): Map[String, Seq[String]] = {
+    val out = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
+    var i = from
+    while (i < end) {
+      if (i + 2 < end + 1 && sig(i + 1).isSym("=")) {
+        val key = sig(i).text.toLowerCase
+        var j = i + 2
+        if (j < end && sig(j).isSym("[")) {
+          var vals = Vector.empty[String]
+          j += 1
+          while (j < end && !sig(j).isSym("]")) {
+            if (!sig(j).isSym(",")) vals :+= unq(sig(j))
+            j += 1
+          }
+          out(key) = vals
+          i = j + 1
+        } else {
+          out(key) = Vector(unq(sig(j)))
+          i = j + 1
+        }
+      } else i += 1
+    }
+    out.toMap
   }
 
   private def dropTable(sig: Vector[Tok]): DataFrame = {

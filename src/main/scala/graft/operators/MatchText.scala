@@ -50,14 +50,62 @@ object MatchText {
     *    the property the oracle check needs; a full Porter stemmer would be
     *    a UDF and untestable against DuckDB.
     */
+  /** One char-filter step, applied to the raw text before tokenization
+    * (reference `CREATE ANALYZER … CHAR_FILTERS`, builtin set in
+    * `docs/general/ddl/fulltext-indices.rst`): `html_strip`, `mapping`
+    * (literal `from=>to` rewrites, applied in order), `pattern_replace`. */
+  final case class CharFilter(kind: String,
+                              mappings: Seq[String] = Nil,
+                              pattern: String = "", replacement: String = "") {
+    def apply(text: Column): Column = kind match {
+      case "html_strip" => regexp_replace(text, "<[^>]*>", " ")
+      case "mapping" =>
+        mappings.foldLeft(text) { (acc, m) =>
+          val Array(from, to) = m.split("=>", 2).map(_.trim)
+          replace(acc, lit(from), lit(to))
+        }
+      case "pattern_replace" => regexp_replace(text, pattern, replacement)
+      case other => throw new IllegalArgumentException(s"unknown char filter: $other")
+    }
+    def apply(s: String): String = kind match {
+      case "html_strip" => s.replaceAll("<[^>]*>", " ")
+      case "mapping" =>
+        mappings.foldLeft(s) { (acc, m) =>
+          val Array(from, to) = m.split("=>", 2).map(_.trim)
+          acc.replace(from, to)
+        }
+      case "pattern_replace" => s.replaceAll(pattern, replacement)
+      case other => throw new IllegalArgumentException(s"unknown char filter: $other")
+    }
+  }
+
   final case class Analyzer(stopwords: Seq[String] = Nil,
                             minTokenLength: Int = 1,
                             sStem: Boolean = false,
-                            porter: Boolean = false) {
+                            porter: Boolean = false,
+                            tokenizer: String = "standard",
+                            lowercase: Boolean = true,
+                            maxTokenLength: Int = 0,
+                            charFilters: Seq[CharFilter] = Nil) {
+    private def splitPattern: String = tokenizer match {
+      case "standard"               => "[^\\p{L}\\p{N}]+"
+      case "whitespace"             => "\\s+"
+      case "letter" | "lowercase"   => "[^\\p{L}]+"
+      case "keyword"                => ""
+      case other => throw new IllegalArgumentException(s"unknown tokenizer: $other")
+    }
+    private def lowered = lowercase || tokenizer == "lowercase"
+
     def apply(text: Column): Column = {
-      var toks = filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+      val filtered = charFilters.foldLeft(text)((acc, f) => f(acc))
+      val cased = if (lowered) lower(filtered) else filtered
+      var toks =
+        if (tokenizer == "keyword") array(cased)
+        else filter(split(cased, splitPattern), t => length(t) > 0)
       if (minTokenLength > 1)
         toks = filter(toks, t => length(t) >= minTokenLength)
+      if (maxTokenLength > 0)
+        toks = filter(toks, t => length(t) <= maxTokenLength)
       if (stopwords.nonEmpty) {
         val sw = array(stopwords.map(lit): _*)
         toks = filter(toks, t => !array_contains(sw, t))
@@ -68,8 +116,13 @@ object MatchText {
     }
     /** Same chain over a driver-side string (for query terms). */
     def tokens(s: String): Seq[String] = {
-      var t = s.toLowerCase.split("[^\\p{L}\\p{N}]+").toSeq.filter(_.nonEmpty)
+      val filtered = charFilters.foldLeft(s)((acc, f) => f(acc))
+      val cased = if (lowered) filtered.toLowerCase else filtered
+      var t =
+        if (tokenizer == "keyword") Seq(cased)
+        else cased.split(splitPattern).toSeq.filter(_.nonEmpty)
       if (minTokenLength > 1) t = t.filter(_.length >= minTokenLength)
+      if (maxTokenLength > 0) t = t.filter(_.length <= maxTokenLength)
       if (stopwords.nonEmpty) { val sw = stopwords.toSet; t = t.filterNot(sw) }
       if (porter) t = t.map(graft.functions.Porter.stem)
       else if (sStem) t = t.map(stemStr)
@@ -85,6 +138,26 @@ object MatchText {
     /** Full-fidelity `english`: Lucene uses PorterStemFilter; so does this
       * (spec-pinned against the published algorithm's vocabulary). */
     val englishPorter: Analyzer = Analyzer(stopwords = englishStopwords, porter = true)
+
+    /** Named-analyzer registry: built-ins (reference `builtin-analyzer`
+      * list) plus everything `CREATE ANALYZER` registered this session. */
+    private val registry = new java.util.concurrent.ConcurrentHashMap[String, Analyzer]()
+    Seq(
+      "standard"   -> default,
+      "english"    -> english,
+      "whitespace" -> Analyzer(tokenizer = "whitespace", lowercase = false),
+      "keyword"    -> Analyzer(tokenizer = "keyword", lowercase = false),
+      "simple"     -> Analyzer(tokenizer = "letter"),
+      "stop"       -> Analyzer(tokenizer = "letter", stopwords = englishStopwords)
+    ).foreach { case (n, a) => registry.put(n, a) }
+    def register(name: String, a: Analyzer): Unit = registry.put(name.toLowerCase, a)
+    def drop(name: String): Unit = registry.remove(name.toLowerCase)
+    def byName(name: String): Analyzer = {
+      val a = registry.get(name.toLowerCase)
+      require(a != null, s"unknown analyzer: $name")
+      a
+    }
+    def exists(name: String): Boolean = registry.containsKey(name.toLowerCase)
   }
 
   private val porterUdf =

@@ -151,10 +151,44 @@ object QueriesRound4 {
           ('region','nation','customer','supplier','part','orders',
            'lineitem','events','documents','embeddings')
         ORDER BY tbl""")
+    }),
+
+    // CREATE ANALYZER end-to-end: the DDL-registered chain (mapping char
+    // filter → lowercase → length filter) drives a real search over the
+    // documents table, and every step is literal string algebra the DuckDB
+    // oracle replays exactly — so the statement surface, the chain order
+    // (char filter BEFORE case folding), and the filters are all under the
+    // hash gate.
+    "q175_analyzer_ddl" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q175").toFile.getAbsolutePath
+      val router = new graft.StatementRouter(s, root)
+      router.execute("""CREATE ANALYZER q175an (
+        |  TOKENIZER standard,
+        |  TOKEN_FILTERS (lowercase, length WITH (min = 3)),
+        |  CHAR_FILTERS (m WITH (type = 'mapping', mappings = ['spark=>flink']))
+        |)""".stripMargin)
+      val a = graft.operators.MatchText.Analyzer.byName("q175an")
+      T(s, dir, "documents")
+        .select(col("doc_id"), a(col("text")).as("toks"))
+        .filter(array_contains(col("toks"), "flink"))
+        .select(col("doc_id"), size(col("toks")).as("n_toks"))
+        .orderBy(col("doc_id"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // the analyzer chain as literal string algebra: mapping replace on the
+    // RAW text, then lowercase, then standard-tokenize, then length >= 3
+    "q175_analyzer_ddl" ->
+      """SELECT doc_id, CAST(len(toks) AS INT) AS n_toks FROM (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(replace(text, 'spark', 'flink')),
+        |                                        '[^a-z0-9]+'),
+        |                     x -> len(x) >= 3) AS toks
+        |  FROM documents)
+        |WHERE list_contains(toks, 'flink')
+        |ORDER BY doc_id""".stripMargin,
+
     // ground truth: every fixture PK is its table's first field except
     // lineitem's composite (l_orderkey, l_linenumber) at positions 1 and 4
     "q174_pg_catalog" ->

@@ -486,6 +486,65 @@ class PgCatalogSpec extends SparkTestBase {
   }
 }
 
+class AnalyzerDdlSpec extends SparkTestBase {
+  import graft.operators.MatchText.Analyzer
+
+  test("CREATE ANALYZER: tokenizer + token filters + char filters (reference doctest)") {
+    val root = Files.createTempDirectory("graftan").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    // docs/general/ddl/fulltext-indices.rst "Creating a custom analyzer"
+    r.execute("""CREATE ANALYZER myanalyzer (
+                |  TOKENIZER whitespace,
+                |  TOKEN_FILTERS (lowercase, kstem),
+                |  CHAR_FILTERS (html_strip)
+                |)""".stripMargin)
+    val a = Analyzer.byName("myanalyzer")
+    assert(a.tokens("<b>Motoring</b> Cars") == Seq("motor", "car"))
+    // the customized variant: mapping char filter with explicit options
+    r.execute("""create ANALYZER myanalyzer_customized (
+                |  TOKENIZER whitespace,
+                |  TOKEN_FILTERS (lowercase, kstem),
+                |  CHAR_FILTERS (
+                |    mymapping WITH (
+                |      type='mapping',
+                |      mappings = ['ph=>f', 'qu=>q', 'foo=>bar']
+                |    )
+                |  )
+                |)""".stripMargin)
+    val c = Analyzer.byName("myanalyzer_customized")
+    assert(c.tokens("phone quit foo") == Seq("fone", "qit", "bar"))
+    // column-side chain agrees with the driver-side chain
+    import spark.implicits._
+    val got = Seq("<i>Phones</i> quoting").toDF("t")
+      .select(c(col("t"))).head().getSeq[String](0)
+    assert(got == c.tokens("<i>Phones</i> quoting"))
+    // stop + length filters with options
+    r.execute("""CREATE ANALYZER short_no_stop (
+                |  TOKENIZER standard,
+                |  TOKEN_FILTERS (lowercase, stop, length WITH (min = 3, max = 6))
+                |)""".stripMargin)
+    val s = Analyzer.byName("short_no_stop")
+    assert(s.tokens("The quick brownest ox ran") == Seq("quick", "ran"))
+    r.execute("DROP ANALYZER short_no_stop")
+    assert(!Analyzer.exists("short_no_stop"))
+  }
+
+  test("CREATE ANALYZER EXTENDS snowball (reference german_snowball doctest shape)") {
+    val root = Files.createTempDirectory("graftan2").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute("create ANALYZER english_snowball extends snowball WITH (language = 'english')")
+    val a = Analyzer.byName("english_snowball")
+    assert(a.tokens("the generalizations of oscillators") == Seq("gener", "oscil"))
+    // non-English snowball is an explicit unsupported error, not silence
+    val e = intercept[Exception](
+      r.execute("create ANALYZER g extends snowball WITH (language = 'german')"))
+    assert(e.getMessage.contains("unsupported"))
+    // keyword tokenizer: the whole value is one token (plain-index analog)
+    r.execute("CREATE ANALYZER kw (TOKENIZER keyword)")
+    assert(Analyzer.byName("kw").tokens("Exact Phrase Here") == Seq("Exact Phrase Here"))
+  }
+}
+
 class StatementRouterSpec extends SparkTestBase {
 
   test("SET/RESET, SHOW CREATE TABLE, and the sys.jobs_log trail") {
