@@ -216,10 +216,17 @@ class StatementRouter(spark: SparkSession, root: String) {
       }
       s"   ${f.name} $t" + (if (f.nullable) "" else " NOT NULL")
     }.mkString(",\n")
+    // declared fulltext indexes re-render as table-level INDEX clauses,
+    // like the reference's MetadataToASTVisitor
+    val ftIndexes = VersionedTable.indexSpecs(spark, tablePath(name)).map { ix =>
+      s"   INDEX ${ix.name} USING FULLTEXT (${ix.cols.mkString(", ")}) " +
+        s"WITH (analyzer = '${ix.analyzer}')"
+    }
+    val body = (cols +: ftIndexes.toVector).filter(_.nonEmpty).mkString(",\n")
     val clustered = VersionedTable.bucketSpec(spark, tablePath(name))
       .map(b => s"\nCLUSTERED BY (${b.cols.mkString(", ")}) INTO ${b.numBuckets} SHARDS")
       .getOrElse("")
-    Seq(s"CREATE TABLE IF NOT EXISTS $name (\n$cols\n)$clustered")
+    Seq(s"CREATE TABLE IF NOT EXISTS $name (\n$body\n)$clustered")
       .toDF("create_table")
   }
 
@@ -314,10 +321,65 @@ class StatementRouter(spark: SparkSession, root: String) {
           VersionedTable.BucketSpec(m.group(2).toInt,
             m.group(1).split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq))
       }
+    // fulltext INDEX defs (table-level and column-level) → durable index
+    // spec; the analyzer must exist NOW, like the reference's CREATE-time
+    // validation
+    val ftIndexes = parseFulltextIndexes(Dialect.lex(stmt).filter(_.sig))
+    if (ftIndexes.nonEmpty) {
+      ftIndexes.foreach(ix => require(
+        graft.operators.MatchText.Analyzer.exists(ix.analyzer),
+        s"unknown analyzer: ${ix.analyzer}"))
+      VersionedTable.setIndexSpecs(spark, tablePath(name), ftIndexes)
+    }
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
     VersionedTable.commit(spark, tablePath(name), empty)
     summary(0L)
+  }
+
+  /** Fulltext INDEX definitions inside a CREATE TABLE column list
+    * (reference `docs/general/ddl/fulltext-indices.rst`,
+    * `analyze/MetadataToASTVisitor.java` renders the same clauses back):
+    *
+    *  - table-level `INDEX name USING FULLTEXT (col, …) [WITH (analyzer = 'x')]`
+    *  - column-level `col TEXT INDEX USING FULLTEXT [WITH (analyzer = 'x')]`
+    *
+    * Default analyzer is `standard`, like the reference. `INDEX OFF` /
+    * `INDEX USING PLAIN` carry no analyzer semantics and are ignored. */
+  private def parseFulltextIndexes(sig: Vector[Tok]): Seq[VersionedTable.IndexSpec] = {
+    val open = sig.indexWhere(_.isSym("("))
+    if (open < 0) return Nil
+    val close = matchFwd(sig, open)
+    splitTopCommas(sig.slice(open + 1, close)).flatMap { d =>
+      def analyzerOf(from: Int): String = {
+        val wi = d.indexWhere(_.is("with"), from)
+        if (wi >= 0 && d.lift(wi + 1).exists(_.isSym("("))) {
+          val c = matchFwd(d, wi + 1)
+          val body = d.slice(wi + 2, c)
+          val ai = body.indexWhere(_.is("analyzer"))
+          if (ai >= 0 && body.lift(ai + 1).exists(_.isSym("=")) && ai + 2 < body.length)
+            unq(body(ai + 2))
+          else "standard"
+        } else "standard"
+      }
+      val ix = d.indexWhere(_.is("index"))
+      def usingFulltext(k: Int) =
+        d.lift(k).exists(_.is("using")) && d.lift(k + 1).exists(_.is("fulltext"))
+      if (ix == 0 && usingFulltext(2)) {
+        // INDEX name USING FULLTEXT (cols) [WITH (...)]
+        val po = d.indexWhere(_.isSym("("), 4)
+        if (po < 0) None
+        else {
+          val pc = matchFwd(d, po)
+          val cols = splitTopCommas(d.slice(po + 1, pc)).map(p => unq(p.head))
+          Some(VersionedTable.IndexSpec(unq(d(1)), cols, analyzerOf(pc)))
+        }
+      } else if (ix > 0 && usingFulltext(ix + 1)) {
+        // col TYPE INDEX USING FULLTEXT [WITH (...)] — the index is the column
+        val col = unq(d(0))
+        Some(VersionedTable.IndexSpec(col, Seq(col), analyzerOf(ix + 2)))
+      } else None
+    }
   }
 
   // ---------- FDW DDL (reference fdw/CreateServerPlan.java,

@@ -76,6 +76,40 @@ object VersionedTable {
     }
   }
 
+  /** One declared fulltext index (reference `CREATE TABLE … INDEX name
+    * USING FULLTEXT (cols) WITH (analyzer = '…')`, FulltextIndexer.java):
+    * durable table metadata, like the bucket spec — SHOW CREATE TABLE
+    * reproduces the clause, and index builds resolve the analyzer by name
+    * through [[graft.operators.MatchText.Analyzer.byName]]. */
+  final case class IndexSpec(name: String, cols: Seq[String], analyzer: String)
+
+  private def indexSpecFile(path: String) = new Path(path, "_indexspec")
+
+  /** Record the declared fulltext indexes for the table at `path`. */
+  def setIndexSpecs(spark: SparkSession, path: String, specs: Seq[IndexSpec]): Unit = {
+    val f = fs(spark)
+    f.mkdirs(new Path(path))
+    val out = f.create(indexSpecFile(path), true)
+    out.write(specs.map(s => s"${s.name}\t${s.cols.mkString(",")}\t${s.analyzer}")
+      .mkString("\n").getBytes("UTF-8"))
+    out.close()
+  }
+
+  def indexSpecs(spark: SparkSession, path: String): Seq[IndexSpec] = {
+    val f = fs(spark)
+    val p = indexSpecFile(path)
+    if (!f.exists(p)) Nil
+    else {
+      val in = f.open(p)
+      val bytes = new Array[Byte](in.available())
+      in.readFully(bytes); in.close()
+      new String(bytes, "UTF-8").split("\n").toSeq.filter(_.nonEmpty).map { line =>
+        val Array(n, cols, an) = line.split("\t", 3)
+        IndexSpec(n, cols.split(",").toSeq, an)
+      }
+    }
+  }
+
   /** Catalog identifier for one version's external bucketed table — derived
     * from the table path so concurrent tests/roots cannot collide. */
   private def catalogName(path: String, version: Int): String = {

@@ -592,6 +592,56 @@ class StatementRouterSpec extends SparkTestBase {
     assert(counts.isEmpty, s"statements logged more than once: ${counts.mkString(", ")}")
   }
 
+  test("fulltext INDEX DDL: parsed, analyzer-validated, durable, rendered back") {
+    val root = Files.createTempDirectory("graftftix").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+
+    // table-level composite index + column-level index, reference
+    // docs/general/ddl/fulltext-indices.rst shapes
+    r.execute("""CREATE TABLE docs (
+        id BIGINT PRIMARY KEY,
+        title TEXT INDEX USING FULLTEXT WITH (analyzer = 'english'),
+        body TEXT,
+        summary TEXT,
+        INDEX body_ft USING FULLTEXT (body, summary) WITH (analyzer = 'standard')
+      )""")
+    val specs = VersionedTable.indexSpecs(spark, s"$root/docs")
+    assert(specs == Seq(
+      VersionedTable.IndexSpec("title", Seq("title"), "english"),
+      VersionedTable.IndexSpec("body_ft", Seq("body", "summary"), "standard")), specs)
+
+    // SHOW CREATE TABLE reproduces the clauses (MetadataToASTVisitor parity)
+    val ddl = r.execute("SHOW CREATE TABLE docs").head().getString(0)
+    assert(ddl.contains("INDEX title USING FULLTEXT (title) WITH (analyzer = 'english')"), ddl)
+    assert(ddl.contains("INDEX body_ft USING FULLTEXT (body, summary) WITH (analyzer = 'standard')"), ddl)
+
+    // default analyzer is standard; INDEX OFF / USING PLAIN carry no spec
+    r.execute("CREATE TABLE d2 (a TEXT INDEX USING FULLTEXT, b TEXT INDEX OFF, " +
+      "INDEX ab USING FULLTEXT (a))")
+    assert(VersionedTable.indexSpecs(spark, s"$root/d2") == Seq(
+      VersionedTable.IndexSpec("a", Seq("a"), "standard"),
+      VersionedTable.IndexSpec("ab", Seq("a"), "standard")))
+
+    // CREATE-time validation, like the reference's analyzer resolution
+    val e = intercept[Exception](
+      r.execute("CREATE TABLE bad (t TEXT INDEX USING FULLTEXT WITH (analyzer = 'nope'))"))
+    assert(e.getMessage.contains("unknown analyzer"), e.getMessage)
+    assert(VersionedTable.latestVersion(spark, s"$root/bad").isEmpty,
+      "failed CREATE must not leave a table version")
+
+    // the declared analyzer drives a real index build (Analyzer.byName)
+    r.execute("INSERT INTO docs (id, title, body, summary) VALUES " +
+      "(1, 'The Running Dogs', 'dogs run fast', 'dogs'), " +
+      "(2, 'Cats Sleeping', 'cats sleep all day', 'cats')")
+    val spec = VersionedTable.indexSpecs(spark, s"$root/docs").head
+    val ix = graft.operators.MatchText.buildIndex(
+      VersionedTable.read(spark, s"$root/docs"), "id", spec.cols.head,
+      graft.operators.MatchText.Analyzer.byName(spec.analyzer))
+    // 'english' s-stems "dogs"→"dog": the singular query term hits doc 1
+    val hits = graft.operators.MatchText.searchBM25(ix, "dog").collect()
+    assert(hits.map(_.getLong(0)).contains(1L), hits.mkString(", "))
+  }
+
   test("full CrateDB client session: DDL, upserts, update/delete returning, select") {
     val root = Files.createTempDirectory("graftsql").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
