@@ -35,7 +35,7 @@ object Dialect {
   // ---------- lexer ----------
 
   sealed trait Kind
-  private object K {
+  private[graft] object K {
     case object Ws extends Kind; case object Cmt extends Kind
     case object Str extends Kind; case object QId extends Kind
     case object Word extends Kind; case object Num extends Kind

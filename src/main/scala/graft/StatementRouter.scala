@@ -179,8 +179,69 @@ class StatementRouter(spark: SparkSession, root: String) {
       case "show" if sig.length > 2 && sig(1).is("create") && sig(2).is("table") =>
         showCreateTable(sig(3).text)
       // non-recording: execute() logs the statement once for every route
-      case _          => registerViews(); spark.sql(Dialect.translate(stmt))
+      case _          =>
+        registerViews()
+        spark.sql(applyDeclaredAnalyzers(Dialect.translate(stmt)))
     }
+  }
+
+  /** MATCH through declared fulltext indexes (reference MatchPredicate
+    * resolves each target's index analyzer, `lucene/match/MatchQueries.java`;
+    * a named composite index — `INDEX ft USING FULLTEXT (a, b)` — is
+    * MATCHable by its name). [[Dialect.translate]] has already lowered MATCH
+    * to `match_text(target, 'q')`; here each target resolves against the
+    * referenced tables' durable index specs:
+    *
+    *  - column / index name with a declared analyzer →
+    *    `match_text_analyzed(col, 'q', '<analyzer>')`
+    *  - a composite index name expands to OR over its covered columns
+    *    (the reference concatenates the fields into one Lucene field —
+    *    term-presence over the union is the same predicate)
+    *
+    * Targets without a spec keep the default-analyzer `match_text` path. */
+  private def applyDeclaredAnalyzers(sql: String): String = {
+    val sig = Dialect.lex(sql).filter(_.sig)
+    if (!sig.exists(t => t.kind == Dialect.K.Word && t.is("match_text"))) return sql
+    val specs: Map[String, VersionedTable.IndexSpec] = {
+      val words = sig.filter(t => t.kind == Dialect.K.Word || t.kind == Dialect.K.QId)
+        .map(t => unq(t).toLowerCase).toSet
+      val rp = new Path(root)
+      if (!fs.exists(rp)) Map.empty
+      else fs.listStatus(rp).iterator
+        .map(_.getPath.getName)
+        .filter(n => words.contains(n.toLowerCase))
+        .flatMap(n => VersionedTable.indexSpecs(spark, tablePath(n)))
+        .map(s => s.name.toLowerCase -> s)
+        .toMap
+    }
+    if (specs.isEmpty) return sql
+    val out = new StringBuilder
+    var i = 0
+    while (i < sig.length) {
+      val t = sig(i)
+      val rewritten =
+        if (t.kind == Dialect.K.Word && t.is("match_text") &&
+            sig.lift(i + 1).exists(_.isSym("("))) {
+          val close = matchFwd(sig, i + 1)
+          val parts = splitTopCommas(sig.slice(i + 2, close))
+          if (parts.length == 2) {
+            val target = parts(0)
+            val last = target.last
+            specs.get(unq(last).toLowerCase).map { spec =>
+              val qualifier = target.dropRight(1).map(_.text).mkString // "t."
+              val q = renderSig(parts(1))
+              val ored = spec.cols
+                .map(c => s"match_text_analyzed($qualifier$c, $q, '${spec.analyzer}')")
+                .mkString("(", " OR ", ")")
+              out.append(ored).append(' ')
+              i = close + 1
+              true
+            }.getOrElse(false)
+          } else false
+        } else false
+      if (!rewritten) { out.append(t.text).append(' '); i += 1 }
+    }
+    out.toString.trim
   }
 
   /** `SET [SESSION | GLOBAL] [PERSISTENT | TRANSIENT] key { = | TO } value

@@ -131,6 +131,19 @@ object GraftFunctions {
         Boolean.box(TextFunctions.tokenize(query.toLowerCase).forall(toks.contains))
       })
 
+    // MATCH through a declared fulltext index: both sides run through the
+    // index's named analyzer (reference MatchPredicate resolves the
+    // column's index analyzer, `lucene/match/MatchQueries.java`). The
+    // StatementRouter rewrites match_text → this form for columns with a
+    // CREATE TABLE `INDEX … USING FULLTEXT WITH (analyzer = …)` spec.
+    u.register("match_text_analyzed", (text: String, query: String, analyzer: String) =>
+      if (text == null || query == null) null
+      else {
+        val a = graft.operators.MatchText.Analyzer.byName(analyzer)
+        val toks = a.tokens(text).toSet
+        Boolean.box(a.tokens(query).forall(toks.contains))
+      })
+
     // 3-valued-logic helper (reference Ignore3vlFunction.java:52):
     // null → false, so NOT over it behaves 2-valued.
     u.register("ignore3vl", (b: java.lang.Boolean) => Boolean.box(b != null && b))

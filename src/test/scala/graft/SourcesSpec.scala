@@ -640,6 +640,21 @@ class StatementRouterSpec extends SparkTestBase {
     // 'english' s-stems "dogs"→"dog": the singular query term hits doc 1
     val hits = graft.operators.MatchText.searchBM25(ix, "dog").collect()
     assert(hits.map(_.getLong(0)).contains(1L), hits.mkString(", "))
+
+    // SQL MATCH resolves the column's declared analyzer: 'dog' only hits
+    // once "dogs" is s-stemmed by the english analyzer (default match_text
+    // would miss), and stopwords in the query are dropped
+    val m1 = r.execute("SELECT id FROM docs WHERE MATCH(title, 'the dog')").collect()
+    assert(m1.map(_.getLong(0)).toSeq == Seq(1L), m1.mkString(", "))
+
+    // a named composite index is MATCHable by name: body_ft covers
+    // (body, summary) — 'cats' occurs in doc 2's body only
+    val m2 = r.execute("SELECT id FROM docs WHERE MATCH(body_ft, 'cats')").collect()
+    assert(m2.map(_.getLong(0)).toSeq == Seq(2L), m2.mkString(", "))
+
+    // undeclared targets keep the default-analyzer path
+    val m3 = r.execute("SELECT id FROM docs WHERE MATCH(body, 'sleep')").collect()
+    assert(m3.map(_.getLong(0)).toSeq == Seq(2L), m3.mkString(", "))
   }
 
   test("full CrateDB client session: DDL, upserts, update/delete returning, select") {
