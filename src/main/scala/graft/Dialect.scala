@@ -223,6 +223,11 @@ object Dialect {
     "date_format"          -> "date_format_mysql",
     "array_overlap"        -> "arrays_overlap",
     "gen_random_text_uuid" -> "uuid",
+    // ArrayToStringFunction.java:36 — same null-skip / null_string
+    // semantics as Spark's array_join
+    "array_to_string"      -> "array_join",
+    // StartsWithFunction.java:51 — Spark spells it without the underscore
+    "starts_with"          -> "startswith",
     // CrateDB keeps PG argument order array_prepend(value, array)
     // (ArrayPrependFunction.java:47); Spark's builtin is (array, value).
     // Renamed to a graft-registered twin with the CrateDB order — an

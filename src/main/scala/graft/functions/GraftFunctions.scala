@@ -159,6 +159,69 @@ object GraftFunctions {
       else if (sep.isEmpty) Seq(s)
       else s.split(java.util.regex.Pattern.quote(sep), -1).toSeq)
 
+    // pg wire-compat lookup scalars (reference scalar/postgres/*,
+    // scalar/systeminformation/*) — driver-closure UDFs over plan-time
+    // metadata; never in a hot path.
+    locally {
+      // pg_wchar.h encoding identifiers in OID order
+      // (PgEncodingToCharFunction.java:65)
+      val encodings = Array(
+        "SQL_ASCII", "EUC_JP", "EUC_CN", "EUC_KR", "EUC_TW", "EUC_JIS_2004",
+        "UTF8", "MULE_INTERNAL", "LATIN1", "LATIN2", "LATIN3", "LATIN4",
+        "LATIN5", "LATIN6", "LATIN7", "LATIN8", "LATIN9", "LATIN10",
+        "WIN1256", "WIN1258", "WIN866", "WIN874", "KOI8R", "WIN1251",
+        "WIN1252", "ISO_8859_5", "ISO_8859_6", "ISO_8859_7", "ISO_8859_8",
+        "WIN1250", "WIN1253", "WIN1254", "WIN1255", "WIN1257", "KOI8U",
+        "SJIS", "BIG5", "GBK", "UHC", "GB18030", "JOHAB", "SHIFT_JIS_2004")
+      u.register("pg_encoding_to_char", (enc: java.lang.Integer) =>
+        if (enc == null || enc < 0 || enc >= encodings.length) null
+        else encodings(enc))
+
+      // single-role engine: the session user's pseudo-OID resolves, any
+      // other OID renders like the reference (PgGetUserByIdFunction)
+      val sessionUser = spark.sparkContext.sparkUser
+      val userOid = graft.sources.PgCatalog.oid(sessionUser)
+      u.register("pg_get_userbyid", (roleOid: java.lang.Integer) =>
+        if (roleOid == null) null
+        else if (roleOid.intValue == userOid) sessionUser
+        else s"unknown (OID=$roleOid)")
+
+      // PK constraint OIDs render their definition
+      // (PgGetConstraintDefFunction.renderPrimaryKey); unknown OIDs → null
+      val constraintDefs: Map[Int, String] =
+        graft.sources.InformationSchema.primaryKeys.map { case (t, cols) =>
+          graft.sources.PgCatalog.oid(s"${t}_pkey") ->
+            s"PRIMARY KEY (${cols.mkString(", ")})"
+        }
+      u.register("pg_get_constraintdef", (oid: java.lang.Integer) =>
+        if (oid == null) null else constraintDefs.get(oid.intValue).orNull)
+
+      // format_type(oid, typemod): wire OID → PG display name; array OIDs
+      // render inner[] (FormatTypeFunction.java); unknown → '???'
+      val typeNames = Map(
+        16 -> "bool", 17 -> "bytea", 20 -> "int8", 21 -> "int2",
+        23 -> "int4", 25 -> "text", 114 -> "json", 700 -> "float4",
+        701 -> "float8", 1043 -> "varchar", 1082 -> "date",
+        1114 -> "timestamp", 1184 -> "timestamptz", 1700 -> "numeric",
+        2249 -> "record")
+      val arrayTypeNames = Map(
+        1000 -> "bool[]", 1007 -> "int4[]", 1009 -> "text[]",
+        1016 -> "int8[]", 1021 -> "float4[]", 1022 -> "float8[]",
+        2287 -> "record[]")
+      u.register("format_type", (oid: java.lang.Integer, mod: java.lang.Integer) =>
+        if (oid == null) null
+        else typeNames.get(oid.intValue)
+          .orElse(arrayTypeNames.get(oid.intValue))
+          .getOrElse("???"))
+
+      // pg_sleep really sleeps (PgSleepFunction), returns null like PG
+      u.register("pg_sleep", (seconds: java.lang.Double) => {
+        if (seconds != null && seconds > 0)
+          Thread.sleep((seconds * 1000).toLong)
+        null: String
+      })
+    }
+
     // native codegen'd vector expressions (graft.plans.VectorExpressions) —
     // registered in the Catalyst function registry so both SQL and
     // functions.call_function can reach them.
@@ -288,6 +351,38 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("current_setting",
         exprs => graft.plans.CurrentSettingExpr(exprs(0), exprs.drop(1).headOption),
         "scala_udf")
+
+      // systeminformation/postgres scalar tail (reference
+      // scalar/systeminformation/*, scalar/postgres/*): plan-time constants
+      // and null-folds exactly where the reference is constant for a
+      // single-user engine. All foldable — they vanish before execution.
+      import org.apache.spark.sql.types.StringType
+      def nullOr(arg: org.apache.spark.sql.catalyst.expressions.Expression,
+                 out: org.apache.spark.sql.catalyst.expressions.Expression) =
+        If(IsNull(arg), Literal.create(null, out.dataType), out)
+      // CrateDB's default schema is `doc` (SessionSettings.currentSchema)
+      reg.createOrReplaceTempFunction("current_schema",
+        _ => Literal("doc"), "scala_udf")
+      reg.createOrReplaceTempFunction("current_schemas",
+        exprs => If(call("coalesce", exprs(0), Literal(false)),
+          call("array", Literal("pg_catalog"), Literal("doc")),
+          call("array", Literal("doc"))), "scala_udf")
+      // comments are unsupported in the reference → always null
+      // (ColDescriptionFunction, ObjDescriptionFunction); same for
+      // pg_get_expr / pg_get_serial_sequence / pg_get_partkeydef
+      Seq("col_description", "obj_description", "pg_get_expr",
+        "pg_get_serial_sequence", "pg_get_partkeydef").foreach { n =>
+        reg.createOrReplaceTempFunction(n,
+          _ => Literal.create(null, StringType), "scala_udf")
+      }
+      // every registered relation/function is on the search path
+      Seq("pg_table_is_visible", "pg_function_is_visible").foreach { n =>
+        reg.createOrReplaceTempFunction(n,
+          exprs => nullOr(exprs(0), Literal(true)), "scala_udf")
+      }
+      reg.createOrReplaceTempFunction("pg_postmaster_start_time",
+        _ => Literal(java.time.Instant.ofEpochMilli(
+          spark.sparkContext.startTime)), "scala_udf")
     }
 
     // UDF→native promotion rule (see plans.GraftExtensions; injected here

@@ -173,6 +173,37 @@ object QueriesRound4 {
         .filter(array_contains(col("toks"), "flink"))
         .select(col("doc_id"), size(col("toks")).as("n_toks"))
         .orderBy(col("doc_id"))
+    }),
+
+    // The systeminformation/postgres scalar tail (reference
+    // scalar/systeminformation/*, scalar/postgres/*): every function is a
+    // deterministic plan-time fold, so the oracle replays the exact
+    // values the reference documents — UTF8 for encoding 6 + null out of
+    // range, OID→display-name with '???' and inner[] conventions, PK
+    // constraint rendering from the pseudo-OID, 'doc' search path, null
+    // comments, always-visible relations.
+    "q176_pg_shims" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      val pkOid = graft.sources.PgCatalog.oid("orders_pkey")
+      val compositePkOid = graft.sources.PgCatalog.oid("lineitem_pkey")
+      s.sql(s"""
+        SELECT current_schema() AS sch,
+               to_json(current_schemas(true)) AS schs_all,
+               to_json(current_schemas(false)) AS schs,
+               pg_encoding_to_char(6) AS enc6,
+               pg_encoding_to_char(99) AS enc_oor,
+               format_type(20, NULL) AS t_int8,
+               format_type(1184, NULL) AS t_tstz,
+               format_type(1009, NULL) AS t_text_arr,
+               format_type(424242, NULL) AS t_unknown,
+               pg_get_constraintdef($pkOid) AS pk_orders,
+               pg_get_constraintdef($compositePkOid) AS pk_lineitem,
+               pg_get_constraintdef(7) AS pk_unknown,
+               col_description(1, 1) AS cdesc,
+               obj_description(1, 'pg_class') AS odesc,
+               pg_table_is_visible(1) AS tvis,
+               pg_function_is_visible(1) AS fvis,
+               pg_get_serial_sequence('orders', 'o_orderkey') AS serial_seq""")
     })
   )
 
@@ -188,6 +219,27 @@ object QueriesRound4 {
         |  FROM documents)
         |WHERE list_contains(toks, 'flink')
         |ORDER BY doc_id""".stripMargin,
+
+    // every value is the reference-documented constant for a single-user
+    // engine; both PK oids hash to live constraint defs
+    "q176_pg_shims" ->
+      """SELECT 'doc' AS sch,
+        |       '["pg_catalog","doc"]' AS schs_all,
+        |       '["doc"]' AS schs,
+        |       'UTF8' AS enc6,
+        |       CAST(NULL AS VARCHAR) AS enc_oor,
+        |       'int8' AS t_int8,
+        |       'timestamptz' AS t_tstz,
+        |       'text[]' AS t_text_arr,
+        |       '???' AS t_unknown,
+        |       'PRIMARY KEY (o_orderkey)' AS pk_orders,
+        |       'PRIMARY KEY (l_orderkey, l_linenumber)' AS pk_lineitem,
+        |       CAST(NULL AS VARCHAR) AS pk_unknown,
+        |       CAST(NULL AS VARCHAR) AS cdesc,
+        |       CAST(NULL AS VARCHAR) AS odesc,
+        |       TRUE AS tvis,
+        |       TRUE AS fvis,
+        |       CAST(NULL AS VARCHAR) AS serial_seq""".stripMargin,
 
     // ground truth: every fixture PK is its table's first field except
     // lineitem's composite (l_orderkey, l_linenumber) at positions 1 and 4

@@ -610,6 +610,41 @@ class MiscFunctionsSpec extends SparkTestBase {
     assert(r.getString(0).nonEmpty && r.getString(3).nonEmpty)
   }
 
+  test("pg systeminformation shim family (reference scalar/postgres, scalar/systeminformation)") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT current_schema() AS sch,
+               current_schemas(true) AS schs,
+               pg_encoding_to_char(6) AS enc,
+               pg_encoding_to_char(-1) AS enc_neg,
+               format_type(25, NULL) AS t_text,
+               format_type(1022, NULL) AS t_f8arr,
+               format_type(9, NULL) AS t_unk,
+               pg_get_userbyid(12345) AS unknown_user,
+               pg_table_is_visible(CAST(NULL AS INT)) AS vis_null,
+               pg_function_is_visible(10) AS fvis,
+               pg_postmaster_start_time() <= current_timestamp() AS started,
+               pg_sleep(0.0) AS slept""").head()
+    assert(r.getString(0) == "doc")
+    assert(r.getSeq[String](1) == Seq("pg_catalog", "doc"))
+    assert(r.getString(2) == "UTF8" && r.isNullAt(3))
+    assert(r.getString(4) == "text" && r.getString(5) == "float8[]" &&
+      r.getString(6) == "???")
+    assert(r.getString(7) == "unknown (OID=12345)")
+    assert(r.isNullAt(8) && r.getBoolean(9) && r.getBoolean(10) && r.isNullAt(11))
+    // the session user's own pseudo-OID resolves to the user name
+    val u = spark.sparkContext.sparkUser
+    val byId = spark.sql(
+      s"SELECT pg_get_userbyid(${graft.sources.PgCatalog.oid(u)}) AS n").head()
+    assert(byId.getString(0) == u)
+    // renames flow through the dialect: array_to_string / starts_with
+    val d = graft.Engine.sql(spark,
+      "SELECT array_to_string(['a', null, 'b'], ',', '?') AS j, " +
+        "starts_with('hello', 'he') AS sw")
+    val dr = d.head()
+    assert(dr.getString(0) == "a,?,b" && dr.getBoolean(1))
+  }
+
   test("btrim with custom chars and negative array subscripts") {
     val r = spark.sql(
       """SELECT trim(BOTH 'x' FROM 'xxhixx') AS t,
