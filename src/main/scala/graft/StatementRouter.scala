@@ -100,6 +100,36 @@ class StatementRouter(spark: SparkSession, root: String) {
       if (st.isDirectory && fs.exists(new Path(st.getPath, "_manifests")))
         readTable(name).createOrReplaceTempView(name)
     }
+    // SQL views on top of the table snapshots (reference CreateViewPlan /
+    // ViewsMetadata: a view is stored query text, re-analyzed per use so it
+    // always reads the CURRENT table version). Views may reference other
+    // views — register to a fixpoint, deferring ones whose dependencies
+    // haven't been registered yet this pass.
+    if (fs.exists(viewsDir)) {
+      var pending = fs.listStatus(viewsDir).toSeq
+        .filter(_.getPath.getName.endsWith(".sql")).map(_.getPath)
+      var progressed = true
+      while (pending.nonEmpty && progressed) {
+        val next = pending.filterNot { p =>
+          try {
+            spark.sql(applyDeclaredAnalyzers(Dialect.translate(readTextFile(p))))
+              .createOrReplaceTempView(p.getName.stripSuffix(".sql"))
+            true
+          } catch { case _: Exception => false }
+        }
+        progressed = next.length < pending.length
+        pending = next
+      }
+    }
+  }
+
+  private def viewsDir = new Path(root, "_views")
+
+  private def readTextFile(p: Path): String = {
+    val in = fs.open(p)
+    val bytes = new Array[Byte](in.available())
+    in.readFully(bytes); in.close()
+    new String(bytes, "UTF-8")
   }
 
   /** Run a multi-statement script (what a CrateDB client sends over one
@@ -159,11 +189,16 @@ class StatementRouter(spark: SparkSession, root: String) {
         summary(0L)
       case "create" if sig.length > 2 && sig(1).is("user") && sig(2).is("mapping") =>
         createUserMapping(sig)
+      case "create" if sig.length > 1 && sig(1).is("view") => createView(sig, orReplace = false)
+      case "create" if sig.length > 3 && sig(1).is("or") && sig(2).is("replace") &&
+        sig(3).is("view") => createView(sig, orReplace = true)
+      case "drop" if sig.length > 1 && sig(1).is("view") => dropView(sig)
       case "create" if sig.length > 1 && sig(1).is("analyzer") => createAnalyzer(sig)
       case "drop" if sig.length > 1 && sig(1).is("analyzer") =>
         graft.operators.MatchText.Analyzer.drop(
           sig(if (sig.lift(2).exists(_.is("if"))) 4 else 2).text)
         summary(0L)
+      case "alter" if sig.length > 1 && sig(1).is("table") => alterTable(sig)
       case "insert"   => insert(stmt)
       case "update"   => update(stmt)
       case "delete"   => delete(stmt)
@@ -178,6 +213,9 @@ class StatementRouter(spark: SparkSession, root: String) {
       case "reset"    => spark.conf.unset(sig.drop(1).map(_.text).mkString); summary(0L)
       case "show" if sig.length > 2 && sig(1).is("create") && sig(2).is("table") =>
         showCreateTable(sig(3).text)
+      case "show" if sig.length > 1 && sig(1).is("schemas") => showSchemas(sig)
+      case "show" if sig.length > 1 && sig(1).is("tables")  => showTables(sig)
+      case "show" if sig.length > 1 && sig(1).is("columns") => showColumns(sig)
       // non-recording: execute() logs the statement once for every route
       case _          =>
         registerViews()
@@ -287,8 +325,206 @@ class StatementRouter(spark: SparkSession, root: String) {
     val clustered = VersionedTable.bucketSpec(spark, tablePath(name))
       .map(b => s"\nCLUSTERED BY (${b.cols.mkString(", ")}) INTO ${b.numBuckets} SHARDS")
       .getOrElse("")
-    Seq(s"CREATE TABLE IF NOT EXISTS $name (\n$body\n)$clustered")
+    // ALTER TABLE … SET settings render back as the WITH clause
+    // (reference MetadataToASTVisitor emits the non-default settings)
+    val settings = VersionedTable.tableSettings(spark, tablePath(name))
+    val withClause =
+      if (settings.isEmpty) ""
+      else settings.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"""   "$k" = '$v'""" }
+        .mkString("\nWITH (\n", ",\n", "\n)")
+    Seq(s"CREATE TABLE IF NOT EXISTS $name (\n$body\n)$clustered$withClause")
       .toDF("create_table")
+  }
+
+  // ---------- CREATE / DROP VIEW (reference CreateViewPlan.java,
+  // DropViewPlan.java, metadata/view/ViewsMetadata.java) ----------
+
+  /** `CREATE [OR REPLACE] VIEW name AS <query>` — stores the CrateDB query
+    * text durably; each use re-analyzes it against the current snapshots,
+    * so a view always reflects the latest committed table versions (the
+    * reference stores the statement string the same way). The query must
+    * analyze NOW — CREATE-time validation like the reference. */
+  private def createView(sig: Vector[Tok], orReplace: Boolean): DataFrame = {
+    val vi = sig.indexWhere(_.is("view"))
+    val name = unq(sig(vi + 1))
+    val ai = sig.indexWhere(_.is("as"), vi + 2)
+    require(ai > 0, "CREATE VIEW requires AS <query>")
+    val query = renderSig(sig.slice(ai + 1, sig.length))
+    require(VersionedTable.latestVersion(spark, tablePath(name)).isEmpty,
+      s"a table named $name already exists")
+    val p = new Path(viewsDir, s"$name.sql")
+    require(orReplace || !fs.exists(p), s"view $name already exists")
+    registerViews()
+    // analyze (not execute) the translated text — schema resolution errors
+    // surface at CREATE VIEW, like the reference's analyzer
+    spark.sql(applyDeclaredAnalyzers(Dialect.translate(query))).schema
+    fs.mkdirs(viewsDir)
+    val tmp = new Path(viewsDir, s"$name.sql.tmp")
+    val out = fs.create(tmp, true)
+    out.write(query.getBytes("UTF-8")); out.close()
+    fs.delete(p, false)
+    require(fs.rename(tmp, p), s"view commit failed for $name")
+    summary(0L)
+  }
+
+  private def dropView(sig: Vector[Tok]): DataFrame = {
+    val ifExists = sig.lift(2).exists(_.is("if"))
+    val name = unq(sig(if (ifExists) 4 else 2))
+    val p = new Path(viewsDir, s"$name.sql")
+    if (!fs.exists(p)) require(ifExists, s"view $name does not exist")
+    else fs.delete(p, false)
+    spark.catalog.dropTempView(name)
+    summary(0L)
+  }
+
+  // ---------- ALTER TABLE (reference planner/node/ddl/
+  // AlterTableAddColumnPlan.java, AlterTableDropColumnPlan.java,
+  // AlterTableRenameColumnPlan.java, AlterTableRenameTablePlan.java,
+  // AlterTablePlan.java) ----------
+
+  /** `ALTER TABLE t ADD [COLUMN] def | DROP [COLUMN] [IF EXISTS] c |
+    * RENAME [COLUMN] a TO b | RENAME TO t2 | SET (k = v, …) | RESET (k, …)`.
+    *
+    * Schema changes are copy-on-write: the altered snapshot commits as the
+    * next table version, so readers of the old version never see a torn
+    * schema and time travel across the DDL keeps working. Column types run
+    * through the same [[Dialect.translateDdl]] mapping as CREATE TABLE, so
+    * OBJECT/ARRAY/GEO types work in ADD COLUMN. SET/RESET persist into
+    * durable table settings rendered back by SHOW CREATE TABLE. */
+  private def alterTable(sig: Vector[Tok]): DataFrame = {
+    val name = sig(2).text
+    val op = sig.lift(3).map(_.text.toLowerCase).getOrElse("")
+    op match {
+      case "add" =>
+        val ci = if (sig.lift(4).exists(_.is("column"))) 5 else 4
+        // reuse the CREATE TABLE type mapping on a synthetic single-column
+        // definition — identical semantics, zero duplicated code
+        val ddl = Dialect.translateDdl(
+          s"CREATE TABLE __alter (${renderSig(sig.slice(ci, sig.length))})")
+        val inner = ddl.substring(ddl.indexOf('(') + 1, ddl.indexOf(") USING parquet"))
+        val added = StructType.fromDDL(inner.replace(" NOT NULL", ""))
+        val cur = readTable(name)
+        added.fieldNames.foreach(c => require(!cur.columns.contains(c),
+          s"column $c already exists in $name"))
+        val next = added.fields.foldLeft(cur)((df, f) =>
+          df.withColumn(f.name, lit(null).cast(f.dataType)))
+        writeTable(name, next)
+        summary(0L)
+      case "drop" =>
+        var ci = if (sig.lift(4).exists(_.is("column"))) 5 else 4
+        val ifExists = sig.lift(ci).exists(_.is("if"))
+        if (ifExists) ci += 2
+        val c = unq(sig(ci))
+        val cur = readTable(name)
+        if (!cur.columns.contains(c)) {
+          require(ifExists, s"column $c does not exist in $name")
+          return summary(0L)
+        }
+        require(cur.columns.length > 1, "cannot drop the only column")
+        writeTable(name, cur.drop(c))
+        summary(0L)
+      case "rename" if sig.lift(4).exists(_.is("to")) =>
+        val to = unq(sig(5))
+        require(txn.isEmpty, "RENAME TO inside a transaction is not supported")
+        require(VersionedTable.latestVersion(spark, tablePath(to)).isEmpty,
+          s"table $to already exists")
+        require(fs.rename(new Path(tablePath(name)), new Path(tablePath(to))),
+          s"rename $name -> $to failed")
+        summary(0L)
+      case "rename" =>
+        val ci = if (sig.lift(4).exists(_.is("column"))) 5 else 4
+        val from = unq(sig(ci))
+        require(sig.lift(ci + 1).exists(_.is("to")), "RENAME COLUMN needs TO")
+        val to = unq(sig(ci + 2))
+        val cur = readTable(name)
+        require(cur.columns.contains(from), s"column $from does not exist")
+        require(!cur.columns.contains(to), s"column $to already exists")
+        writeTable(name, cur.withColumnRenamed(from, to))
+        summary(0L)
+      case "set" =>
+        val kvs = parseKvSettings(sig)
+        VersionedTable.setTableSettings(spark, tablePath(name),
+          VersionedTable.tableSettings(spark, tablePath(name)) ++ kvs)
+        summary(0L)
+      case "reset" =>
+        val open = sig.indexWhere(_.isSym("("))
+        val keys =
+          if (open < 0) sig.slice(4, sig.length).filter(_.sig).map(unq)
+          else splitTopCommas(sig.slice(open + 1, matchFwd(sig, open)))
+            .map(p => p.map(_.text).mkString("."))
+        val cur = VersionedTable.tableSettings(spark, tablePath(name))
+        VersionedTable.setTableSettings(spark, tablePath(name), cur -- keys)
+        summary(0L)
+      case other => sys.error(s"unsupported ALTER TABLE operation: $other")
+    }
+  }
+
+  /** `SET ("k" = v, …)` after ALTER TABLE — dotted keys may arrive as one
+    * quoted identifier or word.number token runs. */
+  private def parseKvSettings(sig: Vector[Tok]): Map[String, String] = {
+    val open = sig.indexWhere(_.isSym("("))
+    require(open > 0, "ALTER TABLE SET needs a parenthesized settings list")
+    splitTopCommas(sig.slice(open + 1, matchFwd(sig, open))).flatMap { p =>
+      val eq = p.indexWhere(_.isSym("="))
+      if (eq <= 0) None
+      else Some(p.slice(0, eq).map(unq).mkString ->
+        p.slice(eq + 1, p.length).map(unq).mkString)
+    }.toMap
+  }
+
+  // ---------- SHOW SCHEMAS / TABLES / COLUMNS (reference
+  // ShowStatementAnalyzer.java:192,218,266 rewrites these onto
+  // information_schema; graft answers from the router's own catalog state —
+  // same shapes, same ordering) ----------
+
+  /** Optional trailing `LIKE 'pattern'` filter on `colName`. */
+  private def likeFiltered(df: DataFrame, colName: String,
+                           sig: Vector[Tok]): DataFrame = {
+    val li = sig.indexWhere(_.is("like"))
+    if (li > 0 && li + 1 < sig.length) df.filter(col(colName).like(unq(sig(li + 1))))
+    else df
+  }
+
+  /** `SHOW SCHEMAS [LIKE 'p']` → schema_name rows, ordered. */
+  private def showSchemas(sig: Vector[Tok]): DataFrame = {
+    import spark.implicits._
+    val df = Seq("doc", "information_schema", "pg_catalog", "sys")
+      .toDF("schema_name")
+    likeFiltered(df, "schema_name", sig).orderBy("schema_name")
+  }
+
+  /** `SHOW TABLES [FROM|IN schema] [LIKE 'p']` → user tables only (the
+    * reference excludes information_schema/sys/pg_catalog). */
+  private def showTables(sig: Vector[Tok]): DataFrame = {
+    import spark.implicits._
+    val fi = sig.indexWhere(t => t.is("from") || t.is("in"))
+    val schema = if (fi > 0 && fi + 1 < sig.length) unq(sig(fi + 1)) else "doc"
+    val names =
+      if (schema != "doc") Seq.empty[String]
+      else {
+        val rp = new Path(root)
+        if (!fs.exists(rp)) Seq.empty[String]
+        else fs.listStatus(rp).toSeq
+          .filter(st => st.isDirectory && fs.exists(new Path(st.getPath, "_manifests")))
+          .map(_.getPath.getName)
+      }
+    likeFiltered(names.toDF("table_name"), "table_name", sig)
+      .orderBy("table_name")
+  }
+
+  /** `SHOW COLUMNS FROM|IN t [FROM|IN schema] [LIKE 'p']` →
+    * (column_name, data_type) with CrateDB display type names, ordered by
+    * column name like the reference's rewrite. */
+  private def showColumns(sig: Vector[Tok]): DataFrame = {
+    import spark.implicits._
+    require(sig.length > 3 && (sig(2).is("from") || sig(2).is("in")),
+      "SHOW COLUMNS requires FROM <table>")
+    val table = unq(sig(3))
+    val cols = readTable(table).schema.fields.toSeq
+      .map(f => (f.name, graft.plans.PgTypeofExpr.crateName(f.dataType)))
+      .toDF("column_name", "data_type")
+    likeFiltered(cols, "column_name", sig).orderBy("column_name")
   }
 
   /** `COPY t FROM '<glob>' [WITH (…)] [RETURN SUMMARY]` /
@@ -372,6 +608,8 @@ class StatementRouter(spark: SparkSession, root: String) {
       require(ifNotExists, s"table $name already exists")
       return summary(0L)
     }
+    require(!fs.exists(new Path(viewsDir, s"$name.sql")),
+      s"a view named $name already exists")
     // CLUSTERED BY (c) INTO n SHARDS → persistent bucket spec: every
     // version of this table is written bucketed, so repeated joins on the
     // clustering key plan shuffle-free (the reference's shard routing,

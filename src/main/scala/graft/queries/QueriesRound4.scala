@@ -204,6 +204,30 @@ object QueriesRound4 {
                pg_table_is_visible(1) AS tvis,
                pg_function_is_visible(1) AS fvis,
                pg_get_serial_sequence('orders', 'o_orderkey') AS serial_seq""")
+    }),
+
+    // Full DDL session through the router: ALTER TABLE schema evolution
+    // (add/rename/drop column as copy-on-write versions), a view over the
+    // evolved table, SHOW TABLES/COLUMNS shapes — deterministic end state
+    // the oracle replays as literal rows. Every statement is CrateDB text.
+    "q177_ddl_alter_view" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q177").toFile.getAbsolutePath
+      val r = new graft.StatementRouter(s, root)
+      r.executeScript("""
+        CREATE TABLE acct (id BIGINT PRIMARY KEY, name TEXT);
+        INSERT INTO acct (id, name) VALUES (1, 'ada'), (2, 'bob'), (3, 'cyd');
+        ALTER TABLE acct ADD COLUMN balance DOUBLE PRECISION;
+        UPDATE acct SET balance = id * 100.0;
+        ALTER TABLE acct RENAME COLUMN name TO holder;
+        ALTER TABLE acct ADD COLUMN note TEXT;
+        ALTER TABLE acct DROP COLUMN note;
+        CREATE VIEW rich AS SELECT holder, balance FROM acct WHERE balance >= 200.0;
+        INSERT INTO acct (id, holder, balance) VALUES (4, 'dee', 400.0)""")
+      val viewRows = r.execute("SELECT holder, balance FROM rich")
+      val cols = r.execute("SHOW COLUMNS FROM acct")
+        .agg(concat_ws("|", sort_array(collect_list(concat(col("column_name"),
+          lit(":"), col("data_type"))))).as("schema_sig"))
+      viewRows.crossJoin(cols).orderBy(col("holder"))
     })
   )
 
@@ -240,6 +264,16 @@ object QueriesRound4 {
         |       TRUE AS tvis,
         |       TRUE AS fvis,
         |       CAST(NULL AS VARCHAR) AS serial_seq""".stripMargin,
+
+    // end state after the DDL script: balance = id*100, holder renamed,
+    // note added then dropped, view filters >= 200
+    "q177_ddl_alter_view" ->
+      """SELECT * FROM (VALUES
+        |  ('bob', 200.0, 'balance:double precision|holder:text|id:bigint'),
+        |  ('cyd', 300.0, 'balance:double precision|holder:text|id:bigint'),
+        |  ('dee', 400.0, 'balance:double precision|holder:text|id:bigint')
+        |) AS t(holder, balance, schema_sig)
+        |ORDER BY holder""".stripMargin,
 
     // ground truth: every fixture PK is its table's first field except
     // lineitem's composite (l_orderkey, l_linenumber) at positions 1 and 4

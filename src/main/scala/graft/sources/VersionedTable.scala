@@ -110,6 +110,37 @@ object VersionedTable {
     }
   }
 
+  /** Durable `ALTER TABLE … SET (k = v)` table settings (reference
+    * `AlterTablePlan.java` persists them into the table metadata;
+    * SHOW CREATE TABLE renders the WITH clause back). */
+  private def settingsFile(path: String) = new Path(path, "_tablesettings")
+
+  def setTableSettings(spark: SparkSession, path: String,
+                       settings: Map[String, String]): Unit = {
+    val f = fs(spark)
+    if (settings.isEmpty) { f.delete(settingsFile(path), false); return }
+    f.mkdirs(new Path(path))
+    val out = f.create(settingsFile(path), true)
+    out.write(settings.toSeq.sortBy(_._1).map { case (k, v) => s"$k\t$v" }
+      .mkString("\n").getBytes("UTF-8"))
+    out.close()
+  }
+
+  def tableSettings(spark: SparkSession, path: String): Map[String, String] = {
+    val f = fs(spark)
+    val p = settingsFile(path)
+    if (!f.exists(p)) Map.empty
+    else {
+      val in = f.open(p)
+      val bytes = new Array[Byte](in.available())
+      in.readFully(bytes); in.close()
+      new String(bytes, "UTF-8").split("\n").filter(_.nonEmpty).map { line =>
+        val Array(k, v) = line.split("\t", 2)
+        k -> v
+      }.toMap
+    }
+  }
+
   /** Catalog identifier for one version's external bucketed table — derived
     * from the table path so concurrent tests/roots cannot collide. */
   private def catalogName(path: String, version: Int): String = {
@@ -188,7 +219,13 @@ object VersionedTable {
     val in = f.open(m)
     val bytes = new Array[Byte](in.available())
     in.readFully(bytes); in.close()
-    new String(bytes, "UTF-8").trim
+    val stored = new String(bytes, "UTF-8").trim
+    // manifests record the data dir absolute at commit time, but the
+    // layout under the table root is fixed — resolving against the CURRENT
+    // path keeps every version readable after `ALTER TABLE … RENAME TO`
+    // (a pure directory move)
+    val rel = new Path(path, f"data/v$version%05d")
+    if (f.exists(rel)) rel.toString else stored
   }
 
   /** Read the latest committed snapshot. */

@@ -657,6 +657,100 @@ class StatementRouterSpec extends SparkTestBase {
     assert(m3.map(_.getLong(0)).toSeq == Seq(2L), m3.mkString(", "))
   }
 
+  test("ALTER TABLE: add/drop/rename column, rename table, settings; SHOW statements") {
+    val root = Files.createTempDirectory("graftalter").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute("CREATE TABLE at (id BIGINT PRIMARY KEY, name TEXT)")
+    r.execute("INSERT INTO at (id, name) VALUES (1, 'a'), (2, 'b')")
+
+    // ADD COLUMN with a CrateDB type through the full DDL type mapping
+    r.execute("ALTER TABLE at ADD COLUMN score DOUBLE PRECISION")
+    r.execute("ALTER TABLE at ADD COLUMN tags ARRAY(TEXT)")
+    val schema = r.execute("SELECT * FROM at").schema
+    assert(schema.fieldNames.toSeq == Seq("id", "name", "score", "tags"))
+    assert(r.execute("SELECT count(*) AS n FROM at WHERE score IS NULL")
+      .head().getLong(0) == 2, "existing rows backfill with nulls")
+
+    // adding an existing column fails; data survives the schema versions
+    intercept[Exception](r.execute("ALTER TABLE at ADD COLUMN name TEXT"))
+    r.execute("UPDATE at SET score = id * 1.5")
+
+    // RENAME COLUMN
+    r.execute("ALTER TABLE at RENAME COLUMN score TO points")
+    assert(r.execute("SELECT sum(points) AS s FROM at").head().getDouble(0) == 4.5)
+
+    // DROP COLUMN (+ IF EXISTS)
+    r.execute("ALTER TABLE at DROP COLUMN tags")
+    r.execute("ALTER TABLE at DROP COLUMN IF EXISTS nope")
+    intercept[Exception](r.execute("ALTER TABLE at DROP COLUMN nope"))
+    assert(r.execute("SELECT * FROM at").schema.fieldNames.toSeq ==
+      Seq("id", "name", "points"))
+
+    // settings persist and render in SHOW CREATE TABLE
+    r.execute("ALTER TABLE at SET (refresh_interval = 2000)")
+    val ddl = r.execute("SHOW CREATE TABLE at").head().getString(0)
+    assert(ddl.contains("\"refresh_interval\" = '2000'"), ddl)
+    r.execute("ALTER TABLE at RESET (refresh_interval)")
+    val ddl2 = r.execute("SHOW CREATE TABLE at").head().getString(0)
+    assert(!ddl2.contains("refresh_interval"), ddl2)
+
+    // RENAME TO moves the whole versioned table
+    r.execute("ALTER TABLE at RENAME TO at2")
+    assert(r.execute("SELECT count(*) AS n FROM at2").head().getLong(0) == 2)
+    assert(VersionedTable.latestVersion(spark, s"$root/at").isEmpty)
+
+    // SHOW statements answer in the reference's shapes
+    r.execute("CREATE TABLE btab (x BIGINT)")
+    val tabs = r.execute("SHOW TABLES").collect().map(_.getString(0)).toSeq
+    assert(tabs == Seq("at2", "btab"), tabs)
+    assert(r.execute("SHOW TABLES LIKE 'a%'").collect().map(_.getString(0)).toSeq == Seq("at2"))
+    assert(r.execute("SHOW TABLES FROM sys").count() == 0)
+    val schemas = r.execute("SHOW SCHEMAS").collect().map(_.getString(0)).toSeq
+    assert(schemas == Seq("doc", "information_schema", "pg_catalog", "sys"))
+    val cols = r.execute("SHOW COLUMNS FROM at2").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSeq
+    assert(cols == Seq(("id", "bigint"), ("name", "text"),
+      ("points", "double precision")), cols)
+  }
+
+  test("CREATE/DROP VIEW: durable text, re-analyzed per use, view-on-view") {
+    val root = Files.createTempDirectory("graftview").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute("CREATE TABLE vt (id BIGINT, amt DOUBLE)")
+    r.execute("INSERT INTO vt (id, amt) VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+
+    // dialect constructs work inside the view text
+    r.execute("CREATE VIEW big AS SELECT id, amt FROM vt WHERE amt >= 20.0")
+    assert(r.execute("SELECT count(*) AS n FROM big").head().getLong(0) == 2)
+
+    // a view tracks the CURRENT snapshot, not the one at CREATE time
+    r.execute("INSERT INTO vt (id, amt) VALUES (4, 40.0)")
+    assert(r.execute("SELECT count(*) AS n FROM big").head().getLong(0) == 3)
+
+    // view-on-view resolves through the fixpoint registration
+    r.execute("CREATE VIEW big2 AS SELECT sum(amt) AS total FROM big")
+    assert(r.execute("SELECT total FROM big2").head().getDouble(0) == 90.0)
+
+    // CREATE-time analysis: a broken query fails NOW and stores nothing
+    intercept[Exception](r.execute("CREATE VIEW broken AS SELECT nope FROM vt"))
+    intercept[Exception](r.execute("SELECT * FROM broken"))
+
+    // name collisions both ways; OR REPLACE swaps the definition
+    intercept[Exception](r.execute("CREATE VIEW vt AS SELECT 1 AS x"))
+    intercept[Exception](r.execute("CREATE TABLE big (x BIGINT)"))
+    r.execute("CREATE OR REPLACE VIEW big AS SELECT id FROM vt WHERE amt < 20.0")
+    assert(r.execute("SELECT count(*) AS n FROM big").head().getLong(0) == 1)
+
+    // a second router over the same root sees the stored views (durability)
+    val r2 = new StatementRouter(spark, root)
+    assert(r2.execute("SELECT count(*) AS n FROM big").head().getLong(0) == 1)
+
+    // DROP VIEW [IF EXISTS]
+    r.execute("DROP VIEW big2")
+    r.execute("DROP VIEW IF EXISTS big2")
+    intercept[Exception](r.execute("DROP VIEW big2"))
+  }
+
   test("full CrateDB client session: DDL, upserts, update/delete returning, select") {
     val root = Files.createTempDirectory("graftsql").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
