@@ -161,6 +161,12 @@ class StatementRouter(spark: SparkSession, root: String) {
     * SELECT twice. */
   def execute(stmt: String): DataFrame = {
     val t0 = System.currentTimeMillis
+    // tag the statement's Spark jobs so a concurrent session can
+    // `KILL '<group>'` it (reference sys.jobs UUID + KillPlan.java); the
+    // group is thread-local, so each client thread kills independently
+    spark.sparkContext.setJobGroup(
+      s"graft-${StatementRouter.jobSeq.incrementAndGet()}",
+      stmt.take(120), interruptOnCancel = true)
     try {
       val df = executeRouted(stmt)
       sources.SysCatalog.recordJob(stmt, t0, System.currentTimeMillis)
@@ -204,6 +210,10 @@ class StatementRouter(spark: SparkSession, root: String) {
       case "delete"   => delete(stmt)
       case "copy"     => copyStmt(stmt)
       case "explain"  => explainStmt(stmt)
+      case "refresh" if sig.length > 1 && sig(1).is("table") => refreshStmt(sig)
+      case "optimize" if sig.length > 1 && sig(1).is("table") => optimizeStmt(sig)
+      case "analyze"  => analyzeStmt()
+      case "kill"     => killStmt(sig)
       case "begin"    => beginTxn()
       case "start" if sig.length > 1 && sig(1).is("transaction") => beginTxn()
       case "commit"   => commitTxn()
@@ -335,6 +345,72 @@ class StatementRouter(spark: SparkSession, root: String) {
         .mkString("\nWITH (\n", ",\n", "\n)")
     Seq(s"CREATE TABLE IF NOT EXISTS $name (\n$body\n)$clustered$withClause")
       .toDF("create_table")
+  }
+
+  // ---------- maintenance verbs (reference RefreshTablePlan.java,
+  // OptimizeTablePlan.java, AnalyzePlan.java, KillPlan.java) ----------
+
+  /** `REFRESH TABLE t1 [, t2 …]` — drop stale cached metadata/data so the
+    * next read sees the latest committed version (the reference makes new
+    * segments visible; our versions are already atomic, so this is a cache
+    * invalidation). Returns the refreshed-table count like the reference. */
+  private def refreshStmt(sig: Vector[Tok]): DataFrame = {
+    val names = splitTopCommas(sig.slice(2, sig.length)).map(p => unq(p.head))
+    names.foreach { n =>
+      require(VersionedTable.latestVersion(spark, tablePath(n)).isDefined,
+        s"table $n does not exist")
+      readTable(n).createOrReplaceTempView(n)
+      try spark.catalog.refreshTable(n) catch { case _: Exception => () }
+    }
+    summary(names.size.toLong)
+  }
+
+  /** `OPTIMIZE TABLE t [WITH (…)]` — compact the latest snapshot into
+    * ~128 MB files, committed as the NEXT version (copy-on-write: readers
+    * of the old version are untouched; the reference's segment merge has
+    * the same no-torn-reads property via Lucene commits). At 100 TB this
+    * is the routine post-ingest pass that keeps scan parallelism sane. */
+  private def optimizeStmt(sig: Vector[Tok]): DataFrame = {
+    val name = sig(2).text
+    val cur = readTable(name)
+    val bytes = cur.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = math.max(1, (bytes / (128L * 1024 * 1024)).toInt)
+    writeTable(name, cur.repartition(files))
+    summary(0L)
+  }
+
+  /** `ANALYZE` — the reference refreshes planner statistics
+    * (TableStatsService); graft's snapshots carry parquet footer stats
+    * that are always current, so the statement folds to a metadata
+    * refresh of every table. */
+  private def analyzeStmt(): DataFrame = {
+    registerViews()
+    val rp = new Path(root)
+    val n =
+      if (!fs.exists(rp)) 0L
+      else fs.listStatus(rp).count { st =>
+        val live = st.isDirectory && fs.exists(new Path(st.getPath, "_manifests"))
+        if (live) {
+          try spark.catalog.refreshTable(st.getPath.getName)
+          catch { case _: Exception => () }
+        }
+        live
+      }.toLong
+    summary(n)
+  }
+
+  /** `KILL ALL | KILL '<job-group>' | KILL <spark-job-id>` — cancel running
+    * statements. Router statements are tagged with a `graft-<n>` job group
+    * (interrupt-on-cancel), so another session's KILL takes effect
+    * mid-query; a bare integer cancels that Spark job id from `sys.jobs`. */
+  private def killStmt(sig: Vector[Tok]): DataFrame = {
+    val arg = sig.lift(1).getOrElse(sys.error("KILL needs ALL or a job id"))
+    if (arg.is("all")) spark.sparkContext.cancelAllJobs()
+    else unq(arg).toIntOption match {
+      case Some(jobId) => spark.sparkContext.cancelJob(jobId)
+      case None        => spark.sparkContext.cancelJobGroup(unq(arg))
+    }
+    summary(0L)
   }
 
   // ---------- CREATE / DROP VIEW (reference CreateViewPlan.java,
@@ -1107,4 +1183,9 @@ class StatementRouter(spark: SparkSession, root: String) {
     }
     -1
   }
+}
+
+object StatementRouter {
+  /** Monotonic id for per-statement Spark job groups (`KILL` targets). */
+  private[graft] val jobSeq = new java.util.concurrent.atomic.AtomicLong(0)
 }

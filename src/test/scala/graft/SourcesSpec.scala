@@ -751,6 +751,42 @@ class StatementRouterSpec extends SparkTestBase {
     intercept[Exception](r.execute("DROP VIEW big2"))
   }
 
+  test("maintenance verbs: REFRESH, OPTIMIZE as new version, ANALYZE, KILL") {
+    val root = Files.createTempDirectory("graftmaint").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute("CREATE TABLE mt (id BIGINT, v TEXT)")
+    // many small inserts → many versions; OPTIMIZE compacts into the next one
+    (1 to 5).foreach(i => r.execute(s"INSERT INTO mt (id, v) VALUES ($i, 'x$i')"))
+    val before = VersionedTable.latestVersion(spark, s"$root/mt").get
+    r.execute("OPTIMIZE TABLE mt")
+    assert(VersionedTable.latestVersion(spark, s"$root/mt").contains(before + 1),
+      "OPTIMIZE commits a new version, never rewrites in place")
+    assert(r.execute("SELECT count(*) AS n FROM mt").head().getLong(0) == 5)
+    // the pre-OPTIMIZE version is still readable (time travel unbroken)
+    assert(VersionedTable.readVersion(spark, s"$root/mt", before).count() == 5)
+
+    assert(r.execute("REFRESH TABLE mt").head().getLong(0) == 1)
+    intercept[Exception](r.execute("REFRESH TABLE missing"))
+    assert(r.execute("ANALYZE").head().getLong(0) == 1)
+
+    // KILL interrupts a tagged statement running in another thread
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val victim = Future {
+      // the sleep runs inside a task; interruptOnCancel reaches it
+      val df = r.execute("SELECT pg_sleep(30.0) AS z")
+      started.countDown()
+      df.collect()
+    }
+    started.await(10, java.util.concurrent.TimeUnit.SECONDS)
+    Thread.sleep(500) // let the task actually start sleeping
+    r.execute("KILL ALL")
+    val failed = scala.util.Try(Await.result(victim, 20.seconds))
+    assert(failed.isFailure, "KILL ALL must cancel the in-flight statement")
+  }
+
   test("full CrateDB client session: DDL, upserts, update/delete returning, select") {
     val root = Files.createTempDirectory("graftsql").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
