@@ -128,7 +128,7 @@ object Dialect {
   }
 
   /** `i` points at an opening `(`/`[`/`{` — index of its closer, or -1. */
-  private def matchFwd(ts: Vector[Tok], i: Int): Int = {
+  private[graft] def matchFwd(ts: Vector[Tok], i: Int): Int = {
     val open = ts(i).text; val close = open match { case "(" => ")" case "[" => "]" case _ => "}" }
     var depth = 0; var k = i
     while (k < ts.length) {
@@ -217,8 +217,14 @@ object Dialect {
     "array_cat"            -> "concat",
     "array_unique"         -> "array_distinct",
     "array_difference"     -> "array_except",
-    "object_keys"          -> "map_keys",
     "random"               -> "rand",
+    // ArithmeticFunctions.java registers `modulus` as the spelled-out alias
+    // of `mod`; aggregation.rst documents `mean` as an alias of `avg`.
+    "modulus"              -> "mod",
+    "mean"                 -> "avg",
+    // CrateDB `trunc` is NUMERIC truncation (TruncFunction.java); Spark's
+    // builtin `trunc` is date truncation, so the name must move aside.
+    "trunc"                -> "graft_trunc",
     "format"               -> "format_string",
     "date_format"          -> "date_format_mysql",
     "array_overlap"        -> "arrays_overlap",
@@ -671,6 +677,27 @@ object Dialect {
     None
   }
 
+  /** `empty_row()` table function (reference tablefunctions/EmptyRowTable
+    * Function.java — one row, zero columns, used as a FROM-less scalar
+    * evaluation target). Spark relations can't have zero columns, so the
+    * row carries one NULL dummy column; `SELECT *` shows it (documented
+    * divergence), `SELECT <exprs> FROM empty_row()` behaves identically. */
+  private def passEmptyRow(ts: Vector[Tok]): Option[Vector[Tok]] = {
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).kind == K.Word && ts(i).is("empty_row")) {
+        val op = nextSig(ts, i)
+        val cl = if (op >= 0 && ts(op).isSym("(")) nextSig(ts, op) else -1
+        if (cl >= 0 && ts(cl).isSym(")")) {
+          val repl = lex("(SELECT NULL AS _er) AS graft_empty_row")
+          return Some(ts.slice(0, i) ++ repl ++ ts.slice(cl + 1, ts.length))
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
   /** PG/CrateDB regex-match operators (RegexpMatchOperator.java:50):
     * `a ~ 'p'` → rlike, `~*` case-insensitive, `!~`/`!~*` negated. Binary
     * use only — a `~` with no operand on its left is Spark's bitwise NOT
@@ -847,7 +874,7 @@ object Dialect {
   private val passes: Seq[Vector[Tok] => Option[Vector[Tok]]] =
     Seq(passRenames, passMatch, passCasts, passAnyAll, passObjectLiteral,
       passBrackets, passFetchOffset, passFilterClause, passSystemSchemas,
-      passArrayOverlap, passRegexOps, passArraySubquery)
+      passArrayOverlap, passRegexOps, passArraySubquery, passEmptyRow)
 
   // ---------- DDL: CREATE TABLE ----------
 
@@ -869,6 +896,64 @@ object Dialect {
     *  - `PARTITIONED BY (...)` kept verbatim; `WITH (...)` table settings
     *    dropped; storage is always `USING parquet`.
     */
+  /** Split a token run on depth-0 commas (parens and generics nest). */
+  private[graft] def splitCommas(v: Vector[Tok]): Seq[Vector[Tok]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Vector[Tok]]
+    var dep = 0; var b = Vector.newBuilder[Tok]
+    for (t <- v) {
+      if (t.isSym("(") || t.isSym("<")) dep += 1
+      if (t.isSym(")") || t.isSym(">")) dep -= 1
+      if (t.isSym(",") && dep == 0) { out += b.result(); b = Vector.newBuilder[Tok] }
+      else b += t
+    }
+    val l = b.result(); if (l.nonEmpty) out += l
+    out.toSeq
+  }
+
+  private[graft] def ident(raw: String): String =
+    if (raw.startsWith("\"")) "`" + raw.stripPrefix("\"").stripSuffix("\"").replace("\"\"", "\"") + "`"
+    else raw
+
+  /** CrateDB type spelling starting at index j of d →
+    * (Spark type text, next index). Shared by CREATE TABLE and
+    * CREATE FUNCTION argument/return types. */
+  private[graft] def mapType(d: Vector[Tok], j: Int): (String, Int) = {
+    val w = d(j).text.toLowerCase
+    w match {
+      case "array" if j + 1 < d.length && d(j + 1).isSym("(") =>
+        val c = matchFwdIn(d, j + 1)
+        val (inner, _) = mapType(d, j + 2)
+        (s"ARRAY<$inner>", c + 1)
+      case "object" =>
+        var k = j + 1
+        if (k < d.length && d(k).isSym("(")) k = matchFwdIn(d, k) + 1 // policy
+        if (k < d.length && d(k).is("as") && k + 1 < d.length && d(k + 1).isSym("(")) {
+          val c = matchFwdIn(d, k + 1)
+          val subs = splitCommas(d.slice(k + 2, c))
+          val fields = subs.map { sd =>
+            val fname = ident(sd(0).text)
+            val (ft, _) = mapType(sd, 1)
+            s"$fname: $ft"
+          }
+          (s"STRUCT<${fields.mkString(", ")}>", c + 1)
+        } else ("MAP<STRING,STRING>", k)
+      case "geo_point" => ("ARRAY<DOUBLE>", j + 1)
+      case "geo_shape" => ("STRING", j + 1)
+      case "double" if j + 1 < d.length && d(j + 1).is("precision") => ("DOUBLE", j + 2)
+      case "timestamp" =>
+        if (d.lift(j + 1).exists(t => t.is("with") || t.is("without")))
+          ("TIMESTAMP", j + 4) // [with|without] time zone
+        else ("TIMESTAMP", j + 1)
+      case tw =>
+        val base = typeMap.getOrElse(tw, tw.toUpperCase)
+        // precision args e.g. DECIMAL(10,2), VARCHAR(20)
+        if (j + 1 < d.length && d(j + 1).isSym("(")) {
+          val c = matchFwdIn(d, j + 1)
+          (base + render(d.slice(j + 1, c + 1)).replaceAll("\\s", ""), c + 1)
+        } else (base, j + 1)
+    }
+  }
+
   def translateDdl(stmt: String): String = {
     val ts = lex(stmt).filter(_.sig)
     def isw(i: Int, s: String) = i < ts.length && ts(i).kind == K.Word && ts(i).is(s)
@@ -892,61 +977,6 @@ object Dialect {
       else cur += t
     }
     val last = cur.result(); if (last.nonEmpty) defs += last
-
-    // type spelling starting at index j of d; returns (sparkType, next index)
-    def mapType(d: Vector[Tok], j: Int): (String, Int) = {
-      val w = d(j).text.toLowerCase
-      w match {
-        case "array" if j + 1 < d.length && d(j + 1).isSym("(") =>
-          val c = matchFwdIn(d, j + 1)
-          val (inner, _) = mapType(d, j + 2)
-          (s"ARRAY<$inner>", c + 1)
-        case "object" =>
-          var k = j + 1
-          if (k < d.length && d(k).isSym("(")) k = matchFwdIn(d, k) + 1 // policy
-          if (k < d.length && d(k).is("as") && k + 1 < d.length && d(k + 1).isSym("(")) {
-            val c = matchFwdIn(d, k + 1)
-            val subs = splitCommas(d.slice(k + 2, c))
-            val fields = subs.map { sd =>
-              val fname = ident(sd(0).text)
-              val (ft, _) = mapType(sd, 1)
-              s"$fname: $ft"
-            }
-            (s"STRUCT<${fields.mkString(", ")}>", c + 1)
-          } else ("MAP<STRING,STRING>", k)
-        case "geo_point" => ("ARRAY<DOUBLE>", j + 1)
-        case "geo_shape" => ("STRING", j + 1)
-        case "double" if j + 1 < d.length && d(j + 1).is("precision") => ("DOUBLE", j + 2)
-        case "timestamp" =>
-          if (d.lift(j + 1).exists(t => t.is("with") || t.is("without")))
-            ("TIMESTAMP", j + 4) // [with|without] time zone
-          else ("TIMESTAMP", j + 1)
-        case tw =>
-          val base = typeMap.getOrElse(tw, tw.toUpperCase)
-          // precision args e.g. DECIMAL(10,2), VARCHAR(20)
-          if (j + 1 < d.length && d(j + 1).isSym("(")) {
-            val c = matchFwdIn(d, j + 1)
-            (base + render(d.slice(j + 1, c + 1)).replaceAll("\\s", ""), c + 1)
-          } else (base, j + 1)
-      }
-    }
-
-    def splitCommas(v: Vector[Tok]): Seq[Vector[Tok]] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[Vector[Tok]]
-      var dep = 0; var b = Vector.newBuilder[Tok]
-      for (t <- v) {
-        if (t.isSym("(") || t.isSym("<")) dep += 1
-        if (t.isSym(")") || t.isSym(">")) dep -= 1
-        if (t.isSym(",") && dep == 0) { out += b.result(); b = Vector.newBuilder[Tok] }
-        else b += t
-      }
-      val l = b.result(); if (l.nonEmpty) out += l
-      out.toSeq
-    }
-
-    def ident(raw: String): String =
-      if (raw.startsWith("\"")) "`" + raw.stripPrefix("\"").stripSuffix("\"").replace("\"\"", "\"") + "`"
-      else raw
 
     val cols = defs.flatMap { d =>
       val head = d(0).text.toLowerCase

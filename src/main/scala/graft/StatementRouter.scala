@@ -199,6 +199,11 @@ class StatementRouter(spark: SparkSession, root: String) {
       case "create" if sig.length > 3 && sig(1).is("or") && sig(2).is("replace") &&
         sig(3).is("view") => createView(sig, orReplace = true)
       case "drop" if sig.length > 1 && sig(1).is("view") => dropView(sig)
+      case "create" if sig.length > 1 && sig(1).is("function") =>
+        createFunction(sig, orReplace = false)
+      case "create" if sig.length > 3 && sig(1).is("or") && sig(2).is("replace") &&
+        sig(3).is("function") => createFunction(sig, orReplace = true)
+      case "drop" if sig.length > 1 && sig(1).is("function") => dropFunction(sig)
       case "create" if sig.length > 1 && sig(1).is("analyzer") => createAnalyzer(sig)
       case "drop" if sig.length > 1 && sig(1).is("analyzer") =>
         graft.operators.MatchText.Analyzer.drop(
@@ -780,6 +785,85 @@ class StatementRouter(spark: SparkSession, root: String) {
       if (i < sig.length && sig(i).isSym(",")) i += 1
     }
     out.toMap
+  }
+
+  /** `CREATE [OR REPLACE] FUNCTION [schema.]name(args) RETURNS t LANGUAGE
+    * JAVASCRIPT AS '<js>'` (reference CreateFunctionAnalyzer /
+    * docs/general/user-defined-functions.rst). The JS body is translated
+    * to a Spark SQL expression ([[graft.functions.JsUdf]] — the
+    * single-return arithmetic subset every doc example uses) and registered
+    * as a Spark SQL scalar UDF, so it runs codegen'd instead of through an
+    * interpreter. Bodies outside the subset fail loudly. Overloading by
+    * signature (reference resolves per argument types) is not supported —
+    * one definition per name, OR REPLACE to change it (documented in
+    * PORTING.md).
+    */
+  private def createFunction(sig: Vector[Tok], orReplace: Boolean): DataFrame = {
+    val typeStart = Set("array", "object", "geo_point", "geo_shape", "double",
+      "timestamp", "time", "text", "string", "ip", "varchar", "char",
+      "character", "int", "integer", "long", "bigint", "smallint", "short",
+      "byte", "real", "float4", "float", "float8", "boolean", "bool",
+      "date", "decimal", "numeric", "timestamptz")
+    var i = if (orReplace) 4 else 2
+    // [schema.]name — single-namespace engine, the schema qualifier drops
+    val nameParts = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (i < sig.length && !sig(i).isSym("(")) {
+      if (!sig(i).isSym(".")) nameParts += unq(sig(i))
+      i += 1
+    }
+    require(nameParts.nonEmpty && i < sig.length, "CREATE FUNCTION needs name(args)")
+    val fname = nameParts.last
+    val close = Dialect.matchFwd(sig, i)
+    require(close > i, "unbalanced CREATE FUNCTION argument list")
+    val argTypes: Seq[String] = Dialect.splitCommas(sig.slice(i + 1, close)).map { d =>
+      val from =
+        if (d.length > 1 && d(0).kind == Dialect.K.Word &&
+          !typeStart(d(0).text.toLowerCase)) 1
+        else if (d.length > 1 && d(0).kind == Dialect.K.QId) 1
+        else 0
+      Dialect.mapType(d, from)._1
+    }
+    val ri = sig.indexWhere(_.is("returns"), close)
+    require(ri > 0, "CREATE FUNCTION needs RETURNS <type>")
+    val (retType, _) = Dialect.mapType(sig, ri + 1)
+    val li = sig.indexWhere(_.is("language"), close)
+    require(li > 0 && li + 1 < sig.length, "CREATE FUNCTION needs LANGUAGE")
+    val lang = sig(li + 1).text.toLowerCase
+    require(lang == "javascript",
+      s"unsupported UDF language '$lang' (the reference supports JAVASCRIPT)")
+    val body = sig.lastIndexWhere(_.kind == Dialect.K.Str) match {
+      case b if b > li =>
+        sig(b).text.stripPrefix("'").stripSuffix("'").replace("''", "'")
+      case _ => throw new IllegalArgumentException(
+        "CREATE FUNCTION needs AS '<function body>'")
+    }
+    val tr = graft.functions.JsUdf.translate(body)
+    require(tr.params.length == argTypes.length,
+      s"JS function has ${tr.params.length} parameters but the declaration " +
+        s"has ${argTypes.length} argument types")
+    val exists = spark.catalog.functionExists(fname)
+    require(orReplace || !exists, s"function $fname already exists")
+    val paramDdl = tr.params.zip(argTypes)
+      .map { case (p, t) => s"`$p` $t" }.mkString(", ")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION `$fname`($paramDdl) " +
+      s"RETURNS $retType RETURN ${tr.sql}")
+    summary(1L)
+  }
+
+  /** `DROP FUNCTION [IF EXISTS] [schema.]name([types])`. */
+  private def dropFunction(sig: Vector[Tok]): DataFrame = {
+    var i = 2
+    val ifExists = sig.lift(i).exists(_.is("if"))
+    if (ifExists) i += 2
+    val nameParts = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (i < sig.length && !sig(i).isSym("(")) {
+      if (!sig(i).isSym(".")) nameParts += unq(sig(i))
+      i += 1
+    }
+    require(nameParts.nonEmpty, "DROP FUNCTION needs a name")
+    val ex = if (ifExists) "IF EXISTS " else ""
+    spark.sql(s"DROP TEMPORARY FUNCTION $ex`${nameParts.last}`")
+    summary(1L)
   }
 
   private def createServer(sig: Vector[Tok]): DataFrame = {

@@ -12,6 +12,12 @@ final case class ParsedUri(scheme: String, userinfo: String, hostname: String,
                            port: Option[Int], path: String, query: String,
                            fragment: String)
 
+/** `parse_url` return shape (reference ParseURLFunction.java:40). */
+final case class ParsedUrl(scheme: String, userinfo: String, hostname: String,
+                           port: Option[Int], path: String, query: String,
+                           parameters: Map[String, Seq[String]],
+                           fragment: String)
+
 object GraftFunctions {
   private val registered = ConcurrentHashMap.newKeySet[String]()
 
@@ -69,6 +75,41 @@ object GraftFunctions {
           x.getPath, x.getQuery, x.getFragment)
       })
 
+    // CrateDB parse_url(text) → OBJECT(scheme, userinfo, hostname, port,
+    // path, query, parameters, fragment) (reference scalar/string/
+    // ParseURLFunction.java:37 — java.net URI→URL backing, URL-decoded
+    // components, query params split on `&(?!amp)` with null-valued bare
+    // keys, port null when unspecified, IllegalArgument on unparseable).
+    // The SQL name dispatches by arity in the registry block below so
+    // Spark's native 2/3-arg parse_url keeps working.
+    u.register("graft_parse_url", (s: String) =>
+      if (s == null) null
+      else {
+        def dec(t: String): String =
+          if (t == null) null
+          else java.net.URLDecoder.decode(t, java.nio.charset.StandardCharsets.UTF_8)
+        val url =
+          try new java.net.URI(s).toURL
+          catch { case e @ (_: java.net.MalformedURLException |
+                            _: java.net.URISyntaxException |
+                            _: IllegalArgumentException) =>
+            throw new IllegalArgumentException(s"unable to parse url $s")
+          }
+        val params: Map[String, Seq[String]] =
+          if (url.getQuery == null || url.getQuery.isEmpty) null
+          else url.getQuery.split("&(?!amp)").toSeq
+            .map { p =>
+              val i = p.indexOf('=')
+              val k = if (i > 0) dec(p.substring(0, i)) else dec(p)
+              val v = if (i > 0 && p.length > i + 1) dec(p.substring(i + 1)) else null
+              (k, v)
+            }
+            .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+        ParsedUrl(url.getProtocol, dec(url.getUserInfo), url.getHost,
+          if (url.getPort == -1) None else Some(url.getPort),
+          dec(url.getPath), dec(url.getQuery), params, dec(url.getRef))
+      })
+
     // PG bytea escape-format encode/decode (reference EncodeDecodeFunction)
     u.register("encode_escape", (b: Array[Byte]) =>
       if (b == null) null
@@ -96,13 +137,6 @@ object GraftFunctions {
       if (arr == null) null
       else arr.zipWithIndex.map { case (x, i) => if (i == idx - 1) v else x })
 
-    // reference-dialect date formatting (execution is native date_format;
-    // only the pattern translation runs in the UDF)
-    u.register("date_format_mysql", (pat: String, ts: java.sql.Timestamp) =>
-      if (ts == null || pat == null) null
-      else java.time.format.DateTimeFormatter
-        .ofPattern(TimeFunctions.translateMySqlPattern(pat))
-        .withZone(java.time.ZoneOffset.UTC).format(ts.toInstant))
     u.register("to_char", (ts: java.sql.Timestamp, tpl: String) =>
       if (ts == null || tpl == null) null
       else java.time.format.DateTimeFormatter
@@ -384,6 +418,191 @@ object GraftFunctions {
         _ => Literal(java.time.Instant.ofEpochMilli(
           spark.sparkContext.startTime)), "scala_udf")
     }
+
+    // Documented scalar tail (docs/general/builtins/scalar-functions.rst):
+    // trunc / timezone / date_bin / date_format / age / encode / decode /
+    // array_length / object_keys / vector_similarity — registered here so
+    // the reference's SQL text resolves verbatim. Everything that can fold
+    // to a native codegen'd expression does; only the BigDecimal tail of
+    // 2-arg trunc and the calendar borrowing of age run as scalar UDFs.
+    {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+      import org.apache.spark.sql.catalyst.expressions.{
+        And, CaseWhen, Cast, EqualTo, Expression, GreaterThan, Literal,
+        Pmod, Size, Subtract}
+      import org.apache.spark.sql.types.{
+        BinaryType, CalendarIntervalType, DoubleType, IntegerType, LongType,
+        StringType, TimestampType}
+      import org.apache.spark.unsafe.types.UTF8String
+
+      def call(name: String, args: Expression*) =
+        UnresolvedFunction(Seq(name), args.toSeq, isDistinct = false)
+
+      reg.createOrReplaceTempFunction("object_keys",
+        exprs => graft.plans.ObjectKeysExpr(exprs(0)), "scala_udf")
+
+      // PG/CrateDB array_length(arr, dim): 1-D arrays only (like
+      // array_lower/array_upper above); empty arrays → NULL, dim ≠ 1 → NULL
+      reg.createOrReplaceTempFunction("array_length",
+        exprs => CaseWhen(Seq((And(EqualTo(exprs(1), Literal(1)),
+          GreaterThan(Size(exprs(0)), Literal(0))), Size(exprs(0)))),
+          Literal(null, IntegerType)), "scala_udf")
+
+      // trunc(x) → integral truncation toward zero (TruncFunction.java:45
+      // floor/ceil by sign == ANSI cast-to-integral); trunc(x, d) → DOUBLE
+      // at d decimals via BigDecimal.setScale(d, toward-zero), the
+      // reference's exact arithmetic (TruncFunction.createTruncWithMode)
+      u.register("graft_trunc2", (x: java.lang.Double, d: java.lang.Integer) =>
+        if (x == null || d == null) null
+        else Double.box(java.math.BigDecimal.valueOf(x)
+          .setScale(d, if (x >= 0) java.math.RoundingMode.FLOOR
+                       else java.math.RoundingMode.CEILING)
+          .doubleValue()))
+      reg.createOrReplaceTempFunction("graft_trunc",
+        exprs =>
+          if (exprs.length == 1) Cast(exprs(0), LongType)
+          else call("graft_trunc2", Cast(exprs(0), DoubleType),
+            Cast(exprs(1), IntegerType)), "scala_udf")
+
+      reg.createOrReplaceTempFunction("timezone",
+        exprs => graft.plans.GraftTimezoneExpr(exprs(0), exprs(1)), "scala_udf")
+
+      // date_bin(interval, ts, origin) — the interval must be a literal
+      // (it always is in reference SQL; DateBinFunction.java:41). Pmod is
+      // floor-aligned for timestamps before the origin, matching the
+      // SQL-standard (and reference) negative-remainder behavior.
+      reg.createOrReplaceTempFunction("date_bin",
+        exprs => {
+          val widthMicros: Long = (try exprs(0).eval(null) catch {
+            case _: Exception => throw new IllegalArgumentException(
+              "date_bin interval must be a literal")
+          }) match {
+            case ci: org.apache.spark.unsafe.types.CalendarInterval =>
+              require(ci.months == 0,
+                "date_bin: intervals containing months or years are not supported")
+              ci.days * 86400000000L + ci.microseconds
+            case micros: java.lang.Long => micros.longValue
+            case other => throw new IllegalArgumentException(
+              s"date_bin: unsupported interval value $other")
+          }
+          require(widthMicros != 0, "date_bin: interval must be non-zero")
+          val t = call("unix_micros", Cast(exprs(1), TimestampType))
+          val o = call("unix_micros", Cast(exprs(2), TimestampType))
+          call("timestamp_micros",
+            Subtract(t, Pmod(Subtract(t, o), Literal(widthMicros))))
+        }, "scala_udf")
+
+      // CrateDB date_format: 1-arg = default ISO-millis format, 2-arg =
+      // (fmt, ts), 3-arg = (fmt, tz, ts); Dialect renames date_format →
+      // date_format_mysql (Spark's own date_format uses java patterns)
+      val defaultFmt = Literal(
+        UTF8String.fromString("%Y-%m-%dT%H:%i:%s.%fZ"), StringType)
+      val utc = Literal(UTF8String.fromString("UTC"), StringType)
+      reg.createOrReplaceTempFunction("date_format_mysql",
+        exprs => exprs.length match {
+          case 1 => graft.plans.GraftDateFormatExpr(defaultFmt, utc, exprs(0))
+          case 2 => graft.plans.GraftDateFormatExpr(exprs(0), utc, exprs(1))
+          case _ => graft.plans.GraftDateFormatExpr(exprs(0), exprs(1), exprs(2))
+        }, "scala_udf")
+
+      // PG age(a[, b]) → INTERVAL with calendar borrowing (AgeFunction.java:
+      // 45 builds a joda Period between the instants; java.time successive
+      // whole-unit subtraction computes the identical field decomposition).
+      // 1-arg form measures against CURRENT_DATE midnight, like PG.
+      u.register("graft_age_str",
+        (a: java.sql.Timestamp, b: java.sql.Timestamp) =>
+          if (a == null || b == null) null
+          else {
+            import java.time.LocalDateTime
+            import java.time.temporal.ChronoUnit
+            val la = a.toInstant.atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
+            val lb = b.toInstant.atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
+            // joda Interval.toPeriod(yearMonthDayTime()) field extraction:
+            // successive whole-unit subtraction from the SMALLER instant,
+            // clamp-aware for years/months (Jan 31 + 1 month = Feb 29 COUNTS
+            // as a full month — joda add() clamps, unlike ChronoUnit's
+            // day-of-month comparison), negated when a < b.
+            val (lo, hi, sign) = if (la.isBefore(lb)) (la, lb, -1L) else (lb, la, 1L)
+            def clamped(t: LocalDateTime, u: ChronoUnit,
+                        plus: (LocalDateTime, Long) => LocalDateTime): (Long, LocalDateTime) = {
+              var n = u.between(t, hi)
+              while (plus(t, n + 1).compareTo(hi) <= 0) n += 1
+              (n, plus(t, n))
+            }
+            var t = lo
+            val (years, t1) = clamped(t, ChronoUnit.YEARS, _.plusYears(_));   t = t1
+            val (months, t2) = clamped(t, ChronoUnit.MONTHS, _.plusMonths(_)); t = t2
+            val days = ChronoUnit.DAYS.between(t, hi); t = t.plusDays(days)
+            val hours = ChronoUnit.HOURS.between(t, hi); t = t.plusHours(hours)
+            val mins = ChronoUnit.MINUTES.between(t, hi); t = t.plusMinutes(mins)
+            val secs = ChronoUnit.MICROS.between(t, hi) / 1000000.0
+            // + 0.0 folds -0.0 to 0.0 so the sign never shows on a zero
+            java.lang.String.format(java.util.Locale.ROOT,
+              "%d years %d months %d days %d hours %d minutes %.6f seconds",
+              Long.box(sign * years), Long.box(sign * months),
+              Long.box(sign * days), Long.box(sign * hours),
+              Long.box(sign * mins), Double.box(sign * secs + 0.0))
+          })
+      reg.createOrReplaceTempFunction("age",
+        exprs => {
+          val norm = exprs.map(e => Cast(e, TimestampType))
+          val args =
+            if (norm.length == 1)
+              Seq(Cast(call("current_date"), TimestampType), norm(0))
+            else Seq(norm(0), norm(1))
+          Cast(call("graft_age_str", args: _*), CalendarIntervalType)
+        }, "scala_udf")
+
+      // encode(bytea, fmt) / decode(text, fmt) with the reference's three
+      // formats (EncodeDecodeFunction.java): base64, hex (lowercase, PG
+      // convention), escape (octal \nnn). Shadows Spark's charset
+      // encode/decode — graft's SQL dialect is CrateDB text, where the
+      // second argument is always one of these formats.
+      def fmtLit(e: Expression, fn: String): String = e match {
+        case Literal(s: UTF8String, StringType) if s != null =>
+          s.toString.toLowerCase
+        case _ => throw new IllegalArgumentException(
+          s"$fn format must be a literal: base64 | hex | escape")
+      }
+      reg.createOrReplaceTempFunction("encode",
+        exprs => fmtLit(exprs(1), "encode") match {
+          case "base64" => call("base64", Cast(exprs(0), BinaryType))
+          case "hex"    => call("lower", call("hex", Cast(exprs(0), BinaryType)))
+          case "escape" => call("encode_escape", Cast(exprs(0), BinaryType))
+          case other => throw new IllegalArgumentException(
+            s"encode: unsupported format '$other'")
+        }, "scala_udf")
+      reg.createOrReplaceTempFunction("decode",
+        exprs => fmtLit(exprs(1), "decode") match {
+          case "base64" => call("unbase64", exprs(0))
+          case "hex"    => call("unhex", exprs(0))
+          case "escape" => call("decode_escape", exprs(0))
+          case other => throw new IllegalArgumentException(
+            s"decode: unsupported format '$other'")
+        }, "scala_udf")
+
+      // 1-arg parse_url is CrateDB's object form; 2/3-arg stays Spark's
+      // native component extractor (the Column API resolves through this
+      // same registry entry)
+      reg.createOrReplaceTempFunction("parse_url",
+        exprs =>
+          if (exprs.length == 1) call("graft_parse_url", exprs(0))
+          else org.apache.spark.sql.catalyst.expressions.ParseUrl(exprs),
+        "scala_udf")
+    }
+
+    // vector_similarity(a, b) = 1 / (1 + l2²), the reference's Lucene
+    // convention (VectorSimilarityFunction.java; Column-API twin in
+    // functions/VectorFunctions.scala)
+    u.register("vector_similarity", (a: Seq[Float], b: Seq[Float]) =>
+      if (a == null || b == null || a.length != b.length) null
+      else {
+        var l2 = 0.0; var i = 0
+        while (i < a.length) {
+          val d = a(i).toDouble - b(i).toDouble; l2 += d * d; i += 1
+        }
+        Float.box((1.0 / (1.0 + l2)).toFloat)
+      })
 
     // UDF→native promotion rule (see plans.GraftExtensions; injected here
     // dynamically so driver-owned sessions get it without a restart).

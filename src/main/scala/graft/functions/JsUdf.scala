@@ -1,0 +1,341 @@
+package graft.functions
+
+/** Translator for the reference's JAVASCRIPT UDF bodies
+  * (docs/general/user-defined-functions.rst; the reference executes them on
+  * GraalVM — `expressions/UserDefinedFunctionService`). graft has no JS
+  * engine, and shipping one would put an interpreter in the row path; what
+  * real UDF bodies overwhelmingly are — the docs' own examples included —
+  * is a single `return <arithmetic>` over the arguments, sometimes behind
+  * `var` bindings. That subset translates EXACTLY onto Spark SQL
+  * expressions, which then run codegen'd (faster than the reference's
+  * GraalVM dispatch, and distributed for free).
+  *
+  * Accepted subset:
+  *   function name(a, b, …) { [var x = expr, y = expr; …] return expr; }
+  * where expr is: numbers, 'strings'/"strings", true/false/null, argument
+  * and var references, unary -/!, + - * / %, comparisons (== === != !== <
+  * <= > >=), && || , ?: ternaries, parentheses, array literals [..],
+  * 0-based indexing a[i] (→ 1-based element_at), object literals {k: v}
+  * (→ named_struct), Math.* calls/constants, and the string methods
+  * .toLowerCase() / .toUpperCase() / .trim() / .length.
+  *
+  * Anything else (loops, reassignment, closures, regex, …) throws
+  * UnsupportedOperationException with the offending construct named —
+  * the statement fails loudly rather than silently diverging (PORTING.md
+  * documents the contract).
+  */
+object JsUdf {
+
+  final case class Translated(name: String, params: Seq[String], sql: String)
+
+  // ---------- lexer ----------
+
+  private sealed trait T
+  private case class Num(s: String) extends T
+  private case class Str(s: String) extends T
+  private case class Id(s: String) extends T
+  private case class Op(s: String) extends T
+
+  private def lex(src: String): Vector[T] = {
+    val out = Vector.newBuilder[T]
+    var i = 0
+    val n = src.length
+    val ops3 = Set("===", "!==")
+    val ops2 = Set("==", "!=", "<=", ">=", "&&", "||")
+    while (i < n) {
+      val c = src.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isDigit || (c == '.' && i + 1 < n && src.charAt(i + 1).isDigit)) {
+        val j = i
+        while (i < n && (src.charAt(i).isDigit || src.charAt(i) == '.' ||
+          src.charAt(i) == 'e' || src.charAt(i) == 'E' ||
+          ((src.charAt(i) == '+' || src.charAt(i) == '-') && i > j &&
+            (src.charAt(i - 1) == 'e' || src.charAt(i - 1) == 'E')))) i += 1
+        out += Num(src.substring(j, i))
+      } else if (c == '\'' || c == '"') {
+        val q = c; val sb = new StringBuilder; i += 1
+        while (i < n && src.charAt(i) != q) {
+          if (src.charAt(i) == '\\' && i + 1 < n) { sb.append(src.charAt(i + 1)); i += 2 }
+          else { sb.append(src.charAt(i)); i += 1 }
+        }
+        require(i < n, "unterminated string in JS body")
+        i += 1
+        out += Str(sb.toString)
+      } else if (c.isLetter || c == '_' || c == '$') {
+        val j = i
+        while (i < n && (src.charAt(i).isLetterOrDigit || src.charAt(i) == '_' ||
+          src.charAt(i) == '$')) i += 1
+        out += Id(src.substring(j, i))
+      } else {
+        if (i + 3 <= n && ops3(src.substring(i, i + 3))) { out += Op(src.substring(i, i + 3)); i += 3 }
+        else if (i + 2 <= n && ops2(src.substring(i, i + 2))) { out += Op(src.substring(i, i + 2)); i += 2 }
+        else { out += Op(c.toString); i += 1 }
+      }
+    }
+    out.result()
+  }
+
+  // ---------- parser / SQL emitter ----------
+
+  private val mathFns: Map[String, String] = Map(
+    "abs" -> "abs", "ceil" -> "ceil", "floor" -> "floor", "round" -> "round",
+    "sqrt" -> "sqrt", "cbrt" -> "cbrt", "exp" -> "exp", "log" -> "ln",
+    "log10" -> "log10", "log2" -> "log2", "pow" -> "power", "sin" -> "sin",
+    "cos" -> "cos", "tan" -> "tan", "asin" -> "asin", "acos" -> "acos",
+    "atan" -> "atan", "atan2" -> "atan2", "sinh" -> "sinh", "cosh" -> "cosh",
+    "tanh" -> "tanh", "sign" -> "sign", "min" -> "least", "max" -> "greatest",
+    "random" -> "rand", "trunc" -> "graft_trunc", "hypot" -> "hypot")
+
+  private def unsupported(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"JS construct outside the translatable subset: $what " +
+        "(supported: var bindings and a single return over arithmetic, " +
+        "comparisons, ternaries, arrays, object literals, Math.*)")
+
+  /** sql text + is-the-value-a-string (drives JS `+` → `||` vs `+`). */
+  private final case class E(sql: String, str: Boolean)
+
+  def translate(js: String): Translated = {
+    val ts = lex(js)
+    var p = 0
+    def peek: Option[T] = ts.lift(p)
+    def next(): T = { val t = ts(p); p += 1; t }
+    def expectOp(s: String): Unit = next() match {
+      case Op(`s`) =>
+      case other   => unsupported(s"expected '$s', found $other")
+    }
+    def expectId(): String = next() match {
+      case Id(s) => s
+      case other => unsupported(s"expected identifier, found $other")
+    }
+
+    next() match {
+      case Id("function") =>
+      case other => unsupported(s"body must start with 'function', found $other")
+    }
+    val fname = expectId()
+    expectOp("(")
+    val params = Vector.newBuilder[String]
+    if (peek.contains(Op(")"))) { next(); () }
+    else {
+      var done = false
+      while (!done) {
+        params += expectId()
+        next() match {
+          case Op(",") =>
+          case Op(")") => done = true
+          case other   => unsupported(s"in parameter list: $other")
+        }
+      }
+    }
+    val paramSet0 = params.result()
+    expectOp("{")
+
+    val bindings = scala.collection.mutable.LinkedHashMap.empty[String, E]
+    def isName(t: T, s: String) = t == Id(s)
+
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+
+    def primary(): E = next() match {
+      case Num(s) => E(s, str = false)
+      case Str(s) => E(q(s), str = true)
+      case Id("true")  => E("true", str = false)
+      case Id("false") => E("false", str = false)
+      case Id("null")  => E("NULL", str = false)
+      case Id("Math") =>
+        expectOp(".")
+        val m = expectId()
+        m match {
+          case "PI" => E("pi()", str = false)
+          case "E"  => E("exp(1)", str = false)
+          case f if mathFns.contains(f) =>
+            expectOp("(")
+            val args = Vector.newBuilder[E]
+            if (peek.contains(Op(")"))) { next(); () }
+            else {
+              var done = false
+              while (!done) {
+                args += expr()
+                next() match {
+                  case Op(",") =>
+                  case Op(")") => done = true
+                  case other   => unsupported(s"in Math.$f arguments: $other")
+                }
+              }
+            }
+            E(s"${mathFns(f)}(${args.result().map(_.sql).mkString(", ")})", str = false)
+          case f => unsupported(s"Math.$f")
+        }
+      case Id(name) if bindings.contains(name) => bindings(name)
+      case Id(name) if paramSet0.contains(name) => E(name, str = false)
+      case Op("(") =>
+        val e = expr(); expectOp(")"); E(s"(${e.sql})", e.str)
+      case Op("[") =>
+        val items = Vector.newBuilder[E]
+        if (peek.contains(Op("]"))) { next(); () }
+        else {
+          var done = false
+          while (!done) {
+            items += expr()
+            next() match {
+              case Op(",") =>
+              case Op("]") => done = true
+              case other   => unsupported(s"in array literal: $other")
+            }
+          }
+        }
+        E(s"array(${items.result().map(_.sql).mkString(", ")})", str = false)
+      case Op("{") =>
+        val fields = Vector.newBuilder[(String, E)]
+        if (peek.contains(Op("}"))) { next(); () }
+        else {
+          var done = false
+          while (!done) {
+            val k = next() match {
+              case Str(s) => s
+              case Id(s)  => s
+              case other  => unsupported(s"object key $other")
+            }
+            expectOp(":")
+            fields += ((k, expr()))
+            next() match {
+              case Op(",") =>
+              case Op("}") => done = true
+              case other   => unsupported(s"in object literal: $other")
+            }
+          }
+        }
+        E("named_struct(" +
+          fields.result().map { case (k, v) => s"${q(k)}, ${v.sql}" }.mkString(", ") + ")",
+          str = false)
+      case Id(name) => unsupported(s"unknown identifier '$name'")
+      case other    => unsupported(other.toString)
+    }
+
+    def postfix(): E = {
+      var e = primary()
+      var go = true
+      while (go) peek match {
+        case Some(Op("[")) =>
+          next()
+          val idx = expr()
+          expectOp("]")
+          e = E(s"element_at(${e.sql}, (${idx.sql}) + 1)", str = false)
+        case Some(Op(".")) =>
+          next()
+          val m = expectId()
+          m match {
+            case "length" => e = E(s"length(${e.sql})", str = false)
+            case "toLowerCase" => expectOp("("); expectOp(")"); e = E(s"lower(${e.sql})", str = true)
+            case "toUpperCase" => expectOp("("); expectOp(")"); e = E(s"upper(${e.sql})", str = true)
+            case "trim"        => expectOp("("); expectOp(")"); e = E(s"trim(${e.sql})", str = true)
+            case other => unsupported(s"method .$other")
+          }
+        case _ => go = false
+      }
+      e
+    }
+
+    def unary(): E = peek match {
+      case Some(Op("-")) => next(); val e = unary(); E(s"(- ${e.sql})", str = false)
+      case Some(Op("+")) => next(); unary()
+      case Some(Op("!")) => next(); val e = unary(); E(s"(NOT ${e.sql})", str = false)
+      case _ => postfix()
+    }
+
+    def mul(): E = {
+      var e = unary()
+      var go = true
+      while (go) peek match {
+        case Some(Op(op @ ("*" | "/" | "%"))) =>
+          next(); val r = unary(); e = E(s"${e.sql} $op ${r.sql}", str = false)
+        case _ => go = false
+      }
+      e
+    }
+
+    def add(): E = {
+      var e = mul()
+      var go = true
+      while (go) peek match {
+        case Some(Op("+")) =>
+          next(); val r = mul()
+          e = if (e.str || r.str) E(s"concat(${e.sql}, ${r.sql})", str = true)
+              else E(s"${e.sql} + ${r.sql}", str = false)
+        case Some(Op("-")) =>
+          next(); val r = mul(); e = E(s"${e.sql} - ${r.sql}", str = false)
+        case _ => go = false
+      }
+      e
+    }
+
+    def cmp(): E = {
+      val e = add()
+      peek match {
+        case Some(Op(op @ ("==" | "===" | "!=" | "!==" | "<" | "<=" | ">" | ">="))) =>
+          next()
+          val r = add()
+          val sqlOp = op match {
+            case "==" | "===" => "="
+            case "!=" | "!==" => "<>"
+            case o            => o
+          }
+          E(s"${e.sql} $sqlOp ${r.sql}", str = false)
+        case _ => e
+      }
+    }
+
+    def and(): E = {
+      var e = cmp()
+      while (peek.contains(Op("&&"))) { next(); val r = cmp(); e = E(s"(${e.sql} AND ${r.sql})", str = false) }
+      e
+    }
+
+    def or(): E = {
+      var e = and()
+      while (peek.contains(Op("||"))) { next(); val r = and(); e = E(s"(${e.sql} OR ${r.sql})", str = false) }
+      e
+    }
+
+    def expr(): E = {
+      val c = or()
+      if (peek.contains(Op("?"))) {
+        next()
+        val t = expr()
+        expectOp(":")
+        val f = expr()
+        E(s"(CASE WHEN ${c.sql} THEN ${t.sql} ELSE ${f.sql} END)", t.str || f.str)
+      } else c
+    }
+
+    // statements: var bindings until `return`
+    var result: Option[E] = None
+    while (result.isEmpty) next() match {
+      case Id("var") | Id("let") | Id("const") =>
+        var done = false
+        while (!done) {
+          val name = expectId()
+          expectOp("=")
+          val e = expr()
+          bindings += name -> E(s"(${e.sql})", e.str)
+          next() match {
+            case Op(",") =>
+            case Op(";") => done = true
+            case other   => unsupported(s"in var declaration: $other")
+          }
+        }
+      case Id("return") =>
+        val e = expr()
+        peek match {
+          case Some(Op(";")) => next(); ()
+          case _             =>
+        }
+        expectOp("}")
+        require(p == ts.length, "trailing code after the function body")
+        result = Some(e)
+      case other => unsupported(s"statement $other")
+    }
+
+    Translated(fname, paramSet0, result.get.sql)
+  }
+}

@@ -8,6 +8,101 @@ import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** `object_keys(obj)` — top-level key names of an OBJECT (reference
+  * scalar/ObjectKeysFunction via docs/general/builtins/scalar-functions.rst).
+  * OBJECTs surface two ways in graft: as MAP columns (dynamic-schema reads,
+  * `sources/DynamicObjects`) and as STRUCTs (OBJECT literals, strict
+  * column policies). Both are one OBJECT type to the reference, so both
+  * resolve here — maps defer to `map_keys`, structs fold to their field
+  * names at analysis (the names are part of the TYPE, not the value).
+  */
+case class ObjectKeysExpr(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  import org.apache.spark.sql.catalyst.expressions.{CreateArray, If, IsNull, Literal, MapKeys}
+
+  override def prettyName: String = "object_keys"
+
+  override lazy val replacement: Expression = child.dataType match {
+    case s: StructType =>
+      If(IsNull(child), Literal(null, ArrayType(StringType)),
+        CreateArray(s.fieldNames.toSeq.map(n => Literal(UTF8String.fromString(n), StringType))))
+    case NullType => Literal(null, ArrayType(StringType))
+    case _        => MapKeys(child)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** CrateDB `date_format([fmt, [tz,]] ts)` (reference
+  * scalar/timestamp/DateFormatFunction.java:43 — MySQL `%`-patterns,
+  * default `'%Y-%m-%dT%H:%i:%s.%fZ'`, optional explicit zone, and a
+  * BIGINT timestamp argument is epoch MILLIS, CrateDB's native unit).
+  * The pattern/zone must be literals (they always are in reference SQL);
+  * both fold at analysis, so execution is Spark's native codegen'd
+  * `date_format` — no UDF in the hot path.
+  */
+case class GraftDateFormatExpr(fmt: Expression, tz: Expression, ts: Expression)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  import org.apache.spark.sql.catalyst.expressions.{Cast, DateFormatClass, Literal, MillisToTimestamp}
+
+  override def prettyName: String = "date_format"
+  override def children: Seq[Expression] = Seq(fmt, tz, ts)
+
+  private def litString(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case _ => throw new IllegalArgumentException(
+      s"date_format $what must be a string literal")
+  }
+
+  override lazy val replacement: Expression = {
+    val pattern = graft.functions.TimeFunctions.translateMySqlPattern(
+      litString(fmt, "format"))
+    val zone = litString(tz, "timezone")
+    val instant = ts.dataType match {
+      case LongType   => MillisToTimestamp(ts)
+      case StringType => Cast(ts, TimestampType)
+      case _          => ts
+    }
+    DateFormatClass(instant, Literal(UTF8String.fromString(pattern), StringType), Some(zone))
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(fmt = c(0), tz = c(1), ts = c(2))
+}
+
+/** CrateDB `timezone(tz, ts)` (reference scalar/timestamp/TimezoneFunction
+  * via docs/general/builtins/scalar-functions.rst §timezone): converts
+  * between naive wall-time and instant readings.
+  *
+  *  - BIGINT (epoch millis, CrateDB's timestamp-without-tz unit) and STRING
+  *    arguments are naive wall times: "treat as located in `tz`" → instant
+  *    (`to_utc_timestamp` direction; doc example
+  *    `timezone('Europe/Madrid', 257504400000)` → 257500800000).
+  *  - TIMESTAMP arguments are instants (Spark timestamps always are):
+  *    instant → wall time in `tz` (`from_utc_timestamp` direction, the
+  *    doc's timestamp-with-time-zone variant).
+  */
+case class GraftTimezoneExpr(tz: Expression, ts: Expression)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  import org.apache.spark.sql.catalyst.expressions.{Cast, FromUTCTimestamp, MillisToTimestamp, ToUTCTimestamp}
+
+  override def prettyName: String = "timezone"
+  override def children: Seq[Expression] = Seq(tz, ts)
+
+  override lazy val replacement: Expression = ts.dataType match {
+    case LongType   => ToUTCTimestamp(MillisToTimestamp(ts), tz)
+    case StringType => ToUTCTimestamp(Cast(ts, TimestampType), tz)
+    case _          => FromUTCTimestamp(ts, tz)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(tz = c(0), ts = c(1))
+}
+
 /** `pg_typeof(expr)` — returns the CrateDB display name of the argument's
   * type as a plan-time constant (reference
   * scalar/systeminformation/PgTypeofFunction.java:58 captures the BOUND

@@ -228,10 +228,98 @@ object QueriesRound4 {
         .agg(concat_ws("|", sort_array(collect_list(concat(col("column_name"),
           lit(":"), col("data_type"))))).as("schema_sig"))
       viewRows.crossJoin(cols).orderBy(col("holder"))
+    }),
+
+    // Documented scalar tail, end-to-end as CrateDB SQL text (scalar-
+    // functions.rst): numeric trunc (1- and 2-arg, TruncFunction.java),
+    // modulus, array_length, the three encode/decode formats
+    // (EncodeDecodeFunction.java), object_keys on an OBJECT literal, and
+    // `mean` as the avg alias. All replayed value-for-value in DuckDB.
+    "q178_scalar_tail3" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      graft.Engine.sql(s, """
+        SELECT c_custkey,
+               CAST(trunc(c_acctbal) AS BIGINT) AS t0,
+               trunc(c_acctbal, 1) AS t1,
+               modulus(c_custkey, 7) AS md,
+               array_length([c_custkey, c_custkey + 1], 1) AS alen,
+               encode(c_name, 'base64') AS b64,
+               CAST(decode(encode(c_name, 'base64'), 'base64') AS STRING) AS rt,
+               encode(c_name, 'hex') AS hx,
+               CAST(decode(encode(c_name, 'escape'), 'escape') AS STRING) AS esc_rt,
+               to_json(object_keys({k1=1, k2=2})) AS ok,
+               round(mean(c_acctbal) OVER (PARTITION BY c_nationkey), 4) AS nat_mean
+        FROM customer
+        ORDER BY c_custkey
+        LIMIT 300""")
+    }),
+
+    // Date/time tail as CrateDB SQL text: timezone() in its epoch-millis
+    // (naive wall time → instant) reading, literal-interval date_bin,
+    // date_format in all three arities (DateFormatFunction.java default
+    // pattern), and the age() field decomposition (AgeFunction.java's joda
+    // yearMonthDayTime periods — anchored mid-month, where the joda and PG
+    // borrow rules provably coincide, so DuckDB's PG-style age replays it).
+    "q179_time_tail" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      graft.Engine.sql(s, """
+        SELECT event_id,
+               unix_millis(timezone('Europe/Madrid', unix_millis(ts))) AS tz_ms,
+               date_bin('2 hours'::INTERVAL, ts,
+                        TIMESTAMP '2024-01-01 00:00:00') AS binned,
+               date_format(ts) AS iso,
+               date_format('%Y-%m-%d %H:%i', ts) AS fmt2,
+               date_format('%Y-%m-%d %H:%i:%s', 'UTC', ts) AS fmt3,
+               graft_age_str(ts, TIMESTAMP '2024-06-15 12:00:00') AS age_s
+        FROM events
+        ORDER BY event_id
+        LIMIT 500""")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q178_scalar_tail3" ->
+      """SELECT c_custkey,
+        |       CAST(trunc(c_acctbal) AS BIGINT) AS t0,
+        |       CAST((CASE WHEN c_acctbal >= 0
+        |                  THEN floor(CAST(c_acctbal AS DECIMAL(18,6)) * 10)
+        |                  ELSE -floor(-CAST(c_acctbal AS DECIMAL(18,6)) * 10)
+        |             END) / 10.0 AS DOUBLE) AS t1,
+        |       mod(c_custkey, 7) AS md,
+        |       array_length([c_custkey, c_custkey + 1], 1) AS alen,
+        |       to_base64(encode(c_name)) AS b64,
+        |       decode(from_base64(to_base64(encode(c_name)))) AS rt,
+        |       lower(hex(encode(c_name))) AS hx,
+        |       c_name AS esc_rt,
+        |       '["k1","k2"]' AS ok,
+        |       round(mean(c_acctbal) OVER (PARTITION BY c_nationkey), 4) AS nat_mean
+        |FROM customer
+        |ORDER BY c_custkey
+        |LIMIT 300""".stripMargin,
+
+    "q179_time_tail" ->
+      """SELECT event_id,
+        |       epoch_ms(timezone('Europe/Madrid', ts)) AS tz_ms,
+        |       make_timestamp((epoch_ms(ts)
+        |         - ((epoch_ms(ts) - epoch_ms(TIMESTAMP '2024-01-01 00:00:00'))
+        |            % 7200000 + 7200000) % 7200000) * 1000) AS binned,
+        |       strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS iso,
+        |       strftime(ts, '%Y-%m-%d %H:%M') AS fmt2,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS fmt3,
+        |       printf('%d years %d months %d days %d hours %d minutes %.6f seconds',
+        |              CAST(date_part('year', iv) AS BIGINT),
+        |              CAST(date_part('month', iv) AS BIGINT),
+        |              CAST(date_part('day', iv) AS BIGINT),
+        |              CAST(date_part('hour', iv) AS BIGINT),
+        |              CAST(date_part('minute', iv) AS BIGINT),
+        |              date_part('microsecond', iv) / 1000000.0) AS age_s
+        |FROM (SELECT event_id, ts,
+        |             age(ts, TIMESTAMP '2024-06-15 12:00:00') AS iv
+        |      FROM events) t
+        |ORDER BY event_id
+        |LIMIT 500""".stripMargin,
     // the analyzer chain as literal string algebra: mapping replace on the
     // RAW text, then lowercase, then standard-tokenize, then length >= 3
     "q175_analyzer_ddl" ->

@@ -1,0 +1,120 @@
+package graft
+
+/** `CREATE FUNCTION` through the router: the reference's JAVASCRIPT UDF
+  * bodies (docs/general/user-defined-functions.rst examples verbatim)
+  * translated onto Spark SQL scalar UDFs via [[graft.functions.JsUdf]].
+  */
+class JsUdfSpec extends SparkTestBase {
+  import graft.functions.JsUdf
+
+  private lazy val router = {
+    val root = java.nio.file.Files.createTempDirectory("graft_jsudf").toFile.getAbsolutePath
+    new StatementRouter(spark, root)
+  }
+
+  private def one(sql: String): String = {
+    val r = Engine.sql(spark, sql).collect()(0).get(0)
+    if (r == null) "null" else r.toString
+  }
+
+  test("translator: docs' my_subtract_function") {
+    val t = JsUdf.translate(
+      "function my_subtract_function(a, b) { return a - b; }")
+    assert(t.name == "my_subtract_function")
+    assert(t.params == Seq("a", "b"))
+    assert(t.sql == "a - b")
+  }
+
+  test("translator: var bindings, Math, array literals (docs' rotate_point)") {
+    val t = JsUdf.translate(
+      """function rotate_point(point, angle) {
+        |  var cos = Math.cos(angle);
+        |  var sin = Math.sin(angle);
+        |  var x = cos * point[0] - sin * point[1];
+        |  var y = sin * point[0] + cos * point[1];
+        |  return [x, y];
+        |}""".stripMargin)
+    assert(t.params == Seq("point", "angle"))
+    assert(t.sql.contains("cos(angle)"))
+    assert(t.sql.contains("element_at(point, (0) + 1)"))
+  }
+
+  test("translator: object literal return (docs' line function)") {
+    val t = JsUdf.translate(
+      """function line(start, end) {
+        |  return { "type": "LineString", "coordinates": [start, end] };
+        |}""".stripMargin)
+    assert(t.sql ==
+      "named_struct('type', 'LineString', 'coordinates', array(start, end))")
+  }
+
+  test("translator: rejects loops with a clear error") {
+    val e = intercept[UnsupportedOperationException](JsUdf.translate(
+      "function f(a) { for (var i = 0; i < a; i++) {} return a; }"))
+    assert(e.getMessage.contains("outside the translatable subset"))
+  }
+
+  test("routed CREATE FUNCTION end-to-end, scalar arithmetic") {
+    router.execute(
+      """CREATE FUNCTION my_subtract_function(integer, integer)
+        |RETURNS integer
+        |LANGUAGE JAVASCRIPT
+        |AS 'function my_subtract_function(a, b) { return a - b; }'""".stripMargin)
+    assert(one("SELECT my_subtract_function(3, 1)") == "2")
+    // duplicate without OR REPLACE errors, like the reference
+    val e = intercept[Exception](router.execute(
+      """CREATE FUNCTION my_subtract_function(integer, integer)
+        |RETURNS integer LANGUAGE JAVASCRIPT
+        |AS 'function my_subtract_function(a, b) { return a - b; }'""".stripMargin))
+    assert(e.getMessage.contains("already exists"))
+    // OR REPLACE swaps the body
+    router.execute(
+      """CREATE OR REPLACE FUNCTION my_subtract_function(integer, integer)
+        |RETURNS integer LANGUAGE JAVASCRIPT
+        |AS 'function my_subtract_function(a, b) { return b - a; }'""".stripMargin)
+    assert(one("SELECT my_subtract_function(3, 1)") == "-2")
+    router.execute("DROP FUNCTION my_subtract_function(integer, integer)")
+    intercept[Exception](Engine.sql(spark, "SELECT my_subtract_function(3, 1)").collect())
+    router.execute("DROP FUNCTION IF EXISTS doc.my_subtract_function(integer, integer)")
+  }
+
+  test("routed CREATE FUNCTION: geo_point body with vars and Math") {
+    router.execute(
+      """CREATE OR REPLACE FUNCTION rotate_point(point geo_point, angle real)
+        |RETURNS geo_point
+        |LANGUAGE JAVASCRIPT
+        |AS 'function rotate_point(point, angle) {
+        |      var cos = Math.cos(angle);
+        |      var sin = Math.sin(angle);
+        |      var x = cos * point[0] - sin * point[1];
+        |      var y = sin * point[0] + cos * point[1];
+        |      return [x, y];
+        |   }'""".stripMargin)
+    val r = Engine.sql(spark,
+      "SELECT rotate_point(CAST(array(1.0, 0.0) AS ARRAY<DOUBLE>), CAST(pi() AS FLOAT))")
+      .collect()(0).getSeq[Double](0)
+    assert(math.abs(r(0) - (-1.0)) < 1e-6)
+    assert(math.abs(r(1)) < 1e-6)
+  }
+
+  test("routed CREATE FUNCTION: ternary, string concat, conditions") {
+    router.execute(
+      """CREATE OR REPLACE FUNCTION grade(score double precision)
+        |RETURNS text
+        |LANGUAGE JAVASCRIPT
+        |AS 'function grade(s) { return s >= 90 ? "A" : (s >= 50 ? "pass-" + s : "fail"); }'""".stripMargin)
+    assert(one("SELECT grade(95.0)") == "A")
+    assert(one("SELECT grade(60.0)") == "pass-60.0")
+    assert(one("SELECT grade(10.0)") == "fail")
+  }
+
+  test("information_schema.routines lists the created function") {
+    router.execute(
+      """CREATE OR REPLACE FUNCTION routine_probe(bigint)
+        |RETURNS bigint LANGUAGE JAVASCRIPT
+        |AS 'function routine_probe(x) { return x * 2; }'""".stripMargin)
+    val rows = graft.sources.InformationSchema.routines(spark)
+      .filter("routine_name = 'routine_probe'").count()
+    assert(rows == 1)
+  }
+}

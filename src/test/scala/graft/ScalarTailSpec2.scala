@@ -1,0 +1,113 @@
+package graft
+
+/** Round-4 scalar tail: the remaining documented scalar surface
+  * (docs/general/builtins/scalar-functions.rst) resolving and evaluating
+  * through the SQL path — numeric trunc, modulus/mean aliases, timezone,
+  * date_bin, all three date_format arities, age, encode/decode formats,
+  * array_length, object_keys over literals, 1-arg parse_url, empty_row.
+  * Expected values are the reference docs' own examples where the docs
+  * give one.
+  */
+class ScalarTailSpec2 extends SparkTestBase {
+
+  private def one(sql: String): String = {
+    val r = Engine.sql(spark, sql).collect()(0).get(0)
+    if (r == null) "null" else r.toString
+  }
+
+  test("trunc: 1-arg integral truncation toward zero, 2-arg BigDecimal scale") {
+    assert(one("SELECT trunc(29.999999)") == "29")
+    assert(one("SELECT trunc(-1.5)") == "-1")
+    // docs example: trunc(29.999999, 3) = 29.999
+    assert(one("SELECT trunc(29.999999, 3)") == "29.999")
+    assert(one("SELECT trunc(-29.999999, 2)") == "-29.99")
+    // decimal-string scaling, not float multiply: trunc(0.29, 2) stays 0.29
+    assert(one("SELECT trunc(0.29, 2)") == "0.29")
+  }
+
+  test("modulus and mean are the reference's spelled-out aliases") {
+    assert(one("SELECT modulus(7, 3)") == "1")
+    assert(one("SELECT mean(x) FROM (VALUES (1), (2)) AS t(x)") == "1.5")
+  }
+
+  test("timezone: docs' Madrid example (epoch millis are naive wall time)") {
+    // scalar-functions.rst §timezone: 257504400000 in Madrid → 257500800000
+    assert(one("SELECT unix_millis(timezone('Europe/Madrid', 257504400000))")
+      == "257500800000")
+    // TIMESTAMP input is an instant → wall time in the zone
+    assert(one("SELECT timezone('Europe/Madrid', TIMESTAMP '1978-02-28 09:00:00')")
+      .startsWith("1978-02-28 10:00"))
+  }
+
+  test("date_bin: literal interval, floor-aligned before the origin") {
+    assert(one("SELECT date_bin('2 hours'::INTERVAL, TIMESTAMP '2024-01-01 05:17:00', TIMESTAMP '2024-01-01 00:00:00')")
+      .startsWith("2024-01-01 04:00:00"))
+    assert(one("SELECT date_bin('2 hours'::INTERVAL, TIMESTAMP '2023-12-31 23:00:00', TIMESTAMP '2024-01-01 00:00:00')")
+      .startsWith("2023-12-31 22:00:00"))
+    val e = intercept[Exception](
+      Engine.sql(spark, "SELECT date_bin('1 month'::INTERVAL, TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 00:00:00')"))
+    assert(e.getMessage.contains("months"))
+  }
+
+  test("date_format: default ISO pattern, 2-arg, 3-arg with zone") {
+    assert(one("SELECT date_format(TIMESTAMP '2024-03-05 14:07:09.123')")
+      == "2024-03-05T14:07:09.123000Z")
+    assert(one("SELECT date_format('%Y/%m', TIMESTAMP '2024-03-05 14:07:09')")
+      == "2024/03")
+    assert(one("SELECT date_format('%Y-%m-%d %H:%i', 'Europe/Madrid', TIMESTAMP '1978-02-28 09:00:00')")
+      == "1978-02-28 10:00")
+  }
+
+  test("age: joda yearMonthDayTime decomposition incl. clamp and negation") {
+    // clamp edge: Jan 31 23:00 + 1 month = Feb 29 23:00 counts as a month
+    // (AgeFunction.java uses joda periods; PG would say 29 days here)
+    assert(one("SELECT CAST(age(TIMESTAMP '2024-03-01 00:00:00', TIMESTAMP '2024-01-31 23:00:00') AS STRING)")
+      == "1 months 1 hours")
+    // reversed arguments swap-and-negate like joda Period.negated()
+    assert(one("SELECT CAST(age(TIMESTAMP '2024-01-31 23:00:00', TIMESTAMP '2024-03-01 00:00:00') AS STRING)")
+      == "-1 months -1 hours")
+    assert(one("SELECT age(TIMESTAMP '2024-01-01 00:00:00') IS NOT NULL") == "true")
+  }
+
+  test("encode/decode: base64, lowercase hex, octal escape") {
+    assert(one("SELECT encode('abc', 'base64')") == "YWJj")
+    assert(one("SELECT encode('abc', 'hex')") == "616263")
+    assert(one("SELECT CAST(decode('YWJj', 'base64') AS STRING)") == "abc")
+    assert(one("SELECT CAST(decode('616263', 'hex') AS STRING)") == "abc")
+    assert(one(raw"SELECT cast(decode(encode('ab\\cd', 'escape'), 'escape') AS STRING)")
+      == raw"ab\cd")
+    val e = intercept[Exception](Engine.sql(spark, "SELECT encode('x', 'mime')"))
+    assert(e.getMessage.contains("unsupported format"))
+  }
+
+  test("array_length / object_keys over literals") {
+    assert(one("SELECT array_length([1,2,3], 1)") == "3")
+    assert(one("SELECT array_length(CAST(array() AS ARRAY<INT>), 1)") == "null")
+    assert(one("SELECT array_length([1,2,3], 2)") == "null")
+    assert(one("SELECT to_json(object_keys({a=1, b=2}))") == """["a","b"]""")
+    // MAP-typed objects (dynamic reads) keep working through the same name
+    assert(one("SELECT to_json(object_keys(map('x', 1)))") == """["x"]""")
+  }
+
+  test("parse_url: 1-arg CrateDB object; 2-arg Spark extractor intact") {
+    val u = "'https://user:pw@x.org:4443/a%20b?k=1&k=2&flag#frag'"
+    assert(one(s"SELECT parse_url($u)['hostname']") == "x.org")
+    assert(one(s"SELECT parse_url($u)['port']") == "4443")
+    assert(one(s"SELECT parse_url($u)['path']") == "/a b")
+    assert(one(s"SELECT parse_url($u)['fragment']") == "frag")
+    assert(one(s"SELECT to_json(parse_url($u)['parameters'])")
+      == """{"flag":[null],"k":["1","2"]}""")
+    assert(one("SELECT parse_url('https://x.org/a')['port']") == "null")
+    assert(one("SELECT parse_url('https://x.org/p', 'HOST')") == "x.org")
+  }
+
+  test("empty_row() is a one-row FROM target") {
+    assert(one("SELECT 2 + 2 FROM empty_row()") == "4")
+  }
+
+  test("vector_similarity SQL surface (1 / (1 + l2^2))") {
+    assert(one("SELECT vector_similarity(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>), CAST(array(1.0, 0.0) AS ARRAY<FLOAT>))") == "1.0")
+    assert(math.abs(one("SELECT vector_similarity(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>), CAST(array(0.0, 1.0) AS ARRAY<FLOAT>))").toDouble
+      - 1.0 / 3.0) < 1e-6)
+  }
+}
