@@ -40,6 +40,8 @@ object Engine {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.registerAll(spark)
+    // stage-completion ring for sys.operations_log starts with the session
+    graft.sources.SysCatalog.installListener(spark)
     spark
   }
 

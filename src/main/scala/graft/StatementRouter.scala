@@ -228,6 +228,20 @@ class StatementRouter(spark: SparkSession, root: String) {
       case "reset"    => spark.conf.unset(sig.drop(1).map(_.text).mkString); summary(0L)
       case "show" if sig.length > 2 && sig(1).is("create") && sig(2).is("table") =>
         showCreateTable(sig(3).text)
+      // SHOW { parameter | ALL } — session settings (reference
+      // docs/sql/statements/show.rst; unrelated to SHOW TABLES & co).
+      // SHOW ALL follows PG's (name, setting) shape over the redacted
+      // conf; SHOW <name> returns PG's one column named after the setting.
+      case "show" if sig.length > 1 && sig(1).is("all") =>
+        graft.sources.PgCatalog.pgSettings(spark)
+      case "show" if sig.length > 1 && !sig(1).is("schemas") &&
+        !sig(1).is("tables") && !sig(1).is("columns") && !sig(1).is("create") => {
+        import spark.implicits._
+        val name = sig.drop(1).map(unq(_)).mkString
+        Seq(spark.conf.getOption(name).getOrElse(
+          throw new IllegalArgumentException(s"unknown setting '$name'")))
+          .toDF(name)
+      }
       case "show" if sig.length > 1 && sig(1).is("schemas") => showSchemas(sig)
       case "show" if sig.length > 1 && sig(1).is("tables")  => showTables(sig)
       case "show" if sig.length > 1 && sig(1).is("columns") => showColumns(sig)

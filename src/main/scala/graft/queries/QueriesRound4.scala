@@ -276,10 +276,47 @@ object QueriesRound4 {
         FROM events
         ORDER BY event_id
         LIMIT 500""")
+    }),
+
+    // CREATE FUNCTION end-to-end: JAVASCRIPT bodies (user-defined-
+    // functions.rst shapes — arithmetic + ternary with string results)
+    // routed through the JS-subset translator onto Spark SQL UDFs, then
+    // used in a query over lineitem. The oracle replays the function
+    // BODIES as inline SQL — proving the translation preserved semantics.
+    "q180_create_function" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_q180").toFile.getAbsolutePath
+      val r = new graft.StatementRouter(s, root)
+      r.execute(
+        """CREATE OR REPLACE FUNCTION disc_price(double precision, double precision)
+          |RETURNS double precision LANGUAGE JAVASCRIPT
+          |AS 'function disc_price(p, d) { return p * (1 - d); }'""".stripMargin)
+      r.execute(
+        """CREATE OR REPLACE FUNCTION qty_band(double precision)
+          |RETURNS text LANGUAGE JAVASCRIPT
+          |AS 'function qty_band(q) { return q >= 40 ? "high" : (q >= 20 ? "mid" : "low"); }'""".stripMargin)
+      r.execute("""
+        SELECT l_orderkey, l_linenumber,
+               round(disc_price(l_extendedprice, l_discount), 4) AS dp,
+               qty_band(l_quantity) AS band
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber
+        LIMIT 400""")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q180_create_function" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       round(l_extendedprice * (1 - l_discount), 4) AS dp,
+        |       CASE WHEN l_quantity >= 40 THEN 'high'
+        |            WHEN l_quantity >= 20 THEN 'mid'
+        |            ELSE 'low' END AS band
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber
+        |LIMIT 400""".stripMargin,
+
     "q178_scalar_tail3" ->
       """SELECT c_custkey,
         |       CAST(trunc(c_acctbal) AS BIGINT) AS t0,

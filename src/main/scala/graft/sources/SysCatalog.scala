@@ -127,8 +127,112 @@ object SysCatalog {
       .toDF("id", "stmt", "classification", "started", "ended", "error")
   }
 
+  // ---- sys.operations / sys.operations_log -------------------------------
+  //
+  // The reference's "operation" is one execution phase of a job (collect,
+  // merge, fetch — SysOperationsTableInfo.java / SysOperationsLogTableInfo
+  // .java). Spark's exact analogue is the STAGE: one shuffle-bounded phase
+  // of a query. sys.operations is the point-in-time active-stage view from
+  // the status tracker; sys.operations_log is a listener-fed ring of
+  // completed stages with their real runtime metrics (used/read bytes are
+  // genuine task metrics, not estimates).
+
+  private val opsLogSize = 10000
+  private val opsLog =
+    new java.util.concurrent.ConcurrentLinkedDeque[(Int, Int, String, Long, Long, Long, Long, String)]
+  private val opsCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val listenerInstalled = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Idempotently hook the stage-completion listener into this session's
+    * SparkContext (one hook per JVM context, like GraftFunctions.registerAll). */
+  def installListener(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    if (!listenerInstalled.add(sc.applicationId)) return
+    sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = ev.stageInfo
+        val m = si.taskMetrics
+        opsLog.addLast((si.stageId, si.attemptNumber(), si.name,
+          si.submissionTime.getOrElse(0L), si.completionTime.getOrElse(0L),
+          if (m == null) 0L else m.shuffleReadMetrics.totalBytesRead,
+          if (m == null) 0L else m.shuffleWriteMetrics.bytesWritten,
+          si.failureReason.orNull))
+        if (opsCount.incrementAndGet() > opsLogSize && opsLog.pollFirst() != null)
+          opsCount.decrementAndGet()
+      }
+    })
+  }
+
+  def operations(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val st = spark.sparkContext.statusTracker
+    st.getActiveStageIds().toSeq.flatMap(id => st.getStageInfo(id).map(s =>
+      (s.stageId, s.name, s.numTasks, s.numActiveTasks, s.numCompletedTasks)))
+      .toDF("id", "name", "total_tasks", "active_tasks", "completed_tasks")
+  }
+
+  def operationsLog(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    opsLog.iterator.asScala.toSeq
+      .toDF("id", "attempt", "name", "started", "ended",
+        "shuffle_read_bytes", "shuffle_write_bytes", "error")
+  }
+
+  /** `sys.jobs_metrics` analogue (reference SysMetricsTableInfo.java /
+    * ClassifiedMetrics.java: duration statistics grouped by statement
+    * classification). Derived from the jobs_log ring — same source the
+    * reference aggregates, bounded driver-side metadata. */
+  def jobsMetrics(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    jobLog.iterator.asScala.toSeq
+      .groupBy(_._3)
+      .map { case (cls, rows) =>
+        val durations = rows.map(r => r._5 - r._4)
+        (cls, rows.size.toLong, rows.count(_._6 != null).toLong,
+          durations.min, durations.max,
+          durations.sum.toDouble / durations.size)
+      }.toSeq.toDF("classification", "total_count", "failed_count",
+        "min_duration_ms", "max_duration_ms", "avg_duration_ms")
+  }
+
+  /** `sys.sessions` (reference SysSessionsTableInfo.java) — single-user
+    * engine: one row for this SparkSession. */
+  def sessions(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((spark.sparkContext.applicationId, spark.sparkContext.sparkUser,
+      spark.sparkContext.startTime))
+      .toDF("id", "auth_user", "time_created")
+  }
+
+  /** `sys.snapshots` analogue: the reference lists repository snapshots
+    * (SysSnapshotsTableInfo.java); graft's durable past states are the
+    * committed versions of versioned tables, so each (table, version)
+    * manifest under `dir` is a snapshot row with its commit time. */
+  def snapshots(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    val rows: Seq[(String, String, Long, String)] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { tdir =>
+        val manifests = new org.apache.hadoop.fs.Path(tdir.getPath, "_manifests")
+        if (!fs.exists(manifests)) Seq.empty
+        else fs.listStatus(manifests).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".manifest"))
+          .map(v => (tdir.getPath.getName,
+            v.getPath.getName.stripSuffix(".manifest"),
+            v.getModificationTime, "SUCCESS"))
+      }
+    rows.toDF("table_name", "name", "started", "state")
+  }
+
   /** Register every sys view as `sys_<name>` temp views. */
   def registerAll(spark: SparkSession, dir: String): Unit = {
+    installListener(spark)
     cluster(spark).createOrReplaceTempView("sys_cluster")
     nodes(spark).createOrReplaceTempView("sys_nodes")
     shards(spark, dir).createOrReplaceTempView("sys_shards")
@@ -136,5 +240,10 @@ object SysCatalog {
     health(spark, dir).createOrReplaceTempView("sys_health")
     checks(spark).createOrReplaceTempView("sys_checks")
     jobsLog(spark).createOrReplaceTempView("sys_jobs_log")
+    operations(spark).createOrReplaceTempView("sys_operations")
+    operationsLog(spark).createOrReplaceTempView("sys_operations_log")
+    jobsMetrics(spark).createOrReplaceTempView("sys_jobs_metrics")
+    sessions(spark).createOrReplaceTempView("sys_sessions")
+    snapshots(spark, dir).createOrReplaceTempView("sys_snapshots")
   }
 }

@@ -412,6 +412,47 @@ class SysCatalogSpec extends SparkTestBase {
       "SELECT table_name FROM sys.shards GROUP BY table_name")).count()
     assert(n == graft.Tables.names.length)
   }
+
+  test("sys.operations_log records completed stages with real metrics") {
+    graft.sources.SysCatalog.installListener(spark)
+    // a shuffle query → at least two stages complete under the listener
+    Tables.registerAll(spark, sfDir)
+    spark.sql("SELECT c_nationkey, count(*) FROM customer GROUP BY c_nationkey")
+      .collect()
+    // listener events are async; poll for the ring to fill
+    var tries = 0
+    while (graft.sources.SysCatalog.operationsLog(spark).count() < 2 && tries < 50) {
+      Thread.sleep(100); tries += 1
+    }
+    graft.sources.SysCatalog.registerAll(spark, sfDir)
+    val ops = spark.sql(
+      "SELECT * FROM sys_operations_log WHERE ended >= started AND error IS NULL")
+    assert(ops.count() >= 2)
+    // point-in-time view parses; idle between queries
+    assert(spark.sql("SELECT * FROM sys_operations").columns.length == 5)
+  }
+
+  test("sys.jobs_metrics aggregates the statement ring by classification") {
+    Engine.sql(spark, "SELECT 1").collect()
+    graft.sources.SysCatalog.registerAll(spark, sfDir)
+    val m = spark.sql(
+      """SELECT total_count, failed_count, min_duration_ms, max_duration_ms
+         FROM sys_jobs_metrics WHERE classification = 'SELECT'""").collect()
+    assert(m.length == 1 && m(0).getLong(0) >= 1
+      && m(0).getLong(2) <= m(0).getLong(3))
+    assert(spark.sql("SELECT * FROM sys_sessions").count() == 1)
+  }
+
+  test("sys.snapshots lists committed versions of versioned tables") {
+    val root = java.nio.file.Files.createTempDirectory("graftsnap").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute("CREATE TABLE snapt (id BIGINT PRIMARY KEY)")
+    r.execute("INSERT INTO snapt (id) VALUES (1)")
+    r.execute("INSERT INTO snapt (id) VALUES (2)")
+    val snaps = graft.sources.SysCatalog.snapshots(spark, root)
+      .filter("table_name = 'snapt' AND state = 'SUCCESS'")
+    assert(snaps.count() >= 2)
+  }
 }
 
 /** The porting story end-to-end: one router, every statement class a
@@ -561,6 +602,16 @@ class StatementRouterSpec extends SparkTestBase {
     assert(vals.getString(0) == "42" && vals.getString(1) == "fast")
     r.execute("RESET graft.answer")
     assert(r.execute("SELECT current_setting('graft.answer', true) AS a").head().isNullAt(0))
+
+    // SHOW <setting> / SHOW ALL (docs/sql/statements/show.rst): one column
+    // named after the parameter; ALL is the (name, setting) settings table
+    val shown = r.execute("SHOW graft.mode")
+    assert(shown.columns.toSeq == Seq("graft.mode"))
+    assert(shown.head().getString(0) == "fast")
+    val all = r.execute("SHOW ALL")
+    assert(all.columns.toSeq == Seq("name", "setting"))
+    assert(all.filter("name = 'graft.mode' AND setting = 'fast'").count() == 1)
+    intercept[Exception](r.execute("SHOW graft.never_set_xyz"))
 
     // SHOW CREATE TABLE reconstructs columns + bucket spec from the snapshot
     r.execute("CREATE TABLE sct (id BIGINT PRIMARY KEY, name TEXT, score DOUBLE) " +
