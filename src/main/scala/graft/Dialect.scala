@@ -982,6 +982,9 @@ object Dialect {
       val head = d(0).text.toLowerCase
       if (head == "primary" || head == "index" || head == "constraint" || head == "check")
         None // table-level constraint / fulltext index: no Spark DDL twin
+      else if (d.length > 1 && (d(1).is("generated") || d(1).is("as")))
+        None // generated column without a declared type: the router infers
+             // the type from the expression and stitches it into the schema
       else {
         val name = ident(d(0).text)
         val (ty, after) = mapType(d, 1)

@@ -337,12 +337,23 @@ class StatementRouter(spark: SparkSession, root: String) {
   private def showCreateTable(name: String): DataFrame = {
     import spark.implicits._
     val schema = readTable(name).schema
+    val cspec = VersionedTable.constraintSpec(spark, tablePath(name))
+    val genOf = cspec.map(_.generated.map(g => g._1 -> g._3).toMap)
+      .getOrElse(Map.empty[String, String])
+    val checkOfCol = cspec.map(_.checks).getOrElse(Nil)
+      .collect { case (n, _, o) if n.contains("_") => (n, o) }
+    val notNullSet = cspec.map(_.notNull.toSet).getOrElse(Set.empty[String])
     val cols = schema.fields.map { f =>
       val t = graft.plans.PgTypeofExpr.crateName(f.dataType) match {
         case "text" => "TEXT"
         case other  => other.toUpperCase
       }
-      s"   ${f.name} $t" + (if (f.nullable) "" else " NOT NULL")
+      val gen = genOf.get(f.name).map(e => s" GENERATED ALWAYS AS ($e)").getOrElse("")
+      val colCheck = checkOfCol
+        .find(_._1 == s"${name}_${f.name}_check")
+        .map(c => s" CHECK (${c._2})").getOrElse("")
+      val nn = if (!f.nullable || notNullSet.contains(f.name)) " NOT NULL" else ""
+      s"   ${f.name} $t$gen$colCheck$nn"
     }.mkString(",\n")
     // declared fulltext indexes re-render as table-level INDEX clauses,
     // like the reference's MetadataToASTVisitor
@@ -350,7 +361,13 @@ class StatementRouter(spark: SparkSession, root: String) {
       s"   INDEX ${ix.name} USING FULLTEXT (${ix.cols.mkString(", ")}) " +
         s"WITH (analyzer = '${ix.analyzer}')"
     }
-    val body = (cols +: ftIndexes.toVector).filter(_.nonEmpty).mkString(",\n")
+    // named/table-level CHECK constraints (auto col-checks rendered inline)
+    val tableChecks = cspec.map(_.checks).getOrElse(Nil)
+      .filterNot { case (n, _, _) =>
+        schema.fields.exists(f => n == s"${name}_${f.name}_check") }
+      .map { case (n, _, o) => s"   CONSTRAINT $n CHECK ($o)" }
+    val body = (cols +: (ftIndexes ++ tableChecks).toVector)
+      .filter(_.nonEmpty).mkString(",\n")
     val clustered = VersionedTable.bucketSpec(spark, tablePath(name))
       .map(b => s"\nCLUSTERED BY (${b.cols.mkString(", ")}) INTO ${b.numBuckets} SHARDS")
       .getOrElse("")
@@ -658,8 +675,13 @@ class StatementRouter(spark: SparkSession, root: String) {
           sources.CopyOps.copyFromCsv(spark, target.schema,
             opts.getOrElse("header", "true").toBoolean, path)
         else sources.CopyOps.copyFromJson(spark, target.schema, path)
-      val n = rows.count()
-      writeTable(name, Dml.insertInto(target, rows))
+      // generated columns recompute for file rows (reference: "computed as
+      // needed for every INSERT, UPDATE and COPY FROM"); CHECK/NOT NULL
+      // enforced like INSERT. Files carrying a generated column get it
+      // recomputed (deterministic expressions yield the same value).
+      val checked = enforceOnInsert(name, rows, Set.empty)
+      val n = checked.count()
+      writeTable(name, Dml.insertInto(target, checked))
       if (ts.exists(_.is("summary"))) fileSummary else summary(n)
     } else {
       val cur = readTable(name)
@@ -725,10 +747,158 @@ class StatementRouter(spark: SparkSession, root: String) {
         s"unknown analyzer: ${ix.analyzer}"))
       VersionedTable.setIndexSpecs(spark, tablePath(name), ftIndexes)
     }
+    // generated columns / CHECK / NOT NULL → durable constraint spec;
+    // untyped generated columns get their type inferred from the
+    // expression and stitched into the schema at their declared position
+    val (fullSchema, cspec) =
+      parseConstraints(name, Dialect.lex(stmt).filter(_.sig), schema)
+    if (cspec.generated.nonEmpty || cspec.checks.nonEmpty || cspec.notNull.nonEmpty)
+      VersionedTable.setConstraintSpec(spark, tablePath(name), cspec)
     val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], schema)
+      spark.sparkContext.emptyRDD[Row], fullSchema)
     VersionedTable.commit(spark, tablePath(name), empty)
     summary(0L)
+  }
+
+  /** Generated columns, CHECK constraints and NOT NULL from a CrateDB
+    * CREATE TABLE (reference `docs/general/ddl/generated-columns.rst`,
+    * `constraints.rst`; AnalyzedColumnDefinition carries the same three
+    * classes). Returns the schema extended with untyped generated columns
+    * (type inferred by resolving the expression against the declared
+    * columns) plus the durable spec the DML paths enforce. */
+  private def parseConstraints(table: String, sig: Vector[Tok],
+                               base: StructType):
+      (StructType, VersionedTable.ConstraintSpec) = {
+    val none = VersionedTable.ConstraintSpec(Nil, Nil, Nil)
+    val open = sig.indexWhere(_.isSym("("))
+    if (open < 0) return (base, none)
+    val close = matchFwd(sig, open)
+    val defs = splitTopCommas(sig.slice(open + 1, close))
+    val generated = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    val checks = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    val notNull = scala.collection.mutable.ArrayBuffer.empty[String]
+    // declared column order; Right = untyped generated (needs inference)
+    val order = scala.collection.mutable.ArrayBuffer.empty[Either[String, (String, String)]]
+    var checkN = 0
+
+    def exprToks(d: Vector[Tok], from: Int): Vector[Tok] =
+      if (d.lift(from).exists(_.isSym("("))) {
+        val c = matchFwd(d, from); d.slice(from + 1, c)
+      } else d.slice(from, d.length)
+    def xlate(e: Vector[Tok]): (String, String) =
+      (Dialect.translate(renderSig(e)), renderSig(e))
+
+    defs.foreach { d =>
+      d(0).text.toLowerCase match {
+        case "primary" | "index" => ()
+        case "check" =>
+          checkN += 1
+          val (s, o) = xlate(exprToks(d, 1))
+          checks += ((s"${table}_check_$checkN", s, o))
+        case "constraint" if d.lift(2).exists(_.is("check")) =>
+          val (s, o) = xlate(exprToks(d, 3))
+          checks += ((unq(d(1)), s, o))
+        case "constraint" => ()
+        case _ =>
+          val col = unq(d(0))
+          if (d.length > 1 && (d(1).is("generated") || d(1).is("as"))) {
+            // no declared type: `col [GENERATED ALWAYS] AS expr`
+            val from =
+              if (d(1).is("generated")) d.indexWhere(_.is("as"), 1) + 1 else 2
+            val (s, o) = xlate(exprToks(d, from))
+            generated += ((col, s, o))
+            order += Right((col, s))
+          } else {
+            val (_, after) = Dialect.mapType(d, 1)
+            order += Left(col)
+            var k = after; var depth = 0
+            var genAt = -1; var checkAt = -1
+            while (k < d.length) {
+              val t = d(k)
+              if (t.isSym("(")) depth += 1
+              else if (t.isSym(")")) depth -= 1
+              else if (depth == 0) {
+                if (genAt < 0 && (t.is("generated") || t.is("as"))) genAt = k
+                if (checkAt < 0 && t.is("check")) checkAt = k
+                if (t.is("not") && d.lift(k + 1).exists(_.is("null")) &&
+                  !notNull.contains(col)) notNull += col
+              }
+              k += 1
+            }
+            if (genAt >= 0) {
+              val from =
+                if (d(genAt).is("generated")) d.indexWhere(_.is("as"), genAt) + 1
+                else genAt + 1
+              val (s, o) = xlate(exprToks(d, from))
+              generated += ((col, s, o))
+            }
+            if (checkAt >= 0 && d.lift(checkAt + 1).exists(_.isSym("("))) {
+              val c = matchFwd(d, checkAt + 1)
+              val (s, o) = xlate(d.slice(checkAt + 2, c))
+              checks += ((s"${table}_${col}_check", s, o))
+            }
+          }
+      }
+    }
+    val spec = VersionedTable.ConstraintSpec(generated.toSeq, checks.toSeq, notNull.toSeq)
+    if (order.forall(_.isLeft))
+      return (base, spec)
+    val probe = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], base)
+    val baseMap = base.fields.map(f => f.name -> f).toMap
+    val fields = order.map {
+      case Left(c) => baseMap(c)
+      case Right((c, sqlExpr)) =>
+        val dt =
+          try probe.selectExpr(s"($sqlExpr) AS __g").schema.head.dataType
+          catch { case e: Exception => throw new IllegalArgumentException(
+            s"cannot infer the type of generated column $c from ($sqlExpr): ${e.getMessage}")
+          }
+        org.apache.spark.sql.types.StructField(c, dt)
+    }
+    (StructType(fields.toArray), spec)
+  }
+
+  /** INSERT-side enforcement (reference GeneratedColumns.java — compute
+    * when absent, validate when supplied unless the expression is
+    * non-deterministic; CHECK fails only on FALSE, SQL 3VL; NOT NULL
+    * rejects nulls). Validation runs as bounded `head(1)` probes — no
+    * collect of data-sized results. */
+  private def enforceOnInsert(name: String, aligned: DataFrame,
+                              supplied: Set[String]): DataFrame =
+    VersionedTable.constraintSpec(spark, tablePath(name)) match {
+      case None => aligned
+      case Some(spec) =>
+        var df = aligned
+        spec.generated.foreach { case (c, ex, orig) =>
+          val target = df.schema(c).dataType
+          val computed = expr(ex).cast(target)
+          if (!supplied.contains(c))
+            df = df.withColumn(c, computed)
+          else if (df.selectExpr(s"($ex) AS __g").queryExecution
+                     .analyzed.expressions.head.deterministic) {
+            df.filter(!(df(c) <=> computed))
+              .select(df(c).cast("string"), computed.cast("string"))
+              .head(1).headOption.foreach { r =>
+                throw new IllegalArgumentException(
+                  s"Given value ${r.get(0)} for generated column $c does not " +
+                    s"match calculation ($orig) = ${r.get(1)}")
+              }
+          }
+        }
+        enforceRowConstraints(df, spec)
+    }
+
+  private def enforceRowConstraints(df: DataFrame,
+      spec: VersionedTable.ConstraintSpec): DataFrame = {
+    spec.checks.foreach { case (cn, ex, orig) =>
+      if (df.filter(s"NOT coalesce(CAST(($ex) AS BOOLEAN), true)").head(1).nonEmpty)
+        throw new IllegalArgumentException(s"Failed CONSTRAINT $cn CHECK ($orig)")
+    }
+    spec.notNull.foreach { c =>
+      if (df.filter(df(c).isNull).head(1).nonEmpty)
+        throw new IllegalArgumentException(s""""$c" must not be null""")
+    }
+    df
   }
 
   /** Fulltext INDEX definitions inside a CREATE TABLE column list
@@ -1122,10 +1292,12 @@ class StatementRouter(spark: SparkSession, root: String) {
           s" AS __v(${cols.mkString(", ")})")
       else { registerViews(); spark.sql(renderSig(srcToks)).toDF(cols: _*) }
     // align to the full target schema: unlisted columns become typed nulls
-    val aligned = rowsRaw.select(target.schema.fields.map { f =>
+    val alignedRaw = rowsRaw.select(target.schema.fields.map { f =>
       if (cols.contains(f.name)) rowsRaw(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toSeq: _*)
+    // generated columns computed/validated, CHECK + NOT NULL enforced
+    val aligned = enforceOnInsert(name, alignedRaw, cols.toSet)
     val n = aligned.count()
     val next: DataFrame => DataFrame =
       if (oc < 0) cur => Dml.insertInto(cur, aligned)
@@ -1199,8 +1371,22 @@ class StatementRouter(spark: SparkSession, root: String) {
     val assigns = parseAssignments(ts.slice(3, setEnd))
     val cond = whereToks.map(w => expr(renderSig(w))).getOrElse(lit(true))
     val cur = readTable(name)
+    // generated columns recompute on every UPDATE (reference
+    // GeneratedColumns.java) unless the SET assigns them explicitly —
+    // explicit assignments are validated below like INSERT-supplied values
+    val spec = VersionedTable.constraintSpec(spark, tablePath(name))
+    val genRecompute = spec.toSeq.flatMap(_.generated)
+      .filterNot { case (c, _, _) => assigns.exists(_._1 == c) }
+      .map { case (c, ex, _) => c -> expr(ex).cast(cur.schema(c).dataType) }
+      .toMap
     val (next, touched) = Dml.update(cur, cond,
-      assigns.map { case (c, rhs) => c -> expr(rhs) }.toMap)
+      assigns.map { case (c, rhs) => c -> expr(rhs) }.toMap, genRecompute)
+    spec.foreach { sp =>
+      val assignedGen = sp.generated.filter { case (c, _, _) => assigns.exists(_._1 == c) }
+      if (assignedGen.nonEmpty)
+        enforceOnInsert(name, touched, assigns.map(_._1).toSet)
+      enforceRowConstraints(touched, sp)
+    }
     val result = retToks match {
       case Some(r) => selectReturning(touched, r).localCheckpoint()
       case None    => summary(cur.filter(cond).count())

@@ -303,10 +303,49 @@ object QueriesRound4 {
         FROM lineitem
         ORDER BY l_orderkey, l_linenumber
         LIMIT 400""")
+    }),
+
+    // Generated columns + CHECK + NOT NULL end-to-end (generated-columns
+    // .rst / constraints.rst): computed on INSERT, recomputed on UPDATE,
+    // violations rejected — the surviving end state is deterministic and
+    // the oracle replays it as literal rows.
+    "q181_constraints" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q181").toFile.getAbsolutePath
+      val r = new graft.StatementRouter(s, root)
+      r.executeScript("""
+        CREATE TABLE measures (
+          id BIGINT NOT NULL,
+          dividend DOUBLE PRECISION,
+          divisor DOUBLE PRECISION CHECK (divisor <> 0.0),
+          quotient GENERATED ALWAYS AS (dividend / divisor),
+          bucket GENERATED ALWAYS AS (id % 4),
+          CONSTRAINT small_id CHECK (id < 1000)
+        );
+        INSERT INTO measures (id, dividend, divisor) VALUES
+          (1, 10.0, 4.0), (2, 9.0, 3.0), (3, 7.0, 2.0), (6, 1.0, 8.0);
+        UPDATE measures SET dividend = 20.0 WHERE id = 1""")
+      Seq(
+        "INSERT INTO measures (id, dividend, divisor) VALUES (7, 1.0, 0.0)",
+        "INSERT INTO measures (id, dividend, divisor) VALUES (1001, 1.0, 1.0)",
+        "INSERT INTO measures (dividend, divisor) VALUES (1.0, 1.0)",
+        "INSERT INTO measures (id, dividend, divisor, quotient) VALUES (8, 4.0, 2.0, 3.0)"
+      ).foreach(bad => try { r.execute(bad); () } catch { case _: Exception => () })
+      r.execute("SELECT id, dividend, divisor, quotient, bucket FROM measures ORDER BY id")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q181_constraints" ->
+      """SELECT CAST(id AS BIGINT) AS id, dividend, divisor, quotient,
+        |       CAST(bucket AS BIGINT) AS bucket
+        |FROM (VALUES
+        |  (1, 20.0, 4.0, 5.0, 1),
+        |  (2,  9.0, 3.0, 3.0, 2),
+        |  (3,  7.0, 2.0, 3.5, 3),
+        |  (6,  1.0, 8.0, 0.125, 2)
+        |) AS t(id, dividend, divisor, quotient, bucket)
+        |ORDER BY id""".stripMargin,
+
     "q180_create_function" ->
       """SELECT l_orderkey, l_linenumber,
         |       round(l_extendedprice * (1 - l_discount), 4) AS dp,

@@ -47,14 +47,30 @@ object Dml {
 
   /** UPDATE ... SET assignments WHERE cond, RETURNING *.
     * Returns (new table state, returning rows). */
-  def update(target: DataFrame, cond: Column, assignments: Map[String, Column]): (DataFrame, DataFrame) = {
-    val updated = target.select(target.columns.map { c =>
+  /** UPDATE WHERE cond. SQL semantics: the condition AND every assignment
+    * right-hand side read the OLD row (the match is decided before any
+    * assignment applies — a `SET base = 10 WHERE base = 4` row still
+    * counts as touched). `post` assignments run as a second phase over the
+    * NEW values of touched rows only — the router recomputes generated
+    * columns there (reference GeneratedColumns.java recomputes from the
+    * updated row). Returns (new state, touched rows after both phases). */
+  def update(target: DataFrame, cond: Column, assignments: Map[String, Column],
+             post: Map[String, Column] = Map.empty): (DataFrame, DataFrame) = {
+    val hit = "__graft_upd"
+    val marked = target.withColumn(hit, coalesce(cond, lit(false)))
+    val phase1 = marked.select(target.columns.map { c =>
       assignments.get(c) match {
-        case Some(exprCol) => when(cond, exprCol).otherwise(col(c)).as(c)
+        case Some(exprCol) => when(col(hit), exprCol).otherwise(col(c)).as(c)
         case None          => col(c)
       }
-    }.toSeq: _*)
-    (updated, updated.filter(cond))
+    }.toSeq :+ col(hit): _*)
+    val phase2 = phase1.select(target.columns.map { c =>
+      post.get(c) match {
+        case Some(exprCol) => when(col(hit), exprCol).otherwise(col(c)).as(c)
+        case None          => col(c)
+      }
+    }.toSeq :+ col(hit): _*)
+    (phase2.drop(hit), phase2.filter(col(hit)).drop(hit))
   }
 
   /** DELETE WHERE cond, RETURNING *. Returns (new state, deleted rows). */

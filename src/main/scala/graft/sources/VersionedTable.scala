@@ -110,6 +110,51 @@ object VersionedTable {
     }
   }
 
+  /** Declared row constraints (reference `docs/general/ddl/
+    * generated-columns.rst`, `constraints.rst`; AnalyzedColumnDefinition
+    * carries the same three classes): generated-column expressions, CHECK
+    * constraints, NOT NULL columns. Durable table metadata like the bucket
+    * and index specs — enforced by the router on INSERT/UPDATE, rendered
+    * back by SHOW CREATE TABLE. Expressions are stored as translated
+    * Spark SQL text (the CrateDB original is kept for error messages). */
+  final case class ConstraintSpec(
+      generated: Seq[(String, String, String)], // (col, sparkExpr, crateExpr)
+      checks: Seq[(String, String, String)],    // (name, sparkExpr, crateExpr)
+      notNull: Seq[String])
+
+  private def constraintSpecFile(path: String) = new Path(path, "_constraintspec")
+  private val FS = "" // field separator — safe inside SQL text
+
+  def setConstraintSpec(spark: SparkSession, path: String, spec: ConstraintSpec): Unit = {
+    val f = fs(spark)
+    f.mkdirs(new Path(path))
+    val lines =
+      spec.generated.map { case (c, s, o) => s"G$FS$c$FS$s$FS$o" } ++
+      spec.checks.map { case (n, s, o) => s"C$FS$n$FS$s$FS$o" } ++
+      spec.notNull.map(c => s"N$FS$c")
+    val out = f.create(constraintSpecFile(path), true)
+    out.write(lines.mkString("\n").getBytes("UTF-8"))
+    out.close()
+  }
+
+  def constraintSpec(spark: SparkSession, path: String): Option[ConstraintSpec] = {
+    val f = fs(spark)
+    val p = constraintSpecFile(path)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val bytes = new Array[Byte](in.available())
+      in.readFully(bytes); in.close()
+      val lines = new String(bytes, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
+      val g = lines.filter(_.startsWith("G")).map { l =>
+        val a = l.split(FS, 4); (a(1), a(2), a(3)) }
+      val c = lines.filter(_.startsWith("C")).map { l =>
+        val a = l.split(FS, 4); (a(1), a(2), a(3)) }
+      val n = lines.filter(_.startsWith("N")).map(_.split(FS, 2)(1))
+      Some(ConstraintSpec(g, c, n))
+    }
+  }
+
   /** Durable `ALTER TABLE … SET (k = v)` table settings (reference
     * `AlterTablePlan.java` persists them into the table metadata;
     * SHOW CREATE TABLE renders the WITH clause back). */
