@@ -339,7 +339,18 @@ object Dialect {
           val inner = ts.slice(par + 1, close)
           val innerFirst = inner.find(_.sig)
           if (close > 0 && !innerFirst.exists(_.is("select"))) {
-            val lhsEnd = prevSig(ts, op)
+            // `[NOT] LIKE/ILIKE ANY(array)` (selects.rst;
+            // AnyNotLikeOperator.java matches() negates PER ELEMENT):
+            // `x NOT LIKE ANY(a)` = "at least one element x does NOT
+            // match" — the NOT wraps the element comparison inside the
+            // quantifier, not the quantifier itself
+            val isLikeOp = ts(op).is("like") || ts(op).is("ilike")
+            val notAt =
+              if (isLikeOp) {
+                val p = prevSig(ts, op)
+                if (p >= 0 && ts(p).is("not")) p else -1
+              } else -1
+            val lhsEnd = prevSig(ts, if (notAt >= 0) notAt else op)
             if (lhsEnd >= 0) {
               val lhsStart = operandStart(ts, lhsEnd)
               val lhs = render(ts.slice(lhsStart, lhsEnd + 1))
@@ -350,7 +361,11 @@ object Dialect {
               // dimension at analysis time (ANY over [[1,2],[3,4]] with a
               // scalar lhs — selects.rst "unnests … as required"); it is
               // identity when dimensions already line up.
-              val repl = lex(s"$hof(graft_dim_match($lhs, $arr), __t -> $lhs $cmp __t)")
+              val repl =
+                if (notAt >= 0)
+                  lex(s"$hof(graft_dim_match($lhs, $arr), __t -> NOT ($lhs $cmp __t))")
+                else
+                  lex(s"$hof(graft_dim_match($lhs, $arr), __t -> $lhs $cmp __t)")
               return Some(ts.slice(0, lhsStart) ++ repl ++ ts.slice(close + 1, ts.length))
             }
           } else if (close > 0 && innerFirst.exists(_.is("select")) &&

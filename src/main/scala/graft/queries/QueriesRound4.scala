@@ -331,10 +331,38 @@ object QueriesRound4 {
         "INSERT INTO measures (id, dividend, divisor, quotient) VALUES (8, 4.0, 2.0, 3.0)"
       ).foreach(bad => try { r.execute(bad); () } catch { case _: Exception => () })
       r.execute("SELECT id, dividend, divisor, quotient, bucket FROM measures ORDER BY id")
+    }),
+
+    // [NOT] LIKE/ILIKE ANY over arrays (selects.rst; AnyLikeOperator /
+    // AnyNotLikeOperator — the NOT negates PER ELEMENT, so
+    // `x NOT LIKE ANY(a)` is "fails to match at least one"). Oracle
+    // replays each quantifier as its OR/AND expansion.
+    "q182_like_any" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      graft.Engine.sql(s, """
+        SELECT c_custkey, c_mktsegment,
+               c_mktsegment LIKE ANY(['BUILD%', 'AUTO%']) AS seg_ba,
+               c_mktsegment NOT LIKE ANY(['BUILD%', '%E%']) AS seg_not,
+               c_mktsegment ILIKE ANY(['house%']) AS seg_house,
+               c_mktsegment LIKE ALL(['%U%', '%D%']) AS seg_ud
+        FROM customer
+        ORDER BY c_custkey
+        LIMIT 300""")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q182_like_any" ->
+      """SELECT c_custkey, c_mktsegment,
+        |       (c_mktsegment LIKE 'BUILD%' OR c_mktsegment LIKE 'AUTO%') AS seg_ba,
+        |       (c_mktsegment NOT LIKE 'BUILD%' OR c_mktsegment NOT LIKE '%E%') AS seg_not,
+        |       (c_mktsegment ILIKE 'house%') AS seg_house,
+        |       (c_mktsegment LIKE '%U%' AND c_mktsegment LIKE '%D%') AS seg_ud
+        |FROM customer
+        |ORDER BY c_custkey
+        |LIMIT 300""".stripMargin,
+
     "q181_constraints" ->
       """SELECT CAST(id AS BIGINT) AS id, dividend, divisor, quotient,
         |       CAST(bucket AS BIGINT) AS bucket

@@ -191,6 +191,12 @@ class DialectSpec extends AnyFunSuite {
       "SELECT forall(graft_dim_match(x, ys), __t -> x != __t) FROM t",
     "SELECT name LIKE ANY(patterns) FROM t" ->
       "SELECT exists(graft_dim_match(name, patterns), __t -> name LIKE __t) FROM t",
+    // AnyNotLikeOperator.java: the NOT negates PER ELEMENT — "fails to
+    // match at least one pattern" — not the whole quantifier
+    "SELECT name NOT LIKE ANY(patterns) FROM t" ->
+      "SELECT exists(graft_dim_match(name, patterns), __t -> NOT (name LIKE __t)) FROM t",
+    "SELECT name NOT ILIKE ANY(patterns) FROM t" ->
+      "SELECT exists(graft_dim_match(name, patterns), __t -> NOT (name ILIKE __t)) FROM t",
     // ANY over subqueries is left for the Column-API rewrites (q101+)
     "SELECT x FROM t WHERE x > ANY (SELECT y FROM u)" ->
       ("SELECT x FROM t WHERE CASE WHEN (SELECT count(*) FROM u) = 0 THEN FALSE " +
