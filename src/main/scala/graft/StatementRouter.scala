@@ -1275,16 +1275,19 @@ class StatementRouter(spark: SparkSession, root: String) {
       cols = ts.slice(i + 1, c).filterNot(_.isSym(",")).map(_.text)
       i = c + 1
     }
-    // split the source from an optional top-level ON CONFLICT clause
-    var depth = 0; var oc = -1; var k = i
-    while (k < ts.length && oc < 0) {
+    // split the source from optional top-level ON CONFLICT / RETURNING
+    var depth = 0; var oc = -1; var ri = -1; var k = i
+    while (k < ts.length) {
       val t = ts(k)
       if (t.isSym("(")) depth += 1
       else if (t.isSym(")")) depth -= 1
-      else if (depth == 0 && t.is("on") && k + 1 < ts.length && ts(k + 1).is("conflict")) oc = k
+      else if (depth == 0 && oc < 0 && t.is("on") && k + 1 < ts.length &&
+        ts(k + 1).is("conflict")) oc = k
+      else if (depth == 0 && ri < 0 && t.is("returning")) ri = k
       k += 1
     }
-    val srcEnd = if (oc >= 0) oc else ts.length
+    val stmtEnd = if (ri >= 0) ri else ts.length
+    val srcEnd = if (oc >= 0) oc else stmtEnd
     val srcToks = ts.slice(i, srcEnd)
     val rowsRaw =
       if (srcToks.headOption.exists(_.is("values")))
@@ -1299,6 +1302,8 @@ class StatementRouter(spark: SparkSession, root: String) {
     // generated columns computed/validated, CHECK + NOT NULL enforced
     val aligned = enforceOnInsert(name, alignedRaw, cols.toSet)
     val n = aligned.count()
+    var conflictKeys: Seq[String] = Nil
+    var doNothing = false
     val next: DataFrame => DataFrame =
       if (oc < 0) cur => Dml.insertInto(cur, aligned)
       else {
@@ -1307,17 +1312,40 @@ class StatementRouter(spark: SparkSession, root: String) {
         require(ts(j).isSym("("), "ON CONFLICT requires a key list")
         val c = matchFwd(ts, j)
         val keys = ts.slice(j + 1, c).filterNot(_.isSym(",")).map(_.text)
+        conflictKeys = keys
         j = c + 1
         require(ts(j).is("do"), "DO expected after conflict keys")
-        if (ts(j + 1).is("nothing")) cur => Dml.upsertDoNothing(cur, aligned, keys)
-        else {
+        if (ts(j + 1).is("nothing")) {
+          doNothing = true
+          cur => Dml.upsertDoNothing(cur, aligned, keys)
+        } else {
           require(ts(j + 1).is("update") && ts(j + 2).is("set"), "DO UPDATE SET expected")
-          val assigns = parseAssignments(ts.slice(j + 3, ts.length))
+          val assigns = parseAssignments(ts.slice(j + 3, stmtEnd))
           cur => mergeUpsert(cur, aligned, keys, assigns)
         }
       }
-    writeTable(name, next(target))
-    summary(n)
+    val newState = next(target)
+    // RETURNING * | exprs (reference dml.rst): the rows the statement
+    // actually produced — plain inserts return the incoming rows; DO
+    // NOTHING returns only non-conflicting rows; DO UPDATE returns the
+    // post-merge state of the incoming keys
+    val result =
+      if (ri < 0) summary(n)
+      else {
+        val retToks = ts.slice(ri + 1, ts.length)
+        val affected =
+          if (oc < 0) aligned
+          else if (doNothing)
+            aligned.join(target.select(conflictKeys.map(col): _*),
+              conflictKeys, "left_anti")
+          else
+            newState.join(
+              aligned.select(conflictKeys.map(col): _*).distinct(),
+              conflictKeys, "left_semi")
+        selectReturning(affected, retToks).localCheckpoint()
+      }
+    writeTable(name, newState)
+    result
   }
 
   /** Partial-assignment upsert (`DO UPDATE SET v = excluded.v || '!'`):

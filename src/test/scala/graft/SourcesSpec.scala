@@ -603,6 +603,21 @@ class StatementRouterSpec extends SparkTestBase {
     r.execute("RESET graft.answer")
     assert(r.execute("SELECT current_setting('graft.answer', true) AS a").head().isNullAt(0))
 
+    // INSERT … RETURNING in all three shapes (reference dml.rst)
+    r.execute("CREATE TABLE insret (id BIGINT PRIMARY KEY, v TEXT)")
+    val plain = r.execute(
+      "INSERT INTO insret (id, v) VALUES (1, 'a'), (2, 'b') RETURNING id, v")
+    assert(plain.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    val nothing = r.execute(
+      "INSERT INTO insret (id, v) VALUES (2, 'dup'), (3, 'c') " +
+        "ON CONFLICT (id) DO NOTHING RETURNING id")
+    assert(nothing.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    val merged = r.execute(
+      "INSERT INTO insret (id, v) VALUES (3, 'c2'), (4, 'd') " +
+        "ON CONFLICT (id) DO UPDATE SET v = excluded.v RETURNING id, v")
+    assert(merged.collect().map(x => (x.getLong(0), x.getString(1))).sortBy(_._1).toSeq
+      == Seq((3L, "c2"), (4L, "d")))
+
     // SHOW <setting> / SHOW ALL (docs/sql/statements/show.rst): one column
     // named after the parameter; ALL is the (name, setting) settings table
     val shown = r.execute("SHOW graft.mode")
