@@ -144,6 +144,9 @@ object GeoShapeFunctions {
     if (p == null || s == null) null
     else Boolean.box(factory.createPoint(new Coordinate(p(0), p(1))).within(parseShape(s))))
 
+  private[functions] def pointGeometry(lon: Double, lat: Double): Geometry =
+    factory.createPoint(new Coordinate(lon, lat))
+
   /** Bare [lon,lat] vertex ring (the legacy GeoNetFunctions shape form) →
     * JTS polygon; auto-closes an open ring. */
   def ringGeometry(ring: Seq[Seq[Double]]): Geometry =
@@ -160,8 +163,13 @@ object GeoShapeFunctions {
   def pointWithinShape(p: Column, s: Column): Column = pointWithinShapeUdf(p, s)
   def shapeAsWkt(s: Column): Column = shapeAsWktUdf(s)
 
-  /** SQL names (reference `within`/`intersects`/`area` scalars; prefixed
-    * geo_ to avoid colliding with user columns in the dialect). */
+  /** SQL names: the `geo_`-prefixed family, plus the reference's BARE
+    * spellings (`within`, `intersects`, `area` — scalar-functions.rst):
+    * those two are argument-type-polymorphic in the reference (a geo_point
+    * or a geo_shape on either side, WithinFunction.java), so they resolve
+    * through [[GeoArgPredicateExpr]], which dispatches per operand at
+    * analysis — ARRAY<numeric> operands become JTS points, strings parse
+    * as WKT/GeoJSON. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.udf.register("geo_within", shapeWithinUdf)
     spark.udf.register("geo_intersects", shapeIntersectsUdf)
@@ -169,5 +177,72 @@ object GeoShapeFunctions {
     spark.udf.register("geo_area", shapeAreaUdf)
     spark.udf.register("geo_point_within", pointWithinShapeUdf)
     spark.udf.register("geo_from_text", shapeAsWktUdf)
+    spark.udf.register("area", shapeAreaUdf)
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("within",
+      exprs => GeoArgPredicateExpr("within", exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("intersects",
+      exprs => GeoArgPredicateExpr("intersects", exprs(0), exprs(1)), "scala_udf")
   }
+}
+
+/** `within(a, b)` / `intersects(a, b)` with the reference's argument
+  * polymorphism: each operand is a geo_point (ARRAY of lon/lat) or a
+  * geo_shape (WKT/GeoJSON string). Row-local scalar, no state; JTS does
+  * the geometry. CodegenFallback: geometry parsing dominates the call, a
+  * codegen body would save nothing measurable. */
+case class GeoArgPredicateExpr(op: String,
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+
+  override def prettyName: String = op
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case StringType           => true
+      case ArrayType(et, _)     => et.isInstanceOf[NumericType]
+      case _                    => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$op expects geo_point arrays or WKT/GeoJSON strings, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  private def toGeom(v: Any, dt: DataType): org.locationtech.jts.geom.Geometry = dt match {
+    case ArrayType(et: NumericType, _) =>
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      def num(i: Int): Double = et match {
+        case DoubleType      => arr.getDouble(i)
+        case FloatType       => arr.getFloat(i).toDouble
+        case LongType        => arr.getLong(i).toDouble
+        case IntegerType     => arr.getInt(i).toDouble
+        case ShortType       => arr.getShort(i).toDouble
+        case ByteType        => arr.getByte(i).toDouble
+        case d: DecimalType  => arr.getDecimal(i, d.precision, d.scale).toDouble
+        case other => throw new IllegalArgumentException(
+          s"unsupported geo_point element type $other")
+      }
+      GeoShapeFunctions.pointGeometry(num(0), num(1))
+    case _ => GeoShapeFunctions.parseShape(v.toString)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val ga = toGeom(a, left.dataType)
+    val gb = toGeom(b, right.dataType)
+    op match {
+      case "within"     => ga.within(gb)
+      case "intersects" => ga.intersects(gb)
+      case other        => throw new IllegalStateException(s"bad geo op $other")
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression) = copy(left = l, right = r)
 }

@@ -38,6 +38,11 @@ object GraftFunctions {
     // geo / net
     u.register("geohash",
       (p: Seq[Double], prec: Int) => if (p == null) null else GeoNetFunctions.geohashString(p(0), p(1), prec))
+    // twin under a stable internal name: the registry entry for `geohash`
+    // (scalar-tail block below) dispatches the reference's optional
+    // precision through this
+    u.register("graft_geohash_prec",
+      (p: Seq[Double], prec: Int) => if (p == null) null else GeoNetFunctions.geohashString(p(0), p(1), prec))
     u.register("ip_in_cidr",
       (ip: String, cidr: String) =>
         if (ip == null || cidr == null) null
@@ -589,6 +594,35 @@ object GraftFunctions {
           if (exprs.length == 1) call("graft_parse_url", exprs(0))
           else org.apache.spark.sql.catalyst.expressions.ParseUrl(exprs),
         "scala_udf")
+
+      // bare geo SQL names (scalar-functions.rst): latitude/longitude are
+      // 1-based point subscripts, distance is the haversine composition
+      // from GeoNetFunctions.haversineDistance re-expressed as raw
+      // Catalyst calls (codegen'd end to end), geohash dispatches its
+      // optional precision (reference GeoHashFunction emits the full
+      // 12-char hash)
+      import org.apache.spark.sql.catalyst.expressions.{Add, Divide, Multiply}
+      reg.createOrReplaceTempFunction("latitude",
+        exprs => call("element_at", exprs(0), Literal(2)), "scala_udf")
+      reg.createOrReplaceTempFunction("longitude",
+        exprs => call("element_at", exprs(0), Literal(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("geohash",
+        exprs => call("graft_geohash_prec", exprs(0),
+          exprs.lift(1).getOrElse(Literal(12))), "scala_udf")
+      reg.createOrReplaceTempFunction("distance",
+        exprs => {
+          def el(p: Expression, i: Int) =
+            call("radians", call("element_at", p, Literal(i)))
+          val (lon1, lat1) = (el(exprs(0), 1), el(exprs(0), 2))
+          val (lon2, lat2) = (el(exprs(1), 1), el(exprs(1), 2))
+          def halfSin2(x: Expression, y: Expression) =
+            call("power", call("sin", Divide(Subtract(x, y), Literal(2.0))), Literal(2.0))
+          val h = Add(halfSin2(lat2, lat1),
+            Multiply(Multiply(call("cos", lat1), call("cos", lat2)),
+              halfSin2(lon2, lon1)))
+          Multiply(Literal(2.0 * 6371008.8),
+            call("asin", call("least", Literal(1.0), call("sqrt", h))))
+        }, "scala_udf")
     }
 
     // vector_similarity(a, b) = 1 / (1 + l2²), the reference's Lucene

@@ -94,6 +94,28 @@ class GeoShapeSpec extends SparkTestBase {
       shapeDisjoint(lit("POINT (5 5)"), lit(mp)).as("d")).head()
     assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
   }
+
+  test("bare SQL names: within/intersects polymorphic, area, distance, " +
+    "latitude/longitude, geohash precision dispatch") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    def one(sql: String) = Engine.sql(spark, sql).collect()(0)
+    // geo_point array operand + shape string operand, both directions
+    assert(one("SELECT within([0.5, 0.5], 'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')").getBoolean(0))
+    assert(!one("SELECT within([5.0, 5.0], 'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')").getBoolean(0))
+    assert(one("SELECT within('POINT (0.5 0.5)', 'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')").getBoolean(0))
+    assert(one("SELECT intersects('LINESTRING (0 0, 2 2)', 'POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))')").getBoolean(0))
+    assert(math.abs(one("SELECT area('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))')").getDouble(0) - 4.0) < 1e-9)
+    // reference docs: distance('POINT (10 20)'-ish pairs in meters; equator
+    // degree ≈ 111.19 km — use the array form the fixtures carry
+    val d = one("SELECT distance([0.0, 0.0], [1.0, 0.0])").getDouble(0)
+    assert(math.abs(d - 111195.0) < 200.0, d.toString)
+    assert(one("SELECT CAST(latitude([7.0, 52.0]) AS DOUBLE)").getDouble(0) == 52.0)
+    assert(one("SELECT CAST(longitude([7.0, 52.0]) AS DOUBLE)").getDouble(0) == 7.0)
+    val gh12 = one("SELECT geohash([13.361389, 52.524167])").getString(0)
+    assert(gh12.length == 12 && gh12.startsWith("u33db"), gh12)
+    val gh5 = one("SELECT geohash([13.361389, 52.524167], 5)").getString(0)
+    assert(gh5 == gh12.take(5))
+  }
 }
 
 class IntervalSpec extends SparkTestBase {
