@@ -349,10 +349,45 @@ object QueriesRound4 {
         FROM customer
         ORDER BY c_custkey
         LIMIT 300""")
+    }),
+
+    // URL canonicalization (operators/UrlNormalize — the CCNet/RefinedWeb
+    // crawl-dedup key): scheme/host case, www., default port, fragment,
+    // tracking params, param order all normalize away; dup_rank groups the
+    // collapsed keys. The messy inputs are deterministic functions of
+    // c_custkey, so the oracle replays the canonical form in closed form.
+    "q183_url_normalize" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.operators.UrlNormalize.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      graft.Engine.sql(s, """
+        SELECT c_custkey, canon,
+               row_number() OVER (PARTITION BY canon ORDER BY c_custkey) AS dup_rank
+        FROM (
+          SELECT c_custkey,
+                 normalize_url(concat('HTTPS://WWW.H', CAST(c_custkey % 13 AS STRING),
+                   '.Example.ORG:443/a/b', CAST(c_custkey % 3 AS STRING),
+                   '?utm_source=x&z=', CAST(c_custkey % 5 AS STRING),
+                   '&a=1#frag')) AS canon
+          FROM customer) t
+        ORDER BY c_custkey
+        LIMIT 300""")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q183_url_normalize" ->
+      """SELECT c_custkey,
+        |       'https://h' || CAST(c_custkey % 13 AS VARCHAR) || '.example.org/a/b'
+        |         || CAST(c_custkey % 3 AS VARCHAR) || '?a=1&z='
+        |         || CAST(c_custkey % 5 AS VARCHAR) AS canon,
+        |       CAST(row_number() OVER (
+        |         PARTITION BY c_custkey % 13, c_custkey % 3, c_custkey % 5
+        |         ORDER BY c_custkey) AS INT) AS dup_rank
+        |FROM customer
+        |ORDER BY c_custkey
+        |LIMIT 300""".stripMargin,
+
     "q182_like_any" ->
       """SELECT c_custkey, c_mktsegment,
         |       (c_mktsegment LIKE 'BUILD%' OR c_mktsegment LIKE 'AUTO%') AS seg_ba,

@@ -977,3 +977,37 @@ class QuantizeSpec extends SparkTestBase {
     assert(worst <= 0.5 + 1e-9 && worst > 0.0)
   }
 }
+
+/** URL canonicalization + URL-key dedup (operators/UrlNormalize). */
+class UrlNormalizeSpec extends SparkTestBase {
+  import graft.operators.UrlNormalize.normalize
+
+  test("canonical form: case, www, default port, fragment, tracking, order") {
+    assert(normalize("HTTPS://WWW.Site.COM:443/a/b?utm_source=x&b=2&a=1#top")
+      == "https://site.com/a/b?a=1&b=2")
+    assert(normalize("http://site.com:80/") == "http://site.com/")
+    assert(normalize("http://site.com:8080/x") == "http://site.com:8080/x")
+    assert(normalize("https://site.com") == "https://site.com/")
+    // percent-decoding stabilizes equivalent spellings
+    assert(normalize("https://site.com/a%20b?k=v%2B1")
+      == normalize("https://site.com/a b?k=v+1"))
+    // value-less and empty params survive; tracking params die case-insensitively
+    assert(normalize("https://s.com/p?flag&UTM_SOURCE=x") == "https://s.com/p?flag")
+    // unparseable input passes through trimmed, never throws
+    assert(normalize("not a url") == "not a url")
+    assert(normalize(null) == null)
+  }
+
+  test("dedupByUrl keeps the smallest id per canonical key") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "https://www.site.com/a?utm_source=x"),
+      (2L, "https://site.com/a"),
+      (3L, "http://site.com/a"),     // different scheme → different key
+      (4L, "https://site.com/b")
+    ).toDF("id", "url")
+    val out = graft.operators.UrlNormalize.dedupByUrl(df, "url", "id")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 3L, 4L))
+  }
+}
