@@ -692,6 +692,44 @@ object Dialect {
     None
   }
 
+  /** The `_score` system column (reference docs/general/ddl/system-columns
+    * .rst, docs/general/dql/fulltext.rst): relevance of the statement's
+    * MATCH predicate, 1.0 when the query has none. Runs after [[passMatch]]
+    * (list order guarantees MATCH is already lowered to `match_text`), so
+    * `_score` resolves to `graft_match_score(col, 'query')` over the FIRST
+    * match predicate's column/query pair — a per-row BM25-style
+    * term-frequency saturation score (Σ tf/(tf+k1)). Like the reference's
+    * Lucene scores, the absolute values are engine-specific and only
+    * meaningful as a ranking WITHIN one query; the formula is deterministic
+    * and oracle-replayable, which Lucene's is not. */
+  private def passScore(ts: Vector[Tok]): Option[Vector[Tok]] = {
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).kind == K.Word && ts(i).is("_score")) {
+        var m = -1; var j = 0
+        while (j < ts.length && m < 0) {
+          if (ts(j).kind == K.Word &&
+            (ts(j).is("match_text") || ts(j).is("match_text_analyzed"))) {
+            val p = nextSig(ts, j)
+            if (p >= 0 && ts(p).isSym("(")) m = p
+          }
+          j += 1
+        }
+        val repl =
+          if (m < 0) lex("CAST(1.0 AS DOUBLE)")
+          else {
+            val c = matchFwd(ts, m)
+            val parts = splitCommas(ts.slice(m + 1, c)).take(2)
+              .map(p => render(p).trim)
+            lex(s"graft_match_score(${parts.mkString(", ")})")
+          }
+        return Some(ts.slice(0, i) ++ repl ++ ts.slice(i + 1, ts.length))
+      }
+      i += 1
+    }
+    None
+  }
+
   /** `empty_row()` table function (reference tablefunctions/EmptyRowTable
     * Function.java — one row, zero columns, used as a FROM-less scalar
     * evaluation target). Spark relations can't have zero columns, so the
@@ -887,9 +925,10 @@ object Dialect {
   }
 
   private val passes: Seq[Vector[Tok] => Option[Vector[Tok]]] =
-    Seq(passRenames, passMatch, passCasts, passAnyAll, passObjectLiteral,
-      passBrackets, passFetchOffset, passFilterClause, passSystemSchemas,
-      passArrayOverlap, passRegexOps, passArraySubquery, passEmptyRow)
+    Seq(passRenames, passMatch, passScore, passCasts, passAnyAll,
+      passObjectLiteral, passBrackets, passFetchOffset, passFilterClause,
+      passSystemSchemas, passArrayOverlap, passRegexOps, passArraySubquery,
+      passEmptyRow)
 
   // ---------- DDL: CREATE TABLE ----------
 

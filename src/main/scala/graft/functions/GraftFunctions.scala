@@ -183,6 +183,23 @@ object GraftFunctions {
         Boolean.box(a.tokens(query).forall(toks.contains))
       })
 
+    // `_score` backing scalar (Dialect.passScore): BM25-style TF
+    // saturation over the match predicate's query terms — Σ tf/(tf+1.2)
+    // per distinct query term, on the same tokens match_text tests.
+    // Deterministic + oracle-replayable; absolute values are engine-
+    // specific (like Lucene's), ranking within a query is what matters.
+    u.register("graft_match_score", (text: String, query: String) =>
+      if (text == null || query == null) null
+      else {
+        val counts = TextFunctions.tokenize(text.toLowerCase)
+          .groupBy(identity).map { case (k, v) => (k, v.length) }
+        val s = TextFunctions.tokenize(query.toLowerCase).distinct.map { t =>
+          val tf = counts.getOrElse(t, 0).toDouble
+          tf / (tf + 1.2)
+        }.sum
+        Double.box(s)
+      })
+
     // 3-valued-logic helper (reference Ignore3vlFunction.java:52):
     // null → false, so NOT over it behaves 2-valued.
     u.register("ignore3vl", (b: java.lang.Boolean) => Boolean.box(b != null && b))

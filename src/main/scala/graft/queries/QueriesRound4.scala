@@ -372,10 +372,40 @@ object QueriesRound4 {
           FROM customer) t
         ORDER BY c_custkey
         LIMIT 300""")
+    }),
+
+    // `_score` system column over a MATCH predicate (system-columns.rst /
+    // fulltext.rst): the dialect resolves `_score` to the deterministic
+    // TF-saturation score of the statement's match predicate, so the
+    // canonical `SELECT *, _score … WHERE MATCH(…) ORDER BY _score DESC`
+    // migration shape runs verbatim. DuckDB replays the exact formula.
+    "q184_match_score" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      graft.Engine.sql(s, """
+        SELECT doc_id, round(_score, 6) AS score
+        FROM documents
+        WHERE MATCH(text, 'spark filter')
+        ORDER BY score DESC, doc_id
+        LIMIT 50""")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q184_match_score" ->
+      """SELECT doc_id, round(tf_a / (tf_a + 1.2) + tf_b / (tf_b + 1.2), 6) AS score
+        |FROM (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf_a,
+        |         CAST(len(list_filter(toks, x -> x = 'filter')) AS DOUBLE) AS tf_b
+        |  FROM (SELECT doc_id,
+        |               list_filter(string_split_regex(lower(text), '\s+'),
+        |                           x -> len(x) > 0) AS toks
+        |        FROM documents))
+        |WHERE tf_a > 0 AND tf_b > 0
+        |ORDER BY score DESC, doc_id
+        |LIMIT 50""".stripMargin,
+
     "q183_url_normalize" ->
       """SELECT c_custkey,
         |       'https://h' || CAST(c_custkey % 13 AS VARCHAR) || '.example.org/a/b'

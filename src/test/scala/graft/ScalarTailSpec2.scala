@@ -105,6 +105,19 @@ class ScalarTailSpec2 extends SparkTestBase {
     assert(one("SELECT 2 + 2 FROM empty_row()") == "4")
   }
 
+  test("_score: match-predicate relevance, 1.0 without a MATCH") {
+    // tf saturation: 'x' appears twice → 2/3.2; 'y' once → 1/2.2
+    val got = one("SELECT round(_score, 6) FROM (SELECT 'x y z x' AS t) " +
+      "WHERE MATCH(t, 'x y')").toDouble
+    assert(math.abs(got - (2.0 / 3.2 + 1.0 / 2.2)) < 1e-6, got.toString)
+    // no match predicate → constant 1.0 (reference system-columns contract)
+    assert(one("SELECT _score FROM (SELECT 1 AS a)") == "1.0")
+    // ranking shape: more hits rank higher
+    val hi = one("SELECT _score FROM (SELECT 'a a a' AS t) WHERE MATCH(t, 'a')").toDouble
+    val lo = one("SELECT _score FROM (SELECT 'a b c' AS t) WHERE MATCH(t, 'a')").toDouble
+    assert(hi > lo)
+  }
+
   test("vector_similarity SQL surface (1 / (1 + l2^2))") {
     assert(one("SELECT vector_similarity(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>), CAST(array(1.0, 0.0) AS ARRAY<FLOAT>))") == "1.0")
     assert(math.abs(one("SELECT vector_similarity(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>), CAST(array(0.0, 1.0) AS ARRAY<FLOAT>))").toDouble
