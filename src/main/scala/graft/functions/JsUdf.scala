@@ -17,7 +17,9 @@ package graft.functions
   * <= > >=), && || , ?: ternaries, parentheses, array literals [..],
   * 0-based indexing a[i] (→ 1-based element_at), object literals {k: v}
   * (→ named_struct), Math.* calls/constants, and the string methods
-  * .toLowerCase() / .toUpperCase() / .trim() / .length.
+  * .toLowerCase() / .toUpperCase() / .trim() / .length / .substring /
+  * .indexOf / .charAt / .startsWith / .endsWith / .includes
+  * (.replace is rejected: JS replaces the first occurrence, SQL all).
   *
   * Anything else (loops, reassignment, closures, regex, …) throws
   * UnsupportedOperationException with the offending construct named —
@@ -224,11 +226,52 @@ object JsUdf {
         case Some(Op(".")) =>
           next()
           val m = expectId()
+          def args(n: Int): Seq[E] = {
+            expectOp("(")
+            val out = Vector.newBuilder[E]
+            if (peek.contains(Op(")"))) { next(); () }
+            else {
+              var done = false
+              while (!done) {
+                out += expr()
+                next() match {
+                  case Op(",") =>
+                  case Op(")") => done = true
+                  case other   => unsupported(s"in .$m arguments: $other")
+                }
+              }
+            }
+            val r = out.result()
+            require(r.length <= n, s".$m takes at most $n arguments")
+            r
+          }
           m match {
             case "length" => e = E(s"length(${e.sql})", str = false)
-            case "toLowerCase" => expectOp("("); expectOp(")"); e = E(s"lower(${e.sql})", str = true)
-            case "toUpperCase" => expectOp("("); expectOp(")"); e = E(s"upper(${e.sql})", str = true)
-            case "trim"        => expectOp("("); expectOp(")"); e = E(s"trim(${e.sql})", str = true)
+            case "toLowerCase" => args(0); e = E(s"lower(${e.sql})", str = true)
+            case "toUpperCase" => args(0); e = E(s"upper(${e.sql})", str = true)
+            case "trim"        => args(0); e = E(s"trim(${e.sql})", str = true)
+            // JS substring(a[, b]) is [a, b) 0-based → substr(s, a+1, b-a)
+            case "substring" =>
+              val a = args(2)
+              e =
+                if (a.length == 1) E(s"substr(${e.sql}, (${a(0).sql}) + 1)", str = true)
+                else E(s"substr(${e.sql}, (${a(0).sql}) + 1, (${a(1).sql}) - (${a(0).sql}))", str = true)
+            // JS indexOf: 0-based, -1 when absent; instr: 1-based, 0 when
+            // absent — the two conventions differ by exactly 1 everywhere
+            case "indexOf" =>
+              val a = args(1)
+              e = E(s"(instr(${e.sql}, ${a(0).sql}) - 1)", str = false)
+            case "charAt" =>
+              val a = args(1)
+              e = E(s"substr(${e.sql}, (${a(0).sql}) + 1, 1)", str = true)
+            case "startsWith" =>
+              val a = args(1); e = E(s"startswith(${e.sql}, ${a(0).sql})", str = false)
+            case "endsWith" =>
+              val a = args(1); e = E(s"endswith(${e.sql}, ${a(0).sql})", str = false)
+            case "includes" =>
+              val a = args(1); e = E(s"contains(${e.sql}, ${a(0).sql})", str = false)
+            // .replace is rejected on purpose: JS replaces the FIRST
+            // occurrence, SQL replace() replaces all — a silent divergence
             case other => unsupported(s"method .$other")
           }
         case _ => go = false

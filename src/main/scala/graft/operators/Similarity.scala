@@ -197,6 +197,50 @@ object Similarity {
       .select(col("qid"), col("cid"), col("sim"), col("rk"))
   }
 
+  /** The stored form of a quantized IVF index: (bucket, cid, qcode) with
+    * int8 codes only — persist THIS at build time and the search scan
+    * reads 4× fewer bytes than the float index (the difference between
+    * scanning 100 TB and 25 TB of embeddings). */
+  def quantizedIndex(bucketed: DataFrame): DataFrame =
+    bucketed.select(col("bucket"), col("cid"), quantizeInt8(col("cvec")).as("qcode"))
+
+  /** IVF search in int8 CODE SPACE with float rescoring — the scale path
+    * of [[ivfKnn]]: candidate scoring touches only the quantized index
+    * ([[quantizedIndex]] — 4× fewer scan/shuffle bytes), and the
+    * full-precision vectors join back ONLY for the `k·rescoreFactor`
+    * survivors per query, not for every bucket candidate. Cosine is
+    * scale-invariant, so code-space cosine differs from float cosine by
+    * at most the half-step rounding error — and the float rescore removes
+    * even that from the final ranking. */
+  def ivfKnnQuantized(bucketed: DataFrame, centroids: DataFrame,
+                      queries: DataFrame, k: Int, nprobe: Int = 4,
+                      rescoreFactor: Int = 4,
+                      qIdCol: String = "vec_id",
+                      qVecCol: String = "embedding"): DataFrame = {
+    val codes = quantizedIndex(bucketed)
+    val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qvec"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("csim", VectorFunctions.cosineNative(col("qvec"), col("centroid")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("centroid_id"))))
+      .filter(col("crk") <= nprobe)
+      .select(col("qid"), col("qvec"), col("centroid_id").as("bucket"))
+    val survivors = codes.join(broadcast(probes), Seq("bucket"))
+      .select(col("qid"), col("qvec"), col("cid"),
+        VectorFunctions.cosineNative(dequantizeInt8(col("qcode")), col("qvec")).as("asim"))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("asim").desc, col("cid"))))
+      .filter(col("ark") <= k * rescoreFactor)
+    survivors
+      .join(bucketed.select(col("cid"), col("cvec")), Seq("cid"))
+      .select(col("qid"), col("cid"),
+        VectorFunctions.cosineNative(col("cvec"), col("qvec")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rk"))
+  }
+
   /** `knn_match(vec_col, query_vector, k)` — the reference's single-query
     * signature (`KnnMatch.java:48`): rows of `corpus` whose embedding is
     * among the k nearest to one literal query vector. */

@@ -388,10 +388,39 @@ object QueriesRound4 {
         WHERE MATCH(text, 'spark filter')
         ORDER BY score DESC, doc_id
         LIMIT 50""")
+    }),
+
+    // IVF kNN searched in int8 CODE SPACE with float rescoring
+    // (Similarity.ivfKnnQuantized — candidate scoring reads the 4×-smaller
+    // quantized index, floats join back only for the rescore survivors).
+    // Same hash-gate contract as q66: k results per query + a recall@5
+    // floor vs the exact in-plan brute force.
+    "q185_ivf_quantized" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+      val (bucketed, centroids) =
+        graft.operators.Similarity.kmeansBucketize(emb, numCentroids = 16, iters = 2)
+      val approx = graft.operators.Similarity.ivfKnnQuantized(
+        bucketed, centroids, qs, k = 5, nprobe = 8)
+      val hits = approx.select(col("qid"), col("cid"), lit(1).as("hit"))
+      val rec = graft.operators.Similarity.bruteForceKnn(emb, qs, k = 5)
+        .select(col("qid"), col("cid"))
+        .join(hits, Seq("qid", "cid"), "left")
+        .agg((sum(coalesce(col("hit"), lit(0))) >=
+          count(lit(1)) * 0.7).as("recall_ok"))
+      approx.groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_results"))
+        .crossJoin(rec)
+        .select(col("qid"), col("n_results"), col("recall_ok"))
+        .orderBy(col("qid"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q185_ivf_quantized" ->
+      """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_results, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin,
+
     "q184_match_score" ->
       """SELECT doc_id, round(tf_a / (tf_a + 1.2) + tf_b / (tf_b + 1.2), 6) AS score
         |FROM (

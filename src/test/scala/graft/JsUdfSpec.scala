@@ -108,6 +108,33 @@ class JsUdfSpec extends SparkTestBase {
     assert(one("SELECT grade(10.0)") == "fail")
   }
 
+  test("string methods: substring/indexOf/charAt/startsWith/includes") {
+    router.execute(
+      """CREATE OR REPLACE FUNCTION host_label(url text)
+        |RETURNS text LANGUAGE JAVASCRIPT
+        |AS 'function host_label(u) {
+        |      var h = u.toLowerCase();
+        |      return h.startsWith("https") ? h.substring(8, 8 + h.indexOf("/")) : h.charAt(0);
+        |   }'""".stripMargin)
+    // JS semantics exactly: indexOf('/') on the lowered url is 6 (the
+    // first slash of '://'), so substring(8, 14) keeps the trailing slash
+    assert(one("SELECT host_label('HTTPS://x.org/a')") == "x.org/")
+    assert(one("SELECT host_label('ftp://x.org/a')") == "f")
+    // JS indexOf -1 convention when absent
+    router.execute(
+      """CREATE OR REPLACE FUNCTION find_at(s text)
+        |RETURNS integer LANGUAGE JAVASCRIPT
+        |AS 'function find_at(s) { return s.indexOf("@"); }'""".stripMargin)
+    assert(one("SELECT find_at('a@b')") == "1")
+    assert(one("SELECT find_at('ab')") == "-1")
+    // .replace rejected with the construct named
+    val e = intercept[Exception](router.execute(
+      """CREATE OR REPLACE FUNCTION bad_rep(s text)
+        |RETURNS text LANGUAGE JAVASCRIPT
+        |AS 'function bad_rep(s) { return s.replace("a", "b"); }'""".stripMargin))
+    assert(e.getMessage.contains(".replace"))
+  }
+
   test("information_schema.routines lists the created function") {
     router.execute(
       """CREATE OR REPLACE FUNCTION routine_probe(bigint)

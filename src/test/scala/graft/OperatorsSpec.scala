@@ -107,6 +107,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(selfHits == 3)
   }
 
+  test("quantized IVF search matches the float path's ranking") {
+    val (bucketed, centroids) = Similarity.ivfBucketize(emb, numCentroids = 8)
+    val qs = emb.filter($"vec_id" < 5)
+    val fl = Similarity.ivfKnn(bucketed, centroids, qs, k = 5, nprobe = 8)
+    val qz = Similarity.ivfKnnQuantized(bucketed, centroids, qs, k = 5, nprobe = 8)
+    // the float rescore removes quantization error from the final ranking:
+    // identical (qid, cid) sets, self recalled first
+    val a = fl.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = qz.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((a & b).size.toDouble >= 0.9 * a.size, s"${(a & b).size} of ${a.size} overlap")
+    assert(qz.filter($"rk" === 1 && $"qid" === $"cid").count() == 5)
+    // the stored index really is codes-only: no float vector column
+    val idx = Similarity.quantizedIndex(bucketed)
+    assert(idx.columns.toSeq == Seq("bucket", "cid", "qcode"))
+  }
+
   test("embedding near-dup: oversized buckets are dropped, not exploded") {
     // 30 identical vectors forced into 1 centroid: with maxBucket below the
     // cluster size the pairwise stage must emit nothing (the O(bucket²)
