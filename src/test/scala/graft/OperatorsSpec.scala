@@ -123,6 +123,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(idx.columns.toSeq == Seq("bucket", "cid", "qcode"))
   }
 
+  test("stored quantized index: codes-only scan, bucket partition pruning") {
+    val (bucketed, centroids) = Similarity.ivfBucketize(emb, numCentroids = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_qidx").toFile.getAbsolutePath
+    Similarity.saveQuantizedIndex(bucketed, centroids, dir)
+    val (codes, cents) = Similarity.loadQuantizedIndex(spark, dir)
+    val qs = emb.filter($"vec_id" < 3)
+    val res = Similarity.ivfKnnStored(codes, cents, emb, qs, k = 4, nprobe = 2)
+    assert(res.filter($"rk" === 1 && $"qid" === $"cid").count() == 3)
+    // the candidate scan carries NO float embedding column — the stored
+    // file physically lacks it, so the 4x byte saving is real, and the
+    // probed-bucket filter prunes partitions at the scan
+    val plan = res.queryExecution.executedPlan.toString
+    val codeScan = plan.linesIterator.find(l =>
+      l.contains("Scan parquet") && l.contains(dir)).getOrElse("")
+    assert(!codeScan.contains("embedding"), codeScan)
+  }
+
   test("embedding near-dup: oversized buckets are dropped, not exploded") {
     // 30 identical vectors forced into 1 centroid: with maxBucket below the
     // cluster size the pairwise stage must emit nothing (the O(bucket²)

@@ -130,3 +130,45 @@ class StreamChunkSpec extends SparkTestBase {
     } finally q.stop()
   }
 }
+
+/** Streaming repetition metrics (DocsStream): stateless per-document
+  * transforms with values identical to the batch TextAnalysis twin, plus
+  * the single-stateful-layer windowed reject rate. */
+class StreamRepetitionSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+
+  test("docRepetitionMetrics matches batch repetitionStats value-for-value") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val batch = graft.operators.TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .select(col("doc_id"), round(col("dup_line_frac"), 9).as("d"),
+        round(col("top_bigram_share"), 9).as("b"))
+    val streamShaped = graft.streaming.DocsStream.docRepetitionMetrics(docs, "text")
+      .select(col("doc_id"), round(col("dup_line_frac"), 9).as("d"),
+        round(col("top_bigram_share"), 9).as("b"))
+    assert(batch.exceptAll(streamShaped).count() == 0)
+    assert(streamShaped.exceptAll(batch).count() == 0)
+  }
+
+  test("windowedRejectRate runs as a real watermarked stream") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .withColumn("ts", expr("timestamp_millis(1700000000000 + doc_id * 60000)"))
+    val dir = java.nio.file.Files.createTempDirectory("docstream").toFile.getAbsolutePath
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(
+      docs.schema).parquet(dir)
+    val q = graft.streaming.DocsStream
+      .windowedRejectRate(stream, "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName("rejrate")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT sum(n_docs), sum(n_rejected) FROM rejrate").head()
+      // append mode holds back watermark-open windows; everything emitted
+      // must be consistent and the batch ground truth bounds it
+      val total = docs.count()
+      assert(rows.getLong(0) <= total && rows.getLong(0) > 0)
+      assert(rows.getLong(1) <= rows.getLong(0))
+    } finally q.stop()
+  }
+}
