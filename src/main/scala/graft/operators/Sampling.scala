@@ -40,6 +40,28 @@ object Sampling {
     df.filter(unit(col(idCol)) < fraction)
   }
 
+  /** Per-stratum deterministic sampling — the corpus-MIXING primitive
+    * ("keep 100% of wikipedia, 8% of commoncrawl, 30% of code"): each
+    * row's keep-decision is `unit_hash(id) < fraction(stratum)`, so
+    * membership is reproducible from the id alone, rates are exact per
+    * stratum in expectation, and the whole thing is a map-only filter —
+    * no shuffle, no RNG, no state at 100 TB. Strata not in `fractions`
+    * fall back to `default`. `unitOverride` lets a caller supply its own
+    * [0,1) unit column (a replayable hash for cross-engine verification,
+    * or a salted one for resample experiments). */
+  def stratifiedSample(df: DataFrame, stratumCol: String,
+                       fractions: Map[String, Double], default: Double,
+                       idCol: String = "doc_id",
+                       unitOverride: Option[Column] = None): DataFrame = {
+    require(default >= 0 && default <= 1, "default fraction out of [0,1]")
+    require(fractions.values.forall(f => f >= 0 && f <= 1),
+      "stratum fraction out of [0,1]")
+    val u = unitOverride.getOrElse(unit(col(idCol)))
+    val fmap = typedLit(fractions)
+    val frac = coalesce(fmap(col(stratumCol)), lit(default))
+    df.filter(u < frac)
+  }
+
   /** Deterministic global shuffle + shard assignment for training output.
     *
     * A training run wants (a) fixed shard membership — restarts and

@@ -413,10 +413,33 @@ object QueriesRound4 {
         .crossJoin(rec)
         .select(col("qid"), col("n_results"), col("recall_ok"))
         .orderBy(col("qid"))
+    }),
+
+    // Stratified corpus mixing (Sampling.stratifiedSample): per-language
+    // keep rates, membership decided by a unit hash of the id. The query
+    // supplies a REPLAYABLE unit (Knuth multiplicative hash mod a prime,
+    // plain BIGINT arithmetic both engines share), so the oracle compares
+    // EXACT membership — zero tolerance, not a rate invariant.
+    "q186_stratified_sample" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val unit = (pmod(col("doc_id") * 2654435761L, lit(1000003L)).cast("double")
+        / 1000003.0)
+      graft.operators.Sampling.stratifiedSample(docs, "lang",
+          Map("en" -> 0.5, "zh" -> 0.25), default = 0.1,
+          unitOverride = Some(unit))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q186_stratified_sample" ->
+      """SELECT doc_id, lang
+        |FROM documents
+        |WHERE CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0
+        |      < (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 0.1 END)
+        |ORDER BY doc_id""".stripMargin,
+
     "q185_ivf_quantized" ->
       """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_results, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin,

@@ -216,6 +216,28 @@ class SamplingSpec extends SparkTestBase {
   }
 }
 
+class StratifiedSampleSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.operators.Sampling
+
+  test("per-stratum rates hold and membership is stable under repartition") {
+    val df = (1L to 20000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.stratifiedSample(df, "lang",
+      Map("en" -> 0.5), default = 0.05)
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val en = byLang.getOrElse("en", 0L).toDouble / (20000 / 3)
+    val de = byLang.getOrElse("de", 0L).toDouble / (20000 * 2 / 3)
+    assert(math.abs(en - 0.5) < 0.05, s"en rate $en")
+    assert(math.abs(de - 0.05) < 0.02, s"de rate $de")
+    // same ids under a different partitioning — determinism, not RNG
+    val again = Sampling.stratifiedSample(df.repartition(13), "lang",
+      Map("en" -> 0.5), default = 0.05)
+    assert(out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0)
+    assert(again.count() == out.count())
+  }
+}
+
 class FuzzyJoinSpec extends SparkTestBase {
   import spark.implicits._
 
