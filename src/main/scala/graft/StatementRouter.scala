@@ -248,8 +248,138 @@ class StatementRouter(spark: SparkSession, root: String) {
       // non-recording: execute() logs the statement once for every route
       case _          =>
         registerViews()
-        spark.sql(applyDeclaredAnalyzers(Dialect.translate(stmt)))
+        val translated = Dialect.translate(stmt)
+        routeIndexedScore(translated) match {
+          case Some(routed) => spark.sql(routed)
+          case None         => spark.sql(applyDeclaredAnalyzers(translated))
+        }
     }
+  }
+
+  private var scoredMatchN = 0
+
+  /** `_score` through a declared fulltext index (reference: MATCH scores
+    * come out of Lucene's index postings, `lucene/match/MatchQueries.java` —
+    * never from re-analyzing the row). When the translated statement scores
+    * a MATCH whose target resolves to a declared fulltext index on a table
+    * with a single-column PRIMARY KEY, the per-row TF-saturation score
+    * upgrades to corpus-IDF BM25 read from the inverted index:
+    *
+    *  - `FROM t [alias]` gains `JOIN <scores> ON alias.pk = <scores>.doc_id`
+    *  - `graft_match_score(target, 'q')` → `<scores>.score`
+    *  - `match_text[_analyzed](target, 'q'[, a])` → `TRUE` (the score join
+    *    carries exactly the AND-matched documents, so the predicate is the
+    *    join — semantics unchanged, score values gain the corpus IDF /
+    *    length normalization the TF-only fallback cannot see)
+    *
+    * The index is built once per (table, index, committed version) and
+    * cached; a query is then a broadcast of its few terms into the
+    * term-partitioned postings plus one narrow per-doc aggregation — at
+    * scale, matched docs flow, not the corpus. Conservative by design:
+    * any unrecognized shape (no declared index, composite PRIMARY KEY,
+    * MATCH options, subquery FROM) returns None and the TF fallback runs. */
+  private def routeIndexedScore(sql: String): Option[String] = {
+    if (!sql.toLowerCase.contains("graft_match_score")) return None
+    val sig = Dialect.lex(sql).filter(_.sig)
+    def isWord(t: Tok) = t.kind == Dialect.K.Word || t.kind == Dialect.K.QId
+
+    // the scored MATCH: graft_match_score(target, 'query')
+    val si = sig.indexWhere(t => t.kind == Dialect.K.Word && t.is("graft_match_score"))
+    if (si < 0 || !sig.lift(si + 1).exists(_.isSym("("))) return None
+    val sClose = matchFwd(sig, si + 1)
+    val sParts = splitTopCommas(sig.slice(si + 2, sClose))
+    if (sParts.length != 2 || sParts(1).length != 1 ||
+        sParts(1).head.kind != Dialect.K.Str) return None
+    val targetCol = unq(sParts(0).last).toLowerCase
+    val queryLit = sParts(1).head.text
+    val query = unq(sParts(1).head)
+
+    // FROM <router table with a covering index spec and a 1-column PK>
+    val fi = sig.indexWhere(t => t.kind == Dialect.K.Word && t.is("from"))
+    if (fi < 0 || !sig.lift(fi + 1).exists(isWord)) return None
+    val table = unq(sig(fi + 1))
+    if (VersionedTable.latestVersion(spark, tablePath(table)).isEmpty) return None
+    val spec = VersionedTable.indexSpecs(spark, tablePath(table)).find(s =>
+      s.name.equalsIgnoreCase(targetCol) ||
+        (s.cols.length == 1 && s.cols.head.equalsIgnoreCase(targetCol)))
+      .getOrElse(return None)
+    val pk = VersionedTable.primaryKey(spark, tablePath(table)) match {
+      case Seq(one) => one
+      case _        => return None
+    }
+
+    // optional alias after the table name
+    val stop = Set("where", "group", "order", "limit", "having", "join",
+      "inner", "left", "right", "full", "cross", "on", "union", "intersect",
+      "except", "offset", "window", "qualify", "lateral")
+    var insertAt = fi + 1
+    var rel = table
+    sig.lift(fi + 2) match {
+      case Some(t2) if t2.is("as") && sig.lift(fi + 3).exists(isWord) =>
+        rel = unq(sig(fi + 3)); insertAt = fi + 3
+      case Some(t2) if isWord(t2) && !stop.contains(t2.text.toLowerCase) =>
+        rel = unq(t2); insertAt = fi + 2
+      case _ => ()
+    }
+
+    // scores from the declared index at the table's committed version
+    val version = VersionedTable.latestVersion(spark, tablePath(table)).get
+    val analyzer = graft.operators.MatchText.Analyzer.byName(spec.analyzer)
+    val idx = graft.operators.MatchText.IndexCache.cached(
+      s"${tablePath(table)}#${spec.name}#v$version") {
+      val base = readTable(table)
+      val (df, textCol) =
+        if (spec.cols.length == 1) (base, spec.cols.head)
+        else (base.withColumn("graft_ft_concat",
+          concat_ws(" ", spec.cols.map(col): _*)), "graft_ft_concat")
+      graft.operators.MatchText.buildIndex(df, pk, textCol, analyzer)
+    }
+    // non-colliding column names: the base table may have doc_id/score
+    val scores = graft.operators.MatchText.scoreBM25(idx, query)
+      .select(col("doc_id").as("graft_score_id"), col("score").as("graft_bm25"))
+    scoredMatchN += 1
+    val view = s"graft_match_scores_$scoredMatchN"
+    scores.createOrReplaceTempView(view)
+
+    // token rewrite: score calls → view.score, match predicate → TRUE,
+    // join spliced in right after the FROM table (+alias)
+    def isScoreCall(i: Int): Option[Int] =
+      if (sig(i).kind == Dialect.K.Word && sig(i).is("graft_match_score") &&
+          sig.lift(i + 1).exists(_.isSym("("))) {
+        val c = matchFwd(sig, i + 1)
+        val ps = splitTopCommas(sig.slice(i + 2, c))
+        if (ps.length == 2 && unq(ps(0).last).equalsIgnoreCase(targetCol) &&
+            ps(1).length == 1 && ps(1).head.text == queryLit) Some(c) else None
+      } else None
+    def isMatchCall(i: Int): Option[Int] =
+      if (sig(i).kind == Dialect.K.Word &&
+          (sig(i).is("match_text") || sig(i).is("match_text_analyzed")) &&
+          sig.lift(i + 1).exists(_.isSym("("))) {
+        val c = matchFwd(sig, i + 1)
+        val ps = splitTopCommas(sig.slice(i + 2, c))
+        if ((ps.length == 2 || ps.length == 3) &&
+            unq(ps(0).last).equalsIgnoreCase(targetCol) &&
+            ps(1).headOption.exists(t => t.kind == Dialect.K.Str &&
+              t.text == queryLit)) Some(c) else None
+      } else None
+    // the statement must actually carry the MATCH predicate we replace —
+    // otherwise the join would FILTER rows a bare projection would keep
+    if (!sig.indices.exists(i => isMatchCall(i).isDefined)) return None
+
+    val out = new StringBuilder
+    var i = 0
+    while (i < sig.length) {
+      (isScoreCall(i), isMatchCall(i)) match {
+        case (Some(c), _) => out.append(s"$view.graft_bm25 "); i = c + 1
+        case (_, Some(c)) => out.append("TRUE "); i = c + 1
+        case _ =>
+          out.append(sig(i).text).append(' ')
+          if (i == insertAt)
+            out.append(s"JOIN $view ON $rel.$pk = $view.graft_score_id ")
+          i += 1
+      }
+    }
+    Some(out.toString.trim)
   }
 
   /** MATCH through declared fulltext indexes (reference MatchPredicate
@@ -355,6 +485,12 @@ class StatementRouter(spark: SparkSession, root: String) {
       val nn = if (!f.nullable || notNullSet.contains(f.name)) " NOT NULL" else ""
       s"   ${f.name} $t$gen$colCheck$nn"
     }.mkString(",\n")
+    // PRIMARY KEY re-renders as the table-level clause, like the
+    // reference's MetadataToASTVisitor
+    val pkClause = VersionedTable.primaryKey(spark, tablePath(name)) match {
+      case Nil => Nil
+      case ks  => Seq(s"   PRIMARY KEY (${ks.mkString(", ")})")
+    }
     // declared fulltext indexes re-render as table-level INDEX clauses,
     // like the reference's MetadataToASTVisitor
     val ftIndexes = VersionedTable.indexSpecs(spark, tablePath(name)).map { ix =>
@@ -366,7 +502,7 @@ class StatementRouter(spark: SparkSession, root: String) {
       .filterNot { case (n, _, _) =>
         schema.fields.exists(f => n == s"${name}_${f.name}_check") }
       .map { case (n, _, o) => s"   CONSTRAINT $n CHECK ($o)" }
-    val body = (cols +: (ftIndexes ++ tableChecks).toVector)
+    val body = (cols +: (pkClause ++ ftIndexes ++ tableChecks).toVector)
       .filter(_.nonEmpty).mkString(",\n")
     val clustered = VersionedTable.bucketSpec(spark, tablePath(name))
       .map(b => s"\nCLUSTERED BY (${b.cols.mkString(", ")}) INTO ${b.numBuckets} SHARDS")
@@ -737,6 +873,12 @@ class StatementRouter(spark: SparkSession, root: String) {
           VersionedTable.BucketSpec(m.group(2).toInt,
             m.group(1).split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq))
       }
+    // PRIMARY KEY (table-level clause or per-column modifier) → durable
+    // identity metadata (reference DocTableInfo.primaryKey); SHOW CREATE
+    // TABLE renders it back and the indexed _score route joins through it
+    val pkCols = parsePrimaryKey(Dialect.lex(stmt).filter(_.sig))
+    if (pkCols.nonEmpty)
+      VersionedTable.setPrimaryKey(spark, tablePath(name), pkCols)
     // fulltext INDEX defs (table-level and column-level) → durable index
     // spec; the analyzer must exist NOW, like the reference's CREATE-time
     // validation
@@ -943,6 +1085,26 @@ class StatementRouter(spark: SparkSession, root: String) {
         val col = unq(d(0))
         Some(VersionedTable.IndexSpec(col, Seq(col), analyzerOf(ix + 2)))
       } else None
+    }
+  }
+
+  /** PRIMARY KEY columns from a CrateDB CREATE TABLE: the table-level
+    * `PRIMARY KEY (a, b)` clause or per-column `col TYPE PRIMARY KEY`
+    * modifiers, in declaration order (reference
+    * `AnalyzedTableElements.primaryKeys`). */
+  private def parsePrimaryKey(sig: Vector[Tok]): Seq[String] = {
+    val open = sig.indexWhere(_.isSym("("))
+    if (open < 0) return Nil
+    val close = matchFwd(sig, open)
+    splitTopCommas(sig.slice(open + 1, close)).flatMap { d =>
+      if (d(0).is("primary") && d.lift(1).exists(_.is("key")) &&
+          d.lift(2).exists(_.isSym("("))) {
+        val c = matchFwd(d, 2)
+        splitTopCommas(d.slice(3, c)).map(p => unq(p.head))
+      } else if (!d(0).is("index") && !d(0).is("constraint") && !d(0).is("check")) {
+        val pi = d.indexWhere(_.is("primary"), 1)
+        if (pi > 0 && d.lift(pi + 1).exists(_.is("key"))) Seq(unq(d(0))) else Nil
+      } else Nil
     }
   }
 

@@ -18,15 +18,24 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's vectorized
-      // reader rejects. Read nanos as long (legacy conf), then integer-divide
-      // to micros — the same truncation DuckDB applies casting ns → us.
+      // events.ts has shipped as INT64 TIMESTAMP(NANOS) (which Spark's
+      // vectorized reader rejects — read nanos as long and divide to
+      // micros, DuckDB's ns → us truncation) and as timestamp[us] without
+      // UTC adjustment (which Spark 4 reads as TIMESTAMP_NTZ). Normalize
+      // both to session-zone TIMESTAMP: the session runs UTC, so the
+      // NTZ → LTZ cast is instant-preserving and matches DuckDB's naive
+      // timestamps.
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-      else raw
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+        case TimestampNTZType =>
+          raw.withColumn("ts", raw("ts").cast(TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every fixture table as a temp view so `spark.sql` works on the

@@ -11,15 +11,25 @@ package graft.functions
   * GraalVM dispatch, and distributed for free).
   *
   * Accepted subset:
-  *   function name(a, b, …) { [var x = expr, y = expr; …] return expr; }
-  * where expr is: numbers, 'strings'/"strings", true/false/null, argument
-  * and var references, unary -/!, + - * / %, comparisons (== === != !== <
-  * <= > >=), && || , ?: ternaries, parentheses, array literals [..],
-  * 0-based indexing a[i] (→ 1-based element_at), object literals {k: v}
-  * (→ named_struct), Math.* calls/constants, and the string methods
-  * .toLowerCase() / .toUpperCase() / .trim() / .length / .substring /
-  * .indexOf / .charAt / .startsWith / .endsWith / .includes
-  * (.replace is rejected: JS replaces the first occurrence, SQL all).
+  *   function name(a, b, …) {
+  *     [var x = expr, y = expr; …]
+  *     [if (cond) return expr; | if (cond) { … return expr; } else { … } …]
+  *     return expr;
+  *   }
+  * Guard-style control flow translates to CASE chains: every path through
+  * the body must end in `return` (a fall-off-the-end `undefined` is
+  * rejected). expr is: numbers, 'strings'/"strings", true/false/null,
+  * argument and var references, unary -/!, + - * / % **, comparisons
+  * (== === != !== < <= > >=), && || , ?: ternaries, parentheses, array
+  * literals [..], 0-based indexing a[i] (→ 1-based element_at), object
+  * literals {k: v} (→ named_struct), Math.* calls/constants, Date.now(),
+  * and the string methods
+  * .toLowerCase() / .toUpperCase() / .trim() / .trimStart() / .trimEnd() /
+  * .length / .substring / .indexOf / .charAt / .charCodeAt / .startsWith /
+  * .endsWith / .includes / .repeat / .padStart / .padEnd / .replaceAll /
+  * .split(literal) / .concat / .toString
+  * (.replace is rejected: JS replaces the first occurrence, SQL all —
+  * .replaceAll is the faithful twin and is supported).
   *
   * Anything else (loops, reassignment, closures, regex, …) throws
   * UnsupportedOperationException with the offending construct named —
@@ -43,7 +53,7 @@ object JsUdf {
     var i = 0
     val n = src.length
     val ops3 = Set("===", "!==")
-    val ops2 = Set("==", "!=", "<=", ">=", "&&", "||")
+    val ops2 = Set("==", "!=", "<=", ">=", "&&", "||", "**")
     while (i < n) {
       val c = src.charAt(i)
       if (c.isWhitespace) i += 1
@@ -168,6 +178,15 @@ object JsUdf {
             E(s"${mathFns(f)}(${args.result().map(_.sql).mkString(", ")})", str = false)
           case f => unsupported(s"Math.$f")
         }
+      case Id("Date") =>
+        // Date.now() — epoch millis; the only Date API with a faithful,
+        // deterministic-per-row SQL twin
+        expectOp(".")
+        expectId() match {
+          case "now" => expectOp("("); expectOp(")")
+            E("unix_millis(now())", str = false)
+          case f => unsupported(s"Date.$f")
+        }
       case Id(name) if bindings.contains(name) => bindings(name)
       case Id(name) if paramSet0.contains(name) => E(name, str = false)
       case Op("(") =>
@@ -270,6 +289,66 @@ object JsUdf {
               val a = args(1); e = E(s"endswith(${e.sql}, ${a(0).sql})", str = false)
             case "includes" =>
               val a = args(1); e = E(s"contains(${e.sql}, ${a(0).sql})", str = false)
+            case "trimStart" | "trimLeft"  => args(0); e = E(s"ltrim(${e.sql})", str = true)
+            case "trimEnd" | "trimRight"   => args(0); e = E(s"rtrim(${e.sql})", str = true)
+            case "repeat" =>
+              val a = args(1); e = E(s"repeat(${e.sql}, ${a(0).sql})", str = true)
+            // JS pad* never truncates; SQL lpad/rpad cut to the target
+            // length — guard so a short target is the identity, like JS
+            case "padStart" | "padEnd" =>
+              val a = args(2)
+              val fn = if (m == "padStart") "lpad" else "rpad"
+              val pad = if (a.length == 2) a(1).sql else "' '"
+              val s0 = e.sql
+              e = E(s"(CASE WHEN length($s0) >= (${a(0).sql}) THEN $s0 " +
+                s"ELSE $fn($s0, ${a(0).sql}, $pad) END)", str = true)
+            // JS replaceAll(string, string) replaces every occurrence —
+            // exactly SQL replace(); .replace stays rejected (first-only)
+            case "replaceAll" =>
+              val a = args(2)
+              require(a.length == 2, ".replaceAll needs (search, replacement)")
+              e = E(s"replace(${e.sql}, ${a(0).sql}, ${a(1).sql})", str = true)
+            // JS charCodeAt out of range is NaN; NULL is the SQL analogue
+            case "charCodeAt" =>
+              val a = args(1)
+              val i0 = if (a.isEmpty) "0" else a(0).sql
+              val s0 = e.sql
+              e = E(s"(CASE WHEN ($i0) + 1 BETWEEN 1 AND length($s0) " +
+                s"THEN ascii(substr($s0, ($i0) + 1, 1)) ELSE NULL END)", str = false)
+            // JS split takes a LITERAL separator; Spark split takes a
+            // regex — quote the literal at translate time (non-literal
+            // separators are rejected rather than silently regexed)
+            case "split" =>
+              val a = args(1)
+              require(a.length == 1, ".split needs a separator")
+              val lit = a(0).sql
+              if (!(a(0).str && lit.length >= 2 && lit.head == '\'' && lit.last == '\''))
+                unsupported(".split with a non-literal separator")
+              val raw = lit.substring(1, lit.length - 1).replace("''", "'")
+              // double the backslashes: the emitted text re-parses as a
+              // Spark SQL string literal, which processes \-escapes
+              val quoted = "'" + java.util.regex.Pattern.quote(raw)
+                .replace("\\", "\\\\").replace("'", "''") + "'"
+              e = E(s"split(${e.sql}, $quoted)", str = false)
+            case "concat" =>
+              expectOp("(")
+              val parts = Vector.newBuilder[E]
+              if (peek.contains(Op(")"))) { next(); () }
+              else {
+                var done = false
+                while (!done) {
+                  parts += expr()
+                  next() match {
+                    case Op(",") =>
+                    case Op(")") => done = true
+                    case other   => unsupported(s"in .concat arguments: $other")
+                  }
+                }
+              }
+              e = E(s"concat(${e.sql}, ${parts.result().map(_.sql).mkString(", ")})",
+                str = true)
+            case "toString" =>
+              args(0); e = E(s"CAST(${e.sql} AS STRING)", str = true)
             // .replace is rejected on purpose: JS replaces the FIRST
             // occurrence, SQL replace() replaces all — a silent divergence
             case other => unsupported(s"method .$other")
@@ -286,12 +365,20 @@ object JsUdf {
       case _ => postfix()
     }
 
+    // `**` binds tighter than * / % and is right-associative, like JS
+    def pw(): E = {
+      val e = unary()
+      if (peek.contains(Op("**"))) {
+        next(); val r = pw(); E(s"power(${e.sql}, ${r.sql})", str = false)
+      } else e
+    }
+
     def mul(): E = {
-      var e = unary()
+      var e = pw()
       var go = true
       while (go) peek match {
         case Some(Op(op @ ("*" | "/" | "%"))) =>
-          next(); val r = unary(); e = E(s"${e.sql} $op ${r.sql}", str = false)
+          next(); val r = pw(); e = E(s"${e.sql} $op ${r.sql}", str = false)
         case _ => go = false
       }
       e
@@ -351,34 +438,63 @@ object JsUdf {
       } else c
     }
 
-    // statements: var bindings until `return`
-    var result: Option[E] = None
-    while (result.isEmpty) next() match {
-      case Id("var") | Id("let") | Id("const") =>
-        var done = false
-        while (!done) {
-          val name = expectId()
-          expectOp("=")
-          val e = expr()
-          bindings += name -> E(s"(${e.sql})", e.str)
-          next() match {
-            case Op(",") =>
-            case Op(";") => done = true
-            case other   => unsupported(s"in var declaration: $other")
-          }
-        }
-      case Id("return") =>
+    // statements: var bindings + guard-style if/return chains, folded
+    // into one CASE expression — every path must end in `return`
+    def parseVar(): Unit = {
+      var done = false
+      while (!done) {
+        val name = expectId()
+        expectOp("=")
         val e = expr()
-        peek match {
-          case Some(Op(";")) => next(); ()
-          case _             =>
+        bindings += name -> E(s"(${e.sql})", e.str)
+        next() match {
+          case Op(",") =>
+          case Op(";") => done = true
+          case other   => unsupported(s"in var declaration: $other")
         }
-        expectOp("}")
-        require(p == ts.length, "trailing code after the function body")
-        result = Some(e)
-      case other => unsupported(s"statement $other")
+      }
+    }
+    // one branch of an if: `return expr;`, a nested if, or a `{…}` block
+    def parseBranch(): E = peek match {
+      case Some(Op("{")) => next(); val e = parseStmts(); expectOp("}"); e
+      case Some(Id("return")) =>
+        next(); val e = expr()
+        if (peek.contains(Op(";"))) { next(); () }
+        e
+      case Some(Id("if")) => next(); parseIf()
+      case other => unsupported(s"branch must return a value: $other")
+    }
+    def parseIf(): E = {
+      expectOp("(")
+      val c = expr()
+      expectOp(")")
+      val t = parseBranch()
+      val f = peek match {
+        case Some(Id("else")) => next(); parseBranch()
+        // no else: the rest of the enclosing block is the else branch
+        // (the guard-clause idiom `if (x) return a; return b;`)
+        case _ => parseStmts()
+      }
+      E(s"(CASE WHEN ${c.sql} THEN ${t.sql} ELSE ${f.sql} END)", t.str || f.str)
+    }
+    def parseStmts(): E = {
+      var result: Option[E] = None
+      while (result.isEmpty) next() match {
+        case Id("var") | Id("let") | Id("const") => parseVar()
+        case Id("return") =>
+          val e = expr()
+          if (peek.contains(Op(";"))) { next(); () }
+          result = Some(e)
+        case Id("if") => result = Some(parseIf())
+        case other => unsupported(s"statement $other")
+      }
+      result.get
     }
 
-    Translated(fname, paramSet0, result.get.sql)
+    val result = parseStmts()
+    expectOp("}")
+    require(p == ts.length, "trailing code after the function body")
+
+    Translated(fname, paramSet0, result.sql)
   }
 }

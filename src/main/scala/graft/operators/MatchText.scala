@@ -296,6 +296,34 @@ object MatchText {
       .limit(topN)
   }
 
+  /** BM25 scores for EVERY matching document (no top-N cut) — the scored
+    * half of the indexed `_score` route: the router joins this back to the
+    * base table by primary key, so `SELECT …, _score FROM t WHERE MATCH(…)`
+    * reads corpus-IDF relevance out of the declared index instead of
+    * re-analyzing each row. `operator` mirrors [[matchPredicate]]: "and"
+    * keeps only documents containing ALL query terms (terms_hit equals the
+    * full distinct-term count), "or" keeps any hit. Plan shape: broadcast
+    * the handful of query terms into term-partitioned postings, one narrow
+    * aggregation by doc — matched docs only ever flow. */
+  def scoreBM25(index: InvertedIndex, query: String, operator: String = "and",
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(operator == "and" || operator == "or", s"unsupported operator: $operator")
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val termList = index.analyzer.tokens(query).distinct
+    val terms = termList.toDF("term")
+    val nDocs = index.nDocs.toDouble
+    val scored = index.postings.join(broadcast(terms), Seq("term"))
+      .join(index.termStats.join(broadcast(terms), Seq("term")), Seq("term"))
+      .withColumn("idf", log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w", col("idf") * col("tf") * (k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / index.avgdl)))
+      .groupBy("doc_id")
+      .agg(sum(col("w")).as("score"), count(lit(1)).as("terms_hit"))
+    if (operator == "and") scored.filter(col("terms_hit") === termList.length)
+    else scored
+  }
+
   /** tf-idf ranked search over a prebuilt index — same pure-join shape. */
   def search(index: InvertedIndex, query: String, topN: Int = 10): DataFrame = {
     val spark = index.postings.sparkSession

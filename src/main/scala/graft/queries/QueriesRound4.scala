@@ -429,10 +429,103 @@ object QueriesRound4 {
           unitOverride = Some(unit))
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
+    }),
+
+    // `_score` through a DECLARED fulltext index (StatementRouter
+    // .routeIndexedScore): the canonical migration statement — MATCH in
+    // WHERE, _score in SELECT/ORDER — re-plans as a join against the
+    // index-computed corpus-IDF BM25 score set instead of the per-row
+    // TF fallback, exactly how the reference reads MATCH scores out of
+    // Lucene postings. DuckDB replays the full BM25 formula (idf, length
+    // normalization, AND-match semantics) from the same parquet rows.
+    "q187_indexed_score" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_q187")
+        .toFile.getAbsolutePath
+      val r = new graft.StatementRouter(s, root)
+      r.execute("""CREATE TABLE scored_docs (
+          doc_id BIGINT PRIMARY KEY,
+          text TEXT,
+          INDEX text_ft USING FULLTEXT (text) WITH (analyzer = 'standard'))""")
+      r.execute("INSERT INTO scored_docs (doc_id, text) " +
+        "SELECT doc_id, text FROM documents")
+      r.execute("""
+        SELECT doc_id, round(_score, 6) AS score
+        FROM scored_docs
+        WHERE MATCH(text, 'spark filter')
+        ORDER BY score DESC, doc_id
+        LIMIT 50""")
+    }),
+
+    // JsUdf round-4 breadth in one routed function: guard-style if/return
+    // chains (→ CASE), string-method tail (trimStart/padEnd/repeat/
+    // replaceAll/concat/toString), JS pad semantics (never truncates).
+    // The oracle replays the exact control flow in SQL.
+    "q188_js_guards" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_q188")
+        .toFile.getAbsolutePath
+      val r = new graft.StatementRouter(s, root)
+      r.execute(
+        """CREATE OR REPLACE FUNCTION seg_code(text, double precision)
+          |RETURNS text LANGUAGE JAVASCRIPT
+          |AS 'function seg_code(seg, bal) {
+          |  var s = seg.toLowerCase().replaceAll("o", "0");
+          |  if (bal < 0) return s.concat(":neg");
+          |  if (bal > 9000) { return s.padEnd(12, ".").concat(":vip"); }
+          |  return s.substring(0, 4).toUpperCase().repeat(2);
+          |}'""".stripMargin)
+      r.execute("""
+        SELECT c_custkey, seg_code(c_mktsegment, c_acctbal) AS code
+        FROM customer
+        ORDER BY c_custkey
+        LIMIT 500""")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q188_js_guards" ->
+      """SELECT c_custkey,
+        |  CASE
+        |    WHEN c_acctbal < 0
+        |      THEN replace(lower(c_mktsegment), 'o', '0') || ':neg'
+        |    WHEN c_acctbal > 9000 THEN
+        |      CASE WHEN length(c_mktsegment) >= 12
+        |           THEN replace(lower(c_mktsegment), 'o', '0')
+        |           ELSE rpad(replace(lower(c_mktsegment), 'o', '0'), 12, '.')
+        |      END || ':vip'
+        |    ELSE repeat(upper(substr(replace(lower(c_mktsegment), 'o', '0'), 1, 4)), 2)
+        |  END AS code
+        |FROM customer
+        |ORDER BY c_custkey
+        |LIMIT 500""".stripMargin,
+
+    "q187_indexed_score" ->
+      """SELECT doc_id, round(score, 6) AS score FROM (
+        |  WITH idx AS (
+        |    SELECT term, doc_id, count(*) AS tf FROM (
+        |      SELECT doc_id,
+        |             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                                x -> len(x) > 0)) AS term
+        |      FROM documents)
+        |    GROUP BY term, doc_id),
+        |  dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM idx GROUP BY doc_id),
+        |  stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+        |  dfreq AS (SELECT term, count(*) AS df FROM idx GROUP BY term)
+        |  SELECT i.doc_id,
+        |         sum(ln(1.0 + (stats.n - d.df + 0.5) / (d.df + 0.5))
+        |             * i.tf * (1.2 + 1) /
+        |             (i.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / stats.avgdl))) AS score,
+        |         count(*) AS terms_hit
+        |  FROM idx i JOIN dfreq d ON i.term = d.term
+        |  JOIN dl ON i.doc_id = dl.doc_id, stats
+        |  WHERE i.term IN ('spark', 'filter')
+        |  GROUP BY i.doc_id
+        |  HAVING count(*) = 2
+        |  ORDER BY round(score, 6) DESC, i.doc_id LIMIT 50)""".stripMargin,
+
     "q186_stratified_sample" ->
       """SELECT doc_id, lang
         |FROM documents

@@ -76,6 +76,35 @@ object VersionedTable {
     }
   }
 
+  // ---------- primary key ----------
+
+  private def pkSpecFile(path: String) = new Path(path, "_pkspec")
+
+  /** Declared PRIMARY KEY columns (reference `DocTableInfo.primaryKey`,
+    * `docs/general/ddl/constraints.rst`). Parquet enforces no uniqueness —
+    * like the reference this is routing/identity metadata: SHOW CREATE
+    * TABLE renders it back, and the indexed `_score` route joins scored
+    * doc ids to base rows through it. */
+  def setPrimaryKey(spark: SparkSession, path: String, cols: Seq[String]): Unit = {
+    val f = fs(spark)
+    f.mkdirs(new Path(path))
+    val out = f.create(pkSpecFile(path), true)
+    out.write(cols.mkString(",").getBytes("UTF-8"))
+    out.close()
+  }
+
+  def primaryKey(spark: SparkSession, path: String): Seq[String] = {
+    val f = fs(spark)
+    val p = pkSpecFile(path)
+    if (!f.exists(p)) Nil
+    else {
+      val in = f.open(p)
+      val bytes = new Array[Byte](in.available())
+      in.readFully(bytes); in.close()
+      new String(bytes, "UTF-8").trim.split(",").toSeq.filter(_.nonEmpty)
+    }
+  }
+
   /** One declared fulltext index (reference `CREATE TABLE … INDEX name
     * USING FULLTEXT (cols) WITH (analyzer = '…')`, FulltextIndexer.java):
     * durable table metadata, like the bucket spec — SHOW CREATE TABLE

@@ -145,3 +145,112 @@ class JsUdfSpec extends SparkTestBase {
     assert(rows == 1)
   }
 }
+
+/** Round-4 breadth: guard-style control flow, the `**` operator,
+  * Date.now(), and the string-method tail. */
+class JsUdfBreadthSpec extends SparkTestBase {
+  import graft.functions.JsUdf
+
+  private lazy val router = {
+    val root = java.nio.file.Files.createTempDirectory("graft_jsudf2").toFile.getAbsolutePath
+    new StatementRouter(spark, root)
+  }
+
+  private def one(sql: String): String = {
+    val r = Engine.sql(spark, sql).collect()(0).get(0)
+    if (r == null) "null" else r.toString
+  }
+
+  test("guard clauses: if/return chains fold into CASE") {
+    router.execute(
+      """CREATE OR REPLACE FUNCTION qty_band(q double precision)
+        |RETURNS text LANGUAGE JAVASCRIPT
+        |AS 'function qty_band(q) {
+        |  if (q >= 40) return "high";
+        |  if (q >= 20) { return "mid"; }
+        |  return "low";
+        |}'""".stripMargin)
+    assert(one("SELECT qty_band(45.0)") == "high")
+    assert(one("SELECT qty_band(25.0)") == "mid")
+    assert(one("SELECT qty_band(5.0)") == "low")
+
+    // if/else if/else with vars before and between
+    router.execute(
+      """CREATE OR REPLACE FUNCTION clamp01(x double precision)
+        |RETURNS double precision LANGUAGE JAVASCRIPT
+        |AS 'function clamp01(x) {
+        |  var lo = 0.0; var hi = 1.0;
+        |  if (x < lo) return lo;
+        |  else if (x > hi) return hi;
+        |  else return x;
+        |}'""".stripMargin)
+    assert(one("SELECT clamp01(-3.0)") == "0.0")
+    assert(one("SELECT clamp01(0.25)") == "0.25")
+    assert(one("SELECT clamp01(9.0)") == "1.0")
+
+    // a body that can fall off the end (no return) is rejected loudly
+    val e = intercept[Exception](router.execute(
+      """CREATE OR REPLACE FUNCTION no_ret(x bigint)
+        |RETURNS bigint LANGUAGE JAVASCRIPT
+        |AS 'function no_ret(x) { if (x > 0) return x; }'""".stripMargin))
+    assert(e.getMessage.toLowerCase.contains("statement") ||
+      e.getMessage.toLowerCase.contains("branch"))
+  }
+
+  test("** operator: precedence and right associativity") {
+    // 2**3**1 is right-associative (2**(3**1) = 8); ** binds over * and +
+    val t = JsUdf.translate("function f(x, y) { return x ** 2 + 2 ** 3 ** 1 * y; }")
+    assert(one("SELECT " + t.sql.replace("x", "3.0").replace("y", "1.0")) == "17.0")
+  }
+
+  test("string method tail: pads, repeat, replaceAll, split, charCodeAt") {
+    router.execute(
+      """CREATE OR REPLACE FUNCTION fmt_code(s text)
+        |RETURNS text LANGUAGE JAVASCRIPT
+        |AS 'function fmt_code(s) {
+        |  return s.trimStart().padStart(6, "0").repeat(2);
+        |}'""".stripMargin)
+    // JS: "  ab".trimStart()="ab" → padStart(6,'0')="0000ab" → x2
+    assert(one("SELECT fmt_code('  ab')") == "0000ab0000ab")
+    // padStart never truncates (JS semantics, unlike bare lpad)
+    router.execute(
+      """CREATE OR REPLACE FUNCTION pad3(s text)
+        |RETURNS text LANGUAGE JAVASCRIPT
+        |AS 'function pad3(s) { return s.padStart(3); }'""".stripMargin)
+    assert(one("SELECT pad3('hello')") == "hello")
+    assert(one("SELECT pad3('x')") == "  x")
+
+    router.execute(
+      """CREATE OR REPLACE FUNCTION de_dash(s text)
+        |RETURNS text LANGUAGE JAVASCRIPT
+        |AS 'function de_dash(s) { return s.replaceAll("-", "_"); }'""".stripMargin)
+    assert(one("SELECT de_dash('a-b-c')") == "a_b_c")
+
+    // split on a literal separator: regex metachars are quoted
+    router.execute(
+      """CREATE OR REPLACE FUNCTION first_seg(s text)
+        |RETURNS text LANGUAGE JAVASCRIPT
+        |AS 'function first_seg(s) { return s.split(".")[0]; }'""".stripMargin)
+    assert(one("SELECT first_seg('a.b.c')") == "a")
+
+    router.execute(
+      """CREATE OR REPLACE FUNCTION code_of(s text)
+        |RETURNS integer LANGUAGE JAVASCRIPT
+        |AS 'function code_of(s) { return s.charCodeAt(1); }'""".stripMargin)
+    assert(one("SELECT code_of('AB')") == "66")
+    assert(one("SELECT code_of('A')") == "null")
+
+    router.execute(
+      """CREATE OR REPLACE FUNCTION label_of(n bigint)
+        |RETURNS text LANGUAGE JAVASCRIPT
+        |AS 'function label_of(n) { return "id-".concat(n.toString()); }'""".stripMargin)
+    assert(one("SELECT label_of(7)") == "id-7")
+  }
+
+  test("Date.now() lands on epoch millis") {
+    val t = JsUdf.translate("function age_ms(t) { return Date.now() - t; }")
+    assert(t.sql.contains("unix_millis(now())"))
+    val v = one("SELECT unix_millis(now())").toLong
+    assert(v > 1700000000000L)
+  }
+}

@@ -1028,3 +1028,77 @@ class VersionedBucketingSpec extends SparkTestBase {
     assert(r.execute("SELECT count(*) AS n FROM bta").head().getLong(0) == 0)
   }
 }
+
+/** PRIMARY KEY metadata + the indexed `_score` route
+  * (StatementRouter.routeIndexedScore): MATCH relevance read from the
+  * declared fulltext index as corpus-IDF BM25, spliced into the statement
+  * as a score join. */
+class IndexedScoreSpec extends SparkTestBase {
+
+  test("PRIMARY KEY: parsed from both clause shapes, rendered back") {
+    val root = Files.createTempDirectory("graftpk").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute("CREATE TABLE pkcol (id BIGINT PRIMARY KEY, v TEXT)")
+    assert(VersionedTable.primaryKey(spark, s"$root/pkcol") == Seq("id"))
+    r.execute("""CREATE TABLE pktab (a BIGINT, b TEXT, c DOUBLE,
+                 PRIMARY KEY (a, b))""")
+    assert(VersionedTable.primaryKey(spark, s"$root/pktab") == Seq("a", "b"))
+    val show = r.execute("SHOW CREATE TABLE pktab").head().getString(0)
+    assert(show.contains("PRIMARY KEY (a, b)"), show)
+    // PK columns don't leak into the data schema
+    assert(r.execute("SELECT * FROM pktab").schema.fieldNames.toSeq
+      == Seq("a", "b", "c"))
+  }
+
+  test("_score through a declared index: BM25 values, AND semantics, plan") {
+    val root = Files.createTempDirectory("graftiscore").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute("""CREATE TABLE scored (
+        id BIGINT PRIMARY KEY, txt TEXT,
+        INDEX txt_ft USING FULLTEXT (txt) WITH (analyzer = 'standard'))""")
+    r.execute("""INSERT INTO scored (id, txt) VALUES
+        (1, 'spark filter join'), (2, 'spark spark filter'),
+        (3, 'filter only here'), (4, 'spark alone')""")
+
+    val routed = r.execute("""
+        SELECT id, _score FROM scored
+        WHERE MATCH(txt, 'spark filter')
+        ORDER BY _score DESC, id""")
+    // AND semantics: only docs containing BOTH terms
+    val rows = routed.collect().map(x => (x.getLong(0), x.getDouble(1)))
+    assert(rows.map(_._1).toSet == Set(1L, 2L))
+
+    // values equal the index-computed BM25, not the TF-only fallback
+    val idx = graft.operators.MatchText.buildIndex(
+      r.execute("SELECT id, txt FROM scored"), "id", "txt")
+    val want = graft.operators.MatchText.scoreBM25(idx, "spark filter")
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toMap
+    rows.foreach { case (id, s) => assert(math.abs(s - want(id)) < 1e-12) }
+
+    // the routed plan is a score JOIN; the per-row UDF never runs
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(!plan.contains("graft_match_score"), plan)
+    assert(plan.toLowerCase.contains("join"), plan)
+
+    // alias + SELECT * shapes route too
+    val aliased = r.execute("""
+        SELECT s.id, round(_score, 6) AS sc FROM scored s
+        WHERE MATCH(s.txt, 'spark filter') ORDER BY sc DESC, s.id""")
+    assert(aliased.collect().map(_.getLong(0)).toSeq == rows.sortBy(-_._2).map(_._1).toSeq)
+
+    // no declared index (or composite PK) -> unchanged TF fallback
+    r.execute("CREATE TABLE plain (id BIGINT PRIMARY KEY, txt TEXT)")
+    r.execute("INSERT INTO plain (id, txt) VALUES (1, 'spark filter')")
+    val fb = r.execute(
+      "SELECT id, _score FROM plain WHERE MATCH(txt, 'spark filter')")
+    assert(fb.queryExecution.executedPlan.toString.contains("graft_match_score") ||
+      fb.collect().map(_.getDouble(1)).forall(_ > 0))
+
+    // DML bumps the version -> a fresh index scores the new corpus
+    r.execute("INSERT INTO scored (id, txt) VALUES (5, 'spark filter spark filter')")
+    val after = r.execute("""
+        SELECT id, _score FROM scored
+        WHERE MATCH(txt, 'spark filter') ORDER BY _score DESC, id""")
+    assert(after.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 5L))
+  }
+}
