@@ -506,7 +506,10 @@ class StatementRouter(spark: SparkSession, root: String) {
       .filter(_.nonEmpty).mkString(",\n")
     val clustered = VersionedTable.bucketSpec(spark, tablePath(name))
       .map(b => s"\nCLUSTERED BY (${b.cols.mkString(", ")}) INTO ${b.numBuckets} SHARDS")
-      .getOrElse("")
+      .getOrElse("") +
+      VersionedTable.partitionSpec(spark, tablePath(name))
+        .map(p => s"\nPARTITIONED BY (${p.cols.mkString(", ")})")
+        .getOrElse("")
     // ALTER TABLE … SET settings render back as the WITH clause
     // (reference MetadataToASTVisitor emits the non-default settings)
     val settings = VersionedTable.tableSettings(spark, tablePath(name))
@@ -873,6 +876,21 @@ class StatementRouter(spark: SparkSession, root: String) {
           VersionedTable.BucketSpec(m.group(2).toInt,
             m.group(1).split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq))
       }
+    // PARTITIONED BY (cols) → durable partition spec: every version is
+    // written value-partitioned, WHERE on the partition columns prunes
+    // directories (reference DocTableInfo.partitionedBy — one index per
+    // partition; PartitionPruningSpec asserts the pruning)
+    locally {
+      val sig = Dialect.lex(stmt).filter(_.sig)
+      val pb = sig.indexWhere(_.is("partitioned"))
+      if (pb >= 0 && sig.lift(pb + 1).exists(_.is("by")) &&
+          sig.lift(pb + 2).exists(_.isSym("("))) {
+        val c = matchFwd(sig, pb + 2)
+        val cols = splitTopCommas(sig.slice(pb + 3, c)).map(p => unq(p.head))
+        VersionedTable.setPartitionSpec(spark, tablePath(name),
+          VersionedTable.PartitionSpec(cols, ""))
+      }
+    }
     // PRIMARY KEY (table-level clause or per-column modifier) → durable
     // identity metadata (reference DocTableInfo.primaryKey); SHOW CREATE
     // TABLE renders it back and the indexed _score route joins through it

@@ -482,10 +482,49 @@ object QueriesRound4 {
         FROM customer
         ORDER BY c_custkey
         LIMIT 500""")
+    }),
+
+    // PARTITIONED BY on the versioned substrate (partitioned-tables.rst;
+    // DocTableInfo.partitionedBy): every committed version is written
+    // value-partitioned, a WHERE on the partition column prunes
+    // directories (PartitionedTableSpec asserts the plan), and results
+    // are indistinguishable from the unpartitioned table — which is
+    // exactly what the oracle replays on the raw fixture.
+    "q189_partitioned" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_q189")
+        .toFile.getAbsolutePath
+      val r = new graft.StatementRouter(s, root)
+      r.execute("""CREATE TABLE part_orders (
+          o_orderkey BIGINT PRIMARY KEY,
+          o_orderstatus TEXT,
+          o_orderpriority TEXT,
+          o_totalprice DOUBLE PRECISION)
+          PARTITIONED BY (o_orderstatus)""")
+      r.execute("INSERT INTO part_orders " +
+        "SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice FROM orders")
+      r.execute("""
+        SELECT o_orderpriority,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM part_orders
+        WHERE o_orderstatus = 'O'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q189_partitioned" ->
+      """SELECT o_orderpriority,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "q188_js_guards" ->
       """SELECT c_custkey,
         |  CASE

@@ -76,6 +76,44 @@ object VersionedTable {
     }
   }
 
+  // ---------- partitioning (PARTITIONED BY) ----------
+
+  /** `PARTITIONED BY (cols)` carried onto the versioned substrate
+    * (reference `DocTableInfo.partitionedBy` — one Lucene index per
+    * partition value; the Spark twin is value-partitioned Parquet, which
+    * Catalyst prunes from WHERE clauses for free). The spec stores the
+    * FULL column schema alongside the partition columns: partitioned
+    * parquet moves partition columns to the end of the inferred schema
+    * and loses them entirely on an empty table, so reads supply the
+    * stored schema explicitly — order, types and empty-table behaviour
+    * all stay identical to an unpartitioned table. The schema line is
+    * refreshed on every commit, so ALTER TABLE schema changes propagate
+    * (older versions read missing columns as NULL, the lakehouse norm). */
+  final case class PartitionSpec(cols: Seq[String], schemaDdl: String)
+
+  private def partitionSpecFile(path: String) = new Path(path, "_partitionspec")
+
+  def setPartitionSpec(spark: SparkSession, path: String, spec: PartitionSpec): Unit = {
+    val f = fs(spark)
+    f.mkdirs(new Path(path))
+    val out = f.create(partitionSpecFile(path), true)
+    out.write(s"${spec.cols.mkString(",")}\t${spec.schemaDdl}".getBytes("UTF-8"))
+    out.close()
+  }
+
+  def partitionSpec(spark: SparkSession, path: String): Option[PartitionSpec] = {
+    val f = fs(spark)
+    val p = partitionSpecFile(path)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val bytes = new Array[Byte](in.available())
+      in.readFully(bytes); in.close()
+      val Array(cols, ddl) = new String(bytes, "UTF-8").split("\t", 2)
+      Some(PartitionSpec(cols.split(",").toSeq.filter(_.nonEmpty), ddl))
+    }
+  }
+
   // ---------- primary key ----------
 
   private def pkSpecFile(path: String) = new Path(path, "_pkspec")
@@ -261,16 +299,27 @@ object VersionedTable {
     val f = fs(spark)
     val next = latestVersion(spark, path).getOrElse(0) + 1
     val dataDir = new Path(path, f"data/v$next%05d")
+    val pSpec = partitionSpec(spark, path)
+    // keep the stored read-schema current: partitioned reads supply it
+    // explicitly, so schema evolution must land here too
+    pSpec.foreach(ps => setPartitionSpec(spark, path,
+      PartitionSpec(ps.cols, df.schema.toDDL)))
     bucketSpec(spark, path) match {
       case Some(spec) =>
         // bucketed write: bucket metadata must live in the catalog, so the
         // version is written through an external table at the data dir
-        df.write.mode("error").option("path", dataDir.toString)
-          .bucketBy(spec.numBuckets, spec.cols.head, spec.cols.tail: _*)
+        val w0 = df.write.mode("error").option("path", dataDir.toString)
+        val w1 = pSpec.map(ps => w0.partitionBy(ps.cols: _*)).getOrElse(w0)
+        w1.bucketBy(spec.numBuckets, spec.cols.head, spec.cols.tail: _*)
           .sortBy(spec.cols.head, spec.cols.tail: _*)
           .format("parquet").saveAsTable(catalogName(path, next))
       case None =>
-        df.write.mode("error").parquet(dataDir.toString)
+        pSpec match {
+          case Some(ps) =>
+            df.write.mode("error").partitionBy(ps.cols: _*).parquet(dataDir.toString)
+          case None =>
+            df.write.mode("error").parquet(dataDir.toString)
+        }
     }
     require(f.exists(new Path(dataDir, "_SUCCESS")),
       s"versioned commit aborted: data write $dataDir did not complete")
@@ -317,7 +366,19 @@ object VersionedTable {
     bucketSpec(spark, path) match {
       case Some(spec) =>
         spark.table(ensureCatalogEntry(spark, path, version, dataDir, spec))
-      case None => spark.read.parquet(dataDir)
+      case None =>
+        partitionSpec(spark, path) match {
+          case Some(ps) =>
+            // the stored schema pins column types and keeps empty tables
+            // full-width; the final select pins the declared column ORDER
+            // (Spark always reports partition columns last). A plain
+            // attribute select does not block partition pruning.
+            val schema = org.apache.spark.sql.types.StructType.fromDDL(ps.schemaDdl)
+            spark.read.schema(schema).parquet(dataDir)
+              .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
+                .toSeq: _*)
+          case None => spark.read.parquet(dataDir)
+        }
     }
   }
 

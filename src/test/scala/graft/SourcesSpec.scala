@@ -1102,3 +1102,57 @@ class IndexedScoreSpec extends SparkTestBase {
     assert(after.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 5L))
   }
 }
+
+/** PARTITIONED BY on the versioned substrate: value-partitioned writes,
+  * schema-stable reads, directory pruning (reference
+  * `DocTableInfo.partitionedBy` — one index per partition value). */
+class PartitionedTableSpec extends SparkTestBase {
+
+  test("partitioned versioned table: writes, reads, pruning, DML, SHOW") {
+    val root = Files.createTempDirectory("graftpart").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute("""CREATE TABLE pevents (
+        id BIGINT PRIMARY KEY, day TEXT, kind TEXT, v DOUBLE PRECISION)
+        PARTITIONED BY (day)""")
+
+    // empty table keeps the declared schema and column order
+    val empty = r.execute("SELECT * FROM pevents")
+    assert(empty.schema.fieldNames.toSeq == Seq("id", "day", "kind", "v"))
+    assert(empty.count() == 0)
+
+    r.execute("""INSERT INTO pevents (id, day, kind, v) VALUES
+        (1, '2024-01-01', 'click', 1.5), (2, '2024-01-01', 'view', 2.0),
+        (3, '2024-01-02', 'click', 0.5), (4, '2024-01-03', 'view', 4.0)""")
+
+    // column order/types unchanged by the partitioned layout
+    val all = r.execute("SELECT * FROM pevents ORDER BY id")
+    assert(all.schema.fieldNames.toSeq == Seq("id", "day", "kind", "v"))
+    assert(all.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+
+    // the data dirs are value-partitioned and a day filter PRUNES: only
+    // the matching partition's files are read
+    val one = r.execute("SELECT id, v FROM pevents WHERE day = '2024-01-02'")
+    assert(one.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    val scan = one.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in plan"))
+    assert(scan.metadata("PartitionFilters").contains("day"),
+      scan.metadata("PartitionFilters"))
+    // the scan's executed metrics confirm only one partition's files read
+    val filesRead = scan.metrics("numFiles").value
+    val totalFiles = r.execute("SELECT * FROM pevents").inputFiles.length
+    assert(filesRead > 0 && filesRead < totalFiles,
+      s"pruning expected: read $filesRead of $totalFiles files")
+
+    // copy-on-write DML keeps the partitioned layout
+    r.execute("UPDATE pevents SET v = v * 10 WHERE id = 3")
+    r.execute("DELETE FROM pevents WHERE id = 4")
+    val after = r.execute("SELECT id, day, v FROM pevents ORDER BY id")
+    assert(after.collect().map(x => (x.getLong(0), x.getDouble(2))).toSeq
+      == Seq((1L, 1.5), (2L, 2.0), (3L, 5.0)))
+
+    // SHOW CREATE TABLE renders the clause back
+    val show = r.execute("SHOW CREATE TABLE pevents").head().getString(0)
+    assert(show.contains("PARTITIONED BY (day)"), show)
+  }
+}
