@@ -97,8 +97,14 @@ class StatementRouter(spark: SparkSession, root: String) {
     val rp = new Path(root)
     if (fs.exists(rp)) fs.listStatus(rp).foreach { st =>
       val name = st.getPath.getName
-      if (st.isDirectory && fs.exists(new Path(st.getPath, "_manifests")))
+      if (st.isDirectory && fs.exists(new Path(st.getPath, "_manifests"))) {
         readTable(name).createOrReplaceTempView(name)
+        // declared PRIMARY KEYs surface through information_schema
+        // (table_constraints / key_column_usage) and pg_catalog
+        // (pg_index / pg_constraint), like the reference's DocTableInfo
+        val pk = VersionedTable.primaryKey(spark, tablePath(name))
+        if (pk.nonEmpty) sources.InformationSchema.registerPrimaryKey(name, pk)
+      }
     }
     // SQL views on top of the table snapshots (reference CreateViewPlan /
     // ViewsMetadata: a view is stored query text, re-analyzed per use so it
@@ -895,8 +901,10 @@ class StatementRouter(spark: SparkSession, root: String) {
     // identity metadata (reference DocTableInfo.primaryKey); SHOW CREATE
     // TABLE renders it back and the indexed _score route joins through it
     val pkCols = parsePrimaryKey(Dialect.lex(stmt).filter(_.sig))
-    if (pkCols.nonEmpty)
+    if (pkCols.nonEmpty) {
       VersionedTable.setPrimaryKey(spark, tablePath(name), pkCols)
+      sources.InformationSchema.registerPrimaryKey(name, pkCols)
+    }
     // fulltext INDEX defs (table-level and column-level) → durable index
     // spec; the analyzer must exist NOW, like the reference's CREATE-time
     // validation
@@ -1436,6 +1444,7 @@ class StatementRouter(spark: SparkSession, root: String) {
       VersionedTable.dropCatalogEntries(spark, tablePath(name))
       fs.delete(p, true)
     }
+    sources.InformationSchema.dropPrimaryKey(name)
     spark.catalog.dropTempView(name)
     summary(0L)
   }

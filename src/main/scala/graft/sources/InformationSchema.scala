@@ -62,19 +62,34 @@ object InformationSchema {
       .toDF("routine_name", "routine_type", "specific_name", "is_temporary")
   }
 
-  /** Declared primary keys for the fixture tables — Spark enforces none
-    * (parquet has no PK), but the reference surfaces them in
-    * `table_constraints` / `key_column_usage`
-    * (`InformationTableConstraintsTableInfo.java`,
+  /** Declared primary keys — Spark enforces none (parquet has no PK), but
+    * the reference surfaces them in `table_constraints` /
+    * `key_column_usage` (`InformationTableConstraintsTableInfo.java`,
     * `InformationKeyColumnUsageTableInfo.java`), so the metadata surface
-    * does too. */
-  val primaryKeys: Map[String, Seq[String]] = Map(
+    * does too: the static fixture keys plus every PRIMARY KEY the
+    * StatementRouter declared (re-registered from the durable `_pkspec`
+    * on `registerViews`, so a fresh session sees them). */
+  private val fixturePrimaryKeys: Map[String, Seq[String]] = Map(
     "region" -> Seq("r_regionkey"), "nation" -> Seq("n_nationkey"),
     "customer" -> Seq("c_custkey"), "supplier" -> Seq("s_suppkey"),
     "part" -> Seq("p_partkey"), "orders" -> Seq("o_orderkey"),
     "lineitem" -> Seq("l_orderkey", "l_linenumber"),
     "events" -> Seq("event_id"), "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
+
+  private val declaredPrimaryKeys =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  def registerPrimaryKey(table: String, cols: Seq[String]): Unit =
+    declaredPrimaryKeys.put(table.toLowerCase, cols)
+
+  def dropPrimaryKey(table: String): Unit =
+    declaredPrimaryKeys.remove(table.toLowerCase)
+
+  def primaryKeys: Map[String, Seq[String]] = {
+    import scala.jdk.CollectionConverters._
+    fixturePrimaryKeys ++ declaredPrimaryKeys.asScala
+  }
 
   /** `information_schema.table_constraints` — one PRIMARY KEY row per
     * registered fixture table (reference naming: `<table>_pkey`). */

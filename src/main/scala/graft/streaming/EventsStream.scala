@@ -207,3 +207,42 @@ object DocsStream {
         col("n_rejected"),
         (col("n_rejected").cast("double") / col("n_docs")).as("reject_rate"))
 }
+
+/** Streaming deduplication (round-4): the incremental twin of
+  * `operators/Dedup.exact` and the URL-canonical crawl dedup of
+  * `operators/UrlNormalize` — the two dedup stages a streaming ingest
+  * pipeline runs BEFORE documents reach expensive processing.
+  *
+  * State is bounded by the watermark: `dropDuplicatesWithinWatermark`
+  * keeps one state row per distinct key seen inside the lateness horizon
+  * and expires it afterwards — the only sound contract for an unbounded
+  * stream (a global-history dedup is a batch job by definition; run
+  * `Dedup.exact` over the compacted table for that). Keys are the REAL
+  * columns, like the batch path partitions on hash + real columns: a
+  * 64-bit-hash-only state key would silently drop a colliding distinct
+  * document (batch Dedup.exact's scaladoc records the same reasoning).
+  */
+object DedupStream {
+  import org.apache.spark.sql.SparkSession
+
+  /** Keep the first-arriving row per distinct `cols` within the
+    * watermark horizon. Append-mode safe. */
+  def dedupExactStream(stream: DataFrame, tsCol: String, cols: Seq[String],
+                       within: String = "10 minutes"): DataFrame =
+    stream.withWatermark(tsCol, within)
+      .dropDuplicatesWithinWatermark(cols)
+
+  /** Crawl-frontier URL dedup: canonicalize (scheme/host case, www.,
+    * default ports, tracking params, fragment, param order — the CCNet/
+    * RefinedWeb key) then keep the first row per canonical URL. The
+    * canonical form is added as `canon_url` so downstream stages join on
+    * the collapsed key. */
+  def dedupUrlStream(stream: DataFrame, urlCol: String, tsCol: String,
+                     within: String = "10 minutes"): DataFrame = {
+    graft.operators.UrlNormalize.registerAll(stream.sparkSession)
+    stream
+      .withColumn("canon_url", call_udf("normalize_url", col(urlCol)))
+      .withWatermark(tsCol, within)
+      .dropDuplicatesWithinWatermark(Seq("canon_url"))
+  }
+}

@@ -1048,6 +1048,19 @@ class IndexedScoreSpec extends SparkTestBase {
     // PK columns don't leak into the data schema
     assert(r.execute("SELECT * FROM pktab").schema.fieldNames.toSeq
       == Seq("a", "b", "c"))
+
+    // declared PKs surface through information_schema + pg_catalog
+    r.registerViews()
+    val kcu = InformationSchema.keyColumnUsage(spark)
+      .filter("table_name = 'pktab'").collect()
+      .map(x => (x.getString(4), x.getInt(5))).sortBy(_._2)
+    assert(kcu.toSeq == Seq(("a", 1), ("b", 2)))
+    assert(InformationSchema.tableConstraints(spark)
+      .filter("table_name = 'pkcol'").count() == 1)
+    // dropped tables disappear from the constraint surface
+    r.execute("DROP TABLE pkcol")
+    assert(InformationSchema.tableConstraints(spark)
+      .filter("table_name = 'pkcol'").count() == 0)
   }
 
   test("_score through a declared index: BM25 values, AND semantics, plan") {

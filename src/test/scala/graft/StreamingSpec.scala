@@ -172,3 +172,61 @@ class StreamRepetitionSpec extends SparkTestBase {
     } finally q.stop()
   }
 }
+
+case class Doc(ts: Timestamp, doc_id: Long, text: String, url: String)
+
+/** Streaming dedup: watermark-bounded exact + URL-canonical dedup with
+  * batch parity on the kept-key sets. */
+class StreamDocDedupSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.streaming.DedupStream
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("exact dedup keeps one row per text within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = DedupStream.dedupExactStream(mem.toDF(), "ts", Seq("text"))
+      .writeStream.format("memory").queryName("dedup_exact").outputMode("append").start()
+    try {
+      // batch 1: duplicate inside the batch
+      mem.addData(
+        Doc(ts(1), 1, "alpha beta", "u1"), Doc(ts(2), 2, "alpha beta", "u2"),
+        Doc(ts(3), 3, "gamma", "u3"))
+      q.processAllAvailable()
+      // batch 2: duplicate ACROSS batches, still inside the horizon
+      mem.addData(Doc(ts(4), 4, "gamma", "u4"), Doc(ts(5), 5, "delta", "u5"))
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT text FROM dedup_exact").collect().map(_.getString(0))
+      assert(kept.sorted.toSeq == Seq("alpha beta", "delta", "gamma"))
+
+      // parity: the streaming kept-key set equals the batch Dedup.exact
+      // key set over the same rows
+      val batch = Seq(
+        (1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma"),
+        (4L, "gamma"), (5L, "delta")).toDF("doc_id", "text")
+      val batchKeys = graft.operators.Dedup.exact(batch, "doc_id", Seq("text"))
+        .select("text").collect().map(_.getString(0)).sorted.toSeq
+      assert(kept.sorted.toSeq == batchKeys)
+    } finally q.stop()
+  }
+
+  test("URL dedup collapses tracking-param/case/fragment variants") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = DedupStream.dedupUrlStream(mem.toDF(), "url", "ts")
+      .writeStream.format("memory").queryName("dedup_url").outputMode("append").start()
+    try {
+      mem.addData(
+        Doc(ts(1), 1, "a", "HTTPS://WWW.Example.ORG:443/p?utm_source=x&a=1"),
+        Doc(ts(2), 2, "b", "https://example.org/p?a=1#frag"),
+        Doc(ts(3), 3, "c", "https://example.org/q?a=1"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, canon_url FROM dedup_url ORDER BY doc_id").collect()
+      // the first two URLs canonicalize identically -> one survivor
+      assert(rows.length == 2)
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+      assert(rows(0).getString(1) == "https://example.org/p?a=1")
+    } finally q.stop()
+  }
+}
