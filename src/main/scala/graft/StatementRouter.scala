@@ -371,6 +371,17 @@ class StatementRouter(spark: SparkSession, root: String) {
     // the statement must actually carry the MATCH predicate we replace —
     // otherwise the join would FILTER rows a bare projection would keep
     if (!sig.indices.exists(i => isMatchCall(i).isDefined)) return None
+    // ... and carry ONLY that predicate: a multi-column MATCH lowers to an
+    // OR-chain over several columns, and joining on one column's matches
+    // would drop rows the other columns admit — any foreign match call
+    // means the shape is not ours, fall back
+    for (i <- sig.indices) {
+      val t = sig(i)
+      if (t.kind == Dialect.K.Word &&
+          (t.is("match_text") || t.is("match_text_analyzed")) &&
+          sig.lift(i + 1).exists(_.isSym("(")) && isMatchCall(i).isEmpty)
+        return None
+    }
 
     val out = new StringBuilder
     var i = 0

@@ -1113,6 +1113,18 @@ class IndexedScoreSpec extends SparkTestBase {
         SELECT id, _score FROM scored
         WHERE MATCH(txt, 'spark filter') ORDER BY _score DESC, id""")
     assert(after.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 5L))
+
+    // multi-column MATCH must NOT take the single-column index route: the
+    // OR-chain admits rows the indexed column alone would drop
+    r.execute("""CREATE TABLE scored2 (
+        id BIGINT PRIMARY KEY, txt TEXT, extra TEXT,
+        INDEX txt USING FULLTEXT (txt))""")
+    r.execute("""INSERT INTO scored2 (id, txt, extra) VALUES
+        (1, 'spark filter', 'nothing'), (2, 'unrelated', 'spark filter')""")
+    val multi = r.execute("""
+        SELECT id, _score FROM scored2
+        WHERE MATCH((txt, extra), 'spark filter') ORDER BY id""")
+    assert(multi.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 }
 
