@@ -456,6 +456,53 @@ object Similarity {
   private def udf_topNCentroids(n: Int) =
     org.apache.spark.sql.functions.udaf(new TopNCentroids(n),
       org.apache.spark.sql.Encoders.product[CentScore])
+
+  /** Filtered vector search: exact top-k among the corpus rows satisfying
+    * `pred` (search within a language, a source, a date range — the
+    * metadata-filtered retrieval every RAG/curation pipeline runs). The
+    * predicate applies BEFORE the similarity kernel, so it reaches the
+    * parquet scan as a pushed filter and excluded rows' vectors are never
+    * read — filtering after an unfiltered ANN search (post-filtering)
+    * under-fills k and scans more; this is the pre-filter plan. */
+  def filteredKnn(corpus: DataFrame, pred: Column, queries: DataFrame, k: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  qIdCol: String = "vec_id", qVecCol: String = "embedding"): DataFrame =
+    bruteForceKnn(corpus.filter(pred), queries, k, idCol, vecCol, qIdCol, qVecCol)
+
+  /** Hybrid lexical+vector retrieval fused by Reciprocal Rank Fusion
+    * (Cormack/Clarke/Büttcher, SIGIR 2009): rrf(d) = Σ_list 1/(k0 + rank_d)
+    * over the BM25 top-`poolN` and the cosine top-`poolN`. Rank fusion
+    * needs no score calibration between the two signals, which is why it
+    * is the standard hybrid default. `queryVecs` carries the single query
+    * vector as a one-row DataFrame (same shape [[bruteForceKnn]] takes).
+    *
+    * Scale: the two searches are the cost — BM25 is a broadcast-terms
+    * postings join, the vector side a broadcast-query scan; the fusion
+    * itself joins two ≤poolN-row lists. Documents found by only one list
+    * keep their one-sided contribution (full outer join), exactly the
+    * published formula. */
+  def hybridSearch(textIndex: MatchText.InvertedIndex, vectors: DataFrame,
+                   queryText: String, queryVecs: DataFrame,
+                   topN: Int = 10, poolN: Int = 50, k0: Int = 60,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   qIdCol: String = "vec_id", qVecCol: String = "embedding"): DataFrame = {
+    val lexRanked = MatchText.searchBM25(textIndex, queryText, topN = poolN)
+      .select(col("doc_id").cast("long").as("id"), col("score").as("bm25_score"))
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("bm25_score").desc, col("id"))))
+    val vecRanked = bruteForceKnn(vectors, queryVecs, k = poolN,
+        idCol, vecCol, qIdCol, qVecCol)
+      .select(col("cid").cast("long").as("id"), col("sim").as("cos_sim"),
+        col("rk").as("vec_rank"))
+    lexRanked.join(vecRanked, Seq("id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(k0) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0) + col("vec_rank")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(topN)
+      .select(col("id"), col("rrf"), col("bm25_score"), col("cos_sim"),
+        col("lex_rank"), col("vec_rank"))
+  }
 }
 
 /** One (centroid, similarity) candidate for the multi-probe assignment. */

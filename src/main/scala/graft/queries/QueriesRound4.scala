@@ -512,10 +512,101 @@ object QueriesRound4 {
         WHERE o_orderstatus = 'O'
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority""")
+    }),
+
+    // Filtered vector search (Similarity.filteredKnn): exact top-k among
+    // the rows passing a metadata predicate — pre-filter, so the predicate
+    // reaches the parquet scan and excluded vectors are never read. The
+    // oracle is the brute-force cosine over the same filtered subset.
+    "q190_filtered_knn" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.operators.Similarity.filteredKnn(
+          emb, col("label") === 1, emb.filter(col("vec_id") < 10), k = 5)
+        .select(col("qid"), col("rk"), col("cid"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // Hybrid BM25+vector retrieval fused by Reciprocal Rank Fusion
+    // (Similarity.hybridSearch). Corpus = documents⋈embeddings on id, text
+    // query 'spark filter', vector query = embedding of id 0. Both ranked
+    // lists and the fusion arithmetic are deterministic (ties by id), so
+    // DuckDB replays the whole thing: BM25 CTE + cosine CTE + RRF.
+    "q191_hybrid_rrf" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val joined = docs.join(emb, col("doc_id") === col("vec_id"))
+      val index = graft.operators.MatchText.IndexCache.cached(s"$dir#hybrid")(
+        graft.operators.MatchText.buildIndex(
+          joined.select(col("doc_id"), col("text")), "doc_id", "text"))
+      val qv = emb.filter(col("vec_id") === 0)
+      graft.operators.Similarity.hybridSearch(
+          index, joined.select(col("vec_id"), col("embedding")),
+          "spark filter", qv, topN = 20, poolN = 50)
+        .select(col("id"), round(col("rrf"), 6).as("rrf"),
+          col("lex_rank"), col("vec_rank"))
+        .orderBy(col("rrf").desc, col("id"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q191_hybrid_rrf" ->
+      """WITH joined AS (
+        |  SELECT d.doc_id AS id, d.text, e.embedding
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |idx AS (
+        |  SELECT term, id, count(*) AS tf FROM (
+        |    SELECT id,
+        |           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                              x -> len(x) > 0)) AS term
+        |    FROM joined)
+        |  GROUP BY term, id),
+        |dl AS (SELECT id, CAST(sum(tf) AS DOUBLE) AS dl FROM idx GROUP BY id),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+        |dfreq AS (SELECT term, count(*) AS df FROM idx GROUP BY term),
+        |lex AS (
+        |  SELECT id, bm25,
+        |         CAST(row_number() OVER (ORDER BY bm25 DESC, id) AS INT) AS lex_rank
+        |  FROM (
+        |    SELECT i.id,
+        |           sum(ln(1.0 + (stats.n - d.df + 0.5) / (d.df + 0.5))
+        |               * i.tf * (1.2 + 1) /
+        |               (i.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS bm25
+        |    FROM idx i JOIN dfreq d ON i.term = d.term
+        |    JOIN dl ON i.id = dl.id, stats
+        |    WHERE i.term IN ('spark', 'filter')
+        |    GROUP BY i.id
+        |    ORDER BY bm25 DESC, i.id LIMIT 50)),
+        |vec AS (
+        |  SELECT id, CAST(vec_rank AS INT) AS vec_rank FROM (
+        |    SELECT j.id,
+        |           row_number() OVER (ORDER BY
+        |             list_cosine_similarity(j.embedding::DOUBLE[],
+        |                                    q.embedding::DOUBLE[]) DESC,
+        |             j.id) AS vec_rank
+        |    FROM joined j, (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
+        |  WHERE vec_rank <= 50)
+        |SELECT id, round(rrf, 6) AS rrf, lex_rank, vec_rank FROM (
+        |  SELECT coalesce(lex.id, vec.id) AS id,
+        |         coalesce(1.0 / (60 + lex.lex_rank), 0.0)
+        |           + coalesce(1.0 / (60 + vec.vec_rank), 0.0) AS rrf,
+        |         lex.lex_rank, vec.vec_rank
+        |  FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
+        |  ORDER BY rrf DESC, id LIMIT 20)
+        |ORDER BY round(rrf, 6) DESC, id""".stripMargin,
+
+    "q190_filtered_knn" ->
+      """SELECT qid, rk, cid, round(sim, 6) AS sim FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |         list_cosine_similarity(c.embedding::DOUBLE[],
+        |                                q.embedding::DOUBLE[]) AS sim,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+        |                                           q.embedding::DOUBLE[]) DESC,
+        |                    c.vec_id) AS rk
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 10 AND c.label = 1)
+        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
     "q189_partitioned" ->
       """SELECT o_orderpriority,
         |       count(*) AS n,

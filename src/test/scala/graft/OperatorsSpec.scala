@@ -1066,3 +1066,49 @@ class UrlNormalizeSpec extends SparkTestBase {
     assert(out == Seq(1L, 3L, 4L))
   }
 }
+
+/** Filtered kNN (pre-filter pushdown) + hybrid RRF retrieval. */
+class HybridSearchSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.operators.{MatchText, Similarity}
+
+  test("filteredKnn: predicate prunes before the similarity kernel") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val res = Similarity.filteredKnn(
+      emb, col("label") === 1, emb.filter(col("vec_id") < 3), k = 3)
+    // every returned neighbour satisfies the predicate
+    val cids = res.select("cid").collect().map(_.getLong(0)).toSet
+    val allowed = emb.filter(col("label") === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(cids.subsetOf(allowed))
+    // the filter reaches the parquet scan as a pushed filter
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("label"), plan)
+  }
+
+  test("hybridSearch: RRF fuses ranks, keeps one-sided contributions") {
+    val docs = Seq(
+      (1L, "spark filter spark filter"),   // strong lexical
+      (2L, "spark filter"),                // lexical
+      (3L, "nothing relevant here"),       // vector-only candidate
+      (4L, "unrelated words entirely")
+    ).toDF("doc_id", "text")
+    val vecs = Seq(
+      (1L, Seq(0.0f, 1.0f)), (2L, Seq(0.5f, 0.5f)),
+      (3L, Seq(1.0f, 0.0f)), (4L, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val idx = MatchText.buildIndex(docs, "doc_id", "text")
+    val qv = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.hybridSearch(idx, vecs, "spark filter", qv,
+      topN = 4, poolN = 3).collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // doc 3 is lexical-absent but vector-rank-1: present with NULL bm25
+    assert(byId.contains(3L) && byId(3L).isNullAt(2))
+    // doc 1 appears in both lists -> two-sided rrf exceeds any one-sided
+    val rrf1 = byId(1L).getDouble(1)
+    assert(rrf1 > byId(3L).getDouble(1))
+    // the formula: doc1 lex_rank=1 (highest tf), vec side rank from cosine
+    val lexRank1 = byId(1L).getInt(4)
+    assert(lexRank1 == 1)
+  }
+}
