@@ -50,7 +50,7 @@ object SysCatalog {
   def shards(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
-    val rows = graft.Tables.names.flatMap { t =>
+    val fixtureRows = graft.Tables.names.flatMap { t =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) Seq.empty
@@ -64,7 +64,44 @@ object SysCatalog {
         }
       }
     }
-    rows.toDF("table_name", "id", "path", "size", "state", "primary")
+    // versioned router tables under the same root: PARTITIONED BY tables
+    // get one shard row per partition directory of the latest version —
+    // the reference's one-shard-set-per-partition shape
+    // (SysShardsTableInfo + DocTableInfo.partitionedBy); unpartitioned
+    // versioned tables list their data files like the fixtures do.
+    val routerRows = {
+      val rp = new org.apache.hadoop.fs.Path(dir)
+      val fs = rp.getFileSystem(conf)
+      if (!fs.exists(rp) || fs.getFileStatus(rp).isFile) Seq.empty
+      else fs.listStatus(rp).toSeq.filter(_.isDirectory).flatMap { td =>
+        val t = td.getPath.getName
+        val tPath = td.getPath.toString
+        if (!fs.exists(new org.apache.hadoop.fs.Path(td.getPath, "_manifests")))
+          Seq.empty
+        else VersionedTable.latestVersion(spark, tPath).toSeq.flatMap { v =>
+          val dd = new org.apache.hadoop.fs.Path(tPath, f"data/v$v%05d")
+          if (!fs.exists(dd)) Seq.empty
+          else {
+            val entries = fs.listStatus(dd).toSeq
+            val partDirs = entries.filter(e =>
+              e.isDirectory && e.getPath.getName.contains("="))
+            if (partDirs.nonEmpty)
+              partDirs.sortBy(_.getPath.getName).zipWithIndex.map { case (pd, i) =>
+                val size = fs.listStatus(pd.getPath).filter(_.isFile)
+                  .map(_.getLen).sum
+                (t, i, pd.getPath.toString, size, "STARTED", true)
+              }
+            else entries.filter(e => e.isFile &&
+                e.getPath.getName.endsWith(".parquet"))
+              .zipWithIndex.map { case (s, i) =>
+                (t, i, s.getPath.toString, s.getLen, "STARTED", true)
+              }
+          }
+        }
+      }
+    }
+    (fixtureRows ++ routerRows)
+      .toDF("table_name", "id", "path", "size", "state", "primary")
   }
 
   def jobs(spark: SparkSession): DataFrame = {

@@ -1179,5 +1179,23 @@ class PartitionedTableSpec extends SparkTestBase {
     // SHOW CREATE TABLE renders the clause back
     val show = r.execute("SHOW CREATE TABLE pevents").head().getString(0)
     assert(show.contains("PARTITIONED BY (day)"), show)
+
+    // schema evolution: ALTER ADD COLUMN commits a new version through
+    // the same partitioned write path; the stored read-schema follows
+    r.execute("ALTER TABLE pevents ADD COLUMN note TEXT")
+    val evolved = r.execute("SELECT * FROM pevents ORDER BY id")
+    assert(evolved.schema.fieldNames.toSeq == Seq("id", "day", "kind", "v", "note"))
+    assert(evolved.collect().forall(_.isNullAt(4)))
+    r.execute("UPDATE pevents SET note = 'x' WHERE id = 1")
+    val noted = r.execute(
+      "SELECT note FROM pevents WHERE day = '2024-01-01' AND id = 1")
+    assert(noted.head().getString(0) == "x")
+
+    // sys.shards lists one shard row per partition directory
+    val sh = SysCatalog.shards(spark, root)
+      .filter("table_name = 'pevents'").collect()
+    // the DELETE above removed the only 2024-01-03 row -> 2 partitions
+    assert(sh.length == 2, sh.mkString(", "))
+    assert(sh.forall(_.getString(2).contains("day=")))
   }
 }
