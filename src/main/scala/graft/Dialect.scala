@@ -702,6 +702,67 @@ object Dialect {
     * Lucene scores, the absolute values are engine-specific and only
     * meaningful as a ranking WITHIN one query; the formula is deterministic
     * and oracle-replayable, which Lucene's is not. */
+  /** Multi-field `_score` with per-field boosts (reference MultiMatch,
+    * `docs/general/dql/fulltext.rst` — `MATCH((title 2.0, body), 'q')
+    * USING best_fields|most_fields`). Runs BEFORE [[passMatch]], while the
+    * boosts are still visible in the raw MATCH argument list: `_score`
+    * lowers to SQL over the per-field TF-saturation score —
+    * best_fields (the reference's default) takes the best field
+    * (`greatest`), most_fields sums the weighted fields. Other methods
+    * (phrase & co.) and single-column MATCH fall through to [[passScore]].
+    */
+  private def passScoreMulti(ts: Vector[Tok]): Option[Vector[Tok]] = {
+    val si = ts.indexWhere(t => t.kind == K.Word && t.is("_score"))
+    if (si < 0) return None
+    var j = 0
+    while (j < ts.length) {
+      if (ts(j).kind == K.Word && ts(j).is("match")) {
+        val par = nextSig(ts, j)
+        if (par >= 0 && ts(par).isSym("(")) {
+          val close = matchFwd(ts, par)
+          if (close > 0) {
+            val args = ts.slice(par + 1, close).filter(_.sig)
+            if (args.headOption.exists(_.isSym("("))) {
+              val innerClose = matchFwd(args, 0)
+              val queryTok =
+                if (innerClose > 0) args.drop(innerClose + 1).find(_.kind == K.Str)
+                else None
+              val cols =
+                if (innerClose > 0) splitCommas(args.slice(1, innerClose))
+                else Seq.empty
+              if (cols.length >= 2 && queryTok.isDefined) {
+                var method = "best_fields"
+                val u = nextSig(ts, close)
+                if (u >= 0 && ts(u).is("using")) {
+                  val m = nextSig(ts, u)
+                  if (m >= 0 && ts(m).kind == K.Word) method = ts(m).text.toLowerCase
+                }
+                if (method == "best_fields" || method == "most_fields") {
+                  val q = queryTok.get.text
+                  val parts = cols.map { c =>
+                    val sigc = c.filter(_.sig)
+                    val (colToks, boost) = sigc.lastOption match {
+                      case Some(t) if t.kind == K.Num && sigc.length > 1 =>
+                        (sigc.dropRight(1), t.text)
+                      case _ => (sigc, "1.0")
+                    }
+                    s"($boost * graft_match_score(${render(colToks)}, $q))"
+                  }
+                  val expr =
+                    if (method == "best_fields") parts.mkString("greatest(", ", ", ")")
+                    else parts.mkString("(", " + ", ")")
+                  return Some(ts.slice(0, si) ++ lex(expr) ++ ts.slice(si + 1, ts.length))
+                }
+              }
+            }
+          }
+        }
+      }
+      j += 1
+    }
+    None
+  }
+
   private def passScore(ts: Vector[Tok]): Option[Vector[Tok]] = {
     var i = 0
     while (i < ts.length) {
@@ -925,7 +986,7 @@ object Dialect {
   }
 
   private val passes: Seq[Vector[Tok] => Option[Vector[Tok]]] =
-    Seq(passRenames, passMatch, passScore, passCasts, passAnyAll,
+    Seq(passRenames, passScoreMulti, passMatch, passScore, passCasts, passAnyAll,
       passObjectLiteral, passBrackets, passFetchOffset, passFilterClause,
       passSystemSchemas, passArrayOverlap, passRegexOps, passArraySubquery,
       passEmptyRow)

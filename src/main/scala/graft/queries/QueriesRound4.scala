@@ -563,10 +563,61 @@ object QueriesRound4 {
         .select(col("id"), round(col("rrf"), 6).as("rrf"),
           col("lex_rank"), col("vec_rank"))
         .orderBy(col("rrf").desc, col("id"))
+    }),
+
+    // Multi-field MATCH `_score` with per-field boosts (MultiMatch,
+    // fulltext.rst): Dialect.passScoreMulti lowers `_score` to the
+    // boosted per-field TF scores — most_fields sums, best_fields takes
+    // the max — while the predicate stays the OR-of-AND field match. The
+    // two fields are disjoint halves of the document, so the field split
+    // is real; DuckDB replays formula, boosts and predicate exactly.
+    "q192_multifield_score" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      graft.Engine.sql(s, """
+        SELECT doc_id, round(_score, 6) AS score
+        FROM (SELECT doc_id,
+                     substr(text, 1, 80) AS head_part,
+                     substr(text, 81) AS tail_part
+              FROM documents) t
+        WHERE MATCH((head_part 2.0, tail_part), 'spark filter') USING most_fields
+        ORDER BY score DESC, doc_id
+        LIMIT 100""")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q192_multifield_score" ->
+      """SELECT doc_id, round(2.0 * (hs + hf) + 1.0 * (ts2 + tf2), 6) AS score
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(htoks, x -> x = 'spark')) AS DOUBLE) AS nhs,
+        |    CAST(len(list_filter(htoks, x -> x = 'filter')) AS DOUBLE) AS nhf,
+        |    CAST(len(list_filter(ttoks, x -> x = 'spark')) AS DOUBLE) AS nts,
+        |    CAST(len(list_filter(ttoks, x -> x = 'filter')) AS DOUBLE) AS ntf,
+        |    CASE WHEN len(list_filter(htoks, x -> x = 'spark')) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(htoks, x -> x = 'spark')) AS DOUBLE)
+        |              / (len(list_filter(htoks, x -> x = 'spark')) + 1.2) END AS hs,
+        |    CASE WHEN len(list_filter(htoks, x -> x = 'filter')) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(htoks, x -> x = 'filter')) AS DOUBLE)
+        |              / (len(list_filter(htoks, x -> x = 'filter')) + 1.2) END AS hf,
+        |    CASE WHEN len(list_filter(ttoks, x -> x = 'spark')) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(ttoks, x -> x = 'spark')) AS DOUBLE)
+        |              / (len(list_filter(ttoks, x -> x = 'spark')) + 1.2) END AS ts2,
+        |    CASE WHEN len(list_filter(ttoks, x -> x = 'filter')) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(ttoks, x -> x = 'filter')) AS DOUBLE)
+        |              / (len(list_filter(ttoks, x -> x = 'filter')) + 1.2) END AS tf2
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split_regex(lower(substr(text, 1, 80)), '\s+'),
+        |                  x -> len(x) > 0) AS htoks,
+        |      list_filter(string_split_regex(lower(substr(text, 81)), '\s+'),
+        |                  x -> len(x) > 0) AS ttoks
+        |    FROM documents))
+        |WHERE (nhs > 0 AND nhf > 0) OR (nts > 0 AND ntf > 0)
+        |ORDER BY round(2.0 * (hs + hf) + 1.0 * (ts2 + tf2), 6) DESC, doc_id
+        |LIMIT 100""".stripMargin,
+
     "q191_hybrid_rrf" ->
       """WITH joined AS (
         |  SELECT d.doc_id AS id, d.text, e.embedding

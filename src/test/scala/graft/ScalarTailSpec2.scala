@@ -118,6 +118,25 @@ class ScalarTailSpec2 extends SparkTestBase {
     assert(hi > lo)
   }
 
+  test("_score over a multi-field MATCH honors boosts and the method") {
+    // per-field tf scores: title 'x x' → 2/3.2; body 'x' → 1/2.2
+    val tf2 = 2.0 / 3.2; val tf1 = 1.0 / 2.2
+    // best_fields (default): max of the boosted field scores
+    val best = one("SELECT round(_score, 6) FROM " +
+      "(SELECT 'x x' AS title, 'x' AS body) " +
+      "WHERE MATCH((title 2.0, body), 'x')").toDouble
+    assert(math.abs(best - 2.0 * tf2) < 1e-6, best.toString)
+    // most_fields: weighted sum
+    val most = one("SELECT round(_score, 6) FROM " +
+      "(SELECT 'x x' AS title, 'x' AS body) " +
+      "WHERE MATCH((title 2.0, body), 'x') USING most_fields").toDouble
+    assert(math.abs(most - (2.0 * tf2 + tf1)) < 1e-6, most.toString)
+    // unboosted fields default to 1.0
+    val plain = one("SELECT round(_score, 6) FROM " +
+      "(SELECT 'x' AS a, 'x x' AS b) WHERE MATCH((a, b), 'x')").toDouble
+    assert(math.abs(plain - tf2) < 1e-6, plain.toString)
+  }
+
   test("vector_similarity SQL surface (1 / (1 + l2^2))") {
     assert(one("SELECT vector_similarity(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>), CAST(array(1.0, 0.0) AS ARRAY<FLOAT>))") == "1.0")
     assert(math.abs(one("SELECT vector_similarity(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>), CAST(array(0.0, 1.0) AS ARRAY<FLOAT>))").toDouble
