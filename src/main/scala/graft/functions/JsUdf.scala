@@ -13,12 +13,16 @@ package graft.functions
   * Accepted subset:
   *   function name(a, b, …) {
   *     [var x = expr, y = expr; …]
+  *     [x = expr; | x += expr; | x -= … (SSA-style rebinding)]
+  *     [for (var i = <int>; i < <int>; i++ | i += <int>) { assignments }]
   *     [if (cond) return expr; | if (cond) { … return expr; } else { … } …]
   *     return expr;
   *   }
   * Guard-style control flow translates to CASE chains: every path through
   * the body must end in `return` (a fall-off-the-end `undefined` is
-  * rejected). expr is: numbers, 'strings'/"strings", true/false/null,
+  * rejected). Integer-literal-bounded for-loops UNROLL at translate time
+  * (cap 64 iterations) — the array-fold UDF shape becomes one inlined
+  * expression. expr is: numbers, 'strings'/"strings", true/false/null,
   * argument and var references, unary -/!, + - * / % **, comparisons
   * (== === != !== < <= > >=), && || , ?: ternaries, parentheses, array
   * literals [..], 0-based indexing a[i] (→ 1-based element_at), object
@@ -53,7 +57,9 @@ object JsUdf {
     var i = 0
     val n = src.length
     val ops3 = Set("===", "!==")
-    val ops2 = Set("==", "!=", "<=", ">=", "&&", "||", "**")
+    // no "--": `a - -b` is a real expression shape; `i--` stays unsupported
+    val ops2 = Set("==", "!=", "<=", ">=", "&&", "||", "**",
+      "+=", "-=", "*=", "/=", "++")
     while (i < n) {
       val c = src.charAt(i)
       if (c.isWhitespace) i += 1
@@ -477,6 +483,95 @@ object JsUdf {
       }
       E(s"(CASE WHEN ${c.sql} THEN ${t.sql} ELSE ${f.sql} END)", t.str || f.str)
     }
+    // `x = e;` / `x += e;` … — SSA-style: the name rebinds to a new
+    // inlined expression; reads of x after this see the updated value
+    def parseAssign(name: String): Unit = {
+      val old = bindings.getOrElse(name,
+        if (paramSet0.contains(name)) E(name, str = false)
+        else unsupported(s"assignment to unknown variable '$name'"))
+      val rhs = next() match {
+        case Op("=")  => expr()
+        case Op("+=") =>
+          val r = expr()
+          if (old.str || r.str) E(s"concat(${old.sql}, ${r.sql})", str = true)
+          else E(s"(${old.sql} + ${r.sql})", str = false)
+        case Op("-=") => val r = expr(); E(s"(${old.sql} - ${r.sql})", str = false)
+        case Op("*=") => val r = expr(); E(s"(${old.sql} * ${r.sql})", str = false)
+        case Op("/=") => val r = expr(); E(s"(${old.sql} / ${r.sql})", str = false)
+        case other    => unsupported(s"in assignment to $name: $other")
+      }
+      bindings += name -> E(s"(${rhs.sql})", rhs.str)
+      if (peek.contains(Op(";"))) { next(); () }
+    }
+
+    /** `for (var i = <int>; i < <int>; i++ | i += <int>) { …assignments… }`
+      * — all bounds are translate-time integer literals, so the loop
+      * UNROLLS into the bindings (capped at 64 iterations); the body may
+      * only declare/assign, not return. The common array-fold UDF shape
+      * becomes one inlined expression. */
+    def parseFor(): Unit = {
+      expectOp("(")
+      next() match {
+        case Id("var") | Id("let") =>
+        case other => unsupported(s"for-loop init must declare its variable: $other")
+      }
+      val ivar = expectId()
+      expectOp("=")
+      val init = expr()
+      def asInt(e: E, what: String): Int =
+        if (e.sql.matches("-?\\d+")) e.sql.toInt
+        else unsupported(s"for-loop $what must be an integer literal")
+      var iv = asInt(init, "init")
+      expectOp(";")
+      val cvar = expectId()
+      val cmpOp = next() match {
+        case Op(o @ ("<" | "<=")) => o
+        case other => unsupported(s"for-loop condition must be < or <=: $other")
+      }
+      val limit = asInt(expr(), "bound")
+      expectOp(";")
+      val uvar = expectId()
+      val step = next() match {
+        case Op("++") => 1
+        case Op("+=") => asInt(expr(), "step")
+        case other    => unsupported(s"for-loop update must be ++ or +=: $other")
+      }
+      require(step > 0, "for-loop step must be positive")
+      require(ivar == cvar && cvar == uvar,
+        "for-loop must test and update its own variable")
+      expectOp(")")
+      expectOp("{")
+      val bodyStart = p
+      var depth = 1; var k = p
+      while (k < ts.length && depth > 0) {
+        ts(k) match {
+          case Op("{") => depth += 1
+          case Op("}") => depth -= 1
+          case _       =>
+        }
+        k += 1
+      }
+      require(depth == 0, "unbalanced for-loop body")
+      val bodyEnd = k - 1 // index of the closing '}'
+      var iters = 0
+      while (if (cmpOp == "<") iv < limit else iv <= limit) {
+        iters += 1
+        if (iters > 64) unsupported("for-loop unrolling past 64 iterations")
+        bindings += ivar -> E(iv.toString, str = false)
+        p = bodyStart
+        while (p < bodyEnd) next() match {
+          case Id("var") | Id("let") | Id("const") => parseVar()
+          case Id(name) if bindings.contains(name) || paramSet0.contains(name) =>
+            parseAssign(name)
+          case other => unsupported(s"in for-loop body (assignments only): $other")
+        }
+        iv += step
+      }
+      // JS `var` leaks the final loop value into the enclosing scope
+      bindings += ivar -> E(iv.toString, str = false)
+      p = bodyEnd + 1
+    }
+
     def parseStmts(): E = {
       var result: Option[E] = None
       while (result.isEmpty) next() match {
@@ -486,6 +581,9 @@ object JsUdf {
           if (peek.contains(Op(";"))) { next(); () }
           result = Some(e)
         case Id("if") => result = Some(parseIf())
+        case Id("for") => parseFor()
+        case Id(name) if bindings.contains(name) || paramSet0.contains(name) =>
+          parseAssign(name)
         case other => unsupported(s"statement $other")
       }
       result.get

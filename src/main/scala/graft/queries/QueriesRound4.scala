@@ -583,10 +583,43 @@ object QueriesRound4 {
         WHERE MATCH((head_part 2.0, tail_part), 'spark filter') USING most_fields
         ORDER BY score DESC, doc_id
         LIMIT 100""")
+    }),
+
+    // JsUdf loop unrolling: an integer-bounded for over array elements
+    // UNROLLS at translate time into one codegen'd expression — the
+    // array-fold UDF shape (docs' examples use exactly this). SSA
+    // reassignment (s += ...) rebinds inline. Oracle replays the
+    // unrolled arithmetic on DuckDB's 1-based lists.
+    "q193_js_fold" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_q193")
+        .toFile.getAbsolutePath
+      val r = new graft.StatementRouter(s, root)
+      r.execute(
+        """CREATE OR REPLACE FUNCTION head_energy(v array(double precision))
+          |RETURNS double precision LANGUAGE JAVASCRIPT
+          |AS 'function head_energy(v) {
+          |  var s = 0.0;
+          |  for (var i = 0; i < 4; i++) { s += v[i] * v[i]; }
+          |  return s;
+          |}'""".stripMargin)
+      r.execute("""
+        SELECT vec_id, round(head_energy(embedding), 6) AS e4
+        FROM embeddings
+        ORDER BY vec_id
+        LIMIT 300""")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q193_js_fold" ->
+      """SELECT vec_id,
+        |       round(v[1] * v[1] + v[2] * v[2] + v[3] * v[3] + v[4] * v[4], 6) AS e4
+        |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |ORDER BY vec_id
+        |LIMIT 300""".stripMargin,
+
     "q192_multifield_score" ->
       """SELECT doc_id, round(2.0 * (hs + hf) + 1.0 * (ts2 + tf2), 6) AS score
         |FROM (

@@ -254,3 +254,58 @@ class JsUdfBreadthSpec extends SparkTestBase {
     assert(v > 1700000000000L)
   }
 }
+
+/** Reassignment + bounded for-loop unrolling. */
+class JsUdfLoopSpec extends SparkTestBase {
+  import graft.functions.JsUdf
+
+  private lazy val router = {
+    val root = java.nio.file.Files.createTempDirectory("graft_jsudf3").toFile.getAbsolutePath
+    new StatementRouter(spark, root)
+  }
+
+  private def one(sql: String): String = {
+    val r = Engine.sql(spark, sql).collect()(0).get(0)
+    if (r == null) "null" else r.toString
+  }
+
+  test("reassignment rebinds SSA-style") {
+    router.execute(
+      """CREATE OR REPLACE FUNCTION acc2(a double precision, b double precision)
+        |RETURNS double precision LANGUAGE JAVASCRIPT
+        |AS 'function acc2(a, b) {
+        |  var s = a;
+        |  s += b;
+        |  s *= 2;
+        |  return s;
+        |}'""".stripMargin)
+    assert(one("SELECT acc2(3.0, 4.0)") == "14.0")
+    // param reassignment shadows the parameter
+    router.execute(
+      """CREATE OR REPLACE FUNCTION clampz(x double precision)
+        |RETURNS double precision LANGUAGE JAVASCRIPT
+        |AS 'function clampz(x) { x = x < 0.0 ? 0.0 : x; return x; }'""".stripMargin)
+    assert(one("SELECT clampz(-5.0)") == "0.0")
+    assert(one("SELECT clampz(2.5)") == "2.5")
+  }
+
+  test("integer-bounded for loops unroll (array fold shape)") {
+    router.execute(
+      """CREATE OR REPLACE FUNCTION sum4(a array(double precision))
+        |RETURNS double precision LANGUAGE JAVASCRIPT
+        |AS 'function sum4(a) {
+        |  var s = 0.0;
+        |  for (var i = 0; i < 4; i++) { s += a[i]; }
+        |  return s;
+        |}'""".stripMargin)
+    assert(one("SELECT sum4(array(1.0, 2.0, 3.0, 4.0))") == "10.0")
+    // the loop variable leaks its final value, like JS var
+    val t = JsUdf.translate(
+      "function f() { for (var i = 0; i < 3; i += 2) { } return i; }")
+    assert(one("SELECT " + t.sql) == "4")
+    // unroll cap is enforced loudly
+    val e = intercept[Exception](JsUdf.translate(
+      "function g(x) { var s = 0; for (var i = 0; i < 1000; i++) { s += x; } return s; }"))
+    assert(e.getMessage.contains("64"))
+  }
+}
