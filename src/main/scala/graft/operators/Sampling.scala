@@ -88,4 +88,50 @@ object Sampling {
       .write.partitionBy("shard")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite").parquet(path)
+
+  /** Greedy next-fit SEQUENCE PACKING — the training-batch prep step that
+    * concatenates chunks into fixed-budget sequences (≤ `maxTokens`) so a
+    * data loader wastes no context on padding. Deterministic contract: a
+    * chunk that would overflow the open sequence CLOSES it and opens the
+    * next (next-fit, not best-fit — best-fit's packing depends on the
+    * whole group and reorders chunks; next-fit preserves chunk order,
+    * which training pipelines want for document contiguity, and replays
+    * exactly in SQL as a linear recurrence).
+    *
+    * Packing runs independently per `groupCol` (a shard): state is one
+    * (seq, offset) pair per group, groups parallelize, and the only wide
+    * operation is the one groupBy shuffle of narrow (id, tokens) rows —
+    * chunk text does NOT flow through the packer; join the output ids
+    * back to the text afterwards. Per-group chunk counts must fit a
+    * collected list (shards are loader-sized by construction; packShards
+    * upstream bounds them).
+    *
+    * Output: (groupCol, idCol, tokensCol, seq_id, seq_offset) — seq_id
+    * counts sequences within the group, seq_offset is the chunk's token
+    * offset inside its sequence. An oversized chunk (tokens > maxTokens)
+    * occupies a sequence alone rather than being dropped — the caller
+    * decides whether to truncate. */
+  def packSequences(df: DataFrame, groupCol: String, idCol: String,
+                    tokensCol: String, maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val packUdf = udf((rows: Seq[org.apache.spark.sql.Row]) => {
+      val sorted = rows.sortBy(_.getLong(0))
+      var seq = 0L; var used = 0L
+      sorted.map { r =>
+        val id = r.getLong(0); val t = r.getLong(1)
+        if (used > 0 && used + t > maxTokens) { seq += 1; used = 0 }
+        val off = used
+        used += t
+        (id, t, seq, off)
+      }
+    })
+    df.select(col(groupCol).as("grp"),
+        col(idCol).cast("long").as("id"), col(tokensCol).cast("long").as("t"))
+      .groupBy(col("grp"))
+      .agg(collect_list(struct(col("id"), col("t"))).as("chunks"))
+      .select(col("grp"), explode(packUdf(col("chunks"))).as("p"))
+      .select(col("grp").as(groupCol), col("p._1").as(idCol),
+        col("p._2").as(tokensCol), col("p._3").as("seq_id"),
+        col("p._4").as("seq_offset"))
+  }
 }

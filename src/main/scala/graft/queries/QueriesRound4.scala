@@ -609,10 +609,43 @@ object QueriesRound4 {
         FROM embeddings
         ORDER BY vec_id
         LIMIT 300""")
+    }),
+
+    // Greedy next-fit sequence packing (Sampling.packSequences): chunks
+    // pack into ≤256-token sequences per shard, in id order — the exact
+    // linear recurrence a DuckDB recursive CTE replays, so seq ids and
+    // intra-sequence offsets are hash-gated, not just counted. Token
+    // counts are a deterministic function of doc_id; shard = doc_id % 8.
+    "q194_pack_sequences" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          ((col("n_chars") % 97) + 20).as("toks"))
+      graft.operators.Sampling.packSequences(docs, "shard", "doc_id", "toks", 256)
+        .orderBy(col("shard"), col("doc_id"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q194_pack_sequences" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, doc_id % 8 AS shard, (n_chars % 97) + 20 AS t,
+        |         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |pack AS (
+        |  SELECT shard, rn, doc_id, t,
+        |         CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.shard, b.rn, b.doc_id, b.t,
+        |         CASE WHEN p.seq_offset + p.t + b.t > 256
+        |              THEN p.seq_id + 1 ELSE p.seq_id END,
+        |         CASE WHEN p.seq_offset + p.t + b.t > 256
+        |              THEN CAST(0 AS BIGINT) ELSE p.seq_offset + p.t END
+        |  FROM pack p JOIN base b ON b.shard = p.shard AND b.rn = p.rn + 1)
+        |SELECT shard, doc_id, CAST(t AS BIGINT) AS toks, seq_id, seq_offset
+        |FROM pack
+        |ORDER BY shard, doc_id""".stripMargin,
+
     "q193_js_fold" ->
       """SELECT vec_id,
         |       round(v[1] * v[1] + v[2] * v[2] + v[3] * v[3] + v[4] * v[4], 6) AS e4

@@ -1112,3 +1112,40 @@ class HybridSearchSpec extends SparkTestBase {
     assert(lexRank1 == 1)
   }
 }
+
+/** Greedy next-fit sequence packing. */
+class PackSequencesSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.operators.Sampling
+
+  test("next-fit semantics: order preserved, overflow closes, oversized alone") {
+    val chunks = Seq(
+      // shard 0: 100+100 fit in 256, +100 overflows -> seq 1
+      (0L, 1L, 100L), (0L, 2L, 100L), (0L, 3L, 100L),
+      // oversized chunk occupies its own sequence, then packing resumes
+      (0L, 4L, 500L), (0L, 5L, 50L),
+      // shard 1 packs independently
+      (1L, 6L, 200L), (1L, 7L, 200L)
+    ).toDF("shard", "chunk_id", "toks")
+    val out = Sampling.packSequences(chunks, "shard", "chunk_id", "toks", 256)
+      .orderBy("shard", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, 0L, 0L), (0L, 2L, 0L, 100L),   // fits at offset 100
+      (0L, 3L, 1L, 0L),                        // overflow -> new sequence
+      (0L, 4L, 2L, 0L),                        // oversized, alone
+      (0L, 5L, 3L, 0L),                        // next chunk can't join it
+      (1L, 6L, 0L, 0L), (1L, 7L, 1L, 0L)))     // shard 1 independent
+  }
+
+  test("token budget is never exceeded by multi-chunk sequences") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 4).as("shard"),
+        ((col("n_chars") % 50) + 10).as("toks"))
+    val packed = Sampling.packSequences(docs, "shard", "doc_id", "toks", 128)
+    val over = packed.groupBy("shard", "seq_id")
+      .agg(sum("toks").as("total"), count(lit(1)).as("n"))
+      .filter(col("total") > 128 && col("n") > 1)
+    assert(over.count() == 0)
+  }
+}
