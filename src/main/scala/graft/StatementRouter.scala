@@ -254,12 +254,142 @@ class StatementRouter(spark: SparkSession, root: String) {
       // non-recording: execute() logs the statement once for every route
       case _          =>
         registerViews()
-        val translated = Dialect.translate(stmt)
+        // multi-column MATCH + _score routes on the RAW statement (the
+        // per-field boosts are only visible before the dialect lowers the
+        // MATCH); single-column routes on the translated form.
+        val pre = routeFieldedScore(stmt).getOrElse(stmt)
+        val translated = Dialect.translate(pre)
         routeIndexedScore(translated) match {
           case Some(routed) => spark.sql(routed)
           case None         => spark.sql(applyDeclaredAnalyzers(translated))
         }
     }
+  }
+
+  /** Multi-column `MATCH((a [boost], b), 'q') [USING best|most_fields]` +
+    * `_score` through a DECLARED composite fulltext index (reference:
+    * MultiMatch reads per-field Lucene postings — `lucene/match/
+    * MatchQueries.java`; the TF fallback [[Dialect.passScoreMulti]] can
+    * only see the current row). When the MATCH targets exactly the
+    * columns of one declared index on a single-column-PK router table and
+    * stands as the leading WHERE conjunct, the statement re-plans as a
+    * join against [[graft.operators.MatchText.scoreFieldedBM25]] — scores
+    * gain corpus IDF and per-field length normalization. Conservative:
+    * any other shape (foreign MATCH, OR'd predicate, USING WITH options,
+    * phrase methods, subquery FROM) returns None and the TF fallback
+    * runs. */
+  private def routeFieldedScore(sql: String): Option[String] = {
+    val lower = sql.toLowerCase
+    if (!lower.contains("_score") || !lower.contains("match")) return None
+    val sig = Dialect.lex(sql).filter(_.sig)
+    def isWord(t: Tok) = t.kind == Dialect.K.Word || t.kind == Dialect.K.QId
+    if (sig.count(t => t.kind == Dialect.K.Word && t.is("match")) != 1) return None
+
+    // the MATCH call, inner column group, query literal, USING method
+    val mi = sig.indexWhere(t => t.kind == Dialect.K.Word && t.is("match"))
+    if (mi < 0 || !sig.lift(mi + 1).exists(_.isSym("("))) return None
+    if (!sig.lift(mi - 1).exists(t => t.kind == Dialect.K.Word && t.is("where")))
+      return None
+    val mClose = matchFwd(sig, mi + 1)
+    if (mClose < 0) return None
+    val parts = splitTopCommas(sig.slice(mi + 2, mClose))
+    if (parts.length != 2) return None
+    val colsGroup = parts(0)
+    if (!colsGroup.headOption.exists(_.isSym("(")) ||
+        !colsGroup.lastOption.exists(_.isSym(")"))) return None
+    val colParts = splitTopCommas(colsGroup.slice(1, colsGroup.length - 1))
+    if (colParts.length < 2) return None
+    if (parts(1).length != 1 || parts(1).head.kind != Dialect.K.Str) return None
+    val query = unq(parts(1).head)
+    val fieldsBoosts: Seq[(String, Double)] = colParts.map { c =>
+      val (colToks, boost) = c.lastOption match {
+        case Some(t) if t.kind == Dialect.K.Num && c.length > 1 =>
+          (c.dropRight(1), t.text.toDouble)
+        case _ => (c, 1.0)
+      }
+      if (colToks.isEmpty || !isWord(colToks.last)) return None
+      (unq(colToks.last).toLowerCase, boost)
+    }
+    var matchEnd = mClose
+    var method = "best_fields"
+    if (sig.lift(mClose + 1).exists(_.is("using"))) {
+      val m = sig.lift(mClose + 2).getOrElse(return None)
+      if (!isWord(m)) return None
+      method = m.text.toLowerCase
+      matchEnd = mClose + 2
+    }
+    if (method != "best_fields" && method != "most_fields") return None
+    // only a top-level conjunct is safely replaceable by the score join
+    sig.lift(matchEnd + 1) match {
+      case None => ()
+      case Some(t) if t.is("and") || t.is("order") || t.is("group") ||
+        t.is("limit") || t.is("offset") || t.is("having") => ()
+      case _ => return None
+    }
+
+    // FROM <router table with a composite index covering exactly the
+    // MATCH targets and a 1-column PK>
+    val fi = sig.indexWhere(t => t.kind == Dialect.K.Word && t.is("from"))
+    if (fi < 0 || !sig.lift(fi + 1).exists(isWord)) return None
+    val table = unq(sig(fi + 1))
+    val version = VersionedTable.latestVersion(spark, tablePath(table))
+      .getOrElse(return None)
+    val targetSet = fieldsBoosts.map(_._1).toSet
+    val spec = VersionedTable.indexSpecs(spark, tablePath(table)).find(s =>
+      s.cols.map(_.toLowerCase).toSet == targetSet && s.cols.length == targetSet.size)
+      .getOrElse(return None)
+    val pk = VersionedTable.primaryKey(spark, tablePath(table)) match {
+      case Seq(one) => one
+      case _        => return None
+    }
+
+    // optional alias after the table name
+    val stop = Set("where", "group", "order", "limit", "having", "join",
+      "inner", "left", "right", "full", "cross", "on", "union", "intersect",
+      "except", "offset", "window", "qualify", "lateral")
+    var insertAt = fi + 1
+    var rel = table
+    sig.lift(fi + 2) match {
+      case Some(t2) if t2.is("as") && sig.lift(fi + 3).exists(isWord) =>
+        rel = unq(sig(fi + 3)); insertAt = fi + 3
+      case Some(t2) if isWord(t2) && !stop.contains(t2.text.toLowerCase) =>
+        rel = unq(t2); insertAt = fi + 2
+      case _ => ()
+    }
+
+    val analyzer = graft.operators.MatchText.Analyzer.byName(spec.analyzer)
+    val idx = graft.operators.MatchText.IndexCache.cached(
+      s"${tablePath(table)}#${spec.name}#fielded#v$version") {
+      graft.operators.MatchText.buildFieldedIndex(
+        readTable(table), pk, spec.cols, analyzer)
+    }
+    val boosts = spec.cols.map(c =>
+      c -> fieldsBoosts.collectFirst {
+        case (f, b) if f == c.toLowerCase => b
+      }.getOrElse(1.0)).toMap
+    val scores = graft.operators.MatchText
+      .scoreFieldedBM25(idx, query, boosts, method)
+      .select(col("doc_id").as("graft_score_id"), col("score").as("graft_bm25f"))
+    scoredMatchN += 1
+    val view = s"graft_fielded_scores_$scoredMatchN"
+    scores.createOrReplaceTempView(view)
+
+    // token rewrite: _score → view score, the MATCH clause → TRUE, the
+    // score join spliced in right after the FROM table (+alias)
+    val out = new StringBuilder
+    var i = 0
+    while (i < sig.length) {
+      if (i == mi) { out.append("TRUE "); i = matchEnd + 1 }
+      else {
+        if (sig(i).kind == Dialect.K.Word && sig(i).is("_score"))
+          out.append(s"$view.graft_bm25f ")
+        else out.append(sig(i).text).append(' ')
+        if (i == insertAt)
+          out.append(s"JOIN $view ON $rel.$pk = $view.graft_score_id ")
+        i += 1
+      }
+    }
+    Some(out.toString.trim)
   }
 
   private var scoredMatchN = 0

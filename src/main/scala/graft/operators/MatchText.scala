@@ -345,16 +345,18 @@ object MatchText {
     * (tiny: one row per indexed column — kept as a DataFrame so scoring
     * stays one declarative plan). */
   final case class FieldedIndex(postings: DataFrame, termStats: DataFrame,
-                                fieldStats: DataFrame)
+                                fieldStats: DataFrame,
+                                analyzer: Analyzer = Analyzer.default)
 
   /** Build one index over several text columns, e.g. title + body. Single
     * explode over a stacked (field, text) projection → still one shuffle. */
-  def buildFieldedIndex(df: DataFrame, idCol: String, fields: Seq[String]): FieldedIndex = {
+  def buildFieldedIndex(df: DataFrame, idCol: String, fields: Seq[String],
+                        analyzer: Analyzer = Analyzer.default): FieldedIndex = {
     val stacked = df.select(col(idCol).as("doc_id"),
         explode(array(fields.map(f => struct(lit(f).as("field"), col(f).as("text"))): _*)).as("ft"))
       .select(col("doc_id"), col("ft.field").as("field"), col("ft.text").as("text"))
     val p0 = stacked
-      .select(col("doc_id"), col("field"), explode(termCol(col("text"))).as("term"))
+      .select(col("doc_id"), col("field"), explode(analyzer(col("text"))).as("term"))
       .groupBy("field", "term", "doc_id").agg(count(lit(1)).as("tf"))
     val docLen = p0.groupBy("field", "doc_id").agg(sum(col("tf")).as("dl"))
     val postings = p0.join(docLen, Seq("field", "doc_id"))
@@ -363,7 +365,48 @@ object MatchText {
     val termStats = p0.groupBy("field", "term").agg(count(lit(1)).as("df")).persist()
     val fieldStats = docLen.groupBy("field")
       .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")).persist()
-    FieldedIndex(postings, termStats, fieldStats)
+    FieldedIndex(postings, termStats, fieldStats, analyzer)
+  }
+
+  /** Full fielded-BM25 score set for `query` — the indexed half of the
+    * multi-column `MATCH((a boost, b), 'q') + _score` route (reference:
+    * MultiMatch scores come out of Lucene's per-field postings,
+    * `lucene/match/MatchQueries.java`). Mirrors the TF fallback's
+    * semantics exactly: the PREDICATE is the OR over per-field all-terms
+    * matches, while the SCORE also counts partial-field evidence
+    * (best_fields = max boosted field score, most_fields = their sum).
+    * Plan shape: broadcast of the query terms into field-and-term
+    * partitioned postings, one narrow per-(field, doc) aggregation, one
+    * per-doc combine — matched docs flow, never the corpus. */
+  def scoreFieldedBM25(index: FieldedIndex, query: String,
+                       boosts: Map[String, Double] = Map.empty,
+                       matchType: String = "best_fields",
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(matchType == "best_fields" || matchType == "most_fields",
+      s"unsupported match type: $matchType")
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val termList = index.analyzer.tokens(query).distinct
+    val terms = termList.toDF("term")
+    val boostDf = index.fieldStats.select(col("field")).collect()
+      .map(r => (r.getString(0), boosts.getOrElse(r.getString(0), 1.0))).toSeq
+      .toDF("field", "boost")
+    val perField = index.postings.join(broadcast(terms), Seq("term"))
+      .join(index.termStats.join(broadcast(terms), Seq("term")), Seq("field", "term"))
+      .join(broadcast(index.fieldStats), Seq("field"))
+      .join(broadcast(boostDf), Seq("field"))
+      .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w", col("idf") * col("tf") * (k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("field", "doc_id", "boost")
+      .agg(sum(col("w")).as("fscore"), count(lit(1)).as("terms_hit"))
+      .select(col("doc_id"), (col("fscore") * col("boost")).as("boosted"),
+        (col("terms_hit") === termList.length).cast("int").as("full_hit"))
+    val combine = if (matchType == "best_fields") max(col("boosted")) else sum(col("boosted"))
+    perField.groupBy("doc_id")
+      .agg(combine.as("score"), max(col("full_hit")).as("matched"))
+      .filter(col("matched") === 1)
+      .select(col("doc_id"), col("score"))
   }
 
   /** Multi-column BM25: per-field scores combined with per-field boosts.

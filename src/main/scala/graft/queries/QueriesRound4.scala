@@ -611,6 +611,40 @@ object QueriesRound4 {
         LIMIT 300""")
     }),
 
+    // Fielded-index `_score`: multi-column MATCH with per-field boosts
+    // routes through a DECLARED composite fulltext index
+    // (StatementRouter.routeFieldedScore) — per-field corpus-IDF BM25
+    // with per-field length normalization, combined most_fields (sum of
+    // boosted field scores), predicate = OR over per-field all-terms
+    // matches. The two fields are disjoint halves of the document, so
+    // per-field stats genuinely differ; DuckDB replays the entire
+    // per-field BM25 formula, boosts, and the OR-of-AND predicate.
+    "q195_fielded_index_score" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      val root = routerRoots.computeIfAbsent(s"q195#$dir", _ => {
+        val rt = java.nio.file.Files.createTempDirectory("graft_q195")
+          .toFile.getAbsolutePath
+        val r0 = new graft.StatementRouter(s, rt)
+        r0.execute("""CREATE TABLE fielded_docs (
+            doc_id BIGINT PRIMARY KEY,
+            head_part TEXT,
+            tail_part TEXT,
+            INDEX hb_ft USING FULLTEXT (head_part, tail_part)
+              WITH (analyzer = 'standard'))""")
+        r0.execute("INSERT INTO fielded_docs (doc_id, head_part, tail_part) " +
+          "SELECT doc_id, substr(text, 1, 80), substr(text, 81) FROM documents")
+        rt
+      })
+      val r = new graft.StatementRouter(s, root)
+      r.execute("""
+        SELECT doc_id, round(_score, 6) AS score
+        FROM fielded_docs
+        WHERE MATCH((head_part 2.0, tail_part), 'spark filter') USING most_fields
+        ORDER BY score DESC, doc_id
+        LIMIT 100""")
+    }),
+
     // Greedy next-fit sequence packing (Sampling.packSequences): chunks
     // pack into ≤256-token sequences per shard, in id order — the exact
     // linear recurrence a DuckDB recursive CTE replays, so seq ids and
@@ -626,6 +660,45 @@ object QueriesRound4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q195_fielded_index_score" ->
+      """WITH src AS (
+        |  SELECT doc_id, substr(text, 1, 80) AS f1, substr(text, 81) AS f2
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, 'head' AS field,
+        |         unnest(list_filter(string_split_regex(lower(f1), '[^a-z0-9]+'),
+        |                            x -> len(x) > 0)) AS term
+        |  FROM src
+        |  UNION ALL
+        |  SELECT doc_id, 'tail' AS field,
+        |         unnest(list_filter(string_split_regex(lower(f2), '[^a-z0-9]+'),
+        |                            x -> len(x) > 0)) AS term
+        |  FROM src),
+        |idx AS (SELECT field, term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+        |dl AS (SELECT field, doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM idx GROUP BY 1, 2),
+        |fstats AS (SELECT field, CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+        |           FROM dl GROUP BY 1),
+        |dfreq AS (SELECT field, term, count(*) AS df FROM idx GROUP BY 1, 2),
+        |pf AS (
+        |  SELECT i.field, i.doc_id,
+        |         sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+        |             * i.tf * (1.2 + 1)
+        |             / (i.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / s.avgdl))) AS fscore,
+        |         count(*) AS hits
+        |  FROM idx i
+        |  JOIN dfreq d ON i.field = d.field AND i.term = d.term
+        |  JOIN dl ON i.field = dl.field AND i.doc_id = dl.doc_id
+        |  JOIN fstats s ON s.field = i.field
+        |  WHERE i.term IN ('spark', 'filter')
+        |  GROUP BY 1, 2)
+        |SELECT doc_id,
+        |       round(sum(fscore * CASE field WHEN 'head' THEN 2.0 ELSE 1.0 END), 6) AS score
+        |FROM pf
+        |GROUP BY doc_id
+        |HAVING max(CASE WHEN hits = 2 THEN 1 ELSE 0 END) = 1
+        |ORDER BY score DESC, doc_id
+        |LIMIT 100""".stripMargin,
+
     "q194_pack_sequences" ->
       """WITH RECURSIVE base AS (
         |  SELECT doc_id, doc_id % 8 AS shard, (n_chars % 97) + 20 AS t,

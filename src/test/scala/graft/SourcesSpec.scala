@@ -1199,3 +1199,98 @@ class PartitionedTableSpec extends SparkTestBase {
     assert(sh.forall(_.getString(2).contains("day=")))
   }
 }
+
+/** Multi-column MATCH + _score through a declared COMPOSITE fulltext index
+  * (StatementRouter.routeFieldedScore): per-field BM25 with boosts replaces
+  * the per-row TF fallback when the MATCH targets exactly one declared
+  * index's columns. */
+class FieldedScoreSpec extends SparkTestBase {
+
+  private def mkTable(r: StatementRouter): Unit = {
+    r.execute("""CREATE TABLE fsc (
+        id BIGINT PRIMARY KEY, head TEXT, tail TEXT,
+        INDEX ht_ft USING FULLTEXT (head, tail) WITH (analyzer = 'standard'))""")
+    r.execute("""INSERT INTO fsc (id, head, tail) VALUES
+        (1, 'spark filter join', 'nothing relevant'),
+        (2, 'spark only here', 'spark filter now'),
+        (3, 'unrelated words', 'filter alone'),
+        (4, 'spark filter', 'spark filter')""")
+  }
+
+  test("fielded route: BM25 values, boosts, OR-of-AND predicate, plan") {
+    val root = Files.createTempDirectory("graftfsc").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    mkTable(r)
+
+    val routed = r.execute("""
+        SELECT id, _score FROM fsc
+        WHERE MATCH((head 2.0, tail), 'spark filter') USING most_fields
+        ORDER BY _score DESC, id""")
+    val rows = routed.collect().map(x => (x.getLong(0), x.getDouble(1)))
+    // predicate: a row matches when ANY field contains ALL terms
+    assert(rows.map(_._1).toSet == Set(1L, 2L, 4L), rows.mkString(", "))
+
+    // values equal the index-computed per-field BM25 (partial-field
+    // evidence included), not the TF-only fallback
+    val idx = graft.operators.MatchText.buildFieldedIndex(
+      r.execute("SELECT id, head, tail FROM fsc"), "id", Seq("head", "tail"))
+    val want = graft.operators.MatchText.scoreFieldedBM25(
+        idx, "spark filter", Map("head" -> 2.0, "tail" -> 1.0), "most_fields")
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toMap
+    assert(want.keySet == Set(1L, 2L, 4L))
+    rows.foreach { case (id, s) => assert(math.abs(s - want(id)) < 1e-12, s"$id") }
+
+    // the routed plan is a score JOIN; the per-row TF UDF never runs
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(!plan.contains("graft_match_score"), plan)
+    assert(plan.toLowerCase.contains("join"), plan)
+
+    // best_fields default (no USING): max of the boosted field scores
+    val best = r.execute("""
+        SELECT id, _score FROM fsc
+        WHERE MATCH((head 2.0, tail), 'spark filter')
+        ORDER BY _score DESC, id""")
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toMap
+    val wantBest = graft.operators.MatchText.scoreFieldedBM25(
+        idx, "spark filter", Map("head" -> 2.0, "tail" -> 1.0), "best_fields")
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toMap
+    assert(best.keySet == wantBest.keySet)
+    best.foreach { case (id, s) => assert(math.abs(s - wantBest(id)) < 1e-12) }
+  }
+
+  test("fielded route falls back when the shape is not provably safe") {
+    val root = Files.createTempDirectory("graftfsc2").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    mkTable(r)
+
+    // no declared index covering exactly these columns -> TF fallback
+    r.execute("CREATE TABLE fsc2 (id BIGINT PRIMARY KEY, a TEXT, b TEXT)")
+    r.execute("INSERT INTO fsc2 (id, a, b) VALUES (1, 'spark filter', 'x')")
+    val fb = r.execute(
+      "SELECT id, _score FROM fsc2 WHERE MATCH((a, b), 'spark filter')")
+    assert(fb.queryExecution.executedPlan.toString.contains("graft_match_score"))
+
+    // MATCH OR'd with another predicate is not a replaceable conjunct
+    val ord = r.execute("""
+        SELECT id, _score FROM fsc
+        WHERE MATCH((head, tail), 'spark filter') OR id = 3
+        ORDER BY id""")
+    assert(ord.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+    assert(ord.queryExecution.executedPlan.toString.contains("graft_match_score"))
+
+    // phrase method -> fallback path handles it (no fielded route)
+    val ph = r.execute("""
+        SELECT id FROM fsc
+        WHERE MATCH((head, tail), 'spark filter') USING phrase ORDER BY id""")
+    assert(ph.collect().map(_.getLong(0)).nonEmpty)
+
+    // DML bumps the version -> the route rebuilds and sees the new row
+    val r2 = new StatementRouter(spark, root)
+    r2.execute("INSERT INTO fsc (id, head, tail) VALUES (5, 'spark filter spark', 'y')")
+    val after = r2.execute("""
+        SELECT id, _score FROM fsc
+        WHERE MATCH((head 1.5, tail), 'spark filter') USING most_fields
+        ORDER BY _score DESC, id""")
+    assert(after.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L, 5L))
+  }
+}
