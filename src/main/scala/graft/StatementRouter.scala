@@ -58,11 +58,46 @@ class StatementRouter(spark: SparkSession, root: String) {
     * Staged snapshots are localCheckpoint'ed: the transform is computed
     * once, later statements in the transaction read a stable materialized
     * state, and lineage cannot pile up across a long script. */
-  private def writeTable(name: String, next: DataFrame): Unit =
+  private def writeTable(name: String, next: DataFrame,
+                         touched: Option[Seq[Seq[Any]]] = None): Unit =
     txn match {
       case Some(buf) => buf(name) = next.localCheckpoint()
-      case None      => VersionedTable.commit(spark, tablePath(name), next)
+      case None      => touched match {
+        case Some(t) => VersionedTable.commitPartial(spark, tablePath(name), next, t)
+        case None    => VersionedTable.commit(spark, tablePath(name), next)
+      }
     }
+
+  /** Partition-granular DML eligibility (reference: DML on a partitioned
+    * table touches one Lucene index per affected partition, never the
+    * table — `DocTableInfo.partitionedBy`). When the table is partitioned,
+    * not bucketed, the statement runs in autocommit, no assignment moves a
+    * row across partitions, and the partition-column types render to
+    * directory names losslessly, returns the distinct partition tuples the
+    * DML touches; [[VersionedTable.commitPartial]] then moves only those
+    * partitions. None → full copy-on-write commit. The distinct-collect is
+    * partition-metadata sized (the reference holds the same list in its
+    * cluster state) and prunes to the WHERE's partitions on read. */
+  private def partitionTouch(name: String, touchedRows: => DataFrame,
+                             movedCols: Set[String] = Set.empty): Option[Seq[Seq[Any]]] = {
+    if (txn.isDefined) return None
+    val ps = VersionedTable.partitionSpec(spark, tablePath(name)).getOrElse(return None)
+    if (VersionedTable.bucketSpec(spark, tablePath(name)).isDefined) return None
+    if (ps.cols.exists(movedCols.contains)) return None
+    val rows = touchedRows
+    val safe = ps.cols.forall { c =>
+      rows.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.StringType => true
+        case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.BooleanType | org.apache.spark.sql.types.DateType => true
+        case _ => false // timestamps/decimals format differently in dir names
+      }
+    }
+    if (!safe) return None
+    val vals = rows.select(ps.cols.map(col): _*).distinct().collect()
+    Some(vals.toSeq.map(r => ps.cols.indices.map(r.get)))
+  }
 
   private def beginTxn(): DataFrame = {
     require(txn.isEmpty, "nested transactions are not supported")
@@ -1674,7 +1709,12 @@ class StatementRouter(spark: SparkSession, root: String) {
               conflictKeys, "left_semi")
         selectReturning(affected, retToks).localCheckpoint()
       }
-    writeTable(name, newState)
+    // plain INSERT / DO NOTHING change rows only inside the incoming
+    // rows' partitions; DO UPDATE may touch a matched row whose partition
+    // differs from the incoming value → full commit
+    val touchedParts =
+      if (oc < 0 || doNothing) partitionTouch(name, aligned) else None
+    writeTable(name, newState, touchedParts)
     result
   }
 
@@ -1749,7 +1789,8 @@ class StatementRouter(spark: SparkSession, root: String) {
       case Some(r) => selectReturning(touched, r).localCheckpoint()
       case None    => summary(cur.filter(cond).count())
     }
-    writeTable(name, next)
+    writeTable(name, next,
+      partitionTouch(name, cur.filter(cond), assigns.map(_._1).toSet))
     result
   }
 
@@ -1765,7 +1806,7 @@ class StatementRouter(spark: SparkSession, root: String) {
       case Some(r) => selectReturning(deleted, r).localCheckpoint()
       case None    => summary(cur.filter(cond).count())
     }
-    writeTable(name, next)
+    writeTable(name, next, partitionTouch(name, cur.filter(cond)))
     result
   }
 

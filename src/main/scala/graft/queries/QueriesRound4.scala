@@ -645,6 +645,40 @@ object QueriesRound4 {
         LIMIT 100""")
     }),
 
+    // Partition-granular copy-on-write DML (VersionedTable.commitPartial):
+    // UPDATE on one partition and DELETE of another write ONLY those
+    // partitions — untouched partitions carry forward in the manifest by
+    // reference (asserted in PartitionGranularDmlSpec; here the end state
+    // is hash-gated: DuckDB replays the same UPDATE/DELETE arithmetic on
+    // the raw fixture).
+    "q196_partition_dml" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      val root = routerRoots.computeIfAbsent(s"q196#$dir", _ => {
+        val rt = java.nio.file.Files.createTempDirectory("graft_q196")
+          .toFile.getAbsolutePath
+        val r0 = new graft.StatementRouter(s, rt)
+        r0.execute("""CREATE TABLE pdml (
+            o_orderkey BIGINT PRIMARY KEY,
+            o_orderstatus TEXT,
+            o_totalprice DOUBLE PRECISION)
+            PARTITIONED BY (o_orderstatus)""")
+        r0.execute("INSERT INTO pdml " +
+          "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders")
+        r0.execute("UPDATE pdml SET o_totalprice = o_totalprice * 2 " +
+          "WHERE o_orderstatus = 'O'")
+        r0.execute("DELETE FROM pdml WHERE o_orderstatus = 'P'")
+        rt
+      })
+      val r = new graft.StatementRouter(s, root)
+      r.execute("""
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM pdml
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")
+    }),
+
     // Greedy next-fit sequence packing (Sampling.packSequences): chunks
     // pack into ≤256-token sequences per shard, in id order — the exact
     // linear recurrence a DuckDB recursive CTE replays, so seq ids and
@@ -660,6 +694,17 @@ object QueriesRound4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q196_partition_dml" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(CASE WHEN o_orderstatus = 'O'
+        |                          THEN o_totalprice * 2
+        |                          ELSE o_totalprice END AS DECIMAL(18,2)))
+        |            AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderstatus <> 'P'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     "q195_fielded_index_score" ->
       """WITH src AS (
         |  SELECT doc_id, substr(text, 1, 80) AS f1, substr(text, 81) AS f2

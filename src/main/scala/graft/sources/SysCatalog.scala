@@ -79,19 +79,22 @@ object SysCatalog {
         if (!fs.exists(new org.apache.hadoop.fs.Path(td.getPath, "_manifests")))
           Seq.empty
         else VersionedTable.latestVersion(spark, tPath).toSeq.flatMap { v =>
-          val dd = new org.apache.hadoop.fs.Path(tPath, f"data/v$v%05d")
-          if (!fs.exists(dd)) Seq.empty
+          // partitioned tables: one shard row per partition dir of the
+          // snapshot — resolved through the manifest, so carried-forward
+          // partitions of partial commits list too
+          val partDirs = VersionedTable.partitionDirs(spark, tPath, v)
+          if (partDirs.nonEmpty)
+            partDirs.sortBy(_._1).zipWithIndex.map { case ((_, d), i) =>
+              val pd = new org.apache.hadoop.fs.Path(d)
+              val size =
+                if (fs.exists(pd)) fs.listStatus(pd).filter(_.isFile).map(_.getLen).sum
+                else 0L
+              (t, i, d, size, "STARTED", true)
+            }
           else {
-            val entries = fs.listStatus(dd).toSeq
-            val partDirs = entries.filter(e =>
-              e.isDirectory && e.getPath.getName.contains("="))
-            if (partDirs.nonEmpty)
-              partDirs.sortBy(_.getPath.getName).zipWithIndex.map { case (pd, i) =>
-                val size = fs.listStatus(pd.getPath).filter(_.isFile)
-                  .map(_.getLen).sum
-                (t, i, pd.getPath.toString, size, "STARTED", true)
-              }
-            else entries.filter(e => e.isFile &&
+            val dd = new org.apache.hadoop.fs.Path(tPath, f"data/v$v%05d")
+            if (!fs.exists(dd)) Seq.empty
+            else fs.listStatus(dd).toSeq.filter(e => e.isFile &&
                 e.getPath.getName.endsWith(".parquet"))
               .zipWithIndex.map { case (s, i) =>
                 (t, i, s.getPath.toString, s.getLen, "STARTED", true)

@@ -342,13 +342,144 @@ object VersionedTable {
     val in = f.open(m)
     val bytes = new Array[Byte](in.available())
     in.readFully(bytes); in.close()
-    val stored = new String(bytes, "UTF-8").trim
+    val stored = new String(bytes, "UTF-8").split("\n").head.trim
     // manifests record the data dir absolute at commit time, but the
     // layout under the table root is fixed — resolving against the CURRENT
     // path keeps every version readable after `ALTER TABLE … RENAME TO`
     // (a pure directory move)
     val rel = new Path(path, f"data/v$version%05d")
     if (f.exists(rel)) rel.toString else stored
+  }
+
+  /** All data-directory entries of a version's manifest, resolved against
+    * the CURRENT table root (rename-safe like [[dataDirFor]]). A classic
+    * manifest has one entry — the version's own data dir. A
+    * partition-granular commit ([[commitPartial]]) lists the new version's
+    * dir plus every carried-forward partition directory of the previous
+    * snapshot, Iceberg-manifest style. */
+  def manifestEntries(spark: SparkSession, path: String, version: Int): Seq[String] = {
+    val f = fs(spark)
+    val m = new Path(manifestDir(path), f"v$version%05d.manifest")
+    require(f.exists(m), s"version $version does not exist at $path")
+    val in = f.open(m)
+    val bytes = new Array[Byte](in.available())
+    in.readFully(bytes); in.close()
+    new String(bytes, "UTF-8").split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      .map { line =>
+        if (line.startsWith("data/")) new Path(path, line).toString
+        else {
+          val idx = line.indexOf("/data/v")
+          val rel = if (idx >= 0) new Path(path, line.substring(idx + 1))
+                    else new Path(line)
+          if (f.exists(rel)) rel.toString else line
+        }
+      }
+  }
+
+  /** Every partition directory a version's snapshot is made of, as
+    * (relative partition name like `a=1/b=2`, absolute dir). Resolves
+    * whole-version entries by walking the value-partitioned layout and
+    * carried partition entries directly. Empty for unpartitioned tables. */
+  def partitionDirs(spark: SparkSession, path: String, version: Int): Seq[(String, String)] = {
+    val f = fs(spark)
+    val n = partitionSpec(spark, path).map(_.cols.length).getOrElse(0)
+    if (n == 0) return Seq.empty
+    def partDepth(p: Path): Int = {
+      var c = 0; var cur = p
+      while (cur != null && cur.getName.contains("=")) { c += 1; cur = cur.getParent }
+      c
+    }
+    def relName(p: Path, k: Int): String = {
+      val segs = new Array[String](k); var cur = p
+      var i = k - 1
+      while (i >= 0) { segs(i) = cur.getName; cur = cur.getParent; i -= 1 }
+      segs.mkString("/")
+    }
+    def walk(base: Path, depth: Int): Seq[Path] =
+      if (depth == 0) Seq(base)
+      else if (!f.exists(base)) Seq.empty
+      else f.listStatus(base).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .flatMap(s => walk(s.getPath, depth - 1))
+    manifestEntries(spark, path, version).flatMap { e =>
+      val p = new Path(e)
+      val k = partDepth(p)
+      if (k >= n) Seq(relName(p, n) -> e)
+      else walk(p, n).map(d => relName(d, n) -> d.toString)
+    }
+  }
+
+  /** Partition-granular copy-on-write commit (reference: a partitioned
+    * table is one Lucene index PER PARTITION, and DML touches only the
+    * partitions its WHERE selects — `DocTableInfo.partitionedBy`). Writes
+    * only the `touched` partitions of `df` into the next version's data
+    * dir and carries every other partition of the previous snapshot
+    * forward BY REFERENCE in the manifest: at 100 TB, an UPDATE of one
+    * day's partition moves that partition's bytes, not the table's. The
+    * partition filter prunes the read side too — untouched partitions are
+    * neither read nor written.
+    *
+    * `touched` lists the distinct partition-column value tuples the DML
+    * affects (values ordered like `partitionSpec.cols`; null allowed) and
+    * must cover every partition whose content changes — the router falls
+    * back to a full [[commit]] when a SET assigns a partition column (a
+    * row could MOVE across partitions). An empty `touched` commits a
+    * pure-reference manifest (version bump, zero data movement). */
+  def commitPartial(spark: SparkSession, path: String, df: DataFrame,
+                    touched: Seq[Seq[Any]]): Int = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val f = fs(spark)
+    val ps = partitionSpec(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"commitPartial: $path is not partitioned"))
+    require(bucketSpec(spark, path).isEmpty,
+      "commitPartial: bucketed tables commit whole versions")
+    require(touched.forall(_.length == ps.cols.length),
+      s"commitPartial: partition tuples must match ${ps.cols}")
+    val prev = latestVersion(spark, path)
+    val next = prev.getOrElse(0) + 1
+    setPartitionSpec(spark, path, PartitionSpec(ps.cols, df.schema.toDDL))
+
+    def dirName(vals: Seq[Any]): String =
+      ps.cols.zip(vals).map { case (c, v) =>
+        val s =
+          if (v == null) "__HIVE_DEFAULT_PARTITION__"
+          else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName(v.toString)
+        s"$c=$s"
+      }.mkString("/")
+    val touchedNames = touched.map(dirName).toSet
+
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (touched.nonEmpty) {
+      val dataDir = new Path(path, f"data/v$next%05d")
+      val cond = touched.map(vals =>
+        ps.cols.zip(vals).map { case (c, v) =>
+          if (v == null) col(c).isNull else col(c) === lit(v)
+        }.reduce(_ && _)).reduce(_ || _)
+      df.filter(cond).write.mode("error")
+        .partitionBy(ps.cols: _*).parquet(dataDir.toString)
+      require(f.exists(new Path(dataDir, "_SUCCESS")),
+        s"versioned commit aborted: data write $dataDir did not complete")
+      entries += f"data/v$next%05d"
+    }
+    prev.foreach { pv =>
+      partitionDirs(spark, path, pv).foreach { case (nm, dir) =>
+        if (!touchedNames.contains(nm)) {
+          val idx = dir.indexOf("/data/v")
+          entries += (if (idx >= 0) dir.substring(idx + 1) else dir)
+        }
+      }
+    }
+    val md = manifestDir(path)
+    f.mkdirs(md)
+    val tmp = new Path(md, f"v$next%05d.manifest.tmp")
+    val fin = new Path(md, f"v$next%05d.manifest")
+    val out = f.create(tmp, true)
+    out.write(entries.mkString("\n").getBytes("UTF-8"))
+    out.close()
+    if (!f.rename(tmp, fin))
+      throw new java.io.IOException(s"versioned commit: manifest rename failed for v$next")
+    next
   }
 
   /** Read the latest committed snapshot. */
@@ -374,9 +505,27 @@ object VersionedTable {
             // (Spark always reports partition columns last). A plain
             // attribute select does not block partition pruning.
             val schema = org.apache.spark.sql.types.StructType.fromDDL(ps.schemaDdl)
-            spark.read.schema(schema).parquet(dataDir)
-              .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
-                .toSeq: _*)
+            val entries = manifestEntries(spark, path, version)
+            // a partition-granular manifest mixes dirs from several
+            // version bases; each base gets ONE scan (basePath keeps
+            // native partition-value parsing and pruning), unioned
+            def ownerBase(e: String): String = {
+              var cur = new Path(e)
+              while (cur.getName.contains("=")) cur = cur.getParent
+              cur.toString
+            }
+            val scans = entries.groupBy(ownerBase).toSeq.sortBy(_._1)
+              .map { case (b, dirs) =>
+                spark.read.schema(schema).option("basePath", b)
+                  .parquet(dirs: _*)
+              }
+            val base =
+              if (scans.isEmpty)
+                spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+              else scans.reduce(_ unionByName _)
+            base.select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
+              .toSeq: _*)
           case None => spark.read.parquet(dataDir)
         }
     }
@@ -396,20 +545,30 @@ object VersionedTable {
     }
 
   /** Drop data + manifests of all but the newest `keep` versions, plus any
-    * orphan data dirs from crashed commits (dirs without a manifest). */
+    * orphan data dirs from crashed commits (dirs without a manifest).
+    * Partition-granular manifests ([[commitPartial]]) may reference OLD
+    * version dirs by carried partition entries — a version data dir is
+    * only deleted when no kept manifest references any dir under it. */
   def vacuum(spark: SparkSession, path: String, keep: Int = 2): Unit = {
     val f = fs(spark)
     val vs = versions(spark, path)
+    val keepVs = vs.takeRight(math.max(keep, 1))
+    def ownerVersionName(e: String): String = {
+      var cur = new Path(e)
+      while (cur.getName.contains("=")) cur = cur.getParent
+      cur.getName
+    }
+    val referenced: Set[String] = keepVs
+      .flatMap(v => manifestEntries(spark, path, v).map(ownerVersionName)).toSet
     val dead = vs.dropRight(math.max(keep, 1))
     dead.foreach { v =>
-      val dd = new Path(dataDirFor(spark, path, v))
       spark.sql(s"DROP TABLE IF EXISTS ${catalogName(path, v)}")
       f.delete(new Path(manifestDir(path), f"v$v%05d.manifest"), false)
-      f.delete(dd, true)
+      if (!referenced.contains(f"v$v%05d"))
+        f.delete(new Path(path, f"data/v$v%05d"), true)
     }
-    // orphans: data dirs no manifest references
-    val live = versions(spark, path)
-      .map(v => new Path(dataDirFor(spark, path, v)).getName).toSet
+    // orphans: data dirs no kept manifest references
+    val live = referenced ++ keepVs.map(v => f"v$v%05d")
     val dataRoot = new Path(path, "data")
     if (f.exists(dataRoot))
       f.listStatus(dataRoot).foreach { s =>

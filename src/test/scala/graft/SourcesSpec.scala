@@ -1294,3 +1294,83 @@ class FieldedScoreSpec extends SparkTestBase {
     assert(after.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L, 5L))
   }
 }
+
+/** Partition-granular copy-on-write DML (VersionedTable.commitPartial):
+  * UPDATE/DELETE/INSERT touching a subset of partitions writes only those
+  * partitions; the manifest carries every other partition of the previous
+  * snapshot by reference, Iceberg-style. */
+class PartitionGranularDmlSpec extends SparkTestBase {
+
+  test("partial manifests: write-only-touched, carried refs, vacuum safety") {
+    val root = Files.createTempDirectory("graftpgd").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute("""CREATE TABLE pg (
+        id BIGINT PRIMARY KEY, status TEXT, v DOUBLE PRECISION)
+        PARTITIONED BY (status)""")
+    r.execute("""INSERT INTO pg (id, status, v) VALUES
+        (1, 'O', 1.0), (2, 'O', 2.0), (3, 'F', 3.0), (4, 'P', 4.0)""")
+    val path = s"$root/pg"
+    // CREATE commits v1 (empty), the INSERT v2 — both single-entry
+    val vIns = VersionedTable.latestVersion(spark, path).get
+    assert(VersionedTable.manifestEntries(spark, path, vIns).length == 1)
+
+    // UPDATE one partition: the new version's data dir holds ONLY that
+    // partition; the other two ride along as manifest references
+    r.execute("UPDATE pg SET v = v + 10 WHERE status = 'O'")
+    val vUpd = VersionedTable.latestVersion(spark, path).get
+    assert(vUpd == vIns + 1)
+    val eU = VersionedTable.manifestEntries(spark, path, vUpd)
+    assert(eU.length == 3, eU.mkString("; "))
+    assert(eU.count(_.contains(f"v$vIns%05d")) == 2, eU.mkString("; "))
+    val updParts = new java.io.File(f"$path/data/v$vUpd%05d").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(updParts == Seq("status=O"), updParts.mkString(", "))
+    val rows2 = r.execute("SELECT id, v FROM pg ORDER BY id").collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(rows2 == Seq((1L, 11.0), (2L, 12.0), (3L, 3.0), (4L, 4.0)), rows2)
+    // time travel: the pre-update snapshot still reads
+    val old = VersionedTable.readVersion(spark, path, vIns)
+      .filter("id = 1").head().getDouble(2)
+    assert(old == 1.0)
+
+    // DELETE an entire partition: zero data movement for the others
+    r.execute("DELETE FROM pg WHERE status = 'F'")
+    assert(r.execute("SELECT count(*) AS n FROM pg").head().getLong(0) == 3)
+    assert(!r.execute("SELECT status FROM pg").collect()
+      .map(_.getString(0)).contains("F"))
+
+    // INSERT creating a new partition: only the new partition is written
+    r.execute("INSERT INTO pg (id, status, v) VALUES (5, 'X', 5.0)")
+    val vX = VersionedTable.latestVersion(spark, path).get
+    val xParts = new java.io.File(f"$path/data/v$vX%05d").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(xParts == Seq("status=X"), xParts.mkString(", "))
+    assert(r.execute("SELECT count(*) AS n FROM pg").head().getLong(0) == 4)
+
+    // sys.shards resolves carried partitions through the manifest
+    val sh = SysCatalog.shards(spark, root)
+      .filter("table_name = 'pg'").collect()
+    assert(sh.length == 3, sh.mkString(", "))
+
+    // pruning still reaches the touched partition's scan
+    val one = r.execute("SELECT id FROM pg WHERE status = 'O' ORDER BY id")
+    assert(one.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+
+    // vacuum keeps OLD data dirs the latest manifest still references
+    // (carried O from the UPDATE version, carried P from the INSERT
+    // version); the DELETE's empty data dir is reclaimed
+    VersionedTable.vacuum(spark, path, keep = 1)
+    assert(new java.io.File(f"$path/data/v$vIns%05d").exists())
+    assert(new java.io.File(f"$path/data/v$vUpd%05d").exists())
+    assert(!new java.io.File(f"$path/data/v${vUpd + 1}%05d").exists())
+    val rowsAfter = r.execute("SELECT id, v FROM pg ORDER BY id").collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(rowsAfter == Seq((1L, 11.0), (2L, 12.0), (4L, 4.0), (5L, 5.0)), rowsAfter)
+
+    // assigning the partition column moves rows -> full rewrite fallback
+    r.execute("UPDATE pg SET status = 'Z' WHERE id = 5")
+    val latest = VersionedTable.latestVersion(spark, path).get
+    assert(VersionedTable.manifestEntries(spark, path, latest).length == 1)
+    assert(r.execute("SELECT status FROM pg WHERE id = 5").head().getString(0) == "Z")
+  }
+}
