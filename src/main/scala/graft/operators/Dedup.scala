@@ -245,4 +245,45 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Corpus-level repeated-paragraph removal (the C4 three-sentence-span
+    * rule / MassiveText "repeated across documents" filter): a paragraph
+    * appearing verbatim in ≥ `minDf` DISTINCT documents is boilerplate —
+    * nav bars, cookie banners, license headers — and is dropped from
+    * EVERY document; each document keeps its remaining paragraphs in
+    * their original order. Returns (doc_id, clean_text, kept_paras);
+    * fully-boilerplate documents survive with empty text (a downstream
+    * length filter decides their fate, like the published pipelines).
+    *
+    * Scale shape: one explode pass; the distinct-doc count groups by
+    * (hash64, paragraph) — narrow hashed partitioning, but the real text
+    * stays in the key so a 64-bit collision cannot merge two different
+    * paragraphs' counts (same discipline as [[exact]]). The boilerplate
+    * set is tiny next to the corpus and joins back hash→hash as an
+    * anti-join; reassembly is one partial-aggregated collect_list per
+    * document, bounded by document size. */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+                      minDf: Int = 2, sep: String = "\n"): DataFrame = {
+    val paras = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .toDF("doc_id", "pos", "para")
+      .withColumn("h", xxhash64(col("para")))
+    val boiler = paras.groupBy("h", "para")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("h"), col("para"))
+    val kept = paras.join(boiler, Seq("h", "para"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+            x => x("para")),
+          sep).as("clean_text"),
+        count(lit(1)).as("kept_paras"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept_paras"), lit(0L)).as("kept_paras"))
+  }
 }

@@ -679,6 +679,25 @@ object QueriesRound4 {
         ORDER BY o_orderstatus""")
     }),
 
+    // Corpus-level repeated-paragraph removal (Dedup.dedupParagraphs —
+    // the C4/MassiveText boilerplate scrub). The fixture text is flat, so
+    // the query synthesizes a paragraphed corpus with KNOWN boilerplate:
+    // a nav header on every doc, a cookie banner on half, a unique
+    // signature line per doc, plus the document's own text slices (which
+    // repeat exactly when the corpus carries exact-dup docs — the rule
+    // applies to them too, replayed identically by the oracle).
+    "q197_paragraph_dedup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          lit("NAV home about contact"),
+          expr("substring(text, 1, 120)"),
+          expr("substring(text, 121)"),
+          when(col("doc_id") % 2 === 0, lit("COOKIE accept our cookies"))
+            .otherwise(concat(lit("sig "), col("doc_id")))).as("text"))
+      graft.operators.Dedup.dedupParagraphs(docs, "doc_id", "text", minDf = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // Greedy next-fit sequence packing (Sampling.packSequences): chunks
     // pack into ≤256-token sequences per shard, in id order — the exact
     // linear recurrence a DuckDB recursive CTE replays, so seq ids and
@@ -694,6 +713,34 @@ object QueriesRound4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q197_paragraph_dedup" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |         'NAV home about contact' || chr(10) ||
+        |         substr(text, 1, 120) || chr(10) ||
+        |         substr(text, 121) || chr(10) ||
+        |         CASE WHEN doc_id % 2 = 0 THEN 'COOKIE accept our cookies'
+        |              ELSE 'sig ' || CAST(doc_id AS VARCHAR) END AS t
+        |  FROM documents),
+        |paras AS (
+        |  SELECT doc_id, unnest(ps) AS para,
+        |         unnest(range(1, len(ps) + 1)) AS pos
+        |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ps FROM src)),
+        |counts AS (
+        |  SELECT para, count(DISTINCT doc_id) AS df FROM paras GROUP BY para),
+        |kept AS (
+        |  SELECT p.doc_id, p.para, p.pos
+        |  FROM paras p JOIN counts c ON p.para = c.para
+        |  WHERE c.df < 2)
+        |SELECT s.doc_id,
+        |       coalesce(k.clean_text, '') AS clean_text,
+        |       coalesce(k.kept_paras, 0) AS kept_paras
+        |FROM src s LEFT JOIN (
+        |  SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS clean_text,
+        |         count(*) AS kept_paras
+        |  FROM kept GROUP BY doc_id) k USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
+
     "q196_partition_dml" ->
       """SELECT o_orderstatus, count(*) AS n,
         |       CAST(sum(CAST(CASE WHEN o_orderstatus = 'O'

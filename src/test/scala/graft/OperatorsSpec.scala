@@ -1149,3 +1149,37 @@ class PackSequencesSpec extends SparkTestBase {
     assert(over.count() == 0)
   }
 }
+
+/** Repeated-paragraph boilerplate removal (Dedup.dedupParagraphs). */
+class ParagraphDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("boilerplate drops everywhere, order kept, empty docs survive") {
+    val docs = Seq(
+      (1L, "NAV\nalpha beta\nbody one\nNAV"),     // NAV twice in one doc
+      (2L, "NAV\nbody two"),
+      (3L, "NAV"),                                  // all boilerplate
+      (4L, "zeta\nalpha beta\nbody four")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // NAV (df=3) and 'alpha beta' (df=2) are boilerplate; bodies unique
+    assert(out(0) == ((1L, "body one", 1L)))
+    assert(out(1) == ((2L, "body two", 1L)))
+    assert(out(2) == ((3L, "", 0L)))
+    assert(out(3) == ((4L, "zeta\nbody four", 2L)))
+  }
+
+  test("minDf boundary: a paragraph in minDf-1 docs is kept") {
+    val docs = Seq(
+      (1L, "shared\nu1"), (2L, "shared\nu2"), (3L, "u3")
+    ).toDF("doc_id", "text")
+    val strict = graft.operators.Dedup.dedupParagraphs(docs, "doc_id", "text", minDf = 3)
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(strict.toSeq == Seq("shared\nu1", "shared\nu2", "u3"))
+    val loose = graft.operators.Dedup.dedupParagraphs(docs, "doc_id", "text", minDf = 2)
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(loose.toSeq == Seq("u1", "u2", "u3"))
+  }
+}
