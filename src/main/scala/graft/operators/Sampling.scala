@@ -62,6 +62,35 @@ object Sampling {
     df.filter(u < frac)
   }
 
+  /** Temperature-flattened corpus mixing (the multilingual-LM sampling
+    * rule: p_d ∝ (n_d/N)^alpha — mT5 §3.2, XLM-R): domain weights are
+    * re-shaped with exponent `alpha` in (0,1] — alpha=1 keeps natural
+    * proportions, alpha→0 approaches uniform, boosting low-resource
+    * domains — and each domain is hash-sampled at the rate realizing its
+    * re-weighted share of `targetRows`. Rates cap at 1: upsampling is a
+    * data-loader concern, so over-asked domains under-fill the target
+    * deterministically instead of duplicating rows. Domains must be
+    * non-null.
+    *
+    * Scale shape: one map-side-combined groupBy for the domain sizes
+    * (result rows = #domains, collected as metadata) and then the same
+    * map-only deterministic id-hash filter as [[stratifiedSample]] —
+    * membership is reproducible from the id alone, no shuffle of data. */
+  def temperatureMix(df: DataFrame, domainCol: String, alpha: Double,
+                     targetRows: Long, idCol: String = "doc_id",
+                     unitOverride: Option[Column] = None): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0,1]")
+    require(targetRows > 0, "targetRows must be positive")
+    val sizes = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val weights = sizes.map { case (d, n) => d -> math.pow(n.toDouble, alpha) }
+    val wSum = weights.values.sum
+    val rates = weights.map { case (d, w) =>
+      d -> math.min(1.0, targetRows * (w / wSum) / sizes(d))
+    }
+    stratifiedSample(df, domainCol, rates, default = 0.0, idCol, unitOverride)
+  }
+
   /** Deterministic global shuffle + shard assignment for training output.
     *
     * A training run wants (a) fixed shard membership — restarts and

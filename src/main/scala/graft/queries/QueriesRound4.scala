@@ -698,6 +698,20 @@ object QueriesRound4 {
         .orderBy(col("doc_id"))
     }),
 
+    // Temperature-flattened corpus mixing (Sampling.temperatureMix,
+    // p_d ∝ n_d^alpha): rates derive from the ACTUAL domain sizes, so the
+    // oracle recomputes the whole formula — sizes, alpha-weights, shares,
+    // capped per-domain rates — and replays the same hash-unit filter.
+    "q198_temperature_mix" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val unit = (pmod(col("doc_id") * 2654435761L, lit(1000003L)).cast("double")
+        / 1000003.0)
+      graft.operators.Sampling.temperatureMix(docs, "lang", alpha = 0.5,
+          targetRows = 250, unitOverride = Some(unit))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Greedy next-fit sequence packing (Sampling.packSequences): chunks
     // pack into ≤256-token sequences per shard, in id order — the exact
     // linear recurrence a DuckDB recursive CTE replays, so seq ids and
@@ -713,6 +727,18 @@ object QueriesRound4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q198_temperature_mix" ->
+      """WITH sizes AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.5) AS wr FROM sizes),
+        |r AS (SELECT lang,
+        |             least(1.0, 250 * (wr / (SELECT sum(wr) FROM w)) / n) AS rate
+        |      FROM w)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE CAST((d.doc_id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0
+        |      < r.rate
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q197_paragraph_dedup" ->
       """WITH src AS (
         |  SELECT doc_id,

@@ -1183,3 +1183,42 @@ class ParagraphDedupSpec extends SparkTestBase {
     assert(loose.toSeq == Seq("u1", "u2", "u3"))
   }
 }
+
+/** Temperature-flattened corpus mixing (Sampling.temperatureMix). */
+class TemperatureMixSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val corpus = (
+    (1 to 900).map(i => (i.toLong, "big")) ++
+    (901 to 1000).map(i => (i.toLong, "small"))
+  ).toDF("doc_id", "domain")
+
+  test("alpha < 1 boosts the low-resource domain; rates cap at 1") {
+    val mixed = graft.operators.Sampling
+      .temperatureMix(corpus, "domain", alpha = 0.5, targetRows = 200)
+      .groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // weights ∝ sqrt(n): big 30, small 10 -> shares 0.75/0.25 ->
+    // rates big = 150/900 ≈ .167, small = 50/100 = .5
+    val big = mixed.getOrElse("big", 0L).toDouble
+    val small = mixed.getOrElse("small", 0L).toDouble
+    assert(small / 100.0 > big / 900.0 * 2, s"big=$big small=$small")
+    assert(math.abs(big + small - 200) < 40, s"total=${big + small}")
+
+    // a target larger than the corpus caps every rate at 1 — no dup rows
+    val all = graft.operators.Sampling
+      .temperatureMix(corpus, "domain", alpha = 0.5, targetRows = 10000)
+    assert(all.count() == 1000)
+  }
+
+  test("alpha = 1 keeps natural proportions") {
+    val mixed = graft.operators.Sampling
+      .temperatureMix(corpus, "domain", alpha = 1.0, targetRows = 500)
+      .groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val big = mixed.getOrElse("big", 0L).toDouble
+    val small = mixed.getOrElse("small", 0L).toDouble
+    // natural shares: both domains sampled at the same ~0.5 rate
+    assert(math.abs(big / 900.0 - small / 100.0) < 0.15, s"big=$big small=$small")
+  }
+}
