@@ -14,7 +14,8 @@ package graft.functions
   *   function name(a, b, …) {
   *     [var x = expr, y = expr; …]
   *     [x = expr; | x += expr; | x -= … (SSA-style rebinding)]
-  *     [for (var i = <int>; i < <int>; i++ | i += <int>) { assignments }]
+  *     [for (var i = <int>; i < <int> | i > <int> (or <=, >=);
+  *           i++ | i-- | i += <int> | i -= <int>) { assignments }]
   *     [if (cond) return expr; | if (cond) { … return expr; } else { … } …]
   *     return expr;
   *   }
@@ -525,18 +526,25 @@ object JsUdf {
       expectOp(";")
       val cvar = expectId()
       val cmpOp = next() match {
-        case Op(o @ ("<" | "<=")) => o
-        case other => unsupported(s"for-loop condition must be < or <=: $other")
+        case Op(o @ ("<" | "<=" | ">" | ">=")) => o
+        case other => unsupported(s"for-loop condition must be a comparison: $other")
       }
       val limit = asInt(expr(), "bound")
       expectOp(";")
       val uvar = expectId()
+      // `i--` lexes as two '-' tokens (the lexer keeps no '--' operator:
+      // `a - -b` is a real expression shape) — match the pair here
       val step = next() match {
         case Op("++") => 1
         case Op("+=") => asInt(expr(), "step")
-        case other    => unsupported(s"for-loop update must be ++ or +=: $other")
+        case Op("-") if ts.lift(p).contains(Op("-")) => p += 1; -1
+        case Op("-=") => -asInt(expr(), "step")
+        case other    => unsupported(s"for-loop update must be ++/--/+=/-=: $other")
       }
-      require(step > 0, "for-loop step must be positive")
+      val ascending = cmpOp == "<" || cmpOp == "<="
+      require(step != 0, "for-loop step must be nonzero")
+      require(ascending == (step > 0),
+        "for-loop direction must match its condition (infinite loop otherwise)")
       require(ivar == cvar && cvar == uvar,
         "for-loop must test and update its own variable")
       expectOp(")")
@@ -554,7 +562,12 @@ object JsUdf {
       require(depth == 0, "unbalanced for-loop body")
       val bodyEnd = k - 1 // index of the closing '}'
       var iters = 0
-      while (if (cmpOp == "<") iv < limit else iv <= limit) {
+      while (cmpOp match {
+        case "<"  => iv < limit
+        case "<=" => iv <= limit
+        case ">"  => iv > limit
+        case _    => iv >= limit
+      }) {
         iters += 1
         if (iters > 64) unsupported("for-loop unrolling past 64 iterations")
         bindings += ivar -> E(iv.toString, str = false)

@@ -308,4 +308,23 @@ class JsUdfLoopSpec extends SparkTestBase {
       "function g(x) { var s = 0; for (var i = 0; i < 1000; i++) { s += x; } return s; }"))
     assert(e.getMessage.contains("64"))
   }
+
+  test("descending for loops: i-- and i -= k with > / >= bounds") {
+    router.execute(
+      """CREATE OR REPLACE FUNCTION revcat(a array(text))
+        |RETURNS text LANGUAGE JAVASCRIPT
+        |AS 'function revcat(a) {
+        |  var s = "";
+        |  for (var i = 3; i >= 0; i--) { s = s.concat(a[i]); }
+        |  return s;
+        |}'""".stripMargin)
+    assert(one("SELECT revcat(array('a', 'b', 'c', 'd'))") == "dcba")
+    val t = JsUdf.translate(
+      "function f() { var s = 0; for (var i = 10; i > 0; i -= 3) { s += i; } return s; }")
+    assert(one("SELECT " + t.sql) == "22") // 10 + 7 + 4 + 1
+    // a direction/condition mismatch is an infinite loop -> loud error
+    val e2 = intercept[Exception](JsUdf.translate(
+      "function g() { var s = 0; for (var i = 0; i < 5; i--) { s += i; } return s; }"))
+    assert(e2.getMessage.toLowerCase.contains("direction"))
+  }
 }
