@@ -722,17 +722,50 @@ class StatementRouter(spark: SparkSession, root: String) {
     summary(names.size.toLong)
   }
 
-  /** `OPTIMIZE TABLE t [WITH (…)]` — compact the latest snapshot into
-    * ~128 MB files, committed as the NEXT version (copy-on-write: readers
-    * of the old version are untouched; the reference's segment merge has
-    * the same no-torn-reads property via Lucene commits). At 100 TB this
-    * is the routine post-ingest pass that keeps scan parallelism sane. */
+  /** `OPTIMIZE TABLE t [PARTITION (col = val [, …])] [WITH (…)]` —
+    * compact the latest snapshot into ~128 MB files, committed as the
+    * NEXT version (copy-on-write: readers of the old version are
+    * untouched; the reference's segment merge has the same no-torn-reads
+    * property via Lucene commits). With a PARTITION clause (reference
+    * `optimize.rst:19` — "optimize one partition exclusively"), only that
+    * partition's files are read and rewritten; every other partition
+    * carries forward by manifest reference. At 100 TB this is the routine
+    * post-ingest pass that keeps scan parallelism sane. */
   private def optimizeStmt(sig: Vector[Tok]): DataFrame = {
     val name = sig(2).text
     val cur = readTable(name)
-    val bytes = cur.queryExecution.optimizedPlan.stats.sizeInBytes
-    val files = math.max(1, (bytes / (128L * 1024 * 1024)).toInt)
-    writeTable(name, cur.repartition(files))
+    val pi = sig.indexWhere(_.is("partition"))
+    val psOpt = VersionedTable.partitionSpec(spark, tablePath(name))
+    if (pi >= 0 && sig.lift(pi + 1).exists(_.isSym("(")) &&
+        psOpt.isDefined && txn.isEmpty) {
+      val ps = psOpt.get
+      val close = matchFwd(sig, pi + 1)
+      val pairs = splitTopCommas(sig.slice(pi + 2, close)).map { p =>
+        val eq = p.indexWhere(_.isSym("="))
+        require(eq > 0 && eq + 1 < p.length, "PARTITION clause expects col = value")
+        val vTok = p(eq + 1)
+        val v: Any = vTok.kind match {
+          case Dialect.K.Str => unq(vTok)
+          case Dialect.K.Num if !vTok.text.contains('.') => vTok.text.toLong
+          case Dialect.K.Word if vTok.is("true") || vTok.is("false") =>
+            vTok.text.toBoolean
+          case _ => unq(vTok)
+        }
+        unq(p(eq - 1)).toLowerCase -> v
+      }.toMap
+      require(ps.cols.forall(c => pairs.contains(c.toLowerCase)),
+        s"PARTITION clause must pin every partition column of (${ps.cols.mkString(", ")})")
+      val touched = Seq(ps.cols.map(c => pairs(c.toLowerCase)))
+      val part = cur.filter(
+        ps.cols.map(c => col(c) === lit(pairs(c.toLowerCase))).reduce(_ && _))
+      val bytes = part.queryExecution.optimizedPlan.stats.sizeInBytes
+      val files = math.max(1, (bytes / (128L * 1024 * 1024)).toInt)
+      writeTable(name, part.repartition(files), Some(touched))
+    } else {
+      val bytes = cur.queryExecution.optimizedPlan.stats.sizeInBytes
+      val files = math.max(1, (bytes / (128L * 1024 * 1024)).toInt)
+      writeTable(name, cur.repartition(files))
+    }
     summary(0L)
   }
 

@@ -1367,6 +1367,17 @@ class PartitionGranularDmlSpec extends SparkTestBase {
       .map(x => (x.getLong(0), x.getDouble(1))).toSeq
     assert(rowsAfter == Seq((1L, 11.0), (2L, 12.0), (4L, 4.0), (5L, 5.0)), rowsAfter)
 
+    // OPTIMIZE PARTITION compacts one partition, carries the rest
+    r.execute("OPTIMIZE TABLE pg PARTITION (status = 'O')")
+    val vOpt = VersionedTable.latestVersion(spark, path).get
+    val optParts = new java.io.File(f"$path/data/v$vOpt%05d").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(optParts == Seq("status=O"), optParts.mkString(", "))
+    assert(VersionedTable.manifestEntries(spark, path, vOpt).length >= 2)
+    val rowsOpt = r.execute("SELECT id, v FROM pg ORDER BY id").collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(rowsOpt == rowsAfter, rowsOpt)
+
     // assigning the partition column moves rows -> full rewrite fallback
     r.execute("UPDATE pg SET status = 'Z' WHERE id = 5")
     val latest = VersionedTable.latestVersion(spark, path).get
