@@ -498,12 +498,31 @@ class StatementRouter(spark: SparkSession, root: String) {
     val analyzer = graft.operators.MatchText.Analyzer.byName(spec.analyzer)
     val idx = graft.operators.MatchText.IndexCache.cached(
       s"${tablePath(table)}#${spec.name}#v$version") {
-      val base = readTable(table)
-      val (df, textCol) =
-        if (spec.cols.length == 1) (base, spec.cols.head)
-        else (base.withColumn("graft_ft_concat",
-          concat_ws(" ", spec.cols.map(col): _*)), "graft_ft_concat")
-      graft.operators.MatchText.buildIndex(df, pk, textCol, analyzer)
+      // durable index: the reference keeps its Lucene index on disk next
+      // to the shard; graft's twin is term-bucketed Parquet under the
+      // table root, written once per (index, committed version) — fresh
+      // sessions LOAD instead of rebuilding, and searches prune to the
+      // query terms' buckets
+      val stored = s"${tablePath(table)}/_ftindex/${spec.name}/v$version"
+      if (graft.operators.MatchText.storedIndexExists(spark, stored))
+        graft.operators.MatchText.loadIndex(spark, stored, analyzer)
+      else {
+        val base = readTable(table)
+        val (df, textCol) =
+          if (spec.cols.length == 1) (base, spec.cols.head)
+          else (base.withColumn("graft_ft_concat",
+            concat_ws(" ", spec.cols.map(col): _*)), "graft_ft_concat")
+        val built = graft.operators.MatchText.buildIndex(df, pk, textCol, analyzer)
+        try {
+          graft.operators.MatchText.saveIndex(built, stored)
+          // stale versions of THIS index are dead once the new one commits
+          val idxRoot = new Path(s"${tablePath(table)}/_ftindex/${spec.name}")
+          fs.listStatus(idxRoot).foreach { s =>
+            if (s.getPath.getName != s"v$version") fs.delete(s.getPath, true)
+          }
+        } catch { case _: Exception => () } // search proceeds on the built index
+        built
+      }
     }
     // non-colliding column names: the base table may have doc_id/score
     val scores = graft.operators.MatchText.scoreBM25(idx, query)

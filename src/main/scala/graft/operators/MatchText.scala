@@ -251,9 +251,13 @@ object MatchText {
     * per-term document frequency; `nDocs`/`avgdl` are corpus scalars fixed
     * at build time. At scale, persist `postings` (bucketed by term) and
     * re-create the bundle from storage. */
+  /** `tbBuckets > 0` marks a STORED index whose postings/termStats carry a
+    * `tb` term-bucket partition column — searches prune to the query
+    * terms' buckets at the scan ([[termBucket]]). */
   final case class InvertedIndex(postings: DataFrame, termStats: DataFrame,
                                  nDocs: Long, avgdl: Double,
-                                 analyzer: Analyzer = Analyzer.default)
+                                 analyzer: Analyzer = Analyzer.default,
+                                 tbBuckets: Int = 0)
 
   /** Build the index: one explode + one groupBy shuffle for postings, then
     * the global stats in two cheap aggregations — paid ONCE, not per query.
@@ -275,6 +279,63 @@ object MatchText {
     InvertedIndex(postings, termStats, statsRow.getLong(0), statsRow.getDouble(1), analyzer)
   }
 
+  /** Stable term→partition bucket for stored indexes. Java's String
+    * hashCode on purpose: computable identically on the driver (to prune
+    * a search to its query terms' buckets) and in the write path, across
+    * sessions and Spark versions. */
+  def termBucket(term: String, buckets: Int): Int =
+    math.floorMod(if (term == null) 0 else term.hashCode, buckets)
+
+  private val termBucketUdf = udf((t: String, n: Int) => termBucket(t, n))
+
+  /** Persist an index beside its table (the reference keeps one Lucene
+    * index per shard on disk; graft's twin is term-bucketed Parquet).
+    * Postings and term stats are value-partitioned on `tb` — a search
+    * touches only its query terms' buckets (partition pruning, asserted
+    * in StoredIndexSpec). The single-row stats file is written LAST and
+    * acts as the commit marker [[loadIndex]] requires. */
+  def saveIndex(index: InvertedIndex, path: String, buckets: Int = 64): Unit = {
+    require(buckets > 0)
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    index.postings
+      .withColumn("tb", termBucketUdf(col("term"), lit(buckets)))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+    index.termStats
+      .withColumn("tb", termBucketUdf(col("term"), lit(buckets)))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/termstats")
+    Seq((index.nDocs, index.avgdl, buckets))
+      .toDF("n_docs", "avgdl", "buckets")
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** True when a committed stored index exists at `path`. */
+  def storedIndexExists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/stats/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Load a stored index. The analyzer is NOT serialized — pass the same
+    * (named) analyzer the index was built with; declared-index routing
+    * resolves it from the durable index spec. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                analyzer: Analyzer = Analyzer.default): InvertedIndex = {
+    val st = spark.read.parquet(s"$path/stats").head()
+    InvertedIndex(
+      spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/termstats"),
+      st.getLong(0), st.getDouble(1), analyzer, st.getInt(2))
+  }
+
+  /** Postings/termStats pruned to the query terms' buckets when the index
+    * is stored term-bucketed; pass-through otherwise. */
+  private def prunedToTerms(df: DataFrame, index: InvertedIndex,
+                            terms: Seq[String]): DataFrame =
+    if (index.tbBuckets <= 0) df
+    else df.filter(col("tb")
+        .isin(terms.map(termBucket(_, index.tbBuckets)).distinct: _*))
+      .drop("tb")
+
   /** BM25-ranked search (Robertson/Sparck-Jones, the scoring the reference
     * gets from Lucene): idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) summed over
     * query terms. Pure plan: broadcast the query terms into the postings and
@@ -283,10 +344,12 @@ object MatchText {
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = index.postings.sparkSession
     import spark.implicits._
-    val terms = index.analyzer.tokens(query).distinct.toDF("term")
+    val termList = index.analyzer.tokens(query).distinct
+    val terms = termList.toDF("term")
     val nDocs = index.nDocs.toDouble
-    index.postings.join(broadcast(terms), Seq("term"))
-      .join(index.termStats.join(broadcast(terms), Seq("term")), Seq("term"))
+    prunedToTerms(index.postings, index, termList).join(broadcast(terms), Seq("term"))
+      .join(prunedToTerms(index.termStats, index, termList)
+        .join(broadcast(terms), Seq("term")), Seq("term"))
       .withColumn("idf", log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("w", col("idf") * col("tf") * (k1 + 1) /
         (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / index.avgdl)))
@@ -313,8 +376,10 @@ object MatchText {
     val termList = index.analyzer.tokens(query).distinct
     val terms = termList.toDF("term")
     val nDocs = index.nDocs.toDouble
-    val scored = index.postings.join(broadcast(terms), Seq("term"))
-      .join(index.termStats.join(broadcast(terms), Seq("term")), Seq("term"))
+    val scored = prunedToTerms(index.postings, index, termList)
+      .join(broadcast(terms), Seq("term"))
+      .join(prunedToTerms(index.termStats, index, termList)
+        .join(broadcast(terms), Seq("term")), Seq("term"))
       .withColumn("idf", log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("w", col("idf") * col("tf") * (k1 + 1) /
         (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / index.avgdl)))
@@ -328,10 +393,12 @@ object MatchText {
   def search(index: InvertedIndex, query: String, topN: Int = 10): DataFrame = {
     val spark = index.postings.sparkSession
     import spark.implicits._
-    val terms = index.analyzer.tokens(query).distinct.toDF("term")
+    val termList = index.analyzer.tokens(query).distinct
+    val terms = termList.toDF("term")
     val nDocs = index.nDocs.toDouble
-    index.postings.join(broadcast(terms), Seq("term"))
-      .join(index.termStats.join(broadcast(terms), Seq("term")), Seq("term"))
+    prunedToTerms(index.postings, index, termList).join(broadcast(terms), Seq("term"))
+      .join(prunedToTerms(index.termStats, index, termList)
+        .join(broadcast(terms), Seq("term")), Seq("term"))
       .withColumn("idf", log(lit(nDocs + 1.0) / (col("df") + 1.0)))
       .withColumn("w", col("tf") * col("idf"))
       .groupBy("doc_id")

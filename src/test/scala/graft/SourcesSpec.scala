@@ -1385,3 +1385,62 @@ class PartitionGranularDmlSpec extends SparkTestBase {
     assert(r.execute("SELECT status FROM pg WHERE id = 5").head().getString(0) == "Z")
   }
 }
+
+/** Durable fulltext indexes: saveIndex/loadIndex round-trip, term-bucket
+  * pruning, and the indexed _score route loading instead of rebuilding. */
+class StoredIndexSpec extends SparkTestBase {
+  import graft.operators.MatchText
+
+  test("save/load round-trip is score-identical and prunes by term bucket") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "spark filter join"), (2L, "spark spark filter"),
+      (3L, "filter only here"), (4L, "spark alone"))).toDF("id", "txt")
+    val built = MatchText.buildIndex(docs, "id", "txt")
+    val dir = Files.createTempDirectory("graftsidx").toFile.getAbsolutePath
+    MatchText.saveIndex(built, dir, buckets = 8)
+    assert(MatchText.storedIndexExists(spark, dir))
+    val loaded = MatchText.loadIndex(spark, dir)
+    assert(loaded.tbBuckets == 8 && loaded.nDocs == built.nDocs)
+
+    val a = MatchText.scoreBM25(built, "spark filter").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val b = MatchText.scoreBM25(loaded, "spark filter").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(a.keySet == b.keySet && a.keySet == Set(1L, 2L))
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12) }
+
+    // the loaded search prunes the postings scan to the terms' buckets
+    val scored = MatchText.scoreBM25(loaded, "spark filter")
+    scored.collect() // finalize the adaptive plan
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [tb"), plan.take(2000))
+  }
+
+  test("indexed _score route persists once and loads on a fresh cache") {
+    val root = Files.createTempDirectory("graftsidx2").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute("""CREATE TABLE sdocs (
+        id BIGINT PRIMARY KEY, txt TEXT,
+        INDEX txt_ft USING FULLTEXT (txt) WITH (analyzer = 'standard'))""")
+    r.execute("""INSERT INTO sdocs (id, txt) VALUES
+        (1, 'spark filter join'), (2, 'spark spark filter'), (3, 'filter x')""")
+    val q = "SELECT id, _score FROM sdocs WHERE MATCH(txt, 'spark filter') ORDER BY id"
+    val first = r.execute(q).collect().map(x => (x.getLong(0), x.getDouble(1)))
+    val v = graft.sources.VersionedTable.latestVersion(spark, s"$root/sdocs").get
+    assert(MatchText.storedIndexExists(spark, s"$root/sdocs/_ftindex/txt_ft/v$v"))
+
+    // fresh JVM simulation: cache cleared -> the route LOADS the stored
+    // index (results identical)
+    MatchText.IndexCache.clear()
+    val again = r.execute(q).collect().map(x => (x.getLong(0), x.getDouble(1)))
+    assert(first.toSeq == again.toSeq)
+
+    // DML bumps the version: the stale stored index is replaced
+    r.execute("INSERT INTO sdocs (id, txt) VALUES (4, 'spark filter twice')")
+    val r2 = r.execute(q).collect().map(_.getLong(0))
+    assert(r2.toSeq == Seq(1L, 2L, 4L))
+    val v2 = graft.sources.VersionedTable.latestVersion(spark, s"$root/sdocs").get
+    assert(MatchText.storedIndexExists(spark, s"$root/sdocs/_ftindex/txt_ft/v$v2"))
+    assert(!new java.io.File(s"$root/sdocs/_ftindex/txt_ft/v$v").exists())
+  }
+}
