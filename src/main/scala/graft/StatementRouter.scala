@@ -395,8 +395,23 @@ class StatementRouter(spark: SparkSession, root: String) {
     val analyzer = graft.operators.MatchText.Analyzer.byName(spec.analyzer)
     val idx = graft.operators.MatchText.IndexCache.cached(
       s"${tablePath(table)}#${spec.name}#fielded#v$version") {
-      graft.operators.MatchText.buildFieldedIndex(
-        readTable(table), pk, spec.cols, analyzer)
+      // durable fielded index: load if a committed store exists for this
+      // version, else build, persist, and reclaim stale versions
+      val stored = s"${tablePath(table)}/_ftindex/${spec.name}__fielded/v$version"
+      if (graft.operators.MatchText.storedIndexExists(spark, stored))
+        graft.operators.MatchText.loadFieldedIndex(spark, stored, analyzer)
+      else {
+        val built = graft.operators.MatchText.buildFieldedIndex(
+          readTable(table), pk, spec.cols, analyzer)
+        try {
+          graft.operators.MatchText.saveFieldedIndex(built, stored)
+          val idxRoot = new Path(s"${tablePath(table)}/_ftindex/${spec.name}__fielded")
+          fs.listStatus(idxRoot).foreach { s =>
+            if (s.getPath.getName != s"v$version") fs.delete(s.getPath, true)
+          }
+        } catch { case _: Exception => () }
+        built
+      }
     }
     val boosts = spec.cols.map(c =>
       c -> fieldsBoosts.collectFirst {

@@ -413,7 +413,8 @@ object MatchText {
     * stays one declarative plan). */
   final case class FieldedIndex(postings: DataFrame, termStats: DataFrame,
                                 fieldStats: DataFrame,
-                                analyzer: Analyzer = Analyzer.default)
+                                analyzer: Analyzer = Analyzer.default,
+                                tbBuckets: Int = 0)
 
   /** Build one index over several text columns, e.g. title + body. Single
     * explode over a stacked (field, text) projection → still one shuffle. */
@@ -434,6 +435,42 @@ object MatchText {
       .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")).persist()
     FieldedIndex(postings, termStats, fieldStats, analyzer)
   }
+
+  /** Persist a fielded index like [[saveIndex]]: postings/termStats
+    * term-bucketed on `tb` (field stays a data column — queries hit every
+    * field but only their terms' buckets), tiny fieldStats plain, stats
+    * written last as the commit marker. */
+  def saveFieldedIndex(index: FieldedIndex, path: String, buckets: Int = 64): Unit = {
+    require(buckets > 0)
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    index.postings
+      .withColumn("tb", termBucketUdf(col("term"), lit(buckets)))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+    index.termStats
+      .withColumn("tb", termBucketUdf(col("term"), lit(buckets)))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/termstats")
+    index.fieldStats.write.mode("overwrite").parquet(s"$path/fieldstats")
+    Seq(Tuple1(buckets)).toDF("buckets")
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  def loadFieldedIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       analyzer: Analyzer = Analyzer.default): FieldedIndex = {
+    val st = spark.read.parquet(s"$path/stats").head()
+    FieldedIndex(
+      spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/termstats"),
+      spark.read.parquet(s"$path/fieldstats"),
+      analyzer, st.getInt(0))
+  }
+
+  private def prunedToTermsF(df: DataFrame, index: FieldedIndex,
+                             terms: Seq[String]): DataFrame =
+    if (index.tbBuckets <= 0) df
+    else df.filter(col("tb")
+        .isin(terms.map(termBucket(_, index.tbBuckets)).distinct: _*))
+      .drop("tb")
 
   /** Full fielded-BM25 score set for `query` — the indexed half of the
     * multi-column `MATCH((a boost, b), 'q') + _score` route (reference:
@@ -458,8 +495,10 @@ object MatchText {
     val boostDf = index.fieldStats.select(col("field")).collect()
       .map(r => (r.getString(0), boosts.getOrElse(r.getString(0), 1.0))).toSeq
       .toDF("field", "boost")
-    val perField = index.postings.join(broadcast(terms), Seq("term"))
-      .join(index.termStats.join(broadcast(terms), Seq("term")), Seq("field", "term"))
+    val perField = prunedToTermsF(index.postings, index, termList)
+      .join(broadcast(terms), Seq("term"))
+      .join(prunedToTermsF(index.termStats, index, termList)
+        .join(broadcast(terms), Seq("term")), Seq("field", "term"))
       .join(broadcast(index.fieldStats), Seq("field"))
       .join(broadcast(boostDf), Seq("field"))
       .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
@@ -488,12 +527,15 @@ object MatchText {
       s"unsupported match type: $matchType")
     val spark = index.postings.sparkSession
     import spark.implicits._
-    val terms = TextFunctions.tokenize(query.toLowerCase).distinct.toSeq.toDF("term")
+    val termList = TextFunctions.tokenize(query.toLowerCase).distinct.toSeq
+    val terms = termList.toDF("term")
     val boostDf = index.fieldStats.select(col("field")).collect()
       .map(r => (r.getString(0), boosts.getOrElse(r.getString(0), 1.0))).toSeq
       .toDF("field", "boost")
-    val perField = index.postings.join(broadcast(terms), Seq("term"))
-      .join(index.termStats.join(broadcast(terms), Seq("term")), Seq("field", "term"))
+    val perField = prunedToTermsF(index.postings, index, termList)
+      .join(broadcast(terms), Seq("term"))
+      .join(prunedToTermsF(index.termStats, index, termList)
+        .join(broadcast(terms), Seq("term")), Seq("field", "term"))
       .join(broadcast(index.fieldStats), Seq("field"))
       .join(broadcast(boostDf), Seq("field"))
       .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))

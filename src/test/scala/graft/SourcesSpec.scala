@@ -1444,3 +1444,47 @@ class StoredIndexSpec extends SparkTestBase {
     assert(!new java.io.File(s"$root/sdocs/_ftindex/txt_ft/v$v").exists())
   }
 }
+
+/** Durable FIELDED index: round-trip + the multi-column _score route
+  * loading instead of rebuilding. */
+class StoredFieldedIndexSpec extends SparkTestBase {
+  import graft.operators.MatchText
+
+  test("fielded save/load round-trip is score-identical; route persists") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "spark filter join", "nothing"), (2L, "spark only", "spark filter"),
+      (3L, "x", "filter"))).toDF("id", "head", "tail")
+    val built = MatchText.buildFieldedIndex(docs, "id", Seq("head", "tail"))
+    val dir = Files.createTempDirectory("graftsfidx").toFile.getAbsolutePath
+    MatchText.saveFieldedIndex(built, dir, buckets = 8)
+    val loaded = MatchText.loadFieldedIndex(spark, dir)
+    assert(loaded.tbBuckets == 8)
+    val a = MatchText.scoreFieldedBM25(built, "spark filter",
+        Map("head" -> 2.0), "most_fields")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val b = MatchText.scoreFieldedBM25(loaded, "spark filter",
+        Map("head" -> 2.0), "most_fields")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(a.keySet == b.keySet && a.nonEmpty)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12) }
+
+    // router route persists under _ftindex/<name>__fielded and reloads
+    val root = Files.createTempDirectory("graftsfidx2").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute("""CREATE TABLE fdocs (
+        id BIGINT PRIMARY KEY, head TEXT, tail TEXT,
+        INDEX ht_ft USING FULLTEXT (head, tail) WITH (analyzer = 'standard'))""")
+    r.execute("""INSERT INTO fdocs (id, head, tail) VALUES
+        (1, 'spark filter', 'x'), (2, 'spark', 'spark filter')""")
+    val q = """SELECT id, _score FROM fdocs
+               WHERE MATCH((head 2.0, tail), 'spark filter') USING most_fields
+               ORDER BY id"""
+    val first = r.execute(q).collect().map(x => (x.getLong(0), x.getDouble(1)))
+    val v = graft.sources.VersionedTable.latestVersion(spark, s"$root/fdocs").get
+    assert(MatchText.storedIndexExists(spark,
+      s"$root/fdocs/_ftindex/ht_ft__fielded/v$v"))
+    MatchText.IndexCache.clear()
+    val again = r.execute(q).collect().map(x => (x.getLong(0), x.getDouble(1)))
+    assert(first.toSeq == again.toSeq)
+  }
+}
