@@ -1100,6 +1100,23 @@ class StatementRouter(spark: SparkSession, root: String) {
   // ---------- CREATE / DROP ----------
 
   private def createTable(stmt: String): DataFrame = {
+    // CREATE TABLE [IF NOT EXISTS] t AS {(query)|query}  (create-table-as
+    // .rst) and CREATE TABLE [IF NOT EXISTS] t (LIKE src [opts])
+    // (create-table-like.rst) branch off before the column-list parse
+    locally {
+      val sig = Dialect.lex(stmt).filter(_.sig)
+      var i = 2
+      var ine = false
+      if (sig.lift(i).exists(_.is("if"))) { ine = true; i += 3 }
+      if (sig.lift(i).isDefined) {
+        val name = unq(sig(i))
+        if (sig.lift(i + 1).exists(_.is("as")))
+          return createTableAs(name, ine, sig, i + 2)
+        if (sig.lift(i + 1).exists(_.isSym("(")) &&
+            sig.lift(i + 2).exists(_.is("like")))
+          return createTableLike(name, ine, sig, i + 1)
+      }
+    }
     val ddl = Dialect.translateDdl(stmt)
     // "CREATE TABLE <name> (<cols>) USING parquet[ PARTITIONED ...]"
     val open = ddl.indexOf('(')
@@ -1168,6 +1185,89 @@ class StatementRouter(spark: SparkSession, root: String) {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], fullSchema)
     VersionedTable.commit(spark, tablePath(name), empty)
+    summary(0L)
+  }
+
+  /** `CREATE TABLE [IF NOT EXISTS] t AS {(query)|query}` (reference
+    * create-table-as.rst): column names/types and rows come from the
+    * query; table options take their defaults. Returns the inserted row
+    * count, read from the committed version's footers (no extra pass). */
+  private def createTableAs(name: String, ifNotExists: Boolean,
+                            sig: Vector[Tok], from: Int): DataFrame = {
+    if (VersionedTable.latestVersion(spark, tablePath(name)).isDefined) {
+      require(ifNotExists, s"table $name already exists")
+      return summary(0L)
+    }
+    require(!fs.exists(new Path(viewsDir, s"$name.sql")),
+      s"a view named $name already exists")
+    var q = sig.slice(from, sig.length)
+    if (q.headOption.exists(_.isSym("(")) && matchFwd(q, 0) == q.length - 1)
+      q = q.slice(1, q.length - 1)
+    registerViews()
+    val df = spark.sql(Dialect.translate(renderSig(q)))
+    VersionedTable.commit(spark, tablePath(name), df)
+    summary(readTable(name).count())
+  }
+
+  /** `CREATE TABLE [IF NOT EXISTS] t (LIKE src [like_option …])`
+    * (reference create-table-like.rst): an empty table with the source's
+    * column names, types and NOT NULL constraints; PARTITIONED BY /
+    * CLUSTERED BY always copy. `INCLUDING {ALL | CONSTRAINTS | GENERATED
+    * | INDEXES}` additionally copies CHECK + PRIMARY KEY, generated
+    * columns, and fulltext index specs; DEFAULTS/STORAGE are accepted
+    * no-ops (graft tables have neither column defaults nor storage
+    * parameters). */
+  private def createTableLike(name: String, ifNotExists: Boolean,
+                              sig: Vector[Tok], open: Int): DataFrame = {
+    if (VersionedTable.latestVersion(spark, tablePath(name)).isDefined) {
+      require(ifNotExists, s"table $name already exists")
+      return summary(0L)
+    }
+    val close = matchFwd(sig, open)
+    require(close > open + 2, "CREATE TABLE (LIKE …): source table expected")
+    val src = unq(sig(open + 2))
+    val srcPath = tablePath(src)
+    require(VersionedTable.latestVersion(spark, srcPath).isDefined,
+      s"table $src does not exist")
+    var inc = Map("constraints" -> false, "generated" -> false, "indexes" -> false)
+    var j = open + 3
+    while (j + 1 < close) {
+      val mode = sig(j)
+      if (mode.is("including") || mode.is("excluding")) {
+        val on = mode.is("including")
+        val what = sig(j + 1).text.toLowerCase
+        if (what == "all") inc = inc.map { case (k, _) => k -> on }
+        else if (inc.contains(what)) inc += what -> on
+        j += 2
+      } else j += 1
+    }
+    val schema = readTable(src).schema
+    VersionedTable.partitionSpec(spark, srcPath).foreach(ps =>
+      VersionedTable.setPartitionSpec(spark, tablePath(name),
+        ps.copy(schemaDdl = schema.toDDL)))
+    VersionedTable.bucketSpec(spark, srcPath).foreach(bs =>
+      VersionedTable.setBucketSpec(spark, tablePath(name), bs))
+    val srcSpec = VersionedTable.constraintSpec(spark, srcPath)
+      .getOrElse(VersionedTable.ConstraintSpec(Nil, Nil, Nil))
+    val copied = VersionedTable.ConstraintSpec(
+      if (inc("generated")) srcSpec.generated else Nil,
+      if (inc("constraints")) srcSpec.checks else Nil,
+      srcSpec.notNull)
+    if (copied.generated.nonEmpty || copied.checks.nonEmpty || copied.notNull.nonEmpty)
+      VersionedTable.setConstraintSpec(spark, tablePath(name), copied)
+    if (inc("constraints")) {
+      val pk = VersionedTable.primaryKey(spark, srcPath)
+      if (pk.nonEmpty) {
+        VersionedTable.setPrimaryKey(spark, tablePath(name), pk)
+        sources.InformationSchema.registerPrimaryKey(name, pk)
+      }
+    }
+    if (inc("indexes")) {
+      val ix = VersionedTable.indexSpecs(spark, srcPath)
+      if (ix.nonEmpty) VersionedTable.setIndexSpecs(spark, tablePath(name), ix)
+    }
+    VersionedTable.commit(spark, tablePath(name),
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
     summary(0L)
   }
 

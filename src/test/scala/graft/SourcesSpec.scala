@@ -1488,3 +1488,60 @@ class StoredFieldedIndexSpec extends SparkTestBase {
     assert(first.toSeq == again.toSeq)
   }
 }
+
+/** CREATE TABLE AS (create-table-as.rst) and CREATE TABLE (LIKE src)
+  * (create-table-like.rst). */
+class CreateTableAsLikeSpec extends SparkTestBase {
+
+  test("CTAS: schema and rows from the query; IF NOT EXISTS no-ops") {
+    val root = Files.createTempDirectory("graftctas").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute("CREATE TABLE base (id BIGINT PRIMARY KEY, v DOUBLE PRECISION)")
+    r.execute("INSERT INTO base (id, v) VALUES (1, 1.5), (2, 2.5), (3, 3.5)")
+    val n = r.execute(
+      "CREATE TABLE derived AS SELECT id, v * 2 AS dv FROM base WHERE id < 3")
+    assert(n.head().getLong(0) == 2L)
+    val got = r.execute("SELECT id, dv FROM derived ORDER BY id").collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(got == Seq((1L, 3.0), (2L, 5.0)))
+    // parenthesized query shape + IF NOT EXISTS
+    assert(r.execute(
+      "CREATE TABLE IF NOT EXISTS derived AS (SELECT 9 AS x)").head().getLong(0) == 0L)
+    intercept[Exception](r.execute("CREATE TABLE derived AS SELECT 9 AS x"))
+  }
+
+  test("LIKE: empty clone; partitioning always copies; INCLUDING opts") {
+    val root = Files.createTempDirectory("graftlike").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute("""CREATE TABLE src (
+        id BIGINT PRIMARY KEY, status TEXT NOT NULL, v DOUBLE PRECISION,
+        CONSTRAINT pos CHECK (v > 0),
+        INDEX st_ft USING FULLTEXT (status))
+        PARTITIONED BY (status)""")
+    r.execute("INSERT INTO src (id, status, v) VALUES (1, 'a', 1.0)")
+
+    // default: columns + NOT NULL + partitioning; no checks/indexes/pk
+    r.execute("CREATE TABLE plainclone (LIKE src)")
+    val pc = s"$root/plainclone"
+    assert(r.execute("SELECT * FROM plainclone").count() == 0)
+    assert(r.execute("SELECT * FROM plainclone").schema.fieldNames.toSeq
+      == Seq("id", "status", "v"))
+    assert(VersionedTable.partitionSpec(spark, pc).map(_.cols) == Some(Seq("status")))
+    assert(VersionedTable.indexSpecs(spark, pc).isEmpty)
+    assert(VersionedTable.primaryKey(spark, pc).isEmpty)
+    val pcSpec = VersionedTable.constraintSpec(spark, pc).get
+    assert(pcSpec.notNull == Seq("status") && pcSpec.checks.isEmpty)
+    // NOT NULL enforced on the clone
+    intercept[Exception](
+      r.execute("INSERT INTO plainclone (id, v) VALUES (1, 2.0)"))
+
+    // INCLUDING ALL: checks, pk, indexes ride along
+    r.execute("CREATE TABLE fullclone (LIKE src INCLUDING ALL)")
+    val fc = s"$root/fullclone"
+    assert(VersionedTable.primaryKey(spark, fc) == Seq("id"))
+    assert(VersionedTable.indexSpecs(spark, fc).map(_.name) == Seq("st_ft"))
+    assert(VersionedTable.constraintSpec(spark, fc).get.checks.nonEmpty)
+    intercept[Exception](
+      r.execute("INSERT INTO fullclone (id, status, v) VALUES (1, 'x', -5.0)"))
+  }
+}
