@@ -129,6 +129,8 @@ class StatementRouter(spark: SparkSession, root: String) {
     * a transaction the staged snapshots overlay the committed ones (read
     * your own writes). */
   def registerViews(): Unit = {
+    // durable schemas resurface per session (information_schema.schemata)
+    registeredSchemas.foreach(sources.InformationSchema.registerSchema)
     val rp = new Path(root)
     if (fs.exists(rp)) fs.listStatus(rp).foreach { st =>
       val name = st.getPath.getName
@@ -219,10 +221,92 @@ class StatementRouter(spark: SparkSession, root: String) {
     }
   }
 
-  private def executeRouted(stmt: String): DataFrame = {
+  // ---------- schemas ----------
+
+  /** Durable schema registry (reference: a schema is a namespace for
+    * relations, `doc` the default — create-schema.rst; CrateDB also
+    * creates schemas implicitly with CREATE TABLE). Qualified names fold
+    * to flat internal names: `doc.t` → `t`, `s.t` → `s__t`. */
+  private def schemasFile = new Path(root, "_schemas")
+
+  private def registeredSchemas: Set[String] = {
+    if (!fs.exists(schemasFile)) return Set.empty
+    val in = fs.open(schemasFile)
+    val bytes = new Array[Byte](in.available())
+    in.readFully(bytes); in.close()
+    new String(bytes, "UTF-8").split("\n").map(_.trim).filter(_.nonEmpty).toSet
+  }
+
+  private def registerSchema(s: String): Unit = {
+    val cur = registeredSchemas
+    if (!cur.contains(s)) {
+      val out = fs.create(schemasFile, true)
+      out.write((cur + s).toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+      out.close()
+    }
+    sources.InformationSchema.registerSchema(s)
+  }
+
+  /** Fold schema-qualified relation names to flat internal names. The
+    * rewrite is conservative: a qualifier is only folded when it is `doc`
+    * or a registered schema AND that word is never used as a bare
+    * identifier in the statement (a table alias named like a schema
+    * shadows it, as in the reference's resolver). */
+  private def rewriteSchemaQualifiers(stmt: String): String = {
+    if (!stmt.contains(".")) return stmt
+    val known = registeredSchemas + "doc"
+    val ts = Dialect.lex(stmt).filter(_.sig)
+    def isWord(t: Tok) = t.kind == Dialect.K.Word || t.kind == Dialect.K.QId
+    // words used WITHOUT a following dot anywhere → treated as aliases
+    val shadowed: Set[String] = ts.indices.flatMap { i =>
+      val t = ts(i)
+      if (isWord(t) && known.contains(unq(t).toLowerCase) &&
+          !ts.lift(i + 1).exists(_.isSym("."))) Some(unq(t).toLowerCase)
+      else None
+    }.toSet
+    val out = new StringBuilder
+    var i = 0
+    var changed = false
+    while (i < ts.length) {
+      val t = ts(i)
+      val s = if (isWord(t)) unq(t).toLowerCase else ""
+      if (known.contains(s) && !shadowed.contains(s) &&
+          ts.lift(i + 1).exists(_.isSym(".")) && ts.lift(i + 2).exists(isWord) &&
+          !(i > 0 && ts(i - 1).isSym("."))) {
+        if (s == "doc") out.append(unq(ts(i + 2)))
+        else out.append(s).append("__").append(unq(ts(i + 2)))
+        out.append(' '); i += 3; changed = true
+      } else { out.append(t.text).append(' '); i += 1 }
+    }
+    if (changed) out.toString.trim else stmt
+  }
+
+  private def executeRouted(stmt0: String): DataFrame = {
+    // CREATE TABLE with a qualified name creates the schema implicitly
+    // (create-schema.rst: "CrateDB also implicitly creates missing
+    // schemas with other CREATE statements") — register it BEFORE the
+    // qualifier rewrite so the name folds
+    locally {
+      val s0 = Dialect.lex(stmt0).filter(_.sig)
+      if (s0.length > 3 && s0(0).is("create") && s0(1).is("table")) {
+        val ni = if (s0.lift(2).exists(_.is("if"))) 5 else 2
+        if (s0.lift(ni + 1).exists(_.isSym(".")) &&
+            s0.lift(ni).exists(t => t.kind == Dialect.K.Word || t.kind == Dialect.K.QId)) {
+          val s = unq(s0(ni)).toLowerCase
+          if (s != "doc" && !Set("information_schema", "sys", "pg_catalog").contains(s))
+            registerSchema(s)
+        }
+      }
+    }
+    val stmt = rewriteSchemaQualifiers(stmt0)
     val sig = Dialect.lex(stmt).filter(_.sig)
     require(sig.nonEmpty, "empty statement")
     sig(0).text.toLowerCase match {
+      case "create" if sig.length > 1 && sig(1).is("schema") =>
+        val ni = if (sig.lift(2).exists(_.is("if"))) 5 else 2
+        registerSchema(unq(sig(ni)).toLowerCase)
+        summary(0L)
+      case "drop" if sig.length > 1 && sig(1).is("schema") => dropSchema(sig)
       case "create" if sig.length > 1 && sig(1).is("table") => createTable(stmt)
       case "drop" if sig.length > 1 && sig(1).is("table")   => dropTable(sig)
       case "create" if sig.length > 1 && sig(1).is("server") => createServer(sig)
@@ -986,29 +1070,35 @@ class StatementRouter(spark: SparkSession, root: String) {
     else df
   }
 
-  /** `SHOW SCHEMAS [LIKE 'p']` → schema_name rows, ordered. */
+  /** `SHOW SCHEMAS [LIKE 'p']` → schema_name rows, ordered (built-ins
+    * plus every schema CREATE SCHEMA / qualified CREATE TABLE added). */
   private def showSchemas(sig: Vector[Tok]): DataFrame = {
     import spark.implicits._
-    val df = Seq("doc", "information_schema", "pg_catalog", "sys")
-      .toDF("schema_name")
+    val df = (Seq("doc", "information_schema", "pg_catalog", "sys")
+      ++ registeredSchemas).distinct.toDF("schema_name")
     likeFiltered(df, "schema_name", sig).orderBy("schema_name")
   }
 
   /** `SHOW TABLES [FROM|IN schema] [LIKE 'p']` → user tables only (the
-    * reference excludes information_schema/sys/pg_catalog). */
+    * reference excludes information_schema/sys/pg_catalog). Tables of a
+    * created schema list under it with their bare names. */
   private def showTables(sig: Vector[Tok]): DataFrame = {
     import spark.implicits._
     val fi = sig.indexWhere(t => t.is("from") || t.is("in"))
     val schema = if (fi > 0 && fi + 1 < sig.length) unq(sig(fi + 1)) else "doc"
+    val all = {
+      val rp = new Path(root)
+      if (!fs.exists(rp)) Seq.empty[String]
+      else fs.listStatus(rp).toSeq
+        .filter(st => st.isDirectory && fs.exists(new Path(st.getPath, "_manifests")))
+        .map(_.getPath.getName)
+    }
     val names =
-      if (schema != "doc") Seq.empty[String]
-      else {
-        val rp = new Path(root)
-        if (!fs.exists(rp)) Seq.empty[String]
-        else fs.listStatus(rp).toSeq
-          .filter(st => st.isDirectory && fs.exists(new Path(st.getPath, "_manifests")))
-          .map(_.getPath.getName)
-      }
+      if (schema == "doc") all.filterNot(_.contains("__"))
+      else if (registeredSchemas.contains(schema.toLowerCase))
+        all.filter(_.startsWith(schema.toLowerCase + "__"))
+          .map(_.stripPrefix(schema.toLowerCase + "__"))
+      else Seq.empty[String]
     likeFiltered(names.toDF("table_name"), "table_name", sig)
       .orderBy("table_name")
   }
@@ -1774,6 +1864,43 @@ class StatementRouter(spark: SparkSession, root: String) {
       } else i += 1
     }
     out.toMap
+  }
+
+  /** `DROP SCHEMA [IF EXISTS] s [CASCADE]` — a plain drop requires the
+    * namespace empty; CASCADE drops its tables first (drop-schema
+    * semantics mirror PG's, which the reference follows). */
+  private def dropSchema(sig: Vector[Tok]): DataFrame = {
+    val ifExists = sig.lift(2).exists(_.is("if"))
+    val ni = if (ifExists) 4 else 2
+    val s = unq(sig(ni)).toLowerCase
+    val cascade = sig.lift(ni + 1).exists(_.is("cascade"))
+    val cur = registeredSchemas
+    if (!cur.contains(s)) {
+      require(ifExists, s"schema $s does not exist")
+      return summary(0L)
+    }
+    val members = {
+      val rp = new Path(root)
+      if (!fs.exists(rp)) Seq.empty[String]
+      else fs.listStatus(rp).toSeq.filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(s + "__") &&
+          fs.exists(new Path(st.getPath, "_manifests")))
+        .map(_.getPath.getName)
+    }
+    if (members.nonEmpty) {
+      require(cascade, s"schema $s is not empty (use CASCADE)")
+      members.foreach { m =>
+        VersionedTable.dropCatalogEntries(spark, tablePath(m))
+        fs.delete(new Path(tablePath(m)), true)
+        sources.InformationSchema.dropPrimaryKey(m)
+        spark.catalog.dropTempView(m)
+      }
+    }
+    val out = fs.create(schemasFile, true)
+    out.write((cur - s).toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    out.close()
+    sources.InformationSchema.dropSchema(s)
+    summary(0L)
   }
 
   private def dropTable(sig: Vector[Tok]): DataFrame = {

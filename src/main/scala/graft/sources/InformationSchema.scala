@@ -35,8 +35,9 @@ object InformationSchema {
     * `metadata/information/InformationSchemataTableInfo.java`). */
   def schemata(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    spark.catalog.listDatabases().collect().toSeq
+    (spark.catalog.listDatabases().collect().toSeq
       .map(d => (Option(d.catalog).getOrElse("spark_catalog"), d.name))
+      ++ userSchemas.map(("spark_catalog", _)))
       .toDF("catalog_name", "schema_name")
   }
 
@@ -89,6 +90,20 @@ object InformationSchema {
   def primaryKeys: Map[String, Seq[String]] = {
     import scala.jdk.CollectionConverters._
     fixturePrimaryKeys ++ declaredPrimaryKeys.asScala
+  }
+
+  /** User schemas declared via CREATE SCHEMA (or implicitly by a
+    * qualified CREATE TABLE) — surfaced in `schemata` alongside the
+    * built-ins; the StatementRouter re-registers them from its durable
+    * `_schemas` file per session. */
+  private val declaredSchemas =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def registerSchema(name: String): Unit = declaredSchemas.add(name.toLowerCase)
+  def dropSchema(name: String): Unit = declaredSchemas.remove(name.toLowerCase)
+  def userSchemas: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    declaredSchemas.asScala.toSeq.sorted
   }
 
   /** `information_schema.table_constraints` — one PRIMARY KEY row per

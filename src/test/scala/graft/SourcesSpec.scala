@@ -1545,3 +1545,50 @@ class CreateTableAsLikeSpec extends SparkTestBase {
       r.execute("INSERT INTO fullclone (id, status, v) VALUES (1, 'x', -5.0)"))
   }
 }
+
+/** Schema namespaces: CREATE/DROP SCHEMA, doc-default folding, qualified
+  * names, implicit creation (create-schema.rst). */
+class SchemaSpec extends SparkTestBase {
+
+  test("doc folds to bare names; created schemas namespace tables") {
+    val root = Files.createTempDirectory("graftschema").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute("CREATE TABLE doc.plain (id BIGINT PRIMARY KEY, v TEXT)")
+    r.execute("INSERT INTO doc.plain (id, v) VALUES (1, 'x')")
+    assert(r.execute("SELECT v FROM doc.plain WHERE id = 1").head().getString(0) == "x")
+    // unqualified access reaches the same table
+    assert(r.execute("SELECT count(*) AS n FROM plain").head().getLong(0) == 1L)
+
+    r.execute("CREATE SCHEMA archive")
+    r.execute("CREATE TABLE archive.plain (id BIGINT, note TEXT)")
+    r.execute("INSERT INTO archive.plain (id, note) VALUES (7, 'old')")
+    // same bare name, different namespaces
+    assert(r.execute("SELECT note FROM archive.plain").head().getString(0) == "old")
+    assert(r.execute("SELECT v FROM doc.plain").head().getString(0) == "x")
+
+    // SHOW SCHEMAS / SHOW TABLES FROM see the namespace
+    val schemas = r.execute("SHOW SCHEMAS").collect().map(_.getString(0)).toSeq
+    assert(schemas.contains("archive") && schemas.contains("doc"))
+    val tf = r.execute("SHOW TABLES FROM archive").collect().map(_.getString(0)).toSeq
+    assert(tf == Seq("plain"), tf.mkString(", "))
+    val td = r.execute("SHOW TABLES").collect().map(_.getString(0)).toSeq
+    assert(td == Seq("plain"), td.mkString(", "))
+
+    // implicit creation: qualified CREATE TABLE registers the schema
+    r.execute("CREATE TABLE staging.raw (id BIGINT)")
+    assert(r.execute("SHOW SCHEMAS").collect().map(_.getString(0)).contains("staging"))
+
+    // an alias named like a schema shadows it (no rewrite)
+    val shadow = r.execute(
+      "SELECT archive.v FROM plain archive WHERE archive.id = 1")
+    assert(shadow.head().getString(0) == "x")
+
+    // DROP SCHEMA: refuses non-empty without CASCADE, cascades with
+    intercept[Exception](r.execute("DROP SCHEMA archive"))
+    r.execute("DROP SCHEMA archive CASCADE")
+    assert(!r.execute("SHOW SCHEMAS").collect().map(_.getString(0)).contains("archive"))
+    intercept[Exception](r.execute("SELECT * FROM archive.plain"))
+    // doc table untouched
+    assert(r.execute("SELECT count(*) AS n FROM plain").head().getLong(0) == 1L)
+  }
+}
