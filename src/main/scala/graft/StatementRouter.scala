@@ -1159,7 +1159,9 @@ class StatementRouter(spark: SparkSession, root: String) {
       // recomputed (deterministic expressions yield the same value).
       val checked = enforceOnInsert(name, rows, Set.empty)
       val n = checked.count()
-      writeTable(name, Dml.insertInto(target, checked))
+      // an append only changes the incoming rows' partitions
+      writeTable(name, Dml.insertInto(target, checked),
+        partitionTouch(name, checked))
       if (ts.exists(_.is("summary"))) fileSummary else summary(n)
     } else {
       val cur = readTable(name)

@@ -10,20 +10,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object InformationSchema {
 
+  /** Schema attribution for the flat temp-view namespace (reference:
+    * every relation reports its real schema — `InformationTablesTableInfo
+    * .java`): system views registered as `information_schema_x` / `sys_x`
+    * / `pg_x` report their system schema, `s__t` names report schema `s`
+    * with the bare table name, everything else is `doc`. */
+  private def schemaOf(name: String): (String, String) =
+    if (name.startsWith("information_schema_"))
+      ("information_schema", name.stripPrefix("information_schema_"))
+    else if (name.startsWith("sys_")) ("sys", name.stripPrefix("sys_"))
+    else if (name.startsWith("pg_")) ("pg_catalog", name)
+    else if (name.contains("__") && !name.startsWith("graft"))
+      (name.split("__", 2)(0), name.split("__", 2)(1))
+    else ("doc", name)
+
   def tables(spark: SparkSession): DataFrame = {
     import spark.implicits._
     spark.catalog.listTables().collect().toSeq
-      .map(t => (Option(t.catalog).getOrElse("spark_catalog"),
-        Option(t.namespace).map(_.mkString(".")).filter(_.nonEmpty).getOrElse("default"),
-        t.name, t.tableType))
+      .map { t =>
+        val (sch, bare) = schemaOf(t.name)
+        (Option(t.catalog).getOrElse("spark_catalog"), sch, bare, t.tableType)
+      }
       .toDF("table_catalog", "table_schema", "table_name", "table_type")
   }
 
   def columns(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val rows = spark.catalog.listTables().collect().toSeq.flatMap { t =>
+      val (sch, bare) = schemaOf(t.name)
       spark.catalog.listColumns(t.name).collect().toSeq.zipWithIndex.map { case (c, i) =>
-        ("spark_catalog", "default", t.name, c.name, i + 1, c.dataType,
+        ("spark_catalog", sch, bare, c.name, i + 1, c.dataType,
           c.nullable)
       }
     }
