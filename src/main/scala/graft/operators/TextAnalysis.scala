@@ -127,4 +127,32 @@ object TextAnalysis {
       languageOf(t).as("lang_pred"),
       fingerprint(t).as("fingerprint"))
   }
+
+  /** FastText/CCNet-style linear quality classifier over token n-gram
+    * features with an EXPLICIT weight vocabulary:
+    * p = sigmoid(bias + Σ_g count(g)·w(g)). A shipped quality model is a
+    * few thousand weighted n-grams; carrying the vocabulary as a map
+    * literal compiles the whole scorer into one codegen'd map-only
+    * projection — no explode, no join, no shuffle, no UDF — so at 100 TB
+    * it runs at scan speed next to the other per-document metrics.
+    * Tokens are lowercased alnum runs; `n = 2` scores word bigrams
+    * (features joined with a single space), etc. */
+  def scoreLinear(df: DataFrame, textCol: String,
+                  weights: Map[String, Double], bias: Double = 0.0,
+                  n: Int = 1, outCol: String = "quality_prob"): DataFrame = {
+    require(n >= 1, "n-gram order must be >= 1")
+    require(weights.nonEmpty, "empty weight vocabulary")
+    val toks = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
+      t => length(t) > 0)
+    val grams =
+      if (n == 1) toks
+      else when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+        .otherwise(array().cast("array<string>"))
+    val wmap = typedLit(weights)
+    val z = lit(bias) + aggregate(grams, lit(0.0),
+      (acc, g) => acc + coalesce(element_at(wmap, g), lit(0.0)))
+    df.withColumn(outCol, lit(1.0) / (lit(1.0) + exp(-z)))
+  }
 }

@@ -712,6 +712,25 @@ object QueriesRound4 {
         .orderBy(col("doc_id"))
     }),
 
+    // FastText/CCNet-style linear quality classifier
+    // (TextAnalysis.scoreLinear): explicit weighted vocabulary folded
+    // into one codegen'd map-only projection — sigmoid(bias + Σ count·w).
+    // DuckDB replays tokenization, per-token weight lookup, the ordered
+    // left-to-right sum, and the sigmoid.
+    "q199_quality_classifier" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val w = Map("spark" -> 0.9, "filter" -> 0.4, "slow" -> -1.1,
+        "value" -> 0.2, "big" -> -0.3)
+      graft.operators.TextAnalysis.scoreLinear(docs, "text", w, bias = -0.5)
+        .select(col("doc_id"),
+          round(col("quality_prob"), 6).as("prob"),
+          // threshold on the ROUNDED probability: engines may differ by
+          // an ulp in the feature sum, and a doc sitting exactly at z=0
+          // must classify identically on both comparator sides
+          (round(col("quality_prob"), 6) >= 0.5).as("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Greedy next-fit sequence packing (Sampling.packSequences): chunks
     // pack into ≤256-token sequences per shard, in id order — the exact
     // linear recurrence a DuckDB recursive CTE replays, so seq ids and
@@ -727,6 +746,22 @@ object QueriesRound4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q199_quality_classifier" ->
+      """SELECT doc_id,
+        |       round(1.0 / (1.0 + exp(-z)), 6) AS prob,
+        |       round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS kept
+        |FROM (
+        |  SELECT doc_id,
+        |         -0.5 + coalesce(list_sum(list_transform(toks, t ->
+        |           CASE t WHEN 'spark' THEN 0.9 WHEN 'filter' THEN 0.4
+        |                  WHEN 'slow' THEN -1.1 WHEN 'value' THEN 0.2
+        |                  WHEN 'big' THEN -0.3 ELSE 0.0 END)), 0.0) AS z
+        |  FROM (SELECT doc_id,
+        |               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                           x -> len(x) > 0) AS toks
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
     "q198_temperature_mix" ->
       """WITH sizes AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
         |w AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.5) AS wr FROM sizes),

@@ -1222,3 +1222,33 @@ class TemperatureMixSpec extends SparkTestBase {
     assert(math.abs(big / 900.0 - small / 100.0) < 0.15, s"big=$big small=$small")
   }
 }
+
+/** Linear quality classifier (TextAnalysis.scoreLinear). */
+class ScoreLinearSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("unigram scoring, bigram features, empty text, no shuffle") {
+    val docs = Seq(
+      (1L, "good good content"), (2L, "bad stuff"), (3L, "")
+    ).toDF("doc_id", "text")
+    val uni = graft.operators.TextAnalysis.scoreLinear(
+        docs, "text", Map("good" -> 1.0, "bad" -> -2.0), bias = 0.0)
+      .orderBy("doc_id").collect().map(_.getDouble(2))
+    def sig(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    assert(math.abs(uni(0) - sig(2.0)) < 1e-12)
+    assert(math.abs(uni(1) - sig(-2.0)) < 1e-12)
+    assert(math.abs(uni(2) - sig(0.0)) < 1e-12) // empty text scores the bias
+
+    val bi = graft.operators.TextAnalysis.scoreLinear(
+        docs, "text", Map("good good" -> 3.0), bias = -1.0, n = 2)
+      .orderBy("doc_id").collect().map(_.getDouble(2))
+    assert(math.abs(bi(0) - sig(2.0)) < 1e-12)  // one 'good good' bigram
+    assert(math.abs(bi(1) - sig(-1.0)) < 1e-12)
+    assert(math.abs(bi(2) - sig(-1.0)) < 1e-12) // < n tokens -> bias only
+
+    // the scorer is a pure projection: no exchange in the plan
+    val plan = graft.operators.TextAnalysis.scoreLinear(
+      docs, "text", Map("good" -> 1.0)).queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("exchange"), plan)
+  }
+}
