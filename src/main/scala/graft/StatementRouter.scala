@@ -307,6 +307,11 @@ class StatementRouter(spark: SparkSession, root: String) {
         registerSchema(unq(sig(ni)).toLowerCase)
         summary(0L)
       case "drop" if sig.length > 1 && sig(1).is("schema") => dropSchema(sig)
+      case "create" if sig.length > 1 && sig(1).is("repository") => createRepository(sig)
+      case "drop" if sig.length > 1 && sig(1).is("repository") => dropRepository(sig)
+      case "create" if sig.length > 1 && sig(1).is("snapshot") => createSnapshot(sig)
+      case "restore" if sig.length > 1 && sig(1).is("snapshot") => restoreSnapshot(sig)
+      case "drop" if sig.length > 1 && sig(1).is("snapshot") => dropSnapshot(sig)
       case "create" if sig.length > 1 && sig(1).is("table") => createTable(stmt)
       case "drop" if sig.length > 1 && sig(1).is("table")   => dropTable(sig)
       case "create" if sig.length > 1 && sig(1).is("server") => createServer(sig)
@@ -1866,6 +1871,177 @@ class StatementRouter(spark: SparkSession, root: String) {
       } else i += 1
     }
     out.toMap
+  }
+
+  // ---------- repositories & snapshots ----------
+
+  /** Durable repository registry (reference create-repository.rst: a
+    * named backup location; `fs`/`s3`/`azure` all resolve through the
+    * Hadoop FileSystem for the configured location URI). */
+  private def repositoriesFile = new Path(root, "_repositories")
+
+  private def repositories: Map[String, (String, String)] = {
+    if (!fs.exists(repositoriesFile)) return Map.empty
+    val in = fs.open(repositoriesFile)
+    val bytes = new Array[Byte](in.available())
+    in.readFully(bytes); in.close()
+    new String(bytes, "UTF-8").split("\n").filter(_.nonEmpty).map { l =>
+      val a = l.split("\t", 3); a(0) -> (a(1), a(2))
+    }.toMap
+  }
+
+  private def writeRepositories(m: Map[String, (String, String)]): Unit = {
+    val out = fs.create(repositoriesFile, true)
+    out.write(m.toSeq.sortBy(_._1)
+      .map { case (n, (t, l)) => s"$n\t$t\t$l" }.mkString("\n").getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** `CREATE REPOSITORY r TYPE t WITH (location = '…')`. */
+  private def createRepository(sig: Vector[Tok]): DataFrame = {
+    val name = unq(sig(2))
+    require(sig.lift(3).exists(_.is("type")), "CREATE REPOSITORY requires TYPE")
+    val typ = sig(4).text.toLowerCase
+    val wIdx = sig.indexWhere(_.is("with"))
+    val opts: Map[String, String] =
+      if (wIdx >= 0 && sig.lift(wIdx + 1).exists(_.isSym("("))) {
+        val c = matchFwd(sig, wIdx + 1)
+        splitTopCommas(sig.slice(wIdx + 2, c)).flatMap { p =>
+          val eq = p.indexWhere(_.isSym("="))
+          if (eq > 0) Some(p(eq - 1).text.toLowerCase ->
+            unq(p(eq + 1)))
+          else None
+        }.toMap
+      } else Map.empty
+    val loc = opts.getOrElse("location",
+      opts.getOrElse("path", sys.error("repository requires a location")))
+    require(!repositories.contains(name), s"repository $name already exists")
+    writeRepositories(repositories + (name -> (typ, loc)))
+    summary(1L)
+  }
+
+  private def dropRepository(sig: Vector[Tok]): DataFrame = {
+    val name = unq(sig(2))
+    require(repositories.contains(name), s"repository $name does not exist")
+    writeRepositories(repositories - name)
+    summary(1L)
+  }
+
+  private val tableSpecFiles = Seq("_pkspec", "_bucketspec", "_partitionspec",
+    "_indexspec", "_constraintspec", "_tablesettings")
+
+  private def copyFile(from: Path, to: Path): Unit = {
+    val in = fs.open(from)
+    val bytes = new Array[Byte](in.available())
+    in.readFully(bytes); in.close()
+    fs.mkdirs(to.getParent)
+    val out = fs.create(to, true)
+    out.write(bytes); out.close()
+  }
+
+  /** `CREATE SNAPSHOT r.s { TABLE t [, …] | ALL }` (create-snapshot.rst):
+    * each table's CURRENT snapshot (data + spec metadata + schema) is
+    * written under the repository location. Versions are immutable, so
+    * the backup is consistent at statement start like the reference's.
+    * PARTITION sub-clauses are not supported — loud error. */
+  private def createSnapshot(sig: Vector[Tok]): DataFrame = {
+    require(!sig.exists(_.is("partition")),
+      "snapshot PARTITION clauses are not supported")
+    require(sig.lift(3).exists(_.isSym(".")), "CREATE SNAPSHOT repo.name expected")
+    val repo = unq(sig(2)); val snap = unq(sig(4))
+    val (_, loc) = repositories.getOrElse(repo,
+      sys.error(s"repository $repo does not exist"))
+    val names: Seq[String] =
+      if (sig.lift(5).exists(_.is("all"))) {
+        val rp = new Path(root)
+        if (!fs.exists(rp)) Seq.empty
+        else fs.listStatus(rp).toSeq.filter(st => st.isDirectory &&
+            fs.exists(new Path(st.getPath, "_manifests")))
+          .map(_.getPath.getName)
+      } else {
+        require(sig.lift(5).exists(_.is("table")), "TABLE list or ALL expected")
+        val stop = sig.indexWhere(_.is("with")) match {
+          case -1 => sig.length
+          case w  => w
+        }
+        splitTopCommas(sig.slice(6, stop)).map(p => unq(p.head))
+      }
+    val snapDir = new Path(loc, snap)
+    require(!fs.exists(new Path(snapDir, "_snapshot")),
+      s"snapshot $repo.$snap already exists")
+    names.foreach { t =>
+      val df = readTable(t)
+      df.write.mode("overwrite").parquet(new Path(snapDir, s"$t/data").toString)
+      val out = fs.create(new Path(snapDir, s"$t/_schema"), true)
+      out.write(df.schema.toDDL.getBytes("UTF-8")); out.close()
+      tableSpecFiles.foreach { f =>
+        val p = new Path(tablePath(t), f)
+        if (fs.exists(p)) copyFile(p, new Path(snapDir, s"$t/$f"))
+      }
+    }
+    val marker = fs.create(new Path(snapDir, "_snapshot"), true)
+    marker.write(names.sorted.mkString("\n").getBytes("UTF-8")); marker.close()
+    summary(names.length.toLong)
+  }
+
+  /** `RESTORE SNAPSHOT r.s { ALL | TABLE t [, …] }` — restored tables
+    * must not exist (the reference's contract); data + spec metadata come
+    * back exactly, committed as the new table's v1. */
+  private def restoreSnapshot(sig: Vector[Tok]): DataFrame = {
+    require(!sig.exists(_.is("partition")),
+      "restore PARTITION clauses are not supported")
+    require(sig.lift(3).exists(_.isSym(".")), "RESTORE SNAPSHOT repo.name expected")
+    val repo = unq(sig(2)); val snap = unq(sig(4))
+    val (_, loc) = repositories.getOrElse(repo,
+      sys.error(s"repository $repo does not exist"))
+    val snapDir = new Path(loc, snap)
+    val markerPath = new Path(snapDir, "_snapshot")
+    require(fs.exists(markerPath), s"snapshot $repo.$snap does not exist")
+    val stored: Seq[String] = {
+      val in = fs.open(markerPath)
+      val bytes = new Array[Byte](in.available())
+      in.readFully(bytes); in.close()
+      new String(bytes, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
+    }
+    val names: Seq[String] =
+      if (sig.lift(5).exists(_.is("all")) || sig.length <= 5) stored
+      else {
+        require(sig.lift(5).exists(_.is("table")), "TABLE list or ALL expected")
+        val picked = splitTopCommas(sig.slice(6, sig.length)).map(p => unq(p.head))
+        picked.foreach(t => require(stored.contains(t),
+          s"table $t is not in snapshot $repo.$snap"))
+        picked
+      }
+    names.foreach { t =>
+      require(VersionedTable.latestVersion(spark, tablePath(t)).isEmpty,
+        s"table $t already exists — drop it before restoring")
+      tableSpecFiles.foreach { f =>
+        val p = new Path(snapDir, s"$t/$f")
+        if (fs.exists(p)) copyFile(p, new Path(tablePath(t), f))
+      }
+      val schemaIn = fs.open(new Path(snapDir, s"$t/_schema"))
+      val bytes = new Array[Byte](schemaIn.available())
+      schemaIn.readFully(bytes); schemaIn.close()
+      val schema = StructType.fromDDL(new String(bytes, "UTF-8"))
+      val df = spark.read.schema(schema)
+        .parquet(new Path(snapDir, s"$t/data").toString)
+      VersionedTable.commit(spark, tablePath(t), df)
+      val pk = VersionedTable.primaryKey(spark, tablePath(t))
+      if (pk.nonEmpty) sources.InformationSchema.registerPrimaryKey(t, pk)
+    }
+    summary(names.length.toLong)
+  }
+
+  private def dropSnapshot(sig: Vector[Tok]): DataFrame = {
+    require(sig.lift(3).exists(_.isSym(".")), "DROP SNAPSHOT repo.name expected")
+    val repo = unq(sig(2)); val snap = unq(sig(4))
+    val (_, loc) = repositories.getOrElse(repo,
+      sys.error(s"repository $repo does not exist"))
+    val snapDir = new Path(loc, snap)
+    require(fs.exists(new Path(snapDir, "_snapshot")),
+      s"snapshot $repo.$snap does not exist")
+    fs.delete(snapDir, true)
+    summary(1L)
   }
 
   /** `DROP SCHEMA [IF EXISTS] s [CASCADE]` — a plain drop requires the

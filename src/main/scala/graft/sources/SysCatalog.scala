@@ -267,7 +267,45 @@ object SysCatalog {
             v.getPath.getName.stripSuffix(".manifest"),
             v.getModificationTime, "SUCCESS"))
       }
-    rows.toDF("table_name", "name", "started", "state")
+    // plus real repository snapshots once CREATE SNAPSHOT ran (the
+    // reference's SysSnapshotsTableInfo shape: one row per snapshot)
+    val repoRows: Seq[(String, String, Long, String)] =
+      repositoryEntries(spark, dir).flatMap { case (rname, _, loc) =>
+        val lp = new org.apache.hadoop.fs.Path(loc)
+        val lfs = lp.getFileSystem(conf)
+        if (!lfs.exists(lp)) Seq.empty
+        else lfs.listStatus(lp).toSeq.filter(_.isDirectory).flatMap { sd =>
+          val marker = new org.apache.hadoop.fs.Path(sd.getPath, "_snapshot")
+          if (!lfs.exists(marker)) Seq.empty
+          else Seq(("_repository", s"$rname.${sd.getPath.getName}",
+            lfs.getFileStatus(marker).getModificationTime, "SUCCESS"))
+        }
+      }
+    (rows ++ repoRows).toDF("table_name", "name", "started", "state")
+  }
+
+  /** Registered backup repositories (reference `SysRepositoriesTableInfo
+    * .java`) — read from the router root's durable `_repositories`. */
+  private def repositoryEntries(spark: SparkSession, dir: String): Seq[(String, String, String)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir, "_repositories")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val bytes = new Array[Byte](in.available())
+      in.readFully(bytes); in.close()
+      new String(bytes, "UTF-8").split("\n").toSeq.filter(_.nonEmpty).map { l =>
+        val a = l.split("\t", 3); (a(0), a(1), a(2))
+      }
+    }
+  }
+
+  def repositories(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    repositoryEntries(spark, dir)
+      .map { case (n, t, l) => (n, t, s"""{"location": "$l"}""") }
+      .toDF("name", "type", "settings")
   }
 
   /** Register every sys view as `sys_<name>` temp views. */
@@ -285,5 +323,6 @@ object SysCatalog {
     jobsMetrics(spark).createOrReplaceTempView("sys_jobs_metrics")
     sessions(spark).createOrReplaceTempView("sys_sessions")
     snapshots(spark, dir).createOrReplaceTempView("sys_snapshots")
+    repositories(spark, dir).createOrReplaceTempView("sys_repositories")
   }
 }

@@ -1592,3 +1592,56 @@ class SchemaSpec extends SparkTestBase {
     assert(r.execute("SELECT count(*) AS n FROM plain").head().getLong(0) == 1L)
   }
 }
+
+/** Repositories + snapshots (create-repository.rst, create-snapshot.rst,
+  * restore-snapshot.rst). */
+class SnapshotSpec extends SparkTestBase {
+
+  test("create/restore/drop snapshot round-trips data and metadata") {
+    val root = Files.createTempDirectory("graftsnap").toFile.getAbsolutePath
+    val repoLoc = Files.createTempDirectory("graftrepo").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute(s"CREATE REPOSITORY backups TYPE fs WITH (location = '$repoLoc')")
+    r.execute("""CREATE TABLE snapped (
+        id BIGINT PRIMARY KEY, status TEXT, v DOUBLE PRECISION)
+        PARTITIONED BY (status)""")
+    r.execute("""INSERT INTO snapped (id, status, v) VALUES
+        (1, 'a', 1.0), (2, 'b', 2.0)""")
+    r.execute("CREATE TABLE other (x BIGINT)")
+    r.execute("INSERT INTO other (x) VALUES (42)")
+
+    assert(r.execute("CREATE SNAPSHOT backups.s1 ALL").head().getLong(0) == 2L)
+    // snapshot is consistent at creation: later DML doesn't leak in
+    r.execute("INSERT INTO snapped (id, status, v) VALUES (3, 'c', 3.0)")
+
+    // restore refuses existing tables; works after a drop
+    intercept[Exception](r.execute("RESTORE SNAPSHOT backups.s1 TABLE snapped"))
+    r.execute("DROP TABLE snapped")
+    r.execute("RESTORE SNAPSHOT backups.s1 TABLE snapped")
+    val rows = r.execute("SELECT id, status, v FROM snapped ORDER BY id")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getDouble(2))).toSeq
+    assert(rows == Seq((1L, "a", 1.0), (2L, "b", 2.0)), rows)
+    // spec metadata came back: PK + partitioning
+    assert(VersionedTable.primaryKey(spark, s"$root/snapped") == Seq("id"))
+    assert(VersionedTable.partitionSpec(spark, s"$root/snapped")
+      .map(_.cols) == Some(Seq("status")))
+    // partitioned DML still works on the restored table
+    r.execute("UPDATE snapped SET v = 9.0 WHERE status = 'a'")
+    assert(r.execute("SELECT v FROM snapped WHERE id = 1").head().getDouble(0) == 9.0)
+
+    // observability: repository + snapshot rows
+    r.registerViews()
+    val repos = SysCatalog.repositories(spark, root).collect()
+    assert(repos.length == 1 && repos(0).getString(0) == "backups")
+    val snaps = SysCatalog.snapshots(spark, root)
+      .filter("name = 'backups.s1'").collect()
+    assert(snaps.length == 1 && snaps(0).getString(3) == "SUCCESS")
+
+    // drop snapshot removes it; duplicate snapshot names refuse
+    intercept[Exception](r.execute("CREATE SNAPSHOT backups.s1 ALL"))
+    r.execute("DROP SNAPSHOT backups.s1")
+    intercept[Exception](r.execute("RESTORE SNAPSHOT backups.s1 ALL"))
+    r.execute("DROP REPOSITORY backups")
+    intercept[Exception](r.execute("CREATE SNAPSHOT backups.s2 ALL"))
+  }
+}
