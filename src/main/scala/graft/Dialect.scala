@@ -435,6 +435,17 @@ object Dialect {
                 val pred = method match {
                   case "phrase" =>
                     cols.map(c => s"contains(lower($c), lower($q))").mkString("(", " OR ", ")")
+                  // geographical MATCH on geo_shape columns (reference
+                  // docs/general/dql/geo.rst: match_types intersects
+                  // (spatial default) / disjoint / within decide the
+                  // spatial relation of the indexed shape vs the query
+                  // shape) — lowered to the computational-geometry UDFs
+                  case "intersects" =>
+                    cols.map(c => s"geo_intersects($c, $q)").mkString("(", " OR ", ")")
+                  case "disjoint" =>
+                    cols.map(c => s"geo_disjoint($c, $q)").mkString("(", " OR ", ")")
+                  case "within" =>
+                    cols.map(c => s"geo_within($c, $q)").mkString("(", " OR ", ")")
                   case _ =>
                     cols.map(c => s"match_text($c, $q)").mkString("(", " OR ", ")")
                 }
@@ -985,11 +996,33 @@ object Dialect {
     }
   }
 
+  /** Bare `CURRENT_USER` / `SESSION_USER` / `CURRENT_ROLE` → the
+    * registered 0-arity functions (reference grammar treats them as
+    * parameterless special functions; Spark's own bare CURRENT_USER
+    * resolves to the process user and would bypass SET SESSION
+    * AUTHORIZATION). */
+  private def passSessionKeywords(ts: Vector[Tok]): Option[Vector[Tok]] = {
+    var i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      if (t.kind == K.Word &&
+          (t.is("current_user") || t.is("session_user") || t.is("current_role"))) {
+        val nx = nextSig(ts, i)
+        val pv = prevSig(ts, i)
+        if ((nx < 0 || !ts(nx).isSym("(")) && (pv < 0 || !ts(pv).isSym(".")))
+          return Some(ts.take(i) ++ Vector(Tok(K.Word, t.text.toLowerCase),
+            Tok(K.Sym, "("), Tok(K.Sym, ")")) ++ ts.drop(i + 1))
+      }
+      i += 1
+    }
+    None
+  }
+
   private val passes: Seq[Vector[Tok] => Option[Vector[Tok]]] =
     Seq(passRenames, passScoreMulti, passMatch, passScore, passCasts, passAnyAll,
       passObjectLiteral, passBrackets, passFetchOffset, passFilterClause,
       passSystemSchemas, passArrayOverlap, passRegexOps, passArraySubquery,
-      passEmptyRow)
+      passEmptyRow, passSessionKeywords)
 
   // ---------- DDL: CREATE TABLE ----------
 

@@ -202,6 +202,166 @@ class StatementRouter(spark: SparkSession, root: String) {
     * callers), so neither success nor error can be double-logged — the r3
     * prefix-sniffing version logged SHOW/VALUES/EXPLAIN twice and a failing
     * SELECT twice. */
+  /** Statement-level access control (reference `auth/AccessControlImpl
+    * .java` + `role/Privileges.java`): with a non-superuser session user
+    * active (SET SESSION AUTHORIZATION), every routed statement is
+    * checked against the grant graph before execution — DQL for reads,
+    * DML for writes, DDL for definition changes, AL for management
+    * statements — with the reference's error shape
+    * (`MissingPrivilegeException`: "Missing 'DQL' privilege for user
+    * 'x'"). The default process user short-circuits as superuser, so the
+    * check costs one conf lookup on the common path. Relation discovery
+    * is lexical (words after FROM/JOIN/INTO), the same token stream the
+    * router already dispatches on. */
+  private def enforcePrivileges(sig: Vector[Tok]): Unit = {
+    val user = sources.Roles.sessionUser(spark)
+    if (sources.Roles.isSuperuser(user)) return
+    def deny(p: String): Nothing =
+      throw new SecurityException(s"Missing '$p' privilege for user '$user'")
+    def check(p: String, sec: String, id: Option[String]): Unit =
+      if (!sources.Roles.hasPrivilege(user, p, sec, id)) deny(p)
+    def isWordT(t: Tok) = t.kind == Dialect.K.Word || t.kind == Dialect.K.QId
+    val viewNames: Set[String] =
+      if (fs.exists(viewsDir))
+        fs.listStatus(viewsDir).toSeq.map(_.getPath.getName)
+          .filter(_.endsWith(".sql")).map(_.stripSuffix(".sql")).toSet
+      else Set.empty
+    // qualified ident of a relation reference: grab `a.b` or bare `a`
+    // starting at token i; returns (qualified-or-bare name, public?)
+    def relAt(i: Int): Option[String] = {
+      if (!sig.lift(i).exists(isWordT)) return None
+      val first = unq(sig(i)).toLowerCase
+      if (sig.lift(i + 1).exists(_.isSym(".")) && sig.lift(i + 2).exists(isWordT))
+        Some(s"$first.${unq(sig(i + 2)).toLowerCase}")
+      else Some(first)
+    }
+    def checkRead(name: String): Unit = {
+      val (schema, bare) = name.split("\\.", 2) match {
+        case Array(s, t) => (s, t)
+        case _ =>
+          if (name.contains("__")) { val p = name.split("__", 2); (p(0), p(1)) }
+          else ("doc", name)
+      }
+      schema match {
+        case "information_schema" | "pg_catalog" => () // public, as in PG
+        case "sys" => check("DQL", "CLUSTER", None)
+        case s =>
+          val sec = if (viewNames.contains(if (s == "doc") bare else s"${s}__$bare"))
+            "VIEW" else "TABLE"
+          check("DQL", sec, Some(s"$s.$bare"))
+      }
+    }
+    def readTargets(): Seq[String] = scanReadRelations(sig)
+    sig(0).text.toLowerCase match {
+      case "select" | "with" | "values" =>
+        // relation-less SELECTs (SELECT 1) are free — privileges attach
+        // to relations, as in the reference
+        readTargets().foreach(checkRead)
+      case "show" | "explain" | "declare" | "fetch" | "move" | "close" =>
+        readTargets().foreach(checkRead)
+      case "insert" =>
+        relAt(sig.indexWhere(_.is("into")) + 1)
+          .foreach(n => check("DML", "TABLE", Some(qualifyIdent(n))))
+      case "update" =>
+        relAt(1).foreach(n => check("DML", "TABLE", Some(qualifyIdent(n))))
+      case "delete" | "refresh" | "optimize" =>
+        relAt(sig.indexWhere(t => t.is("from") || t.is("table")) + 1)
+          .foreach(n => check("DML", "TABLE", Some(qualifyIdent(n))))
+      case "copy" =>
+        // COPY t TO … reads (DQL); COPY t FROM … writes (DML)
+        val isTo = sig.indexWhere(_.is("to")) >= 0 &&
+          (sig.indexWhere(_.is("from")) < 0 ||
+            sig.indexWhere(_.is("to")) < sig.indexWhere(_.is("from")))
+        relAt(1).foreach(n =>
+          check(if (isTo) "DQL" else "DML", "TABLE", Some(qualifyIdent(n))))
+      case "create" | "drop" | "alter"
+        if sig.length > 1 && (sig(1).is("user") || sig(1).is("role")) =>
+        check("AL", "CLUSTER", None)
+      case "create" | "drop" | "alter" =>
+        // definition changes: DDL via the securable ladder on the target
+        val skip = Set("table", "view", "schema", "function", "analyzer",
+          "repository", "snapshot", "server", "foreign", "user", "role",
+          "or", "replace", "if", "not", "exists", "materialized")
+        val ti = sig.indexWhere(t => t.sig && isWordT(t) &&
+          !skip.contains(t.text.toLowerCase), 1)
+        if (ti > 0) check("DDL", "TABLE", Some(qualifyIdent(unq(sig(ti)).toLowerCase)))
+        else check("DDL", "CLUSTER", None)
+      case "grant" | "revoke" | "deny" | "kill" | "analyze" | "restore" =>
+        check("AL", "CLUSTER", None)
+      case _ => () // SET/RESET/BEGIN/COMMIT/ROLLBACK are session-local
+    }
+  }
+
+  private def qualifyIdent(name: String): String =
+    if (name.contains(".")) name
+    else if (name.contains("__")) name.replaceFirst("__", ".")
+    else s"doc.$name"
+
+  /** Relation references read by a statement — the word (or `a.b` pair)
+    * after each FROM/JOIN, minus table-function names. Lexical, shared by
+    * privilege enforcement and the closed-table guard. */
+  private def scanReadRelations(sig: Vector[Tok]): Seq[String] = {
+    def isWordT(t: Tok) = t.kind == Dialect.K.Word || t.kind == Dialect.K.QId
+    sig.indices.flatMap { i =>
+      if ((sig(i).is("from") || sig(i).is("join")) &&
+          !sig.lift(i - 1).exists(t => t.is("distinct") || t.is("extract")) &&
+          sig.lift(i + 1).exists(isWordT)) {
+        val first = unq(sig(i + 1)).toLowerCase
+        if (sig.lift(i + 2).exists(_.isSym(".")) && sig.lift(i + 3).exists(isWordT))
+          Some(s"$first.${unq(sig(i + 3)).toLowerCase}")
+        else Some(first)
+      } else None
+    }.filterNot(n => Seq("lateral", "unnest", "values", "generate_series")
+      .contains(n.split("\\.").head))
+  }
+
+  /** Closed-table guard (alter-table.rst OPEN/CLOSE: a closed table
+    * refuses every operation except ALTER TABLE, with the reference's
+    * error shape — `metadata/table/Operation.java:137`). */
+  private def enforceOpen(sig: Vector[Tok]): Unit = {
+    def internal(n: String): String = n.split("\\.", 2) match {
+      case Array(t)        => t // bare name: the internal (possibly s__t) form
+      case Array("doc", t) => t
+      case Array(s, t) if !Seq("sys", "information_schema", "pg_catalog").contains(s) =>
+        s"${s}__$t"
+      case _ => "" // system schemas are never closed
+    }
+    def isClosed(n: String): Boolean = {
+      val b = internal(n)
+      b.nonEmpty &&
+        (try VersionedTable.tableSettings(spark, tablePath(b)).get("closed").contains("true")
+         catch { case _: Exception => false })
+    }
+    def err(n: String, op: String): Nothing = throw new IllegalStateException(
+      s"""The relation "${qualifyIdent(n)}" doesn't support or allow $op operations, as it is currently closed.""")
+    def isWordT(t: Tok) = t.kind == Dialect.K.Word || t.kind == Dialect.K.QId
+    def relAt(i: Int): Option[String] =
+      if (sig.lift(i).exists(isWordT)) {
+        val first = unq(sig(i)).toLowerCase
+        if (sig.lift(i + 1).exists(_.isSym(".")) && sig.lift(i + 2).exists(isWordT))
+          Some(s"$first.${unq(sig(i + 2)).toLowerCase}")
+        else Some(first)
+      } else None
+    sig(0).text.toLowerCase match {
+      case "select" | "with" | "declare" =>
+        scanReadRelations(sig).foreach(n => if (isClosed(n)) err(n, "READ"))
+      case "insert" =>
+        relAt(sig.indexWhere(_.is("into")) + 1)
+          .foreach(n => if (isClosed(n)) err(n, "INSERT"))
+      case "update" =>
+        relAt(1).foreach(n => if (isClosed(n)) err(n, "UPDATE"))
+      case "delete" =>
+        relAt(sig.indexWhere(_.is("from")) + 1)
+          .foreach(n => if (isClosed(n)) err(n, "DELETE"))
+      case "copy" =>
+        relAt(1).foreach(n => if (isClosed(n)) err(n, "COPY"))
+      case "refresh" | "optimize" =>
+        relAt(sig.indexWhere(_.is("table")) + 1)
+          .foreach(n => if (isClosed(n)) err(n, "REFRESH"))
+      case _ => () // ALTER TABLE & management statements stay allowed
+    }
+  }
+
   def execute(stmt: String): DataFrame = {
     val t0 = System.currentTimeMillis
     // tag the statement's Spark jobs so a concurrent session can
@@ -211,6 +371,10 @@ class StatementRouter(spark: SparkSession, root: String) {
       s"graft-${StatementRouter.jobSeq.incrementAndGet()}",
       stmt.take(120), interruptOnCancel = true)
     try {
+      locally {
+        val s = Dialect.lex(stmt).filter(_.sig)
+        if (s.nonEmpty) { enforcePrivileges(s); enforceOpen(s) }
+      }
       val df = executeRouted(stmt)
       sources.SysCatalog.recordJob(stmt, t0, System.currentTimeMillis)
       df
@@ -325,6 +489,21 @@ class StatementRouter(spark: SparkSession, root: String) {
         summary(0L)
       case "create" if sig.length > 2 && sig(1).is("user") && sig(2).is("mapping") =>
         createUserMapping(sig)
+      case "drop" if sig.length > 2 && sig(1).is("user") && sig(2).is("mapping") =>
+        dropUserMapping(sig)
+      case "create" if sig.length > 1 && (sig(1).is("user") || sig(1).is("role")) =>
+        createRole(sig)
+      case "alter" if sig.length > 1 && (sig(1).is("user") || sig(1).is("role")) =>
+        alterRole(sig)
+      case "drop" if sig.length > 1 && (sig(1).is("user") || sig(1).is("role")) =>
+        dropRole(sig)
+      case "grant"  => grantOrDeny(sig, "GRANT")
+      case "deny"   => grantOrDeny(sig, "DENY")
+      case "revoke" => revokeStmt(sig)
+      case "declare" => declareCursor(stmt, sig)
+      case "fetch"   => fetchStmt(sig)
+      case "move"    => fetchStmt(sig)
+      case "close"   => closeCursor(sig)
       case "create" if sig.length > 1 && sig(1).is("view") => createView(sig, orReplace = false)
       case "create" if sig.length > 3 && sig(1).is("or") && sig(2).is("replace") &&
         sig(3).is("view") => createView(sig, orReplace = true)
@@ -340,6 +519,13 @@ class StatementRouter(spark: SparkSession, root: String) {
           sig(if (sig.lift(2).exists(_.is("if"))) 4 else 2).text)
         summary(0L)
       case "alter" if sig.length > 1 && sig(1).is("table") => alterTable(sig)
+      case "alter" if sig.length > 1 && sig(1).is("cluster") => alterCluster(sig)
+      case "alter" if sig.length > 1 && sig(1).is("repository") => alterRepository(sig)
+      case "alter" if sig.length > 1 && sig(1).is("server") => alterServer(sig)
+      // no server-side prepared statements to free (reference
+      // AnalyzedDeallocate acks with DEALLOCATE; deallocate.rst)
+      case "deallocate" => summary(0L)
+      case "discard"    => discardStmt(sig)
       case "insert"   => insert(stmt)
       case "update"   => update(stmt)
       case "delete"   => delete(stmt)
@@ -355,6 +541,8 @@ class StatementRouter(spark: SparkSession, root: String) {
       case "end" if txn.isDefined => commitTxn()
       case "rollback" => rollbackTxn()
       case "set"      => setStmt(sig)
+      case "reset" if sig.length > 2 && sig(1).is("session") && sig(2).is("authorization") =>
+        spark.conf.unset("graft.session.user"); summary(0L)
       case "reset"    => spark.conf.unset(sig.drop(1).map(_.text).mkString); summary(0L)
       case "show" if sig.length > 2 && sig(1).is("create") && sig(2).is("table") =>
         showCreateTable(sig(3).text)
@@ -378,10 +566,11 @@ class StatementRouter(spark: SparkSession, root: String) {
       // non-recording: execute() logs the statement once for every route
       case _          =>
         registerViews()
+        val stmtSys = rewriteSystemColumns(stmt)
         // multi-column MATCH + _score routes on the RAW statement (the
         // per-field boosts are only visible before the dialect lowers the
         // MATCH); single-column routes on the translated form.
-        val pre = routeFieldedScore(stmt).getOrElse(stmt)
+        val pre = routeFieldedScore(stmtSys).getOrElse(stmtSys)
         val translated = Dialect.translate(pre)
         routeIndexedScore(translated) match {
           case Some(routed) => spark.sql(routed)
@@ -486,20 +675,34 @@ class StatementRouter(spark: SparkSession, root: String) {
       s"${tablePath(table)}#${spec.name}#fielded#v$version") {
       // durable fielded index: load if a committed store exists for this
       // version, else build, persist, and reclaim stale versions
-      val stored = s"${tablePath(table)}/_ftindex/${spec.name}__fielded/v$version"
-      if (graft.operators.MatchText.storedIndexExists(spark, stored))
+      val idxRootStr = s"${tablePath(table)}/_ftindex/${spec.name}__fielded"
+      val stored = s"$idxRootStr/v$version"
+      if (graft.operators.MatchText.storedIndexExists(spark, stored)) {
+        graft.operators.MatchText.lastIndexBuild = "loaded"
         graft.operators.MatchText.loadFieldedIndex(spark, stored, analyzer)
-      else {
-        val built = graft.operators.MatchText.buildFieldedIndex(
-          readTable(table), pk, spec.cols, analyzer)
+      } else {
+        val built = indexDelta(table, idxRootStr, version, pk, spec.cols) match {
+          case Some((prevV, removed, added)) =>
+            graft.operators.MatchText.lastIndexBuild = "delta"
+            val oldIdx = graft.operators.MatchText
+              .loadFieldedIndex(spark, s"$idxRootStr/v$prevV", analyzer)
+            graft.operators.MatchText
+              .updateFieldedIndex(oldIdx, removed, added, pk, spec.cols)
+          case None =>
+            graft.operators.MatchText.lastIndexBuild = "full"
+            graft.operators.MatchText.buildFieldedIndex(
+              readTable(table), pk, spec.cols, analyzer)
+        }
         try {
           graft.operators.MatchText.saveFieldedIndex(built, stored)
-          val idxRoot = new Path(s"${tablePath(table)}/_ftindex/${spec.name}__fielded")
+          val idxRoot = new Path(idxRootStr)
           fs.listStatus(idxRoot).foreach { s =>
             if (s.getPath.getName != s"v$version") fs.delete(s.getPath, true)
           }
         } catch { case _: Exception => () }
-        built
+        if (graft.operators.MatchText.storedIndexExists(spark, stored))
+          graft.operators.MatchText.loadFieldedIndex(spark, stored, analyzer)
+        else built
       }
     }
     val boosts = spec.cols.map(c =>
@@ -532,6 +735,110 @@ class StatementRouter(spark: SparkSession, root: String) {
   }
 
   private var scoredMatchN = 0
+
+  /** Hidden system columns on router tables (reference
+    * `docs/general/ddl/system-columns.rst`, `metadata/doc/SysColumns
+    * .java`): `_id` — the compound string of the row's PRIMARY KEY values
+    * (the reference's routing identity; no PK → NULL, where the reference
+    * generates a random id at index time), `_raw` — the row as a JSON
+    * document (the reference returns the stored source), `_version` — the
+    * table's committed snapshot version (the reference tracks per-row
+    * versions; copy-on-write snapshots version whole tables, which is the
+    * honest equivalent), `_docid` — a scan-internal row id, unique within
+    * the scan but unstable across runs, exactly the caveat the reference
+    * documents for Lucene segment ids. `_score` has its own routes.
+    * Rewrites only when the statement reads ONE router table. */
+  private def rewriteSystemColumns(stmt: String): String = {
+    val lower = stmt.toLowerCase
+    if (!lower.contains("_id") && !lower.contains("_raw") &&
+        !lower.contains("_version") && !lower.contains("_docid")) return stmt
+    val sig = Dialect.lex(stmt).filter(_.sig)
+    def isWordT(t: Tok) = t.kind == Dialect.K.Word || t.kind == Dialect.K.QId
+    val froms = sig.indices.filter(i => sig(i).is("from") || sig(i).is("join"))
+    if (froms.length != 1) return stmt
+    val ti = froms.head + 1
+    if (!sig.lift(ti).exists(isWordT)) return stmt
+    val table = unq(sig(ti))
+    if (VersionedTable.latestVersion(spark, tablePath(table)).isEmpty) return stmt
+    val pk = VersionedTable.primaryKey(spark, tablePath(table))
+    val version = VersionedTable.latestVersion(spark, tablePath(table)).get
+    val idExpr = pk match {
+      case Seq()    => "CAST(NULL AS STRING)"
+      case Seq(one) => s"CAST($one AS STRING)"
+      case many     => s"concat_ws('|', ${many.map(c => s"CAST($c AS STRING)").mkString(", ")})"
+    }
+    val out = new StringBuilder
+    var changed = false
+    sig.indices.foreach { i =>
+      val t = sig(i)
+      val prevDot = i > 0 && sig(i - 1).isSym(".")
+      val repl =
+        if (t.kind == Dialect.K.Word && !prevDot) t.text.toLowerCase match {
+          case "_id"      => Some(s"$idExpr")
+          case "_raw"     => Some("to_json(struct(*))")
+          case "_version" => Some(s"CAST($version AS BIGINT)")
+          case "_docid"   => Some("monotonically_increasing_id()")
+          case _          => None
+        } else None
+      repl match {
+        case Some(r) =>
+          changed = true
+          out.append(r)
+          // keep a usable output column name for bare SELECT-list items
+          // (next token ends the item); WHERE/ORDER uses stay bare
+          if (sig.lift(i + 1).exists(t2 => t2.isSym(",") || t2.is("from")))
+            out.append(s" AS ${t.text}")
+          out.append(' ')
+        case None => out.append(t.text).append(' ')
+      }
+    }
+    if (changed) out.toString.trim else stmt
+  }
+
+  /** Delta inputs for incremental index maintenance. When the table is
+    * value-partitioned and a committed stored index exists for an OLDER
+    * version, the partitions whose manifest entries differ between the
+    * two versions are exactly the rows that changed —
+    * [[VersionedTable.commitPartial]] carries untouched partitions
+    * forward by reference, so equal entry paths mean equal content.
+    * Returns (prevVersion, removedRows-at-prev (pk only),
+    * addedRows-at-current) or None when a full rebuild is required:
+    * unpartitioned table, no stored older version, an indexed or key
+    * column is a partition column (partition values live in directory
+    * names, not data files), or more than half the partitions changed
+    * (full retokenize is cheaper than patching most of the index). */
+  private def indexDelta(table: String, idxRoot: String, version: Int,
+                         pk: String, textCols: Seq[String])
+      : Option[(Int, DataFrame, DataFrame)] = {
+    val path = tablePath(table)
+    val pspec = VersionedTable.partitionSpec(spark, path).getOrElse(return None)
+    val lowerParts = pspec.cols.map(_.toLowerCase).toSet
+    if ((pk +: textCols).exists(c => lowerParts.contains(c.toLowerCase))) return None
+    val rootP = new Path(idxRoot)
+    if (!fs.exists(rootP)) return None
+    val prev = fs.listStatus(rootP).toSeq.map(_.getPath.getName)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toInt)
+      .filter(v => v < version &&
+        graft.operators.MatchText.storedIndexExists(spark, s"$idxRoot/v$v"))
+      .sorted.lastOption.getOrElse(return None)
+    // scheme-normalize before comparing: carried manifest entries resolve
+    // without the fs scheme ("/x"), fresh ones with it ("file:/x")
+    def norm(s: String): String = new Path(s).toUri.getPath
+    val oldDirs = VersionedTable.partitionDirs(spark, path, prev).toMap
+    val newDirs = VersionedTable.partitionDirs(spark, path, version).toMap
+    if (oldDirs.isEmpty && newDirs.isEmpty) return None
+    val allKeys = oldDirs.keySet ++ newDirs.keySet
+    val changed = allKeys.filter(k =>
+      oldDirs.get(k).map(norm) != newDirs.get(k).map(norm))
+    if (changed.size * 2 > allKeys.size) return None
+    val remDirs = changed.toSeq.flatMap(oldDirs.get)
+    val addDirs = changed.toSeq.flatMap(newDirs.get)
+    val removed = if (remDirs.isEmpty) readTable(table).select(col(pk)).limit(0)
+                  else spark.read.parquet(remDirs: _*).select(col(pk))
+    val added = if (addDirs.isEmpty) readTable(table).limit(0)
+                else spark.read.parquet(addDirs: _*)
+    Some((prev, removed, added))
+  }
 
   /** `_score` through a declared fulltext index (reference: MATCH scores
     * come out of Lucene's index postings, `lucene/match/MatchQueries.java` —
@@ -607,25 +914,44 @@ class StatementRouter(spark: SparkSession, root: String) {
       // table root, written once per (index, committed version) — fresh
       // sessions LOAD instead of rebuilding, and searches prune to the
       // query terms' buckets
-      val stored = s"${tablePath(table)}/_ftindex/${spec.name}/v$version"
-      if (graft.operators.MatchText.storedIndexExists(spark, stored))
+      val idxRootStr = s"${tablePath(table)}/_ftindex/${spec.name}"
+      val stored = s"$idxRootStr/v$version"
+      def withConcat(df: DataFrame): (DataFrame, String) =
+        if (spec.cols.length == 1) (df, spec.cols.head)
+        else (df.withColumn("graft_ft_concat",
+          concat_ws(" ", spec.cols.map(col): _*)), "graft_ft_concat")
+      if (graft.operators.MatchText.storedIndexExists(spark, stored)) {
+        graft.operators.MatchText.lastIndexBuild = "loaded"
         graft.operators.MatchText.loadIndex(spark, stored, analyzer)
-      else {
-        val base = readTable(table)
-        val (df, textCol) =
-          if (spec.cols.length == 1) (base, spec.cols.head)
-          else (base.withColumn("graft_ft_concat",
-            concat_ws(" ", spec.cols.map(col): _*)), "graft_ft_concat")
-        val built = graft.operators.MatchText.buildIndex(df, pk, textCol, analyzer)
+      } else {
+        // incremental maintenance first (reference: DML updates the
+        // per-shard Lucene segments; graft patches the stored postings
+        // from the changed partitions only), full build otherwise
+        val built = indexDelta(table, idxRootStr, version, pk, spec.cols) match {
+          case Some((prevV, removed, added)) =>
+            graft.operators.MatchText.lastIndexBuild = "delta"
+            val oldIdx = graft.operators.MatchText
+              .loadIndex(spark, s"$idxRootStr/v$prevV", analyzer)
+            val (adf, textCol) = withConcat(added)
+            graft.operators.MatchText.updateIndex(oldIdx, removed, adf, pk, textCol)
+          case None =>
+            graft.operators.MatchText.lastIndexBuild = "full"
+            val (df, textCol) = withConcat(readTable(table))
+            graft.operators.MatchText.buildIndex(df, pk, textCol, analyzer)
+        }
         try {
           graft.operators.MatchText.saveIndex(built, stored)
           // stale versions of THIS index are dead once the new one commits
-          val idxRoot = new Path(s"${tablePath(table)}/_ftindex/${spec.name}")
+          val idxRoot = new Path(idxRootStr)
           fs.listStatus(idxRoot).foreach { s =>
             if (s.getPath.getName != s"v$version") fs.delete(s.getPath, true)
           }
         } catch { case _: Exception => () } // search proceeds on the built index
-        built
+        // a delta index references the previous version's parquet, which
+        // the cleanup just reclaimed — serve from the committed store
+        if (graft.operators.MatchText.storedIndexExists(spark, stored))
+          graft.operators.MatchText.loadIndex(spark, stored, analyzer)
+        else built
       }
     }
     // non-colliding column names: the base table may have doc_id/score
@@ -751,6 +1077,25 @@ class StatementRouter(spark: SparkSession, root: String) {
     * .java`): scope modifiers collapse to the session conf — Spark has one
     * runtime-config surface, which `current_setting` reads back. */
   private def setStmt(sig: Vector[Tok]): DataFrame = {
+    // SET [SESSION CHARACTERISTICS AS] TRANSACTION … — accepted and
+    // ignored: single-statement transactional semantics, the reference's
+    // SetTransactionPlan is the same no-op ack (set-transaction.rst)
+    if (sig.take(4).exists(t => t.is("transaction") || t.is("characteristics")))
+      return summary(0L)
+    // SET SESSION AUTHORIZATION {user|DEFAULT} (reference
+    // set-session-authorization.rst): switches the effective session user
+    // the privilege checks and current_user/session_user resolve against.
+    if (sig.length > 2 && sig(1).is("session") && sig(2).is("authorization")) {
+      val v = sig.drop(3).map(unq).mkString
+      if (v.isEmpty || v.equalsIgnoreCase("default"))
+        spark.conf.unset("graft.session.user")
+      else {
+        require(sources.Roles.find(v).exists(_.isUser),
+          s"User '$v' does not exist")
+        spark.conf.set("graft.session.user", v)
+      }
+      return summary(0L)
+    }
     var i = 1
     while (i < sig.length &&
       (sig(i).is("session") || sig(i).is("global") ||
@@ -775,6 +1120,8 @@ class StatementRouter(spark: SparkSession, root: String) {
     val cspec = VersionedTable.constraintSpec(spark, tablePath(name))
     val genOf = cspec.map(_.generated.map(g => g._1 -> g._3).toMap)
       .getOrElse(Map.empty[String, String])
+    val defOf = cspec.map(_.defaults.map(d => d._1 -> d._3).toMap)
+      .getOrElse(Map.empty[String, String])
     val checkOfCol = cspec.map(_.checks).getOrElse(Nil)
       .collect { case (n, _, o) if n.contains("_") => (n, o) }
     val notNullSet = cspec.map(_.notNull.toSet).getOrElse(Set.empty[String])
@@ -783,7 +1130,8 @@ class StatementRouter(spark: SparkSession, root: String) {
         case "text" => "TEXT"
         case other  => other.toUpperCase
       }
-      val gen = genOf.get(f.name).map(e => s" GENERATED ALWAYS AS ($e)").getOrElse("")
+      val gen = genOf.get(f.name).map(e => s" GENERATED ALWAYS AS ($e)").getOrElse("") +
+        defOf.get(f.name).map(e => s" DEFAULT $e").getOrElse("")
       val colCheck = checkOfCol
         .find(_._1 == s"${name}_${f.name}_check")
         .map(c => s" CHECK (${c._2})").getOrElse("")
@@ -1000,6 +1348,16 @@ class StatementRouter(spark: SparkSession, root: String) {
           df.withColumn(f.name, lit(null).cast(f.dataType)))
         writeTable(name, next)
         summary(0L)
+      // DROP CONSTRAINT name (alter-table.rst) — removes a named CHECK
+      case "drop" if sig.lift(4).exists(_.is("constraint")) =>
+        val cname = unq(sig(5))
+        val cs = VersionedTable.constraintSpec(spark, tablePath(name))
+          .getOrElse(VersionedTable.ConstraintSpec(Nil, Nil, Nil))
+        require(cs.checks.exists(_._1 == cname),
+          s"Cannot find a CHECK CONSTRAINT named $cname on table $name")
+        VersionedTable.setConstraintSpec(spark, tablePath(name),
+          cs.copy(checks = cs.checks.filterNot(_._1 == cname)))
+        summary(0L)
       case "drop" =>
         var ci = if (sig.lift(4).exists(_.is("column"))) 5 else 4
         val ifExists = sig.lift(ci).exists(_.is("if"))
@@ -1045,8 +1403,120 @@ class StatementRouter(spark: SparkSession, root: String) {
         val cur = VersionedTable.tableSettings(spark, tablePath(name))
         VersionedTable.setTableSettings(spark, tablePath(name), cur -- keys)
         summary(0L)
+      // ALTER [COLUMN] c { SET DEFAULT expr | DROP DEFAULT }
+      // (alter-table.rst)
+      case "alter" =>
+        val ci = if (sig.lift(4).exists(_.is("column"))) 5 else 4
+        val c = unq(sig(ci))
+        require(readTable(name).columns.contains(c),
+          s"column $c does not exist in $name")
+        val cs = VersionedTable.constraintSpec(spark, tablePath(name))
+          .getOrElse(VersionedTable.ConstraintSpec(Nil, Nil, Nil))
+        if (sig.lift(ci + 1).exists(_.is("set")) &&
+            sig.lift(ci + 2).exists(_.is("default"))) {
+          val orig = renderSig(sig.slice(ci + 3, sig.length))
+          val sparkEx = Dialect.translate(orig)
+          VersionedTable.setConstraintSpec(spark, tablePath(name),
+            cs.copy(defaults =
+              cs.defaults.filterNot(_._1 == c) :+ ((c, sparkEx, orig))))
+        } else if (sig.lift(ci + 1).exists(_.is("drop")) &&
+            sig.lift(ci + 2).exists(_.is("default"))) {
+          VersionedTable.setConstraintSpec(spark, tablePath(name),
+            cs.copy(defaults = cs.defaults.filterNot(_._1 == c)))
+        } else sys.error("ALTER COLUMN supports SET DEFAULT and DROP DEFAULT")
+        summary(0L)
+      // OPEN/CLOSE (alter-table.rst: a closed table refuses every
+      // operation except ALTER TABLE; OPEN lifts it) — a durable flag in
+      // the table settings, enforced by [[enforceOpen]]
+      case "close" =>
+        VersionedTable.setTableSettings(spark, tablePath(name),
+          VersionedTable.tableSettings(spark, tablePath(name)) + ("closed" -> "true"))
+        summary(0L)
+      case "open" =>
+        VersionedTable.setTableSettings(spark, tablePath(name),
+          VersionedTable.tableSettings(spark, tablePath(name)) - "closed")
+        summary(0L)
       case other => sys.error(s"unsupported ALTER TABLE operation: $other")
     }
+  }
+
+  /** `ALTER CLUSTER { SWAP TABLE s TO t [WITH (drop_source = b)] |
+    * REROUTE RETRY FAILED | GC DANGLING ARTIFACTS | DECOMMISSION … }`
+    * (alter-cluster.rst). SWAP atomically exchanges the two table
+    * directories — the schema-migration pattern the reference documents
+    * (build the new table, INSERT INTO … query, swap). Shard rerouting
+    * and artifact GC are storage-layer concerns Spark owns → no-op ack;
+    * DECOMMISSION is cluster management outside scope → loud error. */
+  private def alterCluster(sig: Vector[Tok]): DataFrame = {
+    if (sig.lift(2).exists(_.is("swap"))) {
+      require(sig.lift(3).exists(_.is("table")), "expected ALTER CLUSTER SWAP TABLE")
+      val src = unq(sig(4))
+      require(sig.lift(5).exists(_.is("to")), "SWAP TABLE needs TO <target>")
+      val tgt = unq(sig(6))
+      require(txn.isEmpty, "SWAP TABLE inside a transaction is not supported")
+      val dropSource = sig.lift(7).exists(_.is("with")) &&
+        parseKvSettings(sig).get("drop_source").exists(_.toBoolean)
+      require(VersionedTable.latestVersion(spark, tablePath(src)).isDefined,
+        s"table $src does not exist")
+      require(VersionedTable.latestVersion(spark, tablePath(tgt)).isDefined,
+        s"table $tgt does not exist")
+      val tmp = new Path(tablePath(s"__swap_$tgt"))
+      require(fs.rename(new Path(tablePath(tgt)), tmp), "swap failed")
+      require(fs.rename(new Path(tablePath(src)), new Path(tablePath(tgt))),
+        "swap failed")
+      if (dropSource) {
+        fs.delete(tmp, true)
+        try spark.catalog.dropTempView(src) catch { case _: Exception => () }
+      } else require(fs.rename(tmp, new Path(tablePath(src))), "swap failed")
+      registerViews()
+      summary(1L)
+    } else if (sig.lift(2).exists(t => t.is("reroute") || t.is("gc"))) {
+      summary(0L)
+    } else throw new UnsupportedOperationException(
+      "ALTER CLUSTER DECOMMISSION is cluster management outside this engine's scope")
+  }
+
+  /** `ALTER REPOSITORY name SET (k = v, …)` (alter-repository.rst) —
+    * location/path updates land; other settings are accepted as
+    * metadata. */
+  private def alterRepository(sig: Vector[Tok]): DataFrame = {
+    val name = unq(sig(2))
+    require(repositories.contains(name), s"repository $name does not exist")
+    val kvs = parseKvSettings(sig)
+    val (typ, loc) = repositories(name)
+    writeRepositories(repositories +
+      (name -> (typ, kvs.getOrElse("location", kvs.getOrElse("path", loc)))))
+    summary(1L)
+  }
+
+  /** `ALTER SERVER name OPTIONS ([ADD|SET|DROP] opt ['value'], …)`
+    * (alter-server.rst) — bare options default to ADD, like PG. */
+  private def alterServer(sig: Vector[Tok]): DataFrame = {
+    val name = sig(2).text
+    val oi = sig.indexWhere(_.is("options"))
+    require(oi > 0 && sig.lift(oi + 1).exists(_.isSym("(")),
+      "ALTER SERVER needs OPTIONS (…)")
+    val close = matchFwd(sig, oi + 1)
+    val changes = splitTopCommas(sig.slice(oi + 2, close)).map { p =>
+      val toks = p.filter(_.sig)
+      toks(0).text.toLowerCase match {
+        case "add" | "set" => (toks(1).text.toLowerCase, Some(unq(toks(2))))
+        case "drop"        => (toks(1).text.toLowerCase, None)
+        case k             => (k, Some(unq(toks(1))))
+      }
+    }
+    graft.sources.Fdw.alterServerOptions(name, changes)
+    summary(1L)
+  }
+
+  /** `DISCARD { ALL | PLANS | SEQUENCES | TEMPORARY | TEMP }`
+    * (discard.rst) — open cursors are the session state this engine
+    * holds; PLANS/SEQUENCES have no retained state to free. */
+  private def discardStmt(sig: Vector[Tok]): DataFrame = {
+    if (sig.lift(1).exists(_.is("all"))) {
+      cursors.values.foreach(_.close()); cursors.clear()
+    }
+    summary(0L)
   }
 
   /** `SET ("k" = v, …)` after ALTER TABLE — dotted keys may arrive as one
@@ -1277,7 +1747,8 @@ class StatementRouter(spark: SparkSession, root: String) {
     // expression and stitched into the schema at their declared position
     val (fullSchema, cspec) =
       parseConstraints(name, Dialect.lex(stmt).filter(_.sig), schema)
-    if (cspec.generated.nonEmpty || cspec.checks.nonEmpty || cspec.notNull.nonEmpty)
+    if (cspec.generated.nonEmpty || cspec.checks.nonEmpty ||
+        cspec.notNull.nonEmpty || cspec.defaults.nonEmpty)
       VersionedTable.setConstraintSpec(spark, tablePath(name), cspec)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], fullSchema)
@@ -1326,7 +1797,8 @@ class StatementRouter(spark: SparkSession, root: String) {
     val srcPath = tablePath(src)
     require(VersionedTable.latestVersion(spark, srcPath).isDefined,
       s"table $src does not exist")
-    var inc = Map("constraints" -> false, "generated" -> false, "indexes" -> false)
+    var inc = Map("constraints" -> false, "generated" -> false,
+      "indexes" -> false, "defaults" -> false)
     var j = open + 3
     while (j + 1 < close) {
       val mode = sig(j)
@@ -1349,8 +1821,10 @@ class StatementRouter(spark: SparkSession, root: String) {
     val copied = VersionedTable.ConstraintSpec(
       if (inc("generated")) srcSpec.generated else Nil,
       if (inc("constraints")) srcSpec.checks else Nil,
-      srcSpec.notNull)
-    if (copied.generated.nonEmpty || copied.checks.nonEmpty || copied.notNull.nonEmpty)
+      srcSpec.notNull,
+      if (inc("defaults")) srcSpec.defaults else Nil)
+    if (copied.generated.nonEmpty || copied.checks.nonEmpty ||
+        copied.notNull.nonEmpty || copied.defaults.nonEmpty)
       VersionedTable.setConstraintSpec(spark, tablePath(name), copied)
     if (inc("constraints")) {
       val pk = VersionedTable.primaryKey(spark, srcPath)
@@ -1385,6 +1859,7 @@ class StatementRouter(spark: SparkSession, root: String) {
     val generated = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
     val checks = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
     val notNull = scala.collection.mutable.ArrayBuffer.empty[String]
+    val defaults = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
     // declared column order; Right = untyped generated (needs inference)
     val order = scala.collection.mutable.ArrayBuffer.empty[Either[String, (String, String)]]
     var checkN = 0
@@ -1420,7 +1895,7 @@ class StatementRouter(spark: SparkSession, root: String) {
             val (_, after) = Dialect.mapType(d, 1)
             order += Left(col)
             var k = after; var depth = 0
-            var genAt = -1; var checkAt = -1
+            var genAt = -1; var checkAt = -1; var defAt = -1
             while (k < d.length) {
               val t = d(k)
               if (t.isSym("(")) depth += 1
@@ -1428,10 +1903,30 @@ class StatementRouter(spark: SparkSession, root: String) {
               else if (depth == 0) {
                 if (genAt < 0 && (t.is("generated") || t.is("as"))) genAt = k
                 if (checkAt < 0 && t.is("check")) checkAt = k
+                if (defAt < 0 && t.is("default")) defAt = k
                 if (t.is("not") && d.lift(k + 1).exists(_.is("null")) &&
                   !notNull.contains(col)) notNull += col
               }
               k += 1
+            }
+            // DEFAULT expr (create-table.rst default_expr: inserted when
+            // the column is omitted): expression runs to the next depth-0
+            // constraint keyword
+            if (defAt >= 0) {
+              val stopWords = Set("not", "check", "generated", "primary",
+                "index", "storage", "constraint")
+              var e = defAt + 1; var dep2 = 0; var stop = -1
+              while (e < d.length && stop < 0) {
+                val t = d(e)
+                if (t.isSym("(")) dep2 += 1
+                else if (t.isSym(")")) dep2 -= 1
+                else if (dep2 == 0 && t.kind == Dialect.K.Word &&
+                  stopWords.contains(t.text.toLowerCase)) stop = e
+                e += 1
+              }
+              val end = if (stop < 0) d.length else stop
+              val (s, o) = xlate(d.slice(defAt + 1, end))
+              defaults += ((col, s, o))
             }
             if (genAt >= 0) {
               val from =
@@ -1448,7 +1943,8 @@ class StatementRouter(spark: SparkSession, root: String) {
           }
       }
     }
-    val spec = VersionedTable.ConstraintSpec(generated.toSeq, checks.toSeq, notNull.toSeq)
+    val spec = VersionedTable.ConstraintSpec(generated.toSeq, checks.toSeq,
+      notNull.toSeq, defaults.toSeq)
     if (order.forall(_.isLeft))
       return (base, spec)
     val probe = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], base)
@@ -1472,11 +1968,23 @@ class StatementRouter(spark: SparkSession, root: String) {
     * rejects nulls). Validation runs as bounded `head(1)` probes — no
     * collect of data-sized results. */
   private def enforceOnInsert(name: String, aligned: DataFrame,
-                              supplied: Set[String]): DataFrame =
+                              supplied: Set[String],
+                              fillDefaults: Boolean = true): DataFrame =
     VersionedTable.constraintSpec(spark, tablePath(name)) match {
       case None => aligned
       case Some(spec) =>
         var df = aligned
+        // DEFAULT fills omitted columns (INSERT without the column) and
+        // file-row gaps (COPY FROM) — a SUPPLIED explicit NULL stays
+        // NULL, as in PG/the reference (create-table.rst default_expr).
+        // UPDATE never backfills (fillDefaults = false): an existing NULL
+        // is data, not an omission.
+        if (fillDefaults) spec.defaults.foreach { case (c, ex, _) =>
+          if (!supplied.contains(c)) {
+            val target = df.schema(c).dataType
+            df = df.withColumn(c, coalesce(col(c), expr(ex)).cast(target))
+          }
+        }
         spec.generated.foreach { case (c, ex, orig) =>
           val target = df.schema(c).dataType
           val computed = expr(ex).cast(target)
@@ -1718,6 +2226,210 @@ class StatementRouter(spark: SparkSession, root: String) {
     val si = sig.indexWhere(_.is("server"), fi)
     require(si > 0 && si + 1 < sig.length, "CREATE USER MAPPING needs SERVER <name>")
     graft.sources.Fdw.createUserMapping(user, sig(si + 1).text, parseOptions(sig, si))
+    summary(0L)
+  }
+
+  private def dropUserMapping(sig: Vector[Tok]): DataFrame = {
+    // DROP USER MAPPING [IF EXISTS] FOR {user|USER|CURRENT_USER} SERVER s
+    val fi = sig.indexWhere(_.is("for"))
+    require(fi > 0 && fi + 1 < sig.length, "DROP USER MAPPING needs FOR <user>")
+    val userTok = sig(fi + 1)
+    val user =
+      if (userTok.is("user") || userTok.is("current_user") || userTok.is("current_role"))
+        sources.Roles.sessionUser(spark)
+      else unq(userTok)
+    val si = sig.indexWhere(_.is("server"), fi)
+    require(si > 0 && si + 1 < sig.length, "DROP USER MAPPING needs SERVER <name>")
+    graft.sources.Fdw.dropUserMapping(user, sig(si + 1).text)
+    summary(0L)
+  }
+
+  // ---------- users / roles / privileges (reference io.crate.role) ----------
+
+  /** `CREATE USER u [WITH [(] password [=] 'pw' [)]]` / `CREATE ROLE r`
+    * (reference `docs/sql/statements/create-user.rst` — all four password
+    * spellings accepted; a ROLE cannot carry a password). JWT properties
+    * are authentication plumbing with no offline analogue → loud error. */
+  private def createRole(sig: Vector[Tok]): DataFrame = {
+    val isUser = sig(1).is("user")
+    val name = unq(sig(2))
+    require(!sig.exists(_.is("jwt")),
+      "jwt authentication properties are not supported (no wire-level authentication in this engine)")
+    val pi = sig.indexWhere(_.is("password"))
+    val password =
+      if (pi < 0) None
+      else Some(unq(sig.drop(pi + 1).find(t => !t.isSym("=") && !t.isSym("("))
+        .getOrElse(throw new IllegalArgumentException("password needs a value"))))
+    summary(sources.Roles.create(name, isUser, password))
+  }
+
+  /** `ALTER USER|ROLE name SET (password = 'pw' | password = NULL)`
+    * (reference `docs/sql/statements/alter-role.rst`). */
+  private def alterRole(sig: Vector[Tok]): DataFrame = {
+    val name = unq(sig(2))
+    val pi = sig.indexWhere(_.is("password"))
+    require(pi > 0, "ALTER USER/ROLE supports SET (password = …)")
+    val vTok = sig.drop(pi + 1).find(t => !t.isSym("=") && !t.isSym("("))
+      .getOrElse(throw new IllegalArgumentException("password needs a value"))
+    val pw = if (vTok.is("null")) None else Some(unq(vTok))
+    summary(sources.Roles.alterPassword(name, pw))
+  }
+
+  private def dropRole(sig: Vector[Tok]): DataFrame = {
+    val ifExists = sig.lift(2).exists(_.is("if"))
+    val name = unq(sig(if (ifExists) 4 else 2))
+    summary(sources.Roles.drop(name, ifExists))
+  }
+
+  /** GRANT/DENY in both reference flavours (`docs/sql/statements/
+    * grant.rst`): privileges `{DQL|DML|DDL|AL[,…]|ALL [PRIVILEGES]} [ON
+    * {SCHEMA|TABLE|VIEW} ident[,…]] TO name[,…]`, or role inheritance
+    * `GRANT role[,…] TO name[,…]` (DENY has no role flavour). */
+  private def grantOrDeny(sig: Vector[Tok], policy: String): DataFrame = {
+    val toIdx = sig.indexWhere(_.is("to"))
+    require(toIdx > 1, s"$policy needs TO")
+    val grantees = splitTopCommas(sig.slice(toIdx + 1, sig.length)).map(v => unq(v.head))
+    val head = sig.slice(1, toIdx)
+    val onIdx = head.indexWhere(_.is("on"))
+    val subjectToks = if (onIdx < 0) head else head.take(onIdx)
+    val subjects = splitTopCommas(subjectToks)
+      .map(_.filterNot(_.isSym(".")).map(unq).mkString("."))
+    val isAll = subjectToks.headOption.exists(_.is("all")) // ALL [PRIVILEGES]
+    val isPriv = isAll ||
+      subjects.forall(s => sources.Roles.Permissions.contains(s.toUpperCase))
+    if (isPriv) {
+      val perms =
+        if (isAll) sources.Roles.Permissions
+        else subjects.map(_.toUpperCase)
+      val (securable, idents) =
+        if (onIdx < 0) ("CLUSTER", Seq(None))
+        else {
+          val sec = head(onIdx + 1).text.toUpperCase
+          require(Seq("SCHEMA", "TABLE", "VIEW").contains(sec),
+            s"ON expects SCHEMA, TABLE or VIEW, got $sec")
+          val ids = splitTopCommas(head.slice(onIdx + 2, head.length)).map { v =>
+            val raw = v.filterNot(_.isSym(".")).map(unq).mkString(".")
+            // TABLE/VIEW idents are stored fully qualified; bare names
+            // resolve in the current (doc) schema (grant.rst Parameters)
+            Some(if (sec != "SCHEMA" && !raw.contains('.')) s"doc.$raw" else raw)
+          }
+          (sec, ids)
+        }
+      summary(sources.Roles.applyPrivileges(policy, perms, securable, idents,
+        grantees, sources.Roles.sessionUser(spark)))
+    } else {
+      require(policy == "GRANT", "DENY only applies to privileges, not roles")
+      require(onIdx < 0, "role grants take no ON clause")
+      summary(sources.Roles.grantRoles(subjects, grantees,
+        sources.Roles.sessionUser(spark)))
+    }
+  }
+
+  /** `REVOKE {privileges [ON …]|roles} FROM name[,…]` — removes GRANT and
+    * DENY entries alike (reference `role/PrivilegesModifier.java`). */
+  private def revokeStmt(sig: Vector[Tok]): DataFrame = {
+    val fromIdx = sig.indexWhere(_.is("from"))
+    require(fromIdx > 1, "REVOKE needs FROM")
+    val grantees = splitTopCommas(sig.slice(fromIdx + 1, sig.length)).map(v => unq(v.head))
+    val head = sig.slice(1, fromIdx)
+    val onIdx = head.indexWhere(_.is("on"))
+    val subjectToks = if (onIdx < 0) head else head.take(onIdx)
+    val subjects = splitTopCommas(subjectToks)
+      .map(_.filterNot(_.isSym(".")).map(unq).mkString("."))
+    val isAll = subjectToks.headOption.exists(_.is("all")) // ALL [PRIVILEGES]
+    val isPriv = isAll ||
+      subjects.forall(s => sources.Roles.Permissions.contains(s.toUpperCase))
+    if (isPriv) {
+      val perms =
+        if (isAll) sources.Roles.Permissions
+        else subjects.map(_.toUpperCase)
+      val (securable, idents) =
+        if (onIdx < 0) ("CLUSTER", Seq(None))
+        else {
+          val sec = head(onIdx + 1).text.toUpperCase
+          val ids = splitTopCommas(head.slice(onIdx + 2, head.length)).map { v =>
+            val raw = v.filterNot(_.isSym(".")).map(unq).mkString(".")
+            Some(if (sec != "SCHEMA" && !raw.contains('.')) s"doc.$raw" else raw)
+          }
+          (sec, ids)
+        }
+      summary(sources.Roles.applyPrivileges("REVOKE", perms, securable, idents,
+        grantees, sources.Roles.sessionUser(spark)))
+    } else {
+      require(onIdx < 0, "role revokes take no ON clause")
+      summary(sources.Roles.revokeRoles(subjects, grantees))
+    }
+  }
+
+  // ---------- cursors (reference session/Cursor.java, declare/fetch/close.rst) ----------
+
+  // open cursors of this router session, by name
+  private val cursors =
+    scala.collection.mutable.Map[String, sources.Cursor]()
+
+  /** `DECLARE c [BINARY] [[A|IN]SENSITIVE] [[NO] SCROLL] CURSOR
+    * [{WITH|WITHOUT} HOLD] FOR query`. The query plan suspends behind
+    * `toLocalIterator` — nothing executes until the first FETCH. */
+  private def declareCursor(stmt: String, sig: Vector[Tok]): DataFrame = {
+    val name = unq(sig(1))
+    require(!cursors.contains(name), s"""Cursor "$name" already exists""")
+    val ci = sig.indexWhere(_.is("cursor"))
+    require(ci > 1, "DECLARE needs CURSOR FOR <query>")
+    val flags = sig.slice(2, ci)
+    val scroll = flags.exists(_.is("scroll")) &&
+      !flags.sliding(2).exists(p => p.length == 2 && p(0).is("no") && p(1).is("scroll"))
+    val m = java.util.regex.Pattern
+      .compile("(?is)\\bcursor\\b(?:\\s+(?:with|without)\\s+hold)?\\s+for\\b(.*)$")
+      .matcher(stmt)
+    require(m.find(), "DECLARE needs CURSOR FOR <query>")
+    val query = m.group(1).trim
+    registerViews()
+    // non-recording inner path: execute() already logs the DECLARE once
+    val df = spark.sql(applyDeclaredAnalyzers(Dialect.translate(query)))
+    cursors(name) = sources.Cursor.declare(name, query, df, scroll)
+    summary(0L)
+  }
+
+  /** `FETCH [direction [FROM|IN]] c` / `MOVE …` — directions NEXT,
+    * count, ALL, FORWARD [count|ALL], RELATIVE count, ABSOLUTE position
+    * (fetch.rst). MOVE repositions and reports rows skipped. */
+  private def fetchStmt(sig: Vector[Tok]): DataFrame = {
+    val isMove = sig(0).is("move")
+    val name = unq(sig.last)
+    val cur = cursors.getOrElse(name,
+      throw new IllegalArgumentException(s"""No cursor named "$name""""))
+    val dir = sig.slice(1, sig.length - 1).filterNot(t => t.is("from") || t.is("in"))
+    def num(t: Tok): Long = t.text.toLong
+    val rows: Seq[org.apache.spark.sql.Row] = dir.map(_.text.toLowerCase) match {
+      case Seq() | Seq("next") | Seq("forward")         => cur.fetch(1)
+      case Seq("all") | Seq("forward", "all")           => cur.fetch(Long.MaxValue)
+      case Seq("forward", _)                            => cur.fetch(num(dir(1)))
+      case Seq("relative", _*)                          =>
+        cur.fetchRelative(dir.drop(1).map(_.text).mkString.toLong)
+      case Seq("absolute", _*)                          =>
+        cur.fetchAbsolute(dir.drop(1).map(_.text).mkString.toLong)
+      case Seq(n) if n.forall(_.isDigit)                => cur.fetch(num(dir(0)))
+      case Seq("-", n) if n.forall(_.isDigit)           => // backward count
+        cur.fetchRelative(-n.toLong)
+      case other => throw new IllegalArgumentException(
+        s"Unsupported FETCH direction: ${other.mkString(" ")}")
+    }
+    if (isMove) summary(rows.length.toLong)
+    else spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      cur.schema)
+  }
+
+  /** `CLOSE c | CLOSE ALL` (close.rst). */
+  private def closeCursor(sig: Vector[Tok]): DataFrame = {
+    if (sig.lift(1).exists(_.is("all"))) {
+      cursors.values.foreach(_.close()); cursors.clear()
+    } else {
+      val name = unq(sig(1))
+      val cur = cursors.remove(name).getOrElse(
+        throw new IllegalArgumentException(s"""No cursor named "$name""""))
+      cur.close()
+    }
     summary(0L)
   }
 
@@ -2254,7 +2966,8 @@ class StatementRouter(spark: SparkSession, root: String) {
     spec.foreach { sp =>
       val assignedGen = sp.generated.filter { case (c, _, _) => assigns.exists(_._1 == c) }
       if (assignedGen.nonEmpty)
-        enforceOnInsert(name, touched, assigns.map(_._1).toSet)
+        enforceOnInsert(name, touched, assigns.map(_._1).toSet,
+          fillDefaults = false)
       enforceRowConstraints(touched, sp)
     }
     val result = retToks match {

@@ -395,15 +395,89 @@ object GraftFunctions {
         "scala_udf")
       reg.createOrReplaceTempFunction("pg_typeof",
         exprs => graft.plans.PgTypeofExpr(exprs(0)), "scala_udf")
-      // pg compat shims (reference scalar/systeminformation/Has*Privilege:
-      // the single-user engine grants everything, so any arity folds TRUE;
-      // pg_backend_pid is the JVM pid, like the reference's node id hash)
-      Seq("has_table_privilege", "has_schema_privilege",
-        "has_database_privilege", "has_function_privilege").foreach { n =>
-        reg.createOrReplaceTempFunction(n, _ => Literal(true), "scala_udf")
+      // has_*_privilege([user,] object, privileges) — evaluated at plan
+      // time against the role graph (reference scalar/Has*PrivilegeFunction
+      // .java; privilege-string → permission mappings from each class's
+      // parsePermissions). Args are catalog metadata, so requiring them
+      // constant keeps the check a plan-time fold, like the reference's
+      // per-query evaluation against cluster state — nothing ships to
+      // executors. NULL args → NULL, as in PG.
+      locally {
+        import org.apache.spark.sql.types.BooleanType
+        def privFn(name: String)(check: (String, String, Seq[String]) => Boolean,
+                                 parse: String => Seq[String]): Unit =
+          reg.createOrReplaceTempFunction(name, exprs => {
+            val vals = exprs.map { e =>
+              require(e.foldable,
+                s"$name over non-constant arguments is not supported")
+              Option(e.eval()).map(_.toString)
+            }
+            if (vals.exists(_.isEmpty)) Literal.create(null, BooleanType)
+            else {
+              val s = vals.map(_.get)
+              val (user, obj, privs) =
+                if (s.length == 2)
+                  (graft.sources.Roles.sessionUser(
+                    org.apache.spark.sql.SparkSession.active), s(0), s(1))
+                else (s(0), s(1), s(2))
+              Literal(graft.sources.Roles.isSuperuser(user) ||
+                check(user, obj, parse(privs)))
+            }
+          }, "scala_udf")
+        def csv(valid: Map[String, String])(privs: String): Seq[String] =
+          privs.toLowerCase.split(",").toSeq.map(_.trim).map(p =>
+            valid.getOrElse(p, throw new IllegalArgumentException(
+              s"Unrecognized permission: $p")))
+        val R = graft.sources.Roles
+        // SELECT→DQL, INSERT/UPDATE/DELETE→DML (HasTablePrivilegeFunction:87)
+        privFn("has_table_privilege")(
+          (u, t, perms) => {
+            val fqn = if (t.contains('.')) t else s"doc.$t"
+            perms.exists(p => R.hasPrivilege(u, p, "TABLE", Some(fqn)))
+          },
+          csv(Map("select" -> "DQL", "insert" -> "DML", "update" -> "DML",
+            "delete" -> "DML")))
+        // CREATE→DDL, USAGE→DQL; pg_catalog/information_schema are public
+        // (HasSchemaPrivilegeFunction:60,91)
+        privFn("has_schema_privilege")(
+          (u, sch, perms) => perms.exists(p =>
+            (p == "DQL" && Seq("pg_catalog", "information_schema").contains(sch)) ||
+              R.hasPrivilege(u, p, "SCHEMA", Some(sch))),
+          csv(Map("create" -> "DDL", "usage" -> "DQL")))
+        // CONNECT→always, TEMP→never, CREATE→any DDL at schema/cluster
+        // (HasDatabasePrivilegeFunction:81-107)
+        privFn("has_database_privilege")(
+          (u, _, perms) =>
+            perms.contains("CONNECT") || (
+              !perms.contains("TEMP") &&
+                perms.contains("CREATE") && R.allPrivileges.exists(p =>
+                  p.state == "GRANT" && p.permission == "DDL" &&
+                    Seq("SCHEMA", "CLUSTER").contains(p.securable) &&
+                    (p.grantee == u || R.parentClosure(u).contains(p.grantee)))),
+          csv(Map("connect" -> "CONNECT", "create" -> "CREATE",
+            "temp" -> "TEMP", "temporary" -> "TEMP")))
+        // EXECUTE→DQL on the function's schema; bare names are public
+        // (HasFunctionPrivilegeFunction:75-119)
+        privFn("has_function_privilege")(
+          (u, fn, _) =>
+            if (!fn.contains('.')) true
+            else {
+              val sch = fn.substring(0, fn.indexOf('.'))
+              Seq("pg_catalog", "information_schema").contains(sch) ||
+                R.hasPrivilege(u, "DQL", "SCHEMA", Some(sch))
+            },
+          csv(Map("execute" -> "DQL")))
       }
       reg.createOrReplaceTempFunction("pg_backend_pid",
         _ => Literal(ProcessHandle.current().pid().toInt), "scala_udf")
+      // the effective session user — tracks SET SESSION AUTHORIZATION
+      // (reference scalar/UserFunction.java: CURRENT_USER/SESSION_USER/
+      // CURRENT_ROLE all resolve the session's authenticated user)
+      Seq("current_user", "session_user", "current_role").foreach { n =>
+        reg.createOrReplaceTempFunction(n, _ => Literal(
+          graft.sources.Roles.sessionUser(
+            org.apache.spark.sql.SparkSession.active)), "scala_udf")
+      }
       reg.createOrReplaceTempFunction("current_setting",
         exprs => graft.plans.CurrentSettingExpr(exprs(0), exprs.drop(1).headOption),
         "scala_udf")

@@ -742,10 +742,197 @@ object QueriesRound4 {
           ((col("n_chars") % 97) + 20).as("toks"))
       graft.operators.Sampling.packSequences(docs, "shard", "doc_id", "toks", 256)
         .orderBy(col("shard"), col("doc_id"))
+    }),
+
+    // Users/roles/privileges (reference io.crate.role; GRANT/DENY/REVOKE
+    // + inheritance + the has_*_privilege scalar family): build a small
+    // grant graph through routed DDL, then hash-gate the resolution
+    // matrix — DENY-beats-inherited-GRANT, schema-ladder fallback, role
+    // inheritance — plus the sys.privileges/roles/users catalog counts.
+    // All decisions are closed-form, so the oracle is a literal row.
+    "q200_role_privileges" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      graft.sources.Roles.reset() // idempotent per invocation
+      val rt = java.nio.file.Files.createTempDirectory("graft_q200")
+        .toFile.getAbsolutePath
+      val r = new graft.StatementRouter(s, rt)
+      Seq(
+        "CREATE USER ana WITH (password = 'a')",
+        "CREATE USER bo WITH (password = 'b')",
+        "CREATE ROLE readers",
+        "CREATE ROLE writers",
+        "GRANT DQL TO readers",
+        "GRANT DML ON SCHEMA doc TO writers",
+        "GRANT readers TO ana",
+        "GRANT writers TO ana",
+        "DENY DQL ON TABLE doc.orders TO ana",
+        "GRANT DQL ON TABLE doc.events TO bo"
+      ).foreach(r.execute)
+      graft.sources.SysCatalog.registerAll(s, dir)
+      val out = r.execute("""SELECT
+        has_table_privilege('ana', 'doc.events', 'SELECT') AS ana_events_select,
+        has_table_privilege('ana', 'doc.orders', 'SELECT') AS ana_orders_select,
+        has_table_privilege('ana', 'doc.events', 'INSERT') AS ana_events_insert,
+        has_table_privilege('bo', 'doc.events', 'SELECT')  AS bo_events_select,
+        has_table_privilege('bo', 'doc.events', 'DELETE')  AS bo_events_delete,
+        has_table_privilege('bo', 'doc.orders', 'SELECT')  AS bo_orders_select,
+        has_schema_privilege('ana', 'doc', 'USAGE')        AS ana_doc_usage,
+        (SELECT count(*) FROM sys.privileges)              AS n_privileges,
+        (SELECT count(*) FROM sys.roles)                   AS n_roles,
+        (SELECT count(*) FROM sys.users WHERE NOT superuser) AS n_users""")
+      // the has_* decisions folded at analysis time and the sys views
+      // snapshot eagerly, so the registry can be cleared before other
+      // catalog queries in the same sweep read pg_roles/pg_user
+      graft.sources.Roles.reset()
+      out
+    }),
+
+    // Cursors as routed SQL (reference session/Cursor.java + declare/
+    // fetch/close.rst): three FETCH pages off one DECLAREd cursor —
+    // plain counts, FORWARD, and an ABSOLUTE jump — exactly replayed by
+    // the oracle's LIMIT/OFFSET windows over the same ordering.
+    "q201_cursor_pages" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      val rt = java.nio.file.Files.createTempDirectory("graft_q201")
+        .toFile.getAbsolutePath
+      val r = new graft.StatementRouter(s, rt)
+      r.execute("DECLARE page_cur CURSOR FOR " +
+        "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey")
+      val p1 = r.execute("FETCH 50 FROM page_cur").withColumn("page", lit(1))
+      val p2 = r.execute("FETCH FORWARD 100 FROM page_cur").withColumn("page", lit(2))
+      val p3 = r.execute("FETCH ABSOLUTE 200 FROM page_cur").withColumn("page", lit(3))
+      r.execute("CLOSE page_cur")
+      p1.union(p2).union(p3).orderBy(col("page"), col("o_orderkey"))
+    }),
+
+    // Incremental IVF maintenance (Similarity.updateQuantizedIndex —
+    // FAISS add/remove_ids practice): index built on 90% of the corpus,
+    // 10% delta-added and a slice delta-removed against FIXED centroids,
+    // then searched. Gates: every query returns a full k, recall vs the
+    // exact end-state top-k clears a floor, and no removed id ever
+    // surfaces (the search corpus is the FULL float set, so a leaked code
+    // would survive rescoring and trip the gate).
+    "q202_ivf_delta" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") % 10 =!= 0)
+      val late = emb.filter(col("vec_id") % 10 === 0)
+      val removed = base.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+      val (bucketed, centroids) =
+        graft.operators.Similarity.kmeansBucketize(base, numCentroids = 16, iters = 2)
+      val updated = graft.operators.Similarity.updateQuantizedIndex(
+        graft.operators.Similarity.quantizedIndex(bucketed), centroids, removed, late)
+      val endCorpus = emb.filter(col("vec_id") % 10 === 0 || col("vec_id") % 7 =!= 3)
+      val qs = emb.filter(col("vec_id") < 10)
+      val approx = graft.operators.Similarity.ivfKnnStored(
+        updated, centroids, emb, qs, k = 5, nprobe = 8)
+      val hits = approx.select(col("qid"), col("cid"), lit(1).as("hit"))
+      val rec = graft.operators.Similarity.bruteForceKnn(endCorpus, qs, k = 5)
+        .select(col("qid"), col("cid"))
+        .join(hits, Seq("qid", "cid"), "left")
+        .agg((sum(coalesce(col("hit"), lit(0))) >=
+          count(lit(1)) * 0.7).as("recall_ok"))
+      approx.groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_results"),
+          sum(when(col("cid") % 10 =!= 0 && col("cid") % 7 === 3, 1)
+            .otherwise(0)).as("removed_hits"))
+        .crossJoin(rec)
+        .select(col("qid"), col("n_results"), col("removed_hits"), col("recall_ok"))
+        .orderBy(col("qid"))
+    }),
+
+    // Geographical MATCH (reference docs/general/dql/geo.rst: MATCH on a
+    // geo_shape column with match_types within/disjoint decides the
+    // spatial relation) — lowered by the dialect to the computational-
+    // geometry UDFs. Same rectangles-only L-shape as q169, so the DuckDB
+    // oracle replays both relations with closed-form interval arithmetic
+    // — ground truth, not geometry-vs-geometry.
+    "q203_geo_match" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      val pts = """
+        SELECT c_custkey,
+               (c_custkey % 23) * 0.5 + 0.25 AS lon,
+               (c_custkey % 19) * 0.5 + 0.25 AS lat,
+               concat('POLYGON ((',
+                 (c_custkey % 23) * 0.5 - 0.25, ' ', (c_custkey % 19) * 0.5 - 0.25, ', ',
+                 (c_custkey % 23) * 0.5 + 0.75, ' ', (c_custkey % 19) * 0.5 - 0.25, ', ',
+                 (c_custkey % 23) * 0.5 + 0.75, ' ', (c_custkey % 19) * 0.5 + 0.75, ', ',
+                 (c_custkey % 23) * 0.5 - 0.25, ' ', (c_custkey % 19) * 0.5 + 0.75, ', ',
+                 (c_custkey % 23) * 0.5 - 0.25, ' ', (c_custkey % 19) * 0.5 - 0.25,
+                 '))') AS sq
+        FROM customer"""
+      graft.Engine.sql(s, s"""
+        SELECT 'within' AS rel, c_custkey FROM ($pts) p
+        WHERE MATCH(sq, '$lShape') USING within
+        UNION ALL
+        SELECT 'disjoint' AS rel, c_custkey FROM ($pts) p
+        WHERE MATCH(sq, '$lShape') USING disjoint
+        ORDER BY rel, c_custkey""")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // closed-form: ana inherits cluster-DQL (readers) except the direct
+    // table DENY on doc.orders, and schema-DML via writers; bo holds one
+    // table-level DQL grant. 4 privilege entries, 2 roles, 2 users.
+    "q200_role_privileges" ->
+      """SELECT true  AS ana_events_select,
+        |       false AS ana_orders_select,
+        |       true  AS ana_events_insert,
+        |       true  AS bo_events_select,
+        |       false AS bo_events_delete,
+        |       false AS bo_orders_select,
+        |       true  AS ana_doc_usage,
+        |       CAST(4 AS BIGINT) AS n_privileges,
+        |       CAST(2 AS BIGINT) AS n_roles,
+        |       CAST(2 AS BIGINT) AS n_users""".stripMargin,
+
+    // interval arithmetic over the L-shape's two rectangles + hole:
+    //   within   = square inside the outer union ((maxx<=4 or maxy<=4)
+    //              within the 10x10 bound) and clear of the open hole
+    //   disjoint = no overlap with either rectangle, unless the square
+    //              sits entirely inside the hole
+    "q203_geo_match" ->
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |         (c_custkey % 23) * 0.5 + 0.25 AS lon,
+        |         (c_custkey % 19) * 0.5 + 0.25 AS lat
+        |  FROM customer),
+        |rels AS (
+        |  SELECT c_custkey,
+        |    (lon - 0.5 >= 0 AND lat - 0.5 >= 0 AND lon + 0.5 <= 10
+        |      AND lat + 0.5 <= 10 AND (lon + 0.5 <= 4 OR lat + 0.5 <= 4)
+        |      AND NOT (lon - 0.5 < 3 AND lon + 0.5 > 1
+        |               AND lat - 0.5 < 3 AND lat + 0.5 > 1)) AS is_within,
+        |    (((lon - 0.5 < 10 AND lon + 0.5 > 0 AND lat - 0.5 < 4 AND lat + 0.5 > 0)
+        |       OR (lon - 0.5 < 4 AND lon + 0.5 > 0 AND lat - 0.5 < 10 AND lat + 0.5 > 0))
+        |     AND NOT (lon - 0.5 >= 1 AND lon + 0.5 <= 3
+        |              AND lat - 0.5 >= 1 AND lat + 0.5 <= 3)) AS is_x
+        |  FROM pts)
+        |SELECT 'within' AS rel, c_custkey FROM rels WHERE is_within
+        |UNION ALL
+        |SELECT 'disjoint' AS rel, c_custkey FROM rels WHERE NOT is_x
+        |ORDER BY rel, c_custkey""".stripMargin,
+
+    "q202_ivf_delta" ->
+      """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_results,
+        |       CAST(0 AS BIGINT) AS removed_hits, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin,
+
+    "q201_cursor_pages" ->
+      """WITH ord AS (SELECT o_orderkey, o_totalprice FROM orders
+        |             ORDER BY o_orderkey)
+        |SELECT * FROM (
+        |  SELECT o_orderkey, o_totalprice, 1 AS page FROM ord LIMIT 50)
+        |UNION ALL
+        |SELECT * FROM (
+        |  SELECT o_orderkey, o_totalprice, 2 AS page FROM ord LIMIT 100 OFFSET 50)
+        |UNION ALL
+        |SELECT * FROM (
+        |  SELECT o_orderkey, o_totalprice, 3 AS page FROM ord LIMIT 1 OFFSET 199)
+        |ORDER BY page, o_orderkey""".stripMargin,
     "q199_quality_classifier" ->
       """SELECT doc_id,
         |       round(1.0 / (1.0 + exp(-z)), 6) AS prob,

@@ -45,6 +45,21 @@ object Fdw {
     userMappings.put((user, server), options)
   }
 
+  def dropUserMapping(user: String, server: String): Unit =
+    userMappings.remove((user, server))
+
+  /** `ALTER SERVER … OPTIONS (…)`: Some(v) sets/adds, None drops. */
+  def alterServerOptions(name: String,
+                         changes: Seq[(String, Option[String])]): Unit = {
+    val s = servers.getOrElse(name,
+      throw new IllegalArgumentException(s"no such server: $name"))
+    val opts = changes.foldLeft(s.options) {
+      case (m, (k, Some(v))) => m + (k -> v)
+      case (m, (k, None))    => m - k
+    }
+    servers.put(name, s.copy(options = opts))
+  }
+
   def listServers: Seq[(String, Server)] = servers.toSeq.sortBy(_._1)
   def listForeignTables: Seq[(String, ForeignTable)] = foreignTables.toSeq.sortBy(_._1)
   def listUserMappings: Seq[((String, String), Map[String, String])] =

@@ -253,38 +253,77 @@ object InformationSchema {
   }
 
   private def sessionUser(spark: SparkSession): String =
-    spark.sparkContext.sparkUser
+    Roles.sessionUser(spark)
 
   /** `information_schema.enabled_roles` / `applicable_roles` /
-    * `administrable_role_authorizations` / `role_table_grants` — the
-    * single-user surface: Spark has no role catalog, so the session user is
-    * the one enabled role holding every privilege on every table
-    * (reference `InformationEnabledRoles.java` et al. enumerate the granted
-    * graph; here the graph is the implicit superuser). */
+    * `administrable_role_authorizations` / `role_table_grants` — read from
+    * the role graph (reference `InformationEnabledRolesTableInfo.java`,
+    * `InformationSchemaIterables.roleTableGrants:419`): enabled = session
+    * user plus its transitive parents; administrable = applicable when the
+    * user holds AL; table grants walk the hierarchy's TABLE/VIEW/SCHEMA
+    * privileges, skipping DENY-invalidated entries, privilege_type
+    * rendered as the CrateDB permission name. */
   def enabledRoles(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq(Tuple1(sessionUser(spark))).toDF("role_name")
+    val u = sessionUser(spark)
+    (u +: Roles.parentClosure(u).toSeq.sorted).map(Tuple1(_)).toDF("role_name")
   }
 
   def applicableRoles(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq((sessionUser(spark), sessionUser(spark), false))
-      .toDF("grantee", "role_name", "is_grantable")
+    val u = sessionUser(spark)
+    val isAdmin = Roles.hasPrivilege(u, "AL", "CLUSTER", None)
+    val edges = (u +: Roles.parentClosure(u).toSeq.sorted).flatMap { r =>
+      Roles.find(r).toSeq.flatMap(_.granted.map(gr => (r, gr.role, isAdmin)))
+    }
+    // the implicit process superuser has no edges; it is its own one
+    // enabled role (pre-role-graph behavior, spec-pinned)
+    val rows = if (edges.isEmpty && Roles.find(u).isEmpty)
+      Seq((u, u, false)) else edges
+    rows.toDF("grantee", "role_name", "is_grantable")
   }
 
   def administrableRoleAuthorizations(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    Seq.empty[(String, String, Boolean)]
-      .toDF("grantee", "role_name", "is_grantable")
+    val df = applicableRoles(spark)
+    df.filter(df("is_grantable"))
   }
 
   def roleTableGrants(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val u = sessionUser(spark)
-    spark.catalog.listTables().collect().toSeq.flatMap { t =>
-      Seq("SELECT", "INSERT", "UPDATE", "DELETE").map(p =>
-        (u, u, "spark_catalog", "default", t.name, p, false, "NO"))
-    }.toDF("grantor", "grantee", "table_catalog", "table_schema", "table_name",
+    val out =
+      if (Roles.isSuperuser(u))
+        // the implicit process superuser holds everything on every table
+        spark.catalog.listTables().collect().toSeq.flatMap { t =>
+          Seq("SELECT", "INSERT", "UPDATE", "DELETE").map(p =>
+            (u, u, "crate", "doc", t.name, p, true, "NO"))
+        }
+      else {
+        val isAdmin = Roles.hasPrivilege(u, "AL", "CLUSTER", None)
+        val hierarchy = u +: Roles.parentClosure(u).toSeq.sorted
+        val tablesBySchema: Map[String, Seq[String]] =
+          spark.catalog.listTables().collect().toSeq.map(t => ("doc", t.name))
+            .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        hierarchy.flatMap { r =>
+          Roles.allPrivileges.filter(p => p.grantee == r && p.state == "GRANT")
+            .filter(p => Roles.hasPrivilege(u, p.permission, p.securable, p.ident))
+            .flatMap { p =>
+              p.securable match {
+                case "TABLE" | "VIEW" =>
+                  val fqn = p.ident.getOrElse("")
+                  val (s, t) = fqn.span(_ != '.')
+                  Seq((p.grantor, r, "crate", s, t.stripPrefix("."),
+                    p.permission, isAdmin, "NO"))
+                case "SCHEMA" =>
+                  tablesBySchema.getOrElse(p.ident.getOrElse(""), Nil).map(t =>
+                    (p.grantor, r, "crate", p.ident.get, t, p.permission,
+                      isAdmin, "NO"))
+                case _ => Nil
+              }
+            }
+        }.distinct
+      }
+    out.toDF("grantor", "grantee", "table_catalog", "table_schema", "table_name",
       "privilege_type", "is_grantable", "with_hierarchy")
   }
 

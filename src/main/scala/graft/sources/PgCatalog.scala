@@ -205,38 +205,58 @@ object PgCatalog {
       spark.sparkContext.parallelize(rows, 1), schema)
   }
 
-  /** `pg_roles` (PgRolesTable.java) — the session user as superuser;
-    * rolpassword is always the '********' mask, as in the reference. */
+  /** `pg_roles` (PgRolesTable.java) — the process user plus every
+    * registered user/role; rolpassword is always the '********' mask, as
+    * in the reference. */
   def pgRoles(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val user = spark.sparkContext.sparkUser
-    Seq((user, true, true, true, true, true, false, -1, "********",
-      null: String, false, null: Seq[String], oid(user)))
-      .toDF("rolname", "rolsuper", "rolinherit", "rolcreaterole",
-        "rolcreatedb", "rolcanlogin", "rolreplication", "rolconnlimit",
-        "rolpassword", "rolvaliduntil", "rolbypassrls", "rolconfig", "oid")
+    val process = spark.sparkContext.sparkUser
+    val registered = Roles.all
+    val rows = (if (registered.exists(_.name == process)) Nil
+                else Seq((process, true, true, true, true, true))) ++
+      registered.map(r =>
+        (r.name, r.superuser, true, r.superuser, r.superuser, r.isUser))
+    rows.map { case (n, su, inh, cr, cdb, login) =>
+      (n, su, inh, cr, cdb, login, false, -1, "********",
+        null: String, false, null: Seq[String], oid(n))
+    }.toDF("rolname", "rolsuper", "rolinherit", "rolcreaterole",
+      "rolcreatedb", "rolcanlogin", "rolreplication", "rolconnlimit",
+      "rolpassword", "rolvaliduntil", "rolbypassrls", "rolconfig", "oid")
   }
 
-  /** `pg_user` (PgUserTable.java) — view over the same single role. */
+  /** `pg_user` (PgUserTable.java) — login-capable roles of [[pgRoles]]. */
   def pgUser(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val user = spark.sparkContext.sparkUser
-    Seq((user, oid(user), true, true, false, false, "********",
-      null: String, null: Seq[String]))
-      .toDF("usename", "usesysid", "usecreatedb", "usesuper", "userepl",
-        "usebypassrls", "passwd", "valuntil", "useconfig")
+    val process = spark.sparkContext.sparkUser
+    val registered = Roles.all.filter(_.isUser)
+    val rows = (if (registered.exists(_.name == process)) Nil
+                else Seq((process, true))) ++
+      registered.map(r => (r.name, r.superuser))
+    rows.map { case (n, su) =>
+      (n, oid(n), su, su, false, false, "********",
+        null: String, null: Seq[String])
+    }.toDF("usename", "usesysid", "usecreatedb", "usesuper", "userepl",
+      "usebypassrls", "passwd", "valuntil", "useconfig")
   }
 
-  /** `pg_auth_members` (PgAuthMembersTable.java) — role grants; a single
-    * superuser session has none, same as the reference's
-    * `authMembers(roles)` over one role. */
-  def pgAuthMembers(spark: SparkSession): DataFrame =
-    empty(spark, StructType(Seq(
-      StructField("oid", IntegerType), StructField("roleid", IntegerType),
-      StructField("member", IntegerType), StructField("grantor", IntegerType),
-      StructField("admin_option", BooleanType),
-      StructField("inherit_option", BooleanType),
-      StructField("set_option", BooleanType))))
+  /** `pg_auth_members` (PgAuthMembersTable.java) — the role-inheritance
+    * edges of the grant graph, OID-encoded like the reference's
+    * `authMembers(roles)`. */
+  def pgAuthMembers(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val edges = Roles.all.flatMap(r => r.granted.map(gr =>
+      (oid(s"${gr.role}->${r.name}"), oid(gr.role), oid(r.name),
+        oid(gr.grantor), false, true, false)))
+    if (edges.isEmpty)
+      empty(spark, StructType(Seq(
+        StructField("oid", IntegerType), StructField("roleid", IntegerType),
+        StructField("member", IntegerType), StructField("grantor", IntegerType),
+        StructField("admin_option", BooleanType),
+        StructField("inherit_option", BooleanType),
+        StructField("set_option", BooleanType))))
+    else edges.toDF("oid", "roleid", "member", "grantor", "admin_option",
+      "inherit_option", "set_option")
+  }
 
   /** `pg_cursors` (PgCursors.java) — currently-open named cursors. */
   def pgCursors(spark: SparkSession): DataFrame = {

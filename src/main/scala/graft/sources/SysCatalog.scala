@@ -324,5 +324,8 @@ object SysCatalog {
     sessions(spark).createOrReplaceTempView("sys_sessions")
     snapshots(spark, dir).createOrReplaceTempView("sys_snapshots")
     repositories(spark, dir).createOrReplaceTempView("sys_repositories")
+    Roles.sysUsers(spark).createOrReplaceTempView("sys_users")
+    Roles.sysRoles(spark).createOrReplaceTempView("sys_roles")
+    Roles.sysPrivileges(spark).createOrReplaceTempView("sys_privileges")
   }
 }
