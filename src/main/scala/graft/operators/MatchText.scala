@@ -276,7 +276,51 @@ object MatchText {
     // countDistinct state.
     val termStats = p0.groupBy("term").agg(count(lit(1)).as("df")).persist()
     val statsRow = docLen.agg(count(lit(1)), avg(col("dl"))).head()
-    InvertedIndex(postings, termStats, statsRow.getLong(0), statsRow.getDouble(1), analyzer)
+    InvertedIndex(postings, termStats, statsRow.getLong(0),
+      if (statsRow.isNullAt(1)) 0.0 else statsRow.getDouble(1), analyzer)
+  }
+
+  /** Which code path produced the most recent index for a scored route —
+    * "loaded" | "full" | "delta". Test introspection only. */
+  @volatile var lastIndexBuild: String = ""
+
+  /** Incremental index maintenance (the delta twin of a full
+    * [[buildIndex]]): drop `removedIds`' postings from `old`, merge in a
+    * freshly-built index over `added`, and patch the per-term document
+    * frequencies and corpus stats arithmetically. The reference updates
+    * its per-shard Lucene segments in place on DML; graft's equivalent is
+    * this postings-level merge — cost is one pass over the OLD INDEX plus
+    * tokenizing only the CHANGED partitions, never a re-scan of the
+    * table. A doc present on both sides (an UPDATE) is dropped then
+    * re-added with its new content. */
+  def updateIndex(old: InvertedIndex, removedIds: DataFrame,
+                  added: DataFrame, idCol: String,
+                  textCol: String): InvertedIndex = {
+    val rem = removedIds.select(col(removedIds.columns.head).as("doc_id"))
+    val addIdx = buildIndex(added, idCol, textCol, old.analyzer)
+    val oldPost = old.postings.drop("tb")
+    val remDocs = oldPost.join(rem, Seq("doc_id"), "left_semi")
+    val remAgg = remDocs.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    val (nRem, remLen) = (remAgg.getLong(0), remAgg.getLong(1))
+    val remTermCounts = remDocs.groupBy("term").agg(count(lit(1)).as("rdf"))
+    val newPostings = oldPost.join(rem, Seq("doc_id"), "left_anti")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .unionByName(addIdx.postings
+        .select(col("term"), col("doc_id"), col("tf"), col("dl")))
+      .persist()
+    val newTermStats = old.termStats.drop("tb")
+      .join(remTermCounts, Seq("term"), "left_outer")
+      .join(addIdx.termStats.withColumnRenamed("df", "adf"), Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) - coalesce(col("rdf"), lit(0L)) +
+          coalesce(col("adf"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+      .persist()
+    val nDocs = old.nDocs - nRem + addIdx.nDocs
+    val totalLen = old.avgdl * old.nDocs - remLen + addIdx.avgdl * addIdx.nDocs
+    InvertedIndex(newPostings, newTermStats, nDocs,
+      if (nDocs > 0) totalLen / nDocs else 0.0, old.analyzer)
   }
 
   /** Stable term→partition bucket for stored indexes. Java's String
@@ -463,6 +507,52 @@ object MatchText {
       spark.read.parquet(s"$path/termstats"),
       spark.read.parquet(s"$path/fieldstats"),
       analyzer, st.getInt(0))
+  }
+
+  /** [[updateIndex]] for fielded indexes: per-(field, term) df patches,
+    * per-field corpus stats patched arithmetically. */
+  def updateFieldedIndex(old: FieldedIndex, removedIds: DataFrame,
+                         added: DataFrame, idCol: String,
+                         fields: Seq[String]): FieldedIndex = {
+    val rem = removedIds.select(col(removedIds.columns.head).as("doc_id"))
+    val addIdx = buildFieldedIndex(added, idCol, fields, old.analyzer)
+    val oldPost = old.postings.drop("tb")
+    val remDocs = oldPost.join(rem, Seq("doc_id"), "left_semi")
+    val remField = remDocs.select(col("field"), col("doc_id"), col("dl")).distinct()
+      .groupBy("field")
+      .agg(count(lit(1)).as("rn"), sum(col("dl")).as("rlen"))
+    val remTermCounts = remDocs.groupBy("field", "term")
+      .agg(count(lit(1)).as("rdf"))
+    val newPostings = oldPost.join(rem, Seq("doc_id"), "left_anti")
+      .select(col("field"), col("term"), col("doc_id"), col("tf"), col("dl"))
+      .unionByName(addIdx.postings
+        .select(col("field"), col("term"), col("doc_id"), col("tf"), col("dl")))
+      .persist()
+    val newTermStats = old.termStats.drop("tb")
+      .join(remTermCounts, Seq("field", "term"), "left_outer")
+      .join(addIdx.termStats.withColumnRenamed("df", "adf"),
+        Seq("field", "term"), "full_outer")
+      .select(col("field"), col("term"),
+        (coalesce(col("df"), lit(0L)) - coalesce(col("rdf"), lit(0L)) +
+          coalesce(col("adf"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+      .persist()
+    val newFieldStats = old.fieldStats
+      .join(remField, Seq("field"), "left_outer")
+      .join(addIdx.fieldStats
+        .withColumnRenamed("n_docs", "an").withColumnRenamed("avgdl", "aavgdl"),
+        Seq("field"), "full_outer")
+      .select(col("field"),
+        (coalesce(col("n_docs"), lit(0L)) - coalesce(col("rn"), lit(0L)) +
+          coalesce(col("an"), lit(0L))).as("n2"),
+        (coalesce(col("avgdl"), lit(0.0)) * coalesce(col("n_docs"), lit(0L)) -
+          coalesce(col("rlen"), lit(0L)) +
+          coalesce(col("aavgdl"), lit(0.0)) * coalesce(col("an"), lit(0L))).as("tl"))
+      .filter(col("n2") > 0)
+      .select(col("field"), col("n2").as("n_docs"),
+        (col("tl") / col("n2")).as("avgdl"))
+      .persist()
+    FieldedIndex(newPostings, newTermStats, newFieldStats, old.analyzer)
   }
 
   private def prunedToTermsF(df: DataFrame, index: FieldedIndex,

@@ -222,6 +222,39 @@ object Similarity {
     (spark.read.parquet(s"$path/codes"),
       spark.read.parquet(s"$path/centroids"))
 
+  /** Incremental maintenance of a quantized IVF index under corpus churn —
+    * the vector twin of [[graft.operators.MatchText.updateIndex]] (and of
+    * FAISS's `add`/`remove_ids` production practice): removed ids drop
+    * out of the code set with one anti-join, added vectors are assigned
+    * to the EXISTING centroids with one broadcast pass over the DELTA
+    * only, quantized, and appended. Centroids stay fixed — assignment
+    * semantics (cosine, ties to the lowest centroid id) are identical to
+    * [[ivfBucketize]], so a delta-maintained index equals a fresh
+    * assignment pass over the union corpus against the same centroids.
+    * Retrain (rebuild) only when the corpus distribution drifts enough
+    * to hurt recall. Cost: O(|delta| · centroids) + one streamed pass
+    * over the stored codes — never a re-scan of the corpus vectors. */
+  def updateQuantizedIndex(codes: DataFrame, centroids: DataFrame,
+                           removedIds: DataFrame, added: DataFrame,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(codes.sparkSession)
+    val rem = removedIds.select(col(removedIds.columns.head).as("cid"))
+    val a = added.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val assigned = a.crossJoin(broadcast(centroids))
+      .select(col("cid"), col("cvec"),
+        VectorFunctions.cosineNative(col("cvec"), col("centroid")).as("sim"),
+        col("centroid_id"))
+      .groupBy(col("cid"))
+      .agg(expr("max_by(centroid_id, struct(sim, -centroid_id))").as("bucket"),
+        expr("any_value(cvec)").as("cvec"))
+      .select(col("bucket"), col("cid"), quantizeInt8(col("cvec")).as("qcode"))
+    codes.select(col("bucket"), col("cid"), col("qcode"))
+      .join(rem, Seq("cid"), "left_anti")
+      .unionByName(assigned)
+      .select(col("bucket"), col("cid"), col("qcode"))
+  }
+
   /** [[ivfKnnQuantized]] against a STORED index plus the float corpus for
     * rescoring: candidate generation scans only the code files (pruned to
     * the probed buckets), the float corpus is touched only by the

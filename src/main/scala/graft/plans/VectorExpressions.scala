@@ -58,17 +58,23 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh locals: two cosine calls in one codegen'd projection must
+      // not redeclare each other's variables
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
+      val y = ctx.freshName("y"); val denom = ctx.freshName("denom")
       s"""
-         |int n = $a.numElements();
-         |if (n != $b.numElements()) { ${ev.isNull} = true; } else {
-         |  double dot = 0.0, na = 0.0, nb = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    double x = (double) $a.getFloat(i);
-         |    double y = (double) $b.getFloat(i);
-         |    dot += x * y; na += x * x; nb += y * y;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = (double) $a.getFloat($i);
+         |    double $y = (double) $b.getFloat($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  double denom = java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb);
-         |  if (denom == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = dot / denom; }
+         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  if ($denom == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $denom; }
          |}
        """.stripMargin
     })
@@ -93,14 +99,16 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
       s"""
-         |int n = $a.numElements();
-         |if (n != $b.numElements()) { ${ev.isNull} = true; } else {
-         |  double dot = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    dot += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |  }
-         |  ${ev.value} = dot;
+         |  ${ev.value} = $dot;
          |}
        """.stripMargin
     })

@@ -140,6 +140,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(!codeScan.contains("embedding"), codeScan)
   }
 
+  test("updateQuantizedIndex: delta add/remove against fixed centroids") {
+    val base = emb.filter($"vec_id" % 10 =!= 0) // 90% of the corpus
+    val late = emb.filter($"vec_id" % 10 === 0) // arrives later
+    val (bucketed, centroids) = Similarity.ivfBucketize(base, numCentroids = 8)
+    val removed = base.filter($"vec_id" % 7 === 3).select($"vec_id")
+    val updated = Similarity.updateQuantizedIndex(
+      Similarity.quantizedIndex(bucketed), centroids, removed, late)
+    assert(updated.columns.toSeq == Seq("bucket", "cid", "qcode"))
+    // end-state membership: (base − removed) ∪ late, no stragglers
+    val endIds = emb.filter($"vec_id" % 10 === 0 ||
+        ($"vec_id" % 10 =!= 0 && $"vec_id" % 7 =!= 3))
+      .select($"vec_id").as[Long].collect().toSet
+    assert(updated.select($"cid").as[Long].collect().toSet == endIds)
+    // the delta-added vectors are searchable: full-probe stored search
+    // recalls each late vector as its own top hit after float rescore
+    val qs = late.limit(5)
+    val res = Similarity.ivfKnnStored(updated, centroids, emb, qs,
+      k = 3, nprobe = 8)
+    assert(res.filter($"rk" === 1 && $"qid" === $"cid").count() == qs.count())
+    // removed ids never surface as candidates
+    val remSet = removed.as[Long].collect().toSet
+    assert(res.filter($"cid".isin(remSet.toSeq: _*)).count() == 0)
+  }
+
   test("embedding near-dup: oversized buckets are dropped, not exploded") {
     // 30 identical vectors forced into 1 centroid: with maxBucket below the
     // cluster size the pairwise stage must emit nothing (the O(bucket²)
