@@ -187,7 +187,8 @@ object VersionedTable {
   final case class ConstraintSpec(
       generated: Seq[(String, String, String)], // (col, sparkExpr, crateExpr)
       checks: Seq[(String, String, String)],    // (name, sparkExpr, crateExpr)
-      notNull: Seq[String])
+      notNull: Seq[String],
+      defaults: Seq[(String, String, String)] = Nil) // (col, sparkExpr, crateExpr)
 
   private def constraintSpecFile(path: String) = new Path(path, "_constraintspec")
   private val FS = "" // field separator — safe inside SQL text
@@ -198,7 +199,8 @@ object VersionedTable {
     val lines =
       spec.generated.map { case (c, s, o) => s"G$FS$c$FS$s$FS$o" } ++
       spec.checks.map { case (n, s, o) => s"C$FS$n$FS$s$FS$o" } ++
-      spec.notNull.map(c => s"N$FS$c")
+      spec.notNull.map(c => s"N$FS$c") ++
+      spec.defaults.map { case (c, s, o) => s"D$FS$c$FS$s$FS$o" }
     val out = f.create(constraintSpecFile(path), true)
     out.write(lines.mkString("\n").getBytes("UTF-8"))
     out.close()
@@ -218,7 +220,9 @@ object VersionedTable {
       val c = lines.filter(_.startsWith("C")).map { l =>
         val a = l.split(FS, 4); (a(1), a(2), a(3)) }
       val n = lines.filter(_.startsWith("N")).map(_.split(FS, 2)(1))
-      Some(ConstraintSpec(g, c, n))
+      val d = lines.filter(_.startsWith("D")).map { l =>
+        val a = l.split(FS, 4); (a(1), a(2), a(3)) }
+      Some(ConstraintSpec(g, c, n, d))
     }
   }
 

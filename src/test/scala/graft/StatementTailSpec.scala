@@ -1,0 +1,164 @@
+package graft
+
+/** The management-statement tail (reference alter-cluster.rst,
+  * alter-repository.rst, alter-server.rst, alter-table.rst OPEN/CLOSE +
+  * DROP CONSTRAINT, set-transaction.rst, deallocate.rst, discard.rst).
+  */
+class StatementTailSpec extends SparkTestBase {
+
+  private def newRouter() = {
+    val root = java.nio.file.Files.createTempDirectory("graft_stail").toFile.getAbsolutePath
+    new StatementRouter(spark, root)
+  }
+
+  test("ALTER CLUSTER SWAP TABLE: swap and replace flavours") {
+    val r = newRouter()
+    r.execute("CREATE TABLE old_t (v TEXT)")
+    r.execute("INSERT INTO old_t (v) VALUES ('old')")
+    r.execute("CREATE TABLE new_t (v TEXT, extra BIGINT)")
+    r.execute("INSERT INTO new_t (v, extra) VALUES ('new', 1)")
+    r.execute("ALTER CLUSTER SWAP TABLE new_t TO old_t")
+    assert(r.execute("SELECT v FROM old_t").head().getString(0) == "new")
+    assert(r.execute("SELECT v FROM new_t").head().getString(0) == "old")
+    // replace flavour drops the source after the rename
+    r.execute("ALTER CLUSTER SWAP TABLE new_t TO old_t WITH (drop_source = true)")
+    assert(r.execute("SELECT v FROM old_t").head().getString(0) == "old")
+    assert(intercept[Exception](
+      r.execute("ALTER CLUSTER SWAP TABLE new_t TO old_t"))
+      .getMessage.contains("does not exist"))
+    // reroute/gc are acks; decommission is a loud non-goal
+    r.execute("ALTER CLUSTER REROUTE RETRY FAILED")
+    r.execute("ALTER CLUSTER GC DANGLING ARTIFACTS")
+    assert(intercept[Exception](r.execute("ALTER CLUSTER DECOMMISSION 'n1'"))
+      .getMessage.contains("scope"))
+  }
+
+  test("ALTER TABLE OPEN/CLOSE gates reads and writes, not ALTER") {
+    val r = newRouter()
+    r.execute("CREATE TABLE gated (id BIGINT, v TEXT)")
+    r.execute("INSERT INTO gated (id, v) VALUES (1, 'a')")
+    r.execute("ALTER TABLE gated CLOSE")
+    assert(intercept[Exception](r.execute("SELECT * FROM gated"))
+      .getMessage ==
+      """The relation "doc.gated" doesn't support or allow READ operations, as it is currently closed.""")
+    assert(intercept[Exception](
+      r.execute("INSERT INTO gated (id, v) VALUES (2, 'b')"))
+      .getMessage.contains("INSERT operations"))
+    assert(intercept[Exception](r.execute("UPDATE gated SET v = 'x'"))
+      .getMessage.contains("UPDATE operations"))
+    // ALTER TABLE stays allowed on a closed table (alter-table.rst)
+    r.execute("ALTER TABLE gated ADD COLUMN w BIGINT")
+    r.execute("ALTER TABLE gated OPEN")
+    assert(r.execute("SELECT id FROM gated").count() == 1)
+  }
+
+  test("ALTER TABLE DROP CONSTRAINT removes a named CHECK") {
+    val r = newRouter()
+    r.execute("""CREATE TABLE chk (v BIGINT,
+        CONSTRAINT v_is_positive CHECK (v > 0))""")
+    assert(intercept[Exception](r.execute("INSERT INTO chk (v) VALUES (-1)"))
+      .getMessage.toLowerCase.contains("check"))
+    r.execute("ALTER TABLE chk DROP CONSTRAINT v_is_positive")
+    r.execute("INSERT INTO chk (v) VALUES (-1)") // no longer enforced
+    assert(r.execute("SELECT v FROM chk").head().getLong(0) == -1L)
+    assert(intercept[Exception](
+      r.execute("ALTER TABLE chk DROP CONSTRAINT nope"))
+      .getMessage.contains("Cannot find"))
+  }
+
+  test("DEFAULT clause: INSERT/COPY fill, explicit NULL wins, ALTER COLUMN") {
+    val r = newRouter()
+    r.execute("""CREATE TABLE dflt (
+        id BIGINT,
+        status TEXT DEFAULT 'open' NOT NULL,
+        score DOUBLE PRECISION DEFAULT 1.5 + 0.5,
+        note TEXT)""")
+    // omitted columns take the default; listed ones keep their value
+    r.execute("INSERT INTO dflt (id) VALUES (1)")
+    r.execute("INSERT INTO dflt (id, status, score) VALUES (2, 'closed', 9.0)")
+    val rows = r.execute("SELECT id, status, score, note FROM dflt ORDER BY id")
+      .collect()
+    assert(rows(0).getString(1) == "open" && rows(0).getDouble(2) == 2.0 &&
+      rows(0).isNullAt(3))
+    assert(rows(1).getString(1) == "closed" && rows(1).getDouble(2) == 9.0)
+    // a SUPPLIED explicit NULL stays NULL (PG semantics) — and then
+    // trips NOT NULL where declared
+    assert(intercept[Exception](
+      r.execute("INSERT INTO dflt (id, status) VALUES (3, NULL)"))
+      .getMessage.contains("must not be null"))
+    // SHOW CREATE TABLE renders the clause back
+    val ddl = r.execute("SHOW CREATE TABLE dflt").head().getString(0)
+    assert(ddl.contains("DEFAULT 'open'"), ddl)
+    // ALTER COLUMN SET/DROP DEFAULT
+    r.execute("ALTER TABLE dflt ALTER COLUMN note SET DEFAULT 'n/a'")
+    r.execute("INSERT INTO dflt (id) VALUES (4)")
+    assert(r.execute("SELECT note FROM dflt WHERE id = 4").head().getString(0) == "n/a")
+    r.execute("ALTER TABLE dflt ALTER COLUMN note DROP DEFAULT")
+    r.execute("INSERT INTO dflt (id) VALUES (5)")
+    assert(r.execute("SELECT note FROM dflt WHERE id = 5").head().isNullAt(0))
+    // COPY FROM: file-row gaps take the default, file values win
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dfltcopy")
+    val f = tmp.resolve("rows.json")
+    java.nio.file.Files.writeString(f,
+      """{"id": 10, "status": "filed"}
+        |{"id": 11, "score": 3.25}""".stripMargin)
+    r.execute(s"COPY dflt FROM '$f'")
+    val copied = r.execute(
+      "SELECT id, status, score FROM dflt WHERE id >= 10 ORDER BY id").collect()
+    assert(copied(0).getString(1) == "filed" && copied(0).getDouble(2) == 2.0)
+    assert(copied(1).getString(1) == "open" && copied(1).getDouble(2) == 3.25)
+    // CREATE TABLE (LIKE src INCLUDING DEFAULTS)
+    r.execute("CREATE TABLE dflt2 (LIKE dflt INCLUDING DEFAULTS)")
+    r.execute("INSERT INTO dflt2 (id) VALUES (1)")
+    assert(r.execute("SELECT status FROM dflt2").head().getString(0) == "open")
+  }
+
+  test("hidden system columns _id / _raw / _version / _docid on router tables") {
+    val r = newRouter()
+    r.execute("CREATE TABLE sysc (a BIGINT, b TEXT, PRIMARY KEY (a, b))")
+    r.execute("INSERT INTO sysc (a, b) VALUES (1, 'x'), (2, 'y')")
+    val rows = r.execute(
+      "SELECT _id, _raw, _version FROM sysc ORDER BY a").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("1|x", "2|y"))
+    assert(rows(0).getString(1).contains(""""a":1""") &&
+      rows(0).getString(1).contains(""""b":"x""""))
+    // CREATE commits v1 (empty), the INSERT v2
+    assert(rows.forall(_.getLong(2) == 2L))
+    // DML bumps the snapshot version _version reports
+    r.execute("INSERT INTO sysc (a, b) VALUES (3, 'z')")
+    assert(r.execute("SELECT _version FROM sysc LIMIT 1").head().getLong(0) == 3L)
+    // _id usable as a predicate; _docid distinct within a scan
+    assert(r.execute("SELECT a FROM sysc WHERE _id = '3|z'").head().getLong(0) == 3L)
+    assert(r.execute("SELECT _docid FROM sysc").collect().map(_.getLong(0)).distinct.length == 3)
+    // single-column PK: _id is the value's string form
+    r.execute("CREATE TABLE sysc1 (id BIGINT PRIMARY KEY, v TEXT)")
+    r.execute("INSERT INTO sysc1 (id, v) VALUES (42, 'q')")
+    assert(r.execute("SELECT _id FROM sysc1").head().getString(0) == "42")
+  }
+
+  test("ALTER REPOSITORY / ALTER SERVER / SET TRANSACTION / DEALLOCATE / DISCARD") {
+    val r = newRouter()
+    val dir = java.nio.file.Files.createTempDirectory("graft_repo2").toFile.getAbsolutePath
+    r.execute(s"CREATE REPOSITORY backups TYPE fs WITH (location = '$dir')")
+    r.execute(s"ALTER REPOSITORY backups SET (location = '$dir', compress = true)")
+    // server options: ADD/SET/DROP + bare-add
+    r.execute("CREATE SERVER pgsrv FOREIGN DATA WRAPPER jdbc OPTIONS (url 'jdbc:postgresql://h/db')")
+    r.execute("ALTER SERVER pgsrv OPTIONS (ADD fetch_size '500', readonly 'true')")
+    r.execute("ALTER SERVER pgsrv OPTIONS (SET fetch_size '1000', DROP readonly)")
+    val opts = graft.sources.Fdw.listServers.find(_._1 == "pgsrv").get._2.options
+    assert(opts.get("fetch_size").contains("1000") && !opts.contains("readonly"))
+    // session-statement acks
+    r.execute("SET TRANSACTION ISOLATION LEVEL READ COMMITTED")
+    r.execute("SET SESSION CHARACTERISTICS AS TRANSACTION READ ONLY")
+    r.execute("DEALLOCATE ALL")
+    r.execute("DEALLOCATE some_prepared_stmt")
+    // DISCARD ALL releases open cursors
+    r.execute("CREATE TABLE dt (i BIGINT)")
+    r.execute("INSERT INTO dt (i) VALUES (1)")
+    r.execute("DECLARE dcur CURSOR FOR SELECT i FROM dt")
+    assert(graft.sources.Cursor.openCursors.contains("dcur"))
+    r.execute("DISCARD ALL")
+    assert(!graft.sources.Cursor.openCursors.contains("dcur"))
+    r.execute("DISCARD PLANS") // ack
+  }
+}
