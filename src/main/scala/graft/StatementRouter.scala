@@ -527,8 +527,10 @@ class StatementRouter(spark: SparkSession, root: String) {
       case "deallocate" => summary(0L)
       case "discard"    => discardStmt(sig)
       case "insert"   => insert(stmt)
-      case "update"   => update(stmt)
-      case "delete"   => delete(stmt)
+      // OCC predicates (`WHERE _seq_no = … AND _primary_term = …`)
+      // resolve against the current snapshot before the DML plans
+      case "update"   => update(rewriteSystemColumns(stmt))
+      case "delete"   => delete(rewriteSystemColumns(stmt))
       case "copy"     => copyStmt(stmt)
       case "explain"  => explainStmt(stmt)
       case "refresh" if sig.length > 1 && sig(1).is("table") => refreshStmt(sig)
@@ -751,12 +753,19 @@ class StatementRouter(spark: SparkSession, root: String) {
   private def rewriteSystemColumns(stmt: String): String = {
     val lower = stmt.toLowerCase
     if (!lower.contains("_id") && !lower.contains("_raw") &&
-        !lower.contains("_version") && !lower.contains("_docid")) return stmt
+        !lower.contains("_version") && !lower.contains("_docid") &&
+        !lower.contains("_seq_no") && !lower.contains("_primary_term")) return stmt
     val sig = Dialect.lex(stmt).filter(_.sig)
     def isWordT(t: Tok) = t.kind == Dialect.K.Word || t.kind == Dialect.K.QId
-    val froms = sig.indices.filter(i => sig(i).is("from") || sig(i).is("join"))
-    if (froms.length != 1) return stmt
-    val ti = froms.head + 1
+    // the one relation the statement addresses: UPDATE's target, else a
+    // single FROM/JOIN reference
+    val ti =
+      if (sig(0).is("update")) 1
+      else {
+        val froms = sig.indices.filter(i => sig(i).is("from") || sig(i).is("join"))
+        if (froms.length != 1) return stmt
+        froms.head + 1
+      }
     if (!sig.lift(ti).exists(isWordT)) return stmt
     val table = unq(sig(ti))
     if (VersionedTable.latestVersion(spark, tablePath(table)).isEmpty) return stmt
@@ -778,6 +787,13 @@ class StatementRouter(spark: SparkSession, root: String) {
           case "_raw"     => Some("to_json(struct(*))")
           case "_version" => Some(s"CAST($version AS BIGINT)")
           case "_docid"   => Some("monotonically_increasing_id()")
+          // conservative OCC (occ.rst): the snapshot version stands in
+          // for the per-row sequence — `UPDATE … WHERE _seq_no = x`
+          // succeeds only if NOTHING changed since the read, a strict
+          // superset of the reference's per-row no-concurrent-write
+          // guarantee (false conflicts allowed, lost updates never)
+          case "_seq_no"       => Some(s"CAST($version AS BIGINT)")
+          case "_primary_term" => Some("CAST(1 AS BIGINT)")
           case _          => None
         } else None
       repl match {

@@ -86,7 +86,8 @@ object MatchText {
                             tokenizer: String = "standard",
                             lowercase: Boolean = true,
                             maxTokenLength: Int = 0,
-                            charFilters: Seq[CharFilter] = Nil) {
+                            charFilters: Seq[CharFilter] = Nil,
+                            minimalStem: String = "") {
     private def splitPattern: String = tokenizer match {
       case "standard"               => "[^\\p{L}\\p{N}]+"
       case "whitespace"             => "\\s+"
@@ -112,6 +113,12 @@ object MatchText {
       }
       if (porter) toks = transform(toks, porterUdf(_))
       else if (sStem) toks = transform(toks, stemCol(_))
+      else minimalStem match {
+        case "de" => toks = transform(toks, germanStemCol(_))
+        case "fr" => toks = transform(toks, frenchStemCol(_))
+        case "es" => toks = transform(toks, spanishStemCol(_))
+        case _    => ()
+      }
       toks
     }
     /** Same chain over a driver-side string (for query terms). */
@@ -126,6 +133,12 @@ object MatchText {
       if (stopwords.nonEmpty) { val sw = stopwords.toSet; t = t.filterNot(sw) }
       if (porter) t = t.map(graft.functions.Porter.stem)
       else if (sStem) t = t.map(stemStr)
+      else minimalStem match {
+        case "de" => t = t.map(germanStemStr)
+        case "fr" => t = t.map(frenchStemStr)
+        case "es" => t = t.map(spanishStemStr)
+        case _    => ()
+      }
       t
     }
   }
@@ -148,7 +161,14 @@ object MatchText {
       "whitespace" -> Analyzer(tokenizer = "whitespace", lowercase = false),
       "keyword"    -> Analyzer(tokenizer = "keyword", lowercase = false),
       "simple"     -> Analyzer(tokenizer = "letter"),
-      "stop"       -> Analyzer(tokenizer = "letter", stopwords = englishStopwords)
+      "stop"       -> Analyzer(tokenizer = "letter", stopwords = englishStopwords),
+      // language analyzers (reference builtin-analyzer list bundles the
+      // Lucene language packs): stop set + minimal plural stemmer +
+      // (German) umlaut/ß folding — light-stemming approximations,
+      // SQL-replayable by design
+      "german"  -> Analyzer(stopwords = germanStopwords, minimalStem = "de"),
+      "french"  -> Analyzer(stopwords = frenchStopwords, minimalStem = "fr"),
+      "spanish" -> Analyzer(stopwords = spanishStopwords, minimalStem = "es")
     ).foreach { case (n, a) => registry.put(n, a) }
     def register(name: String, a: Analyzer): Unit = registry.put(name.toLowerCase, a)
     def drop(name: String): Unit = registry.remove(name.toLowerCase)
@@ -170,6 +190,30 @@ object MatchText {
     "the", "their", "then", "there", "these", "they", "this", "to", "was",
     "will", "with")
 
+  /** High-frequency cores of the published stopword lists the reference's
+    * bundled Lucene language analyzers ship (snowball stop sets) — the
+    * same approximation stance as [[englishStopwords]]. */
+  val germanStopwords: Seq[String] = Seq(
+    "aber", "als", "am", "an", "auch", "auf", "aus", "bei", "bin", "bis",
+    "das", "dass", "dem", "den", "der", "des", "die", "doch", "ein", "eine",
+    "einem", "einen", "einer", "eines", "er", "es", "für", "hat", "ich",
+    "im", "in", "ist", "mit", "nach", "nicht", "noch", "nur", "oder", "sich",
+    "sie", "sind", "so", "und", "von", "vor", "war", "wie", "wir", "zu", "zum")
+  val frenchStopwords: Seq[String] = Seq(
+    "au", "aux", "avec", "ce", "ces", "dans", "de", "des", "du", "elle",
+    "en", "et", "eux", "il", "ils", "je", "la", "le", "les", "leur", "lui",
+    "mais", "me", "même", "mes", "moi", "mon", "ne", "nos", "notre", "nous",
+    "on", "ou", "par", "pas", "pour", "qu", "que", "qui", "sa", "se", "ses",
+    "son", "sur", "ta", "te", "tes", "toi", "ton", "tu", "un", "une", "vos",
+    "votre", "vous")
+  val spanishStopwords: Seq[String] = Seq(
+    "a", "al", "algo", "como", "con", "de", "del", "desde", "donde", "el",
+    "ella", "ellas", "ellos", "en", "entre", "era", "es", "esa", "ese",
+    "eso", "esta", "este", "esto", "fue", "ha", "hay", "la", "las", "le",
+    "les", "lo", "los", "más", "me", "mi", "muy", "no", "nos", "o", "para",
+    "pero", "por", "que", "se", "ser", "si", "sin", "sobre", "su", "sus",
+    "te", "un", "una", "uno", "y", "ya")
+
   private def dropRight(t: Column, n: Int): Column = t.substr(lit(1), length(t) - n)
   private def stemCol(t: Column): Column =
     when(t.endsWith("sses"), dropRight(t, 2))
@@ -182,6 +226,53 @@ object MatchText {
     else if (s.endsWith("ies")) s.dropRight(2)
     else if (s.endsWith("ss") || s.endsWith("us") || s.endsWith("is")) s
     else if (s.endsWith("s") && s.length > 2) s.dropRight(1)
+    else s
+
+  /** Minimal (plural-class) light stemmers for the language analyzers —
+    * the role Lucene's *MinimalStemFilter plays in the reference's
+    * bundled analyzers: strip the productive inflection endings, nothing
+    * morphological. Rules are simple suffix tests on purpose: every rule
+    * is exactly replayable as SQL CASE arms, which keeps the language
+    * analyzers under the DuckDB hash gate (same stance as the English
+    * s-stemmer above). German additionally folds umlauts/ß, like the
+    * reference's german_normalization filter. */
+  private def germanFold(t: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      t, "ä", "a"), "ö", "o"), "ü", "u"), "ß", "ss")
+  private def germanStemCol(t0: Column): Column = {
+    val t = germanFold(t0)
+    when(length(t) > 5 && t.endsWith("ern"), dropRight(t, 3))
+      .when(length(t) > 4 && (t.endsWith("er") || t.endsWith("en") ||
+        t.endsWith("es") || t.endsWith("em")), dropRight(t, 2))
+      .when(length(t) > 3 && (t.endsWith("e") || t.endsWith("n") ||
+        t.endsWith("s")), dropRight(t, 1))
+      .otherwise(t)
+  }
+  private def germanStemStr(s0: String): String = {
+    val s = s0.replace("ä", "a").replace("ö", "o").replace("ü", "u")
+      .replace("ß", "ss")
+    if (s.length > 5 && s.endsWith("ern")) s.dropRight(3)
+    else if (s.length > 4 && Seq("er", "en", "es", "em").exists(s.endsWith)) s.dropRight(2)
+    else if (s.length > 3 && Seq("e", "n", "s").exists(s.endsWith)) s.dropRight(1)
+    else s
+  }
+  private def frenchStemCol(t: Column): Column =
+    when(length(t) > 5 && t.endsWith("aux"), concat(dropRight(t, 3), lit("al")))
+      .when(length(t) > 4 && t.endsWith("x"), dropRight(t, 1))
+      .when(length(t) > 3 && t.endsWith("s"), dropRight(t, 1))
+      .otherwise(t)
+  private def frenchStemStr(s: String): String =
+    if (s.length > 5 && s.endsWith("aux")) s.dropRight(3) + "al"
+    else if (s.length > 4 && s.endsWith("x")) s.dropRight(1)
+    else if (s.length > 3 && s.endsWith("s")) s.dropRight(1)
+    else s
+  private def spanishStemCol(t: Column): Column =
+    when(length(t) > 4 && t.endsWith("es"), dropRight(t, 2))
+      .when(length(t) > 3 && t.endsWith("s"), dropRight(t, 1))
+      .otherwise(t)
+  private def spanishStemStr(s: String): String =
+    if (s.length > 4 && s.endsWith("es")) s.dropRight(2)
+    else if (s.length > 3 && s.endsWith("s")) s.dropRight(1)
     else s
 
   private def termCol(text: Column): Column = Analyzer.default(text)

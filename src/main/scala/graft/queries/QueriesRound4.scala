@@ -870,6 +870,39 @@ object QueriesRound4 {
         SELECT 'disjoint' AS rel, c_custkey FROM ($pts) p
         WHERE MATCH(sq, '$lShape') USING disjoint
         ORDER BY rel, c_custkey""")
+    }),
+
+    // Language analyzers (reference builtin-analyzer list: the Lucene
+    // german/french/spanish packs = stop set + stemmer (+ German umlaut
+    // folding)). Deterministic vocabulary picked by customer key; every
+    // chain step — tokenize, stop-filter, fold, minimal-stem — is literal
+    // string algebra the DuckDB oracle replays, so the whole analyzer
+    // definition sits under the hash gate.
+    "q204_language_analyzers" -> ((s, dir) => {
+      import graft.operators.MatchText
+      val c = T(s, dir, "customer").select(col("c_custkey").as("k"))
+      def pick(words: Seq[String], m: Int) =
+        element_at(array(words.map(lit): _*), (col("k") % m + 1).cast("int"))
+      def arm(lang: String, analyzer: String,
+              v1: Seq[String], v2: Seq[String], v3: Seq[String]) =
+        c.select(lit(lang).as("lang"),
+          explode(MatchText.Analyzer.byName(analyzer)(
+            concat_ws(" ", pick(v1, 7), pick(v2, 5), pick(v3, 3)))).as("term"))
+      val de = arm("de", "german",
+        Seq("häuser", "kindern", "straßen", "laufen", "schönes", "männer", "bücher"),
+        Seq("und", "katzen", "hunde", "der", "blumen"),
+        Seq("gärten", "nicht", "tage"))
+      val fr = arm("fr", "french",
+        Seq("chevaux", "animaux", "maisons", "belles", "tables", "chats", "fleurs"),
+        Seq("et", "les", "jardins", "pour", "arbres"),
+        Seq("beaux", "nous", "jours"))
+      val es = arm("es", "spanish",
+        Seq("casas", "flores", "animales", "gatos", "perros", "ciudades", "libros"),
+        Seq("y", "los", "jardines", "para", "dias"),
+        Seq("buenos", "noches", "muy"))
+      de.union(fr).union(es)
+        .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("term"))
     })
   )
 
@@ -888,6 +921,59 @@ object QueriesRound4 {
         |       CAST(4 AS BIGINT) AS n_privileges,
         |       CAST(2 AS BIGINT) AS n_roles,
         |       CAST(2 AS BIGINT) AS n_users""".stripMargin,
+
+    // replays each analyzer chain: vocabulary pick by key modulo, stop
+    // filter (the stopwords present in the vocabulary), German umlaut/ß
+    // fold, then the minimal-stemmer CASE arms
+    "q204_language_analyzers" ->
+      """WITH ks AS (SELECT c_custkey AS k FROM customer),
+        |de_toks AS (
+        |  SELECT t FROM ks, LATERAL (VALUES
+        |    ((['häuser','kindern','straßen','laufen','schönes','männer','bücher'])[CAST(k % 7 + 1 AS INT)]),
+        |    ((['und','katzen','hunde','der','blumen'])[CAST(k % 5 + 1 AS INT)]),
+        |    ((['gärten','nicht','tage'])[CAST(k % 3 + 1 AS INT)])) AS v(t)
+        |  WHERE t NOT IN ('und', 'der', 'nicht')),
+        |de AS (
+        |  SELECT 'de' AS lang,
+        |    CASE WHEN len(f) > 5 AND f LIKE '%ern' THEN substr(f, 1, len(f) - 3)
+        |         WHEN len(f) > 4 AND (f LIKE '%er' OR f LIKE '%en'
+        |                              OR f LIKE '%es' OR f LIKE '%em')
+        |           THEN substr(f, 1, len(f) - 2)
+        |         WHEN len(f) > 3 AND (f LIKE '%e' OR f LIKE '%n' OR f LIKE '%s')
+        |           THEN substr(f, 1, len(f) - 1)
+        |         ELSE f END AS term
+        |  FROM (SELECT replace(replace(replace(replace(t, 'ä', 'a'), 'ö', 'o'),
+        |                               'ü', 'u'), 'ß', 'ss') AS f
+        |        FROM de_toks)),
+        |fr_toks AS (
+        |  SELECT t FROM ks, LATERAL (VALUES
+        |    ((['chevaux','animaux','maisons','belles','tables','chats','fleurs'])[CAST(k % 7 + 1 AS INT)]),
+        |    ((['et','les','jardins','pour','arbres'])[CAST(k % 5 + 1 AS INT)]),
+        |    ((['beaux','nous','jours'])[CAST(k % 3 + 1 AS INT)])) AS v(t)
+        |  WHERE t NOT IN ('et', 'les', 'pour', 'nous')),
+        |fr AS (
+        |  SELECT 'fr' AS lang,
+        |    CASE WHEN len(t) > 5 AND t LIKE '%aux' THEN substr(t, 1, len(t) - 3) || 'al'
+        |         WHEN len(t) > 4 AND t LIKE '%x' THEN substr(t, 1, len(t) - 1)
+        |         WHEN len(t) > 3 AND t LIKE '%s' THEN substr(t, 1, len(t) - 1)
+        |         ELSE t END AS term
+        |  FROM fr_toks),
+        |es_toks AS (
+        |  SELECT t FROM ks, LATERAL (VALUES
+        |    ((['casas','flores','animales','gatos','perros','ciudades','libros'])[CAST(k % 7 + 1 AS INT)]),
+        |    ((['y','los','jardines','para','dias'])[CAST(k % 5 + 1 AS INT)]),
+        |    ((['buenos','noches','muy'])[CAST(k % 3 + 1 AS INT)])) AS v(t)
+        |  WHERE t NOT IN ('y', 'los', 'para', 'muy')),
+        |es AS (
+        |  SELECT 'es' AS lang,
+        |    CASE WHEN len(t) > 4 AND t LIKE '%es' THEN substr(t, 1, len(t) - 2)
+        |         WHEN len(t) > 3 AND t LIKE '%s' THEN substr(t, 1, len(t) - 1)
+        |         ELSE t END AS term
+        |  FROM es_toks),
+        |allt AS (SELECT * FROM de UNION ALL SELECT * FROM fr
+        |         UNION ALL SELECT * FROM es)
+        |SELECT lang, term, count(*) AS n FROM allt
+        |GROUP BY lang, term ORDER BY lang, term""".stripMargin,
 
     // interval arithmetic over the L-shape's two rectangles + hole:
     //   within   = square inside the outer union ((maxx<=4 or maxy<=4)

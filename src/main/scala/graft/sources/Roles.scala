@@ -247,17 +247,18 @@ object Roles {
   // ---------- sys.* / information_schema views ----------
 
   /** `sys.users` (reference `role/metadata/SysUsersTableInfo.java:46`):
-    * name, superuser, password placeholder, granted_roles. The process
-    * user leads as the superuser row, like the reference's `crate`. */
+    * name, superuser, password placeholder, granted_roles as the
+    * reference's array of {role, grantor} objects. The process user
+    * leads as the superuser row, like the reference's `crate`. */
   def sysUsers(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val process = spark.sparkContext.sparkUser
     val registered = all.filter(_.isUser)
     val rows = (if (registered.exists(_.name == process)) Nil
-                else Seq((process, true, null: String, Seq.empty[String]))) ++
+                else Seq((process, true, null: String, Seq.empty[GrantedRole]))) ++
       registered.map(r => (r.name, r.superuser,
         r.password.map(_ => "********").orNull,
-        r.granted.map(_.role)))
+        r.granted))
     rows.sortBy(_._1).toDF("name", "superuser", "password", "granted_roles")
   }
 
@@ -265,7 +266,7 @@ object Roles {
   def sysRoles(spark: SparkSession): DataFrame = {
     import spark.implicits._
     all.filterNot(_.isUser)
-      .map(r => (r.name, r.granted.map(_.role)))
+      .map(r => (r.name, r.granted))
       .toDF("name", "granted_roles")
   }
 

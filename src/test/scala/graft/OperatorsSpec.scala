@@ -417,6 +417,21 @@ class MatchTextSpec extends SparkTestBase {
     (2L, "filter only document"),
     (3L, "nothing relevant here")).toDF("doc_id", "text")
 
+  test("language analyzers: german/french/spanish stop + fold + stem chains") {
+    import graft.operators.MatchText
+    val de = MatchText.Analyzer.byName("german")
+    assert(de.tokens("Die Häuser und Gärten") == Seq("haus", "gart"))
+    assert(de.tokens("schönes Straßen-Bild") == Seq("schon", "strass", "bild"))
+    val fr = MatchText.Analyzer.byName("french")
+    assert(fr.tokens("les chevaux et beaux jours") == Seq("cheval", "beau", "jour"))
+    val es = MatchText.Analyzer.byName("spanish")
+    assert(es.tokens("los animales y las flores") == Seq("animal", "flor"))
+    // the Column path agrees with the driver path
+    val col = Seq("Die Häuser und Gärten").toDF("t")
+      .select(de(org.apache.spark.sql.functions.col("t"))).head().getSeq[String](0)
+    assert(col == Seq("haus", "gart"))
+  }
+
   test("match predicate requires all terms") {
     val hits = docs.filter(MatchText.matchPredicate(col("text"), "spark filter"))
       .select("doc_id").as[Long].collect().toSet

@@ -101,7 +101,8 @@ class RolesSpec extends SparkTestBase {
     assert(users.map(_.getString(0)).toSet == Set("alice", process))
     val alice = users.find(_.getString(0) == "alice").get
     assert(alice.getString(2) == "********" && !alice.getBoolean(1))
-    assert(alice.getSeq[String](3) == Seq("auditors"))
+    // granted_roles is the reference's array of {role, grantor} objects
+    assert(alice.getSeq[org.apache.spark.sql.Row](3).map(_.getString(0)) == Seq("auditors"))
     assert(users.find(_.getString(0) == process).get.getBoolean(1))
     assert(spark.sql("SELECT name FROM sys_roles").collect()
       .map(_.getString(0)).toSeq == Seq("auditors"))

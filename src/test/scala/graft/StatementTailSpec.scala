@@ -134,6 +134,20 @@ class StatementTailSpec extends SparkTestBase {
     r.execute("CREATE TABLE sysc1 (id BIGINT PRIMARY KEY, v TEXT)")
     r.execute("INSERT INTO sysc1 (id, v) VALUES (42, 'q')")
     assert(r.execute("SELECT _id FROM sysc1").head().getString(0) == "42")
+
+    // conservative OCC (occ.rst): read _seq_no/_primary_term, update
+    // guarded on them — a stale value matches nothing (0 rows), the
+    // fresh value lands
+    val occ = r.execute("SELECT id, _seq_no, _primary_term FROM sysc1").head()
+    val (seq, term) = (occ.getLong(1), occ.getLong(2))
+    assert(r.execute(
+      s"UPDATE sysc1 SET v = 'r' WHERE id = 42 AND _seq_no = $seq AND _primary_term = $term")
+      .head().getLong(0) == 1L)
+    // the write bumped the snapshot: the old sequence is now stale
+    assert(r.execute(
+      s"UPDATE sysc1 SET v = 'x' WHERE id = 42 AND _seq_no = $seq")
+      .head().getLong(0) == 0L)
+    assert(r.execute("SELECT v FROM sysc1").head().getString(0) == "r")
   }
 
   test("ALTER REPOSITORY / ALTER SERVER / SET TRANSACTION / DEALLOCATE / DISCARD") {
