@@ -1270,10 +1270,43 @@ class StatementRouter(spark: SparkSession, root: String) {
         if (live) {
           try spark.catalog.refreshTable(st.getPath.getName)
           catch { case _: Exception => () }
+          // per-column statistics → pg_stats (the reference's ANALYZE
+          // feeds TableStatsService, surfaced through pg_stats): one
+          // partial-aggregated pass per table computing null fraction,
+          // average width and approximate distinct count per column —
+          // the same trio the reference's ReservoirSampler collects
+          try collectColumnStats(st.getPath.getName)
+          catch { case _: Exception => () }
         }
         live
       }.toLong
     summary(n)
+  }
+
+  private def collectColumnStats(name: String): Unit = {
+    import org.apache.spark.sql.types.StringType
+    val df = readTable(name)
+    if (df.schema.isEmpty) return
+    val fields = df.schema.fields.toSeq
+    val aggCols = fields.flatMap { f =>
+      val c = col(f.name)
+      val w: Column = f.dataType match {
+        case StringType => coalesce(avg(length(c)), lit(0.0))
+        case dt         => lit(dt.defaultSize.toDouble)
+      }
+      Seq(sum(when(c.isNull, 1L).otherwise(0L)),
+        approx_count_distinct(c), w.cast("double"))
+    } :+ count(lit(1))
+    val row = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val total = row.getLong(aggCols.length - 1)
+    fields.zipWithIndex.foreach { case (f, i) =>
+      val nulls = row.getLong(i * 3)
+      val distinct = row.getLong(i * 3 + 1)
+      val width = row.getDouble(i * 3 + 2)
+      sources.PgCatalog.analyzedStats.put((name, f.name),
+        (if (total > 0) (nulls.toDouble / total).toFloat else 0f,
+          math.round(width).toInt, distinct.toFloat))
+    }
   }
 
   /** `KILL ALL | KILL '<job-group>' | KILL <spark-job-id>` — cancel running
@@ -2470,10 +2503,18 @@ class StatementRouter(spark: SparkSession, root: String) {
       val opts = parseKvOptions(sig, exi + 1)
       val built = base match {
         case "snowball" =>
-          val lang = opts.getOrElse("language", Seq("english")).head.toLowerCase
-          require(lang == "english" || lang == "en",
-            s"snowball language '$lang' unsupported (English stemming only)")
-          Analyzer(stopwords = graft.operators.MatchText.englishStopwords, porter = true)
+          opts.getOrElse("language", Seq("english")).head.toLowerCase match {
+            case "english" | "en" =>
+              Analyzer(stopwords = graft.operators.MatchText.englishStopwords, porter = true)
+            case "german" | "de" =>
+              Analyzer(stopwords = graft.operators.MatchText.germanStopwords, minimalStem = "de")
+            case "french" | "fr" =>
+              Analyzer(stopwords = graft.operators.MatchText.frenchStopwords, minimalStem = "fr")
+            case "spanish" | "es" =>
+              Analyzer(stopwords = graft.operators.MatchText.spanishStopwords, minimalStem = "es")
+            case lang => throw new IllegalArgumentException(
+              s"snowball language '$lang' unsupported (english/german/french/spanish)")
+          }
         case b if Analyzer.exists(b) =>
           val a = Analyzer.byName(b)
           opts.get("stopwords").map(sw => a.copy(stopwords = sw)).getOrElse(a)
@@ -2508,11 +2549,24 @@ class StatementRouter(spark: SparkSession, root: String) {
         maxTokenLength = opts.get("max").map(_.head.toInt).getOrElse(a.maxTokenLength))
       case "kstem" | "porter_stem" => a = a.copy(porter = true)
       case "snowball" =>
-        val lang = opts.getOrElse("language", Seq("english")).head.toLowerCase
-        require(lang == "english" || lang == "en",
-          s"snowball language '$lang' unsupported (English stemming only)")
-        a = a.copy(porter = true)
+        // English gets the full Porter pipeline; German/French/Spanish
+        // the light minimal stemmers backing the language analyzers
+        opts.getOrElse("language", Seq("english")).head.toLowerCase match {
+          case "english" | "en" => a = a.copy(porter = true)
+          case "german" | "de"  => a = a.copy(minimalStem = "de")
+          case "french" | "fr"  => a = a.copy(minimalStem = "fr")
+          case "spanish" | "es" => a = a.copy(minimalStem = "es")
+          case lang => throw new IllegalArgumentException(
+            s"snowball language '$lang' unsupported (english/german/french/spanish)")
+        }
       case "s_stem" => a = a.copy(sStem = true)
+      case "asciifolding" => a = a.copy(asciifold = true)
+      case "edge_ngram" | "edgengram" => a = a.copy(edgeNgram = (
+        opts.get("min_gram").map(_.head.toInt).getOrElse(1),
+        opts.get("max_gram").map(_.head.toInt).getOrElse(2)))
+      case "shingle" => a = a.copy(shingle = (
+        opts.get("min_shingle_size").map(_.head.toInt).getOrElse(2),
+        opts.get("max_shingle_size").map(_.head.toInt).getOrElse(2)))
       case other => throw new IllegalArgumentException(s"unknown token filter: $other")
     }
     def applyCharFilter(f: String, opts: Map[String, Seq[String]]): Unit = {

@@ -79,6 +79,27 @@ object MatchText {
     }
   }
 
+  // ASCII-folding table (Lucene ASCIIFoldingFilter's role): common Latin
+  // diacritics to their base letters; ß/æ/œ expand to two letters. Applied
+  // post-lowercasing, so only lowercase mappings are needed.
+  private val foldPairs: Seq[(String, Char)] = Seq(
+    ("àáâãäåāăą", 'a'), ("èéêëēĕėęě", 'e'), ("ìíîïĩīĭį", 'i'),
+    ("òóôõöøōŏő", 'o'), ("ùúûüũūŭůűų", 'u'), ("ñń", 'n'), ("çćč", 'c'),
+    ("ýÿ", 'y'), ("žźż", 'z'), ("šśş", 's'), ("ğ", 'g'), ("đď", 'd'),
+    ("ťţ", 't'), ("ř", 'r'), ("ł", 'l'))
+  private val foldFrom = foldPairs.map(_._1).mkString
+  private val foldTo = foldPairs.map(p => p._2.toString * p._1.length).mkString
+  private def asciiFoldCol(t: Column): Column =
+    translate(regexp_replace(regexp_replace(regexp_replace(
+      t, "ß", "ss"), "æ", "ae"), "œ", "oe"), foldFrom, foldTo)
+  private def asciiFoldStr(s: String): String = {
+    val pre = s.replace("ß", "ss").replace("æ", "ae").replace("œ", "oe")
+    pre.map { c =>
+      val i = foldFrom.indexOf(c)
+      if (i >= 0) foldTo(i) else c
+    }.mkString
+  }
+
   final case class Analyzer(stopwords: Seq[String] = Nil,
                             minTokenLength: Int = 1,
                             sStem: Boolean = false,
@@ -87,7 +108,10 @@ object MatchText {
                             lowercase: Boolean = true,
                             maxTokenLength: Int = 0,
                             charFilters: Seq[CharFilter] = Nil,
-                            minimalStem: String = "") {
+                            minimalStem: String = "",
+                            asciifold: Boolean = false,
+                            edgeNgram: (Int, Int) = (0, 0),
+                            shingle: (Int, Int) = (0, 0)) {
     private def splitPattern: String = tokenizer match {
       case "standard"               => "[^\\p{L}\\p{N}]+"
       case "whitespace"             => "\\s+"
@@ -103,6 +127,7 @@ object MatchText {
       var toks =
         if (tokenizer == "keyword") array(cased)
         else filter(split(cased, splitPattern), t => length(t) > 0)
+      if (asciifold) toks = transform(toks, asciiFoldCol(_))
       if (minTokenLength > 1)
         toks = filter(toks, t => length(t) >= minTokenLength)
       if (maxTokenLength > 0)
@@ -119,6 +144,27 @@ object MatchText {
         case "es" => toks = transform(toks, spanishStemCol(_))
         case _    => ()
       }
+      // edge n-grams: every prefix of length min..max per token (the
+      // Lucene EdgeNGramTokenFilter autocomplete shape)
+      if (edgeNgram._1 > 0) {
+        val (mn, mx) = edgeNgram
+        toks = flatten(transform(filter(toks, t => length(t) >= mn),
+          t => transform(sequence(lit(mn), least(lit(mx), length(t))),
+            n => t.substr(lit(1), n))))
+      }
+      // shingles: originals + space-joined token windows of size min..max
+      // (Lucene ShingleFilter with output_unigrams)
+      if (shingle._1 > 1) {
+        val (mn, mx) = shingle
+        val base = toks
+        (mn to mx).foreach { s =>
+          toks = concat(toks,
+            when(size(base) >= s,
+              transform(sequence(lit(1), size(base) - s + 1),
+                i => concat_ws(" ", slice(base, i, lit(s)))))
+              .otherwise(array()))
+        }
+      }
       toks
     }
     /** Same chain over a driver-side string (for query terms). */
@@ -128,6 +174,7 @@ object MatchText {
       var t =
         if (tokenizer == "keyword") Seq(cased)
         else cased.split(splitPattern).toSeq.filter(_.nonEmpty)
+      if (asciifold) t = t.map(asciiFoldStr)
       if (minTokenLength > 1) t = t.filter(_.length >= minTokenLength)
       if (maxTokenLength > 0) t = t.filter(_.length <= maxTokenLength)
       if (stopwords.nonEmpty) { val sw = stopwords.toSet; t = t.filterNot(sw) }
@@ -138,6 +185,19 @@ object MatchText {
         case "fr" => t = t.map(frenchStemStr)
         case "es" => t = t.map(spanishStemStr)
         case _    => ()
+      }
+      if (edgeNgram._1 > 0) {
+        val (mn, mx) = edgeNgram
+        t = t.filter(_.length >= mn)
+          .flatMap(tok => (mn to math.min(mx, tok.length)).map(tok.take))
+      }
+      if (shingle._1 > 1) {
+        val (mn, mx) = shingle
+        val base = t
+        (mn to mx).foreach { s =>
+          if (base.length >= s)
+            t = t ++ base.sliding(s).map(_.mkString(" "))
+        }
       }
       t
     }

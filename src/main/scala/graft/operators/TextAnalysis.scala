@@ -115,6 +115,61 @@ object TextAnalysis {
       .withColumn("top_bigram_share", coalesce(col("top_bigram_share"), lit(0.0)))
   }
 
+  /** The published Gopher quality-rule battery (Rae et al. 2021 §A1.1 —
+    * the MassiveText filter set), one boolean per rule plus the combined
+    * keep decision:
+    *
+    *   g_word_count : 50 ≤ words ≤ 100 000
+    *   g_mean_len   : mean word length in [3, 10]
+    *   g_symbol     : (hash + ellipsis) / words ≤ 0.1
+    *   g_bullets    : ≤ 90% of lines start with a bullet
+    *   g_ellipsis   : ≤ 30% of lines end with an ellipsis
+    *   g_alpha      : ≥ 80% of words contain a letter
+    *   g_stopwords  : ≥ 2 of the 8 required English stopwords present
+    *
+    * All rules are native expressions over one scan — per-row map work,
+    * zero shuffle, codegen'd end to end; at 100 TB this runs at parquet
+    * read speed. Complements [[repetitionStats]] (the repetition half of
+    * the same paper's rules, which needs an aggregation). */
+  def gopherFlags(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = filter(split(t, "\\s+"), w => length(w) > 0)
+    val nWords = size(words).cast("double")
+    val meanLen = when(nWords > 0,
+      length(concat_ws("", words)).cast("double") / nWords).otherwise(0.0)
+    val hashes = (length(t) - length(regexp_replace(t, "#", ""))).cast("double")
+    val ellipses = ((length(t) -
+      length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("double")
+    val symbolRatio = when(nWords > 0, (hashes + ellipses) / nWords).otherwise(1.0)
+    val lines = filter(transform(split(t, "\n"), trim(_)), l => length(l) > 0)
+    val nLines = size(lines).cast("double")
+    val bulletFrac = when(nLines > 0,
+      size(filter(lines, l => substring(l, 1, 1).isin("•", "-", "*")))
+        .cast("double") / nLines).otherwise(0.0)
+    val ellipsisFrac = when(nLines > 0,
+      size(filter(lines, l => l.endsWith("..."))).cast("double") / nLines)
+      .otherwise(0.0)
+    val alphaFrac = when(nWords > 0,
+      size(filter(words, w => w.rlike("\\p{L}"))).cast("double") / nWords)
+      .otherwise(0.0)
+    val required = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val lowered = transform(words, lower(_))
+    val stopHits = size(filter(array(required.map(lit): _*),
+      s => array_contains(lowered, s)))
+    val flags = Seq(
+      "g_word_count" -> nWords.between(50.0, 100000.0),
+      "g_mean_len"   -> meanLen.between(3.0, 10.0),
+      "g_symbol"     -> (symbolRatio <= 0.1),
+      "g_bullets"    -> (bulletFrac <= 0.9),
+      "g_ellipsis"   -> (ellipsisFrac <= 0.3),
+      "g_alpha"      -> (alphaFrac >= 0.8),
+      "g_stopwords"  -> (stopHits >= 2))
+    df.select(
+      (col(idCol) +: size(words).as("n_words") +:
+        flags.map { case (n, c) => c.as(n) }) :+
+        flags.map(_._2).reduce(_ && _).as("keep"): _*)
+  }
+
   /** Full per-document report. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -903,6 +903,91 @@ object QueriesRound4 {
       de.union(fr).union(es)
         .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("term"))
+    }),
+
+    // edge_ngram + shingle token filters through CREATE ANALYZER DDL
+    // (reference builtin-token-filters): prefix search over edge-grams
+    // (the autocomplete shape) and bigram-shingle phrase containment —
+    // both replayed by the oracle at the string level (a prefix-of-token
+    // test, and a token-adjacency regex).
+    "q205_ngram_shingle" -> ((s, dir) => {
+      import graft.operators.MatchText
+      val root = routerRoots.computeIfAbsent(s"q205#$dir", _ => {
+        val rt = java.nio.file.Files.createTempDirectory("graft_q205")
+          .toFile.getAbsolutePath
+        val r0 = new graft.StatementRouter(s, rt)
+        r0.execute("""CREATE ANALYZER q205edge (
+            TOKENIZER standard,
+            TOKEN_FILTERS (lowercase, edge_ngram WITH (min_gram = 3, max_gram = 5)))""")
+        r0.execute("""CREATE ANALYZER q205shingle (
+            TOKENIZER standard, TOKEN_FILTERS (lowercase, shingle))""")
+        rt
+      })
+      require(root.nonEmpty) // DDL ran once per JVM; registry is global
+      val docs = T(s, dir, "documents")
+      val eg = MatchText.Analyzer.byName("q205edge")
+      val sh = MatchText.Analyzer.byName("q205shingle")
+      docs.select(lit("prefix").as("kind"), col("doc_id"))
+        .where(array_contains(eg(col("text")), "spar"))
+        .union(docs.select(lit("bigram").as("kind"), col("doc_id"))
+          .where(array_contains(sh(col("text")), "spark filter")))
+        .orderBy(col("kind"), col("doc_id"))
+    }),
+
+    // ANALYZE → pg_stats (reference analyze.rst: ANALYZE collects
+    // per-column stats through TableStatsService, served by pg_stats):
+    // null_frac and avg_width are exact both sides; n_distinct is an HLL
+    // sketch, so it's gated as a ±15% envelope against the exact count —
+    // the q66/q70 pattern for sketch outputs.
+    "q206_analyze_stats" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      routerRoots.computeIfAbsent(s"q206#$dir", _ => {
+        val rt = java.nio.file.Files.createTempDirectory("graft_q206")
+          .toFile.getAbsolutePath
+        val r0 = new graft.StatementRouter(s, rt)
+        r0.execute("CREATE TABLE stat_t (k BIGINT, v TEXT, d DOUBLE PRECISION)")
+        r0.execute("""INSERT INTO stat_t
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE c_mktsegment END,
+                 CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_acctbal END
+          FROM customer""")
+        r0.execute("ANALYZE")
+        rt
+      })
+      graft.sources.PgCatalog.registerAll(s)
+      val n = "(SELECT count(*) FROM customer)"
+      val dv = "(SELECT count(DISTINCT CASE WHEN c_custkey % 10 = 0 " +
+        "THEN NULL ELSE c_acctbal END) FROM customer)"
+      s.sql(s"""
+        SELECT attname,
+               round(CAST(null_frac AS DOUBLE), 4) AS nf,
+               avg_width,
+               CASE attname
+                 WHEN 'k' THEN n_distinct BETWEEN 0.85 * $n AND 1.15 * $n
+                 WHEN 'v' THEN n_distinct = 5.0
+                 WHEN 'd' THEN n_distinct BETWEEN 0.85 * $dv AND 1.15 * $dv
+               END AS nd_ok
+        FROM pg_stats WHERE tablename = 'stat_t' ORDER BY attname""")
+    }),
+
+    // The full published Gopher quality-rule battery
+    // (TextAnalysis.gopherFlags): natural fixture text plus four
+    // synthetic failure classes chosen to trip specific rules —
+    // symbol-heavy, bullet lists, ellipsis-trailing lines, numeric-only —
+    // every rule replayed by the oracle over the same constructed text.
+    "q207_gopher_rules" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 1,
+          concat(expr("repeat('ok ', 60)"), expr("repeat('# ', 10)")))
+        .when(col("doc_id") % 5 === 2, expr("repeat('• item\\n', 10)"))
+        .when(col("doc_id") % 5 === 3,
+          concat(expr("repeat('and more to come...\\n', 5)"),
+            lit("the tail line with enough words to verify")))
+        .when(col("doc_id") % 5 === 4, expr("repeat('12345 67890 ', 40)"))
+        .otherwise(col("text")).as("text"))
+      graft.operators.TextAnalysis.gopherFlags(docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -921,6 +1006,96 @@ object QueriesRound4 {
         |       CAST(4 AS BIGINT) AS n_privileges,
         |       CAST(2 AS BIGINT) AS n_roles,
         |       CAST(2 AS BIGINT) AS n_users""".stripMargin,
+
+    // every Gopher rule recomputed over the same constructed text:
+    // word/line lists via split+filter, symbol counts via replace deltas,
+    // the required-stopword hits via list containment
+    "q207_gopher_rules" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 1 THEN repeat('ok ', 60) || repeat('# ', 10)
+        |         WHEN doc_id % 5 = 2 THEN repeat('• item' || chr(10), 10)
+        |         WHEN doc_id % 5 = 3 THEN repeat('and more to come...' || chr(10), 5)
+        |              || 'the tail line with enough words to verify'
+        |         WHEN doc_id % 5 = 4 THEN repeat('12345 67890 ', 40)
+        |         ELSE text END AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, t,
+        |    list_filter(string_split_regex(t, '\s+'), x -> len(x) > 0) AS words,
+        |    list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+        |                x -> len(x) > 0) AS lines
+        |  FROM src),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(words) AS nw,
+        |    CASE WHEN len(words) > 0 THEN
+        |      CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE) / len(words)
+        |      ELSE 0 END AS mean_len,
+        |    CASE WHEN len(words) > 0 THEN
+        |      (CAST(len(t) - len(replace(t, '#', '')) AS DOUBLE)
+        |       + (len(t) - len(replace(t, '...', ''))) / 3) / len(words)
+        |      ELSE 1 END AS sym_ratio,
+        |    CASE WHEN len(lines) > 0 THEN
+        |      CAST(len(list_filter(lines, l -> substr(l, 1, 1) IN ('•', '-', '*')))
+        |           AS DOUBLE) / len(lines) ELSE 0 END AS bullet_frac,
+        |    CASE WHEN len(lines) > 0 THEN
+        |      CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE) / len(lines)
+        |      ELSE 0 END AS ell_frac,
+        |    CASE WHEN len(words) > 0 THEN
+        |      CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+        |           AS DOUBLE) / len(words) ELSE 0 END AS alpha_frac,
+        |    len(list_filter(['the','be','to','of','and','that','have','with'],
+        |        s -> list_contains(list_transform(words, x -> lower(x)), s)))
+        |      AS stop_hits
+        |  FROM w)
+        |SELECT doc_id, CAST(nw AS INT) AS n_words,
+        |  nw BETWEEN 50 AND 100000 AS g_word_count,
+        |  mean_len BETWEEN 3.0 AND 10.0 AS g_mean_len,
+        |  sym_ratio <= 0.1 AS g_symbol,
+        |  bullet_frac <= 0.9 AS g_bullets,
+        |  ell_frac <= 0.3 AS g_ellipsis,
+        |  alpha_frac >= 0.8 AS g_alpha,
+        |  stop_hits >= 2 AS g_stopwords,
+        |  (nw BETWEEN 50 AND 100000) AND (mean_len BETWEEN 3.0 AND 10.0)
+        |    AND sym_ratio <= 0.1 AND bullet_frac <= 0.9 AND ell_frac <= 0.3
+        |    AND alpha_frac >= 0.8 AND stop_hits >= 2 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // null fractions and the TEXT column's average width recompute from
+    // the same CASE projections over customer; fixed-width columns report
+    // their type width (BIGINT/DOUBLE = 8)
+    "q206_analyze_stats" ->
+      """WITH c AS (
+        |  SELECT count(*) AS n,
+        |         sum(CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 0 END) AS nv,
+        |         sum(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS nd,
+        |         avg(CASE WHEN c_custkey % 4 = 0 THEN NULL
+        |                  ELSE len(c_mktsegment) END) AS wv
+        |  FROM customer)
+        |SELECT * FROM (
+        |  SELECT 'd' AS attname, round(CAST(nd AS DOUBLE) / n, 4) AS nf,
+        |         8 AS avg_width, true AS nd_ok FROM c
+        |  UNION ALL
+        |  SELECT 'k', 0.0, 8, true FROM c
+        |  UNION ALL
+        |  SELECT 'v', round(CAST(nv AS DOUBLE) / n, 4),
+        |         CAST(round(wv) AS INT), true FROM c)
+        |ORDER BY attname""".stripMargin,
+
+    // prefix arm: a token of length >= 4 starting 'spar' produces the
+    // 'spar' edge-gram; bigram arm: adjacency of the two tokens with one
+    // separator run between them is exactly a 2-shingle
+    "q205_ngram_shingle" ->
+      """SELECT kind, doc_id FROM (
+        |  SELECT 'prefix' AS kind, doc_id FROM documents
+        |  WHERE len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |            t -> len(t) >= 4 AND t LIKE 'spar%')) > 0
+        |  UNION ALL
+        |  SELECT 'bigram' AS kind, doc_id FROM documents
+        |  WHERE regexp_matches(lower(text),
+        |            '(^|[^a-z0-9])spark[^a-z0-9]+filter([^a-z0-9]|$)'))
+        |ORDER BY kind, doc_id""".stripMargin,
 
     // replays each analyzer chain: vocabulary pick by key modulo, stop
     // filter (the stopwords present in the vocabulary), German umlaut/ß

@@ -273,9 +273,17 @@ object PgCatalog {
     * way the reference populates it from `TableStats`: only for columns the
     * session has ANALYZEd (`ANALYZE TABLE … FOR COLUMNS`); tables without
     * column stats contribute no rows. */
+  /** Per-column statistics recorded by the router's ANALYZE for versioned
+    * tables (the reference's `ANALYZE` feeds `pg_stats` through
+    * TableStatsService; Spark's catalog stats only exist for catalog
+    * tables, so router tables record here).
+    * Key (table, column) → (null_frac, avg_width, n_distinct). */
+  private[graft] val analyzedStats =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Float, Int, Float)]()
+
   def pgStats(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val rows = spark.catalog.listTables().collect().toSeq.flatMap { t =>
+    val catalogRows = spark.catalog.listTables().collect().toSeq.flatMap { t =>
       try {
         val plan = spark.table(t.name).queryExecution.optimizedPlan
         val rowCount = plan.stats.rowCount.map(_.toDouble)
@@ -288,6 +296,14 @@ object PgCatalog {
         }
       } catch { case _: Exception => Nil }
     }
+    val covered = catalogRows.map(r => (r._2, r._3)).toSet
+    val analyzed = {
+      import scala.jdk.CollectionConverters._
+      analyzedStats.asScala.toSeq
+        .filterNot { case ((t, c), _) => covered((t, c)) }
+        .map { case ((t, c), (nf, w, nd)) => ("doc", t, c, false, nf, w, nd) }
+    }
+    val rows = (catalogRows ++ analyzed).sortBy(r => (r._2, r._3))
     rows.toDF("schemaname", "tablename", "attname", "inherited",
         "null_frac", "avg_width", "n_distinct")
       .withColumn("correlation", org.apache.spark.sql.functions.lit(null).cast(FloatType))

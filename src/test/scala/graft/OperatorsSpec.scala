@@ -409,6 +409,32 @@ class TextAnalysisSpec extends SparkTestBase {
   }
 }
 
+class GopherRulesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("gopherFlags: each rule trips on its designed failure class") {
+    val good = ("the quick brown fox jumps over and over to be of use " +
+      "that we have with plenty of ordinary words ") * 3
+    val docs = Seq(
+      (1L, good),                                  // passes everything
+      (2L, "too short to keep"),                   // word count
+      (3L, ("ok " * 60) + ("# " * 12)),            // symbol ratio
+      (4L, "• a\n• b\n• c\n• d\n• e\n• f\n• g\n• h\n• i\n• j"), // bullets
+      (5L, "12345 67890 " * 40)                    // alpha + stopwords
+    ).toDF("doc_id", "text")
+    val flags = graft.operators.TextAnalysis.gopherFlags(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    def row(i: Int) = flags(i)
+    assert(row(0).getBoolean(row(0).fieldIndex("keep")))
+    assert(!row(1).getBoolean(row(1).fieldIndex("g_word_count")))
+    assert(!row(2).getBoolean(row(2).fieldIndex("g_symbol")))
+    assert(!row(3).getBoolean(row(3).fieldIndex("g_bullets")))
+    assert(!row(4).getBoolean(row(4).fieldIndex("g_alpha")) &&
+      !row(4).getBoolean(row(4).fieldIndex("g_stopwords")))
+    assert(flags.drop(1).forall(r => !r.getBoolean(r.fieldIndex("keep"))))
+  }
+}
+
 class MatchTextSpec extends SparkTestBase {
   import spark.implicits._
 

@@ -576,13 +576,45 @@ class AnalyzerDdlSpec extends SparkTestBase {
     r.execute("create ANALYZER english_snowball extends snowball WITH (language = 'english')")
     val a = Analyzer.byName("english_snowball")
     assert(a.tokens("the generalizations of oscillators") == Seq("gener", "oscil"))
-    // non-English snowball is an explicit unsupported error, not silence
+    // German snowball resolves to the light German chain (stop + fold + stem)
+    r.execute("create ANALYZER german_snowball extends snowball WITH (language = 'german')")
+    assert(Analyzer.byName("german_snowball").tokens("die Häuser") == Seq("haus"))
+    // an unshipped snowball language is an explicit error, not silence
     val e = intercept[Exception](
-      r.execute("create ANALYZER g extends snowball WITH (language = 'german')"))
+      r.execute("create ANALYZER g extends snowball WITH (language = 'turkish')"))
     assert(e.getMessage.contains("unsupported"))
     // keyword tokenizer: the whole value is one token (plain-index analog)
     r.execute("CREATE ANALYZER kw (TOKENIZER keyword)")
     assert(Analyzer.byName("kw").tokens("Exact Phrase Here") == Seq("Exact Phrase Here"))
+  }
+
+  test("token filters: asciifolding, edge_ngram, shingle (builtin-token-filters)") {
+    val root = Files.createTempDirectory("graftan3").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute("""CREATE ANALYZER folded (
+        TOKENIZER standard, TOKEN_FILTERS (lowercase, asciifolding))""")
+    assert(Analyzer.byName("folded").tokens("Crème Brûlée straße")
+      == Seq("creme", "brulee", "strasse"))
+    // edge n-grams: the autocomplete prefixes, min..max per token
+    r.execute("""CREATE ANALYZER prefixes (
+        TOKENIZER standard,
+        TOKEN_FILTERS (lowercase, edge_ngram WITH (min_gram = 2, max_gram = 4)))""")
+    assert(Analyzer.byName("prefixes").tokens("spark sq")
+      == Seq("sp", "spa", "spar", "sq"))
+    // shingles: originals plus joined 2-windows
+    r.execute("""CREATE ANALYZER bigrams (
+        TOKENIZER standard, TOKEN_FILTERS (lowercase, shingle))""")
+    assert(Analyzer.byName("bigrams").tokens("new york city")
+      == Seq("new", "york", "city", "new york", "york city"))
+    // the Column path agrees with the driver path for all three
+    import spark.implicits._
+    Seq(("Crème Brûlée straße", "folded"), ("spark sq", "prefixes"),
+        ("new york city", "bigrams")).foreach { case (txt, an) =>
+      val got = Seq(txt).toDF("t")
+        .select(Analyzer.byName(an)(org.apache.spark.sql.functions.col("t")))
+        .head().getSeq[String](0)
+      assert(got == Analyzer.byName(an).tokens(txt), s"$an Column/driver drift")
+    }
   }
 }
 
