@@ -445,6 +445,65 @@ class StatementRouter(spark: SparkSession, root: String) {
     if (changed) out.toString.trim else stmt
   }
 
+  /** `search_path` resolution (reference `conf-session-search-path`,
+    * default `pg_catalog, doc`): an unqualified relation reference
+    * resolves against the configured schemas in order — the first schema
+    * holding the relation wins, `doc` meaning the bare internal name and
+    * `pg_catalog` never holding user tables. A bare CREATE TABLE lands in
+    * the first user schema of the path, as in PG. Set with
+    * `SET search_path TO s1[, s2 …]`; RESET restores the default. */
+  private def resolveSearchPath(stmt: String): String = {
+    val spRaw = spark.conf.getOption("search_path").getOrElse(return stmt)
+    val schemas = spRaw.split(",").map(_.trim.toLowerCase)
+      .filter(_.nonEmpty).toSeq
+    if (schemas.forall(s => s == "pg_catalog" || s == "doc")) return stmt
+    val ts = Dialect.lex(stmt).filter(_.sig)
+    def isWordT(t: Tok) = t.kind == Dialect.K.Word || t.kind == Dialect.K.QId
+    def tableExists(n: String): Boolean =
+      try VersionedTable.latestVersion(spark, tablePath(n)).isDefined
+      catch { case _: Exception => false }
+    def resolve(bare: String): Option[String] =
+      schemas.collectFirst {
+        case "doc" if tableExists(bare) => bare
+        case s if s != "pg_catalog" && s != "doc" &&
+          tableExists(s"${s}__$bare") => s"${s}__$bare"
+      }
+    // positions whose NEXT word is a relation reference
+    def isRelKeyword(t: Tok) = t.is("from") || t.is("join") || t.is("into") ||
+      t.is("update") || t.is("table")
+    val createIdx: Int = {
+      // CREATE TABLE [IF NOT EXISTS] <bare> → first user schema of the path
+      if (ts.length > 2 && ts(0).is("create") && ts(1).is("table")) {
+        val ni = if (ts.lift(2).exists(_.is("if"))) 5 else 2
+        if (ts.lift(ni).exists(isWordT) && !ts.lift(ni + 1).exists(_.isSym(".")))
+          ni
+        else -1
+      } else -1
+    }
+    val out = new StringBuilder
+    var changed = false
+    ts.indices.foreach { i =>
+      val t = ts(i)
+      val isRef = i > 0 && isRelKeyword(ts(i - 1)) && isWordT(t) &&
+        !ts.lift(i + 1).exists(_.isSym("."))
+      if (i == createIdx) {
+        schemas.find(s => s != "pg_catalog" && s != "doc") match {
+          case Some(s) =>
+            registerSchema(s)
+            out.append(s"${s}__${unq(t)} "); changed = true
+          case None => out.append(t.text).append(' ')
+        }
+      } else if (isRef) {
+        resolve(unq(t).toLowerCase) match {
+          case Some(r) if r != unq(t).toLowerCase =>
+            out.append(r).append(' '); changed = true
+          case _ => out.append(t.text).append(' ')
+        }
+      } else out.append(t.text).append(' ')
+    }
+    if (changed) out.toString.trim else stmt
+  }
+
   private def executeRouted(stmt0: String): DataFrame = {
     // CREATE TABLE with a qualified name creates the schema implicitly
     // (create-schema.rst: "CrateDB also implicitly creates missing
@@ -462,7 +521,7 @@ class StatementRouter(spark: SparkSession, root: String) {
         }
       }
     }
-    val stmt = rewriteSchemaQualifiers(stmt0)
+    val stmt = resolveSearchPath(rewriteSchemaQualifiers(stmt0))
     val sig = Dialect.lex(stmt).filter(_.sig)
     require(sig.nonEmpty, "empty statement")
     sig(0).text.toLowerCase match {

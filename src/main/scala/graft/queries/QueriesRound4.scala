@@ -988,6 +988,37 @@ object QueriesRound4 {
         .otherwise(col("text")).as("text"))
       graft.operators.TextAnalysis.gopherFlags(docs, "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // Incremental corpus-history near-dup dedup
+    // (DedupStream.dedupMinhashIncrement — the daily-crawl-delta shape):
+    // two increments over synthetic texts whose tokens are all unique per
+    // document, so the only signature collisions are EXACT re-sends —
+    // the estimator hits 1.0 deterministically and the kept sets reduce
+    // to pure id arithmetic the oracle replays.
+    "q208_incremental_dedup" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      val docs = T(s, dir, "documents").select(col("doc_id"))
+      def synth(id: org.apache.spark.sql.Column) = concat_ws(" ",
+        (1 to 12).map(j => concat(lit("w"), id, lit(s"_$j"))): _*)
+      val state = java.nio.file.Files.createTempDirectory("graft_q208")
+        .toFile.getAbsolutePath
+      val inc1 = docs.filter(col("doc_id") < 300)
+        .select(col("doc_id"), synth(col("doc_id")).as("text"))
+      val kept1 = graft.streaming.DedupStream
+        .dedupMinhashIncrement(inc1, "doc_id", "text", state)
+        .select(lit(1).as("inc"), col("doc_id"))
+      // increment 2: exact re-sends of increment 1 (dropped by history)
+      // plus fresh documents (kept)
+      val inc2 = docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 1000).as("doc_id"), synth(col("doc_id")).as("text"))
+        .union(docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 2000).as("doc_id"),
+            synth(col("doc_id") + 9000).as("text")))
+      val kept2 = graft.streaming.DedupStream
+        .dedupMinhashIncrement(inc2, "doc_id", "text", state)
+        .select(lit(2).as("inc"), col("doc_id"))
+      kept1.union(kept2).orderBy(col("inc"), col("doc_id"))
     })
   )
 
@@ -1006,6 +1037,15 @@ object QueriesRound4 {
         |       CAST(4 AS BIGINT) AS n_privileges,
         |       CAST(2 AS BIGINT) AS n_roles,
         |       CAST(2 AS BIGINT) AS n_users""".stripMargin,
+
+    // increment 1 keeps everything (all-distinct synthetic texts);
+    // increment 2 keeps only the fresh ids — the re-sends are exact
+    // signature matches against history
+    "q208_incremental_dedup" ->
+      """SELECT 1 AS inc, doc_id FROM documents WHERE doc_id < 300
+        |UNION ALL
+        |SELECT 2 AS inc, 2000 + doc_id FROM documents WHERE doc_id < 50
+        |ORDER BY inc, doc_id""".stripMargin,
 
     // every Gopher rule recomputed over the same constructed text:
     // word/line lists via split+filter, symbol counts via replace deltas,

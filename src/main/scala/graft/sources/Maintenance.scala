@@ -58,10 +58,33 @@ object Maintenance {
   /** `EXPLAIN [ANALYZE]` — formatted plan; with `analyze=true` runs the
     * query so the returned plan string carries actual row metrics. */
   def explain(df: DataFrame, analyze: Boolean = false): String = {
-    if (analyze) df.queryExecution.executedPlan.execute().count()
-    df.queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString(
-        if (analyze) "formatted" else "extended"))
+    if (!analyze)
+      return df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("extended"))
+    // EXPLAIN ANALYZE (reference profile/ package: the executed plan tree
+    // annotated with actual per-operator counters): run the plan, then
+    // render each physical node with its populated SQL metrics —
+    // numOutputRows, spill/shuffle bytes, scan and build times
+    df.queryExecution.executedPlan.execute().count()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def render(p: SparkPlan, depth: Int): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => render(a.executedPlan, depth)
+      // AQE stage wrappers hold their subtree as `plan`, not `children`
+      case q: QueryStageExec => render(q.plan, depth)
+      case _ =>
+        val ms = p.metrics.toSeq
+          .filter { case (_, m) => m.value > 0 }
+          .sortBy(_._1)
+          .map { case (n, m) => s"$n=${m.value}" }
+          .mkString(", ")
+        (("  " * depth) + "* " + p.nodeName +
+          (if (ms.nonEmpty) s" [$ms]" else "")) +:
+          p.children.flatMap(render(_, depth + 1))
+    }
+    render(df.queryExecution.executedPlan, 0).mkString("\n") + "\n\n" +
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
   /** `KILL <job-group>` — cancel a running statement group. Tag statements

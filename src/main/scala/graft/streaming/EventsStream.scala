@@ -245,4 +245,89 @@ object DedupStream {
       .withWatermark(tsCol, within)
       .dropDuplicatesWithinWatermark(Seq("canon_url"))
   }
+
+  /** One increment of corpus-history NEAR-dup dedup — the MinHash twin of
+    * the exact streams above, for daily crawl deltas and `foreachBatch`
+    * micro-batches alike. A row is dropped when an LSH band collision
+    * against a previously KEPT document confirms at signature-estimated
+    * Jaccard ≥ `threshold` (the unbiased MinHash estimator — the batch
+    * operator's exact shingle-Jaccard needs both texts, which history
+    * state deliberately does not retain); survivors then pass the exact
+    * intra-increment [[graft.operators.Dedup.minhashDedup]] and claim
+    * their bands in the durable store.
+    *
+    * State layout under `stateDir` — the scale contract:
+    *   bands/ (key BIGINT, id BIGINT)        — 16 B per kept-doc band
+    *   sigs/  (id BIGINT, sig ARRAY<BIGINT>) — one signature per kept doc
+    * so state grows with KEPT documents, never with stream length or
+    * text bytes. The collision path joins bands first (8-byte keys),
+    * fetches signatures only for colliding claimants. */
+  def dedupMinhashIncrement(batch: DataFrame, idCol: String, textCol: String,
+                            stateDir: String, numHashes: Int = 128,
+                            bands: Int = 16, shingleSize: Int = 5,
+                            threshold: Double = 0.7): DataFrame = {
+    val spark = batch.sparkSession
+    graft.functions.GraftFunctions.registerAll(spark)
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def keyed(df: DataFrame): DataFrame = df
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(call_function("graft_minhash_bands",
+          col(textCol), lit(shingleSize), lit(numHashes), lit(bands)))
+          .as(Seq("pos", "bkey")))
+      .select(col("id"), xxhash64(col("pos"), col("bkey")).as("key"))
+    def sigs(df: DataFrame): DataFrame = df
+      .select(col(idCol).cast("long").as("id"),
+        graft.functions.TextFunctions.minhash(col(textCol), shingleSize, numHashes)
+          .as("sig"))
+
+    val bandsPath = s"$stateDir/bands"
+    val sigsPath = s"$stateDir/sigs"
+    val hasState = fs.exists(new org.apache.hadoop.fs.Path(bandsPath))
+    val afterHistory =
+      if (!hasState) batch
+      else {
+        val claimedBands = spark.read.parquet(bandsPath)
+          .withColumnRenamed("id", "claimant")
+        val claimedSigs = spark.read.parquet(sigsPath)
+          .withColumnRenamed("id", "claimant").withColumnRenamed("sig", "csig")
+        val est = aggregate(
+          zip_with(col("sig"), col("csig"),
+            (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numHashes
+        val dupIds = keyed(batch)
+          .join(claimedBands, Seq("key"))
+          .select(col("id"), col("claimant")).distinct()
+          .join(sigs(batch), Seq("id"))
+          .join(claimedSigs, Seq("claimant"))
+          .filter(est >= threshold)
+          .select(col("id").as(idCol)).distinct()
+        batch.join(dupIds, batch(idCol).cast("long") === dupIds(idCol), "left_anti")
+      }
+    val kept = graft.operators.Dedup.minhashDedup(
+      afterHistory, idCol, textCol, numHashes, bands, shingleSize, threshold)
+      .localCheckpoint() // the claim write below must not re-plan the dedup
+    keyed(kept).write.mode("append").parquet(bandsPath)
+    sigs(kept).write.mode("append").parquet(sigsPath)
+    kept
+  }
+
+  /** [[dedupMinhashIncrement]] as a streaming sink: every micro-batch is
+    * deduplicated against the full kept history, then handed to `process`.
+    * foreachBatch is the sound shape for history-scale state — the state
+    * is a table, not executor memory, so it survives restarts and is
+    * shared by later batch jobs. */
+  def minhashDedupStream(stream: DataFrame, idCol: String, textCol: String,
+                         stateDir: String, checkpoint: String,
+                         numHashes: Int = 128, bands: Int = 16,
+                         shingleSize: Int = 5, threshold: Double = 0.7)
+                        (process: DataFrame => Unit):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        process(dedupMinhashIncrement(batch, idCol, textCol, stateDir,
+          numHashes, bands, shingleSize, threshold))
+      }
+      .start()
 }

@@ -689,6 +689,62 @@ class StreamDedupSpec extends SparkTestBase {
   }
 }
 
+class StreamMinhashDedupSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  private val base = "the quick brown fox jumps over the lazy dog and then " +
+    "runs far away into the deep dark forest to hide from everyone there"
+  private def nearDup(s: String) = s.replace("dark", "darkish")
+
+  test("dedupMinhashIncrement: near-dups drop across increments, state durable") {
+    val state = java.nio.file.Files.createTempDirectory("graft_mhstate").toFile.getAbsolutePath
+    val other = "completely different content about spark sql execution " +
+      "plans and columnar parquet readers with adaptive query execution enabled"
+    val b1 = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val kept1 = graft.streaming.DedupStream
+      .dedupMinhashIncrement(b1, "doc_id", "text", state)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept1 == Set(1L, 2L))
+    // increment 2: a near-dup of doc 1, an exact re-send of doc 2's text,
+    // a fresh doc, and an intra-increment near-dup pair
+    val fresh = "numbers and letters mixed into a wholly novel document " +
+      "with nothing shared against the earlier corpus increments at all"
+    val b2 = Seq((10L, nearDup(base)), (11L, other),
+      (12L, fresh), (13L, nearDup(fresh))).toDF("doc_id", "text")
+    val kept2 = graft.streaming.DedupStream
+      .dedupMinhashIncrement(b2, "doc_id", "text", state)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(12L), s"kept $kept2")
+    // increment 3: the fresh doc's near-dup now hits HISTORY state
+    val b3 = Seq((20L, nearDup(fresh))).toDF("doc_id", "text")
+    val kept3 = graft.streaming.DedupStream
+      .dedupMinhashIncrement(b3, "doc_id", "text", state)
+      .count()
+    assert(kept3 == 0L)
+  }
+
+  test("minhashDedupStream: foreachBatch wiring dedups across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val state = java.nio.file.Files.createTempDirectory("graft_mhstate2").toFile.getAbsolutePath
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mhckpt").toFile.getAbsolutePath
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = graft.streaming.DedupStream.minhashDedupStream(
+      stream, "doc_id", "text", state, ckpt) { kept =>
+      out ++= kept.select(col("doc_id")).as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+    }
+    try {
+      mem.addData((1L, base))
+      q.processAllAvailable()
+      mem.addData((2L, nearDup(base)))
+      q.processAllAvailable()
+      assert(out.toSeq == Seq(1L))
+    } finally q.stop()
+  }
+}
+
 class MediaHeaderSpec extends SparkTestBase {
   import spark.implicits._
   import graft.operators.Multimodal

@@ -150,6 +150,46 @@ class StatementTailSpec extends SparkTestBase {
     assert(r.execute("SELECT v FROM sysc1").head().getString(0) == "r")
   }
 
+  test("search_path resolves unqualified relations in schema order") {
+    val r = newRouter()
+    try {
+      r.execute("CREATE SCHEMA app")
+      r.execute("CREATE TABLE app.items (id BIGINT, v TEXT)")
+      r.execute("INSERT INTO app.items (id, v) VALUES (1, 'from-app')")
+      r.execute("CREATE TABLE items (id BIGINT, v TEXT)") // doc.items
+      r.execute("INSERT INTO items (id, v) VALUES (2, 'from-doc')")
+      // default path (doc first): bare name reads doc.items
+      assert(r.execute("SELECT v FROM items").head().getString(0) == "from-doc")
+      // app-first path: the same bare name now reads app.items
+      r.execute("SET search_path TO app, doc")
+      assert(r.execute("SELECT v FROM items").head().getString(0) == "from-app")
+      // DML follows the path too
+      r.execute("UPDATE items SET v = 'app-updated'")
+      r.execute("RESET search_path")
+      assert(r.execute("SELECT v FROM app.items").head().getString(0) == "app-updated")
+      assert(r.execute("SELECT v FROM items").head().getString(0) == "from-doc")
+      // bare CREATE TABLE lands in the first user schema of the path
+      r.execute("SET search_path TO app")
+      r.execute("CREATE TABLE created_here (x BIGINT)")
+      r.execute("RESET search_path")
+      assert(r.execute("SELECT count(*) FROM app.created_here").head().getLong(0) == 0L)
+    } finally spark.conf.unset("search_path")
+  }
+
+  test("EXPLAIN ANALYZE renders the executed plan with real metrics") {
+    val r = newRouter()
+    r.execute("CREATE TABLE ea (i BIGINT)")
+    r.execute("INSERT INTO ea (i) VALUES (1), (2), (3)")
+    val plan = r.execute("EXPLAIN ANALYZE SELECT i, count(*) FROM ea GROUP BY i")
+      .head().getString(0)
+    // actual counters, not just the plan shape
+    assert(plan.contains("numOutputRows="), plan.take(400))
+    assert(plan.contains("HashAggregate"), plan.take(400))
+    // plain EXPLAIN stays the static extended form
+    val stat = r.execute("EXPLAIN SELECT i FROM ea").head().getString(0)
+    assert(stat.contains("== Physical Plan ==") && !stat.contains("numOutputRows="))
+  }
+
   test("ALTER REPOSITORY / ALTER SERVER / SET TRANSACTION / DEALLOCATE / DISCARD") {
     val r = newRouter()
     val dir = java.nio.file.Files.createTempDirectory("graft_repo2").toFile.getAbsolutePath
