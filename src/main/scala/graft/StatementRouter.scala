@@ -886,9 +886,6 @@ class StatementRouter(spark: SparkSession, root: String) {
                          pk: String, textCols: Seq[String])
       : Option[(Int, DataFrame, DataFrame)] = {
     val path = tablePath(table)
-    val pspec = VersionedTable.partitionSpec(spark, path).getOrElse(return None)
-    val lowerParts = pspec.cols.map(_.toLowerCase).toSet
-    if ((pk +: textCols).exists(c => lowerParts.contains(c.toLowerCase))) return None
     val rootP = new Path(idxRoot)
     if (!fs.exists(rootP)) return None
     val prev = fs.listStatus(rootP).toSeq.map(_.getPath.getName)
@@ -896,6 +893,10 @@ class StatementRouter(spark: SparkSession, root: String) {
       .filter(v => v < version &&
         graft.operators.MatchText.storedIndexExists(spark, s"$idxRoot/v$v"))
       .sorted.lastOption.getOrElse(return None)
+    val pspec = VersionedTable.partitionSpec(spark, path)
+      .getOrElse(return rowDiffDelta(table, prev, pk, textCols))
+    val lowerParts = pspec.cols.map(_.toLowerCase).toSet
+    if ((pk +: textCols).exists(c => lowerParts.contains(c.toLowerCase))) return None
     // scheme-normalize before comparing: carried manifest entries resolve
     // without the fs scheme ("/x"), fresh ones with it ("file:/x")
     def norm(s: String): String = new Path(s).toUri.getPath
@@ -913,6 +914,52 @@ class StatementRouter(spark: SparkSession, root: String) {
     val added = if (addDirs.isEmpty) readTable(table).limit(0)
                 else spark.read.parquet(addDirs: _*)
     Some((prev, removed, added))
+  }
+
+  /** Row-diff delta for UNPARTITIONED tables: the changed-row set between
+    * the indexed snapshot and the current one is a PK full-outer compare
+    * of `(pk, xxhash64(text cols))` — narrow 16-byte rows, one pass over
+    * each snapshot, no tokenization. Tokenizing (the expensive half of an
+    * index build: explode to one row per term) then runs over CHANGED
+    * rows only. At 100 TB this still reads both snapshots' text bytes
+    * once (IO), but skips the term explosion + aggregation for the
+    * unchanged corpus — partitioned tables keep the stronger
+    * manifest-diff path that skips the read too. Falls back to a full
+    * rebuild when the previous snapshot was vacuumed or >50% of rows
+    * changed (patching most of an index costs more than rebuilding). */
+  private def rowDiffDelta(table: String, prev: Int, pk: String,
+                           textCols: Seq[String])
+      : Option[(Int, DataFrame, DataFrame)] = {
+    val path = tablePath(table)
+    val oldDf =
+      try VersionedTable.readVersion(spark, path, prev)
+      catch { case _: Exception => return None } // snapshot vacuumed
+    val newDf = readTable(table)
+    if (!(pk +: textCols).forall(c => oldDf.columns.contains(c)))
+      return None // schema changed under the index → rebuild
+    val oh = oldDf.select(col(pk).as("pk"),
+      xxhash64(textCols.map(col): _*).as("h_old"))
+    val nh = newDf.select(col(pk).as("pk"),
+      xxhash64(textCols.map(col): _*).as("h_new"))
+    val joined = oh.join(nh, Seq("pk"), "full_outer")
+      .select(col("pk"), col("h_old"), col("h_new")).persist()
+    try {
+      val counts = joined.agg(
+        sum(when(col("h_old").isNotNull &&
+          (col("h_new").isNull || col("h_old") =!= col("h_new")), 1L)
+          .otherwise(0L)),
+        count(lit(1))).head()
+      val (nChanged, nTotal) = (counts.getLong(0), counts.getLong(1))
+      if (nTotal == 0 || nChanged * 2 > nTotal) return None
+      val removed = joined.filter(col("h_old").isNotNull &&
+          (col("h_new").isNull || col("h_old") =!= col("h_new")))
+        .select(col("pk").as(pk)).localCheckpoint()
+      val addedIds = joined.filter(col("h_new").isNotNull &&
+          (col("h_old").isNull || col("h_old") =!= col("h_new")))
+        .select(col("pk").as(pk)).localCheckpoint()
+      val added = newDf.join(addedIds, Seq(pk), "left_semi")
+      Some((prev, removed, added))
+    } finally joined.unpersist(blocking = false)
   }
 
   /** `_score` through a declared fulltext index (reference: MATCH scores
@@ -1343,28 +1390,62 @@ class StatementRouter(spark: SparkSession, root: String) {
   }
 
   private def collectColumnStats(name: String): Unit = {
-    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.sql.types.{NumericType, StringType}
     val df = readTable(name)
     if (df.schema.isEmpty) return
     val fields = df.schema.fields.toSeq
+    val numericCols = fields.filter(_.dataType.isInstanceOf[NumericType])
+      .map(_.name).toSet
+    // one aggregation pass: per-column null count, HLL distinct, width,
+    // and (numeric) decile histogram bounds — the reference's
+    // HistogramSketch role, t-digest-approximated here
+    val deciles = array((0 to 10).map(i => lit(i / 10.0)): _*)
     val aggCols = fields.flatMap { f =>
       val c = col(f.name)
       val w: Column = f.dataType match {
         case StringType => coalesce(avg(length(c)), lit(0.0))
         case dt         => lit(dt.defaultSize.toDouble)
       }
+      val hist: Column =
+        if (numericCols(f.name))
+          percentile_approx(c.cast("double"), deciles, lit(1000))
+        else lit(null).cast("array<double>")
       Seq(sum(when(c.isNull, 1L).otherwise(0L)),
-        approx_count_distinct(c), w.cast("double"))
+        approx_count_distinct(c), w.cast("double"), hist)
     } :+ count(lit(1))
     val row = df.agg(aggCols.head, aggCols.tail: _*).head()
     val total = row.getLong(aggCols.length - 1)
+    // one stacked pass for every column's most-common values (the
+    // reference's MostCommonValuesSketch): (column, value) counts, top 10
+    // by (count desc, value asc) — a single narrow shuffle for ALL columns
+    val stacked = df.select(explode(array(fields.map(f =>
+        struct(lit(f.name).as("c"), col(f.name).cast("string").as("v"))): _*)))
+      .select(col("col.c").as("c"), col("col.v").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("c"), col("v")).agg(count(lit(1)).as("n"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c")).orderBy(col("n").desc, col("v"))
+    val mcv = stacked.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= 10)
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.sortBy(_.getInt(3)).map(r =>
+        (r.getString(1), r.getLong(2))).toSeq).toMap
     fields.zipWithIndex.foreach { case (f, i) =>
-      val nulls = row.getLong(i * 3)
-      val distinct = row.getLong(i * 3 + 1)
-      val width = row.getDouble(i * 3 + 2)
+      val nulls = row.getLong(i * 4)
+      val distinct = row.getLong(i * 4 + 1)
+      val width = row.getDouble(i * 4 + 2)
+      val hist: Seq[String] =
+        if (row.isNullAt(i * 4 + 3)) Nil
+        else row.getSeq[Double](i * 4 + 3).map(_.toString)
+      val top = mcv.getOrElse(f.name, Seq.empty)
       sources.PgCatalog.analyzedStats.put((name, f.name),
-        (if (total > 0) (nulls.toDouble / total).toFloat else 0f,
-          math.round(width).toInt, distinct.toFloat))
+        sources.PgCatalog.ColStats(
+          if (total > 0) (nulls.toDouble / total).toFloat else 0f,
+          math.round(width).toInt, distinct.toFloat,
+          top.map(_._1),
+          top.map(t => if (total > 0) (t._2.toDouble / total).toFloat else 0f),
+          hist))
     }
   }
 

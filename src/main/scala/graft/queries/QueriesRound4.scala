@@ -981,7 +981,15 @@ object QueriesRound4 {
                  WHEN 'k' THEN n_distinct BETWEEN 0.85 * $n AND 1.15 * $n
                  WHEN 'v' THEN n_distinct = 5.0
                  WHEN 'd' THEN n_distinct BETWEEN 0.85 * $dv AND 1.15 * $dv
-               END AS nd_ok
+               END AS nd_ok,
+               CASE WHEN attname = 'v' THEN most_common_vals END AS mcv,
+               CASE WHEN attname = 'v'
+                 THEN round(CAST(element_at(most_common_freqs, 1) AS DOUBLE), 4)
+               END AS top_freq,
+               CASE WHEN attname = 'k'
+                 THEN CAST(element_at(histogram_bounds, 1) AS DOUBLE) END AS hist_min,
+               CASE WHEN attname = 'k'
+                 THEN CAST(element_at(histogram_bounds, 11) AS DOUBLE) END AS hist_max
         FROM pg_stats WHERE tablename = 'stat_t' ORDER BY attname""")
     }),
 
@@ -1125,16 +1133,30 @@ object QueriesRound4 {
         |         sum(CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 0 END) AS nv,
         |         sum(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS nd,
         |         avg(CASE WHEN c_custkey % 4 = 0 THEN NULL
-        |                  ELSE len(c_mktsegment) END) AS wv
-        |  FROM customer)
+        |                  ELSE len(c_mktsegment) END) AS wv,
+        |         CAST(min(c_custkey) AS DOUBLE) AS kmin,
+        |         CAST(max(c_custkey) AS DOUBLE) AS kmax
+        |  FROM customer),
+        |segs AS (
+        |  SELECT c_mktsegment AS v, count(*) AS cnt FROM customer
+        |  WHERE c_custkey % 4 <> 0 GROUP BY 1),
+        |mcvs AS (
+        |  SELECT list(v ORDER BY cnt DESC, v) AS mcv,
+        |         round(CAST(max(cnt) AS DOUBLE) / (SELECT n FROM c), 4) AS top_freq
+        |  FROM segs)
         |SELECT * FROM (
         |  SELECT 'd' AS attname, round(CAST(nd AS DOUBLE) / n, 4) AS nf,
-        |         8 AS avg_width, true AS nd_ok FROM c
+        |         8 AS avg_width, true AS nd_ok,
+        |         CAST(NULL AS VARCHAR[]) AS mcv, CAST(NULL AS DOUBLE) AS top_freq,
+        |         CAST(NULL AS DOUBLE) AS hist_min, CAST(NULL AS DOUBLE) AS hist_max
+        |  FROM c
         |  UNION ALL
-        |  SELECT 'k', 0.0, 8, true FROM c
+        |  SELECT 'k', 0.0, 8, true, NULL, NULL, kmin, kmax FROM c
         |  UNION ALL
         |  SELECT 'v', round(CAST(nv AS DOUBLE) / n, 4),
-        |         CAST(round(wv) AS INT), true FROM c)
+        |         CAST(round(wv) AS INT), true,
+        |         (SELECT mcv FROM mcvs), (SELECT top_freq FROM mcvs),
+        |         NULL, NULL FROM c)
         |ORDER BY attname""".stripMargin,
 
     // prefix arm: a token of length >= 4 starting 'spar' produces the

@@ -276,10 +276,16 @@ object PgCatalog {
   /** Per-column statistics recorded by the router's ANALYZE for versioned
     * tables (the reference's `ANALYZE` feeds `pg_stats` through
     * TableStatsService; Spark's catalog stats only exist for catalog
-    * tables, so router tables record here).
-    * Key (table, column) → (null_frac, avg_width, n_distinct). */
+    * tables, so router tables record here). Mirrors the reference's
+    * ColumnStats: null fraction, width, distinct count, most-common
+    * values + frequencies (MostCommonValuesSketch), histogram bounds
+    * (HistogramSketch). */
+  final case class ColStats(nullFrac: Float, avgWidth: Int, nDistinct: Float,
+                            mostCommonVals: Seq[String] = Nil,
+                            mostCommonFreqs: Seq[Float] = Nil,
+                            histogramBounds: Seq[String] = Nil)
   private[graft] val analyzedStats =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), (Float, Int, Float)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), ColStats]()
 
   def pgStats(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -292,7 +298,8 @@ object PgCatalog {
             yield (n.toDouble / rc).toFloat).getOrElse(0f)
           ("doc", t.name, attr.name, false, nullFrac,
             cs.avgLen.map(_.toInt).getOrElse(0),
-            cs.distinctCount.map(_.toFloat).getOrElse(-1f))
+            cs.distinctCount.map(_.toFloat).getOrElse(-1f),
+            null: Seq[String], null: Seq[Float], null: Seq[String])
         }
       } catch { case _: Exception => Nil }
     }
@@ -301,11 +308,16 @@ object PgCatalog {
       import scala.jdk.CollectionConverters._
       analyzedStats.asScala.toSeq
         .filterNot { case ((t, c), _) => covered((t, c)) }
-        .map { case ((t, c), (nf, w, nd)) => ("doc", t, c, false, nf, w, nd) }
+        .map { case ((t, c), s) => ("doc", t, c, false, s.nullFrac, s.avgWidth,
+          s.nDistinct,
+          if (s.mostCommonVals.isEmpty) null else s.mostCommonVals,
+          if (s.mostCommonFreqs.isEmpty) null else s.mostCommonFreqs,
+          if (s.histogramBounds.isEmpty) null else s.histogramBounds) }
     }
     val rows = (catalogRows ++ analyzed).sortBy(r => (r._2, r._3))
     rows.toDF("schemaname", "tablename", "attname", "inherited",
-        "null_frac", "avg_width", "n_distinct")
+        "null_frac", "avg_width", "n_distinct",
+        "most_common_vals", "most_common_freqs", "histogram_bounds")
       .withColumn("correlation", org.apache.spark.sql.functions.lit(null).cast(FloatType))
       .withColumn("most_common_elems", org.apache.spark.sql.functions.lit(null).cast(ArrayType(StringType)))
       .withColumn("most_common_elem_freqs", org.apache.spark.sql.functions.lit(null).cast(ArrayType(FloatType)))

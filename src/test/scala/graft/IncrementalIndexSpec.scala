@@ -67,4 +67,48 @@ class IncrementalIndexSpec extends SparkTestBase {
     r.execute(q).collect()
     assert(MatchText.lastIndexBuild == "loaded")
   }
+
+  test("row-diff delta maintains indexes on UNPARTITIONED tables") {
+    val root = Files.createTempDirectory("graftinc2").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute("""CREATE TABLE flat_docs (
+        id BIGINT PRIMARY KEY, txt TEXT,
+        INDEX txt_ft USING FULLTEXT (txt) WITH (analyzer = 'standard'))""")
+    r.execute("""INSERT INTO flat_docs (id, txt) VALUES
+        (1, 'spark filter join'), (2, 'spark spark filter'),
+        (3, 'filter only here'), (4, 'spark alone'),
+        (5, 'spark filter spark')""")
+    val q = """SELECT id, _score FROM flat_docs
+               WHERE MATCH(txt, 'spark filter') ORDER BY _score DESC, id"""
+    assert(r.execute(q).collect().map(_.getLong(0)).toSet == Set(1L, 2L, 5L))
+    assert(MatchText.lastIndexBuild == "full")
+
+    def matchesRebuild(): Unit = {
+      val rows = r.execute(q).collect().map(x => (x.getLong(0), x.getDouble(1)))
+      val idx = MatchText.buildIndex(
+        r.execute("SELECT id, txt FROM flat_docs"), "id", "txt")
+      val want = MatchText.scoreBM25(idx, "spark filter")
+        .collect().map(x => (x.getLong(0), x.getDouble(1))).toMap
+      assert(rows.map(_._1).toSet == want.keySet)
+      rows.foreach { case (id, s) => assert(math.abs(s - want(id)) < 1e-9) }
+    }
+
+    // UPDATE one row of five (<50% churn) → row-diff delta, not rebuild
+    r.execute("UPDATE flat_docs SET txt = 'nothing here' WHERE id = 1")
+    assert(r.execute(q).collect().map(_.getLong(0)).toSet == Set(2L, 5L))
+    assert(MatchText.lastIndexBuild == "delta")
+    matchesRebuild()
+    // single-row INSERT and DELETE also patch
+    r.execute("INSERT INTO flat_docs (id, txt) VALUES (6, 'spark filter six')")
+    assert(r.execute(q).collect().map(_.getLong(0)).toSet == Set(2L, 5L, 6L))
+    assert(MatchText.lastIndexBuild == "delta")
+    r.execute("DELETE FROM flat_docs WHERE id = 5")
+    assert(r.execute(q).collect().map(_.getLong(0)).toSet == Set(2L, 6L))
+    assert(MatchText.lastIndexBuild == "delta")
+    matchesRebuild()
+    // majority churn → full rebuild is the cheaper path
+    r.execute("UPDATE flat_docs SET txt = concat(txt, ' changed')")
+    r.execute(q).collect()
+    assert(MatchText.lastIndexBuild == "full")
+  }
 }

@@ -522,8 +522,11 @@ class PgCatalogSpec extends SparkTestBase {
     cur.close()
     PgCatalog.registerAll(spark)
     assert(spark.table("pg_cursors").isEmpty)
-    // pg_stats: empty without ANALYZEd column stats, schema answers
-    assert(spark.table("pg_stats").columns.length == 11)
+    // pg_stats: empty without ANALYZEd column stats, schema answers the
+    // reference's full 14-column shape (PgStatsTable.java — incl. the
+    // most_common_vals/freqs + histogram_bounds trio)
+    assert(spark.table("pg_stats").columns.length == 14)
+    assert(spark.table("pg_stats").columns.contains("most_common_vals"))
   }
 }
 
