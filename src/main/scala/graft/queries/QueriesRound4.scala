@@ -143,8 +143,8 @@ object QueriesRound4 {
       s.sql("""
         SELECT replace(c.conname, '_pkey', '') AS tbl,
                c.contype,
-               CAST(c.conkey AS ARRAY<INT>) AS conkey,
-               i.indkey,
+               to_json(CAST(c.conkey AS ARRAY<INT>)) AS conkey,
+               to_json(i.indkey) AS indkey,
                CAST(i.indnkeyatts AS INT) AS nkeys,
                i.indisprimary,
                (SELECT count(*) FROM pg_locks) + (SELECT count(*) FROM pg_am)
@@ -982,7 +982,7 @@ object QueriesRound4 {
                  WHEN 'v' THEN n_distinct = 5.0
                  WHEN 'd' THEN n_distinct BETWEEN 0.85 * $dv AND 1.15 * $dv
                END AS nd_ok,
-               CASE WHEN attname = 'v' THEN most_common_vals END AS mcv,
+               CASE WHEN attname = 'v' THEN to_json(most_common_vals) END AS mcv,
                CASE WHEN attname = 'v'
                  THEN round(CAST(element_at(most_common_freqs, 1) AS DOUBLE), 4)
                END AS top_freq,
@@ -1141,13 +1141,13 @@ object QueriesRound4 {
         |  SELECT c_mktsegment AS v, count(*) AS cnt FROM customer
         |  WHERE c_custkey % 4 <> 0 GROUP BY 1),
         |mcvs AS (
-        |  SELECT list(v ORDER BY cnt DESC, v) AS mcv,
+        |  SELECT CAST(to_json(list(v ORDER BY cnt DESC, v)) AS VARCHAR) AS mcv,
         |         round(CAST(max(cnt) AS DOUBLE) / (SELECT n FROM c), 4) AS top_freq
         |  FROM segs)
         |SELECT * FROM (
         |  SELECT 'd' AS attname, round(CAST(nd AS DOUBLE) / n, 4) AS nf,
         |         8 AS avg_width, true AS nd_ok,
-        |         CAST(NULL AS VARCHAR[]) AS mcv, CAST(NULL AS DOUBLE) AS top_freq,
+        |         CAST(NULL AS VARCHAR) AS mcv, CAST(NULL AS DOUBLE) AS top_freq,
         |         CAST(NULL AS DOUBLE) AS hist_min, CAST(NULL AS DOUBLE) AS hist_max
         |  FROM c
         |  UNION ALL
@@ -1698,16 +1698,16 @@ object QueriesRound4 {
     // lineitem's composite (l_orderkey, l_linenumber) at positions 1 and 4
     "q174_pg_catalog" ->
       """SELECT * FROM (VALUES
-        |  ('customer',  'p', [1],    [1],    1, TRUE, 0, 1),
-        |  ('documents', 'p', [1],    [1],    1, TRUE, 0, 1),
-        |  ('embeddings','p', [1],    [1],    1, TRUE, 0, 1),
-        |  ('events',    'p', [1],    [1],    1, TRUE, 0, 1),
-        |  ('lineitem',  'p', [1, 4], [1, 4], 2, TRUE, 0, 1),
-        |  ('nation',    'p', [1],    [1],    1, TRUE, 0, 1),
-        |  ('orders',    'p', [1],    [1],    1, TRUE, 0, 1),
-        |  ('part',      'p', [1],    [1],    1, TRUE, 0, 1),
-        |  ('region',    'p', [1],    [1],    1, TRUE, 0, 1),
-        |  ('supplier',  'p', [1],    [1],    1, TRUE, 0, 1)
+        |  ('customer',  'p', '[1]',   '[1]',   1, TRUE, 0, 1),
+        |  ('documents', 'p', '[1]',   '[1]',   1, TRUE, 0, 1),
+        |  ('embeddings','p', '[1]',   '[1]',   1, TRUE, 0, 1),
+        |  ('events',    'p', '[1]',   '[1]',   1, TRUE, 0, 1),
+        |  ('lineitem',  'p', '[1,4]', '[1,4]', 2, TRUE, 0, 1),
+        |  ('nation',    'p', '[1]',   '[1]',   1, TRUE, 0, 1),
+        |  ('orders',    'p', '[1]',   '[1]',   1, TRUE, 0, 1),
+        |  ('part',      'p', '[1]',   '[1]',   1, TRUE, 0, 1),
+        |  ('region',    'p', '[1]',   '[1]',   1, TRUE, 0, 1),
+        |  ('supplier',  'p', '[1]',   '[1]',   1, TRUE, 0, 1)
         |) AS t(tbl, contype, conkey, indkey, nkeys, indisprimary,
         |       empty_side, nroles)
         |ORDER BY tbl""".stripMargin,
