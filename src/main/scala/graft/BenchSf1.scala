@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off sf1 scale-proof (round-4 verdict ask #6): runs the headline
+  * queries at sf0.1 and at a synthetic sf1 (10× the sf0.1 fixtures) and
+  * records per-query time ratios to `BENCH_sf1.json`. The design claims
+  * under test are the auto-scaling arguments written in scaladoc — IVF
+  * centroid auto-scale, capped LSH buckets, bounded gram expansion, the
+  * linear dedup passes: if they hold, time ratios track the 10× data
+  * ratio; a superlinear row is a scaling bug.
+  *
+  * The sf1 data is derived, not regenerated: each fact table is 10
+  * PK/FK-shifted copies of its sf0.1 parquet (stride 10^7 — the
+  * QueriesPipeline.docsWithDups convention), so distributions are
+  * preserved and referential integrity holds within each copy;
+  * region/nation stay unscaled (true dimensions). Written ONCE to
+  * /tmp/graft_sf1 — /root/testdata is read-only by contract. This main is
+  * NOT part of the driver contract (Bench.scala is); run it manually:
+  * `sbt "runMain graft.BenchSf1"`.
+  */
+object BenchSf1 {
+  private val Stride = 10000000L
+  private val Copies = 10
+
+  /** (table, pk/fk columns to shift per copy) — shifting both sides of
+    * every join key keeps each copy self-consistent. */
+  private val shifts: Map[String, Seq[String]] = Map(
+    "customer"  -> Seq("c_custkey"),
+    "orders"    -> Seq("o_orderkey", "o_custkey"),
+    "lineitem"  -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "part"      -> Seq("p_partkey"),
+    "supplier"  -> Seq("s_suppkey"),
+    "events"    -> Seq("user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings"-> Seq("vec_id")
+  )
+
+  private val headline = Seq(
+    "q02_tpch_q1", "q09_join_inner", "q130_tpch_q7ish", "q157_tpch_q9ish",
+    "q159_tpch_q13ish", "q146_tpch_q8ish", "q163_tpch_q21ish",
+    "q57_dedup_exact", "q62_dedup_minhash", "q63_dedup_simhash",
+    "q65_knn_bruteforce", "q67_embedding_neardup",
+    "q135_embedding_neardup_lsh", "q207_gopher_rules", "q208_incremental_dedup")
+
+  private def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dst/_DONE"))) return
+    Tables.names.foreach { n =>
+      val base = Tables.load(spark, src, n)
+      val out = shifts.get(n) match {
+        case None => base // region/nation: dimensions, unscaled
+        case Some(cols) =>
+          (0 until Copies).map { k =>
+            cols.foldLeft(base)((df, c) =>
+              df.withColumn(c, col(c) + lit(k * Stride)))
+          }.reduce(_ unionAll _)
+      }
+      out.write.mode("overwrite").parquet(s"$dst/$n.parquet")
+    }
+    fs.create(new org.apache.hadoop.fs.Path(s"$dst/_DONE"), true).close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.cleaner.periodicGC.interval", "15s")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.registerAll(spark)
+
+    val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sf1 = "/tmp/graft_sf1"
+    buildSf1(spark, sf01, sf1)
+
+    def cleanupStorage(): Unit = {
+      try spark.sharedState.cacheManager.clearCache()
+      catch { case _: Throwable => () }
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => () }
+      System.gc()
+    }
+
+    def time(name: String, dir: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench_sf1] $name @ $dir failed: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val r = math.min(once(), once())
+      graft.operators.MatchText.IndexCache.clear()
+      cleanupStorage()
+      r
+    }
+
+    val rows = headline.map { q =>
+      val a = time(q, sf01)
+      val b = time(q, sf1)
+      System.err.println(f"[bench_sf1] $q%-28s sf0.1=$a%7.2fs sf1=$b%8.2fs ratio=${b / a}%5.1f")
+      q -> (a, b)
+    }
+    val qs = rows.map { case (q, (a, b)) =>
+      f""""$q":{"sf01":$a%.3f,"sf1":$b%.3f,"ratio":${b / a}%.2f}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"sf1_scale_proof","data_ratio":$Copies,"queries":$qs}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_sf1.json"), json)
+    spark.stop()
+    println(json)
+  }
+}

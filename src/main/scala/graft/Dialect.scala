@@ -774,6 +774,178 @@ object Dialect {
     None
   }
 
+  /** `WHERE knn_match(vec_col, query_vector, k)` (reference
+    * `expression/scalar/KnnMatch.java:48`, docs/general/dql/vector-search
+    * .rst): the predicate form of vector search — true for the k rows
+    * nearest to the literal query vector, `_score` carrying the
+    * similarity (the reference's float_vector default is EUCLIDEAN, so
+    * `_score = vector_similarity = 1/(1+l2²)`, Lucene's convention).
+    *
+    * Lowered to an exact top-k subquery:
+    * {{{
+    *   SELECT <proj> FROM (
+    *     SELECT *, CAST(vector_similarity(col, vec) AS DOUBLE)
+    *            AS graft_knn_score
+    *     FROM t [alias] [WHERE <other conjuncts>]
+    *     ORDER BY graft_knn_score DESC LIMIT k
+    *   ) alias <tail>
+    * }}}
+    * ORDER BY+LIMIT plans as TakeOrderedAndProject — per-partition heap
+    * top-k then a k-row driver merge, never a global sort — so the shape
+    * scales to a full-corpus scan the same way the reference's exact
+    * fallback does. Other WHERE conjuncts move INTO the subquery: like
+    * the reference (Lucene searches over the filter's docset), filters
+    * apply BEFORE the k-selection, so k matching rows come back.
+    * [[graft.StatementRouter]] upgrades the same shape to a stored
+    * quantized IVF index scan when the table declares one; this pass is
+    * the index-less fallback. Conservative: single-table SELECT, one
+    * knn_match standing as a depth-0 WHERE conjunct, no OR around it —
+    * anything else falls through (and knn_match then errors loudly as an
+    * unknown function rather than silently mis-filtering). */
+  private def passKnnMatch(ts: Vector[Tok]): Option[Vector[Tok]] = {
+    val ki = ts.indexWhere(t => t.kind == K.Word && t.is("knn_match"))
+    if (ki < 0) return None
+    if (ts.indexWhere(t => t.kind == K.Word && t.is("knn_match"), ki + 1) >= 0)
+      return None
+    def isWord(t: Tok) = t.kind == K.Word || t.kind == K.QId
+    // depth-0 scan for a keyword, between from and until
+    def topIdx(word: String, from: Int, until: Int): Int = {
+      var depth = 0; var i = from
+      while (i < until) {
+        val t = ts(i)
+        if (t.isSym("(") || t.isSym("[")) depth += 1
+        else if (t.isSym(")") || t.isSym("]")) depth -= 1
+        else if (depth == 0 && t.kind == K.Word && t.is(word)) return i
+        i += 1
+      }
+      -1
+    }
+    val par = nextSig(ts, ki)
+    if (par < 0 || !ts(par).isSym("(")) return None
+    val close = matchFwd(ts, par)
+    if (close < 0) return None
+    // bracket-aware comma split: the query vector is usually a raw
+    // `[v1, v2, …]` literal whose commas must not count
+    val parts = locally {
+      val v = ts.slice(par + 1, close)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Vector[Tok]]
+      var dep = 0; var b = Vector.newBuilder[Tok]
+      for (t <- v) {
+        if (t.isSym("(") || t.isSym("[") || t.isSym("{")) dep += 1
+        if (t.isSym(")") || t.isSym("]") || t.isSym("}")) dep -= 1
+        if (t.isSym(",") && dep == 0) { out += b.result(); b = Vector.newBuilder[Tok] }
+        else b += t
+      }
+      out += b.result()
+      out.toSeq.map(_.filter(_.sig))
+    }
+    if (parts.length != 3 || parts.exists(_.isEmpty)) return None
+    val colR = render(parts(0)).trim
+    val vecR = render(parts(1)).trim
+    val kR = render(parts(2)).trim
+
+    val first = ts.indexWhere(_.sig)
+    if (first < 0 || !ts(first).is("select")) return None
+    val fi = topIdx("from", first + 1, ts.length)
+    if (fi < 0) return None
+    val wi = topIdx("where", fi + 1, ts.length)
+    if (wi < 0 || ki < wi) return None
+    // single-relation FROM only
+    if (topIdx("join", fi, wi) >= 0 || topIdx("union", first, ts.length) >= 0)
+      return None
+
+    // FROM <tbl[.part]> [AS] [alias] — must run straight into WHERE
+    var ti = nextSig(ts, fi)
+    if (ti < 0 || !isWord(ts(ti))) return None
+    var tblR = ts(ti).text
+    var cursor = nextSig(ts, ti)
+    if (cursor >= 0 && ts(cursor).isSym(".")) {
+      val pn = nextSig(ts, cursor)
+      if (pn < 0 || !isWord(ts(pn))) return None
+      tblR = s"$tblR.${ts(pn).text}"; cursor = nextSig(ts, pn)
+    }
+    var alias = ""
+    if (cursor >= 0 && ts(cursor).is("as")) {
+      val an = nextSig(ts, cursor)
+      if (an < 0 || !isWord(ts(an))) return None
+      alias = ts(an).text; cursor = nextSig(ts, an)
+    } else if (cursor >= 0 && isWord(ts(cursor)) && !ts(cursor).is("where")) {
+      alias = ts(cursor).text; cursor = nextSig(ts, cursor)
+    }
+    if (cursor != wi) return None
+
+    // WHERE body: depth-0 AND conjuncts, no depth-0 OR, knn standing alone
+    val stopWords = Set("group", "order", "limit", "having", "window", "offset")
+    var tailStart = ts.length
+    locally {
+      var depth = 0; var i = wi + 1
+      while (i < ts.length && tailStart == ts.length) {
+        val t = ts(i)
+        if (t.isSym("(") || t.isSym("[")) depth += 1
+        else if (t.isSym(")") || t.isSym("]")) depth -= 1
+        else if (depth == 0 && t.kind == K.Word &&
+                 stopWords.contains(t.text.toLowerCase)) tailStart = i
+        i += 1
+      }
+    }
+    if (topIdx("or", wi + 1, tailStart) >= 0) return None
+    // collect conjunct boundaries (depth-0 ANDs)
+    val andIdxs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    locally {
+      var depth = 0
+      for (i <- wi + 1 until tailStart) {
+        val t = ts(i)
+        if (t.isSym("(") || t.isSym("[")) depth += 1
+        else if (t.isSym(")") || t.isSym("]")) depth -= 1
+        else if (depth == 0 && t.kind == K.Word && t.is("and")) andIdxs += i
+      }
+    }
+    val bounds = (Seq(wi) ++ andIdxs ++ Seq(tailStart)).sliding(2).toSeq
+    val conjuncts = bounds.map { case Seq(a, b) => (a + 1, b) }
+    val knnConj = conjuncts.find { case (a, b) => a <= ki && close < b }
+      .getOrElse(return None)
+    // the knn conjunct must be exactly the call
+    val conjSig = (knnConj._1 until knnConj._2).filter(i => ts(i).sig)
+    if (conjSig.headOption != Some(ki) || conjSig.lastOption != Some(close))
+      return None
+    val rest = conjuncts.filterNot(_ == knnConj)
+      .map { case (a, b) => render(ts.slice(a, b).filter(_.sig)).trim }
+      .filter(_.nonEmpty)
+    if (rest.exists(_.toLowerCase.contains("_score"))) return None
+
+    val projOut = locally {
+      val v = ts.slice(first + 1, fi)
+      val sigs = v.indices.filter(i => v(i).sig)
+      v.indices.flatMap { i =>
+        val t = v(i)
+        if (t.kind == K.Word && t.is("_score")) lex("graft_knn_score")
+        else if (t.isSym("*") && {
+          // a bare projection-item star (`SELECT *` / `SELECT *, x`), not
+          // multiplication or count(*): alone between SELECT-start/comma
+          // boundaries at depth 0
+          val pos = sigs.indexOf(i)
+          val prevOk = pos <= 0 || v(sigs(pos - 1)).isSym(",")
+          val nextOk = pos == sigs.length - 1 || v(sigs(pos + 1)).isSym(",")
+          prevOk && nextOk
+        }) lex("* EXCEPT (graft_knn_score)")
+        else Vector(t)
+      }.toVector
+    }
+    val projOutR = render(projOut)
+    val tailOut = render(ts.slice(tailStart, ts.length).flatMap { t =>
+      if (t.kind == K.Word && t.is("_score")) lex("graft_knn_score") else Vector(t)
+    })
+    val aliasOut = if (alias.nonEmpty) alias else "graft_knn"
+    val innerWhere = if (rest.isEmpty) "" else rest.mkString(" WHERE (", ") AND (", ")")
+    val sqlOut =
+      s"""SELECT $projOutR FROM (
+         |  SELECT *, CAST(vector_similarity($colR, $vecR) AS DOUBLE) AS graft_knn_score
+         |  FROM $tblR${if (alias.nonEmpty) s" $alias" else ""}$innerWhere
+         |  ORDER BY graft_knn_score DESC LIMIT $kR
+         |) $aliasOut $tailOut""".stripMargin
+    Some(lex(sqlOut))
+  }
+
   private def passScore(ts: Vector[Tok]): Option[Vector[Tok]] = {
     var i = 0
     while (i < ts.length) {
@@ -1019,7 +1191,7 @@ object Dialect {
   }
 
   private val passes: Seq[Vector[Tok] => Option[Vector[Tok]]] =
-    Seq(passRenames, passScoreMulti, passMatch, passScore, passCasts, passAnyAll,
+    Seq(passKnnMatch, passRenames, passScoreMulti, passMatch, passScore, passCasts, passAnyAll,
       passObjectLiteral, passBrackets, passFetchOffset, passFilterClause,
       passSystemSchemas, passArrayOverlap, passRegexOps, passArraySubquery,
       passEmptyRow, passSessionKeywords)
@@ -1087,6 +1259,12 @@ object Dialect {
         } else ("MAP<STRING,STRING>", k)
       case "geo_point" => ("ARRAY<DOUBLE>", j + 1)
       case "geo_shape" => ("STRING", j + 1)
+      case "float_vector" =>
+        // FLOAT_VECTOR(n) (reference FloatVectorType, vector-search docs):
+        // the dimension is declarative only — Spark's twin is ARRAY<FLOAT>
+        if (j + 1 < d.length && d(j + 1).isSym("("))
+          ("ARRAY<FLOAT>", matchFwdIn(d, j + 1) + 1)
+        else ("ARRAY<FLOAT>", j + 1)
       case "double" if j + 1 < d.length && d(j + 1).is("precision") => ("DOUBLE", j + 2)
       case "timestamp" =>
         if (d.lift(j + 1).exists(t => t.is("with") || t.is("without")))

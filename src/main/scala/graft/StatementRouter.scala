@@ -284,8 +284,15 @@ class StatementRouter(spark: SparkSession, root: String) {
           "or", "replace", "if", "not", "exists", "materialized")
         val ti = sig.indexWhere(t => t.sig && isWordT(t) &&
           !skip.contains(t.text.toLowerCase), 1)
-        if (ti > 0) check("DDL", "TABLE", Some(qualifyIdent(unq(sig(ti)).toLowerCase)))
-        else check("DDL", "CLUSTER", None)
+        if (ti > 0) {
+          // schema-qualified target (`DROP TABLE s.t`): consume the dot so
+          // the ladder falls back to SCHEMA 's', not SCHEMA 'doc'
+          val tgt =
+            if (sig.lift(ti + 1).exists(_.isSym(".")) && sig.lift(ti + 2).exists(isWordT))
+              s"${unq(sig(ti)).toLowerCase}.${unq(sig(ti + 2)).toLowerCase}"
+            else qualifyIdent(unq(sig(ti)).toLowerCase)
+          check("DDL", "TABLE", Some(tgt))
+        } else check("DDL", "CLUSTER", None)
       case "grant" | "revoke" | "deny" | "kill" | "analyze" | "restore" =>
         check("AL", "CLUSTER", None)
       case _ => () // SET/RESET/BEGIN/COMMIT/ROLLBACK are session-local
@@ -371,11 +378,16 @@ class StatementRouter(spark: SparkSession, root: String) {
       s"graft-${StatementRouter.jobSeq.incrementAndGet()}",
       stmt.take(120), interruptOnCancel = true)
     try {
+      // enforcement runs on the search_path-resolved, schema-folded
+      // statement, so a bare name is checked as the relation it actually
+      // resolves to (not doc.<name>) and the closed-table guard sees
+      // tables reached via search_path
+      val resolved = resolveStatement(stmt)
       locally {
-        val s = Dialect.lex(stmt).filter(_.sig)
+        val s = Dialect.lex(resolved).filter(_.sig)
         if (s.nonEmpty) { enforcePrivileges(s); enforceOpen(s) }
       }
-      val df = executeRouted(stmt)
+      val df = executeRouted(resolved)
       sources.SysCatalog.recordJob(stmt, t0, System.currentTimeMillis)
       df
     } catch {
@@ -504,11 +516,15 @@ class StatementRouter(spark: SparkSession, root: String) {
     if (changed) out.toString.trim else stmt
   }
 
-  private def executeRouted(stmt0: String): DataFrame = {
-    // CREATE TABLE with a qualified name creates the schema implicitly
-    // (create-schema.rst: "CrateDB also implicitly creates missing
-    // schemas with other CREATE statements") — register it BEFORE the
-    // qualifier rewrite so the name folds
+  /** Folds schema qualifiers and resolves search_path — the canonical
+    * pre-routing rewrite, shared by [[execute]] (which enforces
+    * privileges on its output) and the router. CREATE TABLE with a
+    * qualified name creates the schema implicitly (create-schema.rst:
+    * "CrateDB also implicitly creates missing schemas with other CREATE
+    * statements") — registered BEFORE the qualifier rewrite so the name
+    * folds. NOT idempotent (a search_path CREATE TABLE fold would fold
+    * again), so [[executeRouted]] receives already-resolved text. */
+  private def resolveStatement(stmt0: String): String = {
     locally {
       val s0 = Dialect.lex(stmt0).filter(_.sig)
       if (s0.length > 3 && s0(0).is("create") && s0(1).is("table")) {
@@ -521,7 +537,11 @@ class StatementRouter(spark: SparkSession, root: String) {
         }
       }
     }
-    val stmt = resolveSearchPath(rewriteSchemaQualifiers(stmt0))
+    resolveSearchPath(rewriteSchemaQualifiers(stmt0))
+  }
+
+  /** Routes an already-[[resolveStatement]]-resolved statement. */
+  private def executeRouted(stmt: String): DataFrame = {
     val sig = Dialect.lex(stmt).filter(_.sig)
     require(sig.nonEmpty, "empty statement")
     sig(0).text.toLowerCase match {
@@ -631,7 +651,10 @@ class StatementRouter(spark: SparkSession, root: String) {
         // multi-column MATCH + _score routes on the RAW statement (the
         // per-field boosts are only visible before the dialect lowers the
         // MATCH); single-column routes on the translated form.
-        val pre = routeFieldedScore(stmtSys).getOrElse(stmtSys)
+        val pre0 = routeFieldedScore(stmtSys).getOrElse(stmtSys)
+        // stored-vector-index upgrade runs BEFORE the dialect, which
+        // would otherwise lower knn_match to its exact fallback
+        val pre = routeKnnStored(pre0).getOrElse(pre0)
         val translated = Dialect.translate(pre)
         routeIndexedScore(translated) match {
           case Some(routed) => spark.sql(routed)
@@ -710,7 +733,8 @@ class StatementRouter(spark: SparkSession, root: String) {
       .getOrElse(return None)
     val targetSet = fieldsBoosts.map(_._1).toSet
     val spec = VersionedTable.indexSpecs(spark, tablePath(table)).find(s =>
-      s.cols.map(_.toLowerCase).toSet == targetSet && s.cols.length == targetSet.size)
+      !s.analyzer.startsWith("vector:") &&
+        s.cols.map(_.toLowerCase).toSet == targetSet && s.cols.length == targetSet.size)
       .getOrElse(return None)
     val pk = VersionedTable.primaryKey(spark, tablePath(table)) match {
       case Seq(one) => one
@@ -848,10 +872,14 @@ class StatementRouter(spark: SparkSession, root: String) {
           case "_docid"   => Some("monotonically_increasing_id()")
           // conservative OCC (occ.rst): the snapshot version stands in
           // for the per-row sequence — `UPDATE … WHERE _seq_no = x`
-          // succeeds only if NOTHING changed since the read, a strict
-          // superset of the reference's per-row no-concurrent-write
-          // guarantee (false conflicts allowed, lost updates never)
-          case "_seq_no"       => Some(s"CAST($version AS BIGINT)")
+          // succeeds only if nothing RELEVANT changed since the read, a
+          // strict superset of the reference's per-row no-concurrent-
+          // write guarantee (false conflicts allowed, lost updates
+          // never). Partitioned tables narrow the granularity: _seq_no
+          // resolves per ROW to the version at which the row's PARTITION
+          // last changed ([[seqNoExpr]]), so concurrent writes to
+          // different partitions no longer conflict.
+          case "_seq_no"       => Some(seqNoExpr(table, version))
           case "_primary_term" => Some("CAST(1 AS BIGINT)")
           case _          => None
         } else None
@@ -868,6 +896,56 @@ class StatementRouter(spark: SparkSession, root: String) {
       }
     }
     if (changed) out.toString.trim else stmt
+  }
+
+  /** Partition-granular `_seq_no` (occ.rst; reference `SysColumns.java:
+    * 49-64` is per-ROW): for a value-partitioned table, a row's sequence
+    * is the version at which its PARTITION's manifest entry last changed
+    * — [[VersionedTable.commitPartial]] carries untouched partitions
+    * forward by reference, so an equal entry path between consecutive
+    * versions means untouched content. The walk down the manifest chain
+    * is metadata-only (no data files read) and each resolved value is an
+    * UPPER bound on the true last write, so any early exit (vacuumed old
+    * manifest, >1000 partitions — expression size bound) degrades
+    * conservatively back toward the table-version approximation: extra
+    * false conflicts, never a lost update. Unpartitioned tables keep the
+    * table-version stand-in. */
+  private def seqNoExpr(table: String, version: Int): String = {
+    val tableVersion = s"CAST($version AS BIGINT)"
+    val path = tablePath(table)
+    val ps = VersionedTable.partitionSpec(spark, path)
+      .getOrElse(return tableVersion)
+    def norm(s: String) = new Path(s).toUri.getPath
+    val lastW = scala.collection.mutable.HashMap.empty[String, Int]
+    try {
+      var cur = VersionedTable.partitionDirs(spark, path, version).toMap
+      if (cur.isEmpty || cur.size > 1000) return tableVersion
+      cur.keys.foreach(k => lastW(k) = version)
+      val active = scala.collection.mutable.Set[String](cur.keySet.toSeq: _*)
+      var v = version
+      while (v > 1 && active.nonEmpty) {
+        val prevDirs = VersionedTable.partitionDirs(spark, path, v - 1).toMap
+        active.toSeq.foreach { k =>
+          (cur.get(k), prevDirs.get(k)) match {
+            case (Some(d), Some(p)) if norm(d) == norm(p) => lastW(k) = v - 1
+            case _ => active -= k // changed (or created) at v: freeze
+          }
+        }
+        cur = prevDirs
+        v -= 1
+      }
+    } catch { case _: Exception => () } // partial walk: values stay upper bounds
+    if (lastW.isEmpty) return tableVersion
+    val nameExpr = ps.cols
+      .map(c => s"concat('$c=', coalesce(CAST(`$c` AS STRING), " +
+        "'__HIVE_DEFAULT_PARTITION__'))")
+      .mkString("concat_ws('/', ", ", ", ")")
+    val entries = lastW.toSeq.sortBy(_._1)
+      .map { case (k, lv) => s"'${k.replace("'", "''")}', CAST($lv AS BIGINT)" }
+      .mkString(", ")
+    // unknown keys (path-escaped values the raw cast can't reproduce)
+    // fall back to the table version — conservative again
+    s"coalesce(element_at(map($entries), $nameExpr), $tableVersion)"
   }
 
   /** Delta inputs for incremental index maintenance. When the table is
@@ -891,7 +969,9 @@ class StatementRouter(spark: SparkSession, root: String) {
     val prev = fs.listStatus(rootP).toSeq.map(_.getPath.getName)
       .filter(_.matches("v\\d+")).map(_.drop(1).toInt)
       .filter(v => v < version &&
-        graft.operators.MatchText.storedIndexExists(spark, s"$idxRoot/v$v"))
+        (graft.operators.MatchText.storedIndexExists(spark, s"$idxRoot/v$v") ||
+          // vector-index layout (codes/centroids, routeKnnStored)
+          fs.exists(new Path(s"$idxRoot/v$v/codes/_SUCCESS"))))
       .sorted.lastOption.getOrElse(return None)
     val pspec = VersionedTable.partitionSpec(spark, path)
       .getOrElse(return rowDiffDelta(table, prev, pk, textCols))
@@ -1004,8 +1084,9 @@ class StatementRouter(spark: SparkSession, root: String) {
     val table = unq(sig(fi + 1))
     if (VersionedTable.latestVersion(spark, tablePath(table)).isEmpty) return None
     val spec = VersionedTable.indexSpecs(spark, tablePath(table)).find(s =>
-      s.name.equalsIgnoreCase(targetCol) ||
-        (s.cols.length == 1 && s.cols.head.equalsIgnoreCase(targetCol)))
+      !s.analyzer.startsWith("vector:") &&
+        (s.name.equalsIgnoreCase(targetCol) ||
+          (s.cols.length == 1 && s.cols.head.equalsIgnoreCase(targetCol))))
       .getOrElse(return None)
     val pk = VersionedTable.primaryKey(spark, tablePath(table)) match {
       case Seq(one) => one
@@ -1135,6 +1216,191 @@ class StatementRouter(spark: SparkSession, root: String) {
     Some(out.toString.trim)
   }
 
+  /** SQL `knn_match` through a DECLARED vector index (reference
+    * `expression/scalar/KnnMatch.java:48` + docs/general/dql/vector-search
+    * .rst: the reference serves `knn_match` from the float_vector column's
+    * HNSW index; graft's declared twin is `INDEX iv USING VECTOR (col)` —
+    * a durable int8-quantized IVF index under the table root, built once
+    * per committed version, codes bucket-partitioned so an nprobe search
+    * prunes to nprobe partitions AT THE SCAN and reads 4× fewer bytes
+    * than the float corpus). The symmetric twin of [[routeIndexedScore]]:
+    *
+    *  - `FROM t [alias]` gains `JOIN <hits> ON alias.pk = <hits>.id`
+    *  - `knn_match(col, [v..], k)` → `TRUE` (the join carries the k hits)
+    *  - `_score` → `<hits>.sim` — metric l2 (`vector_similarity` =
+    *    1/(1+l2²)), so ranking matches the exact Dialect fallback
+    *
+    * Maintenance mirrors the fulltext path: fresh sessions LOAD the
+    * stored codes; a changed table patches incrementally via
+    * [[graft.operators.Similarity.updateQuantizedIndex]] (assign-to-fixed-
+    * centroids over the row diff) when [[indexDelta]] reports small churn,
+    * and rebuilds otherwise. Conservative: extra WHERE conjuncts (the
+    * exact path PRE-filters, reference semantics, which a post-join can't
+    * replay), a missing index or composite PK, non-literal vectors, and
+    * multi-call shapes all return None — [[Dialect]]'s exact
+    * TakeOrderedAndProject lowering then runs. */
+  private def routeKnnStored(sql: String): Option[String] = {
+    if (!sql.toLowerCase.contains("knn_match")) return None
+    val sig = Dialect.lex(sql).filter(_.sig)
+    def isWord(t: Tok) = t.kind == Dialect.K.Word || t.kind == Dialect.K.QId
+    val ki = sig.indexWhere(t => t.kind == Dialect.K.Word && t.is("knn_match"))
+    if (ki < 0 || !sig.lift(ki + 1).exists(_.isSym("("))) return None
+    if (sig.indexWhere(t => t.kind == Dialect.K.Word && t.is("knn_match"), ki + 1) >= 0)
+      return None
+    val close = matchFwd(sig, ki + 1)
+    if (close < 0) return None
+    val parts = splitTopCommas(sig.slice(ki + 2, close))
+    if (parts.length != 3) return None
+    val targetCol = unq(parts(0).last).toLowerCase
+    // literal query vector `[n, n, …]` only — expressions fall through
+    val vecToks = parts(1)
+    if (!vecToks.headOption.exists(_.isSym("[")) ||
+        !vecToks.lastOption.exists(_.isSym("]"))) return None
+    val nums = scala.collection.mutable.ArrayBuffer.empty[Float]
+    locally {
+      var i = 1; var sign = 1.0f
+      while (i < vecToks.length - 1) {
+        val t = vecToks(i)
+        if (t.isSym("-")) sign = -sign
+        else if (t.isSym("+") || t.isSym(",")) ()
+        else if (t.kind == Dialect.K.Num) { nums += sign * t.text.toFloat; sign = 1.0f }
+        else return None
+        i += 1
+      }
+    }
+    if (nums.isEmpty) return None
+    val k = parts(2) match {
+      case Vector(t) if t.kind == Dialect.K.Num =>
+        t.text.toIntOption.getOrElse(return None)
+      case _ => return None
+    }
+
+    // FROM <router table with a vector index and a 1-column PK>
+    val fi = sig.indexWhere(t => t.kind == Dialect.K.Word && t.is("from"))
+    if (fi < 0 || !sig.lift(fi + 1).exists(isWord)) return None
+    val table = unq(sig(fi + 1))
+    val version = VersionedTable.latestVersion(spark, tablePath(table))
+      .getOrElse(return None)
+    val spec = VersionedTable.indexSpecs(spark, tablePath(table)).find(s =>
+      s.analyzer.startsWith("vector:") && s.cols.length == 1 &&
+        (s.name.equalsIgnoreCase(targetCol) ||
+          s.cols.head.equalsIgnoreCase(targetCol)))
+      .getOrElse(return None)
+    val vecCol = spec.cols.head
+    val pk = VersionedTable.primaryKey(spark, tablePath(table)) match {
+      case Seq(one) => one
+      case _        => return None
+    }
+
+    // optional alias after the table name (routeIndexedScore's shape)
+    val stop = Set("where", "group", "order", "limit", "having", "join",
+      "inner", "left", "right", "full", "cross", "on", "union", "intersect",
+      "except", "offset", "window", "qualify", "lateral")
+    var insertAt = fi + 1
+    var rel = table
+    sig.lift(fi + 2) match {
+      case Some(t2) if t2.is("as") && sig.lift(fi + 3).exists(isWord) =>
+        rel = unq(sig(fi + 3)); insertAt = fi + 3
+      case Some(t2) if isWord(t2) && !stop.contains(t2.text.toLowerCase) =>
+        rel = unq(t2); insertAt = fi + 2
+      case _ => ()
+    }
+
+    // WHERE must be exactly the knn_match conjunct (no pre-filters here —
+    // see scaladoc; filtered searches keep the exact path)
+    val wi = sig.indexWhere(t => t.kind == Dialect.K.Word && t.is("where"))
+    if (wi < 0 || ki != wi + 1) return None
+    val tailKw = Set("group", "order", "limit", "having", "offset", "window")
+    var tailStart = sig.length
+    locally {
+      var depth = 0; var i = wi + 1
+      while (i < sig.length && tailStart == sig.length) {
+        val t = sig(i)
+        if (t.isSym("(") || t.isSym("[")) depth += 1
+        else if (t.isSym(")") || t.isSym("]")) depth -= 1
+        else if (depth == 0 && t.kind == Dialect.K.Word &&
+                 tailKw.contains(t.text.toLowerCase)) tailStart = i
+        i += 1
+      }
+    }
+    if (close != tailStart - 1) return None
+
+    // durable index at the committed version: load, patch, or build
+    val Array(_, centStr, nprobeStr) = spec.analyzer.split(":")
+    val nprobe = nprobeStr.toInt
+    val idxRootStr = s"${tablePath(table)}/_vecindex/${spec.name}"
+    val stored = s"$idxRootStr/v$version"
+    val (codes, centroids) = graft.operators.MatchText.IndexCache
+      .cached[(DataFrame, DataFrame)](
+        s"${tablePath(table)}#${spec.name}#vec#v$version") {
+      if (fs.exists(new Path(s"$stored/codes"))) {
+        StatementRouter.lastVecIndexBuild.set("loaded")
+        graft.operators.Similarity.loadQuantizedIndex(spark, stored)
+      } else {
+        val corpus = readTable(table)
+        val built: (DataFrame, DataFrame) =
+          indexDelta(table, idxRootStr, version, pk, Seq(vecCol)) match {
+            case Some((prevV, removed, added))
+                if fs.exists(new Path(s"$idxRootStr/v$prevV/codes")) =>
+              StatementRouter.lastVecIndexBuild.set("delta")
+              val (oldCodes, cents) = graft.operators.Similarity
+                .loadQuantizedIndex(spark, s"$idxRootStr/v$prevV")
+              (graft.operators.Similarity.updateQuantizedIndex(
+                oldCodes, cents, removed, added, pk, vecCol), cents)
+            case _ =>
+              StatementRouter.lastVecIndexBuild.set("full")
+              val n = corpus.count()
+              // auto-scale: ≈ N·nprobe/256 buckets keeps the expected
+              // probed candidate set ~256·k-independent rows regardless of
+              // corpus size (Similarity.embeddingNearDupPairs's argument)
+              val nc = if (centStr.toInt > 0) centStr.toInt
+                else math.max(16L, math.min(65536L, n * nprobe / 256)).toInt
+              val (bucketed, cents) = graft.operators.Similarity
+                .kmeansBucketize(corpus, numCentroids = nc, iters = 2,
+                  idCol = pk, vecCol = vecCol)
+              (graft.operators.Similarity.quantizedIndex(bucketed), cents)
+          }
+        try {
+          built._1.write.mode("overwrite").partitionBy("bucket")
+            .parquet(s"$stored/codes")
+          built._2.write.mode("overwrite").parquet(s"$stored/centroids")
+          fs.listStatus(new Path(idxRootStr)).foreach { s0 =>
+            if (s0.getPath.getName != s"v$version") fs.delete(s0.getPath, true)
+          }
+        } catch { case _: Exception => () } // search proceeds on the built index
+        if (fs.exists(new Path(s"$stored/codes")))
+          graft.operators.Similarity.loadQuantizedIndex(spark, stored)
+        else built
+      }
+    }
+
+    import spark.implicits._
+    val queries = Seq((0L, nums.toSeq)).toDF("vec_id", "embedding")
+    val hits = graft.operators.Similarity.ivfKnnStored(
+        codes, centroids, readTable(table), queries, k, nprobe,
+        idCol = pk, vecCol = vecCol, metric = "l2")
+      .select(col("cid").as("graft_knn_id"), col("sim").as("graft_knn_sim"))
+    scoredMatchN += 1
+    val view = s"graft_knn_hits_$scoredMatchN"
+    hits.createOrReplaceTempView(view)
+
+    val out = new StringBuilder
+    var i = 0
+    while (i < sig.length) {
+      if (i == ki) { out.append("TRUE "); i = close + 1 }
+      else {
+        val t = sig(i)
+        if (t.kind == Dialect.K.Word && t.is("_score"))
+          out.append(s"$view.graft_knn_sim ")
+        else out.append(t.text).append(' ')
+        if (i == insertAt)
+          out.append(s"JOIN $view ON $rel.$pk = $view.graft_knn_id ")
+        i += 1
+      }
+    }
+    Some(out.toString.trim)
+  }
+
   /** MATCH through declared fulltext indexes (reference MatchPredicate
     * resolves each target's index analyzer, `lucene/match/MatchQueries.java`;
     * a named composite index — `INDEX ft USING FULLTEXT (a, b)` — is
@@ -1161,6 +1427,7 @@ class StatementRouter(spark: SparkSession, root: String) {
         .map(_.getPath.getName)
         .filter(n => words.contains(n.toLowerCase))
         .flatMap(n => VersionedTable.indexSpecs(spark, tablePath(n)))
+        .filterNot(_.analyzer.startsWith("vector:"))
         .map(s => s.name.toLowerCase -> s)
         .toMap
     }
@@ -1269,8 +1536,13 @@ class StatementRouter(spark: SparkSession, root: String) {
     // declared fulltext indexes re-render as table-level INDEX clauses,
     // like the reference's MetadataToASTVisitor
     val ftIndexes = VersionedTable.indexSpecs(spark, tablePath(name)).map { ix =>
-      s"   INDEX ${ix.name} USING FULLTEXT (${ix.cols.mkString(", ")}) " +
-        s"WITH (analyzer = '${ix.analyzer}')"
+      if (ix.analyzer.startsWith("vector:")) {
+        val ps = ix.analyzer.split(":")
+        s"   INDEX ${ix.name} USING VECTOR (${ix.cols.mkString(", ")}) " +
+          s"WITH (centroids = ${ps(1)}, nprobe = ${ps(2)})"
+      } else
+        s"   INDEX ${ix.name} USING FULLTEXT (${ix.cols.mkString(", ")}) " +
+          s"WITH (analyzer = '${ix.analyzer}')"
     }
     // named/table-level CHECK constraints (auto col-checks rendered inline)
     val tableChecks = cspec.map(_.checks).getOrElse(Nil)
@@ -1417,8 +1689,23 @@ class StatementRouter(spark: SparkSession, root: String) {
     val total = row.getLong(aggCols.length - 1)
     // one stacked pass for every column's most-common values (the
     // reference's MostCommonValuesSketch): (column, value) counts, top 10
-    // by (count desc, value asc) — a single narrow shuffle for ALL columns
-    val stacked = df.select(explode(array(fields.map(f =>
+    // by (count desc, value asc) — a single narrow shuffle for ALL
+    // columns. Like the reference's sketch-on-ReservoirSampler
+    // (TableStatsService), the pass runs on a bounded sample — the
+    // stacked explode is table-bytes × column-count, so at 100 TB the
+    // unsampled shuffle would make ANALYZE the most expensive statement
+    // in the engine. Frequencies scale by the sampled count; tables at
+    // or under the cap are read whole, so small-table MCVs stay exact.
+    val mcvSampleCap =
+      spark.conf.get("graft.analyze.mcv_sample_cap", "100000").toLong
+    val (sampleDf, sampleTotal) =
+      if (total > mcvSampleCap) {
+        // deterministic seed: repeated ANALYZE yields identical stats
+        val s = df.sample(withReplacement = false,
+          mcvSampleCap.toDouble / total, seed = 42L)
+        val sc = s.cache(); (sc, sc.count())
+      } else (df, total)
+    val stacked = sampleDf.select(explode(array(fields.map(f =>
         struct(lit(f.name).as("c"), col(f.name).cast("string").as("v"))): _*)))
       .select(col("col.c").as("c"), col("col.v").as("v"))
       .filter(col("v").isNotNull)
@@ -1444,9 +1731,11 @@ class StatementRouter(spark: SparkSession, root: String) {
           if (total > 0) (nulls.toDouble / total).toFloat else 0f,
           math.round(width).toInt, distinct.toFloat,
           top.map(_._1),
-          top.map(t => if (total > 0) (t._2.toDouble / total).toFloat else 0f),
+          top.map(t =>
+            if (sampleTotal > 0) (t._2.toDouble / sampleTotal).toFloat else 0f),
           hist))
     }
+    if (sampleDf ne df) sampleDf.unpersist()
   }
 
   /** `KILL ALL | KILL '<job-group>' | KILL <spark-job-id>` — cancel running
@@ -1927,7 +2216,8 @@ class StatementRouter(spark: SparkSession, root: String) {
     val ftIndexes = parseFulltextIndexes(Dialect.lex(stmt).filter(_.sig))
     if (ftIndexes.nonEmpty) {
       ftIndexes.foreach(ix => require(
-        graft.operators.MatchText.Analyzer.exists(ix.analyzer),
+        ix.analyzer.startsWith("vector:") ||
+          graft.operators.MatchText.Analyzer.exists(ix.analyzer),
         s"unknown analyzer: ${ix.analyzer}"))
       VersionedTable.setIndexSpecs(spark, tablePath(name), ftIndexes)
     }
@@ -2234,7 +2524,36 @@ class StatementRouter(spark: SparkSession, root: String) {
       val ix = d.indexWhere(_.is("index"))
       def usingFulltext(k: Int) =
         d.lift(k).exists(_.is("using")) && d.lift(k + 1).exists(_.is("fulltext"))
-      if (ix == 0 && usingFulltext(2)) {
+      def usingVector(k: Int) =
+        d.lift(k).exists(_.is("using")) && d.lift(k + 1).exists(_.is("vector"))
+      if (ix == 0 && usingVector(2)) {
+        // INDEX name USING VECTOR (col) [WITH (centroids = N, nprobe = M)]
+        // — graft's declared ANN index (the reference attaches an HNSW
+        // index to every FLOAT_VECTOR column implicitly; an explicit
+        // clause fits the table-level INDEX grammar and keeps build cost
+        // opt-in). Parameters ride the analyzer slot as
+        // "vector:<centroids>:<nprobe>"; centroids=0 → auto-scale.
+        val po = d.indexWhere(_.isSym("("), 4)
+        if (po < 0) None
+        else {
+          val pc = matchFwd(d, po)
+          val cols = splitTopCommas(d.slice(po + 1, pc)).map(p => unq(p.head))
+          def opt(name: String, dflt: Int): Int = {
+            val wi = d.indexWhere(_.is("with"), pc)
+            if (wi >= 0 && d.lift(wi + 1).exists(_.isSym("("))) {
+              val c = matchFwd(d, wi + 1)
+              val body = d.slice(wi + 2, c)
+              val ni = body.indexWhere(_.is(name))
+              if (ni >= 0 && body.lift(ni + 1).exists(_.isSym("=")) &&
+                  ni + 2 < body.length)
+                unq(body(ni + 2)).toIntOption.getOrElse(dflt)
+              else dflt
+            } else dflt
+          }
+          Some(VersionedTable.IndexSpec(unq(d(1)), cols,
+            s"vector:${opt("centroids", 0)}:${opt("nprobe", 4)}"))
+        }
+      } else if (ix == 0 && usingFulltext(2)) {
         // INDEX name USING FULLTEXT (cols) [WITH (...)]
         val po = d.indexWhere(_.isSym("("), 4)
         if (po < 0) None
@@ -2346,16 +2665,37 @@ class StatementRouter(spark: SparkSession, root: String) {
       case _ => throw new IllegalArgumentException(
         "CREATE FUNCTION needs AS '<function body>'")
     }
-    val tr = graft.functions.JsUdf.translate(body)
-    require(tr.params.length == argTypes.length,
-      s"JS function has ${tr.params.length} parameters but the declaration " +
-        s"has ${argTypes.length} argument types")
+    // translatable subset → codegen'd SQL expression; anything else falls
+    // back to the step-bounded interpreter (JsInterp — reference
+    // JavaScriptLanguage.java:28 runs arbitrary JS on GraalVM; the
+    // interpreter covers while-loops, data-dependent bounds, break/
+    // continue, array mutation, JS-faithful .replace) registered as a
+    // scalar UDF of the declared return type. Parse errors in BOTH paths
+    // stay loud.
+    val translated =
+      try Left(graft.functions.JsUdf.translate(body))
+      catch {
+        case _: UnsupportedOperationException =>
+          Right(graft.functions.JsInterp.compile(body))
+      }
     val exists = spark.catalog.functionExists(fname)
     require(orReplace || !exists, s"function $fname already exists")
-    val paramDdl = tr.params.zip(argTypes)
-      .map { case (p, t) => s"`$p` $t" }.mkString(", ")
-    spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION `$fname`($paramDdl) " +
-      s"RETURNS $retType RETURN ${tr.sql}")
+    translated match {
+      case Left(tr) =>
+        require(tr.params.length == argTypes.length,
+          s"JS function has ${tr.params.length} parameters but the declaration " +
+            s"has ${argTypes.length} argument types")
+        val paramDdl = tr.params.zip(argTypes)
+          .map { case (p, t) => s"`$p` $t" }.mkString(", ")
+        spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION `$fname`($paramDdl) " +
+          s"RETURNS $retType RETURN ${tr.sql}")
+      case Right(cj) =>
+        require(cj.params.length == argTypes.length,
+          s"JS function has ${cj.params.length} parameters but the declaration " +
+            s"has ${argTypes.length} argument types")
+        graft.functions.JsInterp.register(spark, fname, cj,
+          org.apache.spark.sql.types.DataType.fromDDL(retType))
+    }
     summary(1L)
   }
 
@@ -2497,7 +2837,12 @@ class StatementRouter(spark: SparkSession, root: String) {
           require(Seq("SCHEMA", "TABLE", "VIEW").contains(sec),
             s"ON expects SCHEMA, TABLE or VIEW, got $sec")
           val ids = splitTopCommas(head.slice(onIdx + 2, head.length)).map { v =>
-            val raw = v.filterNot(_.isSym(".")).map(unq).mkString(".")
+            // the qualifier rewrite may have folded `s.t` to the internal
+            // `s__t` before this parser ran — unfold so grants store the
+            // same `schema.table` ident enforcement checks against
+            val raw0 = v.filterNot(_.isSym(".")).map(unq).mkString(".")
+            val raw = if (sec != "SCHEMA" && !raw0.contains('.') && raw0.contains("__"))
+              raw0.replaceFirst("__", ".") else raw0
             // TABLE/VIEW idents are stored fully qualified; bare names
             // resolve in the current (doc) schema (grant.rst Parameters)
             Some(if (sec != "SCHEMA" && !raw.contains('.')) s"doc.$raw" else raw)
@@ -2537,7 +2882,9 @@ class StatementRouter(spark: SparkSession, root: String) {
         else {
           val sec = head(onIdx + 1).text.toUpperCase
           val ids = splitTopCommas(head.slice(onIdx + 2, head.length)).map { v =>
-            val raw = v.filterNot(_.isSym(".")).map(unq).mkString(".")
+            val raw0 = v.filterNot(_.isSym(".")).map(unq).mkString(".")
+            val raw = if (sec != "SCHEMA" && !raw0.contains('.') && raw0.contains("__"))
+              raw0.replaceFirst("__", ".") else raw0
             Some(if (sec != "SCHEMA" && !raw.contains('.')) s"doc.$raw" else raw)
           }
           (sec, ids)
@@ -3266,4 +3613,8 @@ class StatementRouter(spark: SparkSession, root: String) {
 object StatementRouter {
   /** Monotonic id for per-statement Spark job groups (`KILL` targets). */
   private[graft] val jobSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  /** How the last knn_match stored-index resolution happened —
+    * "loaded" | "delta" | "full"; spec-observability only. */
+  private[graft] val lastVecIndexBuild =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
 }

@@ -444,16 +444,25 @@ object GraftFunctions {
             (p == "DQL" && Seq("pg_catalog", "information_schema").contains(sch)) ||
               R.hasPrivilege(u, p, "SCHEMA", Some(sch))),
           csv(Map("create" -> "DDL", "usage" -> "DQL")))
-        // CONNECT→always, TEMP→never, CREATE→any DDL at schema/cluster
-        // (HasDatabasePrivilegeFunction:81-107)
+        // CONNECT→always, TEMP→never, CREATE→any DDL at schema/cluster.
+        // Sequenced like the reference's checkPrivileges loop
+        // (HasDatabasePrivilegeFunction:81-107): CONNECT returns true
+        // immediately; otherwise each listed permission overwrites the
+        // running result, so 'temp,create' = hasCreate, 'create,temp' =
+        // false.
         privFn("has_database_privilege")(
-          (u, _, perms) =>
-            perms.contains("CONNECT") || (
-              !perms.contains("TEMP") &&
-                perms.contains("CREATE") && R.allPrivileges.exists(p =>
-                  p.state == "GRANT" && p.permission == "DDL" &&
-                    Seq("SCHEMA", "CLUSTER").contains(p.securable) &&
-                    (p.grantee == u || R.parentClosure(u).contains(p.grantee)))),
+          (u, _, perms) => {
+            def hasCreate = R.allPrivileges.exists(p =>
+              p.state == "GRANT" && p.permission == "DDL" &&
+                Seq("SCHEMA", "CLUSTER").contains(p.securable) &&
+                (p.grantee == u || R.parentClosure(u).contains(p.grantee)))
+            if (perms.contains("CONNECT")) true
+            else perms.foldLeft(true) {
+              case (_, "TEMP")   => false
+              case (_, "CREATE") => hasCreate
+              case (r, _)        => r
+            }
+          },
           csv(Map("connect" -> "CONNECT", "create" -> "CREATE",
             "temp" -> "TEMP", "temporary" -> "TEMP")))
         // EXECUTE→DQL on the function's schema; bare names are public

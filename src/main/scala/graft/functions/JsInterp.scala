@@ -1,0 +1,768 @@
+package graft.functions
+
+/** Step-bounded JavaScript interpreter — the FALLBACK executor for
+  * `CREATE FUNCTION … LANGUAGE JAVASCRIPT` bodies outside
+  * [[JsUdf]]'s codegen-translatable subset (reference
+  * `extensions/lang-js/JavaScriptLanguage.java:28` runs arbitrary JS on
+  * GraalVM; graft interprets a practical subset instead of shipping an
+  * engine). The router tries [[JsUdf.translate]] FIRST — translatable
+  * bodies stay codegen'd SQL expressions — and reaches for this
+  * interpreter only when translation throws, so the row path pays
+  * interpretation only for bodies that genuinely need control flow.
+  *
+  * Supported beyond the translator: `while` loops, `for` loops with
+  * arbitrary (data-dependent) bounds, `break`/`continue`, reassignment in
+  * any statement position, array mutation via `.push`, and JS-faithful
+  * `.replace` (first occurrence — the translator rejects it because SQL
+  * `replace` hits all). Numbers are doubles (JS semantics); `+` string-
+  * concatenates when either side is a string; truthiness follows JS
+  * (false/0/''/null → false).
+  *
+  * Every statement step and every loop-back-edge counts against a hard
+  * step budget (default 100 000); exceeding it throws — a runaway
+  * `while (true)` fails loudly instead of hanging an executor core.
+  * `Math.random()`/`Date.now()` are rejected at parse time: UDFs must
+  * stay deterministic or results become irreproducible across retries of
+  * a Spark task (the engine-level invariant; the reference leaves this to
+  * the user).
+  */
+object JsInterp {
+
+  final case class Compiled(name: String, params: Seq[String], body: Vector[St]) {
+    def eval(args: Seq[Any]): Any = JsInterp.run(this, args)
+  }
+
+  // ---------- tokens ----------
+
+  private sealed trait T
+  private case class Num(v: Double) extends T
+  private case class Str(s: String) extends T
+  private case class Id(s: String) extends T
+  private case class Op(s: String) extends T
+
+  private def lex(src: String): Vector[T] = {
+    val out = Vector.newBuilder[T]
+    var i = 0
+    val n = src.length
+    val ops3 = Seq("===", "!==")
+    val ops2 = Seq("==", "!=", "<=", ">=", "&&", "||", "**", "+=", "-=",
+      "*=", "/=", "%=", "++", "--")
+    while (i < n) {
+      val c = src.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '/' && i + 1 < n && src.charAt(i + 1) == '/') {
+        while (i < n && src.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && src.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < n && !(src.charAt(i) == '*' && src.charAt(i + 1) == '/')) i += 1
+        i += 2
+      } else if (c.isDigit || (c == '.' && i + 1 < n && src.charAt(i + 1).isDigit)) {
+        val j = i
+        while (i < n && (src.charAt(i).isDigit || src.charAt(i) == '.' ||
+          src.charAt(i) == 'e' || src.charAt(i) == 'E' ||
+          ((src.charAt(i) == '+' || src.charAt(i) == '-') && i > j &&
+            (src.charAt(i - 1) == 'e' || src.charAt(i - 1) == 'E')))) i += 1
+        out += Num(src.substring(j, i).toDouble)
+      } else if (c == '\'' || c == '"') {
+        val q = c; val sb = new StringBuilder; i += 1
+        while (i < n && src.charAt(i) != q) {
+          if (src.charAt(i) == '\\' && i + 1 < n) {
+            sb.append(src.charAt(i + 1) match {
+              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+              case other => other
+            })
+            i += 2
+          } else { sb.append(src.charAt(i)); i += 1 }
+        }
+        require(i < n, "unterminated string in JS body")
+        i += 1
+        out += Str(sb.toString)
+      } else if (c.isLetter || c == '_' || c == '$') {
+        val j = i
+        while (i < n && (src.charAt(i).isLetterOrDigit || src.charAt(i) == '_' ||
+          src.charAt(i) == '$')) i += 1
+        out += Id(src.substring(j, i))
+      } else {
+        val rem = src.substring(i)
+        ops3.find(rem.startsWith) match {
+          case Some(o) => out += Op(o); i += 3
+          case None => ops2.find(rem.startsWith) match {
+            case Some(o) => out += Op(o); i += 2
+            case None    => out += Op(c.toString); i += 1
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  // ---------- AST ----------
+
+  sealed trait Ex
+  private case class LNum(v: Double) extends Ex
+  private case class LStr(s: String) extends Ex
+  private case class LBool(b: Boolean) extends Ex
+  private case object LNull extends Ex
+  private case class Ref(name: String) extends Ex
+  private case class Un(op: String, e: Ex) extends Ex
+  private case class Bin(op: String, l: Ex, r: Ex) extends Ex
+  private case class Tern(c: Ex, t: Ex, f: Ex) extends Ex
+  private case class ArrL(items: List[Ex]) extends Ex
+  private case class IndexE(target: Ex, idx: Ex) extends Ex
+  private case class Member(target: Ex, name: String) extends Ex
+  private case class MethodCall(target: Ex, name: String, args: List[Ex]) extends Ex
+  private case class MathCall(name: String, args: List[Ex]) extends Ex
+  private case class GlobalCall(name: String, args: List[Ex]) extends Ex
+
+  sealed trait St
+  private case class VarDecl(vars: List[(String, Option[Ex])]) extends St
+  private case class Assign(name: String, op: String, e: Ex) extends St
+  private case class IndexAssign(name: String, idx: Ex, e: Ex) extends St
+  private case class IncDec(name: String, op: String) extends St
+  private case class IfS(c: Ex, t: Vector[St], e: Vector[St]) extends St
+  private case class WhileS(c: Ex, body: Vector[St]) extends St
+  private case class ForS(init: Option[St], cond: Option[Ex],
+                          update: Option[St], body: Vector[St]) extends St
+  private case class ReturnS(e: Option[Ex]) extends St
+  private case object BreakS extends St
+  private case object ContinueS extends St
+  private case class ExprS(e: Ex) extends St
+
+  // ---------- parser (recursive descent) ----------
+
+  private class P(ts: Vector[T]) {
+    var i = 0
+    def peek: Option[T] = ts.lift(i)
+    def la(k: Int): Option[T] = ts.lift(i + k)
+    def eatOp(s: String): Unit = peek match {
+      case Some(Op(o)) if o == s => i += 1
+      case other => fail(s"expected '$s', found $other")
+    }
+    def isOp(s: String): Boolean = peek.contains(Op(s))
+    def eatId(): String = peek match {
+      case Some(Id(s)) => i += 1; s
+      case other       => fail(s"expected identifier, found $other")
+    }
+    def fail(msg: String): Nothing =
+      throw new UnsupportedOperationException(s"JS parse: $msg")
+
+    def parseFunction(): Compiled = {
+      peek match {
+        case Some(Id("function")) => i += 1
+        case _ => fail("body must start with `function`")
+      }
+      val name = eatId()
+      eatOp("(")
+      val params = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (!isOp(")")) {
+        params += eatId()
+        if (isOp(",")) i += 1
+      }
+      eatOp(")")
+      val body = parseBlock()
+      require(i == ts.length,
+        "JS parse: trailing tokens after the function body")
+      Compiled(name, params.toSeq, body)
+    }
+
+    def parseBlock(): Vector[St] = {
+      eatOp("{")
+      val out = Vector.newBuilder[St]
+      while (!isOp("}")) out += parseStatement()
+      eatOp("}")
+      out.result()
+    }
+
+    def blockOrSingle(): Vector[St] =
+      if (isOp("{")) parseBlock() else Vector(parseStatement())
+
+    def parseStatement(): St = {
+      val st = peek match {
+        case Some(Id("var")) | Some(Id("let")) | Some(Id("const")) =>
+          i += 1
+          val vars = scala.collection.mutable.ArrayBuffer.empty[(String, Option[Ex])]
+          var more = true
+          while (more) {
+            val n = eatId()
+            val init = if (isOp("=")) { i += 1; Some(parseExpr()) } else None
+            vars += ((n, init))
+            if (isOp(",")) i += 1 else more = false
+          }
+          VarDecl(vars.toList)
+        case Some(Id("return")) =>
+          i += 1
+          if (isOp(";") || isOp("}")) ReturnS(None) else ReturnS(Some(parseExpr()))
+        case Some(Id("break"))    => i += 1; BreakS
+        case Some(Id("continue")) => i += 1; ContinueS
+        case Some(Id("if")) =>
+          i += 1; eatOp("("); val c = parseExpr(); eatOp(")")
+          val t = blockOrSingle()
+          val e = if (peek.contains(Id("else"))) { i += 1; blockOrSingle() }
+                  else Vector.empty[St]
+          IfS(c, t, e)
+        case Some(Id("while")) =>
+          i += 1; eatOp("("); val c = parseExpr(); eatOp(")")
+          WhileS(c, blockOrSingle())
+        case Some(Id("for")) =>
+          i += 1; eatOp("(")
+          val init = if (isOp(";")) None else Some(parseSimpleStatement())
+          // a `var` init delegates to parseStatement, which already ate
+          // its trailing ';' — tolerate either state
+          if (isOp(";")) i += 1
+          val cond = if (isOp(";")) None else Some(parseExpr())
+          eatOp(";")
+          val upd = if (isOp(")")) None else Some(parseSimpleStatement())
+          eatOp(")")
+          ForS(init, cond, upd, blockOrSingle())
+        case _ => parseSimpleStatement()
+      }
+      if (isOp(";")) i += 1
+      st
+    }
+
+    /** assignment / inc-dec / expression statement (no keywords). */
+    def parseSimpleStatement(): St = (peek, la(1)) match {
+      case (Some(Id("var")), _) | (Some(Id("let")), _) | (Some(Id("const")), _) =>
+        parseStatement()
+      case (Some(Id(n)), Some(Op(op)))
+          if Seq("=", "+=", "-=", "*=", "/=", "%=").contains(op) =>
+        i += 2; Assign(n, op, parseExpr())
+      case (Some(Id(n)), Some(Op(op))) if op == "++" || op == "--" =>
+        i += 2; IncDec(n, op)
+      case (Some(Id(n)), Some(Op("["))) =>
+        // a[i] = e  — or just an expression starting with an index read
+        val save = i
+        i += 2
+        val idx = parseExpr()
+        if (isOp("]") && la(1).contains(Op("="))) {
+          eatOp("]"); eatOp("=")
+          IndexAssign(n, idx, parseExpr())
+        } else { i = save; ExprS(parseExpr()) }
+      case _ => ExprS(parseExpr())
+    }
+
+    def parseExpr(): Ex = parseTernary()
+
+    def parseTernary(): Ex = {
+      val c = parseOr()
+      if (isOp("?")) {
+        i += 1; val t = parseExpr(); eatOp(":"); val f = parseExpr()
+        Tern(c, t, f)
+      } else c
+    }
+    def parseOr(): Ex = {
+      var l = parseAnd()
+      while (isOp("||")) { i += 1; l = Bin("||", l, parseAnd()) }
+      l
+    }
+    def parseAnd(): Ex = {
+      var l = parseCmp()
+      while (isOp("&&")) { i += 1; l = Bin("&&", l, parseCmp()) }
+      l
+    }
+    def parseCmp(): Ex = {
+      var l = parseAdd()
+      var more = true
+      while (more) peek match {
+        case Some(Op(o)) if Seq("==", "===", "!=", "!==", "<", "<=", ">", ">=").contains(o) =>
+          i += 1; l = Bin(o, l, parseAdd())
+        case _ => more = false
+      }
+      l
+    }
+    def parseAdd(): Ex = {
+      var l = parseMul()
+      var more = true
+      while (more) peek match {
+        case Some(Op(o)) if o == "+" || o == "-" => i += 1; l = Bin(o, l, parseMul())
+        case _ => more = false
+      }
+      l
+    }
+    def parseMul(): Ex = {
+      var l = parsePow()
+      var more = true
+      while (more) peek match {
+        case Some(Op(o)) if o == "*" || o == "/" || o == "%" =>
+          i += 1; l = Bin(o, l, parsePow())
+        case _ => more = false
+      }
+      l
+    }
+    def parsePow(): Ex = {
+      val l = parseUnary()
+      if (isOp("**")) { i += 1; Bin("**", l, parsePow()) } else l
+    }
+    def parseUnary(): Ex = peek match {
+      case Some(Op("-")) => i += 1; Un("-", parseUnary())
+      case Some(Op("+")) => i += 1; parseUnary()
+      case Some(Op("!")) => i += 1; Un("!", parseUnary())
+      case _             => parsePostfix()
+    }
+
+    def parsePostfix(): Ex = {
+      var e = parseAtom()
+      var more = true
+      while (more) peek match {
+        case Some(Op("[")) =>
+          i += 1; val idx = parseExpr(); eatOp("]"); e = IndexE(e, idx)
+        case Some(Op(".")) =>
+          i += 1
+          val m = eatId()
+          if (isOp("(")) {
+            i += 1
+            val args = scala.collection.mutable.ListBuffer.empty[Ex]
+            while (!isOp(")")) { args += parseExpr(); if (isOp(",")) i += 1 }
+            eatOp(")")
+            e match {
+              case Ref("Math") =>
+                if (m == "random")
+                  fail("Math.random is non-deterministic — not allowed in UDFs")
+                e = MathCall(m, args.toList)
+              case Ref("Date") =>
+                fail("Date.* is non-deterministic — not allowed in UDFs")
+              case _ => e = MethodCall(e, m, args.toList)
+            }
+          } else e match {
+            case Ref("Math") => e = MathCall(m, Nil) // Math.PI / Math.E
+            case _           => e = Member(e, m)
+          }
+        case _ => more = false
+      }
+      e
+    }
+
+    def parseAtom(): Ex = peek match {
+      case Some(Num(v))         => i += 1; LNum(v)
+      case Some(Str(s))         => i += 1; LStr(s)
+      case Some(Id("true"))     => i += 1; LBool(true)
+      case Some(Id("false"))    => i += 1; LBool(false)
+      case Some(Id("null")) | Some(Id("undefined")) => i += 1; LNull
+      case Some(Id(n)) if la(1).contains(Op("(")) &&
+          Seq("Number", "String", "Boolean", "parseInt", "parseFloat",
+            "isNaN", "isFinite").contains(n) =>
+        i += 2
+        val args = scala.collection.mutable.ListBuffer.empty[Ex]
+        while (!isOp(")")) { args += parseExpr(); if (isOp(",")) i += 1 }
+        eatOp(")")
+        GlobalCall(n, args.toList)
+      case Some(Id(n)) => i += 1; Ref(n)
+      case Some(Op("(")) =>
+        i += 1; val e = parseExpr(); eatOp(")"); e
+      case Some(Op("[")) =>
+        i += 1
+        val items = scala.collection.mutable.ListBuffer.empty[Ex]
+        while (!isOp("]")) { items += parseExpr(); if (isOp(",")) i += 1 }
+        eatOp("]")
+        ArrL(items.toList)
+      case other => fail(s"unexpected token $other")
+    }
+  }
+
+  def compile(src: String): Compiled = new P(lex(src)).parseFunction()
+
+  // ---------- evaluator ----------
+
+  val DefaultStepBudget = 100000
+
+  private case class ReturnEx(v: Any) extends RuntimeException { override def fillInStackTrace(): Throwable = this }
+  private case object BreakEx extends RuntimeException { override def fillInStackTrace(): Throwable = this }
+  private case object ContinueEx extends RuntimeException { override def fillInStackTrace(): Throwable = this }
+
+  private def truthy(v: Any): Boolean = v match {
+    case null         => false
+    case b: Boolean   => b
+    case d: Double    => d != 0.0 && !d.isNaN
+    case s: String    => s.nonEmpty
+    case _            => true
+  }
+  private def toNum(v: Any): Double = v match {
+    case null       => 0.0
+    case d: Double  => d
+    case b: Boolean => if (b) 1.0 else 0.0
+    case s: String  => try s.trim.toDouble catch { case _: Exception => Double.NaN }
+    case _          => Double.NaN
+  }
+  private def toStr(v: Any): String = v match {
+    case null      => "null"
+    case d: Double => if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
+    case b: Boolean => b.toString
+    case s: String => s
+    case a: scala.collection.mutable.ArrayBuffer[_] => a.map(toStr).mkString(",")
+    case other     => other.toString
+  }
+
+  private def run(c: Compiled, args: Seq[Any]): Any = {
+    val env = scala.collection.mutable.HashMap.empty[String, Any]
+    c.params.zipWithIndex.foreach { case (p, ix) =>
+      env(p) = normalize(args.lift(ix).orNull)
+    }
+    var steps = 0
+    def tick(): Unit = {
+      steps += 1
+      if (steps > DefaultStepBudget)
+        throw new IllegalStateException(
+          s"JS UDF '${c.name}' exceeded the $DefaultStepBudget-step budget " +
+            "(runaway loop?)")
+    }
+
+    def evalSt(s: St): Unit = { tick(); s match {
+      case VarDecl(vs) => vs.foreach { case (n, e) => env(n) = e.map(eval).orNull }
+      case Assign(n, op, e) =>
+        val v = eval(e)
+        env(n) = op match {
+          case "="  => v
+          case "+=" => plus(env.getOrElse(n, null), v)
+          case "-=" => toNum(env.getOrElse(n, null)) - toNum(v)
+          case "*=" => toNum(env.getOrElse(n, null)) * toNum(v)
+          case "/=" => toNum(env.getOrElse(n, null)) / toNum(v)
+          case "%=" => toNum(env.getOrElse(n, null)) % toNum(v)
+        }
+      case IndexAssign(n, idx, e) =>
+        env.getOrElse(n, null) match {
+          case a: scala.collection.mutable.ArrayBuffer[Any] @unchecked =>
+            val ix = toNum(eval(idx)).toInt
+            while (a.length <= ix) a += null
+            a(ix) = eval(e)
+          case other => throw new IllegalStateException(
+            s"cannot index-assign into ${Option(other).map(_.getClass.getSimpleName).getOrElse("null")}")
+        }
+      case IncDec(n, op) =>
+        env(n) = toNum(env.getOrElse(n, null)) + (if (op == "++") 1.0 else -1.0)
+      case IfS(cd, t, e) => if (truthy(eval(cd))) t.foreach(evalSt) else e.foreach(evalSt)
+      case WhileS(cd, body) =>
+        // break unwinds to THIS loop (the try sits on the loop itself, so
+        // nested loops each catch their own break)
+        try {
+          while (truthy(eval(cd))) {
+            tick()
+            try body.foreach(evalSt)
+            catch { case ContinueEx => () }
+          }
+        } catch { case BreakEx => () }
+      case ForS(init, cond, upd, body) =>
+        init.foreach(evalSt)
+        try {
+          while (cond.forall(e => truthy(eval(e)))) {
+            tick()
+            try body.foreach(evalSt)
+            catch { case ContinueEx => () }
+            upd.foreach(evalSt)
+          }
+        } catch { case BreakEx => () }
+      case ReturnS(e) => throw ReturnEx(e.map(eval).orNull)
+      case BreakS     => throw BreakEx
+      case ContinueS  => throw ContinueEx
+      case ExprS(e)   => eval(e)
+    }}
+
+    def plus(l: Any, r: Any): Any = (l, r) match {
+      case (s: String, _) => s + toStr(r)
+      case (_, s: String) => toStr(l) + s
+      case _              => toNum(l) + toNum(r)
+    }
+
+    def eval(e: Ex): Any = { tick(); e match {
+      case LNum(v)  => v
+      case LStr(s)  => s
+      case LBool(b) => b
+      case LNull    => null
+      case Ref(n)   => env.getOrElse(n,
+        throw new IllegalStateException(s"undefined variable '$n' in JS UDF"))
+      case Un("-", x) => -toNum(eval(x))
+      case Un("!", x) => !truthy(eval(x))
+      case Un(op, _)  => throw new IllegalStateException(s"unary $op")
+      case Bin("&&", l, r) => val lv = eval(l); if (!truthy(lv)) lv else eval(r)
+      case Bin("||", l, r) => val lv = eval(l); if (truthy(lv)) lv else eval(r)
+      case Bin(op, l, r) =>
+        val lv = eval(l); val rv = eval(r)
+        op match {
+          case "+"  => plus(lv, rv)
+          case "-"  => toNum(lv) - toNum(rv)
+          case "*"  => toNum(lv) * toNum(rv)
+          case "/"  => toNum(lv) / toNum(rv)
+          case "%"  => toNum(lv) % toNum(rv)
+          case "**" => math.pow(toNum(lv), toNum(rv))
+          case "==" | "===" => jsEq(lv, rv)
+          case "!=" | "!==" => !jsEq(lv, rv)
+          case "<"  => cmp(lv, rv) < 0
+          case "<=" => cmp(lv, rv) <= 0
+          case ">"  => cmp(lv, rv) > 0
+          case ">=" => cmp(lv, rv) >= 0
+        }
+      case Tern(cd, t, f) => if (truthy(eval(cd))) eval(t) else eval(f)
+      case ArrL(items) =>
+        scala.collection.mutable.ArrayBuffer[Any](items.map(eval): _*)
+      case IndexE(t, ix) => eval(t) match {
+        case a: scala.collection.mutable.ArrayBuffer[Any] @unchecked =>
+          a.lift(toNum(eval(ix)).toInt).orNull
+        case s: String =>
+          val k = toNum(eval(ix)).toInt
+          if (k >= 0 && k < s.length) s.charAt(k).toString else null
+        case _ => null
+      }
+      case Member(t, "length") => eval(t) match {
+        case s: String => s.length.toDouble
+        case a: scala.collection.mutable.ArrayBuffer[_] => a.length.toDouble
+        case _ => null
+      }
+      case Member(_, m) =>
+        throw new IllegalStateException(s"unsupported property '.$m'")
+      case MathCall(name, args) => mathCall(name, args.map(a => toNum(eval(a))))
+      case GlobalCall(name, args) =>
+        val vs = args.map(eval)
+        name match {
+          case "Number"     => toNum(vs.headOption.orNull)
+          case "String"     => toStr(vs.headOption.orNull)
+          case "Boolean"    => truthy(vs.headOption.orNull)
+          case "parseInt"   =>
+            val s = toStr(vs.headOption.orNull).trim
+            val digits = s.takeWhile(ch => ch.isDigit || ch == '-' || ch == '+')
+            try digits.toLong.toDouble catch { case _: Exception => Double.NaN }
+          case "parseFloat" => toNum(vs.headOption.orNull)
+          case "isNaN"      => toNum(vs.headOption.orNull).isNaN
+          case "isFinite"   => !toNum(vs.headOption.orNull).isInfinite &&
+                               !toNum(vs.headOption.orNull).isNaN
+        }
+      case MethodCall(t, m, args) =>
+        val tv = eval(t)
+        val avs = args.map(eval)
+        (tv, m) match {
+          case (s: String, _)  => stringMethod(s, m, avs)
+          case (a: scala.collection.mutable.ArrayBuffer[Any] @unchecked, _) =>
+            arrayMethod(a, m, avs)
+          case (d: Double, "toString") => toStr(d)
+          case (d: Double, "toFixed") =>
+            val k = avs.headOption.map(toNum(_).toInt).getOrElse(0)
+            String.format(s"%.${k}f", Double.box(d))
+          case _ => throw new IllegalStateException(
+            s"unsupported method .$m on ${Option(tv).map(_.getClass.getSimpleName).getOrElse("null")}")
+        }
+    }}
+
+    def jsEq(l: Any, r: Any): Boolean = (l, r) match {
+      case (null, null) => true
+      case (null, _) | (_, null) => false
+      case (a: Double, b: Double) => a == b
+      case (a: String, b: String) => a == b
+      case (a: Boolean, b: Boolean) => a == b
+      case _ => toStr(l) == toStr(r)
+    }
+    def cmp(l: Any, r: Any): Int = (l, r) match {
+      case (a: String, b: String) => a.compareTo(b)
+      case _ =>
+        val (a, b) = (toNum(l), toNum(r))
+        java.lang.Double.compare(a, b)
+    }
+
+    def mathCall(name: String, xs: List[Double]): Any = name match {
+      case "PI"    => math.Pi
+      case "E"     => math.E
+      case "abs"   => math.abs(xs.head)
+      case "floor" => math.floor(xs.head)
+      case "ceil"  => math.ceil(xs.head)
+      case "round" => math.floor(xs.head + 0.5) // JS rounds half-up toward +∞
+      case "trunc" => xs.head.toLong.toDouble
+      case "sign"  => math.signum(xs.head)
+      case "sqrt"  => math.sqrt(xs.head)
+      case "cbrt"  => math.cbrt(xs.head)
+      case "exp"   => math.exp(xs.head)
+      case "log"   => math.log(xs.head)
+      case "log2"  => math.log(xs.head) / math.log(2.0)
+      case "log10" => math.log10(xs.head)
+      case "pow"   => math.pow(xs.head, xs(1))
+      case "min"   => xs.min
+      case "max"   => xs.max
+      case "hypot" => math.hypot(xs.head, xs(1))
+      case "sin"   => math.sin(xs.head)
+      case "cos"   => math.cos(xs.head)
+      case "tan"   => math.tan(xs.head)
+      case "atan"  => math.atan(xs.head)
+      case "atan2" => math.atan2(xs.head, xs(1))
+      case "asin"  => math.asin(xs.head)
+      case "acos"  => math.acos(xs.head)
+      case other   => throw new IllegalStateException(s"unsupported Math.$other")
+    }
+
+    def stringMethod(s: String, m: String, a: List[Any]): Any = m match {
+      case "length"      => s.length.toDouble // via member normally
+      case "toLowerCase" => s.toLowerCase
+      case "toUpperCase" => s.toUpperCase
+      case "trim"        => s.trim
+      case "trimStart"   => s.replaceAll("^\\s+", "")
+      case "trimEnd"     => s.replaceAll("\\s+$", "")
+      case "charAt" =>
+        val k = toNum(a.head).toInt
+        if (k >= 0 && k < s.length) s.charAt(k).toString else ""
+      case "charCodeAt" =>
+        val k = toNum(a.head).toInt
+        if (k >= 0 && k < s.length) s.charAt(k).toDouble else Double.NaN
+      case "substring" =>
+        val from = math.max(0, math.min(s.length, toNum(a.head).toInt))
+        val to = a.lift(1).map(x => math.max(0, math.min(s.length, toNum(x).toInt)))
+          .getOrElse(s.length)
+        s.substring(math.min(from, to), math.max(from, to))
+      case "slice" =>
+        def norm(k: Int) = if (k < 0) math.max(0, s.length + k) else math.min(k, s.length)
+        val from = norm(toNum(a.head).toInt)
+        val to = a.lift(1).map(x => norm(toNum(x).toInt)).getOrElse(s.length)
+        if (from >= to) "" else s.substring(from, to)
+      case "indexOf"    => s.indexOf(toStr(a.head)).toDouble
+      case "lastIndexOf"=> s.lastIndexOf(toStr(a.head)).toDouble
+      case "includes"   => s.contains(toStr(a.head))
+      case "startsWith" => s.startsWith(toStr(a.head))
+      case "endsWith"   => s.endsWith(toStr(a.head))
+      case "repeat"     => s * toNum(a.head).toInt
+      case "padStart"   =>
+        val w = toNum(a.head).toInt
+        val p = a.lift(1).map(toStr).getOrElse(" ")
+        if (s.length >= w || p.isEmpty) s
+        else (p * ((w - s.length) / p.length + 1)).take(w - s.length) + s
+      case "padEnd" =>
+        val w = toNum(a.head).toInt
+        val p = a.lift(1).map(toStr).getOrElse(" ")
+        if (s.length >= w || p.isEmpty) s
+        else s + (p * ((w - s.length) / p.length + 1)).take(w - s.length)
+      case "replace" => // JS: first occurrence only (literal)
+        val find = toStr(a.head)
+        val ix = s.indexOf(find)
+        if (ix < 0 || find.isEmpty) s
+        else s.substring(0, ix) + toStr(a(1)) + s.substring(ix + find.length)
+      case "replaceAll" =>
+        val find = toStr(a.head)
+        if (find.isEmpty) s else s.replace(find, toStr(a(1)))
+      case "split" =>
+        val sep = toStr(a.head)
+        val parts: Seq[String] =
+          if (sep.isEmpty) s.map(_.toString)
+          else {
+            // literal split, JS semantics (keep empty fields)
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var rest = s
+            var ix = rest.indexOf(sep)
+            while (ix >= 0) {
+              out += rest.substring(0, ix)
+              rest = rest.substring(ix + sep.length)
+              ix = rest.indexOf(sep)
+            }
+            out += rest
+            out.toSeq
+          }
+        scala.collection.mutable.ArrayBuffer[Any](parts: _*)
+      case "concat"   => s + a.map(toStr).mkString
+      case "toString" => s
+      case other => throw new IllegalStateException(s"unsupported string method .$other")
+    }
+
+    def arrayMethod(arr: scala.collection.mutable.ArrayBuffer[Any], m: String,
+                    a: List[Any]): Any = m match {
+      case "push"     => a.foreach(arr += _); arr.length.toDouble
+      case "pop"      => if (arr.isEmpty) null else arr.remove(arr.length - 1)
+      case "join"     => arr.map(toStr).mkString(a.headOption.map(toStr).getOrElse(","))
+      case "indexOf"  => arr.indexWhere(v => jsEq(v, a.head)).toDouble
+      case "includes" => arr.exists(v => jsEq(v, a.head))
+      case "slice" =>
+        def norm(k: Int) = if (k < 0) math.max(0, arr.length + k) else math.min(k, arr.length)
+        val from = a.headOption.map(x => norm(toNum(x).toInt)).getOrElse(0)
+        val to = a.lift(1).map(x => norm(toNum(x).toInt)).getOrElse(arr.length)
+        scala.collection.mutable.ArrayBuffer[Any](arr.slice(from, to).toSeq: _*)
+      case "concat" =>
+        val out = scala.collection.mutable.ArrayBuffer[Any](arr.toSeq: _*)
+        a.foreach {
+          case more: scala.collection.mutable.ArrayBuffer[Any] @unchecked => out ++= more
+          case one => out += one
+        }
+        out
+      case "reverse" => val r = arr.reverse; arr.clear(); arr ++= r; arr
+      case other => throw new IllegalStateException(s"unsupported array method .$other")
+    }
+
+    try { c.body.foreach(evalSt); null }
+    catch { case ReturnEx(v) => denormalize(v) }
+  }
+
+  // ---------- Spark registration ----------
+
+  /** Registers a compiled body as a session scalar UDF of the declared
+    * return DataType (the Java-UDF interface takes boxed Objects, which
+    * matches the interpreter's dynamic values). */
+  def register(spark: org.apache.spark.sql.SparkSession, name: String,
+               c: Compiled, dt: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.api.java._
+    def out(v: Any): Any = coerce(v, dt)
+    c.params.length match {
+      case 0 => spark.udf.register(name, new UDF0[Any] {
+        override def call(): Any = out(c.eval(Nil)) }, dt)
+      case 1 => spark.udf.register(name, new UDF1[Any, Any] {
+        override def call(a: Any): Any = out(c.eval(Seq(a))) }, dt)
+      case 2 => spark.udf.register(name, new UDF2[Any, Any, Any] {
+        override def call(a: Any, b: Any): Any = out(c.eval(Seq(a, b))) }, dt)
+      case 3 => spark.udf.register(name, new UDF3[Any, Any, Any, Any] {
+        override def call(a: Any, b: Any, x: Any): Any =
+          out(c.eval(Seq(a, b, x))) }, dt)
+      case 4 => spark.udf.register(name, new UDF4[Any, Any, Any, Any, Any] {
+        override def call(a: Any, b: Any, x: Any, y: Any): Any =
+          out(c.eval(Seq(a, b, x, y))) }, dt)
+      case 5 => spark.udf.register(name, new UDF5[Any, Any, Any, Any, Any, Any] {
+        override def call(a: Any, b: Any, x: Any, y: Any, z: Any): Any =
+          out(c.eval(Seq(a, b, x, y, z))) }, dt)
+      case 6 => spark.udf.register(name, new UDF6[Any, Any, Any, Any, Any, Any, Any] {
+        override def call(a: Any, b: Any, x: Any, y: Any, z: Any, w: Any): Any =
+          out(c.eval(Seq(a, b, x, y, z, w))) }, dt)
+      case n => throw new UnsupportedOperationException(
+        s"interpreted JS UDFs support up to 6 arguments, got $n")
+    }
+  }
+
+  /** interpreter value → the declared Spark return type. */
+  private def coerce(v: Any, dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    if (v == null) return null
+    dt match {
+      case LongType    => toNum(v).toLong
+      case IntegerType => toNum(v).toInt
+      case ShortType   => toNum(v).toShort
+      case ByteType    => toNum(v).toByte
+      case DoubleType  => toNum(v)
+      case FloatType   => toNum(v).toFloat
+      case BooleanType => truthy(v)
+      case StringType  => toStr(v)
+      case ArrayType(et, _) =>
+        (v match {
+          case a: scala.collection.mutable.ArrayBuffer[_] => a.toSeq
+          case s: scala.collection.Seq[_] => s.toSeq
+          case one => Seq(one)
+        }).map(x => coerce(x, et))
+      case _: DecimalType => BigDecimal(toNum(v))
+      case _ => v
+    }
+  }
+
+  /** Spark input value → interpreter value (numbers become doubles,
+    * arrays become mutable buffers). */
+  private def normalize(v: Any): Any = v match {
+    case null         => null
+    case d: Double    => d
+    case f: Float     => f.toDouble
+    case l: Long      => l.toDouble
+    case i: Int       => i.toDouble
+    case s: Short     => s.toDouble
+    case b: Byte      => b.toDouble
+    case d: java.math.BigDecimal => d.doubleValue()
+    case d: scala.math.BigDecimal => d.toDouble
+    case b: Boolean   => b
+    case s: String    => s
+    case seq: scala.collection.Seq[_] =>
+      scala.collection.mutable.ArrayBuffer[Any](seq.map(normalize).toSeq: _*)
+    case arr: Array[_] =>
+      scala.collection.mutable.ArrayBuffer[Any](arr.map(normalize).toSeq: _*)
+    case other => other
+  }
+
+  /** interpreter value → plain JVM value for Spark's Row conversion;
+    * the registered UDF's declared DataType does the final cast. */
+  private def denormalize(v: Any): Any = v match {
+    case a: scala.collection.mutable.ArrayBuffer[_] => a.map(denormalize).toSeq
+    case other => other
+  }
+}

@@ -142,6 +142,10 @@ object MatchText {
         case "de" => toks = transform(toks, germanStemCol(_))
         case "fr" => toks = transform(toks, frenchStemCol(_))
         case "es" => toks = transform(toks, spanishStemCol(_))
+        case "it" => toks = transform(toks, italianStemCol(_))
+        case "pt" => toks = transform(toks, portugueseStemCol(_))
+        case "nl" => toks = transform(toks, dutchStemCol(_))
+        case "ru" => toks = transform(toks, russianStemCol(_))
         case _    => ()
       }
       // edge n-grams: every prefix of length min..max per token (the
@@ -184,6 +188,10 @@ object MatchText {
         case "de" => t = t.map(germanStemStr)
         case "fr" => t = t.map(frenchStemStr)
         case "es" => t = t.map(spanishStemStr)
+        case "it" => t = t.map(italianStemStr)
+        case "pt" => t = t.map(portugueseStemStr)
+        case "nl" => t = t.map(dutchStemStr)
+        case "ru" => t = t.map(russianStemStr)
         case _    => ()
       }
       if (edgeNgram._1 > 0) {
@@ -228,7 +236,11 @@ object MatchText {
       // SQL-replayable by design
       "german"  -> Analyzer(stopwords = germanStopwords, minimalStem = "de"),
       "french"  -> Analyzer(stopwords = frenchStopwords, minimalStem = "fr"),
-      "spanish" -> Analyzer(stopwords = spanishStopwords, minimalStem = "es")
+      "spanish" -> Analyzer(stopwords = spanishStopwords, minimalStem = "es"),
+      "italian"    -> Analyzer(stopwords = italianStopwords, minimalStem = "it"),
+      "portuguese" -> Analyzer(stopwords = portugueseStopwords, minimalStem = "pt"),
+      "dutch"      -> Analyzer(stopwords = dutchStopwords, minimalStem = "nl"),
+      "russian"    -> Analyzer(stopwords = russianStopwords, minimalStem = "ru")
     ).foreach { case (n, a) => registry.put(n, a) }
     def register(name: String, a: Analyzer): Unit = registry.put(name.toLowerCase, a)
     def drop(name: String): Unit = registry.remove(name.toLowerCase)
@@ -273,6 +285,36 @@ object MatchText {
     "les", "lo", "los", "más", "me", "mi", "muy", "no", "nos", "o", "para",
     "pero", "por", "que", "se", "ser", "si", "sin", "sobre", "su", "sus",
     "te", "un", "una", "uno", "y", "ya")
+  val italianStopwords: Seq[String] = Seq(
+    "a", "al", "alla", "anche", "che", "chi", "ci", "come", "con", "da",
+    "dal", "degli", "dei", "del", "della", "delle", "di", "e", "è", "gli",
+    "ha", "hanno", "i", "il", "in", "io", "la", "le", "lei", "lo", "loro",
+    "lui", "ma", "mi", "ne", "nel", "noi", "non", "o", "per", "più", "se",
+    "si", "sono", "su", "sul", "ti", "tra", "tu", "un", "una", "uno", "vi",
+    "voi")
+  val portugueseStopwords: Seq[String] = Seq(
+    "a", "ao", "aos", "as", "às", "com", "como", "da", "das", "de", "do",
+    "dos", "e", "é", "ela", "elas", "ele", "eles", "em", "entre", "essa",
+    "esse", "eu", "foi", "há", "isso", "já", "mais", "mas", "me", "mesmo",
+    "muito", "na", "não", "nas", "nem", "no", "nos", "o", "os", "ou",
+    "para", "pela", "pelo", "por", "quando", "que", "quem", "se", "sem",
+    "ser", "seu", "sua", "também", "tem", "um", "uma", "você")
+  val dutchStopwords: Seq[String] = Seq(
+    "aan", "al", "als", "bij", "dan", "dat", "de", "der", "deze", "die",
+    "dit", "door", "een", "en", "er", "geen", "haar", "had", "heb",
+    "hebben", "heeft", "het", "hij", "hoe", "ik", "in", "is", "je", "kan",
+    "maar", "me", "meer", "men", "met", "mijn", "na", "naar", "niet",
+    "nog", "nu", "of", "om", "ook", "op", "over", "te", "tot", "uit",
+    "van", "veel", "voor", "wat", "was", "we", "wie", "zal", "ze", "zich",
+    "zij", "zijn", "zo", "zou")
+  val russianStopwords: Seq[String] = Seq(
+    "а", "бы", "был", "была", "было", "в", "вам", "вас", "во", "вот",
+    "все", "вы", "да", "даже", "для", "до", "его", "ее", "ей", "ему",
+    "если", "есть", "же", "за", "и", "из", "или", "их", "к", "как",
+    "когда", "кто", "ли", "меня", "мне", "мы", "на", "не", "него", "ней",
+    "нет", "ни", "но", "ну", "о", "он", "она", "они", "от", "по", "под",
+    "при", "с", "со", "так", "там", "тебя", "то", "только", "ты", "у",
+    "уже", "что", "чтобы", "это", "этот", "я")
 
   private def dropRight(t: Column, n: Int): Column = t.substr(lit(1), length(t) - n)
   private def stemCol(t: Column): Column =
@@ -333,6 +375,63 @@ object MatchText {
   private def spanishStemStr(s: String): String =
     if (s.length > 4 && s.endsWith("es")) s.dropRight(2)
     else if (s.length > 3 && s.endsWith("s")) s.dropRight(1)
+    else s
+
+  // Round-5 language packs (the reference bundles Lucene's full analyzer
+  // set — docs/general/ddl/fulltext-indices.rst builtin list; same
+  // replayable plural-class stance as de/fr/es above):
+  /** Italian plural classes: -ie → drop 2 (serie-like), -i/-e → drop 1
+    * (the Lucene ItalianLightStemFilter vowel-truncation core). */
+  private def italianStemCol(t: Column): Column =
+    when(length(t) > 4 && t.endsWith("ie"), dropRight(t, 2))
+      .when(length(t) > 3 && (t.endsWith("i") || t.endsWith("e")), dropRight(t, 1))
+      .otherwise(t)
+  private def italianStemStr(s: String): String =
+    if (s.length > 4 && s.endsWith("ie")) s.dropRight(2)
+    else if (s.length > 3 && (s.endsWith("i") || s.endsWith("e"))) s.dropRight(1)
+    else s
+  /** Portuguese plural classes (Lucene PortugueseMinimalStemFilter):
+    * -ões/-ães → -ão, -ais → -al, trailing -s dropped. */
+  private def portugueseStemCol(t: Column): Column =
+    when(length(t) > 5 && (t.endsWith("ões") || t.endsWith("ães")),
+        concat(dropRight(t, 3), lit("ão")))
+      .when(length(t) > 5 && t.endsWith("ais"), concat(dropRight(t, 3), lit("al")))
+      .when(length(t) > 3 && t.endsWith("s"), dropRight(t, 1))
+      .otherwise(t)
+  private def portugueseStemStr(s: String): String =
+    if (s.length > 5 && (s.endsWith("ões") || s.endsWith("ães"))) s.dropRight(3) + "ão"
+    else if (s.length > 5 && s.endsWith("ais")) s.dropRight(3) + "al"
+    else if (s.length > 3 && s.endsWith("s")) s.dropRight(1)
+    else s
+  /** Dutch plural classes: -en → drop 2, -s/-e → drop 1. */
+  private def dutchStemCol(t: Column): Column =
+    when(length(t) > 4 && t.endsWith("en"), dropRight(t, 2))
+      .when(length(t) > 3 && (t.endsWith("s") || t.endsWith("e")), dropRight(t, 1))
+      .otherwise(t)
+  private def dutchStemStr(s: String): String =
+    if (s.length > 4 && s.endsWith("en")) s.dropRight(2)
+    else if (s.length > 3 && (s.endsWith("s") || s.endsWith("e"))) s.dropRight(1)
+    else s
+  /** Russian case/number endings (RussianLightStemFilter core): 3-char
+    * instrumental/genitive plurals, then 2-char case endings, then single
+    * vowels/soft sign. */
+  private val ru3 = Seq("ами", "ями", "ого", "его", "ыми", "ими")
+  private val ru2 = Seq("ов", "ев", "ие", "ые", "ой", "ей", "ах", "ях",
+    "ам", "ям", "ом", "ем", "ть", "ет", "ют", "ла", "ло", "ли")
+  private val ru1 = Seq("а", "я", "ы", "и", "о", "е", "ь", "й", "у", "ю")
+  private def russianStemCol(t: Column): Column = {
+    val c3 = ru3.map(sfx => t.endsWith(sfx)).reduce(_ || _)
+    val c2 = ru2.map(sfx => t.endsWith(sfx)).reduce(_ || _)
+    val c1 = ru1.map(sfx => t.endsWith(sfx)).reduce(_ || _)
+    when(length(t) > 5 && c3, dropRight(t, 3))
+      .when(length(t) > 4 && c2, dropRight(t, 2))
+      .when(length(t) > 3 && c1, dropRight(t, 1))
+      .otherwise(t)
+  }
+  private def russianStemStr(s: String): String =
+    if (s.length > 5 && ru3.exists(s.endsWith)) s.dropRight(3)
+    else if (s.length > 4 && ru2.exists(s.endsWith)) s.dropRight(2)
+    else if (s.length > 3 && ru1.exists(s.endsWith)) s.dropRight(1)
     else s
 
   private def termCol(text: Column): Column = Analyzer.default(text)

@@ -171,10 +171,17 @@ object Similarity {
     * (both in (qid, cid, rk) shape) — the tuning metric for nprobe/centroid
     * counts. */
   def recallAtK(approx: DataFrame, exact: DataFrame): Double = {
-    val hits = approx.select(col("qid"), col("cid"))
-      .intersect(exact.select(col("qid"), col("cid"))).count().toDouble
-    val total = exact.count().toDouble
-    if (total == 0) 1.0 else hits / total
+    // one action: left-join the approx hits onto the exact set and count
+    // total + matched in a single aggregate pass (two separate count()
+    // jobs would scan both sides twice)
+    val row = exact.select(col("qid"), col("cid"))
+      .join(approx.select(col("qid"), col("cid"), lit(1).as("hit")).distinct(),
+        Seq("qid", "cid"), "left")
+      .agg(count(lit(1)).as("total"),
+        sum(coalesce(col("hit"), lit(0))).as("hits"))
+      .head()
+    val total = row.getLong(0).toDouble
+    if (total == 0) 1.0 else row.getLong(1).toDouble / total
   }
 
   /** Approximate top-k: probe the `nprobe` closest centroid buckets only. */
@@ -264,24 +271,32 @@ object Similarity {
                    nprobe: Int = 4, rescoreFactor: Int = 4,
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    qIdCol: String = "vec_id",
-                   qVecCol: String = "embedding"): DataFrame = {
+                   qVecCol: String = "embedding",
+                   metric: String = "cosine"): DataFrame = {
+    // `metric`: "cosine" (default) or "l2" — "l2" ranks by the reference's
+    // vector_similarity = 1/(1+l2²) (Lucene EUCLIDEAN, the float_vector
+    // default), used by the SQL knn_match route so stored-index results
+    // rank identically to the exact Dialect fallback
+    def sim(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      if (metric == "l2") VectorFunctions.vectorSimilarity(a, b)
+      else VectorFunctions.cosineNative(a, b)
     val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qvec"))
     val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("csim", VectorFunctions.cosineNative(col("qvec"), col("centroid")))
+      .withColumn("csim", sim(col("qvec"), col("centroid")))
       .withColumn("crk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("centroid_id"))))
       .filter(col("crk") <= nprobe)
       .select(col("qid"), col("qvec"), col("centroid_id").as("bucket"))
     val survivors = codes.join(broadcast(probes), Seq("bucket"))
       .select(col("qid"), col("qvec"), col("cid"),
-        VectorFunctions.cosineNative(dequantizeInt8(col("qcode")), col("qvec")).as("asim"))
+        sim(dequantizeInt8(col("qcode")), col("qvec")).as("asim"))
       .withColumn("ark", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("asim").desc, col("cid"))))
       .filter(col("ark") <= k * rescoreFactor)
     survivors
       .join(corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec")), Seq("cid"))
       .select(col("qid"), col("cid"),
-        VectorFunctions.cosineNative(col("cvec"), col("qvec")).as("sim"))
+        sim(col("cvec"), col("qvec")).as("sim"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))))
       .filter(col("rk") <= k)

@@ -284,6 +284,54 @@ class DialectPropertySpec extends AnyFunSuite {
   }
 }
 
+/** SQL `knn_match` predicate (reference KnnMatch.java:48,
+  * docs/general/dql/vector-search.rst) through the dialect's exact top-k
+  * lowering. */
+class KnnMatchSqlSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def setup(): Unit = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+        (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.5f, 0.5f)))
+      .toDF("id", "vec").createOrReplaceTempView("kvecs")
+  }
+
+  test("knn_match predicate selects the k nearest; _score = 1/(1+l2²)") {
+    setup()
+    val rows = spark.sql(Dialect.translate(
+      "SELECT id, _score FROM kvecs WHERE knn_match(vec, [1.0, 0.0], 2) " +
+        "ORDER BY _score DESC")).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(math.abs(rows(0).getDouble(1) - 1.0) < 1e-9)
+    assert(math.abs(rows(1).getDouble(1) - 1.0 / 1.02) < 1e-6)
+  }
+
+  test("other WHERE conjuncts pre-filter, so k rows still come back") {
+    setup()
+    val rows = spark.sql(Dialect.translate(
+      "SELECT id FROM kvecs WHERE id > 1 AND knn_match(vec, [1.0, 0.0], 2) " +
+        "ORDER BY _score DESC")).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 4L))
+  }
+
+  test("SELECT * hides the helper score column; alias form resolves") {
+    setup()
+    val df = spark.sql(Dialect.translate(
+      "SELECT * FROM kvecs v WHERE knn_match(v.vec, [0.0, 1.0], 1)"))
+    assert(df.columns.toSeq == Seq("id", "vec"))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("plan shape: exact fallback is TakeOrderedAndProject, not global sort") {
+    setup()
+    val plan = spark.sql(Dialect.translate(
+      "SELECT id FROM kvecs WHERE knn_match(vec, [1.0, 0.0], 2)"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}
+
 /** Spark-evaluated function tests. */
 class SparkFunctionsSpec extends SparkTestBase {
   import spark.implicits._

@@ -1,0 +1,115 @@
+package graft
+
+import graft.functions.JsInterp
+
+/** The step-bounded JS interpreter — the CREATE FUNCTION fallback for
+  * bodies outside [[graft.functions.JsUdf]]'s translatable subset
+  * (reference `extensions/lang-js/JavaScriptLanguage.java:28`). */
+class JsInterpSpec extends SparkTestBase {
+
+  private def ev(src: String, args: Any*): Any =
+    JsInterp.compile(src).eval(args)
+
+  test("while loop with data-dependent exit (popcount)") {
+    val src =
+      """function popcount(n) {
+        |  var c = 0;
+        |  while (n > 0) { c += n % 2; n = Math.floor(n / 2); }
+        |  return c;
+        |}""".stripMargin
+    assert(ev(src, 0L) == 0.0)
+    assert(ev(src, 255L) == 8.0)
+    assert(ev(src, 1024L) == 1.0)
+  }
+
+  test("for loop with a non-literal bound (the translator rejects this)") {
+    intercept[UnsupportedOperationException](graft.functions.JsUdf.translate(
+      "function sumto(n) { var s = 0; for (var i = 1; i <= n; i++) { s += i; } return s; }"))
+    val src =
+      "function sumto(n) { var s = 0; for (var i = 1; i <= n; i++) { s += i; } return s; }"
+    assert(ev(src, 100L) == 5050.0)
+  }
+
+  test("break/continue unwind to the innermost loop only") {
+    val src =
+      """function f() {
+        |  var hits = 0;
+        |  for (var i = 0; i < 5; i++) {
+        |    for (var j = 0; j < 5; j++) {
+        |      if (j > i) { break; }
+        |      if (j % 2 == 1) { continue; }
+        |      hits++;
+        |    }
+        |  }
+        |  return hits;
+        |}""".stripMargin
+    // per i: j in 0..i with even j only → 1,1,2,2,3 hits
+    assert(ev(src) == 9.0)
+  }
+
+  test("JS-faithful string .replace (first occurrence) and .split") {
+    val src =
+      """function f(s) {
+        |  var parts = s.split('-');
+        |  return parts.length + ':' + s.replace('-', '_');
+        |}""".stripMargin
+    assert(ev(src, "a-b-c") == "3:a_b-c")
+  }
+
+  test("array mutation via push inside a loop") {
+    val src =
+      """function evens(n) {
+        |  var out = [];
+        |  for (var i = 0; i < n; i++) { if (i % 2 == 0) { out.push(i); } }
+        |  return out.join(',');
+        |}""".stripMargin
+    assert(ev(src, 7L) == "0,2,4,6")
+  }
+
+  test("runaway loops die loudly at the step budget") {
+    val e = intercept[IllegalStateException](
+      ev("function f() { while (true) { } return 1; }"))
+    assert(e.getMessage.contains("step budget"))
+  }
+
+  test("Math.random and Date rejected at parse time") {
+    intercept[UnsupportedOperationException](
+      JsInterp.compile("function f() { return Math.random(); }"))
+    intercept[UnsupportedOperationException](
+      JsInterp.compile("function f() { return Date.now(); }"))
+  }
+
+  test("routed CREATE FUNCTION falls back to the interpreter end-to-end") {
+    val root = java.nio.file.Files.createTempDirectory("graft_jsinterp")
+      .toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute(
+      """CREATE FUNCTION js_popcount(bigint) RETURNS integer
+        |LANGUAGE JAVASCRIPT AS 'function js_popcount(n) {
+        |  var c = 0;
+        |  while (n > 0) { c += n % 2; n = Math.floor(n / 2); }
+        |  return c;
+        |}'""".stripMargin)
+    val rows = r.execute(
+      "SELECT js_popcount(7) AS a, js_popcount(1023) AS b, js_popcount(0) AS c")
+      .head()
+    assert(rows.getInt(0) == 3 && rows.getInt(1) == 10 && rows.getInt(2) == 0)
+    // declared return types are honored (string result from a loop body)
+    r.execute(
+      """CREATE FUNCTION js_revwords(text) RETURNS text
+        |LANGUAGE JAVASCRIPT AS 'function js_revwords(s) {
+        |  var parts = s.split(" ");
+        |  var out = [];
+        |  for (var i = parts.length - 1; i >= 0; i--) { out.push(parts[i]); }
+        |  return out.join(" ");
+        |}'""".stripMargin)
+    assert(r.execute("SELECT js_revwords('the quick fox') AS t")
+      .head().getString(0) == "fox quick the")
+    // translatable bodies still take the codegen path (no regression)
+    r.execute(
+      """CREATE FUNCTION js_twice(double) RETURNS double
+        |LANGUAGE JAVASCRIPT AS 'function js_twice(x) { return 2 * x; }'"""
+        .stripMargin)
+    assert(r.execute("SELECT js_twice(21.0) AS t").head().getDouble(0) == 42.0)
+  }
+}

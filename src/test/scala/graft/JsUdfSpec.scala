@@ -127,12 +127,15 @@ class JsUdfSpec extends SparkTestBase {
         |AS 'function find_at(s) { return s.indexOf("@"); }'""".stripMargin)
     assert(one("SELECT find_at('a@b')") == "1")
     assert(one("SELECT find_at('ab')") == "-1")
-    // .replace rejected with the construct named
-    val e = intercept[Exception](router.execute(
-      """CREATE OR REPLACE FUNCTION bad_rep(s text)
+    // .replace is outside the TRANSLATABLE subset (SQL replace hits all
+    // occurrences, JS only the first) — since round 5 it no longer
+    // rejects: the body falls back to the step-bounded interpreter
+    // (JsInterp), which implements the JS first-occurrence semantics
+    router.execute(
+      """CREATE OR REPLACE FUNCTION first_rep(s text)
         |RETURNS text LANGUAGE JAVASCRIPT
-        |AS 'function bad_rep(s) { return s.replace("a", "b"); }'""".stripMargin))
-    assert(e.getMessage.contains(".replace"))
+        |AS 'function first_rep(s) { return s.replace("a", "b"); }'""".stripMargin)
+    assert(one("SELECT first_rep('banana')") == "bbnana")
   }
 
   test("information_schema.routines lists the created function") {
@@ -188,13 +191,18 @@ class JsUdfBreadthSpec extends SparkTestBase {
     assert(one("SELECT clamp01(0.25)") == "0.25")
     assert(one("SELECT clamp01(9.0)") == "1.0")
 
-    // a body that can fall off the end (no return) is rejected loudly
-    val e = intercept[Exception](router.execute(
+    // a body that can fall off the end is OUTSIDE the translatable
+    // subset (the translator still rejects it) — since round 5 it runs
+    // through the interpreter fallback with JS semantics: the uncovered
+    // path returns undefined → SQL NULL
+    intercept[UnsupportedOperationException](graft.functions.JsUdf.translate(
+      "function no_ret(x) { if (x > 0) return x; }"))
+    router.execute(
       """CREATE OR REPLACE FUNCTION no_ret(x bigint)
         |RETURNS bigint LANGUAGE JAVASCRIPT
-        |AS 'function no_ret(x) { if (x > 0) return x; }'""".stripMargin))
-    assert(e.getMessage.toLowerCase.contains("statement") ||
-      e.getMessage.toLowerCase.contains("branch"))
+        |AS 'function no_ret(x) { if (x > 0) return x; }'""".stripMargin)
+    assert(one("SELECT no_ret(5)") == "5")
+    assert(router.execute("SELECT no_ret(-5) AS r").head().isNullAt(0))
   }
 
   test("** operator: precedence and right associativity") {

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+/** SQL `knn_match` through the router's stored quantized IVF index
+  * (reference `expression/scalar/KnnMatch.java:48`,
+  * docs/general/dql/vector-search.rst — the reference serves the
+  * predicate from the float_vector column's HNSW index; graft's declared
+  * twin is `INDEX iv USING VECTOR (col)`). */
+class KnnStoredRouteSpec extends SparkTestBase {
+
+  private val query =
+    "SELECT id, _score FROM vt WHERE knn_match(emb, [1.0, 0.0], 3) " +
+      "ORDER BY _score DESC"
+
+  test("knn_match builds, loads, and delta-patches the stored IVF index") {
+    val root = Files.createTempDirectory("graft_knn").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute(
+      """CREATE TABLE vt (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(2),
+        |  INDEX iv USING VECTOR (emb) WITH (centroids = 4, nprobe = 4))"""
+        .stripMargin)
+    // 40 unit vectors on a ring: distinct well-separated neighborhoods
+    val values = (0 until 40).map { i =>
+      val a = 2 * math.Pi * i / 40
+      f"($i, [${math.cos(a)}%.4f, ${math.sin(a)}%.4f])"
+    }.mkString(", ")
+    r.execute(s"INSERT INTO vt (id, emb) VALUES $values")
+
+    graft.operators.MatchText.IndexCache.clear()
+    val rows = r.execute(query).collect()
+    assert(StatementRouter.lastVecIndexBuild.get() == "full")
+    assert(rows.length == 3)
+    // nprobe = centroids → exhaustive probe: exact top-3 around (1, 0)
+    assert(rows.map(_.getLong(0)).toSet == Set(0L, 1L, 39L))
+    assert(rows.head.getLong(0) == 0L, "the exact hit ranks first")
+    assert(math.abs(rows.head.getDouble(1) - 1.0) < 1e-9,
+      "_score is vector_similarity = 1/(1+l2²)")
+    // scores agree with the exact Dialect fallback on the same data
+    graft.functions.GraftFunctions.registerAll(spark)
+    spark.sql("SELECT * FROM vt").createOrReplaceTempView("vt_plain")
+    val exact = spark.sql(Dialect.translate(query.replace("FROM vt ", "FROM vt_plain ")))
+      .collect()
+    // ids 1 and 39 tie exactly (symmetric ring) — compare order-free
+    assert(exact.map(r0 => (r0.getLong(0), math.round(r0.getDouble(1) * 1e6))).sorted.toSeq ==
+      rows.map(r0 => (r0.getLong(0), math.round(r0.getDouble(1) * 1e6))).sorted.toSeq)
+
+    // durable: a fresh cache loads the stored codes instead of rebuilding
+    graft.operators.MatchText.IndexCache.clear()
+    r.execute(query).collect()
+    assert(StatementRouter.lastVecIndexBuild.get() == "loaded")
+
+    // small churn → incremental patch against fixed centroids, and the
+    // new vector is searchable
+    r.execute("INSERT INTO vt (id, emb) VALUES (100, [0.9999, 0.0001])")
+    graft.operators.MatchText.IndexCache.clear()
+    val rows2 = r.execute(query).collect()
+    assert(StatementRouter.lastVecIndexBuild.get() == "delta")
+    assert(rows2.map(_.getLong(0)).toSet == Set(0L, 100L, 1L))
+  }
+
+  test("knn_match without a declared index still answers (exact fallback)") {
+    val root = Files.createTempDirectory("graft_knn2").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute("CREATE TABLE vt2 (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(2))")
+    r.execute("INSERT INTO vt2 (id, emb) VALUES (1, [1.0, 0.0]), (2, [0.0, 1.0])")
+    val rows = r.execute(
+      "SELECT id FROM vt2 WHERE knn_match(emb, [0.9, 0.1], 1)").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("extra WHERE conjuncts keep the exact pre-filtering path") {
+    val root = Files.createTempDirectory("graft_knn3").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute(
+      """CREATE TABLE vt3 (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(2),
+        |  INDEX iv USING VECTOR (emb))""".stripMargin)
+    r.execute("INSERT INTO vt3 (id, emb) VALUES " +
+      "(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])")
+    StatementRouter.lastVecIndexBuild.set("")
+    val rows = r.execute(
+      "SELECT id FROM vt3 WHERE id > 1 AND knn_match(emb, [1.0, 0.0], 1)")
+      .collect()
+    // pre-filter semantics: k rows from the FILTERED corpus (id=2, not 1)
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L))
+    assert(StatementRouter.lastVecIndexBuild.get() == "",
+      "filtered searches must not take the stored route")
+  }
+}

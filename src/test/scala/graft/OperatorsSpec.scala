@@ -458,6 +458,24 @@ class MatchTextSpec extends SparkTestBase {
     assert(col == Seq("haus", "gart"))
   }
 
+  test("language analyzers: italian/portuguese/dutch/russian chains") {
+    import graft.operators.MatchText
+    val it = MatchText.Analyzer.byName("italian")
+    assert(it.tokens("i libri e le belle serie") == Seq("libr", "bell", "ser"))
+    val pt = MatchText.Analyzer.byName("portuguese")
+    assert(pt.tokens("os corações e os animais bons") ==
+      Seq("coração", "animal", "bon"))
+    val nl = MatchText.Analyzer.byName("dutch")
+    assert(nl.tokens("de huizen en mooie tuinen") ==
+      Seq("huiz", "mooi", "tuin"))
+    val ru = MatchText.Analyzer.byName("russian")
+    assert(ru.tokens("и книги с цветов ночами") == Seq("книг", "цвет", "ноч"))
+    // Column path agrees with the driver path (Cyrillic included)
+    val colToks = Seq("и книги с цветов ночами").toDF("t")
+      .select(ru(org.apache.spark.sql.functions.col("t"))).head().getSeq[String](0)
+    assert(colToks == Seq("книг", "цвет", "ноч"))
+  }
+
   test("match predicate requires all terms") {
     val hits = docs.filter(MatchText.matchPredicate(col("text"), "spark filter"))
       .select("doc_id").as[Long].collect().toSet
@@ -925,6 +943,47 @@ class KMeansIvfSpec extends SparkTestBase {
     assert(rRefined >= rNaive - 0.15, s"refined $rRefined much worse than naive $rNaive")
     // every vector still lands in exactly one bucket
     assert(b1.count() == emb.count())
+  }
+
+  test("recallAtK runs as a single Spark job") {
+    // materialize the kNN inputs locally first — bruteForceKnn's own
+    // broadcast-build job would otherwise be charged to recallAtK
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val rows = Similarity.bruteForceKnn(emb, queries, k = 3)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSeq
+    val exact = rows.toDF("qid", "cid")
+    val approx = rows.toDF("qid", "cid")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // AQE materializes each shuffle stage as its own job and a broadcast
+    // build is a job too — pin both off so the job count equals the
+    // ACTION count, which is the property under test (the old
+    // implementation ran two separate count() actions)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = Similarity.recallAtK(approx, exact)
+      // listener events are async; AQE may also split the pass — allow the
+      // bus a moment, then assert on job-START count which is synchronous
+      // with job submission (all jobs have started by the time the blocking
+      // head() returned)
+      Thread.sleep(500)
+      assert(r == 1.0)
+      assert(jobs.get() == 1,
+        s"recallAtK should be one agg pass, saw ${jobs.get()} jobs")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+    }
   }
 }
 

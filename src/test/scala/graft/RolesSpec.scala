@@ -196,6 +196,54 @@ class RolesSpec extends SparkTestBase {
     } finally freshRoles()
   }
 
+  test("enforcement resolves schema-qualified and search_path targets") {
+    freshRoles()
+    try {
+      val r = newRouter()
+      r.execute("CREATE TABLE s5.t (id BIGINT)")
+      r.execute("INSERT INTO s5.t (id) VALUES (11)")
+      r.execute("CREATE USER frank WITH (password = 'f')")
+      // DDL granted on the qualified table authorizes DDL on exactly it —
+      // the pre-fix resolver checked TABLE 'doc.s5' instead
+      r.execute("GRANT DDL ON TABLE s5.t TO frank")
+      r.execute("GRANT DQL ON TABLE s5.t TO frank")
+      // a doc-schema grant must NOT leak into schema s5
+      r.execute("CREATE USER docwriter WITH (password = 'd')")
+      r.execute("GRANT DDL ON SCHEMA doc TO docwriter")
+      r.execute("SET SESSION AUTHORIZATION docwriter")
+      assert(intercept[Exception](r.execute("DROP TABLE s5.t"))
+        .getMessage == "Missing 'DDL' privilege for user 'docwriter'")
+      // search_path: a bare name is checked as the relation it resolves
+      // to, so frank's grant on s5.t authorizes `SELECT … FROM t`
+      r.execute("SET SESSION AUTHORIZATION frank")
+      r.execute("SET search_path TO s5")
+      assert(r.execute("SELECT id FROM t").head().getLong(0) == 11L)
+      // …while docwriter (no DQL anywhere) stays denied on the same text
+      r.execute("SET SESSION AUTHORIZATION docwriter")
+      assert(intercept[Exception](r.execute("SELECT id FROM t"))
+        .getMessage == "Missing 'DQL' privilege for user 'docwriter'")
+      r.execute("RESET SESSION AUTHORIZATION")
+      r.execute("RESET search_path")
+      // frank's qualified DDL grant lets him drop the table
+      r.execute("SET SESSION AUTHORIZATION frank")
+      r.execute("DROP TABLE s5.t")
+      r.execute("RESET SESSION AUTHORIZATION")
+      // combined has_database_privilege lists sequence like the
+      // reference: a listed CREATE overwrites the TEMP false
+      r.execute("GRANT DDL ON SCHEMA doc TO frank")
+      graft.functions.GraftFunctions.registerAll(spark)
+      def hdp(perms: String): Boolean =
+        r.execute(s"SELECT has_database_privilege('frank', 'crate', '$perms') AS p")
+          .head().getBoolean(0)
+      assert(hdp("temp,create"))
+      assert(!hdp("create,temp"))
+      assert(hdp("temp,connect"))
+    } finally {
+      try spark.conf.unset("search_path") catch { case _: Exception => () }
+      freshRoles()
+    }
+  }
+
   test("cursors: DECLARE/FETCH directions/CLOSE as routed SQL") {
     val r = newRouter()
     r.execute("CREATE TABLE seqt (i INTEGER)")

@@ -888,6 +888,32 @@ class StatementRouterSpec extends SparkTestBase {
     assert(failed.isFailure, "KILL ALL must cancel the in-flight statement")
   }
 
+  test("ANALYZE samples the MCV pass above the cap; frequencies stay scaled") {
+    val root = Files.createTempDirectory("graftmcv").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute("CREATE TABLE mcvt (k BIGINT, v TEXT)")
+    // 2000 rows, 90% 'common' / 10% 'rare-<k>' — the top value's true
+    // frequency is 0.9, recoverable from any uniform sample
+    r.execute("""INSERT INTO mcvt
+      SELECT s.v, CASE WHEN s.v % 10 < 9 THEN 'common'
+                       ELSE 'rare' || s.v END
+      FROM (SELECT explode(sequence(1, 2000)) AS v) s""")
+    spark.conf.set("graft.analyze.mcv_sample_cap", "500")
+    try {
+      r.execute("ANALYZE")
+      val st = graft.sources.PgCatalog.analyzedStats.get(("mcvt", "v"))
+      // the sketch ran on ~500 of 2000 rows but the top value and its
+      // scaled frequency must still be right
+      assert(st.mostCommonVals.headOption.contains("common"))
+      assert(math.abs(st.mostCommonFreqs.head - 0.9f) < 0.08f,
+        s"sampled top frequency ${st.mostCommonFreqs.head} should approximate 0.9")
+      // exact stats (null_frac, n_distinct) come from the full pass
+      val kst = graft.sources.PgCatalog.analyzedStats.get(("mcvt", "k"))
+      assert(kst.nullFrac == 0f)
+      assert(math.abs(kst.nDistinct - 2000f) / 2000f < 0.15f)
+    } finally spark.conf.unset("graft.analyze.mcv_sample_cap")
+  }
+
   test("full CrateDB client session: DDL, upserts, update/delete returning, select") {
     val root = Files.createTempDirectory("graftsql").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)

@@ -150,6 +150,30 @@ class StatementTailSpec extends SparkTestBase {
     assert(r.execute("SELECT v FROM sysc1").head().getString(0) == "r")
   }
 
+  test("partition-granular OCC: writes to other partitions don't conflict") {
+    val r = newRouter()
+    r.execute("""CREATE TABLE occp (id BIGINT, region TEXT, v TEXT)
+                 PARTITIONED BY (region)""")
+    r.execute("INSERT INTO occp (id, region, v) VALUES " +
+      "(1, 'east', 'e1'), (2, 'west', 'w1')")
+    // read east's sequence, then write WEST — pre-round-5 this bumped the
+    // table-wide stand-in and east's guarded update falsely conflicted
+    val seqEast = r.execute(
+      "SELECT _seq_no FROM occp WHERE region = 'east'").head().getLong(0)
+    r.execute("UPDATE occp SET v = 'w2' WHERE region = 'west'")
+    assert(r.execute(
+      s"UPDATE occp SET v = 'e2' WHERE region = 'east' AND _seq_no = $seqEast")
+      .head().getLong(0) == 1L,
+      "a write to a DIFFERENT partition must not invalidate east's sequence")
+    // …while a write to east itself still does
+    assert(r.execute(
+      s"UPDATE occp SET v = 'e3' WHERE region = 'east' AND _seq_no = $seqEast")
+      .head().getLong(0) == 0L,
+      "east's own write must advance east's sequence")
+    assert(r.execute("SELECT v FROM occp WHERE region = 'east'")
+      .head().getString(0) == "e2")
+  }
+
   test("search_path resolves unqualified relations in schema order") {
     val r = newRouter()
     try {
