@@ -2990,18 +2990,20 @@ class StatementRouter(spark: SparkSession, root: String) {
       val opts = parseKvOptions(sig, exi + 1)
       val built = base match {
         case "snowball" =>
-          opts.getOrElse("language", Seq("english")).head.toLowerCase match {
-            case "english" | "en" =>
-              Analyzer(stopwords = graft.operators.MatchText.englishStopwords, porter = true)
-            case "german" | "de" =>
-              Analyzer(stopwords = graft.operators.MatchText.germanStopwords, minimalStem = "de")
-            case "french" | "fr" =>
-              Analyzer(stopwords = graft.operators.MatchText.frenchStopwords, minimalStem = "fr")
-            case "spanish" | "es" =>
-              Analyzer(stopwords = graft.operators.MatchText.spanishStopwords, minimalStem = "es")
-            case lang => throw new IllegalArgumentException(
-              s"snowball language '$lang' unsupported (english/german/french/spanish)")
-          }
+          // every built-in language analyzer (stop set + its stemmer) is a
+          // valid snowball base; english upgrades to the full Porter chain
+          val lang = opts.getOrElse("language", Seq("english")).head.toLowerCase
+          val full = Map("en" -> "english", "de" -> "german", "fr" -> "french",
+            "es" -> "spanish", "it" -> "italian", "pt" -> "portuguese",
+            "nl" -> "dutch", "ru" -> "russian", "sv" -> "swedish",
+            "no" -> "norwegian", "da" -> "danish", "fi" -> "finnish")
+            .getOrElse(lang, lang)
+          if (full == "english")
+            Analyzer(stopwords = graft.operators.MatchText.englishStopwords,
+              porter = true)
+          else if (Analyzer.exists(full)) Analyzer.byName(full)
+          else throw new IllegalArgumentException(
+            s"snowball language '$lang' unsupported (en/de/fr/es/it/pt/nl/ru/sv/no/da/fi)")
         case b if Analyzer.exists(b) =>
           val a = Analyzer.byName(b)
           opts.get("stopwords").map(sw => a.copy(stopwords = sw)).getOrElse(a)
@@ -3036,15 +3038,23 @@ class StatementRouter(spark: SparkSession, root: String) {
         maxTokenLength = opts.get("max").map(_.head.toInt).getOrElse(a.maxTokenLength))
       case "kstem" | "porter_stem" => a = a.copy(porter = true)
       case "snowball" =>
-        // English gets the full Porter pipeline; German/French/Spanish
-        // the light minimal stemmers backing the language analyzers
+        // English gets the full Porter pipeline; every other bundled
+        // language its light minimal stemmer
         opts.getOrElse("language", Seq("english")).head.toLowerCase match {
-          case "english" | "en" => a = a.copy(porter = true)
-          case "german" | "de"  => a = a.copy(minimalStem = "de")
-          case "french" | "fr"  => a = a.copy(minimalStem = "fr")
-          case "spanish" | "es" => a = a.copy(minimalStem = "es")
+          case "english" | "en"    => a = a.copy(porter = true)
+          case "german" | "de"     => a = a.copy(minimalStem = "de")
+          case "french" | "fr"     => a = a.copy(minimalStem = "fr")
+          case "spanish" | "es"    => a = a.copy(minimalStem = "es")
+          case "italian" | "it"    => a = a.copy(minimalStem = "it")
+          case "portuguese" | "pt" => a = a.copy(minimalStem = "pt")
+          case "dutch" | "nl"      => a = a.copy(minimalStem = "nl")
+          case "russian" | "ru"    => a = a.copy(minimalStem = "ru")
+          case "swedish" | "sv"    => a = a.copy(minimalStem = "sv")
+          case "norwegian" | "no"  => a = a.copy(minimalStem = "no")
+          case "danish" | "da"     => a = a.copy(minimalStem = "da")
+          case "finnish" | "fi"    => a = a.copy(minimalStem = "fi")
           case lang => throw new IllegalArgumentException(
-            s"snowball language '$lang' unsupported (english/german/french/spanish)")
+            s"snowball language '$lang' unsupported (en/de/fr/es/it/pt/nl/ru/sv/no/da/fi)")
         }
       case "s_stem" => a = a.copy(sStem = true)
       case "asciifolding" => a = a.copy(asciifold = true)

@@ -282,6 +282,49 @@ object GraftFunctions {
     // registered in the Catalyst function registry so both SQL and
     // functions.call_function can reach them.
     val reg = spark.sessionState.functionRegistry
+
+    // array_position(arr, val[, start]) — the reference's semantics
+    // (ArrayPositionFunction.java:80-115) differ from Spark's builtin in
+    // three ways the shim restores: absent → NULL (Spark returns 0), a
+    // NULL target value matches NULL elements (Objects.equals; Spark
+    // returns NULL), and the optional 1-based start (NULL start → whole
+    // array, start outside [1, size] → NULL). Registered as a TEMPLATE of
+    // native higher-order expressions (transform/filter/get) so any
+    // element type works and the whole thing stays codegen-composable —
+    // a typed Scala UDF would pin one element type and break codegen.
+    locally {
+      val parser = spark.sessionState.sqlParser
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      // inside lambda BODIES the parser wraps every identifier as an
+      // UnresolvedNamedLambdaVariable — placeholders must match both forms
+      import org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable
+      val find =
+        "get(filter(transform(__arr, (x, i) -> IF(x <=> __v, i + 1, " +
+          "CAST(NULL AS INT))), p -> p IS NOT NULL), 0)"
+      val findFrom =
+        "get(filter(transform(__arr, (x, i) -> IF(x <=> __v AND i + 1 >= __s, " +
+          "i + 1, CAST(NULL AS INT))), p -> p IS NOT NULL), 0)"
+      val tpl3 =
+        s"CASE WHEN __s IS NULL THEN $find " +
+          s"WHEN __s < 1 OR __s > size(__arr) THEN CAST(NULL AS INT) " +
+          s"ELSE $findFrom END"
+      reg.createOrReplaceTempFunction("array_position", { exprs =>
+        require(exprs.length == 2 || exprs.length == 3,
+          "array_position(arr, val[, start])")
+        parser.parseExpression(if (exprs.length == 3) tpl3 else find).transformUp {
+          case a: UnresolvedAttribute if a.name == "__arr" => exprs(0)
+          case a: UnresolvedAttribute if a.name == "__v"   => exprs(1)
+          case a: UnresolvedAttribute if a.name == "__s"   => exprs(2)
+          case v: UnresolvedNamedLambdaVariable
+              if v.nameParts == Seq("__arr") => exprs(0)
+          case v: UnresolvedNamedLambdaVariable
+              if v.nameParts == Seq("__v") => exprs(1)
+          case v: UnresolvedNamedLambdaVariable
+              if v.nameParts == Seq("__s") => exprs(2)
+        }
+      }, "scala_udf")
+    }
+
     reg.createOrReplaceTempFunction("graft_cosine",
       exprs => graft.plans.CosineSimilarityExpr(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_dot",

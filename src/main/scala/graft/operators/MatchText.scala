@@ -121,7 +121,25 @@ object MatchText {
     }
     private def lowered = lowercase || tokenizer == "lowercase"
 
+    /** The analyzer as a Column: since round 5 this is ONE fused
+      * codegen'd kernel call ([[graft.plans.AnalyzerChainExpr]] wrapping
+      * [[tokens]]), not the compositional higher-order-function chain —
+      * which survives as [[columnsChain]] and is pinned equal to the
+      * fused path by MatchTextSpec. One kernel call per row keeps the
+      * token list local until the final array; the old chain paid an
+      * interpreted lambda + intermediate array per step (5-8 steps for a
+      * gram-producing analyzer — the q205-shaped cost). */
     def apply(text: Column): Column = {
+      val spark = org.apache.spark.sql.SparkSession.active
+      MatchText.registerAnalyzeFn(spark)
+      org.apache.spark.sql.functions.call_function("graft_analyze",
+        text, org.apache.spark.sql.functions.lit(AnalyzerInterner.intern(this)))
+    }
+
+    /** The pre-round-5 compositional Column chain — kept as the
+      * differential-testing twin of the fused path (MatchTextSpec
+      * asserts agreement) and as the fallback shape documentation. */
+    def columnsChain(text: Column): Column = {
       val filtered = charFilters.foldLeft(text)((acc, f) => f(acc))
       val cased = if (lowered) lower(filtered) else filtered
       var toks =
@@ -146,6 +164,10 @@ object MatchText {
         case "pt" => toks = transform(toks, portugueseStemCol(_))
         case "nl" => toks = transform(toks, dutchStemCol(_))
         case "ru" => toks = transform(toks, russianStemCol(_))
+        case "sv" => toks = transform(toks, nordicStemCol(_))
+        case "no" => toks = transform(toks, nordicStemCol(_))
+        case "da" => toks = transform(toks, nordicStemCol(_))
+        case "fi" => toks = transform(toks, finnishStemCol(_))
         case _    => ()
       }
       // edge n-grams: every prefix of length min..max per token (the
@@ -192,6 +214,8 @@ object MatchText {
         case "pt" => t = t.map(portugueseStemStr)
         case "nl" => t = t.map(dutchStemStr)
         case "ru" => t = t.map(russianStemStr)
+        case "sv" | "no" | "da" => t = t.map(nordicStemStr)
+        case "fi" => t = t.map(finnishStemStr)
         case _    => ()
       }
       if (edgeNgram._1 > 0) {
@@ -240,7 +264,11 @@ object MatchText {
       "italian"    -> Analyzer(stopwords = italianStopwords, minimalStem = "it"),
       "portuguese" -> Analyzer(stopwords = portugueseStopwords, minimalStem = "pt"),
       "dutch"      -> Analyzer(stopwords = dutchStopwords, minimalStem = "nl"),
-      "russian"    -> Analyzer(stopwords = russianStopwords, minimalStem = "ru")
+      "russian"    -> Analyzer(stopwords = russianStopwords, minimalStem = "ru"),
+      "swedish"    -> Analyzer(stopwords = swedishStopwords, minimalStem = "sv"),
+      "norwegian"  -> Analyzer(stopwords = norwegianStopwords, minimalStem = "no"),
+      "danish"     -> Analyzer(stopwords = danishStopwords, minimalStem = "da"),
+      "finnish"    -> Analyzer(stopwords = finnishStopwords, minimalStem = "fi")
     ).foreach { case (n, a) => registry.put(n, a) }
     def register(name: String, a: Analyzer): Unit = registry.put(name.toLowerCase, a)
     def drop(name: String): Unit = registry.remove(name.toLowerCase)
@@ -250,6 +278,61 @@ object MatchText {
       a
     }
     def exists(name: String): Boolean = registry.containsKey(name.toLowerCase)
+  }
+
+  /** Driver-side handle store for [[Analyzer.apply]]'s `call_function`
+    * route: `call_function` addresses functions by NAME only, so the
+    * analyzer instance is interned here and the id travels as a literal
+    * to the expression BUILDER (which runs on the driver and embeds the
+    * full analyzer into [[graft.plans.AnalyzerChainExpr]] — executors
+    * never consult this map). Entries are tiny config case classes,
+    * deduplicated, and bounded by the number of distinct chains a JVM
+    * builds. */
+  private[operators] object AnalyzerInterner {
+    private val byAnalyzer =
+      new java.util.concurrent.ConcurrentHashMap[Analyzer, Integer]()
+    private val byId =
+      new java.util.concurrent.ConcurrentHashMap[Integer, Analyzer]()
+    private val seq = new java.util.concurrent.atomic.AtomicInteger(0)
+    def intern(a: Analyzer): Int = {
+      val id = byAnalyzer.computeIfAbsent(a, _ => {
+        val n = Integer.valueOf(seq.incrementAndGet())
+        byId.put(n, a)
+        n
+      })
+      id.intValue()
+    }
+    def lookup(id: Int): Analyzer = {
+      val a = byId.get(Integer.valueOf(id))
+      require(a != null, s"unknown analyzer handle $id")
+      a
+    }
+  }
+
+  /** Idempotent registration of the `graft_analyze` expression builder
+    * (the [[Analyzer.apply]] entry point). */
+  private[operators] def registerAnalyzeFn(
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_analyze", { exprs =>
+        val id = exprs(1).eval(null) match {
+          case i: Int  => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_analyze expects a literal analyzer handle, got $other")
+        }
+        graft.plans.AnalyzerChainExpr(exprs(0), AnalyzerInterner.lookup(id))
+      }, "scala_udf")
+
+  /** The fused-kernel body of [[graft.plans.AnalyzerChainExpr]]: the
+    * driver-side [[Analyzer.tokens]] chain over one row's text. */
+  def evalTokens(a: Analyzer,
+                 s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = a.tokens(s.toString)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      toks.map(t => org.apache.spark.unsafe.types.UTF8String.fromString(t))
+        .toArray[Any])
   }
 
   private val porterUdf =
@@ -315,6 +398,40 @@ object MatchText {
     "нет", "ни", "но", "ну", "о", "он", "она", "они", "от", "по", "под",
     "при", "с", "со", "так", "там", "тебя", "то", "только", "ты", "у",
     "уже", "что", "чтобы", "это", "этот", "я")
+  val swedishStopwords: Seq[String] = Seq(
+    "alla", "att", "av", "blev", "bli", "de", "dem", "den", "denna",
+    "deras", "det", "detta", "dig", "din", "du", "där", "då", "efter",
+    "ej", "eller", "en", "er", "ett", "från", "för", "ha", "hade", "han",
+    "hans", "har", "henne", "hon", "hur", "här", "i", "icke", "inom",
+    "inte", "jag", "ju", "kan", "kunde", "man", "med", "mellan", "men",
+    "mig", "min", "mot", "mycket", "ni", "nu", "när", "och", "om", "oss",
+    "på", "samma", "sedan", "sig", "sin", "så", "till", "under", "upp",
+    "ut", "utan", "vad", "var", "vara", "varje", "vem", "vi", "vid",
+    "än", "är", "åt", "över")
+  val norwegianStopwords: Seq[String] = Seq(
+    "alle", "at", "av", "da", "de", "deg", "den", "denne", "der", "det",
+    "dette", "din", "du", "eller", "en", "er", "et", "ett", "etter",
+    "for", "fra", "ha", "hadde", "han", "hans", "har", "hun", "hva",
+    "hvor", "i", "ikke", "jeg", "kan", "kom", "man", "med", "meg",
+    "mellom", "men", "min", "mot", "nå", "når", "og", "om", "oss", "over",
+    "på", "se", "seg", "selv", "sin", "skal", "skulle", "som", "så",
+    "til", "ut", "var", "ved", "vi", "vil", "ville", "være", "vært", "å")
+  val danishStopwords: Seq[String] = Seq(
+    "af", "alle", "at", "da", "de", "dem", "den", "denne", "der", "det",
+    "dette", "dig", "din", "dog", "du", "efter", "eller", "en", "end",
+    "er", "et", "for", "fra", "ham", "han", "hans", "har", "havde",
+    "have", "hende", "hun", "hvad", "hvis", "hvor", "i", "ikke", "ind",
+    "jeg", "jo", "kan", "kom", "man", "mange", "med", "meget", "men",
+    "mig", "min", "mod", "når", "nu", "og", "om", "op", "os", "over",
+    "på", "selv", "sig", "sin", "skal", "skulle", "som", "sådan", "thi",
+    "til", "ud", "under", "var", "ved", "vi", "vil", "ville", "vor", "være")
+  val finnishStopwords: Seq[String] = Seq(
+    "ei", "eivät", "emme", "en", "et", "ette", "että", "he", "hän", "ja",
+    "jo", "joka", "jos", "kanssa", "keiden", "ketkä", "koska", "kuin",
+    "kuka", "kun", "me", "mikä", "minä", "mitä", "mukaan", "mutta", "myös",
+    "ne", "niin", "noin", "nyt", "näin", "ole", "olen", "olet", "oli",
+    "olla", "on", "ovat", "sekä", "se", "sen", "siellä", "siitä", "sinä",
+    "sitä", "tai", "tämä", "te", "tuo", "vaan", "vai", "vain", "voi")
 
   private def dropRight(t: Column, n: Int): Column = t.substr(lit(1), length(t) - n)
   private def stemCol(t: Column): Column =
@@ -432,6 +549,47 @@ object MatchText {
     if (s.length > 5 && ru3.exists(s.endsWith)) s.dropRight(3)
     else if (s.length > 4 && ru2.exists(s.endsWith)) s.dropRight(2)
     else if (s.length > 3 && ru1.exists(s.endsWith)) s.dropRight(1)
+    else s
+  /** Shared North-Germanic plural/definite endings (Lucene's
+    * Swedish/Norwegian/DanishLightStemFilter core): -erne/-ene (definite
+    * plurals), -er/-ar/-or/-en/-et (plural/definite), trailing -e/-n/-t. */
+  private val nordic4 = Seq("erne", "erna", "arna", "orna")
+  private val nordic3 = Seq("ene", "ens")
+  private val nordic2 = Seq("er", "ar", "or", "en", "et")
+  private def nordicStemCol(t: Column): Column = {
+    val c4 = nordic4.map(sfx => t.endsWith(sfx)).reduce(_ || _)
+    val c3 = nordic3.map(sfx => t.endsWith(sfx)).reduce(_ || _)
+    val c2 = nordic2.map(sfx => t.endsWith(sfx)).reduce(_ || _)
+    when(length(t) > 6 && c4, dropRight(t, 4))
+      .when(length(t) > 5 && c3, dropRight(t, 3))
+      .when(length(t) > 4 && c2, dropRight(t, 2))
+      .when(length(t) > 3 && (t.endsWith("e") || t.endsWith("n")), dropRight(t, 1))
+      .otherwise(t)
+  }
+  private def nordicStemStr(s: String): String =
+    if (s.length > 6 && nordic4.exists(s.endsWith)) s.dropRight(4)
+    else if (s.length > 5 && nordic3.exists(s.endsWith)) s.dropRight(3)
+    else if (s.length > 4 && nordic2.exists(s.endsWith)) s.dropRight(2)
+    else if (s.length > 3 && (s.endsWith("e") || s.endsWith("n"))) s.dropRight(1)
+    else s
+  /** Finnish locative/case endings (FinnishLightStemFilter's most
+    * productive subset — agglutinative morphology means this is a coarse
+    * approximation, same documented stance as the other light stemmers). */
+  private val fi3 = Seq("ssa", "ssä", "sta", "stä", "lla", "llä", "lta",
+    "ltä", "lle", "ksi", "ina", "inä")
+  private val fi2 = Seq("na", "nä", "ta", "tä", "en", "in")
+  private def finnishStemCol(t: Column): Column = {
+    val c3 = fi3.map(sfx => t.endsWith(sfx)).reduce(_ || _)
+    val c2 = fi2.map(sfx => t.endsWith(sfx)).reduce(_ || _)
+    when(length(t) > 5 && c3, dropRight(t, 3))
+      .when(length(t) > 4 && c2, dropRight(t, 2))
+      .when(length(t) > 3 && (t.endsWith("t") || t.endsWith("n")), dropRight(t, 1))
+      .otherwise(t)
+  }
+  private def finnishStemStr(s: String): String =
+    if (s.length > 5 && fi3.exists(s.endsWith)) s.dropRight(3)
+    else if (s.length > 4 && fi2.exists(s.endsWith)) s.dropRight(2)
+    else if (s.length > 3 && (s.endsWith("t") || s.endsWith("n"))) s.dropRight(1)
     else s
 
   private def termCol(text: Column): Column = Analyzer.default(text)

@@ -377,12 +377,31 @@ object Similarity {
     *
     * Scale shape: one map pass computes all signatures (closure ships a
     * tables×bits×dim plane matrix, ~32 KB at the defaults); one narrow
-    * (key, id) shuffle; vectors rejoin only for surviving candidates. */
+    * (key, id) shuffle; vectors rejoin only for surviving candidates.
+    *
+    * `bits <= 0` auto-scales to `max(4, ceil(log2(N/256)))` — the same
+    * expected-bucket-of-~256 target as [[embeddingNearDupPairs]]'s
+    * centroid auto-scale, and for the same reason: per-bucket pairing is
+    * quadratic, so a FIXED signature width goes quadratic as the corpus
+    * grows (2^4 = 16 buckets per table shard a 20k-vector corpus into
+    * ~1250-vector buckets — ~150M candidate pairs where ~18M suffice).
+    * Auto-width keeps the candidate set linear in N; recall for real
+    * near-dups (sim ≥ 0.9, p ≈ 0.86/bit) stays ≥ 0.99 at 12 tables even
+    * at 24 bits. The auto path sizes N with one `count()` — footer
+    * metadata for a parquet source, no data read; callers that must stay
+    * zero-job (the original design note vs IVF's sizing pass) pass bits
+    * explicitly. The size heuristic `estimateRows` is NOT used here: its
+    * defaultSize-based row guess is off by the array element count for
+    * vector columns, and bits calibration is recall-sensitive. */
   def hyperplaneNearDupPairs(corpus: DataFrame, threshold: Double,
-                             bits: Int = 16, tables: Int = 4,
+                             bits: Int = 0, tables: Int = 4,
                              maxBucket: Int = 2000,
                              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(bits > 0 && bits <= 62 && tables > 0)
+    val nbits =
+      if (bits > 0) bits
+      else math.max(4L, math.ceil(math.log(
+        math.max(1L, corpus.count() / 256L).toDouble) / math.log(2.0)).toLong).toInt
+    require(nbits > 0 && nbits <= 62 && tables > 0)
     graft.functions.GraftFunctions.registerAll(corpus.sparkSession)
     val base = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     // The plane matrix is derived lazily on each executor from (tables,
@@ -392,7 +411,7 @@ object Similarity {
     // `.head()` to learn the vector dimension (the r3 review flagged that
     // as a needless eager job): dim comes from the first row each executor
     // actually sees.
-    val (nTables, nBits) = (tables, bits)
+    val (nTables, nBits) = (tables, nbits)
     val sigUdf = udf((v: Seq[Float]) =>
       if (v == null) null
       else {

@@ -125,3 +125,44 @@ case class Blake3Expr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Codegen'd fused analyzer chain (round-5 close of the "gram pipeline
+  * runs interpreted" note): the ENTIRE configured analyzer — char filters
+  * → tokenize → case fold → ascii fold → length/stop filters → stemmer →
+  * edge-grams → shingles — executes as ONE kernel call per row
+  * (`MatchText.evalTokens`, the same code the driver-side query-term path
+  * runs, so Column results and `Analyzer.tokens` agree BY CONSTRUCTION).
+  * The compositional Column path this replaces chained 5-8 higher-order
+  * array expressions, each materializing an intermediate array and
+  * evaluating its lambda interpreted; here the token list stays a local
+  * Scala value until the final ArrayData. The analyzer config rides the
+  * expression as a serialized field (NOT a driver-side registry id), so
+  * executor JVMs in a real cluster evaluate it locally. Registered as
+  * `graft_analyze` on demand by `MatchText.Analyzer.apply`. */
+case class AnalyzerChainExpr(child: Expression,
+                             analyzer: graft.operators.MatchText.Analyzer)
+    extends UnaryExpression {
+  override def prettyName: String = "graft_analyze"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    graft.operators.MatchText.evalTokens(analyzer, input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftAnalyzer", analyzer,
+      "graft.operators.MatchText.Analyzer")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.operators.MatchText.evalTokens($ref, $c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -131,6 +131,9 @@ object QueriesFunctions {
         size(toks).as("n_toks"),
         element_at(toks, 1).as("first_tok"),
         array_contains(toks, "spark").as("has_spark"),
+        // round 5: array_position carries the REFERENCE's semantics
+        // (NULL when absent — ArrayPositionFunction.java, GraftFunctions
+        // shim), which DuckDB's list_position shares natively
         array_position(toks, "spark").cast("long").as("pos_spark"),
         array_join(slice(toks, 1, 3), " ").as("head3"),
         size(array_distinct(toks)).as("n_uniq"),
@@ -272,7 +275,7 @@ object QueriesFunctions {
                 len(string_split(text, ' ')) AS n_toks,
                 string_split(text, ' ')[1] AS first_tok,
                 list_contains(string_split(text, ' '), 'spark') AS has_spark,
-                CAST(coalesce(list_position(string_split(text, ' '), 'spark'), 0) AS BIGINT) AS pos_spark,
+                CAST(nullif(list_position(string_split(text, ' '), 'spark'), 0) AS BIGINT) AS pos_spark,
                 array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS head3,
                 len(list_distinct(string_split(text, ' '))) AS n_uniq,
                 list_sort(string_split(text, ' '))[1] AS min_tok

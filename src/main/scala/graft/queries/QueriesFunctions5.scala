@@ -767,7 +767,7 @@ object QueriesFunctions5 {
          FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q113_array_funcs2" ->
       """SELECT p_partkey,
-                list_position(with_null, 7) AS pos7,
+                nullif(list_position(with_null, 7), 0) AS pos7,
                 CAST(to_json(list_filter(arr, x -> x != 2)) AS VARCHAR) AS no2,
                 CAST(to_json(list_filter(with_null, x -> x IS NOT NULL)) AS VARCHAR) AS compacted,
                 CAST(to_json(arr[2:4]) AS VARCHAR) AS sliced,

@@ -115,6 +115,71 @@ object QueriesRound5 {
         .orderBy(col("lang"), col("term"))
     }),
 
+    // Third language-analyzer wave: swedish/norwegian/danish share the
+    // North-Germanic plural/definite endings (one nordic stemmer, three
+    // stop sets); finnish gets the productive locative/case endings —
+    // a coarse approximation of agglutinative morphology, documented as
+    // such. Same oracle-replay stance as q204/q212.
+    "q213_language_analyzers3" -> ((s, dir) => {
+      import graft.operators.MatchText
+      val c = T(s, dir, "customer").select(col("c_custkey").as("k"))
+      def pick(words: Seq[String], m: Int) =
+        element_at(array(words.map(lit): _*), (col("k") % m + 1).cast("int"))
+      def arm(lang: String, analyzer: String,
+              v1: Seq[String], v2: Seq[String], v3: Seq[String]) =
+        c.select(lit(lang).as("lang"),
+          explode(MatchText.Analyzer.byName(analyzer)(
+            concat_ws(" ", pick(v1, 7), pick(v2, 5), pick(v3, 3)))).as("term"))
+      val sv = arm("sv", "swedish",
+        Seq("hästarna", "böckerna", "husen", "bilar", "flickor", "dagarna", "nätterna"),
+        Seq("och", "träden", "på", "katter", "blommor"),
+        Seq("vackra", "inte", "barnen"))
+      val no = arm("no", "norwegian",
+        Seq("hestene", "bøkene", "husene", "bilene", "dagene", "kattene", "blomstene"),
+        Seq("og", "fuglene", "ikke", "fjellene", "gatene"),
+        Seq("fine", "på", "dyrene"))
+      val da = arm("da", "danish",
+        Seq("hestene", "bøgerne", "husene", "bilerne", "dagene", "kattene", "gaderne"),
+        Seq("og", "træerne", "ikke", "markerne", "blomsterne"),
+        Seq("fine", "på", "børnene"))
+      val fi = arm("fi", "finnish",
+        Seq("taloissa", "kirjat", "kissat", "kukissa", "päivinä", "kaupungissa", "kadulla"),
+        Seq("ja", "puissa", "ei", "öisin", "ikkunat"),
+        Seq("kauniit", "on", "vuodet"))
+      sv.union(no).union(da).union(fi)
+        .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("term"))
+    }),
+
+    // array_position at the reference's exact semantics
+    // (ArrayPositionFunction.java:80-115): absent → NULL (not Spark's 0),
+    // NULL target matches NULL elements, optional 1-based start with
+    // out-of-range → NULL; plus the array_min/array_max/ascii/reverse
+    // scalar tail. The arrays are constructed in SQL, so the oracle
+    // replays every position closed-form.
+    "q214_array_position" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT c_custkey,
+               array_position(arr, '1') AS p_first,
+               array_position(arr, '1', 2) AS p_from2,
+               array_position(arr, '9') AS p_absent,
+               array_position(arr, CAST(NULL AS STRING)) AS p_null,
+               array_position(arr, '1', 9) AS p_oob,
+               array_min(nums) AS amin,
+               array_max(nums) AS amax,
+               ascii(c_mktsegment) AS a1,
+               reverse(c_mktsegment) AS rev
+        FROM (SELECT c_custkey, c_mktsegment,
+                array(CAST(c_custkey % 3 AS STRING),
+                      CAST(c_custkey % 5 AS STRING),
+                      '1', CAST(NULL AS STRING)) AS arr,
+                array(c_custkey % 7, c_custkey % 3, c_custkey % 5) AS nums
+              FROM customer)
+        ORDER BY c_custkey""")
+    }),
+
     "q210_knn_stored" -> ((s, dir) => {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
@@ -202,6 +267,72 @@ object QueriesRound5 {
           |         UNION ALL SELECT * FROM nl UNION ALL SELECT * FROM ru)
           |SELECT lang, term, count(*) AS n FROM allt
           |GROUP BY lang, term ORDER BY lang, term""".stripMargin,
+
+      // replays the nordic + finnish chains literally (one shared
+      // North-Germanic CASE, three stop sets; finnish locative endings)
+      "q213_language_analyzers3" ->
+        """WITH ks AS (SELECT c_custkey AS k FROM customer),
+          |nordic AS (SELECT lang, t FROM (
+          |  SELECT 'sv' AS lang, t FROM ks, LATERAL (VALUES
+          |    ((['hästarna','böckerna','husen','bilar','flickor','dagarna','nätterna'])[CAST(k % 7 + 1 AS INT)]),
+          |    ((['och','träden','på','katter','blommor'])[CAST(k % 5 + 1 AS INT)]),
+          |    ((['vackra','inte','barnen'])[CAST(k % 3 + 1 AS INT)])) AS v(t)
+          |  WHERE t NOT IN ('och', 'på', 'inte')
+          |  UNION ALL
+          |  SELECT 'no', t FROM ks, LATERAL (VALUES
+          |    ((['hestene','bøkene','husene','bilene','dagene','kattene','blomstene'])[CAST(k % 7 + 1 AS INT)]),
+          |    ((['og','fuglene','ikke','fjellene','gatene'])[CAST(k % 5 + 1 AS INT)]),
+          |    ((['fine','på','dyrene'])[CAST(k % 3 + 1 AS INT)])) AS v(t)
+          |  WHERE t NOT IN ('og', 'ikke', 'på')
+          |  UNION ALL
+          |  SELECT 'da', t FROM ks, LATERAL (VALUES
+          |    ((['hestene','bøgerne','husene','bilerne','dagene','kattene','gaderne'])[CAST(k % 7 + 1 AS INT)]),
+          |    ((['og','træerne','ikke','markerne','blomsterne'])[CAST(k % 5 + 1 AS INT)]),
+          |    ((['fine','på','børnene'])[CAST(k % 3 + 1 AS INT)])) AS v(t)
+          |  WHERE t NOT IN ('og', 'ikke', 'på'))),
+          |ngd AS (SELECT lang,
+          |  CASE WHEN len(t) > 6 AND right(t, 4) IN ('erne','erna','arna','orna')
+          |         THEN substr(t, 1, len(t) - 4)
+          |       WHEN len(t) > 5 AND right(t, 3) IN ('ene','ens')
+          |         THEN substr(t, 1, len(t) - 3)
+          |       WHEN len(t) > 4 AND right(t, 2) IN ('er','ar','or','en','et')
+          |         THEN substr(t, 1, len(t) - 2)
+          |       WHEN len(t) > 3 AND right(t, 1) IN ('e','n')
+          |         THEN substr(t, 1, len(t) - 1)
+          |       ELSE t END AS term FROM nordic),
+          |fi_t AS (SELECT t FROM ks, LATERAL (VALUES
+          |  ((['taloissa','kirjat','kissat','kukissa','päivinä','kaupungissa','kadulla'])[CAST(k % 7 + 1 AS INT)]),
+          |  ((['ja','puissa','ei','öisin','ikkunat'])[CAST(k % 5 + 1 AS INT)]),
+          |  ((['kauniit','on','vuodet'])[CAST(k % 3 + 1 AS INT)])) AS v(t)
+          |  WHERE t NOT IN ('ja', 'ei', 'on')),
+          |fi AS (SELECT 'fi' AS lang,
+          |  CASE WHEN len(t) > 5 AND right(t, 3) IN
+          |         ('ssa','ssä','sta','stä','lla','llä','lta','ltä','lle','ksi','ina','inä')
+          |         THEN substr(t, 1, len(t) - 3)
+          |       WHEN len(t) > 4 AND right(t, 2) IN ('na','nä','ta','tä','en','in')
+          |         THEN substr(t, 1, len(t) - 2)
+          |       WHEN len(t) > 3 AND right(t, 1) IN ('t','n')
+          |         THEN substr(t, 1, len(t) - 1)
+          |       ELSE t END AS term FROM fi_t),
+          |allt AS (SELECT * FROM ngd UNION ALL SELECT * FROM fi)
+          |SELECT lang, term, count(*) AS n FROM allt
+          |GROUP BY lang, term ORDER BY lang, term""".stripMargin,
+
+      // positions replay arithmetically from the constructed array shape
+      // [k%3, k%5, '1', NULL]
+      "q214_array_position" ->
+        """SELECT c_custkey,
+          |  CASE WHEN c_custkey % 3 = 1 THEN 1
+          |       WHEN c_custkey % 5 = 1 THEN 2 ELSE 3 END AS p_first,
+          |  CASE WHEN c_custkey % 5 = 1 THEN 2 ELSE 3 END AS p_from2,
+          |  CAST(NULL AS INT) AS p_absent,
+          |  4 AS p_null,
+          |  CAST(NULL AS INT) AS p_oob,
+          |  least(c_custkey % 7, c_custkey % 3, c_custkey % 5) AS amin,
+          |  greatest(c_custkey % 7, c_custkey % 3, c_custkey % 5) AS amax,
+          |  ascii(c_mktsegment) AS a1,
+          |  reverse(c_mktsegment) AS rev
+          |FROM customer ORDER BY c_custkey""".stripMargin,
 
       // closed-form replay of the interpreted loops: popcount = bit_count,
       // sum(1..n) = n(n+1)/2

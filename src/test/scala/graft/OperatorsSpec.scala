@@ -476,6 +476,52 @@ class MatchTextSpec extends SparkTestBase {
     assert(colToks == Seq("книг", "цвет", "ноч"))
   }
 
+  test("fused analyzer expression = compositional chain = driver tokens") {
+    import graft.operators.MatchText
+    val texts = Seq(
+      "Die Häuser und Gärten sind SCHÖN!!",
+      "spark filter pushdown with window functions",
+      "и книги с цветов ночами",
+      "the cats ran across 42 bridges... quickly",
+      "")
+    val df = texts.toDF("t")
+    val analyzers = Seq(
+      MatchText.Analyzer.byName("german"),
+      MatchText.Analyzer.byName("english"),
+      MatchText.Analyzer.byName("russian"),
+      MatchText.Analyzer(edgeNgram = (3, 5)),
+      MatchText.Analyzer(shingle = (2, 3)),
+      MatchText.Analyzer(tokenizer = "keyword"))
+    for (a <- analyzers) {
+      val fused = df.select(a(col("t"))).collect().map(_.getSeq[String](0).toList).toList
+      val chain = df.select(a.columnsChain(col("t"))).collect()
+        .map(_.getSeq[String](0).toList).toList
+      val driver = texts.map(t => a.tokens(t).toList).toList
+      assert(fused == chain, s"fused != chain for $a")
+      assert(fused == driver, s"fused != driver tokens for $a")
+    }
+    // and the fused expression participates in codegen (no UDF wrapper)
+    val plan = df.select(MatchText.Analyzer.default(col("t")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_analyze"), plan)
+  }
+
+  test("language analyzers: swedish/norwegian/danish/finnish chains") {
+    import graft.operators.MatchText
+    val sv = MatchText.Analyzer.byName("swedish")
+    assert(sv.tokens("hästarna och böckerna på husen") ==
+      Seq("häst", "böck", "hus"))
+    val no = MatchText.Analyzer.byName("norwegian")
+    assert(no.tokens("hestene og fjellene er fine") ==
+      Seq("hest", "fjell", "fin"))
+    val da = MatchText.Analyzer.byName("danish")
+    assert(da.tokens("hestene og blomsterne på markerne") ==
+      Seq("hest", "blomst", "mark"))
+    val fi = MatchText.Analyzer.byName("finnish")
+    assert(fi.tokens("kissat ja kukissa taloissa") ==
+      Seq("kissa", "kuki", "taloi"))
+  }
+
   test("match predicate requires all terms") {
     val hits = docs.filter(MatchText.matchPredicate(col("text"), "spark filter"))
       .select("doc_id").as[Long].collect().toSet
