@@ -174,6 +174,30 @@ class StatementTailSpec extends SparkTestBase {
       .head().getString(0) == "e2")
   }
 
+  test("views capture the search_path active at creation (PG semantics)") {
+    val r = newRouter()
+    try {
+      r.execute("CREATE SCHEMA vp")
+      r.execute("CREATE TABLE vp.t (v TEXT)")
+      r.execute("INSERT INTO vp.t (v) VALUES ('in-vp')")
+      r.execute("CREATE TABLE t (v TEXT)") // doc.t
+      r.execute("INSERT INTO t (v) VALUES ('in-doc')")
+      r.execute("SET search_path TO vp, doc")
+      // the stored view text is the search_path-RESOLVED statement
+      // (resolveStatement runs before routing since round 5), so the
+      // reference to bare `t` freezes to vp's table at creation — PG's
+      // rule that view objects resolve when the view is defined
+      r.execute("CREATE VIEW vview AS SELECT v FROM t")
+      r.execute("RESET search_path")
+      assert(r.execute("SELECT v FROM vview").head().getString(0) == "in-vp",
+        "view must keep reading the table its definition resolved to")
+      // a bare read AFTER reset goes back to doc.t — only the view froze
+      assert(r.execute("SELECT v FROM t").head().getString(0) == "in-doc")
+    } finally {
+      try spark.conf.unset("search_path") catch { case _: Exception => () }
+    }
+  }
+
   test("search_path resolves unqualified relations in schema order") {
     val r = newRouter()
     try {
