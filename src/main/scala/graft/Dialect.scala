@@ -825,7 +825,9 @@ object Dialect {
     val close = matchFwd(ts, par)
     if (close < 0) return None
     // bracket-aware comma split: the query vector is usually a raw
-    // `[v1, v2, …]` literal whose commas must not count
+    // `[v1, v2, …]` literal whose commas must not count. Rendered WITH
+    // the original whitespace tokens — a subquery-valued vector
+    // expression needs its separators back
     val parts = locally {
       val v = ts.slice(par + 1, close)
       val out = scala.collection.mutable.ArrayBuffer.empty[Vector[Tok]]
@@ -833,16 +835,17 @@ object Dialect {
       for (t <- v) {
         if (t.isSym("(") || t.isSym("[") || t.isSym("{")) dep += 1
         if (t.isSym(")") || t.isSym("]") || t.isSym("}")) dep -= 1
-        if (t.isSym(",") && dep == 0) { out += b.result(); b = Vector.newBuilder[Tok] }
-        else b += t
+        if (t.sig && t.isSym(",") && dep == 0) {
+          out += b.result(); b = Vector.newBuilder[Tok]
+        } else b += t
       }
       out += b.result()
-      out.toSeq.map(_.filter(_.sig))
+      out.toSeq
     }
-    if (parts.length != 3 || parts.exists(_.isEmpty)) return None
+    if (parts.length != 3 || parts.exists(_.forall(!_.sig))) return None
     val colR = render(parts(0)).trim
     val vecR = render(parts(1)).trim
-    val kR = render(parts(2)).trim
+    val kR = render(parts(2).filter(_.sig)).trim
 
     val first = ts.indexWhere(_.sig)
     if (first < 0 || !ts(first).is("select")) return None

@@ -108,6 +108,7 @@ object JsInterp {
   private case class Bin(op: String, l: Ex, r: Ex) extends Ex
   private case class Tern(c: Ex, t: Ex, f: Ex) extends Ex
   private case class ArrL(items: List[Ex]) extends Ex
+  private case class ObjL(fields: List[(String, Ex)]) extends Ex
   private case class IndexE(target: Ex, idx: Ex) extends Ex
   private case class Member(target: Ex, name: String) extends Ex
   private case class MethodCall(target: Ex, name: String, args: List[Ex]) extends Ex
@@ -355,6 +356,22 @@ object JsInterp {
         while (!isOp("]")) { items += parseExpr(); if (isOp(",")) i += 1 }
         eatOp("]")
         ArrL(items.toList)
+      case Some(Op("{")) =>
+        // object literal { key: expr, 'key': expr, … }
+        i += 1
+        val fields = scala.collection.mutable.ListBuffer.empty[(String, Ex)]
+        while (!isOp("}")) {
+          val key = peek match {
+            case Some(Id(k))  => i += 1; k
+            case Some(Str(k)) => i += 1; k
+            case other        => fail(s"expected object key, found $other")
+          }
+          eatOp(":")
+          fields += ((key, parseExpr()))
+          if (isOp(",")) i += 1
+        }
+        eatOp("}")
+        ObjL(fields.toList)
       case other => fail(s"unexpected token $other")
     }
   }
@@ -389,6 +406,16 @@ object JsInterp {
     case b: Boolean => b.toString
     case s: String => s
     case a: scala.collection.mutable.ArrayBuffer[_] => a.map(toStr).mkString(",")
+    case m: scala.collection.mutable.LinkedHashMap[_, _] =>
+      // JSON shape (not JS's "[object Object]") — the useful serialization
+      // for a UDF whose declared return type is TEXT
+      m.map { case (k, v) =>
+        val jv = v match {
+          case s: String => "\"" + s.replace("\"", "\\\"") + "\""
+          case other     => toStr(other)
+        }
+        "\"" + k + "\":" + jv
+      }.mkString("{", ",", "}")
     case other     => other.toString
   }
 
@@ -424,6 +451,8 @@ object JsInterp {
             val ix = toNum(eval(idx)).toInt
             while (a.length <= ix) a += null
             a(ix) = eval(e)
+          case m: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked =>
+            m(toStr(eval(idx))) = eval(e)
           case other => throw new IllegalStateException(
             s"cannot index-assign into ${Option(other).map(_.getClass.getSimpleName).getOrElse("null")}")
         }
@@ -493,21 +522,30 @@ object JsInterp {
       case Tern(cd, t, f) => if (truthy(eval(cd))) eval(t) else eval(f)
       case ArrL(items) =>
         scala.collection.mutable.ArrayBuffer[Any](items.map(eval): _*)
+      case ObjL(fields) =>
+        val m = new scala.collection.mutable.LinkedHashMap[String, Any]
+        fields.foreach { case (k, ex) => m(k) = eval(ex) }
+        m
       case IndexE(t, ix) => eval(t) match {
         case a: scala.collection.mutable.ArrayBuffer[Any] @unchecked =>
           a.lift(toNum(eval(ix)).toInt).orNull
+        case m: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked =>
+          m.getOrElse(toStr(eval(ix)), null)
         case s: String =>
           val k = toNum(eval(ix)).toInt
           if (k >= 0 && k < s.length) s.charAt(k).toString else null
         case _ => null
       }
-      case Member(t, "length") => eval(t) match {
-        case s: String => s.length.toDouble
-        case a: scala.collection.mutable.ArrayBuffer[_] => a.length.toDouble
-        case _ => null
+      case Member(t, name) => eval(t) match {
+        case m: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked =>
+          m.getOrElse(name, null)
+        case s: String if name == "length" => s.length.toDouble
+        case a: scala.collection.mutable.ArrayBuffer[_] if name == "length" =>
+          a.length.toDouble
+        case _ if name == "length" => null
+        case _ =>
+          throw new IllegalStateException(s"unsupported property '.$name'")
       }
-      case Member(_, m) =>
-        throw new IllegalStateException(s"unsupported property '.$m'")
       case MathCall(name, args) => mathCall(name, args.map(a => toNum(eval(a))))
       case GlobalCall(name, args) =>
         val vs = args.map(eval)
@@ -734,6 +772,12 @@ object JsInterp {
           case one => Seq(one)
         }).map(x => coerce(x, et))
       case _: DecimalType => BigDecimal(toNum(v))
+      case MapType(kt, vt, _) =>
+        (v match {
+          case m: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked =>
+            m.toSeq
+          case _ => Seq.empty[(String, Any)]
+        }).map { case (k, x) => coerce(k, kt) -> coerce(x, vt) }.toMap
       case _ => v
     }
   }

@@ -323,6 +323,20 @@ class KnnMatchSqlSpec extends SparkTestBase {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("non-literal query vectors: scalar subquery and column expressions") {
+    setup()
+    // the reference takes a literal float_vector; accepting any
+    // vector-valued expression (here: a scalar subquery picking another
+    // row's vector) is a free superset of the exact lowering — the
+    // rendered expression lands inside vector_similarity unchanged
+    val rows = spark.sql(Dialect.translate(
+      "SELECT id FROM kvecs WHERE knn_match(vec, " +
+        "(SELECT v.vec FROM kvecs v WHERE v.id = 3), 2) ORDER BY _score DESC"))
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(3L, 4L),
+      "nearest to id 3's vector are itself and the diagonal id 4")
+  }
+
   test("plan shape: exact fallback is TakeOrderedAndProject, not global sort") {
     setup()
     val plan = spark.sql(Dialect.translate(

@@ -66,6 +66,22 @@ class JsInterpSpec extends SparkTestBase {
     assert(ev(src, 7L) == "0,2,4,6")
   }
 
+  test("object literals: member/index access, mutation, JSON toStr") {
+    val src =
+      """function f(n) {
+        |  var acc = { evens: 0, odds: 0, label: 'counts' };
+        |  for (var i = 1; i <= n; i++) {
+        |    if (i % 2 == 0) { acc['evens'] = acc['evens'] + 1; }
+        |    else { acc['odds'] = acc['odds'] + 1; }
+        |  }
+        |  return acc.label + ':' + acc.evens + '/' + acc.odds;
+        |}""".stripMargin
+    assert(ev(src, 5L) == "counts:2/3")
+    // whole-object return serializes as JSON for a TEXT-declared UDF
+    val obj = "function g() { return { a: 1, b: 'x' }; }"
+    assert(JsInterp.compile(obj).eval(Nil).toString.nonEmpty)
+  }
+
   test("runaway loops die loudly at the step budget") {
     val e = intercept[IllegalStateException](
       ev("function f() { while (true) { } return 1; }"))
