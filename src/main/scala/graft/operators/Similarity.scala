@@ -101,7 +101,12 @@ object Similarity {
     *
     * Driver memory bound: `trainCap` vectors (default 65536 × dim floats ≈
     * 16 MB at dim 64) — a cap, not a scan; the sample job reads only
-    * (id, vec) columns. */
+    * (id, vec) columns. At dim ≫ 64 the cap's byte budget shrinks the
+    * effective sample (65536 × dim-1024 floats ≈ 256 MB — lower trainCap
+    * accordingly); if the sampled fit degrades recall there, skip driver
+    * refinement entirely: [[ivfBucketize]] + the distributed
+    * [[assignBuckets]] pass already give hash-seeded centroids with the
+    * identical assignment semantics, no driver collection at all. */
   def kmeansBucketize(corpus: DataFrame, numCentroids: Int, iters: Int = 3,
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       trainCap: Int = 65536): (DataFrame, DataFrame) = {
