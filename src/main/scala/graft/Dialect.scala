@@ -892,15 +892,21 @@ object Dialect {
       }
     }
     if (topIdx("or", wi + 1, tailStart) >= 0) return None
-    // collect conjunct boundaries (depth-0 ANDs)
+    // collect conjunct boundaries (depth-0 ANDs). The AND inside a
+    // depth-0 `x BETWEEN a AND b` is the range separator, not a conjunct
+    // boundary — pair it with its BETWEEN and skip it
     val andIdxs = scala.collection.mutable.ArrayBuffer.empty[Int]
     locally {
-      var depth = 0
+      var depth = 0; var betweenPending = false
       for (i <- wi + 1 until tailStart) {
         val t = ts(i)
         if (t.isSym("(") || t.isSym("[")) depth += 1
         else if (t.isSym(")") || t.isSym("]")) depth -= 1
-        else if (depth == 0 && t.kind == K.Word && t.is("and")) andIdxs += i
+        else if (depth == 0 && t.kind == K.Word && t.is("between"))
+          betweenPending = true
+        else if (depth == 0 && t.kind == K.Word && t.is("and")) {
+          if (betweenPending) betweenPending = false else andIdxs += i
+        }
       }
     }
     val bounds = (Seq(wi) ++ andIdxs ++ Seq(tailStart)).sliding(2).toSeq
@@ -911,8 +917,10 @@ object Dialect {
     val conjSig = (knnConj._1 until knnConj._2).filter(i => ts(i).sig)
     if (conjSig.headOption != Some(ki) || conjSig.lastOption != Some(close))
       return None
+    // rendered from RAW tokens: sig-filtering would drop the whitespace
+    // between words (`id BETWEEN 2 AND 10` → `idBETWEEN2AND10`)
     val rest = conjuncts.filterNot(_ == knnConj)
-      .map { case (a, b) => render(ts.slice(a, b).filter(_.sig)).trim }
+      .map { case (a, b) => render(ts.slice(a, b)).trim }
       .filter(_.nonEmpty)
     if (rest.exists(_.toLowerCase.contains("_score"))) return None
 
@@ -923,13 +931,17 @@ object Dialect {
         val t = v(i)
         if (t.kind == K.Word && t.is("_score")) lex("graft_knn_score")
         else if (t.isSym("*") && {
-          // a bare projection-item star (`SELECT *` / `SELECT *, x`), not
-          // multiplication or count(*): alone between SELECT-start/comma
-          // boundaries at depth 0
+          // a projection-item star — bare (`SELECT *` / `SELECT *, x`) or
+          // qualified (`SELECT v.*`) — not multiplication or count(*):
+          // bounded by SELECT-start/comma at depth 0. Both forms must
+          // hide the internal score column or it leaks into the schema
           val pos = sigs.indexOf(i)
-          val prevOk = pos <= 0 || v(sigs(pos - 1)).isSym(",")
           val nextOk = pos == sigs.length - 1 || v(sigs(pos + 1)).isSym(",")
-          prevOk && nextOk
+          val bare = pos <= 0 || v(sigs(pos - 1)).isSym(",")
+          val qualified = pos >= 2 && v(sigs(pos - 1)).isSym(".") &&
+            isWord(v(sigs(pos - 2))) &&
+            (pos == 2 || v(sigs(pos - 3)).isSym(","))
+          nextOk && (bare || qualified)
         }) lex("* EXCEPT (graft_knn_score)")
         else Vector(t)
       }.toVector

@@ -381,11 +381,19 @@ class StatementRouter(spark: SparkSession, root: String) {
       // enforcement runs on the search_path-resolved, schema-folded
       // statement, so a bare name is checked as the relation it actually
       // resolves to (not doc.<name>) and the closed-table guard sees
-      // tables reached via search_path
+      // tables reached via search_path. Resolution may implicitly
+      // register a schema (CREATE TABLE s.t) BEFORE authorization — if
+      // enforcement then rejects the statement, roll the registration
+      // back so an unprivileged user leaves no catalog mutation behind.
+      val schemasBefore = registeredSchemas
       val resolved = resolveStatement(stmt)
-      locally {
+      try {
         val s = Dialect.lex(resolved).filter(_.sig)
         if (s.nonEmpty) { enforcePrivileges(s); enforceOpen(s) }
+      } catch {
+        case e: Exception =>
+          (registeredSchemas -- schemasBefore).foreach(unregisterSchema)
+          throw e
       }
       val df = executeRouted(resolved)
       sources.SysCatalog.recordJob(stmt, t0, System.currentTimeMillis)
@@ -421,6 +429,19 @@ class StatementRouter(spark: SparkSession, root: String) {
       out.close()
     }
     sources.InformationSchema.registerSchema(s)
+  }
+
+  /** Reverses an implicit [[registerSchema]] when a statement fails its
+    * privilege check after resolution (authorization must not leave
+    * durable catalog mutations behind). */
+  private def unregisterSchema(s: String): Unit = {
+    val cur = registeredSchemas
+    if (cur.contains(s)) {
+      val out = fs.create(schemasFile, true)
+      out.write((cur - s).toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+      out.close()
+    }
+    sources.InformationSchema.dropSchema(s)
   }
 
   /** Fold schema-qualified relation names to flat internal names. The

@@ -488,11 +488,11 @@ object GraftFunctions {
               R.hasPrivilege(u, p, "SCHEMA", Some(sch))),
           csv(Map("create" -> "DDL", "usage" -> "DQL")))
         // CONNECT→always, TEMP→never, CREATE→any DDL at schema/cluster.
-        // Sequenced like the reference's checkPrivileges loop
-        // (HasDatabasePrivilegeFunction:81-107): CONNECT returns true
-        // immediately; otherwise each listed permission overwrites the
-        // running result, so 'temp,create' = hasCreate, 'create,temp' =
-        // false.
+        // Order-INSENSITIVE like the reference's checkPrivileges
+        // (HasDatabasePrivilegeFunction:81-107): it tests Collection
+        // membership in a fixed sequence (CONNECT, then TEMP, then
+        // CREATE), so 'temp,create' and 'create,temp' both resolve to
+        // hasCreate — input order never matters.
         privFn("has_database_privilege")(
           (u, _, perms) => {
             def hasCreate = R.allPrivileges.exists(p =>
@@ -500,10 +500,11 @@ object GraftFunctions {
                 Seq("SCHEMA", "CLUSTER").contains(p.securable) &&
                 (p.grantee == u || R.parentClosure(u).contains(p.grantee)))
             if (perms.contains("CONNECT")) true
-            else perms.foldLeft(true) {
-              case (_, "TEMP")   => false
-              case (_, "CREATE") => hasCreate
-              case (r, _)        => r
+            else {
+              var r = true
+              if (perms.contains("TEMP")) r = false
+              if (perms.contains("CREATE")) r = hasCreate
+              r
             }
           },
           csv(Map("connect" -> "CONNECT", "create" -> "CREATE",

@@ -397,7 +397,10 @@ object JsInterp {
     case null       => 0.0
     case d: Double  => d
     case b: Boolean => if (b) 1.0 else 0.0
-    case s: String  => try s.trim.toDouble catch { case _: Exception => Double.NaN }
+    case s: String  => // JS ToNumber: empty/whitespace string is 0
+      val t = s.trim
+      if (t.isEmpty) 0.0
+      else try t.toDouble catch { case _: Exception => Double.NaN }
     case _          => Double.NaN
   }
   private def toStr(v: Any): String = v match {
@@ -512,8 +515,10 @@ object JsInterp {
           case "/"  => toNum(lv) / toNum(rv)
           case "%"  => toNum(lv) % toNum(rv)
           case "**" => math.pow(toNum(lv), toNum(rv))
-          case "==" | "===" => jsEq(lv, rv)
-          case "!=" | "!==" => !jsEq(lv, rv)
+          case "==" => jsEq(lv, rv)
+          case "!=" => !jsEq(lv, rv)
+          case "===" => jsStrictEq(lv, rv)
+          case "!==" => !jsStrictEq(lv, rv)
           case "<"  => cmp(lv, rv) < 0
           case "<=" => cmp(lv, rv) <= 0
           case ">"  => cmp(lv, rv) > 0
@@ -578,12 +583,33 @@ object JsInterp {
         }
     }}
 
+    // JS abstract equality (==): same-type compares directly; a numeric
+    // or boolean operand pulls the other side through ToNumber (so
+    // '' == 0 is true, '1' == 1 is true); the reference fallback for
+    // object-ish values compares string renderings
     def jsEq(l: Any, r: Any): Boolean = (l, r) match {
       case (null, null) => true
       case (null, _) | (_, null) => false
       case (a: Double, b: Double) => a == b
       case (a: String, b: String) => a == b
       case (a: Boolean, b: Boolean) => a == b
+      case (a: Double, _) => a == toNum(r)
+      case (_, b: Double) => toNum(l) == b
+      case (_: Boolean, _) => toNum(l) == toNum(r)
+      case (_, _: Boolean) => toNum(l) == toNum(r)
+      case _ => toStr(l) == toStr(r)
+    }
+    // JS strict equality (===): differing runtime types are unequal,
+    // no coercion — 1 === '1' is false
+    def jsStrictEq(l: Any, r: Any): Boolean = (l, r) match {
+      case (null, null) => true
+      case (null, _) | (_, null) => false
+      case (a: Double, b: Double) => a == b
+      case (a: String, b: String) => a == b
+      case (a: Boolean, b: Boolean) => a == b
+      case (_: Double, _) | (_, _: Double) => false
+      case (_: String, _) | (_, _: String) => false
+      case (_: Boolean, _) | (_, _: Boolean) => false
       case _ => toStr(l) == toStr(r)
     }
     def cmp(l: Any, r: Any): Int = (l, r) match {

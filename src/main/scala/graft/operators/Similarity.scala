@@ -270,14 +270,23 @@ object Similarity {
   /** [[ivfKnnQuantized]] against a STORED index plus the float corpus for
     * rescoring: candidate generation scans only the code files (pruned to
     * the probed buckets), the float corpus is touched only by the
-    * survivor join. */
+    * survivor join.
+    *
+    * `candidateFilter` (one `cid` column) restricts candidates BEFORE
+    * k-selection — the reference's filtered vector search (Lucene runs
+    * the kNN over the filter's docset, LuceneQueryBuilder), so k MATCHING
+    * rows come back rather than `filter ∩ unfiltered-top-k`. The
+    * semi-join lands after the bucket probe: the probed code subset
+    * (bounded by nprobe buckets) shuffles against a pk-only projection of
+    * the filter — never the float corpus, never unprobed buckets. */
   def ivfKnnStored(codes: DataFrame, centroids: DataFrame,
                    corpus: DataFrame, queries: DataFrame, k: Int,
                    nprobe: Int = 4, rescoreFactor: Int = 4,
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    qIdCol: String = "vec_id",
                    qVecCol: String = "embedding",
-                   metric: String = "cosine"): DataFrame = {
+                   metric: String = "cosine",
+                   candidateFilter: Option[DataFrame] = None): DataFrame = {
     // `metric`: "cosine" (default) or "l2" — "l2" ranks by the reference's
     // vector_similarity = 1/(1+l2²) (Lucene EUCLIDEAN, the float_vector
     // default), used by the SQL knn_match route so stored-index results
@@ -292,7 +301,10 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("centroid_id"))))
       .filter(col("crk") <= nprobe)
       .select(col("qid"), col("qvec"), col("centroid_id").as("bucket"))
-    val survivors = codes.join(broadcast(probes), Seq("bucket"))
+    val probed = codes.join(broadcast(probes), Seq("bucket"))
+    val eligible = candidateFilter.fold(probed)(f =>
+      probed.join(f.select(col(f.columns.head).as("cid")), Seq("cid"), "left_semi"))
+    val survivors = eligible
       .select(col("qid"), col("qvec"), col("cid"),
         sim(dequantizeInt8(col("qcode")), col("qvec")).as("asim"))
       .withColumn("ark", row_number().over(

@@ -323,6 +323,22 @@ class KnnMatchSqlSpec extends SparkTestBase {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("qualified star (alias.*) also hides the helper score column") {
+    setup()
+    val df = spark.sql(Dialect.translate(
+      "SELECT v.* FROM kvecs v WHERE knn_match(v.vec, [0.0, 1.0], 1)"))
+    assert(df.columns.toSeq == Seq("id", "vec"))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("BETWEEN's AND is not a conjunct boundary in the WHERE split") {
+    setup()
+    val rows = spark.sql(Dialect.translate(
+      "SELECT id FROM kvecs WHERE knn_match(vec, [1.0, 0.0], 2) " +
+        "AND id BETWEEN 2 AND 10 ORDER BY _score DESC")).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 4L))
+  }
+
   test("non-literal query vectors: scalar subquery and column expressions") {
     setup()
     // the reference takes a literal float_vector; accepting any

@@ -128,4 +128,21 @@ class JsInterpSpec extends SparkTestBase {
         .stripMargin)
     assert(r.execute("SELECT js_twice(21.0) AS t").head().getDouble(0) == 42.0)
   }
+
+  test("strict vs loose equality follow the JS algorithms") {
+    // === requires matching runtime types — no coercion
+    assert(ev("function f(a) { return a === '1'; }", 1L) == false)
+    assert(ev("function f(a) { return a !== '1'; }", 1L) == true)
+    assert(ev("function f(a) { return a === 1; }", 1L) == true)
+    assert(ev("function f() { return 'x' === 'x'; }") == true)
+    assert(ev("function f() { return true === 1; }") == false)
+    // == coerces through ToNumber when one side is numeric or boolean
+    assert(ev("function f(a) { return a == '1'; }", 1L) == true)
+    assert(ev("function f() { return '' == 0; }") == true)
+    assert(ev("function f() { return '  ' == 0; }") == true)
+    assert(ev("function f() { return true == 1; }") == true)
+    assert(ev("function f() { return false == ''; }") == true)
+    assert(ev("function f() { return 'a' == 0; }") == false)
+    assert(ev("function f(a) { return a != '2'; }", 1L) == true)
+  }
 }

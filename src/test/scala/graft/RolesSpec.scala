@@ -189,7 +189,18 @@ class RolesSpec extends SparkTestBase {
     // sys.* needs a cluster grant
     assert(intercept[Exception](r.execute("SELECT name FROM sys.cluster"))
       .getMessage.contains("Missing 'DQL'"))
+    // a rejected qualified CREATE TABLE must not leave its implicitly
+    // created schema behind (catalog mutation only after authorization)
+    assert(intercept[Exception](
+      r.execute("CREATE TABLE sneaky.t (id BIGINT)"))
+      .getMessage == "Missing 'DDL' privilege for user 'dave'")
+    assert(!r.execute(
+      "SELECT schema_name FROM information_schema.schemata")
+      .collect().map(_.getString(0)).contains("sneaky"))
     r.execute("RESET SESSION AUTHORIZATION")
+    assert(!r.execute(
+      "SELECT schema_name FROM information_schema.schemata")
+      .collect().map(_.getString(0)).contains("sneaky"))
     // back to the process superuser: everything works again
     r.execute("SELECT * FROM secrets").collect()
     r.execute("DROP TABLE secrets")
@@ -228,15 +239,18 @@ class RolesSpec extends SparkTestBase {
       r.execute("SET SESSION AUTHORIZATION frank")
       r.execute("DROP TABLE s5.t")
       r.execute("RESET SESSION AUTHORIZATION")
-      // combined has_database_privilege lists sequence like the
-      // reference: a listed CREATE overwrites the TEMP false
+      // combined has_database_privilege lists are order-INSENSITIVE
+      // like the reference (HasDatabasePrivilegeFunction:81-107 checks
+      // membership in a fixed TEMP-then-CREATE sequence): both orderings
+      // resolve to hasCreate, and any listed CONNECT wins outright
       r.execute("GRANT DDL ON SCHEMA doc TO frank")
       graft.functions.GraftFunctions.registerAll(spark)
       def hdp(perms: String): Boolean =
         r.execute(s"SELECT has_database_privilege('frank', 'crate', '$perms') AS p")
           .head().getBoolean(0)
       assert(hdp("temp,create"))
-      assert(!hdp("create,temp"))
+      assert(hdp("create,temp"))
+      assert(!hdp("temp"))
       assert(hdp("temp,connect"))
     } finally {
       try spark.conf.unset("search_path") catch { case _: Exception => () }
