@@ -1255,11 +1255,20 @@ class StatementRouter(spark: SparkSession, root: String) {
     * stored codes; a changed table patches incrementally via
     * [[graft.operators.Similarity.updateQuantizedIndex]] (assign-to-fixed-
     * centroids over the row diff) when [[indexDelta]] reports small churn,
-    * and rebuilds otherwise. Conservative: extra WHERE conjuncts (the
-    * exact path PRE-filters, reference semantics, which a post-join can't
-    * replay), a missing index or composite PK, non-literal vectors, and
-    * multi-call shapes all return None — [[Dialect]]'s exact
-    * TakeOrderedAndProject lowering then runs. */
+    * and rebuilds otherwise.
+    *
+    * Extra WHERE conjuncts PRE-filter through the index (reference
+    * semantics — Lucene searches over the filter's docset,
+    * LuceneQueryBuilder, so k MATCHING rows return): the rest-conjunct
+    * predicate runs as a pk-only projection over the table and semi-joins
+    * into the bucket-pruned candidate scan before k-selection. Non-literal
+    * query vectors (subqueries, function calls) are evaluated once on the
+    * driver — a query vector is a single row by definition — and served
+    * from the index like a literal. Conservative bails: a missing index
+    * or composite PK, OR around the knn conjunct, `_score` inside a
+    * pre-filter, multi-call shapes, or a filter/vector that fails to
+    * evaluate all return None — [[Dialect]]'s exact TakeOrderedAndProject
+    * lowering then runs. */
   private def routeKnnStored(sql: String): Option[String] = {
     if (!sql.toLowerCase.contains("knn_match")) return None
     val sig = Dialect.lex(sql).filter(_.sig)
@@ -1273,23 +1282,26 @@ class StatementRouter(spark: SparkSession, root: String) {
     val parts = splitTopCommas(sig.slice(ki + 2, close))
     if (parts.length != 3) return None
     val targetCol = unq(parts(0).last).toLowerCase
-    // literal query vector `[n, n, …]` only — expressions fall through
+    // query vector: a `[n, n, …]` literal parses directly; anything else
+    // is kept as an expression and evaluated once on the driver after the
+    // cheap shape checks below succeed
     val vecToks = parts(1)
-    if (!vecToks.headOption.exists(_.isSym("[")) ||
-        !vecToks.lastOption.exists(_.isSym("]"))) return None
-    val nums = scala.collection.mutable.ArrayBuffer.empty[Float]
-    locally {
-      var i = 1; var sign = 1.0f
-      while (i < vecToks.length - 1) {
-        val t = vecToks(i)
-        if (t.isSym("-")) sign = -sign
-        else if (t.isSym("+") || t.isSym(",")) ()
-        else if (t.kind == Dialect.K.Num) { nums += sign * t.text.toFloat; sign = 1.0f }
-        else return None
-        i += 1
-      }
-    }
-    if (nums.isEmpty) return None
+    if (!vecToks.exists(_.sig)) return None
+    val litNums: Option[Seq[Float]] =
+      if (vecToks.headOption.exists(_.isSym("[")) &&
+          vecToks.lastOption.exists(_.isSym("]"))) {
+        val nums = scala.collection.mutable.ArrayBuffer.empty[Float]
+        var bad = false; var i = 1; var sign = 1.0f
+        while (i < vecToks.length - 1 && !bad) {
+          val t = vecToks(i)
+          if (t.isSym("-")) sign = -sign
+          else if (t.isSym("+") || t.isSym(",")) ()
+          else if (t.kind == Dialect.K.Num) { nums += sign * t.text.toFloat; sign = 1.0f }
+          else bad = true
+          i += 1
+        }
+        if (bad || nums.isEmpty) None else Some(nums.toSeq)
+      } else None
     val k = parts(2) match {
       case Vector(t) if t.kind == Dialect.K.Num =>
         t.text.toIntOption.getOrElse(return None)
@@ -1327,10 +1339,12 @@ class StatementRouter(spark: SparkSession, root: String) {
       case _ => ()
     }
 
-    // WHERE must be exactly the knn_match conjunct (no pre-filters here —
-    // see scaladoc; filtered searches keep the exact path)
+    // WHERE: depth-0 AND conjuncts; the knn_match call must stand alone
+    // as one of them, the REST become the docset pre-filter (reference
+    // filters BEFORE k-selection). OR around the knn conjunct cannot be
+    // served from the index
     val wi = sig.indexWhere(t => t.kind == Dialect.K.Word && t.is("where"))
-    if (wi < 0 || ki != wi + 1) return None
+    if (wi < 0 || ki <= wi) return None
     val tailKw = Set("group", "order", "limit", "having", "offset", "window")
     var tailStart = sig.length
     locally {
@@ -1344,7 +1358,63 @@ class StatementRouter(spark: SparkSession, root: String) {
         i += 1
       }
     }
-    if (close != tailStart - 1) return None
+    // depth-0 AND boundaries — BETWEEN's AND is a range separator
+    val andIdxs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    locally {
+      var depth = 0; var betweenPending = false
+      for (i <- wi + 1 until tailStart) {
+        val t = sig(i)
+        if (t.isSym("(") || t.isSym("[")) depth += 1
+        else if (t.isSym(")") || t.isSym("]")) depth -= 1
+        else if (depth == 0 && t.kind == Dialect.K.Word && t.is("or"))
+          return None
+        else if (depth == 0 && t.kind == Dialect.K.Word && t.is("between"))
+          betweenPending = true
+        else if (depth == 0 && t.kind == Dialect.K.Word && t.is("and")) {
+          if (betweenPending) betweenPending = false else andIdxs += i
+        }
+      }
+    }
+    val conjBounds = (Seq(wi) ++ andIdxs ++ Seq(tailStart)).sliding(2).toSeq
+      .map { case Seq(a, b) => (a + 1, b) }
+    val knnConj = conjBounds.find { case (a, b) => a <= ki && close < b }
+      .getOrElse(return None)
+    if (knnConj._1 != ki || knnConj._2 != close + 1) return None
+    val restConjs = conjBounds.filterNot(_ == knnConj)
+      .map { case (a, b) => sig.slice(a, b).map(_.text).mkString(" ").trim }
+      .filter(_.nonEmpty)
+    if (restConjs.exists(_.toLowerCase.contains("_score"))) return None
+
+    // non-literal query vector: evaluate the expression once on the
+    // driver (single row by definition); a failure — unresolvable
+    // columns, multi-row subquery, wrong type — falls back to the exact
+    // path, which reports it loudly
+    val queryVec: Seq[Float] = litNums.getOrElse {
+      val exprR = vecToks.map(_.text).mkString(" ")
+      try {
+        val row = spark.sql(Dialect.translate(
+          s"SELECT CAST(($exprR) AS ARRAY<FLOAT>) AS graft_qv")).head()
+        val seq = row.getSeq[Float](0)
+        if (seq == null || seq.isEmpty) return None
+        seq
+      } catch { case scala.util.control.NonFatal(_) => return None }
+    }
+
+    // docset pre-filter: pk-only projection of the rest conjuncts over
+    // the table snapshot, semi-joined into the candidate scan inside
+    // ivfKnnStored — the float corpus is never touched by the filter
+    scoredMatchN += 1
+    val knnN = scoredMatchN
+    val candFilter: Option[DataFrame] = if (restConjs.isEmpty) None else {
+      val fview = s"graft_knn_filter_$knnN"
+      readTable(table).createOrReplaceTempView(fview)
+      val fsql = s"SELECT $pk AS cid FROM $fview $rel WHERE " +
+        restConjs.mkString("(", ") AND (", ")")
+      try Some(spark.sql(Dialect.translate(fsql)))
+      catch { case scala.util.control.NonFatal(_) => return None }
+    }
+    StatementRouter.lastKnnRoute.set(
+      if (candFilter.isDefined) "stored-index-filtered" else "stored-index")
 
     // durable index at the committed version: load, patch, or build
     val Array(_, centStr, nprobeStr) = spec.analyzer.split(":")
@@ -1396,13 +1466,13 @@ class StatementRouter(spark: SparkSession, root: String) {
     }
 
     import spark.implicits._
-    val queries = Seq((0L, nums.toSeq)).toDF("vec_id", "embedding")
+    val queries = Seq((0L, queryVec)).toDF("vec_id", "embedding")
     val hits = graft.operators.Similarity.ivfKnnStored(
         codes, centroids, readTable(table), queries, k, nprobe,
-        idCol = pk, vecCol = vecCol, metric = "l2")
+        idCol = pk, vecCol = vecCol, metric = "l2",
+        candidateFilter = candFilter)
       .select(col("cid").as("graft_knn_id"), col("sim").as("graft_knn_sim"))
-    scoredMatchN += 1
-    val view = s"graft_knn_hits_$scoredMatchN"
+    val view = s"graft_knn_hits_$knnN"
     hits.createOrReplaceTempView(view)
 
     val out = new StringBuilder
@@ -3647,5 +3717,11 @@ object StatementRouter {
   /** How the last knn_match stored-index resolution happened —
     * "loaded" | "delta" | "full"; spec-observability only. */
   private[graft] val lastVecIndexBuild =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+  /** Which knn_match route served the last statement —
+    * "stored-index" | "stored-index-filtered" (set only when the stored
+    * route fires; the exact Dialect fallback leaves it untouched, so
+    * reset before asserting). Also surfaced by EXPLAIN. */
+  private[graft] val lastKnnRoute =
     new java.util.concurrent.atomic.AtomicReference[String]("")
 }

@@ -69,21 +69,51 @@ class KnnStoredRouteSpec extends SparkTestBase {
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
-  test("extra WHERE conjuncts keep the exact pre-filtering path") {
+  test("extra WHERE conjuncts pre-filter THROUGH the stored index") {
     val root = Files.createTempDirectory("graft_knn3").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute(
       """CREATE TABLE vt3 (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(2),
-        |  INDEX iv USING VECTOR (emb))""".stripMargin)
+        |  INDEX iv USING VECTOR (emb) WITH (centroids = 2, nprobe = 2))"""
+        .stripMargin)
     r.execute("INSERT INTO vt3 (id, emb) VALUES " +
       "(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])")
     StatementRouter.lastVecIndexBuild.set("")
+    StatementRouter.lastKnnRoute.set("")
     val rows = r.execute(
       "SELECT id FROM vt3 WHERE id > 1 AND knn_match(emb, [1.0, 0.0], 1)")
       .collect()
-    // pre-filter semantics: k rows from the FILTERED corpus (id=2, not 1)
+    // pre-filter semantics: k rows from the FILTERED corpus (id=2, not
+    // the global nearest id=1), served from the index, not the fallback
     assert(rows.map(_.getLong(0)).toSeq == Seq(2L))
-    assert(StatementRouter.lastVecIndexBuild.get() == "",
-      "filtered searches must not take the stored route")
+    assert(StatementRouter.lastVecIndexBuild.get() != "",
+      "filtered searches must be served from the stored index")
+    assert(StatementRouter.lastKnnRoute.get() == "stored-index-filtered")
+    // BETWEEN inside the pre-filter: its AND is not a conjunct boundary
+    StatementRouter.lastKnnRoute.set("")
+    val rows2 = r.execute(
+      "SELECT id FROM vt3 WHERE id BETWEEN 2 AND 3 " +
+        "AND knn_match(emb, [1.0, 0.0], 1)").collect()
+    assert(rows2.map(_.getLong(0)).toSeq == Seq(2L))
+    assert(StatementRouter.lastKnnRoute.get() == "stored-index-filtered")
+  }
+
+  test("non-literal query vectors are served from the stored index") {
+    val root = Files.createTempDirectory("graft_knn4").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute(
+      """CREATE TABLE vt4 (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(2),
+        |  INDEX iv USING VECTOR (emb) WITH (centroids = 2, nprobe = 2))"""
+        .stripMargin)
+    r.execute("INSERT INTO vt4 (id, emb) VALUES " +
+      "(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])")
+    StatementRouter.lastKnnRoute.set("")
+    // scalar subquery picks row 3's vector; nearest to it are 3 then 2
+    val rows = r.execute(
+      "SELECT id FROM vt4 WHERE knn_match(emb, " +
+        "(SELECT v.emb FROM vt4 v WHERE v.id = 3), 2) " +
+        "ORDER BY _score DESC").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(3L, 2L))
+    assert(StatementRouter.lastKnnRoute.get() == "stored-index")
   }
 }
