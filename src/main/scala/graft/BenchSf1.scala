@@ -41,8 +41,17 @@ object BenchSf1 {
     "q02_tpch_q1", "q09_join_inner", "q130_tpch_q7ish", "q157_tpch_q9ish",
     "q159_tpch_q13ish", "q146_tpch_q8ish", "q163_tpch_q21ish",
     "q57_dedup_exact", "q62_dedup_minhash", "q63_dedup_simhash",
-    "q65_knn_bruteforce", "q67_embedding_neardup",
+    "q65_knn_bruteforce", "q221_embedding_neardup",
     "q135_embedding_neardup_lsh", "q207_gopher_rules", "q208_incremental_dedup")
+
+  /** Wave 2 (round-7 verdict ask #9): the ROUTED index family — stored
+    * IVF build+probe, BM25 single/fielded index routes, delta
+    * maintenance, the filtered stored route. Index BUILD time dominates
+    * these rows, which is exactly where superlinear surprises would
+    * hide. Selected with SPARK_GRAFT_SF1_WAVE=2 → BENCH_sf1_wave2.json. */
+  private val wave2 = Seq(
+    "q210_knn_stored", "q215_knn_filtered_stored", "q216_knn_subquery_vector",
+    "q187_indexed_score", "q195_fielded_index_score", "q202_ivf_delta")
 
   private def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dst)
@@ -90,7 +99,10 @@ object BenchSf1 {
       System.gc()
     }
 
-    def time(name: String, dir: String): Double = {
+    // (cold, warm): rep 1 includes router-table creation and the durable
+    // index BUILD (the superlinear-risk path); rep 2 serves from the
+    // loaded index — both ratios matter for the routed-index wave
+    def time(name: String, dir: String): (Double, Double) = {
       def once(): Double = {
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, dir)
@@ -99,25 +111,31 @@ object BenchSf1 {
           System.err.println(s"[bench_sf1] $name @ $dir failed: $e") }
         (System.nanoTime() - t0) / 1e9
       }
-      val r = math.min(once(), once())
+      val cold = once(); val warm = once()
       graft.operators.MatchText.IndexCache.clear()
       cleanupStorage()
-      r
+      (cold, warm)
     }
 
-    val rows = headline.map { q =>
-      val a = time(q, sf01)
-      val b = time(q, sf1)
-      System.err.println(f"[bench_sf1] $q%-28s sf0.1=$a%7.2fs sf1=$b%8.2fs ratio=${b / a}%5.1f")
-      q -> (a, b)
+    val wave2Run = sys.env.get("SPARK_GRAFT_SF1_WAVE").contains("2")
+    val picked = if (wave2Run) wave2 else headline
+    val outFile = if (wave2Run) "BENCH_sf1_wave2.json" else "BENCH_sf1.json"
+    val rows = picked.map { q =>
+      val (a, aw) = time(q, sf01)
+      val (b, bw) = time(q, sf1)
+      System.err.println(f"[bench_sf1] $q%-28s sf0.1=${math.min(a, aw)}%7.2fs " +
+        f"sf1=${math.min(b, bw)}%8.2fs ratio=${math.min(b, bw) / math.min(a, aw)}%5.1f " +
+        f"cold_ratio=${b / a}%5.1f")
+      q -> (a, aw, b, bw)
     }
-    val qs = rows.map { case (q, (a, b)) =>
-      f""""$q":{"sf01":$a%.3f,"sf1":$b%.3f,"ratio":${b / a}%.2f}"""
+    val qs = rows.map { case (q, (a, aw, b, bw)) =>
+      val (ma, mb) = (math.min(a, aw), math.min(b, bw))
+      f""""$q":{"sf01":$ma%.3f,"sf1":$mb%.3f,"ratio":${mb / ma}%.2f,""" +
+        f""""sf01_cold":$a%.3f,"sf1_cold":$b%.3f,"cold_ratio":${b / a}%.2f}"""
     }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"sf1_scale_proof","data_ratio":$Copies,"queries":$qs}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_sf1.json"), json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
     spark.stop()
     println(json)
   }

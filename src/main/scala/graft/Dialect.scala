@@ -917,10 +917,12 @@ object Dialect {
     val conjSig = (knnConj._1 until knnConj._2).filter(i => ts(i).sig)
     if (conjSig.headOption != Some(ki) || conjSig.lastOption != Some(close))
       return None
-    // rendered from RAW tokens: sig-filtering would drop the whitespace
-    // between words (`id BETWEEN 2 AND 10` → `idBETWEEN2AND10`)
+    // sig tokens joined with single spaces: drops `--`/`/* */` comments
+    // (raw render would embed a line comment that comments out the
+    // generated closing paren) while keeping word separation
     val rest = conjuncts.filterNot(_ == knnConj)
-      .map { case (a, b) => render(ts.slice(a, b)).trim }
+      .map { case (a, b) =>
+        ts.slice(a, b).filter(_.sig).map(_.text).mkString(" ").trim }
       .filter(_.nonEmpty)
     if (rest.exists(_.toLowerCase.contains("_score"))) return None
 

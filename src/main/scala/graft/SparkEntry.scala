@@ -25,7 +25,8 @@ object SparkEntry {
       QueriesFunctions3.queries ++ QueriesFunctions4.queries ++
       QueriesFunctions5.queries ++
       QueriesComposite.queries ++ QueriesPipeline.queries ++
-      QueriesRound3.queries ++ QueriesRound4.queries ++ QueriesRound5.queries
+      QueriesRound3.queries ++ QueriesRound4.queries ++
+      QueriesRound5.queries ++ QueriesRound7.queries
 
   def oracleSql: Map[String, String] =
     QueriesRelational.oracles ++ QueriesWindow.oracles ++
@@ -33,5 +34,6 @@ object SparkEntry {
       QueriesFunctions3.oracles ++ QueriesFunctions4.oracles ++
       QueriesFunctions5.oracles ++
       QueriesComposite.oracles ++ QueriesPipeline.oracles ++
-      QueriesRound3.oracles ++ QueriesRound4.oracles ++ QueriesRound5.oracles
+      QueriesRound3.oracles ++ QueriesRound4.oracles ++
+      QueriesRound5.oracles ++ QueriesRound7.oracles
 }

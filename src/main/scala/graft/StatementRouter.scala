@@ -143,6 +143,18 @@ class StatementRouter(spark: SparkSession, root: String) {
         if (pk.nonEmpty) sources.InformationSchema.registerPrimaryKey(name, pk)
       }
     }
+    // foreign tables surface as temp views over live JDBC scans
+    // (reference fdw/JdbcForeignDataWrapper.java materializes a
+    // ForeignCollect phase per query; Spark's JDBC source gives the same
+    // per-query scan plus predicate pushdown). Best-effort: an
+    // unreachable foreign server must not poison unrelated statements —
+    // the failing view simply isn't registered and the query on it
+    // reports resolution failure.
+    sources.Fdw.listForeignTables.foreach { case (name, _) =>
+      try sources.Fdw.scan(spark, name, sources.Roles.sessionUser(spark))
+        .createOrReplaceTempView(name)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     // SQL views on top of the table snapshots (reference CreateViewPlan /
     // ViewsMetadata: a view is stored query text, re-analyzed per use so it
     // always reads the CURRENT table version). Views may reference other
@@ -666,21 +678,44 @@ class StatementRouter(spark: SparkSession, root: String) {
       case "show" if sig.length > 1 && sig(1).is("tables")  => showTables(sig)
       case "show" if sig.length > 1 && sig(1).is("columns") => showColumns(sig)
       // non-recording: execute() logs the statement once for every route
-      case _          =>
-        registerViews()
-        val stmtSys = rewriteSystemColumns(stmt)
-        // multi-column MATCH + _score routes on the RAW statement (the
-        // per-field boosts are only visible before the dialect lowers the
-        // MATCH); single-column routes on the translated form.
-        val pre0 = routeFieldedScore(stmtSys).getOrElse(stmtSys)
-        // stored-vector-index upgrade runs BEFORE the dialect, which
-        // would otherwise lower knn_match to its exact fallback
-        val pre = routeKnnStored(pre0).getOrElse(pre0)
-        val translated = Dialect.translate(pre)
-        routeIndexedScore(translated) match {
-          case Some(routed) => spark.sql(routed)
-          case None         => spark.sql(applyDeclaredAnalyzers(translated))
-        }
+      case _          => resolveSelect(stmt)
+    }
+  }
+
+  /** The default (query) route: MATCH/knn index upgrades, dialect
+    * lowering, declared-analyzer application. Records WHICH route served
+    * the statement in [[StatementRouter.lastSelectRoute]] — the
+    * provenance `EXPLAIN` prepends to its plan text. */
+  private def resolveSelect(stmt: String): DataFrame = {
+    registerViews()
+    val stmtSys = rewriteSystemColumns(stmt)
+    // multi-column MATCH + _score routes on the RAW statement (the
+    // per-field boosts are only visible before the dialect lowers the
+    // MATCH); single-column routes on the translated form.
+    val fielded = routeFieldedScore(stmtSys)
+    val pre0 = fielded.getOrElse(stmtSys)
+    // stored-vector-index upgrade runs BEFORE the dialect, which
+    // would otherwise lower knn_match to its exact fallback
+    StatementRouter.lastKnnProbe.set("")
+    StatementRouter.lastVecIndexBuild.set("")
+    val knn = routeKnnStored(pre0)
+    val pre = knn.getOrElse(pre0)
+    val translated = Dialect.translate(pre)
+    val scored = routeIndexedScore(translated)
+    StatementRouter.lastSelectRoute.set(
+      if (knn.isDefined) {
+        val b = StatementRouter.lastVecIndexBuild.get()
+        val p = StatementRouter.lastKnnProbe.get()
+        StatementRouter.lastKnnRoute.get() +
+          (if (b.isEmpty) "" else s", index $b") +
+          (if (p.isEmpty) "" else s", probe $p")
+      }
+      else if (fielded.isDefined) "indexed-score-fielded-bm25"
+      else if (scored.isDefined) "indexed-score-bm25"
+      else "exact")
+    scored match {
+      case Some(routed) => spark.sql(routed)
+      case None         => spark.sql(applyDeclaredAnalyzers(translated))
     }
   }
 
@@ -818,8 +853,7 @@ class StatementRouter(spark: SparkSession, root: String) {
     val scores = graft.operators.MatchText
       .scoreFieldedBM25(idx, query, boosts, method)
       .select(col("doc_id").as("graft_score_id"), col("score").as("graft_bm25f"))
-    scoredMatchN += 1
-    val view = s"graft_fielded_scores_$scoredMatchN"
+    val view = s"graft_fielded_scores_$nextViewN"
     scores.createOrReplaceTempView(view)
 
     // token rewrite: _score → view score, the MATCH clause → TRUE, the
@@ -840,7 +874,11 @@ class StatementRouter(spark: SparkSession, root: String) {
     Some(out.toString.trim)
   }
 
-  private var scoredMatchN = 0
+  // JVM-global: per-statement temp view names (graft_match_scores_N,
+  // graft_knn_filter_N, …) must not collide across router instances
+  // sharing one SparkSession — a second router restarting at 1 would
+  // silently replace (and on failure, drop) another router's live view
+  private def nextViewN: Long = StatementRouter.viewSeq.incrementAndGet()
 
   /** Hidden system columns on router tables (reference
     * `docs/general/ddl/system-columns.rst`, `metadata/doc/SysColumns
@@ -880,27 +918,66 @@ class StatementRouter(spark: SparkSession, root: String) {
       case Seq(one) => s"CAST($one AS STRING)"
       case many     => s"concat_ws('|', ${many.map(c => s"CAST($c AS STRING)").mkString(", ")})"
     }
+    // per-row OCC applies when the table is unpartitioned and keyed:
+    // `_seq_no` resolves through the row-diff walk ([[seqNoMapDf]]) —
+    // SELECTs swap the FROM reference to a seq-joined overlay view;
+    // UPDATE/DELETE keep the target name and join in [[update]]/[[delete]]
+    val bareSeq = sig.indices.exists(i => sig(i).kind == Dialect.K.Word &&
+      sig(i).is("_seq_no") && !(i > 0 && sig(i - 1).isSym(".")))
+    val perRow = bareSeq && pk.nonEmpty &&
+      VersionedTable.partitionSpec(spark, tablePath(table)).isEmpty
+    val isDml = sig(0).is("update") || sig(0).is("delete")
+    val fromStop = Set("where", "group", "order", "limit", "having",
+      "offset", "window", "join", "inner", "left", "right", "full",
+      "cross", "on", "union", "intersect", "except", "qualify", "returning")
     val out = new StringBuilder
     var changed = false
     sig.indices.foreach { i =>
       val t = sig(i)
       val prevDot = i > 0 && sig(i - 1).isSym(".")
+      if (i == ti && perRow && !isDml) {
+        changed = true
+        val overlay = s"graft_seqt_$nextViewN"
+        withSeqNo(readTable(table), table, version)
+          .createOrReplaceTempView(overlay)
+        out.append(overlay)
+        // keep the original name usable as a qualifier unless the
+        // statement aliases the relation itself
+        val aliased = sig.lift(i + 1).exists(t2 => t2.is("as") ||
+          (isWordT(t2) && !fromStop.contains(t2.text.toLowerCase)))
+        if (!aliased) out.append(s" $table")
+        out.append(' ')
+      } else if (perRow && !isDml && t.isSym("*") && {
+        // a projection-item star — bare or qualified — must hide the
+        // overlay's internal seq column (the passKnnMatch precedent:
+        // `v.* EXCEPT (col)` parses)
+        val bare = i == 0 || sig(i - 1).is("select") || sig(i - 1).isSym(",")
+        val qualified = i >= 2 && sig(i - 1).isSym(".") && isWordT(sig(i - 2)) &&
+          (i == 2 || sig(i - 3).is("select") || sig(i - 3).isSym(","))
+        val nextOk = sig.lift(i + 1).forall(t2 => t2.isSym(",") || t2.is("from"))
+        (bare || qualified) && nextOk
+      }) {
+        changed = true
+        out.append("* EXCEPT (__graft_seq_no) ")
+      } else {
       val repl =
         if (t.kind == Dialect.K.Word && !prevDot) t.text.toLowerCase match {
           case "_id"      => Some(s"$idExpr")
           case "_raw"     => Some("to_json(struct(*))")
           case "_version" => Some(s"CAST($version AS BIGINT)")
           case "_docid"   => Some("monotonically_increasing_id()")
-          // conservative OCC (occ.rst): the snapshot version stands in
-          // for the per-row sequence — `UPDATE … WHERE _seq_no = x`
-          // succeeds only if nothing RELEVANT changed since the read, a
-          // strict superset of the reference's per-row no-concurrent-
-          // write guarantee (false conflicts allowed, lost updates
-          // never). Partitioned tables narrow the granularity: _seq_no
-          // resolves per ROW to the version at which the row's PARTITION
-          // last changed ([[seqNoExpr]]), so concurrent writes to
-          // different partitions no longer conflict.
-          case "_seq_no"       => Some(seqNoExpr(table, version))
+          // OCC (occ.rst): on an unpartitioned keyed table `_seq_no`
+          // resolves PER ROW to the version at which the row's hash last
+          // changed ([[seqNoMapDf]] row-diff walk — the reference's
+          // per-row `_seq_no`, SysColumns.java:49-64, up to the walk
+          // bound). Value-partitioned tables resolve per row to the
+          // version at which the row's PARTITION last changed
+          // ([[seqNoExpr]]); keyless tables keep the table-version
+          // stand-in. Every approximation is an upper bound: extra
+          // false conflicts possible, lost updates never.
+          case "_seq_no" =>
+            if (perRow) Some("__graft_seq_no")
+            else Some(seqNoExpr(table, version))
           case "_primary_term" => Some("CAST(1 AS BIGINT)")
           case _          => None
         } else None
@@ -915,9 +992,79 @@ class StatementRouter(spark: SparkSession, root: String) {
           out.append(' ')
         case None => out.append(t.text).append(' ')
       }
+      }
     }
     if (changed) out.toString.trim else stmt
   }
+
+  /** Per-row `_seq_no` map for an UNPARTITIONED pk-carrying table
+    * (reference `metadata/doc/SysColumns.java:49-64` stores a per-doc
+    * sequence): walks committed snapshots newest-first (≤64, or until a
+    * vacuumed version stops the walk) hashing each row once per version
+    * — narrow (pk-concat, xxhash64) projections — and resolves each pk
+    * to the LATEST version at which its hash changed, appeared, or
+    * re-appeared after a gap. One union + one window shuffle; rows
+    * older than the walk floor resolve to the floor — an upper bound on
+    * the true last write, so any truncation degrades conservatively
+    * toward the table-version approximation (extra false conflicts,
+    * never a lost update). Result is localCheckpointed and memoized per
+    * (table, version). */
+  private val seqNoMaps =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[DataFrame]]()
+  private def seqNoMapDf(table: String, version: Int): Option[DataFrame] =
+    seqNoMaps.computeIfAbsent(s"$table#$version", _ => {
+      val path = tablePath(table)
+      val pk = VersionedTable.primaryKey(spark, path)
+      if (pk.isEmpty || VersionedTable.partitionSpec(spark, path).isDefined)
+        None
+      else try {
+        val snaps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        var v = version
+        var ok = true
+        while (ok && v >= 1 && version - v < 64) {
+          try {
+            val df = VersionedTable.readVersion(spark, path, v)
+            snaps += df.select(
+              concat_ws("|", pk.map(c => col(c).cast("string")): _*)
+                .as("graft_seq_pk"),
+              xxhash64(df.columns.sorted.map(col): _*).as("h"),
+              lit(v).cast("long").as("v"))
+            v -= 1
+          } catch { case scala.util.control.NonFatal(_) => ok = false }
+        }
+        if (snaps.isEmpty) None
+        else {
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy(col("graft_seq_pk")).orderBy(col("v"))
+          val all = snaps.reduce(_ unionByName _)
+          Some(all
+            .select(col("graft_seq_pk"), col("v"),
+              (lag(col("h"), 1).over(w).isNull ||
+                lag(col("h"), 1).over(w) =!= col("h") ||
+                lag(col("v"), 1).over(w) =!= col("v") - 1).as("chg"))
+            .filter(col("chg"))
+            .groupBy(col("graft_seq_pk"))
+            .agg(max(col("v")).as("__graft_seq_no"))
+            .localCheckpoint())
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    })
+
+  /** The snapshot with its per-row `__graft_seq_no` joined on (pk-concat);
+    * rows the map misses (concurrent edge) resolve to the table version —
+    * conservative. */
+  private def withSeqNo(df: DataFrame, table: String, version: Int): DataFrame =
+    seqNoMapDf(table, version) match {
+      case Some(m) =>
+        val pk = VersionedTable.primaryKey(spark, tablePath(table))
+        df.withColumn("graft_seq_pk",
+            concat_ws("|", pk.map(c => col(c).cast("string")): _*))
+          .join(m, Seq("graft_seq_pk"), "left")
+          .withColumn("__graft_seq_no",
+            coalesce(col("__graft_seq_no"), lit(version).cast("long")))
+          .drop("graft_seq_pk")
+      case None => df.withColumn("__graft_seq_no", lit(version).cast("long"))
+    }
 
   /** Partition-granular `_seq_no` (occ.rst; reference `SysColumns.java:
     * 49-64` is per-ROW): for a value-partitioned table, a row's sequence
@@ -1181,8 +1328,7 @@ class StatementRouter(spark: SparkSession, root: String) {
     // non-colliding column names: the base table may have doc_id/score
     val scores = graft.operators.MatchText.scoreBM25(idx, query)
       .select(col("doc_id").as("graft_score_id"), col("score").as("graft_bm25"))
-    scoredMatchN += 1
-    val view = s"graft_match_scores_$scoredMatchN"
+    val view = s"graft_match_scores_$nextViewN"
     scores.createOrReplaceTempView(view)
 
     // token rewrite: score calls → view.score, match predicate → TRUE,
@@ -1403,15 +1549,19 @@ class StatementRouter(spark: SparkSession, root: String) {
     // docset pre-filter: pk-only projection of the rest conjuncts over
     // the table snapshot, semi-joined into the candidate scan inside
     // ivfKnnStored — the float corpus is never touched by the filter
-    scoredMatchN += 1
-    val knnN = scoredMatchN
+    val knnN = nextViewN
     val candFilter: Option[DataFrame] = if (restConjs.isEmpty) None else {
       val fview = s"graft_knn_filter_$knnN"
       readTable(table).createOrReplaceTempView(fview)
       val fsql = s"SELECT $pk AS cid FROM $fview $rel WHERE " +
         restConjs.mkString("(", ") AND (", ")")
       try Some(spark.sql(Dialect.translate(fsql)))
-      catch { case scala.util.control.NonFatal(_) => return None }
+      catch { case scala.util.control.NonFatal(_) =>
+        // analysis failed → exact path serves the statement; drop the
+        // view so the failed attempt leaves nothing in the catalog
+        spark.catalog.dropTempView(fview)
+        return None
+      }
     }
     StatementRouter.lastKnnRoute.set(
       if (candFilter.isDefined) "stored-index-filtered" else "stored-index")
@@ -1467,11 +1617,25 @@ class StatementRouter(spark: SparkSession, root: String) {
 
     import spark.implicits._
     val queries = Seq((0L, queryVec)).toDF("vec_id", "embedding")
-    val hits = graft.operators.Similarity.ivfKnnStored(
-        codes, centroids, readTable(table), queries, k, nprobe,
+    def search(np: Int) = graft.operators.Similarity.ivfKnnStored(
+        codes, centroids, readTable(table), queries, k, np,
         idCol = pk, vecCol = vecCol, metric = "l2",
         candidateFilter = candFilter)
       .select(col("cid").as("graft_knn_id"), col("sim").as("graft_knn_sim"))
+    // recall guard: a selective pre-filter can leave <k matching rows in
+    // the nprobe-probed buckets even when ≥k exist elsewhere; the
+    // reference (Lucene kNN over the filter's docset) returns k matching
+    // rows in that case. When the filtered search comes up short, re-run
+    // over ALL buckets — still the int8 code scan + survivor rescore, the
+    // float corpus is never filtered — which returns min(k, |matching|).
+    val hits = candFilter match {
+      case Some(_) =>
+        val first = search(nprobe)
+        if (first.count() < k) {
+          StatementRouter.lastKnnProbe.set("widened"); search(Int.MaxValue)
+        } else { StatementRouter.lastKnnProbe.set("fixed"); first }
+      case None => search(nprobe)
+    }
     val view = s"graft_knn_hits_$knnN"
     hits.createOrReplaceTempView(view)
 
@@ -2225,7 +2389,18 @@ class StatementRouter(spark: SparkSession, root: String) {
     val analyze = "(?i)^\\s*explain\\s+analyze".r.findFirstIn(stmt).isDefined
     val inner = stmt.trim.replaceFirst("(?i)^explain\\s+(analyze\\s+)?", "")
     registerViews()
-    Seq(sources.Maintenance.explain(Engine.sql(spark, inner), analyze)).toDF("plan")
+    val head = inner.trim.takeWhile(!_.isWhitespace).toLowerCase
+    if (head == "select" || head == "with") {
+      // resolve through the SAME route chain a real execution takes, so
+      // the plan text shows the served shape (hits-view joins &c.) and
+      // the provenance header names the route — stored-index[-filtered]
+      // with index load/delta/full + probe width, indexed-score-bm25,
+      // or exact
+      val df = resolveSelect(inner)
+      val prov = s"route: ${StatementRouter.lastSelectRoute.get()}"
+      Seq(prov + "\n" + sources.Maintenance.explain(df, analyze)).toDF("plan")
+    } else
+      Seq(sources.Maintenance.explain(Engine.sql(spark, inner), analyze)).toDF("plan")
   }
 
   private def summary(n: Long): DataFrame = {
@@ -3610,7 +3785,13 @@ class StatementRouter(spark: SparkSession, root: String) {
     val (setEnd, whereToks, retToks) = tailClauses(ts, 3)
     val assigns = parseAssignments(ts.slice(3, setEnd))
     val cond = whereToks.map(w => expr(renderSig(w))).getOrElse(lit(true))
-    val cur = readTable(name)
+    // per-row OCC: a rewritten `_seq_no` predicate references the
+    // row-diff seq column — join it onto the snapshot for the filter,
+    // drop it again before the write
+    val needSeq = stmt.toLowerCase.contains("__graft_seq_no")
+    val cur0 = readTable(name)
+    val cur = if (!needSeq) cur0 else withSeqNo(cur0, name,
+      VersionedTable.latestVersion(spark, tablePath(name)).getOrElse(1))
     // generated columns recompute on every UPDATE (reference
     // GeneratedColumns.java) unless the SET assigns them explicitly —
     // explicit assignments are validated below like INSERT-supplied values
@@ -3629,10 +3810,13 @@ class StatementRouter(spark: SparkSession, root: String) {
       enforceRowConstraints(touched, sp)
     }
     val result = retToks match {
-      case Some(r) => selectReturning(touched, r).localCheckpoint()
+      case Some(r) =>
+        val rt = if (needSeq && !r.exists(_.is("__graft_seq_no")))
+          touched.drop("__graft_seq_no") else touched
+        selectReturning(rt, r).localCheckpoint()
       case None    => summary(cur.filter(cond).count())
     }
-    writeTable(name, next,
+    writeTable(name, if (needSeq) next.drop("__graft_seq_no") else next,
       partitionTouch(name, cur.filter(cond), assigns.map(_._1).toSet))
     result
   }
@@ -3643,13 +3827,20 @@ class StatementRouter(spark: SparkSession, root: String) {
     val name = ts(2).text
     val (_, whereToks, retToks) = tailClauses(ts, 3)
     val cond = whereToks.map(w => expr(renderSig(w))).getOrElse(lit(true))
-    val cur = readTable(name)
+    val needSeq = stmt.toLowerCase.contains("__graft_seq_no")
+    val cur0 = readTable(name)
+    val cur = if (!needSeq) cur0 else withSeqNo(cur0, name,
+      VersionedTable.latestVersion(spark, tablePath(name)).getOrElse(1))
     val (next, deleted) = Dml.delete(cur, cond)
     val result = retToks match {
-      case Some(r) => selectReturning(deleted, r).localCheckpoint()
+      case Some(r) =>
+        val rt = if (needSeq && !r.exists(_.is("__graft_seq_no")))
+          deleted.drop("__graft_seq_no") else deleted
+        selectReturning(rt, r).localCheckpoint()
       case None    => summary(cur.filter(cond).count())
     }
-    writeTable(name, next, partitionTouch(name, cur.filter(cond)))
+    writeTable(name, if (needSeq) next.drop("__graft_seq_no") else next,
+      partitionTouch(name, cur.filter(cond)))
     result
   }
 
@@ -3714,6 +3905,9 @@ class StatementRouter(spark: SparkSession, root: String) {
 object StatementRouter {
   /** Monotonic id for per-statement Spark job groups (`KILL` targets). */
   private[graft] val jobSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Monotonic id for per-statement temp views — JVM-global so views from
+    * different router instances over one SparkSession never collide. */
+  private[graft] val viewSeq = new java.util.concurrent.atomic.AtomicLong(0)
   /** How the last knn_match stored-index resolution happened —
     * "loaded" | "delta" | "full"; spec-observability only. */
   private[graft] val lastVecIndexBuild =
@@ -3721,7 +3915,19 @@ object StatementRouter {
   /** Which knn_match route served the last statement —
     * "stored-index" | "stored-index-filtered" (set only when the stored
     * route fires; the exact Dialect fallback leaves it untouched, so
-    * reset before asserting). Also surfaced by EXPLAIN. */
+    * reset before asserting). */
   private[graft] val lastKnnRoute =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+  /** Which route [[resolveSelect]] last served a query through —
+    * "stored-index[, index …][, probe …]" | "stored-index-filtered…" |
+    * "indexed-score[-fielded]-bm25" | "exact". Prepended by EXPLAIN as
+    * `route: …`. */
+  private[graft] val lastSelectRoute =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+  /** Probe width the last filtered stored-knn search ran at —
+    * "fixed" (declared nprobe sufficed) | "widened" (the pre-filter left
+    * <k candidates in the probed buckets, so the search re-ran over ALL
+    * buckets to honor the reference's k-matching-rows guarantee). */
+  private[graft] val lastKnnProbe =
     new java.util.concurrent.atomic.AtomicReference[String]("")
 }

@@ -610,7 +610,8 @@ object JsInterp {
       case (_: Double, _) | (_, _: Double) => false
       case (_: String, _) | (_, _: String) => false
       case (_: Boolean, _) | (_, _: Boolean) => false
-      case _ => toStr(l) == toStr(r)
+      // objects/arrays: reference identity — [1,2] === [1,2] is false
+      case _ => l.asInstanceOf[AnyRef] eq r.asInstanceOf[AnyRef]
     }
     def cmp(l: Any, r: Any): Int = (l, r) match {
       case (a: String, b: String) => a.compareTo(b)

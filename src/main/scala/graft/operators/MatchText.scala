@@ -100,6 +100,34 @@ object MatchText {
     }.mkString
   }
 
+  /** Char class of the scripts Lucene's CJKBigramFilter bigrams by
+    * default (HAN incl. ext-A, HIRAGANA, KATAKANA, HANGUL syllables). */
+  private[operators] val cjkClass: String =
+    "[\\u3040-\\u30FF\\u3400-\\u4DBF\\u4E00-\\u9FFF\\uAC00-\\uD7AF]"
+  private[operators] def isCjkChar(c: Char): Boolean =
+    (c >= 0x3040 && c <= 0x30FF) || (c >= 0x3400 && c <= 0x4DBF) ||
+    (c >= 0x4E00 && c <= 0x9FFF) || (c >= 0xAC00 && c <= 0xD7AF)
+  /** One token → script-homogeneous segments; CJK runs of n≥2 chars emit
+    * n-1 overlapping bigrams, a lone CJK char stays a unigram, non-CJK
+    * runs pass through unchanged. */
+  private[operators] def cjkExpand(tok: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < tok.length) {
+      val cjk = isCjkChar(tok(i))
+      var j = i + 1
+      while (j < tok.length && isCjkChar(tok(j)) == cjk) j += 1
+      val seg = tok.substring(i, j)
+      if (!cjk || seg.length == 1) out += seg
+      else {
+        var p = 0
+        while (p < seg.length - 1) { out += seg.substring(p, p + 2); p += 1 }
+      }
+      i = j
+    }
+    out.toSeq
+  }
+
   final case class Analyzer(stopwords: Seq[String] = Nil,
                             minTokenLength: Int = 1,
                             sStem: Boolean = false,
@@ -111,7 +139,8 @@ object MatchText {
                             minimalStem: String = "",
                             asciifold: Boolean = false,
                             edgeNgram: (Int, Int) = (0, 0),
-                            shingle: (Int, Int) = (0, 0)) {
+                            shingle: (Int, Int) = (0, 0),
+                            cjkBigram: Boolean = false) {
     private def splitPattern: String = tokenizer match {
       case "standard"               => "[^\\p{L}\\p{N}]+"
       case "whitespace"             => "\\s+"
@@ -146,6 +175,23 @@ object MatchText {
         if (tokenizer == "keyword") array(cased)
         else filter(split(cased, splitPattern), t => length(t) > 0)
       if (asciifold) toks = transform(toks, asciiFoldCol(_))
+      if (cjkBigram) {
+        // Lucene CJKBigramFilter order: each token re-segments into
+        // script-homogeneous runs; CJK runs of n≥2 chars emit n-1
+        // overlapping bigrams (a lone ideograph stays a unigram),
+        // non-CJK runs pass through to the stop filter below
+        val cls = MatchText.cjkClass
+        toks = flatten(transform(toks, t => {
+          val segs = filter(
+            split(regexp_replace(t, s"($cls+)", "\u0001$1\u0001"), "\u0001"),
+            x => length(x) > 0)
+          flatten(transform(segs, s0 =>
+            when(s0.rlike(s"^$cls") && length(s0) >= 2,
+              transform(sequence(lit(1), length(s0) - 1),
+                i => s0.substr(i, lit(2))))
+              .otherwise(array(s0))))
+        }))
+      }
       if (minTokenLength > 1)
         toks = filter(toks, t => length(t) >= minTokenLength)
       if (maxTokenLength > 0)
@@ -201,6 +247,7 @@ object MatchText {
         if (tokenizer == "keyword") Seq(cased)
         else cased.split(splitPattern).toSeq.filter(_.nonEmpty)
       if (asciifold) t = t.map(asciiFoldStr)
+      if (cjkBigram) t = t.flatMap(MatchText.cjkExpand)
       if (minTokenLength > 1) t = t.filter(_.length >= minTokenLength)
       if (maxTokenLength > 0) t = t.filter(_.length <= maxTokenLength)
       if (stopwords.nonEmpty) { val sw = stopwords.toSet; t = t.filterNot(sw) }
@@ -268,7 +315,11 @@ object MatchText {
       "swedish"    -> Analyzer(stopwords = swedishStopwords, minimalStem = "sv"),
       "norwegian"  -> Analyzer(stopwords = norwegianStopwords, minimalStem = "no"),
       "danish"     -> Analyzer(stopwords = danishStopwords, minimalStem = "da"),
-      "finnish"    -> Analyzer(stopwords = finnishStopwords, minimalStem = "fi")
+      "finnish"    -> Analyzer(stopwords = finnishStopwords, minimalStem = "fi"),
+      // Lucene CJKAnalyzer: StandardTokenizer + lowercase + CJK bigrams
+      // + (English-ish) stop set; the CJKWidthFilter fullwidth→halfwidth
+      // fold is not modeled — documented approximation
+      "cjk"        -> Analyzer(stopwords = englishStopwords, cjkBigram = true)
     ).foreach { case (n, a) => registry.put(n, a) }
     def register(name: String, a: Analyzer): Unit = registry.put(name.toLowerCase, a)
     def drop(name: String): Unit = registry.remove(name.toLowerCase)

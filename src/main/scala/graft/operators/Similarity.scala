@@ -274,11 +274,16 @@ object Similarity {
     *
     * `candidateFilter` (one `cid` column) restricts candidates BEFORE
     * k-selection — the reference's filtered vector search (Lucene runs
-    * the kNN over the filter's docset, LuceneQueryBuilder), so k MATCHING
-    * rows come back rather than `filter ∩ unfiltered-top-k`. The
-    * semi-join lands after the bucket probe: the probed code subset
-    * (bounded by nprobe buckets) shuffles against a pk-only projection of
-    * the filter — never the float corpus, never unprobed buckets. */
+    * the kNN over the filter's docset, LuceneQueryBuilder) — rather than
+    * `filter ∩ unfiltered-top-k`. The semi-join lands after the bucket
+    * probe: the probed code subset (bounded by nprobe buckets) shuffles
+    * against a pk-only projection of the filter — never the float corpus,
+    * never unprobed buckets. NOTE: because the filter applies only within
+    * the probed buckets, a selective filter whose matches live elsewhere
+    * can return fewer than k rows at a fixed nprobe; callers needing the
+    * reference's k-matching-rows guarantee must widen nprobe when the
+    * result comes up short ([[StatementRouter.routeKnnStored]] re-runs
+    * with all buckets probed). */
   def ivfKnnStored(codes: DataFrame, centroids: DataFrame,
                    corpus: DataFrame, queries: DataFrame, k: Int,
                    nprobe: Int = 4, rescoreFactor: Int = 4,

@@ -164,16 +164,17 @@ object QueriesPipeline {
         .orderBy(col("qid"))
     }),
 
-    // IVF-blocked embedding near-dup, under the HASH gate (was rows-only in
-    // r3): the emitted rows are the exact all-pairs ground truth (replayable
-    // in DuckDB via list_cosine_similarity), and the approximate operator
-    // contributes a single seed-independent `recall_ok` floor column — the
-    // q66 pattern. Recall is computed lazily inside the plan (left join +
-    // global window), no driver action. The O(n²) truth join is the oracle's
-    // cost at fixture scale, not the operator's: embeddingNearDupPairs
-    // itself stays IVF-blocked.
-    "q67_embedding_neardup" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+    // IVF-blocked embedding near-dup — the OPERATOR-timed row. The output
+    // is a one-row summary: the exact pair count (DuckDB recomputes it —
+    // a real hash check on the TruthMemo side) and the operator's
+    // measured-recall floor (the q66 pattern: computed lazily inside the
+    // plan, no driver action). The full per-pair ground-truth dump lives
+    // in its own verification entry (q217_embedding_neardup_pairs,
+    // QueriesRound7) so this row's bench time measures the operator, not
+    // the O(n²) oracle materialization — the r1 baseline row for q67 was
+    // an operator-only dump, and the two workloads are only comparable
+    // this way.
+    "q221_embedding_neardup" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       // nprobe=4: measured recall 0.93–0.95 on the fixture corpora (whose
       // "near-dups" sit at sim≈0.4 — far harder to co-bucket than real
@@ -183,12 +184,10 @@ object QueriesPipeline {
         .select(col("id_a"), col("id_b"), lit(1).as("hit"))
       // exact all-pairs ground truth via TruthMemo (see its scaladoc)
       val truth = TruthMemo.exactPairs(emb, 0.4, s"q67truth#$dir")
-      val w = Window.partitionBy()
       truth.join(found, Seq("id_a", "id_b"), "left")
-        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"),
-          (sum(coalesce(col("hit"), lit(0))).over(w) >=
-            count(lit(1)).over(w) * 0.6).as("recall_ok"))
-        .orderBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("exact_pairs"),
+          (sum(coalesce(col("hit"), lit(0))) >=
+            count(lit(1)) * 0.6).as("recall_ok"))
     }),
 
     "q68_topk" -> ((s, dir) => {
@@ -490,13 +489,12 @@ object QueriesPipeline {
     "q66_knn_ivf" ->
       """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_results, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 10 ORDER BY qid""",
-    "q67_embedding_neardup" ->
-      """SELECT id_a, id_b, round(sim, 6) AS sim, TRUE AS recall_ok FROM (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |         list_cosine_similarity(a.embedding::DOUBLE[],
+    "q221_embedding_neardup" ->
+      """SELECT count(*) AS exact_pairs, TRUE AS recall_ok FROM (
+        |  SELECT list_cosine_similarity(a.embedding::DOUBLE[],
         |                                b.embedding::DOUBLE[]) AS sim
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-        |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+        |WHERE sim >= 0.4""".stripMargin,
     "q68_topk" ->
       """SELECT event_type, count(*) AS cnt FROM events
          GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 3""",

@@ -1,0 +1,278 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-7 catalog: the two stored-index knn routes that round 6 left
+  * spec-gated only (reference `expression/scalar/KnnMatch.java:48` +
+  * `lucene/LuceneQueryBuilder.java` — Lucene runs filtered kNN over the
+  * pre-filter's docset, so k MATCHING rows come back):
+  *
+  *  - q215: `WHERE <selective pred> AND knn_match(...)` through the
+  *    stored quantized IVF index. The index declares nprobe = 1 against
+  *    16 centroids, and the filter keeps 19 of the corpus rows — at a
+  *    fixed single-bucket probe an unguarded implementation returns
+  *    fewer than k = 5 rows, so the exact filtered oracle catches it;
+  *    [[graft.StatementRouter.routeKnnStored]]'s recall guard re-runs
+  *    the code scan over all buckets when the filtered search comes up
+  *    short. 19 < k·rescoreFactor = 20 keeps every eligible row in the
+  *    float-rescored survivor set, so the result is exact, not a recall
+  *    floor.
+  *  - q216: a subquery-valued (non-literal) query vector served from the
+  *    stored route — evaluated once on the driver (a query vector is a
+  *    single row by definition), then searched like a literal. Probing
+  *    is exhaustive (nprobe = centroids = 16) so the exact oracle pins
+  *    the whole pipeline.
+  *
+  * Both closures `require` the route observed by the router, so a silent
+  * fall-through to the exact path fails the correctness gate loudly.
+  */
+object QueriesRound7 {
+
+  private val routerRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Same deterministic 64-dim literal as q209/q210. */
+  private val vecLit: String =
+    (0 until 64).map(i => ((i % 7) - 3) / 3.0)
+      .map(v => f"$v%.6f").mkString("[", ", ", "]")
+
+  private def vstore(s: SparkSession, dir: String, key: String,
+                     table: String, nprobe: Int): graft.StatementRouter = {
+    graft.functions.GraftFunctions.registerAll(s)
+    graft.Tables.registerAll(s, dir)
+    val root = routerRoots.computeIfAbsent(s"$key#$dir", _ => {
+      val rt = java.nio.file.Files.createTempDirectory(s"graft_$key")
+        .toFile.getAbsolutePath
+      val r0 = new graft.StatementRouter(s, rt)
+      r0.execute(
+        s"""CREATE TABLE $table (vec_id BIGINT PRIMARY KEY,
+           |  embedding FLOAT_VECTOR(64),
+           |  INDEX iv USING VECTOR (embedding)
+           |    WITH (centroids = 16, nprobe = $nprobe))""".stripMargin)
+      r0.execute(s"INSERT INTO $table (vec_id, embedding) " +
+        "SELECT vec_id, embedding FROM embeddings")
+      rt
+    })
+    new graft.StatementRouter(s, root)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_knn_filtered_stored" -> ((s, dir) => {
+      val r = vstore(s, dir, "q215", "vstoref", nprobe = 1)
+      graft.StatementRouter.lastKnnRoute.set("")
+      val out = r.execute(
+        s"""SELECT vec_id, round(_score, 4) AS score FROM vstoref
+           |WHERE vec_id BETWEEN 100 AND 118
+           |  AND knn_match(embedding, $vecLit, 5)
+           |ORDER BY score DESC, vec_id""".stripMargin)
+      require(graft.StatementRouter.lastKnnRoute.get() == "stored-index-filtered",
+        s"q215 must be served by the filtered stored-index route, " +
+          s"got '${graft.StatementRouter.lastKnnRoute.get()}'")
+      out
+    }),
+
+    // The VERIFICATION row split out of q67 (which now times the
+    // operator alone): the full exact all-pairs ground truth with sims,
+    // each truth pair annotated with the operator's aggregate recall
+    // floor — the O(n²) truth materialization is this entry's cost by
+    // design, shared with q67/q135 through QueriesPipeline.TruthMemo's
+    // per-JVM parquet memo.
+    "q217_embedding_neardup_pairs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = graft.Tables.load(s, dir, "embeddings")
+      val found = graft.operators.Similarity
+        .embeddingNearDupPairs(emb, threshold = 0.4, nprobe = 4)
+        .select(col("id_a"), col("id_b"), lit(1).as("hit"))
+      val truth = QueriesPipeline.TruthMemo.exactPairs(emb, 0.4, s"q67truth#$dir")
+      val w = Window.partitionBy()
+      truth.join(found, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"),
+          (sum(coalesce(col("hit"), lit(0))).over(w) >=
+            count(lit(1)).over(w) * 0.6).as("recall_ok"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // CJK analyzer (reference bundles Lucene's CJKAnalyzer,
+    // docs/general/ddl/fulltext-indices.rst builtin list): standard
+    // tokenize + lowercase + CJK-run bigrams (lone ideograph stays a
+    // unigram) + English-ish stop set. Vocabulary is script-pure per
+    // word so the oracle replays the bigram chain generically with
+    // substr over generate_series.
+    "q218_cjk_analyzer" -> ((s, dir) => {
+      import graft.operators.MatchText
+      val c = graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("k"))
+      def pick(words: Seq[String], m: Int) =
+        element_at(array(words.map(lit): _*), (col("k") % m + 1).cast("int"))
+      val v1 = Seq("数据库", "机器学习", "神经网络", "分布式",
+        "数据分析", "计算引擎", "大数据")
+      val v2 = Seq("データ", "がくしゅう", "エンジン", "모델", "학습")
+      val v3 = Seq("the", "spark", "大")
+      c.select(explode(MatchText.Analyzer.byName("cjk")(
+          concat_ws(" ", pick(v1, 7), pick(v2, 5), pick(v3, 3)))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("term"))
+    }),
+
+    // Live FDW JDBC scan (reference fdw/JdbcForeignDataWrapper.java,
+    // fdw/JdbcBatchIterator.java): an EMBEDDED Derby database (pure-JVM,
+    // in-process — the offline stand-in for a remote Postgres) is loaded
+    // with the nation table over JDBC, declared via CREATE SERVER /
+    // CREATE FOREIGN TABLE, and queried through the router joined with a
+    // parquet-backed table. The scan is Spark's JDBC source — per-query
+    // live read with predicate pushdown, strictly more than the
+    // reference's single-connection iterator.
+    "q219_fdw_jdbc" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      val root = routerRoots.computeIfAbsent(s"q219#$dir", _ => {
+        val rt = java.nio.file.Files.createTempDirectory("graft_q219")
+          .toFile.getAbsolutePath
+        // keep derby.log out of the working directory
+        System.setProperty("derby.system.home", rt)
+        val url = s"jdbc:derby:$rt/fdwdb;create=true"
+        graft.Tables.load(s, dir, "nation")
+          .write.format("jdbc").option("url", url)
+          .option("dbtable", "NATION_REMOTE").save()
+        val r0 = new graft.StatementRouter(s, rt)
+        r0.execute(s"CREATE SERVER IF NOT EXISTS derby_srv " +
+          s"FOREIGN DATA WRAPPER jdbc OPTIONS (url '$url')")
+        r0.execute("CREATE FOREIGN TABLE IF NOT EXISTS nation_remote " +
+          "(n_nationkey BIGINT, n_name TEXT, n_regionkey BIGINT) " +
+          "SERVER derby_srv OPTIONS (table_name 'NATION_REMOTE')")
+        rt
+      })
+      val r = new graft.StatementRouter(s, root)
+      r.execute(
+        """SELECT r.r_name, count(*) AS nations,
+          |       min(f.n_name) AS first_nation
+          |FROM nation_remote f JOIN region r
+          |  ON f.n_regionkey = r.r_regionkey
+          |WHERE f.n_nationkey >= 5
+          |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin)
+    }),
+
+    // Sampled ANALYZE MCVs (sibling of q206): the cap is forced far
+    // below the table size, so the most-common-values pass runs on the
+    // seed-pinned Bernoulli sample and stored frequencies are
+    // count-in-sample / sample-size. The gate checks the SCALING: a
+    // ~50% 'HEAVY' value must come back as the top MCV with a frequency
+    // near 0.5 — an implementation that divided sample counts by the
+    // full row count would report ~0.1 and hash-fail; the minor values
+    // (~10% each) gate the envelope from below, and the MCV list is
+    // complete (6 distinct values survive any plausible sample).
+    "q220_analyze_mcv_sampled" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      routerRoots.computeIfAbsent(s"q220#$dir", _ => {
+        val rt = java.nio.file.Files.createTempDirectory("graft_q220")
+          .toFile.getAbsolutePath
+        val r0 = new graft.StatementRouter(s, rt)
+        r0.execute("CREATE TABLE mcv_t (k BIGINT, seg TEXT)")
+        r0.execute("""INSERT INTO mcv_t
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 2 = 0 THEN 'HEAVY' ELSE c_mktsegment END
+          FROM customer""")
+        s.conf.set("graft.analyze.mcv_sample_cap", "300")
+        try r0.execute("ANALYZE")
+        finally s.conf.unset("graft.analyze.mcv_sample_cap")
+        rt
+      })
+      graft.sources.PgCatalog.registerAll(s)
+      s.sql("""
+        SELECT attname,
+               element_at(most_common_vals, 1) AS top_val,
+               element_at(most_common_freqs, 1) BETWEEN 0.35 AND 0.65
+                 AS top_freq_ok,
+               size(most_common_vals) AS n_mcv,
+               forall(slice(most_common_freqs, 2, 5),
+                      f -> f BETWEEN 0.04 AND 0.20) AS minor_freqs_ok
+        FROM pg_stats WHERE tablename = 'mcv_t' AND attname = 'seg'""")
+    }),
+
+    "q216_knn_subquery_vector" -> ((s, dir) => {
+      val r = vstore(s, dir, "q216", "vstoreq", nprobe = 16)
+      graft.StatementRouter.lastKnnRoute.set("")
+      val out = r.execute(
+        """SELECT vec_id, round(_score, 4) AS score FROM vstoreq
+          |WHERE knn_match(embedding,
+          |  (SELECT e.embedding FROM embeddings e WHERE e.vec_id = 7), 5)
+          |ORDER BY score DESC, vec_id""".stripMargin)
+      require(graft.StatementRouter.lastKnnRoute.get() == "stored-index",
+        s"q216 must be served by the stored-index route, " +
+          s"got '${graft.StatementRouter.lastKnnRoute.get()}'")
+      out
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // exact filtered top-k: selection ordered by full-precision score
+    // (the engine selects on unrounded similarity), projection rounded
+    "q215_knn_filtered_stored" ->
+      s"""SELECT vec_id,
+         |       round(1.0 / (1.0 + list_distance(embedding, $vecLit) ^ 2), 4)
+         |         AS score
+         |FROM embeddings
+         |WHERE vec_id BETWEEN 100 AND 118
+         |ORDER BY 1.0 / (1.0 + list_distance(embedding, $vecLit) ^ 2) DESC,
+         |         vec_id
+         |LIMIT 5""".stripMargin,
+
+    "q217_embedding_neardup_pairs" ->
+      """SELECT id_a, id_b, round(sim, 6) AS sim, TRUE AS recall_ok FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         list_cosine_similarity(a.embedding::DOUBLE[],
+        |                                b.embedding::DOUBLE[]) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    // replays the cjk chain literally: picks by key modulo, CJK words
+    // (full-match on the bigrammed script class) expand to overlapping
+    // bigrams via substr over generate_series, a lone CJK char passes
+    // as a unigram, latin lowers + drops the stop word
+    "q218_cjk_analyzer" ->
+      """WITH ks AS (SELECT c_custkey AS k FROM customer),
+        |picked AS (SELECT t FROM ks, LATERAL (VALUES
+        |  ((['数据库','机器学习','神经网络','分布式','数据分析','计算引擎','大数据'])[CAST(k % 7 + 1 AS INT)]),
+        |  ((['データ','がくしゅう','エンジン','모델','학습'])[CAST(k % 5 + 1 AS INT)]),
+        |  ((['the','spark','大'])[CAST(k % 3 + 1 AS INT)])) AS v(t)),
+        |cjk AS (SELECT t FROM picked WHERE regexp_full_match(t,
+        |  '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}]+')),
+        |terms AS (
+        |  SELECT substr(t, CAST(i AS INT), 2) AS term
+        |  FROM cjk, (SELECT unnest([1, 2, 3, 4, 5, 6]) AS i) g
+        |  WHERE len(t) >= 2 AND i <= len(t) - 1
+        |  UNION ALL
+        |  SELECT t AS term FROM cjk WHERE len(t) = 1
+        |  UNION ALL
+        |  SELECT lower(t) AS term FROM picked WHERE t NOT IN (SELECT t FROM cjk)
+        |    AND lower(t) <> 'the')
+        |SELECT term, count(*) AS n FROM terms GROUP BY term ORDER BY term"""
+        .stripMargin,
+
+    // the foreign side holds exactly the nation rows, so DuckDB replays
+    // the join over the same parquet fixtures
+    "q219_fdw_jdbc" ->
+      """SELECT r.r_name, count(*) AS nations, min(n.n_name) AS first_nation
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE n.n_nationkey >= 5
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
+
+    // envelopes computed Spark-side (the q66/q70 sketch pattern); the
+    // oracle pins the deterministic facts
+    "q220_analyze_mcv_sampled" ->
+      """SELECT 'seg' AS attname, 'HEAVY' AS top_val, TRUE AS top_freq_ok,
+        |       6 AS n_mcv, TRUE AS minor_freqs_ok""".stripMargin,
+
+    "q216_knn_subquery_vector" ->
+      """SELECT e.vec_id,
+        |       round(1.0 / (1.0 + list_distance(e.embedding, q.embedding) ^ 2), 4)
+        |         AS score
+        |FROM embeddings e,
+        |     (SELECT embedding FROM embeddings WHERE vec_id = 7) q
+        |ORDER BY 1.0 / (1.0 + list_distance(e.embedding, q.embedding) ^ 2) DESC,
+        |         e.vec_id
+        |LIMIT 5""".stripMargin
+  )
+}

@@ -144,5 +144,9 @@ class JsInterpSpec extends SparkTestBase {
     assert(ev("function f() { return false == ''; }") == true)
     assert(ev("function f() { return 'a' == 0; }") == false)
     assert(ev("function f(a) { return a != '2'; }", 1L) == true)
+    // objects/arrays compare by reference identity under ===
+    assert(ev("function f() { return [1, 2] === [1, 2]; }") == false)
+    assert(ev("function f() { var a = [1, 2]; var b = a; return a === b; }") == true)
+    assert(ev("function f() { var a = [1, 2]; return a !== [1, 2]; }") == true)
   }
 }

@@ -98,6 +98,74 @@ class KnnStoredRouteSpec extends SparkTestBase {
     assert(StatementRouter.lastKnnRoute.get() == "stored-index-filtered")
   }
 
+  test("selective filter matching only unprobed buckets widens the probe") {
+    val root = Files.createTempDirectory("graft_knn5").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    // two well-separated clusters, 2 centroids, nprobe = 1: a query near
+    // cluster A probes only A's bucket; a filter selecting cluster B rows
+    // would find ZERO candidates at the fixed nprobe — the guard re-runs
+    // over all buckets so the reference's k matching rows come back
+    r.execute(
+      """CREATE TABLE vt5 (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(2),
+        |  INDEX iv USING VECTOR (emb) WITH (centroids = 2, nprobe = 1))"""
+        .stripMargin)
+    r.execute("INSERT INTO vt5 (id, emb) VALUES " +
+      "(1, [1.0, 0.0]), (2, [0.98, 0.05]), (3, [0.99, -0.05]), (4, [0.97, 0.0]), " +
+      "(11, [-1.0, 0.0]), (12, [-0.9, -0.1]), (13, [-0.95, 0.05]), (14, [-0.85, -0.2])")
+    graft.operators.MatchText.IndexCache.clear()
+    StatementRouter.lastKnnRoute.set("")
+    StatementRouter.lastKnnProbe.set("")
+    val rows = r.execute(
+      "SELECT id FROM vt5 WHERE id > 10 AND knn_match(emb, [1.0, 0.0], 2) " +
+        "ORDER BY _score DESC").collect()
+    // nearest to [1,0] among id > 10 by l2: 14 ([-0.85,-0.2]) then 12
+    assert(rows.map(_.getLong(0)).toSeq == Seq(14L, 12L))
+    assert(StatementRouter.lastKnnRoute.get() == "stored-index-filtered")
+    assert(StatementRouter.lastKnnProbe.get() == "widened",
+      "a filter matching only unprobed buckets must widen the probe")
+    // an unselective filter stays at the declared nprobe
+    StatementRouter.lastKnnProbe.set("")
+    val rows2 = r.execute(
+      "SELECT id FROM vt5 WHERE id < 10 AND knn_match(emb, [1.0, 0.0], 2) " +
+        "ORDER BY _score DESC").collect()
+    // nearest to [1,0] within cluster A: 1 (exact), then 4 ([0.97,0])
+    assert(rows2.map(_.getLong(0)).toSeq == Seq(1L, 4L))
+    assert(StatementRouter.lastKnnProbe.get() == "fixed")
+  }
+
+  test("a line comment inside a pre-filter conjunct does not corrupt the rewrite") {
+    val root = Files.createTempDirectory("graft_knn6").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute("CREATE TABLE vt6 (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(2))")
+    r.execute("INSERT INTO vt6 (id, emb) VALUES " +
+      "(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])")
+    // exact path (no index): the conjunct's `--` comment must be dropped,
+    // not embedded where it would comment out the generated closing paren
+    val rows = r.execute(
+      "SELECT id FROM vt6 WHERE id >= 2 -- keep the tail\n" +
+        " AND knn_match(emb, [1.0, 0.0], 1)").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("a filter that fails analysis leaves no temp view behind") {
+    val root = Files.createTempDirectory("graft_knn7").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute(
+      """CREATE TABLE vt7 (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(2),
+        |  INDEX iv USING VECTOR (emb) WITH (centroids = 2, nprobe = 2))"""
+        .stripMargin)
+    r.execute("INSERT INTO vt7 (id, emb) VALUES (1, [1.0, 0.0])")
+    val before = spark.catalog.listTables().collect()
+      .map(_.name).count(_.startsWith("graft_knn_filter_"))
+    intercept[Exception] {
+      r.execute("SELECT id FROM vt7 WHERE no_such_col > 1 " +
+        "AND knn_match(emb, [1.0, 0.0], 1)").collect()
+    }
+    val after = spark.catalog.listTables().collect()
+      .map(_.name).count(_.startsWith("graft_knn_filter_"))
+    assert(after == before, "failed filter analysis must drop its temp view")
+  }
+
   test("non-literal query vectors are served from the stored index") {
     val root = Files.createTempDirectory("graft_knn4").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)

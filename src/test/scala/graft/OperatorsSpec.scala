@@ -483,12 +483,14 @@ class MatchTextSpec extends SparkTestBase {
       "spark filter pushdown with window functions",
       "и книги с цветов ночами",
       "the cats ran across 42 bridges... quickly",
+      "数据库 the エンジン and 大 spark2号",
       "")
     val df = texts.toDF("t")
     val analyzers = Seq(
       MatchText.Analyzer.byName("german"),
       MatchText.Analyzer.byName("english"),
       MatchText.Analyzer.byName("russian"),
+      MatchText.Analyzer.byName("cjk"),
       MatchText.Analyzer(edgeNgram = (3, 5)),
       MatchText.Analyzer(shingle = (2, 3)),
       MatchText.Analyzer(tokenizer = "keyword"))
@@ -504,6 +506,22 @@ class MatchTextSpec extends SparkTestBase {
     val plan = df.select(MatchText.Analyzer.default(col("t")))
       .queryExecution.executedPlan.toString
     assert(plan.contains("graft_analyze"), plan)
+  }
+
+  test("cjk analyzer: bigram runs, lone-ideograph unigram, mixed scripts") {
+    import graft.operators.MatchText
+    val a = MatchText.Analyzer.byName("cjk")
+    // a 4-char Han run → 3 overlapping bigrams
+    assert(a.tokens("机器学习") == Seq("机器", "器学", "学习"))
+    // lone ideograph stays a unigram; latin lowers; stop word drops
+    assert(a.tokens("大 THE Spark") == Seq("大", "spark"))
+    // adjacent CJK chars bigram together across scripts (katakana + han)
+    assert(a.tokens("データ情報") == Seq("デー", "ータ", "タ情", "情報"))
+    // latin+CJK in one token: standard tokenizer keeps them together,
+    // the bigrammer re-segments
+    assert(a.tokens("spark数据") == Seq("spark", "数据"))
+    // hangul bigrams
+    assert(a.tokens("학습데이터") == Seq("학습", "습데", "데이", "이터"))
   }
 
   test("language analyzers: swedish/norwegian/danish/finnish chains") {

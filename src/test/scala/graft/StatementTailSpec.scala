@@ -174,6 +174,39 @@ class StatementTailSpec extends SparkTestBase {
       .head().getString(0) == "e2")
   }
 
+  test("per-row OCC: concurrent updates to different ROWS both succeed") {
+    val r = newRouter()
+    r.execute("CREATE TABLE occr (id BIGINT PRIMARY KEY, v TEXT)")
+    r.execute("INSERT INTO occr (id, v) VALUES (1, 'a'), (2, 'b')")
+    // two readers snapshot their rows' sequences at the same version
+    val s1 = r.execute("SELECT _seq_no FROM occr WHERE id = 1").head().getLong(0)
+    val s2 = r.execute("SELECT _seq_no FROM occr WHERE id = 2").head().getLong(0)
+    // writer B lands first on row 2 — bumps the TABLE version
+    assert(r.execute(s"UPDATE occr SET v = 'b2' WHERE id = 2 AND _seq_no = $s2")
+      .head().getLong(0) == 1L)
+    // writer A's guarded update to row 1 must still succeed: row 1's
+    // per-row sequence is untouched by B's write (the pre-round-7
+    // table-version stand-in falsely conflicted here)
+    assert(r.execute(s"UPDATE occr SET v = 'a2' WHERE id = 1 AND _seq_no = $s1")
+      .head().getLong(0) == 1L,
+      "a write to a DIFFERENT row must not invalidate row 1's sequence")
+    // …while the guard still catches the real conflict on row 2
+    assert(r.execute(s"UPDATE occr SET v = 'b3' WHERE id = 2 AND _seq_no = $s2")
+      .head().getLong(0) == 0L,
+      "row 2's own write must advance row 2's sequence")
+    // re-read reflects the advanced sequence; row data is the winners'
+    assert(r.execute("SELECT _seq_no FROM occr WHERE id = 2")
+      .head().getLong(0) > s2)
+    assert(r.execute("SELECT v FROM occr WHERE id = 1").head().getString(0) == "a2")
+    assert(r.execute("SELECT v FROM occr WHERE id = 2").head().getString(0) == "b2")
+    // the internal seq column never leaks through a star projection
+    val cols = r.execute("SELECT * FROM occr WHERE _seq_no >= 1").columns
+    assert(!cols.contains("__graft_seq_no"), cols.mkString(","))
+    // DELETE honors the same per-row guard
+    assert(r.execute(s"DELETE FROM occr WHERE id = 2 AND _seq_no = $s2")
+      .head().getLong(0) == 0L)
+  }
+
   test("views capture the search_path active at creation (PG semantics)") {
     val r = newRouter()
     try {
@@ -236,6 +269,39 @@ class StatementTailSpec extends SparkTestBase {
     // plain EXPLAIN stays the static extended form
     val stat = r.execute("EXPLAIN SELECT i FROM ea").head().getString(0)
     assert(stat.contains("== Physical Plan ==") && !stat.contains("numOutputRows="))
+    // a plain query resolves through no index route
+    assert(stat.startsWith("route: exact\n"), stat.take(120))
+  }
+
+  test("EXPLAIN surfaces route provenance for knn and MATCH statements") {
+    val r = newRouter()
+    r.execute(
+      """CREATE TABLE epv (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(2),
+        |  INDEX iv USING VECTOR (emb) WITH (centroids = 2, nprobe = 2))"""
+        .stripMargin)
+    r.execute("INSERT INTO epv (id, emb) VALUES " +
+      "(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])")
+    graft.operators.MatchText.IndexCache.clear()
+    val knnPlan = r.execute(
+      "EXPLAIN SELECT id FROM epv WHERE knn_match(emb, [1.0, 0.0], 2)")
+      .head().getString(0)
+    assert(knnPlan.startsWith("route: stored-index, index "), knnPlan.take(120))
+    val filtered = r.execute(
+      "EXPLAIN SELECT id FROM epv WHERE id > 1 AND knn_match(emb, [1.0, 0.0], 1)")
+      .head().getString(0)
+    assert(filtered.startsWith("route: stored-index-filtered"), filtered.take(120))
+    assert(filtered.contains(", probe "), filtered.take(120))
+
+    r.execute(
+      """CREATE TABLE epm (id BIGINT PRIMARY KEY, body TEXT,
+        |  INDEX body USING FULLTEXT (body) WITH (analyzer = 'english'))"""
+        .stripMargin)
+    r.execute("INSERT INTO epm (id, body) VALUES " +
+      "(1, 'spark engines'), (2, 'duck ponds'), (3, 'engine rooms')")
+    val matchPlan = r.execute(
+      "EXPLAIN SELECT id, _score FROM epm WHERE MATCH(body, 'engines') " +
+        "ORDER BY _score DESC").head().getString(0)
+    assert(matchPlan.startsWith("route: indexed-score"), matchPlan.take(120))
   }
 
   test("ALTER REPOSITORY / ALTER SERVER / SET TRANSACTION / DEALLOCATE / DISCARD") {
