@@ -1018,37 +1018,93 @@ class StatementRouter(spark: SparkSession, root: String) {
       if (pk.isEmpty || VersionedTable.partitionSpec(spark, path).isDefined)
         None
       else try {
-        val snaps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-        var v = version
-        var ok = true
-        while (ok && v >= 1 && version - v < 64) {
-          try {
-            val df = VersionedTable.readVersion(spark, path, v)
-            snaps += df.select(
-              concat_ws("|", pk.map(c => col(c).cast("string")): _*)
-                .as("graft_seq_pk"),
-              xxhash64(df.columns.sorted.map(col): _*).as("h"),
-              lit(v).cast("long").as("v"))
-            v -= 1
-          } catch { case scala.util.control.NonFatal(_) => ok = false }
+        // durable sidecar (the _vecindex pattern): the first `_seq_no`
+        // statement at a version computes and persists the map; later
+        // statements — and later VERSIONS — read it back, so steady-state
+        // cost is one narrow row-diff against the previous sidecar
+        // instead of the multi-version walk
+        val sidecar = new Path(s"$path/_seqno/v$version")
+        def hashes(v: Int): DataFrame = {
+          val df = VersionedTable.readVersion(spark, path, v)
+          df.select(
+            concat_ws("|", pk.map(c => col(c).cast("string")): _*)
+              .as("graft_seq_pk"),
+            xxhash64(df.columns.sorted.map(col): _*).as("h"))
         }
-        if (snaps.isEmpty) None
-        else {
-          import org.apache.spark.sql.expressions.Window
-          val w = Window.partitionBy(col("graft_seq_pk")).orderBy(col("v"))
-          val all = snaps.reduce(_ unionByName _)
-          Some(all
-            .select(col("graft_seq_pk"), col("v"),
-              (lag(col("h"), 1).over(w).isNull ||
-                lag(col("h"), 1).over(w) =!= col("h") ||
-                lag(col("v"), 1).over(w) =!= col("v") - 1).as("chg"))
-            .filter(col("chg"))
-            .groupBy(col("graft_seq_pk"))
-            .agg(max(col("v")).as("__graft_seq_no"))
-            .localCheckpoint())
-        }
+        val built: Option[DataFrame] =
+          if (fs.exists(sidecar)) Some(spark.read.parquet(sidecar.toString))
+          else {
+            val prevSidecar = new Path(s"$path/_seqno/v${version - 1}")
+            val m: Option[DataFrame] =
+              if (version > 1 && fs.exists(prevSidecar)) {
+                // incremental: rows whose hash differs from v-1 (or are
+                // new) advance to `version`; the rest keep their prior seq
+                val prior = spark.read.parquet(prevSidecar.toString)
+                val prevH = hashes(version - 1)
+                  .withColumnRenamed("h", "h_prev")
+                Some(hashes(version)
+                  .join(prevH, Seq("graft_seq_pk"), "left")
+                  .join(prior, Seq("graft_seq_pk"), "left")
+                  .select(col("graft_seq_pk"),
+                    when(col("h_prev").isNull || col("h_prev") =!= col("h") ||
+                        col("__graft_seq_no").isNull,
+                      lit(version).cast("long"))
+                      .otherwise(col("__graft_seq_no"))
+                      .as("__graft_seq_no")))
+              } else fullSeqWalk(path, pk, version)
+            m.map { df =>
+              // persist best-effort; an unwritable sidecar degrades to the
+              // in-memory map for this session
+              try {
+                df.write.mode("overwrite").parquet(sidecar.toString)
+                fs.listStatus(new Path(s"$path/_seqno")).foreach { st =>
+                  if (st.getPath.getName != s"v$version")
+                    fs.delete(st.getPath, true)
+                }
+                spark.read.parquet(sidecar.toString)
+              } catch {
+                case scala.util.control.NonFatal(_) => df.localCheckpoint()
+              }
+            }
+          }
+        built
       } catch { case scala.util.control.NonFatal(_) => None }
     })
+
+  /** Cold-start seq resolution: walk committed snapshots newest-first
+    * (≤64 or until a vacuumed version), one narrow (pk-concat, xxhash64)
+    * projection each, one union + one window shuffle. */
+  private def fullSeqWalk(path: String, pk: Seq[String],
+                          version: Int): Option[DataFrame] = {
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var v = version
+    var ok = true
+    while (ok && v >= 1 && version - v < 64) {
+      try {
+        val df = VersionedTable.readVersion(spark, path, v)
+        snaps += df.select(
+          concat_ws("|", pk.map(c => col(c).cast("string")): _*)
+            .as("graft_seq_pk"),
+          xxhash64(df.columns.sorted.map(col): _*).as("h"),
+          lit(v).cast("long").as("v"))
+        v -= 1
+      } catch { case scala.util.control.NonFatal(_) => ok = false }
+    }
+    if (snaps.isEmpty) None
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("graft_seq_pk")).orderBy(col("v"))
+      val all = snaps.reduce(_ unionByName _)
+      Some(all
+        .select(col("graft_seq_pk"), col("v"),
+          (lag(col("h"), 1).over(w).isNull ||
+            lag(col("h"), 1).over(w) =!= col("h") ||
+            lag(col("v"), 1).over(w) =!= col("v") - 1).as("chg"))
+        .filter(col("chg"))
+        .groupBy(col("graft_seq_pk"))
+        .agg(max(col("v")).as("__graft_seq_no")))
+    }
+  }
 
   /** The snapshot with its per-row `__graft_seq_no` joined on (pk-concat);
     * rows the map misses (concurrent edge) resolve to the table version —
@@ -3269,7 +3325,7 @@ class StatementRouter(spark: SparkSession, root: String) {
               porter = true)
           else if (Analyzer.exists(full)) Analyzer.byName(full)
           else throw new IllegalArgumentException(
-            s"snowball language '$lang' unsupported (en/de/fr/es/it/pt/nl/ru/sv/no/da/fi)")
+            s"snowball language '$lang' unsupported (any builtin language analyzer name)")
         case b if Analyzer.exists(b) =>
           val a = Analyzer.byName(b)
           opts.get("stopwords").map(sw => a.copy(stopwords = sw)).getOrElse(a)
@@ -3319,8 +3375,20 @@ class StatementRouter(spark: SparkSession, root: String) {
           case "norwegian" | "no"  => a = a.copy(minimalStem = "no")
           case "danish" | "da"     => a = a.copy(minimalStem = "da")
           case "finnish" | "fi"    => a = a.copy(minimalStem = "fi")
-          case lang => throw new IllegalArgumentException(
-            s"snowball language '$lang' unsupported (en/de/fr/es/it/pt/nl/ru/sv/no/da/fi)")
+          // wave-4 data-driven light stemmers (MatchText.lightRules)
+          case lang =>
+            val code = Map("arabic" -> "ar", "turkish" -> "tr",
+              "greek" -> "el", "hindi" -> "hi", "czech" -> "cs",
+              "hungarian" -> "hu", "indonesian" -> "id", "romanian" -> "ro",
+              "bulgarian" -> "bg", "catalan" -> "ca", "galician" -> "gl",
+              "latvian" -> "lv", "lithuanian" -> "lt", "armenian" -> "hy",
+              "basque" -> "eu", "bengali" -> "bn", "brazilian" -> "pt",
+              "persian" -> "fa", "sorani" -> "ckb").getOrElse(lang, lang)
+            if (code == "pt") a = a.copy(minimalStem = "pt")
+            else if (graft.operators.MatchText.lightRules.contains(code))
+              a = a.copy(minimalStem = code)
+            else throw new IllegalArgumentException(
+              s"snowball language '$lang' unsupported")
         }
       case "s_stem" => a = a.copy(sStem = true)
       case "asciifolding" => a = a.copy(asciifold = true)

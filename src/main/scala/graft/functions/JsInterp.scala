@@ -124,6 +124,7 @@ object JsInterp {
   private case class WhileS(c: Ex, body: Vector[St]) extends St
   private case class ForS(init: Option[St], cond: Option[Ex],
                           update: Option[St], body: Vector[St]) extends St
+  private case class ForOfS(v: String, iter: Ex, body: Vector[St]) extends St
   private case class ReturnS(e: Option[Ex]) extends St
   private case object BreakS extends St
   private case object ContinueS extends St
@@ -206,15 +207,28 @@ object JsInterp {
           WhileS(c, blockOrSingle())
         case Some(Id("for")) =>
           i += 1; eatOp("(")
-          val init = if (isOp(";")) None else Some(parseSimpleStatement())
-          // a `var` init delegates to parseStatement, which already ate
-          // its trailing ';' — tolerate either state
-          if (isOp(";")) i += 1
-          val cond = if (isOp(";")) None else Some(parseExpr())
-          eatOp(";")
-          val upd = if (isOp(")")) None else Some(parseSimpleStatement())
-          eatOp(")")
-          ForS(init, cond, upd, blockOrSingle())
+          // for (var x of e) / for (x of e) — arrays and strings
+          val save = i
+          if (peek.exists(t => t == Id("var") || t == Id("let") ||
+              t == Id("const"))) i += 1
+          val forOf: Option[St] = (peek, la(1)) match {
+            case (Some(Id(n)), Some(Id("of"))) =>
+              i += 2
+              val it = parseExpr(); eatOp(")")
+              Some(ForOfS(n, it, blockOrSingle()))
+            case _ => i = save; None
+          }
+          forOf.getOrElse {
+            val init = if (isOp(";")) None else Some(parseSimpleStatement())
+            // a `var` init delegates to parseStatement, which already ate
+            // its trailing ';' — tolerate either state
+            if (isOp(";")) i += 1
+            val cond = if (isOp(";")) None else Some(parseExpr())
+            eatOp(";")
+            val upd = if (isOp(")")) None else Some(parseSimpleStatement())
+            eatOp(")")
+            ForS(init, cond, upd, blockOrSingle())
+          }
         case _ => parseSimpleStatement()
       }
       if (isOp(";")) i += 1
@@ -481,6 +495,18 @@ object JsInterp {
             catch { case ContinueEx => () }
             upd.foreach(evalSt)
           }
+        } catch { case BreakEx => () }
+      case ForOfS(n, iter, body) =>
+        val items: Seq[Any] = eval(iter) match {
+          case a: scala.collection.mutable.ArrayBuffer[Any] @unchecked => a.toSeq
+          case s: String => s.map(_.toString)
+          case other => throw new IllegalStateException(
+            "for...of needs an array or string, got " +
+              Option(other).map(_.getClass.getSimpleName).getOrElse("null"))
+        }
+        try items.foreach { v =>
+          tick(); env(n) = v
+          try body.foreach(evalSt) catch { case ContinueEx => () }
         } catch { case BreakEx => () }
       case ReturnS(e) => throw ReturnEx(e.map(eval).orNull)
       case BreakS     => throw BreakEx

@@ -65,6 +65,10 @@ object MatchText {
           replace(acc, lit(from), lit(to))
         }
       case "pattern_replace" => regexp_replace(text, pattern, replacement)
+      // Lucene CJKWidthFilter: fullwidth ASCII → halfwidth, halfwidth
+      // katakana → fullwidth (the cjk analyzer's first filter)
+      case "cjk_width" =>
+        translate(text, MatchText.widthFrom, MatchText.widthTo)
       case other => throw new IllegalArgumentException(s"unknown char filter: $other")
     }
     def apply(s: String): String = kind match {
@@ -75,8 +79,25 @@ object MatchText {
           acc.replace(from, to)
         }
       case "pattern_replace" => s.replaceAll(pattern, replacement)
+      case "cjk_width" => s.map { c =>
+        val i = MatchText.widthFrom.indexOf(c)
+        if (i >= 0) MatchText.widthTo(i) else c
+      }.mkString
       case other => throw new IllegalArgumentException(s"unknown char filter: $other")
     }
+  }
+
+  /** CJKWidthFilter tables: fullwidth ASCII (U+FF01–U+FF5E) folds to the
+    * ASCII range (offset −0xFEE0, incl. the ideographic space), and the
+    * basic halfwidth katakana block (U+FF66–U+FF9D) folds to its
+    * fullwidth forms. Combining voiced-sound marks are not re-composed —
+    * documented approximation of Lucene's full mapping. */
+  private[operators] val (widthFrom, widthTo): (String, String) = {
+    val fwAscii = (0xFF01 to 0xFF5E).map(_.toChar).mkString + "　"
+    val ascii = (0x21 to 0x7E).map(_.toChar).mkString + " "
+    val hwKata = "ｦｧｨｩｪｫｬｭｮｯｰｱｲｳｴｵｶｷｸｹｺｻｼｽｾｿﾀﾁﾂﾃﾄﾅﾆﾇﾈﾉﾊﾋﾌﾍﾎﾏﾐﾑﾒﾓﾔﾕﾖﾗﾘﾙﾚﾛﾜﾝ"
+    val fwKata = "ヲァィゥェォャュョッーアイウエオカキクケコサシスセソタチツテトナニヌネノハヒフヘホマミムメモヤユヨラリルレロワン"
+    (fwAscii + hwKata, ascii + fwKata)
   }
 
   // ASCII-folding table (Lucene ASCIIFoldingFilter's role): common Latin
@@ -128,6 +149,180 @@ object MatchText {
     out.toSeq
   }
 
+  /** One token → Han chars as single-char tokens (the Unicode
+    * word-segmentation IDEOGRAPHIC rule — what the reference's standard
+    * tokenizer emits for Chinese); kana/hangul runs and non-CJK segments
+    * stay whole. The `chinese` analyzer type's tokenization. */
+  private def isHanChar(c: Char): Boolean =
+    (c >= 0x3400 && c <= 0x4DBF) || (c >= 0x4E00 && c <= 0x9FFF)
+  private[operators] def cjkExpandUnigram(tok: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < tok.length) {
+      val han = isHanChar(tok(i))
+      var j = i + 1
+      while (j < tok.length && isHanChar(tok(j)) == han) j += 1
+      if (han) tok.substring(i, j).foreach(c => out += c.toString)
+      else out += tok.substring(i, j)
+      i = j
+    }
+    out.toSeq
+  }
+
+  /** Wave-4 light-stemmer rule tables (reference bundles the full Lucene
+    * language-analyzer set, ddl/analyzers.rst `type='<language>'` list):
+    * per-language character normalization + ordered prefix/suffix strip
+    * rules — (affix, minimum token length to strip at). ONE data-driven
+    * engine serves every language, the Column and driver forms replaying
+    * identical rule order, so each chain stays SQL-replayable by the
+    * DuckDB oracles. Deliberately light (the s-stemmer stance): these
+    * approximate Lucene's snowball/light stemmers, documented as such. */
+  final case class LightRules(normFrom: String = "", normTo: String = "",
+                              prefixes: Seq[(String, Int)] = Nil,
+                              suffixes: Seq[(String, Int)] = Nil)
+
+  private[graft] val lightRules: Map[String, LightRules] = Map(
+    // arabic: strip diacritics+tatweel, fold alef/ya/taa-marbuta variants;
+    // definite-article prefixes; plural/feminine suffixes
+    // (mapped folds FIRST, then delete-only chars — translate removes
+    // from-chars beyond the to-string)
+    "ar" -> LightRules(
+      normFrom = "أإآىة" + "ًٌٍَُِّْـ",
+      normTo = "ااايه",
+      prefixes = Seq(("وال", 5), ("بال", 5), ("كال", 5), ("فال", 5),
+        ("ال", 4), ("لل", 4)),
+      suffixes = Seq(("ها", 4), ("ان", 4), ("ات", 4), ("ون", 4), ("ين", 4),
+        ("ية", 4), ("ه", 4), ("ي", 4))),
+    // turkish: agglutinative case/plural/possessive endings, longest first
+    "tr" -> LightRules(suffixes = Seq(
+      ("larından", 10), ("lerinden", 10), ("larında", 9), ("lerinde", 9),
+      ("ların", 7), ("lerin", 7), ("lardan", 8), ("lerden", 8),
+      ("larda", 7), ("lerde", 7), ("ları", 6), ("leri", 6),
+      ("lar", 5), ("ler", 5), ("nın", 5), ("nin", 5), ("nun", 5), ("nün", 5),
+      ("dan", 5), ("den", 5), ("tan", 5), ("ten", 5),
+      ("da", 4), ("de", 4), ("ta", 4), ("te", 4),
+      ("ın", 4), ("in", 4), ("un", 4), ("ün", 4),
+      ("ı", 3), ("i", 3), ("u", 3), ("ü", 3))),
+    // greek: final-sigma fold, then nominal case endings
+    "el" -> LightRules(normFrom = "ς", normTo = "σ", suffixes = Seq(
+      ("ματα", 6), ("ματοσ", 7), ("οσ", 4), ("εσ", 4), ("ων", 4), ("ου", 4),
+      ("ησ", 4), ("ασ", 4), ("οι", 4), ("αι", 4),
+      ("α", 3), ("η", 3), ("ο", 3), ("ι", 3), ("ε", 3))),
+    // hindi: plural/oblique matras and postposition fusions
+    "hi" -> LightRules(suffixes = Seq(
+      ("ियों", 5), ("ाओं", 5), ("ाएं", 5), ("ओं", 4), ("ों", 4), ("ें", 4),
+      ("ीं", 4), ("ाँ", 4), ("ां", 4), ("ी", 3), ("े", 3), ("ा", 3),
+      ("ू", 3), ("ु", 3))),
+    // czech: nominal case endings
+    "cs" -> LightRules(suffixes = Seq(
+      ("ových", 7), ("ové", 5), ("ech", 5), ("ích", 5), ("ami", 5),
+      ("emi", 5), ("ých", 5), ("ům", 4), ("ám", 4), ("ou", 4),
+      ("ů", 3), ("y", 3), ("i", 3), ("e", 3), ("a", 3), ("o", 3),
+      ("u", 3), ("í", 3))),
+    // hungarian: case/plural endings, longest first
+    "hu" -> LightRules(suffixes = Seq(
+      ("okban", 7), ("ekben", 7), ("oknak", 7), ("eknek", 7),
+      ("okat", 6), ("eket", 6), ("akat", 6),
+      ("ban", 5), ("ben", 5), ("nak", 5), ("nek", 5), ("val", 5), ("vel", 5),
+      ("ok", 4), ("ek", 4), ("ak", 4), ("ot", 4), ("et", 4), ("at", 4),
+      ("t", 4), ("k", 4))),
+    // indonesian: voice/derivation prefixes + common suffixes
+    "id" -> LightRules(
+      prefixes = Seq(("meng", 6), ("meny", 6), ("mem", 5), ("men", 5),
+        ("ber", 5), ("ter", 5), ("me", 4), ("di", 4), ("pe", 4)),
+      suffixes = Seq(("kan", 5), ("nya", 5), ("an", 4), ("i", 3))),
+    // romanian: definite-article and plural endings
+    "ro" -> LightRules(suffixes = Seq(
+      ("urile", 7), ("ului", 6), ("ilor", 6), ("elor", 6), ("uri", 5),
+      ("ele", 5), ("ea", 4), ("ul", 4), ("le", 4), ("ii", 4),
+      ("i", 3), ("e", 3), ("ă", 3), ("a", 3))),
+    // bulgarian: definite-article and plural endings
+    "bg" -> LightRules(suffixes = Seq(
+      ("ите", 5), ("ята", 5), ("та", 4), ("то", 4), ("те", 4), ("ът", 4),
+      ("ия", 4), ("и", 3), ("а", 3), ("я", 3), ("о", 3), ("е", 3))),
+    // catalan: -ció family and plurals
+    "ca" -> LightRules(suffixes = Seq(
+      ("cions", 7), ("ció", 5), ("es", 4), ("s", 3))),
+    // galician: -ción/-cións and plurals
+    "gl" -> LightRules(suffixes = Seq(
+      ("cións", 7), ("ción", 6), ("ns", 4), ("es", 4), ("s", 3))),
+    // latvian / lithuanian: nominal case endings
+    "lv" -> LightRules(suffixes = Seq(
+      ("iem", 5), ("ām", 4), ("as", 4), ("us", 4), ("is", 4), ("es", 4),
+      ("os", 4), ("a", 3), ("s", 3), ("i", 3), ("u", 3), ("e", 3))),
+    "lt" -> LightRules(suffixes = Seq(
+      ("iams", 6), ("ams", 5), ("oms", 5), ("ais", 5), ("iai", 5),
+      ("ai", 4), ("as", 4), ("is", 4), ("os", 4), ("us", 4),
+      ("ų", 3), ("ą", 3), ("į", 3), ("a", 3), ("s", 3), ("i", 3),
+      ("o", 3), ("u", 3), ("e", 3))),
+    // armenian: plural/definite endings
+    "hy" -> LightRules(suffixes = Seq(
+      ("ները", 6), ("ների", 6), ("երը", 5), ("երի", 5), ("ներ", 5),
+      ("եր", 4), ("ը", 3), ("ի", 3), ("ն", 3))),
+    // basque: locative/genitive/determiner endings
+    "eu" -> LightRules(suffixes = Seq(
+      ("etako", 7), ("aren", 6), ("etan", 6), ("ak", 4), ("ek", 4),
+      ("en", 4), ("an", 4), ("a", 3))),
+    // bengali: plural/case endings
+    "bn" -> LightRules(suffixes = Seq(
+      ("গুলো", 5), ("গুলি", 5), ("দের", 4), ("েরা", 4), ("ের", 3), ("রা", 3),
+      ("টা", 3), ("টি", 3))),
+    // persian: arabic-script folds (Lucene's PersianAnalyzer normalizes,
+    // it does NOT stem)
+    "fa" -> LightRules(
+      normFrom = "يكـ", normTo = "یک"),
+    // sorani kurdish: normalization + definite/indefinite endings
+    "ckb" -> LightRules(
+      normFrom = "ـ", normTo = "",
+      suffixes = Seq(("ەکان", 6), ("ەکە", 5), ("ان", 4), ("ێک", 4), ("ە", 3)))
+  )
+
+  private def translateLight(s: String, from: String, to: String): String =
+    s.map { c =>
+      val i = from.indexOf(c)
+      if (i < 0) c.toString else if (i < to.length) to(i).toString else ""
+    }.mkString
+
+  private[graft] def lightStemStr(code: String)(s0: String): String = {
+    val r = lightRules(code)
+    val s1 = if (r.normFrom.isEmpty) s0
+             else translateLight(s0, r.normFrom, r.normTo)
+    val s2 = r.prefixes.collectFirst {
+      case (pre, minL) if s1.length >= minL && s1.startsWith(pre) =>
+        s1.substring(pre.length)
+    }.getOrElse(s1)
+    r.suffixes.collectFirst {
+      case (suf, minL) if s2.length >= minL && s2.endsWith(suf) =>
+        s2.dropRight(suf.length)
+    }.getOrElse(s2)
+  }
+
+  private[graft] def lightStemCol(code: String)(t0: Column): Column = {
+    val r = lightRules(code)
+    val t = if (r.normFrom.isEmpty) t0 else translate(t0, r.normFrom, r.normTo)
+    val afterPre = r.prefixes match {
+      case Seq() => t
+      case (p0, m0) +: rest =>
+        def strip(n: Int) = t.substr(lit(n + 1), length(t))
+        rest.foldLeft(
+          when(length(t) >= m0 && t.startsWith(p0), strip(p0.length))) {
+          case (w, (p, m)) =>
+            w.when(length(t) >= m && t.startsWith(p), strip(p.length))
+        }.otherwise(t)
+    }
+    r.suffixes match {
+      case Seq() => afterPre
+      case (s0, m0) +: rest =>
+        rest.foldLeft(
+          when(length(afterPre) >= m0 && afterPre.endsWith(s0),
+            dropRight(afterPre, s0.length))) {
+          case (w, (s, m)) =>
+            w.when(length(afterPre) >= m && afterPre.endsWith(s),
+              dropRight(afterPre, s.length))
+        }.otherwise(afterPre)
+    }
+  }
+
   final case class Analyzer(stopwords: Seq[String] = Nil,
                             minTokenLength: Int = 1,
                             sStem: Boolean = false,
@@ -140,9 +335,14 @@ object MatchText {
                             asciifold: Boolean = false,
                             edgeNgram: (Int, Int) = (0, 0),
                             shingle: (Int, Int) = (0, 0),
-                            cjkBigram: Boolean = false) {
+                            cjkBigram: Boolean = false,
+                            cjkUnigram: Boolean = false) {
     private def splitPattern: String = tokenizer match {
-      case "standard"               => "[^\\p{L}\\p{N}]+"
+      // \p{M}: combining marks (Devanagari/Bengali matras, Thai vowel
+      // signs, Arabic diacritics) stay attached to their base letters —
+      // Lucene's UAX#29 segmentation does the same; without it Indic
+      // words shatter at every matra
+      case "standard"               => "[^\\p{L}\\p{N}\\p{M}]+"
       case "whitespace"             => "\\s+"
       case "letter" | "lowercase"   => "[^\\p{L}]+"
       case "keyword"                => ""
@@ -192,6 +392,21 @@ object MatchText {
               .otherwise(array(s0))))
         }))
       }
+      if (cjkUnigram) {
+        // Han runs split to single-char tokens (ES standard-tokenizer
+        // IDEOGRAPHIC behavior — the `chinese` type); other scripts and
+        // kana/hangul runs pass whole
+        val han = "[\\u3400-\\u4DBF\\u4E00-\\u9FFF]"
+        toks = flatten(transform(toks, t => {
+          val segs = filter(
+            split(regexp_replace(t, s"($han+)", "\u0001$1\u0001"), "\u0001"),
+            x => length(x) > 0)
+          flatten(transform(segs, s0 =>
+            when(s0.rlike(s"^$han"),
+              transform(sequence(lit(1), length(s0)), i => s0.substr(i, lit(1))))
+              .otherwise(array(s0))))
+        }))
+      }
       if (minTokenLength > 1)
         toks = filter(toks, t => length(t) >= minTokenLength)
       if (maxTokenLength > 0)
@@ -214,6 +429,8 @@ object MatchText {
         case "no" => toks = transform(toks, nordicStemCol(_))
         case "da" => toks = transform(toks, nordicStemCol(_))
         case "fi" => toks = transform(toks, finnishStemCol(_))
+        case code if MatchText.lightRules.contains(code) =>
+          toks = transform(toks, MatchText.lightStemCol(code)(_))
         case _    => ()
       }
       // edge n-grams: every prefix of length min..max per token (the
@@ -248,6 +465,7 @@ object MatchText {
         else cased.split(splitPattern).toSeq.filter(_.nonEmpty)
       if (asciifold) t = t.map(asciiFoldStr)
       if (cjkBigram) t = t.flatMap(MatchText.cjkExpand)
+      if (cjkUnigram) t = t.flatMap(MatchText.cjkExpandUnigram)
       if (minTokenLength > 1) t = t.filter(_.length >= minTokenLength)
       if (maxTokenLength > 0) t = t.filter(_.length <= maxTokenLength)
       if (stopwords.nonEmpty) { val sw = stopwords.toSet; t = t.filterNot(sw) }
@@ -263,6 +481,8 @@ object MatchText {
         case "ru" => t = t.map(russianStemStr)
         case "sv" | "no" | "da" => t = t.map(nordicStemStr)
         case "fi" => t = t.map(finnishStemStr)
+        case code if MatchText.lightRules.contains(code) =>
+          t = t.map(MatchText.lightStemStr(code))
         case _    => ()
       }
       if (edgeNgram._1 > 0) {
@@ -316,10 +536,43 @@ object MatchText {
       "norwegian"  -> Analyzer(stopwords = norwegianStopwords, minimalStem = "no"),
       "danish"     -> Analyzer(stopwords = danishStopwords, minimalStem = "da"),
       "finnish"    -> Analyzer(stopwords = finnishStopwords, minimalStem = "fi"),
-      // Lucene CJKAnalyzer: StandardTokenizer + lowercase + CJK bigrams
-      // + (English-ish) stop set; the CJKWidthFilter fullwidth→halfwidth
-      // fold is not modeled — documented approximation
-      "cjk"        -> Analyzer(stopwords = englishStopwords, cjkBigram = true)
+      // Lucene CJKAnalyzer: CJKWidthFilter (fullwidth ASCII → halfwidth,
+      // halfwidth katakana → fullwidth) + StandardTokenizer + lowercase
+      // + CJK bigrams + (English-ish) stop set
+      "cjk"        -> Analyzer(stopwords = englishStopwords, cjkBigram = true,
+        charFilters = Seq(CharFilter("cjk_width"))),
+      // Wave 4 — the REST of the reference's builtin language list
+      // (ddl/analyzers.rst `type='<language>'`: 34 types, all now
+      // resolvable). Each is stop set + the data-driven light rules in
+      // [[lightRules]]; documented approximations of Lucene's stemmers.
+      "arabic"     -> Analyzer(stopwords = arabicStopwords, minimalStem = "ar"),
+      "turkish"    -> Analyzer(stopwords = turkishStopwords, minimalStem = "tr"),
+      "greek"      -> Analyzer(stopwords = greekStopwords, minimalStem = "el"),
+      "hindi"      -> Analyzer(stopwords = hindiStopwords, minimalStem = "hi"),
+      "czech"      -> Analyzer(stopwords = czechStopwords, minimalStem = "cs"),
+      "hungarian"  -> Analyzer(stopwords = hungarianStopwords, minimalStem = "hu"),
+      "indonesian" -> Analyzer(stopwords = indonesianStopwords, minimalStem = "id"),
+      "romanian"   -> Analyzer(stopwords = romanianStopwords, minimalStem = "ro"),
+      "bulgarian"  -> Analyzer(stopwords = bulgarianStopwords, minimalStem = "bg"),
+      "catalan"    -> Analyzer(stopwords = catalanStopwords, minimalStem = "ca"),
+      "galician"   -> Analyzer(stopwords = galicianStopwords, minimalStem = "gl"),
+      "latvian"    -> Analyzer(stopwords = latvianStopwords, minimalStem = "lv"),
+      "lithuanian" -> Analyzer(stopwords = lithuanianStopwords, minimalStem = "lt"),
+      "armenian"   -> Analyzer(stopwords = armenianStopwords, minimalStem = "hy"),
+      "basque"     -> Analyzer(stopwords = basqueStopwords, minimalStem = "eu"),
+      "bengali"    -> Analyzer(stopwords = bengaliStopwords, minimalStem = "bn"),
+      // brazilian ≈ the portuguese chain (Lucene's BrazilianStemmer is a
+      // close cousin; same stop family)
+      "brazilian"  -> Analyzer(stopwords = portugueseStopwords, minimalStem = "pt"),
+      // persian: Lucene normalizes (arabic-script folds) but does NOT stem
+      "persian"    -> Analyzer(stopwords = persianStopwords, minimalStem = "fa"),
+      "sorani"     -> Analyzer(stopwords = soraniStopwords, minimalStem = "ckb"),
+      // thai: stop set only — Lucene segments with a dictionary; unspaced
+      // Thai stays one token here (documented gap)
+      "thai"       -> Analyzer(stopwords = thaiStopwords),
+      // chinese: the reference maps it to the standard analyzer, whose
+      // Unicode segmentation emits one token per Han ideograph
+      "chinese"    -> Analyzer(stopwords = englishStopwords, cjkUnigram = true)
     ).foreach { case (n, a) => registry.put(n, a) }
     def register(name: String, a: Analyzer): Unit = registry.put(name.toLowerCase, a)
     def drop(name: String): Unit = registry.remove(name.toLowerCase)
@@ -483,6 +736,88 @@ object MatchText {
     "ne", "niin", "noin", "nyt", "näin", "ole", "olen", "olet", "oli",
     "olla", "on", "ovat", "sekä", "se", "sen", "siellä", "siitä", "sinä",
     "sitä", "tai", "tämä", "te", "tuo", "vaan", "vai", "vain", "voi")
+
+  // Wave-4 stop sets: representative high-frequency function words per
+  // language (the full Lucene lists run to hundreds of entries; these
+  // are the heads of those lists, documented as subsets — custom lists
+  // load through CREATE ANALYZER's stopwords parameter as everywhere)
+  val arabicStopwords: Seq[String] = Seq(
+    "في", "من", "على", "الى", "إلى", "عن", "مع", "هذا", "هذه", "ذلك",
+    "التي", "الذي", "ان", "أن", "كان", "كانت", "لم", "لا", "ما", "هو",
+    "هي", "و", "ثم", "او", "أو", "كل", "بعد", "قبل", "قد", "اذا", "إذا")
+  val turkishStopwords: Seq[String] = Seq(
+    "ve", "bir", "bu", "da", "de", "için", "ile", "gibi", "daha", "çok",
+    "en", "o", "ama", "ki", "ne", "her", "mi", "mu", "mü", "mı", "şu",
+    "ise", "ya", "hem", "değil", "olarak", "kadar", "sonra", "önce")
+  val greekStopwords: Seq[String] = Seq(
+    "και", "το", "η", "ο", "τα", "οι", "του", "της", "των", "στο", "στη",
+    "με", "για", "από", "που", "να", "δεν", "θα", "ένα", "μια", "αυτό",
+    "είναι", "ως", "αλλά", "ή", "σε", "αν", "πως", "ότι")
+  val hindiStopwords: Seq[String] = Seq(
+    "और", "का", "की", "के", "में", "से", "को", "है", "हैं", "था", "थी",
+    "यह", "वह", "पर", "एक", "हो", "ही", "भी", "तो", "ने", "कि", "जो",
+    "नहीं", "कुछ", "अपने", "साथ", "इस", "उस")
+  val czechStopwords: Seq[String] = Seq(
+    "a", "aby", "ale", "ani", "by", "co", "do", "i", "je", "jeho", "jen",
+    "ji", "jsem", "jsou", "k", "kde", "kdy", "když", "na", "nebo", "není",
+    "o", "od", "po", "pro", "protože", "před", "s", "se", "si", "tak",
+    "také", "ten", "to", "u", "v", "ve", "z", "za", "že")
+  val hungarianStopwords: Seq[String] = Seq(
+    "a", "az", "és", "egy", "hogy", "nem", "is", "de", "van", "volt",
+    "csak", "ha", "mint", "már", "meg", "vagy", "még", "ez", "azt", "el",
+    "ki", "mi", "te", "ő", "ők", "mert", "után", "így", "olyan")
+  val indonesianStopwords: Seq[String] = Seq(
+    "yang", "dan", "di", "ke", "dari", "untuk", "pada", "dengan", "ini",
+    "itu", "adalah", "tidak", "ada", "akan", "atau", "juga", "saya",
+    "kami", "mereka", "dia", "sudah", "bisa", "karena", "dalam", "oleh")
+  val romanianStopwords: Seq[String] = Seq(
+    "și", "de", "la", "în", "cu", "pe", "un", "o", "este", "sunt", "care",
+    "ce", "nu", "se", "din", "mai", "dar", "sau", "a", "al", "ale", "că",
+    "pentru", "au", "fost", "dacă", "după", "între")
+  val bulgarianStopwords: Seq[String] = Seq(
+    "и", "в", "на", "с", "за", "от", "по", "до", "не", "се", "е", "са",
+    "да", "че", "като", "или", "но", "това", "той", "тя", "те", "ние",
+    "ако", "при", "след", "само", "още", "може")
+  val catalanStopwords: Seq[String] = Seq(
+    "i", "de", "la", "el", "les", "els", "en", "a", "que", "és", "un",
+    "una", "per", "amb", "no", "es", "al", "del", "dels", "com", "més",
+    "o", "si", "ja", "ha", "han", "són", "però")
+  val galicianStopwords: Seq[String] = Seq(
+    "e", "a", "o", "as", "os", "de", "do", "da", "dos", "das", "en", "no",
+    "na", "nos", "nas", "que", "un", "unha", "para", "con", "por", "non",
+    "é", "se", "ao", "máis", "pero", "como")
+  val latvianStopwords: Seq[String] = Seq(
+    "un", "ir", "es", "tu", "ka", "kas", "ar", "no", "uz", "par", "pie",
+    "bet", "vai", "šis", "tas", "tā", "jā", "ne", "bija", "būs", "viņš",
+    "viņa", "mēs", "jūs", "savā", "pēc")
+  val lithuanianStopwords: Seq[String] = Seq(
+    "ir", "yra", "aš", "tu", "jis", "ji", "kad", "kas", "su", "iš", "į",
+    "ant", "po", "apie", "bet", "ar", "tai", "šis", "tas", "ne", "buvo",
+    "bus", "mes", "jūs", "savo", "prie", "per")
+  val armenianStopwords: Seq[String] = Seq(
+    "և", "եվ", "է", "են", "էր", "մի", "այս", "այդ", "այն", "որ", "ու",
+    "նա", "ես", "դու", "մենք", "դուք", "իր", "չի", "ոչ", "բայց", "կամ",
+    "համար", "հետ", "մեջ", "վրա")
+  val basqueStopwords: Seq[String] = Seq(
+    "eta", "da", "dira", "zen", "ziren", "du", "dute", "bat", "hau",
+    "hori", "hura", "ez", "bai", "ere", "baina", "edo", "nik", "zu",
+    "gu", "haiek", "bere", "nire", "zure", "baten", "arte")
+  val bengaliStopwords: Seq[String] = Seq(
+    "এবং", "ও", "এই", "যে", "সে", "তার", "আমি", "তুমি", "আমরা", "তারা",
+    "কি", "না", "হয়", "ছিল", "করে", "থেকে", "জন্য", "সঙ্গে", "কিন্তু",
+    "বা", "আর", "হবে", "এক", "এর", "মধ্যে")
+  val persianStopwords: Seq[String] = Seq(
+    "و", "در", "به", "از", "که", "این", "آن", "با", "برای", "را", "تا",
+    "است", "بود", "شد", "می", "ها", "های", "یک", "هم", "نه", "اگر",
+    "ولی", "اما", "یا", "بر", "هر", "من", "تو", "ما")
+  val soraniStopwords: Seq[String] = Seq(
+    "و", "لە", "بە", "بۆ", "کە", "ئەم", "ئەو", "لەگەڵ", "تا", "ئەگەر",
+    "بەڵام", "یان", "هەر", "من", "تۆ", "ئێمە", "ئێوە", "ئەوان", "دە",
+    "نە", "هیچ", "چی", "کام")
+  val thaiStopwords: Seq[String] = Seq(
+    "และ", "ที่", "ใน", "ของ", "เป็น", "มี", "ไม่", "ได้", "ให้", "จะ",
+    "ก็", "แต่", "หรือ", "กับ", "จาก", "ถึง", "ว่า", "นี้", "นั้น", "แล้ว",
+    "เมื่อ", "ต้อง", "อยู่", "คือ", "โดย")
 
   private def dropRight(t: Column, n: Int): Column = t.substr(lit(1), length(t) - n)
   private def stemCol(t: Column): Column =

@@ -191,6 +191,70 @@ object QueriesRound7 {
         FROM pg_stats WHERE tablename = 'mcv_t' AND attname = 'seg'""")
     }),
 
+"q222_language_analyzers4" -> ((s, dir) => {
+      import graft.operators.MatchText
+      val c = graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("k"))
+      def pick(words: Seq[String], m: Int) =
+        element_at(array(words.map(lit): _*), (col("k") % m + 1).cast("int"))
+      def arm(lang: String, analyzer: String,
+              v1: Seq[String], v2: Seq[String], v3: Seq[String]) =
+        c.select(lit(lang).as("lang"),
+          explode(MatchText.Analyzer.byName(analyzer)(
+            concat_ws(" ", pick(v1, 7), pick(v2, 5), pick(v3, 3)))).as("term"))
+      val ar = arm("ar", "arabic",
+        Seq("الكتاب", "والكتب", "المدرسة", "الكبيرة", "مدرسون", "كتابها", "البيت"),
+        Seq("في", "مكتبة", "العلوم", "منازل", "الطلاب"),
+        Seq("جامعة", "من", "الصغير"))
+      val tr = arm("tr", "turkish",
+        Seq("kitapları", "evlerinde", "arabalar", "okullarda", "öğrenciler", "şehirlerden", "kapıları"),
+        Seq("ve", "kitaplar", "evler", "sokakta", "günü"),
+        Seq("okul", "bir", "şehir"))
+      val el = arm("el", "greek",
+        Seq("βιβλία", "πόλεων", "μεγάλα", "θάλασσες", "άνθρωποι", "δρόμου", "παιδιά"),
+        Seq("και", "σπίτια", "νύχτες", "ημέρας", "χρόνια"),
+        Seq("πόλη", "τα", "φώτα"))
+      val hi = arm("hi", "hindi",
+        Seq("लड़कों", "किताबें", "स्कूलों", "रातों", "दिनों", "सड़कें", "घरों"),
+        Seq("और", "लड़कियां", "कहानियां", "आंखें", "बातें"),
+        Seq("शहर", "है", "घर"))
+      ar.union(tr.union(el.union(hi)))
+        .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("term"))
+    }),
+
+    "q223_language_analyzers5" -> ((s, dir) => {
+      import graft.operators.MatchText
+      val c = graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("k"))
+      def pick(words: Seq[String], m: Int) =
+        element_at(array(words.map(lit): _*), (col("k") % m + 1).cast("int"))
+      def arm(lang: String, analyzer: String,
+              v1: Seq[String], v2: Seq[String], v3: Seq[String]) =
+        c.select(lit(lang).as("lang"),
+          explode(MatchText.Analyzer.byName(analyzer)(
+            concat_ws(" ", pick(v1, 7), pick(v2, 5), pick(v3, 3)))).as("term"))
+      val cs = arm("cs", "czech",
+        Seq("knihy", "domech", "velkých", "městech", "ulicemi", "zahradami", "stolové"),
+        Seq("a", "okna", "pole", "ruky", "lesy"),
+        Seq("dům", "je", "noc"))
+      val hu = arm("hu", "hungarian",
+        Seq("házakban", "könyveket", "kertekben", "napokat", "emberek", "városok", "ablakot"),
+        Seq("és", "madarak", "fákat", "házat", "kertek"),
+        Seq("nap", "nem", "út"))
+      val id = arm("id", "indonesian",
+        Seq("membaca", "pekerjaan", "makanan", "bukunya", "ditulis", "terbesar", "mengajar"),
+        Seq("dan", "belajar", "rumahnya", "minuman", "jalanan"),
+        Seq("kota", "yang", "pasar"))
+      val ro = arm("ro", "romanian",
+        Seq("cărțile", "orașelor", "copiii", "străzile", "caselor", "drumuri", "fetele"),
+        Seq("și", "nopțile", "zilele", "cartea", "anii"),
+        Seq("oraș", "din", "sat"))
+      cs.union(hu.union(id.union(ro)))
+        .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("term"))
+    }),
+
     "q216_knn_subquery_vector" -> ((s, dir) => {
       val r = vstore(s, dir, "q216", "vstoreq", nprobe = 16)
       graft.StatementRouter.lastKnnRoute.set("")
@@ -264,6 +328,58 @@ object QueriesRound7 {
     "q220_analyze_mcv_sampled" ->
       """SELECT 'seg' AS attname, 'HEAVY' AS top_val, TRUE AS top_freq_ok,
         |       6 AS n_mcv, TRUE AS minor_freqs_ok""".stripMargin,
+
+"q222_language_analyzers4" ->
+      """WITH ks AS (SELECT c_custkey AS k FROM customer),
+|ar_t AS (SELECT t FROM ks, LATERAL (VALUES
+|  ((['الكتاب','والكتب','المدرسة','الكبيرة','مدرسون','كتابها','البيت'])[CAST(k % 7 + 1 AS INT)]),
+|  ((['في','مكتبة','العلوم','منازل','الطلاب'])[CAST(k % 5 + 1 AS INT)]),
+|  ((['جامعة','من','الصغير'])[CAST(k % 3 + 1 AS INT)])) AS v(t)),
+|ar AS (SELECT 'ar' AS lang, CASE t WHEN 'الكتاب' THEN 'كتاب' WHEN 'والكتب' THEN 'كتب' WHEN 'المدرسة' THEN 'مدرس' WHEN 'الكبيرة' THEN 'كبير' WHEN 'مدرسون' THEN 'مدرس' WHEN 'كتابها' THEN 'كتاب' WHEN 'البيت' THEN 'بيت' WHEN 'مكتبة' THEN 'مكتب' WHEN 'العلوم' THEN 'علوم' WHEN 'منازل' THEN 'منازل' WHEN 'الطلاب' THEN 'طلاب' WHEN 'جامعة' THEN 'جامع' WHEN 'الصغير' THEN 'صغير' END AS term FROM ar_t),
+|tr_t AS (SELECT t FROM ks, LATERAL (VALUES
+|  ((['kitapları','evlerinde','arabalar','okullarda','öğrenciler','şehirlerden','kapıları'])[CAST(k % 7 + 1 AS INT)]),
+|  ((['ve','kitaplar','evler','sokakta','günü'])[CAST(k % 5 + 1 AS INT)]),
+|  ((['okul','bir','şehir'])[CAST(k % 3 + 1 AS INT)])) AS v(t)),
+|tr AS (SELECT 'tr' AS lang, CASE t WHEN 'kitapları' THEN 'kitap' WHEN 'evlerinde' THEN 'ev' WHEN 'arabalar' THEN 'araba' WHEN 'okullarda' THEN 'okul' WHEN 'öğrenciler' THEN 'öğrenci' WHEN 'şehirlerden' THEN 'şehir' WHEN 'kapıları' THEN 'kapı' WHEN 'kitaplar' THEN 'kitap' WHEN 'evler' THEN 'ev' WHEN 'sokakta' THEN 'sokak' WHEN 'günü' THEN 'gün' WHEN 'okul' THEN 'okul' WHEN 'şehir' THEN 'şehir' END AS term FROM tr_t),
+|el_t AS (SELECT t FROM ks, LATERAL (VALUES
+|  ((['βιβλία','πόλεων','μεγάλα','θάλασσες','άνθρωποι','δρόμου','παιδιά'])[CAST(k % 7 + 1 AS INT)]),
+|  ((['και','σπίτια','νύχτες','ημέρας','χρόνια'])[CAST(k % 5 + 1 AS INT)]),
+|  ((['πόλη','τα','φώτα'])[CAST(k % 3 + 1 AS INT)])) AS v(t)),
+|el AS (SELECT 'el' AS lang, CASE t WHEN 'βιβλία' THEN 'βιβλί' WHEN 'πόλεων' THEN 'πόλε' WHEN 'μεγάλα' THEN 'μεγάλ' WHEN 'θάλασσες' THEN 'θάλασσ' WHEN 'άνθρωποι' THEN 'άνθρωπ' WHEN 'δρόμου' THEN 'δρόμ' WHEN 'παιδιά' THEN 'παιδιά' WHEN 'σπίτια' THEN 'σπίτι' WHEN 'νύχτες' THEN 'νύχτ' WHEN 'ημέρας' THEN 'ημέρ' WHEN 'χρόνια' THEN 'χρόνι' WHEN 'πόλη' THEN 'πόλ' WHEN 'φώτα' THEN 'φώτ' END AS term FROM el_t),
+|hi_t AS (SELECT t FROM ks, LATERAL (VALUES
+|  ((['लड़कों','किताबें','स्कूलों','रातों','दिनों','सड़कें','घरों'])[CAST(k % 7 + 1 AS INT)]),
+|  ((['और','लड़कियां','कहानियां','आंखें','बातें'])[CAST(k % 5 + 1 AS INT)]),
+|  ((['शहर','है','घर'])[CAST(k % 3 + 1 AS INT)])) AS v(t)),
+|hi AS (SELECT 'hi' AS lang, CASE t WHEN 'लड़कों' THEN 'लड़क' WHEN 'किताबें' THEN 'किताब' WHEN 'स्कूलों' THEN 'स्कूल' WHEN 'रातों' THEN 'रात' WHEN 'दिनों' THEN 'दिन' WHEN 'सड़कें' THEN 'सड़क' WHEN 'घरों' THEN 'घर' WHEN 'लड़कियां' THEN 'लड़किय' WHEN 'कहानियां' THEN 'कहानिय' WHEN 'आंखें' THEN 'आंख' WHEN 'बातें' THEN 'बात' WHEN 'शहर' THEN 'शहर' WHEN 'घर' THEN 'घर' END AS term FROM hi_t),
+|allt AS (SELECT * FROM ar UNION ALL SELECT * FROM tr UNION ALL SELECT * FROM el UNION ALL SELECT * FROM hi)
+|SELECT lang, term, count(*) AS n FROM allt WHERE term IS NOT NULL
+|GROUP BY lang, term ORDER BY lang, term""".stripMargin,
+
+    "q223_language_analyzers5" ->
+      """WITH ks AS (SELECT c_custkey AS k FROM customer),
+|cs_t AS (SELECT t FROM ks, LATERAL (VALUES
+|  ((['knihy','domech','velkých','městech','ulicemi','zahradami','stolové'])[CAST(k % 7 + 1 AS INT)]),
+|  ((['a','okna','pole','ruky','lesy'])[CAST(k % 5 + 1 AS INT)]),
+|  ((['dům','je','noc'])[CAST(k % 3 + 1 AS INT)])) AS v(t)),
+|cs AS (SELECT 'cs' AS lang, CASE t WHEN 'knihy' THEN 'knih' WHEN 'domech' THEN 'dom' WHEN 'velkých' THEN 'velk' WHEN 'městech' THEN 'měst' WHEN 'ulicemi' THEN 'ulic' WHEN 'zahradami' THEN 'zahrad' WHEN 'stolové' THEN 'stol' WHEN 'okna' THEN 'okn' WHEN 'pole' THEN 'pol' WHEN 'ruky' THEN 'ruk' WHEN 'lesy' THEN 'les' WHEN 'dům' THEN 'dům' WHEN 'noc' THEN 'noc' END AS term FROM cs_t),
+|hu_t AS (SELECT t FROM ks, LATERAL (VALUES
+|  ((['házakban','könyveket','kertekben','napokat','emberek','városok','ablakot'])[CAST(k % 7 + 1 AS INT)]),
+|  ((['és','madarak','fákat','házat','kertek'])[CAST(k % 5 + 1 AS INT)]),
+|  ((['nap','nem','út'])[CAST(k % 3 + 1 AS INT)])) AS v(t)),
+|hu AS (SELECT 'hu' AS lang, CASE t WHEN 'házakban' THEN 'házak' WHEN 'könyveket' THEN 'könyv' WHEN 'kertekben' THEN 'kert' WHEN 'napokat' THEN 'nap' WHEN 'emberek' THEN 'ember' WHEN 'városok' THEN 'város' WHEN 'ablakot' THEN 'ablak' WHEN 'madarak' THEN 'madar' WHEN 'fákat' THEN 'fák' WHEN 'házat' THEN 'ház' WHEN 'kertek' THEN 'kert' WHEN 'nap' THEN 'nap' WHEN 'út' THEN 'út' END AS term FROM hu_t),
+|id_t AS (SELECT t FROM ks, LATERAL (VALUES
+|  ((['membaca','pekerjaan','makanan','bukunya','ditulis','terbesar','mengajar'])[CAST(k % 7 + 1 AS INT)]),
+|  ((['dan','belajar','rumahnya','minuman','jalanan'])[CAST(k % 5 + 1 AS INT)]),
+|  ((['kota','yang','pasar'])[CAST(k % 3 + 1 AS INT)])) AS v(t)),
+|id AS (SELECT 'id' AS lang, CASE t WHEN 'membaca' THEN 'baca' WHEN 'pekerjaan' THEN 'kerja' WHEN 'makanan' THEN 'makan' WHEN 'bukunya' THEN 'buku' WHEN 'ditulis' THEN 'tulis' WHEN 'terbesar' THEN 'besar' WHEN 'mengajar' THEN 'ajar' WHEN 'belajar' THEN 'belajar' WHEN 'rumahnya' THEN 'rumah' WHEN 'minuman' THEN 'minum' WHEN 'jalanan' THEN 'jalan' WHEN 'kota' THEN 'kota' WHEN 'pasar' THEN 'pasar' END AS term FROM id_t),
+|ro_t AS (SELECT t FROM ks, LATERAL (VALUES
+|  ((['cărțile','orașelor','copiii','străzile','caselor','drumuri','fetele'])[CAST(k % 7 + 1 AS INT)]),
+|  ((['și','nopțile','zilele','cartea','anii'])[CAST(k % 5 + 1 AS INT)]),
+|  ((['oraș','din','sat'])[CAST(k % 3 + 1 AS INT)])) AS v(t)),
+|ro AS (SELECT 'ro' AS lang, CASE t WHEN 'cărțile' THEN 'cărți' WHEN 'orașelor' THEN 'oraș' WHEN 'copiii' THEN 'copi' WHEN 'străzile' THEN 'străzi' WHEN 'caselor' THEN 'cas' WHEN 'drumuri' THEN 'drum' WHEN 'fetele' THEN 'fet' WHEN 'nopțile' THEN 'nopți' WHEN 'zilele' THEN 'zil' WHEN 'cartea' THEN 'cart' WHEN 'anii' THEN 'an' WHEN 'oraș' THEN 'oraș' WHEN 'sat' THEN 'sat' END AS term FROM ro_t),
+|allt AS (SELECT * FROM cs UNION ALL SELECT * FROM hu UNION ALL SELECT * FROM id UNION ALL SELECT * FROM ro)
+|SELECT lang, term, count(*) AS n FROM allt WHERE term IS NOT NULL
+|GROUP BY lang, term ORDER BY lang, term""".stripMargin,
 
     "q216_knn_subquery_vector" ->
       """SELECT e.vec_id,

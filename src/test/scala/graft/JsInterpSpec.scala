@@ -30,6 +30,30 @@ class JsInterpSpec extends SparkTestBase {
     assert(ev(src, 100L) == 5050.0)
   }
 
+  test("for...of iterates arrays and strings; break/continue apply") {
+    assert(ev(
+      """function f() {
+        |  var s = 0;
+        |  for (var x of [1, 2, 3, 4]) { if (x == 3) { continue; } s += x; }
+        |  return s;
+        |}""".stripMargin) == 7.0)
+    assert(ev(
+      """function f() {
+        |  var out = '';
+        |  for (c of 'abc') { if (c == 'c') { break; } out += c; }
+        |  return out;
+        |}""".stripMargin) == "ab")
+    // the loop variable shadows/overwrites like JS var semantics
+    assert(ev(
+      """function f(n) {
+        |  var total = 0;
+        |  var arr = [];
+        |  for (var i = 0; i < n; i++) { arr.push(i * 2); }
+        |  for (var v of arr) { total += v; }
+        |  return total;
+        |}""".stripMargin, 4L) == 12.0)
+  }
+
   test("break/continue unwind to the innermost loop only") {
     val src =
       """function f() {

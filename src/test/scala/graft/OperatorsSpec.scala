@@ -491,6 +491,9 @@ class MatchTextSpec extends SparkTestBase {
       MatchText.Analyzer.byName("english"),
       MatchText.Analyzer.byName("russian"),
       MatchText.Analyzer.byName("cjk"),
+      MatchText.Analyzer.byName("arabic"),
+      MatchText.Analyzer.byName("hindi"),
+      MatchText.Analyzer.byName("chinese"),
       MatchText.Analyzer(edgeNgram = (3, 5)),
       MatchText.Analyzer(shingle = (2, 3)),
       MatchText.Analyzer(tokenizer = "keyword"))
@@ -522,6 +525,61 @@ class MatchTextSpec extends SparkTestBase {
     assert(a.tokens("spark数据") == Seq("spark", "数据"))
     // hangul bigrams
     assert(a.tokens("학습데이터") == Seq("학습", "습데", "데이", "이터"))
+    // CJKWidthFilter: fullwidth ASCII folds to halfwidth (and lowers),
+    // halfwidth katakana folds to fullwidth before bigramming
+    assert(a.tokens("ＳＰＡＲＫ３") == Seq("spark3"))
+    assert(a.tokens("ﾃｽﾄ") == Seq("テス", "スト"))
+  }
+
+  test("wave-4 analyzers: all 34 reference builtin language types resolve") {
+    import graft.operators.MatchText.Analyzer
+    // the reference's full `type='<language>'` list (ddl/analyzers.rst)
+    val all = Seq("arabic", "armenian", "basque", "brazilian", "bengali",
+      "bulgarian", "catalan", "chinese", "cjk", "czech", "danish", "dutch",
+      "english", "finnish", "french", "galician", "german", "greek",
+      "hindi", "hungarian", "indonesian", "italian", "latvian",
+      "lithuanian", "norwegian", "persian", "portuguese", "romanian",
+      "russian", "sorani", "spanish", "swedish", "turkish", "thai")
+    all.foreach(n => assert(Analyzer.exists(n), s"missing analyzer: $n"))
+  }
+
+  test("wave-4 analyzers: golden tokenizations per language chain") {
+    import graft.operators.MatchText.Analyzer
+    def tk(lang: String, s: String) = Analyzer.byName(lang).tokens(s)
+    // arabic: article/conjunction prefixes, taa-marbuta fold, stop drop
+    assert(tk("arabic", "الكتاب والكتب في المدرسة") ==
+      Seq("كتاب", "كتب", "مدرس"))
+    // turkish: agglutinative case/plural endings, longest-first
+    assert(tk("turkish", "kitapları ve evlerinde") == Seq("kitap", "ev"))
+    // greek: final-sigma fold + case endings
+    assert(tk("greek", "και τα βιβλία των πόλεων") == Seq("βιβλί", "πόλε"))
+    // hindi: matras survive tokenization (\p{M}), plural endings strip
+    assert(tk("hindi", "लड़कों और किताबें") == Seq("लड़क", "किताब"))
+    assert(tk("czech", "knihy a domech") == Seq("knih", "dom"))
+    assert(tk("hungarian", "a házakban és könyveket") == Seq("házak", "könyv"))
+    // indonesian: voice prefixes + -nya/-an suffixes
+    assert(tk("indonesian", "membaca bukunya dan pekerjaan") ==
+      Seq("baca", "buku", "kerja"))
+    assert(tk("romanian", "cărțile și orașelor") == Seq("cărți", "oraș"))
+    assert(tk("bulgarian", "книгите и градовете") == Seq("книг", "градове"))
+    assert(tk("catalan", "els llibres i les cançons") == Seq("llibr", "cançon"))
+    assert(tk("galician", "os libros e as cancións") == Seq("libro", "can"))
+    assert(tk("latvian", "grāmatas un pilsētas") == Seq("grāmat", "pilsēt"))
+    assert(tk("lithuanian", "knygos ir miestams") == Seq("knyg", "miest"))
+    assert(tk("armenian", "գրքերը և քաղաքների") == Seq("գրք", "քաղաք"))
+    assert(tk("basque", "liburuak eta etxeetan") == Seq("liburu", "etxe"))
+    assert(tk("bengali", "বইগুলো এবং ছেলেদের") == Seq("বই", "ছেলে"))
+    // brazilian rides the portuguese chain
+    assert(tk("brazilian", "corações e animais") == Seq("coração", "animal"))
+    // persian: arabic-ya fold, NO stemming (Lucene parity)
+    assert(tk("persian", "اين شهر بزرگ") == Seq("این", "شهر", "بزرگ"))
+    assert(tk("sorani", "کتێبەکان و شارەکە") == Seq("کتێب", "شار"))
+    // thai: stop set only; spaced text tokenizes, vowel marks intact
+    assert(tk("thai", "หนังสือ และ เมือง") == Seq("หนังสือ", "เมือง"))
+    // chinese: one token per Han ideograph (ES standard-tokenizer
+    // behavior); kana/hangul runs stay whole
+    assert(tk("chinese", "数据库 データベース 학습") ==
+      Seq("数", "据", "库", "データベース", "학습"))
   }
 
   test("language analyzers: swedish/norwegian/danish/finnish chains") {

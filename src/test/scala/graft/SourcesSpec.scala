@@ -582,9 +582,13 @@ class AnalyzerDdlSpec extends SparkTestBase {
     // German snowball resolves to the light German chain (stop + fold + stem)
     r.execute("create ANALYZER german_snowball extends snowball WITH (language = 'german')")
     assert(Analyzer.byName("german_snowball").tokens("die Häuser") == Seq("haus"))
+    // wave-4 languages are valid snowball bases now (turkish light rules)
+    r.execute("create ANALYZER turkish_snowball extends snowball WITH (language = 'turkish')")
+    assert(Analyzer.byName("turkish_snowball").tokens("kitapları ve evler") ==
+      Seq("kitap", "ev"))
     // an unshipped snowball language is an explicit error, not silence
     val e = intercept[Exception](
-      r.execute("create ANALYZER g extends snowball WITH (language = 'turkish')"))
+      r.execute("create ANALYZER g extends snowball WITH (language = 'klingon')"))
     assert(e.getMessage.contains("unsupported"))
     // keyword tokenizer: the whole value is one token (plain-index analog)
     r.execute("CREATE ANALYZER kw (TOKENIZER keyword)")

@@ -207,6 +207,33 @@ class StatementTailSpec extends SparkTestBase {
       .head().getLong(0) == 0L)
   }
 
+  test("per-row _seq_no persists as a versioned sidecar and patches forward") {
+    val root = java.nio.file.Files.createTempDirectory("graft_occ_sc")
+      .toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute("CREATE TABLE occs (id BIGINT PRIMARY KEY, v TEXT)")
+    r.execute("INSERT INTO occs (id, v) VALUES (1, 'a'), (2, 'b')")
+    r.execute("SELECT _seq_no FROM occs WHERE id = 1").collect()
+    val scDir = new java.io.File(s"$root/occs/_seqno")
+    assert(scDir.exists && scDir.list().exists(_.startsWith("v")),
+      "first _seq_no read must persist the sidecar")
+    val v1 = scDir.list().filter(_.startsWith("v")).toSeq
+    // a write bumps the version; the next read patches the sidecar
+    // forward (row-diff against the previous one) and prunes the old
+    r.execute("UPDATE occs SET v = 'a2' WHERE id = 1")
+    val s2 = r.execute("SELECT _seq_no FROM occs WHERE id = 2").head().getLong(0)
+    val v2 = scDir.list().filter(_.startsWith("v")).toSeq
+    assert(v2 != v1 && v2.length == 1, s"sidecar must advance+prune: $v1 -> $v2")
+    // a FRESH router (new session's view of the table) reads the stored
+    // sidecar: row 2's sequence is stable across instances
+    val r2 = new StatementRouter(spark, root)
+    assert(r2.execute("SELECT _seq_no FROM occs WHERE id = 2")
+      .head().getLong(0) == s2)
+    // and row 1's sequence reflects ITS later write
+    val seq1 = r2.execute("SELECT _seq_no FROM occs WHERE id = 1").head().getLong(0)
+    assert(seq1 > s2, "row 1 changed later than row 2's last write")
+  }
+
   test("views capture the search_path active at creation (PG semantics)") {
     val r = newRouter()
     try {
