@@ -246,6 +246,83 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact repeated-SUBSTRING detection (Lee et al. 2022,
+    * arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+    * Better" — their exact-substring pass finds ≥k-token spans occurring
+    * more than once in the corpus; suffix arrays there, shingle counting
+    * here): every k-token gram is hashed, grams occurring >1 time across
+    * the corpus mark repeated spans. Returns per-document statistics
+    * (id, n_grams, n_dup_grams, dup_ratio) — the triage signal training
+    * pipelines threshold before paying for span surgery.
+    *
+    * Scale: grams travel the shuffle as (xxhash64, id) 16-byte rows —
+    * text never shuffles; the frequency count and the per-doc rollup are
+    * both partial-aggregated. A 64-bit gram collision is ~N²/2⁶⁵
+    * (negligible at any corpus this pass should see; corpora where it is
+    * not should raise k, which shrinks N). Docs shorter than k tokens
+    * report zero grams. */
+  def repeatedGramStats(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+      expr(s"filter(split(${textCol}, '\\\\s+'), x -> x != '')").as("t"))
+    val grams = base.select(col("id"), explode(
+        when(size(col("t")) >= k,
+          transform(sequence(lit(1), size(col("t")) - k + 1),
+            i => xxhash64(concat_ws(" ", slice(col("t"), i, lit(k))))))
+          .otherwise(array().cast("array<bigint>"))).as("g"))
+    val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val stats = grams.join(freq, Seq("g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+    base.select(col("id")).join(stats, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0L, lit(null))
+          .otherwise(round(col("n_dup_grams") / col("n_grams"), 4))
+          .cast("double").as("dup_ratio"))
+  }
+
+  /** Span surgery for [[repeatedGramStats]]'s findings (the Lee et al.
+    * removal step): every occurrence of a duplicated k-gram EXCEPT the
+    * globally first one (smallest (doc id, position) — deterministic)
+    * masks its k tokens; a token covered by any masked occurrence is
+    * dropped and the survivors rejoin in order. Returns
+    * (id, clean_text). Overlapping duplicated spans merge naturally
+    * (token-level masking). Scale: masks expand each duplicated-gram
+    * occurrence to k (id, position) rows — bounded by k × duplicated
+    * grams, not corpus size; reassembly is one partial-aggregated
+    * sort+join per document. */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int = 8): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+      expr(s"filter(split(${textCol}, '\\\\s+'), x -> x != '')").as("t"))
+    val grams = base.select(col("id"), posexplode(
+        when(size(col("t")) >= k,
+          transform(sequence(lit(1), size(col("t")) - k + 1),
+            i => xxhash64(concat_ws(" ", slice(col("t"), i, lit(k))))))
+          .otherwise(array().cast("array<bigint>"))))
+      .select(col("id"), (col("pos") + 1).as("p"), col("col").as("g"))
+    val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("n"),
+      min(struct(col("id"), col("p"))).as("first"))
+    val masked = grams.join(freq, Seq("g"))
+      .filter(col("n") > 1 &&
+        !(col("id") === col("first.id") && col("p") === col("first.p")))
+      .select(col("id"), explode(sequence(col("p"), col("p") + k - 1)).as("tp"))
+      .distinct()
+    val toks = base.select(col("id"), posexplode(col("t")))
+      .select(col("id"), (col("pos") + 1).as("tp"), col("col").as("tok"))
+    val assembled = toks.join(masked, Seq("id", "tp"), "left_anti")
+      .groupBy(col("id"))
+      .agg(concat_ws(" ", array_sort(collect_list(struct(col("tp"), col("tok"))))
+        .getField("tok")).as("clean_text"))
+    // fully-masked and empty documents survive with empty text (the
+    // dedupParagraphs convention: a downstream length filter decides)
+    base.select(col("id")).join(assembled, Seq("id"), "left")
+      .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Corpus-level repeated-paragraph removal (the C4 three-sentence-span
     * rule / MassiveText "repeated across documents" filter): a paragraph
     * appearing verbatim in ≥ `minDf` DISTINCT documents is boilerplate —

@@ -255,6 +255,24 @@ object QueriesRound7 {
         .orderBy(col("lang"), col("term"))
     }),
 
+    // Exact repeated-substring statistics (Lee et al. 2022 exact-substring
+    // dedup, arXiv:2107.06499): k-token grams hashed, corpus-frequency
+    // counted, per-document duplication ratios. The fixture plants
+    // duplicates: every 5th document gains a verbatim shifted-id twin, so
+    // those pairs report dup_ratio 1.0 while natural text discriminates.
+    // DuckDB replays the gram expansion literally (list_slice over a
+    // position series), so the hash-path operator is pinned against a
+    // no-hash oracle — a 64-bit gram collision would hash-fail here.
+    "q224_substring_dedup" -> ((s, dir) => {
+      val d = graft.Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val mixed = d.unionByName(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      graft.operators.Dedup.repeatedGramStats(mixed, "doc_id", "text", k = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     "q216_knn_subquery_vector" -> ((s, dir) => {
       val r = vstore(s, dir, "q216", "vstoreq", nprobe = 16)
       graft.StatementRouter.lastKnnRoute.set("")
@@ -380,6 +398,35 @@ object QueriesRound7 {
 |allt AS (SELECT * FROM cs UNION ALL SELECT * FROM hu UNION ALL SELECT * FROM id UNION ALL SELECT * FROM ro)
 |SELECT lang, term, count(*) AS n FROM allt WHERE term IS NOT NULL
 |GROUP BY lang, term ORDER BY lang, term""".stripMargin,
+
+    "q224_substring_dedup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 10000000, text FROM documents
+        |           WHERE doc_id % 5 = 0),
+        |toks AS (SELECT doc_id,
+        |                list_filter(string_split_regex(text, '\s+'),
+        |                            x -> x <> '') AS t
+        |         FROM d),
+        |grams AS (
+        |  SELECT doc_id,
+        |         array_to_string(list_slice(t, CAST(i AS INT),
+        |                                    CAST(i + 7 AS INT)), ' ') AS g
+        |  FROM toks, (SELECT unnest(range(1, 4001)) AS i) idx
+        |  WHERE len(t) >= 8 AND i <= len(t) - 7),
+        |freq AS (SELECT g, count(*) AS n FROM grams GROUP BY g),
+        |per_doc AS (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |         sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_grams
+        |  FROM grams JOIN freq USING (g) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+        |       CAST(coalesce(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+        |       CASE WHEN coalesce(p.n_grams, 0) = 0 THEN NULL
+        |            ELSE round(p.n_dup_grams * 1.0 / p.n_grams, 4)
+        |       END AS dup_ratio
+        |FROM d LEFT JOIN per_doc p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q216_knn_subquery_vector" ->
       """SELECT e.vec_id,

@@ -86,6 +86,42 @@ class DedupSpec extends SparkTestBase {
   }
 }
 
+class SubstringDedupSpec extends SparkTestBase {
+  import graft.operators.Dedup
+
+  test("repeatedGramStats counts corpus-duplicated k-grams per document") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h X Y"),      // 3 grams; gram(1) repeats in docs 2/4
+      (2L, "p q a b c d e f g h r"),    // 4 grams; gram at pos 3 repeats
+      (3L, "u v w x y z"),              // < k tokens → zero grams
+      (4L, "a b c d e f g h")           // exactly the repeated gram
+    ).toDF("doc_id", "text")
+    val st = Dedup.repeatedGramStats(docs, "doc_id", "text", k = 8)
+      .orderBy("id").collect()
+    assert(st.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 3L, 1L), (2L, 4L, 1L), (3L, 0L, 0L), (4L, 1L, 1L)))
+    assert(st(2).isNullAt(3), "zero-gram docs have NULL ratio")
+  }
+
+  test("removeRepeatedSpans keeps the globally-first occurrence only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h X Y"),
+      (2L, "p q a b c d e f g h r"),
+      (3L, "u v w x y z"),
+      (4L, "a b c d e f g h")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(docs, "doc_id", "text", k = 8)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(
+      (1L, "a b c d e f g h X Y"),  // first occurrence survives whole
+      (2L, "p q r"),                // masked span excised, order kept
+      (3L, "u v w x y z"),          // short doc untouched
+      (4L, "")))                    // fully-duplicated doc empties
+  }
+}
+
 class SimilaritySpec extends SparkTestBase {
   import spark.implicits._
 
