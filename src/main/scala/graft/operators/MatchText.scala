@@ -69,6 +69,11 @@ object MatchText {
       // katakana → fullwidth (the cjk analyzer's first filter)
       case "cjk_width" =>
         translate(text, MatchText.widthFrom, MatchText.widthTo)
+      // dictionary word segmentation via the platform BreakIterator
+      // (JDK ships the same ICU-derived Thai dictionary Lucene's
+      // ThaiTokenizer uses); Column form rides a UDF — the porterUdf
+      // precedent — while the FUSED kernel path stays native
+      case "thai_words" => MatchText.thaiSegUdf(text)
       case other => throw new IllegalArgumentException(s"unknown char filter: $other")
     }
     def apply(s: String): String = kind match {
@@ -83,9 +88,39 @@ object MatchText {
         val i = MatchText.widthFrom.indexOf(c)
         if (i >= 0) MatchText.widthTo(i) else c
       }.mkString
+      case "thai_words" => MatchText.thaiSegmentStr(s)
       case other => throw new IllegalArgumentException(s"unknown char filter: $other")
     }
   }
+
+  /** Word-boundary spacing via the platform's dictionary-based Thai
+    * break iterator (the JDK bundles the ICU-derived Thai dictionary —
+    * the same lineage as Lucene's ThaiTokenizer): every break-iterator
+    * word boundary becomes a space, so the standard tokenizer downstream
+    * sees segmented words. BreakIterator instances are not thread-safe —
+    * one per executor thread. */
+  private val thaiBreaker =
+    new ThreadLocal[java.text.BreakIterator] {
+      override def initialValue(): java.text.BreakIterator =
+        java.text.BreakIterator.getWordInstance(new java.util.Locale("th"))
+    }
+  private[operators] def thaiSegmentStr(s: String): String = {
+    if (s == null || s.isEmpty) return s
+    val bi = thaiBreaker.get()
+    bi.setText(s)
+    val sb = new StringBuilder
+    var start = bi.first()
+    var end = bi.next()
+    while (end != java.text.BreakIterator.DONE) {
+      if (sb.nonEmpty) sb.append(' ')
+      sb.append(s.substring(start, end))
+      start = end
+      end = bi.next()
+    }
+    sb.toString
+  }
+  private[operators] val thaiSegUdf =
+    udf((s: String) => if (s == null) null else thaiSegmentStr(s))
 
   /** CJKWidthFilter tables: fullwidth ASCII (U+FF01–U+FF5E) folds to the
     * ASCII range (offset −0xFEE0, incl. the ideographic space), and the
@@ -567,9 +602,11 @@ object MatchText {
       // persian: Lucene normalizes (arabic-script folds) but does NOT stem
       "persian"    -> Analyzer(stopwords = persianStopwords, minimalStem = "fa"),
       "sorani"     -> Analyzer(stopwords = soraniStopwords, minimalStem = "ckb"),
-      // thai: stop set only — Lucene segments with a dictionary; unspaced
-      // Thai stays one token here (documented gap)
-      "thai"       -> Analyzer(stopwords = thaiStopwords),
+      // thai: dictionary word segmentation (platform BreakIterator — the
+      // JDK's ICU-derived Thai dictionary, Lucene ThaiTokenizer's
+      // lineage) + stop set
+      "thai"       -> Analyzer(stopwords = thaiStopwords,
+        charFilters = Seq(CharFilter("thai_words"))),
       // chinese: the reference maps it to the standard analyzer, whose
       // Unicode segmentation emits one token per Han ideograph
       "chinese"    -> Analyzer(stopwords = englishStopwords, cjkUnigram = true)

@@ -273,6 +273,27 @@ object QueriesRound7 {
         .orderBy(col("doc_id"))
     }),
 
+    // Thai dictionary segmentation (reference bundles Lucene's
+    // ThaiAnalyzer; the platform BreakIterator carries the same
+    // ICU-derived dictionary): unspaced Thai phrases segment into words,
+    // stop-filtered. Golden-term oracle — each phrase's segmentation is
+    // vetted and replayed as a literal list, so a dictionary or
+    // boundary regression hash-fails.
+    "q225_thai_analyzer" -> ((s, dir) => {
+      import graft.operators.MatchText
+      val c = graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("k"))
+      def pick(words: Seq[String], m: Int) =
+        element_at(array(words.map(lit): _*), (col("k") % m + 1).cast("int"))
+      val v1 = Seq("หนังสือเล่มนี้ดีมาก", "เมืองใหญ่ในประเทศไทย", "อาหารอร่อยที่ตลาด", "นักเรียนอ่านหนังสือ", "แม่น้ำไหลผ่านหมู่บ้าน", "รถไฟฟ้าในกรุงเทพ", "ทะเลสวยงามมาก")
+      val v2 = Seq("ดอกไม้สีแดง", "ภาษาไทยสนุก", "เด็กเล่นฟุตบอล", "ฝนตกหนักวันนี้", "ร้านกาแฟเปิดเช้า")
+      val v3 = Seq("ตลาดน้ำ", "วัดเก่าแก่", "ข้าวผัดกุ้ง")
+      c.select(explode(MatchText.Analyzer.byName("thai")(
+          concat_ws(" ", pick(v1, 7), pick(v2, 5), pick(v3, 3)))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("term"))
+    }),
+
     "q216_knn_subquery_vector" -> ((s, dir) => {
       val r = vstore(s, dir, "q216", "vstoreq", nprobe = 16)
       graft.StatementRouter.lastKnnRoute.set("")
@@ -427,6 +448,16 @@ object QueriesRound7 {
         |       END AS dup_ratio
         |FROM d LEFT JOIN per_doc p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q225_thai_analyzer" ->
+      """WITH ks AS (SELECT c_custkey AS k FROM customer),
+        |picked AS (SELECT t FROM ks, LATERAL (VALUES
+        |  ((['หนังสือเล่มนี้ดีมาก','เมืองใหญ่ในประเทศไทย','อาหารอร่อยที่ตลาด','นักเรียนอ่านหนังสือ','แม่น้ำไหลผ่านหมู่บ้าน','รถไฟฟ้าในกรุงเทพ','ทะเลสวยงามมาก'])[CAST(k % 7 + 1 AS INT)]),
+        |  ((['ดอกไม้สีแดง','ภาษาไทยสนุก','เด็กเล่นฟุตบอล','ฝนตกหนักวันนี้','ร้านกาแฟเปิดเช้า'])[CAST(k % 5 + 1 AS INT)]),
+        |  ((['ตลาดน้ำ','วัดเก่าแก่','ข้าวผัดกุ้ง'])[CAST(k % 3 + 1 AS INT)])) AS v(t)),
+        |terms AS (SELECT unnest(CASE t WHEN 'หนังสือเล่มนี้ดีมาก' THEN ['หนังสือ','เล่ม','ดี','มาก'] WHEN 'เมืองใหญ่ในประเทศไทย' THEN ['เมือง','ใหญ่','ประเทศ','ไทย'] WHEN 'อาหารอร่อยที่ตลาด' THEN ['อาหาร','อร่อย','ตลาด'] WHEN 'นักเรียนอ่านหนังสือ' THEN ['นักเรียน','อ่าน','หนังสือ'] WHEN 'แม่น้ำไหลผ่านหมู่บ้าน' THEN ['แม่น้ำ','ไหล','ผ่าน','หมู่','บ้าน'] WHEN 'รถไฟฟ้าในกรุงเทพ' THEN ['รถไฟฟ้า','กรุงเทพ'] WHEN 'ทะเลสวยงามมาก' THEN ['ทะเล','สวย','งาม','มาก'] WHEN 'ดอกไม้สีแดง' THEN ['ดอกไม้','สี','แดง'] WHEN 'ภาษาไทยสนุก' THEN ['ภาษา','ไทย','สนุก'] WHEN 'เด็กเล่นฟุตบอล' THEN ['เด็ก','เล่น','ฟุตบอล'] WHEN 'ฝนตกหนักวันนี้' THEN ['ฝน','ตกหนัก','วัน'] WHEN 'ร้านกาแฟเปิดเช้า' THEN ['ร้าน','กาแฟ','เปิด','เช้า'] WHEN 'ตลาดน้ำ' THEN ['ตลาดน้ำ'] WHEN 'วัดเก่าแก่' THEN ['วัด','เก่า','แก่'] WHEN 'ข้าวผัดกุ้ง' THEN ['ข้าว','ผัด','กุ้ง'] END) AS term FROM picked)
+        |SELECT term, count(*) AS n FROM terms
+        |GROUP BY term ORDER BY term""".stripMargin,
 
     "q216_knn_subquery_vector" ->
       """SELECT e.vec_id,

@@ -610,8 +610,14 @@ class MatchTextSpec extends SparkTestBase {
     // persian: arabic-ya fold, NO stemming (Lucene parity)
     assert(tk("persian", "اين شهر بزرگ") == Seq("این", "شهر", "بزرگ"))
     assert(tk("sorani", "کتێبەکان و شارەکە") == Seq("کتێب", "شار"))
-    // thai: stop set only; spaced text tokenizes, vowel marks intact
+    // thai: DICTIONARY word segmentation (platform BreakIterator, the
+    // JDK's ICU-derived Thai dictionary) — unspaced text segments into
+    // words, stop words (นี้) drop, vowel marks stay intact
     assert(tk("thai", "หนังสือ และ เมือง") == Seq("หนังสือ", "เมือง"))
+    assert(tk("thai", "หนังสือเล่มนี้ดีมาก") ==
+      Seq("หนังสือ", "เล่ม", "ดี", "มาก"))
+    assert(tk("thai", "เมืองใหญ่ในประเทศไทย") ==
+      Seq("เมือง", "ใหญ่", "ประเทศ", "ไทย"))
     // chinese: one token per Han ideograph (ES standard-tokenizer
     // behavior); kana/hangul runs stay whole
     assert(tk("chinese", "数据库 データベース 학습") ==
