@@ -3,29 +3,32 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-7 catalog: the two stored-index knn routes that round 6 left
-  * spec-gated only (reference `expression/scalar/KnnMatch.java:48` +
-  * `lucene/LuceneQueryBuilder.java` — Lucene runs filtered kNN over the
-  * pre-filter's docset, so k MATCHING rows come back):
+/** Round-7 catalog (q215–q225):
   *
-  *  - q215: `WHERE <selective pred> AND knn_match(...)` through the
-  *    stored quantized IVF index. The index declares nprobe = 1 against
-  *    16 centroids, and the filter keeps 19 of the corpus rows — at a
-  *    fixed single-bucket probe an unguarded implementation returns
-  *    fewer than k = 5 rows, so the exact filtered oracle catches it;
-  *    [[graft.StatementRouter.routeKnnStored]]'s recall guard re-runs
-  *    the code scan over all buckets when the filtered search comes up
-  *    short. 19 < k·rescoreFactor = 20 keeps every eligible row in the
-  *    float-rescored survivor set, so the result is exact, not a recall
-  *    floor.
+  *  - q215: filtered `knn_match` through the stored quantized IVF index
+  *    (reference `expression/scalar/KnnMatch.java:48` +
+  *    `lucene/LuceneQueryBuilder.java` — Lucene runs filtered kNN over
+  *    the pre-filter's docset, so k MATCHING rows come back). The index
+  *    declares nprobe = 1 against 16 centroids and the filter keeps 19
+  *    corpus rows — at a fixed single-bucket probe an unguarded
+  *    implementation returns fewer than k = 5 rows, so the exact
+  *    filtered oracle catches it; [[graft.StatementRouter]]'s recall
+  *    guard re-runs the code scan over all buckets when the filtered
+  *    search comes up short. 19 < k·rescoreFactor = 20 keeps every
+  *    eligible row in the float-rescored survivor set — exact, not a
+  *    recall floor.
   *  - q216: a subquery-valued (non-literal) query vector served from the
-  *    stored route — evaluated once on the driver (a query vector is a
-  *    single row by definition), then searched like a literal. Probing
-  *    is exhaustive (nprobe = centroids = 16) so the exact oracle pins
-  *    the whole pipeline.
-  *
-  * Both closures `require` the route observed by the router, so a silent
-  * fall-through to the exact path fails the correctness gate loudly.
+  *    stored route — evaluated once on the driver, then searched like a
+  *    literal; exhaustive probing pins the exact oracle. Both knn
+  *    closures `require` the observed route, so a silent fall-through to
+  *    the exact path fails the correctness gate loudly.
+  *  - q217/q221: the old q67 split — full ground-truth verification dump
+  *    vs operator-timed one-row summary.
+  *  - q218: the CJK bigram analyzer; q225: Thai dictionary segmentation.
+  *  - q219: LIVE foreign-table JDBC scan against embedded Derby.
+  *  - q220: sampled ANALYZE most-common-values scaling gate.
+  *  - q222/q223: the wave-4 language analyzers over golden-stem oracles.
+  *  - q224: exact repeated-substring dedup statistics (Lee et al. 2022).
   */
 object QueriesRound7 {
 
