@@ -520,6 +520,7 @@ class MatchTextSpec extends SparkTestBase {
       "и книги с цветов ночами",
       "the cats ran across 42 bridges... quickly",
       "数据库 the エンジン and 大 spark2号",
+      "kitapları ve หนังสือเล่มนี้ดี arabalar",
       "")
     val df = texts.toDF("t")
     val analyzers = Seq(
@@ -530,6 +531,8 @@ class MatchTextSpec extends SparkTestBase {
       MatchText.Analyzer.byName("arabic"),
       MatchText.Analyzer.byName("hindi"),
       MatchText.Analyzer.byName("chinese"),
+      MatchText.Analyzer.byName("turkish"),
+      MatchText.Analyzer.byName("thai"),
       MatchText.Analyzer(edgeNgram = (3, 5)),
       MatchText.Analyzer(shingle = (2, 3)),
       MatchText.Analyzer(tokenizer = "keyword"))
