@@ -127,8 +127,14 @@ class StatementRouter(spark: SparkSession, root: String) {
 
   /** Latest snapshot of every table under the root, as temp views; inside
     * a transaction the staged snapshots overlay the committed ones (read
-    * your own writes). */
-  def registerViews(): Unit = {
+    * your own writes). `stmt` is the statement being served (or "" when
+    * the caller's statement cannot reference relations by name): foreign
+    * tables register LAZILY — only when the statement or a stored view
+    * mentions them — because resolving a JDBC relation's schema opens a
+    * live connection, and registering every foreign table on every
+    * statement would tax unrelated statements with a round-trip each (an
+    * unreachable server would stall them for its connect timeout). */
+  def registerViews(stmt: String = ""): Unit = {
     // durable schemas resurface per session (information_schema.schemata)
     registeredSchemas.foreach(sources.InformationSchema.registerSchema)
     val rp = new Path(root)
@@ -143,32 +149,50 @@ class StatementRouter(spark: SparkSession, root: String) {
         if (pk.nonEmpty) sources.InformationSchema.registerPrimaryKey(name, pk)
       }
     }
+    // stored view texts, read once: they feed both the foreign-table
+    // mention set and the fixpoint registration below
+    val viewFiles: Seq[(String, String)] =
+      if (!fs.exists(viewsDir)) Nil
+      else fs.listStatus(viewsDir).toSeq
+        .filter(_.getPath.getName.endsWith(".sql"))
+        .map(st => (st.getPath.getName.stripSuffix(".sql"),
+          readTextFile(st.getPath)))
     // foreign tables surface as temp views over live JDBC scans
     // (reference fdw/JdbcForeignDataWrapper.java materializes a
     // ForeignCollect phase per query; Spark's JDBC source gives the same
-    // per-query scan plus predicate pushdown). Best-effort: an
-    // unreachable foreign server must not poison unrelated statements —
-    // the failing view simply isn't registered and the query on it
-    // reports resolution failure.
-    sources.Fdw.listForeignTables.foreach { case (name, _) =>
-      try sources.Fdw.scan(spark, name, sources.Roles.sessionUser(spark))
-        .createOrReplaceTempView(name)
-      catch { case scala.util.control.NonFatal(_) => () }
+    // per-query scan plus predicate pushdown). LAZY: only foreign tables
+    // the statement — or a stored view it might expand — mentions by name
+    // are registered; [[sources.Fdw.scan]] memoizes the resolved relation
+    // so repeated statements don't re-open a schema-resolution connection.
+    // Best-effort: an unreachable foreign server must not poison the
+    // statements that do reference it beyond their own resolution failure.
+    val fts = sources.Fdw.listForeignTables
+    if (fts.nonEmpty) {
+      val mentioned: Set[String] =
+        (Dialect.lex(stmt) ++ viewFiles.flatMap(v => Dialect.lex(v._2)))
+          .collect { case t
+              if t.kind == Dialect.K.Word || t.kind == Dialect.K.QId =>
+            unq(t).toLowerCase }.toSet
+      fts.foreach { case (name, _) =>
+        if (mentioned.contains(name.toLowerCase))
+          try sources.Fdw.scan(spark, name, sources.Roles.sessionUser(spark))
+            .createOrReplaceTempView(name)
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
     // SQL views on top of the table snapshots (reference CreateViewPlan /
     // ViewsMetadata: a view is stored query text, re-analyzed per use so it
     // always reads the CURRENT table version). Views may reference other
     // views — register to a fixpoint, deferring ones whose dependencies
     // haven't been registered yet this pass.
-    if (fs.exists(viewsDir)) {
-      var pending = fs.listStatus(viewsDir).toSeq
-        .filter(_.getPath.getName.endsWith(".sql")).map(_.getPath)
+    locally {
+      var pending = viewFiles
       var progressed = true
       while (pending.nonEmpty && progressed) {
-        val next = pending.filterNot { p =>
+        val next = pending.filterNot { case (name, text) =>
           try {
-            spark.sql(applyDeclaredAnalyzers(Dialect.translate(readTextFile(p))))
-              .createOrReplaceTempView(p.getName.stripSuffix(".sql"))
+            spark.sql(applyDeclaredAnalyzers(Dialect.translate(text)))
+              .createOrReplaceTempView(name)
             true
           } catch { case _: Exception => false }
         }
@@ -687,7 +711,7 @@ class StatementRouter(spark: SparkSession, root: String) {
     * the statement in [[StatementRouter.lastSelectRoute]] — the
     * provenance `EXPLAIN` prepends to its plan text. */
   private def resolveSelect(stmt: String): DataFrame = {
-    registerViews()
+    registerViews(stmt)
     val stmtSys = rewriteSystemColumns(stmt)
     // multi-column MATCH + _score routes on the RAW statement (the
     // per-field boosts are only visible before the dialect lowers the
@@ -731,7 +755,7 @@ class StatementRouter(spark: SparkSession, root: String) {
     * any other shape (foreign MATCH, OR'd predicate, USING WITH options,
     * phrase methods, subquery FROM) returns None and the TF fallback
     * runs. */
-  private def routeFieldedScore(sql: String): Option[String] = {
+  private def routeFieldedScore(sql: String, dry: Boolean = false): Option[String] = {
     val lower = sql.toLowerCase
     if (!lower.contains("_score") || !lower.contains("match")) return None
     val sig = Dialect.lex(sql).filter(_.sig)
@@ -810,6 +834,10 @@ class StatementRouter(spark: SparkSession, root: String) {
         rel = unq(t2); insertAt = fi + 2
       case _ => ()
     }
+
+    // classification only (plain EXPLAIN): the shape checks above decided
+    // the route — stop before the index build/load and the score view
+    if (dry) return Some("")
 
     val analyzer = graft.operators.MatchText.Analyzer.byName(spec.analyzer)
     val idx = graft.operators.MatchText.IndexCache.cached(
@@ -892,7 +920,7 @@ class StatementRouter(spark: SparkSession, root: String) {
     * the scan but unstable across runs, exactly the caveat the reference
     * documents for Lucene segment ids. `_score` has its own routes.
     * Rewrites only when the statement reads ONE router table. */
-  private def rewriteSystemColumns(stmt: String): String = {
+  private def rewriteSystemColumns(stmt: String, dry: Boolean = false): String = {
     val lower = stmt.toLowerCase
     if (!lower.contains("_id") && !lower.contains("_raw") &&
         !lower.contains("_version") && !lower.contains("_docid") &&
@@ -938,7 +966,13 @@ class StatementRouter(spark: SparkSession, root: String) {
       if (i == ti && perRow && !isDml) {
         changed = true
         val overlay = s"graft_seqt_$nextViewN"
-        withSeqNo(readTable(table), table, version)
+        // dry (plain EXPLAIN): the real overlay computes AND PERSISTS the
+        // `_seqno` sidecar — a storage mutation EXPLAIN must not make.
+        // Preview the plan with the table-version stand-in instead.
+        (if (dry)
+           readTable(table)
+             .withColumn("__graft_seq_no", lit(version).cast("long"))
+         else withSeqNo(readTable(table), table, version))
           .createOrReplaceTempView(overlay)
         out.append(overlay)
         // keep the original name usable as a qualifier unless the
@@ -967,14 +1001,17 @@ class StatementRouter(spark: SparkSession, root: String) {
           case "_version" => Some(s"CAST($version AS BIGINT)")
           case "_docid"   => Some("monotonically_increasing_id()")
           // OCC (occ.rst): on an unpartitioned keyed table `_seq_no`
-          // resolves PER ROW to the version at which the row's hash last
-          // changed ([[seqNoMapDf]] row-diff walk — the reference's
-          // per-row `_seq_no`, SysColumns.java:49-64, up to the walk
-          // bound). Value-partitioned tables resolve per row to the
-          // version at which the row's PARTITION last changed
-          // ([[seqNoExpr]]); keyless tables keep the table-version
-          // stand-in. Every approximation is an upper bound: extra
-          // false conflicts possible, lost updates never.
+          // resolves PER ROW to the version at which the row last
+          // CHANGED — hash row-diff ([[seqNoMapDf]] walk) unioned with
+          // the `_touched` markers [[markTouched]] records, so an
+          // autocommit UPDATE writing identical values still advances
+          // the row (the reference's any-write per-row `_seq_no`,
+          // SysColumns.java:49-64, up to the walk bound).
+          // Value-partitioned tables resolve per row to the version at
+          // which the row's PARTITION last changed ([[seqNoExpr]]);
+          // keyless tables keep the table-version stand-in. Every
+          // approximation is an upper bound: extra false conflicts
+          // possible, lost updates never.
           case "_seq_no" =>
             if (perRow) Some("__graft_seq_no")
             else Some(seqNoExpr(table, version))
@@ -1038,16 +1075,29 @@ class StatementRouter(spark: SparkSession, root: String) {
             val m: Option[DataFrame] =
               if (version > 1 && fs.exists(prevSidecar)) {
                 // incremental: rows whose hash differs from v-1 (or are
-                // new) advance to `version`; the rest keep their prior seq
+                // new) advance to `version`; the rest keep their prior
+                // seq. A `_touched` marker ([[markTouched]]) also
+                // advances its pks — an UPDATE writing identical values
+                // changes no hash but the reference still bumps the seq
                 val prior = spark.read.parquet(prevSidecar.toString)
                 val prevH = hashes(version - 1)
                   .withColumnRenamed("h", "h_prev")
-                Some(hashes(version)
-                  .join(prevH, Seq("graft_seq_pk"), "left")
-                  .join(prior, Seq("graft_seq_pk"), "left")
+                val touchedP = new Path(s"$path/_touched/v$version")
+                val withTouched = {
+                  val base = hashes(version)
+                    .join(prevH, Seq("graft_seq_pk"), "left")
+                    .join(prior, Seq("graft_seq_pk"), "left")
+                  if (fs.exists(touchedP))
+                    base.join(spark.read.parquet(touchedP.toString)
+                        .withColumn("graft_touched", lit(true)),
+                      Seq("graft_seq_pk"), "left")
+                  else base.withColumn("graft_touched", lit(null).cast("boolean"))
+                }
+                Some(withTouched
                   .select(col("graft_seq_pk"),
                     when(col("h_prev").isNull || col("h_prev") =!= col("h") ||
-                        col("__graft_seq_no").isNull,
+                        col("__graft_seq_no").isNull ||
+                        col("graft_touched"),
                       lit(version).cast("long"))
                       .otherwise(col("__graft_seq_no"))
                       .as("__graft_seq_no")))
@@ -1060,6 +1110,13 @@ class StatementRouter(spark: SparkSession, root: String) {
                 fs.listStatus(new Path(s"$path/_seqno")).foreach { st =>
                   if (st.getPath.getName != s"v$version")
                     fs.delete(st.getPath, true)
+                }
+                // the sidecar at `version` has absorbed every touched
+                // marker ≤ version; later patches only need NEWER ones
+                val tdir = new Path(s"$path/_touched")
+                if (fs.exists(tdir)) fs.listStatus(tdir).foreach { st =>
+                  val tv = st.getPath.getName.stripPrefix("v").toIntOption
+                  if (tv.exists(_ <= version)) fs.delete(st.getPath, true)
                 }
                 spark.read.parquet(sidecar.toString)
               } catch {
@@ -1095,12 +1152,24 @@ class StatementRouter(spark: SparkSession, root: String) {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("graft_seq_pk")).orderBy(col("v"))
       val all = snaps.reduce(_ unionByName _)
-      Some(all
+      val hashEvents = all
         .select(col("graft_seq_pk"), col("v"),
           (lag(col("h"), 1).over(w).isNull ||
             lag(col("h"), 1).over(w) =!= col("h") ||
             lag(col("v"), 1).over(w) =!= col("v") - 1).as("chg"))
         .filter(col("chg"))
+        .select(col("graft_seq_pk"), col("v"))
+      // `_touched` markers ([[markTouched]]) inject the write events
+      // content hashing cannot see (identical-value UPDATEs)
+      val touchedEvents = (v + 1 to version).flatMap { tv =>
+        val p = new Path(s"$path/_touched/v$tv")
+        if (fs.exists(p))
+          try Some(spark.read.parquet(p.toString)
+            .select(col("graft_seq_pk"), lit(tv).cast("long").as("v")))
+          catch { case scala.util.control.NonFatal(_) => None }
+        else None
+      }
+      Some(touchedEvents.foldLeft(hashEvents)(_ unionByName _)
         .groupBy(col("graft_seq_pk"))
         .agg(max(col("v")).as("__graft_seq_no")))
     }
@@ -1286,7 +1355,7 @@ class StatementRouter(spark: SparkSession, root: String) {
     * scale, matched docs flow, not the corpus. Conservative by design:
     * any unrecognized shape (no declared index, composite PRIMARY KEY,
     * MATCH options, subquery FROM) returns None and the TF fallback runs. */
-  private def routeIndexedScore(sql: String): Option[String] = {
+  private def routeIndexedScore(sql: String, dry: Boolean = false): Option[String] = {
     if (!sql.toLowerCase.contains("graft_match_score")) return None
     val sig = Dialect.lex(sql).filter(_.sig)
     def isWord(t: Tok) = t.kind == Dialect.K.Word || t.kind == Dialect.K.QId
@@ -1330,6 +1399,44 @@ class StatementRouter(spark: SparkSession, root: String) {
         rel = unq(t2); insertAt = fi + 2
       case _ => ()
     }
+
+    // token-shape bails BEFORE the index build (a bailing statement must
+    // neither pay for nor leak a freshly built index + score view):
+    def isScoreCall(i: Int): Option[Int] =
+      if (sig(i).kind == Dialect.K.Word && sig(i).is("graft_match_score") &&
+          sig.lift(i + 1).exists(_.isSym("("))) {
+        val c = matchFwd(sig, i + 1)
+        val ps = splitTopCommas(sig.slice(i + 2, c))
+        if (ps.length == 2 && unq(ps(0).last).equalsIgnoreCase(targetCol) &&
+            ps(1).length == 1 && ps(1).head.text == queryLit) Some(c) else None
+      } else None
+    def isMatchCall(i: Int): Option[Int] =
+      if (sig(i).kind == Dialect.K.Word &&
+          (sig(i).is("match_text") || sig(i).is("match_text_analyzed")) &&
+          sig.lift(i + 1).exists(_.isSym("("))) {
+        val c = matchFwd(sig, i + 1)
+        val ps = splitTopCommas(sig.slice(i + 2, c))
+        if ((ps.length == 2 || ps.length == 3) &&
+            unq(ps(0).last).equalsIgnoreCase(targetCol) &&
+            ps(1).headOption.exists(t => t.kind == Dialect.K.Str &&
+              t.text == queryLit)) Some(c) else None
+      } else None
+    // the statement must actually carry the MATCH predicate we replace —
+    // otherwise the join would FILTER rows a bare projection would keep
+    if (!sig.indices.exists(i => isMatchCall(i).isDefined)) return None
+    // ... and carry ONLY that predicate: a multi-column MATCH lowers to an
+    // OR-chain over several columns, and joining on one column's matches
+    // would drop rows the other columns admit — any foreign match call
+    // means the shape is not ours, fall back
+    for (i <- sig.indices) {
+      val t = sig(i)
+      if (t.kind == Dialect.K.Word &&
+          (t.is("match_text") || t.is("match_text_analyzed")) &&
+          sig.lift(i + 1).exists(_.isSym("(")) && isMatchCall(i).isEmpty)
+        return None
+    }
+    // classification only (plain EXPLAIN): stop before the build
+    if (dry) return Some("")
 
     // scores from the declared index at the table's committed version
     val version = VersionedTable.latestVersion(spark, tablePath(table)).get
@@ -1389,40 +1496,6 @@ class StatementRouter(spark: SparkSession, root: String) {
 
     // token rewrite: score calls → view.score, match predicate → TRUE,
     // join spliced in right after the FROM table (+alias)
-    def isScoreCall(i: Int): Option[Int] =
-      if (sig(i).kind == Dialect.K.Word && sig(i).is("graft_match_score") &&
-          sig.lift(i + 1).exists(_.isSym("("))) {
-        val c = matchFwd(sig, i + 1)
-        val ps = splitTopCommas(sig.slice(i + 2, c))
-        if (ps.length == 2 && unq(ps(0).last).equalsIgnoreCase(targetCol) &&
-            ps(1).length == 1 && ps(1).head.text == queryLit) Some(c) else None
-      } else None
-    def isMatchCall(i: Int): Option[Int] =
-      if (sig(i).kind == Dialect.K.Word &&
-          (sig(i).is("match_text") || sig(i).is("match_text_analyzed")) &&
-          sig.lift(i + 1).exists(_.isSym("("))) {
-        val c = matchFwd(sig, i + 1)
-        val ps = splitTopCommas(sig.slice(i + 2, c))
-        if ((ps.length == 2 || ps.length == 3) &&
-            unq(ps(0).last).equalsIgnoreCase(targetCol) &&
-            ps(1).headOption.exists(t => t.kind == Dialect.K.Str &&
-              t.text == queryLit)) Some(c) else None
-      } else None
-    // the statement must actually carry the MATCH predicate we replace —
-    // otherwise the join would FILTER rows a bare projection would keep
-    if (!sig.indices.exists(i => isMatchCall(i).isDefined)) return None
-    // ... and carry ONLY that predicate: a multi-column MATCH lowers to an
-    // OR-chain over several columns, and joining on one column's matches
-    // would drop rows the other columns admit — any foreign match call
-    // means the shape is not ours, fall back
-    for (i <- sig.indices) {
-      val t = sig(i)
-      if (t.kind == Dialect.K.Word &&
-          (t.is("match_text") || t.is("match_text_analyzed")) &&
-          sig.lift(i + 1).exists(_.isSym("(")) && isMatchCall(i).isEmpty)
-        return None
-    }
-
     val out = new StringBuilder
     var i = 0
     while (i < sig.length) {
@@ -1471,7 +1544,7 @@ class StatementRouter(spark: SparkSession, root: String) {
     * pre-filter, multi-call shapes, or a filter/vector that fails to
     * evaluate all return None — [[Dialect]]'s exact TakeOrderedAndProject
     * lowering then runs. */
-  private def routeKnnStored(sql: String): Option[String] = {
+  private def routeKnnStored(sql: String, dry: Boolean = false): Option[String] = {
     if (!sql.toLowerCase.contains("knn_match")) return None
     val sig = Dialect.lex(sql).filter(_.sig)
     def isWord(t: Tok) = t.kind == Dialect.K.Word || t.kind == Dialect.K.QId
@@ -1592,14 +1665,19 @@ class StatementRouter(spark: SparkSession, root: String) {
     // columns, multi-row subquery, wrong type — falls back to the exact
     // path, which reports it loudly
     val queryVec: Seq[Float] = litNums.getOrElse {
-      val exprR = vecToks.map(_.text).mkString(" ")
-      try {
-        val row = spark.sql(Dialect.translate(
-          s"SELECT CAST(($exprR) AS ARRAY<FLOAT>) AS graft_qv")).head()
-        val seq = row.getSeq[Float](0)
-        if (seq == null || seq.isEmpty) return None
-        seq
-      } catch { case scala.util.control.NonFatal(_) => return None }
+      // dry classification (plain EXPLAIN) must not execute the driver
+      // eval — assume the vector resolves; a real execution re-checks
+      if (dry) Seq.empty[Float]
+      else {
+        val exprR = vecToks.map(_.text).mkString(" ")
+        try {
+          val row = spark.sql(Dialect.translate(
+            s"SELECT CAST(($exprR) AS ARRAY<FLOAT>) AS graft_qv")).head()
+          val seq = row.getSeq[Float](0)
+          if (seq == null || seq.isEmpty) return None
+          seq
+        } catch { case scala.util.control.NonFatal(_) => return None }
+      }
     }
 
     // docset pre-filter: pk-only projection of the rest conjuncts over
@@ -1621,6 +1699,15 @@ class StatementRouter(spark: SparkSession, root: String) {
     }
     StatementRouter.lastKnnRoute.set(
       if (candFilter.isDefined) "stored-index-filtered" else "stored-index")
+    if (dry) {
+      // classification only (plain EXPLAIN): the route is decided — stop
+      // before the side-effecting half (index build/load, ANN probe,
+      // recall count). Drop the filter-analysis view; nothing else was
+      // registered. The returned marker is not runnable SQL.
+      if (candFilter.isDefined)
+        spark.catalog.dropTempView(s"graft_knn_filter_$knnN")
+      return Some("")
+    }
 
     // durable index at the committed version: load, patch, or build
     val Array(_, centStr, nprobeStr) = spec.analyzer.split(":")
@@ -1685,11 +1772,24 @@ class StatementRouter(spark: SparkSession, root: String) {
     // over ALL buckets — still the int8 code scan + survivor rescore, the
     // float corpus is never filtered — which returns min(k, |matching|).
     val hits = candFilter match {
-      case Some(_) =>
-        val first = search(nprobe)
-        if (first.count() < k) {
-          StatementRouter.lastKnnProbe.set("widened"); search(Int.MaxValue)
-        } else { StatementRouter.lastKnnProbe.set("fixed"); first }
+      case Some(cf) =>
+        // materialize the probed search ONCE: the recall count below and
+        // the hits view both read the checkpointed rows (≤k of them). An
+        // uncached DataFrame would re-run probe + semi-join + rescore when
+        // the rewritten statement executes — doubling every filtered
+        // vector query.
+        val first = search(nprobe).localCheckpoint()
+        val got = first.count()
+        if (got >= k) { StatementRouter.lastKnnProbe.set("fixed"); first }
+        else if (got >= cf.count()) {
+          // the probed buckets already returned every filter-matching row
+          // (fewer than k exist in total — e.g. a pk-equality filter with
+          // k=10): an all-buckets re-scan cannot find more, skip it
+          StatementRouter.lastKnnProbe.set("exhausted"); first
+        } else {
+          StatementRouter.lastKnnProbe.set("widened")
+          search(Int.MaxValue).localCheckpoint()
+        }
       case None => search(nprobe)
     }
     val view = s"graft_knn_hits_$knnN"
@@ -2081,7 +2181,7 @@ class StatementRouter(spark: SparkSession, root: String) {
       s"a table named $name already exists")
     val p = new Path(viewsDir, s"$name.sql")
     require(orReplace || !fs.exists(p), s"view $name already exists")
-    registerViews()
+    registerViews(query)
     // analyze (not execute) the translated text — schema resolution errors
     // surface at CREATE VIEW, like the reference's analyzer
     spark.sql(applyDeclaredAnalyzers(Dialect.translate(query))).schema
@@ -2438,23 +2538,50 @@ class StatementRouter(spark: SparkSession, root: String) {
     }
   }
 
+  /** Route classification WITHOUT execution (plain EXPLAIN): the same
+    * decision chain as [[resolveSelect]] — token shapes, declared index
+    * specs, PK lookups — but no index is built or loaded, no ANN probe or
+    * recall count runs, and no `_seqno` sidecar is written. The `index …`
+    * and `probe …` suffixes are execution facts and are omitted. */
+  private def classifySelectRoute(stmt: String): String = {
+    val stmtSys = rewriteSystemColumns(stmt, dry = true)
+    val fielded = routeFieldedScore(stmtSys, dry = true)
+    val pre0 = fielded.getOrElse(stmtSys)
+    if (routeKnnStored(pre0, dry = true).isDefined)
+      StatementRouter.lastKnnRoute.get()
+    else if (fielded.isDefined) "indexed-score-fielded-bm25"
+    else if (routeIndexedScore(Dialect.translate(pre0), dry = true).isDefined)
+      "indexed-score-bm25"
+    else "exact"
+  }
+
   /** `EXPLAIN [ANALYZE] <select>` → one plan-text row (reference
-    * `ExplainPlan.java`; ANALYZE runs the plan and reports actual metrics). */
+    * `ExplainPlan.java`; ANALYZE runs the plan and reports actual
+    * metrics). Plain EXPLAIN is PLAN-ONLY, like the reference's: the
+    * route is classified by inspection ([[classifySelectRoute]]) and the
+    * displayed plan is the side-effect-free exact lowering — no index is
+    * built, no ANN probe runs, no `_seqno` sidecar is written, nothing on
+    * disk changes. EXPLAIN ANALYZE executes for real, so it resolves
+    * through the full route chain and reports the served plan's shape
+    * (hits-view joins &c.) plus index load/delta/full and probe width. */
   private def explainStmt(stmt: String): DataFrame = {
     import spark.implicits._
     val analyze = "(?i)^\\s*explain\\s+analyze".r.findFirstIn(stmt).isDefined
     val inner = stmt.trim.replaceFirst("(?i)^explain\\s+(analyze\\s+)?", "")
-    registerViews()
+    registerViews(inner)
     val head = inner.trim.takeWhile(!_.isWhitespace).toLowerCase
     if (head == "select" || head == "with") {
-      // resolve through the SAME route chain a real execution takes, so
-      // the plan text shows the served shape (hits-view joins &c.) and
-      // the provenance header names the route — stored-index[-filtered]
-      // with index load/delta/full + probe width, indexed-score-bm25,
-      // or exact
-      val df = resolveSelect(inner)
-      val prov = s"route: ${StatementRouter.lastSelectRoute.get()}"
-      Seq(prov + "\n" + sources.Maintenance.explain(df, analyze)).toDF("plan")
+      if (analyze) {
+        val df = resolveSelect(inner)
+        val prov = s"route: ${StatementRouter.lastSelectRoute.get()}"
+        Seq(prov + "\n" + sources.Maintenance.explain(df, analyze)).toDF("plan")
+      } else {
+        val route = classifySelectRoute(inner)
+        val df = spark.sql(applyDeclaredAnalyzers(
+          Dialect.translate(rewriteSystemColumns(inner, dry = true))))
+        Seq(s"route: $route\n" + sources.Maintenance.explain(df, analyze = false))
+          .toDF("plan")
+      }
     } else
       Seq(sources.Maintenance.explain(Engine.sql(spark, inner), analyze)).toDF("plan")
   }
@@ -2572,7 +2699,7 @@ class StatementRouter(spark: SparkSession, root: String) {
     var q = sig.slice(from, sig.length)
     if (q.headOption.exists(_.isSym("(")) && matchFwd(q, 0) == q.length - 1)
       q = q.slice(1, q.length - 1)
-    registerViews()
+    registerViews(renderSig(q))
     val df = spark.sql(Dialect.translate(renderSig(q)))
     VersionedTable.commit(spark, tablePath(name), df)
     summary(readTable(name).count())
@@ -3241,7 +3368,7 @@ class StatementRouter(spark: SparkSession, root: String) {
       .matcher(stmt)
     require(m.find(), "DECLARE needs CURSOR FOR <query>")
     val query = m.group(1).trim
-    registerViews()
+    registerViews(query)
     // non-recording inner path: execute() already logs the DECLARE once
     val df = spark.sql(applyDeclaredAnalyzers(Dialect.translate(query)))
     cursors(name) = sources.Cursor.declare(name, query, df, scroll)
@@ -3743,7 +3870,7 @@ class StatementRouter(spark: SparkSession, root: String) {
       if (srcToks.headOption.exists(_.is("values")))
         spark.sql("SELECT * FROM " + renderSig(srcToks) +
           s" AS __v(${cols.mkString(", ")})")
-      else { registerViews(); spark.sql(renderSig(srcToks)).toDF(cols: _*) }
+      else { registerViews(renderSig(srcToks)); spark.sql(renderSig(srcToks)).toDF(cols: _*) }
     // align to the full target schema: unlisted columns become typed nulls
     val alignedRaw = rowsRaw.select(target.schema.fields.map { f =>
       if (cols.contains(f.name)) rowsRaw(f.name).cast(f.dataType).as(f.name)
@@ -3886,7 +4013,35 @@ class StatementRouter(spark: SparkSession, root: String) {
     }
     writeTable(name, if (needSeq) next.drop("__graft_seq_no") else next,
       partitionTouch(name, cur.filter(cond), assigns.map(_._1).toSet))
+    markTouched(name, touched)
     result
+  }
+
+  /** Durable touched-row marker: the reference advances a doc's `_seq_no`
+    * on ANY write (`metadata/doc/SysColumns.java:49-64` — Lucene assigns
+    * a fresh per-op seqNo), INCLUDING an UPDATE that writes identical
+    * values — which a content-hash row-diff cannot see. Autocommit
+    * UPDATEs on an unpartitioned keyed table therefore record the
+    * matched pks under `<table>/_touched/v{N}`; [[seqNoMapDf]]'s
+    * patch-forward and [[fullSeqWalk]] advance those rows even when
+    * their hash is unchanged. Best-effort: an unwritable marker degrades
+    * to content-hash semantics for that version, and in-TRANSACTION
+    * updates keep content-hash semantics (several statements fold into
+    * one commit; documented in PORTING.md). */
+  private def markTouched(name: String, touchedRows: DataFrame): Unit = {
+    if (txn.isDefined) return
+    val path = tablePath(name)
+    val pk = VersionedTable.primaryKey(spark, path)
+    if (pk.isEmpty || VersionedTable.partitionSpec(spark, path).isDefined)
+      return
+    try {
+      val v = VersionedTable.latestVersion(spark, path).getOrElse(return)
+      touchedRows
+        .select(concat_ws("|", pk.map(c => col(c).cast("string")): _*)
+          .as("graft_seq_pk"))
+        .distinct()
+        .write.mode("overwrite").parquet(s"$path/_touched/v$v")
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   private def delete(stmt: String): DataFrame = {
@@ -3977,25 +4132,33 @@ object StatementRouter {
     * different router instances over one SparkSession never collide. */
   private[graft] val viewSeq = new java.util.concurrent.atomic.AtomicLong(0)
   /** How the last knn_match stored-index resolution happened —
-    * "loaded" | "delta" | "full"; spec-observability only. */
-  private[graft] val lastVecIndexBuild =
-    new java.util.concurrent.atomic.AtomicReference[String]("")
+    * "loaded" | "delta" | "full"; spec-observability only.
+    *
+    * All four provenance slots are THREAD-LOCAL: a statement's route is a
+    * per-statement fact, and routers sharing one SparkSession execute on
+    * their client threads — a JVM-global slot would let a concurrent
+    * statement's provenance bleed into another session's EXPLAIN header. */
+  private[graft] val lastVecIndexBuild: ThreadLocal[String] =
+    ThreadLocal.withInitial(() => "")
   /** Which knn_match route served the last statement —
     * "stored-index" | "stored-index-filtered" (set only when the stored
     * route fires; the exact Dialect fallback leaves it untouched, so
     * reset before asserting). */
-  private[graft] val lastKnnRoute =
-    new java.util.concurrent.atomic.AtomicReference[String]("")
+  private[graft] val lastKnnRoute: ThreadLocal[String] =
+    ThreadLocal.withInitial(() => "")
   /** Which route [[resolveSelect]] last served a query through —
     * "stored-index[, index …][, probe …]" | "stored-index-filtered…" |
     * "indexed-score[-fielded]-bm25" | "exact". Prepended by EXPLAIN as
     * `route: …`. */
-  private[graft] val lastSelectRoute =
-    new java.util.concurrent.atomic.AtomicReference[String]("")
-  /** Probe width the last filtered stored-knn search ran at —
-    * "fixed" (declared nprobe sufficed) | "widened" (the pre-filter left
-    * <k candidates in the probed buckets, so the search re-ran over ALL
-    * buckets to honor the reference's k-matching-rows guarantee). */
-  private[graft] val lastKnnProbe =
-    new java.util.concurrent.atomic.AtomicReference[String]("")
+  private[graft] val lastSelectRoute: ThreadLocal[String] =
+    ThreadLocal.withInitial(() => "")
+  /** Probe width the last filtered stored-knn search ran at — "fixed"
+    * (declared nprobe sufficed) | "widened" (the pre-filter left <k
+    * candidates in the probed buckets AND more matching rows exist, so
+    * the search re-ran over ALL buckets to honor the reference's
+    * k-matching-rows guarantee) | "exhausted" (the probed buckets already
+    * returned every filter-matching row — fewer than k exist in total, so
+    * an all-buckets re-scan could not find more and is skipped). */
+  private[graft] val lastKnnProbe: ThreadLocal[String] =
+    ThreadLocal.withInitial(() => "")
 }

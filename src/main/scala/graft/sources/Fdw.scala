@@ -65,6 +65,22 @@ object Fdw {
   def listUserMappings: Seq[((String, String), Map[String, String])] =
     userMappings.toSeq.sortBy(_._1)
 
+  /** Resolved-relation cache: Spark's JDBC source opens a live connection
+    * to resolve the remote schema when `load()` builds the DataFrame, so
+    * re-resolving per statement would tax every statement touching a
+    * foreign table with a round-trip. Keyed by the EFFECTIVE connection
+    * config (post-user-mapping server + remote table + session), so any
+    * FDW DDL change — ALTER SERVER options, a remapped user, a re-pointed
+    * foreign table — keys differently and resolves fresh; stale entries
+    * are simply never hit again. The cached DataFrame stays lazy: every
+    * action re-reads the remote data, only the schema resolution is
+    * reused. Failures are NOT cached — an unreachable server retries on
+    * its next reference. */
+  private val scanCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Server, String), DataFrame]
+  /** JDBC schema resolutions performed (cache misses) — spec observability. */
+  private[graft] val resolveCount = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Scan a registered foreign table by local name (applies the server's
     * user mapping for the session user if one exists). */
   def scan(spark: SparkSession, name: String, user: String = ""): DataFrame = {
@@ -74,7 +90,11 @@ object Fdw {
       .map(m => base.copy(user = m.getOrElse("user", base.user),
         password = m.getOrElse("password", base.password)))
       .getOrElse(base)
-    foreignTable(spark, mapped, ft.remoteTable)
+    scanCache.getOrElseUpdate(
+      (System.identityHashCode(spark), mapped, ft.remoteTable), {
+        resolveCount.incrementAndGet()
+        foreignTable(spark, mapped, ft.remoteTable)
+      })
   }
 
   /** `SELECT ... FROM foreign_table` — whole-table or pushdown-filtered scan. */

@@ -131,6 +131,54 @@ class KnnStoredRouteSpec extends SparkTestBase {
     // nearest to [1,0] within cluster A: 1 (exact), then 4 ([0.97,0])
     assert(rows2.map(_.getLong(0)).toSeq == Seq(1L, 4L))
     assert(StatementRouter.lastKnnProbe.get() == "fixed")
+    // a filter matching FEWER than k rows, all already returned: an
+    // all-buckets re-scan cannot find more — the widen is skipped
+    // (pk-equality with k=2 here; the reference returns min(k, |matching|))
+    StatementRouter.lastKnnProbe.set("")
+    val rows3 = r.execute(
+      "SELECT id FROM vt5 WHERE id = 1 AND knn_match(emb, [1.0, 0.0], 2)")
+      .collect()
+    assert(rows3.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(StatementRouter.lastKnnProbe.get() == "exhausted",
+      "k > |filter matches| with every match returned must skip the re-scan")
+  }
+
+  test("the filtered search materializes once — the hits view is checkpointed") {
+    // the recall guard counts the probed search; the hits view must read
+    // those SAME materialized rows, not re-run probe + semi-join + rescore
+    // (at 100 TB an uncached guard doubles every filtered vector query)
+    val root = Files.createTempDirectory("graft_knn8").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute(
+      """CREATE TABLE vt8 (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(2),
+        |  INDEX iv USING VECTOR (emb) WITH (centroids = 2, nprobe = 1))"""
+        .stripMargin)
+    r.execute("INSERT INTO vt8 (id, emb) VALUES " +
+      "(1, [1.0, 0.0]), (2, [0.9, 0.1]), (11, [-1.0, 0.0]), (12, [-0.9, -0.1])")
+    def latestHitsLeaves() = {
+      val v = spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("graft_knn_hits_"))
+        .maxBy(_.stripPrefix("graft_knn_hits_").toLong)
+      spark.table(v).queryExecution.optimizedPlan.collectLeaves()
+    }
+    // fixed-probe path
+    r.execute("SELECT id FROM vt8 WHERE id < 10 AND knn_match(emb, [1.0, 0.0], 2)")
+      .collect()
+    val fixedLeaves = latestHitsLeaves()
+    assert(fixedLeaves.nonEmpty &&
+      fixedLeaves.forall(_.getClass.getSimpleName == "LogicalRDD"),
+      s"fixed-probe hits must be a checkpointed leaf, got " +
+        fixedLeaves.map(_.getClass.getSimpleName).mkString(","))
+    // widened path (filter matches only the unprobed cluster)
+    StatementRouter.lastKnnProbe.set("")
+    r.execute("SELECT id FROM vt8 WHERE id > 10 AND knn_match(emb, [1.0, 0.0], 2)")
+      .collect()
+    assert(StatementRouter.lastKnnProbe.get() == "widened")
+    val widenedLeaves = latestHitsLeaves()
+    assert(widenedLeaves.nonEmpty &&
+      widenedLeaves.forall(_.getClass.getSimpleName == "LogicalRDD"),
+      s"widened hits must be a checkpointed leaf, got " +
+        widenedLeaves.map(_.getClass.getSimpleName).mkString(","))
   }
 
   test("a line comment inside a pre-filter conjunct does not corrupt the rewrite") {

@@ -268,6 +268,40 @@ class InformationSchemaSpec extends SparkTestBase {
     InformationSchema.register(spark)
     assert(spark.sql("SELECT * FROM information_schema_foreign_servers " +
       "WHERE foreign_server_name = 'pg_prod'").count() == 0)
+  }
+
+  test("foreign tables register lazily and cache their JDBC schema resolution") {
+    // resolving a JDBC relation's schema opens a live connection; a
+    // registered foreign table must not tax statements that never
+    // reference it, and repeated references must reuse the resolved
+    // relation (embedded Derby stands in for the remote server)
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-fdwlazy").toString
+    System.setProperty("derby.system.home", root)
+    val url = s"jdbc:derby:$root/lazydb;create=true"
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+      .write.format("jdbc").option("url", url).option("dbtable", "LAZY_T").save()
+    val r = new StatementRouter(spark, root)
+    r.execute(s"CREATE SERVER lazy_srv FOREIGN DATA WRAPPER jdbc OPTIONS (url '$url')")
+    r.execute("CREATE FOREIGN TABLE lazy_ft (id BIGINT, v TEXT) " +
+      "SERVER lazy_srv OPTIONS (table_name 'LAZY_T')")
+    try {
+      r.execute("CREATE TABLE lazy_local (i BIGINT)")
+      val before = graft.sources.Fdw.resolveCount.get()
+      r.execute("INSERT INTO lazy_local (i) VALUES (1)")
+      r.execute("SELECT i FROM lazy_local").collect()
+      assert(graft.sources.Fdw.resolveCount.get() == before,
+        "statements not referencing a foreign table must not resolve one")
+      // first reference resolves once …
+      assert(r.execute("SELECT count(*) FROM lazy_ft").head().getLong(0) == 2L)
+      assert(graft.sources.Fdw.resolveCount.get() == before + 1)
+      // … and later statements reuse the resolved relation — while the
+      // scan itself stays live (a remote write is visible on next read)
+      assert(r.execute("SELECT v FROM lazy_ft WHERE id = 2")
+        .head().getString(0) == "y")
+      assert(graft.sources.Fdw.resolveCount.get() == before + 1,
+        "repeated statements must not re-open a schema-resolution connection")
+    } finally r.execute("DROP SERVER lazy_srv")
     assert(spark.sql("SELECT * FROM information_schema_foreign_tables " +
       "WHERE foreign_table_name = 'remote_orders'").count() == 0)
     assert(spark.sql("SELECT * FROM information_schema_user_mappings").count() == 0)

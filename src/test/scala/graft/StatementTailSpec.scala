@@ -301,7 +301,9 @@ class StatementTailSpec extends SparkTestBase {
   }
 
   test("EXPLAIN surfaces route provenance for knn and MATCH statements") {
-    val r = newRouter()
+    val root = java.nio.file.Files.createTempDirectory("graft_expl")
+      .toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
     r.execute(
       """CREATE TABLE epv (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(2),
         |  INDEX iv USING VECTOR (emb) WITH (centroids = 2, nprobe = 2))"""
@@ -309,15 +311,38 @@ class StatementTailSpec extends SparkTestBase {
     r.execute("INSERT INTO epv (id, emb) VALUES " +
       "(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])")
     graft.operators.MatchText.IndexCache.clear()
+    // plain EXPLAIN is PLAN-ONLY (reference ExplainPlan.java): the route
+    // classifies by inspection, the index is NOT built, nothing lands on
+    // disk — the `index …` / `probe …` suffixes are execution facts and
+    // only EXPLAIN ANALYZE carries them
     val knnPlan = r.execute(
       "EXPLAIN SELECT id FROM epv WHERE knn_match(emb, [1.0, 0.0], 2)")
       .head().getString(0)
-    assert(knnPlan.startsWith("route: stored-index, index "), knnPlan.take(120))
+    assert(knnPlan.startsWith("route: stored-index\n"), knnPlan.take(120))
+    assert(!new java.io.File(s"$root/epv/_vecindex").exists,
+      "plain EXPLAIN must not build the vector index")
     val filtered = r.execute(
       "EXPLAIN SELECT id FROM epv WHERE id > 1 AND knn_match(emb, [1.0, 0.0], 1)")
       .head().getString(0)
-    assert(filtered.startsWith("route: stored-index-filtered"), filtered.take(120))
-    assert(filtered.contains(", probe "), filtered.take(120))
+    assert(filtered.startsWith("route: stored-index-filtered\n"), filtered.take(120))
+    assert(!new java.io.File(s"$root/epv/_vecindex").exists,
+      "a filtered plain EXPLAIN must not build the vector index either")
+    // a per-row `_seq_no` EXPLAIN must not persist the sidecar
+    val seqPlan = r.execute("EXPLAIN SELECT id, _seq_no FROM epv")
+      .head().getString(0)
+    assert(seqPlan.startsWith("route: exact\n"), seqPlan.take(120))
+    assert(!new java.io.File(s"$root/epv/_seqno").exists,
+      "plain EXPLAIN must not write the _seqno sidecar")
+    // EXPLAIN ANALYZE executes for real: the index materializes and the
+    // provenance gains the execution suffixes
+    val analyzed = r.execute(
+      "EXPLAIN ANALYZE SELECT id FROM epv WHERE id > 1 AND knn_match(emb, [1.0, 0.0], 1)")
+      .head().getString(0)
+    assert(analyzed.startsWith("route: stored-index-filtered, index "),
+      analyzed.take(120))
+    assert(analyzed.contains(", probe "), analyzed.take(120))
+    assert(new java.io.File(s"$root/epv/_vecindex").exists,
+      "EXPLAIN ANALYZE executes, so the index must exist now")
 
     r.execute(
       """CREATE TABLE epm (id BIGINT PRIMARY KEY, body TEXT,
@@ -329,6 +354,101 @@ class StatementTailSpec extends SparkTestBase {
       "EXPLAIN SELECT id, _score FROM epm WHERE MATCH(body, 'engines') " +
         "ORDER BY _score DESC").head().getString(0)
     assert(matchPlan.startsWith("route: indexed-score"), matchPlan.take(120))
+    assert(!new java.io.File(s"$root/epm/_ftindex").exists,
+      "plain EXPLAIN must not build the fulltext index")
+  }
+
+  test("route provenance is thread-local: concurrent sessions don't cross-talk") {
+    // the carrier itself: a fresh thread starts from the initial value,
+    // and its writes never leak into this thread's slot
+    StatementRouter.lastSelectRoute.set("main-route")
+    @volatile var seen: String = null
+    val t = new Thread(() => {
+      val initial = StatementRouter.lastSelectRoute.get()
+      StatementRouter.lastSelectRoute.set("other-route")
+      seen = initial + "|" + StatementRouter.lastSelectRoute.get()
+    })
+    t.start(); t.join()
+    assert(seen == "|other-route", seen)
+    assert(StatementRouter.lastSelectRoute.get() == "main-route",
+      "a concurrent statement's provenance must not overwrite this thread's")
+    StatementRouter.lastSelectRoute.set("")
+
+    // end-to-end: EXPLAIN ANALYZE resolves through resolveSelect (set →
+    // read of the slot); a concurrent thread hammering exact-route
+    // EXPLAINs must not corrupt the header between those two points
+    val root = java.nio.file.Files.createTempDirectory("graft_prov")
+      .toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute(
+      """CREATE TABLE pvt (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(2),
+        |  INDEX iv USING VECTOR (emb) WITH (centroids = 2, nprobe = 2))"""
+        .stripMargin)
+    r.execute("INSERT INTO pvt (id, emb) VALUES (1, [1.0, 0.0]), (2, [0.0, 1.0])")
+    r.execute("CREATE TABLE pet (i BIGINT)")
+    r.execute("INSERT INTO pet (i) VALUES (1)")
+    @volatile var otherBad: String = null
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val other = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          val p = r.execute("EXPLAIN ANALYZE SELECT i FROM pet").head().getString(0)
+          if (!p.startsWith("route: exact\n") && otherBad == null) otherBad = p.take(80)
+        }
+      } catch { case e: Throwable => otherBad = s"threw: ${e.getMessage}" }
+    })
+    other.start()
+    try {
+      for (_ <- 1 to 5) {
+        val p = r.execute(
+          "EXPLAIN ANALYZE SELECT id FROM pvt WHERE knn_match(emb, [1.0, 0.0], 1)")
+          .head().getString(0)
+        assert(p.startsWith("route: stored-index"), p.take(80))
+      }
+    } finally { stop.set(true); other.join() }
+    assert(otherBad == null, s"exact-route thread saw foreign provenance: $otherBad")
+  }
+
+  test("UPDATE writing identical values still bumps the per-row _seq_no") {
+    // reference semantics (metadata/doc/SysColumns.java:49-64): ANY write
+    // assigns a fresh per-doc seqNo — including one that writes back the
+    // same values, which a content-hash row-diff alone cannot see. The
+    // `_touched` marker closes that gap.
+    val root = java.nio.file.Files.createTempDirectory("graft_occ_id")
+      .toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute("CREATE TABLE occi (id BIGINT PRIMARY KEY, v TEXT)")
+    r.execute("INSERT INTO occi (id, v) VALUES (1, 'a'), (2, 'b')")
+    val s1 = r.execute("SELECT _seq_no FROM occi WHERE id = 1").head().getLong(0)
+    assert(r.execute("UPDATE occi SET v = 'a' WHERE id = 1")
+      .head().getLong(0) == 1L)
+    val s1b = r.execute("SELECT _seq_no FROM occi WHERE id = 1").head().getLong(0)
+    assert(s1b > s1, s"identical-value UPDATE must advance _seq_no: $s1 -> $s1b")
+    // the untouched row keeps its original sequence
+    assert(r.execute("SELECT _seq_no FROM occi WHERE id = 2")
+      .head().getLong(0) == s1)
+    // a FRESH router reads the patched sidecar and agrees
+    val r2 = new StatementRouter(spark, root)
+    assert(r2.execute("SELECT _seq_no FROM occi WHERE id = 1")
+      .head().getLong(0) == s1b)
+  }
+
+  test("identical-value UPDATE advances _seq_no on the cold walk too") {
+    // no sidecar exists when the first `_seq_no` read happens — the
+    // full snapshot walk must fold the `_touched` markers in
+    val root = java.nio.file.Files.createTempDirectory("graft_occ_cold")
+      .toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute("CREATE TABLE occj (id BIGINT PRIMARY KEY, v TEXT)")
+    r.execute("INSERT INTO occj (id, v) VALUES (1, 'a'), (2, 'b')")
+    r.execute("UPDATE occj SET v = 'a' WHERE id = 1") // identical values
+    val r2 = new StatementRouter(spark, root)
+    val sTouched = r2.execute("SELECT _seq_no FROM occj WHERE id = 1")
+      .head().getLong(0)
+    val sOther = r2.execute("SELECT _seq_no FROM occj WHERE id = 2")
+      .head().getLong(0)
+    assert(sTouched > sOther,
+      s"cold walk must see the touched marker: $sTouched vs $sOther")
   }
 
   test("ALTER REPOSITORY / ALTER SERVER / SET TRANSACTION / DEALLOCATE / DISCARD") {
