@@ -48,10 +48,14 @@ object BenchSf1 {
     * IVF build+probe, BM25 single/fielded index routes, delta
     * maintenance, the filtered stored route. Index BUILD time dominates
     * these rows, which is exactly where superlinear surprises would
-    * hide. Selected with SPARK_GRAFT_SF1_WAVE=2 → BENCH_sf1_wave2.json. */
+    * hide. Selected with SPARK_GRAFT_SF1_WAVE=2 → BENCH_sf1_wave2.json.
+    * Round 9 adds q224 (exact repeated-substring dedup — the k-gram
+    * shuffle is the superlinear-risk path) and re-runs the wave to prove
+    * the filtered-knn single-materialization fix at 10× data. */
   private val wave2 = Seq(
     "q210_knn_stored", "q215_knn_filtered_stored", "q216_knn_subquery_vector",
-    "q187_indexed_score", "q195_fielded_index_score", "q202_ivf_delta")
+    "q187_indexed_score", "q195_fielded_index_score", "q202_ivf_delta",
+    "q224_substring_dedup")
 
   private def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dst)

@@ -26,7 +26,8 @@ object SparkEntry {
       QueriesFunctions5.queries ++
       QueriesComposite.queries ++ QueriesPipeline.queries ++
       QueriesRound3.queries ++ QueriesRound4.queries ++
-      QueriesRound5.queries ++ QueriesRound7.queries
+      QueriesRound5.queries ++ QueriesRound7.queries ++
+      QueriesRound9.queries
 
   def oracleSql: Map[String, String] =
     QueriesRelational.oracles ++ QueriesWindow.oracles ++
@@ -35,5 +36,6 @@ object SparkEntry {
       QueriesFunctions5.oracles ++
       QueriesComposite.oracles ++ QueriesPipeline.oracles ++
       QueriesRound3.oracles ++ QueriesRound4.oracles ++
-      QueriesRound5.oracles ++ QueriesRound7.oracles
+      QueriesRound5.oracles ++ QueriesRound7.oracles ++
+      QueriesRound9.oracles
 }

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Round-9 catalog (q226–):
+  *
+  *  - q226: ANALYZE histogram gate. The reference's ANALYZE feeds a
+  *    per-column HistogramSketch (reference `statistics/
+  *    SketchBuilder.java`, surfaced through `pg_stats.histogram_bounds`);
+  *    graft computes the same 11 equi-height decile bounds with Spark's
+  *    mergeable quantile sketch (`percentile_approx` — partial sketches
+  *    merge across partitions, one pass, no extra shuffle: the
+  *    scale-correct form of "t-digest merge across partitions"). The
+  *    gate RANK-checks every interior bound against the raw column — an
+  *    equi-height histogram's i-th bound must sit at rank i/10 (±2pp,
+  *    far above the sketch's ≤0.1% rank error but far below a broken
+  *    bound) — pins both ends to the exact min/max, and asserts
+  *    monotonicity. The oracle replays the verdict grid: every check
+  *    must come back TRUE, so a wrong bound hash-fails loudly.
+  */
+object QueriesRound9 {
+
+  private val routerRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_analyze_histogram" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      routerRoots.computeIfAbsent(s"q226#$dir", _ => {
+        val rt = java.nio.file.Files.createTempDirectory("graft_q226")
+          .toFile.getAbsolutePath
+        val r0 = new graft.StatementRouter(s, rt)
+        r0.execute("CREATE TABLE hist_t (k BIGINT, d DOUBLE PRECISION)")
+        r0.execute("""INSERT INTO hist_t
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_acctbal END
+          FROM customer""")
+        r0.execute("ANALYZE")
+        rt
+      })
+      graft.sources.PgCatalog.registerAll(s)
+      // rank-gate each stored decile bound against the raw parquet column
+      // (exact, independent of the sketch): a bound that drifted from its
+      // decile rank, a swapped pair, or an inexact end flips a boolean and
+      // hash-fails against the oracle's all-TRUE grid
+      s.sql("""
+        WITH bounds AS (
+          SELECT attname, CAST(i AS BIGINT) AS i, CAST(bv AS DOUBLE) AS bv
+          FROM pg_stats
+          LATERAL VIEW posexplode(histogram_bounds) t AS i, bv
+          WHERE tablename = 'hist_t'
+        ),
+        raw AS (
+          SELECT 'k' AS attname, CAST(c_custkey AS DOUBLE) AS x FROM customer
+          UNION ALL
+          SELECT 'd', c_acctbal FROM customer WHERE c_custkey % 10 <> 0
+        ),
+        ranks AS (
+          SELECT b.attname, b.i, b.bv,
+                 avg(CASE WHEN r.x <= b.bv THEN 1.0 ELSE 0.0 END) AS rk,
+                 min(r.x) AS mn, max(r.x) AS mx
+          FROM bounds b JOIN raw r ON b.attname = r.attname
+          GROUP BY b.attname, b.i, b.bv
+        )
+        SELECT attname, i,
+               CASE WHEN i = 0  THEN bv = mn
+                    WHEN i = 10 THEN bv = mx
+                    ELSE abs(rk - i / 10.0) <= 0.02 END AS rank_ok,
+               coalesce(bv >= lag(bv) OVER
+                 (PARTITION BY attname ORDER BY i), true) AS mono_ok
+        FROM ranks
+        ORDER BY attname, i""")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the verdict grid is deterministic: 2 numeric columns × 11 bounds,
+    // every check TRUE — computed Spark-side against raw parquet (the
+    // q206/q220 envelope pattern)
+    "q226_analyze_histogram" ->
+      """SELECT a.attname, CAST(i.i AS BIGINT) AS i,
+        |       TRUE AS rank_ok, TRUE AS mono_ok
+        |FROM (VALUES ('d'), ('k')) a(attname)
+        |CROSS JOIN generate_series(0, 10) i(i)
+        |ORDER BY attname, i""".stripMargin
+  )
+}
