@@ -1774,11 +1774,12 @@ class StatementRouter(spark: SparkSession, root: String) {
     val hits = candFilter match {
       case Some(cf) =>
         // materialize the probed search ONCE: the recall count below and
-        // the hits view both read the checkpointed rows (≤k of them). An
-        // uncached DataFrame would re-run probe + semi-join + rescore when
-        // the rewritten statement executes — doubling every filtered
-        // vector query.
-        val first = search(nprobe).localCheckpoint()
+        // the hits view both read the checkpointed rows (≤k of them, so
+        // coalesce(1) first — one tiny partition instead of a shuffle's
+        // worth). An uncached DataFrame would re-run probe + semi-join +
+        // rescore when the rewritten statement executes — doubling every
+        // fixed-probe filtered vector query.
+        val first = search(nprobe).coalesce(1).localCheckpoint()
         val got = first.count()
         if (got >= k) { StatementRouter.lastKnnProbe.set("fixed"); first }
         else if (got >= cf.count()) {
@@ -1788,7 +1789,7 @@ class StatementRouter(spark: SparkSession, root: String) {
           StatementRouter.lastKnnProbe.set("exhausted"); first
         } else {
           StatementRouter.lastKnnProbe.set("widened")
-          search(Int.MaxValue).localCheckpoint()
+          search(Int.MaxValue).coalesce(1).localCheckpoint()
         }
       case None => search(nprobe)
     }
@@ -2555,19 +2556,51 @@ class StatementRouter(spark: SparkSession, root: String) {
     else "exact"
   }
 
-  /** `EXPLAIN [ANALYZE] <select>` → one plan-text row (reference
-    * `ExplainPlan.java`; ANALYZE runs the plan and reports actual
-    * metrics). Plain EXPLAIN is PLAN-ONLY, like the reference's: the
-    * route is classified by inspection ([[classifySelectRoute]]) and the
-    * displayed plan is the side-effect-free exact lowering — no index is
-    * built, no ANN probe runs, no `_seqno` sidecar is written, nothing on
-    * disk changes. EXPLAIN ANALYZE executes for real, so it resolves
-    * through the full route chain and reports the served plan's shape
-    * (hits-view joins &c.) plus index load/delta/full and probe width. */
+  /** `EXPLAIN [ANALYZE | VERBOSE] <stmt>` and the option-list form
+    * `EXPLAIN (ANALYZE [bool], COSTS [bool], VERBOSE [bool]) <stmt>`
+    * (reference explain.rst + `ExplainPlan.java`) → one plan-text row.
+    *
+    * Plain EXPLAIN is PLAN-ONLY, like the reference's: the route is
+    * classified by inspection ([[classifySelectRoute]]) and the displayed
+    * plan is the side-effect-free exact lowering — no index is built, no
+    * ANN probe runs, no `_seqno` sidecar is written, nothing on disk
+    * changes. EXPLAIN ANALYZE executes for real, so it resolves through
+    * the full route chain and reports the served plan's shape (hits-view
+    * joins &c.) plus index load/delta/full and probe width. VERBOSE maps
+    * to Spark's extended breakdown (parsed → analyzed → optimized →
+    * physical — the optimizer-steps analog of the reference's VERBOSE
+    * table); COSTS to the cost-annotated logical plan
+    * (`Statistics(sizeInBytes, rowCount)` per node). */
   private def explainStmt(stmt: String): DataFrame = {
     import spark.implicits._
-    val analyze = "(?i)^\\s*explain\\s+analyze".r.findFirstIn(stmt).isDefined
-    val inner = stmt.trim.replaceFirst("(?i)^explain\\s+(analyze\\s+)?", "")
+    var analyze = "(?i)^\\s*explain\\s+analyze\\b".r.findFirstIn(stmt).isDefined
+    var verbose = "(?i)^\\s*explain\\s+verbose\\b".r.findFirstIn(stmt).isDefined
+    var costs = false
+    // parenthesized option list: `name [TRUE|FALSE|ON|OFF|1|0]`, comma-sep
+    val optList = "(?is)^\\s*explain\\s*\\(([^)]*)\\)".r.findFirstMatchIn(stmt)
+    optList.foreach { m =>
+      m.group(1).split(",").map(_.trim).filter(_.nonEmpty).foreach { o =>
+        val parts = o.split("\\s+")
+        val on = parts.lift(1).map(_.toLowerCase) match {
+          case None | Some("true") | Some("on") | Some("1") => true
+          case Some("false") | Some("off") | Some("0")      => false
+          case Some(other) =>
+            sys.error(s"EXPLAIN option ${parts(0)}: bad boolean '$other'")
+        }
+        parts(0).toLowerCase match {
+          case "analyze" => analyze = on
+          case "costs"   => costs = on
+          case "verbose" => verbose = on
+          case other     => sys.error(s"unknown EXPLAIN option: $other")
+        }
+      }
+    }
+    val inner = stmt.trim.replaceFirst(
+      "(?is)^explain\\s*(\\([^)]*\\)\\s*|(analyze|verbose)\\s+)?", "")
+    // default = the plan tree (reference default); VERBOSE = the full
+    // parsed→analyzed→optimized→physical breakdown; COSTS = the
+    // cost-annotated logical plan
+    val mode = if (costs) "cost" else if (verbose) "extended" else "formatted"
     registerViews(inner)
     val head = inner.trim.takeWhile(!_.isWhitespace).toLowerCase
     if (head == "select" || head == "with") {
@@ -2579,11 +2612,13 @@ class StatementRouter(spark: SparkSession, root: String) {
         val route = classifySelectRoute(inner)
         val df = spark.sql(applyDeclaredAnalyzers(
           Dialect.translate(rewriteSystemColumns(inner, dry = true))))
-        Seq(s"route: $route\n" + sources.Maintenance.explain(df, analyze = false))
+        Seq(s"route: $route\n" +
+            sources.Maintenance.explain(df, analyze = false, mode = mode))
           .toDF("plan")
       }
     } else
-      Seq(sources.Maintenance.explain(Engine.sql(spark, inner), analyze)).toDF("plan")
+      Seq(sources.Maintenance.explain(Engine.sql(spark, inner), analyze,
+        mode = mode)).toDF("plan")
   }
 
   private def summary(n: Long): DataFrame = {

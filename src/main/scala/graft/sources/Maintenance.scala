@@ -55,12 +55,17 @@ object Maintenance {
   def analyze(spark: SparkSession, table: String): Unit =
     spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR ALL COLUMNS")
 
-  /** `EXPLAIN [ANALYZE]` — formatted plan; with `analyze=true` runs the
-    * query so the returned plan string carries actual row metrics. */
-  def explain(df: DataFrame, analyze: Boolean = false): String = {
+  /** `EXPLAIN [ANALYZE]` — plan text; with `analyze=true` runs the
+    * query so the returned plan string carries actual row metrics.
+    * `mode` (plan-only path) is a Spark ExplainMode name: "formatted"
+    * (plan tree — the reference's default EXPLAIN shape), "extended"
+    * (VERBOSE: every plan phase), "cost" (COSTS: logical plan with
+    * `Statistics(sizeInBytes, rowCount)` per node). */
+  def explain(df: DataFrame, analyze: Boolean = false,
+              mode: String = "extended"): String = {
     if (!analyze)
       return df.queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("extended"))
+        org.apache.spark.sql.execution.ExplainMode.fromString(mode))
     // EXPLAIN ANALYZE (reference profile/ package: the executed plan tree
     // annotated with actual per-operator counters): run the plan, then
     // render each physical node with its populated SQL metrics —

@@ -293,11 +293,37 @@ class StatementTailSpec extends SparkTestBase {
     // actual counters, not just the plan shape
     assert(plan.contains("numOutputRows="), plan.take(400))
     assert(plan.contains("HashAggregate"), plan.take(400))
-    // plain EXPLAIN stays the static extended form
+    // plain EXPLAIN stays static (plan tree, no runtime metrics)
     val stat = r.execute("EXPLAIN SELECT i FROM ea").head().getString(0)
     assert(stat.contains("== Physical Plan ==") && !stat.contains("numOutputRows="))
     // a plain query resolves through no index route
     assert(stat.startsWith("route: exact\n"), stat.take(120))
+  }
+
+  test("EXPLAIN VERBOSE and the (option list) forms (explain.rst)") {
+    val r = newRouter()
+    r.execute("CREATE TABLE eo (i BIGINT)")
+    r.execute("INSERT INTO eo (i) VALUES (1), (2)")
+    // VERBOSE → every plan phase (the optimizer-steps breakdown analog)
+    val verbose = r.execute("EXPLAIN VERBOSE SELECT i FROM eo WHERE i > 1")
+      .head().getString(0)
+    assert(verbose.contains("== Optimized Logical Plan ==") &&
+      verbose.contains("== Physical Plan =="), verbose.take(200))
+    // (COSTS TRUE) → cost-annotated logical plan
+    val costed = r.execute("EXPLAIN (COSTS TRUE) SELECT i FROM eo")
+      .head().getString(0)
+    assert(costed.contains("Statistics(sizeInBytes"), costed.take(200))
+    // (VERBOSE TRUE) ≡ EXPLAIN VERBOSE; (ANALYZE) executes with metrics
+    assert(r.execute("EXPLAIN (VERBOSE TRUE) SELECT i FROM eo")
+      .head().getString(0).contains("== Analyzed Logical Plan =="))
+    assert(r.execute("EXPLAIN (ANALYZE) SELECT count(*) FROM eo")
+      .head().getString(0).contains("numOutputRows="))
+    // (ANALYZE FALSE) stays plan-only; unknown options are loud
+    assert(!r.execute("EXPLAIN (ANALYZE FALSE) SELECT i FROM eo")
+      .head().getString(0).contains("numOutputRows="))
+    assert(intercept[Exception](
+      r.execute("EXPLAIN (WAT TRUE) SELECT i FROM eo"))
+      .getMessage.contains("unknown EXPLAIN option"))
   }
 
   test("EXPLAIN surfaces route provenance for knn and MATCH statements") {
