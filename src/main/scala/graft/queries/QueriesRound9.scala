@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Round-9 catalog (q226–):
   *
@@ -17,6 +18,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    bound) — pins both ends to the exact min/max, and asserts
   *    monotonicity. The oracle replays the verdict grid: every check
   *    must come back TRUE, so a wrong bound hash-fails loudly.
+  *  - q227: product-quantization ANN (Jégou/Douze/Schmid, TPAMI 2011) —
+  *    PQ codebooks trained on the bounded deterministic sample, the
+  *    corpus encoded to m=16 4-bit-equivalent codes (16 bytes vs 256
+  *    float bytes), searched by ADC table lookups over codegen'd
+  *    zip_with/aggregate built-ins with exact L2 re-ranking of the top
+  *    k·8 candidates. The gate is the q66/q70 envelope pattern: exact
+  *    recall@10 vs the L2 brute-force truth must clear a floor far
+  *    below the measured value, plus deterministic shape facts.
   */
 object QueriesRound9 {
 
@@ -71,6 +80,42 @@ object QueriesRound9 {
                  (PARTITION BY attname ORDER BY i), true) AS mono_ok
         FROM ranks
         ORDER BY attname, i""")
+    }),
+
+    "q227_knn_pq_adc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.registerAll(s)
+      val emb = graft.Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      // 8 deterministic queries drawn like every other knn fixture
+      val q = emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(8)
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      val cb = graft.operators.Similarity.pqTrain(emb, m = 16, ksub = 16)
+      val codes = graft.operators.Similarity.pqEncode(emb, cb)
+      val approx = graft.operators.Similarity
+        .pqKnn(codes, cb, emb, q, k = 10, rerank = 8)
+      // exact L2 truth (same metric as the ADC/re-rank path)
+      val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val qq = q.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val scored = c.crossJoin(broadcast(qq))
+        .select(col("qid"), col("cid"),
+          expr("aggregate(zip_with(cvec, qvec, (a, b) -> " +
+            "CAST((a - b) * (a - b) AS DOUBLE)), CAST(0.0 AS DOUBLE), " +
+            "(acc, x) -> acc + x)").as("dist"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("cid"))
+      val exact = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10).select(col("qid"), col("cid"))
+      val rec = graft.operators.Similarity.recallAtK(
+        approx.select(col("qid"), col("cid")), exact)
+      // every query must surface a distance-0 row at rank 1 (itself, or
+      // an exact duplicate — the fixture contains near-dups); the
+      // re-rank is exact, so a correct pipeline only misses it if ADC
+      // dropped every zero-distance candidate from the k·rerank pool
+      val selfHits = approx.filter(col("rk") === 1 && col("dist") === 0.0)
+        .count()
+      import s.implicits._
+      Seq((8L, 10L, selfHits, rec >= 0.6))
+        .toDF("n_queries", "k", "self_hits", "recall_ok")
     })
   )
 
@@ -83,6 +128,13 @@ object QueriesRound9 {
         |       TRUE AS rank_ok, TRUE AS mono_ok
         |FROM (VALUES ('d'), ('k')) a(attname)
         |CROSS JOIN generate_series(0, 10) i(i)
-        |ORDER BY attname, i""".stripMargin
+        |ORDER BY attname, i""".stripMargin,
+
+    // deterministic facts + the recall envelope, computed Spark-side
+    // against the exact L2 truth (the q66/q70 sketch-gate pattern)
+    "q227_knn_pq_adc" ->
+      """SELECT CAST(8 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
+        |       CAST(8 AS BIGINT) AS self_hits, TRUE AS recall_ok"""
+        .stripMargin
   )
 }
