@@ -142,4 +142,17 @@ class ScalarTailSpec2 extends SparkTestBase {
     assert(math.abs(one("SELECT vector_similarity(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>), CAST(array(0.0, 1.0) AS ARRAY<FLOAT>))").toDouble
       - 1.0 / 3.0) < 1e-6)
   }
+
+  test("pass-through scalars btrim/ceiling/cot/sha1 (scalar-functions.rst audit)") {
+    // the round-9 audit of the reference's scalar list found these four
+    // with no graft-side mention: all are Spark builtins the dialect
+    // passes through — pin the reference semantics so the parity holds
+    assert(one("SELECT btrim('xxhellox', 'x')") == "hello")
+    assert(one("SELECT btrim('  hi  ')") == "hi")
+    assert(one("SELECT ceiling(3.2)") == "4")
+    assert(math.abs(one("SELECT cot(1.0)").toDouble - 1.0 / math.tan(1.0)) < 1e-9)
+    // the reference doc's own example vector (scalar-functions.rst sha1)
+    assert(one("SELECT sha1('foo')") ==
+      "0beec7b5ea3f0fdbc95d0dd47f3c5bc275da8a33")
+  }
 }
