@@ -55,7 +55,7 @@ object BenchSf1 {
   private val wave2 = Seq(
     "q210_knn_stored", "q215_knn_filtered_stored", "q216_knn_subquery_vector",
     "q187_indexed_score", "q195_fielded_index_score", "q202_ivf_delta",
-    "q224_substring_dedup", "q227_knn_pq_adc")
+    "q224_substring_dedup", "q227_knn_pq_adc", "q228_knn_pq_filtered_stored")
 
   private def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dst)

@@ -1709,62 +1709,136 @@ class StatementRouter(spark: SparkSession, root: String) {
       return Some("")
     }
 
-    // durable index at the committed version: load, patch, or build
-    val Array(_, centStr, nprobeStr) = spec.analyzer.split(":")
-    val nprobe = nprobeStr.toInt
+    // durable index at the committed version: load, patch, or build.
+    // analyzer slot: "vector:<centroids>:<nprobe>[:pq:<m>:<ksub>]" —
+    // the optional pq tail selects the IVF-PQ layout (m-byte codes +
+    // codebooks beside the centroids) over the int8 one.
+    val specParts = spec.analyzer.split(":")
+    val centStr = specParts(1)
+    val nprobe = specParts(2).toInt
+    val isPq = specParts.length >= 4 && specParts(3) == "pq"
+    val (pqM, pqKsub) =
+      if (isPq) (specParts(4).toInt, specParts(5).toInt) else (0, 0)
     val idxRootStr = s"${tablePath(table)}/_vecindex/${spec.name}"
     val stored = s"$idxRootStr/v$version"
-    val (codes, centroids) = graft.operators.MatchText.IndexCache
-      .cached[(DataFrame, DataFrame)](
-        s"${tablePath(table)}#${spec.name}#vec#v$version") {
-      if (fs.exists(new Path(s"$stored/codes"))) {
-        StatementRouter.lastVecIndexBuild.set("loaded")
-        graft.operators.Similarity.loadQuantizedIndex(spark, stored)
-      } else {
-        val corpus = readTable(table)
-        val built: (DataFrame, DataFrame) =
-          indexDelta(table, idxRootStr, version, pk, Seq(vecCol)) match {
-            case Some((prevV, removed, added))
-                if fs.exists(new Path(s"$idxRootStr/v$prevV/codes")) =>
-              StatementRouter.lastVecIndexBuild.set("delta")
-              val (oldCodes, cents) = graft.operators.Similarity
-                .loadQuantizedIndex(spark, s"$idxRootStr/v$prevV")
-              (graft.operators.Similarity.updateQuantizedIndex(
-                oldCodes, cents, removed, added, pk, vecCol), cents)
-            case _ =>
-              StatementRouter.lastVecIndexBuild.set("full")
-              val n = corpus.count()
-              // auto-scale: ≈ N·nprobe/256 buckets keeps the expected
-              // probed candidate set ~256·k-independent rows regardless of
-              // corpus size (Similarity.embeddingNearDupPairs's argument)
-              val nc = if (centStr.toInt > 0) centStr.toInt
-                else math.max(16L, math.min(65536L, n * nprobe / 256)).toInt
-              val (bucketed, cents) = graft.operators.Similarity
-                .kmeansBucketize(corpus, numCentroids = nc, iters = 2,
-                  idCol = pk, vecCol = vecCol)
-              (graft.operators.Similarity.quantizedIndex(bucketed), cents)
-          }
-        try {
-          built._1.write.mode("overwrite").partitionBy("bucket")
-            .parquet(s"$stored/codes")
-          built._2.write.mode("overwrite").parquet(s"$stored/centroids")
-          fs.listStatus(new Path(idxRootStr)).foreach { s0 =>
-            if (s0.getPath.getName != s"v$version") fs.delete(s0.getPath, true)
-          }
-        } catch { case _: Exception => () } // search proceeds on the built index
-        if (fs.exists(new Path(s"$stored/codes")))
-          graft.operators.Similarity.loadQuantizedIndex(spark, stored)
-        else built
-      }
+    def autoCentroids(n: Long): Int =
+      // auto-scale: ≈ N·nprobe/256 buckets keeps the expected probed
+      // candidate set ~256·k-independent rows regardless of corpus size
+      // (Similarity.embeddingNearDupPairs's argument)
+      if (centStr.toInt > 0) centStr.toInt
+      else math.max(16L, math.min(65536L, n * nprobe / 256)).toInt
+    def persistAndReload[T](writeCodes: => Unit, reload: => T, built: T): T = {
+      try {
+        writeCodes
+        fs.listStatus(new Path(idxRootStr)).foreach { s0 =>
+          if (s0.getPath.getName != s"v$version") fs.delete(s0.getPath, true)
+        }
+      } catch { case _: Exception => () } // search proceeds on the built index
+      if (fs.exists(new Path(s"$stored/codes"))) reload else built
     }
 
     import spark.implicits._
     val queries = Seq((0L, queryVec)).toDF("vec_id", "embedding")
-    def search(np: Int) = graft.operators.Similarity.ivfKnnStored(
-        codes, centroids, readTable(table), queries, k, np,
-        idCol = pk, vecCol = vecCol, metric = "l2",
-        candidateFilter = candFilter)
-      .select(col("cid").as("graft_knn_id"), col("sim").as("graft_knn_sim"))
+    def search(np: Int): DataFrame = {
+      val hits0 =
+        if (isPq) {
+          val (codes, centroids, codebooks) = graft.operators.MatchText
+            .IndexCache.cached[(DataFrame, DataFrame, Array[Array[Array[Float]]])](
+              s"${tablePath(table)}#${spec.name}#vecpq#v$version") {
+            if (fs.exists(new Path(s"$stored/codes"))) {
+              StatementRouter.lastVecIndexBuild.set("loaded")
+              val (c, cents) = graft.operators.Similarity
+                .loadQuantizedIndex(spark, stored)
+              (c, cents, graft.operators.Similarity
+                .loadPqCodebooks(spark, s"$stored/codebooks"))
+            } else {
+              val corpus = readTable(table)
+              val built = indexDelta(table, idxRootStr, version, pk, Seq(vecCol)) match {
+                case Some((prevV, removed, added))
+                    if fs.exists(new Path(s"$idxRootStr/v$prevV/codes")) &&
+                       fs.exists(new Path(s"$idxRootStr/v$prevV/codebooks")) =>
+                  StatementRouter.lastVecIndexBuild.set("delta")
+                  val (oldCodes, cents) = graft.operators.Similarity
+                    .loadQuantizedIndex(spark, s"$idxRootStr/v$prevV")
+                  val cb = graft.operators.Similarity
+                    .loadPqCodebooks(spark, s"$idxRootStr/v$prevV/codebooks")
+                  (graft.operators.Similarity.updatePqIndex(
+                    oldCodes, cents, cb, removed, added, pk, vecCol), cents, cb)
+                case _ =>
+                  StatementRouter.lastVecIndexBuild.set("full")
+                  val nc = autoCentroids(corpus.count())
+                  val (bucketed, cents) = graft.operators.Similarity
+                    .kmeansBucketize(corpus, numCentroids = nc, iters = 2,
+                      idCol = pk, vecCol = vecCol)
+                  val cb = graft.operators.Similarity
+                    .pqTrain(corpus, m = pqM, ksub = pqKsub,
+                      idCol = pk, vecCol = vecCol)
+                  (graft.operators.Similarity.ivfPqIndex(bucketed, cb), cents, cb)
+              }
+              persistAndReload(
+                writeCodes = {
+                  built._1.write.mode("overwrite").partitionBy("bucket")
+                    .parquet(s"$stored/codes")
+                  built._2.write.mode("overwrite").parquet(s"$stored/centroids")
+                  graft.operators.Similarity
+                    .savePqCodebooks(spark, built._3, s"$stored/codebooks")
+                },
+                reload = {
+                  val (c, cents) = graft.operators.Similarity
+                    .loadQuantizedIndex(spark, stored)
+                  (c, cents, graft.operators.Similarity
+                    .loadPqCodebooks(spark, s"$stored/codebooks"))
+                },
+                built)
+            }
+          }
+          graft.operators.Similarity.ivfPqKnnStored(
+            codes, centroids, codebooks, readTable(table), queries, k, np,
+            idCol = pk, vecCol = vecCol, candidateFilter = candFilter)
+        } else {
+          val (codes, centroids) = graft.operators.MatchText.IndexCache
+            .cached[(DataFrame, DataFrame)](
+              s"${tablePath(table)}#${spec.name}#vec#v$version") {
+            if (fs.exists(new Path(s"$stored/codes"))) {
+              StatementRouter.lastVecIndexBuild.set("loaded")
+              graft.operators.Similarity.loadQuantizedIndex(spark, stored)
+            } else {
+              val corpus = readTable(table)
+              val built: (DataFrame, DataFrame) =
+                indexDelta(table, idxRootStr, version, pk, Seq(vecCol)) match {
+                  case Some((prevV, removed, added))
+                      if fs.exists(new Path(s"$idxRootStr/v$prevV/codes")) =>
+                    StatementRouter.lastVecIndexBuild.set("delta")
+                    val (oldCodes, cents) = graft.operators.Similarity
+                      .loadQuantizedIndex(spark, s"$idxRootStr/v$prevV")
+                    (graft.operators.Similarity.updateQuantizedIndex(
+                      oldCodes, cents, removed, added, pk, vecCol), cents)
+                  case _ =>
+                    StatementRouter.lastVecIndexBuild.set("full")
+                    val nc = autoCentroids(corpus.count())
+                    val (bucketed, cents) = graft.operators.Similarity
+                      .kmeansBucketize(corpus, numCentroids = nc, iters = 2,
+                        idCol = pk, vecCol = vecCol)
+                    (graft.operators.Similarity.quantizedIndex(bucketed), cents)
+                }
+              persistAndReload(
+                writeCodes = {
+                  built._1.write.mode("overwrite").partitionBy("bucket")
+                    .parquet(s"$stored/codes")
+                  built._2.write.mode("overwrite").parquet(s"$stored/centroids")
+                },
+                reload = graft.operators.Similarity
+                  .loadQuantizedIndex(spark, stored),
+                built)
+            }
+          }
+          graft.operators.Similarity.ivfKnnStored(
+            codes, centroids, readTable(table), queries, k, np,
+            idCol = pk, vecCol = vecCol, metric = "l2",
+            candidateFilter = candFilter)
+        }
+      hits0.select(col("cid").as("graft_knn_id"), col("sim").as("graft_knn_sim"))
+    }
     // recall guard: a selective pre-filter can leave <k matching rows in
     // the nprobe-probed buckets even when ≥k exist elsewhere; the
     // reference (Lucene kNN over the filter's docset) returns k matching
@@ -1950,8 +2024,10 @@ class StatementRouter(spark: SparkSession, root: String) {
     val ftIndexes = VersionedTable.indexSpecs(spark, tablePath(name)).map { ix =>
       if (ix.analyzer.startsWith("vector:")) {
         val ps = ix.analyzer.split(":")
+        val pq = if (ps.length >= 6 && ps(3) == "pq")
+          s", encoding = 'pq', pq_m = ${ps(4)}, pq_ksub = ${ps(5)}" else ""
         s"   INDEX ${ix.name} USING VECTOR (${ix.cols.mkString(", ")}) " +
-          s"WITH (centroids = ${ps(1)}, nprobe = ${ps(2)})"
+          s"WITH (centroids = ${ps(1)}, nprobe = ${ps(2)}$pq)"
       } else
         s"   INDEX ${ix.name} USING FULLTEXT (${ix.cols.mkString(", ")}) " +
           s"WITH (analyzer = '${ix.analyzer}')"
@@ -3011,31 +3087,40 @@ class StatementRouter(spark: SparkSession, root: String) {
       def usingVector(k: Int) =
         d.lift(k).exists(_.is("using")) && d.lift(k + 1).exists(_.is("vector"))
       if (ix == 0 && usingVector(2)) {
-        // INDEX name USING VECTOR (col) [WITH (centroids = N, nprobe = M)]
-        // — graft's declared ANN index (the reference attaches an HNSW
-        // index to every FLOAT_VECTOR column implicitly; an explicit
-        // clause fits the table-level INDEX grammar and keeps build cost
-        // opt-in). Parameters ride the analyzer slot as
-        // "vector:<centroids>:<nprobe>"; centroids=0 → auto-scale.
+        // INDEX name USING VECTOR (col) [WITH (centroids = N, nprobe = M
+        // [, encoding = 'pq', pq_m = 16, pq_ksub = 16])] — graft's
+        // declared ANN index (the reference attaches an HNSW index to
+        // every FLOAT_VECTOR column implicitly; an explicit clause fits
+        // the table-level INDEX grammar and keeps build cost opt-in).
+        // Parameters ride the analyzer slot as
+        // "vector:<centroids>:<nprobe>[:pq:<m>:<ksub>]"; centroids=0 →
+        // auto-scale. encoding='pq' stores m-byte product-quantization
+        // codes + codebooks instead of int8 — 16× smaller than float32
+        // at m=16/dim=64, searched by ADC with exact re-ranking.
         val po = d.indexWhere(_.isSym("("), 4)
         if (po < 0) None
         else {
           val pc = matchFwd(d, po)
           val cols = splitTopCommas(d.slice(po + 1, pc)).map(p => unq(p.head))
-          def opt(name: String, dflt: Int): Int = {
+          def optS(name: String): Option[String] = {
             val wi = d.indexWhere(_.is("with"), pc)
             if (wi >= 0 && d.lift(wi + 1).exists(_.isSym("("))) {
               val c = matchFwd(d, wi + 1)
               val body = d.slice(wi + 2, c)
               val ni = body.indexWhere(_.is(name))
               if (ni >= 0 && body.lift(ni + 1).exists(_.isSym("=")) &&
-                  ni + 2 < body.length)
-                unq(body(ni + 2)).toIntOption.getOrElse(dflt)
-              else dflt
-            } else dflt
+                  ni + 2 < body.length) Some(unq(body(ni + 2)))
+              else None
+            } else None
           }
+          def opt(name: String, dflt: Int): Int =
+            optS(name).flatMap(_.toIntOption).getOrElse(dflt)
+          val pqTail =
+            if (optS("encoding").exists(_.equalsIgnoreCase("pq")))
+              s":pq:${opt("pq_m", 16)}:${opt("pq_ksub", 16)}"
+            else ""
           Some(VersionedTable.IndexSpec(unq(d(1)), cols,
-            s"vector:${opt("centroids", 0)}:${opt("nprobe", 4)}"))
+            s"vector:${opt("centroids", 0)}:${opt("nprobe", 4)}$pqTail"))
         }
       } else if (ix == 0 && usingFulltext(2)) {
         // INDEX name USING FULLTEXT (cols) [WITH (...)]

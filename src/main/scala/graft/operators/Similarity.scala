@@ -656,15 +656,15 @@ object Similarity {
     }
   }
 
-  /** Encode every corpus vector to `m` codebook indices — d·4 bytes become
-    * m small codes (32× at d=64, m=8 vs float32; 8× vs the int8 index).
-    * One map-only pass; the codebooks broadcast once per executor via a
-    * Spark broadcast variable, never per row. Returns (cid, codes). */
-  def pqEncode(corpus: DataFrame, codebooks: Array[Array[Array[Float]]],
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
+  /** The PQ-encode UDF over broadcast codebooks — shared by [[pqEncode]],
+    * [[ivfPqIndex]] and [[updatePqIndex]] so already-derived inputs
+    * (bucketed corpora, delta assignments) encode in ONE pass instead of
+    * re-deriving their lineage for a second projection. */
+  private def pqEncoderUdf(spark: org.apache.spark.sql.SparkSession,
+                           codebooks: Array[Array[Array[Float]]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val bc = spark.sparkContext.broadcast(codebooks)
-    val enc = udf { (v: Seq[Float]) =>
+    udf { (v: Seq[Float]) =>
       if (v == null) null
       else {
         val cb = bc.value
@@ -684,8 +684,41 @@ object Similarity {
         }
       }
     }
+  }
+
+  /** Encode every corpus vector to `m` codebook indices — d·4 bytes become
+    * m small codes (32× at d=64, m=8 vs float32; 8× vs the int8 index).
+    * One map-only pass; the codebooks broadcast once per executor via a
+    * Spark broadcast variable, never per row. Returns (cid, codes). */
+  def pqEncode(corpus: DataFrame, codebooks: Array[Array[Array[Float]]],
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val enc = pqEncoderUdf(corpus.sparkSession, codebooks)
     corpus.select(col(idCol).as("cid"),
       enc(col(vecCol).cast("array<float>")).as("codes"))
+  }
+
+  /** The m×ksub ADC table for one query: squared L2 from each of the
+    * query's sub-vectors to every sub-centroid, flattened row-major. */
+  private def adcTable(qv: Array[Float],
+                       codebooks: Array[Array[Array[Float]]]): Array[Float] = {
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    val t = new Array[Float](m * ksub)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < ksub) {
+        var acc = 0.0; var j = 0
+        while (j < dsub) {
+          val dd = qv(s * dsub + j) - codebooks(s)(c)(j); acc += dd * dd; j += 1
+        }
+        t(s * ksub + c) = acc.toFloat
+        c += 1
+      }
+      s += 1
+    }
+    t
   }
 
   /** ADC top-k over PQ codes with exact re-ranking (the standard IVFADC
@@ -707,28 +740,13 @@ object Similarity {
     import spark.implicits._
     val m = codebooks.length
     val ksub = codebooks(0).length
-    val dsub = codebooks(0)(0).length
     // per-query ADC tables, driver-built (queries are the small side by
     // definition — the same driver singleton knnMatch uses)
     val qRows: Array[(Long, Array[Float])] = queries
       .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<float>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val tables = qRows.map { case (qid, qv) =>
-      val t = new Array[Float](m * ksub)
-      var s = 0
-      while (s < m) {
-        var c = 0
-        while (c < ksub) {
-          var acc = 0.0; var j = 0
-          while (j < dsub) {
-            val dd = qv(s * dsub + j) - codebooks(s)(c)(j); acc += dd * dd; j += 1
-          }
-          t(s * ksub + c) = acc.toFloat
-          c += 1
-        }
-        s += 1
-      }
-      (qid, t.toSeq)
+      (qid, adcTable(qv, codebooks).toSeq)
     }.toSeq.toDF("qid", "qtable")
     // ADC: dist = Σ_s qtable[s·ksub + code_s] — zip_with pairs each code
     // with its subspace index, aggregate sums the lookups (all codegen'd)
@@ -755,6 +773,133 @@ object Similarity {
     exactD.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("qid"), col("cid"), col("dist"), col("rk"))
+  }
+
+  // ---------- stored IVF-PQ (the SQL `knn_match` encoding='pq' path) ----------
+
+  /** PQ-encode an IVF-bucketed corpus — (bucket, cid, pqcodes). The
+    * stored twin of [[quantizedIndex]] at m bytes/vector instead of
+    * dim bytes: bucket-partitioned parquet prunes the nprobe search to
+    * nprobe partitions AT THE SCAN, and each pruned byte is 16× smaller
+    * than the float it stands for (m=16, dim=64). */
+  def ivfPqIndex(bucketed: DataFrame,
+                 codebooks: Array[Array[Array[Float]]]): DataFrame = {
+    val enc = pqEncoderUdf(bucketed.sparkSession, codebooks)
+    bucketed.select(col("bucket"), col("cid"),
+      enc(col("cvec").cast("array<float>")).as("pqcodes"))
+  }
+
+  /** Persist / load the PQ codebooks beside the codes (parquet of
+    * (sub, code, vals) — a few KB; the index layout mirrors the int8
+    * store: codes/ + centroids/ + codebooks/). */
+  def savePqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                      codebooks: Array[Array[Array[Float]]],
+                      path: String): Unit = {
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (sub, s) =>
+      sub.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
+    }.toSeq.toDF("sub", "code", "vals")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Array[Array[Array[Float]]] = {
+    val rows = spark.read.parquet(path)
+      .select(col("sub"), col("code"), col("vals"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val m = rows.map(_._1).max + 1
+    Array.tabulate(m) { s =>
+      rows.filter(_._1 == s).sortBy(_._2).map(_._3)
+    }
+  }
+
+  /** Incremental maintenance of a stored IVF-PQ index — the PQ twin of
+    * [[updateQuantizedIndex]]: removed ids anti-join out, added vectors
+    * assign to the FIXED centroids (same cosine max_by semantics) and
+    * encode against the FIXED codebooks — one broadcast pass over the
+    * delta, never a corpus re-scan or a retrain. */
+  def updatePqIndex(codes: DataFrame, centroids: DataFrame,
+                    codebooks: Array[Array[Array[Float]]],
+                    removedIds: DataFrame, added: DataFrame,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(codes.sparkSession)
+    val rem = removedIds.select(col(removedIds.columns.head).as("cid"))
+    val a = added.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val enc = pqEncoderUdf(codes.sparkSession, codebooks)
+    val encoded = a.crossJoin(broadcast(centroids))
+      .select(col("cid"), col("cvec"),
+        VectorFunctions.cosineNative(col("cvec"), col("centroid")).as("sim"),
+        col("centroid_id"))
+      .groupBy(col("cid"))
+      .agg(expr("max_by(centroid_id, struct(sim, -centroid_id))").as("bucket"),
+        expr("any_value(cvec)").as("cvec"))
+      .select(col("bucket"), col("cid"),
+        enc(col("cvec").cast("array<float>")).as("pqcodes"))
+    codes.select(col("bucket"), col("cid"), col("pqcodes"))
+      .join(rem, Seq("cid"), "left_anti")
+      .unionByName(encoded)
+      .select(col("bucket"), col("cid"), col("pqcodes"))
+  }
+
+  /** [[ivfKnnStored]]'s PQ twin: candidate generation reads ONLY the
+    * bucket-pruned m-byte PQ codes, scored by ADC table lookups
+    * (codegen'd zip_with/aggregate — the driver-built m×ksub table rides
+    * in as a broadcast literal column); the float corpus joins back only
+    * for the ADC top `k·rerank` survivors, re-ranked by exact
+    * `vector_similarity` = 1/(1+l2²) so ranking matches the int8 route
+    * and the exact Dialect fallback. `candidateFilter` semantics are
+    * identical to [[ivfKnnStored]] — filter-before-k-selection, applied
+    * within the probed buckets, callers widen on shortfall. */
+  def ivfPqKnnStored(codes: DataFrame, centroids: DataFrame,
+                     codebooks: Array[Array[Array[Float]]],
+                     corpus: DataFrame, queries: DataFrame, k: Int,
+                     nprobe: Int = 4, rerank: Int = 8,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     qIdCol: String = "vec_id", qVecCol: String = "embedding",
+                     candidateFilter: Option[DataFrame] = None): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val qRows: Array[(Long, Array[Float])] = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<float>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val tables = qRows.map { case (qid, qv) =>
+      (qid, adcTable(qv, codebooks).toSeq)
+    }.toSeq.toDF("qid", "qtable")
+    val q = queries.select(col(qIdCol).cast("long").as("qid"),
+      col(qVecCol).as("qvec"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("csim",
+        VectorFunctions.vectorSimilarity(col("qvec"), col("centroid")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("csim").desc, col("centroid_id"))))
+      .filter(col("crk") <= nprobe)
+      .select(col("qid"), col("centroid_id").as("bucket"))
+    val probed = codes.join(broadcast(probes), Seq("bucket"))
+    val eligible = candidateFilter.fold(probed)(f =>
+      probed.join(f.select(col(f.columns.head).as("cid")), Seq("cid"), "left_semi"))
+    val adc = eligible.join(broadcast(tables), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        expr(s"aggregate(zip_with(pqcodes, sequence(0, ${m - 1}), " +
+          s"(c, i) -> element_at(qtable, i * $ksub + c + 1)), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("adc_dist"))
+    val cands = adc.withColumn("ark", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc_dist"), col("cid"))))
+      .filter(col("ark") <= k * rerank)
+      .select(col("qid"), col("cid"))
+    cands
+      .join(corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec")), Seq("cid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        VectorFunctions.vectorSimilarity(col("cvec"), col("qvec")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rk"))
   }
 }
 

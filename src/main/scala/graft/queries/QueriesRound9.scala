@@ -32,6 +32,11 @@ object QueriesRound9 {
   private val routerRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Same deterministic 64-dim literal as q209/q210/q215. */
+  private val vecLit: String =
+    (0 until 64).map(i => ((i % 7) - 3) / 3.0)
+      .map(v => f"$v%.6f").mkString("[", ", ", "]")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q226_analyze_histogram" -> ((s, dir) => {
       graft.functions.GraftFunctions.registerAll(s)
@@ -116,6 +121,48 @@ object QueriesRound9 {
       import s.implicits._
       Seq((8L, 10L, selfHits, rec >= 0.6))
         .toDF("n_queries", "k", "self_hits", "recall_ok")
+    }),
+
+    // SQL `knn_match` through a STORED IVF-PQ index (q215's shape on the
+    // `encoding = 'pq'` layout): the filter keeps 19 corpus rows and
+    // k·rerank = 40 > 19, so after the recall guard widens the nprobe=1
+    // probe, EVERY eligible row is ADC-scored and exact-rescored — the
+    // result is exact against the brute-force oracle, not a recall
+    // floor. Route and encoding are both require()d, so a silent
+    // fall-through to the exact path or the int8 layout fails loudly.
+    "q228_knn_pq_filtered_stored" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      val root = routerRoots.computeIfAbsent(s"q228#$dir", _ => {
+        val rt = java.nio.file.Files.createTempDirectory("graft_q228")
+          .toFile.getAbsolutePath
+        val r0 = new graft.StatementRouter(s, rt)
+        r0.execute(
+          """CREATE TABLE vstorepq (vec_id BIGINT PRIMARY KEY,
+            |  embedding FLOAT_VECTOR(64),
+            |  INDEX iv USING VECTOR (embedding)
+            |    WITH (centroids = 16, nprobe = 1,
+            |          encoding = 'pq', pq_m = 16, pq_ksub = 16))"""
+            .stripMargin)
+        r0.execute("INSERT INTO vstorepq (vec_id, embedding) " +
+          "SELECT vec_id, embedding FROM embeddings")
+        rt
+      })
+      val r = new graft.StatementRouter(s, root)
+      graft.StatementRouter.lastKnnRoute.set("")
+      val out = r.execute(
+        s"""SELECT vec_id, round(_score, 4) AS score FROM vstorepq
+           |WHERE vec_id BETWEEN 100 AND 118
+           |  AND knn_match(embedding, $vecLit, 5)
+           |ORDER BY score DESC, vec_id""".stripMargin)
+      require(graft.StatementRouter.lastKnnRoute.get() == "stored-index-filtered",
+        s"q228 must be served by the filtered stored-index route, " +
+          s"got '${graft.StatementRouter.lastKnnRoute.get()}'")
+      val spec = graft.sources.VersionedTable
+        .indexSpecs(s, s"$root/vstorepq").head
+      require(spec.analyzer == "vector:16:1:pq:16:16",
+        s"q228 must run on the PQ layout, got '${spec.analyzer}'")
+      out
     })
   )
 
@@ -135,6 +182,19 @@ object QueriesRound9 {
     "q227_knn_pq_adc" ->
       """SELECT CAST(8 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
         |       CAST(8 AS BIGINT) AS self_hits, TRUE AS recall_ok"""
-        .stripMargin
+        .stripMargin,
+
+    // q215's exact brute-force oracle verbatim — the PQ layout must
+    // return the identical filtered top-5 (widen + full exact re-rank
+    // of the 19 eligible rows make the route exact by construction)
+    "q228_knn_pq_filtered_stored" ->
+      s"""SELECT vec_id,
+         |       round(1.0 / (1.0 + list_distance(embedding, $vecLit) ^ 2), 4)
+         |         AS score
+         |FROM embeddings
+         |WHERE vec_id BETWEEN 100 AND 118
+         |ORDER BY 1.0 / (1.0 + list_distance(embedding, $vecLit) ^ 2) DESC,
+         |         vec_id
+         |LIMIT 5""".stripMargin
   )
 }

@@ -214,6 +214,57 @@ class KnnStoredRouteSpec extends SparkTestBase {
     assert(after == before, "failed filter analysis must drop its temp view")
   }
 
+  test("encoding = 'pq' stores an IVF-PQ index: build/load/delta + filtered widen") {
+    val root = Files.createTempDirectory("graft_knnpq").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute(
+      """CREATE TABLE vpq (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(8),
+        |  INDEX iv USING VECTOR (emb) WITH (centroids = 2, nprobe = 1,
+        |    encoding = 'pq', pq_m = 4, pq_ksub = 4))""".stripMargin)
+    def v(base: Double, j: Double) =
+      s"[${(0 until 8).map(i => if (i % 2 == 0) base else j).mkString(", ")}]"
+    r.execute("INSERT INTO vpq (id, emb) VALUES " +
+      s"(1, ${v(1.0, 0.0)}), (2, ${v(0.9, 0.1)}), " +
+      s"(3, ${v(0.95, -0.05)}), (4, ${v(0.85, 0.0)}), " +
+      s"(11, ${v(-1.0, 0.0)}), (12, ${v(-0.9, -0.1)}), " +
+      s"(13, ${v(-0.95, 0.05)}), (14, ${v(-0.85, 0.2)})")
+    graft.operators.MatchText.IndexCache.clear()
+    val q = s"SELECT id, _score FROM vpq WHERE knn_match(emb, ${v(1.0, 0.0)}, 2) " +
+      "ORDER BY _score DESC"
+    val rows = r.execute(q).collect()
+    assert(StatementRouter.lastVecIndexBuild.get() == "full")
+    assert(rows.length == 2 && rows.head.getLong(0) == 1L,
+      "the exact self-vector ranks first (re-rank is exact)")
+    assert(math.abs(rows.head.getDouble(1) - 1.0) < 1e-9)
+    assert(rows.forall(_.getLong(0) <= 4L), "both hits from cluster A")
+    // the store carries codes + centroids + codebooks
+    assert(new java.io.File(s"$root/vpq/_vecindex/iv").listFiles()
+      .head.listFiles().map(_.getName).toSet
+      .intersect(Set("codes", "centroids", "codebooks")).size == 3)
+    // SHOW CREATE TABLE reproduces the pq clause
+    val show = r.execute("SHOW CREATE TABLE vpq").head().getString(0)
+    assert(show.contains("encoding = 'pq', pq_m = 4, pq_ksub = 4"), show)
+    // durable: a fresh cache loads instead of rebuilding
+    graft.operators.MatchText.IndexCache.clear()
+    r.execute(q).collect()
+    assert(StatementRouter.lastVecIndexBuild.get() == "loaded")
+    // filtered to the unprobed cluster: the guard widens, k matching rows
+    StatementRouter.lastKnnProbe.set("")
+    val filtered = r.execute(
+      s"SELECT id FROM vpq WHERE id > 10 AND knn_match(emb, ${v(1.0, 0.0)}, 2)")
+      .collect()
+    assert(filtered.length == 2 && filtered.forall(_.getLong(0) > 10L))
+    assert(StatementRouter.lastKnnProbe.get() == "widened")
+    // small churn → delta against FIXED centroids + codebooks; the new
+    // exact-duplicate vector ties into the top-2
+    r.execute(s"INSERT INTO vpq (id, emb) VALUES (100, ${v(1.0, 0.0)})")
+    graft.operators.MatchText.IndexCache.clear()
+    val rows2 = r.execute(q).collect()
+    assert(StatementRouter.lastVecIndexBuild.get() == "delta")
+    assert(rows2.map(_.getLong(0)).toSet == Set(1L, 100L),
+      s"got ${rows2.map(_.getLong(0)).mkString(",")}")
+  }
+
   test("non-literal query vectors are served from the stored index") {
     val root = Files.createTempDirectory("graft_knn4").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
