@@ -192,6 +192,52 @@ object TextAnalysis {
     * it runs at scan speed next to the other per-document metrics.
     * Tokens are lowercased alnum runs; `n = 2` scores word bigrams
     * (features joined with a single space), etc. */
+  /** Corpus-trained bigram-LM quality score — the CCNet-lineage
+    * perplexity filter (Wenzek et al. 2020, "CCNet: Extracting High
+    * Quality Monolingual Datasets from Web Crawl Data" trains a KenLM
+    * and keeps low-perplexity documents; here the model is a bigram LM
+    * with add-one smoothing trained on the corpus itself, which needs no
+    * external model file and is exactly replayable by the oracle).
+    * Per document: avg negative log-likelihood of its first `maxTokens`
+    * lowercase alpha tokens under p(w|prev) = (c2+1)/(c1+V). High
+    * `avg_nll` = surprising/garbled text, low = fluent-for-this-corpus —
+    * the split CCNet thresholds on.
+    *
+    * Scale: two grouped counts over narrow (prev, cur) pairs (≤ maxTokens
+    * rows per doc — text bytes never shuffle beyond tokenization) + one
+    * join of the doc bigrams against the count tables; the model tables
+    * are bounded by distinct-bigram count, not corpus size. Per-position
+    * terms are rounded to 6 decimals and summed as DECIMAL(18,9), so the
+    * aggregate is exact and order-independent — bit-stable across
+    * partitionings, retries, and engines. */
+  def lmBigramScore(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    maxTokens: Int = 64): DataFrame = {
+    val toks = slice(
+      filter(split(lower(col(textCol)), "[^a-z]+"), t => t =!= ""),
+      1, maxTokens)
+    val docs = df.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .withColumn("bigrams",
+        when(size(col("toks")) < 2, array().cast("array<struct<prev:string,cur:string>>"))
+          .otherwise(expr(
+            "transform(sequence(1, size(toks) - 1), " +
+              "i -> struct(element_at(toks, i) AS prev, " +
+              "element_at(toks, i + 1) AS cur))")))
+    val bi = docs.select(col("doc_id"), explode(col("bigrams")).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val c2 = bi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("n2"))
+    val c1 = bi.groupBy(col("prev")).agg(count(lit(1)).as("n1"))
+    val vocab = docs.select(explode(col("toks")).as("t"))
+      .agg(countDistinct(col("t")).as("vsz"))
+    bi.join(c2, Seq("prev", "cur")).join(c1, Seq("prev")).crossJoin(vocab)
+      .select(col("doc_id"),
+        round(-log((col("n2") + lit(1.0)) / (col("n1") + col("vsz"))), 6)
+          .cast("decimal(18,9)").as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("nll")).cast("double"), 4).as("avg_nll"))
+  }
+
   def scoreLinear(df: DataFrame, textCol: String,
                   weights: Map[String, Double], bias: Double = 0.0,
                   n: Int = 1, outCol: String = "quality_prob"): DataFrame = {

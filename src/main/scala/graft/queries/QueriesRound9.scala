@@ -163,6 +163,18 @@ object QueriesRound9 {
       require(spec.analyzer == "vector:16:1:pq:16:16",
         s"q228 must run on the PQ layout, got '${spec.analyzer}'")
       out
+    }),
+
+    // Corpus-trained bigram-LM perplexity scoring (the CCNet-lineage
+    // quality filter, Wenzek et al. 2020) — exact oracle: the add-one
+    // bigram model is nothing but grouped counts, so DuckDB replays it
+    // verbatim; per-position terms round to 6 decimals and sum as
+    // DECIMAL(18,9), so the aggregate is order-independent on both
+    // engines.
+    "q229_lm_perplexity" -> ((s, dir) => {
+      val docs = graft.Tables.load(s, dir, "documents")
+      graft.operators.TextAnalysis.lmBigramScore(docs)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -195,6 +207,31 @@ object QueriesRound9 {
          |WHERE vec_id BETWEEN 100 AND 118
          |ORDER BY 1.0 / (1.0 + list_distance(embedding, $vecLit) ^ 2) DESC,
          |         vec_id
-         |LIMIT 5""".stripMargin
+         |LIMIT 5""".stripMargin,
+
+    "q229_lm_perplexity" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                     t -> t <> '')[1:64] AS toks
+        |  FROM documents
+        |),
+        |bi AS (
+        |  SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur
+        |  FROM docs, unnest(range(1, 64)) AS u(i)
+        |  WHERE i <= len(toks) - 1
+        |),
+        |c2 AS (SELECT prev, cur, count(*) AS n2 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT prev, count(*) AS n1 FROM bi GROUP BY 1),
+        |v AS (SELECT count(DISTINCT t) AS vsz FROM docs, unnest(toks) AS s(t)),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |         CAST(round(-ln((n2 + 1.0) / (n1 + (SELECT vsz FROM v))), 6)
+        |              AS DECIMAL(18,9)) AS nll
+        |  FROM bi b JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
+        |)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(CAST(avg(nll) AS DOUBLE), 4) AS avg_nll
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
