@@ -217,14 +217,19 @@ object TextAnalysis {
       filter(split(lower(col(textCol)), "[^a-z]+"), t => t =!= ""),
       1, maxTokens)
     val docs = df.select(col(idCol).as("doc_id"), toks.as("toks"))
-      .withColumn("bigrams",
-        when(size(col("toks")) < 2, array().cast("array<struct<prev:string,cur:string>>"))
-          .otherwise(expr(
-            "transform(sequence(1, size(toks) - 1), " +
-              "i -> struct(element_at(toks, i) AS prev, " +
-              "element_at(toks, i + 1) AS cur))")))
-    val bi = docs.select(col("doc_id"), explode(col("bigrams")).as("b"))
-      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    // bigrams via arrays_zip of two shifted slices: `toks` is referenced
+    // a constant number of times per ROW. (A transform(sequence(...),
+    // i -> element_at(toks, i)) lambda re-evaluates the captured `toks`
+    // subtree PER ELEMENT once CollapseProject inlines the tokenization
+    // into it — measured 20× slower on the documents fixture.)
+    val nb = greatest(size(col("toks")) - 1, lit(0))
+    val bi = docs
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("toks"), lit(1), nb),
+          slice(col("toks"), lit(2), nb))).as("b"))
+      .select(col("doc_id"), col("b").getField("0").as("prev"),
+        col("b").getField("1").as("cur"))
     val c2 = bi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("n2"))
     val c1 = bi.groupBy(col("prev")).agg(count(lit(1)).as("n1"))
     val vocab = docs.select(explode(col("toks")).as("t"))
