@@ -1599,3 +1599,32 @@ class ScoreLinearSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("exchange"), plan)
   }
 }
+
+/** Bigram-LM perplexity scoring (TextAnalysis.lmBigramScore — the CCNet
+  * lineage quality filter, Wenzek et al. 2020, as a corpus-trained
+  * add-one bigram model). */
+class LmPerplexitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("repetitive text scores lower NLL than unique-bigram text") {
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha beta alpha beta"), // one bigram pair, high count
+      (2L, "quartz womble echo romeo tango kilo lima node"), // all bigrams unique
+      (3L, "alpha beta alpha beta alpha beta alpha beta"), // duplicate of 1
+      (4L, "x")                                             // <2 tokens: no row
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.lmBigramScore(docs)
+      .orderBy($"doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L),
+      "a one-token document has no bigrams and no row")
+    assert(out.forall(_.getLong(1) == 7L), "7 bigrams in an 8-token doc")
+    val nll = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(nll(1L) == nll(3L), "identical docs score identically")
+    assert(nll(1L) < nll(2L),
+      s"the corpus-frequent bigrams must be less surprising: $nll")
+    // deterministic across re-evaluation (decimal-summed terms)
+    val again = graft.operators.TextAnalysis.lmBigramScore(docs)
+      .orderBy($"doc_id").collect()
+    assert(again.map(_.getDouble(2)).toSeq == out.map(_.getDouble(2)).toSeq)
+  }
+}
