@@ -542,6 +542,78 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * cluster-blocked semantic deduplication — embeddings are assigned to
+    * their nearest centroid and cosine pruning runs WITHIN each cluster
+    * only, so the pair cost is Σ|cluster|², never corpus². The paper runs
+    * k-means with K ≈ √N, which keeps expected cluster size ≈ √N and the
+    * total pair work ≈ N^1.5; production callers pass
+    * [[kmeansBucketize]]/[[pqTrain]]-style trained centroids, while a
+    * deterministic centroid set (as the q231 gate uses) makes the whole
+    * operator exactly oracle-replayable. Oversized clusters should be
+    * re-split by sub-clustering before pruning (same skew discipline as
+    * [[embeddingNearDupPairs]]'s bucket cap).
+    *
+    * Policy: within a cluster, row `j` is a semantic duplicate iff some
+    * lower-id row `i` has round(cos(i, j), 6) ≥ tau — the keep-lowest-id
+    * representative rule. Non-recursive by design (j is pruned even when
+    * its witness i was itself pruned): deterministic, one join, and every
+    * similarity group still keeps its minimum-id member. Rounding to 6
+    * decimals before the threshold makes the verdict bit-stable across
+    * engines and summation orders.
+    *
+    * Scale: centroids are driver-collected (K bounded by contract — the
+    * paper's √N for N=10¹¹ is ~3·10⁵ rows ≈ 80 MB at dim 64, broadcast
+    * once per executor), assignment is a map-only UDF pass over the scan,
+    * and the within-cluster self-join shuffles each (cluster, id, vec)
+    * row once on the cluster key. Returns (idCol, cluster, kept). */
+  def semDedup(corpus: DataFrame, centroids: DataFrame, tau: Double,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               centIdxCol: String = "cidx", centVecCol: String = "cvec"): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.registerAll(spark)
+    val cents: Array[(Int, Array[Float])] = centroids
+      .select(col(centIdxCol).cast("int"), col(centVecCol).cast("array<float>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "semDedup: empty centroid set")
+    val bc = spark.sparkContext.broadcast(cents)
+    // argmin squared-L2 in ascending-index double accumulation; ties break
+    // to the lowest centroid index (strict < keeps the first minimum)
+    val assign = udf { (v: Seq[Float]) =>
+      if (v == null) Option.empty[Int]
+      else {
+        val cs = bc.value
+        var best = cs(0)._1; var bd = Double.MaxValue; var c = 0
+        while (c < cs.length) {
+          val cv = cs(c)._2
+          var acc = 0.0; var j = 0
+          while (j < cv.length && j < v.length) {
+            val t = v(j).toDouble - cv(j).toDouble; acc += t * t; j += 1
+          }
+          if (acc < bd) { bd = acc; best = cs(c)._1 }
+          c += 1
+        }
+        Some(best)
+      }
+    }
+    val asg = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("cluster", assign(col("vec").cast("array<float>")))
+    val a = asg.select(col("cluster"), col("id").as("ia"), col("vec").as("va"))
+    val b = asg.select(col("cluster"), col("id").as("ib"), col("vec").as("vb"))
+    val removed = a.join(b, Seq("cluster"))
+      .filter(col("ia") < col("ib"))
+      .filter(round(VectorFunctions.cosineNative(col("va"), col("vb")), 6)
+        >= tau)
+      .select(col("ib").as("id")).distinct()
+    asg.join(removed.withColumn("hit", lit(1)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"),
+        col("hit").isNull.as("kept"))
+  }
+
   private def udf_topNCentroids(n: Int) =
     org.apache.spark.sql.functions.udaf(new TopNCentroids(n),
       org.apache.spark.sql.Encoders.product[CentScore])
@@ -891,6 +963,145 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(col("adc_dist"), col("cid"))))
       .filter(col("ark") <= k * rerank)
       .select(col("qid"), col("cid"))
+    cands
+      .join(corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec")), Seq("cid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        VectorFunctions.vectorSimilarity(col("cvec"), col("qvec")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rk"))
+  }
+
+  // ---------- residual IVF-PQ (the full IVFADC recipe, Jégou 2011 §V.A) ----------
+
+  /** Per-row residuals r = v − centroid(v) for an IVF-bucketed corpus —
+    * the quantity the full IVFADC recipe encodes instead of the raw
+    * vector: residuals concentrate around 0 with far less variance than
+    * the vectors themselves, so the same m×ksub code budget spends its
+    * resolution on the informative part and recall rises at identical
+    * index size. Map-only (centroids broadcast, zip_with subtraction);
+    * float arithmetic end-to-end so the encoded quantity matches the
+    * query-side residual the ADC tables are built from. */
+  def pqResiduals(bucketed: DataFrame, centroids: DataFrame): DataFrame =
+    bucketed.join(broadcast(centroids),
+        col("bucket") === col("centroid_id"))
+      .select(col("bucket"), col("cid"),
+        zip_with(col("cvec").cast("array<float>"),
+          col("centroid").cast("array<float>"), (a, b) => a - b).as("rvec"))
+
+  /** [[pqTrain]] over residuals: one shared codebook set trained on the
+    * residual distribution across ALL buckets (Jégou 2011's memory/quality
+    * middle ground — per-bucket codebooks would multiply codebook storage
+    * by the centroid count for marginal gain). */
+  def pqTrainResidual(bucketed: DataFrame, centroids: DataFrame,
+                      m: Int, ksub: Int = 16, iters: Int = 8,
+                      trainCap: Int = 65536): Array[Array[Array[Float]]] =
+    pqTrain(pqResiduals(bucketed, centroids), m = m, ksub = ksub,
+      iters = iters, idCol = "cid", vecCol = "rvec", trainCap = trainCap)
+
+  /** [[ivfPqIndex]]'s residual twin: (bucket, cid, pqcodes) where the
+    * codes quantize v − centroid(bucket). Same layout, same byte cost. */
+  def ivfPqIndexResidual(bucketed: DataFrame, centroids: DataFrame,
+                         codebooks: Array[Array[Array[Float]]]): DataFrame = {
+    val enc = pqEncoderUdf(bucketed.sparkSession, codebooks)
+    pqResiduals(bucketed, centroids)
+      .select(col("bucket"), col("cid"), enc(col("rvec")).as("pqcodes"))
+  }
+
+  /** Incremental maintenance of a residual IVF-PQ index — identical
+    * delta discipline to [[updatePqIndex]] (assign to FIXED centroids,
+    * encode against FIXED codebooks, one broadcast pass over the diff),
+    * except the added rows encode their residual. */
+  def updatePqIndexResidual(codes: DataFrame, centroids: DataFrame,
+                            codebooks: Array[Array[Array[Float]]],
+                            removedIds: DataFrame, added: DataFrame,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(codes.sparkSession)
+    val rem = removedIds.select(col(removedIds.columns.head).as("cid"))
+    val a = added.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val enc = pqEncoderUdf(codes.sparkSession, codebooks)
+    val assigned = a.crossJoin(broadcast(centroids))
+      .select(col("cid"), col("cvec"),
+        VectorFunctions.cosineNative(col("cvec"), col("centroid")).as("sim"),
+        col("centroid_id"))
+      .groupBy(col("cid"))
+      .agg(expr("max_by(centroid_id, struct(sim, -centroid_id))").as("bucket"),
+        expr("any_value(cvec)").as("cvec"))
+    val encoded = assigned
+      .join(broadcast(centroids), col("bucket") === col("centroid_id"))
+      .select(col("bucket"), col("cid"),
+        enc(zip_with(col("cvec").cast("array<float>"),
+          col("centroid").cast("array<float>"), (x, y) => x - y))
+          .as("pqcodes"))
+    codes.select(col("bucket"), col("cid"), col("pqcodes"))
+      .join(rem, Seq("cid"), "left_anti")
+      .unionByName(encoded)
+      .select(col("bucket"), col("cid"), col("pqcodes"))
+  }
+
+  /** [[ivfPqKnnStored]] over residual codes. The one structural change:
+    * ADC tables are per (query, probed bucket) — the table for bucket b
+    * quantizes distances of (q − centroid_b) against the codebooks, so
+    * `‖q − v‖² ≈ ADC(q − c_b, code(v − c_b))` holds exactly as in the
+    * paper. nprobe·m·ksub floats per query, still a driver-built
+    * broadcast literal; probe selection runs on the driver over the
+    * collected centroid set (bounded — the same rows every other path
+    * broadcasts) with the IDENTICAL ordering semantics
+    * (vector_similarity desc, centroid_id asc) as the DataFrame probe. */
+  def ivfPqKnnStoredResidual(codes: DataFrame, centroids: DataFrame,
+                             codebooks: Array[Array[Array[Float]]],
+                             corpus: DataFrame, queries: DataFrame, k: Int,
+                             nprobe: Int = 4, rerank: Int = 8,
+                             idCol: String = "vec_id", vecCol: String = "embedding",
+                             qIdCol: String = "vec_id", qVecCol: String = "embedding",
+                             candidateFilter: Option[DataFrame] = None): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val qRows: Array[(Long, Array[Float])] = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<float>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cents: Array[(Long, Array[Float])] = centroids
+      .select(col("centroid_id").cast("long"), col("centroid").cast("array<float>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // driver probe selection — ascending-index double accumulation, then
+    // 1/(1+l2²) desc with centroid_id asc: bit-identical ordering to the
+    // vectorSimilarity DataFrame probe of the non-residual route
+    def vsim(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length && i < b.length) {
+        val t = a(i).toDouble - b(i).toDouble; acc += t * t; i += 1
+      }
+      1.0 / (1.0 + acc)
+    }
+    val tables = qRows.flatMap { case (qid, qv) =>
+      cents.map { case (b, cv) => (b, cv, vsim(qv, cv)) }
+        .sortBy { case (b, _, s) => (-s, b) }
+        .take(nprobe)
+        .map { case (b, cv, _) =>
+          val qr = Array.tabulate(qv.length)(i => qv(i) - cv(i))
+          (qid, b, adcTable(qr, codebooks).toSeq)
+        }
+    }.toSeq.toDF("qid", "bucket", "qtable")
+    val probed = codes.join(broadcast(
+      tables.select(col("qid"), col("bucket"))), Seq("bucket"))
+    val eligible = candidateFilter.fold(probed)(f =>
+      probed.join(f.select(col(f.columns.head).as("cid")), Seq("cid"), "left_semi"))
+    val adc = eligible.join(broadcast(tables), Seq("qid", "bucket"))
+      .select(col("qid"), col("cid"),
+        expr(s"aggregate(zip_with(pqcodes, sequence(0, ${m - 1}), " +
+          s"(c, i) -> element_at(qtable, i * $ksub + c + 1)), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("adc_dist"))
+    val cands = adc.withColumn("ark", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc_dist"), col("cid"))))
+      .filter(col("ark") <= k * rerank)
+      .select(col("qid"), col("cid"))
+    val q = queries.select(col(qIdCol).cast("long").as("qid"),
+      col(qVecCol).as("qvec"))
     cands
       .join(corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec")), Seq("cid"))
       .join(broadcast(q), Seq("qid"))

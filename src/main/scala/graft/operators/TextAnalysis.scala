@@ -261,4 +261,55 @@ object TextAnalysis {
       (acc, g) => acc + coalesce(element_at(wmap, g), lit(0.0)))
     df.withColumn(outCol, lit(1.0) / (lit(1.0) + exp(-z)))
   }
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score every
+    * raw-pool document by the log importance weight of a target-domain
+    * bag-of-words model against the raw-pool model,
+    * log w(x) = Σ_t [ln p_target(t) − ln p_raw(t)], both unigram models
+    * with add-one smoothing over the joint vocabulary. The paper then
+    * resamples via Gumbel top-k; the deterministic top-m-by-weight variant
+    * implemented by callers is its no-noise ablation (and the GPT-3-style
+    * heuristic-classification selection), which keeps the operator exactly
+    * oracle-replayable — the model is nothing but grouped counts.
+    *
+    * `targetPred` marks the target-domain rows INSIDE `df` (e.g.
+    * `col("lang") === "en"`); every non-target row is scored. Like
+    * [[lmBigramScore]], per-token terms round to 6 decimals and sum as
+    * DECIMAL(18,9), so the score is order-independent and bit-stable
+    * across partitionings and engines.
+    *
+    * Scale: the two count tables are vocabulary-sized grouped aggregates
+    * (never corpus-sized), the totals row is one aggregate pass, and the
+    * scoring join shuffles only (doc_id, token) pairs capped at
+    * `maxTokens` per document — text bytes never shuffle. Nothing is
+    * collected to the driver; at 100 TB the vocab tables stay distributed
+    * (sort-merge join on the token key) or broadcast if small. */
+  def dsirScore(df: DataFrame, targetPred: Column,
+                idCol: String = "doc_id", textCol: String = "text",
+                maxTokens: Int = 64): DataFrame = {
+    val toks = slice(
+      filter(split(lower(col(textCol)), "[^a-z]+"), t => t =!= ""),
+      1, maxTokens)
+    val tok = df
+      .select(col(idCol).as("doc_id"), targetPred.as("is_target"),
+        explode(toks).as("t"))
+    val ct = tok.filter(col("is_target"))
+      .groupBy(col("t")).agg(count(lit(1)).as("nt_tok"))
+    val cr = tok.groupBy(col("t")).agg(count(lit(1)).as("nr_tok"))
+    val totals = tok.agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("nt"),
+      count(lit(1)).as("nr"),
+      countDistinct(col("t")).as("v"))
+    tok.filter(!col("is_target"))
+      .join(ct, Seq("t"), "left").join(cr, Seq("t")).crossJoin(totals)
+      .select(col("doc_id"),
+        round(
+          log((coalesce(col("nt_tok"), lit(0L)) + lit(1.0)) /
+              (col("nt") + col("v"))) -
+          log((col("nr_tok") + lit(1.0)) / (col("nr") + col("v"))), 6)
+          .cast("decimal(18,9)").as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("log_weight"))
+  }
 }

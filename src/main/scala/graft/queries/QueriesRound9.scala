@@ -44,6 +44,11 @@ object QueriesRound9 {
   private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[Array[Array[Float]]], DataFrame)]()
 
+  /** q232's residual-IVFADC fixtures (centroids, residual codebooks,
+    * checkpointed residual codes) — same TruthMemo discipline as q227. */
+  private val resMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, Array[Array[Array[Float]]], DataFrame)]()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q226_analyze_histogram" -> ((s, dir) => {
       graft.functions.GraftFunctions.registerAll(s)
@@ -184,6 +189,85 @@ object QueriesRound9 {
       val docs = graft.Tables.load(s, dir, "documents")
       graft.operators.TextAnalysis.lmBigramScore(docs)
         .orderBy(col("doc_id"))
+    }),
+
+    // Residual IVF-PQ — the FULL IVFADC recipe (Jégou 2011 §V.A: encode
+    // v − centroid(v), build per-(query, bucket) ADC tables on q − c_b):
+    // bucket-pruned probing (nprobe = 8 of 16) over residual codes with
+    // exact re-rank. The gate is the q227 envelope: recall@10 vs the
+    // exact L2 truth clears a floor, every query surfaces itself at
+    // rank 1 (sim = 1.0 through the exact re-rank), shapes pinned.
+    "q232_knn_pq_residual" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.registerAll(s)
+      val emb = graft.Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val q = emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(8)
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      val (cents, cb, codes) = resMemo.computeIfAbsent(s"q232#$dir", _ => {
+        val (bucketed, c0) = graft.operators.Similarity
+          .kmeansBucketize(emb, numCentroids = 16, iters = 2)
+        val cb0 = graft.operators.Similarity
+          .pqTrainResidual(bucketed, c0, m = 16, ksub = 16)
+        val codes0 = graft.operators.Similarity
+          .ivfPqIndexResidual(bucketed, c0, cb0).localCheckpoint()
+        (c0.localCheckpoint(), cb0, codes0)
+      })
+      val approx = graft.operators.Similarity.ivfPqKnnStoredResidual(
+        codes, cents, cb, emb, q, k = 10, nprobe = 8, rerank = 8)
+      // exact truth: same vector_similarity ordering as the re-rank
+      val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val qq = q.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("cid"))
+      val exact = c.crossJoin(broadcast(qq))
+        .select(col("qid"), col("cid"),
+          graft.functions.VectorFunctions
+            .vectorSimilarity(col("cvec"), col("qvec")).as("sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10).select(col("qid"), col("cid"))
+      val rec = graft.operators.Similarity.recallAtK(
+        approx.select(col("qid"), col("cid")), exact)
+      val selfHits = approx.filter(col("rk") === 1 && col("sim") === 1.0)
+        .count()
+      import s.implicits._
+      Seq((8L, 10L, selfHits, rec >= 0.6))
+        .toDF("n_queries", "k", "self_hits", "recall_ok")
+    }),
+
+    // DSIR-style data selection (Xie et al. 2023): target = the corpus's
+    // English documents, raw pool = everything else; the 20 raw documents
+    // whose unigram distribution looks most target-like win. The add-one
+    // unigram models are grouped counts, so DuckDB replays them verbatim;
+    // ordering happens on the exact DECIMAL sum, and the rank-20/21
+    // boundary margin is ≥ 7e-4 at every fixture scale (checked), so the
+    // selected set is engine-independent.
+    "q230_dsir_selection" -> ((s, dir) => {
+      val docs = graft.Tables.load(s, dir, "documents")
+      graft.operators.TextAnalysis.dsirScore(docs, col("lang") === "en")
+        .orderBy(col("log_weight").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("n_toks"),
+          round(col("log_weight").cast("double"), 4).as("logw"))
+    }),
+
+    // SemDeDup cluster-blocked semantic dedup. The gate pins centroids to
+    // the 16 lowest-vec_id embeddings (deterministic, so the oracle
+    // replays assignment exactly); tau = 0.4 matches the q135 fixture
+    // threshold and prunes 19/11/174 rows at sf0.001/0.01/0.1. Margin
+    // audit (both engines compute in double): min |round(cos,6) − tau|
+    // ≥ 1e-5 and min argmin runner-up gap ≥ 9e-6 — both far above
+    // cross-engine ulp noise, so every verdict bit is stable.
+    "q231_semdedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = graft.Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val cent = emb.orderBy(col("vec_id")).limit(16)
+        .withColumn("cidx",
+          row_number().over(Window.orderBy(col("vec_id"))) - 1)
+        .select(col("cidx"), col("embedding").as("cvec"))
+      graft.operators.Similarity.semDedup(emb, cent, tau = 0.4)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -217,6 +301,64 @@ object QueriesRound9 {
          |ORDER BY 1.0 / (1.0 + list_distance(embedding, $vecLit) ^ 2) DESC,
          |         vec_id
          |LIMIT 5""".stripMargin,
+
+    // deterministic facts + the recall envelope (the q227 pattern); the
+    // residual pipeline is deterministic end-to-end (pinned sample,
+    // init, iters, probe order), so the row is stable per fixture
+    "q232_knn_pq_residual" ->
+      """SELECT CAST(8 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
+        |       CAST(8 AS BIGINT) AS self_hits, TRUE AS recall_ok"""
+        .stripMargin,
+
+    "q230_dsir_selection" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                     t -> t <> '')[1:64] AS toks
+        |  FROM documents
+        |),
+        |tok AS (SELECT doc_id, lang, t FROM docs, unnest(toks) AS s(t)),
+        |ct AS (SELECT t, count(*) AS n FROM tok WHERE lang = 'en' GROUP BY 1),
+        |cr AS (SELECT t, count(*) AS n FROM tok GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM tok WHERE lang = 'en') AS nt,
+        |               (SELECT count(*) FROM tok) AS nr,
+        |               (SELECT count(DISTINCT t) FROM tok) AS v),
+        |scored AS (
+        |  SELECT k.doc_id,
+        |         CAST(round(ln((coalesce(ct.n, 0) + 1.0) / (tot.nt + tot.v))
+        |                  - ln((cr.n + 1.0) / (tot.nr + tot.v)), 6)
+        |              AS DECIMAL(18,9)) AS w
+        |  FROM tok k LEFT JOIN ct USING (t) JOIN cr USING (t) CROSS JOIN tot
+        |  WHERE k.lang <> 'en'
+        |)
+        |SELECT doc_id, count(*) AS n_toks,
+        |       round(CAST(sum(w) AS DOUBLE), 4) AS logw
+        |FROM scored GROUP BY doc_id
+        |ORDER BY sum(w) DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q231_semdedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |),
+        |cent AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+        |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)
+        |),
+        |asg AS (
+        |  SELECT vec_id, v, cidx
+        |  FROM e CROSS JOIN cent
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY list_distance(v, cv), cidx) = 1
+        |),
+        |pairs AS (
+        |  SELECT b.vec_id AS ib,
+        |         round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |  FROM asg a JOIN asg b ON a.cidx = b.cidx AND a.vec_id < b.vec_id
+        |)
+        |SELECT e.vec_id, asg.cidx AS cluster,
+        |       NOT EXISTS (SELECT 1 FROM pairs p
+        |                   WHERE p.ib = e.vec_id AND p.cos >= 0.4) AS kept
+        |FROM e JOIN asg USING (vec_id) ORDER BY e.vec_id""".stripMargin,
 
     "q229_lm_perplexity" ->
       """WITH docs AS (

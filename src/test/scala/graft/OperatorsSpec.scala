@@ -1628,3 +1628,74 @@ class LmPerplexitySpec extends SparkTestBase {
     assert(again.map(_.getDouble(2)).toSeq == out.map(_.getDouble(2)).toSeq)
   }
 }
+
+/** DSIR-style importance scoring (TextAnalysis.dsirScore — Xie et al.
+  * 2023's target/raw bag-of-words log-ratio, deterministic top-m form). */
+class DsirSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("target-like raw docs outscore dissimilar ones; target rows excluded") {
+    val docs = Seq(
+      (1L, "alpha beta alpha beta gamma", "en"),   // target
+      (2L, "alpha beta delta alpha beta", "en"),   // target
+      (3L, "alpha beta gamma alpha", "de"),        // raw, target-like
+      (4L, "zulu yankee xray whisky victor", "de") // raw, dissimilar
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.operators.TextAnalysis
+      .dsirScore(docs, col("lang") === "en")
+      .orderBy($"doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(3L, 4L),
+      "only raw-pool documents are scored")
+    val w = out.map(r => r.getLong(0) ->
+      r.getDecimal(2).doubleValue()).toMap
+    assert(w(3L) > w(4L),
+      s"the target-like document must carry the higher importance weight: $w")
+    assert(out.find(_.getLong(0) == 3L).get.getLong(1) == 4L, "n_toks")
+    // deterministic across re-evaluation (decimal-summed terms)
+    val again = graft.operators.TextAnalysis
+      .dsirScore(docs, col("lang") === "en").orderBy($"doc_id").collect()
+    assert(again.map(_.getDecimal(2)).toSeq == out.map(_.getDecimal(2)).toSeq)
+  }
+}
+
+/** SemDeDup (Similarity.semDedup — Abbas et al. 2023's cluster-blocked
+  * semantic dedup with the keep-lowest-id pruning rule). */
+class SemDedupSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("within-cluster near-dups prune to the lowest id; blocking holds") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)),    // cluster 0 anchor
+      (2L, Seq(0.99f, 0.01f)),  // cos≈0.99995 vs id 1 -> removed
+      (3L, Seq(0.0f, 1.0f)),    // cluster 1, kept
+      (4L, Seq(-1.0f, 0.0f)),   // cluster 1 (dist² 2 vs 4); cos vs 3 = 0, kept
+      (5L, Seq(0.6f, 0.8f)),    // cluster 1; cos vs id 3 = 0.8 < tau, kept
+      (6L, Seq(0.5f, 0.5f))     // equidistant -> tie-break to cluster 0
+    ).toDF("vec_id", "embedding")
+    val cent = Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f)))
+      .toDF("cidx", "cvec")
+    val out = graft.operators.Similarity.semDedup(corpus, cent, tau = 0.9)
+      .orderBy($"vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq(
+      (1L, 0, true), (2L, 0, false), (3L, 1, true),
+      (4L, 1, true), (5L, 1, true), (6L, 0, true)), out.toSeq)
+  }
+
+  test("cross-cluster near-dups are NOT pruned (blocking is the contract)") {
+    // two antipodal centroids; the pair is near-identical but a fixture
+    // centroid set that separates them must leave both alive — callers
+    // control the blocking quality via the centroids they pass
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.05f)),
+      (2L, Seq(1.0f, -0.05f))).toDF("vec_id", "embedding")
+    val cent = Seq((0, Seq(1.0f, 0.05f)), (1, Seq(1.0f, -0.05f)))
+      .toDF("cidx", "cvec")
+    val out = graft.operators.Similarity.semDedup(corpus, cent, tau = 0.5)
+      .orderBy($"vec_id").collect()
+    assert(out.forall(_.getBoolean(2)), "separated clusters never pair")
+    assert(out.map(_.getInt(1)).toSeq == Seq(0, 1))
+  }
+}

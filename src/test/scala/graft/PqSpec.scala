@@ -40,4 +40,65 @@ class PqSpec extends SparkTestBase {
     assert(hits.forall(_.getLong(1) % 3 == 0),
       s"cross-cluster neighbor: ${hits.map(_.getLong(1)).mkString(",")}")
   }
+
+  test("residual IVFADC: codes quantize v − centroid; search stays exact " +
+       "on a separable corpus and reproduces deterministically") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = Seq(
+      Array.fill(8)(2.0f),
+      Array.fill(8)(-2.0f),
+      Array.tabulate(8)(i => if (i % 2 == 0) 2.0f else -2.0f))
+    val rows = (0 until 120).map { i =>
+      val b = base(i % 3)
+      (i.toLong, b.map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (bucketed, cents) = operators.Similarity
+      .kmeansBucketize(df, numCentroids = 3, iters = 2)
+    // residuals: r + centroid(bucket) reconstructs the vector exactly
+    // (float subtraction is exact to reassemble within 1 ulp — check a
+    // loose bound; the POINT is the residual is centered near zero)
+    val res = operators.Similarity.pqResiduals(bucketed, cents)
+    val maxAbs = res.select(
+      max(expr("aggregate(rvec, CAST(0.0 AS DOUBLE), " +
+        "(a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))).head.getDouble(0)
+    assert(maxAbs < 1.0,
+      s"residuals of a tight cluster must be small, got $maxAbs")
+
+    val cb = operators.Similarity.pqTrainResidual(bucketed, cents, m = 4, ksub = 8)
+    val cb2 = operators.Similarity.pqTrainResidual(bucketed, cents, m = 4, ksub = 8)
+    assert(cb.flatten.flatten.toSeq == cb2.flatten.flatten.toSeq,
+      "residual retrain must reproduce the codebooks bit-for-bit")
+    val codes = operators.Similarity.ivfPqIndexResidual(bucketed, cents, cb)
+    assert(codes.count() == 120)
+
+    val q = df.filter(col("vec_id") < 2)
+    val hits = operators.Similarity.ivfPqKnnStoredResidual(
+      codes, cents, cb, df, q, k = 5, nprobe = 1).collect()
+    assert(hits.length == 10, "5 hits per query")
+    val byQ = hits.groupBy(_.getLong(0))
+    byQ.foreach { case (qid, hs) =>
+      val top = hs.minBy(_.getInt(3))
+      assert(top.getLong(1) == qid && top.getDouble(2) == 1.0,
+        s"query $qid must find itself at rank 1 (sim 1.0)")
+      assert(hs.forall(_.getLong(1) % 3 == qid % 3),
+        s"cross-cluster neighbor for $qid: ${hs.map(_.getLong(1)).mkString(",")}")
+    }
+
+    // delta maintenance: drop one id, add a shifted copy — the patched
+    // index serves it from the fixed centroids/codebooks
+    val added = Seq((200L, base(0).map(x => x + 0.01f).toSeq))
+      .toDF("vec_id", "embedding")
+    val patched = operators.Similarity.updatePqIndexResidual(
+      codes, cents, cb, Seq(0L).toDF("vec_id"), added)
+    assert(patched.filter(col("cid") === 0L).count() == 0)
+    assert(patched.count() == 120)
+    val q2 = added
+    val hits2 = operators.Similarity.ivfPqKnnStoredResidual(
+      patched, cents, cb, df.filter(col("vec_id") =!= 0L).unionByName(added),
+      q2, k = 3, nprobe = 1).collect()
+    assert(hits2.nonEmpty && hits2.minBy(_.getInt(3)).getLong(1) == 200L,
+      "the delta-added row is served and finds itself first")
+  }
 }
