@@ -1719,6 +1719,10 @@ class StatementRouter(spark: SparkSession, root: String) {
     val isPq = specParts.length >= 4 && specParts(3) == "pq"
     val (pqM, pqKsub) =
       if (isPq) (specParts(4).toInt, specParts(5).toInt) else (0, 0)
+    // ":res" tail = residual IVFADC: codes quantize v − centroid(v) and
+    // ADC tables are built per (query, probed bucket) — same store
+    // layout, higher recall at identical byte cost (Jégou 2011 §V.A)
+    val isRes = isPq && specParts.length >= 7 && specParts(6) == "res"
     val idxRootStr = s"${tablePath(table)}/_vecindex/${spec.name}"
     val stored = s"$idxRootStr/v$version"
     def autoCentroids(n: Long): Int =
@@ -1762,18 +1766,29 @@ class StatementRouter(spark: SparkSession, root: String) {
                     .loadQuantizedIndex(spark, s"$idxRootStr/v$prevV")
                   val cb = graft.operators.Similarity
                     .loadPqCodebooks(spark, s"$idxRootStr/v$prevV/codebooks")
-                  (graft.operators.Similarity.updatePqIndex(
-                    oldCodes, cents, cb, removed, added, pk, vecCol), cents, cb)
+                  val patched =
+                    if (isRes) graft.operators.Similarity.updatePqIndexResidual(
+                      oldCodes, cents, cb, removed, added, pk, vecCol)
+                    else graft.operators.Similarity.updatePqIndex(
+                      oldCodes, cents, cb, removed, added, pk, vecCol)
+                  (patched, cents, cb)
                 case _ =>
                   StatementRouter.lastVecIndexBuild.set("full")
                   val nc = autoCentroids(corpus.count())
                   val (bucketed, cents) = graft.operators.Similarity
                     .kmeansBucketize(corpus, numCentroids = nc, iters = 2,
                       idCol = pk, vecCol = vecCol)
-                  val cb = graft.operators.Similarity
-                    .pqTrain(corpus, m = pqM, ksub = pqKsub,
-                      idCol = pk, vecCol = vecCol)
-                  (graft.operators.Similarity.ivfPqIndex(bucketed, cb), cents, cb)
+                  val cb =
+                    if (isRes) graft.operators.Similarity
+                      .pqTrainResidual(bucketed, cents, m = pqM, ksub = pqKsub)
+                    else graft.operators.Similarity
+                      .pqTrain(corpus, m = pqM, ksub = pqKsub,
+                        idCol = pk, vecCol = vecCol)
+                  val codes0 =
+                    if (isRes) graft.operators.Similarity
+                      .ivfPqIndexResidual(bucketed, cents, cb)
+                    else graft.operators.Similarity.ivfPqIndex(bucketed, cb)
+                  (codes0, cents, cb)
               }
               persistAndReload(
                 writeCodes = {
@@ -1792,9 +1807,14 @@ class StatementRouter(spark: SparkSession, root: String) {
                 built)
             }
           }
-          graft.operators.Similarity.ivfPqKnnStored(
-            codes, centroids, codebooks, readTable(table), queries, k, np,
-            idCol = pk, vecCol = vecCol, candidateFilter = candFilter)
+          if (isRes)
+            graft.operators.Similarity.ivfPqKnnStoredResidual(
+              codes, centroids, codebooks, readTable(table), queries, k, np,
+              idCol = pk, vecCol = vecCol, candidateFilter = candFilter)
+          else
+            graft.operators.Similarity.ivfPqKnnStored(
+              codes, centroids, codebooks, readTable(table), queries, k, np,
+              idCol = pk, vecCol = vecCol, candidateFilter = candFilter)
         } else {
           val (codes, centroids) = graft.operators.MatchText.IndexCache
             .cached[(DataFrame, DataFrame)](
@@ -2025,7 +2045,10 @@ class StatementRouter(spark: SparkSession, root: String) {
       if (ix.analyzer.startsWith("vector:")) {
         val ps = ix.analyzer.split(":")
         val pq = if (ps.length >= 6 && ps(3) == "pq")
-          s", encoding = 'pq', pq_m = ${ps(4)}, pq_ksub = ${ps(5)}" else ""
+          s", encoding = 'pq', pq_m = ${ps(4)}, pq_ksub = ${ps(5)}" +
+            (if (ps.length >= 7 && ps(6) == "res") ", pq_residual = true"
+             else "")
+        else ""
         s"   INDEX ${ix.name} USING VECTOR (${ix.cols.mkString(", ")}) " +
           s"WITH (centroids = ${ps(1)}, nprobe = ${ps(2)}$pq)"
       } else
@@ -3117,7 +3140,9 @@ class StatementRouter(spark: SparkSession, root: String) {
             optS(name).flatMap(_.toIntOption).getOrElse(dflt)
           val pqTail =
             if (optS("encoding").exists(_.equalsIgnoreCase("pq")))
-              s":pq:${opt("pq_m", 16)}:${opt("pq_ksub", 16)}"
+              s":pq:${opt("pq_m", 16)}:${opt("pq_ksub", 16)}" +
+                (if (optS("pq_residual").exists(_.equalsIgnoreCase("true")))
+                  ":res" else "")
             else ""
           Some(VersionedTable.IndexSpec(unq(d(1)), cols,
             s"vector:${opt("centroids", 0)}:${opt("nprobe", 4)}$pqTail"))

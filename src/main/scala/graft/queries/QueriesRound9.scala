@@ -191,6 +191,91 @@ object QueriesRound9 {
         .orderBy(col("doc_id"))
     }),
 
+    // Filtered knn through the stored index on the FIXED-probe path
+    // (the q215 counterpart whose fixture provably needs NO widen:
+    // nprobe = 16 of 16 centroids probes every bucket, the filter's 19
+    // matches are all eligible and ≤ k·rescore = 20, so the guard sees
+    // k hits, lastKnnProbe stays "fixed", and the single
+    // materialization (coalesce(1).localCheckpoint) is the ONLY ANN
+    // pass — this row times exactly the double-execution fix). Exact
+    // against the brute-force oracle since every eligible row is
+    // float-rescored.
+    "q234_knn_filtered_fixed_probe" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      val root = routerRoots.computeIfAbsent(s"q234#$dir", _ => {
+        val rt = java.nio.file.Files.createTempDirectory("graft_q234")
+          .toFile.getAbsolutePath
+        val r0 = new graft.StatementRouter(s, rt)
+        r0.execute(
+          """CREATE TABLE vstorefix (vec_id BIGINT PRIMARY KEY,
+            |  embedding FLOAT_VECTOR(64),
+            |  INDEX iv USING VECTOR (embedding)
+            |    WITH (centroids = 16, nprobe = 16))""".stripMargin)
+        r0.execute("INSERT INTO vstorefix (vec_id, embedding) " +
+          "SELECT vec_id, embedding FROM embeddings")
+        rt
+      })
+      val r = new graft.StatementRouter(s, root)
+      graft.StatementRouter.lastKnnRoute.set("")
+      graft.StatementRouter.lastKnnProbe.set("")
+      val out = r.execute(
+        s"""SELECT vec_id, round(_score, 4) AS score FROM vstorefix
+           |WHERE vec_id BETWEEN 100 AND 118
+           |  AND knn_match(embedding, $vecLit, 5)
+           |ORDER BY score DESC, vec_id""".stripMargin)
+      require(graft.StatementRouter.lastKnnRoute.get() == "stored-index-filtered",
+        s"q234 must be served by the filtered stored-index route, " +
+          s"got '${graft.StatementRouter.lastKnnRoute.get()}'")
+      require(graft.StatementRouter.lastKnnProbe.get() == "fixed",
+        s"q234's all-bucket probe must NOT widen, " +
+          s"got '${graft.StatementRouter.lastKnnProbe.get()}'")
+      out
+    }),
+
+    // SQL `knn_match` through a STORED residual IVF-PQ index
+    // (`pq_residual = true` — q228's fixture shape on the ":res"
+    // layout): filter keeps 19 rows < k·rerank = 40, so after the
+    // recall-guard widen every eligible row is ADC-scored from its
+    // per-bucket residual table and exact-rescored — the result is
+    // exact against the brute-force oracle. Route, encoding AND the
+    // residual tail are require()d, so a silent fall-through to the
+    // non-residual layout fails loudly.
+    "q233_knn_pq_residual_stored" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      val root = routerRoots.computeIfAbsent(s"q233#$dir", _ => {
+        val rt = java.nio.file.Files.createTempDirectory("graft_q233")
+          .toFile.getAbsolutePath
+        val r0 = new graft.StatementRouter(s, rt)
+        r0.execute(
+          """CREATE TABLE vstorepqr (vec_id BIGINT PRIMARY KEY,
+            |  embedding FLOAT_VECTOR(64),
+            |  INDEX iv USING VECTOR (embedding)
+            |    WITH (centroids = 16, nprobe = 1,
+            |          encoding = 'pq', pq_m = 16, pq_ksub = 16,
+            |          pq_residual = true))""".stripMargin)
+        r0.execute("INSERT INTO vstorepqr (vec_id, embedding) " +
+          "SELECT vec_id, embedding FROM embeddings")
+        rt
+      })
+      val r = new graft.StatementRouter(s, root)
+      graft.StatementRouter.lastKnnRoute.set("")
+      val out = r.execute(
+        s"""SELECT vec_id, round(_score, 4) AS score FROM vstorepqr
+           |WHERE vec_id BETWEEN 100 AND 118
+           |  AND knn_match(embedding, $vecLit, 5)
+           |ORDER BY score DESC, vec_id""".stripMargin)
+      require(graft.StatementRouter.lastKnnRoute.get() == "stored-index-filtered",
+        s"q233 must be served by the filtered stored-index route, " +
+          s"got '${graft.StatementRouter.lastKnnRoute.get()}'")
+      val spec = graft.sources.VersionedTable
+        .indexSpecs(s, s"$root/vstorepqr").head
+      require(spec.analyzer == "vector:16:1:pq:16:16:res",
+        s"q233 must run on the residual PQ layout, got '${spec.analyzer}'")
+      out
+    }),
+
     // Residual IVF-PQ — the FULL IVFADC recipe (Jégou 2011 §V.A: encode
     // v − centroid(v), build per-(query, bucket) ADC tables on q − c_b):
     // bucket-pruned probing (nprobe = 8 of 16) over residual codes with
@@ -293,6 +378,32 @@ object QueriesRound9 {
     // return the identical filtered top-5 (widen + full exact re-rank
     // of the 19 eligible rows make the route exact by construction)
     "q228_knn_pq_filtered_stored" ->
+      s"""SELECT vec_id,
+         |       round(1.0 / (1.0 + list_distance(embedding, $vecLit) ^ 2), 4)
+         |         AS score
+         |FROM embeddings
+         |WHERE vec_id BETWEEN 100 AND 118
+         |ORDER BY 1.0 / (1.0 + list_distance(embedding, $vecLit) ^ 2) DESC,
+         |         vec_id
+         |LIMIT 5""".stripMargin,
+
+    // exact: every eligible row probed and float-rescored, so the
+    // fixed-probe path returns the brute-force filtered top-5
+    "q234_knn_filtered_fixed_probe" ->
+      s"""SELECT vec_id,
+         |       round(1.0 / (1.0 + list_distance(embedding, $vecLit) ^ 2), 4)
+         |         AS score
+         |FROM embeddings
+         |WHERE vec_id BETWEEN 100 AND 118
+         |ORDER BY 1.0 / (1.0 + list_distance(embedding, $vecLit) ^ 2) DESC,
+         |         vec_id
+         |LIMIT 5""".stripMargin,
+
+    // q228's exact brute-force oracle verbatim — the residual layout
+    // must return the identical filtered top-5 (widen + full exact
+    // re-rank of the 19 eligible rows make the route exact by
+    // construction, independent of ADC quality)
+    "q233_knn_pq_residual_stored" ->
       s"""SELECT vec_id,
          |       round(1.0 / (1.0 + list_distance(embedding, $vecLit) ^ 2), 4)
          |         AS score

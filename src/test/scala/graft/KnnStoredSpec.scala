@@ -265,6 +265,52 @@ class KnnStoredRouteSpec extends SparkTestBase {
       s"got ${rows2.map(_.getLong(0)).mkString(",")}")
   }
 
+  test("pq_residual = true stores residual codes: build/load/delta, " +
+       "SHOW CREATE round-trip, exact top ranks") {
+    val root = Files.createTempDirectory("graft_knnpqr").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute(
+      """CREATE TABLE vpqr (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(8),
+        |  INDEX iv USING VECTOR (emb) WITH (centroids = 2, nprobe = 1,
+        |    encoding = 'pq', pq_m = 4, pq_ksub = 4,
+        |    pq_residual = true))""".stripMargin)
+    def v(base: Double, j: Double) =
+      s"[${(0 until 8).map(i => if (i % 2 == 0) base else j).mkString(", ")}]"
+    r.execute("INSERT INTO vpqr (id, emb) VALUES " +
+      s"(1, ${v(1.0, 0.0)}), (2, ${v(0.9, 0.1)}), " +
+      s"(3, ${v(0.95, -0.05)}), (4, ${v(0.85, 0.0)}), " +
+      s"(11, ${v(-1.0, 0.0)}), (12, ${v(-0.9, -0.1)}), " +
+      s"(13, ${v(-0.95, 0.05)}), (14, ${v(-0.85, 0.2)})")
+    graft.operators.MatchText.IndexCache.clear()
+    val q = s"SELECT id, _score FROM vpqr WHERE knn_match(emb, ${v(1.0, 0.0)}, 2) " +
+      "ORDER BY _score DESC"
+    val rows = r.execute(q).collect()
+    assert(StatementRouter.lastVecIndexBuild.get() == "full")
+    assert(rows.length == 2 && rows.head.getLong(0) == 1L,
+      "the exact self-vector ranks first (re-rank is exact)")
+    assert(math.abs(rows.head.getDouble(1) - 1.0) < 1e-9)
+    assert(rows.forall(_.getLong(0) <= 4L), "both hits from cluster A")
+    // the analyzer slot carries the residual tail and SHOW CREATE
+    // round-trips it
+    assert(graft.sources.VersionedTable.indexSpecs(spark, s"$root/vpqr")
+      .head.analyzer == "vector:2:1:pq:4:4:res")
+    val show = r.execute("SHOW CREATE TABLE vpqr").head().getString(0)
+    assert(show.contains(
+      "encoding = 'pq', pq_m = 4, pq_ksub = 4, pq_residual = true"), show)
+    // durable: a fresh cache loads instead of rebuilding
+    graft.operators.MatchText.IndexCache.clear()
+    r.execute(q).collect()
+    assert(StatementRouter.lastVecIndexBuild.get() == "loaded")
+    // delta patch encodes the added row's RESIDUAL against the fixed
+    // centroids/codebooks; the exact duplicate ties into the top-2
+    r.execute(s"INSERT INTO vpqr (id, emb) VALUES (100, ${v(1.0, 0.0)})")
+    graft.operators.MatchText.IndexCache.clear()
+    val rows2 = r.execute(q).collect()
+    assert(StatementRouter.lastVecIndexBuild.get() == "delta")
+    assert(rows2.map(_.getLong(0)).toSet == Set(1L, 100L),
+      s"got ${rows2.map(_.getLong(0)).mkString(",")}")
+  }
+
   test("non-literal query vectors are served from the stored index") {
     val root = Files.createTempDirectory("graft_knn4").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
