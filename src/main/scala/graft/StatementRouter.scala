@@ -3667,6 +3667,21 @@ class StatementRouter(spark: SparkSession, root: String) {
       case "edge_ngram" | "edgengram" => a = a.copy(edgeNgram = (
         opts.get("min_gram").map(_.head.toInt).getOrElse(1),
         opts.get("max_gram").map(_.head.toInt).getOrElse(2)))
+      case "cjk_bigram" =>
+        // Lucene CJKBigramFilter with the ES-shaped per-script toggles:
+        // ignored_scripts = ['han'|'hiragana'|'katakana'|'hangul', ...]
+        // exempts scripts from bigramming; output_unigrams additionally
+        // emits each enabled-script char (MatchText.cjkExpand semantics)
+        val ign = opts.getOrElse("ignored_scripts", Nil).map(_.toLowerCase)
+        ign.foreach(s0 => require(
+          graft.operators.MatchText.cjkScriptIds.contains(s0),
+          s"cjk_bigram: unknown script '$s0'"))
+        a = a.copy(cjkBigram = true, cjkIgnored = ign,
+          cjkOutputUnigrams =
+            opts.get("output_unigrams").exists(_.head.toBoolean))
+      case "cjk_width" =>
+        a = a.copy(charFilters = a.charFilters :+
+          graft.operators.MatchText.CharFilter("cjk_width"))
       case "shingle" => a = a.copy(shingle = (
         opts.get("min_shingle_size").map(_.head.toInt).getOrElse(2),
         opts.get("max_shingle_size").map(_.head.toInt).getOrElse(2)))

@@ -163,21 +163,59 @@ object MatchText {
   private[operators] def isCjkChar(c: Char): Boolean =
     (c >= 0x3040 && c <= 0x30FF) || (c >= 0x3400 && c <= 0x4DBF) ||
     (c >= 0x4E00 && c <= 0x9FFF) || (c >= 0xAC00 && c <= 0xD7AF)
+
+  /** Per-script ids for the CJKBigramFilter flags: 1 = hiragana,
+    * 2 = katakana, 3 = han, 4 = hangul, 0 = everything else. */
+  private[operators] def cjkScriptOf(c: Char): Int =
+    if (c >= 0x3040 && c <= 0x309F) 1
+    else if (c >= 0x30A0 && c <= 0x30FF) 2
+    else if ((c >= 0x3400 && c <= 0x4DBF) || (c >= 0x4E00 && c <= 0x9FFF)) 3
+    else if (c >= 0xAC00 && c <= 0xD7AF) 4
+    else 0
+  private[graft] val cjkScriptIds: Map[String, Int] =
+    Map("hiragana" -> 1, "katakana" -> 2, "han" -> 3, "hangul" -> 4)
+  private[operators] val cjkScriptRange: Map[Int, String] = Map(
+    1 -> "\\u3040-\\u309F", 2 -> "\\u30A0-\\u30FF",
+    3 -> "\\u3400-\\u4DBF\\u4E00-\\u9FFF", 4 -> "\\uAC00-\\uD7AF")
+
   /** One token → script-homogeneous segments; CJK runs of n≥2 chars emit
     * n-1 overlapping bigrams, a lone CJK char stays a unigram, non-CJK
-    * runs pass through unchanged. */
-  private[operators] def cjkExpand(tok: String): Seq[String] = {
+    * runs pass through unchanged.
+    *
+    * `ignored` (Lucene CJKBigramFilter's per-script han/hiragana/
+    * katakana/hangul toggles, surfaced as the ES-shaped
+    * `ignored_scripts` option) exempts scripts from bigramming: ignored
+    * han/hiragana emit ONE TOKEN PER CHAR (what Lucene's
+    * StandardTokenizer hands the filter for those scripts — the filter
+    * passes them through untouched), while ignored katakana/hangul pass
+    * as whole runs (the tokenizer's KATAKANA/ALetter run rules). Runs of
+    * different enabled scripts bigram ACROSS the boundary, matching
+    * Lucene. `outputUnigrams` additionally emits each enabled-script
+    * char as a unigram after its segment's bigrams (bag-of-terms
+    * equivalent of Lucene's interleaved positions). */
+  private[operators] def cjkExpand(tok: String, ignored: Set[Int] = Set.empty,
+                                   outputUnigrams: Boolean = false): Seq[String] = {
+    def cls(c: Char): Int = {
+      val s = cjkScriptOf(c)
+      if (s == 0) 0
+      else if (!ignored(s)) 1
+      else if (s == 1 || s == 3) 2 // ignored hiragana/han → per-char
+      else 3                       // ignored katakana/hangul → whole run
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < tok.length) {
-      val cjk = isCjkChar(tok(i))
+      val k = cls(tok(i))
       var j = i + 1
-      while (j < tok.length && isCjkChar(tok(j)) == cjk) j += 1
+      while (j < tok.length && cls(tok(j)) == k) j += 1
       val seg = tok.substring(i, j)
-      if (!cjk || seg.length == 1) out += seg
-      else {
-        var p = 0
-        while (p < seg.length - 1) { out += seg.substring(p, p + 2); p += 1 }
+      k match {
+        case 1 if seg.length >= 2 =>
+          var p = 0
+          while (p < seg.length - 1) { out += seg.substring(p, p + 2); p += 1 }
+          if (outputUnigrams) seg.foreach(c => out += c.toString)
+        case 2 => seg.foreach(c => out += c.toString)
+        case _ => out += seg
       }
       i = j
     }
@@ -371,7 +409,14 @@ object MatchText {
                             edgeNgram: (Int, Int) = (0, 0),
                             shingle: (Int, Int) = (0, 0),
                             cjkBigram: Boolean = false,
-                            cjkUnigram: Boolean = false) {
+                            cjkUnigram: Boolean = false,
+                            cjkIgnored: Seq[String] = Nil,
+                            cjkOutputUnigrams: Boolean = false) {
+    /** The per-script toggle set ([[MatchText.cjkScriptIds]] keys). */
+    private def cjkIgnoredIds: Set[Int] =
+      cjkIgnored.map(s => MatchText.cjkScriptIds.getOrElse(s.toLowerCase,
+        throw new IllegalArgumentException(
+          s"unknown cjk_bigram script: $s"))).toSet
     private def splitPattern: String = tokenizer match {
       // \p{M}: combining marks (Devanagari/Bengali matras, Thai vowel
       // signs, Arabic diacritics) stay attached to their base letters —
@@ -412,19 +457,39 @@ object MatchText {
       if (asciifold) toks = transform(toks, asciiFoldCol(_))
       if (cjkBigram) {
         // Lucene CJKBigramFilter order: each token re-segments into
-        // script-homogeneous runs; CJK runs of n≥2 chars emit n-1
-        // overlapping bigrams (a lone ideograph stays a unigram),
-        // non-CJK runs pass through to the stop filter below
-        val cls = MatchText.cjkClass
+        // script-CLASS-homogeneous runs; enabled-script CJK runs of n≥2
+        // chars emit n-1 overlapping bigrams (a lone ideograph stays a
+        // unigram), ignored hiragana/han runs emit one token per char,
+        // ignored katakana/hangul and non-CJK runs pass through whole --
+        // mirroring [[MatchText.cjkExpand]] exactly (the fused kernel and
+        // this chain are differential-tested equal)
+        val ignoredIds = cjkIgnoredIds
+        def clsOf(ids: Seq[Int]): String =
+          if (ids.isEmpty) "" else
+            ids.sorted.map(MatchText.cjkScriptRange).mkString("[", "", "]")
+        val eCls = clsOf((1 to 4).filterNot(ignoredIds))
+        val pCls = clsOf(ignoredIds.intersect(Set(1, 3)).toSeq)
+        val rCls = clsOf(ignoredIds.intersect(Set(2, 4)).toSeq)
+        val uniFlag = cjkOutputUnigrams
         toks = flatten(transform(toks, t => {
-          val segs = filter(
-            split(regexp_replace(t, s"($cls+)", "\u0001$1\u0001"), "\u0001"),
-            x => length(x) > 0)
-          flatten(transform(segs, s0 =>
-            when(s0.rlike(s"^$cls") && length(s0) >= 2,
-              transform(sequence(lit(1), length(s0) - 1),
-                i => s0.substr(i, lit(2))))
-              .otherwise(array(s0))))
+          val marked = Seq(eCls, pCls, rCls).filter(_.nonEmpty)
+            .foldLeft(t)((acc, c) =>
+              regexp_replace(acc, s"($c+)", "\u0001$1\u0001"))
+          val segs = filter(split(marked, "\u0001+"), x => length(x) > 0)
+          flatten(transform(segs, s0 => {
+            val bigrams = transform(sequence(lit(1), length(s0) - 1),
+              i => s0.substr(i, lit(2)))
+            val chars = transform(sequence(lit(1), length(s0)),
+              i => s0.substr(i, lit(1)))
+            val enabledArm =
+              if (eCls.isEmpty) when(lit(false), array(s0))
+              else when(s0.rlike(s"^$eCls") && length(s0) >= 2,
+                if (uniFlag) concat(bigrams, chars) else bigrams)
+            val withPerChar =
+              if (pCls.isEmpty) enabledArm
+              else enabledArm.when(s0.rlike(s"^$pCls"), chars)
+            withPerChar.otherwise(array(s0))
+          }))
         }))
       }
       if (cjkUnigram) {
@@ -499,7 +564,10 @@ object MatchText {
         if (tokenizer == "keyword") Seq(cased)
         else cased.split(splitPattern).toSeq.filter(_.nonEmpty)
       if (asciifold) t = t.map(asciiFoldStr)
-      if (cjkBigram) t = t.flatMap(MatchText.cjkExpand)
+      if (cjkBigram) {
+        val ign = cjkIgnoredIds
+        t = t.flatMap(MatchText.cjkExpand(_, ign, cjkOutputUnigrams))
+      }
       if (cjkUnigram) t = t.flatMap(MatchText.cjkExpandUnigram)
       if (minTokenLength > 1) t = t.filter(_.length >= minTokenLength)
       if (maxTokenLength > 0) t = t.filter(_.length <= maxTokenLength)

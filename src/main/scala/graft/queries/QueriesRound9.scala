@@ -191,6 +191,44 @@ object QueriesRound9 {
         .orderBy(col("doc_id"))
     }),
 
+    // CJKBigramFilter per-script flags (Lucene han/hiragana/katakana/
+    // hangul toggles, the ES-shaped `ignored_scripts` +
+    // `output_unigrams` options) through CREATE ANALYZER DDL: the
+    // "flags" arm ignores katakana+hangul (those runs pass whole, han
+    // still bigrams), the "uni" arm emits unigrams beside bigrams.
+    // Oracle = golden token lists per fixture word (mechanical substr
+    // math, no stemming — hand-derivable, the q218 pattern).
+    "q235_cjk_bigram_flags" -> ((s, dir) => {
+      import graft.operators.MatchText
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      routerRoots.computeIfAbsent(s"q235#$dir", _ => {
+        val rt = java.nio.file.Files.createTempDirectory("graft_q235")
+          .toFile.getAbsolutePath
+        val r0 = new graft.StatementRouter(s, rt)
+        r0.execute("""CREATE ANALYZER cjk_flags (TOKENIZER standard,
+          |  TOKEN_FILTERS (lowercase, cjk_bigram WITH
+          |    (ignored_scripts = ['katakana', 'hangul'])))""".stripMargin)
+        r0.execute("""CREATE ANALYZER cjk_uni (TOKENIZER standard,
+          |  TOKEN_FILTERS (lowercase, cjk_bigram WITH
+          |    (output_unigrams = true)))""".stripMargin)
+        rt
+      })
+      val c = graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("k"))
+      def pick(words: Seq[String], m: Int) =
+        element_at(array(words.map(lit): _*), (col("k") % m + 1).cast("int"))
+      val w1 = Seq("データ分析", "クラウド計算", "学習モデル", "数据库", "모델학습")
+      val w2 = Seq("数据库", "机器学习", "大")
+      val f = c.select(lit("flags").as("arm"),
+        explode(MatchText.Analyzer.byName("cjk_flags")(pick(w1, 5))).as("term"))
+      val u = c.select(lit("uni").as("arm"),
+        explode(MatchText.Analyzer.byName("cjk_uni")(pick(w2, 3))).as("term"))
+      f.unionByName(u).groupBy(col("arm"), col("term"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("arm"), col("term"))
+    }),
+
     // Filtered knn through the stored index on the FIXED-probe path
     // (the q215 counterpart whose fixture provably needs NO widen:
     // nprobe = 16 of 16 centroids probes every bucket, the filter's 19
@@ -386,6 +424,28 @@ object QueriesRound9 {
          |ORDER BY 1.0 / (1.0 + list_distance(embedding, $vecLit) ^ 2) DESC,
          |         vec_id
          |LIMIT 5""".stripMargin,
+
+    // golden token lists per fixture word (mechanical bigram math,
+    // hand-derived — the q218 pattern): katakana/hangul runs pass whole
+    // in the flags arm, the uni arm adds per-char unigrams
+    "q235_cjk_bigram_flags" ->
+      """WITH ks AS (SELECT c_custkey AS k FROM customer),
+        |f AS (SELECT (['データ分析','クラウド計算','学習モデル','数据库','모델학습'])[CAST(k % 5 + 1 AS INT)] AS w FROM ks),
+        |ft AS (SELECT unnest(CASE w
+        |  WHEN 'データ分析' THEN ['データ','分析']
+        |  WHEN 'クラウド計算' THEN ['クラウド','計算']
+        |  WHEN '学習モデル' THEN ['学習','モデル']
+        |  WHEN '数据库' THEN ['数据','据库']
+        |  ELSE ['모델학습'] END) AS term FROM f),
+        |u AS (SELECT (['数据库','机器学习','大'])[CAST(k % 3 + 1 AS INT)] AS w FROM ks),
+        |ut AS (SELECT unnest(CASE w
+        |  WHEN '数据库' THEN ['数据','据库','数','据','库']
+        |  WHEN '机器学习' THEN ['机器','器学','学习','机','器','学','习']
+        |  ELSE ['大'] END) AS term FROM u),
+        |terms AS (SELECT 'flags' AS arm, term FROM ft
+        |          UNION ALL SELECT 'uni', term FROM ut)
+        |SELECT arm, term, count(*) AS n FROM terms
+        |GROUP BY arm, term ORDER BY arm, term""".stripMargin,
 
     // exact: every eligible row probed and float-rescored, so the
     // fixed-probe path returns the brute-force filtered top-5

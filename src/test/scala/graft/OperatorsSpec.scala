@@ -570,6 +570,42 @@ class MatchTextSpec extends SparkTestBase {
     assert(a.tokens("ﾃｽﾄ") == Seq("テス", "スト"))
   }
 
+  test("cjk_bigram per-script flags: ignored_scripts + output_unigrams") {
+    import graft.operators.MatchText
+    // katakana/hangul ignored → those runs pass whole; han still bigrams
+    val a = MatchText.Analyzer(cjkBigram = true,
+      cjkIgnored = Seq("katakana", "hangul"))
+    assert(a.tokens("データ分析") == Seq("データ", "分析"))
+    assert(a.tokens("모델학습 数据库") == Seq("모델학습", "数据", "据库"))
+    // ignored han passes per CHAR (Lucene's StandardTokenizer hands the
+    // filter single ideographs); enabled katakana still bigrams
+    val h = MatchText.Analyzer(cjkBigram = true, cjkIgnored = Seq("han"))
+    assert(h.tokens("数据库データ") == Seq("数", "据", "库", "デー", "ータ"))
+    // output_unigrams emits chars after each enabled segment's bigrams;
+    // a lone ideograph stays a single unigram (no duplicate)
+    val u = MatchText.Analyzer(cjkBigram = true, cjkOutputUnigrams = true)
+    assert(u.tokens("学習") == Seq("学習", "学", "習"))
+    assert(u.tokens("spark 大") == Seq("spark", "大"))
+    // unknown script name fails loudly
+    intercept[IllegalArgumentException] {
+      MatchText.Analyzer(cjkBigram = true, cjkIgnored = Seq("latin"))
+        .tokens("x")
+    }
+    // the fused kernel and the Column chain stay differential-equal for
+    // every flag combination
+    val texts = Seq("データ分析 spark", "模型학습", "数据库データ 大")
+    val df = texts.toDF("t")
+    for (an <- Seq(a, h, u)) {
+      val fused = df.select(an(col("t"))).collect()
+        .map(_.getSeq[String](0).toList).toList
+      val chain = df.select(an.columnsChain(col("t"))).collect()
+        .map(_.getSeq[String](0).toList).toList
+      val driver = texts.map(t => an.tokens(t).toList).toList
+      assert(fused == chain, s"fused != chain for $an")
+      assert(fused == driver, s"fused != driver tokens for $an")
+    }
+  }
+
   test("wave-4 analyzers: all 34 reference builtin language types resolve") {
     import graft.operators.MatchText.Analyzer
     // the reference's full `type='<language>'` list (ddl/analyzers.rst)
