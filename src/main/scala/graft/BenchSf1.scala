@@ -57,6 +57,34 @@ object BenchSf1 {
     "q187_indexed_score", "q195_fielded_index_score", "q202_ivf_delta",
     "q224_substring_dedup", "q227_knn_pq_adc", "q228_knn_pq_filtered_stored")
 
+  /** Wave 3 (round-9 continuation): the new data-selection / residual-PQ
+    * family. q231's CATALOG entry pins K=16 centroids for the oracle —
+    * at 10× data that is deliberately the WRONG scale configuration
+    * (pairs grow 100×), so the wave times the operator at the paper's
+    * K ≈ √N instead (`q231_semdedup_scaledK` below): expected pair work
+    * is N^1.5 — a ~31× pair ratio at 10× data BY DESIGN, with the
+    * assignment/scan stages linear. Selected with
+    * SPARK_GRAFT_SF1_WAVE=3 → BENCH_sf1_wave3.json. */
+  private val wave3 = Seq(
+    "q229_lm_perplexity", "q230_dsir_selection", "q231_semdedup_scaledK",
+    "q232_knn_pq_residual", "q233_knn_pq_residual_stored",
+    "q234_knn_filtered_fixed_probe", "q235_cjk_bigram_flags")
+
+  /** Non-catalog bench-only builds (scale-correct configurations of
+    * operators whose catalog entries pin oracle-replayable params). */
+  private val extras: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_semdedup_scaledK" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val k = math.max(16, math.sqrt(emb.count().toDouble).toInt)
+      val cent = emb.orderBy(col("vec_id")).limit(k)
+        .withColumn("cidx",
+          row_number().over(Window.orderBy(col("vec_id"))) - 1)
+        .select(col("cidx"), col("embedding").as("cvec"))
+      graft.operators.Similarity.semDedup(emb, cent, tau = 0.4)
+    }))
+
   private def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dst)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -109,7 +137,7 @@ object BenchSf1 {
     def time(name: String, dir: String): (Double, Double) = {
       def once(): Double = {
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, dir)
+        try SparkEntry.queries.getOrElse(name, extras(name))(spark, dir)
           .write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench_sf1] $name @ $dir failed: $e") }
@@ -121,9 +149,17 @@ object BenchSf1 {
       (cold, warm)
     }
 
-    val wave2Run = sys.env.get("SPARK_GRAFT_SF1_WAVE").contains("2")
-    val picked = if (wave2Run) wave2 else headline
-    val outFile = if (wave2Run) "BENCH_sf1_wave2.json" else "BENCH_sf1.json"
+    val wave = sys.env.getOrElse("SPARK_GRAFT_SF1_WAVE", "1")
+    val picked = wave match {
+      case "2" => wave2
+      case "3" => wave3
+      case _   => headline
+    }
+    val outFile = wave match {
+      case "2" => "BENCH_sf1_wave2.json"
+      case "3" => "BENCH_sf1_wave3.json"
+      case _   => "BENCH_sf1.json"
+    }
     val rows = picked.map { q =>
       val (a, aw) = time(q, sf01)
       val (b, bw) = time(q, sf1)

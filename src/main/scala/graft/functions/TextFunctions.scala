@@ -188,6 +188,79 @@ object TextFunctions {
     if (bestScore == 0) "und" else bestLang
   }
 
+  // ---- Mojibake repair (encoding round-trip artifacts) ----
+
+  /** WHATWG windows-1252 high half: byte 0x80+i ↔ cp1252Hi(i). The five
+    * bytes the Unicode mapping leaves undefined (0x81 0x8D 0x8F 0x90 0x9D)
+    * map to the same-valued C1 controls per the WHATWG encoding standard,
+    * so any 0x80-0xFF byte round-trips — the JDK decoder instead yields
+    * U+FFFD for those five, which would make repair lossy. */
+  private val cp1252Hi: Array[Char] = Array(
+    '\u20AC', '\u0081', '\u201A', '\u0192', '\u201E', '\u2026', '\u2020', '\u2021',
+    '\u02C6', '\u2030', '\u0160', '\u2039', '\u0152', '\u008D', '\u017D', '\u008F',
+    '\u0090', '\u2018', '\u2019', '\u201C', '\u201D', '\u2022', '\u2013', '\u2014',
+    '\u02DC', '\u2122', '\u0161', '\u203A', '\u0153', '\u009D', '\u017E', '\u0178')
+
+  /** char -> cp1252 byte value for the remapped 0x80-0x9F half. */
+  private val cp1252Enc: Map[Char, Int] =
+    cp1252Hi.zipWithIndex.map { case (c, i) => c -> (0x80 + i) }.toMap
+
+  /** Encode via WHATWG windows-1252; null when any char has no cp1252 byte
+    * (e.g. Cyrillic/CJK -- such text cannot be a cp1252 mis-decode). */
+  private def encodeCp1252(s: String): Array[Byte] = {
+    val out = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < 0x80 || (c >= 0xA0 && c <= 0xFF)) out(i) = c.toByte
+      else cp1252Enc.getOrElse(c, -1) match {
+        case -1 => return null
+        case b  => out(i) = b.toByte
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Strict UTF-8 decode; null on any malformed or unmappable sequence. */
+  private def strictUtf8(b: Array[Byte]): String =
+    try {
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      dec.decode(java.nio.ByteBuffer.wrap(b)).toString
+    } catch { case _: java.nio.charset.CharacterCodingException => null }
+
+  /** Repair UTF-8-bytes-read-as-windows-1252 mojibake ("CafÃ©" → "Café"),
+    * the dominant encoding defect in web crawls (the core ftfy case,
+    * documented in the WHATWG encoding standard + ftfy's published
+    * heuristic). A candidate repair is accepted only when (a) the text has
+    * a non-ASCII char, (b) EVERY char maps back to a cp1252 byte, and
+    * (c) those bytes re-decode as strictly valid UTF-8 — legitimate
+    * accented text fails (c) (isolated 0xE9 etc. is malformed UTF-8), and
+    * non-Latin scripts fail (b), so the transform is conservative:
+    * fixed-point for clean text, applied up to 3 rounds for
+    * double/triple-encoded strings. Deterministic, allocation-bounded,
+    * executor-local (used from a codegen'd expression — see
+    * plans.TextExpressions.MojibakeRepairExpr). */
+  def repairMojibake(s: String): String = {
+    var cur = s
+    var iter = 0
+    while (iter < 3) {
+      var hasHi = false
+      var i = 0
+      while (i < cur.length && !hasHi) { if (cur.charAt(i) >= 0x80) hasHi = true; i += 1 }
+      if (!hasHi) return cur
+      val bytes = encodeCp1252(cur)
+      if (bytes == null) return cur
+      val dec = strictUtf8(bytes)
+      if (dec == null || dec == cur || dec.indexOf('\uFFFD') >= 0) return cur
+      cur = dec
+      iter += 1
+    }
+    cur
+  }
+
   // ---- UDF wrappers (registered by GraftFunctions.registerAll) ----
 
   val minhashUdf: UserDefinedFunction =
@@ -210,5 +283,6 @@ object TextFunctions {
   // every operator entry point calls.
   def simhash(text: Column): Column = call_function("graft_simhash", text)
   def fingerprint(text: Column): Column = call_function("graft_fingerprint", text)
+  def repairEncoding(text: Column): Column = call_function("repair_mojibake", text)
   def languageOf(text: Column): Column = langIdUdf(text)
 }

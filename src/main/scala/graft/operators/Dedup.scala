@@ -34,6 +34,30 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Keep-best-representative dedup: within each group of rows sharing
+    * `groupKey`, keep the single row ranked first by `better` (caller
+    * supplies the quality ordering, e.g. quality DESC then id ASC for a
+    * deterministic tie-break), and annotate it with the group size as
+    * `n_members`. This is the curation-pipeline refinement of `exact`:
+    * instead of "lowest id wins", the survivor is the best-scored variant
+    * (canonical casing, least boilerplate-damaged, longest, ...).
+    *
+    * Scale: ONE hash-partition shuffle on `groupKey` — both window
+    * functions (rank + count) share the identical partition spec, so
+    * Catalyst plans them over a single exchange; group sizes are dedup
+    * multiplicities (small), so no skew handling is needed beyond AQE.
+    * Pair with a hashed group key (e.g. md5/xxhash64 of normalized text)
+    * to keep the shuffle key fixed-width; include the real text column in
+    * `groupKey` via the caller when collision-safety at 10^9+ docs
+    * matters (same argument as `exact`). */
+  def keepBest(df: DataFrame, groupKey: Seq[Column], better: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(groupKey: _*).orderBy(better: _*)
+    val wAll = Window.partitionBy(groupKey: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(wAll))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** All (id_a, id_b) pairs co-bucketed by some key, deduplicated, with
     * id_a < id_b. `keyed` must have columns (`key`, `id`). */
   private[operators] def coBucketedPairs(keyed: DataFrame, maxBucket: Int): DataFrame = {

@@ -126,6 +126,37 @@ case class Blake3Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd mojibake repair (`TextFunctions.repairMojibake` kernel —
+  * conservative windows-1252↔UTF-8 round-trip repair, the core published
+  * ftfy heuristic over the WHATWG encoding tables). Map-only: zero shuffle
+  * at any scale; the kernel bails on the first non-cp1252-mappable char so
+  * clean non-Latin corpora pay one scan of the char array. Registered as
+  * `repair_mojibake`. */
+case class MojibakeRepairExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "repair_mojibake"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      TextFunctions.repairMojibake(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.functions.TextFunctions.repairMojibake($c.toString()));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Codegen'd fused analyzer chain (round-5 close of the "gram pipeline
   * runs interpreted" note): the ENTIRE configured analyzer — char filters
   * → tokenize → case fold → ascii fold → length/stop filters → stemmer →
