@@ -51,11 +51,19 @@ object Dedup {
     * `groupKey` via the caller when collision-safety at 10^9+ docs
     * matters (same argument as `exact`). */
   def keepBest(df: DataFrame, groupKey: Seq[Column], better: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(groupKey: _*).orderBy(better: _*)
-    val wAll = Window.partitionBy(groupKey: _*)
-    df.withColumn("__rn", row_number().over(w))
+    // Materialize the group key ONCE: expression-valued partition specs
+    // would otherwise resolve to distinct attributes per window and plan
+    // two hash exchanges — with named key columns both windows partition
+    // by the same attributes and Catalyst reuses a single shuffle
+    // (KeepBestSpec pins the one-Exchange plan).
+    val keyNames = groupKey.indices.map(i => s"__kb_k$i")
+    val keyed = df.withColumns(keyNames.zip(groupKey).toMap)
+    val keyCols = keyNames.map(col)
+    val w = Window.partitionBy(keyCols: _*).orderBy(better: _*)
+    val wAll = Window.partitionBy(keyCols: _*)
+    keyed.withColumn("__rn", row_number().over(w))
       .withColumn("n_members", count(lit(1)).over(wAll))
-      .filter(col("__rn") === 1).drop("__rn")
+      .filter(col("__rn") === 1).drop("__rn").drop(keyNames: _*)
   }
 
   /** All (id_a, id_b) pairs co-bucketed by some key, deduplicated, with

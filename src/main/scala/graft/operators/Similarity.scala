@@ -614,6 +614,36 @@ object Similarity {
         col("hit").isNull.as("kept"))
   }
 
+  /** The paper's K ≈ √N cluster-count contract, as code: with K = ⌈√N⌉
+    * the expected cluster size is √N and the Σ|cluster|² pair cost stays
+    * ≈ N^1.5. Floored at `minK` so tiny corpora still block (below
+    * minK² = 256 rows the floor wins and the quadratic-within-cluster
+    * cost is trivial anyway). */
+  def semDedupAutoK(n: Long, minK: Int = 16): Int =
+    math.max(minK, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** [[semDedup]] with the K ≈ √N contract enforced automatically: K is
+    * derived from ONE corpus count() (the same auto-sizing discipline as
+    * the hyperplane-LSH auto-bits), centroids are k-means-trained on the
+    * deterministic bounded sample ([[kmeansBucketize]]), and their ids
+    * are densified to 0..K-1. A naive caller gets the paper's scaling
+    * without reading the scaladoc; gates that need exact oracle replay
+    * (q231) keep passing a pinned centroid set to [[semDedup]]. */
+  def semDedupAuto(corpus: DataFrame, tau: Double,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   iters: Int = 2, minK: Int = 16): DataFrame = {
+    val k = semDedupAutoK(corpus.count(), minK)
+    val (_, cents) =
+      kmeansBucketize(corpus, numCentroids = k, iters = iters,
+        idCol = idCol, vecCol = vecCol)
+    // densify seed-row ids to 0..K-1 (K rows — a driver-window is fine)
+    val centIdx = cents
+      .withColumn("cidx",
+        row_number().over(Window.orderBy(col("centroid_id"))) - 1)
+      .select(col("cidx"), col("centroid").as("cvec"))
+    semDedup(corpus, centIdx, tau, idCol, vecCol)
+  }
+
   private def udf_topNCentroids(n: Int) =
     org.apache.spark.sql.functions.udaf(new TopNCentroids(n),
       org.apache.spark.sql.Encoders.product[CentScore])

@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** Round-10 specs: the two operators round 9 swept in ungated.
+  *
+  * MojibakeSpec pins `repair_mojibake` (TextFunctions.repairMojibake +
+  * the codegen'd MojibakeRepairExpr) with programmatic round-trip
+  * vectors: mojibake is DERIVED in-test (UTF-8 encode → WHATWG cp1252
+  * decode over the spec's own table), never hand-typed, so a wrong
+  * golden can't hide a wrong kernel.
+  */
+class MojibakeSpec extends SparkTestBase {
+
+  /** WHATWG windows-1252 high half (encoding standard, index = byte-0x80).
+    * Independent re-statement of the table so a transcription slip in the
+    * main kernel's copy fails the round-trip. */
+  private val hi: Array[Char] = Array(
+    0x20AC, 0x0081, 0x201A, 0x0192, 0x201E, 0x2026, 0x2020, 0x2021,
+    0x02C6, 0x2030, 0x0160, 0x2039, 0x0152, 0x008D, 0x017D, 0x008F,
+    0x0090, 0x2018, 0x2019, 0x201C, 0x201D, 0x2022, 0x2013, 0x2014,
+    0x02DC, 0x2122, 0x0161, 0x203A, 0x0153, 0x009D, 0x017E, 0x0178)
+    .map(_.toChar)
+
+  /** One round of "UTF-8 bytes read as windows-1252" damage. */
+  private def mojibake(s: String): String =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).map { b =>
+      val ub = b & 0xff
+      if (ub >= 0x80 && ub <= 0x9f) hi(ub - 0x80) else ub.toChar
+    }.mkString
+
+  private val cleanLatin = Seq(
+    "Café au lait", "naïve résumé", "Straße grüßen", "¡Ángel! ¿señor?",
+    // every WHATWG remap in one string, incl. the five C1 holes the JDK
+    // decoder loses to U+FFFD (0x81 0x8D 0x8F 0x90 0x9D <-> U+0081 ...)
+    "It’s “quoted” — em–en • … € ‰ Œ œ Š š Ž ž Ÿ ƒ ˆ ˜ ‚ „ † ‡ ‹ › ™",
+    "\u0081\u008d\u008f\u0090\u009d") // the 5 C1 holes, escaped
+
+  test("single-encoded mojibake round-trips back to the original") {
+    cleanLatin.foreach { s =>
+      val m = mojibake(s)
+      assert(m != s, s"fixture must actually damage: $s")
+      assert(TextFunctions.repairMojibake(m) == s, s"repair of ${m}")
+    }
+  }
+
+  test("double- and triple-encoded mojibake repairs within 3 rounds") {
+    cleanLatin.take(3).foreach { s =>
+      assert(TextFunctions.repairMojibake(mojibake(mojibake(s))) == s)
+      assert(TextFunctions.repairMojibake(mojibake(mojibake(mojibake(s)))) == s)
+    }
+  }
+
+  test("fixed points: clean text of any script is untouched; idempotent") {
+    val clean = Seq("plain ascii, nothing else.", "", "Café au lait",
+      "Привет, мир", "データ分析と机器学习", "🙂 emoji stays",
+      "mixed: Ωμέγα & تجربة")
+    clean.foreach { s =>
+      assert(TextFunctions.repairMojibake(s) == s, s"must not touch: $s")
+    }
+    cleanLatin.foreach { s =>
+      val r = TextFunctions.repairMojibake(mojibake(s))
+      assert(TextFunctions.repairMojibake(r) == r)
+    }
+  }
+
+  test("conservative: plausible-but-invalid candidates are left alone") {
+    // 'Ã' alone maps to byte 0xC3 — a dangling UTF-8 lead byte, strict
+    // decode fails, so the repair must bail rather than guess
+    assert(TextFunctions.repairMojibake("Ã") == "Ã")
+    // cp1252-encodable text whose bytes decode to DIFFERENT valid text
+    // must only change when the decode is strictly valid UTF-8
+    val s = "A±B" // 0xB1 alone is a continuation byte — invalid
+    assert(TextFunctions.repairMojibake(s) == s)
+  }
+
+  test("SQL registration + codegen expression match the kernel, null-safe") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val inputs = cleanLatin.map(mojibake) ++ Seq("plain", null)
+    val df = inputs.toDF("t")
+      .select(col("t"), call_function("repair_mojibake", col("t")).as("r"))
+    val rows = df.collect()
+    rows.foreach { row =>
+      val t = row.getString(0)
+      val expected = if (t == null) null else TextFunctions.repairMojibake(t)
+      assert(row.getString(1) == expected)
+    }
+    // WholeStageCodegen keeps the expression in the codegen'd stage
+    // (the literal frame above constant-folds to a LocalTableScan, so
+    // assert over a parquet-backed scan where codegen actually runs)
+    val dfp = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(call_function("repair_mojibake", col("text")).as("r"))
+    val plan = dfp.queryExecution.executedPlan.toString
+    // "*(1)" prefixes the WholeStageCodegen span in the simple plan form
+    assert(plan.contains("*(1) Project [repair_mojibake"), plan)
+    assert(dfp.count() > 0)
+  }
+}
+
+/** Pins `Dedup.keepBest`: survivor choice, group-size annotation,
+  * deterministic tie-breaks, and the one-shuffle plan contract. */
+class KeepBestSpec extends SparkTestBase {
+
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox", 5.0),
+      (2L, "the  quick  brown  fox", 3.0), // damaged variant of group A
+      (3L, " the quick brown fox ", 4.0),  // padded variant of group A
+      (4L, "lonely document", 1.0),
+      (5L, "tie game", 2.0),
+      (6L, "tie game", 2.0)                // exact tie -> lowest id wins
+    ).toDF("doc_id", "text", "quality")
+  }
+
+  private def norm = trim(regexp_replace(col("text"), "\\s+", " "))
+
+  test("keeps the best-scored variant per group and annotates group size") {
+    val out = Dedup.keepBest(fixture,
+      groupKey = Seq(norm),
+      better = Seq(col("quality").desc, col("doc_id").asc))
+      .select(col("doc_id"), col("n_members")).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 3L), (4L, 1L), (5L, 2L)))
+  }
+
+  test("survivor need not be the lowest id") {
+    val out = Dedup.keepBest(fixture,
+      groupKey = Seq(norm),
+      better = Seq(col("quality").asc, col("doc_id").asc)) // worst wins
+      .select(col("doc_id")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(2L, 4L, 5L))
+  }
+
+  test("rank and group-size windows share ONE shuffle") {
+    val plan = Dedup.keepBest(fixture, Seq(norm), Seq(col("quality").desc))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+  }
+}
+
+/** Pins the SemDeDup K ≈ √N contract now enforced in code (r9 verdict
+  * ask #4): `semDedupAutoK` is the sizing rule, `semDedupAuto` derives
+  * trained centroids from one count() so a naive caller gets the
+  * paper's N^1.5 pair-cost scaling by default. */
+class SemDedupAutoKSpec extends SparkTestBase {
+  import graft.operators.Similarity
+
+  test("auto-K follows the sqrt-N rule with a 16 floor") {
+    assert(Similarity.semDedupAutoK(0L) == 16)
+    assert(Similarity.semDedupAutoK(100L) == 16)  // floor wins below 256
+    assert(Similarity.semDedupAutoK(256L) == 16)
+    assert(Similarity.semDedupAutoK(257L) == 17)  // sqrt takes over here
+    assert(Similarity.semDedupAutoK(500L) == 23)
+    assert(Similarity.semDedupAutoK(1000000L) == 1000)
+  }
+
+  test("semDedupAuto blocks into at most ceil(sqrt(N)) clusters") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val k = Similarity.semDedupAutoK(n)
+    val out = Similarity.semDedupAuto(emb, tau = 0.4).cache()
+    try {
+      assert(out.count() == n) // one verdict row per input
+      val cl = out.agg(
+        countDistinct(col("cluster")), min(col("cluster")),
+        max(col("cluster"))).head()
+      assert(cl.getLong(0) <= k, s"clusters=${cl.getLong(0)} k=$k")
+      assert(cl.getInt(1) >= 0 && cl.getInt(2) < k)
+      // the keep-lowest-id policy always keeps the corpus minimum
+      val minKept = out.orderBy(col("vec_id")).limit(1)
+        .select(col("kept")).head().getBoolean(0)
+      assert(minKept)
+    } finally { out.unpersist() }
+  }
+}
