@@ -213,8 +213,92 @@ object Similarity {
     * int8 codes only — persist THIS at build time and the search scan
     * reads 4× fewer bytes than the float index (the difference between
     * scanning 100 TB and 25 TB of embeddings). */
+  // ---------- stored-layout codecs (shared assign/encode/delta) ----------
+
+  /** THE bucket-assignment semantics every stored layout shares: cosine
+    * against the FIXED centroid set, ties to the lowest centroid id —
+    * identical to [[ivfBucketize]]'s fresh assignment, so a
+    * delta-maintained index of ANY layout equals a fresh assignment pass
+    * over the union corpus against the same centroids. One broadcast
+    * pass over the delta only. Returns (bucket, cid, cvec). */
+  private def assignFixed(added: DataFrame, centroids: DataFrame,
+                          idCol: String, vecCol: String): DataFrame =
+    added.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .crossJoin(broadcast(centroids))
+      .select(col("cid"), col("cvec"),
+        VectorFunctions.cosineNative(col("cvec"), col("centroid")).as("sim"),
+        col("centroid_id"))
+      .groupBy(col("cid"))
+      .agg(expr("max_by(centroid_id, struct(sim, -centroid_id))").as("bucket"),
+        expr("any_value(cvec)").as("cvec"))
+      .select(col("bucket"), col("cid"), col("cvec"))
+
+  /** Code layout of a stored vector index — the analyzer slot
+    * `vector:<c>:<np>[:pq:<m>:<ksub>[:res]]` names one of these. A codec
+    * owns ONLY the encode step; bucket assignment ([[assignFixed]]) and
+    * delta surgery ([[updateIndex]]) are shared code, so the three
+    * layouts cannot silently diverge in bucket or churn semantics. */
+  sealed trait VectorCodec {
+    def codeCol: String
+    /** Encode (bucket, cid, cvec) rows into this layout's code rows.
+      * `centroids` is required by residual encoding only. */
+    def encode(assigned: DataFrame, centroids: Option[DataFrame]): DataFrame
+  }
+
+  /** int8-quantized float vectors (4× smaller at rest, exact bucket). */
+  case object Int8Codec extends VectorCodec {
+    val codeCol = "qcode"
+    def encode(assigned: DataFrame, centroids: Option[DataFrame]): DataFrame =
+      assigned.select(col("bucket"), col("cid"),
+        quantizeInt8(col("cvec")).as(codeCol))
+  }
+
+  /** m-byte PQ codes; `residual = true` encodes v − centroid(v) (the
+    * full IVFADC recipe, Jégou 2011 §V.A). */
+  final case class PqCodec(codebooks: Array[Array[Array[Float]]],
+                           residual: Boolean) extends VectorCodec {
+    val codeCol = "pqcodes"
+    def encode(assigned: DataFrame, centroids: Option[DataFrame]): DataFrame = {
+      val enc = pqEncoderUdf(assigned.sparkSession, codebooks)
+      if (residual) {
+        val cents = centroids.getOrElse(
+          throw new IllegalArgumentException(
+            "residual PQ encoding needs the centroid set"))
+        assigned
+          .join(broadcast(cents), col("bucket") === col("centroid_id"))
+          .select(col("bucket"), col("cid"),
+            enc(zip_with(col("cvec").cast("array<float>"),
+              col("centroid").cast("array<float>"), (x, y) => x - y))
+              .as(codeCol))
+      } else
+        assigned.select(col("bucket"), col("cid"),
+          enc(col("cvec").cast("array<float>")).as(codeCol))
+    }
+  }
+
+  /** Incremental maintenance shared by ALL stored layouts — the vector
+    * twin of [[graft.operators.MatchText.updateIndex]] (and of FAISS's
+    * `add`/`remove_ids` practice): removed ids drop out of the code set
+    * with one anti-join, added vectors assign to the EXISTING centroids
+    * ([[assignFixed]]) and encode through the layout's codec — one
+    * broadcast pass over the delta, never a corpus re-scan or retrain.
+    * Retrain (rebuild) only when distribution drift hurts recall. */
+  def updateIndex(codec: VectorCodec, codes: DataFrame, centroids: DataFrame,
+                  removedIds: DataFrame, added: DataFrame,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(codes.sparkSession)
+    val rem = removedIds.select(col(removedIds.columns.head).as("cid"))
+    val encoded = codec.encode(
+      assignFixed(added, centroids, idCol, vecCol), Some(centroids))
+    codes.select(col("bucket"), col("cid"), col(codec.codeCol))
+      .join(rem, Seq("cid"), "left_anti")
+      .unionByName(encoded)
+      .select(col("bucket"), col("cid"), col(codec.codeCol))
+  }
+
   def quantizedIndex(bucketed: DataFrame): DataFrame =
-    bucketed.select(col("bucket"), col("cid"), quantizeInt8(col("cvec")).as("qcode"))
+    Int8Codec.encode(bucketed, None)
 
   /** Persist a quantized IVF index as parquet, bucket-partitioned so an
     * `nprobe`-bucket search prunes to `nprobe` partitions at the SCAN
@@ -234,38 +318,13 @@ object Similarity {
     (spark.read.parquet(s"$path/codes"),
       spark.read.parquet(s"$path/centroids"))
 
-  /** Incremental maintenance of a quantized IVF index under corpus churn —
-    * the vector twin of [[graft.operators.MatchText.updateIndex]] (and of
-    * FAISS's `add`/`remove_ids` production practice): removed ids drop
-    * out of the code set with one anti-join, added vectors are assigned
-    * to the EXISTING centroids with one broadcast pass over the DELTA
-    * only, quantized, and appended. Centroids stay fixed — assignment
-    * semantics (cosine, ties to the lowest centroid id) are identical to
-    * [[ivfBucketize]], so a delta-maintained index equals a fresh
-    * assignment pass over the union corpus against the same centroids.
-    * Retrain (rebuild) only when the corpus distribution drifts enough
-    * to hurt recall. Cost: O(|delta| · centroids) + one streamed pass
-    * over the stored codes — never a re-scan of the corpus vectors. */
+  /** [[updateIndex]] on the int8 layout (kept as the stable entry point
+    * for router/spec/catalog callers). */
   def updateQuantizedIndex(codes: DataFrame, centroids: DataFrame,
                            removedIds: DataFrame, added: DataFrame,
                            idCol: String = "vec_id",
-                           vecCol: String = "embedding"): DataFrame = {
-    graft.functions.GraftFunctions.registerAll(codes.sparkSession)
-    val rem = removedIds.select(col(removedIds.columns.head).as("cid"))
-    val a = added.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-    val assigned = a.crossJoin(broadcast(centroids))
-      .select(col("cid"), col("cvec"),
-        VectorFunctions.cosineNative(col("cvec"), col("centroid")).as("sim"),
-        col("centroid_id"))
-      .groupBy(col("cid"))
-      .agg(expr("max_by(centroid_id, struct(sim, -centroid_id))").as("bucket"),
-        expr("any_value(cvec)").as("cvec"))
-      .select(col("bucket"), col("cid"), quantizeInt8(col("cvec")).as("qcode"))
-    codes.select(col("bucket"), col("cid"), col("qcode"))
-      .join(rem, Seq("cid"), "left_anti")
-      .unionByName(assigned)
-      .select(col("bucket"), col("cid"), col("qcode"))
-  }
+                           vecCol: String = "embedding"): DataFrame =
+    updateIndex(Int8Codec, codes, centroids, removedIds, added, idCol, vecCol)
 
   /** [[ivfKnnQuantized]] against a STORED index plus the float corpus for
     * rescoring: candidate generation scans only the code files (pruned to
@@ -885,11 +944,8 @@ object Similarity {
     * nprobe partitions AT THE SCAN, and each pruned byte is 16× smaller
     * than the float it stands for (m=16, dim=64). */
   def ivfPqIndex(bucketed: DataFrame,
-                 codebooks: Array[Array[Array[Float]]]): DataFrame = {
-    val enc = pqEncoderUdf(bucketed.sparkSession, codebooks)
-    bucketed.select(col("bucket"), col("cid"),
-      enc(col("cvec").cast("array<float>")).as("pqcodes"))
-  }
+                 codebooks: Array[Array[Array[Float]]]): DataFrame =
+    PqCodec(codebooks, residual = false).encode(bucketed, None)
 
   /** Persist / load the PQ codebooks beside the codes (parquet of
     * (sub, code, vals) — a few KB; the index layout mirrors the int8
@@ -916,34 +972,14 @@ object Similarity {
     }
   }
 
-  /** Incremental maintenance of a stored IVF-PQ index — the PQ twin of
-    * [[updateQuantizedIndex]]: removed ids anti-join out, added vectors
-    * assign to the FIXED centroids (same cosine max_by semantics) and
-    * encode against the FIXED codebooks — one broadcast pass over the
-    * delta, never a corpus re-scan or a retrain. */
+  /** [[updateIndex]] on the raw-vector PQ layout. */
   def updatePqIndex(codes: DataFrame, centroids: DataFrame,
                     codebooks: Array[Array[Array[Float]]],
                     removedIds: DataFrame, added: DataFrame,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
-    graft.functions.GraftFunctions.registerAll(codes.sparkSession)
-    val rem = removedIds.select(col(removedIds.columns.head).as("cid"))
-    val a = added.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-    val enc = pqEncoderUdf(codes.sparkSession, codebooks)
-    val encoded = a.crossJoin(broadcast(centroids))
-      .select(col("cid"), col("cvec"),
-        VectorFunctions.cosineNative(col("cvec"), col("centroid")).as("sim"),
-        col("centroid_id"))
-      .groupBy(col("cid"))
-      .agg(expr("max_by(centroid_id, struct(sim, -centroid_id))").as("bucket"),
-        expr("any_value(cvec)").as("cvec"))
-      .select(col("bucket"), col("cid"),
-        enc(col("cvec").cast("array<float>")).as("pqcodes"))
-    codes.select(col("bucket"), col("cid"), col("pqcodes"))
-      .join(rem, Seq("cid"), "left_anti")
-      .unionByName(encoded)
-      .select(col("bucket"), col("cid"), col("pqcodes"))
-  }
+                    vecCol: String = "embedding"): DataFrame =
+    updateIndex(PqCodec(codebooks, residual = false),
+      codes, centroids, removedIds, added, idCol, vecCol)
 
   /** [[ivfKnnStored]]'s PQ twin: candidate generation reads ONLY the
     * bucket-pruned m-byte PQ codes, scored by ADC table lookups
@@ -1034,43 +1070,19 @@ object Similarity {
   /** [[ivfPqIndex]]'s residual twin: (bucket, cid, pqcodes) where the
     * codes quantize v − centroid(bucket). Same layout, same byte cost. */
   def ivfPqIndexResidual(bucketed: DataFrame, centroids: DataFrame,
-                         codebooks: Array[Array[Array[Float]]]): DataFrame = {
-    val enc = pqEncoderUdf(bucketed.sparkSession, codebooks)
-    pqResiduals(bucketed, centroids)
-      .select(col("bucket"), col("cid"), enc(col("rvec")).as("pqcodes"))
-  }
+                         codebooks: Array[Array[Array[Float]]]): DataFrame =
+    PqCodec(codebooks, residual = true).encode(bucketed, Some(centroids))
 
-  /** Incremental maintenance of a residual IVF-PQ index — identical
-    * delta discipline to [[updatePqIndex]] (assign to FIXED centroids,
-    * encode against FIXED codebooks, one broadcast pass over the diff),
-    * except the added rows encode their residual. */
+  /** [[updateIndex]] on the residual PQ layout — identical delta
+    * discipline; the added rows encode their residual v − centroid(v)
+    * against the fixed centroids AND fixed codebooks. */
   def updatePqIndexResidual(codes: DataFrame, centroids: DataFrame,
                             codebooks: Array[Array[Array[Float]]],
                             removedIds: DataFrame, added: DataFrame,
                             idCol: String = "vec_id",
-                            vecCol: String = "embedding"): DataFrame = {
-    graft.functions.GraftFunctions.registerAll(codes.sparkSession)
-    val rem = removedIds.select(col(removedIds.columns.head).as("cid"))
-    val a = added.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-    val enc = pqEncoderUdf(codes.sparkSession, codebooks)
-    val assigned = a.crossJoin(broadcast(centroids))
-      .select(col("cid"), col("cvec"),
-        VectorFunctions.cosineNative(col("cvec"), col("centroid")).as("sim"),
-        col("centroid_id"))
-      .groupBy(col("cid"))
-      .agg(expr("max_by(centroid_id, struct(sim, -centroid_id))").as("bucket"),
-        expr("any_value(cvec)").as("cvec"))
-    val encoded = assigned
-      .join(broadcast(centroids), col("bucket") === col("centroid_id"))
-      .select(col("bucket"), col("cid"),
-        enc(zip_with(col("cvec").cast("array<float>"),
-          col("centroid").cast("array<float>"), (x, y) => x - y))
-          .as("pqcodes"))
-    codes.select(col("bucket"), col("cid"), col("pqcodes"))
-      .join(rem, Seq("cid"), "left_anti")
-      .unionByName(encoded)
-      .select(col("bucket"), col("cid"), col("pqcodes"))
-  }
+                            vecCol: String = "embedding"): DataFrame =
+    updateIndex(PqCodec(codebooks, residual = true),
+      codes, centroids, removedIds, added, idCol, vecCol)
 
   /** [[ivfPqKnnStored]] over residual codes. The one structural change:
     * ADC tables are per (query, probed bucket) — the table for bucket b

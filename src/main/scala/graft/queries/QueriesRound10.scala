@@ -33,6 +33,14 @@ import org.apache.spark.sql.functions._
   */
 object QueriesRound10 {
 
+  private val routerRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Same deterministic 64-dim literal as q209/q210/q215/q228. */
+  private val vecLit: String =
+    (0 until 64).map(i => ((i % 7) - 3) / 3.0)
+      .map(v => f"$v%.6f").mkString("[", ", ", "]")
+
   /** Mojibake arms: (input fed to repair_mojibake, repaired golden). */
   private val mojiArms: Seq[(String, String)] = Seq(
     // 0: clean ASCII - fixed point
@@ -107,6 +115,64 @@ object QueriesRound10 {
         .dsirGumbelTopK(docs, col("lang") === "en", seed = 42L, m = 20)
         .select(col("doc_id"), col("n_toks"),
           round(col("gumbel_key").cast("double"), 4).as("gkey"))
+    }),
+
+    // Declared-recall stored knn (r9 verdict ask #7): the index is
+    // created WITH (recall = 0.8) instead of a fixed nprobe; at build
+    // time the route calibrates recall@10 over a doubling nprobe ladder
+    // against the exact-similarity truth and persists the (np, recall)
+    // curve beside the codes; the query then probes with the smallest
+    // rung meeting the target. The entry require()s the filtered stored
+    // route AND a curve-resolved probe count, replays the pick from the
+    // stored curve itself (np_ok), sanity-gates the curve shape
+    // (curve_ok), and the result rows are EXACT vs the brute-force
+    // oracle at ANY curve-picked nprobe: the filter keeps 4 rows
+    // < k = 5, so the recall guard always returns every matching row
+    // (widened/exhausted), each float-rescored exactly.
+    "q239_knn_auto_nprobe" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      val root = routerRoots.computeIfAbsent(s"q239#$dir", _ => {
+        val rt = java.nio.file.Files.createTempDirectory("graft_q239")
+          .toFile.getAbsolutePath
+        val r0 = new graft.StatementRouter(s, rt)
+        r0.execute(
+          """CREATE TABLE vrecall (vec_id BIGINT PRIMARY KEY,
+            |  embedding FLOAT_VECTOR(64),
+            |  INDEX iv USING VECTOR (embedding)
+            |    WITH (centroids = 16, recall = 0.8))""".stripMargin)
+        r0.execute("INSERT INTO vrecall (vec_id, embedding) " +
+          "SELECT vec_id, embedding FROM embeddings")
+        rt
+      })
+      val r = new graft.StatementRouter(s, root)
+      graft.StatementRouter.lastKnnRoute.set("")
+      val out = r.execute(
+        s"""SELECT vec_id, round(_score, 4) AS score FROM vrecall
+           |WHERE vec_id BETWEEN 100 AND 103
+           |  AND knn_match(embedding, $vecLit, 5)
+           |ORDER BY score DESC, vec_id""".stripMargin)
+      require(graft.StatementRouter.lastKnnRoute.get() == "stored-index-filtered",
+        s"q239 must be served by the filtered stored-index route, " +
+          s"got '${graft.StatementRouter.lastKnnRoute.get()}'")
+      val pickedStr = graft.StatementRouter.lastKnnAutoNprobe.get()
+      require(pickedStr.nonEmpty,
+        "a recall-declared index must resolve nprobe from its curve")
+      require(graft.sources.VersionedTable
+        .indexSpecs(s, s"$root/vrecall").head.analyzer == "vector:16:r80",
+        "q239 must run on the declared-recall analyzer slot")
+      // replay the pick from the persisted curve
+      val vdir = new java.io.File(s"$root/vrecall/_vecindex/iv").listFiles()
+        .filter(f => new java.io.File(f, "recallcurve").exists()).head
+      val curve = s.read.parquet(s"${vdir.getAbsolutePath}/recallcurve")
+        .collect().map(x => (x.getInt(0), x.getDouble(1))).sortBy(_._1)
+      val expected = curve.find(_._2 >= 0.8).map(_._1).getOrElse(16)
+      val npOk = expected == pickedStr.toInt
+      val curveOk = curve.nonEmpty && curve.last._1 == 16 &&
+        curve.forall { case (np, rc) => np >= 1 && rc >= 0.0 && rc <= 1.0 }
+      out.crossJoin(
+        out.sparkSession.range(1).select(
+          lit(npOk).as("np_ok"), lit(curveOk).as("curve_ok")))
     })
   )
 
@@ -182,6 +248,20 @@ object QueriesRound10 {
         |SELECT a.doc_id, a.n_toks,
         |       round(CAST(a.lw + n.g AS DOUBLE), 4) AS gkey
         |FROM agg a JOIN noise n USING (doc_id)
-        |ORDER BY a.lw + n.g DESC, a.doc_id LIMIT 20""".stripMargin
+        |ORDER BY a.lw + n.g DESC, a.doc_id LIMIT 20""".stripMargin,
+
+    // exact by the q234 argument (every eligible row float-rescored,
+    // widen-on-shortfall), independent of the curve-picked nprobe; the
+    // curve facts are engine-side booleans replayed as constants
+    "q239_knn_auto_nprobe" ->
+      s"""SELECT vec_id,
+         |       round(1.0 / (1.0 + list_distance(embedding, $vecLit) ^ 2), 4)
+         |         AS score,
+         |       TRUE AS np_ok, TRUE AS curve_ok
+         |FROM embeddings
+         |WHERE vec_id BETWEEN 100 AND 103
+         |ORDER BY 1.0 / (1.0 + list_distance(embedding, $vecLit) ^ 2) DESC,
+         |         vec_id
+         |LIMIT 5""".stripMargin
   )
 }

@@ -330,3 +330,120 @@ class KnnStoredRouteSpec extends SparkTestBase {
     assert(StatementRouter.lastKnnRoute.get() == "stored-index")
   }
 }
+
+/** The three stored layouts (int8 / PQ / residual PQ) now share ONE
+  * assign/encode/delta path (Similarity.VectorCodec + updateIndex): this
+  * matrix runs the IDENTICAL fixture, query, and churn scenario through
+  * the router on all three layout DDLs and requires bit-identical
+  * results at every step — the regression net for layout drift. */
+class KnnLayoutMatrixSpec extends SparkTestBase {
+
+  private def v(base: Double, j: Double) =
+    s"[${(0 until 8).map(i => if (i % 2 == 0) base else j).mkString(", ")}]"
+
+  private val layouts = Seq(
+    "int8" -> "centroids = 2, nprobe = 2",
+    "pq"   -> "centroids = 2, nprobe = 2, encoding = 'pq', pq_m = 4, pq_ksub = 4",
+    "res"  -> ("centroids = 2, nprobe = 2, encoding = 'pq', pq_m = 4, " +
+               "pq_ksub = 4, pq_residual = true"))
+
+  test("the same delta scenario is served identically by all three layouts") {
+    val results = layouts.map { case (name, opts) =>
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_mx_$name").toFile.getAbsolutePath
+      val r = new StatementRouter(spark, root)
+      val t = s"mx_$name"
+      r.execute(s"""CREATE TABLE $t (id BIGINT PRIMARY KEY,
+        |  emb FLOAT_VECTOR(8),
+        |  INDEX iv USING VECTOR (emb) WITH ($opts))""".stripMargin)
+      r.execute(s"INSERT INTO $t (id, emb) VALUES " +
+        s"(1, ${v(1.0, 0.0)}), (2, ${v(0.9, 0.1)}), " +
+        s"(3, ${v(0.95, -0.05)}), (4, ${v(0.85, 0.0)}), " +
+        s"(11, ${v(-1.0, 0.0)}), (12, ${v(-0.9, -0.1)}), " +
+        s"(13, ${v(-0.95, 0.05)}), (14, ${v(-0.85, 0.2)})")
+      val q = s"SELECT id, _score FROM $t " +
+        s"WHERE knn_match(emb, ${v(1.0, 0.0)}, 3) ORDER BY _score DESC"
+      graft.operators.MatchText.IndexCache.clear()
+      val full = r.execute(q).collect()
+        .map(x => (x.getLong(0), math.round(x.getDouble(1) * 1e6))).toSeq
+      assert(StatementRouter.lastVecIndexBuild.get() == "full", name)
+      // identical churn everywhere: drop a top hit, add an exact dup
+      r.execute(s"DELETE FROM $t WHERE id = 2")
+      r.execute(s"INSERT INTO $t (id, emb) VALUES (100, ${v(1.0, 0.0)})")
+      graft.operators.MatchText.IndexCache.clear()
+      val patched = r.execute(q).collect()
+        .map(x => (x.getLong(0), math.round(x.getDouble(1) * 1e6))).toSeq
+      assert(StatementRouter.lastVecIndexBuild.get() == "delta", name)
+      assert(patched.map(_._1).toSet == Set(1L, 100L, 3L), s"$name: $patched")
+      (full, patched)
+    }
+    // nprobe = all buckets + exact re-rank of every candidate ⇒ the
+    // layouts must agree EXACTLY, before and after the churn
+    assert(results.map(_._1).distinct.size == 1, results.map(_._1).toString)
+    assert(results.map(_._2).distinct.size == 1, results.map(_._2).toString)
+  }
+}
+
+/** Declared-recall stored knn — `WITH (recall = …)` instead of a fixed
+  * nprobe (r9 verdict ask #7): the build calibrates recall@10 over a
+  * doubling nprobe ladder, persists the curve beside the codes, the
+  * route probes with the smallest rung meeting the target, SHOW CREATE
+  * round-trips the declaration, and a lax target never probes more
+  * buckets than a strict one. */
+class KnnAutoNprobeSpec extends SparkTestBase {
+
+  private val ringValues = (0 until 64).map { i =>
+    val a = 2 * math.Pi * i / 64
+    f"($i, [${math.cos(a)}%.4f, ${math.sin(a)}%.4f])"
+  }.mkString(", ")
+
+  test("recall declaration calibrates, persists, resolves, round-trips") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_np").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute(
+      """CREATE TABLE va (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(2),
+        |  INDEX iv USING VECTOR (emb)
+        |    WITH (centroids = 8, recall = 0.95))""".stripMargin)
+    r.execute(s"INSERT INTO va (id, emb) VALUES $ringValues")
+    graft.operators.MatchText.IndexCache.clear()
+    val q = "SELECT id, _score FROM va WHERE knn_match(emb, [1.0, 0.0], 3) " +
+      "ORDER BY _score DESC"
+    val rows = r.execute(q).collect()
+    assert(rows.length == 3)
+    val strict = StatementRouter.lastKnnAutoNprobe.get()
+    assert(strict.nonEmpty && strict.toInt >= 1 && strict.toInt <= 8, strict)
+    // the calibration curve is durable, beside the codes
+    val vdir = new java.io.File(s"$root/va/_vecindex/iv").listFiles().head
+    assert(new java.io.File(vdir, "recallcurve").exists())
+    // the analyzer slot carries the target; SHOW CREATE round-trips it
+    assert(graft.sources.VersionedTable.indexSpecs(spark, s"$root/va")
+      .head.analyzer == "vector:8:r95")
+    val show = r.execute("SHOW CREATE TABLE va").head().getString(0)
+    assert(show.contains("recall = 0.95"), show)
+    // resolution is memoized: a second statement re-resolves identically
+    r.execute(q).collect()
+    assert(StatementRouter.lastKnnAutoNprobe.get() == strict)
+
+    // a lax target on the same corpus resolves to no MORE probes
+    r.execute(
+      """CREATE TABLE vb (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(2),
+        |  INDEX iv USING VECTOR (emb)
+        |    WITH (centroids = 8, recall = 0.25))""".stripMargin)
+    r.execute(s"INSERT INTO vb (id, emb) VALUES $ringValues")
+    graft.operators.MatchText.IndexCache.clear()
+    r.execute(q.replace("FROM va", "FROM vb")).collect()
+    val lax = StatementRouter.lastKnnAutoNprobe.get()
+    assert(lax.nonEmpty && lax.toInt <= strict.toInt, s"$lax vs $strict")
+    // fixed-nprobe indexes leave the slot empty
+    StatementRouter.lastKnnAutoNprobe.set("")
+    r.execute(
+      """CREATE TABLE vc (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(2),
+        |  INDEX iv USING VECTOR (emb)
+        |    WITH (centroids = 4, nprobe = 4))""".stripMargin)
+    r.execute(s"INSERT INTO vc (id, emb) VALUES $ringValues")
+    graft.operators.MatchText.IndexCache.clear()
+    r.execute(q.replace("FROM va", "FROM vc")).collect()
+    assert(StatementRouter.lastKnnAutoNprobe.get() == "")
+  }
+}
