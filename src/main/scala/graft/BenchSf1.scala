@@ -70,6 +70,17 @@ object BenchSf1 {
     "q232_knn_pq_residual", "q233_knn_pq_residual_stored",
     "q234_knn_filtered_fixed_probe", "q235_cjk_bigram_flags")
 
+  /** Wave 4 (round 10): q226 was the only round-9 entry with no wave
+    * row (r9 verdict ask #8) — its percentile_approx sketch-merge is
+    * the path that could degrade at 10× rows — plus the round-10
+    * additions: the map-only mojibake repair, the one-shuffle keepBest
+    * (3N input rows), the Gumbel-noise top-m, and the declared-recall
+    * index whose COLD rep times build + calibration ladder. Selected
+    * with SPARK_GRAFT_SF1_WAVE=4 → BENCH_sf1_wave4.json. */
+  private val wave4 = Seq(
+    "q226_analyze_histogram", "q236_repair_mojibake",
+    "q237_dedup_keepbest", "q238_dsir_gumbel", "q239_knn_auto_nprobe")
+
   /** Non-catalog bench-only builds (scale-correct configurations of
     * operators whose catalog entries pin oracle-replayable params). */
   private val extras: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -153,11 +164,13 @@ object BenchSf1 {
     val picked = wave match {
       case "2" => wave2
       case "3" => wave3
+      case "4" => wave4
       case _   => headline
     }
     val outFile = wave match {
       case "2" => "BENCH_sf1_wave2.json"
       case "3" => "BENCH_sf1_wave3.json"
+      case "4" => "BENCH_sf1_wave4.json"
       case _   => "BENCH_sf1.json"
     }
     val rows = picked.map { q =>
