@@ -1742,7 +1742,21 @@ class StatementRouter(spark: SparkSession, root: String) {
       try {
         writeCodes
         fs.listStatus(new Path(idxRootStr)).foreach { s0 =>
-          if (s0.getPath.getName != s"v$version") fs.delete(s0.getPath, true)
+          if (s0.getPath.getName != s"v$version") {
+            // delta patches keep centroids AND codebooks fixed, so the
+            // previous version's recall-calibration curve stays valid:
+            // copy it forward instead of paying a full-corpus truth
+            // scan on every churn commit. Full rebuilds retrain
+            // centroids, so they deliberately fall through to a fresh
+            // calibration (no prior curve survives a "full" build).
+            val prevCurve = new Path(s0.getPath, "recallcurve")
+            val curCurve = new Path(s"$stored/recallcurve")
+            if (StatementRouter.lastVecIndexBuild.get() == "delta" &&
+                fs.exists(prevCurve) && !fs.exists(curCurve))
+              org.apache.hadoop.fs.FileUtil.copy(fs, prevCurve, fs,
+                curCurve, false, spark.sparkContext.hadoopConfiguration)
+            fs.delete(s0.getPath, true)
+          }
         }
       } catch { case _: Exception => () } // search proceeds on the built index
       if (fs.exists(new Path(s"$stored/codes"))) reload else built

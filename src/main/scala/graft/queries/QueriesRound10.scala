@@ -173,6 +173,35 @@ object QueriesRound10 {
       out.crossJoin(
         out.sparkSession.range(1).select(
           lit(npOk).as("np_ok"), lit(curveOk).as("curve_ok")))
+    }),
+
+    // SemDeDup through the code-enforced auto-K path (semDedupAuto —
+    // K = max(16, ceil(sqrt(N))) from one count(), centroids k-means-
+    // trained on the deterministic sample). q231 pins a centroid set
+    // for exact oracle replay; THIS entry gates the contract a naive
+    // caller gets: every input row receives a verdict, cluster indexes
+    // stay inside 0..K-1, the corpus-minimum id is always kept, and
+    // kept+pruned partition the corpus. All facts deterministic
+    // (pinned sample, init, iters), replayed as constants.
+    "q240_semdedup_auto" -> ((s, dir) => {
+      val emb = graft.Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val n = emb.count()
+      val k = graft.operators.Similarity.semDedupAutoK(n)
+      val out = graft.operators.Similarity.semDedupAuto(emb, tau = 0.4)
+      val a = out.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("cluster")).as("nc"),
+        min(col("cluster")).as("cmin"), max(col("cluster")).as("cmax"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      val mk = out.orderBy(col("vec_id")).limit(1)
+        .select(col("kept").as("min_kept"))
+      a.crossJoin(mk).select(
+        col("n_rows"),
+        (col("nc") <= k).as("clusters_ok"),
+        (col("cmin") >= 0 && col("cmax") < k).as("bounds_ok"),
+        (col("n_kept") >= 1 && col("n_kept") <= col("n_rows")).as("kept_ok"),
+        col("min_kept"))
     })
   )
 
@@ -262,6 +291,13 @@ object QueriesRound10 {
          |WHERE vec_id BETWEEN 100 AND 103
          |ORDER BY 1.0 / (1.0 + list_distance(embedding, $vecLit) ^ 2) DESC,
          |         vec_id
-         |LIMIT 5""".stripMargin
+         |LIMIT 5""".stripMargin,
+
+    // envelope facts (the q136/q227 pattern): the corpus size is the
+    // one engine-independent number; the verdicts replay as constants
+    "q240_semdedup_auto" ->
+      """SELECT (SELECT count(*) FROM embeddings) AS n_rows,
+        |       TRUE AS clusters_ok, TRUE AS bounds_ok,
+        |       TRUE AS kept_ok, TRUE AS min_kept""".stripMargin
   )
 }

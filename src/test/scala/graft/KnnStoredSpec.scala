@@ -447,3 +447,46 @@ class KnnAutoNprobeSpec extends SparkTestBase {
     assert(StatementRouter.lastKnnAutoNprobe.get() == "")
   }
 }
+
+/** Delta patches must carry the recall-calibration curve forward: the
+  * centroids (and codebooks) are fixed under churn, so the curve stays
+  * valid and the route must NOT pay a full-corpus truth scan per churn
+  * commit. */
+class KnnCurveCarrySpec extends SparkTestBase {
+  test("churn keeps the curve: copied forward on delta, np still resolves") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cc").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute(
+      """CREATE TABLE vd (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(2),
+        |  INDEX iv USING VECTOR (emb)
+        |    WITH (centroids = 4, recall = 0.9))""".stripMargin)
+    val values = (0 until 32).map { i =>
+      val a = 2 * math.Pi * i / 32
+      f"($i, [${math.cos(a)}%.4f, ${math.sin(a)}%.4f])"
+    }.mkString(", ")
+    r.execute(s"INSERT INTO vd (id, emb) VALUES $values")
+    graft.operators.MatchText.IndexCache.clear()
+    val q = "SELECT id FROM vd WHERE knn_match(emb, [1.0, 0.0], 3)"
+    r.execute(q).collect()
+    assert(StatementRouter.lastVecIndexBuild.get() == "full")
+    val idxRoot = new java.io.File(s"$root/vd/_vecindex/iv")
+    def curveRows() = {
+      val vdir = idxRoot.listFiles()
+        .filter(f => new java.io.File(f, "recallcurve").exists()).head
+      spark.read.parquet(s"${vdir.getAbsolutePath}/recallcurve")
+        .collect().map(x => (x.getInt(0), x.getDouble(1))).sortBy(_._1).toSeq
+    }
+    val before = curveRows()
+    assert(before.nonEmpty)
+    // churn → delta patch; the old version dir is pruned but its curve
+    // must survive into the new version, byte-for-byte
+    r.execute("INSERT INTO vd (id, emb) VALUES (100, [0.7071, 0.7071])")
+    graft.operators.MatchText.IndexCache.clear()
+    r.execute(q).collect()
+    assert(StatementRouter.lastVecIndexBuild.get() == "delta")
+    assert(idxRoot.listFiles().length == 1, "old versions pruned")
+    assert(curveRows() == before, "curve copied forward, not rebuilt")
+    assert(StatementRouter.lastKnnAutoNprobe.get().nonEmpty)
+  }
+}
