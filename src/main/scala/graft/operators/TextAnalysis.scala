@@ -346,4 +346,46 @@ object TextAnalysis {
       .orderBy(col("gumbel_key").desc, col("doc_id"))
       .limit(m)
   }
+
+  /** C4-style blocklist page filter (Raffel et al. 2020 §2.2: drop any
+    * page containing a token on the "bad words" list). Matching is
+    * token-boundary and case-insensitive; the whole list compiles to
+    * ONE alternation regex evaluated by the codegen'd `rlike` —
+    * map-only, zero shuffle, the list rides in the instruction stream
+    * (for 10^4+-word lists switch to an Aho-Corasick UDF; typical
+    * blocklists are a few hundred terms and the regex wins on codegen).
+    * Returns the input plus a `blocked` flag — `filter(!blocked)` is
+    * the scrub. */
+  def blocklistFlag(df: DataFrame, words: Seq[String],
+                    textCol: String = "text"): DataFrame = {
+    require(words.nonEmpty, "empty blocklist")
+    val pat = words.map(java.util.regex.Pattern.quote)
+      .mkString("(?i)(^|[^a-z0-9])(", "|", ")([^a-z0-9]|$)")
+    df.withColumn("blocked", col(textCol).rlike(pat))
+  }
+
+  /** CCNet-style perplexity tiering (Wenzek et al. 2020 §4.3): rank
+    * documents by LM score within each `byCol` partition (language in
+    * the paper) and split into `buckets` equal-frequency tiers —
+    * head/middle/tail at buckets = 3, the quality tiers CCNet samples
+    * from downstream. Ranking key is [[lmBigramScore]]'s bit-stable
+    * (avg_nll, doc_id), so tier assignment is deterministic and
+    * engine-replayable; documents with <2 in-vocab tokens have no
+    * bigram evidence and are excluded (as in the paper's LM scoring).
+    *
+    * Scale: the LM is two vocab-sized grouped counts ([[lmBigramScore]]);
+    * tiering adds ONE window pass over per-document rows partitioned by
+    * `byCol` — a shuffle proportional to document count, not tokens. */
+  def perplexityBuckets(df: DataFrame, byCol: String, buckets: Int = 3,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        maxTokens: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = lmBigramScore(df, idCol, textCol, maxTokens)
+    val w = Window.partitionBy(col(byCol))
+      .orderBy(col("avg_nll"), col("doc_id"))
+    df.select(col(idCol).as("doc_id"), col(byCol))
+      .join(scored, Seq("doc_id"))
+      .withColumn("tier", ntile(buckets).over(w))
+      .select(col("doc_id"), col(byCol), col("avg_nll"), col("tier"))
+  }
 }

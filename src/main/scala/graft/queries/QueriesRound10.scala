@@ -212,6 +212,31 @@ object QueriesRound10 {
         (col("cmin") >= 0 && col("cmax") < k).as("bounds_ok"),
         (col("n_kept") >= 1 && col("n_kept") <= col("n_rows")).as("kept_ok"),
         col("min_kept"))
+    }),
+
+    // C4-style blocklist page filter (Raffel et al. 2020 §2.2): flag
+    // every document containing a blocklisted token at a token
+    // boundary. Exact per-document oracle — DuckDB replays the same
+    // alternation regex over lower(text); "dup" must NOT match inside
+    // "duped" (boundary semantics are part of the gate via the fixture
+    // vocabulary's substring collisions).
+    "q241_blocklist_filter" -> ((s, dir) => {
+      val docs = graft.Tables.load(s, dir, "documents")
+      graft.operators.TextAnalysis
+        .blocklistFlag(docs, Seq("dup", "vector", "slow"))
+        .select(col("doc_id"), col("blocked"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // CCNet head/middle/tail perplexity tiers (Wenzek et al. 2020
+    // §4.3) on top of q229's bigram LM: per-language ntile(3) over the
+    // bit-stable (avg_nll, doc_id) ranking key. Completes the CCNet
+    // lineage: LM scoring (q229) -> quality tiers (this) -> tiered
+    // sampling (q136/q198 machinery).
+    "q242_perplexity_buckets" -> ((s, dir) => {
+      val docs = graft.Tables.load(s, dir, "documents")
+      graft.operators.TextAnalysis.perplexityBuckets(docs, "lang", 3)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -308,6 +333,46 @@ object QueriesRound10 {
     "q240_semdedup_auto" ->
       """SELECT (SELECT count(*) FROM embeddings) AS n_rows,
         |       TRUE AS clusters_ok, TRUE AS bounds_ok,
-        |       TRUE AS kept_ok, TRUE AS min_kept""".stripMargin
+        |       TRUE AS kept_ok, TRUE AS min_kept""".stripMargin,
+
+    "q241_blocklist_filter" ->
+      """SELECT doc_id,
+        |       regexp_matches(lower(text),
+        |         '(^|[^a-z0-9])(dup|vector|slow)([^a-z0-9]|$)') AS blocked
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q229's LM replayed verbatim, then per-language ntile(3) on the
+    // same (avg_nll, doc_id) key
+    "q242_perplexity_buckets" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |                     t -> t <> '')[1:64] AS toks
+        |  FROM documents
+        |),
+        |bi AS (
+        |  SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur
+        |  FROM docs, unnest(range(1, 64)) AS u(i)
+        |  WHERE i <= len(toks) - 1
+        |),
+        |c2 AS (SELECT prev, cur, count(*) AS n2 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT prev, count(*) AS n1 FROM bi GROUP BY 1),
+        |v AS (SELECT count(DISTINCT t) AS vsz FROM docs, unnest(toks) AS s(t)),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |         CAST(round(-ln((n2 + 1.0) / (n1 + (SELECT vsz FROM v))), 6)
+        |              AS DECIMAL(18,9)) AS nll
+        |  FROM bi b JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
+        |),
+        |agg AS (
+        |  SELECT doc_id, round(CAST(avg(nll) AS DOUBLE), 4) AS avg_nll
+        |  FROM scored GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, d.lang, a.avg_nll,
+        |       CAST(ntile(3) OVER (PARTITION BY d.lang
+        |                           ORDER BY a.avg_nll, d.doc_id) AS INT)
+        |         AS tier
+        |FROM documents d JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -222,3 +222,44 @@ class DsirGumbelSpec extends SparkTestBase {
     }
   }
 }
+
+/** Pins the C4 blocklist filter and the CCNet perplexity tiers. */
+class CurationTailSpec extends SparkTestBase {
+  import graft.operators.TextAnalysis
+
+  test("blocklistFlag: token-boundary, case-insensitive, list-wide") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "clean text here"),
+      (2L, "contains dup token"),
+      (3L, "the duped word must not match"),   // boundary: no hit
+      (4L, "SLOW in caps"),
+      (5L, "vector at end: vector"),
+      (6L, "dup"),                             // whole-string match
+      (7L, "endswith dup")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistFlag(df, Seq("dup", "vector", "slow"))
+      .orderBy(col("doc_id")).collect().map(_.getBoolean(2)).toSeq
+    assert(out == Seq(false, true, false, true, true, true, true))
+  }
+
+  test("perplexityBuckets: per-partition equal-frequency tiers, " +
+       "deterministic ties, short docs excluded") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = TextAnalysis.perplexityBuckets(docs, "lang", 3).cache()
+    try {
+      // every scored doc gets a tier 1..3; per-lang tier sizes differ
+      // by at most one (ntile contract)
+      assert(out.filter(col("tier") < 1 || col("tier") > 3).count() == 0)
+      val sizes = out.groupBy(col("lang"), col("tier")).count()
+        .groupBy(col("lang"))
+        .agg((max(col("count")) - min(col("count"))).as("spread"))
+        .collect().map(_.getLong(1))
+      assert(sizes.forall(_ <= 1), sizes.toSeq.toString)
+      // deterministic: re-running yields the identical assignment
+      val again = TextAnalysis.perplexityBuckets(docs, "lang", 3)
+      assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+    } finally { out.unpersist() }
+  }
+}
