@@ -395,4 +395,36 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("kept_paras"), lit(0L)).as("kept_paras"))
   }
+
+  /** Historical-corpus membership dedup via a distributed Bloom filter —
+    * the production pattern for "drop anything we already have" without
+    * joining the new batch against 100 TB of history: the history's
+    * normalized-text fingerprints fold into ONE Bloom filter
+    * (`DataFrameStatFunctions.bloomFilter` — executor-side partial
+    * filters OR-merged by treeAggregate; the driver holds only the bit
+    * array, sized by `fpp`), which then broadcasts to the new batch as
+    * a map-side membership test. False NEGATIVES are impossible (every
+    * true duplicate is flagged — the Bloom guarantee); false positives
+    * run at ~`fpp`, so precision-critical callers exact-join just the
+    * flagged subset (|flagged| = |dups| + fpp*|new| - a tiny fraction
+    * of the batch) in a second, cheap pass.
+    *
+    * Key = xxhash64 of lowercased whitespace-collapsed text - the exact
+    * dedup normalization; the filter is deterministic for a given
+    * history (fixed hash family, order-independent bit OR).
+    * Returns the new batch plus `maybe_dup`. */
+  def bloomHistoryFlag(newDocs: DataFrame, history: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       expectedItems: Long = 0L,
+                       fpp: Double = 0.01): DataFrame = {
+    def key(c: Column): Column =
+      xxhash64(trim(regexp_replace(lower(c), "\\s+", " ")))
+    val n = if (expectedItems > 0L) expectedItems
+            else math.max(1L, history.count())
+    val bf = history.select(key(col(textCol)).as("k"))
+      .stat.bloomFilter("k", n, fpp)
+    val bc = newDocs.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    newDocs.withColumn("maybe_dup", mightContain(key(col(textCol))))
+  }
 }

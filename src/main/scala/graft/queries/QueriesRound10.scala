@@ -237,6 +237,42 @@ object QueriesRound10 {
       val docs = graft.Tables.load(s, dir, "documents")
       graft.operators.TextAnalysis.perplexityBuckets(docs, "lang", 3)
         .orderBy(col("doc_id"))
+    }),
+
+    // Bloom-filter historical dedup (Dedup.bloomHistoryFlag): the new
+    // batch = every document re-ingested with even ids verbatim (true
+    // duplicates) and odd ids tail-modified (fresh). The per-document
+    // exact verdict is replayed by DuckDB via a normalized-text
+    // semi-join; the Bloom side is gated through its guarantees —
+    // no_false_neg (every exact duplicate flagged; a Bloom filter
+    // cannot miss) and fp_ok (false-positive rate within 5× the
+    // declared fpp) — both deterministic for a fixed history.
+    "q243_bloom_history_dedup" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val base = graft.Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val newBatch = base.select(
+        (col("doc_id") + 10000000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" fresh tail"))).as("text"))
+      val flagged = Dedup.bloomHistoryFlag(newBatch, base, fpp = 0.01)
+      val normKey = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      val hist = base.select(normKey.as("k")).distinct()
+      val verdicts = flagged.withColumn("k", normKey)
+        .join(hist.withColumn("hit", lit(1)), Seq("k"), "left")
+        .select(col("doc_id"), col("maybe_dup"),
+          col("hit").isNotNull.as("exact_dup"))
+      val facts = verdicts.agg(
+        sum(when(col("exact_dup") && !col("maybe_dup"), 1L).otherwise(0L))
+          .as("missed"),
+        sum(when(!col("exact_dup") && col("maybe_dup"), 1L).otherwise(0L))
+          .as("fp"),
+        count(lit(1)).as("n"))
+        .select((col("missed") === 0L).as("no_false_neg"),
+          (col("fp") <= col("n") * 0.05).as("fp_ok"))
+      verdicts.select(col("doc_id"), col("exact_dup"))
+        .crossJoin(facts)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -373,6 +409,24 @@ object QueriesRound10 {
         |                           ORDER BY a.avg_nll, d.doc_id) AS INT)
         |         AS tier
         |FROM documents d JOIN agg a USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // exact verdicts replayed via the normalized-text semi-join; the
+    // Bloom guarantees replay as constants
+    "q243_bloom_history_dedup" ->
+      """WITH newb AS (
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |         CASE WHEN doc_id % 2 = 0 THEN text
+        |              ELSE text || ' fresh tail' END AS text
+        |  FROM documents),
+        |hist AS (
+        |  SELECT DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |           AS k
+        |  FROM documents)
+        |SELECT n.doc_id,
+        |       trim(regexp_replace(lower(n.text), '\s+', ' ', 'g'))
+        |         IN (SELECT k FROM hist) AS exact_dup,
+        |       TRUE AS no_false_neg, TRUE AS fp_ok
+        |FROM newb n ORDER BY n.doc_id""".stripMargin
   )
 }

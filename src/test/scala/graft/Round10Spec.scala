@@ -263,3 +263,31 @@ class CurationTailSpec extends SparkTestBase {
     } finally { out.unpersist() }
   }
 }
+
+/** Pins Dedup.bloomHistoryFlag: the no-false-negative guarantee, a
+  * bounded false-positive rate, and normalization-insensitivity. */
+class BloomHistorySpec extends SparkTestBase {
+  import graft.operators.Dedup
+
+  test("every true duplicate is flagged; fp rate bounded; norm-insensitive") {
+    import spark.implicits._
+    val history = (1L to 400L).map(i => (i, s"historical document number $i"))
+      .toDF("doc_id", "text")
+    val newDocs = (
+      (1L to 100L).map(i => (1000 + i, s"historical document number $i")) ++
+      // whitespace/case variants of history rows must still flag
+      Seq((2001L, "  Historical   document number 7 "),
+          (2002L, "HISTORICAL DOCUMENT NUMBER 8")) ++
+      (1L to 300L).map(i => (3000 + i, s"genuinely fresh content $i"))
+    ).toDF("doc_id", "text")
+    val out = Dedup.bloomHistoryFlag(newDocs, history, fpp = 0.01)
+      .select(col("doc_id"), col("maybe_dup")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    // Bloom guarantee: zero false negatives, incl. normalization variants
+    (1L to 100L).foreach(i => assert(out(1000 + i), s"missed dup $i"))
+    assert(out(2001L) && out(2002L), "normalization variants must flag")
+    // false positives bounded well above fpp = 1%
+    val fp = (1L to 300L).count(i => out(3000 + i))
+    assert(fp <= 15, s"fp = $fp of 300 at fpp = 0.01")
+  }
+}
