@@ -347,6 +347,8 @@ object GraftFunctions {
       exprs => graft.plans.Blake3Expr(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction("repair_mojibake",
       exprs => graft.plans.MojibakeRepairExpr(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("unicode_normalize",
+      exprs => graft.plans.UnicodeNormalizeExpr(exprs(0), exprs(1)), "scala_udf")
 
     // CrateDB array-bound / emptiness scalars as pure Catalyst compositions
     // (codegen'd, no UDF): null_or_empty covers BOTH the OBJECT and ARRAY

@@ -261,6 +261,20 @@ object TextFunctions {
     cur
   }
 
+  // ---- Unicode normalization ----
+
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD via the JDK's
+    * java.text.Normalizer — the Unicode standard annex #15 algorithm).
+    * The curation-standard pre-hash pass: NFC canonicalizes composed vs
+    * decomposed spellings so exact/MinHash dedup keys agree; NFKC
+    * additionally folds compatibility forms (ligatures, fullwidth/
+    * halfwidth, circled digits) the way mC4/CCNet normalize before
+    * counting. Called from the codegen'd
+    * [[graft.plans.UnicodeNormalizeExpr]]. */
+  def unicodeNormalize(s: String, form: String): String =
+    java.text.Normalizer.normalize(s,
+      java.text.Normalizer.Form.valueOf(form.toUpperCase(java.util.Locale.ROOT)))
+
   // ---- UDF wrappers (registered by GraftFunctions.registerAll) ----
 
   val minhashUdf: UserDefinedFunction =

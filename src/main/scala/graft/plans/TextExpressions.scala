@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -155,6 +155,41 @@ case class MojibakeRepairExpr(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Codegen'd Unicode normalization (`TextFunctions.unicodeNormalize` —
+  * java.text.Normalizer, UAX #15): NFC/NFD/NFKC/NFKD selected by the
+  * second argument. Map-only, zero shuffle — the curation-standard
+  * normalize-before-hash pass (composed vs decomposed spellings hash
+  * identically after NFC; NFKC folds ligatures/fullwidth/circled
+  * forms). Registered as `unicode_normalize(text, 'NFC')`. */
+case class UnicodeNormalizeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "unicode_normalize"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string) arguments")
+
+  override def nullSafeEval(s: Any, f: Any): Any =
+    UTF8String.fromString(TextFunctions.unicodeNormalize(
+      s.asInstanceOf[UTF8String].toString,
+      f.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, f) =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.functions.TextFunctions.unicodeNormalize(
+         |    $c.toString(), $f.toString()));""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Codegen'd fused analyzer chain (round-5 close of the "gram pipeline

@@ -48,6 +48,16 @@ object QueriesRound10 {
     (0 until 64).map(i => ((i % 7) - 3) / 3.0)
       .map(v => f"$v%.6f").mkString("[", ", ", "]")
 
+
+  /** q244's normalization vectors (inputs; goldens live in the oracle). */
+  private val normArms: Seq[String] = Seq(
+    "plain ascii stays put.",
+    "Cafe\u0301 decomposed acute",
+    "\ufb01le ligature kept by NFC",
+    "\u2460 circled one, squared \u00b2",
+    "\uff83\uff9e\uff70\uff80 halfwidth katakana",
+    "\u00c5 angstrom sign")
+
   /** Mojibake arms: (input fed to repair_mojibake, repaired golden). */
   private val mojiArms: Seq[(String, String)] = Seq(
     // 0: clean ASCII - fixed point
@@ -273,6 +283,28 @@ object QueriesRound10 {
       verdicts.select(col("doc_id"), col("exact_dup"))
         .crossJoin(facts)
         .orderBy(col("doc_id"))
+    }),
+
+    // Unicode normalization (UAX #15 via the codegen'd
+    // unicode_normalize expression): six golden-vector arms over
+    // documents.doc_id - decomposed->NFC composition, ligature/circled/
+    // superscript/halfwidth compatibility folds under NFKC (with NFC
+    // leaving them alone), the angstrom-sign canonical mapping, and an
+    // ASCII fixed point. Goldens derived with a SECOND implementation
+    // (Python unicodedata) and vetted, so a JDK normalization bug
+    // cannot self-confirm. Curation use: normalize before hashing so
+    // composed/decomposed spellings dedup identically.
+    "q244_unicode_normalize" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      val docs = graft.Tables.load(s, dir, "documents").select(col("doc_id"))
+      val inp = element_at(array(normArms.map(lit): _*),
+        (col("doc_id") % 6 + 1).cast("int"))
+      docs.select((col("doc_id") % 6).cast("int").as("arm"),
+          call_function("unicode_normalize", inp, lit("NFC")).as("nfc"),
+          call_function("unicode_normalize", inp, lit("NFKC")).as("nfkc"))
+        .groupBy(col("arm"), col("nfc"), col("nfkc"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("arm"))
     })
   )
 
@@ -427,6 +459,22 @@ object QueriesRound10 {
         |       trim(regexp_replace(lower(n.text), '\s+', ' ', 'g'))
         |         IN (SELECT k FROM hist) AS exact_dup,
         |       TRUE AS no_false_neg, TRUE AS fp_ok
-        |FROM newb n ORDER BY n.doc_id""".stripMargin
+        |FROM newb n ORDER BY n.doc_id""".stripMargin,
+
+    // goldens per arm (Python-unicodedata-derived, vetted); counts
+    // replay the arm assignment
+    "q244_unicode_normalize" ->
+      """WITH d AS (SELECT CAST(doc_id % 6 AS INT) AS arm FROM documents),
+        |g(arm, nfc, nfkc) AS (VALUES
+        |  (0, 'plain ascii stays put.', 'plain ascii stays put.'),
+        |  (1, 'Café decomposed acute', 'Café decomposed acute'),
+        |  (2, 'ﬁle ligature kept by NFC', 'file ligature kept by NFC'),
+        |  (3, '① circled one, squared ²', '1 circled one, squared 2'),
+        |  (4, 'ﾃﾞｰﾀ halfwidth katakana', 'データ halfwidth katakana'),
+        |  (5, 'Å angstrom sign', 'Å angstrom sign'))
+        |SELECT d.arm, g.nfc, g.nfkc, count(*) AS n
+        |FROM d JOIN g ON d.arm = g.arm
+        |GROUP BY d.arm, g.nfc, g.nfkc
+        |ORDER BY d.arm""".stripMargin
   )
 }

@@ -291,3 +291,47 @@ class BloomHistorySpec extends SparkTestBase {
     assert(fp <= 15, s"fp = $fp of 300 at fpp = 0.01")
   }
 }
+
+/** Pins unicode_normalize (UAX #15 via java.text.Normalizer): form
+  * semantics, idempotence, codegen registration, null safety. */
+class UnicodeNormalizeSpec extends SparkTestBase {
+  import graft.functions.TextFunctions.unicodeNormalize
+
+  test("NFC composes, NFKC folds compatibility forms, both idempotent") {
+    val dec = "Cafe\u0301"            // e + combining acute
+    assert(unicodeNormalize(dec, "NFC") == "Caf\u00e9")
+    assert(unicodeNormalize("\u212b", "NFC") == "\u00c5")  // angstrom
+    assert(unicodeNormalize("\ufb01le", "NFC") == "\ufb01le") // ligature kept
+    assert(unicodeNormalize("\ufb01le", "NFKC") == "file")    // ...folded
+    assert(unicodeNormalize("\u2460\u00b2", "NFKC") == "12")
+    assert(unicodeNormalize("\uff83\uff9e\uff70\uff80", "NFKC") == "\u30c7\u30fc\u30bf")
+    // NFD decomposes back
+    assert(unicodeNormalize("Caf\u00e9", "NFD") == dec)
+    // idempotence on every form
+    Seq("NFC", "NFD", "NFKC", "NFKD").foreach { f =>
+      val once = unicodeNormalize("\u2460 Caf\u00e9 \ufb01le \u212b", f)
+      assert(unicodeNormalize(once, f) == once, f)
+    }
+    // lowercase form names accepted
+    assert(unicodeNormalize(dec, "nfc") == "Caf\u00e9")
+  }
+
+  test("SQL registration, codegen span, null safety, dedup-key use") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val df = Seq("Cafe\u0301", "Caf\u00e9", null).toDF("t")
+      .select(call_function("unicode_normalize", col("t"), lit("NFC")).as("n"))
+    val rows = df.collect().map(r => Option(r.getString(0)))
+    assert(rows(0) == rows(1) && rows(0).contains("Caf\u00e9"))
+    assert(rows(2).isEmpty)
+    // composed and decomposed spellings now share one exact-dedup key
+    val keys = Seq((1L, "Cafe\u0301"), (2L, "Caf\u00e9")).toDF("id", "t")
+      .select(xxhash64(call_function("unicode_normalize", col("t"), lit("NFC"))))
+      .collect().map(_.getLong(0))
+    assert(keys(0) == keys(1))
+    val plan = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(call_function("unicode_normalize", col("text"), lit("NFC")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [unicode_normalize"), plan)
+  }
+}
