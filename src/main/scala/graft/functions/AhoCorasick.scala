@@ -1,0 +1,109 @@
+package graft.functions
+
+/** Aho–Corasick multi-pattern matcher (Aho & Corasick 1975, CACM 18(6))
+  * for the blocklist filter's large-list path: one pass over the text
+  * regardless of list size, vs the regex alternation's per-position
+  * backtracking that degrades past a few hundred terms.
+  *
+  * Semantics are IDENTICAL to the regex path in
+  * [[graft.operators.TextAnalysis.blocklistFlag]] —
+  * `(?i)(^|[^a-z0-9])(w1|w2|…)([^a-z0-9]|$)` — matching runs over the
+  * lowercased text and a hit counts only when both neighbors are
+  * outside `[a-z0-9]` (BlocklistSpec differential-tests the two paths
+  * on the same inputs).
+  *
+  * Built once on the driver, serialized with the closure; flat-array
+  * automaton (sorted per-node transition arrays + binary search), so
+  * executor deserialization is cheap and matching allocates nothing.
+  */
+final class AhoCorasick(patternsRaw: Seq[String]) extends Serializable {
+  require(patternsRaw.nonEmpty, "empty pattern set")
+  private val patterns = patternsRaw.map(_.toLowerCase).distinct.toArray
+
+  // --- trie build (mutable, driver-side only) ---
+  private val (transKeys, transVals, fail, outLens) = {
+    import scala.collection.mutable
+    val children = mutable.ArrayBuffer(mutable.TreeMap.empty[Char, Int])
+    val ends = mutable.ArrayBuffer(List.empty[Int])
+    patterns.foreach { p =>
+      var s = 0
+      p.foreach { c =>
+        s = children(s).getOrElseUpdate(c, {
+          children += mutable.TreeMap.empty[Char, Int]
+          ends += Nil
+          children.size - 1
+        })
+      }
+      ends(s) = p.length :: ends(s)
+    }
+    val n = children.size
+    val failA = new Array[Int](n)
+    val outA = new Array[List[Int]](n)
+    var i = 0
+    while (i < n) { outA(i) = ends(i); i += 1 }
+    // BFS fail links (root's children fail to root)
+    val queue = mutable.Queue.empty[Int]
+    children(0).valuesIterator.foreach { c => failA(c) = 0; queue += c }
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      children(u).foreach { case (ch, v) =>
+        var f = failA(u)
+        while (f != 0 && !children(f).contains(ch)) f = failA(f)
+        failA(v) = if (children(f).contains(ch) && children(f)(ch) != v)
+          children(f)(ch) else 0
+        outA(v) = outA(v) ++ outA(failA(v))
+        queue += v
+      }
+    }
+    val keysA = new Array[Array[Char]](n)
+    val valsA = new Array[Array[Int]](n)
+    i = 0
+    while (i < n) {
+      keysA(i) = children(i).keysIterator.toArray
+      valsA(i) = children(i).valuesIterator.toArray
+      i += 1
+    }
+    (keysA, valsA, failA, outA.map(_.toArray))
+  }
+
+  @inline private def child(s: Int, c: Char): Int = {
+    val ks = transKeys(s)
+    var lo = 0; var hi = ks.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (ks(mid) == c) return transVals(s)(mid)
+      else if (ks(mid) < c) lo = mid + 1
+      else hi = mid - 1
+    }
+    -1
+  }
+
+  @inline private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+
+  /** True iff any pattern occurs at a token boundary (both neighbors
+    * outside [a-z0-9]), case-insensitively. One pass, no allocation. */
+  def containsAny(textRaw: String): Boolean = {
+    if (textRaw == null) return false
+    val text = textRaw.toLowerCase
+    var state = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      var next = child(state, c)
+      while (next < 0 && state != 0) { state = fail(state); next = child(state, c) }
+      state = if (next >= 0) next else 0
+      val outs = outLens(state)
+      var k = 0
+      while (k < outs.length) {
+        val start = i + 1 - outs(k)
+        if ((start == 0 || !isWordChar(text.charAt(start - 1))) &&
+            (i == text.length - 1 || !isWordChar(text.charAt(i + 1))))
+          return true
+        k += 1
+      }
+      i += 1
+    }
+    false
+  }
+}

@@ -357,11 +357,24 @@ object TextAnalysis {
     * Returns the input plus a `blocked` flag — `filter(!blocked)` is
     * the scrub. */
   def blocklistFlag(df: DataFrame, words: Seq[String],
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    acThreshold: Int = 256): DataFrame = {
     require(words.nonEmpty, "empty blocklist")
-    val pat = words.map(java.util.regex.Pattern.quote)
-      .mkString("(?i)(^|[^a-z0-9])(", "|", ")([^a-z0-9]|$)")
-    df.withColumn("blocked", col(textCol).rlike(pat))
+    if (words.size <= acThreshold) {
+      val pat = words.map(java.util.regex.Pattern.quote)
+        .mkString("(?i)(^|[^a-z0-9])(", "|", ")([^a-z0-9]|$)")
+      df.withColumn("blocked", col(textCol).rlike(pat))
+    } else {
+      // large lists: one Aho–Corasick pass per document instead of the
+      // regex alternation's per-position scan over 10^4+ branches; the
+      // automaton builds once on the driver and rides the closure
+      // (flat arrays — cheap to deserialize per executor). Identical
+      // boundary semantics, differential-tested in BlocklistSpec.
+      val ac = new graft.functions.AhoCorasick(words)
+      val f = udf((t: String) =>
+        if (t == null) null else Boolean.box(ac.containsAny(t)))
+      df.withColumn("blocked", f(col(textCol)))
+    }
   }
 
   /** CCNet-style perplexity tiering (Wenzek et al. 2020 §4.3): rank

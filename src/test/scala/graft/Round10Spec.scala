@@ -335,3 +335,44 @@ class UnicodeNormalizeSpec extends SparkTestBase {
     assert(plan.contains("*(1) Project [unicode_normalize"), plan)
   }
 }
+
+/** Differential gate for the blocklist's two paths: the regex
+  * alternation (small lists) and the Aho-Corasick automaton (large
+  * lists) must agree on every document. */
+class AhoCorasickSpec extends SparkTestBase {
+  import graft.functions.AhoCorasick
+  import graft.operators.TextAnalysis
+
+  test("kernel: boundaries, overlaps, case, substring collisions") {
+    val ac = new AhoCorasick(Seq("dup", "slow", "he", "hers", "ab0"))
+    assert(ac.containsAny("a dup here"))
+    assert(!ac.containsAny("duped and dups"))      // boundary blocks
+    assert(ac.containsAny("DUP!"))                 // case-insensitive
+    assert(ac.containsAny("x hers y"))             // suffix-path output
+    assert(ac.containsAny("he said"))
+    assert(!ac.containsAny("shepherd"))            // inner 'he' blocked
+    assert(ac.containsAny("ab0."))                 // digit inside word
+    assert(!ac.containsAny("ab01"))                // digit boundary blocks
+    assert(!ac.containsAny(""))
+    assert(!ac.containsAny(null))
+  }
+
+  test("regex and automaton paths agree document-by-document") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // a list large enough to force the AC path when threshold is low:
+    // fixture vocabulary + noise words that never match
+    val words = Seq("dup", "vector", "slow", "spark", "customer") ++
+      (1 to 600).map(i => s"neverpresent$i")
+    val viaRegex = TextAnalysis
+      .blocklistFlag(docs, words, acThreshold = Int.MaxValue)
+      .select(col("doc_id"), col("blocked"))
+    val viaAc = TextAnalysis
+      .blocklistFlag(docs, words, acThreshold = 1)
+      .select(col("doc_id"), col("blocked"))
+    assert(viaRegex.except(viaAc).count() == 0)
+    assert(viaAc.except(viaRegex).count() == 0)
+    // and the list actually matches something
+    assert(viaAc.filter(col("blocked")).count() > 0)
+  }
+}
