@@ -81,6 +81,14 @@ object BenchSf1 {
     "q226_analyze_histogram", "q236_repair_mojibake",
     "q237_dedup_keepbest", "q238_dsir_gumbel", "q239_knn_auto_nprobe")
 
+  /** Wave 5 (round-10 late tail): the blocklist scan, the LM-tier
+    * window, the Bloom build+membership pass, and the normalization
+    * expression at 10× rows. Selected with SPARK_GRAFT_SF1_WAVE=5 →
+    * BENCH_sf1_wave5.json. */
+  private val wave5 = Seq(
+    "q241_blocklist_filter", "q242_perplexity_buckets",
+    "q243_bloom_history_dedup", "q244_unicode_normalize")
+
   /** Non-catalog bench-only builds (scale-correct configurations of
     * operators whose catalog entries pin oracle-replayable params). */
   private val extras: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -165,12 +173,14 @@ object BenchSf1 {
       case "2" => wave2
       case "3" => wave3
       case "4" => wave4
+      case "5" => wave5
       case _   => headline
     }
     val outFile = wave match {
       case "2" => "BENCH_sf1_wave2.json"
       case "3" => "BENCH_sf1_wave3.json"
       case "4" => "BENCH_sf1_wave4.json"
+      case "5" => "BENCH_sf1_wave5.json"
       case _   => "BENCH_sf1.json"
     }
     val rows = picked.map { q =>
