@@ -27,7 +27,8 @@ object SparkEntry {
       QueriesComposite.queries ++ QueriesPipeline.queries ++
       QueriesRound3.queries ++ QueriesRound4.queries ++
       QueriesRound5.queries ++ QueriesRound7.queries ++
-      QueriesRound9.queries ++ QueriesRound10.queries
+      QueriesRound9.queries ++ QueriesRound10.queries ++
+      QueriesRound11.queries
 
   def oracleSql: Map[String, String] =
     QueriesRelational.oracles ++ QueriesWindow.oracles ++
@@ -37,5 +38,6 @@ object SparkEntry {
       QueriesComposite.oracles ++ QueriesPipeline.oracles ++
       QueriesRound3.oracles ++ QueriesRound4.oracles ++
       QueriesRound5.oracles ++ QueriesRound7.oracles ++
-      QueriesRound9.oracles ++ QueriesRound10.oracles
+      QueriesRound9.oracles ++ QueriesRound10.oracles ++
+      QueriesRound11.oracles
 }

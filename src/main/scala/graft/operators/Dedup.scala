@@ -412,7 +412,16 @@ object Dedup {
     * Key = xxhash64 of lowercased whitespace-collapsed text - the exact
     * dedup normalization; the filter is deterministic for a given
     * history (fixed hash family, order-independent bit OR).
-    * Returns the new batch plus `maybe_dup`. */
+    * Returns the new batch plus `maybe_dup`.
+    *
+    * LIFETIME: the broadcast filter lives until the session ends — fine
+    * for a one-shot batch job, an accumulating leak when called
+    * repeatedly in a long-lived session. Such callers should use
+    * [[bloomHistoryFlagBucketed]], whose [[BloomFlag.release]] destroys
+    * the broadcast once the flags are materialized. DRIVER MEMORY: the
+    * single bit array is ~1.2 GB per 10^9 history docs at fpp 0.01 —
+    * past ~10^10 docs use [[bloomHistoryFlagBucketed]], which degrades
+    * to a driver-free semi-join beyond its byte budget. */
   def bloomHistoryFlag(newDocs: DataFrame, history: DataFrame,
                        idCol: String = "doc_id", textCol: String = "text",
                        expectedItems: Long = 0L,
@@ -426,5 +435,121 @@ object Dedup {
     val bc = newDocs.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
     newDocs.withColumn("maybe_dup", mightContain(key(col(textCol))))
+  }
+
+  /** A Bloom-flagged batch plus explicit resource lifecycle: `release()`
+    * destroys the broadcast filter blocks on driver and executors. The
+    * flagged DataFrame must be fully materialized (collected / written)
+    * BEFORE calling release — re-evaluating it afterwards fails. `route`
+    * says which physical strategy ran: "bloom-bucketed" (broadcast map of
+    * per-bucket filters) or "semi-join" (distributed exact membership —
+    * the bounded-driver degrade). */
+  final case class BloomFlag(df: DataFrame, route: String,
+                             release: () => Unit)
+
+  /** Per-bucket filter capacity: expected keys per bucket (uniform —
+    * bucket = pmod of an xxhash64 key) with 1.3× headroom so the `fpp`
+    * sizing holds under hash-balance jitter, floored at 64 so tiny
+    * histories still get a sane filter. Exposed for the sizing spec. */
+  private[graft] def bloomBucketCapacity(n: Long, buckets: Int): Long =
+    math.max(64L, math.ceil(n.toDouble / buckets * 1.3).toLong)
+
+  /** Bits a single filter sized for (n, fpp) would occupy — the standard
+    * Bloom optimum `-n·ln p / (ln 2)²`. Bucketing does not change the
+    * TOTAL (Σ per-bucket bits ≈ this), so this is also the driver-memory
+    * estimate for the broadcast map, and the degrade decision reads it
+    * BEFORE building anything. */
+  private[graft] def bloomTotalBits(n: Long, fpp: Double): Long =
+    math.ceil(-n.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+
+  /** Bucketed Bloom historical dedup with BOUNDED driver memory — the
+    * 100 TB form of [[bloomHistoryFlag]] (which builds ONE driver-held
+    * bit array: ~1.2 GB per 10^9 history docs at fpp 0.01, a
+    * driver-killer at 10^11; the reference instead answers history
+    * membership with per-key Lucene PK lookups,
+    * server/.../engine/collect/PKLookupOperation.java — an architecture
+    * Spark has no analogue of, so the engine-side pattern is a filter).
+    *
+    * Two routes, picked by the crossover math BEFORE any build work:
+    *  - estimated total filter bytes ≤ `maxDriverBytes` (default 1 GiB ≈
+    *    8×10^8 history docs at fpp 0.01): history keys shuffle ONCE by
+    *    `pmod(key, buckets)` (8-byte rows — the text never moves), each
+    *    of the `buckets` partitions builds its bucket's filter
+    *    EXECUTOR-side in one streaming pass, and only the finished
+    *    compact filters reach the driver, where they broadcast as a
+    *    bucket→filter map probed map-only on the batch. The driver never
+    *    merges partials (contrast `stat.bloomFilter`'s treeAggregate,
+    *    whose final combine materializes partitions×bits on the wire and
+    *    the full array on the driver).
+    *  - past the threshold: degrade to a distributed left-join against
+    *    the DISTINCT history keys — no driver-held structure at all,
+    *    `maybe_dup` becomes EXACT membership (a strict subset of Bloom
+    *    semantics: still zero false negatives, now zero false positives),
+    *    at the cost of shuffling the batch keys. Driver memory is thus
+    *    bounded by `maxDriverBytes` REGARDLESS of history size.
+    *
+    * Per-bucket `fpp` holds because capacity is sized at 1.3× the uniform
+    * expectation ([[bloomBucketCapacity]]); a bucket overflowing its
+    * capacity only degrades its false-positive rate — false negatives
+    * remain impossible (the Bloom guarantee the verdict gate pins).
+    *
+    * The returned [[BloomFlag]] carries a `release()` hook that destroys
+    * the broadcast after the caller materializes the flags (the plain
+    * [[bloomHistoryFlag]] broadcast lives for the session — fine for
+    * one-shot jobs, a leak for long-lived ones). */
+  def bloomHistoryFlagBucketed(newDocs: DataFrame, history: DataFrame,
+                               idCol: String = "doc_id",
+                               textCol: String = "text",
+                               buckets: Int = 256,
+                               expectedItems: Long = 0L,
+                               fpp: Double = 0.01,
+                               maxDriverBytes: Long = 1L << 30): BloomFlag = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.util.sketch.BloomFilter
+    def key(c: Column): Column =
+      xxhash64(trim(regexp_replace(lower(c), "\\s+", " ")))
+    val n = if (expectedItems > 0L) expectedItems
+            else math.max(1L, history.count())
+    if (bloomTotalBits(n, fpp) / 8L > maxDriverBytes) {
+      // Degrade: exact distributed membership, zero driver state.
+      val hist = history.select(key(col(textCol)).as("__bk")).distinct()
+        .withColumn("__bhit", lit(1))
+      val out = newDocs.withColumn("__bk", key(col(textCol)))
+        .join(hist, Seq("__bk"), "left")
+        .withColumn("maybe_dup", col("__bhit").isNotNull)
+        .drop("__bk", "__bhit")
+      BloomFlag(out, "semi-join", () => ())
+    } else {
+      val b = buckets
+      val cap = bloomBucketCapacity(n, b)
+      val p = fpp
+      // One shuffle of 8-byte keys; HashPartitioner on the bucket id is
+      // the identity for 0 <= bucket < b, so each partition holds exactly
+      // one bucket and builds exactly one filter, executor-side.
+      val filters = history.select(key(col(textCol)).as("k"))
+        .rdd.map { r =>
+          val k = r.getLong(0)
+          (((k % b) + b) % b).toInt -> k
+        }
+        .partitionBy(new HashPartitioner(b))
+        .mapPartitions { it =>
+          val m = new java.util.HashMap[Int, BloomFilter]()
+          it.foreach { case (bk, k) =>
+            var f = m.get(bk)
+            if (f == null) { f = BloomFilter.create(cap, p); m.put(bk, f) }
+            f.putLong(k)
+          }
+          import scala.jdk.CollectionConverters._
+          m.asScala.iterator
+        }
+        .collect()
+      val bc = newDocs.sparkSession.sparkContext.broadcast(filters.toMap)
+      val probe = udf((k: Long) => {
+        val f = bc.value.getOrElse((((k % b) + b) % b).toInt, null)
+        f != null && f.mightContainLong(k)
+      })
+      val out = newDocs.withColumn("maybe_dup", probe(key(col(textCol))))
+      BloomFlag(out, "bloom-bucketed", () => bc.destroy())
+    }
   }
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins `Dedup.bloomHistoryFlagBucketed` (q245): the bounded-driver form
+  * of Bloom historical dedup. Covers both physical routes, the per-bucket
+  * sizing math, the crossover decision, and the release() lifecycle. */
+class BucketedBloomSpec extends SparkTestBase {
+  import graft.operators.Dedup
+
+  private def fixture = {
+    import spark.implicits._
+    val history = (1L to 400L).map(i => (i, s"historical document number $i"))
+      .toDF("doc_id", "text")
+    val newDocs = (
+      (1L to 100L).map(i => (1000 + i, s"historical document number $i")) ++
+      Seq((2001L, "  Historical   document number 7 "),
+          (2002L, "HISTORICAL DOCUMENT NUMBER 8")) ++
+      (1L to 300L).map(i => (3000 + i, s"genuinely fresh content $i"))
+    ).toDF("doc_id", "text")
+    (history, newDocs)
+  }
+
+  test("bucketed route: zero false negatives, fp bounded, releasable") {
+    val (history, newDocs) = fixture
+    val flag = Dedup.bloomHistoryFlagBucketed(newDocs, history, fpp = 0.01)
+    assert(flag.route == "bloom-bucketed")
+    val out = flag.df.select(col("doc_id"), col("maybe_dup")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    (1L to 100L).foreach(i => assert(out(1000 + i), s"missed dup $i"))
+    assert(out(2001L) && out(2002L), "normalization variants must flag")
+    val fp = (1L to 300L).count(i => out(3000 + i))
+    assert(fp <= 15, s"fp = $fp of 300 at fpp = 0.01")
+    flag.release() // flags are materialized above; destroy must be clean
+  }
+
+  test("degrade route: zero driver state, flags are EXACT membership") {
+    val (history, newDocs) = fixture
+    val flag = Dedup.bloomHistoryFlagBucketed(newDocs, history, fpp = 0.01,
+      maxDriverBytes = 0L)
+    assert(flag.route == "semi-join")
+    val out = flag.df.select(col("doc_id"), col("maybe_dup")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    (1L to 100L).foreach(i => assert(out(1000 + i)))
+    assert(out(2001L) && out(2002L))
+    // exact: ZERO false positives on the degrade path
+    (1L to 300L).foreach(i => assert(!out(3000 + i), s"fp on exact path $i"))
+  }
+
+  test("per-bucket sizing and the crossover decision") {
+    // capacity = uniform expectation with 1.3x headroom, floored at 64
+    assert(Dedup.bloomBucketCapacity(1000000L, 256) ==
+      math.ceil(1000000.0 / 256 * 1.3).toLong)
+    assert(Dedup.bloomBucketCapacity(100L, 256) == 64L)
+    // total bits follow the Bloom optimum: ~9.59 bits/item at fpp 0.01,
+    // so the default 1 GiB budget holds ~8x10^8 docs and degrades at 10^9
+    val gib = 1L << 30
+    assert(Dedup.bloomTotalBits(800000000L, 0.01) / 8 < gib)
+    assert(Dedup.bloomTotalBits(1000000000L, 0.01) / 8 > gib)
+  }
+
+  test("many buckets with sparse history: absent buckets probe false") {
+    import spark.implicits._
+    val history = Seq((1L, "only one doc")).toDF("doc_id", "text")
+    val newDocs = Seq((10L, "only one doc"), (11L, "something else"))
+      .toDF("doc_id", "text")
+    val flag = Dedup.bloomHistoryFlagBucketed(newDocs, history,
+      buckets = 1024, fpp = 0.01)
+    val out = flag.df.select(col("doc_id"), col("maybe_dup")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(out(10L) && !out(11L))
+    flag.release()
+  }
+}
