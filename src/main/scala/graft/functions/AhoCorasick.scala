@@ -7,18 +7,28 @@ package graft.functions
   *
   * Semantics are IDENTICAL to the regex path in
   * [[graft.operators.TextAnalysis.blocklistFlag]] —
-  * `(?i)(^|[^a-z0-9])(w1|w2|…)([^a-z0-9]|$)` — matching runs over the
-  * lowercased text and a hit counts only when both neighbors are
-  * outside `[a-z0-9]` (BlocklistSpec differential-tests the two paths
-  * on the same inputs).
+  * `(?iu)(^|[^a-z0-9])(w1|w2|…)([^a-z0-9]|$)` — and a hit counts only
+  * when both neighbors are outside `[a-z0-9]`
+  * ([[graft.AhoCorasickSpec]] differential-tests the two paths on the
+  * same inputs, including non-ASCII terms).
+  *
+  * Case folding is LOCALE-INDEPENDENT and replicates exactly what
+  * `java.util.regex` does under `CASE_INSENSITIVE | UNICODE_CASE`:
+  * per-codepoint `Character.toLowerCase(Character.toUpperCase(cp))`
+  * (the 1:1 simple mapping `Pattern.SingleU` compares with) — NOT
+  * `String.toLowerCase`, whose default-locale behavior breaks Turkish
+  * I/i and whose multi-char special casings (e.g. İ → "i̇") diverge
+  * from the regex path.
   *
   * Built once on the driver, serialized with the closure; flat-array
   * automaton (sorted per-node transition arrays + binary search), so
-  * executor deserialization is cheap and matching allocates nothing.
+  * executor deserialization is cheap and matching allocates nothing
+  * beyond the one folded copy of the text.
   */
 final class AhoCorasick(patternsRaw: Seq[String]) extends Serializable {
   require(patternsRaw.nonEmpty, "empty pattern set")
-  private val patterns = patternsRaw.map(_.toLowerCase).distinct.toArray
+  private val patterns =
+    patternsRaw.map(AhoCorasick.foldCase).distinct.toArray
 
   // --- trie build (mutable, driver-side only) ---
   private val (transKeys, transVals, fail, outLens) = {
@@ -85,7 +95,7 @@ final class AhoCorasick(patternsRaw: Seq[String]) extends Serializable {
     * outside [a-z0-9]), case-insensitively. One pass, no allocation. */
   def containsAny(textRaw: String): Boolean = {
     if (textRaw == null) return false
-    val text = textRaw.toLowerCase
+    val text = AhoCorasick.foldCase(textRaw)
     var state = 0
     var i = 0
     while (i < text.length) {
@@ -105,5 +115,25 @@ final class AhoCorasick(patternsRaw: Seq[String]) extends Serializable {
       i += 1
     }
     false
+  }
+}
+
+object AhoCorasick {
+  /** Java-regex-equivalent simple case fold: per CODEPOINT,
+    * `Character.toLowerCase(Character.toUpperCase(cp))` — the exact 1:1
+    * mapping `java.util.regex.Pattern` uses for
+    * `CASE_INSENSITIVE | UNICODE_CASE` literals, locale-independent by
+    * construction (no Turkish-locale I/i trap, no multi-char special
+    * casings). Codepoint iteration keeps supplementary-plane case pairs
+    * (e.g. Deseret) folding like the regex path does. */
+  private[graft] def foldCase(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      sb.appendCodePoint(Character.toLowerCase(Character.toUpperCase(cp)))
+      i += Character.charCount(cp)
+    }
+    sb.toString
   }
 }

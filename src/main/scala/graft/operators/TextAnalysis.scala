@@ -351,9 +351,11 @@ object TextAnalysis {
     * page containing a token on the "bad words" list). Matching is
     * token-boundary and case-insensitive; the whole list compiles to
     * ONE alternation regex evaluated by the codegen'd `rlike` —
-    * map-only, zero shuffle, the list rides in the instruction stream
-    * (for 10^4+-word lists switch to an Aho-Corasick UDF; typical
-    * blocklists are a few hundred terms and the regex wins on codegen).
+    * map-only, zero shuffle, the list rides in the instruction stream;
+    * past `acThreshold` terms the list compiles instead to a codegen'd
+    * Aho–Corasick expression (one pass per document regardless of list
+    * size — typical blocklists are a few hundred terms and the regex
+    * wins, 10^4+-term multilingual lists need the automaton).
     * Returns the input plus a `blocked` flag — `filter(!blocked)` is
     * the scrub. */
   def blocklistFlag(df: DataFrame, words: Seq[String],
@@ -361,21 +363,63 @@ object TextAnalysis {
                     acThreshold: Int = 256): DataFrame = {
     require(words.nonEmpty, "empty blocklist")
     if (words.size <= acThreshold) {
+      // (?iu): UNICODE_CASE keeps the alternation's folding identical to
+      // the automaton path's java-regex simple fold for non-ASCII terms
+      // (multilingual blocklists); ASCII behavior is unchanged
       val pat = words.map(java.util.regex.Pattern.quote)
-        .mkString("(?i)(^|[^a-z0-9])(", "|", ")([^a-z0-9]|$)")
+        .mkString("(?iu)(^|[^a-z0-9])(", "|", ")([^a-z0-9]|$)")
       df.withColumn("blocked", col(textCol).rlike(pat))
     } else {
       // large lists: one Aho–Corasick pass per document instead of the
-      // regex alternation's per-position scan over 10^4+ branches; the
-      // automaton builds once on the driver and rides the closure
-      // (flat arrays — cheap to deserialize per executor). Identical
-      // boundary semantics, differential-tested in BlocklistSpec.
-      val ac = new graft.functions.AhoCorasick(words)
-      val f = udf((t: String) =>
-        if (t == null) null else Boolean.box(ac.containsAny(t)))
-      df.withColumn("blocked", f(col(textCol)))
+      // regex alternation's per-position scan over 10^4+ branches. The
+      // automaton is codegen'd (plans.BlocklistMatchExpr holds the
+      // flat-array automaton as a plan reference object), so this path
+      // stays inside whole-stage codegen like the rlike path — no
+      // Scala-UDF boxing/serialization layer. Identical boundary and
+      // folding semantics, differential-tested in AhoCorasickSpec.
+      val id = BlocklistInterner.intern(words)
+      registerBlocklistFn(df.sparkSession)
+      df.withColumn("blocked",
+        call_function("graft_blocklist", col(textCol), lit(id)))
     }
   }
+
+  /** Automaton handles for [[blocklistFlag]]'s codegen path: expressions
+    * carry a tiny interned id through the SQL function registry (the
+    * MatchText.AnalyzerInterner pattern) and resolve the shared automaton
+    * at plan build — one build per distinct word list per JVM. */
+  private object BlocklistInterner {
+    private val byWords = new java.util.concurrent.ConcurrentHashMap[
+      Seq[String], Integer]()
+    private val byId = new java.util.concurrent.ConcurrentHashMap[
+      Integer, graft.functions.AhoCorasick]()
+    private val seq = new java.util.concurrent.atomic.AtomicInteger(0)
+    def intern(words: Seq[String]): Int =
+      byWords.computeIfAbsent(words.toList, _ => {
+        val n = Integer.valueOf(seq.incrementAndGet())
+        byId.put(n, new graft.functions.AhoCorasick(words))
+        n
+      }).intValue()
+    def lookup(id: Int): graft.functions.AhoCorasick = {
+      val ac = byId.get(Integer.valueOf(id))
+      require(ac != null, s"unknown blocklist handle $id")
+      ac
+    }
+  }
+
+  /** Idempotent registration of the `graft_blocklist` expression builder. */
+  private def registerBlocklistFn(
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_blocklist", { exprs =>
+        val id = exprs(1).eval(null) match {
+          case i: Int  => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_blocklist expects a literal list handle, got $other")
+        }
+        graft.plans.BlocklistMatchExpr(exprs(0), BlocklistInterner.lookup(id))
+      }, "scala_udf")
 
   /** CCNet-style perplexity tiering (Wenzek et al. 2020 §4.3): rank
     * documents by LM score within each `byCol` partition (language in

@@ -4,7 +4,7 @@ import graft.functions.TextFunctions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd text → MinHash LSH band keys, fused into one expression.
@@ -227,6 +227,44 @@ case class AnalyzerChainExpr(child: Expression,
       "graft.operators.MatchText.Analyzer")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.operators.MatchText.evalTokens($ref, $c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd Aho–Corasick blocklist membership
+  * (`TextAnalysis.blocklistFlag`'s >`acThreshold`-term path): the
+  * flat-array automaton rides the plan as a reference object —
+  * `ctx.addReferenceObj`, the [[AnalyzerChainExpr]] pattern — so the
+  * probe stays inside whole-stage codegen with no Scala-UDF
+  * null-boxing/serialization layer, exactly like the ≤threshold regex
+  * path's `rlike`. Map-only at any scale; the automaton broadcasts
+  * once per executor inside the serialized plan. Boundary and folding
+  * semantics are [[graft.functions.AhoCorasick]]'s, differential-gated
+  * against the regex alternation in [[graft.AhoCorasickSpec]]. */
+case class BlocklistMatchExpr(child: Expression,
+                              automaton: graft.functions.AhoCorasick)
+    extends UnaryExpression {
+  override def prettyName: String = "graft_blocklist_match"
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    automaton.containsAny(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBlocklistAc", automaton,
+      "graft.functions.AhoCorasick")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.containsAny($c.toString());")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -232,10 +232,21 @@ object QueriesRound10 {
     // vocabulary's substring collisions).
     "q241_blocklist_filter" -> ((s, dir) => {
       val docs = graft.Tables.load(s, dir, "documents")
-      graft.operators.TextAnalysis
-        .blocklistFlag(docs, Seq("dup", "vector", "slow"))
+      val words = Seq("dup", "vector", "slow")
+      // the gated flags come from the AUTOMATON path (codegen'd
+      // BlocklistMatchExpr, forced via acThreshold = 0 — r10 verdict
+      // ask #3); the ≤threshold regex path must agree row-for-row
+      val viaAc = graft.operators.TextAnalysis
+        .blocklistFlag(docs, words, acThreshold = 0)
         .select(col("doc_id"), col("blocked"))
-        .orderBy(col("doc_id"))
+      val viaRe = graft.operators.TextAnalysis
+        .blocklistFlag(docs, words)
+        .select(col("doc_id"), col("blocked").as("blocked_re"))
+      val agree = viaAc.join(viaRe, Seq("doc_id"))
+        .agg(sum(when(col("blocked") =!= col("blocked_re"), 1L)
+          .otherwise(0L)).as("m"))
+        .select((col("m") === 0L).as("paths_agree"))
+      viaAc.crossJoin(agree).orderBy(col("doc_id"))
     }),
 
     // CCNet head/middle/tail perplexity tiers (Wenzek et al. 2020
@@ -406,7 +417,8 @@ object QueriesRound10 {
     "q241_blocklist_filter" ->
       """SELECT doc_id,
         |       regexp_matches(lower(text),
-        |         '(^|[^a-z0-9])(dup|vector|slow)([^a-z0-9]|$)') AS blocked
+        |         '(^|[^a-z0-9])(dup|vector|slow)([^a-z0-9]|$)') AS blocked,
+        |       TRUE AS paths_agree
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q229's LM replayed verbatim, then per-language ntile(3) on the

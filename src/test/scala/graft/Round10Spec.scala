@@ -357,6 +357,42 @@ class AhoCorasickSpec extends SparkTestBase {
     assert(!ac.containsAny(null))
   }
 
+  test("non-ASCII folding matches the (?iu) regex path exactly") {
+    // the fold is java-regex's simple per-codepoint mapping
+    // (Character.toLowerCase(toUpperCase(cp))), locale-independent:
+    // Cyrillic, accented Latin, Greek, and the Turkish dotted İ all
+    // fold the same way on both paths
+    val words = Seq("привет", "café", "größe", "ΣΟΦΙΑ", "İstanbul")
+    val ac = new AhoCorasick(words)
+    val re = words.map(java.util.regex.Pattern.quote)
+      .mkString("(?iu)(^|[^a-z0-9])(", "|", ")([^a-z0-9]|$)")
+      .r.pattern
+    val texts = Seq(
+      "ПРИВЕТ мир", "привет", "он сказал Привет!", "приветствие",
+      "CAFÉ au lait", "café.", "cafe", "in İSTANBUL today",
+      "istanbul plain", "ıstanbul dotless", "GRÖSSE", "größe!",
+      "σοφια lower", "Σοφια mixed", "ΣΟΦΙΑ UPPER", "x σοφιαs y")
+    texts.foreach { t =>
+      assert(ac.containsAny(t) == re.matcher(t).find(),
+        s"paths diverge on '$t'")
+    }
+  }
+
+  test("automaton path is a codegen'd expression, not a Scala UDF") {
+    import spark.implicits._
+    val docs = Seq((1L, "a dup here"), (2L, "clean")).toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistFlag(docs, Seq("dup", "slow"),
+      acThreshold = 0)
+    val exprs = out.queryExecution.analyzed.expressions.map(_.toString)
+    assert(exprs.exists(_.contains("graft_blocklist_match")),
+      s"expected BlocklistMatchExpr in the plan, got: $exprs")
+    assert(!out.queryExecution.executedPlan.toString.contains("ScalaUDF"),
+      "the automaton probe must not run as a Scala UDF")
+    // and whole-stage codegen still compiles the probe
+    val rows = out.orderBy(col("doc_id")).collect()
+    assert(rows.map(_.getBoolean(2)).toSeq == Seq(true, false))
+  }
+
   test("regex and automaton paths agree document-by-document") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
