@@ -1715,13 +1715,18 @@ class StatementRouter(spark: SparkSession, root: String) {
     // codebooks beside the centroids) over the int8 one.
     val specParts = spec.analyzer.split(":")
     val centStr = specParts(1)
-    // "r<pct>" in the nprobe slot = a declared recall target: the probe
-    // count is resolved from the index's stored calibration curve below
-    // (r9 verdict ask #7); a plain integer is the fixed-nprobe contract
-    val recallTarget: Option[Double] =
-      if (specParts(2).startsWith("r"))
-        Some(specParts(2).drop(1).toInt / 100.0)
-      else None
+    // "r<pct>[s<N>]" in the nprobe slot = a declared recall target (with
+    // an optional calibration sample-count override): the probe count is
+    // resolved from the index's stored calibration curve below (r9
+    // verdict ask #7); a plain integer is the fixed-nprobe contract
+    val recallSlot = "r(\\d+)(?:s(\\d+))?".r
+    val (recallTarget: Option[Double], recallSamples: Int) =
+      specParts(2) match {
+        case recallSlot(pct, ns) =>
+          (Some(pct.toInt / 100.0),
+            Option(ns).map(_.toInt).getOrElse(32))
+        case _ => (None, 32)
+      }
     val nprobe = recallTarget.fold(specParts(2).toInt)(_ => 4)
     val isPq = specParts.length >= 4 && specParts(3) == "pq"
     val (pqM, pqKsub) =
@@ -1738,23 +1743,47 @@ class StatementRouter(spark: SparkSession, root: String) {
       // (Similarity.embeddingNearDupPairs's argument)
       if (centStr.toInt > 0) centStr.toInt
       else math.max(16L, math.min(65536L, n * nprobe / 256)).toInt
+    // rows changed by the pending delta patch (|removed| + |added|),
+    // set by the delta build branches for the curve-staleness accounting
+    var pendingDeltaRows: () => Long = () => 0L
     def persistAndReload[T](writeCodes: => Unit, reload: => T, built: T): T = {
       try {
         writeCodes
         fs.listStatus(new Path(idxRootStr)).foreach { s0 =>
           if (s0.getPath.getName != s"v$version") {
             // delta patches keep centroids AND codebooks fixed, so the
-            // previous version's recall-calibration curve stays valid:
-            // copy it forward instead of paying a full-corpus truth
-            // scan on every churn commit. Full rebuilds retrain
-            // centroids, so they deliberately fall through to a fresh
+            // previous version's recall-calibration curve stays valid
+            // for ASSIGNMENT — but the recall it measured drifts as the
+            // corpus churns. Copy it forward only while cumulative churn
+            // stays under 20% of the corpus the curve was calibrated
+            // against (tracked in calibmeta); past that, leave the curve
+            // absent so the next declared-recall query recalibrates
+            // (ADVICE r10: an unbounded copy-forward can under-probe a
+            // recall=0.9 index indefinitely). Full rebuilds retrain
+            // centroids, so they always fall through to fresh
             // calibration (no prior curve survives a "full" build).
             val prevCurve = new Path(s0.getPath, "recallcurve")
             val curCurve = new Path(s"$stored/recallcurve")
             if (StatementRouter.lastVecIndexBuild.get() == "delta" &&
-                fs.exists(prevCurve) && !fs.exists(curCurve))
-              org.apache.hadoop.fs.FileUtil.copy(fs, prevCurve, fs,
-                curCurve, false, spark.sparkContext.hadoopConfiguration)
+                fs.exists(prevCurve) && !fs.exists(curCurve)) {
+              val prevMeta = new Path(s0.getPath, "calibmeta")
+              // indexes calibrated before metadata existed carry no
+              // base size: treat as never-stale (legacy behavior)
+              val (baseN, cum, smp) =
+                if (fs.exists(prevMeta)) {
+                  val r = spark.read.parquet(prevMeta.toString).collect()(0)
+                  (r.getLong(0), r.getLong(1), r.getInt(2))
+                } else (Long.MaxValue, 0L, 32)
+              val newCum = cum + pendingDeltaRows()
+              if (baseN == Long.MaxValue || newCum <= baseN / 5) {
+                org.apache.hadoop.fs.FileUtil.copy(fs, prevCurve, fs,
+                  curCurve, false, spark.sparkContext.hadoopConfiguration)
+                import spark.implicits._
+                Seq((baseN, newCum, smp))
+                  .toDF("base_n", "cum_delta", "samples").coalesce(1)
+                  .write.mode("overwrite").parquet(s"$stored/calibmeta")
+              }
+            }
             fs.delete(s0.getPath, true)
           }
         }
@@ -1785,6 +1814,7 @@ class StatementRouter(spark: SparkSession, root: String) {
                     if fs.exists(new Path(s"$idxRootStr/v$prevV/codes")) &&
                        fs.exists(new Path(s"$idxRootStr/v$prevV/codebooks")) =>
                   StatementRouter.lastVecIndexBuild.set("delta")
+                  pendingDeltaRows = () => removed.count() + added.count()
                   val (oldCodes, cents) = graft.operators.Similarity
                     .loadQuantizedIndex(spark, s"$idxRootStr/v$prevV")
                   val cb = graft.operators.Similarity
@@ -1845,6 +1875,7 @@ class StatementRouter(spark: SparkSession, root: String) {
                   case Some((prevV, removed, added))
                       if fs.exists(new Path(s"$idxRootStr/v$prevV/codes")) =>
                     StatementRouter.lastVecIndexBuild.set("delta")
+                    pendingDeltaRows = () => removed.count() + added.count()
                     val (oldCodes, cents) = graft.operators.Similarity
                       .loadQuantizedIndex(spark, s"$idxRootStr/v$prevV")
                     (graft.operators.Similarity.updateQuantizedIndex(
@@ -1915,8 +1946,9 @@ class StatementRouter(spark: SparkSession, root: String) {
           val centCount = cents.count().toInt
           if (!fs.exists(new Path(curvePath))) {
             val corpus = readTable(table)
+            val corpusN = corpus.count()
             val sq = corpus
-              .orderBy(xxhash64(col(pk)), col(pk)).limit(8)
+              .orderBy(xxhash64(col(pk)), col(pk)).limit(recallSamples)
               .select(col(pk).as("vec_id"), col(vecCol).as("embedding"))
               .localCheckpoint()
             val qq = sq.select(col("vec_id").as("qid"),
@@ -1940,8 +1972,26 @@ class StatementRouter(spark: SparkSession, root: String) {
                 searchRaw(np, sq, 10, None).select(col("qid"), col("cid")),
                 truth))
             }
+            // monotonicity guard: widening nprobe can only grow the
+            // probed candidate set, so measured recall must not drop by
+            // more than sampling jitter — a bigger dip means the search
+            // dispatch itself is broken and the curve is untrustworthy
+            var runMax = 0.0
+            curve.foreach { case (np, rc) =>
+              require(rc >= runMax - 0.1,
+                s"recall curve non-monotonic at nprobe=$np: " +
+                  s"$rc after a max of $runMax — search dispatch broken")
+              runMax = math.max(runMax, rc)
+            }
             curve.toDF("np", "recall").coalesce(1)
               .write.mode("overwrite").parquet(curvePath)
+            // calibration metadata: the corpus size the curve was
+            // measured against, cumulative churn since (maintained by
+            // the delta copy-forward), and the sample count — the
+            // staleness bound reads these
+            Seq((corpusN, 0L, recallSamples))
+              .toDF("base_n", "cum_delta", "samples").coalesce(1)
+              .write.mode("overwrite").parquet(s"$stored/calibmeta")
           }
           val rows = spark.read.parquet(curvePath).collect()
             .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
@@ -2140,9 +2190,13 @@ class StatementRouter(spark: SparkSession, root: String) {
             (if (ps.length >= 7 && ps(6) == "res") ", pq_residual = true"
              else "")
         else ""
-        val np = if (ps(2).startsWith("r"))
-          s"recall = ${ps(2).drop(1).toInt / 100.0}"
-        else s"nprobe = ${ps(2)}"
+        val np = "r(\\d+)(?:s(\\d+))?".r.findFirstMatchIn(ps(2))
+          .filter(_ => ps(2).startsWith("r"))
+          .map { m =>
+            s"recall = ${m.group(1).toInt / 100.0}" +
+              Option(m.group(2)).fold("")(ns => s", recall_sample = $ns")
+          }
+          .getOrElse(s"nprobe = ${ps(2)}")
         s"   INDEX ${ix.name} USING VECTOR (${ix.cols.mkString(", ")}) " +
           s"WITH (centroids = ${ps(1)}, $np$pq)"
       } else
@@ -3240,9 +3294,16 @@ class StatementRouter(spark: SparkSession, root: String) {
             else ""
           // `recall = 0.9` replaces the fixed nprobe: the route resolves
           // the probe count from the index's stored calibration curve
-          // (analyzer slot "r<pct>" — e.g. recall = 0.9 → "r90")
+          // (analyzer slot "r<pct>" — e.g. recall = 0.9 → "r90").
+          // `recall_sample = N` overrides the calibration sample count
+          // (slot "r<pct>s<N>"; default 32 queries = 320 truth pairs,
+          // so one flipped neighbor moves a rung by ~0.3pp, not 1.25pp)
           val npSlot = optS("recall").flatMap(_.toDoubleOption)
-            .map(rc => s"r${math.round(rc * 100)}")
+            .map { rc =>
+              val base = s"r${math.round(rc * 100)}"
+              optS("recall_sample").flatMap(_.toIntOption)
+                .map(ns => s"${base}s$ns").getOrElse(base)
+            }
             .getOrElse(opt("nprobe", 4).toString)
           Some(VersionedTable.IndexSpec(unq(d(1)), cols,
             s"vector:${opt("centroids", 0)}:$npSlot$pqTail"))

@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object QueriesRound11 {
 
+  private val routerRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Same deterministic 64-dim literal as q209/q210/q239. */
+  private val vecLit: String =
+    (0 until 64).map(i => ((i % 7) - 3) / 3.0)
+      .map(v => f"$v%.6f").mkString("[", ", ", "]")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q245_bloom_bucketed_dedup" -> ((s, dir) => {
@@ -54,6 +62,63 @@ object QueriesRound11 {
       verdicts.select(col("doc_id"), col("exact_dup"))
         .crossJoin(facts).crossJoin(dver)
         .orderBy(col("doc_id"))
+    }),
+
+    // Declared-recall calibration hardening (r10 verdict ask #4 +
+    // ADVICE): `WITH (recall = 0.9, recall_sample = 16)` — the sample
+    // count is a DDL option (default 32, was 8), the curve build
+    // asserts monotonicity-tolerance, and calibmeta records
+    // (base_n, cum_delta, samples) for the staleness bound. The fixture
+    // forces a MID-LADDER pick (1 < nprobe < centroids), so a
+    // calibration that degenerates to "always 1" or "always all
+    // buckets" hash-fails; results stay exact because the 4-row filter
+    // (< k = 5) forces the widen/exhausted guard to rescore every
+    // eligible row in float.
+    "q246_knn_recall_sample" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      val root = routerRoots.computeIfAbsent(s"q246#$dir", _ => {
+        val rt = java.nio.file.Files.createTempDirectory("graft_q246")
+          .toFile.getAbsolutePath
+        val r0 = new graft.StatementRouter(s, rt)
+        r0.execute(
+          """CREATE TABLE vcal (vec_id BIGINT PRIMARY KEY,
+            |  embedding FLOAT_VECTOR(64),
+            |  INDEX iv USING VECTOR (embedding)
+            |    WITH (centroids = 32, recall = 0.9,
+            |          recall_sample = 16))""".stripMargin)
+        r0.execute("INSERT INTO vcal (vec_id, embedding) " +
+          "SELECT vec_id, embedding FROM embeddings")
+        rt
+      })
+      val r = new graft.StatementRouter(s, root)
+      graft.StatementRouter.lastKnnRoute.set("")
+      val out = r.execute(
+        s"""SELECT vec_id, round(_score, 4) AS score FROM vcal
+           |WHERE vec_id BETWEEN 200 AND 203
+           |  AND knn_match(embedding, $vecLit, 5)
+           |ORDER BY score DESC, vec_id""".stripMargin)
+      require(graft.StatementRouter.lastKnnRoute.get() ==
+        "stored-index-filtered", "q246 must use the filtered stored route")
+      val picked = graft.StatementRouter.lastKnnAutoNprobe.get()
+      require(picked.nonEmpty, "declared recall must resolve from the curve")
+      require(graft.sources.VersionedTable
+        .indexSpecs(s, s"$root/vcal").head.analyzer == "vector:32:r90s16",
+        "recall_sample must ride the analyzer slot")
+      val vdir = new java.io.File(s"$root/vcal/_vecindex/iv").listFiles()
+        .filter(f => new java.io.File(f, "recallcurve").exists()).head
+      val curve = s.read.parquet(s"${vdir.getAbsolutePath}/recallcurve")
+        .collect().map(x => (x.getInt(0), x.getDouble(1))).sortBy(_._1)
+      val expected = curve.find(_._2 >= 0.9).map(_._1).getOrElse(32)
+      val npOk = expected == picked.toInt
+      val midOk = picked.toInt > 1 && picked.toInt < 32
+      val meta = s.read.parquet(s"${vdir.getAbsolutePath}/calibmeta")
+        .collect()(0)
+      val metaOk = meta.getInt(2) == 16 && meta.getLong(1) == 0L &&
+        meta.getLong(0) > 0L
+      out.crossJoin(out.sparkSession.range(1).select(
+        lit(npOk).as("np_ok"), lit(midOk).as("mid_ok"),
+        lit(metaOk).as("meta_ok")))
     })
   )
 
@@ -75,6 +140,20 @@ object QueriesRound11 {
         |         IN (SELECT k FROM hist) AS exact_dup,
         |       TRUE AS no_false_neg, TRUE AS fp_ok,
         |       TRUE AS degrade_exact
-        |FROM newb n ORDER BY n.doc_id""".stripMargin
+        |FROM newb n ORDER BY n.doc_id""".stripMargin,
+
+    // exact by the q234/q239 argument: the <k filter forces the guard to
+    // float-rescore every eligible row, independent of the curve-picked
+    // nprobe; the calibration facts replay as constants
+    "q246_knn_recall_sample" ->
+      s"""SELECT vec_id,
+         |       round(1.0 / (1.0 + list_distance(embedding, $vecLit) ^ 2), 4)
+         |         AS score,
+         |       TRUE AS np_ok, TRUE AS mid_ok, TRUE AS meta_ok
+         |FROM embeddings
+         |WHERE vec_id BETWEEN 200 AND 203
+         |ORDER BY 1.0 / (1.0 + list_distance(embedding, $vecLit) ^ 2) DESC,
+         |         vec_id
+         |LIMIT 5""".stripMargin
   )
 }

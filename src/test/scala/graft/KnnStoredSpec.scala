@@ -490,3 +490,60 @@ class KnnCurveCarrySpec extends SparkTestBase {
     assert(StatementRouter.lastKnnAutoNprobe.get().nonEmpty)
   }
 }
+
+/** The curve copy-forward is STALENESS-BOUNDED (ADVICE r10): calibmeta
+  * tracks the corpus size the curve was measured on plus cumulative
+  * churn since, and once churn exceeds 20% of that base the next
+  * declared-recall query recalibrates instead of trusting a curve
+  * whose measured recall may no longer hold. Also pins the
+  * `recall_sample` DDL option riding the analyzer slot. */
+class KnnCurveStalenessSpec extends SparkTestBase {
+  test("small churn carries curve + accounting; past 20% it recalibrates") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cs").toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute(
+      """CREATE TABLE vs (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(2),
+        |  INDEX iv USING VECTOR (emb)
+        |    WITH (centroids = 4, recall = 0.9, recall_sample = 8))""".stripMargin)
+    assert(graft.sources.VersionedTable.indexSpecs(spark, s"$root/vs")
+      .head.analyzer == "vector:4:r90s8")
+    val values = (0 until 32).map { i =>
+      val a = 2 * math.Pi * i / 32
+      f"($i, [${math.cos(a)}%.4f, ${math.sin(a)}%.4f])"
+    }.mkString(", ")
+    r.execute(s"INSERT INTO vs (id, emb) VALUES $values")
+    graft.operators.MatchText.IndexCache.clear()
+    val q = "SELECT id FROM vs WHERE knn_match(emb, [1.0, 0.0], 3)"
+    r.execute(q).collect()
+    assert(StatementRouter.lastVecIndexBuild.get() == "full")
+    val idxRoot = new java.io.File(s"$root/vs/_vecindex/iv")
+    def meta() = {
+      val vdir = idxRoot.listFiles()
+        .filter(f => new java.io.File(f, "calibmeta").exists()).head
+      val m = spark.read.parquet(s"${vdir.getAbsolutePath}/calibmeta")
+        .collect()(0)
+      (m.getLong(0), m.getLong(1), m.getInt(2))
+    }
+    assert(meta() == ((32L, 0L, 8)), meta().toString)
+    // +1 row = 3% churn: curve carried forward, churn accounted
+    r.execute("INSERT INTO vs (id, emb) VALUES (100, [0.7071, 0.7071])")
+    graft.operators.MatchText.IndexCache.clear()
+    r.execute(q).collect()
+    assert(StatementRouter.lastVecIndexBuild.get() == "delta")
+    assert(meta() == ((32L, 1L, 8)), meta().toString)
+    // +8 rows pushes cumulative churn to 9 > 32/5: the stale curve is
+    // dropped and the next query pays a fresh calibration on the
+    // churned corpus (base_n resets to the current 41 rows, churn to 0)
+    val more = (200 until 208).map { i =>
+      val a = 2 * math.Pi * (i - 200) / 8 + 0.1
+      f"($i, [${math.cos(a)}%.4f, ${math.sin(a)}%.4f])"
+    }.mkString(", ")
+    r.execute(s"INSERT INTO vs (id, emb) VALUES $more")
+    graft.operators.MatchText.IndexCache.clear()
+    r.execute(q).collect()
+    assert(StatementRouter.lastVecIndexBuild.get() == "delta")
+    assert(meta() == ((41L, 0L, 8)), meta().toString)
+    assert(StatementRouter.lastKnnAutoNprobe.get().nonEmpty)
+  }
+}
