@@ -690,7 +690,20 @@ object Similarity {
     * (q231) keep passing a pinned centroid set to [[semDedup]]. */
   def semDedupAuto(corpus: DataFrame, tau: Double,
                    idCol: String = "vec_id", vecCol: String = "embedding",
-                   iters: Int = 2, minK: Int = 16): DataFrame = {
+                   iters: Int = 2, minK: Int = 16): DataFrame =
+    semDedupAutoWithCentroids(corpus, tau, idCol, vecCol, iters, minK)._1
+
+  /** [[semDedupAuto]] plus the centroid frame it trained — the exact
+    * (cidx, cvec) input [[semDedup]] consumed. Gates that replay
+    * assignment/pruning independently (q240) persist these beside the
+    * verdicts: training is deterministic (pinned sample, seeds, iters),
+    * so given the same centroids a second engine reproduces every
+    * per-row verdict bit-for-bit. */
+  def semDedupAutoWithCentroids(corpus: DataFrame, tau: Double,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding",
+                                iters: Int = 2, minK: Int = 16)
+      : (DataFrame, DataFrame) = {
     val k = semDedupAutoK(corpus.count(), minK)
     val (_, cents) =
       kmeansBucketize(corpus, numCentroids = k, iters = iters,
@@ -700,7 +713,7 @@ object Similarity {
       .withColumn("cidx",
         row_number().over(Window.orderBy(col("centroid_id"))) - 1)
       .select(col("cidx"), col("centroid").as("cvec"))
-    semDedup(corpus, centIdx, tau, idCol, vecCol)
+    (semDedup(corpus, centIdx, tau, idCol, vecCol), centIdx)
   }
 
   private def udf_topNCentroids(n: Int) =

@@ -41,7 +41,17 @@ object QueriesRound10 {
     * bench runs each entry twice per JVM — the second rep times the
     * fact aggregation, not a redundant re-clustering. */
   private val semAutoMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (org.apache.spark.sql.DataFrame, Long, Int)]()
+    String, org.apache.spark.sql.DataFrame]()
+
+  /** q240's trained centroids as DuckDB VALUES rows, stashed by the
+    * entry at run time and spliced into the oracle at dump time —
+    * `Verify` writes oracle_sql.json AFTER executing the queries, so the
+    * oracle is self-contained (no side files) yet replays the exact
+    * trained model. Double rendering is Scala's shortest round-trip
+    * `toString`, which DuckDB's string→DOUBLE[] cast parses back to the
+    * identical bits. */
+  @volatile private var q240CentVals: String =
+    "(0, CAST('[0.0]' AS DOUBLE[]))" // placeholder until the entry runs
 
   /** Same deterministic 64-dim literal as q209/q210/q215/q228. */
   private val vecLit: String =
@@ -194,34 +204,31 @@ object QueriesRound10 {
 
     // SemDeDup through the code-enforced auto-K path (semDedupAuto —
     // K = max(16, ceil(sqrt(N))) from one count(), centroids k-means-
-    // trained on the deterministic sample). q231 pins a centroid set
-    // for exact oracle replay; THIS entry gates the contract a naive
-    // caller gets: every input row receives a verdict, cluster indexes
-    // stay inside 0..K-1, the corpus-minimum id is always kept, and
-    // kept+pruned partition the corpus. All facts deterministic
-    // (pinned sample, init, iters), replayed as constants.
+    // trained on the deterministic sample). EXACT per-row gate (r10
+    // verdict ask #5): the entry stashes the trained centroids into the
+    // oracle (spliced at dump time — Verify writes oracle_sql.json
+    // after the queries run), and DuckDB independently replays
+    // assignment (argmin L2, ties to lowest cidx) and within-cluster
+    // cosine pruning over the q231 machinery, so every (vec_id,
+    // cluster, kept) verdict is hash-checked instead of TRUE-envelopes.
     "q240_semdedup_auto" -> ((s, dir) => {
-      val (out, n, k) = semAutoMemo.computeIfAbsent(s"q240#$dir", _ => {
+      semAutoMemo.computeIfAbsent(s"q240#$dir", _ => {
         val emb = graft.Tables.load(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"))
-        val n0 = emb.count()
-        (graft.operators.Similarity.semDedupAuto(emb, tau = 0.4)
-          .localCheckpoint(),
-          n0, graft.operators.Similarity.semDedupAutoK(n0))
+        val (verdicts, cents) = graft.operators.Similarity
+          .semDedupAutoWithCentroids(emb, tau = 0.4)
+        q240CentVals = cents
+          .select(col("cidx").cast("int"),
+            col("cvec").cast("array<double>"))
+          .collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1)))
+          .sortBy(_._1)
+          .map { case (i, v) =>
+            s"($i, CAST('[${v.mkString(", ")}]' AS DOUBLE[]))"
+          }
+          .mkString(", ")
+        verdicts.orderBy(col("vec_id")).localCheckpoint()
       })
-      val a = out.agg(
-        count(lit(1)).as("n_rows"),
-        countDistinct(col("cluster")).as("nc"),
-        min(col("cluster")).as("cmin"), max(col("cluster")).as("cmax"),
-        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
-      val mk = out.orderBy(col("vec_id")).limit(1)
-        .select(col("kept").as("min_kept"))
-      a.crossJoin(mk).select(
-        col("n_rows"),
-        (col("nc") <= k).as("clusters_ok"),
-        (col("cmin") >= 0 && col("cmax") < k).as("bounds_ok"),
-        (col("n_kept") >= 1 && col("n_kept") <= col("n_rows")).as("kept_ok"),
-        col("min_kept"))
     }),
 
     // C4-style blocklist page filter (Raffel et al. 2020 §2.2): flag
@@ -319,7 +326,9 @@ object QueriesRound10 {
     })
   )
 
-  val oracles: Map[String, String] = Map(
+  // a def, not a val: q240's oracle splices the centroids its entry
+  // trained (Verify dumps oracle_sql.json after running the queries)
+  def oracles: Map[String, String] = Map(
     // the oracle replays only the REPAIRED goldens per arm (inputs are
     // Spark-side literals), so a wrong or lossy repair hash-fails
     "q236_repair_mojibake" ->
@@ -409,10 +418,30 @@ object QueriesRound10 {
 
     // envelope facts (the q136/q227 pattern): the corpus size is the
     // one engine-independent number; the verdicts replay as constants
+    // the q231 replay machinery over the TRAINED centroids (stashed by
+    // the entry, spliced here at dump time): assignment = argmin
+    // list_distance with ties to the lowest cidx, pruning = lower-id
+    // witness with round(cos, 6) >= tau within the cluster
     "q240_semdedup_auto" ->
-      """SELECT (SELECT count(*) FROM embeddings) AS n_rows,
-        |       TRUE AS clusters_ok, TRUE AS bounds_ok,
-        |       TRUE AS kept_ok, TRUE AS min_kept""".stripMargin,
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |),
+         |cent(cidx, cv) AS (VALUES $q240CentVals),
+         |asg AS (
+         |  SELECT vec_id, v, cidx
+         |  FROM e CROSS JOIN cent
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY list_distance(v, cv), cidx) = 1
+         |),
+         |pairs AS (
+         |  SELECT b.vec_id AS ib,
+         |         round(list_cosine_similarity(a.v, b.v), 6) AS cos
+         |  FROM asg a JOIN asg b ON a.cidx = b.cidx AND a.vec_id < b.vec_id
+         |)
+         |SELECT e.vec_id, asg.cidx AS cluster,
+         |       NOT EXISTS (SELECT 1 FROM pairs p
+         |                   WHERE p.ib = e.vec_id AND p.cos >= 0.4) AS kept
+         |FROM e JOIN asg USING (vec_id) ORDER BY e.vec_id""".stripMargin,
 
     "q241_blocklist_filter" ->
       """SELECT doc_id,
