@@ -4247,7 +4247,19 @@ class StatementRouter(spark: SparkSession, root: String) {
     // differs from the incoming value → full commit
     val touchedParts =
       if (oc < 0 || doNothing) partitionTouch(name, aligned) else None
+    // ON CONFLICT DO UPDATE matched rows get `_touched` markers, like
+    // autocommit UPDATE: the reference assigns a fresh per-doc seqNo on
+    // ANY write (SysColumns.java:49-64), including an upsert that writes
+    // back identical values — which the content-hash row-diff cannot
+    // see. DO NOTHING leaves matched rows unwritten, so no marker.
+    val upsertMatched =
+      if (oc >= 0 && !doNothing)
+        Some(target.join(
+          aligned.select(conflictKeys.map(col): _*).distinct(),
+          conflictKeys, "left_semi"))
+      else None
     writeTable(name, newState, touchedParts)
+    upsertMatched.foreach(markTouched(name, _))
     result
   }
 

@@ -459,6 +459,37 @@ class StatementTailSpec extends SparkTestBase {
       .head().getLong(0) == s1b)
   }
 
+  test("ON CONFLICT DO UPDATE advances _seq_no on matched rows (any-write)") {
+    // r10 verdict ask #6: the upsert path now writes the same `_touched`
+    // markers as autocommit UPDATE, so a DO UPDATE that writes back
+    // IDENTICAL values still advances the matched row's sequence
+    // (reference occ.rst / SysColumns.java any-write semantics), while
+    // unmatched and DO NOTHING rows keep theirs.
+    val root = java.nio.file.Files.createTempDirectory("graft_occ_up")
+      .toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute("CREATE TABLE occu (id BIGINT PRIMARY KEY, v TEXT)")
+    r.execute("INSERT INTO occu (id, v) VALUES (1, 'a'), (2, 'b')")
+    val s1 = r.execute("SELECT _seq_no FROM occu WHERE id = 1").head().getLong(0)
+    val s2 = r.execute("SELECT _seq_no FROM occu WHERE id = 2").head().getLong(0)
+    // identical-value upsert on id = 1: matched row must advance
+    r.execute("INSERT INTO occu (id, v) VALUES (1, 'a') " +
+      "ON CONFLICT (id) DO UPDATE SET v = excluded.v")
+    val s1b = r.execute("SELECT _seq_no FROM occu WHERE id = 1").head().getLong(0)
+    assert(s1b > s1, s"identical-value upsert must advance _seq_no: $s1 -> $s1b")
+    assert(r.execute("SELECT _seq_no FROM occu WHERE id = 2")
+      .head().getLong(0) == s2, "unmatched row keeps its sequence")
+    // DO NOTHING leaves the matched row unwritten: no advance
+    r.execute("INSERT INTO occu (id, v) VALUES (2, 'zzz') " +
+      "ON CONFLICT (id) DO NOTHING")
+    assert(r.execute("SELECT _seq_no FROM occu WHERE id = 2")
+      .head().getLong(0) == s2, "DO NOTHING must not advance the sequence")
+    // a fresh router reads the patched sidecar and agrees
+    val r2 = new StatementRouter(spark, root)
+    assert(r2.execute("SELECT _seq_no FROM occu WHERE id = 1")
+      .head().getLong(0) == s1b)
+  }
+
   test("identical-value UPDATE advances _seq_no on the cold walk too") {
     // no sidecar exists when the first `_seq_no` read happens — the
     // full snapshot walk must fold the `_touched` markers in
