@@ -212,6 +212,12 @@ object QueriesRound9 {
         r0.execute("""CREATE ANALYZER cjk_uni (TOKENIZER standard,
           |  TOKEN_FILTERS (lowercase, cjk_bigram WITH
           |    (output_unigrams = true)))""".stripMargin)
+        r0.execute("""CREATE ANALYZER cjk_xs (TOKENIZER standard,
+          |  TOKEN_FILTERS (lowercase, cjk_bigram))""".stripMargin)
+        r0.execute("""CREATE ANALYZER cjk_hn (TOKENIZER standard,
+          |  TOKEN_FILTERS (lowercase, cjk_bigram WITH
+          |    (ignored_scripts = ['hiragana', 'katakana', 'hangul'])))"""
+          .stripMargin)
         rt
       })
       val c = graft.Tables.load(s, dir, "customer")
@@ -224,7 +230,21 @@ object QueriesRound9 {
         explode(MatchText.Analyzer.byName("cjk_flags")(pick(w1, 5))).as("term"))
       val u = c.select(lit("uni").as("arm"),
         explode(MatchText.Analyzer.byName("cjk_uni")(pick(w2, 3))).as("term"))
-      f.unionByName(u).groupBy(col("arm"), col("term"))
+      // cross-script arms (r10 verdict ask #8, investigated against the
+      // LUCENE source): CJKBigramFilter buffers adjacent chars of ALL
+      // enabled CJK types and bigrams ACROSS han/hiragana/katakana
+      // boundaries (TestCJKBigramFilter.testAllScripts expects の学 and
+      // 生が for this exact sentence); per-script runs only appear for
+      // IGNORED scripts (testHanOnly). Both goldens below are the Lucene
+      // test's own expected token lists, so graft's cross-script
+      // behavior is pinned as MATCHING Lucene, not an approximation.
+      val sent = "多くの学生が試験に落ちた"
+      val xs = c.select(lit("xs").as("arm"),
+        explode(MatchText.Analyzer.byName("cjk_xs")(lit(sent))).as("term"))
+      val hn = c.select(lit("hn").as("arm"),
+        explode(MatchText.Analyzer.byName("cjk_hn")(lit(sent))).as("term"))
+      f.unionByName(u).unionByName(xs).unionByName(hn)
+        .groupBy(col("arm"), col("term"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("arm"), col("term"))
     }),
@@ -442,8 +462,15 @@ object QueriesRound9 {
         |  WHEN '数据库' THEN ['数据','据库','数','据','库']
         |  WHEN '机器学习' THEN ['机器','器学','学习','机','器','学','习']
         |  ELSE ['大'] END) AS term FROM u),
+        |xt AS (SELECT unnest(['多く','くの','の学','学生','生が','が試',
+        |                      '試験','験に','に落','落ち','ちた']) AS term
+        |       FROM ks),
+        |ht AS (SELECT unnest(['多','く','の','学生','が','試験','に',
+        |                      '落','ち','た']) AS term FROM ks),
         |terms AS (SELECT 'flags' AS arm, term FROM ft
-        |          UNION ALL SELECT 'uni', term FROM ut)
+        |          UNION ALL SELECT 'uni', term FROM ut
+        |          UNION ALL SELECT 'xs', term FROM xt
+        |          UNION ALL SELECT 'hn', term FROM ht)
         |SELECT arm, term, count(*) AS n FROM terms
         |GROUP BY arm, term ORDER BY arm, term""".stripMargin,
 
