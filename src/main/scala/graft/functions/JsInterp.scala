@@ -12,11 +12,24 @@ package graft.functions
   *
   * Supported beyond the translator: `while` loops, `for` loops with
   * arbitrary (data-dependent) bounds, `break`/`continue`, reassignment in
-  * any statement position, array mutation via `.push`, and JS-faithful
+  * any statement position, array mutation via `.push`, JS-faithful
   * `.replace` (first occurrence — the translator rejects it because SQL
-  * `replace` hits all). Numbers are doubles (JS semantics); `+` string-
+  * `replace` hits all), and — round 11 — FULL function values: nested
+  * `function` declarations, function expressions (named ones can
+  * self-recurse), arrow functions, closures over the lexical scope
+  * chain, recursion and mutual recursion (depth-capped at
+  * [[MaxCallDepth]] so a runaway recursion fails loudly instead of
+  * blowing the JVM stack), IIFEs, and the array higher-order methods
+  * map/filter/reduce/forEach/some/every/find/findIndex with closure
+  * callbacks. Numbers are doubles (JS semantics); `+` string-
   * concatenates when either side is a string; truthiness follows JS
   * (false/0/''/null → false).
+  *
+  * Scoping: variables are FUNCTION-scoped (one scope per invocation —
+  * `let`/`const` behave like `var`). The one user-visible divergence,
+  * per-iteration `let` capture by a closure inside a loop, is REJECTED
+  * AT PARSE TIME with the fix named (declare the loop variable `var`,
+  * whose single shared binding graft models exactly like JS).
   *
   * Every statement step and every loop-back-edge counts against a hard
   * step budget (default 100 000); exceeding it throws — a runaway
@@ -46,7 +59,7 @@ object JsInterp {
     val n = src.length
     val ops3 = Seq("===", "!==")
     val ops2 = Seq("==", "!=", "<=", ">=", "&&", "||", "**", "+=", "-=",
-      "*=", "/=", "%=", "++", "--")
+      "*=", "/=", "%=", "++", "--", "=>")
     while (i < n) {
       val c = src.charAt(i)
       if (c.isWhitespace) i += 1
@@ -114,9 +127,20 @@ object JsInterp {
   private case class MethodCall(target: Ex, name: String, args: List[Ex]) extends Ex
   private case class MathCall(name: String, args: List[Ex]) extends Ex
   private case class GlobalCall(name: String, args: List[Ex]) extends Ex
+  /** function expression / arrow function; a name makes the closure
+    * self-referable (named function expressions can recurse). */
+  private case class FuncLit(name: Option[String], params: Seq[String],
+                             body: Vector[St]) extends Ex
+  /** call of an arbitrary callee — user-defined functions, closures
+    * returned from other functions, IIFEs. */
+  private case class CallE(target: Ex, args: List[Ex]) extends Ex
 
   sealed trait St
-  private case class VarDecl(vars: List[(String, Option[Ex])]) extends St
+  private case class VarDecl(vars: List[(String, Option[Ex])],
+                             kind: String = "var") extends St
+  /** nested `function name(…) {…}` declaration — binds a closure. */
+  private case class FuncDecl(name: String, params: Seq[String],
+                              body: Vector[St]) extends St
   private case class Assign(name: String, op: String, e: Ex) extends St
   private case class IndexAssign(name: String, idx: Ex, e: Ex) extends St
   private case class IncDec(name: String, op: String) extends St
@@ -129,6 +153,40 @@ object JsInterp {
   private case object BreakS extends St
   private case object ContinueS extends St
   private case class ExprS(e: Ex) extends St
+
+  /** Does this statement tree create any function value? Used by the
+    * loud-failure guard for per-iteration `let` capture. */
+  private def hasFuncLit(sts: Vector[St]): Boolean = sts.exists(stHasFL)
+  private def stHasFL(s: St): Boolean = s match {
+    case VarDecl(vs, _)        => vs.exists(_._2.exists(exHasFL))
+    case FuncDecl(_, _, _)     => true
+    case Assign(_, _, e)       => exHasFL(e)
+    case IndexAssign(_, ix, e) => exHasFL(ix) || exHasFL(e)
+    case IncDec(_, _)          => false
+    case IfS(c, t, e)          => exHasFL(c) || hasFuncLit(t) || hasFuncLit(e)
+    case WhileS(c, b)          => exHasFL(c) || hasFuncLit(b)
+    case ForS(in, c, u, b)     => in.exists(stHasFL) || c.exists(exHasFL) ||
+                                  u.exists(stHasFL) || hasFuncLit(b)
+    case ForOfS(_, it, b)      => exHasFL(it) || hasFuncLit(b)
+    case ReturnS(e)            => e.exists(exHasFL)
+    case BreakS | ContinueS    => false
+    case ExprS(e)              => exHasFL(e)
+  }
+  private def exHasFL(e: Ex): Boolean = e match {
+    case FuncLit(_, _, _)      => true
+    case Un(_, x)              => exHasFL(x)
+    case Bin(_, l, r)          => exHasFL(l) || exHasFL(r)
+    case Tern(c, t, f)         => exHasFL(c) || exHasFL(t) || exHasFL(f)
+    case ArrL(xs)              => xs.exists(exHasFL)
+    case ObjL(fs)              => fs.exists(f => exHasFL(f._2))
+    case IndexE(t, ix)         => exHasFL(t) || exHasFL(ix)
+    case Member(t, _)          => exHasFL(t)
+    case MethodCall(t, _, as)  => exHasFL(t) || as.exists(exHasFL)
+    case MathCall(_, as)       => as.exists(exHasFL)
+    case GlobalCall(_, as)     => as.exists(exHasFL)
+    case CallE(t, as)          => exHasFL(t) || as.exists(exHasFL)
+    case _                     => false
+  }
 
   // ---------- parser (recursive descent) ----------
 
@@ -154,6 +212,14 @@ object JsInterp {
         case _ => fail("body must start with `function`")
       }
       val name = eatId()
+      val params = parseParams()
+      val body = parseBlock()
+      require(i == ts.length,
+        "JS parse: trailing tokens after the function body")
+      Compiled(name, params, body)
+    }
+
+    def parseParams(): Seq[String] = {
       eatOp("(")
       val params = scala.collection.mutable.ArrayBuffer.empty[String]
       while (!isOp(")")) {
@@ -161,10 +227,7 @@ object JsInterp {
         if (isOp(",")) i += 1
       }
       eatOp(")")
-      val body = parseBlock()
-      require(i == ts.length,
-        "JS parse: trailing tokens after the function body")
-      Compiled(name, params.toSeq, body)
+      params.toSeq
     }
 
     def parseBlock(): Vector[St] = {
@@ -180,7 +243,7 @@ object JsInterp {
 
     def parseStatement(): St = {
       val st = peek match {
-        case Some(Id("var")) | Some(Id("let")) | Some(Id("const")) =>
+        case Some(Id(kw @ ("var" | "let" | "const"))) =>
           i += 1
           val vars = scala.collection.mutable.ArrayBuffer.empty[(String, Option[Ex])]
           var more = true
@@ -190,7 +253,14 @@ object JsInterp {
             vars += ((n, init))
             if (isOp(",")) i += 1 else more = false
           }
-          VarDecl(vars.toList)
+          VarDecl(vars.toList, kw)
+        case Some(Id("function")) =>
+          // nested function declaration — a closure over the enclosing
+          // scope, callable (and self-recursive) by name
+          i += 1
+          val name = eatId()
+          val params = parseParams()
+          FuncDecl(name, params, parseBlock())
         case Some(Id("return")) =>
           i += 1
           if (isOp(";") || isOp("}")) ReturnS(None) else ReturnS(Some(parseExpr()))
@@ -209,13 +279,24 @@ object JsInterp {
           i += 1; eatOp("(")
           // for (var x of e) / for (x of e) — arrays and strings
           val save = i
-          if (peek.exists(t => t == Id("var") || t == Id("let") ||
-              t == Id("const"))) i += 1
+          var loopKind = "var"
+          peek match {
+            case Some(Id(k @ ("var" | "let" | "const"))) =>
+              loopKind = k; i += 1
+            case _ => ()
+          }
+          def guardLetCapture(body: Vector[St]): Unit =
+            if (loopKind != "var" && hasFuncLit(body))
+              fail("per-iteration `" + loopKind + "` capture by a closure " +
+                "is not modeled — declare the loop variable with `var` " +
+                "(one shared binding, which the closures observe)")
           val forOf: Option[St] = (peek, la(1)) match {
             case (Some(Id(n)), Some(Id("of"))) =>
               i += 2
               val it = parseExpr(); eatOp(")")
-              Some(ForOfS(n, it, blockOrSingle()))
+              val body = blockOrSingle()
+              guardLetCapture(body)
+              Some(ForOfS(n, it, body))
             case _ => i = save; None
           }
           forOf.getOrElse {
@@ -227,7 +308,13 @@ object JsInterp {
             eatOp(";")
             val upd = if (isOp(")")) None else Some(parseSimpleStatement())
             eatOp(")")
-            ForS(init, cond, upd, blockOrSingle())
+            val body = blockOrSingle()
+            init match {
+              case Some(VarDecl(_, k)) if k != "var" =>
+                loopKind = k; guardLetCapture(body)
+              case _ => ()
+            }
+            ForS(init, cond, upd, body)
           }
         case _ => parseSimpleStatement()
       }
@@ -319,6 +406,14 @@ object JsInterp {
       var e = parseAtom()
       var more = true
       while (more) peek match {
+        case Some(Op("(")) =>
+          // call of whatever `e` evaluates to: a declared function, a
+          // closure-valued variable, an IIFE, a just-returned closure
+          i += 1
+          val args = scala.collection.mutable.ListBuffer.empty[Ex]
+          while (!isOp(")")) { args += parseExpr(); if (isOp(",")) i += 1 }
+          eatOp(")")
+          e = CallE(e, args.toList)
         case Some(Op("[")) =>
           i += 1; val idx = parseExpr(); eatOp("]"); e = IndexE(e, idx)
         case Some(Op(".")) =>
@@ -347,12 +442,47 @@ object JsInterp {
       e
     }
 
+    /** Arrow-function body: a block, or a single expression that
+      * becomes an implicit return. */
+    def arrowBody(): Vector[St] =
+      if (isOp("{")) parseBlock() else Vector(ReturnS(Some(parseExpr())))
+
+    /** True iff the '(' at the current position closes into '=>' — the
+      * parenthesized-arrow-params lookahead. */
+    def arrowAhead(): Boolean = {
+      var k = i; var depth = 0
+      var ok = peek.contains(Op("("))
+      while (ok && k < ts.length) {
+        ts(k) match {
+          case Op("(") => depth += 1; k += 1
+          case Op(")") =>
+            depth -= 1; k += 1
+            if (depth == 0) return ts.lift(k).contains(Op("=>"))
+          case _ => k += 1
+        }
+      }
+      false
+    }
+
     def parseAtom(): Ex = peek match {
       case Some(Num(v))         => i += 1; LNum(v)
       case Some(Str(s))         => i += 1; LStr(s)
       case Some(Id("true"))     => i += 1; LBool(true)
       case Some(Id("false"))    => i += 1; LBool(false)
       case Some(Id("null")) | Some(Id("undefined")) => i += 1; LNull
+      case Some(Id("function")) =>
+        // function expression: anonymous or named (the name is only in
+        // scope inside the body — named-expression recursion)
+        i += 1
+        val name = peek match {
+          case Some(Id(n)) => i += 1; Some(n)
+          case _           => None
+        }
+        FuncLit(name, parseParams(), parseBlock())
+      case Some(Id(n)) if la(1).contains(Op("=>")) =>
+        // bare-parameter arrow: x => …
+        i += 2
+        FuncLit(None, Seq(n), arrowBody())
       case Some(Id(n)) if la(1).contains(Op("(")) &&
           Seq("Number", "String", "Boolean", "parseInt", "parseFloat",
             "isNaN", "isFinite").contains(n) =>
@@ -362,6 +492,11 @@ object JsInterp {
         eatOp(")")
         GlobalCall(n, args.toList)
       case Some(Id(n)) => i += 1; Ref(n)
+      case Some(Op("(")) if arrowAhead() =>
+        // parenthesized arrow params: (a, b) => …
+        val params = parseParams()
+        eatOp("=>")
+        FuncLit(None, params, arrowBody())
       case Some(Op("(")) =>
         i += 1; val e = parseExpr(); eatOp(")"); e
       case Some(Op("[")) =>
@@ -436,12 +571,53 @@ object JsInterp {
     case other     => other.toString
   }
 
+  /** A lexical scope: reads walk the parent chain, assignment writes to
+    * the defining scope (or declares locally when none defines it). One
+    * scope per function INVOCATION — variables are function-scoped (see
+    * the object scaladoc for the `let` caveat). */
+  private final class Scope(val parent: Scope) {
+    val vars = scala.collection.mutable.HashMap.empty[String, Any]
+    def lookup(n: String): Option[Any] = {
+      var s: Scope = this
+      while (s != null) {
+        val v = s.vars.get(n)
+        if (v.isDefined) return v
+        s = s.parent
+      }
+      None
+    }
+    def get(n: String): Any = lookup(n).getOrElse(
+      throw new IllegalStateException(s"undefined variable '$n' in JS UDF"))
+    def set(n: String, v: Any): Unit = {
+      var s: Scope = this
+      while (s != null) {
+        if (s.vars.contains(n)) { s.vars(n) = v; return }
+        s = s.parent
+      }
+      vars(n) = v
+    }
+  }
+
+  /** A function value: parameters, body, and the DEFINING scope (the
+    * closure's captured environment); `selfName` lets named function
+    * expressions recurse. */
+  private final case class Closure(params: Seq[String], body: Vector[St],
+                                   defScope: Scope, selfName: Option[String]) {
+    override def toString: String = "function"
+  }
+
+  /** Recursion depth cap: the shared step budget alone would let ~100k
+    * nested calls blow the JVM stack long before the budget trips, so
+    * runaway recursion fails loudly at a depth no legitimate UDF needs. */
+  val MaxCallDepth = 256
+
   private def run(c: Compiled, args: Seq[Any]): Any = {
-    val env = scala.collection.mutable.HashMap.empty[String, Any]
+    val global = new Scope(null)
     c.params.zipWithIndex.foreach { case (p, ix) =>
-      env(p) = normalize(args.lift(ix).orNull)
+      global.vars(p) = normalize(args.lift(ix).orNull)
     }
     var steps = 0
+    var depth = 0
     def tick(): Unit = {
       steps += 1
       if (steps > DefaultStepBudget)
@@ -449,55 +625,82 @@ object JsInterp {
           s"JS UDF '${c.name}' exceeded the $DefaultStepBudget-step budget " +
             "(runaway loop?)")
     }
-
-    def evalSt(s: St): Unit = { tick(); s match {
-      case VarDecl(vs) => vs.foreach { case (n, e) => env(n) = e.map(eval).orNull }
-      case Assign(n, op, e) =>
-        val v = eval(e)
-        env(n) = op match {
-          case "="  => v
-          case "+=" => plus(env.getOrElse(n, null), v)
-          case "-=" => toNum(env.getOrElse(n, null)) - toNum(v)
-          case "*=" => toNum(env.getOrElse(n, null)) * toNum(v)
-          case "/=" => toNum(env.getOrElse(n, null)) / toNum(v)
-          case "%=" => toNum(env.getOrElse(n, null)) % toNum(v)
+    def callClosure(cl: Closure, argVals: Seq[Any]): Any = {
+      tick()
+      depth += 1
+      if (depth > MaxCallDepth)
+        throw new IllegalStateException(
+          s"JS UDF '${c.name}' exceeded the $MaxCallDepth-frame call depth " +
+            "(runaway recursion?)")
+      try {
+        val sc = new Scope(cl.defScope)
+        cl.selfName.foreach(n => sc.vars(n) = cl)
+        cl.params.zipWithIndex.foreach { case (p, ix) =>
+          sc.vars(p) = argVals.lift(ix).orNull
         }
+        try { cl.body.foreach(evalSt(_, sc)); null }
+        catch {
+          case ReturnEx(v) => v
+          case BreakEx | ContinueEx => throw new IllegalStateException(
+            "break/continue crossed a function boundary in JS UDF")
+        }
+      } finally depth -= 1
+    }
+
+    def evalSt(s: St, sc: Scope): Unit = { tick(); s match {
+      case VarDecl(vs, _) =>
+        vs.foreach { case (n, e) => sc.vars(n) = e.map(eval(_, sc)).orNull }
+      case FuncDecl(n, ps, body) =>
+        sc.vars(n) = Closure(ps, body, sc, Some(n))
+      case Assign(n, op, e) =>
+        val v = eval(e, sc)
+        val cur = () => sc.lookup(n).orNull
+        sc.set(n, op match {
+          case "="  => v
+          case "+=" => plus(cur(), v)
+          case "-=" => toNum(cur()) - toNum(v)
+          case "*=" => toNum(cur()) * toNum(v)
+          case "/=" => toNum(cur()) / toNum(v)
+          case "%=" => toNum(cur()) % toNum(v)
+        })
       case IndexAssign(n, idx, e) =>
-        env.getOrElse(n, null) match {
+        sc.lookup(n).orNull match {
           case a: scala.collection.mutable.ArrayBuffer[Any] @unchecked =>
-            val ix = toNum(eval(idx)).toInt
+            val ix = toNum(eval(idx, sc)).toInt
             while (a.length <= ix) a += null
-            a(ix) = eval(e)
+            a(ix) = eval(e, sc)
           case m: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked =>
-            m(toStr(eval(idx))) = eval(e)
+            m(toStr(eval(idx, sc))) = eval(e, sc)
           case other => throw new IllegalStateException(
             s"cannot index-assign into ${Option(other).map(_.getClass.getSimpleName).getOrElse("null")}")
         }
       case IncDec(n, op) =>
-        env(n) = toNum(env.getOrElse(n, null)) + (if (op == "++") 1.0 else -1.0)
-      case IfS(cd, t, e) => if (truthy(eval(cd))) t.foreach(evalSt) else e.foreach(evalSt)
+        sc.set(n, toNum(sc.lookup(n).orNull) + (if (op == "++") 1.0 else -1.0))
+      case IfS(cd, t, e) =>
+        if (truthy(eval(cd, sc))) t.foreach(evalSt(_, sc))
+        else e.foreach(evalSt(_, sc))
       case WhileS(cd, body) =>
         // break unwinds to THIS loop (the try sits on the loop itself, so
         // nested loops each catch their own break)
         try {
-          while (truthy(eval(cd))) {
+          while (truthy(eval(cd, sc))) {
             tick()
-            try body.foreach(evalSt)
+            try body.foreach(evalSt(_, sc))
             catch { case ContinueEx => () }
           }
         } catch { case BreakEx => () }
       case ForS(init, cond, upd, body) =>
-        init.foreach(evalSt)
+        init.foreach(evalSt(_, sc))
         try {
-          while (cond.forall(e => truthy(eval(e)))) {
+          while (cond.forall(e => truthy(eval(e, sc)))) {
             tick()
-            try body.foreach(evalSt)
+            try body.foreach(evalSt(_, sc))
             catch { case ContinueEx => () }
-            upd.foreach(evalSt)
+            upd.foreach(evalSt(_, sc))
           }
         } catch { case BreakEx => () }
       case ForOfS(n, iter, body) =>
-        val items: Seq[Any] = eval(iter) match {
+        val items: Seq[Any] = eval(iter, sc) match {
           case a: scala.collection.mutable.ArrayBuffer[Any] @unchecked => a.toSeq
           case s: String => s.map(_.toString)
           case other => throw new IllegalStateException(
@@ -505,13 +708,13 @@ object JsInterp {
               Option(other).map(_.getClass.getSimpleName).getOrElse("null"))
         }
         try items.foreach { v =>
-          tick(); env(n) = v
-          try body.foreach(evalSt) catch { case ContinueEx => () }
+          tick(); sc.set(n, v)
+          try body.foreach(evalSt(_, sc)) catch { case ContinueEx => () }
         } catch { case BreakEx => () }
-      case ReturnS(e) => throw ReturnEx(e.map(eval).orNull)
+      case ReturnS(e) => throw ReturnEx(e.map(eval(_, sc)).orNull)
       case BreakS     => throw BreakEx
       case ContinueS  => throw ContinueEx
-      case ExprS(e)   => eval(e)
+      case ExprS(e)   => eval(e, sc)
     }}
 
     def plus(l: Any, r: Any): Any = (l, r) match {
@@ -520,20 +723,29 @@ object JsInterp {
       case _              => toNum(l) + toNum(r)
     }
 
-    def eval(e: Ex): Any = { tick(); e match {
+    def eval(e: Ex, sc: Scope): Any = { tick(); e match {
       case LNum(v)  => v
       case LStr(s)  => s
       case LBool(b) => b
       case LNull    => null
-      case Ref(n)   => env.getOrElse(n,
-        throw new IllegalStateException(s"undefined variable '$n' in JS UDF"))
-      case Un("-", x) => -toNum(eval(x))
-      case Un("!", x) => !truthy(eval(x))
+      case Ref(n)   => sc.get(n)
+      case FuncLit(name, ps, body) => Closure(ps, body, sc, name)
+      case CallE(t, args) =>
+        eval(t, sc) match {
+          case cl: Closure => callClosure(cl, args.map(eval(_, sc)))
+          case other => throw new IllegalStateException(
+            "JS UDF called a non-function value" +
+              (t match { case Ref(n) => s" ('$n')"; case _ => "" }))
+        }
+      case Un("-", x) => -toNum(eval(x, sc))
+      case Un("!", x) => !truthy(eval(x, sc))
       case Un(op, _)  => throw new IllegalStateException(s"unary $op")
-      case Bin("&&", l, r) => val lv = eval(l); if (!truthy(lv)) lv else eval(r)
-      case Bin("||", l, r) => val lv = eval(l); if (truthy(lv)) lv else eval(r)
+      case Bin("&&", l, r) =>
+        val lv = eval(l, sc); if (!truthy(lv)) lv else eval(r, sc)
+      case Bin("||", l, r) =>
+        val lv = eval(l, sc); if (truthy(lv)) lv else eval(r, sc)
       case Bin(op, l, r) =>
-        val lv = eval(l); val rv = eval(r)
+        val lv = eval(l, sc); val rv = eval(r, sc)
         op match {
           case "+"  => plus(lv, rv)
           case "-"  => toNum(lv) - toNum(rv)
@@ -550,24 +762,25 @@ object JsInterp {
           case ">"  => cmp(lv, rv) > 0
           case ">=" => cmp(lv, rv) >= 0
         }
-      case Tern(cd, t, f) => if (truthy(eval(cd))) eval(t) else eval(f)
+      case Tern(cd, t, f) =>
+        if (truthy(eval(cd, sc))) eval(t, sc) else eval(f, sc)
       case ArrL(items) =>
-        scala.collection.mutable.ArrayBuffer[Any](items.map(eval): _*)
+        scala.collection.mutable.ArrayBuffer[Any](items.map(eval(_, sc)): _*)
       case ObjL(fields) =>
         val m = new scala.collection.mutable.LinkedHashMap[String, Any]
-        fields.foreach { case (k, ex) => m(k) = eval(ex) }
+        fields.foreach { case (k, ex) => m(k) = eval(ex, sc) }
         m
-      case IndexE(t, ix) => eval(t) match {
+      case IndexE(t, ix) => eval(t, sc) match {
         case a: scala.collection.mutable.ArrayBuffer[Any] @unchecked =>
-          a.lift(toNum(eval(ix)).toInt).orNull
+          a.lift(toNum(eval(ix, sc)).toInt).orNull
         case m: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked =>
-          m.getOrElse(toStr(eval(ix)), null)
+          m.getOrElse(toStr(eval(ix, sc)), null)
         case s: String =>
-          val k = toNum(eval(ix)).toInt
+          val k = toNum(eval(ix, sc)).toInt
           if (k >= 0 && k < s.length) s.charAt(k).toString else null
         case _ => null
       }
-      case Member(t, name) => eval(t) match {
+      case Member(t, name) => eval(t, sc) match {
         case m: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked =>
           m.getOrElse(name, null)
         case s: String if name == "length" => s.length.toDouble
@@ -577,9 +790,10 @@ object JsInterp {
         case _ =>
           throw new IllegalStateException(s"unsupported property '.$name'")
       }
-      case MathCall(name, args) => mathCall(name, args.map(a => toNum(eval(a))))
+      case MathCall(name, args) =>
+        mathCall(name, args.map(a => toNum(eval(a, sc))))
       case GlobalCall(name, args) =>
-        val vs = args.map(eval)
+        val vs = args.map(eval(_, sc))
         name match {
           case "Number"     => toNum(vs.headOption.orNull)
           case "String"     => toStr(vs.headOption.orNull)
@@ -594,8 +808,8 @@ object JsInterp {
                                !toNum(vs.headOption.orNull).isNaN
         }
       case MethodCall(t, m, args) =>
-        val tv = eval(t)
-        val avs = args.map(eval)
+        val tv = eval(t, sc)
+        val avs = args.map(eval(_, sc))
         (tv, m) match {
           case (s: String, _)  => stringMethod(s, m, avs)
           case (a: scala.collection.mutable.ArrayBuffer[Any] @unchecked, _) =>
@@ -765,10 +979,62 @@ object JsInterp {
         }
         out
       case "reverse" => val r = arr.reverse; arr.clear(); arr ++= r; arr
+      // higher-order methods: the callback is a closure value, invoked
+      // through the same budgeted/depth-guarded call machinery
+      case "map" | "filter" | "forEach" | "some" | "every" |
+           "find" | "findIndex" | "reduce" =>
+        val cb = a.headOption match {
+          case Some(cl: Closure) => cl
+          case other => throw new IllegalStateException(
+            s".$m needs a function argument, got " +
+              other.map(v => Option(v).map(_.getClass.getSimpleName)
+                .getOrElse("null")).getOrElse("nothing"))
+        }
+        def call1(v: Any, ix: Int): Any =
+          callClosure(cb, Seq(v, ix.toDouble, arr))
+        m match {
+          case "map" =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+            arr.zipWithIndex.foreach { case (v, ix) => out += call1(v, ix) }
+            out
+          case "filter" =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+            arr.zipWithIndex.foreach { case (v, ix) =>
+              if (truthy(call1(v, ix))) out += v }
+            out
+          case "forEach" =>
+            arr.zipWithIndex.foreach { case (v, ix) => call1(v, ix) }; null
+          case "some" =>
+            arr.zipWithIndex.exists { case (v, ix) => truthy(call1(v, ix)) }
+          case "every" =>
+            arr.zipWithIndex.forall { case (v, ix) => truthy(call1(v, ix)) }
+          case "find" =>
+            arr.zipWithIndex.find { case (v, ix) => truthy(call1(v, ix)) }
+              .map(_._1).orNull
+          case "findIndex" =>
+            arr.zipWithIndex.indexWhere { case (v, ix) => truthy(call1(v, ix)) }
+              .toDouble
+          case "reduce" =>
+            // JS: with an initial value the callback sees every element;
+            // without one the first element seeds the accumulator
+            var (acc, start) = a.lift(1) match {
+              case Some(init) => (init, 0)
+              case None =>
+                if (arr.isEmpty) throw new IllegalStateException(
+                  "reduce of empty array with no initial value")
+                (arr(0), 1)
+            }
+            var ix = start
+            while (ix < arr.length) {
+              acc = callClosure(cb, Seq(acc, arr(ix), ix.toDouble, arr))
+              ix += 1
+            }
+            acc
+        }
       case other => throw new IllegalStateException(s"unsupported array method .$other")
     }
 
-    try { c.body.foreach(evalSt); null }
+    try { c.body.foreach(evalSt(_, global)); null }
     catch { case ReturnEx(v) => denormalize(v) }
   }
 
@@ -860,6 +1126,8 @@ object JsInterp {
     * the registered UDF's declared DataType does the final cast. */
   private def denormalize(v: Any): Any = v match {
     case a: scala.collection.mutable.ArrayBuffer[_] => a.map(denormalize).toSeq
+    case _: Closure => throw new IllegalStateException(
+      "JS UDF returned a function — return a serializable value instead")
     case other => other
   }
 }

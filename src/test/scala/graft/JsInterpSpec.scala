@@ -173,4 +173,120 @@ class JsInterpSpec extends SparkTestBase {
     assert(ev("function f() { var a = [1, 2]; var b = a; return a === b; }") == true)
     assert(ev("function f() { var a = [1, 2]; return a !== [1, 2]; }") == true)
   }
+
+  test("nested function declarations and recursion") {
+    val fib =
+      """function fib(n) {
+        |  function f(k) { return k < 2 ? k : f(k - 1) + f(k - 2); }
+        |  return f(n);
+        |}""".stripMargin
+    assert(ev(fib, 0L) == 0.0)
+    assert(ev(fib, 10L) == 55.0)
+    assert(ev(fib, 15L) == 610.0)
+    // naive fib(25) needs ~1M steps: the budget catches it as a runaway
+    intercept[IllegalStateException](ev(fib, 25L))
+    // mutual recursion through the shared enclosing scope
+    assert(ev(
+      """function par(n) {
+        |  function isEven(k) { return k == 0 ? true : isOdd(k - 1); }
+        |  function isOdd(k)  { return k == 0 ? false : isEven(k - 1); }
+        |  return isEven(n) ? 'even' : 'odd';
+        |}""".stripMargin, 7L) == "odd")
+  }
+
+  test("closures capture and MUTATE the defining scope") {
+    assert(ev(
+      """function f(n) {
+        |  function mkCounter() {
+        |    var t = 0;
+        |    return function() { t += 1; return t; };
+        |  }
+        |  var c = mkCounter();
+        |  var last = 0;
+        |  for (var i = 0; i < n; i++) { last = c(); }
+        |  var c2 = mkCounter();
+        |  return last * 100 + c2();
+        |}""".stripMargin, 5L) == 501.0) // two counters: independent state
+    // closure over a parameter (adder factory)
+    assert(ev(
+      """function f(x) {
+        |  var add = function(a) { return function(b) { return a + b; }; };
+        |  return add(x)(10);
+        |}""".stripMargin, 32L) == 42.0)
+  }
+
+  test("arrow functions, IIFEs, named function expressions") {
+    assert(ev("function f(n) { var sq = x => x * x; return sq(n); }", 9L) == 81.0)
+    assert(ev("function f(a, b) { var g = (x, y) => { return x * y + 1; }; return g(a, b); }",
+      6L, 7L) == 43.0)
+    assert(ev("function f() { return (function() { return 7; })(); }") == 7.0)
+    // named function EXPRESSION recurses via its own name
+    assert(ev(
+      "function f(n) { var fact = function go(k) { return k <= 1 ? 1 : k * go(k - 1); }; return fact(n); }",
+      6L) == 720.0)
+  }
+
+  test("higher-order array methods with closure callbacks") {
+    assert(ev(
+      """function f() {
+        |  var a = [1, 2, 3, 4, 5];
+        |  return a.map(x => x * x).filter(x => x % 2 == 1)
+        |          .reduce(function(p, x) { return p + x; }, 0);
+        |}""".stripMargin) == 35.0) // 1 + 9 + 25
+    assert(ev(
+      """function f() {
+        |  var hits = 0;
+        |  ['a', 'bb', 'ccc'].forEach(function(s) { hits += s.length; });
+        |  return hits;
+        |}""".stripMargin) == 6.0)
+    assert(ev("function f() { return [3, 8, 2].some(x => x > 5); }") == true)
+    assert(ev("function f() { return [3, 8, 2].every(x => x > 5); }") == false)
+    assert(ev("function f() { return [3, 8, 2].find(x => x > 5); }") == 8.0)
+    assert(ev("function f() { return [3, 8, 2].findIndex(x => x > 5); }") == 1.0)
+    assert(ev("function f() { return [2, 5].reduce(function(p, x) { return p * x; }); }") == 10.0)
+  }
+
+  test("var loop capture shares ONE binding (JS var semantics)") {
+    assert(ev(
+      """function f() {
+        |  var fs = [];
+        |  for (var i = 0; i < 3; i++) { fs.push(function() { return i; }); }
+        |  return fs.map(function(g) { return g(); }).join(',');
+        |}""".stripMargin) == "3,3,3")
+  }
+
+  test("per-iteration let capture fails loudly AT PARSE with the fix named") {
+    val e = intercept[UnsupportedOperationException](JsInterp.compile(
+      """function f() {
+        |  var fs = [];
+        |  for (let i = 0; i < 3; i++) { fs.push(function() { return i; }); }
+        |  return fs.length;
+        |}""".stripMargin))
+    assert(e.getMessage.contains("per-iteration"), e.getMessage)
+    assert(e.getMessage.contains("var"), e.getMessage)
+    // let WITHOUT a closure in the body is fine (shared binding is
+    // observationally identical when nothing captures it)
+    assert(ev(
+      "function f(n) { var s = 0; for (let i = 0; i < n; i++) { s += i; } return s; }",
+      5L) == 10.0)
+  }
+
+  test("runaway recursion trips the depth cap, not the JVM stack") {
+    val e = intercept[IllegalStateException](ev(
+      "function f(n) { function go(k) { return go(k + 1); } return go(0); }", 1L))
+    assert(e.getMessage.contains("call depth"), e.getMessage)
+    // deep-but-bounded recursion under the cap still works
+    assert(ev(
+      "function f(n) { function go(k) { return k <= 0 ? 0 : 1 + go(k - 1); } return go(n); }",
+      200L) == 200.0)
+  }
+
+  test("calling a non-function and returning a function fail loudly") {
+    val e1 = intercept[IllegalStateException](ev(
+      "function f() { var x = 3; return x(1); }"))
+    assert(e1.getMessage.contains("non-function"), e1.getMessage)
+    val e2 = intercept[IllegalStateException](ev(
+      "function f() { return function() { return 1; }; }"))
+    assert(e2.getMessage.contains("returned a function"), e2.getMessage)
+  }
 }
