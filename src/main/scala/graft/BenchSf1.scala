@@ -89,6 +89,15 @@ object BenchSf1 {
     "q241_blocklist_filter", "q242_perplexity_buckets",
     "q243_bloom_history_dedup", "q244_unicode_normalize")
 
+  /** The CONSOLIDATED wave (r10 verdict ask #7): the ENTIRE catalog at
+    * sf1 in one artifact — the per-wave format proved each round's new
+    * entries sublinear when they landed, but hides whether EARLY entries
+    * still scale after rounds of shared-code churn. Selected with
+    * SPARK_GRAFT_SF1_WAVE=full → BENCH_sf1_full.json (cold + warm
+    * ratios for every entry). q231 keeps its oracle-pinned K here (its
+    * scale-correct configuration is wave 3's q231_semdedup_scaledK). */
+  private def waveFull: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
+
   /** Non-catalog bench-only builds (scale-correct configurations of
     * operators whose catalog entries pin oracle-replayable params). */
   private val extras: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -170,18 +179,20 @@ object BenchSf1 {
 
     val wave = sys.env.getOrElse("SPARK_GRAFT_SF1_WAVE", "1")
     val picked = wave match {
-      case "2" => wave2
-      case "3" => wave3
-      case "4" => wave4
-      case "5" => wave5
-      case _   => headline
+      case "2"    => wave2
+      case "3"    => wave3
+      case "4"    => wave4
+      case "5"    => wave5
+      case "full" => waveFull
+      case _      => headline
     }
     val outFile = wave match {
-      case "2" => "BENCH_sf1_wave2.json"
-      case "3" => "BENCH_sf1_wave3.json"
-      case "4" => "BENCH_sf1_wave4.json"
-      case "5" => "BENCH_sf1_wave5.json"
-      case _   => "BENCH_sf1.json"
+      case "2"    => "BENCH_sf1_wave2.json"
+      case "3"    => "BENCH_sf1_wave3.json"
+      case "4"    => "BENCH_sf1_wave4.json"
+      case "5"    => "BENCH_sf1_wave5.json"
+      case "full" => "BENCH_sf1_full.json"
+      case _      => "BENCH_sf1.json"
     }
     val rows = picked.map { q =>
       val (a, aw) = time(q, sf01)
