@@ -158,12 +158,16 @@ object QueriesRound11 {
           |  for (var i = 1; i <= n; i++) { a.push(i); }
           |  return a.map(x => x * x).reduce((p, x) => p + x, 0);
           |}'""".stripMargin)
-      s.sql(
-        """SELECT c_custkey,
-          |       js_fib(c_custkey % 16) AS fib,
-          |       js_closure_sum(c_custkey % 50) AS csum,
-          |       js_sumsq(c_custkey % 30) AS ssq
-          |FROM customer ORDER BY c_custkey""".stripMargin)
+      // repartition BEFORE the projection: the customer fixture is one
+      // parquet file = one partition, and interpreted UDFs are the rare
+      // per-row-expensive scalar where the exchange pays for itself —
+      // at cluster scale the scan would arrive pre-split, this models it
+      s.table("customer").repartition(32)
+        .select(col("c_custkey"),
+          call_function("js_fib", col("c_custkey") % 16).as("fib"),
+          call_function("js_closure_sum", col("c_custkey") % 50).as("csum"),
+          call_function("js_sumsq", col("c_custkey") % 30).as("ssq"))
+        .orderBy(col("c_custkey"))
     })
   )
 
