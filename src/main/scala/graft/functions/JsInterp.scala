@@ -90,6 +90,51 @@ object JsInterp {
         require(i < n, "unterminated string in JS body")
         i += 1
         out += Str(sb.toString)
+      } else if (c == '`') {
+        // template literal: desugars AT LEX TIME to a parenthesized
+        // string concatenation — `a${x}b` → ( "a" + ( x ) + "b" ) —
+        // which plus() string-coerces exactly like JS ToString. The
+        // leading "" forces string semantics when the template is a
+        // bare `${n}`. Interpolation bodies are lexed recursively;
+        // nested template literals inside ${} are rejected loudly.
+        i += 1
+        out += Op("("); out += Str(""); out += Op("+")
+        val sb = new StringBuilder
+        def flushPart(): Unit = { out += Str(sb.toString); sb.clear() }
+        var closed = false
+        while (!closed) {
+          require(i < n, "unterminated template literal in JS body")
+          val ch = src.charAt(i)
+          if (ch == '\\' && i + 1 < n) {
+            sb.append(src.charAt(i + 1) match {
+              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+              case other => other
+            })
+            i += 2
+          } else if (ch == '`') { flushPart(); closed = true; i += 1 }
+          else if (ch == '$' && i + 1 < n && src.charAt(i + 1) == '{') {
+            flushPart(); out += Op("+")
+            i += 2
+            val start = i
+            var depth = 1
+            while (i < n && depth > 0) {
+              src.charAt(i) match {
+                case '{' => depth += 1
+                case '}' => depth -= 1
+                case '`' => throw new UnsupportedOperationException(
+                  "JS parse: nested template literal inside ${} is not " +
+                    "supported — assign it to a variable first")
+                case _   => ()
+              }
+              i += 1
+            }
+            require(depth == 0, "unterminated ${} in template literal")
+            out += Op("(")
+            lex(src.substring(start, i - 1)).foreach(out += _)
+            out += Op(")"); out += Op("+")
+          } else { sb.append(ch); i += 1 }
+        }
+        out += Op(")")
       } else if (c.isLetter || c == '_' || c == '$') {
         val j = i
         while (i < n && (src.charAt(i).isLetterOrDigit || src.charAt(i) == '_' ||

@@ -20,6 +20,14 @@ object QueriesRound11 {
   private val routerRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q248's trained weights as DuckDB VALUES rows + the bias literal,
+    * stashed by the entry at run time and spliced into the oracle at
+    * dump time (the q240 dynamic-oracle pattern — Verify writes
+    * oracle_sql.json AFTER the queries run). */
+  @volatile private var q248WVals: String =
+    "(0, CAST('0' AS DECIMAL(28,12)))"
+  @volatile private var q248Bias: String = "CAST('0' AS DECIMAL(28,12))"
+
   /** Same deterministic 64-dim literal as q209/q210/q239. */
   private val vecLit: String =
     (0 until 64).map(i => ((i % 7) - 3) / 3.0)
@@ -168,10 +176,46 @@ object QueriesRound11 {
           call_function("js_closure_sum", col("c_custkey") % 50).as("csum"),
           call_function("js_sumsq", col("c_custkey") % 30).as("ssq"))
         .orderBy(col("c_custkey"))
+    }),
+
+    // Hashed-linear quality classifier (fasttext-style model-based
+    // filter, CCNet §4.4 / FineWeb-Edu lineage): trains driver-side on
+    // a deterministic bounded sample (label = lang == 'en'), scores
+    // MAP-ONLY with the weight table as a plan literal. The score is
+    // the exact DECIMAL logit (no transcendental has to agree across
+    // engines), the trained weights splice into the oracle at dump
+    // time (the q240 pattern), and DuckDB replays tokenization,
+    // md5-bucket hashing, the decimal sum, the threshold, AND the
+    // accuracy fact independently — acc_ok is a real replay, not a
+    // constant.
+    "q248_quality_classifier" -> ((s, dir) => {
+      import graft.operators.QualityClassifier
+      val docs = graft.Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+        .withColumn("is_en", col("lang") === "en")
+      val (w, b) = QualityClassifier.train(docs, "is_en")
+      val nz = w.zipWithIndex.collect { case (x, i) if x != 0.0 =>
+        s"($i, CAST('${QualityClassifier.dec(x).bigDecimal.toPlainString}'" +
+          " AS DECIMAL(28,12)))"
+      }
+      q248WVals = if (nz.isEmpty) "(0, CAST('0' AS DECIMAL(28,12)))"
+                  else nz.mkString(", ")
+      q248Bias =
+        s"CAST('${QualityClassifier.dec(b).bigDecimal.toPlainString}'" +
+          " AS DECIMAL(28,12))"
+      val scored = QualityClassifier.score(docs, w, b)
+      val out = scored.join(docs.select(col("doc_id"), col("is_en")), "doc_id")
+      val acc = out.agg(
+        avg(when(col("predicted") === col("is_en"), 1.0).otherwise(0.0))
+          .as("acc"))
+        .select((col("acc") >= 0.7).as("acc_ok"))
+      out.crossJoin(acc).orderBy(col("doc_id"))
     })
   )
 
-  val oracles: Map[String, String] = Map(
+  // a def, not a val: q248's oracle splices the weights its entry
+  // trained (Verify dumps oracle_sql.json after running the queries)
+  def oracles: Map[String, String] = Map(
     // identical exact-verdict replay to q243; the Bloom guarantees and
     // the degrade-route equivalence replay as constants
     "q245_bloom_bucketed_dedup" ->
@@ -215,6 +259,40 @@ object QueriesRound11 {
         |       ((c_custkey % 50) * (c_custkey % 50 + 1)) // 2 AS csum,
         |       ((c_custkey % 30) * (c_custkey % 30 + 1)
         |         * (2 * (c_custkey % 30) + 1)) // 6 AS ssq
-        |FROM customer ORDER BY c_custkey""".stripMargin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // full independent replay over the TRAINED weights (spliced at
+    // dump time): same tokenization (filter empties -> first 64 ->
+    // distinct), same md5-prefix bucket hash, exact decimal sum, same
+    // threshold — and the accuracy fact recomputed from DuckDB's own
+    // predictions, not echoed
+    "q248_quality_classifier" ->
+      s"""WITH w(bkt, wt) AS (VALUES $q248WVals),
+         |d AS (
+         |  SELECT doc_id, lang = 'en' AS is_en,
+         |         list_distinct(list_filter(
+         |           string_split_regex(lower(text), '[^a-z]+'),
+         |           t -> t <> '')[1:64]) AS toks
+         |  FROM documents
+         |),
+         |tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+         |zs AS (
+         |  SELECT tok.doc_id, SUM(COALESCE(w.wt, 0)) AS zsum
+         |  FROM tok LEFT JOIN w
+         |    ON w.bkt = CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 1024
+         |  GROUP BY tok.doc_id
+         |),
+         |scored AS (
+         |  SELECT d.doc_id,
+         |         CAST($q248Bias + COALESCE(zs.zsum, 0) AS DECIMAL(38,12))
+         |           AS score,
+         |         ($q248Bias + COALESCE(zs.zsum, 0)) > 0 AS predicted,
+         |         d.is_en
+         |  FROM d LEFT JOIN zs ON d.doc_id = zs.doc_id
+         |)
+         |SELECT doc_id, score, predicted, is_en,
+         |       (SELECT avg(CASE WHEN predicted = is_en THEN 1.0 ELSE 0.0 END)
+         |        FROM scored) >= 0.7 AS acc_ok
+         |FROM scored ORDER BY doc_id""".stripMargin
   )
 }

@@ -281,6 +281,20 @@ class JsInterpSpec extends SparkTestBase {
       200L) == 200.0)
   }
 
+  test("template literals desugar to JS string concatenation") {
+    assert(ev("function f(n) { return `id-${n}`; }", 7L) == "id-7")
+    assert(ev("function f(a, b) { return `${a} + ${b} = ${a + b}`; }",
+      2L, 3L) == "2 + 3 = 5")
+    assert(ev("function f() { return `no interp`; }") == "no interp")
+    assert(ev("function f(s) { return `[${s.toUpperCase()}]`; }", "ab") == "[AB]")
+    assert(ev("function f(n) { return `${n}`; }", 5L) == "5") // string, not num
+    assert(ev("function f(n) { return `${n > 3 ? 'big' : 'small'}x`; }", 1L)
+      == "smallx") // full expressions inside the interpolation
+    val e = intercept[UnsupportedOperationException](JsInterp.compile(
+      "function f(n) { return `${`inner ${n}`}`; }"))
+    assert(e.getMessage.contains("nested template"), e.getMessage)
+  }
+
   test("calling a non-function and returning a function fail loudly") {
     val e1 = intercept[IllegalStateException](ev(
       "function f() { var x = 3; return x(1); }"))

@@ -59,6 +59,33 @@ class BucketedBloomSpec extends SparkTestBase {
     assert(Dedup.bloomTotalBits(1000000000L, 0.01) / 8 > gib)
   }
 
+  test("quality classifier: deterministic training, exact scoring, learns") {
+    import spark.implicits._
+    import graft.operators.QualityClassifier
+    // two separable vocabularies — the classifier must learn them
+    val good = (1L to 60L).map(i =>
+      (i, s"the quick brown fox likes clean prose number $i", true))
+    val bad = (1L to 60L).map(i =>
+      (100 + i, s"zzz spam casino pills xxx junk token $i", false))
+    val docs = (good ++ bad).toDF("doc_id", "text", "y")
+    val (w1, b1) = QualityClassifier.train(docs, "y", dims = 256)
+    val (w2, b2) = QualityClassifier.train(docs, "y", dims = 256)
+    assert(w1.toSeq == w2.toSeq && b1 == b2, "training must be bit-stable")
+    val scored = QualityClassifier.score(docs, w1, b1)
+      .join(docs.select(col("doc_id"), col("y")), "doc_id")
+    val rows = scored.collect()
+    val acc = rows.count(r => r.getBoolean(2) == r.getBoolean(3)).toDouble /
+      rows.length
+    assert(acc >= 0.95, s"separable vocab must classify: acc = $acc")
+    // empty/null/no-letter text scores at the bias alone, no throw
+    val edge = Seq((1L, ""), (2L, "123 456 !!!"), (3L, null))
+      .toDF("doc_id", "text")
+    val es = QualityClassifier.score(edge, w1, b1).collect()
+    assert(es.length == 3 && es.forall(r => r.getDecimal(1) != null))
+    assert(es.map(_.getDecimal(1)).distinct.length == 1,
+      "all three edge rows must score at the bias")
+  }
+
   test("many buckets with sparse history: absent buckets probe false") {
     import spark.implicits._
     val history = Seq((1L, "only one doc")).toDF("doc_id", "text")
