@@ -21,9 +21,14 @@ package graft.functions
   * [[MaxCallDepth]] so a runaway recursion fails loudly instead of
   * blowing the JVM stack), IIFEs, and the array higher-order methods
   * map/filter/reduce/forEach/some/every/find/findIndex with closure
-  * callbacks. Numbers are doubles (JS semantics); `+` string-
-  * concatenates when either side is a string; truthiness follows JS
-  * (false/0/''/null → false).
+  * callbacks. Template literals desugar at lex time to string
+  * concatenation. Regex literals compile to java.util.regex (once per
+  * AST node) with g/i/m/s/u flags, usable via `re.test(s)` and the
+  * string methods match/replace/replaceAll/split/search — `$&` maps
+  * to java's `$0`; JS's stateful `lastIndex` under /g is deliberately
+  * NOT modeled (`.test` is stateless here). Numbers are doubles (JS
+  * semantics); `+` string-concatenates when either side is a string;
+  * truthiness follows JS (false/0/''/null → false).
   *
   * Scoping: variables are FUNCTION-scoped (one scope per invocation —
   * `let`/`const` behave like `var`). The one user-visible divergence,
@@ -52,9 +57,24 @@ object JsInterp {
   private case class Str(s: String) extends T
   private case class Id(s: String) extends T
   private case class Op(s: String) extends T
+  private case class Re(pattern: String, flags: String) extends T
+
+  /** May a regex literal start here? JS's own heuristic: yes at
+    * expression positions (start, after an operator or '('), no where
+    * '/' must be division (after a value: identifier, literal, ')',
+    * ']'). Keywords that END a statement position still allow one. */
+  private val regexKeywords = Set("return", "typeof", "case", "of", "in",
+    "do", "else", "void", "delete", "instanceof", "new", "throw")
+  private def regexAllowed(last: Option[T]): Boolean = last match {
+    case None                       => true
+    case Some(Op(")")) | Some(Op("]")) => false
+    case Some(Op(_))                => true
+    case Some(Id(kw))               => regexKeywords(kw)
+    case _                          => false // Num / Str / Re
+  }
 
   private def lex(src: String): Vector[T] = {
-    val out = Vector.newBuilder[T]
+    val out = scala.collection.mutable.ArrayBuffer.empty[T]
     var i = 0
     val n = src.length
     val ops3 = Seq("===", "!==")
@@ -135,6 +155,29 @@ object JsInterp {
           } else { sb.append(ch); i += 1 }
         }
         out += Op(")")
+      } else if (c == '/' && regexAllowed(out.lastOption)) {
+        // regex literal: scan to the unescaped closing '/', honoring
+        // character classes (an unescaped '/' inside [...] is literal)
+        var k = i + 1
+        var inClass = false
+        var found = false
+        while (k < n && !found) {
+          src.charAt(k) match {
+            case '\\'               => k += 2
+            case '['                => inClass = true; k += 1
+            case ']'                => inClass = false; k += 1
+            case '/' if !inClass    => found = true
+            case '\n'               => k = n // regex cannot span lines
+            case _                  => k += 1
+          }
+        }
+        require(found, "unterminated regex literal in JS body")
+        val pat = src.substring(i + 1, k)
+        k += 1
+        val fj = k
+        while (k < n && src.charAt(k).isLetter) k += 1
+        out += Re(pat, src.substring(fj, k))
+        i = k
       } else if (c.isLetter || c == '_' || c == '$') {
         val j = i
         while (i < n && (src.charAt(i).isLetterOrDigit || src.charAt(i) == '_' ||
@@ -151,7 +194,7 @@ object JsInterp {
         }
       }
     }
-    out.result()
+    out.toVector
   }
 
   // ---------- AST ----------
@@ -172,6 +215,11 @@ object JsInterp {
   private case class MethodCall(target: Ex, name: String, args: List[Ex]) extends Ex
   private case class MathCall(name: String, args: List[Ex]) extends Ex
   private case class GlobalCall(name: String, args: List[Ex]) extends Ex
+  /** regex literal — compiled once per AST node (loops don't pay a
+    * recompile per iteration). */
+  private case class LRe(pattern: String, flags: String) extends Ex {
+    lazy val compiled: JsRegexVal = JsRegexVal.compile(pattern, flags)
+  }
   /** function expression / arrow function; a name makes the closure
     * self-referable (named function expressions can recurse). */
   private case class FuncLit(name: Option[String], params: Seq[String],
@@ -512,6 +560,7 @@ object JsInterp {
     def parseAtom(): Ex = peek match {
       case Some(Num(v))         => i += 1; LNum(v)
       case Some(Str(s))         => i += 1; LStr(s)
+      case Some(Re(p, f))       => i += 1; LRe(p, f)
       case Some(Id("true"))     => i += 1; LBool(true)
       case Some(Id("false"))    => i += 1; LBool(false)
       case Some(Id("null")) | Some(Id("undefined")) => i += 1; LNull
@@ -640,6 +689,33 @@ object JsInterp {
         s = s.parent
       }
       vars(n) = v
+    }
+  }
+
+  /** A JS regex value: the java.util.regex compilation plus the `g`
+    * flag (java has no global mode — replace/match branch on it).
+    * JS semantics notes: `.test` is STATELESS here (JS's lastIndex
+    * statefulness under /g is a wart, not modeled); `$&` in
+    * replacements translates to java's `$0`. */
+  private[functions] final case class JsRegexVal(
+      p: java.util.regex.Pattern, global: Boolean) {
+    override def toString: String = s"/${p.pattern}/"
+  }
+  private[functions] object JsRegexVal {
+    def compile(pattern: String, flags: String): JsRegexVal = {
+      var f = 0
+      var g = false
+      flags.foreach {
+        case 'g' => g = true
+        case 'i' => f |= java.util.regex.Pattern.CASE_INSENSITIVE |
+                         java.util.regex.Pattern.UNICODE_CASE
+        case 'm' => f |= java.util.regex.Pattern.MULTILINE
+        case 's' => f |= java.util.regex.Pattern.DOTALL
+        case 'u' => () // codepoint escapes: java regex handles \u natively
+        case other => throw new UnsupportedOperationException(
+          s"JS parse: unsupported regex flag '$other' (g/i/m/s/u only)")
+      }
+      JsRegexVal(java.util.regex.Pattern.compile(pattern, f), g)
     }
   }
 
@@ -774,6 +850,7 @@ object JsInterp {
       case LBool(b) => b
       case LNull    => null
       case Ref(n)   => sc.get(n)
+      case r @ LRe(_, _) => r.compiled
       case FuncLit(name, ps, body) => Closure(ps, body, sc, name)
       case CallE(t, args) =>
         eval(t, sc) match {
@@ -856,6 +933,11 @@ object JsInterp {
         val tv = eval(t, sc)
         val avs = args.map(eval(_, sc))
         (tv, m) match {
+          case (r: JsRegexVal, "test") =>
+            r.p.matcher(toStr(avs.headOption.orNull)).find()
+          case (_: JsRegexVal, other) => throw new IllegalStateException(
+            s"unsupported regex method .$other (test; or use the string" +
+              " methods match/replace/split/search)")
           case (s: String, _)  => stringMethod(s, m, avs)
           case (a: scala.collection.mutable.ArrayBuffer[Any] @unchecked, _) =>
             arrayMethod(a, m, avs)
@@ -973,6 +1055,39 @@ object JsInterp {
         val p = a.lift(1).map(toStr).getOrElse(" ")
         if (s.length >= w || p.isEmpty) s
         else s + (p * ((w - s.length) / p.length + 1)).take(w - s.length)
+      case "replace" | "replaceAll"
+          if a.headOption.exists(_.isInstanceOf[JsRegexVal]) =>
+        val r = a.head.asInstanceOf[JsRegexVal]
+        // JS $& (whole match) is java's $0; $1.. group refs align
+        val repl = toStr(a(1)).replace("$&", "$0")
+        val mt = r.p.matcher(s)
+        if (r.global || m == "replaceAll") mt.replaceAll(repl)
+        else mt.replaceFirst(repl)
+      case "match" =>
+        val r = a.headOption match {
+          case Some(rv: JsRegexVal) => rv
+          case other => throw new IllegalStateException(
+            s".match needs a regex literal, got $other")
+        }
+        val mt = r.p.matcher(s)
+        if (r.global) {
+          val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+          while (mt.find()) out += mt.group()
+          if (out.isEmpty) null else out
+        } else if (mt.find()) {
+          val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+          var g = 0
+          while (g <= mt.groupCount()) { out += mt.group(g); g += 1 }
+          out
+        } else null
+      case "search" =>
+        a.headOption match {
+          case Some(rv: JsRegexVal) =>
+            val mt = rv.p.matcher(s)
+            (if (mt.find()) mt.start() else -1).toDouble
+          case other => throw new IllegalStateException(
+            s".search needs a regex literal, got $other")
+        }
       case "replace" => // JS: first occurrence only (literal)
         val find = toStr(a.head)
         val ix = s.indexOf(find)
@@ -981,6 +1096,9 @@ object JsInterp {
       case "replaceAll" =>
         val find = toStr(a.head)
         if (find.isEmpty) s else s.replace(find, toStr(a(1)))
+      case "split" if a.headOption.exists(_.isInstanceOf[JsRegexVal]) =>
+        val parts = a.head.asInstanceOf[JsRegexVal].p.split(s, -1)
+        scala.collection.mutable.ArrayBuffer[Any](parts.toSeq: _*)
       case "split" =>
         val sep = toStr(a.head)
         val parts: Seq[String] =
@@ -1173,6 +1291,8 @@ object JsInterp {
     case a: scala.collection.mutable.ArrayBuffer[_] => a.map(denormalize).toSeq
     case _: Closure => throw new IllegalStateException(
       "JS UDF returned a function — return a serializable value instead")
+    case _: JsRegexVal => throw new IllegalStateException(
+      "JS UDF returned a regex — return a serializable value instead")
     case other => other
   }
 }

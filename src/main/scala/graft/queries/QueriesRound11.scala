@@ -166,6 +166,14 @@ object QueriesRound11 {
           |  for (var i = 1; i <= n; i++) { a.push(i); }
           |  return a.map(x => x * x).reduce((p, x) => p + x, 0);
           |}'""".stripMargin)
+      // regex literals + a template literal in one body: extract every
+      // digit run, join, wrap — replayed by DuckDB regexp_replace
+      r.execute(
+        """CREATE OR REPLACE FUNCTION js_digits(text) RETURNS text
+          |LANGUAGE JAVASCRIPT AS 'function js_digits(s) {
+          |  var m = s.match(/[0-9]+/g);
+          |  return m === null ? `<>` : `<${m.join("")}>`;
+          |}'""".stripMargin)
       // repartition BEFORE the projection: the customer fixture is one
       // parquet file = one partition, and interpreted UDFs are the rare
       // per-row-expensive scalar where the exchange pays for itself —
@@ -174,7 +182,8 @@ object QueriesRound11 {
         .select(col("c_custkey"),
           call_function("js_fib", col("c_custkey") % 16).as("fib"),
           call_function("js_closure_sum", col("c_custkey") % 50).as("csum"),
-          call_function("js_sumsq", col("c_custkey") % 30).as("ssq"))
+          call_function("js_sumsq", col("c_custkey") % 30).as("ssq"),
+          call_function("js_digits", col("c_name")).as("digits"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -258,7 +267,9 @@ object QueriesRound11 {
         |       (SELECT v FROM fib WHERE i = c_custkey % 16) AS fib,
         |       ((c_custkey % 50) * (c_custkey % 50 + 1)) // 2 AS csum,
         |       ((c_custkey % 30) * (c_custkey % 30 + 1)
-        |         * (2 * (c_custkey % 30) + 1)) // 6 AS ssq
+        |         * (2 * (c_custkey % 30) + 1)) // 6 AS ssq,
+        |       '<' || regexp_replace(c_name, '[^0-9]', '', 'g') || '>'
+        |         AS digits
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     // full independent replay over the TRAINED weights (spliced at

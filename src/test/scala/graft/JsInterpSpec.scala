@@ -295,6 +295,35 @@ class JsInterpSpec extends SparkTestBase {
     assert(e.getMessage.contains("nested template"), e.getMessage)
   }
 
+  test("regex literals: test/match/replace/split/search, flags, division") {
+    assert(ev("function f(s) { return /^[a-z]+$/.test(s); }", "abc") == true)
+    assert(ev("function f(s) { return /^[a-z]+$/.test(s); }", "a1c") == false)
+    assert(ev("function f(s) { return /ABC/i.test(s); }", "xabcx") == true)
+    // replace: non-global hits first occurrence, /g hits all, $1/$& refs
+    assert(ev("function f(s) { return s.replace(/o/, '0'); }", "foo") == "f0o")
+    assert(ev("function f(s) { return s.replace(/o/g, '0'); }", "foo") == "f00")
+    assert(ev("function f(s) { return s.replace(/(\\d+)/, '[$1]'); }",
+      "id 42 here") == "id [42] here")
+    assert(ev("function f(s) { return s.replace(/\\d+/g, '<$&>'); }",
+      "a1b22") == "a<1>b<22>")
+    // match: /g returns all full matches; non-g returns [full, groups]
+    assert(ev("function f(s) { return s.match(/\\d+/g).join(','); }",
+      "a1b22c333") == "1,22,333")
+    assert(ev("function f(s) { return s.match(/(\\w+)@(\\w+)/)[2]; }",
+      "mail me x@y now") == "y")
+    assert(ev("function f(s) { return s.match(/zzz/) === null; }", "abc") == true)
+    // split on a regex keeps empties (JS semantics); search finds index
+    assert(ev("function f(s) { return s.split(/[,;]/).length; }", "a,b;;c") == 4.0)
+    assert(ev("function f(s) { return s.search(/b+/); }", "aabba") == 2.0)
+    assert(ev("function f(s) { return s.search(/zz/); }", "aabba") == -1.0)
+    // '/' after a value is still division, after return it's a regex
+    assert(ev("function f(a, b) { return a / b; }", 10L, 4L) == 2.5)
+    assert(ev("function f(x) { var r = x / 2 / 2; return r; }", 12L) == 3.0)
+    // unsupported flag fails loudly at evaluation of the literal
+    intercept[UnsupportedOperationException](ev(
+      "function f(s) { return /a/y.test(s); }", "a"))
+  }
+
   test("calling a non-function and returning a function fail loudly") {
     val e1 = intercept[IllegalStateException](ev(
       "function f() { var x = 3; return x(1); }"))
