@@ -89,6 +89,14 @@ object BenchSf1 {
     "q241_blocklist_filter", "q242_perplexity_buckets",
     "q243_bloom_history_dedup", "q244_unicode_normalize")
 
+  /** Wave 6 (round-11 tail, entries landed after the full wave ran):
+    * the interpreted-JS family with its regex arm and the quality
+    * classifier (driver-bounded training + map-only scoring — the
+    * scoring pass is the 10× path). Selected with
+    * SPARK_GRAFT_SF1_WAVE=6 → BENCH_sf1_wave6.json. */
+  private val wave6 = Seq(
+    "q247_js_closures", "q248_quality_classifier")
+
   /** The CONSOLIDATED wave (r10 verdict ask #7): the ENTIRE catalog at
     * sf1 in one artifact — the per-wave format proved each round's new
     * entries sublinear when they landed, but hides whether EARLY entries
@@ -183,6 +191,7 @@ object BenchSf1 {
       case "3"    => wave3
       case "4"    => wave4
       case "5"    => wave5
+      case "6"    => wave6
       case "full" => waveFull
       case _      => headline
     }
@@ -191,6 +200,7 @@ object BenchSf1 {
       case "3"    => "BENCH_sf1_wave3.json"
       case "4"    => "BENCH_sf1_wave4.json"
       case "5"    => "BENCH_sf1_wave5.json"
+      case "6"    => "BENCH_sf1_wave6.json"
       case "full" => "BENCH_sf1_full.json"
       case _      => "BENCH_sf1.json"
     }
