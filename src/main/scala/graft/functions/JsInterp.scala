@@ -243,6 +243,15 @@ object JsInterp {
                           update: Option[St], body: Vector[St]) extends St
   private case class ForOfS(v: String, iter: Ex, body: Vector[St]) extends St
   private case class ReturnS(e: Option[Ex]) extends St
+  /** `throw expr` — raises a user value caught by the nearest TryS. */
+  private case class ThrowS(e: Ex) extends St
+  /** `try {…} catch (e) {…} [finally {…}]` — catches ONLY user throws
+    * (engine guards — step budget, depth cap, type errors — stay
+    * uncatchable by design: a UDF must not swallow its own runaway
+    * protection). */
+  private case class TryS(body: Vector[St], param: Option[String],
+                          catchBody: Vector[St],
+                          finallyBody: Vector[St]) extends St
   private case object BreakS extends St
   private case object ContinueS extends St
   private case class ExprS(e: Ex) extends St
@@ -262,6 +271,9 @@ object JsInterp {
                                   u.exists(stHasFL) || hasFuncLit(b)
     case ForOfS(_, it, b)      => exHasFL(it) || hasFuncLit(b)
     case ReturnS(e)            => e.exists(exHasFL)
+    case ThrowS(e)             => exHasFL(e)
+    case TryS(b, _, c, f)      => hasFuncLit(b) || hasFuncLit(c) ||
+                                  hasFuncLit(f)
     case BreakS | ContinueS    => false
     case ExprS(e)              => exHasFL(e)
   }
@@ -357,6 +369,30 @@ object JsInterp {
         case Some(Id("return")) =>
           i += 1
           if (isOp(";") || isOp("}")) ReturnS(None) else ReturnS(Some(parseExpr()))
+        case Some(Id("throw")) =>
+          i += 1; ThrowS(parseExpr())
+        case Some(Id("try")) =>
+          i += 1
+          val body = parseBlock()
+          var hasCatch = false
+          val (param, catchBody) =
+            if (peek.contains(Id("catch"))) {
+              hasCatch = true
+              i += 1
+              val p = if (isOp("(")) { i += 1; val n = eatId(); eatOp(")"); Some(n) }
+                      else None // ES2019 optional catch binding
+              (p, parseBlock())
+            } else (None, Vector.empty[St])
+          val fin =
+            if (peek.contains(Id("finally"))) { i += 1; parseBlock() }
+            else Vector.empty[St]
+          if (!hasCatch && fin.isEmpty)
+            fail("try requires a catch or finally clause")
+          // no catch clause: rethrow after finally — model as a catch
+          // that rethrows via the sentinel param name
+          if (hasCatch) TryS(body, param, catchBody, fin)
+          else TryS(body, Some("__rethrow"),
+            Vector(ThrowS(Ref("__rethrow"))), fin)
         case Some(Id("break"))    => i += 1; BreakS
         case Some(Id("continue")) => i += 1; ContinueS
         case Some(Id("if")) =>
@@ -626,6 +662,11 @@ object JsInterp {
   val DefaultStepBudget = 100000
 
   private case class ReturnEx(v: Any) extends RuntimeException { override def fillInStackTrace(): Throwable = this }
+  /** a user `throw` in flight — the ONLY exception try/catch catches. */
+  private case class JsThrow(v: Any) extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+    override def getMessage: String = "uncaught JS throw: " + toStr(v)
+  }
   private case object BreakEx extends RuntimeException { override def fillInStackTrace(): Throwable = this }
   private case object ContinueEx extends RuntimeException { override def fillInStackTrace(): Throwable = this }
 
@@ -833,6 +874,16 @@ object JsInterp {
           try body.foreach(evalSt(_, sc)) catch { case ContinueEx => () }
         } catch { case BreakEx => () }
       case ReturnS(e) => throw ReturnEx(e.map(eval(_, sc)).orNull)
+      case ThrowS(e)  => throw JsThrow(eval(e, sc))
+      case TryS(body, param, catchBody, fin) =>
+        try {
+          try body.foreach(evalSt(_, sc))
+          catch {
+            case JsThrow(v) =>
+              param.foreach(p => sc.vars(p) = v)
+              catchBody.foreach(evalSt(_, sc))
+          }
+        } finally fin.foreach(evalSt(_, sc))
       case BreakS     => throw BreakEx
       case ContinueS  => throw ContinueEx
       case ExprS(e)   => eval(e, sc)

@@ -174,6 +174,16 @@ object QueriesRound11 {
           |  var m = s.match(/[0-9]+/g);
           |  return m === null ? `<>` : `<${m.join("")}>`;
           |}'""".stripMargin)
+      // try/catch/throw with a template-literal payload: the error
+      // value crosses back as the result — replayed by a SQL CASE
+      r.execute(
+        """CREATE OR REPLACE FUNCTION js_safe(bigint) RETURNS text
+          |LANGUAGE JAVASCRIPT AS 'function js_safe(n) {
+          |  try {
+          |    if (n % 7 == 0) { throw `div7:${n}`; }
+          |    return `ok:${n}`;
+          |  } catch (e) { return `caught ${e}`; }
+          |}'""".stripMargin)
       // repartition BEFORE the projection: the customer fixture is one
       // parquet file = one partition, and interpreted UDFs are the rare
       // per-row-expensive scalar where the exchange pays for itself —
@@ -183,7 +193,8 @@ object QueriesRound11 {
           call_function("js_fib", col("c_custkey") % 16).as("fib"),
           call_function("js_closure_sum", col("c_custkey") % 50).as("csum"),
           call_function("js_sumsq", col("c_custkey") % 30).as("ssq"),
-          call_function("js_digits", col("c_name")).as("digits"))
+          call_function("js_digits", col("c_name")).as("digits"),
+          call_function("js_safe", col("c_custkey") % 21).as("safe"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -269,7 +280,10 @@ object QueriesRound11 {
         |       ((c_custkey % 30) * (c_custkey % 30 + 1)
         |         * (2 * (c_custkey % 30) + 1)) // 6 AS ssq,
         |       '<' || regexp_replace(c_name, '[^0-9]', '', 'g') || '>'
-        |         AS digits
+        |         AS digits,
+        |       CASE WHEN (c_custkey % 21) % 7 = 0
+        |            THEN 'caught div7:' || (c_custkey % 21)
+        |            ELSE 'ok:' || (c_custkey % 21) END AS safe
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     // full independent replay over the TRAINED weights (spliced at

@@ -324,6 +324,52 @@ class JsInterpSpec extends SparkTestBase {
       "function f(s) { return /a/y.test(s); }", "a"))
   }
 
+  test("try/catch/throw/finally: user values, engine guards uncatchable") {
+    assert(ev(
+      """function f(n) {
+        |  try { if (n % 3 == 0) { throw 'fizz'; } return 'ok' + n; }
+        |  catch (e) { return 'caught ' + e; }
+        |}""".stripMargin, 9L) == "caught fizz")
+    assert(ev(
+      """function f(n) {
+        |  try { if (n % 3 == 0) { throw 'fizz'; } return 'ok' + n; }
+        |  catch (e) { return 'caught ' + e; }
+        |}""".stripMargin, 7L) == "ok7")
+    // thrown objects carry structure; finally always runs
+    assert(ev(
+      """function f() {
+        |  var log = [];
+        |  try { log.push('t'); throw { code: 42 }; }
+        |  catch (e) { log.push('c' + e.code); }
+        |  finally { log.push('f'); }
+        |  return log.join(',');
+        |}""".stripMargin) == "t,c42,f")
+    // a throw crosses function boundaries to the caller's catch
+    assert(ev(
+      """function f() {
+        |  function boom() { throw 'inner'; }
+        |  try { boom(); return 'no'; } catch (e) { return 'got ' + e; }
+        |}""".stripMargin) == "got inner")
+    // try/finally without catch reruns finally then rethrows
+    assert(ev(
+      """function f() {
+        |  var fin = 0;
+        |  try {
+        |    try { throw 'x'; } finally { fin = 1; }
+        |  } catch (e) { return e + fin; }
+        |}""".stripMargin) == "x1")
+    // an uncaught user throw fails loudly with the value named
+    val e1 = intercept[RuntimeException](ev(
+      "function f() { throw 'kaboom'; }"))
+    assert(e1.getMessage.contains("kaboom"), e1.getMessage)
+    // engine guards stay UNCATCHABLE: the step budget fires through try
+    val e2 = intercept[IllegalStateException](ev(
+      """function f() {
+        |  try { while (true) { var x = 1; } } catch (e) { return 'swallowed'; }
+        |}""".stripMargin))
+    assert(e2.getMessage.contains("step budget"), e2.getMessage)
+  }
+
   test("calling a non-function and returning a function fail loudly") {
     val e1 = intercept[IllegalStateException](ev(
       "function f() { var x = 3; return x(1); }"))
