@@ -49,6 +49,19 @@ class StatementRouter(spark: SparkSession, root: String) {
     * which has no multi-statement transactions at all. */
   private var txn: Option[scala.collection.mutable.LinkedHashMap[String, DataFrame]] = None
 
+  /** In-transaction touched-pk buffer (table → distinct pk strings):
+    * [[markTouched]] cannot write `<table>/_touched/v{N}` markers
+    * mid-transaction because the commit version N is assigned only at
+    * COMMIT — so the pks stage here and [[commitTxn]] writes them under
+    * the committed version. Identical-value writes inside BEGIN…COMMIT
+    * therefore advance `_seq_no` like autocommit ones (reference
+    * any-write semantics, SysColumns.java:49-64); the remaining
+    * granularity difference is inherent to the model — N statements in
+    * one transaction fold into ONE version, so a row touched twice
+    * advances once, to the commit version. */
+  private var txnTouched =
+    scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+
   /** Current snapshot: the staged transactional state if present, else the
     * latest committed version. */
   private def readTable(name: String): DataFrame =
@@ -102,14 +115,25 @@ class StatementRouter(spark: SparkSession, root: String) {
   private def beginTxn(): DataFrame = {
     require(txn.isEmpty, "nested transactions are not supported")
     txn = Some(scala.collection.mutable.LinkedHashMap.empty)
+    txnTouched = scala.collection.mutable.LinkedHashMap.empty
     summary(0L)
   }
 
   private def commitTxn(): DataFrame = {
     val buf = txn.getOrElse(sys.error("COMMIT without BEGIN"))
+    val touched = txnTouched
     txn = None
+    txnTouched = scala.collection.mutable.LinkedHashMap.empty
     buf.foreach { case (name, df) =>
       VersionedTable.commit(spark, tablePath(name), df)
+      // staged any-write markers land under the version just committed
+      touched.get(name).foreach { pks =>
+        try {
+          val path = tablePath(name)
+          VersionedTable.latestVersion(spark, path).foreach(v =>
+            pks.write.mode("overwrite").parquet(s"$path/_touched/v$v"))
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
     summary(buf.size.toLong)
   }
@@ -117,6 +141,7 @@ class StatementRouter(spark: SparkSession, root: String) {
   private def rollbackTxn(): DataFrame = {
     require(txn.isDefined, "ROLLBACK without BEGIN")
     txn = None
+    txnTouched = scala.collection.mutable.LinkedHashMap.empty
     summary(0L)
   }
 
@@ -4353,27 +4378,37 @@ class StatementRouter(spark: SparkSession, root: String) {
   /** Durable touched-row marker: the reference advances a doc's `_seq_no`
     * on ANY write (`metadata/doc/SysColumns.java:49-64` — Lucene assigns
     * a fresh per-op seqNo), INCLUDING an UPDATE that writes identical
-    * values — which a content-hash row-diff cannot see. Autocommit
-    * UPDATEs on an unpartitioned keyed table therefore record the
-    * matched pks under `<table>/_touched/v{N}`; [[seqNoMapDf]]'s
+    * values — which a content-hash row-diff cannot see. UPDATEs (and
+    * upsert-matched rows) on an unpartitioned keyed table therefore
+    * record the matched pks under `<table>/_touched/v{N}`; [[seqNoMapDf]]'s
     * patch-forward and [[fullSeqWalk]] advance those rows even when
-    * their hash is unchanged. Best-effort: an unwritable marker degrades
-    * to content-hash semantics for that version, and in-TRANSACTION
-    * updates keep content-hash semantics (several statements fold into
-    * one commit; documented in PORTING.md). */
+    * their hash is unchanged. In a TRANSACTION the pks stage in
+    * [[txnTouched]] (the version isn't known yet) and [[commitTxn]]
+    * writes them under the committed version. Best-effort: an unwritable
+    * marker degrades to content-hash semantics for that version. */
   private def markTouched(name: String, touchedRows: DataFrame): Unit = {
-    if (txn.isDefined) return
     val path = tablePath(name)
     val pk = VersionedTable.primaryKey(spark, path)
     if (pk.isEmpty || VersionedTable.partitionSpec(spark, path).isDefined)
       return
     try {
-      val v = VersionedTable.latestVersion(spark, path).getOrElse(return)
-      touchedRows
+      val pks = touchedRows
         .select(concat_ws("|", pk.map(c => col(c).cast("string")): _*)
           .as("graft_seq_pk"))
         .distinct()
-        .write.mode("overwrite").parquet(s"$path/_touched/v$v")
+      txn match {
+        case Some(_) =>
+          // checkpoint: later statements in the transaction mutate the
+          // staged snapshots these pks derive from
+          val staged = txnTouched.get(name) match {
+            case Some(prev) => prev.union(pks).distinct()
+            case None       => pks
+          }
+          txnTouched(name) = staged.localCheckpoint()
+        case None =>
+          val v = VersionedTable.latestVersion(spark, path).getOrElse(return)
+          pks.write.mode("overwrite").parquet(s"$path/_touched/v$v")
+      }
     } catch { case scala.util.control.NonFatal(_) => () }
   }
 

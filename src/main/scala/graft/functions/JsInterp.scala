@@ -14,12 +14,12 @@ package graft.functions
   * arbitrary (data-dependent) bounds, `break`/`continue`, reassignment in
   * any statement position, array mutation via `.push`, JS-faithful
   * `.replace` (first occurrence — the translator rejects it because SQL
-  * `replace` hits all), and — round 11 — FULL function values: nested
-  * `function` declarations, function expressions (named ones can
-  * self-recurse), arrow functions, closures over the lexical scope
-  * chain, recursion and mutual recursion (depth-capped at
-  * [[MaxCallDepth]] so a runaway recursion fails loudly instead of
-  * blowing the JVM stack), IIFEs, and the array higher-order methods
+  * `replace` hits all), and FULL function values: nested `function`
+  * declarations, function expressions (named ones can self-recurse),
+  * arrow functions, closures over the lexical scope chain, recursion and
+  * mutual recursion (depth-capped at [[MaxCallDepth]] so a runaway
+  * recursion fails loudly instead of blowing the JVM stack), IIFEs, and
+  * the array higher-order methods
   * map/filter/reduce/forEach/some/every/find/findIndex with closure
   * callbacks. Template literals desugar at lex time to string
   * concatenation. Regex literals compile to java.util.regex (once per
@@ -30,23 +30,47 @@ package graft.functions
   * semantics); `+` string-concatenates when either side is a string;
   * truthiness follows JS (false/0/''/null → false).
   *
-  * Scoping: variables are FUNCTION-scoped (one scope per invocation —
-  * `let`/`const` behave like `var`). The one user-visible divergence,
-  * per-iteration `let` capture by a closure inside a loop, is REJECTED
-  * AT PARSE TIME with the fix named (declare the loop variable `var`,
-  * whose single shared binding graft models exactly like JS).
+  * Round-11 tail — the constructs earlier rounds rejected, now modeled:
+  *
+  *  - **ES classes**: `class Name { constructor(…){…} m(…){…}
+  *    static s(…){…} }`, `new Name(…)`, `this`-bound method dispatch,
+  *    property assignment through any member/index lvalue
+  *    (`this.x = e`, `obj.a += e`, `arr[i] = e`), and old-style
+  *    constructor functions (`new F()` over a plain function assigning
+  *    `this.…`). Accessors, fields, `extends`, and generator methods
+  *    are rejected with the construct named.
+  *  - **Generators**: `function*` declarations/expressions with `yield`,
+  *    consumed by `for…of`, `Array.from`, or `.next()` (JS's
+  *    `{value, done}` protocol). Generators run EAGERLY at call time
+  *    under the step budget — exact for every terminating generator;
+  *    an infinite generator fails loudly on the budget even when the
+  *    consumer would have stopped early (documented cut).
+  *  - **Per-iteration `let` capture**: `for (let i …)` creates a fresh
+  *    binding per iteration exactly like ES (closures made in iteration
+  *    k keep seeing k; the update expression runs in the NEXT
+  *    iteration's copy), and `for (let x of …)` binds per element.
+  *    `var` keeps its one shared function-scoped binding — both JS
+  *    behaviors are now modeled, not just the `var` one. Outside loop
+  *    headers `let`/`const` still behave like `var` (block-shadowing
+  *    divergence, documented).
+  *  - **Deterministic Date subset**: `new Date(ms)`, `new Date(y,m,d,…)`
+  *    (UTC-pinned — see [[JsDate]]), `Date.UTC(…)`, ISO-string parse,
+  *    `getTime`/`getUTC*`/`toISOString`. Timestamp/date COLUMN inputs
+  *    arrive as Date values.
   *
   * Every statement step and every loop-back-edge counts against a hard
   * step budget (default 100 000); exceeding it throws — a runaway
   * `while (true)` fails loudly instead of hanging an executor core.
-  * `Math.random()`/`Date.now()` are rejected at parse time: UDFs must
-  * stay deterministic or results become irreproducible across retries of
-  * a Spark task (the engine-level invariant; the reference leaves this to
-  * the user).
+  * The only remaining rejections are the NON-DETERMINISM guards —
+  * `Math.random()`, `Date.now()`, argless `new Date()`, local-timezone
+  * Date accessors — because a retried Spark task must reproduce its rows
+  * bit-for-bit (the engine-level invariant; the reference leaves this to
+  * the user and inherits the irreproducibility).
   */
 object JsInterp {
 
-  final case class Compiled(name: String, params: Seq[String], body: Vector[St]) {
+  final case class Compiled(name: String, params: Seq[String], body: Vector[St],
+                            isGen: Boolean = false) {
     def eval(args: Seq[Any]): Any = JsInterp.run(this, args)
   }
 
@@ -221,27 +245,51 @@ object JsInterp {
     lazy val compiled: JsRegexVal = JsRegexVal.compile(pattern, flags)
   }
   /** function expression / arrow function; a name makes the closure
-    * self-referable (named function expressions can recurse). */
+    * self-referable (named function expressions can recurse). `isGen`
+    * marks a `function*` generator expression. */
   private case class FuncLit(name: Option[String], params: Seq[String],
-                             body: Vector[St]) extends Ex
+                             body: Vector[St],
+                             isGen: Boolean = false) extends Ex
   /** call of an arbitrary callee — user-defined functions, closures
     * returned from other functions, IIFEs. */
   private case class CallE(target: Ex, args: List[Ex]) extends Ex
+  /** `new Name(args)` — a user class, a constructor function, or the
+    * deterministic `Date` subset. */
+  private case class NewE(name: String, args: List[Ex]) extends Ex
+  /** `yield [expr]` — only legal dynamically inside a generator frame. */
+  private case class YieldEx(e: Option[Ex]) extends Ex
 
   sealed trait St
   private case class VarDecl(vars: List[(String, Option[Ex])],
                              kind: String = "var") extends St
-  /** nested `function name(…) {…}` declaration — binds a closure. */
+  /** nested `function name(…) {…}` declaration — binds a closure.
+    * `isGen` marks a `function*` generator declaration. */
   private case class FuncDecl(name: String, params: Seq[String],
-                              body: Vector[St]) extends St
+                              body: Vector[St],
+                              isGen: Boolean = false) extends St
+  /** `class Name { constructor(…){…} m(…){…} static s(…){…} }` —
+    * binds a [[JsClass]] value. Each entry is (name, params, body). */
+  private case class ClassDecl(name: String,
+      ctor: Option[(Seq[String], Vector[St])],
+      methods: List[(String, Seq[String], Vector[St])],
+      statics: List[(String, Seq[String], Vector[St])]) extends St
   private case class Assign(name: String, op: String, e: Ex) extends St
-  private case class IndexAssign(name: String, idx: Ex, e: Ex) extends St
+  /** assignment through a member/index lvalue — `this.x = e`,
+    * `obj.a += e`, `arr[i] = e`, `m['k'] = e`. */
+  private case class LvalAssign(lhs: Ex, op: String, rhs: Ex) extends St
   private case class IncDec(name: String, op: String) extends St
   private case class IfS(c: Ex, t: Vector[St], e: Vector[St]) extends St
   private case class WhileS(c: Ex, body: Vector[St]) extends St
+  /** `letVars` non-empty = the init declared `let`/`const` vars that get
+    * a FRESH binding per iteration (ES CreatePerIterationEnvironment):
+    * closures created in iteration k capture iteration k's binding. */
   private case class ForS(init: Option[St], cond: Option[Ex],
-                          update: Option[St], body: Vector[St]) extends St
-  private case class ForOfS(v: String, iter: Ex, body: Vector[St]) extends St
+                          update: Option[St], body: Vector[St],
+                          letVars: List[String] = Nil) extends St
+  /** `perIter` = the loop variable was declared `let`/`const`, so each
+    * element binds a fresh per-iteration variable. */
+  private case class ForOfS(v: String, iter: Ex, body: Vector[St],
+                            perIter: Boolean = false) extends St
   private case class ReturnS(e: Option[Ex]) extends St
   /** `throw expr` — raises a user value caught by the nearest TryS. */
   private case class ThrowS(e: Ex) extends St
@@ -255,43 +303,6 @@ object JsInterp {
   private case object BreakS extends St
   private case object ContinueS extends St
   private case class ExprS(e: Ex) extends St
-
-  /** Does this statement tree create any function value? Used by the
-    * loud-failure guard for per-iteration `let` capture. */
-  private def hasFuncLit(sts: Vector[St]): Boolean = sts.exists(stHasFL)
-  private def stHasFL(s: St): Boolean = s match {
-    case VarDecl(vs, _)        => vs.exists(_._2.exists(exHasFL))
-    case FuncDecl(_, _, _)     => true
-    case Assign(_, _, e)       => exHasFL(e)
-    case IndexAssign(_, ix, e) => exHasFL(ix) || exHasFL(e)
-    case IncDec(_, _)          => false
-    case IfS(c, t, e)          => exHasFL(c) || hasFuncLit(t) || hasFuncLit(e)
-    case WhileS(c, b)          => exHasFL(c) || hasFuncLit(b)
-    case ForS(in, c, u, b)     => in.exists(stHasFL) || c.exists(exHasFL) ||
-                                  u.exists(stHasFL) || hasFuncLit(b)
-    case ForOfS(_, it, b)      => exHasFL(it) || hasFuncLit(b)
-    case ReturnS(e)            => e.exists(exHasFL)
-    case ThrowS(e)             => exHasFL(e)
-    case TryS(b, _, c, f)      => hasFuncLit(b) || hasFuncLit(c) ||
-                                  hasFuncLit(f)
-    case BreakS | ContinueS    => false
-    case ExprS(e)              => exHasFL(e)
-  }
-  private def exHasFL(e: Ex): Boolean = e match {
-    case FuncLit(_, _, _)      => true
-    case Un(_, x)              => exHasFL(x)
-    case Bin(_, l, r)          => exHasFL(l) || exHasFL(r)
-    case Tern(c, t, f)         => exHasFL(c) || exHasFL(t) || exHasFL(f)
-    case ArrL(xs)              => xs.exists(exHasFL)
-    case ObjL(fs)              => fs.exists(f => exHasFL(f._2))
-    case IndexE(t, ix)         => exHasFL(t) || exHasFL(ix)
-    case Member(t, _)          => exHasFL(t)
-    case MethodCall(t, _, as)  => exHasFL(t) || as.exists(exHasFL)
-    case MathCall(_, as)       => as.exists(exHasFL)
-    case GlobalCall(_, as)     => as.exists(exHasFL)
-    case CallE(t, as)          => exHasFL(t) || as.exists(exHasFL)
-    case _                     => false
-  }
 
   // ---------- parser (recursive descent) ----------
 
@@ -316,12 +327,14 @@ object JsInterp {
         case Some(Id("function")) => i += 1
         case _ => fail("body must start with `function`")
       }
+      val isGen = isOp("*")
+      if (isGen) i += 1
       val name = eatId()
       val params = parseParams()
       val body = parseBlock()
       require(i == ts.length,
         "JS parse: trailing tokens after the function body")
-      Compiled(name, params, body)
+      Compiled(name, params, body, isGen)
     }
 
     def parseParams(): Seq[String] = {
@@ -361,11 +374,15 @@ object JsInterp {
           VarDecl(vars.toList, kw)
         case Some(Id("function")) =>
           // nested function declaration — a closure over the enclosing
-          // scope, callable (and self-recursive) by name
+          // scope, callable (and self-recursive) by name; `function*`
+          // declares a generator
           i += 1
+          val isGen = isOp("*")
+          if (isGen) i += 1
           val name = eatId()
           val params = parseParams()
-          FuncDecl(name, params, parseBlock())
+          FuncDecl(name, params, parseBlock(), isGen)
+        case Some(Id("class")) => parseClass()
         case Some(Id("return")) =>
           i += 1
           if (isOp(";") || isOp("}")) ReturnS(None) else ReturnS(Some(parseExpr()))
@@ -406,7 +423,7 @@ object JsInterp {
           WhileS(c, blockOrSingle())
         case Some(Id("for")) =>
           i += 1; eatOp("(")
-          // for (var x of e) / for (x of e) — arrays and strings
+          // for (var x of e) / for (x of e) — arrays, strings, generators
           val save = i
           var loopKind = "var"
           peek match {
@@ -414,18 +431,12 @@ object JsInterp {
               loopKind = k; i += 1
             case _ => ()
           }
-          def guardLetCapture(body: Vector[St]): Unit =
-            if (loopKind != "var" && hasFuncLit(body))
-              fail("per-iteration `" + loopKind + "` capture by a closure " +
-                "is not modeled — declare the loop variable with `var` " +
-                "(one shared binding, which the closures observe)")
           val forOf: Option[St] = (peek, la(1)) match {
             case (Some(Id(n)), Some(Id("of"))) =>
               i += 2
               val it = parseExpr(); eatOp(")")
               val body = blockOrSingle()
-              guardLetCapture(body)
-              Some(ForOfS(n, it, body))
+              Some(ForOfS(n, it, body, perIter = loopKind != "var"))
             case _ => i = save; None
           }
           forOf.getOrElse {
@@ -438,12 +449,13 @@ object JsInterp {
             val upd = if (isOp(")")) None else Some(parseSimpleStatement())
             eatOp(")")
             val body = blockOrSingle()
-            init match {
-              case Some(VarDecl(_, k)) if k != "var" =>
-                loopKind = k; guardLetCapture(body)
-              case _ => ()
+            // a let/const init gets ES per-iteration bindings: each
+            // iteration (and the closures it creates) sees its own copy
+            val letVars = init match {
+              case Some(VarDecl(vs, k)) if k != "var" => vs.map(_._1)
+              case _ => Nil
             }
-            ForS(init, cond, upd, body)
+            ForS(init, cond, upd, body, letVars)
           }
         case _ => parseSimpleStatement()
       }
@@ -451,7 +463,51 @@ object JsInterp {
       st
     }
 
-    /** assignment / inc-dec / expression statement (no keywords). */
+    /** `class Name { constructor(…){…} m(…){…} static s(…){…} }`.
+      * Accessors, fields, `extends`, and generator methods are rejected
+      * with the construct named. */
+    def parseClass(): St = {
+      i += 1 // 'class'
+      val name = eatId()
+      if (peek.contains(Id("extends")))
+        fail("class `extends` is not modeled — compose the parent " +
+          "explicitly (hold it in a field)")
+      eatOp("{")
+      var ctor: Option[(Seq[String], Vector[St])] = None
+      val methods =
+        scala.collection.mutable.ListBuffer.empty[(String, Seq[String], Vector[St])]
+      val statics =
+        scala.collection.mutable.ListBuffer.empty[(String, Seq[String], Vector[St])]
+      while (!isOp("}")) {
+        if (isOp(";")) i += 1
+        else {
+          val isStatic = peek.contains(Id("static")) &&
+            (la(1) match { case Some(Id(_)) => true; case _ => false })
+          if (isStatic) i += 1
+          val mname = eatId()
+          if ((mname == "get" || mname == "set") && !isOp("("))
+            fail(s"class `$mname` accessors are not modeled — use a method")
+          if (isOp("*"))
+            fail("generator methods are not modeled — use a `function*` " +
+              "declared outside the class")
+          if (isOp("=") || !isOp("("))
+            fail("class fields are not modeled — assign `this." + mname +
+              "` in the constructor")
+          val params = parseParams()
+          val body = parseBlock()
+          if (mname == "constructor" && !isStatic) ctor = Some((params, body))
+          else if (isStatic) statics += ((mname, params, body))
+          else methods += ((mname, params, body))
+        }
+      }
+      eatOp("}")
+      ClassDecl(name, ctor, methods.toList, statics.toList)
+    }
+
+    /** assignment / inc-dec / expression statement (no keywords). An
+      * expression that turns out to be a member/index lvalue followed by
+      * an assignment operator becomes [[LvalAssign]] — `this.x = e`,
+      * `obj.a += e`, `arr[i] = e`. */
     def parseSimpleStatement(): St = (peek, la(1)) match {
       case (Some(Id("var")), _) | (Some(Id("let")), _) | (Some(Id("const")), _) =>
         parseStatement()
@@ -460,19 +516,37 @@ object JsInterp {
         i += 2; Assign(n, op, parseExpr())
       case (Some(Id(n)), Some(Op(op))) if op == "++" || op == "--" =>
         i += 2; IncDec(n, op)
-      case (Some(Id(n)), Some(Op("["))) =>
-        // a[i] = e  — or just an expression starting with an index read
-        val save = i
-        i += 2
-        val idx = parseExpr()
-        if (isOp("]") && la(1).contains(Op("="))) {
-          eatOp("]"); eatOp("=")
-          IndexAssign(n, idx, parseExpr())
-        } else { i = save; ExprS(parseExpr()) }
-      case _ => ExprS(parseExpr())
+      case _ =>
+        val e = parseExpr()
+        peek match {
+          case Some(Op(op))
+              if Seq("=", "+=", "-=", "*=", "/=", "%=").contains(op) =>
+            i += 1
+            e match {
+              case Member(_, _) | IndexE(_, _) => LvalAssign(e, op, parseExpr())
+              case _ => fail("invalid assignment target")
+            }
+          case Some(Op(op)) if op == "++" || op == "--" =>
+            // statement-position postfix inc/dec on a member/index lvalue
+            // (`this.cnt++`) — sugar for `+= 1`
+            i += 1
+            e match {
+              case Member(_, _) | IndexE(_, _) =>
+                LvalAssign(e, if (op == "++") "+=" else "-=", LNum(1))
+              case _ => fail("invalid increment target")
+            }
+          case _ => ExprS(e)
+        }
     }
 
-    def parseExpr(): Ex = parseTernary()
+    def parseExpr(): Ex = peek match {
+      case Some(Id("yield")) =>
+        // yield binds looser than any operator: `yield a + b` yields a+b
+        i += 1
+        if (isOp(";") || isOp("}") || isOp(")")) YieldEx(None)
+        else YieldEx(Some(parseExpr()))
+      case _ => parseTernary()
+    }
 
     def parseTernary(): Ex = {
       val c = parseOr()
@@ -559,7 +633,19 @@ object JsInterp {
                   fail("Math.random is non-deterministic — not allowed in UDFs")
                 e = MathCall(m, args.toList)
               case Ref("Date") =>
-                fail("Date.* is non-deterministic — not allowed in UDFs")
+                // the DETERMINISTIC Date subset: Date.UTC(…) computes an
+                // epoch from explicit parts. Date.now() reads the clock —
+                // still rejected (a retried Spark task must reproduce its
+                // rows bit-for-bit; translatable bodies get a
+                // query-constant now() via the JsUdf codegen path).
+                if (m == "UTC") e = GlobalCall("Date.UTC", args.toList)
+                else fail(s"Date.$m is non-deterministic — use new Date(ms)/" +
+                  "Date.UTC(y,m,…) (deterministic) or the codegen path's " +
+                  "Date.now()")
+              case Ref("Array") if m == "from" =>
+                e = GlobalCall("Array.from", args.toList)
+              case Ref("Array") if m == "isArray" =>
+                e = GlobalCall("Array.isArray", args.toList)
               case _ => e = MethodCall(e, m, args.toList)
             }
           } else e match {
@@ -602,13 +688,26 @@ object JsInterp {
       case Some(Id("null")) | Some(Id("undefined")) => i += 1; LNull
       case Some(Id("function")) =>
         // function expression: anonymous or named (the name is only in
-        // scope inside the body — named-expression recursion)
+        // scope inside the body — named-expression recursion); `function*`
+        // is a generator expression
         i += 1
+        val isGen = isOp("*")
+        if (isGen) i += 1
         val name = peek match {
           case Some(Id(n)) => i += 1; Some(n)
           case _           => None
         }
-        FuncLit(name, parseParams(), parseBlock())
+        FuncLit(name, parseParams(), parseBlock(), isGen)
+      case Some(Id("new")) =>
+        // new Name(args) — a user class, a constructor function, or the
+        // deterministic Date subset
+        i += 1
+        val name = eatId()
+        eatOp("(")
+        val args = scala.collection.mutable.ListBuffer.empty[Ex]
+        while (!isOp(")")) { args += parseExpr(); if (isOp(",")) i += 1 }
+        eatOp(")")
+        NewE(name, args.toList)
       case Some(Id(n)) if la(1).contains(Op("=>")) =>
         // bare-parameter arrow: x => …
         i += 2
@@ -685,6 +784,7 @@ object JsInterp {
       val t = s.trim
       if (t.isEmpty) 0.0
       else try t.toDouble catch { case _: Exception => Double.NaN }
+    case d: JsDate  => d.ms // JS Number(date) = epoch millis
     case _          => Double.NaN
   }
   private def toStr(v: Any): String = v match {
@@ -707,10 +807,11 @@ object JsInterp {
   }
 
   /** A lexical scope: reads walk the parent chain, assignment writes to
-    * the defining scope (or declares locally when none defines it). One
-    * scope per function INVOCATION — variables are function-scoped (see
-    * the object scaladoc for the `let` caveat). */
-  private final class Scope(val parent: Scope) {
+    * the defining scope (or declares locally when none defines it).
+    * `isFunc` marks invocation scopes — `var` declarations hoist to the
+    * nearest one; per-iteration loop scopes (`let`/`const` in a for
+    * header) are non-function scopes layered on top. */
+  private final class Scope(val parent: Scope, val isFunc: Boolean = true) {
     val vars = scala.collection.mutable.HashMap.empty[String, Any]
     def lookup(n: String): Option[Any] = {
       var s: Scope = this
@@ -762,16 +863,94 @@ object JsInterp {
 
   /** A function value: parameters, body, and the DEFINING scope (the
     * closure's captured environment); `selfName` lets named function
-    * expressions recurse. */
+    * expressions recurse; `isGen` marks generators (calling one runs the
+    * body EAGERLY under the step budget and returns a [[JsGenerator]]). */
   private final case class Closure(params: Seq[String], body: Vector[St],
-                                   defScope: Scope, selfName: Option[String]) {
+                                   defScope: Scope, selfName: Option[String],
+                                   isGen: Boolean = false) {
     override def toString: String = "function"
+  }
+
+  /** A user class value: constructor + instance/static method tables
+    * (closures over the scope the class was declared in). */
+  private final case class JsClass(name: String, ctor: Option[Closure],
+      methods: Map[String, Closure], statics: Map[String, Closure]) {
+    override def toString: String = s"class $name"
+  }
+
+  /** An object created by `new`: a plain JS object (the LinkedHashMap
+    * parent carries the fields, so every map code path — property
+    * access, JSON rendering, index assign — applies) plus the class
+    * whose methods dispatch with `this` bound. `cls` is null for
+    * constructor-function instances (`new F()` where F is a plain
+    * function that assigns `this.…`). */
+  private final class JsInstance(val cls: JsClass)
+      extends scala.collection.mutable.LinkedHashMap[String, Any]
+
+  /** A generator's yielded sequence. Generators run EAGERLY at call time
+    * (the step budget bounds runaway/infinite generators — the one
+    * unsupported shape is an infinite generator consumed with an early
+    * `break`, which fails loudly on the budget instead of completing).
+    * `for…of` drains it; `.next()` steps a cursor with JS's
+    * `{value, done}` protocol. */
+  private final class JsGenerator(val items: scala.collection.mutable.ArrayBuffer[Any]) {
+    var cursor: Int = 0
+    /** remaining items, consuming them (a generator iterates once). */
+    def drain(): Seq[Any] = {
+      val out = items.slice(cursor, items.length).toSeq
+      cursor = items.length
+      out
+    }
+    override def toString: String = "[object Generator]"
+  }
+
+  /** The deterministic Date subset: an epoch-millis instant. Constructed
+    * from EXPLICIT parts only (`new Date(ms)`, `new Date(y,m,d,…)`,
+    * `Date.UTC(…)`, ISO strings); part-wise constructors and accessors
+    * are pinned to UTC — JS's local-timezone Date semantics would make a
+    * UDF's output depend on which executor ran the row, the exact
+    * irreproducibility the Math.random/Date.now rejection exists to
+    * prevent. Local-time accessors (getFullYear, getMonth, …) are
+    * rejected with the UTC alternative named. */
+  private final case class JsDate(ms: Double) {
+    override def toString: String = JsInterp.isoString(ms)
+  }
+
+  private[functions] def isoString(ms: Double): String = {
+    val inst = java.time.Instant.ofEpochMilli(ms.toLong)
+    java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+      .withZone(java.time.ZoneOffset.UTC).format(inst)
+  }
+
+  /** Date.UTC / new Date(parts) epoch computation with JS's overflow
+    * normalization (month 12 rolls the year, day 32 rolls the month, …)
+    * via java.time plus-arithmetic, and JS's historical 0–99 → 1900+y
+    * year mapping. Month is 0-based like JS. */
+  private def epochFromParts(parts: Seq[Double]): Double = {
+    val y0 = parts.head
+    val y = if (y0 >= 0 && y0 <= 99) 1900 + y0.toInt else y0.toInt
+    val mo = parts.lift(1).map(_.toLong).getOrElse(0L)
+    val d  = parts.lift(2).map(_.toLong).getOrElse(1L)
+    val h  = parts.lift(3).map(_.toLong).getOrElse(0L)
+    val mi = parts.lift(4).map(_.toLong).getOrElse(0L)
+    val s  = parts.lift(5).map(_.toLong).getOrElse(0L)
+    val msp = parts.lift(6).map(_.toLong).getOrElse(0L)
+    val base = java.time.LocalDateTime.of(y, 1, 1, 0, 0, 0)
+      .plusMonths(mo).plusDays(d - 1).plusHours(h).plusMinutes(mi)
+      .plusSeconds(s)
+    base.toInstant(java.time.ZoneOffset.UTC).toEpochMilli.toDouble + msp
   }
 
   /** Recursion depth cap: the shared step budget alone would let ~100k
     * nested calls blow the JVM stack long before the budget trips, so
-    * runaway recursion fails loudly at a depth no legitimate UDF needs. */
-  val MaxCallDepth = 256
+    * runaway recursion fails loudly at a depth no legitimate UDF needs.
+    * 128 keeps ~2× JVM-stack headroom on a default-Xss executor thread
+    * (each JS frame costs a few dozen Scala evaluator frames); [[run]]
+    * additionally converts a residual StackOverflowError — e.g. from a
+    * pathologically deep ARGUMENT EXPRESSION rather than call nesting —
+    * into a loud exception instead of letting it unwind the task. */
+  val MaxCallDepth = 128
 
   private def run(c: Compiled, args: Seq[Any]): Any = {
     val global = new Scope(null)
@@ -787,33 +966,56 @@ object JsInterp {
           s"JS UDF '${c.name}' exceeded the $DefaultStepBudget-step budget " +
             "(runaway loop?)")
     }
-    def callClosure(cl: Closure, argVals: Seq[Any]): Any = {
+    // the CURRENT frame's yield sink: non-null only while a generator
+    // body runs. Saved/restored around every call, so `yield` inside a
+    // nested non-generator closure fails loudly instead of leaking into
+    // the enclosing generator (JS rejects that shape at parse time).
+    var curSink: scala.collection.mutable.ArrayBuffer[Any] = null
+
+    def callClosure(cl: Closure, argVals: Seq[Any], thisVal: Any = null): Any = {
       tick()
       depth += 1
       if (depth > MaxCallDepth)
         throw new IllegalStateException(
           s"JS UDF '${c.name}' exceeded the $MaxCallDepth-frame call depth " +
             "(runaway recursion?)")
+      val prevSink = curSink
+      curSink = if (cl.isGen) scala.collection.mutable.ArrayBuffer.empty[Any]
+                else null
       try {
         val sc = new Scope(cl.defScope)
+        if (thisVal != null) sc.vars("this") = thisVal
         cl.selfName.foreach(n => sc.vars(n) = cl)
         cl.params.zipWithIndex.foreach { case (p, ix) =>
           sc.vars(p) = argVals.lift(ix).orNull
         }
-        try { cl.body.foreach(evalSt(_, sc)); null }
-        catch {
-          case ReturnEx(v) => v
-          case BreakEx | ContinueEx => throw new IllegalStateException(
-            "break/continue crossed a function boundary in JS UDF")
-        }
-      } finally depth -= 1
+        val ret =
+          try { cl.body.foreach(evalSt(_, sc)); null }
+          catch {
+            case ReturnEx(v) => v
+            case BreakEx | ContinueEx => throw new IllegalStateException(
+              "break/continue crossed a function boundary in JS UDF")
+          }
+        if (cl.isGen) new JsGenerator(curSink) else ret
+      } finally { depth -= 1; curSink = prevSink }
     }
 
     def evalSt(s: St, sc: Scope): Unit = { tick(); s match {
-      case VarDecl(vs, _) =>
-        vs.foreach { case (n, e) => sc.vars(n) = e.map(eval(_, sc)).orNull }
-      case FuncDecl(n, ps, body) =>
-        sc.vars(n) = Closure(ps, body, sc, Some(n))
+      case VarDecl(vs, kind) =>
+        // `var` hoists to the nearest FUNCTION scope (per-iteration loop
+        // scopes are transparent to it); let/const declare locally
+        val target =
+          if (kind == "var") {
+            var t = sc; while (!t.isFunc) t = t.parent; t
+          } else sc
+        vs.foreach { case (n, e) => target.vars(n) = e.map(eval(_, sc)).orNull }
+      case FuncDecl(n, ps, body, isGen) =>
+        sc.vars(n) = Closure(ps, body, sc, Some(n), isGen)
+      case ClassDecl(n, ctor, methods, statics) =>
+        sc.vars(n) = JsClass(n,
+          ctor.map { case (ps, b) => Closure(ps, b, sc, None) },
+          methods.map { case (mn, ps, b) => mn -> Closure(ps, b, sc, None) }.toMap,
+          statics.map { case (mn, ps, b) => mn -> Closure(ps, b, sc, None) }.toMap)
       case Assign(n, op, e) =>
         val v = eval(e, sc)
         val cur = () => sc.lookup(n).orNull
@@ -825,16 +1027,36 @@ object JsInterp {
           case "/=" => toNum(cur()) / toNum(v)
           case "%=" => toNum(cur()) % toNum(v)
         })
-      case IndexAssign(n, idx, e) =>
-        sc.lookup(n).orNull match {
-          case a: scala.collection.mutable.ArrayBuffer[Any] @unchecked =>
-            val ix = toNum(eval(idx, sc)).toInt
-            while (a.length <= ix) a += null
-            a(ix) = eval(e, sc)
-          case m: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked =>
-            m(toStr(eval(idx, sc))) = eval(e, sc)
-          case other => throw new IllegalStateException(
-            s"cannot index-assign into ${Option(other).map(_.getClass.getSimpleName).getOrElse("null")}")
+      case LvalAssign(lhs, op, rhs) =>
+        val v = eval(rhs, sc)
+        def combined(cur: Any): Any = op match {
+          case "="  => v
+          case "+=" => plus(cur, v)
+          case "-=" => toNum(cur) - toNum(v)
+          case "*=" => toNum(cur) * toNum(v)
+          case "/=" => toNum(cur) / toNum(v)
+          case "%=" => toNum(cur) % toNum(v)
+        }
+        lhs match {
+          case Member(t, name) => eval(t, sc) match {
+            case m: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked =>
+              m(name) = combined(m.getOrElse(name, null))
+            case other => throw new IllegalStateException(
+              s"cannot assign property '.$name' on " +
+                Option(other).map(_.getClass.getSimpleName).getOrElse("null"))
+          }
+          case IndexE(t, idxE) => eval(t, sc) match {
+            case a: scala.collection.mutable.ArrayBuffer[Any] @unchecked =>
+              val ix = toNum(eval(idxE, sc)).toInt
+              while (a.length <= ix) a += null
+              a(ix) = combined(a(ix))
+            case m: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked =>
+              val k = toStr(eval(idxE, sc))
+              m(k) = combined(m.getOrElse(k, null))
+            case other => throw new IllegalStateException(
+              s"cannot index-assign into ${Option(other).map(_.getClass.getSimpleName).getOrElse("null")}")
+          }
+          case _ => throw new IllegalStateException("invalid assignment target")
         }
       case IncDec(n, op) =>
         sc.set(n, toNum(sc.lookup(n).orNull) + (if (op == "++") 1.0 else -1.0))
@@ -851,27 +1073,60 @@ object JsInterp {
             catch { case ContinueEx => () }
           }
         } catch { case BreakEx => () }
-      case ForS(init, cond, upd, body) =>
-        init.foreach(evalSt(_, sc))
-        try {
-          while (cond.forall(e => truthy(eval(e, sc)))) {
-            tick()
-            try body.foreach(evalSt(_, sc))
-            catch { case ContinueEx => () }
-            upd.foreach(evalSt(_, sc))
-          }
-        } catch { case BreakEx => () }
-      case ForOfS(n, iter, body) =>
+      case ForS(init, cond, upd, body, letVars) =>
+        if (letVars.isEmpty) {
+          init.foreach(evalSt(_, sc))
+          try {
+            while (cond.forall(e => truthy(eval(e, sc)))) {
+              tick()
+              try body.foreach(evalSt(_, sc))
+              catch { case ContinueEx => () }
+              upd.foreach(evalSt(_, sc))
+            }
+          } catch { case BreakEx => () }
+        } else {
+          // ES per-iteration environments: the init's let/const bindings
+          // are COPIED into a fresh scope before each iteration's body,
+          // and the update runs in the NEXT iteration's copy — so a
+          // closure created in iteration k keeps seeing iteration k's
+          // value (spec: ForBodyEvaluation / CreatePerIterationEnvironment)
+          val initScope = new Scope(sc, isFunc = false)
+          init.foreach(evalSt(_, initScope))
+          var iter = new Scope(sc, isFunc = false)
+          letVars.foreach(n => iter.vars(n) = initScope.vars.getOrElse(n, null))
+          try {
+            while (cond.forall(e => truthy(eval(e, iter)))) {
+              tick()
+              try body.foreach(evalSt(_, iter))
+              catch { case ContinueEx => () }
+              val next = new Scope(sc, isFunc = false)
+              letVars.foreach(n => next.vars(n) = iter.vars.getOrElse(n, null))
+              iter = next
+              upd.foreach(evalSt(_, iter))
+            }
+          } catch { case BreakEx => () }
+        }
+      case ForOfS(n, iter, body, perIter) =>
         val items: Seq[Any] = eval(iter, sc) match {
           case a: scala.collection.mutable.ArrayBuffer[Any] @unchecked => a.toSeq
           case s: String => s.map(_.toString)
+          case g: JsGenerator => g.drain()
           case other => throw new IllegalStateException(
-            "for...of needs an array or string, got " +
+            "for...of needs an array, string, or generator, got " +
               Option(other).map(_.getClass.getSimpleName).getOrElse("null"))
         }
         try items.foreach { v =>
-          tick(); sc.set(n, v)
-          try body.foreach(evalSt(_, sc)) catch { case ContinueEx => () }
+          tick()
+          if (perIter) {
+            // let/const loop variable: a fresh binding per element, so
+            // closures capture the element they saw
+            val it = new Scope(sc, isFunc = false)
+            it.vars(n) = v
+            try body.foreach(evalSt(_, it)) catch { case ContinueEx => () }
+          } else {
+            sc.set(n, v)
+            try body.foreach(evalSt(_, sc)) catch { case ContinueEx => () }
+          }
         } catch { case BreakEx => () }
       case ReturnS(e) => throw ReturnEx(e.map(eval(_, sc)).orNull)
       case ThrowS(e)  => throw JsThrow(eval(e, sc))
@@ -902,7 +1157,7 @@ object JsInterp {
       case LNull    => null
       case Ref(n)   => sc.get(n)
       case r @ LRe(_, _) => r.compiled
-      case FuncLit(name, ps, body) => Closure(ps, body, sc, name)
+      case FuncLit(name, ps, body, isGen) => Closure(ps, body, sc, name, isGen)
       case CallE(t, args) =>
         eval(t, sc) match {
           case cl: Closure => callClosure(cl, args.map(eval(_, sc)))
@@ -910,6 +1165,51 @@ object JsInterp {
             "JS UDF called a non-function value" +
               (t match { case Ref(n) => s" ('$n')"; case _ => "" }))
         }
+      case NewE(name, args) =>
+        val avs = args.map(eval(_, sc))
+        if (name == "Date") {
+          // deterministic constructions only — see JsDate
+          if (avs.isEmpty) throw new IllegalStateException(
+            "argless `new Date()` is non-deterministic — not allowed in " +
+              "UDFs (pass the epoch/parts explicitly)")
+          avs match {
+            case Seq(s: String) =>
+              // ISO instant or date-only (JS treats date-only as UTC)
+              val ms =
+                try java.time.Instant.parse(s).toEpochMilli.toDouble
+                catch { case _: Exception =>
+                  try java.time.LocalDate.parse(s)
+                    .atStartOfDay(java.time.ZoneOffset.UTC)
+                    .toInstant.toEpochMilli.toDouble
+                  catch { case _: Exception =>
+                    throw new IllegalStateException(
+                      s"unparseable Date string '$s' (ISO instant or " +
+                        "yyyy-MM-dd only)")
+                  }
+                }
+              JsDate(ms)
+            case Seq(one) => JsDate(toNum(one))
+            case parts    => JsDate(epochFromParts(parts.map(toNum)))
+          }
+        } else sc.get(name) match {
+          case cls: JsClass =>
+            val inst = new JsInstance(cls)
+            cls.ctor.foreach(ct => callClosure(ct, avs, thisVal = inst))
+            inst
+          case cl: Closure =>
+            // old-style constructor function: `this` is a fresh object
+            val inst = new JsInstance(null)
+            callClosure(cl, avs, thisVal = inst)
+            inst
+          case other => throw new IllegalStateException(
+            s"'new $name' needs a class or function, got " +
+              Option(other).map(_.getClass.getSimpleName).getOrElse("null"))
+        }
+      case YieldEx(e) =>
+        if (curSink == null) throw new IllegalStateException(
+          "yield outside a generator function (declare it `function*`)")
+        curSink += e.map(eval(_, sc)).orNull
+        null
       case Un("-", x) => -toNum(eval(x, sc))
       case Un("!", x) => !truthy(eval(x, sc))
       case Un(op, _)  => throw new IllegalStateException(s"unary $op")
@@ -954,6 +1254,12 @@ object JsInterp {
         case _ => null
       }
       case Member(t, name) => eval(t, sc) match {
+        case inst: JsInstance =>
+          // own property first (JS shadowing), then a class method as an
+          // UNBOUND function value (`this` resolves only when called as a
+          // method — a detached call fails loudly on the `this` lookup)
+          inst.get(name).orElse(
+            Option(inst.cls).flatMap(_.methods.get(name))).orNull
         case m: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked =>
           m.getOrElse(name, null)
         case s: String if name == "length" => s.length.toDouble
@@ -979,6 +1285,24 @@ object JsInterp {
           case "isNaN"      => toNum(vs.headOption.orNull).isNaN
           case "isFinite"   => !toNum(vs.headOption.orNull).isInfinite &&
                                !toNum(vs.headOption.orNull).isNaN
+          case "Date.UTC"   =>
+            if (vs.isEmpty) throw new IllegalStateException(
+              "Date.UTC needs at least a year")
+            epochFromParts(vs.map(toNum))
+          case "Array.from" => vs.headOption.orNull match {
+            case a: scala.collection.mutable.ArrayBuffer[Any] @unchecked =>
+              scala.collection.mutable.ArrayBuffer[Any](a.toSeq: _*)
+            case s: String =>
+              scala.collection.mutable.ArrayBuffer[Any](
+                s.map(_.toString): _*)
+            case g: JsGenerator =>
+              scala.collection.mutable.ArrayBuffer[Any](g.drain(): _*)
+            case other => throw new IllegalStateException(
+              "Array.from needs an array, string, or generator, got " +
+                Option(other).map(_.getClass.getSimpleName).getOrElse("null"))
+          }
+          case "Array.isArray" => vs.headOption.orNull
+            .isInstanceOf[scala.collection.mutable.ArrayBuffer[_]]
         }
       case MethodCall(t, m, args) =>
         val tv = eval(t, sc)
@@ -989,6 +1313,30 @@ object JsInterp {
           case (_: JsRegexVal, other) => throw new IllegalStateException(
             s"unsupported regex method .$other (test; or use the string" +
               " methods match/replace/split/search)")
+          // method dispatch on instances: own closure-valued property
+          // shadows the class method (JS shadowing); both bind `this`
+          case (inst: JsInstance, _) if inst.get(m).exists(_.isInstanceOf[Closure]) =>
+            callClosure(inst(m).asInstanceOf[Closure], avs, thisVal = inst)
+          case (inst: JsInstance, _)
+              if Option(inst.cls).exists(_.methods.contains(m)) =>
+            callClosure(inst.cls.methods(m), avs, thisVal = inst)
+          case (cls: JsClass, _) => cls.statics.get(m) match {
+            case Some(cl) => callClosure(cl, avs)
+            case None => throw new IllegalStateException(
+              s"class ${cls.name} has no static method '$m'")
+          }
+          case (mp: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked, _)
+              if mp.get(m).exists(_.isInstanceOf[Closure]) =>
+            // a closure stored as an object field: `this` is the object
+            callClosure(mp(m).asInstanceOf[Closure], avs, thisVal = mp)
+          case (g: JsGenerator, "next") =>
+            val out = new scala.collection.mutable.LinkedHashMap[String, Any]
+            if (g.cursor < g.items.length) {
+              out("value") = g.items(g.cursor); out("done") = false
+              g.cursor += 1
+            } else { out("value") = null; out("done") = true }
+            out
+          case (d: JsDate, _) => dateMethod(d, m, avs)
           case (s: String, _)  => stringMethod(s, m, avs)
           case (a: scala.collection.mutable.ArrayBuffer[Any] @unchecked, _) =>
             arrayMethod(a, m, avs)
@@ -1065,6 +1413,37 @@ object JsInterp {
       case "asin"  => math.asin(xs.head)
       case "acos"  => math.acos(xs.head)
       case other   => throw new IllegalStateException(s"unsupported Math.$other")
+    }
+
+    /** UTC-pinned Date accessors (see [[JsDate]] for why local-time
+      * accessors are rejected). */
+    def dateMethod(d: JsDate, m: String, a: List[Any]): Any = {
+      lazy val odt = java.time.Instant.ofEpochMilli(d.ms.toLong)
+        .atOffset(java.time.ZoneOffset.UTC)
+      m match {
+        case "getTime" | "valueOf" => d.ms
+        case "getUTCFullYear"     => odt.getYear.toDouble
+        case "getUTCMonth"        => (odt.getMonthValue - 1).toDouble // 0-based
+        case "getUTCDate"         => odt.getDayOfMonth.toDouble
+        case "getUTCDay"          => (odt.getDayOfWeek.getValue % 7).toDouble // Sun=0
+        case "getUTCHours"        => odt.getHour.toDouble
+        case "getUTCMinutes"      => odt.getMinute.toDouble
+        case "getUTCSeconds"      => odt.getSecond.toDouble
+        case "getUTCMilliseconds" => (odt.getNano / 1000000).toDouble
+        case "toISOString"        => isoString(d.ms)
+        case "getFullYear" | "getMonth" | "getDate" | "getDay" | "getHours" |
+             "getMinutes" | "getSeconds" | "getMilliseconds" =>
+          throw new IllegalStateException(
+            s"Date.$m is local-timezone-dependent — a UDF's result would " +
+              s"depend on which executor ran the row; use getUTC${m.stripPrefix("get")}")
+        case "getTimezoneOffset" | "toString" | "toLocaleDateString" |
+             "toLocaleTimeString" | "toLocaleString" =>
+          throw new IllegalStateException(
+            s"Date.$m is local-timezone-dependent — a UDF's result would " +
+              "depend on which executor ran the row; use toISOString")
+        case other => throw new IllegalStateException(
+          s"unsupported Date method .$other")
+      }
     }
 
     def stringMethod(s: String, m: String, a: List[Any]): Any = m match {
@@ -1248,8 +1627,27 @@ object JsInterp {
       case other => throw new IllegalStateException(s"unsupported array method .$other")
     }
 
-    try { c.body.foreach(evalSt(_, global)); null }
-    catch { case ReturnEx(v) => denormalize(v) }
+    try {
+      if (c.isGen) {
+        // a top-level generator UDF: run eagerly, return the yields as an
+        // array (the declared ARRAY return type does the element coercion)
+        curSink = scala.collection.mutable.ArrayBuffer.empty[Any]
+        try { c.body.foreach(evalSt(_, global)) }
+        catch { case ReturnEx(_) => () }
+        denormalize(new JsGenerator(curSink))
+      } else {
+        try { c.body.foreach(evalSt(_, global)); null }
+        catch { case ReturnEx(v) => denormalize(v) }
+      }
+    } catch {
+      // the depth cap guards CALL nesting; a single pathologically deep
+      // expression tree can still exhaust the JVM stack — surface it as
+      // the same loud, catchable-by-nothing failure instead of an Error
+      // unwinding through the task
+      case _: StackOverflowError => throw new IllegalStateException(
+        s"JS UDF '${c.name}' overflowed the JVM stack " +
+          "(deeply nested expressions?)")
+    }
   }
 
   // ---------- Spark registration ----------
@@ -1298,6 +1696,14 @@ object JsInterp {
       case FloatType   => toNum(v).toFloat
       case BooleanType => truthy(v)
       case StringType  => toStr(v)
+      case TimestampType => v match {
+        case d: JsDate => new java.sql.Timestamp(d.ms.toLong)
+        case other     => new java.sql.Timestamp(toNum(other).toLong)
+      }
+      case DateType => v match {
+        case d: JsDate => new java.sql.Date(d.ms.toLong)
+        case other     => new java.sql.Date(toNum(other).toLong)
+      }
       case ArrayType(et, _) =>
         (v match {
           case a: scala.collection.mutable.ArrayBuffer[_] => a.toSeq
@@ -1329,6 +1735,12 @@ object JsInterp {
     case d: scala.math.BigDecimal => d.toDouble
     case b: Boolean   => b
     case s: String    => s
+    case t: java.sql.Timestamp => JsDate(t.getTime.toDouble)
+    case d: java.sql.Date      => JsDate(d.getTime.toDouble)
+    case i: java.time.Instant  => JsDate(i.toEpochMilli.toDouble)
+    case d: java.time.LocalDate =>
+      JsDate(d.atStartOfDay(java.time.ZoneOffset.UTC)
+        .toInstant.toEpochMilli.toDouble)
     case seq: scala.collection.Seq[_] =>
       scala.collection.mutable.ArrayBuffer[Any](seq.map(normalize).toSeq: _*)
     case arr: Array[_] =>
@@ -1340,8 +1752,11 @@ object JsInterp {
     * the registered UDF's declared DataType does the final cast. */
   private def denormalize(v: Any): Any = v match {
     case a: scala.collection.mutable.ArrayBuffer[_] => a.map(denormalize).toSeq
+    case g: JsGenerator => g.drain().map(denormalize)
     case _: Closure => throw new IllegalStateException(
       "JS UDF returned a function — return a serializable value instead")
+    case _: JsClass => throw new IllegalStateException(
+      "JS UDF returned a class — return a serializable value instead")
     case _: JsRegexVal => throw new IllegalStateException(
       "JS UDF returned a regex — return a serializable value instead")
     case other => other

@@ -208,6 +208,82 @@ object QueriesRound11 {
     // md5-bucket hashing, the decimal sum, the threshold, AND the
     // accuracy fact independently — acc_ok is a real replay, not a
     // constant.
+    // The LAST JS-UDF rejections, closed and gated (ES classes with
+    // `new`/`this`/method dispatch, `function*` generators via for…of,
+    // exact per-iteration `let` capture, and the deterministic Date
+    // subset — the constructs every prior verdict carried as the scope
+    // cut). Each arm has a closed-form or calendar replay DuckDB
+    // computes independently:
+    //  - welford: class-based running mean of 1..k — every increment is
+    //    exactly 0.5 in binary, so the double compares bit-stable
+    //    against (k+1)/2.0
+    //  - evens: generator of even numbers ≤ k, summed by for…of →
+    //    m(m+1) with m = k//2
+    //  - capture: closures pushed in a `let` loop, summed → k(k-1)/2
+    //    (the ES answer; a shared `var` binding would give k(k-1)... no:
+    //    k closures all seeing k → k*k — hash-distinguishable)
+    //  - ymd: new Date(days*86400000) UTC accessors → yyyymmdd bigint,
+    //    replayed by DuckDB date arithmetic
+    //  - utcroll: Date.UTC month-overflow normalization (month 12+ rolls
+    //    the year) → yyyymm, replayed by INTERVAL arithmetic
+    "q249_js_es_tail" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      val rt = routerRoots.computeIfAbsent(s"q249#$dir", _ =>
+        java.nio.file.Files.createTempDirectory("graft_q249")
+          .toFile.getAbsolutePath)
+      val r = new graft.StatementRouter(s, rt)
+      r.execute(
+        """CREATE OR REPLACE FUNCTION js_welford(bigint) RETURNS double
+          |LANGUAGE JAVASCRIPT AS 'function js_welford(k) {
+          |  class Welford {
+          |    constructor() { this.n = 0; this.mean = 0; }
+          |    add(x) { this.n += 1; this.mean += (x - this.mean) / this.n; }
+          |  }
+          |  var w = new Welford();
+          |  for (var i = 1; i <= k; i++) { w.add(i); }
+          |  return w.mean;
+          |}'""".stripMargin)
+      r.execute(
+        """CREATE OR REPLACE FUNCTION js_evens(bigint) RETURNS bigint
+          |LANGUAGE JAVASCRIPT AS 'function js_evens(k) {
+          |  function* evens(m) { for (let i = 0; i <= m; i += 2) { yield i; } }
+          |  var s = 0;
+          |  for (var v of evens(k)) { s += v; }
+          |  return s;
+          |}'""".stripMargin)
+      r.execute(
+        """CREATE OR REPLACE FUNCTION js_capture(bigint) RETURNS bigint
+          |LANGUAGE JAVASCRIPT AS 'function js_capture(k) {
+          |  var fs = [];
+          |  for (let i = 0; i < k; i++) { fs.push(() => i); }
+          |  return fs.map(g => g()).reduce((a, b) => a + b, 0);
+          |}'""".stripMargin)
+      r.execute(
+        """CREATE OR REPLACE FUNCTION js_ymd(bigint) RETURNS bigint
+          |LANGUAGE JAVASCRIPT AS 'function js_ymd(days) {
+          |  var d = new Date(days * 86400000);
+          |  return d.getUTCFullYear() * 10000 + (d.getUTCMonth() + 1) * 100
+          |    + d.getUTCDate();
+          |}'""".stripMargin)
+      r.execute(
+        """CREATE OR REPLACE FUNCTION js_utcroll(bigint) RETURNS bigint
+          |LANGUAGE JAVASCRIPT AS 'function js_utcroll(mo) {
+          |  var d = new Date(Date.UTC(2020, mo, 1));
+          |  return d.getUTCFullYear() * 100 + d.getUTCMonth() + 1;
+          |}'""".stripMargin)
+      // same exchange note as q247: one parquet file = one partition at
+      // the fixture SFs, and interpreted UDFs are per-row-expensive
+      s.table("customer").repartition(32)
+        .select(col("c_custkey"),
+          call_function("js_welford", col("c_custkey") % 40 + 1).as("wmean"),
+          call_function("js_evens", col("c_custkey") % 64).as("evens"),
+          call_function("js_capture", col("c_custkey") % 50).as("capture"),
+          call_function("js_ymd", col("c_custkey") % 20000).as("ymd"),
+          call_function("js_utcroll", col("c_custkey") % 30).as("utcroll"))
+        .orderBy(col("c_custkey"))
+    }),
+
     "q248_quality_classifier" -> ((s, dir) => {
       import graft.operators.QualityClassifier
       val docs = graft.Tables.load(s, dir, "documents")
@@ -284,6 +360,22 @@ object QueriesRound11 {
         |       CASE WHEN (c_custkey % 21) % 7 = 0
         |            THEN 'caught div7:' || (c_custkey % 21)
         |            ELSE 'ok:' || (c_custkey % 21) END AS safe
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // closed forms for the class/generator/let-capture arms; calendar
+    // arithmetic for the Date arms (DuckDB computes each independently)
+    "q249_js_es_tail" ->
+      """SELECT c_custkey,
+        |       ((c_custkey % 40 + 1) + 1) / 2.0 AS wmean,
+        |       ((c_custkey % 64) // 2) * ((c_custkey % 64) // 2 + 1)
+        |         AS evens,
+        |       ((c_custkey % 50) * (c_custkey % 50 - 1)) // 2 AS capture,
+        |       CAST(strftime(DATE '1970-01-01'
+        |         + to_days(CAST(c_custkey % 20000 AS INTEGER)), '%Y%m%d')
+        |         AS BIGINT) AS ymd,
+        |       CAST(strftime(DATE '2020-01-01'
+        |         + to_months(CAST(c_custkey % 30 AS INTEGER)), '%Y%m')
+        |         AS BIGINT) AS utcroll
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     // full independent replay over the TRAINED weights (spliced at

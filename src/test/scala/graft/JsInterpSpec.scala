@@ -255,17 +255,16 @@ class JsInterpSpec extends SparkTestBase {
         |}""".stripMargin) == "3,3,3")
   }
 
-  test("per-iteration let capture fails loudly AT PARSE with the fix named") {
-    val e = intercept[UnsupportedOperationException](JsInterp.compile(
+  test("per-iteration let capture is modeled exactly (since round 11)") {
+    // the shape earlier rounds rejected at parse now returns the ES
+    // answer: each closure sees its own iteration's binding
+    assert(ev(
       """function f() {
         |  var fs = [];
         |  for (let i = 0; i < 3; i++) { fs.push(function() { return i; }); }
-        |  return fs.length;
-        |}""".stripMargin))
-    assert(e.getMessage.contains("per-iteration"), e.getMessage)
-    assert(e.getMessage.contains("var"), e.getMessage)
-    // let WITHOUT a closure in the body is fine (shared binding is
-    // observationally identical when nothing captures it)
+        |  return fs[0]() + ',' + fs[1]() + ',' + fs[2]();
+        |}""".stripMargin) == "0,1,2")
+    // let WITHOUT a closure in the body: same sums as var
     assert(ev(
       "function f(n) { var s = 0; for (let i = 0; i < n; i++) { s += i; } return s; }",
       5L) == 10.0)
@@ -278,7 +277,7 @@ class JsInterpSpec extends SparkTestBase {
     // deep-but-bounded recursion under the cap still works
     assert(ev(
       "function f(n) { function go(k) { return k <= 0 ? 0 : 1 + go(k - 1); } return go(n); }",
-      200L) == 200.0)
+      100L) == 100.0)
   }
 
   test("template literals desugar to JS string concatenation") {

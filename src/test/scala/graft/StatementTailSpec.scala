@@ -508,6 +508,43 @@ class StatementTailSpec extends SparkTestBase {
       s"cold walk must see the touched marker: $sTouched vs $sOther")
   }
 
+  test("identical-value writes inside BEGIN…COMMIT advance _seq_no too") {
+    // the last documented any-write divergence (PORTING.md): markers used
+    // to be skipped in transactions because the commit version isn't
+    // assigned until COMMIT. They now stage in the transaction buffer and
+    // land under the committed version — so an identical-value UPDATE or
+    // upsert inside a transaction advances the row's sequence like an
+    // autocommit one. ROLLBACK discards the staged markers with the rest.
+    val root = java.nio.file.Files.createTempDirectory("graft_occ_txn")
+      .toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute("CREATE TABLE occt (id BIGINT PRIMARY KEY, v TEXT)")
+    r.execute("INSERT INTO occt (id, v) VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val s1 = r.execute("SELECT _seq_no FROM occt WHERE id = 1").head().getLong(0)
+    val s3 = r.execute("SELECT _seq_no FROM occt WHERE id = 3").head().getLong(0)
+    r.execute("BEGIN")
+    r.execute("UPDATE occt SET v = 'a' WHERE id = 1") // identical values
+    r.execute("INSERT INTO occt (id, v) VALUES (2, 'b') " +
+      "ON CONFLICT (id) DO UPDATE SET v = excluded.v") // identical upsert
+    r.execute("COMMIT")
+    val s1b = r.execute("SELECT _seq_no FROM occt WHERE id = 1").head().getLong(0)
+    val s2b = r.execute("SELECT _seq_no FROM occt WHERE id = 2").head().getLong(0)
+    assert(s1b > s1, s"in-txn identical UPDATE must advance _seq_no: $s1 -> $s1b")
+    assert(s2b > s1, s"in-txn identical upsert must advance _seq_no: $s2b")
+    assert(r.execute("SELECT _seq_no FROM occt WHERE id = 3")
+      .head().getLong(0) == s3, "untouched row keeps its sequence")
+    // a fresh router reads the committed markers from storage and agrees
+    val r2 = new StatementRouter(spark, root)
+    assert(r2.execute("SELECT _seq_no FROM occt WHERE id = 1")
+      .head().getLong(0) == s1b)
+    // rolled-back markers leave no trace
+    r.execute("BEGIN")
+    r.execute("UPDATE occt SET v = 'c' WHERE id = 3")
+    r.execute("ROLLBACK")
+    assert(r.execute("SELECT _seq_no FROM occt WHERE id = 3")
+      .head().getLong(0) == s3, "ROLLBACK must discard staged markers")
+  }
+
   test("ALTER REPOSITORY / ALTER SERVER / SET TRANSACTION / DEALLOCATE / DISCARD") {
     val r = newRouter()
     val dir = java.nio.file.Files.createTempDirectory("graft_repo2").toFile.getAbsolutePath
