@@ -97,6 +97,16 @@ object BenchSf1 {
   private val wave6 = Seq(
     "q247_js_closures", "q248_quality_classifier")
 
+  /** Wave 7 (round-11 continuation): the JS ES-tail entry (classes /
+    * generators / let-capture / Date — all interpreted, so per-row cost
+    * dominates and the path must stay embarrassingly parallel), plus a
+    * q247 re-run because the richer evaluator (more match arms, scope
+    * chains with per-iteration copies) changed the interpreted hot
+    * path's constant factor. Selected with SPARK_GRAFT_SF1_WAVE=7 →
+    * BENCH_sf1_wave7.json. */
+  private val wave7 = Seq(
+    "q249_js_es_tail", "q247_js_closures")
+
   /** The CONSOLIDATED wave (r10 verdict ask #7): the ENTIRE catalog at
     * sf1 in one artifact — the per-wave format proved each round's new
     * entries sublinear when they landed, but hides whether EARLY entries
@@ -192,6 +202,7 @@ object BenchSf1 {
       case "4"    => wave4
       case "5"    => wave5
       case "6"    => wave6
+      case "7"    => wave7
       case "full" => waveFull
       case _      => headline
     }
@@ -201,6 +212,7 @@ object BenchSf1 {
       case "4"    => "BENCH_sf1_wave4.json"
       case "5"    => "BENCH_sf1_wave5.json"
       case "6"    => "BENCH_sf1_wave6.json"
+      case "7"    => "BENCH_sf1_wave7.json"
       case "full" => "BENCH_sf1_full.json"
       case _      => "BENCH_sf1.json"
     }

@@ -50,9 +50,15 @@ package graft.functions
   *    k keep seeing k; the update expression runs in the NEXT
   *    iteration's copy), and `for (let x of …)` binds per element.
   *    `var` keeps its one shared function-scoped binding — both JS
-  *    behaviors are now modeled, not just the `var` one. Outside loop
-  *    headers `let`/`const` still behave like `var` (block-shadowing
-  *    divergence, documented).
+  *    behaviors are now modeled, not just the `var` one.
+  *  - **Block scoping**: a block that declares `let`/`const` at its top
+  *    level gets its own scope — inner `let x` SHADOWS an outer `x`
+  *    and dies at the block's end; `var` hoists through to the function
+  *    scope; the `catch (e)` binding is scoped to the catch block; and
+  *    assignment to a `const` fails loudly ("assignment to constant
+  *    variable"). Not modeled: the temporal dead zone (reading a `let`
+  *    before its declaration line yields the enclosing binding or an
+  *    undefined-variable error, not a ReferenceError).
   *  - **Deterministic Date subset**: `new Date(ms)`, `new Date(y,m,d,…)`
   *    (UTC-pinned — see [[JsDate]]), `Date.UTC(…)`, ISO-string parse,
   *    `getTime`/`getUTC*`/`toISOString`. Timestamp/date COLUMN inputs
@@ -282,14 +288,17 @@ object JsInterp {
   private case class WhileS(c: Ex, body: Vector[St]) extends St
   /** `letVars` non-empty = the init declared `let`/`const` vars that get
     * a FRESH binding per iteration (ES CreatePerIterationEnvironment):
-    * closures created in iteration k capture iteration k's binding. */
+    * closures created in iteration k capture iteration k's binding.
+    * `letConst` = the declaration was `const` (the update throws). */
   private case class ForS(init: Option[St], cond: Option[Ex],
                           update: Option[St], body: Vector[St],
-                          letVars: List[String] = Nil) extends St
+                          letVars: List[String] = Nil,
+                          letConst: Boolean = false) extends St
   /** `perIter` = the loop variable was declared `let`/`const`, so each
     * element binds a fresh per-iteration variable. */
   private case class ForOfS(v: String, iter: Ex, body: Vector[St],
-                            perIter: Boolean = false) extends St
+                            perIter: Boolean = false,
+                            constVar: Boolean = false) extends St
   private case class ReturnS(e: Option[Ex]) extends St
   /** `throw expr` — raises a user value caught by the nearest TryS. */
   private case class ThrowS(e: Ex) extends St
@@ -436,7 +445,8 @@ object JsInterp {
               i += 2
               val it = parseExpr(); eatOp(")")
               val body = blockOrSingle()
-              Some(ForOfS(n, it, body, perIter = loopKind != "var"))
+              Some(ForOfS(n, it, body, perIter = loopKind != "var",
+                constVar = loopKind == "const"))
             case _ => i = save; None
           }
           forOf.getOrElse {
@@ -451,11 +461,12 @@ object JsInterp {
             val body = blockOrSingle()
             // a let/const init gets ES per-iteration bindings: each
             // iteration (and the closures it creates) sees its own copy
-            val letVars = init match {
-              case Some(VarDecl(vs, k)) if k != "var" => vs.map(_._1)
-              case _ => Nil
+            val (letVars, letConst) = init match {
+              case Some(VarDecl(vs, k)) if k != "var" =>
+                (vs.map(_._1), k == "const")
+              case _ => (Nil, false)
             }
-            ForS(init, cond, upd, body, letVars)
+            ForS(init, cond, upd, body, letVars, letConst)
           }
         case _ => parseSimpleStatement()
       }
@@ -813,6 +824,13 @@ object JsInterp {
     * header) are non-function scopes layered on top. */
   private final class Scope(val parent: Scope, val isFunc: Boolean = true) {
     val vars = scala.collection.mutable.HashMap.empty[String, Any]
+    /** names declared `const` IN THIS scope — [[set]] refuses them
+      * (JS "Assignment to constant variable"). */
+    var consts: scala.collection.mutable.HashSet[String] = null
+    def markConst(n: String): Unit = {
+      if (consts == null) consts = scala.collection.mutable.HashSet.empty
+      consts += n
+    }
     def lookup(n: String): Option[Any] = {
       var s: Scope = this
       while (s != null) {
@@ -827,7 +845,12 @@ object JsInterp {
     def set(n: String, v: Any): Unit = {
       var s: Scope = this
       while (s != null) {
-        if (s.vars.contains(n)) { s.vars(n) = v; return }
+        if (s.vars.contains(n)) {
+          if (s.consts != null && s.consts.contains(n))
+            throw new IllegalStateException(
+              s"assignment to constant variable '$n' in JS UDF")
+          s.vars(n) = v; return
+        }
         s = s.parent
       }
       vars(n) = v
@@ -1000,6 +1023,23 @@ object JsInterp {
       } finally { depth -= 1; curSink = prevSink }
     }
 
+    /** Executes a block body with ES block scoping: a block that
+      * DECLARES `let`/`const` (or a class) at its top level gets a child
+      * scope, so inner `let x` SHADOWS an outer `x` instead of
+      * overwriting it and dies at the block's end. Blocks without
+      * lexical declarations run in the enclosing scope — no allocation
+      * on the hot path. (`var` is unaffected either way: it hoists to
+      * the nearest function scope.) */
+    def runBlock(body: Vector[St], sc: Scope): Unit = {
+      val lexical = body.exists {
+        case VarDecl(_, k)     => k != "var"
+        case _: ClassDecl      => true
+        case _                 => false
+      }
+      val bsc = if (lexical) new Scope(sc, isFunc = false) else sc
+      body.foreach(evalSt(_, bsc))
+    }
+
     def evalSt(s: St, sc: Scope): Unit = { tick(); s match {
       case VarDecl(vs, kind) =>
         // `var` hoists to the nearest FUNCTION scope (per-iteration loop
@@ -1008,7 +1048,10 @@ object JsInterp {
           if (kind == "var") {
             var t = sc; while (!t.isFunc) t = t.parent; t
           } else sc
-        vs.foreach { case (n, e) => target.vars(n) = e.map(eval(_, sc)).orNull }
+        vs.foreach { case (n, e) =>
+          target.vars(n) = e.map(eval(_, sc)).orNull
+          if (kind == "const") target.markConst(n)
+        }
       case FuncDecl(n, ps, body, isGen) =>
         sc.vars(n) = Closure(ps, body, sc, Some(n), isGen)
       case ClassDecl(n, ctor, methods, statics) =>
@@ -1061,25 +1104,25 @@ object JsInterp {
       case IncDec(n, op) =>
         sc.set(n, toNum(sc.lookup(n).orNull) + (if (op == "++") 1.0 else -1.0))
       case IfS(cd, t, e) =>
-        if (truthy(eval(cd, sc))) t.foreach(evalSt(_, sc))
-        else e.foreach(evalSt(_, sc))
+        if (truthy(eval(cd, sc))) runBlock(t, sc)
+        else runBlock(e, sc)
       case WhileS(cd, body) =>
         // break unwinds to THIS loop (the try sits on the loop itself, so
         // nested loops each catch their own break)
         try {
           while (truthy(eval(cd, sc))) {
             tick()
-            try body.foreach(evalSt(_, sc))
+            try runBlock(body, sc)
             catch { case ContinueEx => () }
           }
         } catch { case BreakEx => () }
-      case ForS(init, cond, upd, body, letVars) =>
+      case ForS(init, cond, upd, body, letVars, letConst) =>
         if (letVars.isEmpty) {
           init.foreach(evalSt(_, sc))
           try {
             while (cond.forall(e => truthy(eval(e, sc)))) {
               tick()
-              try body.foreach(evalSt(_, sc))
+              try runBlock(body, sc)
               catch { case ContinueEx => () }
               upd.foreach(evalSt(_, sc))
             }
@@ -1092,21 +1135,26 @@ object JsInterp {
           // value (spec: ForBodyEvaluation / CreatePerIterationEnvironment)
           val initScope = new Scope(sc, isFunc = false)
           init.foreach(evalSt(_, initScope))
-          var iter = new Scope(sc, isFunc = false)
+          def perIter(): Scope = {
+            val s2 = new Scope(sc, isFunc = false)
+            if (letConst) letVars.foreach(s2.markConst)
+            s2
+          }
+          var iter = perIter()
           letVars.foreach(n => iter.vars(n) = initScope.vars.getOrElse(n, null))
           try {
             while (cond.forall(e => truthy(eval(e, iter)))) {
               tick()
-              try body.foreach(evalSt(_, iter))
+              try runBlock(body, iter)
               catch { case ContinueEx => () }
-              val next = new Scope(sc, isFunc = false)
+              val next = perIter()
               letVars.foreach(n => next.vars(n) = iter.vars.getOrElse(n, null))
               iter = next
               upd.foreach(evalSt(_, iter))
             }
           } catch { case BreakEx => () }
         }
-      case ForOfS(n, iter, body, perIter) =>
+      case ForOfS(n, iter, body, perIter, constVar) =>
         val items: Seq[Any] = eval(iter, sc) match {
           case a: scala.collection.mutable.ArrayBuffer[Any] @unchecked => a.toSeq
           case s: String => s.map(_.toString)
@@ -1122,23 +1170,27 @@ object JsInterp {
             // closures capture the element they saw
             val it = new Scope(sc, isFunc = false)
             it.vars(n) = v
-            try body.foreach(evalSt(_, it)) catch { case ContinueEx => () }
+            if (constVar) it.markConst(n)
+            try runBlock(body, it) catch { case ContinueEx => () }
           } else {
             sc.set(n, v)
-            try body.foreach(evalSt(_, sc)) catch { case ContinueEx => () }
+            try runBlock(body, sc) catch { case ContinueEx => () }
           }
         } catch { case BreakEx => () }
       case ReturnS(e) => throw ReturnEx(e.map(eval(_, sc)).orNull)
       case ThrowS(e)  => throw JsThrow(eval(e, sc))
       case TryS(body, param, catchBody, fin) =>
         try {
-          try body.foreach(evalSt(_, sc))
+          try runBlock(body, sc)
           catch {
             case JsThrow(v) =>
-              param.foreach(p => sc.vars(p) = v)
-              catchBody.foreach(evalSt(_, sc))
+              // the catch binding is scoped to the catch block (ES):
+              // it neither leaks nor clobbers an outer variable
+              val csc = new Scope(sc, isFunc = false)
+              param.foreach(p => csc.vars(p) = v)
+              catchBody.foreach(evalSt(_, csc))
           }
-        } finally fin.foreach(evalSt(_, sc))
+        } finally runBlock(fin, sc)
       case BreakS     => throw BreakEx
       case ContinueS  => throw ContinueEx
       case ExprS(e)   => eval(e, sc)

@@ -66,6 +66,53 @@ class JsClassGenSpec extends SparkTestBase {
   }
 
   // ------------------------------------------------------------------
+  // block scoping / const
+  // ------------------------------------------------------------------
+
+  test("inner let shadows the outer binding and dies at the block end") {
+    val src =
+      """function f(c) {
+        |  let x = 1;
+        |  if (c) { let x = 2; x = x + 10; }
+        |  return x;
+        |}""".stripMargin
+    assert(ev(src, true) == 1.0)  // inner writes never reach the outer x
+    assert(ev(src, false) == 1.0)
+    // without an inner declaration, assignment reaches the outer binding
+    assert(ev("function f(c) { let x = 1; if (c) { x = 2; } return x; }",
+      true) == 2.0)
+    // var hoists through blocks regardless
+    assert(ev("function f(c) { var x = 1; if (c) { var x = 2; } return x; }",
+      true) == 2.0)
+  }
+
+  test("const assignment fails loudly; const in loop headers too") {
+    val ex = intercept[IllegalStateException](ev(
+      "function f() { const k = 1; k = 2; return k; }"))
+    assert(ex.getMessage.contains("constant"), ex.getMessage)
+    val ex2 = intercept[IllegalStateException](ev(
+      "function f() { for (const i = 0; i < 3; i++) { } return 1; }"))
+    assert(ex2.getMessage.contains("constant"), ex2.getMessage)
+    // const for-of never reassigns the binding: fine
+    assert(ev(
+      "function f() { var s = 0; for (const x of [1,2,3]) { s += x; } return s; }")
+      == 6.0)
+    // const object fields stay mutable (JS: the BINDING is constant)
+    assert(ev(
+      "function f() { const o = {n: 1}; o.n = 5; return o.n; }") == 5.0)
+  }
+
+  test("catch binding is scoped to the catch block") {
+    val src =
+      """function f() {
+        |  var e = 'outer';
+        |  try { throw 'boom'; } catch (e) { var seen = e; }
+        |  return e + ':' + seen;
+        |}""".stripMargin
+    assert(ev(src) == "outer:boom")
+  }
+
+  // ------------------------------------------------------------------
   // classes
   // ------------------------------------------------------------------
 
