@@ -64,6 +64,21 @@ package graft.functions
   *    `getTime`/`getUTC*`/`toISOString`. Timestamp/date COLUMN inputs
   *    arrive as Date values.
   *
+  * ES wave 2 (same round): `switch` (strict-equality dispatch,
+  * fallthrough, one block scope per ES), `do…while`, `for…in` (object
+  * keys in insertion order; array/string indices), `typeof` (incl. the
+  * undeclared-name guard), `instanceof` (user classes + Array/Date/
+  * Object/Function), the `in` operator, nullish coalescing `??` and
+  * optional chaining `?.` (with JS's not-before-a-digit lexer guard so
+  * `c ? .5 : 1` stays a ternary), object-literal shorthand `{a, b}`,
+  * computed keys `[k]: v`, method shorthand `m() {…}` and numeric keys,
+  * spread in array literals and every call-argument position,
+  * destructuring declarations (`let [a, b] = …`, `const {x, y: z} = …`),
+  * default + rest parameters on nested functions (top-level UDF
+  * parameters stay fixed-arity — the CREATE FUNCTION signature rules),
+  * `Object.keys/values/entries/assign/fromEntries`, and direct
+  * self-recursion of the top-level function name.
+  *
   * Every statement step and every loop-back-edge counts against a hard
   * step budget (default 100 000); exceeding it throws — a runaway
   * `while (true)` fails loudly instead of hanging an executor core.
@@ -71,7 +86,9 @@ package graft.functions
   * `Math.random()`, `Date.now()`, argless `new Date()`, local-timezone
   * Date accessors — because a retried Spark task must reproduce its rows
   * bit-for-bit (the engine-level invariant; the reference leaves this to
-  * the user and inherits the irreproducibility).
+  * the user and inherits the irreproducibility) — plus async/await
+  * (UDFs are synchronous), the TDZ, and class
+  * extends/accessors/fields/generator-methods, each named in the error.
   */
 object JsInterp {
 
@@ -107,9 +124,9 @@ object JsInterp {
     val out = scala.collection.mutable.ArrayBuffer.empty[T]
     var i = 0
     val n = src.length
-    val ops3 = Seq("===", "!==")
+    val ops3 = Seq("===", "!==", "...")
     val ops2 = Seq("==", "!=", "<=", ">=", "&&", "||", "**", "+=", "-=",
-      "*=", "/=", "%=", "++", "--", "=>")
+      "*=", "/=", "%=", "++", "--", "=>", "??")
     while (i < n) {
       val c = src.charAt(i)
       if (c.isWhitespace) i += 1
@@ -213,6 +230,11 @@ object JsInterp {
         while (i < n && (src.charAt(i).isLetterOrDigit || src.charAt(i) == '_' ||
           src.charAt(i) == '$')) i += 1
         out += Id(src.substring(j, i))
+      } else if (c == '?' && i + 1 < n && src.charAt(i + 1) == '.' &&
+          !(i + 2 < n && src.charAt(i + 2).isDigit)) {
+        // optional chaining — JS's own lookahead: `?.` unless followed by
+        // a digit (so `c ? .5 : 1` still lexes as a ternary)
+        out += Op("?."); i += 2
       } else {
         val rem = src.substring(i)
         ops3.find(rem.startsWith) match {
@@ -238,30 +260,42 @@ object JsInterp {
   private case class Un(op: String, e: Ex) extends Ex
   private case class Bin(op: String, l: Ex, r: Ex) extends Ex
   private case class Tern(c: Ex, t: Ex, f: Ex) extends Ex
-  private case class ArrL(items: List[Ex]) extends Ex
-  private case class ObjL(fields: List[(String, Ex)]) extends Ex
+  /** array literal; `spread` flags `...e` elements (flattened at eval). */
+  private case class ArrL(items: List[(Ex, Boolean)]) extends Ex
+  /** object literal; keys are expressions (LStr for static keys,
+    * arbitrary for `[computed]: v`). */
+  private case class ObjL(fields: List[(Ex, Ex)]) extends Ex
   private case class IndexE(target: Ex, idx: Ex) extends Ex
-  private case class Member(target: Ex, name: String) extends Ex
-  private case class MethodCall(target: Ex, name: String, args: List[Ex]) extends Ex
-  private case class MathCall(name: String, args: List[Ex]) extends Ex
-  private case class GlobalCall(name: String, args: List[Ex]) extends Ex
+  /** `opt` = `?.` — a null target yields null instead of an error. */
+  private case class Member(target: Ex, name: String,
+                            opt: Boolean = false) extends Ex
+  private case class MethodCall(target: Ex, name: String,
+                                args: List[(Ex, Boolean)],
+                                opt: Boolean = false) extends Ex
+  private case class MathCall(name: String, args: List[(Ex, Boolean)]) extends Ex
+  private case class GlobalCall(name: String, args: List[(Ex, Boolean)]) extends Ex
   /** regex literal — compiled once per AST node (loops don't pay a
     * recompile per iteration). */
   private case class LRe(pattern: String, flags: String) extends Ex {
     lazy val compiled: JsRegexVal = JsRegexVal.compile(pattern, flags)
   }
+  /** a declared parameter: optional default expression (applied when
+    * the argument is missing or null) and rest marker (`...args`
+    * collects the remaining arguments into an array). */
+  private case class P1(name: String, default: Option[Ex] = None,
+                        rest: Boolean = false)
   /** function expression / arrow function; a name makes the closure
     * self-referable (named function expressions can recurse). `isGen`
     * marks a `function*` generator expression. */
-  private case class FuncLit(name: Option[String], params: Seq[String],
+  private case class FuncLit(name: Option[String], params: Seq[P1],
                              body: Vector[St],
                              isGen: Boolean = false) extends Ex
   /** call of an arbitrary callee — user-defined functions, closures
-    * returned from other functions, IIFEs. */
-  private case class CallE(target: Ex, args: List[Ex]) extends Ex
+    * returned from other functions, IIFEs. Args carry a spread flag. */
+  private case class CallE(target: Ex, args: List[(Ex, Boolean)]) extends Ex
   /** `new Name(args)` — a user class, a constructor function, or the
     * deterministic `Date` subset. */
-  private case class NewE(name: String, args: List[Ex]) extends Ex
+  private case class NewE(name: String, args: List[(Ex, Boolean)]) extends Ex
   /** `yield [expr]` — only legal dynamically inside a generator frame. */
   private case class YieldEx(e: Option[Ex]) extends Ex
 
@@ -270,15 +304,33 @@ object JsInterp {
                              kind: String = "var") extends St
   /** nested `function name(…) {…}` declaration — binds a closure.
     * `isGen` marks a `function*` generator declaration. */
-  private case class FuncDecl(name: String, params: Seq[String],
+  private case class FuncDecl(name: String, params: Seq[P1],
                               body: Vector[St],
                               isGen: Boolean = false) extends St
   /** `class Name { constructor(…){…} m(…){…} static s(…){…} }` —
     * binds a [[JsClass]] value. Each entry is (name, params, body). */
   private case class ClassDecl(name: String,
-      ctor: Option[(Seq[String], Vector[St])],
-      methods: List[(String, Seq[String], Vector[St])],
-      statics: List[(String, Seq[String], Vector[St])]) extends St
+      ctor: Option[(Seq[P1], Vector[St])],
+      methods: List[(String, Seq[P1], Vector[St])],
+      statics: List[(String, Seq[P1], Vector[St])]) extends St
+  /** destructuring declaration — `let [a, b] = arr` / `const {x, y: z}
+    * = obj`. */
+  private case class DestrDecl(kind: String, pat: Pat, init: Ex) extends St
+  private sealed trait Pat
+  private case class PArr(names: List[String]) extends Pat
+  /** (source key, bound name) — `{x}` binds x, `{x: y}` binds y. */
+  private case class PObj(fields: List[(String, String)]) extends Pat
+  /** `switch (subject) { case e: … default: … }` — cases in source
+    * order, `None` test = default; execution falls through from the
+    * matching case. */
+  private case class SwitchS(subject: Ex,
+      cases: List[(Option[Ex], Vector[St])]) extends St
+  private case class DoWhileS(body: Vector[St], cond: Ex) extends St
+  /** `for (k in obj)` — object keys in insertion order; array/string
+    * indices as numbers. */
+  private case class ForInS(v: String, iter: Ex, body: Vector[St],
+                            perIter: Boolean = false,
+                            constVar: Boolean = false) extends St
   private case class Assign(name: String, op: String, e: Ex) extends St
   /** assignment through a member/index lvalue — `this.x = e`,
     * `obj.a += e`, `arr[i] = e`, `m['k'] = e`. */
@@ -340,21 +392,45 @@ object JsInterp {
       if (isGen) i += 1
       val name = eatId()
       val params = parseParams()
+      if (params.exists(p => p.rest || p.default.isDefined))
+        fail("top-level UDF parameters are fixed by the CREATE FUNCTION " +
+          "signature — defaults/rest belong on nested functions")
       val body = parseBlock()
       require(i == ts.length,
         "JS parse: trailing tokens after the function body")
-      Compiled(name, params, body, isGen)
+      Compiled(name, params.map(_.name), body, isGen)
     }
 
-    def parseParams(): Seq[String] = {
+    def parseParams(): Seq[P1] = {
       eatOp("(")
-      val params = scala.collection.mutable.ArrayBuffer.empty[String]
+      val params = scala.collection.mutable.ArrayBuffer.empty[P1]
       while (!isOp(")")) {
-        params += eatId()
+        val rest = isOp("...")
+        if (rest) i += 1
+        val n = eatId()
+        val default = if (isOp("=")) { i += 1; Some(parseExpr()) } else None
+        if (rest && default.isDefined)
+          fail("a rest parameter cannot have a default")
+        params += P1(n, default, rest)
         if (isOp(",")) i += 1
       }
       eatOp(")")
+      if (params.dropRight(1).exists(_.rest))
+        fail("the rest parameter must be last")
       params.toSeq
+    }
+
+    /** call-site argument list with spread flags: `f(a, ...rest, b)`. */
+    def parseArgs(): List[(Ex, Boolean)] = {
+      val args = scala.collection.mutable.ListBuffer.empty[(Ex, Boolean)]
+      while (!isOp(")")) {
+        val spread = isOp("...")
+        if (spread) i += 1
+        args += ((parseExpr(), spread))
+        if (isOp(",")) i += 1
+      }
+      eatOp(")")
+      args.toList
     }
 
     def parseBlock(): Vector[St] = {
@@ -368,8 +444,37 @@ object JsInterp {
     def blockOrSingle(): Vector[St] =
       if (isOp("{")) parseBlock() else Vector(parseStatement())
 
+    /** `[a, b]` or `{x, y: z}` after var/let/const. */
+    def parsePattern(): Pat = peek match {
+      case Some(Op("[")) =>
+        i += 1
+        val names = scala.collection.mutable.ListBuffer.empty[String]
+        while (!isOp("]")) { names += eatId(); if (isOp(",")) i += 1 }
+        eatOp("]")
+        PArr(names.toList)
+      case Some(Op("{")) =>
+        i += 1
+        val fields = scala.collection.mutable.ListBuffer.empty[(String, String)]
+        while (!isOp("}")) {
+          val k = eatId()
+          val bind = if (isOp(":")) { i += 1; eatId() } else k
+          fields += ((k, bind))
+          if (isOp(",")) i += 1
+        }
+        eatOp("}")
+        PObj(fields.toList)
+      case other => fail(s"expected a destructuring pattern, found $other")
+    }
+
     def parseStatement(): St = {
       val st = peek match {
+        case Some(Id(kw @ ("var" | "let" | "const")))
+            if la(1).contains(Op("[")) || la(1).contains(Op("{")) =>
+          // destructuring declaration: one pattern per statement
+          i += 1
+          val pat = parsePattern()
+          eatOp("=")
+          DestrDecl(kw, pat, parseExpr())
         case Some(Id(kw @ ("var" | "let" | "const"))) =>
           i += 1
           val vars = scala.collection.mutable.ArrayBuffer.empty[(String, Option[Ex])]
@@ -430,6 +535,40 @@ object JsInterp {
         case Some(Id("while")) =>
           i += 1; eatOp("("); val c = parseExpr(); eatOp(")")
           WhileS(c, blockOrSingle())
+        case Some(Id("do")) =>
+          i += 1
+          val body = blockOrSingle()
+          peek match {
+            case Some(Id("while")) => i += 1
+            case other => fail(s"do-while needs `while`, found $other")
+          }
+          eatOp("("); val c = parseExpr(); eatOp(")")
+          DoWhileS(body, c)
+        case Some(Id("switch")) =>
+          i += 1; eatOp("("); val subj = parseExpr(); eatOp(")"); eatOp("{")
+          def caseBody(): Vector[St] = {
+            val out = Vector.newBuilder[St]
+            while (!isOp("}") && !peek.contains(Id("case")) &&
+                !peek.contains(Id("default")))
+              out += parseStatement()
+            out.result()
+          }
+          val cases =
+            scala.collection.mutable.ListBuffer.empty[(Option[Ex], Vector[St])]
+          while (!isOp("}")) peek match {
+            case Some(Id("case")) =>
+              i += 1; val ce = parseExpr(); eatOp(":")
+              cases += ((Some(ce), caseBody()))
+            case Some(Id("default")) =>
+              i += 1; eatOp(":")
+              cases += ((None, caseBody()))
+            case other => fail(s"expected case/default in switch, found $other")
+          }
+          eatOp("}")
+          SwitchS(subj, cases.toList)
+        case Some(Id("async")) =>
+          fail("async/await is not supported — UDFs are synchronous " +
+            "(remove the async wrapper)")
         case Some(Id("for")) =>
           i += 1; eatOp("(")
           // for (var x of e) / for (x of e) — arrays, strings, generators
@@ -441,12 +580,17 @@ object JsInterp {
             case _ => ()
           }
           val forOf: Option[St] = (peek, la(1)) match {
-            case (Some(Id(n)), Some(Id("of"))) =>
+            case (Some(Id(n)), Some(Id(w @ ("of" | "in")))) =>
               i += 2
               val it = parseExpr(); eatOp(")")
               val body = blockOrSingle()
-              Some(ForOfS(n, it, body, perIter = loopKind != "var",
-                constVar = loopKind == "const"))
+              Some(
+                if (w == "of")
+                  ForOfS(n, it, body, perIter = loopKind != "var",
+                    constVar = loopKind == "const")
+                else
+                  ForInS(n, it, body, perIter = loopKind != "var",
+                    constVar = loopKind == "const"))
             case _ => i = save; None
           }
           forOf.getOrElse {
@@ -484,11 +628,11 @@ object JsInterp {
         fail("class `extends` is not modeled — compose the parent " +
           "explicitly (hold it in a field)")
       eatOp("{")
-      var ctor: Option[(Seq[String], Vector[St])] = None
+      var ctor: Option[(Seq[P1], Vector[St])] = None
       val methods =
-        scala.collection.mutable.ListBuffer.empty[(String, Seq[String], Vector[St])]
+        scala.collection.mutable.ListBuffer.empty[(String, Seq[P1], Vector[St])]
       val statics =
-        scala.collection.mutable.ListBuffer.empty[(String, Seq[String], Vector[St])]
+        scala.collection.mutable.ListBuffer.empty[(String, Seq[P1], Vector[St])]
       while (!isOp("}")) {
         if (isOp(";")) i += 1
         else {
@@ -534,7 +678,8 @@ object JsInterp {
               if Seq("=", "+=", "-=", "*=", "/=", "%=").contains(op) =>
             i += 1
             e match {
-              case Member(_, _) | IndexE(_, _) => LvalAssign(e, op, parseExpr())
+              case Member(_, _, _) | IndexE(_, _) =>
+                LvalAssign(e, op, parseExpr())
               case _ => fail("invalid assignment target")
             }
           case Some(Op(op)) if op == "++" || op == "--" =>
@@ -542,7 +687,7 @@ object JsInterp {
             // (`this.cnt++`) — sugar for `+= 1`
             i += 1
             e match {
-              case Member(_, _) | IndexE(_, _) =>
+              case Member(_, _, _) | IndexE(_, _) =>
                 LvalAssign(e, if (op == "++") "+=" else "-=", LNum(1))
               case _ => fail("invalid increment target")
             }
@@ -560,11 +705,16 @@ object JsInterp {
     }
 
     def parseTernary(): Ex = {
-      val c = parseOr()
+      val c = parseNullish()
       if (isOp("?")) {
         i += 1; val t = parseExpr(); eatOp(":"); val f = parseExpr()
         Tern(c, t, f)
       } else c
+    }
+    def parseNullish(): Ex = {
+      var l = parseOr()
+      while (isOp("??")) { i += 1; l = Bin("??", l, parseOr()) }
+      l
     }
     def parseOr(): Ex = {
       var l = parseAnd()
@@ -582,6 +732,8 @@ object JsInterp {
       while (more) peek match {
         case Some(Op(o)) if Seq("==", "===", "!=", "!==", "<", "<=", ">", ">=").contains(o) =>
           i += 1; l = Bin(o, l, parseAdd())
+        case Some(Id(kw @ ("instanceof" | "in"))) =>
+          i += 1; l = Bin(kw, l, parseAdd())
         case _ => more = false
       }
       l
@@ -613,6 +765,9 @@ object JsInterp {
       case Some(Op("-")) => i += 1; Un("-", parseUnary())
       case Some(Op("+")) => i += 1; parseUnary()
       case Some(Op("!")) => i += 1; Un("!", parseUnary())
+      case Some(Id("typeof")) => i += 1; Un("typeof", parseUnary())
+      case Some(Id("await")) =>
+        fail("async/await is not supported — UDFs are synchronous")
       case _             => parsePostfix()
     }
 
@@ -624,44 +779,43 @@ object JsInterp {
           // call of whatever `e` evaluates to: a declared function, a
           // closure-valued variable, an IIFE, a just-returned closure
           i += 1
-          val args = scala.collection.mutable.ListBuffer.empty[Ex]
-          while (!isOp(")")) { args += parseExpr(); if (isOp(",")) i += 1 }
-          eatOp(")")
-          e = CallE(e, args.toList)
+          e = CallE(e, parseArgs())
         case Some(Op("[")) =>
           i += 1; val idx = parseExpr(); eatOp("]"); e = IndexE(e, idx)
-        case Some(Op(".")) =>
+        case Some(Op(o @ ("." | "?."))) =>
+          val opt = o == "?."
           i += 1
           val m = eatId()
           if (isOp("(")) {
             i += 1
-            val args = scala.collection.mutable.ListBuffer.empty[Ex]
-            while (!isOp(")")) { args += parseExpr(); if (isOp(",")) i += 1 }
-            eatOp(")")
+            val args = parseArgs()
             e match {
               case Ref("Math") =>
                 if (m == "random")
                   fail("Math.random is non-deterministic — not allowed in UDFs")
-                e = MathCall(m, args.toList)
+                e = MathCall(m, args)
               case Ref("Date") =>
                 // the DETERMINISTIC Date subset: Date.UTC(…) computes an
                 // epoch from explicit parts. Date.now() reads the clock —
                 // still rejected (a retried Spark task must reproduce its
                 // rows bit-for-bit; translatable bodies get a
                 // query-constant now() via the JsUdf codegen path).
-                if (m == "UTC") e = GlobalCall("Date.UTC", args.toList)
+                if (m == "UTC") e = GlobalCall("Date.UTC", args)
                 else fail(s"Date.$m is non-deterministic — use new Date(ms)/" +
                   "Date.UTC(y,m,…) (deterministic) or the codegen path's " +
                   "Date.now()")
               case Ref("Array") if m == "from" =>
-                e = GlobalCall("Array.from", args.toList)
+                e = GlobalCall("Array.from", args)
               case Ref("Array") if m == "isArray" =>
-                e = GlobalCall("Array.isArray", args.toList)
-              case _ => e = MethodCall(e, m, args.toList)
+                e = GlobalCall("Array.isArray", args)
+              case Ref("Object") if Seq("keys", "values", "entries",
+                  "assign", "fromEntries").contains(m) =>
+                e = GlobalCall(s"Object.$m", args)
+              case _ => e = MethodCall(e, m, args, opt)
             }
           } else e match {
             case Ref("Math") => e = MathCall(m, Nil) // Math.PI / Math.E
-            case _           => e = Member(e, m)
+            case _           => e = Member(e, m, opt)
           }
         case _ => more = false
       }
@@ -715,22 +869,16 @@ object JsInterp {
         i += 1
         val name = eatId()
         eatOp("(")
-        val args = scala.collection.mutable.ListBuffer.empty[Ex]
-        while (!isOp(")")) { args += parseExpr(); if (isOp(",")) i += 1 }
-        eatOp(")")
-        NewE(name, args.toList)
+        NewE(name, parseArgs())
       case Some(Id(n)) if la(1).contains(Op("=>")) =>
         // bare-parameter arrow: x => …
         i += 2
-        FuncLit(None, Seq(n), arrowBody())
+        FuncLit(None, Seq(P1(n)), arrowBody())
       case Some(Id(n)) if la(1).contains(Op("(")) &&
           Seq("Number", "String", "Boolean", "parseInt", "parseFloat",
             "isNaN", "isFinite").contains(n) =>
         i += 2
-        val args = scala.collection.mutable.ListBuffer.empty[Ex]
-        while (!isOp(")")) { args += parseExpr(); if (isOp(",")) i += 1 }
-        eatOp(")")
-        GlobalCall(n, args.toList)
+        GlobalCall(n, parseArgs())
       case Some(Id(n)) => i += 1; Ref(n)
       case Some(Op("(")) if arrowAhead() =>
         // parenthesized arrow params: (a, b) => …
@@ -741,22 +889,42 @@ object JsInterp {
         i += 1; val e = parseExpr(); eatOp(")"); e
       case Some(Op("[")) =>
         i += 1
-        val items = scala.collection.mutable.ListBuffer.empty[Ex]
-        while (!isOp("]")) { items += parseExpr(); if (isOp(",")) i += 1 }
+        val items = scala.collection.mutable.ListBuffer.empty[(Ex, Boolean)]
+        while (!isOp("]")) {
+          val spread = isOp("...")
+          if (spread) i += 1
+          items += ((parseExpr(), spread))
+          if (isOp(",")) i += 1
+        }
         eatOp("]")
         ArrL(items.toList)
       case Some(Op("{")) =>
-        // object literal { key: expr, 'key': expr, … }
+        // object literal: static keys (identifier / 'string' / number),
+        // shorthand {a, b}, computed [expr]: v, method shorthand m(){…}
         i += 1
-        val fields = scala.collection.mutable.ListBuffer.empty[(String, Ex)]
+        val fields = scala.collection.mutable.ListBuffer.empty[(Ex, Ex)]
         while (!isOp("}")) {
-          val key = peek match {
-            case Some(Id(k))  => i += 1; k
-            case Some(Str(k)) => i += 1; k
-            case other        => fail(s"expected object key, found $other")
+          peek match {
+            case Some(Op("[")) =>
+              i += 1; val k = parseExpr(); eatOp("]"); eatOp(":")
+              fields += ((k, parseExpr()))
+            case Some(Id(k)) if la(1).contains(Op(":")) =>
+              i += 2; fields += ((LStr(k), parseExpr()))
+            case Some(Id(k)) if la(1).contains(Op("(")) =>
+              // method shorthand — a closure field, `this`-bound on call
+              i += 1
+              fields += ((LStr(k), FuncLit(None, parseParams(), parseBlock())))
+            case Some(Id(k)) =>
+              i += 1; fields += ((LStr(k), Ref(k))) // shorthand {a, b}
+            case Some(Str(k)) =>
+              i += 1; eatOp(":"); fields += ((LStr(k), parseExpr()))
+            case Some(Num(v)) =>
+              i += 1; eatOp(":")
+              val key = if (v.isWhole && math.abs(v) < 1e15) v.toLong.toString
+                        else v.toString
+              fields += ((LStr(key), parseExpr()))
+            case other => fail(s"expected object key, found $other")
           }
-          eatOp(":")
-          fields += ((key, parseExpr()))
           if (isOp(",")) i += 1
         }
         eatOp("}")
@@ -823,7 +991,7 @@ object JsInterp {
     * nearest one; per-iteration loop scopes (`let`/`const` in a for
     * header) are non-function scopes layered on top. */
   private final class Scope(val parent: Scope, val isFunc: Boolean = true) {
-    val vars = scala.collection.mutable.HashMap.empty[String, Any]
+    val vars = new java.util.HashMap[String, Any]
     /** names declared `const` IN THIS scope — [[set]] refuses them
       * (JS "Assignment to constant variable"). */
     var consts: scala.collection.mutable.HashSet[String] = null
@@ -835,25 +1003,35 @@ object JsInterp {
       var s: Scope = this
       while (s != null) {
         val v = s.vars.get(n)
-        if (v.isDefined) return v
+        if (v != null || s.vars.containsKey(n)) return Some(v)
         s = s.parent
       }
       None
     }
-    def get(n: String): Any = lookup(n).getOrElse(
-      throw new IllegalStateException(s"undefined variable '$n' in JS UDF"))
+    /** allocation-free read on the hot path (no Option per variable
+      * reference — [[Scope.Missing]] is the not-found sentinel). */
+    def get(n: String): Any = {
+      var s: Scope = this
+      while (s != null) {
+        val v = s.vars.get(n)
+        if (v != null) return v
+        if (s.vars.containsKey(n)) return null
+        s = s.parent
+      }
+      throw new IllegalStateException(s"undefined variable '$n' in JS UDF")
+    }
     def set(n: String, v: Any): Unit = {
       var s: Scope = this
       while (s != null) {
-        if (s.vars.contains(n)) {
+        if (s.vars.containsKey(n)) {
           if (s.consts != null && s.consts.contains(n))
             throw new IllegalStateException(
               s"assignment to constant variable '$n' in JS UDF")
-          s.vars(n) = v; return
+          s.vars.put(n, v); return
         }
         s = s.parent
       }
-      vars(n) = v
+      vars.put(n, v)
     }
   }
 
@@ -888,7 +1066,7 @@ object JsInterp {
     * closure's captured environment); `selfName` lets named function
     * expressions recurse; `isGen` marks generators (calling one runs the
     * body EAGERLY under the step budget and returns a [[JsGenerator]]). */
-  private final case class Closure(params: Seq[String], body: Vector[St],
+  private final case class Closure(params: Seq[P1], body: Vector[St],
                                    defScope: Scope, selfName: Option[String],
                                    isGen: Boolean = false) {
     override def toString: String = "function"
@@ -977,8 +1155,14 @@ object JsInterp {
 
   private def run(c: Compiled, args: Seq[Any]): Any = {
     val global = new Scope(null)
+    // the function's own name is in scope (JS): `typeof f` answers
+    // 'function' and the body can recurse on itself directly, without a
+    // nested helper. Bound BEFORE the params so a same-named parameter
+    // shadows it, like JS.
+    global.vars.put(c.name,
+      Closure(c.params.map(P1(_)), c.body, global, Some(c.name), c.isGen))
     c.params.zipWithIndex.foreach { case (p, ix) =>
-      global.vars(p) = normalize(args.lift(ix).orNull)
+      global.vars.put(p, normalize(args.lift(ix).orNull))
     }
     var steps = 0
     var depth = 0
@@ -995,6 +1179,10 @@ object JsInterp {
     // the enclosing generator (JS rejects that shape at parse time).
     var curSink: scala.collection.mutable.ArrayBuffer[Any] = null
 
+    // block-lexical-declaration scan results, memoized by AST-node
+    // identity so a hot loop pays the scan once, not per iteration
+    val lexCache = new java.util.IdentityHashMap[Vector[St], java.lang.Boolean]
+
     def callClosure(cl: Closure, argVals: Seq[Any], thisVal: Any = null): Any = {
       tick()
       depth += 1
@@ -1007,10 +1195,19 @@ object JsInterp {
                 else null
       try {
         val sc = new Scope(cl.defScope)
-        if (thisVal != null) sc.vars("this") = thisVal
-        cl.selfName.foreach(n => sc.vars(n) = cl)
+        if (thisVal != null) sc.vars.put("this", thisVal)
+        cl.selfName.foreach(n => sc.vars.put(n, cl))
         cl.params.zipWithIndex.foreach { case (p, ix) =>
-          sc.vars(p) = argVals.lift(ix).orNull
+          if (p.rest)
+            sc.vars.put(p.name, scala.collection.mutable.ArrayBuffer[Any](
+              argVals.drop(ix): _*))
+          else {
+            val v = argVals.lift(ix).orNull
+            // a default applies on a missing OR null argument (graft has
+            // one null; JS separates undefined — documented)
+            sc.vars.put(p.name,
+              if (v == null) p.default.map(eval(_, sc)).orNull else v)
+          }
         }
         val ret =
           try { cl.body.foreach(evalSt(_, sc)); null }
@@ -1023,6 +1220,23 @@ object JsInterp {
       } finally { depth -= 1; curSink = prevSink }
     }
 
+    /** Does the block declare lexical (block-scoped) names at its top
+      * level? Memoized in [[lexCache]]. */
+    def hasLexical(body: Vector[St]): Boolean = {
+      val cached = lexCache.get(body)
+      if (cached != null) cached.booleanValue()
+      else {
+        val v = body.exists {
+          case VarDecl(_, k)      => k != "var"
+          case DestrDecl(k, _, _) => k != "var"
+          case _: ClassDecl       => true
+          case _                  => false
+        }
+        lexCache.put(body, java.lang.Boolean.valueOf(v))
+        v
+      }
+    }
+
     /** Executes a block body with ES block scoping: a block that
       * DECLARES `let`/`const` (or a class) at its top level gets a child
       * scope, so inner `let x` SHADOWS an outer `x` instead of
@@ -1031,14 +1245,25 @@ object JsInterp {
       * on the hot path. (`var` is unaffected either way: it hoists to
       * the nearest function scope.) */
     def runBlock(body: Vector[St], sc: Scope): Unit = {
-      val lexical = body.exists {
-        case VarDecl(_, k)     => k != "var"
-        case _: ClassDecl      => true
-        case _                 => false
-      }
-      val bsc = if (lexical) new Scope(sc, isFunc = false) else sc
+      val bsc = if (hasLexical(body)) new Scope(sc, isFunc = false) else sc
       body.foreach(evalSt(_, bsc))
     }
+
+    /** Spread-aware argument evaluation: `...e` flattens arrays,
+      * generators, and strings in place. */
+    def evalArgs(args: List[(Ex, Boolean)], sc: Scope): List[Any] =
+      args.flatMap {
+        case (e, false) => List(eval(e, sc))
+        case (e, true) => eval(e, sc) match {
+          case a: scala.collection.mutable.ArrayBuffer[Any] @unchecked =>
+            a.toList
+          case g: JsGenerator => g.drain().toList
+          case s: String      => s.map(_.toString).toList
+          case other => throw new IllegalStateException(
+            "spread needs an array, generator, or string, got " +
+              Option(other).map(_.getClass.getSimpleName).getOrElse("null"))
+        }
+      }
 
     def evalSt(s: St, sc: Scope): Unit = { tick(); s match {
       case VarDecl(vs, kind) =>
@@ -1049,16 +1274,101 @@ object JsInterp {
             var t = sc; while (!t.isFunc) t = t.parent; t
           } else sc
         vs.foreach { case (n, e) =>
-          target.vars(n) = e.map(eval(_, sc)).orNull
+          target.vars.put(n, e.map(eval(_, sc)).orNull)
           if (kind == "const") target.markConst(n)
         }
       case FuncDecl(n, ps, body, isGen) =>
-        sc.vars(n) = Closure(ps, body, sc, Some(n), isGen)
+        sc.vars.put(n, Closure(ps, body, sc, Some(n), isGen))
+      case DestrDecl(kind, pat, init) =>
+        val v = eval(init, sc)
+        val target =
+          if (kind == "var") {
+            var t = sc; while (!t.isFunc) t = t.parent; t
+          } else sc
+        def bind(n: String, bv: Any): Unit = {
+          target.vars.put(n, bv)
+          if (kind == "const") target.markConst(n)
+        }
+        pat match {
+          case PArr(names) =>
+            val items: Seq[Any] = v match {
+              case a: scala.collection.mutable.ArrayBuffer[Any] @unchecked =>
+                a.toSeq
+              case g: JsGenerator => g.drain()
+              case s: String      => s.map(_.toString)
+              case other => throw new IllegalStateException(
+                "array destructuring needs an array, generator, or " +
+                  "string, got " + Option(other)
+                  .map(_.getClass.getSimpleName).getOrElse("null"))
+            }
+            names.zipWithIndex.foreach { case (n, ix) =>
+              bind(n, items.lift(ix).orNull)
+            }
+          case PObj(fields) => v match {
+            case m: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked =>
+              fields.foreach { case (k, n) => bind(n, m.getOrElse(k, null)) }
+            case other => throw new IllegalStateException(
+              "object destructuring needs an object, got " + Option(other)
+                .map(_.getClass.getSimpleName).getOrElse("null"))
+          }
+        }
+      case SwitchS(subj, cases) =>
+        // ES: the whole switch body is ONE block scope
+        val bsc =
+          if (cases.exists(c => hasLexical(c._2)))
+            new Scope(sc, isFunc = false)
+          else sc
+        val v = eval(subj, bsc)
+        // case tests evaluate in order until the first === match; default
+        // is chosen only after all tests fail; execution FALLS THROUGH
+        // from the selected case until break (or the end)
+        var idx = cases.indexWhere {
+          case (Some(ce), _) => jsStrictEq(v, eval(ce, bsc))
+          case _             => false
+        }
+        if (idx < 0) idx = cases.indexWhere(_._1.isEmpty)
+        if (idx >= 0) {
+          try cases.drop(idx).foreach(_._2.foreach(evalSt(_, bsc)))
+          catch { case BreakEx => () }
+        }
+      case DoWhileS(body, cd) =>
+        try {
+          var go = true
+          while (go) {
+            tick()
+            try runBlock(body, sc) catch { case ContinueEx => () }
+            go = truthy(eval(cd, sc))
+          }
+        } catch { case BreakEx => () }
+      case ForInS(n, iter, body, perIter, constVar) =>
+        val keys: Seq[Any] = eval(iter, sc) match {
+          case m: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked =>
+            m.keys.toSeq
+          case a: scala.collection.mutable.ArrayBuffer[_] =>
+            a.indices.map(_.toDouble)
+          case s: String => (0 until s.length).map(_.toDouble)
+          case null => Seq.empty
+          case other => throw new IllegalStateException(
+            "for...in needs an object, array, or string, got " +
+              other.getClass.getSimpleName)
+        }
+        try keys.foreach { k =>
+          tick()
+          if (perIter) {
+            val it = new Scope(sc, isFunc = false)
+            it.vars.put(n, k)
+            if (constVar) it.markConst(n)
+            try runBlock(body, it) catch { case ContinueEx => () }
+          } else {
+            sc.set(n, k)
+            try runBlock(body, sc) catch { case ContinueEx => () }
+          }
+        } catch { case BreakEx => () }
       case ClassDecl(n, ctor, methods, statics) =>
-        sc.vars(n) = JsClass(n,
+        sc.vars.put(n, JsClass(n,
           ctor.map { case (ps, b) => Closure(ps, b, sc, None) },
           methods.map { case (mn, ps, b) => mn -> Closure(ps, b, sc, None) }.toMap,
-          statics.map { case (mn, ps, b) => mn -> Closure(ps, b, sc, None) }.toMap)
+          statics.map { case (mn, ps, b) => mn -> Closure(ps, b, sc, None) }.toMap))
       case Assign(n, op, e) =>
         val v = eval(e, sc)
         val cur = () => sc.lookup(n).orNull
@@ -1081,7 +1391,7 @@ object JsInterp {
           case "%=" => toNum(cur) % toNum(v)
         }
         lhs match {
-          case Member(t, name) => eval(t, sc) match {
+          case Member(t, name, _) => eval(t, sc) match {
             case m: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked =>
               m(name) = combined(m.getOrElse(name, null))
             case other => throw new IllegalStateException(
@@ -1141,14 +1451,14 @@ object JsInterp {
             s2
           }
           var iter = perIter()
-          letVars.foreach(n => iter.vars(n) = initScope.vars.getOrElse(n, null))
+          letVars.foreach(n => iter.vars.put(n, initScope.vars.get(n)))
           try {
             while (cond.forall(e => truthy(eval(e, iter)))) {
               tick()
               try runBlock(body, iter)
               catch { case ContinueEx => () }
               val next = perIter()
-              letVars.foreach(n => next.vars(n) = iter.vars.getOrElse(n, null))
+              letVars.foreach(n => next.vars.put(n, iter.vars.get(n)))
               iter = next
               upd.foreach(evalSt(_, iter))
             }
@@ -1169,7 +1479,7 @@ object JsInterp {
             // let/const loop variable: a fresh binding per element, so
             // closures capture the element they saw
             val it = new Scope(sc, isFunc = false)
-            it.vars(n) = v
+            it.vars.put(n, v)
             if (constVar) it.markConst(n)
             try runBlock(body, it) catch { case ContinueEx => () }
           } else {
@@ -1187,7 +1497,7 @@ object JsInterp {
               // the catch binding is scoped to the catch block (ES):
               // it neither leaks nor clobbers an outer variable
               val csc = new Scope(sc, isFunc = false)
-              param.foreach(p => csc.vars(p) = v)
+              param.foreach(p => csc.vars.put(p, v))
               catchBody.foreach(evalSt(_, csc))
           }
         } finally runBlock(fin, sc)
@@ -1212,13 +1522,274 @@ object JsInterp {
       case FuncLit(name, ps, body, isGen) => Closure(ps, body, sc, name, isGen)
       case CallE(t, args) =>
         eval(t, sc) match {
-          case cl: Closure => callClosure(cl, args.map(eval(_, sc)))
+          case cl: Closure => callClosure(cl, evalArgs(args, sc))
           case other => throw new IllegalStateException(
             "JS UDF called a non-function value" +
               (t match { case Ref(n) => s" ('$n')"; case _ => "" }))
         }
+      case Un("-", x) => -toNum(eval(x, sc))
+      case Un("!", x) => !truthy(eval(x, sc))
+      case Un("typeof", x) =>
+        // typeof never throws on an undeclared name (the JS idiom
+        // `typeof x === 'undefined'` must work)
+        val v: Option[Any] = x match {
+          case Ref(n) => sc.lookup(n)
+          case _      => Some(eval(x, sc))
+        }
+        v match {
+          case None             => "undefined"
+          case Some(null)       => "object" // typeof null — JS's own wart
+          case Some(_: Double)  => "number"
+          case Some(_: String)  => "string"
+          case Some(_: Boolean) => "boolean"
+          case Some(_: Closure) | Some(_: JsClass) => "function"
+          case Some(_)          => "object"
+        }
+      case Un(op, _)  => throw new IllegalStateException(s"unary $op")
+      case Bin(op, l, r) =>
+        // ONE Bin case: the inner string match compiles to a hash switch,
+        // so the hot arithmetic path pays a single dispatch instead of a
+        // chain of Bin("…") extractor+equality probes
+        op match {
+          case "&&" =>
+            val lv = eval(l, sc); if (!truthy(lv)) lv else eval(r, sc)
+          case "||" =>
+            val lv = eval(l, sc); if (truthy(lv)) lv else eval(r, sc)
+          case "??" =>
+            val lv = eval(l, sc); if (lv == null) eval(r, sc) else lv
+          case "instanceof" =>
+            val lv = eval(l, sc)
+            r match {
+              // the builtins have no runtime binding — match on the name
+              case Ref("Array") =>
+                lv.isInstanceOf[scala.collection.mutable.ArrayBuffer[_]]
+              case Ref("Date")   => lv.isInstanceOf[JsDate]
+              case Ref("Object") =>
+                lv.isInstanceOf[scala.collection.mutable.LinkedHashMap[_, _]] ||
+                  lv.isInstanceOf[scala.collection.mutable.ArrayBuffer[_]]
+              case Ref("Function") => lv.isInstanceOf[Closure]
+              case _ => (eval(r, sc), lv) match {
+                case (cls: JsClass, inst: JsInstance) => inst.cls eq cls
+                case (_: JsClass, _)                  => false
+                case (other, _) => throw new IllegalStateException(
+                  "instanceof needs a class, got " + Option(other)
+                    .map(_.getClass.getSimpleName).getOrElse("null"))
+              }
+            }
+          case "in" =>
+            val lv = eval(l, sc)
+            eval(r, sc) match {
+              case m: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked =>
+                m.contains(toStr(lv))
+              case a: scala.collection.mutable.ArrayBuffer[_] =>
+                val ix = toNum(lv); ix.isWhole && ix >= 0 && ix < a.length
+              case other => throw new IllegalStateException(
+                "`in` needs an object or array, got " + Option(other)
+                  .map(_.getClass.getSimpleName).getOrElse("null"))
+            }
+          case _ =>
+            val lv = eval(l, sc); val rv = eval(r, sc)
+            op match {
+              case "+"  => plus(lv, rv)
+              case "-"  => toNum(lv) - toNum(rv)
+              case "*"  => toNum(lv) * toNum(rv)
+              case "/"  => toNum(lv) / toNum(rv)
+              case "%"  => toNum(lv) % toNum(rv)
+              case "**" => math.pow(toNum(lv), toNum(rv))
+              case "==" => jsEq(lv, rv)
+              case "!=" => !jsEq(lv, rv)
+              case "===" => jsStrictEq(lv, rv)
+              case "!==" => !jsStrictEq(lv, rv)
+              case "<"  => cmp(lv, rv) < 0
+              case "<=" => cmp(lv, rv) <= 0
+              case ">"  => cmp(lv, rv) > 0
+              case ">=" => cmp(lv, rv) >= 0
+            }
+        }
+      case Tern(cd, t, f) =>
+        if (truthy(eval(cd, sc))) eval(t, sc) else eval(f, sc)
+      case ArrL(items) =>
+        scala.collection.mutable.ArrayBuffer[Any](evalArgs(items, sc): _*)
+      case ObjL(fields) =>
+        val m = new scala.collection.mutable.LinkedHashMap[String, Any]
+        fields.foreach { case (k, ex) => m(toStr(eval(k, sc))) = eval(ex, sc) }
+        m
+      case IndexE(t, ix) => eval(t, sc) match {
+        case a: scala.collection.mutable.ArrayBuffer[Any] @unchecked =>
+          a.lift(toNum(eval(ix, sc)).toInt).orNull
+        case m: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked =>
+          m.getOrElse(toStr(eval(ix, sc)), null)
+        case s: String =>
+          val k = toNum(eval(ix, sc)).toInt
+          if (k >= 0 && k < s.length) s.charAt(k).toString else null
+        case _ => null
+      }
+      case Member(t, name, opt) => eval(t, sc) match {
+        case null if opt => null // optional chaining short-circuits
+        case inst: JsInstance =>
+          // own property first (JS shadowing), then a class method as an
+          // UNBOUND function value (`this` resolves only when called as a
+          // method — a detached call fails loudly on the `this` lookup)
+          inst.get(name).orElse(
+            Option(inst.cls).flatMap(_.methods.get(name))).orNull
+        case m: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked =>
+          m.getOrElse(name, null)
+        case s: String if name == "length" => s.length.toDouble
+        case a: scala.collection.mutable.ArrayBuffer[_] if name == "length" =>
+          a.length.toDouble
+        case _ if name == "length" => null
+        case _ =>
+          throw new IllegalStateException(s"unsupported property '.$name'")
+      }
+      case MathCall(name, args) =>
+        mathCall(name, evalArgs(args, sc).map(toNum))
+      case GlobalCall(name, args) =>
+        val vs = evalArgs(args, sc)
+        name match {
+          case "Number"     => toNum(vs.headOption.orNull)
+          case "String"     => toStr(vs.headOption.orNull)
+          case "Boolean"    => truthy(vs.headOption.orNull)
+          case "parseInt"   =>
+            val s = toStr(vs.headOption.orNull).trim
+            val digits = s.takeWhile(ch => ch.isDigit || ch == '-' || ch == '+')
+            try digits.toLong.toDouble catch { case _: Exception => Double.NaN }
+          case "parseFloat" => toNum(vs.headOption.orNull)
+          case "isNaN"      => toNum(vs.headOption.orNull).isNaN
+          case "isFinite"   => !toNum(vs.headOption.orNull).isInfinite &&
+                               !toNum(vs.headOption.orNull).isNaN
+          case "Date.UTC"   =>
+            if (vs.isEmpty) throw new IllegalStateException(
+              "Date.UTC needs at least a year")
+            epochFromParts(vs.map(toNum))
+          case "Array.from" => vs.headOption.orNull match {
+            case a: scala.collection.mutable.ArrayBuffer[Any] @unchecked =>
+              scala.collection.mutable.ArrayBuffer[Any](a.toSeq: _*)
+            case s: String =>
+              scala.collection.mutable.ArrayBuffer[Any](
+                s.map(_.toString): _*)
+            case g: JsGenerator =>
+              scala.collection.mutable.ArrayBuffer[Any](g.drain(): _*)
+            case other => throw new IllegalStateException(
+              "Array.from needs an array, string, or generator, got " +
+                Option(other).map(_.getClass.getSimpleName).getOrElse("null"))
+          }
+          case "Array.isArray" => vs.headOption.orNull
+            .isInstanceOf[scala.collection.mutable.ArrayBuffer[_]]
+          case "Object.keys" => vs.headOption.orNull match {
+            case m: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked =>
+              scala.collection.mutable.ArrayBuffer[Any](m.keys.toSeq: _*)
+            case a: scala.collection.mutable.ArrayBuffer[_] =>
+              scala.collection.mutable.ArrayBuffer[Any](
+                a.indices.map(_.toString): _*)
+            case other => throw new IllegalStateException(
+              "Object.keys needs an object, got " + Option(other)
+                .map(_.getClass.getSimpleName).getOrElse("null"))
+          }
+          case "Object.values" => vs.headOption.orNull match {
+            case m: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked =>
+              scala.collection.mutable.ArrayBuffer[Any](m.values.toSeq: _*)
+            case other => throw new IllegalStateException(
+              "Object.values needs an object, got " + Option(other)
+                .map(_.getClass.getSimpleName).getOrElse("null"))
+          }
+          case "Object.entries" => vs.headOption.orNull match {
+            case m: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked =>
+              scala.collection.mutable.ArrayBuffer[Any](m.toSeq.map {
+                case (k, v) =>
+                  scala.collection.mutable.ArrayBuffer[Any](k, v)
+              }: _*)
+            case other => throw new IllegalStateException(
+              "Object.entries needs an object, got " + Option(other)
+                .map(_.getClass.getSimpleName).getOrElse("null"))
+          }
+          case "Object.assign" =>
+            val out = vs.headOption.orNull match {
+              case m: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked => m
+              case other => throw new IllegalStateException(
+                "Object.assign needs an object target, got " + Option(other)
+                  .map(_.getClass.getSimpleName).getOrElse("null"))
+            }
+            vs.drop(1).foreach {
+              case m: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked =>
+                m.foreach { case (k, v) => out(k) = v }
+              case null  => ()
+              case other => throw new IllegalStateException(
+                "Object.assign sources must be objects, got " +
+                  other.getClass.getSimpleName)
+            }
+            out
+          case "Object.fromEntries" => vs.headOption.orNull match {
+            case a: scala.collection.mutable.ArrayBuffer[Any] @unchecked =>
+              val m = new scala.collection.mutable.LinkedHashMap[String, Any]
+              a.foreach {
+                case p: scala.collection.mutable.ArrayBuffer[Any] @unchecked
+                    if p.length >= 2 => m(toStr(p(0))) = p(1)
+                case other => throw new IllegalStateException(
+                  "Object.fromEntries needs [key, value] pairs")
+              }
+              m
+            case g: JsGenerator =>
+              val m = new scala.collection.mutable.LinkedHashMap[String, Any]
+              g.drain().foreach {
+                case p: scala.collection.mutable.ArrayBuffer[Any] @unchecked
+                    if p.length >= 2 => m(toStr(p(0))) = p(1)
+                case _ => throw new IllegalStateException(
+                  "Object.fromEntries needs [key, value] pairs")
+              }
+              m
+            case other => throw new IllegalStateException(
+              "Object.fromEntries needs an array of pairs, got " +
+                Option(other).map(_.getClass.getSimpleName).getOrElse("null"))
+          }
+        }
+      case MethodCall(t, m, args, opt) =>
+        val tv = eval(t, sc)
+        if (tv == null && opt) null // optional call short-circuits
+        else {
+        val avs = evalArgs(args, sc)
+        (tv, m) match {
+          case (r: JsRegexVal, "test") =>
+            r.p.matcher(toStr(avs.headOption.orNull)).find()
+          case (_: JsRegexVal, other) => throw new IllegalStateException(
+            s"unsupported regex method .$other (test; or use the string" +
+              " methods match/replace/split/search)")
+          // method dispatch on instances: own closure-valued property
+          // shadows the class method (JS shadowing); both bind `this`
+          case (inst: JsInstance, _) if inst.get(m).exists(_.isInstanceOf[Closure]) =>
+            callClosure(inst(m).asInstanceOf[Closure], avs, thisVal = inst)
+          case (inst: JsInstance, _)
+              if Option(inst.cls).exists(_.methods.contains(m)) =>
+            callClosure(inst.cls.methods(m), avs, thisVal = inst)
+          case (cls: JsClass, _) => cls.statics.get(m) match {
+            case Some(cl) => callClosure(cl, avs)
+            case None => throw new IllegalStateException(
+              s"class ${cls.name} has no static method '$m'")
+          }
+          case (mp: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked, _)
+              if mp.get(m).exists(_.isInstanceOf[Closure]) =>
+            // a closure stored as an object field: `this` is the object
+            callClosure(mp(m).asInstanceOf[Closure], avs, thisVal = mp)
+          case (g: JsGenerator, "next") =>
+            val out = new scala.collection.mutable.LinkedHashMap[String, Any]
+            if (g.cursor < g.items.length) {
+              out("value") = g.items(g.cursor); out("done") = false
+              g.cursor += 1
+            } else { out("value") = null; out("done") = true }
+            out
+          case (d: JsDate, _) => dateMethod(d, m, avs)
+          case (s: String, _)  => stringMethod(s, m, avs)
+          case (a: scala.collection.mutable.ArrayBuffer[Any] @unchecked, _) =>
+            arrayMethod(a, m, avs)
+          case (d: Double, "toString") => toStr(d)
+          case (d: Double, "toFixed") =>
+            val k = avs.headOption.map(toNum(_).toInt).getOrElse(0)
+            String.format(s"%.${k}f", Double.box(d))
+          case _ => throw new IllegalStateException(
+            s"unsupported method .$m on ${Option(tv).map(_.getClass.getSimpleName).getOrElse("null")}")
+        }
+        }
       case NewE(name, args) =>
-        val avs = args.map(eval(_, sc))
+        val avs = evalArgs(args, sc)
         if (name == "Date") {
           // deterministic constructions only — see JsDate
           if (avs.isEmpty) throw new IllegalStateException(
@@ -1262,143 +1833,6 @@ object JsInterp {
           "yield outside a generator function (declare it `function*`)")
         curSink += e.map(eval(_, sc)).orNull
         null
-      case Un("-", x) => -toNum(eval(x, sc))
-      case Un("!", x) => !truthy(eval(x, sc))
-      case Un(op, _)  => throw new IllegalStateException(s"unary $op")
-      case Bin("&&", l, r) =>
-        val lv = eval(l, sc); if (!truthy(lv)) lv else eval(r, sc)
-      case Bin("||", l, r) =>
-        val lv = eval(l, sc); if (truthy(lv)) lv else eval(r, sc)
-      case Bin(op, l, r) =>
-        val lv = eval(l, sc); val rv = eval(r, sc)
-        op match {
-          case "+"  => plus(lv, rv)
-          case "-"  => toNum(lv) - toNum(rv)
-          case "*"  => toNum(lv) * toNum(rv)
-          case "/"  => toNum(lv) / toNum(rv)
-          case "%"  => toNum(lv) % toNum(rv)
-          case "**" => math.pow(toNum(lv), toNum(rv))
-          case "==" => jsEq(lv, rv)
-          case "!=" => !jsEq(lv, rv)
-          case "===" => jsStrictEq(lv, rv)
-          case "!==" => !jsStrictEq(lv, rv)
-          case "<"  => cmp(lv, rv) < 0
-          case "<=" => cmp(lv, rv) <= 0
-          case ">"  => cmp(lv, rv) > 0
-          case ">=" => cmp(lv, rv) >= 0
-        }
-      case Tern(cd, t, f) =>
-        if (truthy(eval(cd, sc))) eval(t, sc) else eval(f, sc)
-      case ArrL(items) =>
-        scala.collection.mutable.ArrayBuffer[Any](items.map(eval(_, sc)): _*)
-      case ObjL(fields) =>
-        val m = new scala.collection.mutable.LinkedHashMap[String, Any]
-        fields.foreach { case (k, ex) => m(k) = eval(ex, sc) }
-        m
-      case IndexE(t, ix) => eval(t, sc) match {
-        case a: scala.collection.mutable.ArrayBuffer[Any] @unchecked =>
-          a.lift(toNum(eval(ix, sc)).toInt).orNull
-        case m: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked =>
-          m.getOrElse(toStr(eval(ix, sc)), null)
-        case s: String =>
-          val k = toNum(eval(ix, sc)).toInt
-          if (k >= 0 && k < s.length) s.charAt(k).toString else null
-        case _ => null
-      }
-      case Member(t, name) => eval(t, sc) match {
-        case inst: JsInstance =>
-          // own property first (JS shadowing), then a class method as an
-          // UNBOUND function value (`this` resolves only when called as a
-          // method — a detached call fails loudly on the `this` lookup)
-          inst.get(name).orElse(
-            Option(inst.cls).flatMap(_.methods.get(name))).orNull
-        case m: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked =>
-          m.getOrElse(name, null)
-        case s: String if name == "length" => s.length.toDouble
-        case a: scala.collection.mutable.ArrayBuffer[_] if name == "length" =>
-          a.length.toDouble
-        case _ if name == "length" => null
-        case _ =>
-          throw new IllegalStateException(s"unsupported property '.$name'")
-      }
-      case MathCall(name, args) =>
-        mathCall(name, args.map(a => toNum(eval(a, sc))))
-      case GlobalCall(name, args) =>
-        val vs = args.map(eval(_, sc))
-        name match {
-          case "Number"     => toNum(vs.headOption.orNull)
-          case "String"     => toStr(vs.headOption.orNull)
-          case "Boolean"    => truthy(vs.headOption.orNull)
-          case "parseInt"   =>
-            val s = toStr(vs.headOption.orNull).trim
-            val digits = s.takeWhile(ch => ch.isDigit || ch == '-' || ch == '+')
-            try digits.toLong.toDouble catch { case _: Exception => Double.NaN }
-          case "parseFloat" => toNum(vs.headOption.orNull)
-          case "isNaN"      => toNum(vs.headOption.orNull).isNaN
-          case "isFinite"   => !toNum(vs.headOption.orNull).isInfinite &&
-                               !toNum(vs.headOption.orNull).isNaN
-          case "Date.UTC"   =>
-            if (vs.isEmpty) throw new IllegalStateException(
-              "Date.UTC needs at least a year")
-            epochFromParts(vs.map(toNum))
-          case "Array.from" => vs.headOption.orNull match {
-            case a: scala.collection.mutable.ArrayBuffer[Any] @unchecked =>
-              scala.collection.mutable.ArrayBuffer[Any](a.toSeq: _*)
-            case s: String =>
-              scala.collection.mutable.ArrayBuffer[Any](
-                s.map(_.toString): _*)
-            case g: JsGenerator =>
-              scala.collection.mutable.ArrayBuffer[Any](g.drain(): _*)
-            case other => throw new IllegalStateException(
-              "Array.from needs an array, string, or generator, got " +
-                Option(other).map(_.getClass.getSimpleName).getOrElse("null"))
-          }
-          case "Array.isArray" => vs.headOption.orNull
-            .isInstanceOf[scala.collection.mutable.ArrayBuffer[_]]
-        }
-      case MethodCall(t, m, args) =>
-        val tv = eval(t, sc)
-        val avs = args.map(eval(_, sc))
-        (tv, m) match {
-          case (r: JsRegexVal, "test") =>
-            r.p.matcher(toStr(avs.headOption.orNull)).find()
-          case (_: JsRegexVal, other) => throw new IllegalStateException(
-            s"unsupported regex method .$other (test; or use the string" +
-              " methods match/replace/split/search)")
-          // method dispatch on instances: own closure-valued property
-          // shadows the class method (JS shadowing); both bind `this`
-          case (inst: JsInstance, _) if inst.get(m).exists(_.isInstanceOf[Closure]) =>
-            callClosure(inst(m).asInstanceOf[Closure], avs, thisVal = inst)
-          case (inst: JsInstance, _)
-              if Option(inst.cls).exists(_.methods.contains(m)) =>
-            callClosure(inst.cls.methods(m), avs, thisVal = inst)
-          case (cls: JsClass, _) => cls.statics.get(m) match {
-            case Some(cl) => callClosure(cl, avs)
-            case None => throw new IllegalStateException(
-              s"class ${cls.name} has no static method '$m'")
-          }
-          case (mp: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked, _)
-              if mp.get(m).exists(_.isInstanceOf[Closure]) =>
-            // a closure stored as an object field: `this` is the object
-            callClosure(mp(m).asInstanceOf[Closure], avs, thisVal = mp)
-          case (g: JsGenerator, "next") =>
-            val out = new scala.collection.mutable.LinkedHashMap[String, Any]
-            if (g.cursor < g.items.length) {
-              out("value") = g.items(g.cursor); out("done") = false
-              g.cursor += 1
-            } else { out("value") = null; out("done") = true }
-            out
-          case (d: JsDate, _) => dateMethod(d, m, avs)
-          case (s: String, _)  => stringMethod(s, m, avs)
-          case (a: scala.collection.mutable.ArrayBuffer[Any] @unchecked, _) =>
-            arrayMethod(a, m, avs)
-          case (d: Double, "toString") => toStr(d)
-          case (d: Double, "toFixed") =>
-            val k = avs.headOption.map(toNum(_).toInt).getOrElse(0)
-            String.format(s"%.${k}f", Double.box(d))
-          case _ => throw new IllegalStateException(
-            s"unsupported method .$m on ${Option(tv).map(_.getClass.getSimpleName).getOrElse("null")}")
-        }
     }}
 
     // JS abstract equality (==): same-type compares directly; a numeric

@@ -99,16 +99,87 @@ object Dedup {
     (best, numHashes / best)
   }
 
+  /** One row of the area-minimizing banding plan: the candidate
+    * (bands, rows), its false-positive/false-negative S-curve areas,
+    * their (weighted) sum, and whether it is the chosen optimum. */
+  final case class LshPlanRow(bands: Int, rows: Int, fpArea: Double,
+                              fnArea: Double, error: Double, chosen: Boolean)
+
+  /** Area-minimizing LSH banding (MMDS §3.4.3, the refinement of
+    * [[bandingFor]]'s midpoint rule): over the divisor pairs
+    * `bands × rows = numHashes`, pick the pair minimizing
+    *
+    *   fpWeight · ∫₀ᵗ P(s) ds  +  fnWeight · ∫ₜ¹ (1 − P(s)) ds,
+    *
+    * where `P(s) = 1 − (1 − s^rows)^bands` is the probability that a
+    * pair with Jaccard similarity `s` becomes an LSH candidate. The
+    * first term is wasted verification work on sub-threshold pairs; the
+    * second is the mass of true near-dups the banding misses. The
+    * midpoint rule only centers the S-curve; the area rule also weighs
+    * its WIDTH, and lets a pipeline that fears misses more than wasted
+    * verification set `fnWeight > fpWeight`.
+    *
+    * Deterministic: midpoint quadrature with a fixed `steps` count and a
+    * fixed (error, rows) lexicographic tie-break, so the DuckDB oracle
+    * replays the whole grid bit-for-bit after 6-decimal rounding (q250).
+    * Plan-time only — O(divisors × steps) driver-side arithmetic, zero
+    * data touched; at 100 TB this runs once before the shuffle and its
+    * cost is invisible.
+    */
+  def lshPlanGrid(numHashes: Int, threshold: Double, steps: Int = 200,
+                  fpWeight: Double = 1.0, fnWeight: Double = 1.0)
+      : Seq[LshPlanRow] = {
+    require(numHashes > 0 && threshold > 0 && threshold < 1)
+    require(steps > 0)
+    val rowsRaw = (1 to numHashes).filter(numHashes % _ == 0).map { b =>
+      val r = numHashes / b
+      var fp = 0.0
+      var fn = 0.0
+      var i = 0
+      while (i < steps) {
+        val s = (i + 0.5) / steps
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+        if (s < threshold) fp += p else fn += (1.0 - p)
+        i += 1
+      }
+      (b, r, fp / steps, fn / steps)
+    }
+    // round BEFORE choosing so the oracle's argmin (over the same
+    // rounded values) cannot flip on a ~1-ulp pow() difference
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val graded = rowsRaw.map { case (b, r, fp, fn) =>
+      (b, r, r6(fp), r6(fn), r6(fpWeight * fp + fnWeight * fn))
+    }
+    val best = graded.minBy { case (_, r, _, _, err) => (err, r) }
+    graded.map { case (b, r, fp, fn, err) =>
+      LshPlanRow(b, r, fp, fn, err, (b, r) == (best._1, best._2))
+    }
+  }
+
+  /** The chosen (bands, rows) of [[lshPlanGrid]]. */
+  def bandingForArea(numHashes: Int, threshold: Double,
+                     fpWeight: Double = 1.0, fnWeight: Double = 1.0)
+      : (Int, Int) = {
+    val c = lshPlanGrid(numHashes, threshold,
+      fpWeight = fpWeight, fnWeight = fnWeight).find(_.chosen).get
+    (c.bands, c.rows)
+  }
+
   /** Near-dup candidate pairs via MinHash + LSH banding, verified with exact
     * shingle-Jaccard ≥ `threshold`. Returns (id_a, id_b, jaccard), id_a<id_b.
     * Deterministic: fixed hash family + canonical pair ordering. Pass
     * `bands = 0` to auto-tune the banding to `threshold` via
-    * [[bandingFor]]. */
+    * [[bandingFor]] (midpoint rule), or `bands = -1` for the
+    * area-minimizing plan ([[bandingForArea]]). */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 128, bands: Int = 16, shingleSize: Int = 5,
                    threshold: Double = 0.7, maxBucket: Int = 200): DataFrame = {
     graft.functions.GraftFunctions.registerAll(df.sparkSession)
-    val nBands = if (bands > 0) bands else bandingFor(numHashes, threshold)._1
+    val nBands =
+      if (bands > 0) bands
+      else if (bands == 0) bandingFor(numHashes, threshold)._1
+      else bandingForArea(numHashes, threshold)._1
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
     val keyed = base
       // fused codegen'd text→band-keys expression (plans.MinHashBandsExpr):

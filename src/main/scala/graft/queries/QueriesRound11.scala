@@ -284,6 +284,45 @@ object QueriesRound11 {
         .orderBy(col("c_custkey"))
     }),
 
+    // Area-minimizing LSH banding plan (MMDS §3.4.3's refinement of the
+    // midpoint rule q62 uses): for each (threshold, fn_weight) spec, the
+    // full divisor grid of 128 hashes with S-curve false-positive /
+    // false-negative areas (midpoint quadrature, 200 steps, rounded to
+    // 6dp BEFORE the argmin so a 1-ulp pow() divergence cannot flip the
+    // choice) and the chosen pair. DuckDB replays the ENTIRE
+    // computation — grid, quadrature, areas, weighted argmin with the
+    // (error, rows) tie-break — independently. `wired` is a real data
+    // fact: minhashPairs(bands = -1) on the documents fixture must
+    // produce the identical verified pair set as the explicitly-passed
+    // planned banding.
+    "q250_lsh_plan" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val specs = Seq((0.5, 1.0), (0.7, 1.0), (0.8, 1.0), (0.9, 1.0),
+        (0.8, 3.0))
+      val rows = specs.flatMap { case (t, fnw) =>
+        Dedup.lshPlanGrid(128, t, fnWeight = fnw).map(p =>
+          (t, fnw, p.bands, p.rows, p.fpArea, p.fnArea, p.error, p.chosen))
+      }
+      val docs = graft.Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 300)
+      val (ab, ar) = Dedup.bandingForArea(128, 0.8)
+      require(ab * ar == 128, "plan must use all hashes")
+      val auto = Dedup.minhashPairs(docs, "doc_id", "text",
+        bands = -1, threshold = 0.8)
+      val explicit = Dedup.minhashPairs(docs, "doc_id", "text",
+        bands = ab, threshold = 0.8)
+      val wired = auto.select("id_a", "id_b")
+        .unionAll(explicit.select("id_a", "id_b"))
+        .groupBy("id_a", "id_b").count()
+        .filter(col("count") =!= 2).isEmpty
+      import s.implicits._
+      rows.toDF("threshold", "fn_weight", "bands", "rws",
+          "fp_area", "fn_area", "err", "chosen")
+        .withColumn("wired", lit(wired))
+        .orderBy(col("threshold"), col("fn_weight"), col("bands"))
+    }),
+
     "q248_quality_classifier" -> ((s, dir) => {
       import graft.operators.QualityClassifier
       val docs = graft.Tables.load(s, dir, "documents")
@@ -377,6 +416,39 @@ object QueriesRound11 {
         |         + to_months(CAST(c_custkey % 30 AS INTEGER)), '%Y%m')
         |         AS BIGINT) AS utcroll
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // full independent replay of the planner: divisor grid × midpoint
+    // quadrature × rounded areas × weighted argmin with the (error,
+    // rows) tie-break; the operator-wiring fact replays as a constant
+    "q250_lsh_plan" ->
+      """WITH specs(threshold, fn_weight) AS (
+        |  VALUES (0.5, 1.0), (0.7, 1.0), (0.8, 1.0), (0.9, 1.0), (0.8, 3.0)),
+        |divs AS (
+        |  SELECT b AS bands, 128 // b AS rws
+        |  FROM range(1, 129) t(b) WHERE 128 % b = 0),
+        |areas AS (
+        |  SELECT sp.threshold, sp.fn_weight, d.bands, d.rws,
+        |         round(SUM(CASE WHEN (i + 0.5) / 200.0 < sp.threshold
+        |           THEN 1.0 - pow(1.0 - pow((i + 0.5) / 200.0, d.rws), d.bands)
+        |           ELSE 0.0 END) / 200.0, 6) AS fp_area,
+        |         round(SUM(CASE WHEN (i + 0.5) / 200.0 >= sp.threshold
+        |           THEN pow(1.0 - pow((i + 0.5) / 200.0, d.rws), d.bands)
+        |           ELSE 0.0 END) / 200.0, 6) AS fn_area,
+        |         round(1.0 * SUM(CASE WHEN (i + 0.5) / 200.0 < sp.threshold
+        |           THEN 1.0 - pow(1.0 - pow((i + 0.5) / 200.0, d.rws), d.bands)
+        |           ELSE 0.0 END) / 200.0
+        |           + sp.fn_weight * SUM(CASE WHEN (i + 0.5) / 200.0 >= sp.threshold
+        |           THEN pow(1.0 - pow((i + 0.5) / 200.0, d.rws), d.bands)
+        |           ELSE 0.0 END) / 200.0, 6) AS err
+        |  FROM specs sp CROSS JOIN divs d CROSS JOIN range(0, 200) s(i)
+        |  GROUP BY sp.threshold, sp.fn_weight, d.bands, d.rws),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY threshold, fn_weight ORDER BY err, rws) AS rk
+        |  FROM areas)
+        |SELECT threshold, fn_weight, bands, rws, fp_area, fn_area, err,
+        |       rk = 1 AS chosen, TRUE AS wired
+        |FROM ranked ORDER BY threshold, fn_weight, bands""".stripMargin,
 
     // full independent replay over the TRAINED weights (spliced at
     // dump time): same tokenization (filter empties -> first 64 ->

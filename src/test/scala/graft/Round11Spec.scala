@@ -98,4 +98,42 @@ class BucketedBloomSpec extends SparkTestBase {
     assert(out(10L) && !out(11L))
     flag.release()
   }
+
+  test("area-minimizing LSH plan: sane shape, monotone rows, weights bite") {
+    // rows-per-band must grow with the threshold: a steeper target
+    // demands a sharper S-curve (MMDS §3.4.3)
+    val picks = Seq(0.3, 0.5, 0.7, 0.9)
+      .map(t => Dedup.bandingForArea(128, t)._2)
+    assert(picks == picks.sorted, s"rows must rise with threshold: $picks")
+    // every grid row uses all hashes; exactly one is chosen
+    val grid = Dedup.lshPlanGrid(128, 0.8)
+    assert(grid.forall(p => p.bands * p.rows == 128))
+    assert(grid.count(_.chosen) == 1)
+    // the chosen pair minimizes the summed area
+    val chosen = grid.find(_.chosen).get
+    assert(grid.forall(p => chosen.error <= p.error))
+    // fearing misses (fnWeight > 1) never raises the miss area
+    val fnHeavy = Dedup.lshPlanGrid(128, 0.8, fnWeight = 5.0).find(_.chosen).get
+    assert(fnHeavy.fnArea <= chosen.fnArea)
+    // the area rule sits at-or-near the midpoint rule but can differ;
+    // both must place the curve midpoint (1/b)^(1/r) within ±0.2 of t
+    val mid = math.pow(1.0 / chosen.bands, 1.0 / chosen.rows)
+    assert(math.abs(mid - 0.8) < 0.2, s"midpoint drifted: $mid")
+  }
+
+  test("minhashPairs bands = -1 routes through the area plan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight!"),
+      (3L, "completely different content with no overlap at all here"),
+      (4L, "the quick brown fox jumps over a lazy dog tonight")
+    ).toDF("doc_id", "text")
+    val (ab, _) = Dedup.bandingForArea(128, 0.6)
+    val auto = Dedup.minhashPairs(docs, "doc_id", "text",
+      bands = -1, threshold = 0.6).select("id_a", "id_b").collect().toSet
+    val explicit = Dedup.minhashPairs(docs, "doc_id", "text",
+      bands = ab, threshold = 0.6).select("id_a", "id_b").collect().toSet
+    assert(auto == explicit && auto.nonEmpty)
+  }
 }
