@@ -312,9 +312,25 @@ object Dialect {
             val cl = nextSig(ts, nx)
             if (cl >= 0 && ts(cl).isSym("]")) { isArray = true; tyEnd = cl }
           }
+          val operand = render(ts.slice(opStart, opEnd + 1))
+          // fringe types route to their semantic functions, not CAST:
+          // ::bit(n) trims-or-errors (BitStringType.explicitCast),
+          // ::timetz / ::time with time zone parses to the struct value
+          val fringe: Option[String] =
+            if (base == "bit" && !isArray) {
+              val n = if (params.nonEmpty)
+                params.stripPrefix("(").stripSuffix(")").toInt else 1
+              Some(s"graft_bit_cast($operand, $n)")
+            } else if (!isArray && (base == "timetz" ||
+                (base == "time" && tyEnd > tyStart)))
+              Some(s"timetz($operand)")
+            else None
+          fringe.foreach { f =>
+            return Some(ts.slice(0, opStart) ++ lex(f) ++
+              ts.slice(tyEnd + 1, ts.length))
+          }
           val mapped = typeMap.getOrElse(base, ts(tyStart).text) + params
           val sparkTy = if (isArray) s"ARRAY<$mapped>" else mapped
-          val operand = render(ts.slice(opStart, opEnd + 1))
           val repl = lex(s"CAST($operand AS $sparkTy)")
           return Some(ts.slice(0, opStart) ++ repl ++ ts.slice(tyEnd + 1, ts.length))
         }
@@ -1207,8 +1223,71 @@ object Dialect {
     None
   }
 
+  /** `B'0101'` bit-string literals (reference BitString.java:31,
+    * SqlBaseLexer BIT_STRING): the raw bits become a plain string
+    * literal — equality and ordering on the '0'/'1' text match
+    * BitString.compareTo exactly, and typed BIT(n) columns enforce
+    * length at write time. Invalid characters fail here, at parse. */
+  private def passBitLiteral(ts: Vector[Tok]): Option[Vector[Tok]] = {
+    var i = 0
+    while (i < ts.length - 1) {
+      val t = ts(i)
+      if (t.kind == K.Word && (t.text == "B" || t.text == "b") &&
+          ts(i + 1).kind == K.Str) {
+        val raw = ts(i + 1).text.stripPrefix("'").stripSuffix("'")
+        require(raw.forall(c => c == '0' || c == '1'),
+          s"""invalid bit string literal B'$raw' (0/1 only)""")
+        return Some(ts.slice(0, i) ++ lex(s"'$raw'") ++
+          ts.slice(i + 2, ts.length))
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** `CAST(x AS bit(n) | timetz | time with time zone)` → the fringe
+    * cast functions (the `::` form is handled by [[passCasts]]). */
+  private def passCastAsFringe(ts: Vector[Tok]): Option[Vector[Tok]] = {
+    var i = 0
+    while (i < ts.length - 1) {
+      if (ts(i).is("cast") && ts.lift(i + 1).exists(_.isSym("("))) {
+        val close = matchFwd(ts, i + 1)
+        val inner = ts.slice(i + 2, close)
+        // the AS at depth 0 splits operand from type
+        var depth = 0
+        var asAt = -1
+        inner.zipWithIndex.foreach { case (t, k) =>
+          if (t.isSym("(")) depth += 1
+          else if (t.isSym(")")) depth -= 1
+          else if (depth == 0 && t.is("as") && asAt < 0) asAt = k
+        }
+        if (asAt > 0) {
+          val tyToks = inner.slice(asAt + 1, inner.length).filter(_.sig)
+          val operand = render(inner.slice(0, asAt))
+          val head = tyToks.headOption.map(_.text.toLowerCase).getOrElse("")
+          val repl: Option[String] =
+            if (head == "bit") {
+              val n = if (tyToks.length >= 3 && tyToks(1).isSym("("))
+                tyToks(2).text.toInt else 1
+              Some(s"graft_bit_cast($operand, $n)")
+            } else if (head == "timetz" ||
+                (head == "time" && tyToks.length >= 2 && tyToks(1).is("with")))
+              Some(s"timetz($operand)")
+            else None
+          repl.foreach { f =>
+            return Some(ts.slice(0, i) ++ lex(f) ++
+              ts.slice(close + 1, ts.length))
+          }
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
   private val passes: Seq[Vector[Tok] => Option[Vector[Tok]]] =
-    Seq(passKnnMatch, passRenames, passScoreMulti, passMatch, passScore, passCasts, passAnyAll,
+    Seq(passKnnMatch, passRenames, passScoreMulti, passMatch, passScore,
+      passBitLiteral, passCastAsFringe, passCasts, passAnyAll,
       passObjectLiteral, passBrackets, passFetchOffset, passFilterClause,
       passSystemSchemas, passArrayOverlap, passRegexOps, passArraySubquery,
       passEmptyRow, passSessionKeywords)
@@ -1287,6 +1366,19 @@ object Dialect {
         if (d.lift(j + 1).exists(t => t.is("with") || t.is("without")))
           ("TIMESTAMP", j + 4) // [with|without] time zone
         else ("TIMESTAMP", j + 1)
+      case "bit" =>
+        // BIT(n) (reference BitStringType): raw-bits STRING — '0'/'1'
+        // lexicographic order IS BitString.compareTo (bit_cmp), and the
+        // router adds a write-time length/charset check per column
+        if (j + 1 < d.length && d(j + 1).isSym("("))
+          ("STRING", matchFwdIn(d, j + 1) + 1)
+        else ("STRING", j + 1)
+      case "timetz" =>
+        // TIME WITH TIME ZONE (reference TimeTZ.java): struct ordering =
+        // the reference's (micros, offset) compare
+        ("STRUCT<micros: BIGINT, offset_sec: INT>", j + 1)
+      case "time" if d.lift(j + 1).exists(_.is("with")) =>
+        ("STRUCT<micros: BIGINT, offset_sec: INT>", j + 4) // with time zone
       case tw =>
         val base = typeMap.getOrElse(tw, tw.toUpperCase)
         // precision args e.g. DECIMAL(10,2), VARCHAR(20)

@@ -3129,6 +3129,19 @@ class StatementRouter(spark: SparkSession, root: String) {
           } else {
             val (_, after) = Dialect.mapType(d, 1)
             order += Left(col)
+            // BIT(n) columns get an implicit write-time check — the
+            // reference's implicitCast/valueForInsert (BitStringType
+            // .java:196,206) requires EXACT length and 0/1 chars on
+            // insert; graft stores raw-bits strings, so the length and
+            // charset ride the same CHECK machinery as user constraints
+            if (d(1).is("bit")) {
+              val n = if (d.lift(2).exists(_.isSym("(")))
+                d(3).text.toInt else 1
+              checks += ((s"${table}_${col}_bitlen",
+                s"`$col` IS NULL OR (`$col` RLIKE '^[01]*$$' AND " +
+                  s"length(`$col`) = $n)",
+                s"$col is a valid bit($n)"))
+            }
             var k = after; var depth = 0
             var genAt = -1; var checkAt = -1; var defAt = -1
             while (k < d.length) {

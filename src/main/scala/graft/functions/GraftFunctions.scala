@@ -347,6 +347,46 @@ object GraftFunctions {
       exprs => graft.plans.Blake3Expr(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction("repair_mojibake",
       exprs => graft.plans.MojibakeRepairExpr(exprs(0)), "scala_udf")
+    // TIME WITH TIME ZONE (reference TimeTZ.java / TimeTZParser.java):
+    // value = STRUCT<micros, offset_sec>, whose struct ordering IS the
+    // reference's (micros, offset) compare. `timetz(s)` parses (offsets
+    // only — named zones rejected as clock-dependent), `timetz_format`
+    // renders the reference display form.
+    reg.createOrReplaceTempFunction("timetz", { exprs =>
+      import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct, Literal}
+      CreateNamedStruct(Seq(
+        Literal("micros"), graft.plans.TimeTzMicrosExpr(exprs(0)),
+        Literal("offset_sec"), graft.plans.TimeTzOffsetExpr(exprs(0))))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("timetz_format", { exprs =>
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      require(exprs.length == 1, "timetz_format(timetz)")
+      graft.plans.TimeTzFormatExpr(
+        UnresolvedExtractValue(exprs(0), Literal("micros")),
+        UnresolvedExtractValue(exprs(0), Literal("offset_sec")))
+    }, "scala_udf")
+    // BIT(n) explicit cast (reference BitStringType.explicitCast /
+    // BitString.ofRawBits): validate the first n chars are 0/1, TRIM a
+    // longer string to n, ERROR on a shorter one — built from codegen'd
+    // builtins (rlike/substring/raise_error), no UDF layer.
+    reg.createOrReplaceTempFunction("graft_bit_cast", { exprs =>
+      import org.apache.spark.sql.catalyst.expressions._
+      require(exprs.length == 2, "graft_bit_cast(text, length)")
+      val n = exprs(1).eval(null) match {
+        case i: Int => i; case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"bit length must be an integer literal, got $other")
+      }
+      val s = exprs(0)
+      If(IsNull(s), Literal.create(null, org.apache.spark.sql.types.StringType),
+        If(RLike(s, Literal("^[01]{" + n + "}")),
+          Substring(s, Literal(1), Literal(n)),
+          RaiseError(Concat(Seq(
+            Literal("value ["), s,
+            Literal(s"] cannot be cast to bit($n): need at least $n " +
+              "leading 0/1 characters"))))))
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("unicode_normalize",
       exprs => graft.plans.UnicodeNormalizeExpr(exprs(0), exprs(1)), "scala_udf")
 

@@ -323,6 +323,47 @@ object QueriesRound11 {
         .orderBy(col("threshold"), col("fn_weight"), col("bands"))
     }),
 
+    // The two type-system fringe failure modes earlier rounds documented,
+    // now modeled (reference TimeTZ.java / BitStringType.java):
+    //  - TIMETZ: parse (micros, offset_sec) from derived literals, the
+    //    reference's lexicographic (micros, offset) ordering as a rank,
+    //    and formatTime's display form — DuckDB re-derives micros/offset
+    //    ARITHMETICALLY from the same components (no parser involved),
+    //    rebuilds the display string with printf, and re-ranks.
+    //  - BIT: 6-bit raw strings from row keys, the trim-to-n explicit
+    //    cast, and bit_cmp ordering — replayed with lpad/bin/substr and
+    //    plain string ORDER BY (identical collation on '0'/'1').
+    "q251_fringe_types" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.registerAll(s)
+      val k = col("c_custkey")
+      val base = graft.Tables.load(s, dir, "customer")
+        .select(k,
+          (k % 24).cast("int").as("hh"),
+          ((k * 7) % 60).cast("int").as("mi"),
+          ((k * 13) % 60).cast("int").as("ss"),
+          ((k % 27) - 13).cast("int").as("oh"),
+          (k % 64).cast("int").as("bv"))
+      val lit6 = format_string("%02d:%02d:%02d%+03d:00",
+        col("hh"), col("mi"), col("ss"), col("oh"))
+      val withT = base.withColumn("__s", lit6)
+        .withColumn("t", expr("timetz(__s)"))
+        .withColumn("bits8", lpad(conv(col("bv").cast("string"), 10, 2), 8, "0"))
+      withT
+        .select(col("c_custkey"),
+          col("t.micros").as("micros"),
+          col("t.offset_sec").as("offset_sec"),
+          expr("timetz_format(t)").as("f"),
+          row_number().over(Window.orderBy(col("t"), col("c_custkey")))
+            .as("tz_rank"),
+          col("bits8"),
+          expr("graft_bit_cast(bits8, 6)").as("trimmed"),
+          row_number().over(
+            Window.orderBy(expr("graft_bit_cast(bits8, 6)"), col("c_custkey")))
+            .as("bit_rank"))
+        .orderBy(col("c_custkey"))
+    }),
+
     "q248_quality_classifier" -> ((s, dir) => {
       import graft.operators.QualityClassifier
       val docs = graft.Tables.load(s, dir, "documents")
@@ -449,6 +490,36 @@ object QueriesRound11 {
         |SELECT threshold, fn_weight, bands, rws, fp_area, fn_area, err,
         |       rk = 1 AS chosen, TRUE AS wired
         |FROM ranked ORDER BY threshold, fn_weight, bands""".stripMargin,
+
+    // arithmetic re-derivation of micros/offset (no parser), printf
+    // rebuild of the display form, rank replays over the same keys,
+    // and substr for the trim cast — all independent of graft's code
+    "q251_fringe_types" ->
+      """WITH b AS (
+        |  SELECT c_custkey,
+        |         CAST(c_custkey % 24 AS INT) AS hh,
+        |         CAST((c_custkey * 7) % 60 AS INT) AS mi,
+        |         CAST((c_custkey * 13) % 60 AS INT) AS ss,
+        |         CAST((c_custkey % 27) - 13 AS INT) AS oh,
+        |         CAST(c_custkey % 64 AS INT) AS bv
+        |  FROM customer),
+        |d AS (
+        |  SELECT c_custkey,
+        |         CAST((hh * 60 + mi) * 60 + ss AS BIGINT) * 1000000 AS micros,
+        |         oh * 3600 AS offset_sec,
+        |         printf('%02d:%02d:%02d', hh, mi, ss)
+        |           || CASE WHEN oh = 0 THEN ''
+        |                   ELSE printf('%+03d:00', oh) END AS f,
+        |         lpad(bin(bv), 8, '0') AS bits8
+        |  FROM b)
+        |SELECT c_custkey, micros, offset_sec, f,
+        |       row_number() OVER (ORDER BY micros, offset_sec, c_custkey)
+        |         AS tz_rank,
+        |       bits8,
+        |       substr(bits8, 1, 6) AS trimmed,
+        |       row_number() OVER (ORDER BY substr(bits8, 1, 6), c_custkey)
+        |         AS bit_rank
+        |FROM d ORDER BY c_custkey""".stripMargin,
 
     // full independent replay over the TRAINED weights (spliced at
     // dump time): same tokenization (filter empties -> first 64 ->
