@@ -1197,12 +1197,15 @@ object JsInterp {
         val sc = new Scope(cl.defScope)
         if (thisVal != null) sc.vars.put("this", thisVal)
         cl.selfName.foreach(n => sc.vars.put(n, cl))
-        cl.params.zipWithIndex.foreach { case (p, ix) =>
+        // cursor walk — no Option/tuple boxing per parameter per call
+        var rest = argVals
+        cl.params.foreach { p =>
           if (p.rest)
-            sc.vars.put(p.name, scala.collection.mutable.ArrayBuffer[Any](
-              argVals.drop(ix): _*))
+            sc.vars.put(p.name,
+              scala.collection.mutable.ArrayBuffer[Any](rest: _*))
           else {
-            val v = argVals.lift(ix).orNull
+            val v = if (rest.nonEmpty) { val h = rest.head; rest = rest.tail; h }
+                    else null
             // a default applies on a missing OR null argument (graft has
             // one null; JS separates undefined — documented)
             sc.vars.put(p.name,
@@ -1250,9 +1253,15 @@ object JsInterp {
     }
 
     /** Spread-aware argument evaluation: `...e` flattens arrays,
-      * generators, and strings in place. */
-    def evalArgs(args: List[(Ex, Boolean)], sc: Scope): List[Any] =
-      args.flatMap {
+      * generators, and strings in place. The no-spread case (every call
+      * in a recursion-heavy body) takes an allocation-light map — the
+      * flatMap path would box a List cell per argument per call. */
+    def evalArgs(args: List[(Ex, Boolean)], sc: Scope): List[Any] = {
+      var it = args
+      var spread = false
+      while (!spread && it.nonEmpty) { spread = it.head._2; it = it.tail }
+      if (!spread) args.map(t => eval(t._1, sc))
+      else args.flatMap {
         case (e, false) => List(eval(e, sc))
         case (e, true) => eval(e, sc) match {
           case a: scala.collection.mutable.ArrayBuffer[Any] @unchecked =>
@@ -1264,6 +1273,7 @@ object JsInterp {
               Option(other).map(_.getClass.getSimpleName).getOrElse("null"))
         }
       }
+    }
 
     def evalSt(s: St, sc: Scope): Unit = { tick(); s match {
       case VarDecl(vs, kind) =>
