@@ -333,6 +333,11 @@ object QueriesRound11 {
     //  - BIT: 6-bit raw strings from row keys, the trim-to-n explicit
     //    cast, and bit_cmp ordering — replayed with lpad/bin/substr and
     //    plain string ORDER BY (identical collation on '0'/'1').
+    // The two global row_number ranks are CORRECTNESS plumbing (they
+    // pin the total order the types define); a 100 TB pipeline would
+    // never global-rank — ORDER BY on these types distributes through
+    // the normal range-partitioned sort, which is the operation the
+    // ranks certify.
     "q251_fringe_types" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       graft.functions.GraftFunctions.registerAll(s)
