@@ -3414,10 +3414,11 @@ class StatementRouter(spark: SparkSession, root: String) {
     * to a Spark SQL expression ([[graft.functions.JsUdf]] — the
     * single-return arithmetic subset every doc example uses) and registered
     * as a Spark SQL scalar UDF, so it runs codegen'd instead of through an
-    * interpreter. Bodies outside the subset fail loudly. Overloading by
-    * signature (reference resolves per argument types) is not supported —
-    * one definition per name, OR REPLACE to change it (documented in
-    * PORTING.md).
+    * interpreter; bodies outside the subset run in the step-bounded
+    * interpreter ([[graft.functions.JsInterp]]). Signature OVERLOADING is
+    * supported like the reference (one function name, several argument
+    * signatures, resolution per call-site types) — see
+    * [[graft.functions.UdfOverloads]].
     */
   private def createFunction(sig: Vector[Tok], orReplace: Boolean): DataFrame = {
     val typeStart = Set("array", "object", "geo_point", "geo_shape", "double",
@@ -3460,19 +3461,29 @@ class StatementRouter(spark: SparkSession, root: String) {
     }
     // translatable subset → codegen'd SQL expression; anything else falls
     // back to the step-bounded interpreter (JsInterp — reference
-    // JavaScriptLanguage.java:28 runs arbitrary JS on GraalVM; the
-    // interpreter covers while-loops, data-dependent bounds, break/
-    // continue, array mutation, JS-faithful .replace) registered as a
-    // scalar UDF of the declared return type. Parse errors in BOTH paths
-    // stay loud.
+    // JavaScriptLanguage.java:28 runs arbitrary JS on GraalVM) registered
+    // as a scalar UDF of the declared return type. Parse errors in BOTH
+    // paths stay loud.
     val translated =
       try Left(graft.functions.JsUdf.translate(body))
       catch {
         case _: UnsupportedOperationException =>
           Right(graft.functions.JsInterp.compile(body))
       }
-    val exists = spark.catalog.functionExists(fname)
-    require(orReplace || !exists, s"function $fname already exists")
+    // signature overloading (reference user-defined-functions.rst
+    // "Overloading"): each (name, argTypes) stores its implementation
+    // under a mangled slot; the plain name is ONE dispatching builder
+    // resolving per call-site argument types (UdfOverloads.dispatch).
+    // OR REPLACE is required only when the SAME signature exists —
+    // a new signature for an existing name is a plain CREATE.
+    val ovls = graft.functions.UdfOverloads
+    val (mangled, existed) = {
+      val already = ovls.overloads(fname)
+        .exists(_.argDdl.map(_.toUpperCase) == argTypes.map(_.toUpperCase))
+      require(orReplace || !already,
+        s"function $fname(${argTypes.mkString(", ")}) already exists")
+      ovls.put(fname, argTypes, retType)
+    }
     translated match {
       case Left(tr) =>
         require(tr.params.length == argTypes.length,
@@ -3480,19 +3491,24 @@ class StatementRouter(spark: SparkSession, root: String) {
             s"has ${argTypes.length} argument types")
         val paramDdl = tr.params.zip(argTypes)
           .map { case (p, t) => s"`$p` $t" }.mkString(", ")
-        spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION `$fname`($paramDdl) " +
+        spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION `$mangled`($paramDdl) " +
           s"RETURNS $retType RETURN ${tr.sql}")
       case Right(cj) =>
         require(cj.params.length == argTypes.length,
           s"JS function has ${cj.params.length} parameters but the declaration " +
             s"has ${argTypes.length} argument types")
-        graft.functions.JsInterp.register(spark, fname, cj,
+        graft.functions.JsInterp.register(spark, mangled, cj,
           org.apache.spark.sql.types.DataType.fromDDL(retType))
     }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(fname,
+      exprs => graft.functions.UdfOverloads.dispatch(fname, exprs),
+      "scala_udf")
     summary(1L)
   }
 
-  /** `DROP FUNCTION [IF EXISTS] [schema.]name([types])`. */
+  /** `DROP FUNCTION [IF EXISTS] [schema.]name([types])` — with types,
+    * drops that overload; without, the name must have exactly one
+    * (reference semantics: an overloaded name needs the signature). */
   private def dropFunction(sig: Vector[Tok]): DataFrame = {
     var i = 2
     val ifExists = sig.lift(i).exists(_.is("if"))
@@ -3503,8 +3519,32 @@ class StatementRouter(spark: SparkSession, root: String) {
       i += 1
     }
     require(nameParts.nonEmpty, "DROP FUNCTION needs a name")
-    val ex = if (ifExists) "IF EXISTS " else ""
-    spark.sql(s"DROP TEMPORARY FUNCTION $ex`${nameParts.last}`")
+    val fname = nameParts.last
+    // optional (types) — empty parens mean the zero-arg signature only
+    // when the name is overloaded; a bare name drops the only overload
+    val types: Option[Seq[String]] =
+      if (i < sig.length && sig(i).isSym("(")) {
+        val close = Dialect.matchFwd(sig, i)
+        Some(Dialect.splitCommas(sig.slice(i + 1, close))
+          .filter(_.nonEmpty).map(d => Dialect.mapType(d, 0)._1))
+      } else None
+    val ovls = graft.functions.UdfOverloads
+    if (ovls.overloads(fname).isEmpty) {
+      // not overload-registered (e.g. dropped twice): keep the legacy
+      // direct drop so IF EXISTS stays a no-op and plain drops stay loud
+      val ex = if (ifExists) "IF EXISTS " else ""
+      spark.sql(s"DROP TEMPORARY FUNCTION $ex`$fname`")
+      return summary(1L)
+    }
+    val (removed, remaining) =
+      try ovls.remove(fname, types)
+      catch {
+        case e: IllegalArgumentException if ifExists &&
+            e.getMessage.contains("does not exist") => return summary(0L)
+      }
+    spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS `${removed.mangled}`")
+    if (remaining == 0)
+      spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS `$fname`")
     summary(1L)
   }
 

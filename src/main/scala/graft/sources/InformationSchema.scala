@@ -74,6 +74,9 @@ object InformationSchema {
   def routines(spark: SparkSession): DataFrame = {
     import spark.implicits._
     spark.catalog.listFunctions().collect().toSeq
+      // per-signature overload slots are implementation detail — the
+      // logical function is the plain-name dispatcher (UdfOverloads)
+      .filterNot(_.name.contains("__ovl"))
       .map(f => (f.name, if (f.isTemporary) "FUNCTION" else "FUNCTION",
         Option(f.className).getOrElse(""), f.isTemporary))
       .toDF("routine_name", "routine_type", "specific_name", "is_temporary")
