@@ -32,13 +32,20 @@ package graft.functions
   *
   * Round-11 tail — the constructs earlier rounds rejected, now modeled:
   *
-  *  - **ES classes**: `class Name { constructor(…){…} m(…){…}
-  *    static s(…){…} }`, `new Name(…)`, `this`-bound method dispatch,
-  *    property assignment through any member/index lvalue
-  *    (`this.x = e`, `obj.a += e`, `arr[i] = e`), and old-style
-  *    constructor functions (`new F()` over a plain function assigning
-  *    `this.…`). Accessors, fields, `extends`, and generator methods
-  *    are rejected with the construct named.
+  *  - **ES classes**: `class Name [extends Parent] { … }` with
+  *    constructors, methods, generator methods, statics, instance and
+  *    static fields (`x = e`, initializers closed over the declaration
+  *    scope with `this` bound), `get`/`set` accessors (compound
+  *    assignment reads through the getter and writes through the
+  *    setter), single inheritance with `super(…)`/`super.m(…)` (method
+  *    lookup walks the extends chain and records the owning class, so
+  *    super resolves from the right level), chain-aware `instanceof`,
+  *    `new Name(…)`, `this`-bound dispatch, property assignment through
+  *    any member/index lvalue, and old-style constructor functions.
+  *    One documented ordering simplification: ALL field initializers
+  *    run parent-first before the constructor bodies (exact whenever
+  *    constructors follow the ES-legal pattern of not touching `this`
+  *    before `super()`).
   *  - **Generators**: `function*` declarations/expressions with `yield`,
   *    consumed by `for…of`, `Array.from`, or `.next()` (JS's
   *    `{value, done}` protocol). Generators run EAGERLY at call time
@@ -87,8 +94,8 @@ package graft.functions
   * Date accessors — because a retried Spark task must reproduce its rows
   * bit-for-bit (the engine-level invariant; the reference leaves this to
   * the user and inherits the irreproducibility) — plus async/await
-  * (UDFs are synchronous), the TDZ, and class
-  * extends/accessors/fields/generator-methods, each named in the error.
+  * (UDFs are synchronous), the TDZ, and static accessors, each named in
+  * the error.
   */
 object JsInterp {
 
@@ -307,12 +314,25 @@ object JsInterp {
   private case class FuncDecl(name: String, params: Seq[P1],
                               body: Vector[St],
                               isGen: Boolean = false) extends St
-  /** `class Name { constructor(…){…} m(…){…} static s(…){…} }` —
-    * binds a [[JsClass]] value. Each entry is (name, params, body). */
+  /** `class Name [extends Parent] { x = e; static y = e;
+    * constructor(…){…} m(…){…} *g(…){…} static s(…){…}
+    * get p(){…} set p(v){…} }` — binds a [[JsClass]] value.
+    * Method tuples are (name, params, body, isGenerator). */
   private case class ClassDecl(name: String,
+      parent: Option[String],
       ctor: Option[(Seq[P1], Vector[St])],
-      methods: List[(String, Seq[P1], Vector[St])],
-      statics: List[(String, Seq[P1], Vector[St])]) extends St
+      fields: List[(String, Ex)],
+      staticFields: List[(String, Ex)],
+      methods: List[(String, Seq[P1], Vector[St], Boolean)],
+      statics: List[(String, Seq[P1], Vector[St], Boolean)],
+      getters: List[(String, Vector[St])],
+      setters: List[(String, String, Vector[St])]) extends St
+  /** `super(args)` — the nearest ancestor constructor, bound to `this`. */
+  private case class SuperCallE(args: List[(Ex, Boolean)]) extends Ex
+  /** `super.m(args)` — method lookup starting ABOVE the class that owns
+    * the currently-executing method. */
+  private case class SuperMethodE(name: String,
+                                  args: List[(Ex, Boolean)]) extends Ex
   /** destructuring declaration — `let [a, b] = arr` / `const {x, y: z}
     * = obj`. */
   private case class DestrDecl(kind: String, pat: Pat, init: Ex) extends St
@@ -618,45 +638,80 @@ object JsInterp {
       st
     }
 
-    /** `class Name { constructor(…){…} m(…){…} static s(…){…} }`.
-      * Accessors, fields, `extends`, and generator methods are rejected
-      * with the construct named. */
+    /** `class Name [extends Parent] { … }` — constructor, methods,
+      * generator methods (`*g(){…}`), statics, instance/static fields
+      * (`x = e`), and `get`/`set` accessors. */
     def parseClass(): St = {
       i += 1 // 'class'
       val name = eatId()
-      if (peek.contains(Id("extends")))
-        fail("class `extends` is not modeled — compose the parent " +
-          "explicitly (hold it in a field)")
+      val parent =
+        if (peek.contains(Id("extends"))) { i += 1; Some(eatId()) }
+        else None
       eatOp("{")
       var ctor: Option[(Seq[P1], Vector[St])] = None
-      val methods =
-        scala.collection.mutable.ListBuffer.empty[(String, Seq[P1], Vector[St])]
-      val statics =
-        scala.collection.mutable.ListBuffer.empty[(String, Seq[P1], Vector[St])]
+      val fields =
+        scala.collection.mutable.ListBuffer.empty[(String, Ex)]
+      val staticFields =
+        scala.collection.mutable.ListBuffer.empty[(String, Ex)]
+      val methods = scala.collection.mutable
+        .ListBuffer.empty[(String, Seq[P1], Vector[St], Boolean)]
+      val statics = scala.collection.mutable
+        .ListBuffer.empty[(String, Seq[P1], Vector[St], Boolean)]
+      val getters =
+        scala.collection.mutable.ListBuffer.empty[(String, Vector[St])]
+      val setters =
+        scala.collection.mutable.ListBuffer.empty[(String, String, Vector[St])]
       while (!isOp("}")) {
         if (isOp(";")) i += 1
         else {
           val isStatic = peek.contains(Id("static")) &&
-            (la(1) match { case Some(Id(_)) => true; case _ => false })
+            (la(1) match {
+              case Some(Id(_)) | Some(Op("*")) => true; case _ => false
+            })
           if (isStatic) i += 1
+          val isGenM = isOp("*")
+          if (isGenM) i += 1
           val mname = eatId()
-          if ((mname == "get" || mname == "set") && !isOp("("))
-            fail(s"class `$mname` accessors are not modeled — use a method")
-          if (isOp("*"))
-            fail("generator methods are not modeled — use a `function*` " +
-              "declared outside the class")
-          if (isOp("=") || !isOp("("))
-            fail("class fields are not modeled — assign `this." + mname +
-              "` in the constructor")
-          val params = parseParams()
-          val body = parseBlock()
-          if (mname == "constructor" && !isStatic) ctor = Some((params, body))
-          else if (isStatic) statics += ((mname, params, body))
-          else methods += ((mname, params, body))
+          if ((mname == "get" || mname == "set") && !isOp("(") && !isOp("=")) {
+            // accessor: get p() {…} / set p(v) {…}
+            if (isGenM) fail("generator accessors are not a thing")
+            val accName = eatId()
+            val params = parseParams()
+            val body = parseBlock()
+            if (mname == "get") {
+              if (params.nonEmpty) fail(s"getter $accName takes no parameters")
+              if (isStatic) fail("static accessors are not modeled — use a " +
+                "static method")
+              getters += ((accName, body))
+            } else {
+              if (params.length != 1 || params.head.rest)
+                fail(s"setter $accName takes exactly one parameter")
+              if (isStatic) fail("static accessors are not modeled — use a " +
+                "static method")
+              setters += ((accName, params.head.name, body))
+            }
+          } else if (isOp("=")) {
+            // class field: x = e (instance) / static x = e
+            if (isGenM) fail("a class field cannot be a generator")
+            i += 1
+            val e = parseExpr()
+            if (isStatic) staticFields += ((mname, e))
+            else fields += ((mname, e))
+          } else {
+            val params = parseParams()
+            val body = parseBlock()
+            if (mname == "constructor" && !isStatic) {
+              if (isGenM) fail("a constructor cannot be a generator")
+              ctor = Some((params, body))
+            }
+            else if (isStatic) statics += ((mname, params, body, isGenM))
+            else methods += ((mname, params, body, isGenM))
+          }
         }
       }
       eatOp("}")
-      ClassDecl(name, ctor, methods.toList, statics.toList)
+      ClassDecl(name, parent, ctor, fields.toList, staticFields.toList,
+        methods.toList, statics.toList, getters.toList, setters.toList)
     }
 
     /** assignment / inc-dec / expression statement (no keywords). An
@@ -870,6 +925,18 @@ object JsInterp {
         val name = eatId()
         eatOp("(")
         NewE(name, parseArgs())
+      case Some(Id("super")) =>
+        // super(args) in a constructor; super.m(args) in a method
+        i += 1
+        if (isOp("(")) { i += 1; SuperCallE(parseArgs()) }
+        else if (isOp(".")) {
+          i += 1
+          val m = eatId()
+          if (!isOp("(")) fail("super properties are call-only — " +
+            s"use super.$m(…)")
+          i += 1
+          SuperMethodE(m, parseArgs())
+        } else fail("`super` is usable as super(args) or super.m(args)")
       case Some(Id(n)) if la(1).contains(Op("=>")) =>
         // bare-parameter arrow: x => …
         i += 2
@@ -1072,11 +1139,36 @@ object JsInterp {
     override def toString: String = "function"
   }
 
-  /** A user class value: constructor + instance/static method tables
-    * (closures over the scope the class was declared in). */
-  private final case class JsClass(name: String, ctor: Option[Closure],
-      methods: Map[String, Closure], statics: Map[String, Closure]) {
+  /** A user class value: parent link, constructor, field initializers,
+    * instance/static method tables, and accessors (closures over the
+    * scope the class was declared in). `staticVals` carries evaluated
+    * `static x = e` fields. Lookups walk the `extends` chain. */
+  private final case class JsClass(name: String, parent: Option[JsClass],
+      ctor: Option[Closure],
+      fields: List[(String, Closure)],
+      methods: Map[String, Closure], statics: Map[String, Closure],
+      getters: Map[String, Closure], setters: Map[String, Closure],
+      staticVals: scala.collection.mutable.LinkedHashMap[String, Any]) {
     override def toString: String = s"class $name"
+    def findMethod(n: String): Option[(Closure, JsClass)] =
+      methods.get(n).map((_, this))
+        .orElse(parent.flatMap(_.findMethod(n)))
+    def findStatic(n: String): Option[(Closure, JsClass)] =
+      statics.get(n).map((_, this))
+        .orElse(parent.flatMap(_.findStatic(n)))
+    def findGetter(n: String): Option[(Closure, JsClass)] =
+      getters.get(n).map((_, this))
+        .orElse(parent.flatMap(_.findGetter(n)))
+    def findSetter(n: String): Option[(Closure, JsClass)] =
+      setters.get(n).map((_, this))
+        .orElse(parent.flatMap(_.findSetter(n)))
+    def findStaticVal(n: String): Option[Any] =
+      staticVals.get(n).orElse(parent.flatMap(_.findStaticVal(n)))
+    /** nearest declared constructor at-or-above this class. */
+    def findCtor: Option[(Closure, JsClass)] =
+      ctor.map((_, this)).orElse(parent.flatMap(_.findCtor))
+    def isAncestorOrSelf(of: JsClass): Boolean =
+      (this eq of) || parent.exists(_.isAncestorOrSelf(of))
   }
 
   /** An object created by `new`: a plain JS object (the LinkedHashMap
@@ -1183,7 +1275,13 @@ object JsInterp {
     // identity so a hot loop pays the scan once, not per iteration
     val lexCache = new java.util.IdentityHashMap[Vector[St], java.lang.Boolean]
 
-    def callClosure(cl: Closure, argVals: Seq[Any], thisVal: Any = null): Any = {
+    // the class that OWNS the currently-executing method/constructor —
+    // `super` resolution starts ABOVE it (saved/restored per call like
+    // curSink, so nested calls keep their own home)
+    var curHome: JsClass = null
+
+    def callClosure(cl: Closure, argVals: Seq[Any], thisVal: Any = null,
+                    home: JsClass = null): Any = {
       tick()
       depth += 1
       if (depth > MaxCallDepth)
@@ -1191,6 +1289,8 @@ object JsInterp {
           s"JS UDF '${c.name}' exceeded the $MaxCallDepth-frame call depth " +
             "(runaway recursion?)")
       val prevSink = curSink
+      val prevHome = curHome
+      curHome = home
       curSink = if (cl.isGen) scala.collection.mutable.ArrayBuffer.empty[Any]
                 else null
       try {
@@ -1220,7 +1320,28 @@ object JsInterp {
               "break/continue crossed a function boundary in JS UDF")
           }
         if (cl.isGen) new JsGenerator(curSink) else ret
-      } finally { depth -= 1; curSink = prevSink }
+      } finally { depth -= 1; curSink = prevSink; curHome = prevHome }
+    }
+
+    /** `new` on a user class: field initializers run parent-first with
+      * `this` bound (a small ordering simplification of ES field-timing:
+      * ALL fields initialize before the constructor body — exact when
+      * constructors don't read subclass fields before super(), which is
+      * the ES-legal pattern anyway), then the nearest declared
+      * constructor runs; `super(args)` inside it continues the chain. */
+    def constructInstance(cls: JsClass, args: Seq[Any]): JsInstance = {
+      val inst = new JsInstance(cls)
+      def initFields(c: JsClass): Unit = {
+        c.parent.foreach(initFields)
+        c.fields.foreach { case (n, fcl) =>
+          inst(n) = callClosure(fcl, Nil, thisVal = inst)
+        }
+      }
+      initFields(cls)
+      cls.findCtor.foreach { case (ct, owner) =>
+        callClosure(ct, args, thisVal = inst, home = owner)
+      }
+      inst
     }
 
     /** Does the block declare lexical (block-scoped) names at its top
@@ -1374,11 +1495,34 @@ object JsInterp {
             try runBlock(body, sc) catch { case ContinueEx => () }
           }
         } catch { case BreakEx => () }
-      case ClassDecl(n, ctor, methods, statics) =>
-        sc.vars.put(n, JsClass(n,
+      case ClassDecl(n, parentName, ctor, fields, staticFields, methods,
+          statics, getters, setters) =>
+        val parent = parentName.map { pn =>
+          sc.get(pn) match {
+            case p: JsClass => p
+            case other => throw new IllegalStateException(
+              s"class $n extends $pn, which is not a class (" +
+                Option(other).map(_.getClass.getSimpleName)
+                  .getOrElse("null") + ")")
+          }
+        }
+        val staticVals =
+          new scala.collection.mutable.LinkedHashMap[String, Any]
+        staticFields.foreach { case (fn, e) => staticVals(fn) = eval(e, sc) }
+        sc.vars.put(n, JsClass(n, parent,
           ctor.map { case (ps, b) => Closure(ps, b, sc, None) },
-          methods.map { case (mn, ps, b) => mn -> Closure(ps, b, sc, None) }.toMap,
-          statics.map { case (mn, ps, b) => mn -> Closure(ps, b, sc, None) }.toMap))
+          fields.map { case (fn, e) =>
+            fn -> Closure(Nil, Vector(ReturnS(Some(e))), sc, None)
+          },
+          methods.map { case (mn, ps, b, g) =>
+            mn -> Closure(ps, b, sc, None, g) }.toMap,
+          statics.map { case (mn, ps, b, g) =>
+            mn -> Closure(ps, b, sc, None, g) }.toMap,
+          getters.map { case (gn, b) =>
+            gn -> Closure(Nil, b, sc, None) }.toMap,
+          setters.map { case (sn, p, b) =>
+            sn -> Closure(Seq(P1(p)), b, sc, None) }.toMap,
+          staticVals))
       case Assign(n, op, e) =>
         val v = eval(e, sc)
         val cur = () => sc.lookup(n).orNull
@@ -1402,6 +1546,19 @@ object JsInterp {
         }
         lhs match {
           case Member(t, name, _) => eval(t, sc) match {
+            case inst: JsInstance
+                if Option(inst.cls).exists(_.findSetter(name).isDefined) =>
+              // accessor write: read through the getter (if any) for
+              // compound ops, write through the setter with `this` bound
+              val cur =
+                inst.get(name).getOrElse(
+                  inst.cls.findGetter(name) match {
+                    case Some((g, owner)) =>
+                      callClosure(g, Nil, thisVal = inst, home = owner)
+                    case None => null
+                  })
+              val (st, owner) = inst.cls.findSetter(name).get
+              callClosure(st, Seq(combined(cur)), thisVal = inst, home = owner)
             case m: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked =>
               m(name) = combined(m.getOrElse(name, null))
             case other => throw new IllegalStateException(
@@ -1579,7 +1736,9 @@ object JsInterp {
                   lv.isInstanceOf[scala.collection.mutable.ArrayBuffer[_]]
               case Ref("Function") => lv.isInstanceOf[Closure]
               case _ => (eval(r, sc), lv) match {
-                case (cls: JsClass, inst: JsInstance) => inst.cls eq cls
+                case (cls: JsClass, inst: JsInstance) =>
+                  // walks the extends chain: a B is also an A
+                  inst.cls != null && inst.cls.isAncestorOrSelf(cls)
                 case (_: JsClass, _)                  => false
                 case (other, _) => throw new IllegalStateException(
                   "instanceof needs a class, got " + Option(other)
@@ -1637,11 +1796,22 @@ object JsInterp {
       case Member(t, name, opt) => eval(t, sc) match {
         case null if opt => null // optional chaining short-circuits
         case inst: JsInstance =>
-          // own property first (JS shadowing), then a class method as an
-          // UNBOUND function value (`this` resolves only when called as a
-          // method — a detached call fails loudly on the `this` lookup)
-          inst.get(name).orElse(
-            Option(inst.cls).flatMap(_.methods.get(name))).orNull
+          // own property first (JS shadowing), then a GETTER (called with
+          // `this` bound), then a class method as an UNBOUND function
+          // value (`this` resolves only when called as a method)
+          inst.get(name).getOrElse {
+            Option(inst.cls).flatMap(_.findGetter(name)) match {
+              case Some((g, owner)) =>
+                callClosure(g, Nil, thisVal = inst, home = owner)
+              case None =>
+                Option(inst.cls).flatMap(_.findMethod(name))
+                  .map(_._1).orNull
+            }
+          }
+        case cls: JsClass =>
+          // static field (chain), else a static method as a value
+          cls.findStaticVal(name)
+            .orElse(cls.findStatic(name).map(_._1)).orNull
         case m: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked =>
           m.getOrElse(name, null)
         case s: String if name == "length" => s.length.toDouble
@@ -1764,14 +1934,17 @@ object JsInterp {
             s"unsupported regex method .$other (test; or use the string" +
               " methods match/replace/split/search)")
           // method dispatch on instances: own closure-valued property
-          // shadows the class method (JS shadowing); both bind `this`
+          // shadows the class method (JS shadowing); both bind `this`;
+          // class-method lookup walks the extends chain and records the
+          // OWNING class as `home` so super resolves correctly
           case (inst: JsInstance, _) if inst.get(m).exists(_.isInstanceOf[Closure]) =>
             callClosure(inst(m).asInstanceOf[Closure], avs, thisVal = inst)
           case (inst: JsInstance, _)
-              if Option(inst.cls).exists(_.methods.contains(m)) =>
-            callClosure(inst.cls.methods(m), avs, thisVal = inst)
-          case (cls: JsClass, _) => cls.statics.get(m) match {
-            case Some(cl) => callClosure(cl, avs)
+              if Option(inst.cls).exists(_.findMethod(m).isDefined) =>
+            val (cl, owner) = inst.cls.findMethod(m).get
+            callClosure(cl, avs, thisVal = inst, home = owner)
+          case (cls: JsClass, _) => cls.findStatic(m) match {
+            case Some((cl, owner)) => callClosure(cl, avs, home = owner)
             case None => throw new IllegalStateException(
               s"class ${cls.name} has no static method '$m'")
           }
@@ -1825,10 +1998,7 @@ object JsInterp {
             case parts    => JsDate(epochFromParts(parts.map(toNum)))
           }
         } else sc.get(name) match {
-          case cls: JsClass =>
-            val inst = new JsInstance(cls)
-            cls.ctor.foreach(ct => callClosure(ct, avs, thisVal = inst))
-            inst
+          case cls: JsClass => constructInstance(cls, avs)
           case cl: Closure =>
             // old-style constructor function: `this` is a fresh object
             val inst = new JsInstance(null)
@@ -1837,6 +2007,32 @@ object JsInterp {
           case other => throw new IllegalStateException(
             s"'new $name' needs a class or function, got " +
               Option(other).map(_.getClass.getSimpleName).getOrElse("null"))
+        }
+      case SuperCallE(args) =>
+        if (curHome == null || curHome.parent.isEmpty)
+          throw new IllegalStateException(
+            "super(…) outside a derived-class constructor")
+        val inst = sc.get("this") match {
+          case j: JsInstance => j
+          case _ => throw new IllegalStateException("super(…) without `this`")
+        }
+        curHome.parent.get.findCtor.foreach { case (ct, owner) =>
+          callClosure(ct, evalArgs(args, sc), thisVal = inst, home = owner)
+        }
+        null
+      case SuperMethodE(m, args) =>
+        if (curHome == null || curHome.parent.isEmpty)
+          throw new IllegalStateException(
+            s"super.$m(…) outside a derived-class method")
+        val inst = sc.get("this") match {
+          case j: JsInstance => j
+          case _ => throw new IllegalStateException("super call without `this`")
+        }
+        curHome.parent.get.findMethod(m) match {
+          case Some((cl, owner)) =>
+            callClosure(cl, evalArgs(args, sc), thisVal = inst, home = owner)
+          case None => throw new IllegalStateException(
+            s"super.$m is not a method of ${curHome.parent.get.name}")
         }
       case YieldEx(e) =>
         if (curSink == null) throw new IllegalStateException(

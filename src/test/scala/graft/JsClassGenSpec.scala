@@ -185,16 +185,90 @@ class JsClassGenSpec extends SparkTestBase {
     assert(ev(src) == "5:10+3")
   }
 
-  test("unsupported class shapes fail loudly with the construct named") {
+  test("class fields: instance and static, lexical capture, this-bound") {
+    val src =
+      """function f(base) {
+        |  class Counter {
+        |    start = base * 10;
+        |    static kind = 'counter';
+        |    n = this.start + 1;
+        |    bump() { this.n += 1; return this.n; }
+        |  }
+        |  var c = new Counter();
+        |  c.bump();
+        |  return Counter.kind + ':' + c.start + ':' + c.n;
+        |}""".stripMargin
+    assert(ev(src, 4L) == "counter:40:42")
+  }
+
+  test("extends: inherited methods, super(…), super.m(…), instanceof chain") {
+    val src =
+      """function f(x) {
+        |  class Animal {
+        |    constructor(name) { this.name = name; }
+        |    speak() { return this.name + ' makes a sound'; }
+        |    kind() { return 'animal'; }
+        |  }
+        |  class Dog extends Animal {
+        |    constructor(name, breed) { super(name); this.breed = breed; }
+        |    speak() { return super.speak() + ' (woof)'; }
+        |  }
+        |  var d = new Dog(x, 'lab');
+        |  return d.speak() + '|' + d.kind() + '|' + (d instanceof Animal)
+        |    + '|' + (d instanceof Dog) + '|' + (new Animal('a') instanceof Dog);
+        |}""".stripMargin
+    assert(ev(src, "rex") == "rex makes a sound (woof)|animal|true|true|false")
+  }
+
+  test("extends without an own constructor forwards the arguments") {
+    val src =
+      """function f() {
+        |  class A { constructor(v) { this.v = v * 2; } tag() { return 'A' + this.v; } }
+        |  class B extends A { tag() { return 'B' + this.v; } }
+        |  return new B(21).tag();
+        |}""".stripMargin
+    assert(ev(src) == "B42")
+  }
+
+  test("getters and setters, including compound assignment through both") {
+    val src =
+      """function f() {
+        |  class Temp {
+        |    constructor() { this.c = 0; }
+        |    get fahrenheit() { return this.c * 9 / 5 + 32; }
+        |    set fahrenheit(v) { this.c = (v - 32) * 5 / 9; }
+        |  }
+        |  var t = new Temp();
+        |  t.fahrenheit = 212;
+        |  var boiled = t.c;
+        |  t.fahrenheit += 10; // read via getter, write via setter
+        |  return boiled + ':' + Math.round(t.fahrenheit);
+        |}""".stripMargin
+    assert(ev(src) == "100:222")
+  }
+
+  test("generator methods, incl. static ones") {
+    val src =
+      """function f(n) {
+        |  class Seq {
+        |    constructor(k) { this.k = k; }
+        |    *upto() { for (let i = 1; i <= this.k; i++) { yield i; } }
+        |    static *evens(m) { for (let i = 0; i <= m; i += 2) { yield i; } }
+        |  }
+        |  var s = 0;
+        |  for (var v of new Seq(n).upto()) { s += v; }
+        |  return s + ':' + Array.from(Seq.evens(6)).join('');
+        |}""".stripMargin
+    assert(ev(src, 4L) == "10:0246")
+  }
+
+  test("the remaining class rejections stay loud and named") {
     val ex1 = intercept[UnsupportedOperationException](JsInterp.compile(
-      "function f() { class A extends B {} return 1; }"))
-    assert(ex1.getMessage.contains("extends"))
-    val ex2 = intercept[UnsupportedOperationException](JsInterp.compile(
-      "function f() { class A { x = 5; } return 1; }"))
-    assert(ex2.getMessage.contains("class fields"))
-    val ex3 = intercept[UnsupportedOperationException](JsInterp.compile(
-      "function f() { class A { get x() { return 1; } } return 1; }"))
-    assert(ex3.getMessage.contains("accessors"))
+      "function f() { class A { static get x() { return 1; } } return 1; }"))
+    assert(ex1.getMessage.contains("static accessors"))
+    val ex2 = intercept[IllegalStateException](ev(
+      "function f() { class A extends missing_parent {} return 1; }"))
+    assert(ex2.getMessage.contains("undefined variable"))
   }
 
   // ------------------------------------------------------------------
