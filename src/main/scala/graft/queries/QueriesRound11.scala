@@ -369,6 +369,71 @@ object QueriesRound11 {
         .orderBy(col("c_custkey"))
     }),
 
+    // UDF signature overloading + the completed class surface, gated at
+    // the catalog level (reference user-defined-functions.rst
+    // "Overloading"; the class tail q249 didn't cover):
+    //  - fmt(bigint) vs fmt(text): one name, both overloads called in
+    //    the same projection; the bigint call site passes an INT column
+    //    expression, so the unique up-cast (int→bigint, NOT int→text)
+    //    is what resolves it — a silent misresolution flips every row.
+    //  - shape hierarchy: extends + super(…) + super.m(…) + an accessor
+    //    and a class field, folded into one integer per row.
+    //  - generator method summed by for…of.
+    // All arms are closed-form integer arithmetic DuckDB re-derives.
+    "q252_js_overload_classes" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      val rt = routerRoots.computeIfAbsent(s"q252#$dir", _ =>
+        java.nio.file.Files.createTempDirectory("graft_q252")
+          .toFile.getAbsolutePath)
+      val r = new graft.StatementRouter(s, rt)
+      graft.functions.UdfOverloads.clear("js_fmt")
+      r.execute(
+        """CREATE OR REPLACE FUNCTION js_fmt(bigint) RETURNS text
+          |LANGUAGE JAVASCRIPT AS 'function js_fmt(n) { return "n" + n; }'
+          |""".stripMargin)
+      r.execute(
+        """CREATE OR REPLACE FUNCTION js_fmt(text) RETURNS text
+          |LANGUAGE JAVASCRIPT AS 'function js_fmt(s) {
+          |  return "s" + s.length;
+          |}'""".stripMargin)
+      r.execute(
+        """CREATE OR REPLACE FUNCTION js_shape(bigint) RETURNS bigint
+          |LANGUAGE JAVASCRIPT AS 'function js_shape(k) {
+          |  class Shape {
+          |    scale = 2;
+          |    constructor(w) { this.w = w; }
+          |    area() { return this.w * this.scale; }
+          |    get doubled() { return this.area() * 2; }
+          |  }
+          |  class Square extends Shape {
+          |    constructor(w) { super(w + 1); }
+          |    area() { return super.area() + 10; }
+          |  }
+          |  var sq = new Square(k);
+          |  return sq.area() * 1000 + sq.doubled;
+          |}'""".stripMargin)
+      r.execute(
+        """CREATE OR REPLACE FUNCTION js_gsum(bigint) RETURNS bigint
+          |LANGUAGE JAVASCRIPT AS 'function js_gsum(n) {
+          |  class R {
+          |    constructor(k) { this.k = k; }
+          |    *steps() { for (let i = 1; i <= this.k; i++) { yield i * i; } }
+          |  }
+          |  var s = 0;
+          |  for (var v of new R(n).steps()) { s += v; }
+          |  return s;
+          |}'""".stripMargin)
+      s.table("customer").repartition(32)
+        .select(col("c_custkey"),
+          call_function("js_fmt", (col("c_custkey") % 100).cast("int"))
+            .as("fnum"),
+          call_function("js_fmt", col("c_name")).as("fstr"),
+          call_function("js_shape", col("c_custkey") % 50).as("shape"),
+          call_function("js_gsum", col("c_custkey") % 25).as("gsum"))
+        .orderBy(col("c_custkey"))
+    }),
+
     "q248_quality_classifier" -> ((s, dir) => {
       import graft.operators.QualityClassifier
       val docs = graft.Tables.load(s, dir, "documents")
@@ -525,6 +590,18 @@ object QueriesRound11 {
         |       row_number() OVER (ORDER BY substr(bits8, 1, 6), c_custkey)
         |         AS bit_rank
         |FROM d ORDER BY c_custkey""".stripMargin,
+
+    // closed forms: shape = (2k+12)*1002 (derived-ctor +1, field scale 2,
+    // super.area()+10, getter = dynamic-dispatch area * 2), gsum =
+    // m(m+1)(2m+1)/6; the overload arms re-derive the same strings
+    "q252_js_overload_classes" ->
+      """SELECT c_custkey,
+        |       'n' || (c_custkey % 100) AS fnum,
+        |       's' || length(c_name) AS fstr,
+        |       (2 * (c_custkey % 50) + 12) * 1002 AS shape,
+        |       ((c_custkey % 25) * (c_custkey % 25 + 1)
+        |         * (2 * (c_custkey % 25) + 1)) // 6 AS gsum
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     // full independent replay over the TRAINED weights (spliced at
     // dump time): same tokenization (filter empties -> first 64 ->
