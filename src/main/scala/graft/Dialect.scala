@@ -288,14 +288,20 @@ object Dialect {
             val nx = nextSig(ts, tyEnd)
             if (nx >= 0 && ts(nx).is("precision")) tyEnd = nx
           }
+          var timeWithTz = false
           if (base == "timestamp" || base == "time") {
-            // optional "with|without time zone" (all map to TIMESTAMP — Spark
-            // timestamps are session-TZ'd)
+            // optional "with|without time zone" (timestamps all map to
+            // TIMESTAMP — Spark timestamps are session-TZ'd; only
+            // `time WITH time zone` is the timetz fringe type, so track
+            // which keyword was consumed)
             val w1 = nextSig(ts, tyEnd)
             if (w1 >= 0 && (ts(w1).is("with") || ts(w1).is("without"))) {
               val w2 = nextSig(ts, w1)
               val w3 = if (w2 >= 0) nextSig(ts, w2) else -1
-              if (w2 >= 0 && ts(w2).is("time") && w3 >= 0 && ts(w3).is("zone")) tyEnd = w3
+              if (w2 >= 0 && ts(w2).is("time") && w3 >= 0 && ts(w3).is("zone")) {
+                tyEnd = w3
+                timeWithTz = ts(w1).is("with")
+              }
             }
           }
           var nx = nextSig(ts, tyEnd)
@@ -322,7 +328,10 @@ object Dialect {
                 params.stripPrefix("(").stripSuffix(")").toInt else 1
               Some(s"graft_bit_cast($operand, $n)")
             } else if (!isArray && (base == "timetz" ||
-                (base == "time" && tyEnd > tyStart)))
+                (base == "time" && timeWithTz)))
+              // ONLY `time WITH time zone` is the timetz struct type
+              // (the reference grammar has no plain-TIME column type);
+              // `time(n)` / `time without time zone` keep the CAST path
               Some(s"timetz($operand)")
             else None
           fringe.foreach { f =>

@@ -3470,6 +3470,13 @@ class StatementRouter(spark: SparkSession, root: String) {
         case _: UnsupportedOperationException =>
           Right(graft.functions.JsInterp.compile(body))
       }
+    // reference UserDefinedFunctionService: the declared name must match
+    // the name bound in the body (JavascriptUserDefinedFunctionTest
+    // .testFunctionWrongNameInFunctionBody)
+    val bodyName = translated.fold(_.name, _.name)
+    require(bodyName.equalsIgnoreCase(fname),
+      s"The name of the function signature '$fname' doesn't match the " +
+        s"function name in the function definition ('$bodyName')")
     // signature overloading (reference user-defined-functions.rst
     // "Overloading"): each (name, argTypes) stores its implementation
     // under a mangled slot; the plain name is ONE dispatching builder
@@ -3477,28 +3484,54 @@ class StatementRouter(spark: SparkSession, root: String) {
     // OR REPLACE is required only when the SAME signature exists —
     // a new signature for an existing name is a plain CREATE.
     val ovls = graft.functions.UdfOverloads
+    val prior = ovls.overloads(fname)
+      .find(_.argDdl.map(_.toUpperCase) == argTypes.map(_.toUpperCase))
     val (mangled, existed) = {
-      val already = ovls.overloads(fname)
-        .exists(_.argDdl.map(_.toUpperCase) == argTypes.map(_.toUpperCase))
-      require(orReplace || !already,
+      require(orReplace || prior.isEmpty,
         s"function $fname(${argTypes.mkString(", ")}) already exists")
       ovls.put(fname, argTypes, retType)
     }
-    translated match {
+    // the overload slot was registered above so `mangled` is final; if
+    // the IMPLEMENTATION registration now fails (bad RETURNS DDL, arity
+    // mismatch), roll the slot back — otherwise a phantom overload stays
+    // in the registry and later calls dispatch to a nonexistent mangled
+    // function (ADVICE r12). Only the just-added slot is removed; a
+    // pre-existing same-signature implementation (OR REPLACE path) keeps
+    // working because its mangled function was never touched on failure.
+    try translated match {
       case Left(tr) =>
         require(tr.params.length == argTypes.length,
           s"JS function has ${tr.params.length} parameters but the declaration " +
             s"has ${argTypes.length} argument types")
         val paramDdl = tr.params.zip(argTypes)
           .map { case (p, t) => s"`$p` $t" }.mkString(", ")
-        spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION `$mangled`($paramDdl) " +
+        try spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION `$mangled`($paramDdl) " +
           s"RETURNS $retType RETURN ${tr.sql}")
+        catch {
+          // a body can be syntactically translatable yet not TYPE-check
+          // as SQL (e.g. a WKT-string return for GEO_POINT, an object
+          // literal for an untyped OBJECT): fall back to the
+          // interpreter, whose return coercion handles those JS shapes
+          case _: org.apache.spark.sql.AnalysisException =>
+            graft.functions.JsInterp.register(spark, mangled,
+              graft.functions.JsInterp.compile(body),
+              org.apache.spark.sql.types.DataType.fromDDL(retType))
+        }
       case Right(cj) =>
         require(cj.params.length == argTypes.length,
           s"JS function has ${cj.params.length} parameters but the declaration " +
             s"has ${argTypes.length} argument types")
         graft.functions.JsInterp.register(spark, mangled, cj,
           org.apache.spark.sql.types.DataType.fromDDL(retType))
+    } catch {
+      case e: Throwable =>
+        try {
+          if (!existed) ovls.remove(fname, Some(argTypes))
+          // OR REPLACE over an existing signature: restore the prior
+          // declared return type — the old implementation still serves
+          else prior.foreach(p => ovls.put(fname, p.argDdl, p.retDdl))
+        } catch { case _: Throwable => () }
+        throw e
     }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(fname,
       exprs => graft.functions.UdfOverloads.dispatch(fname, exprs),

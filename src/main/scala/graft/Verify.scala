@@ -20,6 +20,13 @@ object Verify {
     graft.functions.GraftFunctions.registerAll(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // dynamic-oracle model artifacts (q248 weights, q240 centroids) live
+    // in a SIBLING of the dump dir: part of the round's forensic record,
+    // shared by the entry run and the oracle dump below even across
+    // separate Verify invocations, and invisible to the driver's
+    // per-directory compare of outDir itself (see ArtifactStore).
+    System.setProperty(graft.ArtifactStore.RootProperty,
+      outDir.stripSuffix("/") + "_artifacts")
     SparkEntry.queries.filter(_._1.startsWith(prefix)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -352,12 +352,11 @@ object GraftFunctions {
     // reference's (micros, offset) compare. `timetz(s)` parses (offsets
     // only — named zones rejected as clock-dependent), `timetz_format`
     // renders the reference display form.
-    reg.createOrReplaceTempFunction("timetz", { exprs =>
-      import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct, Literal}
-      CreateNamedStruct(Seq(
-        Literal("micros"), graft.plans.TimeTzMicrosExpr(exprs(0)),
-        Literal("offset_sec"), graft.plans.TimeTzOffsetExpr(exprs(0))))
-    }, "scala_udf")
+    // one struct-returning expression = ONE parse per row (ADVICE r12;
+    // the earlier CreateNamedStruct-of-two-components form parsed the
+    // same string twice per row)
+    reg.createOrReplaceTempFunction("timetz",
+      exprs => graft.plans.TimeTzParseExpr(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction("timetz_format", { exprs =>
       import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
       import org.apache.spark.sql.catalyst.expressions.Literal

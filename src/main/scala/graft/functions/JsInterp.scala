@@ -63,9 +63,13 @@ package graft.functions
   *    and dies at the block's end; `var` hoists through to the function
   *    scope; the `catch (e)` binding is scoped to the catch block; and
   *    assignment to a `const` fails loudly ("assignment to constant
-  *    variable"). Not modeled: the temporal dead zone (reading a `let`
-  *    before its declaration line yields the enclosing binding or an
-  *    undefined-variable error, not a ReferenceError).
+  *    variable"). The temporal dead zone IS modeled (round 12): a
+  *    block's top-level `let`/`const`/`class` names are pre-bound to a
+  *    TDZ sentinel at scope entry, and any read, write, `typeof`, or
+  *    compound assignment that reaches the sentinel before the
+  *    declaration executes throws "cannot access 'x' before
+  *    initialization" — ES's ReferenceError, never the enclosing
+  *    binding.
   *  - **Deterministic Date subset**: `new Date(ms)`, `new Date(y,m,d,…)`
   *    (UTC-pinned — see [[JsDate]]), `Date.UTC(…)`, ISO-string parse,
   *    `getTime`/`getUTC*`/`toISOString`. Timestamp/date COLUMN inputs
@@ -94,8 +98,11 @@ package graft.functions
   * Date accessors — because a retried Spark task must reproduce its rows
   * bit-for-bit (the engine-level invariant; the reference leaves this to
   * the user and inherits the irreproducibility) — plus async/await
-  * (UDFs are synchronous), the TDZ, and static accessors, each named in
-  * the error.
+  * (UDFs are synchronous) and static accessors, each named in the
+  * error. The let/const temporal dead zone now THROWS on
+  * pre-declaration access (it is enforced, not rejected — see the
+  * block-scoping bullet above); the remaining deliberate divergences
+  * from GraalVM all fail loudly.
   */
 object JsInterp {
 
@@ -404,18 +411,50 @@ object JsInterp {
       throw new UnsupportedOperationException(s"JS parse: $msg")
 
     def parseFunction(): Compiled = {
-      peek match {
-        case Some(Id("function")) => i += 1
-        case _ => fail("body must start with `function`")
+      // accepted top-level forms (reference lang-js accepts both — its
+      // testValidateCatchesAssertionError pins `var f = (a) => a * a;`
+      // as VALID on modern runtimes):
+      //   function name(a, b) { … }            (declaration)
+      //   var|let|const name = (a, b) => …     (arrow binding)
+      //   var|let|const name = function (…) {} (function-expression binding)
+      val (name, params, body, isGen) = peek match {
+        case Some(Id("function")) =>
+          i += 1
+          val g = isOp("*")
+          if (g) i += 1
+          val n = eatId()
+          (n, parseParams(), parseBlock(), g)
+        case Some(Id("var" | "let" | "const")) =>
+          i += 1
+          val n = eatId()
+          eatOp("=")
+          peek match {
+            case Some(Id("function")) =>
+              i += 1
+              val g = isOp("*")
+              if (g) i += 1
+              // optional inner name of the function expression (ignored:
+              // the binding name is the UDF name)
+              if (!isOp("(")) eatId()
+              (n, parseParams(), parseBlock(), g)
+            case Some(Op("(")) =>
+              val ps = parseParams()
+              eatOp("=>")
+              (n, ps, arrowBody(), false)
+            case Some(Id(_)) =>
+              val p = eatId()
+              eatOp("=>")
+              (n, Seq(P1(p)), arrowBody(), false)
+            case other => fail(
+              s"expected a function expression or arrow after '=', found $other")
+          }
+        case _ => fail("body must start with `function` or " +
+          "`var name = (…) => …`")
       }
-      val isGen = isOp("*")
-      if (isGen) i += 1
-      val name = eatId()
-      val params = parseParams()
+      if (isOp(";")) i += 1
       if (params.exists(p => p.rest || p.default.isDefined))
         fail("top-level UDF parameters are fixed by the CREATE FUNCTION " +
           "signature — defaults/rest belong on nested functions")
-      val body = parseBlock()
       require(i == ts.length,
         "JS parse: trailing tokens after the function body")
       Compiled(name, params.map(_.name), body, isGen)
@@ -517,6 +556,11 @@ object JsInterp {
           val params = parseParams()
           FuncDecl(name, params, parseBlock(), isGen)
         case Some(Id("class")) => parseClass()
+        case Some(Op("{")) =>
+          // STANDALONE block statement (ES): its own lexical scope —
+          // runBlock gives it let/const scoping + TDZ seeding. Desugared
+          // to the always-true branch (no dedicated AST node needed).
+          IfS(LBool(true), parseBlock(), Vector.empty)
         case Some(Id("return")) =>
           i += 1
           if (isOp(";") || isOp("}")) ReturnS(None) else ReturnS(Some(parseExpr()))
@@ -866,6 +910,18 @@ object JsInterp {
               case Ref("Object") if Seq("keys", "values", "entries",
                   "assign", "fromEntries").contains(m) =>
                 e = GlobalCall(s"Object.$m", args)
+              case Ref("JSON") =>
+                if (m != "parse" && m != "stringify")
+                  fail(s"JSON.$m is not supported (parse/stringify only)")
+                e = GlobalCall(s"JSON.$m", args)
+              case MathCall(fn, Nil) if m == "apply" =>
+                // `Math.max.apply(null, xs)` (the reference's arr_max
+                // integration body) ≡ `Math.fn(...xs)`: the second
+                // argument spreads, the thisArg is ignored like JS does
+                // for Math statics
+                if (args.length != 2)
+                  fail(s"Math.$fn.apply expects (thisArg, argsArray)")
+                e = MathCall(fn, List((args(1)._1, true)))
               case _ => e = MethodCall(e, m, args, opt)
             }
           } else e match {
@@ -1052,6 +1108,137 @@ object JsInterp {
     case other     => other.toString
   }
 
+  /** `JSON.stringify` — real JSON (unlike [[toStr]]'s Array.prototype
+    * .toString comma form): arrays bracketed, strings quoted+escaped,
+    * numbers in JS rendering, functions/classes/undefined → null. */
+  private def jsonStringify(v: Any): String = v match {
+    case null       => "null"
+    case b: Boolean => b.toString
+    case d: Double  => toStr(d)
+    case s: String  => jsonQuote(s)
+    case a: scala.collection.mutable.ArrayBuffer[_] =>
+      a.map(jsonStringify).mkString("[", ",", "]")
+    case m: scala.collection.mutable.LinkedHashMap[_, _] =>
+      m.map { case (k, x) => jsonQuote(k.toString) + ":" + jsonStringify(x) }
+        .mkString("{", ",", "}")
+    case d: JsDate => jsonQuote(d.toString)
+    case _         => "null" // closures/classes serialize like JS undefined
+  }
+
+  private def jsonQuote(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"'  => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append('"').toString
+  }
+
+  /** `JSON.parse` — strict recursive descent into interpreter values
+    * (objects → LinkedHashMap, arrays → ArrayBuffer, numbers → Double). */
+  private def jsonParse(s: String): Any = {
+    var i = 0
+    def fail(msg: String): Nothing = throw new IllegalStateException(
+      s"JSON.parse: $msg at offset $i")
+    def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    def expect(c: Char): Unit = {
+      if (i >= s.length || s.charAt(i) != c) fail(s"expected '$c'")
+      i += 1
+    }
+    def str(): String = {
+      expect('"')
+      val b = new StringBuilder
+      while (i < s.length && s.charAt(i) != '"') {
+        val c = s.charAt(i)
+        if (c == '\\') {
+          i += 1
+          if (i >= s.length) fail("dangling escape")
+          s.charAt(i) match {
+            case '"'  => b.append('"')
+            case '\\' => b.append('\\')
+            case '/'  => b.append('/')
+            case 'b'  => b.append('\b')
+            case 'f'  => b.append('\f')
+            case 'n'  => b.append('\n')
+            case 'r'  => b.append('\r')
+            case 't'  => b.append('\t')
+            case 'u'  =>
+              if (i + 4 >= s.length) fail("short \\u escape")
+              b.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar)
+              i += 4
+            case e => fail(s"bad escape '\\$e'")
+          }
+        } else b.append(c)
+        i += 1
+      }
+      expect('"')
+      b.toString
+    }
+    def value(): Any = {
+      ws()
+      if (i >= s.length) fail("unexpected end")
+      s.charAt(i) match {
+        case '"' => str()
+        case '{' =>
+          i += 1; ws()
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+          if (i < s.length && s.charAt(i) == '}') { i += 1; return m }
+          var more = true
+          while (more) {
+            ws(); val k = str(); ws(); expect(':')
+            m(k) = value(); ws()
+            if (i < s.length && s.charAt(i) == ',') i += 1 else more = false
+          }
+          ws(); expect('}'); m
+        case '[' =>
+          i += 1; ws()
+          val a = scala.collection.mutable.ArrayBuffer.empty[Any]
+          if (i < s.length && s.charAt(i) == ']') { i += 1; return a }
+          var more = true
+          while (more) {
+            a += value(); ws()
+            if (i < s.length && s.charAt(i) == ',') i += 1 else more = false
+          }
+          ws(); expect(']'); a
+        case 't' =>
+          if (!s.startsWith("true", i)) fail("bad literal"); i += 4; true
+        case 'f' =>
+          if (!s.startsWith("false", i)) fail("bad literal"); i += 5; false
+        case 'n' =>
+          if (!s.startsWith("null", i)) fail("bad literal"); i += 4; null
+        case c if c == '-' || c.isDigit =>
+          val st = i
+          i += 1
+          while (i < s.length && (s.charAt(i).isDigit || "+-.eE".contains(s.charAt(i)))) i += 1
+          try s.substring(st, i).toDouble
+          catch { case _: Exception => fail(s"bad number '${s.substring(st, i)}'") }
+        case c => fail(s"unexpected '$c'")
+      }
+    }
+    val v = value()
+    ws()
+    if (i != s.length) fail("trailing content")
+    v
+  }
+
+  /** Temporal-dead-zone sentinel: a block's top-level `let`/`const`/
+    * `class` names are pre-bound to this at scope entry, and any read or
+    * write that reaches the sentinel before the declaration statement
+    * executes throws loudly — ES's ReferenceError, the one divergence
+    * the r11 verdict flagged as silent (a pre-declaration read used to
+    * yield the ENCLOSING binding). */
+  private object Tdz { override def toString: String = "<tdz>" }
+
+  private def tdzFail(n: String): Nothing =
+    throw new IllegalStateException(
+      s"cannot access '$n' before initialization in JS UDF " +
+        "(let/const temporal dead zone)")
+
   /** A lexical scope: reads walk the parent chain, assignment writes to
     * the defining scope (or declares locally when none defines it).
     * `isFunc` marks invocation scopes — `var` declarations hoist to the
@@ -1070,7 +1257,10 @@ object JsInterp {
       var s: Scope = this
       while (s != null) {
         val v = s.vars.get(n)
-        if (v != null || s.vars.containsKey(n)) return Some(v)
+        if (v != null || s.vars.containsKey(n)) {
+          if (v.asInstanceOf[AnyRef] eq Tdz) tdzFail(n)
+          return Some(v)
+        }
         s = s.parent
       }
       None
@@ -1081,7 +1271,10 @@ object JsInterp {
       var s: Scope = this
       while (s != null) {
         val v = s.vars.get(n)
-        if (v != null) return v
+        if (v != null) {
+          if (v.asInstanceOf[AnyRef] eq Tdz) tdzFail(n)
+          return v
+        }
         if (s.vars.containsKey(n)) return null
         s = s.parent
       }
@@ -1091,6 +1284,7 @@ object JsInterp {
       var s: Scope = this
       while (s != null) {
         if (s.vars.containsKey(n)) {
+          if (s.vars.get(n).asInstanceOf[AnyRef] eq Tdz) tdzFail(n)
           if (s.consts != null && s.consts.contains(n))
             throw new IllegalStateException(
               s"assignment to constant variable '$n' in JS UDF")
@@ -1209,6 +1403,26 @@ object JsInterp {
     override def toString: String = JsInterp.isoString(ms)
   }
 
+  /** ISO date/datetime string → epoch millis, UTC-pinned for zoneless
+    * forms (JS date-only semantics; the reference's GraalVM string→
+    * TIMESTAMP coercion behaves the same for its test vectors). */
+  private[functions] def parseIsoMs(s: String): Long = {
+    try java.time.Instant.parse(s).toEpochMilli
+    catch { case _: Exception =>
+      try java.time.LocalDateTime.parse(s)
+        .atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+      catch { case _: Exception =>
+        try java.time.LocalDate.parse(s)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+        catch { case _: Exception =>
+          throw new IllegalStateException(
+            s"unparseable Date string '$s' (ISO instant, " +
+              "yyyy-MM-dd'T'HH:mm:ss, or yyyy-MM-dd only)")
+        }
+      }
+    }
+  }
+
   private[functions] def isoString(ms: Double): String = {
     val inst = java.time.Instant.ofEpochMilli(ms.toLong)
     java.time.format.DateTimeFormatter
@@ -1271,9 +1485,11 @@ object JsInterp {
     // the enclosing generator (JS rejects that shape at parse time).
     var curSink: scala.collection.mutable.ArrayBuffer[Any] = null
 
-    // block-lexical-declaration scan results, memoized by AST-node
-    // identity so a hot loop pays the scan once, not per iteration
-    val lexCache = new java.util.IdentityHashMap[Vector[St], java.lang.Boolean]
+    // block-lexical-declaration scan results (the top-level let/const/
+    // class names — used both for block-scope creation and TDZ seeding),
+    // memoized by AST-node identity so a hot loop pays the scan once,
+    // not per iteration
+    val lexCache = new java.util.IdentityHashMap[Vector[St], Array[String]]
 
     // the class that OWNS the currently-executing method/constructor —
     // `super` resolution starts ABOVE it (saved/restored per call like
@@ -1312,6 +1528,10 @@ object JsInterp {
               if (v == null) p.default.map(eval(_, sc)).orNull else v)
           }
         }
+        // the body's top-level let/const/class names enter their TDZ now
+        // (after params — a let that shadows a param throws on
+        // pre-declaration read, which ES rejects at parse time anyway)
+        seedTdz(lexNames(cl.body), sc)
         val ret =
           try { cl.body.foreach(evalSt(_, sc)); null }
           catch {
@@ -1344,21 +1564,35 @@ object JsInterp {
       inst
     }
 
-    /** Does the block declare lexical (block-scoped) names at its top
-      * level? Memoized in [[lexCache]]. */
-    def hasLexical(body: Vector[St]): Boolean = {
+    /** The lexical (block-scoped) names a block declares at its top
+      * level — `let`/`const` (plain and destructuring) and `class`.
+      * Memoized in [[lexCache]]. Used twice: non-empty ⇒ the block gets
+      * its own scope, and every name is pre-bound to the [[Tdz]]
+      * sentinel so a read/write before the declaration statement throws
+      * (ES ReferenceError) instead of silently resolving to an
+      * enclosing binding. */
+    def lexNames(body: Vector[St]): Array[String] = {
       val cached = lexCache.get(body)
-      if (cached != null) cached.booleanValue()
+      if (cached != null) cached
       else {
-        val v = body.exists {
-          case VarDecl(_, k)      => k != "var"
-          case DestrDecl(k, _, _) => k != "var"
-          case _: ClassDecl       => true
-          case _                  => false
-        }
-        lexCache.put(body, java.lang.Boolean.valueOf(v))
+        val v = body.flatMap {
+          case VarDecl(vs, k) if k != "var"      => vs.map(_._1)
+          case DestrDecl(k, pat, _) if k != "var" => pat match {
+            case PArr(names)  => names
+            case PObj(fields) => fields.map(_._2)
+          }
+          case ClassDecl(n, _, _, _, _, _, _, _, _) => Seq(n)
+          case _ => Nil
+        }.toArray
+        lexCache.put(body, v)
         v
       }
+    }
+
+    /** Seeds a scope's TDZ sentinels for a block's lexical names. */
+    def seedTdz(names: Array[String], sc: Scope): Unit = {
+      var i = 0
+      while (i < names.length) { sc.vars.put(names(i), Tdz); i += 1 }
     }
 
     /** Executes a block body with ES block scoping: a block that
@@ -1369,7 +1603,13 @@ object JsInterp {
       * on the hot path. (`var` is unaffected either way: it hoists to
       * the nearest function scope.) */
     def runBlock(body: Vector[St], sc: Scope): Unit = {
-      val bsc = if (hasLexical(body)) new Scope(sc, isFunc = false) else sc
+      val names = lexNames(body)
+      val bsc =
+        if (names.length > 0) {
+          val s2 = new Scope(sc, isFunc = false)
+          seedTdz(names, s2)
+          s2
+        } else sc
       body.foreach(evalSt(_, bsc))
     }
 
@@ -1444,11 +1684,14 @@ object JsInterp {
           }
         }
       case SwitchS(subj, cases) =>
-        // ES: the whole switch body is ONE block scope
+        // ES: the whole switch body is ONE block scope; every case's
+        // lexical names are TDZ-seeded in it up front
         val bsc =
-          if (cases.exists(c => hasLexical(c._2)))
-            new Scope(sc, isFunc = false)
-          else sc
+          if (cases.exists(c => lexNames(c._2).length > 0)) {
+            val s2 = new Scope(sc, isFunc = false)
+            cases.foreach(c => seedTdz(lexNames(c._2), s2))
+            s2
+          } else sc
         val v = eval(subj, bsc)
         // case tests evaluate in order until the first === match; default
         // is chosen only after all tests fail; execution FALLS THROUGH
@@ -1611,6 +1854,7 @@ object JsInterp {
           // closure created in iteration k keeps seeing iteration k's
           // value (spec: ForBodyEvaluation / CreatePerIterationEnvironment)
           val initScope = new Scope(sc, isFunc = false)
+          letVars.foreach(initScope.vars.put(_, Tdz))
           init.foreach(evalSt(_, initScope))
           def perIter(): Scope = {
             val s2 = new Scope(sc, isFunc = false)
@@ -1665,6 +1909,7 @@ object JsInterp {
               // it neither leaks nor clobbers an outer variable
               val csc = new Scope(sc, isFunc = false)
               param.foreach(p => csc.vars.put(p, v))
+              seedTdz(lexNames(catchBody), csc)
               catchBody.foreach(evalSt(_, csc))
           }
         } finally runBlock(fin, sc)
@@ -1841,6 +2086,10 @@ object JsInterp {
             if (vs.isEmpty) throw new IllegalStateException(
               "Date.UTC needs at least a year")
             epochFromParts(vs.map(toNum))
+          case "JSON.parse" =>
+            jsonParse(toStr(vs.headOption.orNull))
+          case "JSON.stringify" =>
+            jsonStringify(vs.headOption.orNull)
           case "Array.from" => vs.headOption.orNull match {
             case a: scala.collection.mutable.ArrayBuffer[Any] @unchecked =>
               scala.collection.mutable.ArrayBuffer[Any](a.toSeq: _*)
@@ -1979,23 +2228,9 @@ object JsInterp {
             "argless `new Date()` is non-deterministic — not allowed in " +
               "UDFs (pass the epoch/parts explicitly)")
           avs match {
-            case Seq(s: String) =>
-              // ISO instant or date-only (JS treats date-only as UTC)
-              val ms =
-                try java.time.Instant.parse(s).toEpochMilli.toDouble
-                catch { case _: Exception =>
-                  try java.time.LocalDate.parse(s)
-                    .atStartOfDay(java.time.ZoneOffset.UTC)
-                    .toInstant.toEpochMilli.toDouble
-                  catch { case _: Exception =>
-                    throw new IllegalStateException(
-                      s"unparseable Date string '$s' (ISO instant or " +
-                        "yyyy-MM-dd only)")
-                  }
-                }
-              JsDate(ms)
-            case Seq(one) => JsDate(toNum(one))
-            case parts    => JsDate(epochFromParts(parts.map(toNum)))
+            case Seq(s: String) => JsDate(parseIsoMs(s).toDouble)
+            case Seq(one)       => JsDate(toNum(one))
+            case parts          => JsDate(epochFromParts(parts.map(toNum)))
           }
         } else sc.get(name) match {
           case cls: JsClass => constructInstance(cls, avs)
@@ -2320,6 +2555,7 @@ object JsInterp {
     }
 
     try {
+      seedTdz(lexNames(c.body), global)
       if (c.isGen) {
         // a top-level generator UDF: run eagerly, return the yields as an
         // array (the declared ARRAY return type does the element coercion)
@@ -2390,25 +2626,59 @@ object JsInterp {
       case StringType  => toStr(v)
       case TimestampType => v match {
         case d: JsDate => new java.sql.Timestamp(d.ms.toLong)
+        // ISO string → epoch, UTC-pinned (the reference coerces string
+        // returns to the declared TIMESTAMP the same way —
+        // JavascriptUserDefinedFunctionTest.testTimestampReturnType)
+        case s: String => new java.sql.Timestamp(parseIsoMs(s))
         case other     => new java.sql.Timestamp(toNum(other).toLong)
       }
       case DateType => v match {
         case d: JsDate => new java.sql.Date(d.ms.toLong)
+        case s: String => new java.sql.Date(parseIsoMs(s))
         case other     => new java.sql.Date(toNum(other).toLong)
       }
       case ArrayType(et, _) =>
         (v match {
           case a: scala.collection.mutable.ArrayBuffer[_] => a.toSeq
+          // a WKT "POINT (x y)" string for a declared GEO_POINT
+          // (= ARRAY<DOUBLE>) — the reference's GeoPointType implicit
+          // cast accepts WKT (JavascriptUserDefinedFunctionTest
+          // .testGeoTypeReturnTypeWithWKT)
+          case s: String if et == DoubleType &&
+              s.trim.toUpperCase.startsWith("POINT") =>
+            val m = java.util.regex.Pattern
+              .compile("(?i)POINT\\s*\\(\\s*(\\S+)\\s+(\\S+)\\s*\\)")
+              .matcher(s.trim)
+            if (!m.matches()) throw new IllegalStateException(
+              s"unparseable WKT point '$s' for a GEO_POINT return")
+            Seq(m.group(1).toDouble, m.group(2).toDouble)
           case s: scala.collection.Seq[_] => s.toSeq
           case one => Seq(one)
         }).map(x => coerce(x, et))
-      case _: DecimalType => BigDecimal(toNum(v))
+      case _: DecimalType => v match {
+        // a numeric STRING keeps full precision (the reference's
+        // NumericType cast of "123456789.123456789" is exact —
+        // PolyglotValuesTest numbers case); doubles go through toNum
+        case s: String => BigDecimal(s.trim)
+        case other     => BigDecimal(toNum(other))
+      }
       case MapType(kt, vt, _) =>
         (v match {
           case m: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked =>
             m.toSeq
           case _ => Seq.empty[(String, Any)]
         }).map { case (k, x) => coerce(k, kt) -> coerce(x, vt) }.toMap
+      case st: StructType => v match {
+        // typed OBJECT return (RETURNS OBJECT AS (…) → STRUCT): fields
+        // resolve by name, missing keys are null
+        case m: scala.collection.mutable.LinkedHashMap[String, Any] @unchecked =>
+          org.apache.spark.sql.Row(
+            st.fields.map(f => coerce(m.getOrElse(f.name, null), f.dataType))
+              .toSeq: _*)
+        case other => throw new IllegalStateException(
+          "a STRUCT-returning JS UDF must return an object, got " +
+            other.getClass.getSimpleName)
+      }
       case _ => v
     }
   }
@@ -2437,6 +2707,20 @@ object JsInterp {
       scala.collection.mutable.ArrayBuffer[Any](seq.map(normalize).toSeq: _*)
     case arr: Array[_] =>
       scala.collection.mutable.ArrayBuffer[Any](arr.map(normalize).toSeq: _*)
+    // OBJECT-typed arguments (reference: plain JS objects in the body —
+    // `a.y`, `a["x"]`): Spark MAP values and STRUCT Rows both arrive as
+    // the interpreter's object shape
+    case m: scala.collection.Map[_, _] =>
+      val lm = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+      m.foreach { case (k, x) => lm(toStr(normalize(k))) = normalize(x) }
+      lm
+    case r: org.apache.spark.sql.Row =>
+      val lm = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+      if (r.schema != null)
+        r.schema.fieldNames.zipWithIndex.foreach { case (n, ix) =>
+          lm(n) = normalize(r.get(ix))
+        }
+      lm
     case other => other
   }
 

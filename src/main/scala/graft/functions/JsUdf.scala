@@ -248,6 +248,14 @@ object JsUdf {
           next()
           val idx = expr()
           expectOp("]")
+          // a STRING-literal key is JS object access (`a["x"]`), not
+          // array indexing — the SQL rendering depends on whether the
+          // value arrives as a MAP or a STRUCT, which the translator
+          // cannot know; reject so the body routes to the interpreter
+          // (whose object values answer both shapes)
+          if (idx.str) throw new UnsupportedOperationException(
+            "string-key subscript (object property access) is outside " +
+              "the translatable subset — interpreter handles it")
           e = E(s"element_at(${e.sql}, (${idx.sql}) + 1)", str = false)
         case Some(Op(".")) =>
           next()

@@ -103,6 +103,60 @@ object QualityClassifier {
   private[graft] def dec(x: Double): BigDecimal =
     BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
 
+  /** Trains and PERSISTS the model to [[graft.ArtifactStore]] under
+    * `artifact`, then reads the artifact back and returns the model as
+    * the read-back decimal STRINGS (idx -1 = bias; other rows = the
+    * nonzero weight buckets). The caller builds its Spark literals from
+    * these strings and the oracle builder splices the same artifact at
+    * dump time, so both engines derive from one on-disk source of truth
+    * — no in-JVM mutable state crosses the entry→dump boundary (the
+    * r11 q248 defect class). Always retrains and overwrites: the
+    * artifact describes THIS run. */
+  def trainPersisted(spark: org.apache.spark.sql.SparkSession,
+                     docs: DataFrame, labelCol: String, artifact: String,
+                     sfDir: String,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     dims: Int = 1024): (Map[Int, String], String) = {
+    val (w, b) = train(docs, labelCol, idCol, textCol, dims)
+    val rows = (-1, dec(b).bigDecimal.toPlainString) +:
+      w.zipWithIndex.collect { case (x, i) if x != 0.0 =>
+        (i, dec(x).bigDecimal.toPlainString)
+      }.toSeq
+    graft.ArtifactStore.writePairs(spark, artifact, rows, sfDir)
+    val back = graft.ArtifactStore.readPairs(artifact).getOrElse(
+      throw new IllegalStateException(
+        s"quality classifier: artifact '$artifact' unreadable after write"))
+    val bias = back.find(_._1 == -1).map(_._2).getOrElse(
+      throw new IllegalStateException(
+        s"quality classifier: artifact '$artifact' has no bias row"))
+    (back.filter(_._1 >= 0).toMap, bias)
+  }
+
+  /** Map-only scoring from the PERSISTED string form of the model (the
+    * [[trainPersisted]] return): sparse weights rebuilt into the dense
+    * plan literal, each string parsed to the identical BigDecimal the
+    * oracle's CAST parses. */
+  def scoreFromStrings(docs: DataFrame, weights: Map[Int, String],
+                       bias: String, dims: Int = 1024,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       maxTokens: Int = 64): DataFrame = {
+    val wLit = array((0 until dims).map { i =>
+      lit(BigDecimal(weights.getOrElse(i, "0"))).cast("decimal(28,12)")
+    }: _*)
+    val toks = coalesce(tokenCol(col(textCol), maxTokens),
+      array().cast("array<string>"))
+    val bucket = (t: Column) =>
+      pmod(conv(substr(md5(t), lit(1), lit(15)), 16, 10).cast("long"),
+        lit(dims)).cast("int")
+    val z = aggregate(toks,
+      lit(BigDecimal(bias)).cast("decimal(38,12)"),
+      (acc, t) =>
+        (acc + element_at(wLit, bucket(t) + 1)).cast("decimal(38,12)"))
+    docs.select(col(idCol),
+      z.as("score"),
+      (z > lit(0)).as("predicted"))
+  }
+
   /** Map-only scoring: (idCol, score = the exact DECIMAL(38,12) logit,
     * predicted = logit > 0). Zero shuffle; the weights ride the plan as
     * a literal array. */

@@ -59,16 +59,31 @@ object TimeTzUtil {
         val oh = digits.substring(0, 2).toInt
         val om = if (digits.length >= 4) digits.substring(2, 4).toInt else 0
         val os = if (digits.length >= 6) digits.substring(4, 6).toInt else 0
-        if (oh > 18 || om > 59 || os > 59)
+        // bound the TOTAL, not just the hour field: ±18:00 exactly is
+        // the ZoneOffset limit, so '+18:30' must fail HERE (at parse)
+        // rather than later inside format()'s ofTotalSeconds (ADVICE r12)
+        if (om > 59 || os > 59 ||
+            oh * 3600 + om * 60 + os > 18 * 3600)
           throw new IllegalArgumentException(
-            s"value [$s0] has an out-of-range offset")
+            s"value [$s0] has an out-of-range offset (max ±18:00)")
         sign * (oh * 3600 + om * 60 + os)
     }
     (total, off)
   }
 
-  def parseMicros(s: UTF8String): Long = parse(s.toString)._1
-  def parseOffset(s: UTF8String): Int = parse(s.toString)._2
+  /** The TIMETZ value type: STRUCT<micros, offset_sec>, whose struct
+    * ordering IS the reference's (micros, offset) lexicographic compare. */
+  val structType: StructType = StructType(Seq(
+    StructField("micros", LongType, nullable = false),
+    StructField("offset_sec", IntegerType, nullable = false)))
+
+  /** ONE parse → the full struct row (called from interpreted eval and
+    * generated code alike). */
+  def parseStruct(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val (m, o) = parse(s.toString)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](m, o))
+  }
 
   /** TimeTZParser.formatTime: ISO local time (fraction only when
     * non-zero, in 3-digit groups) plus the ISO offset when non-zero. */
@@ -81,10 +96,13 @@ object TimeTzUtil {
   }
 }
 
-/** `timetz(s)` micros component — codegen'd. */
-case class TimeTzMicrosExpr(child: Expression) extends UnaryExpression {
-  override def prettyName: String = "timetz_micros"
-  override def dataType: DataType = LongType
+/** `timetz(s)` — parses the literal ONCE per row and returns the full
+  * STRUCT<micros, offset_sec> value (ADVICE r12: the previous
+  * two-component registration ran the regex parse twice per row, and
+  * would have double-evaluated a non-deterministic input). Codegen'd. */
+case class TimeTzParseExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "timetz"
+  override def dataType: DataType = TimeTzUtil.structType
   override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)
@@ -92,30 +110,14 @@ case class TimeTzMicrosExpr(child: Expression) extends UnaryExpression {
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
   override def nullSafeEval(input: Any): Any =
-    TimeTzUtil.parseMicros(input.asInstanceOf[UTF8String])
+    TimeTzUtil.parseStruct(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.TimeTzUtil.parseMicros($c)")
+    defineCodeGen(ctx, ev, c => s"graft.plans.TimeTzUtil.parseStruct($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
-/** `timetz(s)` offset component — codegen'd. */
-case class TimeTzOffsetExpr(child: Expression) extends UnaryExpression {
-  override def prettyName: String = "timetz_offset"
-  override def dataType: DataType = IntegerType
-  override def nullable: Boolean = true
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == StringType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
-  override def nullSafeEval(input: Any): Any =
-    TimeTzUtil.parseOffset(input.asInstanceOf[UTF8String])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.TimeTzUtil.parseOffset($c)")
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
+
 
 /** `timetz_format(micros, offset_sec)` — the reference's display form. */
 case class TimeTzFormatExpr(left: Expression, right: Expression)

@@ -173,8 +173,17 @@ object QueriesFunctions5 {
         array((col("s_suppkey") * 37 % 180 - 90).cast("double") + 0.25,
           (col("s_suppkey") * 53 % 120 - 60).cast("double") + 0.25).as("pt"))
       // fixtures span ±60° lat → cell ≥ 1000/111/cos(60°) ≈ 18°
-      graft.operators.SpatialJoin.radiusJoin(cust, supp, radiusKm = 1000.0,
-        "c_custkey", "pt", "s_suppkey", "pt", cellDeg = 18.1)
+      val cp = graft.operators.SpatialJoin.radiusJoinAudited(cust, supp,
+        radiusKm = 1000.0, "c_custkey", "pt", "s_suppkey", "pt",
+        cellDeg = 18.1)
+      // no-silent-miss fact (VERDICT r11 ask #6): zero points in the
+      // grid's two documented coverage-caveat zones (antimeridian seam,
+      // polar caps) — the brute-force oracle equality below is therefore
+      // a COMPLETE-coverage proof, not coincidence
+      val fact = cp.drops.select(
+        (col("seam_pts") === 0L && col("polar_pts") === 0L)
+          .as("grid_covers_all"))
+      cp.pairs.crossJoin(fact)
         .orderBy(col("c_custkey"), col("s_suppkey"))
     }),
 
@@ -602,7 +611,8 @@ object QueriesFunctions5 {
          ) r ON l.user_id = r.user_id AND l.ts >= r.ts
          ORDER BY l.event_id""",
     "q112_geo_radius_join" ->
-      """SELECT c_custkey, s_suppkey, round(dist_km, 4) AS dist_km FROM (
+      """SELECT c_custkey, s_suppkey, round(dist_km, 4) AS dist_km,
+                TRUE AS grid_covers_all FROM (
            SELECT c.c_custkey, s.s_suppkey,
                   2 * 6371.0088 * asin(least(1.0, sqrt(
                     pow(sin(radians(s.lat - c.lat) / 2), 2)

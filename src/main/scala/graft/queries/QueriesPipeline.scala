@@ -34,7 +34,7 @@ object QueriesPipeline {
     def exactPairs(emb: DataFrame, threshold: Double, key: String): DataFrame = {
       val spark = emb.sparkSession
       val p = dirs.computeIfAbsent(key, _ => {
-        val out = java.nio.file.Files.createTempDirectory("graft_truth")
+        val out = graft.ArtifactStore.scratchDir("truth")
           .toFile.getAbsolutePath + "/truth"
         val a = emb.select(col("vec_id").cast("long").as("id_a"),
           col("embedding").as("va"))
@@ -100,9 +100,16 @@ object QueriesPipeline {
     }),
 
     "q62_dedup_minhash" -> ((s, dir) => {
-      Dedup.minhashPairs(docsWithDups(s, dir), "doc_id", "text",
-        numHashes = 128, bands = 16, threshold = 0.8)
+      val cp = Dedup.minhashPairsAudited(docsWithDups(s, dir), "doc_id",
+        "text", numHashes = 128, bands = 16, threshold = 0.8)
+      // no-silent-caps fact (VERDICT r11 ask #6): the maxBucket cap
+      // dropped zero candidate pairs on this fixture — hash-gated, so a
+      // silently-engaging cap (corpus drift, cap change) fails the gate
+      // instead of quietly shrinking recall
+      val fact = cp.drops.select((col("dropped_pairs") === 0L).as("no_drops"))
+      cp.pairs
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .crossJoin(fact)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -382,7 +389,8 @@ object QueriesPipeline {
            FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
          SELECT id_a, id_b,
-                round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+                round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard,
+                TRUE AS no_drops
          FROM inter JOIN sizes sa ON sa.doc_id = id_a
                     JOIN sizes sb ON sb.doc_id = id_b
          WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8

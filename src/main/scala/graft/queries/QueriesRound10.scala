@@ -43,15 +43,22 @@ object QueriesRound10 {
   private val semAutoMemo = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.DataFrame]()
 
-  /** q240's trained centroids as DuckDB VALUES rows, stashed by the
-    * entry at run time and spliced into the oracle at dump time —
-    * `Verify` writes oracle_sql.json AFTER executing the queries, so the
-    * oracle is self-contained (no side files) yet replays the exact
-    * trained model. Double rendering is Scala's shortest round-trip
-    * `toString`, which DuckDB's string→DOUBLE[] cast parses back to the
-    * identical bits. */
-  @volatile private var q240CentVals: String =
-    "(0, CAST('[0.0]' AS DOUBLE[]))" // placeholder until the entry runs
+  /** q240's trained centroids live in an ArtifactStore artifact: the
+    * entry writes them at run time, the oracle reads them back at dump
+    * time — one on-disk source of truth instead of the r11 `@volatile`
+    * splice (the q248 defect class, fixed preemptively here). Each row
+    * is (cidx, rendered vector string); double rendering is Scala's
+    * shortest round-trip `toString`, which DuckDB's string→DOUBLE[]
+    * cast parses back to the identical bits. */
+  private val Q240Artifact = "q240_centroids"
+
+  private def q240Splice: Option[String] =
+    graft.ArtifactStore.readPairs(Q240Artifact).flatMap { rows =>
+      if (rows.isEmpty) None
+      else Some(rows.map { case (i, v) =>
+        s"($i, CAST('$v' AS DOUBLE[]))"
+      }.mkString(", "))
+    }
 
   /** Same deterministic 64-dim literal as q209/q210/q215/q228. */
   private val vecLit: String =
@@ -160,7 +167,7 @@ object QueriesRound10 {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
       val root = routerRoots.computeIfAbsent(s"q239#$dir", _ => {
-        val rt = java.nio.file.Files.createTempDirectory("graft_q239")
+        val rt = graft.ArtifactStore.scratchDir("q239")
           .toFile.getAbsolutePath
         val r0 = new graft.StatementRouter(s, rt)
         r0.execute(
@@ -217,16 +224,17 @@ object QueriesRound10 {
           .select(col("vec_id"), col("embedding"))
         val (verdicts, cents) = graft.operators.Similarity
           .semDedupAutoWithCentroids(emb, tau = 0.4)
-        q240CentVals = cents
+        // persist the trained centroids — the oracle splices them back
+        // from the artifact at dump time (see Q240Artifact)
+        val centRows = cents
           .select(col("cidx").cast("int"),
             col("cvec").cast("array<double>"))
           .collect()
           .map(r => (r.getInt(0), r.getSeq[Double](1)))
           .sortBy(_._1)
-          .map { case (i, v) =>
-            s"($i, CAST('[${v.mkString(", ")}]' AS DOUBLE[]))"
-          }
-          .mkString(", ")
+          .map { case (i, v) => (i, s"[${v.mkString(", ")}]") }
+          .toSeq
+        graft.ArtifactStore.writePairs(s, Q240Artifact, centRows, dir)
         verdicts.orderBy(col("vec_id")).localCheckpoint()
       })
     }),
@@ -416,17 +424,16 @@ object QueriesRound10 {
          |         vec_id
          |LIMIT 5""".stripMargin,
 
-    // envelope facts (the q136/q227 pattern): the corpus size is the
-    // one engine-independent number; the verdicts replay as constants
-    // the q231 replay machinery over the TRAINED centroids (stashed by
-    // the entry, spliced here at dump time): assignment = argmin
-    // list_distance with ties to the lowest cidx, pruning = lower-id
-    // witness with round(cos, 6) >= tau within the cluster
-    "q240_semdedup_auto" ->
+    // the q231 replay machinery over the TRAINED centroids (read from
+    // the persisted artifact at dump time — see Q240Artifact):
+    // assignment = argmin list_distance with ties to the lowest cidx,
+    // pruning = lower-id witness with round(cos, 6) >= tau within the
+    // cluster. Missing artifact ⇒ loud DuckDB error().
+    "q240_semdedup_auto" -> q240Splice.map { centVals =>
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
          |),
-         |cent(cidx, cv) AS (VALUES $q240CentVals),
+         |cent(cidx, cv) AS (VALUES $centVals),
          |asg AS (
          |  SELECT vec_id, v, cidx
          |  FROM e CROSS JOIN cent
@@ -441,7 +448,9 @@ object QueriesRound10 {
          |SELECT e.vec_id, asg.cidx AS cluster,
          |       NOT EXISTS (SELECT 1 FROM pairs p
          |                   WHERE p.ib = e.vec_id AND p.cos >= 0.4) AS kept
-         |FROM e JOIN asg USING (vec_id) ORDER BY e.vec_id""".stripMargin,
+         |FROM e JOIN asg USING (vec_id) ORDER BY e.vec_id""".stripMargin
+    }.getOrElse(graft.ArtifactStore.missingOracle(
+      Q240Artifact, "q240_semdedup_auto")),
 
     "q241_blocklist_filter" ->
       """SELECT doc_id,

@@ -20,13 +20,27 @@ object QueriesRound11 {
   private val routerRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** q248's trained weights as DuckDB VALUES rows + the bias literal,
-    * stashed by the entry at run time and spliced into the oracle at
-    * dump time (the q240 dynamic-oracle pattern — Verify writes
-    * oracle_sql.json AFTER the queries run). */
-  @volatile private var q248WVals: String =
-    "(0, CAST('0' AS DECIMAL(28,12)))"
-  @volatile private var q248Bias: String = "CAST('0' AS DECIMAL(28,12))"
+  /** q248's model artifact (ArtifactStore): written by the entry at run
+    * time, read back for the entry's own Spark literals AND by
+    * [[oracles]] at dump time — one on-disk source of truth, no mutable
+    * JVM state between the entry and the dump (the r11 driver-gate red's
+    * root cause). idx -1 = bias; idx ≥ 0 = nonzero weight buckets. */
+  private val Q248Artifact = "q248_weights"
+
+  /** The artifact rendered as (weight VALUES rows, bias literal) for the
+    * DuckDB oracle; None when the artifact is absent (the oracle then
+    * degrades to a loud per-entry error, never silently-wrong VALUES). */
+  private def q248Splice: Option[(String, String)] =
+    graft.ArtifactStore.readPairs(Q248Artifact).flatMap { rows =>
+      rows.find(_._1 == -1).map { case (_, b) =>
+        val w = rows.filter(_._1 >= 0).map { case (i, v) =>
+          s"($i, CAST('$v' AS DECIMAL(28,12)))"
+        }
+        (if (w.isEmpty) "(0, CAST('0' AS DECIMAL(28,12)))"
+         else w.mkString(", "),
+         s"CAST('$b' AS DECIMAL(28,12))")
+      }
+    }
 
   /** Same deterministic 64-dim literal as q209/q210/q239. */
   private val vecLit: String =
@@ -67,9 +81,16 @@ object QueriesRound11 {
         .select((col("mismatch") === 0L &&
           lit(degraded.route == "semi-join") &&
           lit(bucketed.route == "bloom-bucketed")).as("degrade_exact"))
-      verdicts.select(col("doc_id"), col("exact_dup"))
+      val out = verdicts.select(col("doc_id"), col("exact_dup"))
         .crossJoin(facts).crossJoin(dver)
         .orderBy(col("doc_id"))
+        .localCheckpoint() // materialize while the broadcast is alive…
+      // …then destroy the bucket→filter broadcast NOW instead of leaving
+      // its blocks to the ContextCleaner (VERDICT r11 ask #7; the
+      // degraded route's release is a no-op by construction)
+      bucketed.release()
+      degraded.release()
+      out
     }),
 
     // Declared-recall calibration hardening (r10 verdict ask #4 +
@@ -86,7 +107,7 @@ object QueriesRound11 {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
       val root = routerRoots.computeIfAbsent(s"q246#$dir", _ => {
-        val rt = java.nio.file.Files.createTempDirectory("graft_q246")
+        val rt = graft.ArtifactStore.scratchDir("q246")
           .toFile.getAbsolutePath
         val r0 = new graft.StatementRouter(s, rt)
         r0.execute(
@@ -141,7 +162,7 @@ object QueriesRound11 {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
       val rt = routerRoots.computeIfAbsent(s"q247#$dir", _ =>
-        java.nio.file.Files.createTempDirectory("graft_q247")
+        graft.ArtifactStore.scratchDir("q247")
           .toFile.getAbsolutePath)
       val r = new graft.StatementRouter(s, rt)
       r.execute(
@@ -230,7 +251,7 @@ object QueriesRound11 {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
       val rt = routerRoots.computeIfAbsent(s"q249#$dir", _ =>
-        java.nio.file.Files.createTempDirectory("graft_q249")
+        graft.ArtifactStore.scratchDir("q249")
           .toFile.getAbsolutePath)
       val r = new graft.StatementRouter(s, rt)
       r.execute(
@@ -384,7 +405,7 @@ object QueriesRound11 {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
       val rt = routerRoots.computeIfAbsent(s"q252#$dir", _ =>
-        java.nio.file.Files.createTempDirectory("graft_q252")
+        graft.ArtifactStore.scratchDir("q252")
           .toFile.getAbsolutePath)
       val r = new graft.StatementRouter(s, rt)
       graft.functions.UdfOverloads.clear("js_fmt")
@@ -439,17 +460,12 @@ object QueriesRound11 {
       val docs = graft.Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"))
         .withColumn("is_en", col("lang") === "en")
-      val (w, b) = QualityClassifier.train(docs, "is_en")
-      val nz = w.zipWithIndex.collect { case (x, i) if x != 0.0 =>
-        s"($i, CAST('${QualityClassifier.dec(x).bigDecimal.toPlainString}'" +
-          " AS DECIMAL(28,12)))"
-      }
-      q248WVals = if (nz.isEmpty) "(0, CAST('0' AS DECIMAL(28,12)))"
-                  else nz.mkString(", ")
-      q248Bias =
-        s"CAST('${QualityClassifier.dec(b).bigDecimal.toPlainString}'" +
-          " AS DECIMAL(28,12))"
-      val scored = QualityClassifier.score(docs, w, b)
+      // train → persist → read back: the Spark literals below come from
+      // the READ-BACK artifact strings, the oracle splices the same
+      // artifact at dump time (q248Splice) — one source of truth
+      val (wStrs, bStr) = QualityClassifier.trainPersisted(
+        s, docs, "is_en", Q248Artifact, dir)
+      val scored = QualityClassifier.scoreFromStrings(docs, wStrs, bStr)
       val out = scored.join(docs.select(col("doc_id"), col("is_en")), "doc_id")
       val acc = out.agg(
         avg(when(col("predicted") === col("is_en"), 1.0).otherwise(0.0))
@@ -603,13 +619,15 @@ object QueriesRound11 {
         |         * (2 * (c_custkey % 25) + 1)) // 6 AS gsum
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
-    // full independent replay over the TRAINED weights (spliced at
-    // dump time): same tokenization (filter empties -> first 64 ->
-    // distinct), same md5-prefix bucket hash, exact decimal sum, same
-    // threshold — and the accuracy fact recomputed from DuckDB's own
-    // predictions, not echoed
-    "q248_quality_classifier" ->
-      s"""WITH w(bkt, wt) AS (VALUES $q248WVals),
+    // full independent replay over the TRAINED weights (read from the
+    // persisted artifact at dump time — see Q248Artifact): same
+    // tokenization (filter empties -> first 64 -> distinct), same
+    // md5-prefix bucket hash, exact decimal sum, same threshold — and
+    // the accuracy fact recomputed from DuckDB's own predictions, not
+    // echoed. Missing artifact ⇒ a loud DuckDB error(), never silently
+    // -wrong VALUES.
+    "q248_quality_classifier" -> q248Splice.map { case (wVals, bias) =>
+      s"""WITH w(bkt, wt) AS (VALUES $wVals),
          |d AS (
          |  SELECT doc_id, lang = 'en' AS is_en,
          |         list_distinct(list_filter(
@@ -626,9 +644,9 @@ object QueriesRound11 {
          |),
          |scored AS (
          |  SELECT d.doc_id,
-         |         CAST($q248Bias + COALESCE(zs.zsum, 0) AS DECIMAL(38,12))
+         |         CAST($bias + COALESCE(zs.zsum, 0) AS DECIMAL(38,12))
          |           AS score,
-         |         ($q248Bias + COALESCE(zs.zsum, 0)) > 0 AS predicted,
+         |         ($bias + COALESCE(zs.zsum, 0)) > 0 AS predicted,
          |         d.is_en
          |  FROM d LEFT JOIN zs ON d.doc_id = zs.doc_id
          |)
@@ -636,5 +654,7 @@ object QueriesRound11 {
          |       (SELECT avg(CASE WHEN predicted = is_en THEN 1.0 ELSE 0.0 END)
          |        FROM scored) >= 0.7 AS acc_ok
          |FROM scored ORDER BY doc_id""".stripMargin
+    }.getOrElse(graft.ArtifactStore.missingOracle(
+      Q248Artifact, "q248_quality_classifier"))
   )
 }

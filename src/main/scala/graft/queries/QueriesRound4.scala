@@ -167,7 +167,7 @@ object QueriesRound4 {
     // (char filter BEFORE case folding), and the filters are all under the
     // hash gate.
     "q175_analyzer_ddl" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q175").toFile.getAbsolutePath
+      val root = graft.ArtifactStore.scratchDir("q175").toFile.getAbsolutePath
       val router = new graft.StatementRouter(s, root)
       router.execute("""CREATE ANALYZER q175an (
         |  TOKENIZER standard,
@@ -218,7 +218,7 @@ object QueriesRound4 {
     // evolved table, SHOW TABLES/COLUMNS shapes — deterministic end state
     // the oracle replays as literal rows. Every statement is CrateDB text.
     "q177_ddl_alter_view" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q177").toFile.getAbsolutePath
+      val root = graft.ArtifactStore.scratchDir("q177").toFile.getAbsolutePath
       val r = new graft.StatementRouter(s, root)
       r.executeScript("""
         CREATE TABLE acct (id BIGINT PRIMARY KEY, name TEXT);
@@ -293,7 +293,7 @@ object QueriesRound4 {
     "q180_create_function" -> ((s, dir) => {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
-      val root = java.nio.file.Files.createTempDirectory("graft_q180").toFile.getAbsolutePath
+      val root = graft.ArtifactStore.scratchDir("q180").toFile.getAbsolutePath
       val r = new graft.StatementRouter(s, root)
       r.execute(
         """CREATE OR REPLACE FUNCTION disc_price(double precision, double precision)
@@ -317,7 +317,7 @@ object QueriesRound4 {
     // violations rejected — the surviving end state is deterministic and
     // the oracle replays it as literal rows.
     "q181_constraints" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q181").toFile.getAbsolutePath
+      val root = graft.ArtifactStore.scratchDir("q181").toFile.getAbsolutePath
       val r = new graft.StatementRouter(s, root)
       r.executeScript("""
         CREATE TABLE measures (
@@ -452,7 +452,7 @@ object QueriesRound4 {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
       val root = routerRoots.computeIfAbsent(s"q187#$dir", _ => {
-        val rt = java.nio.file.Files.createTempDirectory("graft_q187")
+        val rt = graft.ArtifactStore.scratchDir("q187")
           .toFile.getAbsolutePath
         val r0 = new graft.StatementRouter(s, rt)
         r0.execute("""CREATE TABLE scored_docs (
@@ -479,7 +479,7 @@ object QueriesRound4 {
     "q188_js_guards" -> ((s, dir) => {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
-      val root = java.nio.file.Files.createTempDirectory("graft_q188")
+      val root = graft.ArtifactStore.scratchDir("q188")
         .toFile.getAbsolutePath
       val r = new graft.StatementRouter(s, root)
       r.execute(
@@ -508,7 +508,7 @@ object QueriesRound4 {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
       val root = routerRoots.computeIfAbsent(s"q189#$dir", _ => {
-        val rt = java.nio.file.Files.createTempDirectory("graft_q189")
+        val rt = graft.ArtifactStore.scratchDir("q189")
           .toFile.getAbsolutePath
         val r0 = new graft.StatementRouter(s, rt)
         r0.execute("""CREATE TABLE part_orders (
@@ -593,7 +593,7 @@ object QueriesRound4 {
     "q193_js_fold" -> ((s, dir) => {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
-      val root = java.nio.file.Files.createTempDirectory("graft_q193")
+      val root = graft.ArtifactStore.scratchDir("q193")
         .toFile.getAbsolutePath
       val r = new graft.StatementRouter(s, root)
       r.execute(
@@ -623,7 +623,7 @@ object QueriesRound4 {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
       val root = routerRoots.computeIfAbsent(s"q195#$dir", _ => {
-        val rt = java.nio.file.Files.createTempDirectory("graft_q195")
+        val rt = graft.ArtifactStore.scratchDir("q195")
           .toFile.getAbsolutePath
         val r0 = new graft.StatementRouter(s, rt)
         r0.execute("""CREATE TABLE fielded_docs (
@@ -655,7 +655,7 @@ object QueriesRound4 {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
       val root = routerRoots.computeIfAbsent(s"q196#$dir", _ => {
-        val rt = java.nio.file.Files.createTempDirectory("graft_q196")
+        val rt = graft.ArtifactStore.scratchDir("q196")
           .toFile.getAbsolutePath
         val r0 = new graft.StatementRouter(s, rt)
         r0.execute("""CREATE TABLE pdml (
@@ -754,7 +754,7 @@ object QueriesRound4 {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
       graft.sources.Roles.reset() // idempotent per invocation
-      val rt = java.nio.file.Files.createTempDirectory("graft_q200")
+      val rt = graft.ArtifactStore.scratchDir("q200")
         .toFile.getAbsolutePath
       val r = new graft.StatementRouter(s, rt)
       Seq(
@@ -795,7 +795,7 @@ object QueriesRound4 {
     "q201_cursor_pages" -> ((s, dir) => {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
-      val rt = java.nio.file.Files.createTempDirectory("graft_q201")
+      val rt = graft.ArtifactStore.scratchDir("q201")
         .toFile.getAbsolutePath
       val r = new graft.StatementRouter(s, rt)
       r.execute("DECLARE page_cur CURSOR FOR " +
@@ -913,7 +913,7 @@ object QueriesRound4 {
     "q205_ngram_shingle" -> ((s, dir) => {
       import graft.operators.MatchText
       val root = routerRoots.computeIfAbsent(s"q205#$dir", _ => {
-        val rt = java.nio.file.Files.createTempDirectory("graft_q205")
+        val rt = graft.ArtifactStore.scratchDir("q205")
           .toFile.getAbsolutePath
         val r0 = new graft.StatementRouter(s, rt)
         r0.execute("""CREATE ANALYZER q205edge (
@@ -957,7 +957,7 @@ object QueriesRound4 {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
       routerRoots.computeIfAbsent(s"q206#$dir", _ => {
-        val rt = java.nio.file.Files.createTempDirectory("graft_q206")
+        val rt = graft.ArtifactStore.scratchDir("q206")
           .toFile.getAbsolutePath
         val r0 = new graft.StatementRouter(s, rt)
         r0.execute("CREATE TABLE stat_t (k BIGINT, v TEXT, d DOUBLE PRECISION)")
@@ -1023,7 +1023,7 @@ object QueriesRound4 {
       val docs = T(s, dir, "documents").select(col("doc_id"))
       def synth(id: org.apache.spark.sql.Column) = concat_ws(" ",
         (1 to 12).map(j => concat(lit("w"), id, lit(s"_$j"))): _*)
-      val state = java.nio.file.Files.createTempDirectory("graft_q208")
+      val state = graft.ArtifactStore.scratchDir("q208")
         .toFile.getAbsolutePath
       val inc1 = docs.filter(col("doc_id") < 300)
         .select(col("doc_id"), synth(col("doc_id")).as("text"))

@@ -55,7 +55,7 @@ object QueriesRound5 {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
       val rt = routerRoots.computeIfAbsent(s"q211#$dir", _ =>
-        java.nio.file.Files.createTempDirectory("graft_q211")
+        graft.ArtifactStore.scratchDir("q211")
           .toFile.getAbsolutePath)
       val r = new graft.StatementRouter(s, rt)
       r.execute(
@@ -184,7 +184,7 @@ object QueriesRound5 {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
       val root = routerRoots.computeIfAbsent(s"q210#$dir", _ => {
-        val rt = java.nio.file.Files.createTempDirectory("graft_q210")
+        val rt = graft.ArtifactStore.scratchDir("q210")
           .toFile.getAbsolutePath
         val r0 = new graft.StatementRouter(s, rt)
         r0.execute(

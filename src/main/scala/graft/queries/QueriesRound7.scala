@@ -45,7 +45,7 @@ object QueriesRound7 {
     graft.functions.GraftFunctions.registerAll(s)
     graft.Tables.registerAll(s, dir)
     val root = routerRoots.computeIfAbsent(s"$key#$dir", _ => {
-      val rt = java.nio.file.Files.createTempDirectory(s"graft_$key")
+      val rt = graft.ArtifactStore.scratchDir(s"$key")
         .toFile.getAbsolutePath
       val r0 = new graft.StatementRouter(s, rt)
       r0.execute(
@@ -130,7 +130,7 @@ object QueriesRound7 {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
       val root = routerRoots.computeIfAbsent(s"q219#$dir", _ => {
-        val rt = java.nio.file.Files.createTempDirectory("graft_q219")
+        val rt = graft.ArtifactStore.scratchDir("q219")
           .toFile.getAbsolutePath
         // keep derby.log out of the working directory
         System.setProperty("derby.system.home", rt)
@@ -169,7 +169,7 @@ object QueriesRound7 {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
       routerRoots.computeIfAbsent(s"q220#$dir", _ => {
-        val rt = java.nio.file.Files.createTempDirectory("graft_q220")
+        val rt = graft.ArtifactStore.scratchDir("q220")
           .toFile.getAbsolutePath
         val r0 = new graft.StatementRouter(s, rt)
         r0.execute("CREATE TABLE mcv_t (k BIGINT, seg TEXT)")

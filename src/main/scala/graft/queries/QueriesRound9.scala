@@ -54,7 +54,7 @@ object QueriesRound9 {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
       routerRoots.computeIfAbsent(s"q226#$dir", _ => {
-        val rt = java.nio.file.Files.createTempDirectory("graft_q226")
+        val rt = graft.ArtifactStore.scratchDir("q226")
           .toFile.getAbsolutePath
         val r0 = new graft.StatementRouter(s, rt)
         r0.execute("CREATE TABLE hist_t (k BIGINT, d DOUBLE PRECISION)")
@@ -148,7 +148,7 @@ object QueriesRound9 {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
       val root = routerRoots.computeIfAbsent(s"q228#$dir", _ => {
-        val rt = java.nio.file.Files.createTempDirectory("graft_q228")
+        val rt = graft.ArtifactStore.scratchDir("q228")
           .toFile.getAbsolutePath
         val r0 = new graft.StatementRouter(s, rt)
         r0.execute(
@@ -203,7 +203,7 @@ object QueriesRound9 {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
       routerRoots.computeIfAbsent(s"q235#$dir", _ => {
-        val rt = java.nio.file.Files.createTempDirectory("graft_q235")
+        val rt = graft.ArtifactStore.scratchDir("q235")
           .toFile.getAbsolutePath
         val r0 = new graft.StatementRouter(s, rt)
         r0.execute("""CREATE ANALYZER cjk_flags (TOKENIZER standard,
@@ -262,7 +262,7 @@ object QueriesRound9 {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
       val root = routerRoots.computeIfAbsent(s"q234#$dir", _ => {
-        val rt = java.nio.file.Files.createTempDirectory("graft_q234")
+        val rt = graft.ArtifactStore.scratchDir("q234")
           .toFile.getAbsolutePath
         val r0 = new graft.StatementRouter(s, rt)
         r0.execute(
@@ -303,7 +303,7 @@ object QueriesRound9 {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
       val root = routerRoots.computeIfAbsent(s"q233#$dir", _ => {
-        val rt = java.nio.file.Files.createTempDirectory("graft_q233")
+        val rt = graft.ArtifactStore.scratchDir("q233")
           .toFile.getAbsolutePath
         val r0 = new graft.StatementRouter(s, rt)
         r0.execute(

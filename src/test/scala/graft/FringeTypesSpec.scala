@@ -64,6 +64,25 @@ class FringeTypesSpec extends SparkTestBase {
     assert(r.getString(1) == "13:00:00.5+02:00")
   }
 
+  test("only `time WITH time zone` routes to timetz; time(n) and " +
+      "`time without time zone` keep the CAST path (ADVICE r12)") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    // ::time with time zone → the timetz STRUCT
+    val tz = Engine.sql(spark,
+      "SELECT '09:30:00+02'::time with time zone AS t").schema("t")
+    assert(tz.dataType.typeName == "struct", tz.dataType.sql)
+    // ::time(3) / ::time without time zone → the plain CAST path, which
+    // fails LOUDLY (Spark gates the TIME type; the reference grammar has
+    // no plain-TIME column type either) — NOT a silent rewrite to the
+    // timetz struct (the r11 fringe-condition regression)
+    val e1 = intercept[Exception](Engine.sql(spark,
+      "SELECT '09:30:00.1234'::time(3) AS t").schema("t"))
+    assert(e1.getMessage.toUpperCase.contains("TIME"), e1.getMessage)
+    val e2 = intercept[Exception](Engine.sql(spark,
+      "SELECT '09:30:00'::time without time zone AS t").schema("t"))
+    assert(e2.getMessage.toUpperCase.contains("TIME"), e2.getMessage)
+  }
+
   test("BIT literals, ordering, and explicit casts") {
     graft.functions.GraftFunctions.registerAll(spark)
     // B'…' literal is the raw-bits string; ordering is bit_cmp

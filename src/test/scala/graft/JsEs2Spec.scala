@@ -220,6 +220,85 @@ class JsEs2Spec extends SparkTestBase {
     assert(e2.getMessage.contains("async/await"))
   }
 
+  test("TDZ: reading a let before its declaration throws (unshadowed)") {
+    val e = intercept[IllegalStateException](ev(
+      "function f() { var y = x + 1; let x = 2; return y; }"))
+    assert(e.getMessage.contains("before initialization"))
+    assert(e.getMessage.contains("'x'"))
+  }
+
+  test("TDZ: a shadowing let does NOT resolve to the outer binding") {
+    // GraalVM/ES: ReferenceError. Pre-r12 this silently returned 1
+    // (the outer x) — the divergence VERDICT r11 flagged.
+    val e = intercept[IllegalStateException](ev(
+      """function f() {
+        |  let x = 1;
+        |  { var y = x; let x = 2; return y; }
+        |}""".stripMargin))
+    assert(e.getMessage.contains("before initialization"))
+  }
+
+  test("TDZ: write, compound assignment, and typeof all throw") {
+    val e1 = intercept[IllegalStateException](ev(
+      "function f() { x = 5; let x; return x; }"))
+    assert(e1.getMessage.contains("before initialization"))
+    val e2 = intercept[IllegalStateException](ev(
+      "function f() { var a = 0; { a += 1; x += 1; let x = 0; } return a; }"))
+    assert(e2.getMessage.contains("before initialization"))
+    // typeof on a TDZ name throws (ES), while typeof on an UNDECLARED
+    // name still answers 'undefined'
+    val e3 = intercept[IllegalStateException](ev(
+      "function f() { var t = typeof x; let x = 1; return t; }"))
+    assert(e3.getMessage.contains("before initialization"))
+    assert(ev("function f() { return typeof nope; }") == "undefined")
+  }
+
+  test("TDZ: let x = x self-reference throws; class names are TDZ'd") {
+    val e1 = intercept[IllegalStateException](ev(
+      "function f() { let x = x + 1; return x; }"))
+    assert(e1.getMessage.contains("before initialization"))
+    val e2 = intercept[IllegalStateException](ev(
+      "function f() { var o = new C(); class C {} return 1; }"))
+    assert(e2.getMessage.contains("before initialization"))
+  }
+
+  test("TDZ: normal post-declaration reads and loop headers unaffected") {
+    assert(ev(
+      """function f(n) {
+        |  let s = 0;
+        |  for (let i = 0; i < n; i++) { s += i; }
+        |  { let s2 = s * 2; s = s2; }
+        |  return s;
+        |}""".stripMargin, 5L) == 20.0)
+    // switch: a case's let read AFTER declaration from a later case is fine
+    assert(ev(
+      """function f() {
+        |  switch (1) { case 1: let t = 7; case 2: return t + 1; }
+        |}""".stripMargin) == 8.0)
+    // catch-block let
+    assert(ev(
+      """function f() {
+        |  try { throw 1; } catch (e) { let m = e + 1; return m; }
+        |}""".stripMargin) == 2.0)
+  }
+
+  test("TDZ surfaces through CREATE FUNCTION with the name in the error") {
+    val root = java.nio.file.Files.createTempDirectory("jstdz")
+      .toFile.getAbsolutePath
+    val r = new graft.StatementRouter(spark, root)
+    r.execute(
+      """CREATE OR REPLACE FUNCTION js_tdz(bigint) RETURNS bigint
+        |LANGUAGE JAVASCRIPT AS 'function js_tdz(n) {
+        |  let a = 1;
+        |  { var b = a + n; let a = 2; }
+        |  return b;
+        |}'""".stripMargin)
+    val e = intercept[Exception](
+      spark.sql("SELECT js_tdz(1) AS v").collect())
+    assert(e.getMessage.contains("before initialization") ||
+      Option(e.getCause).exists(_.getMessage.contains("before initialization")))
+  }
+
   test("a switch+destructuring+spread body runs through CREATE FUNCTION") {
     val root = java.nio.file.Files.createTempDirectory("jses2")
       .toFile.getAbsolutePath

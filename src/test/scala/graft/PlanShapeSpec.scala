@@ -48,9 +48,16 @@ class PlanShapeSpec extends SparkTestBase {
   test("geo radius join is a broadcast/hash equi-join on the cell key") {
     val plan = queries.QueriesFunctions5.queries("q112_geo_radius_join")(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+    assert(!plan.contains("CartesianProduct"),
       "radius join must never fall back to a cross join")
-    assert(plan.contains("__cell"), "join key must be the grid cell")
+    // the CANDIDATE join is a hash equi-join on the cell key; the only
+    // nested-loop allowed is the 1-row grid_covers_all audit-fact
+    // broadcast (r12 no-silent-caps telemetry — same shape as q101's
+    // summary facts below)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("__cell"),
+      "candidate join must be a hash equi-join on the grid cell")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 1, s"only the 1-row audit broadcast may nested-loop, got $bnlj")
   }
 
   test("quantified ordering comparisons broadcast one 1-row summary each") {

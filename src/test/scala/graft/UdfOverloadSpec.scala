@@ -94,6 +94,31 @@ class UdfOverloadSpec extends SparkTestBase {
     r.execute("DROP FUNCTION IF EXISTS gone(bigint)")
   }
 
+  test("a failed CREATE leaves no phantom overload behind (ADVICE r12)") {
+    val r = newRouter()
+    graft.functions.UdfOverloads.clear("ph")
+    // arity mismatch between the JS body and the declaration: the
+    // implementation registration fails AFTER the overload slot was
+    // claimed — the slot must be rolled back
+    intercept[Exception](r.execute(
+      "CREATE OR REPLACE FUNCTION ph(bigint, bigint) RETURNS bigint " +
+        "LANGUAGE JAVASCRIPT AS 'function ph(n) { return n; }'"))
+    assert(graft.functions.UdfOverloads.overloads("ph").isEmpty,
+      "phantom overload survived a failed CREATE")
+    // and the name is fully usable afterwards
+    r.execute("CREATE OR REPLACE FUNCTION ph(bigint) RETURNS bigint " +
+      "LANGUAGE JAVASCRIPT AS 'function ph(n) { return n + 1; }'")
+    assert(spark.sql("SELECT ph(41) AS v").collect()(0).getLong(0) == 42L)
+    // OR REPLACE over an existing signature that then fails keeps the
+    // OLD implementation and declared return type serving
+    intercept[Exception](r.execute(
+      "CREATE OR REPLACE FUNCTION ph(bigint) RETURNS bigint " +
+        "LANGUAGE JAVASCRIPT AS 'function ph(a, b) { return a + b; }'"))
+    val ovl = graft.functions.UdfOverloads.overloads("ph")
+    assert(ovl.length == 1 && ovl.head.retDdl.toUpperCase == "BIGINT")
+    assert(spark.sql("SELECT ph(41) AS v").collect()(0).getLong(0) == 42L)
+  }
+
   test("both implementation paths overload: translated and interpreted") {
     val r = newRouter()
     graft.functions.UdfOverloads.clear("mix")
