@@ -107,6 +107,19 @@ object BenchSf1 {
   private val wave7 = Seq(
     "q249_js_es_tail", "q247_js_closures")
 
+  /** Wave 8 (round 12): every entry whose PLAN the round changed —
+    * q62/q112 gained the no-silent-caps audit fact (one extra tiny
+    * aggregate + 1-row broadcast), q240/q248 write their model artifact
+    * to ArtifactStore (one small parquet write), q245 materializes via
+    * localCheckpoint then releases its broadcast, q250/q251 ride the
+    * reworked fringe expressions (single-parse timetz, trim-or-extend
+    * bit cast). Ratios must stay in their r11 envelopes. Selected with
+    * SPARK_GRAFT_SF1_WAVE=8 → BENCH_sf1_wave8.json. */
+  private val wave8 = Seq(
+    "q62_dedup_minhash", "q112_geo_radius_join", "q240_semdedup_auto",
+    "q245_bloom_bucketed_dedup", "q248_quality_classifier",
+    "q250_lsh_plan", "q251_fringe_types")
+
   /** The CONSOLIDATED wave (r10 verdict ask #7): the ENTIRE catalog at
     * sf1 in one artifact — the per-wave format proved each round's new
     * entries sublinear when they landed, but hides whether EARLY entries
@@ -203,6 +216,7 @@ object BenchSf1 {
       case "5"    => wave5
       case "6"    => wave6
       case "7"    => wave7
+      case "8"    => wave8
       case "full" => waveFull
       case _      => headline
     }
@@ -213,6 +227,7 @@ object BenchSf1 {
       case "5"    => "BENCH_sf1_wave5.json"
       case "6"    => "BENCH_sf1_wave6.json"
       case "7"    => "BENCH_sf1_wave7.json"
+      case "8"    => "BENCH_sf1_wave8.json"
       case "full" => "BENCH_sf1_full.json"
       case _      => "BENCH_sf1.json"
     }

@@ -366,9 +366,14 @@ object GraftFunctions {
         UnresolvedExtractValue(exprs(0), Literal("offset_sec")))
     }, "scala_udf")
     // BIT(n) explicit cast (reference BitStringType.explicitCast /
-    // BitString.ofRawBits): validate the first n chars are 0/1, TRIM a
-    // longer string to n, ERROR on a shorter one — built from codegen'd
-    // builtins (rlike/substring/raise_error), no UDF layer.
+    // BitString.ofRawBits; BitStringTypeTest): the WHOLE input must be
+    // 0/1 (ofRawBits errors on anything else), then the value TRIMS to n
+    // when longer and EXTENDS with zero bits when shorter — the
+    // reference's test pins both directions ("1111"→bit(3)→"111",
+    // "111"→bit(4)→"1110"). Built from codegen'd builtins
+    // (rlike/substring/rpad/raise_error), no UDF layer. (INSERT into a
+    // BIT(n) COLUMN still requires the exact length — valueForInsert —
+    // via the router's write-time check, like the reference.)
     reg.createOrReplaceTempFunction("graft_bit_cast", { exprs =>
       import org.apache.spark.sql.catalyst.expressions._
       require(exprs.length == 2, "graft_bit_cast(text, length)")
@@ -379,12 +384,13 @@ object GraftFunctions {
       }
       val s = exprs(0)
       If(IsNull(s), Literal.create(null, org.apache.spark.sql.types.StringType),
-        If(RLike(s, Literal("^[01]{" + n + "}")),
-          Substring(s, Literal(1), Literal(n)),
+        If(RLike(s, Literal("^[01]*$")),
+          StringRPad(Substring(s, Literal(1), Literal(n)), Literal(n),
+            Literal("0")),
           RaiseError(Concat(Seq(
             Literal("value ["), s,
-            Literal(s"] cannot be cast to bit($n): need at least $n " +
-              "leading 0/1 characters"))))))
+            Literal(s"] cannot be cast to bit($n): a bit string must " +
+              "only contain 0 or 1"))))))
     }, "scala_udf")
     reg.createOrReplaceTempFunction("unicode_normalize",
       exprs => graft.plans.UnicodeNormalizeExpr(exprs(0), exprs(1)), "scala_udf")

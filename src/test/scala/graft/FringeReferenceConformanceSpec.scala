@@ -1,0 +1,112 @@
+package graft
+
+import graft.plans.TimeTzUtil
+
+/** The reference's OWN unit-test vectors for the two fringe types,
+  * ported wholesale (continuing the r12 conformance discipline of
+  * JsReferenceConformanceSpec):
+  *  - server/src/test/java/io/crate/types/TimeTZParserTest.java —
+  *    every parse/format vector (error messages differ; error CLASS and
+  *    loudness match)
+  *  - libs/sql-parser/src/test/java/io/crate/sql/tree/BitStringTest.java
+  *    and server/src/test/java/io/crate/types/BitStringTypeTest.java —
+  *    validation, ordering, and the trim/extend explicit cast. */
+class FringeReferenceConformanceSpec extends SparkTestBase {
+
+  private def p(s: String): (Long, Int) = TimeTzUtil.parse(s)
+
+  test("T1 parse, correct syntax, no colon") {
+    assert(p("12") == (43200000000L, 0))
+    assert(p("12.000001") == (43200000001L, 0))
+    assert(p("1200") == (43200000000L, 0))
+    assert(p("1200.002") == (43200002000L, 0))
+    assert(p("120000") == (43200000000L, 0))
+    assert(p("120000.000003") == (43200000003L, 0))
+  }
+
+  test("T2 parse, correct syntax, colon") {
+    assert(p("12:00") == (43200000000L, 0))
+    assert(p("12:00.999") == (43200999000L, 0))
+    assert(p("12:00:00") == (43200000000L, 0))
+    assert(p("12:00:00.003") == (43200003000L, 0))
+  }
+
+  test("T3 parse, correct syntax, tz") {
+    assert(p("00+12") == (0L, 12 * 3600))
+    assert(p("00+1200") == (0L, 12 * 3600))
+    assert(p("00-12:00") == (0L, -12 * 3600))
+    assert(p("00.0+12") == (0L, 12 * 3600))
+    assert(p("00.0+1200") == (0L, 12 * 3600))
+    assert(p("00.000001  +12:00") == (1L, 12 * 3600))
+  }
+
+  test("T4 every reference parse-error vector fails loudly") {
+    // hour/minute/second range + unparsed-tail cases; the reference
+    // raises IllegalArgumentException with a field-specific message —
+    // graft raises the same class with the literal named
+    for (bad <- Seq("24:00:00.000001", "234", "234.9999", "25", "1778",
+        "175978", "25.999999", "1778.999999", "175978.999999")) {
+      val e = intercept[IllegalArgumentException](p(bad))
+      assert(e.getMessage.contains(bad), s"'$bad': ${e.getMessage}")
+    }
+  }
+
+  test("T5 parse equivalences (test_parse_time)") {
+    val four = p("04")
+    assert(four == (4L * 3600 * 1000000, 0))
+    for (same <- Seq("0400", "04:00", "040000", "04:00:00", "040000.0",
+        "04:00:00.0"))
+      assert(p(same) == four, same)
+    val fourZ = p("04+00")
+    for (same <- Seq("04:00:00.0+00", "04:00:00.0+0000", "04:00:00.0+00:00"))
+      assert(p(same) == fourZ, same)
+  }
+
+  test("T6 formatTime vectors (test_format_time / _with_tz)") {
+    def f(m: Long, o: Int): String = TimeTzUtil.format(m, o).toString
+    assert(f(14400000000L, 0) == "04:00:00")
+    assert(f(14400123000L, 0) == "04:00:00.123")
+    assert(f(14400123666L, 65) == "04:00:00.123666+00:01:05")
+    assert(f(14400123000L, 123) == "04:00:00.123+00:02:03")
+    assert(f(14400123666L, 14 * 3600 + 59 * 60) == "04:00:00.123666+14:59")
+  }
+
+  test("B1 raw-bits validation (BitStringTest)") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    // 0/1 parse OK; any other character is named in the error
+    assert(Engine.sql(spark, "SELECT B'00000110' AS b").collect()(0)
+      .getString(0) == "00000110")
+    val e = intercept[Exception](
+      Engine.sql(spark, "SELECT B'0021' AS b").collect())
+    assert(e.getMessage.toLowerCase.contains("bit"), e.getMessage)
+  }
+
+  test("B2 lexicographic order = string compare (test_lexicographically_order)") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = Engine.sql(spark,
+      "SELECT B'1001' < B'1111' AS a, B'1111' > B'1001' AS b, " +
+        "(B'111' < B'0001') = ('111' < '0001') AS c").collect()(0)
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
+  }
+
+  test("B3 explicit cast trims AND extends (BitStringTypeTest)") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = Engine.sql(spark,
+      "SELECT '1111'::bit(3) AS t, '111'::bit(4) AS x").collect()(0)
+    assert(r.getString(0) == "111")  // test_explicit_cast_can_trim
+    assert(r.getString(1) == "1110") // test_explicit_cast_can_extend
+  }
+
+  test("B4 valueForInsert requires the exact length (write-time)") {
+    // test_value_for_insert_only_allows_exact_length_matches: a column
+    // write rejects a length mismatch even though the CAST would extend
+    val root = java.nio.file.Files.createTempDirectory("graft_bvi")
+      .toFile.getAbsolutePath
+    val r = new StatementRouter(spark, root)
+    r.execute("CREATE TABLE bvi (id BIGINT PRIMARY KEY, b BIT(3))")
+    val e = intercept[Exception](
+      r.execute("INSERT INTO bvi (id, b) VALUES (1, B'00010001')"))
+    assert(e.getMessage.toLowerCase.contains("check") ||
+      e.getMessage.contains("bit"), e.getMessage)
+  }
+}

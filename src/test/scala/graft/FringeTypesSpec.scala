@@ -92,9 +92,14 @@ class FringeTypesSpec extends SparkTestBase {
         "'0101011'::bit(4) AS trimmed").collect()(0)
     assert(r.getString(0) == "0101" && r.getBoolean(1) && r.getBoolean(2)
       && r.getBoolean(3) && r.getString(4) == "0101")
-    // a shorter string cannot widen (BitString.ofRawBits charAt bound)
+    // a shorter string EXTENDS with zero bits (BitStringType.explicitCast
+    // — BitStringTypeTest.test_explicit_cast_can_extend_bitstring pins
+    // "111"::bit(4) = "1110"); non-0/1 content still fails loudly
+    val ext = Engine.sql(spark,
+      "SELECT '111'::bit(4) AS a, '01'::bit(4) AS b").collect()(0)
+    assert(ext.getString(0) == "1110" && ext.getString(1) == "0100")
     val e = intercept[Exception](
-      Engine.sql(spark, "SELECT '01'::bit(4) AS x").collect())
+      Engine.sql(spark, "SELECT '01x1'::bit(4) AS x").collect())
     assert(e.getMessage.contains("bit(4)"), e.getMessage)
     val e2 = intercept[Exception](
       Engine.sql(spark, "SELECT B'012' AS x").collect())

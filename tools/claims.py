@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Prose-claim checker (VERDICT r11 ask #2: generate counts, don't
+hand-maintain them).
+
+Recomputes the facts the docs quote and greps README.md /
+ARCHITECTURE.md / COVERAGE.md for stale numbers:
+
+  - catalog entry count     <- parsed from src/main/scala/graft/queries/
+  - sf1 scale-proof ratios  <- BENCH_sf1_full.json (per-key check of
+                               every `NN.N x` the prose quotes for q64/q135)
+  - test/suite counts       <- optional: path to an `sbt test` log
+                               (checks README's quoted numbers match)
+
+Usage: python3 tools/claims.py [sbt-test-log]
+Exit 0 = all claims consistent; nonzero lists every drift.
+"""
+import json
+import re
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+errors = []
+
+
+def check(cond, msg):
+    if not cond:
+        errors.append(msg)
+
+
+# ---- fact: catalog entry count ----
+names = set()
+for p in (ROOT / "src/main/scala/graft/queries").glob("*.scala"):
+    names.update(re.findall(r'"(q\d+[a-z0-9_]*)"\s*->', p.read_text()))
+entries = len(names)
+
+readme = (ROOT / "README.md").read_text()
+arch = (ROOT / "ARCHITECTURE.md").read_text()
+
+check(f"{entries} catalog queries" in readme,
+      f"README.md: expected '{entries} catalog queries'")
+check(f"{entries}/{entries} green" in readme,
+      f"README.md: expected '{entries}/{entries} green'")
+
+# any "N queries as of round R" style count must equal the real count
+for m in re.finditer(r"(\d+) queries as of round", arch):
+    check(int(m.group(1)) == entries,
+          f"ARCHITECTURE.md: '{m.group(0)}' != actual {entries}")
+
+# ---- fact: sf1 scale-proof ratios ----
+# the HEADLINE quote for each tail key must be the artifact's number
+# (historical round-N numbers elsewhere in the narrative are fine, so
+# this is a presence check, not an every-mention check)
+sf1 = json.loads((ROOT / "BENCH_sf1_full.json").read_text())["queries"]
+for key in ("q64_ngram_jaccard", "q135_embedding_neardup_lsh"):
+    actual = sf1[key]["ratio"]
+    want = f"{actual:.1f}×"
+    check(f"{key} {want}" in arch.replace("\n  ", " "),
+          f"ARCHITECTURE.md: headline '{key} {want}' "
+          f"(BENCH_sf1_full.json) not found")
+
+# ---- fact: test/suite counts (optional, from an sbt test log) ----
+if len(sys.argv) > 1:
+    log = Path(sys.argv[1]).read_text()
+    m = re.search(r"Tests: succeeded (\d+), failed (\d+)", log)
+    s = re.search(r"Suites: completed (\d+), aborted (\d+)", log)
+    if m and s:
+        tests, suites = int(m.group(1)), int(s.group(1))
+        check(int(m.group(2)) == 0, f"test log records {m.group(2)} failures")
+        check(f"{tests} tests / {suites} suites" in readme,
+              f"README.md: expected '{tests} tests / {suites} suites'")
+
+if errors:
+    print("CLAIM DRIFT:")
+    for e in errors:
+        print(" -", e)
+    sys.exit(1)
+print(f"claims consistent: {entries} entries"
+      + (", test counts checked" if len(sys.argv) > 1 else ""))
