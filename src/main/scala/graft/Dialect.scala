@@ -333,6 +333,11 @@ object Dialect {
               // (the reference grammar has no plain-TIME column type);
               // `time(n)` / `time without time zone` keep the CAST path
               Some(s"timetz($operand)")
+            else if (!isArray && base == "interval")
+              // '120-1 1 15:30'::interval etc. — the reference's string
+              // grammar (Spark's CAST to interval types accepts only its
+              // own literal syntax)
+              Some(s"graft_interval($operand)")
             else None
           fringe.foreach { f =>
             return Some(ts.slice(0, opStart) ++ lex(f) ++
@@ -1282,6 +1287,10 @@ object Dialect {
             } else if (head == "timetz" ||
                 (head == "time" && tyToks.length >= 2 && tyToks(1).is("with")))
               Some(s"timetz($operand)")
+            else if (head == "interval" && tyToks.length == 1)
+              // CAST(x AS interval) — the reference string grammar;
+              // typed forms (INTERVAL … HOUR TO MINUTE) stay native
+              Some(s"graft_interval($operand)")
             else None
           repl.foreach { f =>
             return Some(ts.slice(0, i) ++ lex(f) ++

@@ -394,6 +394,15 @@ object GraftFunctions {
     }, "scala_udf")
     reg.createOrReplaceTempFunction("unicode_normalize",
       exprs => graft.plans.UnicodeNormalizeExpr(exprs(0), exprs(1)), "scala_udf")
+    // The reference's INTERVAL string grammar (IntervalParser.java:58 —
+    // numeric-seconds / ISO-8601 / SQL-standard / PG-verbose cascade):
+    // `graft_interval` yields a CalendarInterval (timestamp ± works
+    // natively), `graft_interval_parts` the (months, days, micros)
+    // struct for exact gating. `'…'::interval` routes here (Dialect).
+    reg.createOrReplaceTempFunction("graft_interval",
+      exprs => graft.plans.IntervalParseExpr(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_interval_parts",
+      exprs => graft.plans.IntervalPartsExpr(exprs(0)), "scala_udf")
 
     // CrateDB array-bound / emptiness scalars as pure Catalyst compositions
     // (codegen'd, no UDF): null_or_empty covers BOTH the OBJECT and ARRAY

@@ -1,0 +1,306 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.{CalendarInterval, UTF8String}
+
+/** The reference's INTERVAL string grammar (server/src/main/java/io/
+  * crate/interval/IntervalParser.java:58 and its three delegates),
+  * re-expressed for Spark's `CalendarInterval` (months, days, micros):
+  *
+  *  1. NUMERIC — a bare decimal is SECONDS ("1" = 1s, "1.5" = 1s 500ms;
+  *     NumericalIntervalParser.java:105 truncates toward zero and keeps
+  *     the fraction as millis);
+  *  2. ISO-8601 — "P1Y2M3DT4H5M6.5S" (weeks allowed, per-field signs);
+  *  3. SQL STANDARD — "Y-M [D [H:M[:S] | S]]" parsed BACKWARDS with the
+  *     reference's exact state machine (SQLStandardIntervalParser
+  *     .java:48): a lone trailing number is seconds, a number before an
+  *     H:M[:S] group is days, a number directly after Y-M is days, and
+  *     "D S" (two bare numbers) is invalid;
+  *  4. POSTGRES — "[@] 1 year 2 mons 3 days 04:05:06.7 [ago]" with
+  *     abbreviated units (y/mon/d/w/h/m/s/ms), attached forms ("1year"),
+  *     week→7 days, duplicate-unit rejection, and "@ … ago" negation
+  *     (PGIntervalParser.java:45).
+  *
+  * Like the reference, the cascade tries each in order and the final
+  * value normalizes years into months and whole days out of the time
+  * part (Period.normalizedStandard(yearMonthDayTime)). Typed-precision
+  * qualifiers (INTERVAL 'x' HOUR TO MINUTE) stay on Spark's native
+  * syntax — this parser serves the STRING literal/cast form
+  * (`'…'::interval`, `graft_interval('…')`). */
+object GraftInterval {
+
+  private def bad(value: String): Nothing =
+    throw new IllegalArgumentException(s"Invalid interval format: $value")
+
+  /** (years, months, days, hours, minutes, seconds, millis) — the
+    * reference Period's fields before normalization. */
+  private type P7 = (Int, Int, Int, Int, Int, Int, Int)
+
+  private def parseIntStrict(s: String): Int =
+    try java.lang.Integer.parseInt(s)
+    catch { case _: NumberFormatException => throw NumEx }
+
+  /** BigDecimal int part, truncated toward zero (reference
+    * parseInteger). */
+  private def decInt(s: String): Int =
+    try new java.math.BigDecimal(s).intValue()
+    catch { case _: NumberFormatException => throw NumEx }
+
+  /** fraction → millis (reference IntervalParser.parseMilliSeconds). */
+  private def decMillis(s: String): Int =
+    try {
+      val d = new java.math.BigDecimal(s)
+      d.subtract(new java.math.BigDecimal(d.intValue()))
+        .multiply(new java.math.BigDecimal(1000)).intValue()
+    } catch { case _: NumberFormatException => throw NumEx }
+
+  private object NumEx extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  // ---- 1. numeric: bare seconds ----
+  private def tryNumeric(v: String): P7 = {
+    val s = v.trim
+    if (s.isEmpty) throw NumEx
+    (0, 0, 0, 0, 0, decInt(s), decMillis(s))
+  }
+
+  // ---- 2. ISO-8601 ----
+  private val IsoPat = java.util.regex.Pattern.compile(
+    "^(-?)P(?:(-?\\d+)Y)?(?:(-?\\d+)M)?(?:(-?\\d+)W)?(?:(-?\\d+)D)?" +
+      "(?:T(?:(-?\\d+)H)?(?:(-?\\d+)M)?(?:(-?\\d+(?:\\.\\d+)?)S)?)?$")
+
+  private def tryIso(v: String): P7 = {
+    val m = IsoPat.matcher(v.trim)
+    if (!m.matches()) throw NumEx
+    val neg = if (m.group(1) == "-") -1 else 1
+    def g(i: Int): Int = Option(m.group(i)).map(parseIntStrict).getOrElse(0)
+    val secStr = Option(m.group(8))
+    if ((2 to 8).forall(i => m.group(i) == null)) throw NumEx // bare "P"
+    (neg * g(2), neg * g(3), neg * (g(4) * 7 + g(5)), neg * g(6), neg * g(7),
+      neg * secStr.map(decInt).getOrElse(0),
+      neg * secStr.map(decMillis).getOrElse(0))
+  }
+
+  // ---- 3. SQL standard (ported state machine) ----
+  private val YearMonthPat =
+    java.util.regex.Pattern.compile("-?\\d{1,9}-\\d{1,9}")
+
+  private def trySqlStandard(v: String): P7 = {
+    val values = v.split(" ")
+    if (values.length > 3 || values.length == 0) bad(v)
+    var state = 0 // 0 nothing, 1 hms, 2 second, 3 days, 4 year-month
+    var (years, months, days, hours, minutes, seconds) = (0, 0, 0, 0, 0, 0)
+    var i = values.length - 1
+    while (i >= 0) {
+      var part = values(i)
+      var negative = false
+      if (part.trim.nonEmpty) {
+        if (part.startsWith("-")) { negative = true; part = part.substring(1) }
+        if (part.startsWith("+")) part = part.substring(1)
+        if (part.contains(":")) {
+          val hms = part.split(":")
+          hms.length match {
+            case 3 =>
+              hours = parseIntStrict(hms(0)); minutes = parseIntStrict(hms(1))
+              seconds = parseIntStrict(hms(2))
+            case 2 =>
+              hours = parseIntStrict(hms(0)); minutes = parseIntStrict(hms(1))
+            case 1 => seconds = parseIntStrict(hms(0))
+            case _ => bad(v)
+          }
+          if (negative) { hours = -hours; minutes = -minutes; seconds = -seconds }
+          state = 1
+        } else if (part.contains("-")) {
+          val ym = part.split("-")
+          if (ym.length != 2) bad(v)
+          years = parseIntStrict(ym(0)); months = parseIntStrict(ym(1))
+          if (negative) { years = -years; months = -months }
+          state = 4
+        } else if (state == 0) {
+          val number = parseIntStrict(part)
+          if (i - 1 >= 0) {
+            if (YearMonthPat.matcher(values(i - 1)).matches()) {
+              days = if (negative) -number else number
+              state = 3
+            } else bad(v) // bare "D S" combination
+          } else {
+            seconds = if (negative) -number else number
+            state = 2
+          }
+        } else if (state == 1) {
+          days = { val n = parseIntStrict(part); if (negative) -n else n }
+          state = 3
+        } else if (state == 2) bad(v)
+      }
+      i -= 1
+    }
+    if (state == 0) bad(v)
+    (years, months, days, hours, minutes, seconds, 0)
+  }
+
+  // ---- 4. postgres verbose/compact ----
+  private def tryPg(v: String): P7 = {
+    var s = v.trim.toLowerCase(java.util.Locale.ENGLISH)
+    val isoFormat = !s.startsWith("@")
+    val hasAgo = s.endsWith("ago")
+    s = s.replace("+", "").replace("@", "").replace("ago", "").trim
+    if (!isoFormat && v.length == 3 && v.charAt(2) == '0')
+      return (0, 0, 0, 0, 0, 0, 0)
+    var (years, months, days, hours, minutes, seconds, millis) =
+      (0, 0, 0, 0, 0, 0, 0)
+    var weeksParsed = false
+    var daysParsed = false
+    var timeParsed = false
+    val st = new java.util.StringTokenizer(s)
+    if (!st.hasMoreTokens) bad(v)
+    while (st.hasMoreTokens) {
+      val token = st.nextToken()
+      var unitToken: String = null
+      var valueToken: String = null
+      val firstChar = token.indexWhere(_.isLetter)
+      if (firstChar > 0) {
+        valueToken = token.substring(0, firstChar)
+        unitToken = token.substring(firstChar)
+      } else {
+        valueToken = token
+        if (st.hasMoreTokens) unitToken = st.nextToken()
+      }
+      val endHours = token.indexOf(':')
+      if (endHours > 0) {
+        if (timeParsed) bad(v)
+        val offset = if (token.charAt(0) == '-') 1 else 0
+        hours = parseIntStrict(token.substring(offset, endHours))
+        minutes = parseIntStrict(token.substring(endHours + 1, endHours + 3))
+        val endMinutes = token.indexOf(':', endHours + 1)
+        seconds = decInt(token.substring(endMinutes + 1))
+        millis = decMillis(token.substring(endMinutes + 1))
+        if (offset == 1) {
+          hours = -hours; minutes = -minutes; seconds = -seconds
+          millis = -millis
+        }
+        timeParsed = true
+        // NOTE: unitToken is deliberately NOT cleared here — if the
+        // tokenizer consumed a trailing token as this time group's
+        // "unit" (reference PGIntervalParser keeps it too), the switch
+        // below rejects it, which is what makes
+        // "1y 11:22:33 11:22:33" fail like the reference
+      } else if (unitToken == null) bad(v)
+      if (unitToken != null) unitToken match {
+        case "year" | "years" | "y" =>
+          if (years > 0) bad(v)
+          years = parseIntStrict(valueToken)
+        case "month" | "months" | "mon" | "mons" =>
+          if (months > 0) bad(v)
+          months = parseIntStrict(valueToken)
+        case "day" | "days" | "d" =>
+          if (daysParsed) bad(v)
+          days += parseIntStrict(valueToken); daysParsed = true
+        case "week" | "weeks" | "w" =>
+          if (weeksParsed) bad(v)
+          days += parseIntStrict(valueToken) * 7; weeksParsed = true
+        case "hour" | "hours" | "h" =>
+          if (hours > 0) bad(v)
+          hours = parseIntStrict(valueToken); timeParsed = true
+        case "min" | "mins" | "minute" | "minutes" | "m" =>
+          if (minutes > 0) bad(v)
+          minutes = parseIntStrict(valueToken); timeParsed = true
+        case "sec" | "secs" | "second" | "seconds" | "s" =>
+          if (seconds > 0 || millis > 0) bad(v)
+          seconds = decInt(valueToken); millis = decMillis(valueToken)
+          timeParsed = true
+        case "ms" | "msec" | "msecs" | "millisecond" | "milliseconds" =>
+          if (millis > 0) bad(v)
+          millis = decInt(valueToken); timeParsed = true
+        case _ => bad(v)
+      }
+    }
+    val sign = if (!isoFormat && hasAgo) -1 else 1
+    (sign * years, sign * months, sign * days, sign * hours, sign * minutes,
+      sign * seconds, sign * millis)
+  }
+
+  /** The reference cascade → normalized (months, days, micros). */
+  def parseParts(value: String): (Int, Int, Long) = {
+    if (value == null || value.trim.isEmpty) bad(value)
+    val p: P7 =
+      try tryNumeric(value)
+      catch { case NumEx | _: IllegalArgumentException =>
+        try tryIso(value)
+        catch { case NumEx | _: IllegalArgumentException =>
+          try trySqlStandard(value)
+          catch { case NumEx | _: IllegalArgumentException =>
+            try tryPg(value)
+            catch { case NumEx => bad(value) }
+          }
+        }
+      }
+    val (y, mo, d, h, mi, se, ms) = p
+    // Period.normalizedStandard(yearMonthDayTime): years fold into
+    // months; whole days fold out of the precise time fields
+    // (truncation toward zero)
+    val microsPerDay = 86400000000L
+    val months = y * 12 + mo
+    val totalMicros =
+      ((h * 3600L + mi * 60L + se) * 1000L + ms) * 1000L
+    val extraDays = (totalMicros / microsPerDay).toInt
+    val micros = totalMicros - extraDays * microsPerDay
+    (months, d + extraDays, micros)
+  }
+
+  def parse(s: UTF8String): CalendarInterval = {
+    val (m, d, us) = parseParts(s.toString)
+    new CalendarInterval(m, d, us)
+  }
+
+  def parseStruct(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val (m, d, us) = parseParts(s.toString)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](m, d, us))
+  }
+
+  val partsType: StructType = StructType(Seq(
+    StructField("months", IntegerType, nullable = false),
+    StructField("days", IntegerType, nullable = false),
+    StructField("micros", LongType, nullable = false)))
+}
+
+/** `graft_interval(s)` — the reference's interval grammar into Spark's
+  * CalendarInterval (timestamp ± works natively). Codegen'd. */
+case class IntervalParseExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_interval"
+  override def dataType: DataType = CalendarIntervalType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+  override def nullSafeEval(input: Any): Any =
+    GraftInterval.parse(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftInterval.parse($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_interval_parts(s)` — the same parse as a
+  * STRUCT<months, days, micros> (hash-gate-friendly components). */
+case class IntervalPartsExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_interval_parts"
+  override def dataType: DataType = GraftInterval.partsType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+  override def nullSafeEval(input: Any): Any =
+    GraftInterval.parseStruct(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftInterval.parseStruct($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 catalog (q253-): the reference INTERVAL string grammar
+  * (io.crate.interval.IntervalParser cascade — numeric-seconds /
+  * ISO-8601 / SQL-standard / PG-verbose), modeled by
+  * plans.IntervalExpressions and routed from `'…'::interval`.
+  *
+  * q253 drives one literal arm per format leg over documents.doc_id
+  * (the q236/q244 golden-arm pattern): the normalized
+  * (months, days, micros) triple AND timestamp arithmetic with the
+  * parsed value, all re-derived by DuckDB from closed-form constants
+  * and its own interval arithmetic — no parser shared. */
+object QueriesRound12 {
+
+  /** One vector per grammar leg; components below are the reference's
+    * own expected values (IntervalParserTest). */
+  private val ivArms: Seq[String] = Seq(
+    "120-1 1 15:30",                         // SQL standard, full
+    "@ 1 year -23 hours -3 mins -3.30 secs", // PG verbose, mixed signs
+    "6 years 5 mons 4 days 03:02:01",        // PG compact
+    "1 week",                                // unit fold (week → days)
+    "P1Y2M3DT4H5M6S",                        // ISO-8601
+    "-15:30",                                // SQL standard, negative H:M
+    "42.5")                                  // bare numeric = seconds
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_interval_parse" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      val docs = graft.Tables.load(s, dir, "documents").select(col("doc_id"))
+      val inp = element_at(array(ivArms.map(lit): _*),
+        (col("doc_id") % 7 + 1).cast("int"))
+      docs
+        .withColumn("p", call_function("graft_interval_parts", inp))
+        .withColumn("t",
+          lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")) +
+            call_function("graft_interval", inp))
+        .select((col("doc_id") % 7).cast("int").as("arm"),
+          col("p.months").as("months"), col("p.days").as("days"),
+          col("p.micros").as("micros"),
+          date_format(col("t"), "yyyy-MM-dd HH:mm:ss.SSS").as("t_plus"))
+        .groupBy(col("arm"), col("months"), col("days"), col("micros"),
+          col("t_plus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("arm"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the expected components are the reference test suite's own
+    // numbers; DuckDB re-derives the timestamp arithmetic with its
+    // native to_months/to_days/to_microseconds — months first, then
+    // days, then micros, the same order Spark applies CalendarInterval
+    "q253_interval_parse" ->
+      """WITH d AS (SELECT CAST(doc_id % 7 AS INT) AS arm FROM documents),
+        |g(arm, months, days, micros) AS (VALUES
+        |  (0, 1441, 1, 55800000000),
+        |  (1, 12, 0, -82983300000),
+        |  (2, 77, 4, 10921000000),
+        |  (3, 0, 7, 0),
+        |  (4, 14, 3, 14706000000),
+        |  (5, 0, 0, -55800000000),
+        |  (6, 0, 0, 42500000)),
+        |w AS (
+        |  SELECT arm, CAST(months AS INT) AS months, CAST(days AS INT) AS days,
+        |         CAST(micros AS BIGINT) AS micros,
+        |         strftime(TIMESTAMP '2000-01-01 00:00:00'
+        |                  + to_months(CAST(months AS INT))
+        |                  + to_days(CAST(days AS INT))
+        |                  + to_microseconds(CAST(micros AS BIGINT)),
+        |                  '%Y-%m-%d %H:%M:%S.%g') AS t_plus
+        |  FROM g)
+        |SELECT d.arm, w.months, w.days, w.micros, w.t_plus, count(*) AS n
+        |FROM d JOIN w ON d.arm = w.arm
+        |GROUP BY d.arm, w.months, w.days, w.micros, w.t_plus
+        |ORDER BY d.arm""".stripMargin
+  )
+}

@@ -45,6 +45,26 @@ class CapAuditSpec extends SparkTestBase {
     assert(Dedup.coBucketedPairs(keyed, 5).count() == 3L)
   }
 
+  test("q62's drops fact reuses the band-bucket shuffle (one exchange)") {
+    val df = SparkEntry.queries("q62_dedup_minhash")(spark, sfDir)
+    df.collect() // let AQE finalize so reuse is visible in the plan
+    // inspect the FINAL plan only (AQE appends the pre-reuse initial
+    // plan below it, which would double-count exchanges)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the drops fact's bucket aggregation must REUSE the pairs branch's
+    // band-key shuffle, not re-shuffle the signature stage
+    assert(plan.contains("ReusedExchange"),
+      "expected the drops branch to reuse the band-key exchange:\n" +
+        plan.linesIterator.take(60).mkString("\n"))
+    // count per LINE: a ReusedExchange line repeats the original
+    // exchange's descriptor text, which must not count as a write
+    val fresh = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(key") &&
+        !l.contains("ReusedExchange"))
+    assert(fresh == 1, s"band-key shuffle written $fresh times:\n$plan")
+  }
+
   test("radius-join grid audit: zero caveat-zone points on the fixture") {
     val cust = Tables.load(spark, sfDir, "customer").select(col("c_custkey"),
       array((col("c_custkey") % 180 - 90).cast("double") + 0.5,

@@ -1,0 +1,100 @@
+package graft
+
+import graft.plans.GraftInterval
+
+/** The reference's IntervalParserTest ported wholesale (server/src/
+  * test/java/io/crate/interval/IntervalParserTest.java) — every parse
+  * vector asserted as the normalized (months, days, micros) triple
+  * Spark's CalendarInterval carries, every error vector asserted loud.
+  * Plus the SQL surface: `'…'::interval` / CAST(x AS interval) route to
+  * graft_interval, and timestamp arithmetic works on the result. */
+class IntervalReferenceConformanceSpec extends SparkTestBase {
+
+  private def p(s: String): (Int, Int, Long) = GraftInterval.parseParts(s)
+
+  private val H = 3600000000L // micros per hour
+
+  test("SQL-standard vectors (year-month / day / h:m[:s] / seconds)") {
+    assert(p("120-1 1 15:30") == (1441, 1, 15 * H + 30 * 60000000L))
+    assert(p("-120-1 -1 -15:30") == (-1441, -1, -(15 * H + 30 * 60000000L)))
+    assert(p("1") == (0, 0, 1000000L)) // bare number = seconds
+    assert(p("120-1 1") == (1441, 1, 0L))
+    assert(p("-120-1 -1") == (-1441, -1, 0L))
+    assert(p("120-1") == (1441, 0, 0L))
+    assert(p("-120-1") == (-1441, 0, 0L))
+    assert(p("120-1 15:30") == (1441, 0, 15 * H + 30 * 60000000L))
+    assert(p("15:30") == (0, 0, 15 * H + 30 * 60000000L))
+    assert(p("-15:30") == (0, 0, -(15 * H + 30 * 60000000L)))
+    assert(p("15:30:10") == (0, 0, 15 * H + 30 * 60000000L + 10000000L))
+    assert(p("1 15:30:10") == (0, 1, 15 * H + 30 * 60000000L + 10000000L))
+    assert(p("-1 -15:30:10") == (0, -1, -(15 * H + 30 * 60000000L + 10000000L)))
+    assert(p("0-0 0 0:0:0") == (0, 0, 0L)) // parse_invalid_input_3: zero is valid
+  }
+
+  test("every reference error vector fails loudly") {
+    for (bad <- Seq("1 1", "-1 -1", "10-1-1-1-1-1", "10:1:1:1:N1:1",
+        "1-2 3 4-5-6", "A-B C D:E:F", "a week b mons c days",
+        "1 week 2 monthss 3 days", "1 week 2 mons 3 days 4w",
+        "1y 11:22:33 11:22:33", "2sec 11:22:33",
+        "1 years 2 mons 3 days 2 years",
+        "5 millis 1 years 2 mons 3 days 2 ms",
+        "1 years 2 mons 3 days 2.2 secs 2 ms", "", "  ")) {
+      val e = intercept[IllegalArgumentException](p(bad))
+      assert(e.getMessage.startsWith("Invalid interval format:"),
+        s"'$bad': ${e.getMessage}")
+    }
+  }
+
+  test("PG verbose / abbreviated / @-ago vectors") {
+    assert(p("@ 1 year 1 mon 1 day 1 hour 1 minute 1 secs  ") ==
+      (13, 1, H + 60000000L + 1000000L))
+    assert(p("@ 1 year 1 mon 1 day 1 hour 1 minute 1 secs 1 millisecond  ") ==
+      (13, 1, H + 60000000L + 1000000L + 1000L))
+    assert(p("  @ 1 year 1 mon 1 day 1 hour 1 minute 1 secs ago  ") ==
+      (-13, -1, -(H + 60000000L + 1000000L)))
+    // negative fields; "-3.30 secs" = -3 s -300 ms (reference
+    // parseMilliSeconds fraction rule)
+    assert(p("@ 1 year -23 hours -3 mins -3.30 secs") ==
+      (12, 0, -(23 * H + 3 * 60000000L + 3300000L)))
+    assert(p("@ 1 year -23 hours -3 mins -3.30 secs AGO") ==
+      (-12, 0, 23 * H + 3 * 60000000L + 3300000L))
+    assert(p("@ 1 year -23 hours -3 mins -3 secs -300 msecs AGO") ==
+      (-12, 0, 23 * H + 3 * 60000000L + 3300000L))
+    // compact form
+    assert(p("6 years 5 mons 4 days 03:02:01") ==
+      (77, 4, 3 * H + 2 * 60000000L + 1000000L))
+    assert(p("1 week") == (0, 7, 0L))
+  }
+
+  test("normalization: weeks fold to days, excess time folds to days " +
+      "(test_normalization)") {
+    // "1y 2mon 3w 763d 1024h 642m 7123s 12ms" → Period(1,2,·,827,4,40,43,12)
+    assert(p("1year 2months 3weeks 763days 1024hours 642minutes " +
+        "7123seconds 12ms") ==
+      (14, 827, 4 * H + 40 * 60000000L + 43000000L + 12000L))
+    // tabs + case-insensitivity like the reference's randomized forms
+    assert(p("1\tYEAR  2 MONS\t3 W 763 D 1024 H 642 MIN 7123 SEC 12 MS") ==
+      (14, 827, 4 * H + 40 * 60000000L + 43000000L + 12000L))
+  }
+
+  test("ISO-8601 (joda ISOPeriodFormat cascade leg)") {
+    assert(p("P1Y2M3DT4H5M6S") == (14, 3, 4 * H + 5 * 60000000L + 6000000L))
+    assert(p("P2W") == (0, 14, 0L))
+    assert(p("PT1.5S") == (0, 0, 1500000L))
+  }
+
+  test("SQL surface: ::interval and CAST AS interval route; ts arithmetic") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = Engine.sql(spark,
+      "SELECT graft_interval_parts('120-1 1 15:30') AS p, " +
+        "TIMESTAMP '2000-01-01 00:00:00' + '1-2 3'::interval AS t1, " +
+        "CAST('2000-01-01 00:00:00' AS TIMESTAMP) " +
+        "  + CAST('@ 1 year 1 mon 1 day 1 hour ago' AS interval) AS t2")
+      .collect()(0)
+    val parts = r.getStruct(0)
+    assert(parts.getInt(0) == 1441 && parts.getInt(1) == 1 &&
+      parts.getLong(2) == 15 * H + 30 * 60000000L)
+    assert(r.getTimestamp(1).toString.startsWith("2001-03-04 00:00:00"))
+    assert(r.getTimestamp(2).toString.startsWith("1998-11-29 23:00:00"))
+  }
+}
