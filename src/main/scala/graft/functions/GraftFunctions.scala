@@ -403,6 +403,8 @@ object GraftFunctions {
       exprs => graft.plans.IntervalParseExpr(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_interval_parts",
       exprs => graft.plans.IntervalPartsExpr(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_interval_format",
+      exprs => graft.plans.IntervalFormatExpr(exprs(0)), "scala_udf")
 
     // CrateDB array-bound / emptiness scalars as pure Catalyst compositions
     // (codegen'd, no UDF): null_or_empty covers BOTH the OBJECT and ARRAY

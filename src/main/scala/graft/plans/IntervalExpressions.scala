@@ -250,6 +250,45 @@ object GraftInterval {
     (months, d + extraDays, micros)
   }
 
+  /** The reference's display form (IntervalType.PERIOD_FORMATTER — the
+    * docs pin "1 day 00:00:00", "-1 days 00:00:00", "00:00:01.500",
+    * "1 year 2 mons 3 days 04:05:06"): year/mon/day fields print only
+    * when nonzero (singular iff exactly 1, so -1 prints "days" like the
+    * docs), the time part ALWAYS prints as 2-digit H:M:S with optional
+    * 3-digit millis; mixed-sign values print each field signed
+    * (joda's per-field printing). */
+  def formatParts(months: Int, days: Int, micros: Long): String = {
+    val sb = new StringBuilder
+    val y = months / 12
+    val mo = months % 12
+    def field(v: Int, one: String, many: String): Unit =
+      if (v != 0) {
+        if (sb.nonEmpty) sb.append(' ')
+        sb.append(v).append(if (v == 1) one else many)
+      }
+    field(y, " year", " years")
+    field(mo, " mon", " mons")
+    field(days, " day", " days")
+    var us = micros
+    val h = us / 3600000000L; us -= h * 3600000000L
+    val m = us / 60000000L; us -= m * 60000000L
+    val s = us / 1000000L; us -= s * 1000000L
+    val ms = us / 1000L
+    def f2(v: Long): String = {
+      val a = math.abs(v)
+      (if (v < 0) "-" else "") + (if (a < 10) "0" + a else a.toString)
+    }
+    if (sb.nonEmpty) sb.append(' ')
+    sb.append(f2(h)).append(':').append(f2(m)).append(':').append(f2(s))
+    if (ms != 0) sb.append(f".${math.abs(ms)}%03d")
+    sb.toString
+  }
+
+  def formatString(s: UTF8String): UTF8String = {
+    val (m, d, us) = parseParts(s.toString)
+    UTF8String.fromString(formatParts(m, d, us))
+  }
+
   def parse(s: UTF8String): CalendarInterval = {
     val (m, d, us) = parseParts(s.toString)
     new CalendarInterval(m, d, us)
@@ -301,6 +340,25 @@ case class IntervalPartsExpr(child: Expression) extends UnaryExpression {
     GraftInterval.parseStruct(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.plans.GraftInterval.parseStruct($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_interval_format(s)` — parse (once) + the reference's display
+  * form. Codegen'd. */
+case class IntervalFormatExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_interval_format"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+  override def nullSafeEval(input: Any): Any =
+    GraftInterval.formatString(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftInterval.formatString($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -40,9 +40,10 @@ object QueriesRound12 {
         .select((col("doc_id") % 7).cast("int").as("arm"),
           col("p.months").as("months"), col("p.days").as("days"),
           col("p.micros").as("micros"),
-          date_format(col("t"), "yyyy-MM-dd HH:mm:ss.SSS").as("t_plus"))
+          date_format(col("t"), "yyyy-MM-dd HH:mm:ss.SSS").as("t_plus"),
+          call_function("graft_interval_format", inp).as("fmt"))
         .groupBy(col("arm"), col("months"), col("days"), col("micros"),
-          col("t_plus"))
+          col("t_plus"), col("fmt"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("arm"))
     })
@@ -52,29 +53,32 @@ object QueriesRound12 {
     // the expected components are the reference test suite's own
     // numbers; DuckDB re-derives the timestamp arithmetic with its
     // native to_months/to_days/to_microseconds — months first, then
-    // days, then micros, the same order Spark applies CalendarInterval
+    // days, then micros, the same order Spark applies CalendarInterval.
+    // `fmt` goldens follow the reference PERIOD_FORMATTER (data-types
+    // .rst pins arms 2/4-style renderings; arms 1/5 pin the per-field
+    // signed printing of mixed/negative values)
     "q253_interval_parse" ->
       """WITH d AS (SELECT CAST(doc_id % 7 AS INT) AS arm FROM documents),
-        |g(arm, months, days, micros) AS (VALUES
-        |  (0, 1441, 1, 55800000000),
-        |  (1, 12, 0, -82983300000),
-        |  (2, 77, 4, 10921000000),
-        |  (3, 0, 7, 0),
-        |  (4, 14, 3, 14706000000),
-        |  (5, 0, 0, -55800000000),
-        |  (6, 0, 0, 42500000)),
+        |g(arm, months, days, micros, fmt) AS (VALUES
+        |  (0, 1441, 1, 55800000000, '120 years 1 mon 1 day 15:30:00'),
+        |  (1, 12, 0, -82983300000, '1 year -23:-03:-03.300'),
+        |  (2, 77, 4, 10921000000, '6 years 5 mons 4 days 03:02:01'),
+        |  (3, 0, 7, 0, '7 days 00:00:00'),
+        |  (4, 14, 3, 14706000000, '1 year 2 mons 3 days 04:05:06'),
+        |  (5, 0, 0, -55800000000, '-15:-30:00'),
+        |  (6, 0, 0, 42500000, '00:00:42.500')),
         |w AS (
         |  SELECT arm, CAST(months AS INT) AS months, CAST(days AS INT) AS days,
-        |         CAST(micros AS BIGINT) AS micros,
+        |         CAST(micros AS BIGINT) AS micros, fmt,
         |         strftime(TIMESTAMP '2000-01-01 00:00:00'
         |                  + to_months(CAST(months AS INT))
         |                  + to_days(CAST(days AS INT))
         |                  + to_microseconds(CAST(micros AS BIGINT)),
         |                  '%Y-%m-%d %H:%M:%S.%g') AS t_plus
         |  FROM g)
-        |SELECT d.arm, w.months, w.days, w.micros, w.t_plus, count(*) AS n
+        |SELECT d.arm, w.months, w.days, w.micros, w.t_plus, w.fmt, count(*) AS n
         |FROM d JOIN w ON d.arm = w.arm
-        |GROUP BY d.arm, w.months, w.days, w.micros, w.t_plus
+        |GROUP BY d.arm, w.months, w.days, w.micros, w.t_plus, w.fmt
         |ORDER BY d.arm""".stripMargin
   )
 }

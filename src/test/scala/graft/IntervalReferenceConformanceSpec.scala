@@ -83,6 +83,23 @@ class IntervalReferenceConformanceSpec extends SparkTestBase {
     assert(p("PT1.5S") == (0, 0, 1500000L))
   }
 
+  test("display format = the reference PERIOD_FORMATTER doc goldens") {
+    import GraftInterval.{formatParts => f}
+    // data-types.rst pins these exact renderings
+    assert(f(0, 1, 0) == "1 day 00:00:00")
+    assert(f(0, -1, 0) == "-1 days 00:00:00") // plural for -1, like joda
+    assert(f(0, 0, 1500000L) == "00:00:01.500")
+    assert(f(14, 3, (4 * 3600L + 5 * 60 + 6) * 1000000L) ==
+      "1 year 2 mons 3 days 04:05:06")
+    assert(f(77, 4, (3 * 3600L + 2 * 60 + 1) * 1000000L) ==
+      "6 years 5 mons 4 days 03:02:01")
+    assert(f(0, 0, 0) == "00:00:00")
+    // format ∘ parse round-trips the doc examples
+    assert(GraftInterval.formatString(
+      org.apache.spark.unsafe.types.UTF8String.fromString("1-2 3 4:05:06"))
+      .toString == "1 year 2 mons 3 days 04:05:06")
+  }
+
   test("SQL surface: ::interval and CAST AS interval route; ts arithmetic") {
     graft.functions.GraftFunctions.registerAll(spark)
     val r = Engine.sql(spark,
