@@ -1303,8 +1303,80 @@ object Dialect {
     None
   }
 
+  /** `INTERVAL [+|-] '<str>' [unit [TO unit]]` — the reference's
+    * string-interval literal (grammar `interval` rule; semantics
+    * IntervalParser + IntervalAnalysisTest). Spark keeps the forms its
+    * own parser already handles with IDENTICAL semantics (multi-unit
+    * strings it can parse, bare-integer single-unit, 'Y-M' YEAR TO
+    * MONTH); everything else — verbose/compact/SQL-standard strings,
+    * bare numbers with a TO window (the reference's value-takes-END-
+    * unit rule), fractional numbers with a unit (the reference
+    * truncates), signed quoted literals — routes to graft_interval
+    * with the precision slots. */
+  private val intervalUnits =
+    Vector("year", "month", "day", "hour", "minute", "second")
+
+  private def passIntervalLiteral(ts: Vector[Tok]): Option[Vector[Tok]] = {
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).kind == K.Word && ts(i).is("interval")) {
+        var j = nextSig(ts, i)
+        var negated = false
+        var signed = false
+        if (j >= 0 && (ts(j).isSym("-") || ts(j).isSym("+"))) {
+          negated = ts(j).isSym("-"); signed = true; j = nextSig(ts, j)
+        }
+        if (j >= 0 && ts(j).kind == K.Str) {
+          val s = ts(j).text.stripPrefix("'").stripSuffix("'")
+            .replace("''", "'")
+          var endTok = j
+          var u1: Option[String] = None
+          var u2: Option[String] = None
+          val k1 = nextSig(ts, j)
+          if (k1 >= 0 && ts(k1).kind == K.Word &&
+              intervalUnits.contains(ts(k1).text.toLowerCase)) {
+            u1 = Some(ts(k1).text.toLowerCase); endTok = k1
+            val t2 = nextSig(ts, k1)
+            val t3 = if (t2 >= 0) nextSig(ts, t2) else -1
+            if (t2 >= 0 && ts(t2).is("to") && t3 >= 0 &&
+                ts(t3).kind == K.Word &&
+                intervalUnits.contains(ts(t3).text.toLowerCase)) {
+              u2 = Some(ts(t3).text.toLowerCase); endTok = t3
+            }
+          }
+          val bareInt = s.trim.matches("[+-]?\\d+")
+          val sparkParses =
+            org.apache.spark.sql.catalyst.util.IntervalUtils
+              .safeStringToInterval(
+                org.apache.spark.unsafe.types.UTF8String.fromString(s)) != null
+          val native =
+            !signed && (u1 match {
+              case None => sparkParses
+              case Some(_) if u2.isEmpty => bareInt
+              case Some("year") if u2.contains("month") =>
+                s.trim.matches("[+-]?\\d+-\\d+")
+              case _ => false
+            })
+          if (!native) {
+            val esc = s.replace("'", "''")
+            val args = (Seq(s"'$esc'") ++ u1.map(u => s"'$u'") ++
+              u2.map(u => s"'$u'")).mkString(", ")
+            val call =
+              if (negated) s"(- graft_interval($args))"
+              else s"graft_interval($args)"
+            return Some(ts.slice(0, i) ++ lex(call) ++
+              ts.slice(endTok + 1, ts.length))
+          }
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
   private val passes: Seq[Vector[Tok] => Option[Vector[Tok]]] =
     Seq(passKnnMatch, passRenames, passScoreMulti, passMatch, passScore,
+      passIntervalLiteral,
       passBitLiteral, passCastAsFringe, passCasts, passAnyAll,
       passObjectLiteral, passBrackets, passFetchOffset, passFilterClause,
       passSystemSchemas, passArrayOverlap, passRegexOps, passArraySubquery,

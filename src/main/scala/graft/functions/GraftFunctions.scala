@@ -399,10 +399,22 @@ object GraftFunctions {
     // `graft_interval` yields a CalendarInterval (timestamp ± works
     // natively), `graft_interval_parts` the (months, days, micros)
     // struct for exact gating. `'…'::interval` routes here (Dialect).
+    // optional 2nd/3rd args = the typed-literal precision slots
+    // (INTERVAL '…' HOUR TO MINUTE → graft_interval(s,'hour','minute'))
+    def ivPrec(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+               i: Int): Option[String] =
+      exprs.lift(i).map(_.eval(null) match {
+        case u: org.apache.spark.unsafe.types.UTF8String =>
+          u.toString.toLowerCase
+        case other => throw new IllegalArgumentException(
+          s"interval precision must be a string literal, got $other")
+      })
     reg.createOrReplaceTempFunction("graft_interval",
-      exprs => graft.plans.IntervalParseExpr(exprs(0)), "scala_udf")
+      exprs => graft.plans.IntervalParseExpr(exprs(0), ivPrec(exprs, 1),
+        ivPrec(exprs, 2)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_interval_parts",
-      exprs => graft.plans.IntervalPartsExpr(exprs(0)), "scala_udf")
+      exprs => graft.plans.IntervalPartsExpr(exprs(0), ivPrec(exprs, 1),
+        ivPrec(exprs, 2)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_interval_format",
       exprs => graft.plans.IntervalFormatExpr(exprs(0)), "scala_udf")
 

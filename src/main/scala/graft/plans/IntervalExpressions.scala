@@ -222,20 +222,88 @@ object GraftInterval {
       sign * seconds, sign * millis)
   }
 
-  /** The reference cascade → normalized (months, days, micros). */
-  def parseParts(value: String): (Int, Int, Long) = {
+  /** Precision slots of the typed literal form (reference
+    * IntervalParser.Precision) in significance order. */
+  private val Precisions =
+    Vector("year", "month", "day", "hour", "minute", "second")
+
+  /** `INTERVAL 'v' start [TO end]` — the reference's two precision
+    * behaviors: a BARE NUMBER takes the (start, end) unit directly
+    * (NumericalIntervalParser — '1' HOUR TO SECOND is 1 second,
+    * '100' DAY TO SECOND is 100 seconds), while a parsed period ROUNDS
+    * to the window (IntervalParser.roundToPrecision — fields outside
+    * [start, end] zero out). */
+  private def numericWithPrecision(v: Int, ms: Int, start: String,
+                                   end: String): P7 =
+    (start, end) match {
+      case ("year", null)       => (v, 0, 0, 0, 0, 0, 0)
+      case ("year", "month")    => (0, v, 0, 0, 0, 0, 0)
+      case ("month", null)      => (0, v, 0, 0, 0, 0, 0)
+      case ("day", null)        => (0, 0, v, 0, 0, 0, 0)
+      case ("day", "hour")      => (0, 0, 0, v, 0, 0, 0)
+      case ("day", "minute")    => (0, 0, 0, 0, v, 0, 0)
+      case ("day", "second")    => (0, 0, 0, 0, 0, v, ms)
+      case ("hour", null)       => (0, 0, 0, v, 0, 0, 0)
+      case ("hour", "minute")   => (0, 0, 0, 0, v, 0, 0)
+      case ("hour", "second")   => (0, 0, 0, 0, 0, v, ms)
+      case ("minute", null)     => (0, 0, 0, 0, v, 0, 0)
+      case ("minute", "second") => (0, 0, 0, 0, 0, v, 0)
+      case ("second", null)     => (0, 0, 0, 0, 0, v, ms)
+      case _ => throw new IllegalArgumentException(
+        "Invalid start and end combination")
+    }
+
+  private def roundToPrecision(p: P7, start: String, end: String): P7 = {
+    val (y, mo, d, h, mi, se, ms) = p
+    (start, end) match {
+      case ("year", null)       => (y, 0, 0, 0, 0, 0, 0)
+      case ("year", "month")    => (y, mo, 0, 0, 0, 0, 0)
+      case ("month", null)      => (y, mo, 0, 0, 0, 0, 0)
+      case ("day", null)        => (y, mo, d, 0, 0, 0, 0)
+      case ("day", "hour")      => (y, mo, d, h, 0, 0, 0)
+      case ("day", "minute")    => (y, mo, d, h, mi, 0, 0)
+      case ("day", "second")    => (y, mo, d, h, mi, se, 0)
+      case ("hour", null)       => (y, mo, d, h, 0, 0, 0)
+      case ("hour", "minute")   => (y, mo, d, h, mi, 0, 0)
+      case ("hour", "second")   => (y, mo, d, h, mi, se, 0)
+      case ("minute", null)     => (y, mo, d, h, mi, 0, 0)
+      case ("minute", "second") => (y, mo, d, h, mi, se, 0)
+      case ("second", null)     => (y, mo, d, h, mi, se, 0)
+      case _ => throw new IllegalArgumentException(
+        "Invalid start and end combination")
+    }
+  }
+
+  /** The reference cascade → normalized (months, days, micros).
+    * `start`/`end` are the typed-literal precision slots (null = none);
+    * an end without a start, or an end at-or-above the start's
+    * significance, is the reference grammar's loud rejection. */
+  def parseParts(value: String, start: String = null,
+                 end: String = null): (Int, Int, Long) = {
     if (value == null || value.trim.isEmpty) bad(value)
+    if (end != null) {
+      require(start != null, "Invalid start and end combination")
+      if (Precisions.indexOf(start) >= Precisions.indexOf(end))
+        throw new IllegalArgumentException(
+          "Startfield must be less significant than Endfield")
+    }
     val p: P7 =
-      try tryNumeric(value)
+      try {
+        val n = tryNumeric(value)
+        if (start == null) n
+        else numericWithPrecision(n._6, n._7, start, end)
+      }
       catch { case NumEx | _: IllegalArgumentException =>
-        try tryIso(value)
-        catch { case NumEx | _: IllegalArgumentException =>
-          try trySqlStandard(value)
+        val parsed =
+          try tryIso(value)
           catch { case NumEx | _: IllegalArgumentException =>
-            try tryPg(value)
-            catch { case NumEx => bad(value) }
+            try trySqlStandard(value)
+            catch { case NumEx | _: IllegalArgumentException =>
+              try tryPg(value)
+              catch { case NumEx => bad(value) }
+            }
           }
-        }
+        if (start == null) parsed else roundToPrecision(parsed, start, end)
       }
     val (y, mo, d, h, mi, se, ms) = p
     // Period.normalizedStandard(yearMonthDayTime): years fold into
@@ -289,13 +357,19 @@ object GraftInterval {
     UTF8String.fromString(formatParts(m, d, us))
   }
 
-  def parse(s: UTF8String): CalendarInterval = {
-    val (m, d, us) = parseParts(s.toString)
+  def parse(s: UTF8String): CalendarInterval = parse(s, null, null)
+
+  def parse(s: UTF8String, start: String, end: String): CalendarInterval = {
+    val (m, d, us) = parseParts(s.toString, start, end)
     new CalendarInterval(m, d, us)
   }
 
-  def parseStruct(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
-    val (m, d, us) = parseParts(s.toString)
+  def parseStruct(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow =
+    parseStruct(s, null, null)
+
+  def parseStruct(s: UTF8String, start: String,
+                  end: String): org.apache.spark.sql.catalyst.InternalRow = {
+    val (m, d, us) = parseParts(s.toString, start, end)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](m, d, us))
   }
@@ -306,40 +380,57 @@ object GraftInterval {
     StructField("micros", LongType, nullable = false)))
 }
 
-/** `graft_interval(s)` — the reference's interval grammar into Spark's
-  * CalendarInterval (timestamp ± works natively). Codegen'd. */
-case class IntervalParseExpr(child: Expression) extends UnaryExpression {
+/** `graft_interval(s[, start[, end]])` — the reference's interval
+  * grammar into Spark's CalendarInterval (timestamp ± works natively);
+  * start/end are the typed-literal precision slots. Codegen'd. */
+case class IntervalParseExpr(child: Expression,
+                             startPrec: Option[String] = None,
+                             endPrec: Option[String] = None)
+    extends UnaryExpression {
   override def prettyName: String = "graft_interval"
   override def dataType: DataType = CalendarIntervalType
   override def nullable: Boolean = true
+  private def jn(o: Option[String]): String = o.orNull
+  private def jq(o: Option[String]): String =
+    o.map(v => "\"" + v + "\"").getOrElse("null")
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
   override def nullSafeEval(input: Any): Any =
-    GraftInterval.parse(input.asInstanceOf[UTF8String])
+    GraftInterval.parse(input.asInstanceOf[UTF8String], jn(startPrec),
+      jn(endPrec))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.GraftInterval.parse($c)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.GraftInterval.parse($c, ${jq(startPrec)}, ${jq(endPrec)})")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
-/** `graft_interval_parts(s)` — the same parse as a
+/** `graft_interval_parts(s[, start[, end]])` — the same parse as a
   * STRUCT<months, days, micros> (hash-gate-friendly components). */
-case class IntervalPartsExpr(child: Expression) extends UnaryExpression {
+case class IntervalPartsExpr(child: Expression,
+                             startPrec: Option[String] = None,
+                             endPrec: Option[String] = None)
+    extends UnaryExpression {
   override def prettyName: String = "graft_interval_parts"
   override def dataType: DataType = GraftInterval.partsType
   override def nullable: Boolean = true
+  private def jn(o: Option[String]): String = o.orNull
+  private def jq(o: Option[String]): String =
+    o.map(v => "\"" + v + "\"").getOrElse("null")
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
   override def nullSafeEval(input: Any): Any =
-    GraftInterval.parseStruct(input.asInstanceOf[UTF8String])
+    GraftInterval.parseStruct(input.asInstanceOf[UTF8String], jn(startPrec),
+      jn(endPrec))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.GraftInterval.parseStruct($c)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.GraftInterval.parseStruct($c, ${jq(startPrec)}, ${jq(endPrec)})")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

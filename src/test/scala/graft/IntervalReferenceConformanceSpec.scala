@@ -83,6 +83,55 @@ class IntervalReferenceConformanceSpec extends SparkTestBase {
     assert(p("PT1.5S") == (0, 0, 1500000L))
   }
 
+  test("typed-literal precision (IntervalAnalysisTest ported)") {
+    def pp(s: String, a: String = null, b: String = null) =
+      GraftInterval.parseParts(s, a, b)
+    // string values ROUND to the precision window
+    assert(pp("6 years 5 mons 4 days 03:02:01", "year") == (72, 0, 0L))
+    assert(pp("2 seconds 200 ms", "minute") == (0, 0, 0L))
+    assert(pp("1 day 1 minute 2 seconds 200 ms", "minute") ==
+      (0, 1, 60000000L))
+    assert(pp("1 minute 2 seconds 200 ms", "minute") == (0, 0, 60000000L))
+    assert(pp("6 years 5 mons 4 days 03:02:01", "year", "month") ==
+      (77, 0, 0L))
+    assert(pp("6 years 5 mons 4 days 03:02:01", "day", "hour") ==
+      (77, 4, 3 * H))
+    // NUMERIC values take the (start, end) unit directly
+    assert(pp("1", "month") == (1, 0, 0L))
+    assert(pp("-1", "month") == (-1, 0, 0L))
+    assert(pp("1", "hour", "second") == (0, 0, 1000000L))
+    assert(pp("100", "day", "second") == (0, 0, 100000000L)) // = 1m40s
+    assert(pp("1", "day") == (0, 1, 0L))
+    // grammar-level ordering rejection, reference message
+    val e = intercept[IllegalArgumentException](pp("1", "month", "year"))
+    assert(e.getMessage == "Startfield must be less significant than Endfield")
+  }
+
+  test("typed-literal SQL routing: native where identical, graft_interval " +
+      "where the reference's semantics differ") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    def one(sql: String) = Engine.sql(spark, sql).collect()(0)
+    // reference: '100' DAY TO SECOND is 100 SECONDS (value takes the
+    // end unit) — 2000-01-01 + 100s
+    assert(one("SELECT CAST(TIMESTAMP '2000-01-01 00:00:00' " +
+      "+ INTERVAL '100' DAY TO SECOND AS STRING) AS t").getString(0)
+      .startsWith("2000-01-01 00:01:40"))
+    // verbose string + precision rounds: + 6 years exactly
+    assert(one("SELECT CAST(TIMESTAMP '2000-01-01 00:00:00' " +
+      "+ INTERVAL '6 years 5 mons 4 days 03:02:01' YEAR AS STRING) AS t")
+      .getString(0).startsWith("2006-01-01 00:00:00"))
+    // signed quoted literal: INTERVAL -'-1' MONTH = +1 month
+    assert(one("SELECT CAST(TIMESTAMP '2000-01-01 00:00:00' " +
+      "+ INTERVAL -'-1' MONTH AS STRING) AS t").getString(0)
+      .startsWith("2000-02-01"))
+    // Spark-native forms stay native and correct
+    assert(one("SELECT CAST(DATE '2000-01-01' + INTERVAL '60' DAY " +
+      "AS STRING) AS t").getString(0).startsWith("2000-03-01"))
+    assert(one("SELECT CAST(TIMESTAMP '2000-01-01 00:00:00' " +
+      "+ INTERVAL '1-2' YEAR TO MONTH AS STRING) AS t").getString(0)
+      .startsWith("2001-03-01"))
+  }
+
   test("display format = the reference PERIOD_FORMATTER doc goldens") {
     import GraftInterval.{formatParts => f}
     // data-types.rst pins these exact renderings
