@@ -54,9 +54,21 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val oracles = SparkEntry.oracleSql
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // forensic copies of the DYNAMIC oracles (spliced from ArtifactStore
+    // models at dump time): even if a later dump overwrites
+    // oracle_sql.json, the exact SQL this run spliced stays beside the
+    // model artifact it was spliced from (VERDICT r11 ask #1)
+    for (name <- Seq("q248_quality_classifier", "q240_semdedup_auto")) {
+      oracles.get(name).foreach { sql =>
+        try Files.writeString(
+          Paths.get(s"${graft.ArtifactStore.root}/${name}_spliced.sql"), sql)
+        catch { case _: Throwable => () }
+      }
+    }
     spark.stop()
   }
 }

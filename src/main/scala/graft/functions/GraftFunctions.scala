@@ -384,7 +384,7 @@ object GraftFunctions {
       }
       val s = exprs(0)
       If(IsNull(s), Literal.create(null, org.apache.spark.sql.types.StringType),
-        If(RLike(s, Literal("^[01]*$")),
+        If(RLike(s, Literal("^[01]*\\z")), // \z: Java's $ would accept a trailing newline
           StringRPad(Substring(s, Literal(1), Literal(n)), Literal(n),
             Literal("0")),
           RaiseError(Concat(Seq(

@@ -1114,6 +1114,8 @@ object JsInterp {
   private def jsonStringify(v: Any): String = v match {
     case null       => "null"
     case b: Boolean => b.toString
+    // JSON has no NaN/Infinity: JSON.stringify renders them null (ES)
+    case d: Double if d.isNaN || d.isInfinite => "null"
     case d: Double  => toStr(d)
     case s: String  => jsonQuote(s)
     case a: scala.collection.mutable.ArrayBuffer[_] =>

@@ -25,7 +25,19 @@ import org.apache.spark.unsafe.types.{CalendarInterval, UTF8String}
   *
   * Like the reference, the cascade tries each in order and the final
   * value normalizes years into months and whole days out of the time
-  * part (Period.normalizedStandard(yearMonthDayTime)). Typed-precision
+  * part (Period.normalizedStandard(yearMonthDayTime)).
+  *
+  * Faithful-quirk notes (ported bug-for-bug, adjudicated against the
+  * reference source in round 12's review): the SQL-standard machine
+  * silently OVERWRITES a repeated H:M[:S] or Y-M group ("15:30 10:20"
+  * keeps 15:30) exactly like SQLStandardIntervalParser's stateless
+  * branch; the PG leg's duplicate-unit guards test `> 0`, so a zero or
+  * negative first occurrence can be overwritten ("@ -1 hour 2 hours"),
+  * like PGIntervalParser.java:124-172; and MINUTE TO SECOND drops the
+  * numeric fraction while DAY/HOUR TO SECOND keep it, mirroring
+  * NumericalIntervalParser.java:96. ONE deliberate divergence: int
+  * overflow is LOUD on every leg (ArithmeticException "out of range"),
+  * where the reference's PG leg silently wraps 32 bits. Typed-precision
   * qualifiers (INTERVAL 'x' HOUR TO MINUTE) stay on Spark's native
   * syntax — this parser serves the STRING literal/cast form
   * (`'…'::interval`, `graft_interval('…')`). */
@@ -42,11 +54,19 @@ object GraftInterval {
     try java.lang.Integer.parseInt(s)
     catch { case _: NumberFormatException => throw NumEx }
 
-  /** BigDecimal int part, truncated toward zero (reference
-    * parseInteger). */
-  private def decInt(s: String): Int =
-    try new java.math.BigDecimal(s).intValue()
-    catch { case _: NumberFormatException => throw NumEx }
+  /** BigDecimal int part, truncated toward zero, LOUD above int range
+    * (reference NumericalIntervalParser.parseInteger raises
+    * ArithmeticException; its PG leg silently wraps via intValue() —
+    * graft goes loud on every leg, the engine's silent-wrong-value
+    * policy). */
+  private def decInt(s: String): Int = {
+    val bi =
+      try new java.math.BigDecimal(s).toBigInteger
+      catch { case _: NumberFormatException => throw NumEx }
+    if (bi.bitLength > 31)
+      throw new ArithmeticException(s"Interval field value out of range $s")
+    bi.intValue
+  }
 
   /** fraction → millis (reference IntervalParser.parseMilliSeconds). */
   private def decMillis(s: String): Int =
@@ -347,8 +367,17 @@ object GraftInterval {
       (if (v < 0) "-" else "") + (if (a < 10) "0" + a else a.toString)
     }
     if (sb.nonEmpty) sb.append(' ')
-    sb.append(f2(h)).append(':').append(f2(m)).append(':').append(f2(s))
-    if (ms != 0) sb.append(f".${math.abs(ms)}%03d")
+    // seconds + millis print as ONE signed field (joda
+    // appendSecondsWithOptionalMillis): '-0.5s' is "-00.500", never a
+    // sign-stripped "00.500"
+    val sMs = s * 1000 + ms
+    val secStr = {
+      val a = math.abs(s)
+      (if (sMs < 0) "-" else "") +
+        (if (a < 10) "0" + a else a.toString) +
+        (if (ms != 0) f".${math.abs(ms)}%03d" else "")
+    }
+    sb.append(f2(h)).append(':').append(f2(m)).append(':').append(secStr)
     sb.toString
   }
 

@@ -351,7 +351,7 @@ object QueriesRound11 {
     //    and formatTime's display form — DuckDB re-derives micros/offset
     //    ARITHMETICALLY from the same components (no parser involved),
     //    rebuilds the display string with printf, and re-ranks.
-    //  - BIT: 6-bit raw strings from row keys, the trim-to-n explicit
+    //  - BIT: 6-bit raw strings from row keys, the trim-or-extend explicit
     //    cast, and bit_cmp ordering — replayed with lpad/bin/substr and
     //    plain string ORDER BY (identical collation on '0'/'1').
     // The two global row_number ranks are CORRECTNESS plumbing (they

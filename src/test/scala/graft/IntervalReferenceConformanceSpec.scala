@@ -149,6 +149,19 @@ class IntervalReferenceConformanceSpec extends SparkTestBase {
       .toString == "1 year 2 mons 3 days 04:05:06")
   }
 
+  test("round-12 review fixes: signed sub-second format, loud overflow") {
+    import GraftInterval.{formatParts => f}
+    // a negative sub-second value keeps its sign (the seconds+millis
+    // field prints as ONE signed value, like joda)
+    assert(f(0, 0, -500000L) == "00:00:-00.500")
+    assert(p("-0.5") == (0, 0, -500000L))
+    // int overflow is LOUD on every leg (the reference's PG leg wraps)
+    val e = intercept[ArithmeticException](p("4294967296"))
+    assert(e.getMessage.contains("out of range"))
+    val e2 = intercept[ArithmeticException](p("9999999999 seconds"))
+    assert(e2.getMessage.contains("out of range"))
+  }
+
   test("SQL surface: ::interval and CAST AS interval route; ts arithmetic") {
     graft.functions.GraftFunctions.registerAll(spark)
     val r = Engine.sql(spark,
