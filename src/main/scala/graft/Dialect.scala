@@ -264,6 +264,9 @@ object Dialect {
     "varchar" -> "VARCHAR", "char" -> "CHAR", "character" -> "STRING",
     "int" -> "INT", "integer" -> "INT", "long" -> "BIGINT", "bigint" -> "BIGINT",
     "smallint" -> "SMALLINT", "short" -> "SMALLINT", "byte" -> "TINYINT",
+    // PG numeric aliases (reference DataTypesTest: int2/int4/int8 map to
+    // SHORT/INTEGER/LONG; float4/float8 are above)
+    "int2" -> "SMALLINT", "int4" -> "INT", "int8" -> "BIGINT",
     "real" -> "FLOAT", "float4" -> "FLOAT", "float" -> "FLOAT",
     "double" -> "DOUBLE", "float8" -> "DOUBLE",
     "boolean" -> "BOOLEAN", "bool" -> "BOOLEAN",
@@ -343,7 +346,13 @@ object Dialect {
             return Some(ts.slice(0, opStart) ++ lex(f) ++
               ts.slice(tyEnd + 1, ts.length))
           }
-          val mapped = typeMap.getOrElse(base, ts(tyStart).text) + params
+          val mapped0 = typeMap.getOrElse(base, ts(tyStart).text)
+          // bare varchar (no length) is the reference's alias of STRING
+          // (DataTypesTest.test_varchar_is_aliased_to_string); Spark's
+          // VARCHAR demands a length
+          val mapped =
+            if (params.isEmpty && mapped0 == "VARCHAR") "STRING"
+            else mapped0 + params
           val sparkTy = if (isArray) s"ARRAY<$mapped>" else mapped
           val repl = lex(s"CAST($operand AS $sparkTy)")
           return Some(ts.slice(0, opStart) ++ repl ++ ts.slice(tyEnd + 1, ts.length))
@@ -1475,7 +1484,7 @@ object Dialect {
         if (j + 1 < d.length && d(j + 1).isSym("(")) {
           val c = matchFwdIn(d, j + 1)
           (base + render(d.slice(j + 1, c + 1)).replaceAll("\\s", ""), c + 1)
-        } else (base, j + 1)
+        } else (if (base == "VARCHAR") "STRING" else base, j + 1)
     }
   }
 

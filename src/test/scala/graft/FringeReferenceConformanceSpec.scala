@@ -97,6 +97,19 @@ class FringeReferenceConformanceSpec extends SparkTestBase {
     assert(r.getString(1) == "1110") // test_explicit_cast_can_extend
   }
 
+  test("A1 type-name aliases (DataTypesTest): int2/int4/int8/float4/" +
+      "float8/varchar/decimal resolve through casts") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = Engine.sql(spark,
+      "SELECT 1::int2 AS a, 1::int4 AS b, 1::int8 AS c, " +
+        "1.5::float4 AS d, 1.5::float8 AS e, 7::varchar AS f, " +
+        "1.25::decimal(4,2) AS g").collect()(0)
+    assert(r.getShort(0) == 1 && r.getInt(1) == 1 && r.getLong(2) == 1L)
+    assert(r.getFloat(3) == 1.5f && r.getDouble(4) == 1.5)
+    assert(r.getString(5) == "7")
+    assert(BigDecimal(r.getDecimal(6)) == BigDecimal("1.25"))
+  }
+
   test("B4 valueForInsert requires the exact length (write-time)") {
     // test_value_for_insert_only_allows_exact_length_matches: a column
     // write rejects a length mismatch even though the CAST would extend
