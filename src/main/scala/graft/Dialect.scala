@@ -341,6 +341,25 @@ object Dialect {
               // grammar (Spark's CAST to interval types accepts only its
               // own literal syntax)
               Some(s"graft_interval($operand)")
+            else if (!isArray && (base == "text" || base == "string" ||
+                base == "varchar" || base == "char" ||
+                base == "character") && params.isEmpty &&
+                !(base == "char" || base == "character"))
+              // ::text — PG boolean rendering 't'/'f' (StringTypeTest);
+              // everything else delegates to Spark's string cast
+              Some(s"graft_to_text($operand)")
+            else if (!isArray && base == "varchar" && params.nonEmpty) {
+              // varchar(n) explicit cast TRUNCATES overflow
+              // (StringType.explicitCast), never errors like Spark's
+              val n = params.stripPrefix("(").stripSuffix(")").toInt
+              Some(s"substring(graft_to_text($operand), 1, $n)")
+            } else if (!isArray && (base == "char" || base == "character")) {
+              // char(n): truncate overflow AND blank-pad to n
+              // (CharacterTypeTest; default length 1)
+              val n = if (params.nonEmpty)
+                params.stripPrefix("(").stripSuffix(")").toInt else 1
+              Some(s"rpad(substring(graft_to_text($operand), 1, $n), $n, ' ')")
+            }
             else None
           fringe.foreach { f =>
             return Some(ts.slice(0, opStart) ++ lex(f) ++

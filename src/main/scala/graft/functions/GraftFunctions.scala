@@ -417,6 +417,10 @@ object GraftFunctions {
         ivPrec(exprs, 2)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_interval_format",
       exprs => graft.plans.IntervalFormatExpr(exprs(0)), "scala_udf")
+    // value→TEXT with the reference's boolean rendering ('t'/'f' —
+    // StringTypeTest); non-boolean inputs keep Spark's Cast codegen
+    reg.createOrReplaceTempFunction("graft_to_text",
+      exprs => graft.plans.ToTextExpr(exprs(0)), "scala_udf")
 
     // CrateDB array-bound / emptiness scalars as pure Catalyst compositions
     // (codegen'd, no UDF): null_or_empty covers BOTH the OBJECT and ARRAY

@@ -46,6 +46,28 @@ object QueriesRound12 {
           col("t_plus"), col("fmt"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("arm"))
+    }),
+
+    // The reference's TEXT-cast semantics (StringTypeTest /
+    // CharacterTypeTest), hash-gated: PG boolean rendering ('t'/'f'),
+    // varchar(n) explicit-cast truncation (Spark's own VARCHAR cast
+    // ERRORS on overflow), char(n) truncate+blank-pad. One arm per
+    // vector over documents.doc_id; the oracle replays the golden
+    // strings (DuckDB renders booleans 'true'/'false', so the goldens
+    // pin the DIVERGENCE from stock engines, which is the point).
+    "q254_text_casts" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      graft.Engine.sql(s,
+        """SELECT CAST(doc_id % 4 AS INT) AS arm,
+          |       (doc_id % 2 = 0)::text AS b_text,
+          |       (doc_id % 4)::varchar(1) AS v1,
+          |       ('w' || (doc_id % 4))::char(4) AS c4,
+          |       (doc_id % 2 = 0)::char(1) AS bc
+          |FROM documents""".stripMargin)
+        .groupBy(col("arm"), col("b_text"), col("v1"), col("c4"), col("bc"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("arm"))
     })
   )
 
@@ -79,6 +101,20 @@ object QueriesRound12 {
         |SELECT d.arm, w.months, w.days, w.micros, w.t_plus, w.fmt, count(*) AS n
         |FROM d JOIN w ON d.arm = w.arm
         |GROUP BY d.arm, w.months, w.days, w.micros, w.t_plus, w.fmt
+        |ORDER BY d.arm""".stripMargin,
+
+    // golden replay: arm = doc_id % 4; b_text/bc pin the PG boolean
+    // rendering, v1 the varchar(1) truncation, c4 the char(4) pad
+    "q254_text_casts" ->
+      """WITH d AS (SELECT CAST(doc_id % 4 AS INT) AS arm FROM documents),
+        |g(arm, b_text, v1, c4, bc) AS (VALUES
+        |  (0, 't', '0', 'w0  ', 't'),
+        |  (1, 'f', '1', 'w1  ', 'f'),
+        |  (2, 't', '2', 'w2  ', 't'),
+        |  (3, 'f', '3', 'w3  ', 'f'))
+        |SELECT d.arm, g.b_text, g.v1, g.c4, g.bc, count(*) AS n
+        |FROM d JOIN g ON d.arm = g.arm
+        |GROUP BY d.arm, g.b_text, g.v1, g.c4, g.bc
         |ORDER BY d.arm""".stripMargin
   )
 }

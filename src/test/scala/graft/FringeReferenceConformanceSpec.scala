@@ -110,6 +110,25 @@ class FringeReferenceConformanceSpec extends SparkTestBase {
     assert(BigDecimal(r.getDecimal(6)) == BigDecimal("1.25"))
   }
 
+  test("A2 text casts (StringTypeTest/CharacterTypeTest): boolean 't'/'f', " +
+      "varchar(n) truncates, char(n) truncates and blank-pads") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = Engine.sql(spark,
+      "SELECT true::text AS a, false::text AS b, 123::text AS c, " +
+        "'abcde'::varchar(1) AS d, 'a    '::varchar(2) AS e, " +
+        "'abc'::varchar(5) AS f, 'foo'::char(1) AS g, true::char(1) AS h, " +
+        "'a'::char(5) AS i, (-12)::char(1) AS j").collect()(0)
+    assert(r.getString(0) == "t" && r.getString(1) == "f") // PG booleans
+    assert(r.getString(2) == "123")
+    assert(r.getString(3) == "a")    // explicit varchar(1) truncates
+    assert(r.getString(4) == "a ")   // keeps inner blank, truncates to 2
+    assert(r.getString(5) == "abc")  // within limit, untouched
+    assert(r.getString(6) == "f")    // char(1) truncates
+    assert(r.getString(7) == "t")    // char(1) of boolean
+    assert(r.getString(8) == "a    ") // char(5) blank-pads
+    assert(r.getString(9) == "-")    // char(1) of -12
+  }
+
   test("B4 valueForInsert requires the exact length (write-time)") {
     // test_value_for_insert_only_allows_exact_length_matches: a column
     // write rejects a length mismatch even though the CAST would extend

@@ -102,7 +102,8 @@ class DialectSpec extends AnyFunSuite {
     "SELECT '1'::decimal(10,2)" -> "SELECT CAST('1' AS DECIMAL(10,2))",
     "SELECT (a + b)::double FROM t" -> "SELECT CAST((a + b) AS DOUBLE) FROM t",
     "SELECT (price * 1.1)::integer FROM orders" -> "SELECT CAST((price * 1.1) AS INT) FROM orders",
-    "SELECT abs(x)::text FROM t" -> "SELECT CAST(abs(x) AS STRING) FROM t",
+    // ::text routes through graft_to_text (PG boolean 't'/'f' rendering)
+    "SELECT abs(x)::text FROM t" -> "SELECT graft_to_text(abs(x)) FROM t",
     "SELECT x::int[] FROM t" -> "SELECT CAST(x AS ARRAY<INT>) FROM t",
     "SELECT ts::timestamp with time zone FROM t" -> "SELECT CAST(ts AS TIMESTAMP) FROM t",
     "SELECT o.col::ip FROM t" -> "SELECT CAST(o.col AS STRING) FROM t",
