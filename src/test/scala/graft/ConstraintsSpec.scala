@@ -8,7 +8,7 @@ package graft
 class ConstraintsSpec extends SparkTestBase {
 
   private def newRouter() = {
-    val root = java.nio.file.Files.createTempDirectory("graft_cons").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graft_cons").toFile.getAbsolutePath
     new StatementRouter(spark, root)
   }
 
@@ -103,7 +103,7 @@ class ConstraintsSpec extends SparkTestBase {
       a bigint CHECK (a > 0),
       doubled GENERATED ALWAYS AS (a * 2)
     )""")
-    val dir = java.nio.file.Files.createTempDirectory("graft_cpy")
+    val dir = graft.ArtifactStore.scratchDir("graft_cpy")
     val f = dir.resolve("rows.json")
     java.nio.file.Files.write(f, "{\"a\": 5}\n{\"a\": 7}\n".getBytes)
     r.execute(s"COPY cpy FROM '${f}'")

@@ -132,7 +132,7 @@ class FringeReferenceConformanceSpec extends SparkTestBase {
   test("B4 valueForInsert requires the exact length (write-time)") {
     // test_value_for_insert_only_allows_exact_length_matches: a column
     // write rejects a length mismatch even though the CAST would extend
-    val root = java.nio.file.Files.createTempDirectory("graft_bvi")
+    val root = graft.ArtifactStore.scratchDir("graft_bvi")
       .toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("CREATE TABLE bvi (id BIGINT PRIMARY KEY, b BIT(3))")

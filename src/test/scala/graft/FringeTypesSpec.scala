@@ -107,7 +107,7 @@ class FringeTypesSpec extends SparkTestBase {
   }
 
   test("BIT(n) columns enforce exact length at write, like valueForInsert") {
-    val root = java.nio.file.Files.createTempDirectory("graft_bit")
+    val root = graft.ArtifactStore.scratchDir("graft_bit")
       .toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("CREATE TABLE bt (id BIGINT PRIMARY KEY, b BIT(6))")
@@ -125,7 +125,7 @@ class FringeTypesSpec extends SparkTestBase {
   }
 
   test("timetz columns round-trip through a table") {
-    val root = java.nio.file.Files.createTempDirectory("graft_ttz")
+    val root = graft.ArtifactStore.scratchDir("graft_ttz")
       .toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("CREATE TABLE shifts (id BIGINT PRIMARY KEY, t TIMETZ)")

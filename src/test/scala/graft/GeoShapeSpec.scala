@@ -167,7 +167,7 @@ class ExtensionsSpec extends SparkTestBase {
 /** File-source structured streaming over the events fixture. */
 class FileStreamSpec extends SparkTestBase {
   test("parquet file stream through the tumbling-count transform") {
-    val dir = java.nio.file.Files.createTempDirectory("evstream").toFile.getAbsolutePath
+    val dir = graft.ArtifactStore.scratchDir("evstream").toFile.getAbsolutePath
     val batch = Tables.load(spark, sfDir, "events")
     batch.write.mode("overwrite").parquet(dir)
     val stream = spark.readStream.schema(batch.schema).parquet(dir)

@@ -11,7 +11,7 @@ import graft.operators.MatchText
 class IncrementalIndexSpec extends SparkTestBase {
 
   test("partition-granular DML patches the stored index, results match a full rebuild") {
-    val root = Files.createTempDirectory("graftinc").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graftinc").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("""CREATE TABLE inc_docs (
         id BIGINT PRIMARY KEY, day TEXT, txt TEXT,
@@ -69,7 +69,7 @@ class IncrementalIndexSpec extends SparkTestBase {
   }
 
   test("row-diff delta maintains indexes on UNPARTITIONED tables") {
-    val root = Files.createTempDirectory("graftinc2").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graftinc2").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("""CREATE TABLE flat_docs (
         id BIGINT PRIMARY KEY, txt TEXT,

@@ -393,7 +393,7 @@ class JsClassGenSpec extends SparkTestBase {
   // ------------------------------------------------------------------
 
   test("a class+generator+let-capture body runs through the router") {
-    val root = java.nio.file.Files.createTempDirectory("jsclass").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("jsclass").toFile.getAbsolutePath
     val r = new graft.StatementRouter(spark, root)
     r.execute(
       """CREATE OR REPLACE FUNCTION js_stats(bigint) RETURNS text

@@ -283,7 +283,7 @@ class JsEs2Spec extends SparkTestBase {
   }
 
   test("TDZ surfaces through CREATE FUNCTION with the name in the error") {
-    val root = java.nio.file.Files.createTempDirectory("jstdz")
+    val root = graft.ArtifactStore.scratchDir("jstdz")
       .toFile.getAbsolutePath
     val r = new graft.StatementRouter(spark, root)
     r.execute(
@@ -300,7 +300,7 @@ class JsEs2Spec extends SparkTestBase {
   }
 
   test("a switch+destructuring+spread body runs through CREATE FUNCTION") {
-    val root = java.nio.file.Files.createTempDirectory("jses2")
+    val root = graft.ArtifactStore.scratchDir("jses2")
       .toFile.getAbsolutePath
     val r = new graft.StatementRouter(spark, root)
     r.execute(

@@ -120,7 +120,7 @@ class JsInterpSpec extends SparkTestBase {
   }
 
   test("routed CREATE FUNCTION falls back to the interpreter end-to-end") {
-    val root = java.nio.file.Files.createTempDirectory("graft_jsinterp")
+    val root = graft.ArtifactStore.scratchDir("graft_jsinterp")
       .toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute(

@@ -17,7 +17,7 @@ import org.apache.spark.sql.Row
 class JsReferenceConformanceSpec extends SparkTestBase {
 
   private lazy val r = {
-    val root = java.nio.file.Files.createTempDirectory("jsconf")
+    val root = graft.ArtifactStore.scratchDir("jsconf")
       .toFile.getAbsolutePath
     new StatementRouter(spark, root)
   }

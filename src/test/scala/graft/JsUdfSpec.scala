@@ -8,7 +8,7 @@ class JsUdfSpec extends SparkTestBase {
   import graft.functions.JsUdf
 
   private lazy val router = {
-    val root = java.nio.file.Files.createTempDirectory("graft_jsudf").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graft_jsudf").toFile.getAbsolutePath
     new StatementRouter(spark, root)
   }
 
@@ -155,7 +155,7 @@ class JsUdfBreadthSpec extends SparkTestBase {
   import graft.functions.JsUdf
 
   private lazy val router = {
-    val root = java.nio.file.Files.createTempDirectory("graft_jsudf2").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graft_jsudf2").toFile.getAbsolutePath
     new StatementRouter(spark, root)
   }
 
@@ -268,7 +268,7 @@ class JsUdfLoopSpec extends SparkTestBase {
   import graft.functions.JsUdf
 
   private lazy val router = {
-    val root = java.nio.file.Files.createTempDirectory("graft_jsudf3").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graft_jsudf3").toFile.getAbsolutePath
     new StatementRouter(spark, root)
   }
 

@@ -14,7 +14,7 @@ class KnnStoredRouteSpec extends SparkTestBase {
       "ORDER BY _score DESC"
 
   test("knn_match builds, loads, and delta-patches the stored IVF index") {
-    val root = Files.createTempDirectory("graft_knn").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graft_knn").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute(
       """CREATE TABLE vt (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(2),
@@ -60,7 +60,7 @@ class KnnStoredRouteSpec extends SparkTestBase {
   }
 
   test("knn_match without a declared index still answers (exact fallback)") {
-    val root = Files.createTempDirectory("graft_knn2").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graft_knn2").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("CREATE TABLE vt2 (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(2))")
     r.execute("INSERT INTO vt2 (id, emb) VALUES (1, [1.0, 0.0]), (2, [0.0, 1.0])")
@@ -70,7 +70,7 @@ class KnnStoredRouteSpec extends SparkTestBase {
   }
 
   test("extra WHERE conjuncts pre-filter THROUGH the stored index") {
-    val root = Files.createTempDirectory("graft_knn3").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graft_knn3").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute(
       """CREATE TABLE vt3 (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(2),
@@ -99,7 +99,7 @@ class KnnStoredRouteSpec extends SparkTestBase {
   }
 
   test("selective filter matching only unprobed buckets widens the probe") {
-    val root = Files.createTempDirectory("graft_knn5").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graft_knn5").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     // two well-separated clusters, 2 centroids, nprobe = 1: a query near
     // cluster A probes only A's bucket; a filter selecting cluster B rows
@@ -147,7 +147,7 @@ class KnnStoredRouteSpec extends SparkTestBase {
     // the recall guard counts the probed search; the hits view must read
     // those SAME materialized rows, not re-run probe + semi-join + rescore
     // (at 100 TB an uncached guard doubles every filtered vector query)
-    val root = Files.createTempDirectory("graft_knn8").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graft_knn8").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute(
       """CREATE TABLE vt8 (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(2),
@@ -182,7 +182,7 @@ class KnnStoredRouteSpec extends SparkTestBase {
   }
 
   test("a line comment inside a pre-filter conjunct does not corrupt the rewrite") {
-    val root = Files.createTempDirectory("graft_knn6").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graft_knn6").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("CREATE TABLE vt6 (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(2))")
     r.execute("INSERT INTO vt6 (id, emb) VALUES " +
@@ -196,7 +196,7 @@ class KnnStoredRouteSpec extends SparkTestBase {
   }
 
   test("a filter that fails analysis leaves no temp view behind") {
-    val root = Files.createTempDirectory("graft_knn7").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graft_knn7").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute(
       """CREATE TABLE vt7 (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(2),
@@ -215,7 +215,7 @@ class KnnStoredRouteSpec extends SparkTestBase {
   }
 
   test("encoding = 'pq' stores an IVF-PQ index: build/load/delta + filtered widen") {
-    val root = Files.createTempDirectory("graft_knnpq").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graft_knnpq").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute(
       """CREATE TABLE vpq (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(8),
@@ -267,7 +267,7 @@ class KnnStoredRouteSpec extends SparkTestBase {
 
   test("pq_residual = true stores residual codes: build/load/delta, " +
        "SHOW CREATE round-trip, exact top ranks") {
-    val root = Files.createTempDirectory("graft_knnpqr").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graft_knnpqr").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute(
       """CREATE TABLE vpqr (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(8),
@@ -312,7 +312,7 @@ class KnnStoredRouteSpec extends SparkTestBase {
   }
 
   test("non-literal query vectors are served from the stored index") {
-    val root = Files.createTempDirectory("graft_knn4").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graft_knn4").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute(
       """CREATE TABLE vt4 (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(2),
@@ -349,8 +349,8 @@ class KnnLayoutMatrixSpec extends SparkTestBase {
 
   test("the same delta scenario is served identically by all three layouts") {
     val results = layouts.map { case (name, opts) =>
-      val root = java.nio.file.Files
-        .createTempDirectory(s"graft_mx_$name").toFile.getAbsolutePath
+      val root = graft.ArtifactStore
+        .scratchDir(s"graft_mx_$name").toFile.getAbsolutePath
       val r = new StatementRouter(spark, root)
       val t = s"mx_$name"
       r.execute(s"""CREATE TABLE $t (id BIGINT PRIMARY KEY,
@@ -398,8 +398,8 @@ class KnnAutoNprobeSpec extends SparkTestBase {
   }.mkString(", ")
 
   test("recall declaration calibrates, persists, resolves, round-trips") {
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_np").toFile.getAbsolutePath
+    val root = graft.ArtifactStore
+      .scratchDir("graft_np").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute(
       """CREATE TABLE va (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(2),
@@ -454,8 +454,8 @@ class KnnAutoNprobeSpec extends SparkTestBase {
   * commit. */
 class KnnCurveCarrySpec extends SparkTestBase {
   test("churn keeps the curve: copied forward on delta, np still resolves") {
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_cc").toFile.getAbsolutePath
+    val root = graft.ArtifactStore
+      .scratchDir("graft_cc").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute(
       """CREATE TABLE vd (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(2),
@@ -499,8 +499,8 @@ class KnnCurveCarrySpec extends SparkTestBase {
   * `recall_sample` DDL option riding the analyzer slot. */
 class KnnCurveStalenessSpec extends SparkTestBase {
   test("small churn carries curve + accounting; past 20% it recalibrates") {
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_cs").toFile.getAbsolutePath
+    val root = graft.ArtifactStore
+      .scratchDir("graft_cs").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute(
       """CREATE TABLE vs (id BIGINT PRIMARY KEY, emb FLOAT_VECTOR(2),

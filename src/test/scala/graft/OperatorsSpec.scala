@@ -161,7 +161,7 @@ class SimilaritySpec extends SparkTestBase {
 
   test("stored quantized index: codes-only scan, bucket partition pruning") {
     val (bucketed, centroids) = Similarity.ivfBucketize(emb, numCentroids = 8)
-    val dir = java.nio.file.Files.createTempDirectory("graft_qidx").toFile.getAbsolutePath
+    val dir = graft.ArtifactStore.scratchDir("graft_qidx").toFile.getAbsolutePath
     Similarity.saveQuantizedIndex(bucketed, centroids, dir)
     val (codes, cents) = Similarity.loadQuantizedIndex(spark, dir)
     val qs = emb.filter($"vec_id" < 3)
@@ -919,7 +919,7 @@ class StreamMinhashDedupSpec extends SparkTestBase {
   private def nearDup(s: String) = s.replace("dark", "darkish")
 
   test("dedupMinhashIncrement: near-dups drop across increments, state durable") {
-    val state = java.nio.file.Files.createTempDirectory("graft_mhstate").toFile.getAbsolutePath
+    val state = graft.ArtifactStore.scratchDir("graft_mhstate").toFile.getAbsolutePath
     val other = "completely different content about spark sql execution " +
       "plans and columnar parquet readers with adaptive query execution enabled"
     val b1 = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
@@ -947,8 +947,8 @@ class StreamMinhashDedupSpec extends SparkTestBase {
 
   test("minhashDedupStream: foreachBatch wiring dedups across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
-    val state = java.nio.file.Files.createTempDirectory("graft_mhstate2").toFile.getAbsolutePath
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_mhckpt").toFile.getAbsolutePath
+    val state = graft.ArtifactStore.scratchDir("graft_mhstate2").toFile.getAbsolutePath
+    val ckpt = graft.ArtifactStore.scratchDir("graft_mhckpt").toFile.getAbsolutePath
     val mem = MemoryStream[(Long, String)]
     val stream = mem.toDF().toDF("doc_id", "text")
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -1068,7 +1068,7 @@ class StreamUpsertSinkSpec extends SparkTestBase {
 
   test("micro-batch upsert publishes one atomic version per batch") {
     implicit val sqlCtx = spark.sqlContext
-    val tmp = java.nio.file.Files.createTempDirectory("vts").toFile.getAbsolutePath
+    val tmp = graft.ArtifactStore.scratchDir("vts").toFile.getAbsolutePath
     val path = tmp + "/t"
     val mem = MemoryStream[(Long, String)]
     val q = graft.streaming.EventsStream.upsertStream(
@@ -1277,7 +1277,7 @@ class PackShardsSpec extends SparkTestBase {
 
   test("writeShards lays out shard=K dirs capped by maxRecordsPerFile") {
     val docs = Tables.load(spark, sfDir, "documents")
-    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val out = graft.ArtifactStore.scratchDir("graft-shards").toString
     Sampling.writeShards(docs, "doc_id", out, numShards = 4, maxRecordsPerFile = 50)
     val back = spark.read.parquet(out)
     assert(back.count() == docs.count())

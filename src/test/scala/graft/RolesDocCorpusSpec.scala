@@ -10,7 +10,7 @@ class RolesDocCorpusSpec extends SparkTestBase {
   test("privileges.rst: grant/deny graph and the sys.privileges table") {
     graft.sources.Roles.reset()
     try {
-      val root = java.nio.file.Files.createTempDirectory("graft_docp").toFile.getAbsolutePath
+      val root = graft.ArtifactStore.scratchDir("graft_docp").toFile.getAbsolutePath
       val r = new StatementRouter(spark, root)
       // privileges.rst:111-159, 214-240 — the statements as written
       Seq(
@@ -58,7 +58,7 @@ class RolesDocCorpusSpec extends SparkTestBase {
   test("user-management.rst: role lifecycle, inheritance listing, error shapes") {
     graft.sources.Roles.reset()
     try {
-      val root = java.nio.file.Files.createTempDirectory("graft_docu").toFile.getAbsolutePath
+      val root = graft.ArtifactStore.scratchDir("graft_docu").toFile.getAbsolutePath
       val r = new StatementRouter(spark, root)
       // :52-87 — quoted role names, duplicate error
       r.execute("CREATE ROLE role_a")

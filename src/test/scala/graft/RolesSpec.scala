@@ -8,7 +8,7 @@ package graft
 class RolesSpec extends SparkTestBase {
 
   private def newRouter() = {
-    val root = java.nio.file.Files.createTempDirectory("graft_roles").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graft_roles").toFile.getAbsolutePath
     new StatementRouter(spark, root)
   }
 

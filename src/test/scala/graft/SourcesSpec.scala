@@ -12,7 +12,7 @@ class CopyOpsSpec extends SparkTestBase {
     StructField("id", LongType), StructField("name", StringType)))
 
   test("COPY TO parquet with PARTITION BY prunes downstream scans") {
-    val dir = Files.createTempDirectory("copypq").toFile.getAbsolutePath + "/out"
+    val dir = graft.ArtifactStore.scratchDir("copypq").toFile.getAbsolutePath + "/out"
     val df = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "x")).toDF("id", "v", "part")
     CopyOps.copyToParquet(df, dir, partitionBy = Seq("part"))
     assert(new java.io.File(dir, "part=x").isDirectory)
@@ -22,7 +22,7 @@ class CopyOpsSpec extends SparkTestBase {
   }
 
   test("COPY FROM json: good rows + RETURN SUMMARY error channel") {
-    val dir = Files.createTempDirectory("copyjson").toFile
+    val dir = graft.ArtifactStore.scratchDir("copyjson").toFile
     val f = new java.io.File(dir, "in.json")
     Files.writeString(f.toPath,
       """{"id": 1, "name": "a"}
@@ -38,7 +38,7 @@ class CopyOpsSpec extends SparkTestBase {
   }
 
   test("COPY FROM csv with glob + gzip transparency; COPY TO round-trips") {
-    val dir = Files.createTempDirectory("copycsv").toFile.getAbsolutePath
+    val dir = graft.ArtifactStore.scratchDir("copycsv").toFile.getAbsolutePath
     val df = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "name")
     CopyOps.copyToCsv(df, s"$dir/out", gzip = true)
     val (back, summary) = CopyOps.copyFromCsv(spark, schema, header = true, s"$dir/out/*.csv.gz")
@@ -70,7 +70,7 @@ class DmlSpec extends SparkTestBase {
   }
 
   test("commitVersion: read-modify-write on the same path is atomic") {
-    val dir = java.nio.file.Files.createTempDirectory("dml").toFile.getAbsolutePath + "/t"
+    val dir = graft.ArtifactStore.scratchDir("dml").toFile.getAbsolutePath + "/t"
     target.write.parquet(dir)
     // next version reads FROM the path it will replace — the staging dir
     // makes that safe
@@ -107,7 +107,7 @@ class DmlSpec extends SparkTestBase {
   }
 
   test("partitioned write gets partition pruning in the plan") {
-    val dir = Files.createTempDirectory("part").toFile.getAbsolutePath + "/t"
+    val dir = graft.ArtifactStore.scratchDir("part").toFile.getAbsolutePath + "/t"
     val orders = Tables.load(spark, sfDir, "orders")
       .withColumn("o_year", year(col("o_orderdate")))
     Dml.writePartitioned(orders, dir, Seq("o_year"))
@@ -123,7 +123,7 @@ class VersionedTableSpec extends SparkTestBase {
   import spark.implicits._
 
   test("commit / read / time travel / transact / vacuum lifecycle") {
-    val path = java.nio.file.Files.createTempDirectory("vt").toFile.getAbsolutePath + "/t"
+    val path = graft.ArtifactStore.scratchDir("vt").toFile.getAbsolutePath + "/t"
     val v1 = VersionedTable.commit(spark,
       path, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
     assert(v1 == 1)
@@ -232,7 +232,7 @@ class InformationSchemaSpec extends SparkTestBase {
 
   test("FDW DDL populates foreign_servers/foreign_tables/user_mappings") {
     val router = new StatementRouter(spark,
-      java.nio.file.Files.createTempDirectory("graft-fdw").toString)
+      graft.ArtifactStore.scratchDir("graft-fdw").toString)
     router.execute(
       "CREATE SERVER pg_prod FOREIGN DATA WRAPPER jdbc " +
       "OPTIONS (url 'jdbc:postgresql://remote:5432/db', fetch_size '500')")
@@ -276,7 +276,7 @@ class InformationSchemaSpec extends SparkTestBase {
     // reference it, and repeated references must reuse the resolved
     // relation (embedded Derby stands in for the remote server)
     import spark.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft-fdwlazy").toString
+    val root = graft.ArtifactStore.scratchDir("graft-fdwlazy").toString
     System.setProperty("derby.system.home", root)
     val url = s"jdbc:derby:$root/lazydb;create=true"
     Seq((1L, "x"), (2L, "y")).toDF("id", "v")
@@ -339,7 +339,7 @@ class DynamicObjectsSpec extends SparkTestBase {
   import spark.implicits._
 
   test("dynamic object columns: schema widens across writes (mergeSchema)") {
-    val dir = java.nio.file.Files.createTempDirectory("dyn").toFile.getAbsolutePath + "/t"
+    val dir = graft.ArtifactStore.scratchDir("dyn").toFile.getAbsolutePath + "/t"
     val v1 = Seq((1L, "a")).toDF("id", "name")
       .withColumn("obj", struct(lit(1).as("x")))
     DynamicObjects.appendDynamic(v1, dir)
@@ -387,7 +387,7 @@ class StatsSpec extends SparkTestBase {
   }
 
   test("dynamic partition pruning fires on a partitioned fact join") {
-    val dir = java.nio.file.Files.createTempDirectory("dpp").toFile.getAbsolutePath + "/t"
+    val dir = graft.ArtifactStore.scratchDir("dpp").toFile.getAbsolutePath + "/t"
     val orders = Tables.load(spark, sfDir, "orders").withColumn("o_year", year(col("o_orderdate")))
     graft.sources.Dml.writePartitioned(orders, dir, Seq("o_year"))
     import spark.implicits._
@@ -402,7 +402,7 @@ class StatsSpec extends SparkTestBase {
 
 class MaintenanceSpec extends SparkTestBase {
   test("OPTIMIZE compacts many small files into few") {
-    val dir = java.nio.file.Files.createTempDirectory("opt").toFile.getAbsolutePath + "/t"
+    val dir = graft.ArtifactStore.scratchDir("opt").toFile.getAbsolutePath + "/t"
     Tables.load(spark, sfDir, "orders").repartition(24).write.parquet(dir)
     def nFiles = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
     assert(nFiles >= 24)
@@ -478,7 +478,7 @@ class SysCatalogSpec extends SparkTestBase {
   }
 
   test("sys.snapshots lists committed versions of versioned tables") {
-    val root = java.nio.file.Files.createTempDirectory("graftsnap").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graftsnap").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("CREATE TABLE snapt (id BIGINT PRIMARY KEY)")
     r.execute("INSERT INTO snapt (id) VALUES (1)")
@@ -568,7 +568,7 @@ class AnalyzerDdlSpec extends SparkTestBase {
   import graft.operators.MatchText.Analyzer
 
   test("CREATE ANALYZER: tokenizer + token filters + char filters (reference doctest)") {
-    val root = Files.createTempDirectory("graftan").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graftan").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     // docs/general/ddl/fulltext-indices.rst "Creating a custom analyzer"
     r.execute("""CREATE ANALYZER myanalyzer (
@@ -608,7 +608,7 @@ class AnalyzerDdlSpec extends SparkTestBase {
   }
 
   test("CREATE ANALYZER EXTENDS snowball (reference german_snowball doctest shape)") {
-    val root = Files.createTempDirectory("graftan2").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graftan2").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("create ANALYZER english_snowball extends snowball WITH (language = 'english')")
     val a = Analyzer.byName("english_snowball")
@@ -630,7 +630,7 @@ class AnalyzerDdlSpec extends SparkTestBase {
   }
 
   test("token filters: asciifolding, edge_ngram, shingle (builtin-token-filters)") {
-    val root = Files.createTempDirectory("graftan3").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graftan3").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("""CREATE ANALYZER folded (
         TOKENIZER standard, TOKEN_FILTERS (lowercase, asciifolding))""")
@@ -662,7 +662,7 @@ class AnalyzerDdlSpec extends SparkTestBase {
 class StatementRouterSpec extends SparkTestBase {
 
   test("SET/RESET, SHOW CREATE TABLE, and the sys.jobs_log trail") {
-    val root = Files.createTempDirectory("graftset").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graftset").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
 
     // SET with scope modifiers collapses onto the session conf,
@@ -732,7 +732,7 @@ class StatementRouterSpec extends SparkTestBase {
   }
 
   test("fulltext INDEX DDL: parsed, analyzer-validated, durable, rendered back") {
-    val root = Files.createTempDirectory("graftftix").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graftftix").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
 
     // table-level composite index + column-level index, reference
@@ -797,7 +797,7 @@ class StatementRouterSpec extends SparkTestBase {
   }
 
   test("ALTER TABLE: add/drop/rename column, rename table, settings; SHOW statements") {
-    val root = Files.createTempDirectory("graftalter").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graftalter").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("CREATE TABLE at (id BIGINT PRIMARY KEY, name TEXT)")
     r.execute("INSERT INTO at (id, name) VALUES (1, 'a'), (2, 'b')")
@@ -853,7 +853,7 @@ class StatementRouterSpec extends SparkTestBase {
   }
 
   test("CREATE/DROP VIEW: durable text, re-analyzed per use, view-on-view") {
-    val root = Files.createTempDirectory("graftview").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graftview").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("CREATE TABLE vt (id BIGINT, amt DOUBLE)")
     r.execute("INSERT INTO vt (id, amt) VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
@@ -891,7 +891,7 @@ class StatementRouterSpec extends SparkTestBase {
   }
 
   test("maintenance verbs: REFRESH, OPTIMIZE as new version, ANALYZE, KILL") {
-    val root = Files.createTempDirectory("graftmaint").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graftmaint").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("CREATE TABLE mt (id BIGINT, v TEXT)")
     // many small inserts → many versions; OPTIMIZE compacts into the next one
@@ -927,7 +927,7 @@ class StatementRouterSpec extends SparkTestBase {
   }
 
   test("ANALYZE samples the MCV pass above the cap; frequencies stay scaled") {
-    val root = Files.createTempDirectory("graftmcv").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graftmcv").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("CREATE TABLE mcvt (k BIGINT, v TEXT)")
     // 2000 rows, 90% 'common' / 10% 'rare-<k>' — the top value's true
@@ -953,7 +953,7 @@ class StatementRouterSpec extends SparkTestBase {
   }
 
   test("full CrateDB client session: DDL, upserts, update/delete returning, select") {
-    val root = Files.createTempDirectory("graftsql").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graftsql").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
 
     // CrateDB DDL: text/timestamp types, translated
@@ -1010,11 +1010,11 @@ class StatementRouterSpec extends SparkTestBase {
 
 class StatementRouterCopySpec extends SparkTestBase {
   test("COPY FROM json appends a version; RETURN SUMMARY reports bad rows; COPY TO round-trips") {
-    val root = Files.createTempDirectory("graftcopy").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graftcopy").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("CREATE TABLE imp (id BIGINT, name TEXT)")
 
-    val src = Files.createTempDirectory("graftcopysrc").toFile.getAbsolutePath
+    val src = graft.ArtifactStore.scratchDir("graftcopysrc").toFile.getAbsolutePath
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$src/a.json"),
       "{\"id\": 1, \"name\": \"x\"}\n{\"id\": 2, \"name\": \"y\"}\nnot json at all\n".getBytes)
 
@@ -1026,7 +1026,7 @@ class StatementRouterCopySpec extends SparkTestBase {
     assert(sum.columns.contains("error_count"))
     assert(sum.collect().map(_.getAs[Long]("error_count")).sum == 1)
 
-    val out = Files.createTempDirectory("graftcopyout").toFile.getAbsolutePath + "/exp"
+    val out = graft.ArtifactStore.scratchDir("graftcopyout").toFile.getAbsolutePath + "/exp"
     val exported = r.execute(s"COPY imp TO DIRECTORY '$out' WITH (format = 'csv')")
     assert(exported.head().getLong(0) == 4) // two loads of the same file
     val back = spark.read.option("header", "true").csv(out)
@@ -1039,7 +1039,7 @@ class StatementRouterCopySpec extends SparkTestBase {
 
 class StatementScriptSpec extends SparkTestBase {
   test("multi-statement script: split is literal-safe, last result returned, each stmt durable") {
-    val root = Files.createTempDirectory("graftscript").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graftscript").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     val out = r.executeScript(
       """CREATE TABLE s1 (k BIGINT, v TEXT);
@@ -1055,7 +1055,7 @@ class StatementScriptSpec extends SparkTestBase {
 
 class TransactionSpec extends SparkTestBase {
   test("BEGIN/COMMIT batches DML into one version per table; ROLLBACK discards; reads see own writes") {
-    val root = Files.createTempDirectory("grafttxn").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("grafttxn").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("CREATE TABLE tx (k BIGINT, v TEXT)")    // v1
     r.execute("INSERT INTO tx (k, v) VALUES (1, 'a')") // v2
@@ -1096,7 +1096,7 @@ class TransactionSpec extends SparkTestBase {
 
 class VersionedBucketingSpec extends SparkTestBase {
   test("CLUSTERED BY INTO n SHARDS threads to bucketed versions; co-bucketed join shuffle-free across DML") {
-    val root = Files.createTempDirectory("graftvbucket").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graftvbucket").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("CREATE TABLE bta (k BIGINT, v TEXT) CLUSTERED BY (k) INTO 4 SHARDS")
     r.execute("CREATE TABLE btb (k BIGINT, w TEXT) CLUSTERED BY (k) INTO 4 SHARDS")
@@ -1135,7 +1135,7 @@ class VersionedBucketingSpec extends SparkTestBase {
 class IndexedScoreSpec extends SparkTestBase {
 
   test("PRIMARY KEY: parsed from both clause shapes, rendered back") {
-    val root = Files.createTempDirectory("graftpk").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graftpk").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("CREATE TABLE pkcol (id BIGINT PRIMARY KEY, v TEXT)")
     assert(VersionedTable.primaryKey(spark, s"$root/pkcol") == Seq("id"))
@@ -1163,7 +1163,7 @@ class IndexedScoreSpec extends SparkTestBase {
   }
 
   test("_score through a declared index: BM25 values, AND semantics, plan") {
-    val root = Files.createTempDirectory("graftiscore").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graftiscore").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("""CREATE TABLE scored (
         id BIGINT PRIMARY KEY, txt TEXT,
@@ -1233,7 +1233,7 @@ class IndexedScoreSpec extends SparkTestBase {
 class PartitionedTableSpec extends SparkTestBase {
 
   test("partitioned versioned table: writes, reads, pruning, DML, SHOW") {
-    val root = Files.createTempDirectory("graftpart").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graftpart").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("""CREATE TABLE pevents (
         id BIGINT PRIMARY KEY, day TEXT, kind TEXT, v DOUBLE PRECISION)
@@ -1317,7 +1317,7 @@ class FieldedScoreSpec extends SparkTestBase {
   }
 
   test("fielded route: BM25 values, boosts, OR-of-AND predicate, plan") {
-    val root = Files.createTempDirectory("graftfsc").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graftfsc").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     mkTable(r)
 
@@ -1358,7 +1358,7 @@ class FieldedScoreSpec extends SparkTestBase {
   }
 
   test("fielded route falls back when the shape is not provably safe") {
-    val root = Files.createTempDirectory("graftfsc2").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graftfsc2").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     mkTable(r)
 
@@ -1401,7 +1401,7 @@ class FieldedScoreSpec extends SparkTestBase {
 class PartitionGranularDmlSpec extends SparkTestBase {
 
   test("partial manifests: write-only-touched, carried refs, vacuum safety") {
-    val root = Files.createTempDirectory("graftpgd").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graftpgd").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("""CREATE TABLE pg (
         id BIGINT PRIMARY KEY, status TEXT, v DOUBLE PRECISION)
@@ -1495,7 +1495,7 @@ class StoredIndexSpec extends SparkTestBase {
       (1L, "spark filter join"), (2L, "spark spark filter"),
       (3L, "filter only here"), (4L, "spark alone"))).toDF("id", "txt")
     val built = MatchText.buildIndex(docs, "id", "txt")
-    val dir = Files.createTempDirectory("graftsidx").toFile.getAbsolutePath
+    val dir = graft.ArtifactStore.scratchDir("graftsidx").toFile.getAbsolutePath
     MatchText.saveIndex(built, dir, buckets = 8)
     assert(MatchText.storedIndexExists(spark, dir))
     val loaded = MatchText.loadIndex(spark, dir)
@@ -1516,7 +1516,7 @@ class StoredIndexSpec extends SparkTestBase {
   }
 
   test("indexed _score route persists once and loads on a fresh cache") {
-    val root = Files.createTempDirectory("graftsidx2").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graftsidx2").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("""CREATE TABLE sdocs (
         id BIGINT PRIMARY KEY, txt TEXT,
@@ -1554,7 +1554,7 @@ class StoredFieldedIndexSpec extends SparkTestBase {
       (1L, "spark filter join", "nothing"), (2L, "spark only", "spark filter"),
       (3L, "x", "filter"))).toDF("id", "head", "tail")
     val built = MatchText.buildFieldedIndex(docs, "id", Seq("head", "tail"))
-    val dir = Files.createTempDirectory("graftsfidx").toFile.getAbsolutePath
+    val dir = graft.ArtifactStore.scratchDir("graftsfidx").toFile.getAbsolutePath
     MatchText.saveFieldedIndex(built, dir, buckets = 8)
     val loaded = MatchText.loadFieldedIndex(spark, dir)
     assert(loaded.tbBuckets == 8)
@@ -1568,7 +1568,7 @@ class StoredFieldedIndexSpec extends SparkTestBase {
     a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12) }
 
     // router route persists under _ftindex/<name>__fielded and reloads
-    val root = Files.createTempDirectory("graftsfidx2").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graftsfidx2").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("""CREATE TABLE fdocs (
         id BIGINT PRIMARY KEY, head TEXT, tail TEXT,
@@ -1593,7 +1593,7 @@ class StoredFieldedIndexSpec extends SparkTestBase {
 class CreateTableAsLikeSpec extends SparkTestBase {
 
   test("CTAS: schema and rows from the query; IF NOT EXISTS no-ops") {
-    val root = Files.createTempDirectory("graftctas").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graftctas").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("CREATE TABLE base (id BIGINT PRIMARY KEY, v DOUBLE PRECISION)")
     r.execute("INSERT INTO base (id, v) VALUES (1, 1.5), (2, 2.5), (3, 3.5)")
@@ -1610,7 +1610,7 @@ class CreateTableAsLikeSpec extends SparkTestBase {
   }
 
   test("LIKE: empty clone; partitioning always copies; INCLUDING opts") {
-    val root = Files.createTempDirectory("graftlike").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graftlike").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("""CREATE TABLE src (
         id BIGINT PRIMARY KEY, status TEXT NOT NULL, v DOUBLE PRECISION,
@@ -1650,7 +1650,7 @@ class CreateTableAsLikeSpec extends SparkTestBase {
 class SchemaSpec extends SparkTestBase {
 
   test("doc folds to bare names; created schemas namespace tables") {
-    val root = Files.createTempDirectory("graftschema").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graftschema").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("CREATE TABLE doc.plain (id BIGINT PRIMARY KEY, v TEXT)")
     r.execute("INSERT INTO doc.plain (id, v) VALUES (1, 'x')")
@@ -1697,8 +1697,8 @@ class SchemaSpec extends SparkTestBase {
 class SnapshotSpec extends SparkTestBase {
 
   test("create/restore/drop snapshot round-trips data and metadata") {
-    val root = Files.createTempDirectory("graftsnap").toFile.getAbsolutePath
-    val repoLoc = Files.createTempDirectory("graftrepo").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graftsnap").toFile.getAbsolutePath
+    val repoLoc = graft.ArtifactStore.scratchDir("graftrepo").toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute(s"CREATE REPOSITORY backups TYPE fs WITH (location = '$repoLoc')")
     r.execute("""CREATE TABLE snapped (

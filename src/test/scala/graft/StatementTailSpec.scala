@@ -7,7 +7,7 @@ package graft
 class StatementTailSpec extends SparkTestBase {
 
   private def newRouter() = {
-    val root = java.nio.file.Files.createTempDirectory("graft_stail").toFile.getAbsolutePath
+    val root = graft.ArtifactStore.scratchDir("graft_stail").toFile.getAbsolutePath
     new StatementRouter(spark, root)
   }
 
@@ -97,7 +97,7 @@ class StatementTailSpec extends SparkTestBase {
     r.execute("INSERT INTO dflt (id) VALUES (5)")
     assert(r.execute("SELECT note FROM dflt WHERE id = 5").head().isNullAt(0))
     // COPY FROM: file-row gaps take the default, file values win
-    val tmp = java.nio.file.Files.createTempDirectory("graft_dfltcopy")
+    val tmp = graft.ArtifactStore.scratchDir("graft_dfltcopy")
     val f = tmp.resolve("rows.json")
     java.nio.file.Files.writeString(f,
       """{"id": 10, "status": "filed"}
@@ -208,7 +208,7 @@ class StatementTailSpec extends SparkTestBase {
   }
 
   test("per-row _seq_no persists as a versioned sidecar and patches forward") {
-    val root = java.nio.file.Files.createTempDirectory("graft_occ_sc")
+    val root = graft.ArtifactStore.scratchDir("graft_occ_sc")
       .toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("CREATE TABLE occs (id BIGINT PRIMARY KEY, v TEXT)")
@@ -327,7 +327,7 @@ class StatementTailSpec extends SparkTestBase {
   }
 
   test("EXPLAIN surfaces route provenance for knn and MATCH statements") {
-    val root = java.nio.file.Files.createTempDirectory("graft_expl")
+    val root = graft.ArtifactStore.scratchDir("graft_expl")
       .toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute(
@@ -403,7 +403,7 @@ class StatementTailSpec extends SparkTestBase {
     // end-to-end: EXPLAIN ANALYZE resolves through resolveSelect (set →
     // read of the slot); a concurrent thread hammering exact-route
     // EXPLAINs must not corrupt the header between those two points
-    val root = java.nio.file.Files.createTempDirectory("graft_prov")
+    val root = graft.ArtifactStore.scratchDir("graft_prov")
       .toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute(
@@ -440,7 +440,7 @@ class StatementTailSpec extends SparkTestBase {
     // assigns a fresh per-doc seqNo — including one that writes back the
     // same values, which a content-hash row-diff alone cannot see. The
     // `_touched` marker closes that gap.
-    val root = java.nio.file.Files.createTempDirectory("graft_occ_id")
+    val root = graft.ArtifactStore.scratchDir("graft_occ_id")
       .toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("CREATE TABLE occi (id BIGINT PRIMARY KEY, v TEXT)")
@@ -465,7 +465,7 @@ class StatementTailSpec extends SparkTestBase {
     // IDENTICAL values still advances the matched row's sequence
     // (reference occ.rst / SysColumns.java any-write semantics), while
     // unmatched and DO NOTHING rows keep theirs.
-    val root = java.nio.file.Files.createTempDirectory("graft_occ_up")
+    val root = graft.ArtifactStore.scratchDir("graft_occ_up")
       .toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("CREATE TABLE occu (id BIGINT PRIMARY KEY, v TEXT)")
@@ -493,7 +493,7 @@ class StatementTailSpec extends SparkTestBase {
   test("identical-value UPDATE advances _seq_no on the cold walk too") {
     // no sidecar exists when the first `_seq_no` read happens — the
     // full snapshot walk must fold the `_touched` markers in
-    val root = java.nio.file.Files.createTempDirectory("graft_occ_cold")
+    val root = graft.ArtifactStore.scratchDir("graft_occ_cold")
       .toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("CREATE TABLE occj (id BIGINT PRIMARY KEY, v TEXT)")
@@ -515,7 +515,7 @@ class StatementTailSpec extends SparkTestBase {
     // land under the committed version — so an identical-value UPDATE or
     // upsert inside a transaction advances the row's sequence like an
     // autocommit one. ROLLBACK discards the staged markers with the rest.
-    val root = java.nio.file.Files.createTempDirectory("graft_occ_txn")
+    val root = graft.ArtifactStore.scratchDir("graft_occ_txn")
       .toFile.getAbsolutePath
     val r = new StatementRouter(spark, root)
     r.execute("CREATE TABLE occt (id BIGINT PRIMARY KEY, v TEXT)")
@@ -547,7 +547,7 @@ class StatementTailSpec extends SparkTestBase {
 
   test("ALTER REPOSITORY / ALTER SERVER / SET TRANSACTION / DEALLOCATE / DISCARD") {
     val r = newRouter()
-    val dir = java.nio.file.Files.createTempDirectory("graft_repo2").toFile.getAbsolutePath
+    val dir = graft.ArtifactStore.scratchDir("graft_repo2").toFile.getAbsolutePath
     r.execute(s"CREATE REPOSITORY backups TYPE fs WITH (location = '$dir')")
     r.execute(s"ALTER REPOSITORY backups SET (location = '$dir', compress = true)")
     // server options: ADD/SET/DROP + bare-add

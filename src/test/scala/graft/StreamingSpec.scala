@@ -152,7 +152,7 @@ class StreamRepetitionSpec extends SparkTestBase {
   test("windowedRejectRate runs as a real watermarked stream") {
     val docs = Tables.load(spark, sfDir, "documents")
       .withColumn("ts", expr("timestamp_millis(1700000000000 + doc_id * 60000)"))
-    val dir = java.nio.file.Files.createTempDirectory("docstream").toFile.getAbsolutePath
+    val dir = graft.ArtifactStore.scratchDir("docstream").toFile.getAbsolutePath
     docs.write.mode("overwrite").parquet(dir)
     val stream = spark.readStream.schema(
       docs.schema).parquet(dir)

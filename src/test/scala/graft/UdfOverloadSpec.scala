@@ -8,7 +8,7 @@ package graft
 class UdfOverloadSpec extends SparkTestBase {
 
   private def newRouter(): StatementRouter = {
-    val root = java.nio.file.Files.createTempDirectory("graft_ovl")
+    val root = graft.ArtifactStore.scratchDir("graft_ovl")
       .toFile.getAbsolutePath
     new StatementRouter(spark, root)
   }
