@@ -336,6 +336,11 @@ object Dialect {
               // (the reference grammar has no plain-TIME column type);
               // `time(n)` / `time without time zone` keep the CAST path
               Some(s"timetz($operand)")
+            else if (!isArray && base == "ip")
+              // validate/normalize strings, render numbers
+              // (IpType.implicitCast — a plain string cast silently
+              // accepted garbage)
+              Some(s"graft_ip_cast($operand)")
             else if (!isArray && base == "interval")
               // '120-1 1 15:30'::interval etc. — the reference's string
               // grammar (Spark's CAST to interval types accepts only its

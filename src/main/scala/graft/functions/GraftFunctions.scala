@@ -421,6 +421,10 @@ object GraftFunctions {
     // StringTypeTest); non-boolean inputs keep Spark's Cast codegen
     reg.createOrReplaceTempFunction("graft_to_text",
       exprs => graft.plans.ToTextExpr(exprs(0)), "scala_udf")
+    // the reference's IP cast: validate+normalize strings, render
+    // numbers as dotted quads (IpType.implicitCast)
+    reg.createOrReplaceTempFunction("graft_ip_cast",
+      exprs => graft.plans.IpCastExpr(exprs(0)), "scala_udf")
 
     // CrateDB array-bound / emptiness scalars as pure Catalyst compositions
     // (codegen'd, no UDF): null_or_empty covers BOTH the OBJECT and ARRAY

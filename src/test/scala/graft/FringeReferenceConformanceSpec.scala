@@ -129,6 +129,24 @@ class FringeReferenceConformanceSpec extends SparkTestBase {
     assert(r.getString(9) == "-")    // char(1) of -12
   }
 
+  test("A3 IP casts (IpTypeTest): validate, normalize, numbers render, " +
+      "negatives and garbage reject") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = Engine.sql(spark,
+      "SELECT '127.0.0.1'::ip AS a, '::ffff:192.168.0.1'::ip AS b, " +
+        "CAST(3232235521 AS BIGINT)::ip AS c, 0::ip AS d").collect()(0)
+    assert(r.getString(0) == "127.0.0.1")
+    assert(r.getString(1) == "192.168.0.1") // IPv4-mapped form normalizes
+    assert(r.getString(2) == "192.168.0.1") // longToIp
+    assert(r.getString(3) == "0.0.0.0")
+    val e1 = intercept[Exception](
+      Engine.sql(spark, "SELECT '2000.0.0.1'::ip AS x").collect())
+    assert(e1.getMessage.contains("Failed to validate ip"), e1.getMessage)
+    val e2 = intercept[Exception](
+      Engine.sql(spark, "SELECT (0 - 5)::ip AS x").collect())
+    assert(e2.getMessage.contains("Failed to convert long"), e2.getMessage)
+  }
+
   test("B4 valueForInsert requires the exact length (write-time)") {
     // test_value_for_insert_only_allows_exact_length_matches: a column
     // write rejects a length mismatch even though the CAST would extend

@@ -106,7 +106,8 @@ class DialectSpec extends AnyFunSuite {
     "SELECT abs(x)::text FROM t" -> "SELECT graft_to_text(abs(x)) FROM t",
     "SELECT x::int[] FROM t" -> "SELECT CAST(x AS ARRAY<INT>) FROM t",
     "SELECT ts::timestamp with time zone FROM t" -> "SELECT CAST(ts AS TIMESTAMP) FROM t",
-    "SELECT o.col::ip FROM t" -> "SELECT CAST(o.col AS STRING) FROM t",
+    // ::ip validates+normalizes (IpType.implicitCast)
+    "SELECT o.col::ip FROM t" -> "SELECT graft_ip_cast(o.col) FROM t",
     // regex-match operators and PG bitwise XOR
     "SELECT * FROM t WHERE name ~ '^ab.*'" ->
       "SELECT * FROM t WHERE (name rlike '^ab.*')",
