@@ -28,7 +28,8 @@ object SparkEntry {
       QueriesRound3.queries ++ QueriesRound4.queries ++
       QueriesRound5.queries ++ QueriesRound7.queries ++
       QueriesRound9.queries ++ QueriesRound10.queries ++
-      QueriesRound11.queries ++ QueriesRound12.queries
+      QueriesRound11.queries ++ QueriesRound12.queries ++
+      QueriesRound13.queries
 
   def oracleSql: Map[String, String] =
     QueriesRelational.oracles ++ QueriesWindow.oracles ++
@@ -39,5 +40,6 @@ object SparkEntry {
       QueriesRound3.oracles ++ QueriesRound4.oracles ++
       QueriesRound5.oracles ++ QueriesRound7.oracles ++
       QueriesRound9.oracles ++ QueriesRound10.oracles ++
-      QueriesRound11.oracles ++ QueriesRound12.oracles
+      QueriesRound11.oracles ++ QueriesRound12.oracles ++
+      QueriesRound13.oracles
 }

@@ -27,6 +27,10 @@ object Verify {
     // per-directory compare of outDir itself (see ArtifactStore).
     System.setProperty(graft.ArtifactStore.RootProperty,
       outDir.stripSuffix("/") + "_artifacts")
+    // staleness guard: an artifact trained at a DIFFERENT sfDir (a
+    // leftover from an earlier harness invocation) must degrade the
+    // oracle loudly, never splice silently (VERDICT r12 ask #2)
+    System.setProperty(graft.ArtifactStore.ExpectSfDirProperty, sfDir)
     SparkEntry.queries.filter(_._1.startsWith(prefix)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -54,15 +58,27 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // engine-version forensics (VERDICT r12 ask #4): if a driver-side
+    // hash red ever diverges from a judge-local green again, version
+    // skew must be checkable from the round's artifacts alone. The
+    // DuckDB side is recorded by tools/check.py next to the compare.
+    try Files.writeString(
+      Paths.get(s"${graft.ArtifactStore.root}/engine_versions.json"),
+      s"""{"spark": "${spark.version}", """ +
+        s""""java": "${System.getProperty("java.version")}", """ +
+        s""""scala": "${scala.util.Properties.versionNumberString}", """ +
+        s""""sf_dir": "$sfDir"}""")
+    catch { case _: Throwable => () }
     val oracles = SparkEntry.oracleSql
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // forensic copies of the DYNAMIC oracles (spliced from ArtifactStore
-    // models at dump time): even if a later dump overwrites
-    // oracle_sql.json, the exact SQL this run spliced stays beside the
-    // model artifact it was spliced from (VERDICT r11 ask #1)
-    for (name <- Seq("q248_quality_classifier", "q240_semdedup_auto")) {
+    // forensic copy of the one remaining DYNAMIC oracle (q240, spliced
+    // from its ArtifactStore model at dump time; q248 is static since
+    // r13): even if a later dump overwrites oracle_sql.json, the exact
+    // SQL this run spliced stays beside the model artifact it was
+    // spliced from (VERDICT r11 ask #1)
+    for (name <- Seq("q240_semdedup_auto")) {
       oracles.get(name).foreach { sql =>
         try Files.writeString(
           Paths.get(s"${graft.ArtifactStore.root}/${name}_spliced.sql"), sql)

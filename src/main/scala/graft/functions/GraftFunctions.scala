@@ -417,6 +417,28 @@ object GraftFunctions {
         ivPrec(exprs, 2)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_interval_format",
       exprs => graft.plans.IntervalFormatExpr(exprs(0)), "scala_udf")
+    // the reference's interval ORDERING key (IntervalType.compare:
+    // 30-day months, 12-month years, exact arithmetic) as
+    // DECIMAL(38,0) micros — ORDER BY on it is the reference's
+    // interval sort, distributed through Spark's native range sort
+    reg.createOrReplaceTempFunction("graft_interval_order",
+      exprs => graft.plans.IntervalOrderKeyExpr(exprs(0)), "scala_udf")
+    // the reference's interval arithmetic (IntervalArithmeticFunctions /
+    // SubtractTimestampScalar): ± is FIELD-WISE joda Period::plus/minus
+    // (no post-normalization), × is per-field int multiply with joda's
+    // loud overflow THEN normalizedStandard, ts−ts returns a
+    // days+time interval
+    reg.createOrReplaceTempFunction("graft_interval_add",
+      exprs => graft.plans.IntervalAddExpr(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_interval_sub",
+      exprs => graft.plans.IntervalAddExpr(exprs(0), exprs(1),
+        negate = true), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_interval_mul",
+      exprs => graft.plans.IntervalMulExpr(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_ts_diff",
+      exprs => graft.plans.TsDiffExpr(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_interval_from_micros",
+      exprs => graft.plans.IntervalFromMicrosExpr(exprs(0)), "scala_udf")
     // value→TEXT with the reference's boolean rendering ('t'/'f' —
     // StringTypeTest); non-boolean inputs keep Spark's Cast codegen
     reg.createOrReplaceTempFunction("graft_to_text",

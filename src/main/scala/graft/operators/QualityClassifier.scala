@@ -98,44 +98,17 @@ object QualityClassifier {
   }
 
   /** 12-dp decimal rendering of a weight — the ONE conversion both the
-    * Spark literal array and the oracle's VALUES rows use, so the two
+    * Spark literal array and the oracle's VALUES rows use (and that
+    * graft.tools.PinQ248 bakes into [[Q248PinnedModel]]), so the two
     * engines sum byte-identical decimals. */
   private[graft] def dec(x: Double): BigDecimal =
     BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
 
-  /** Trains and PERSISTS the model to [[graft.ArtifactStore]] under
-    * `artifact`, then reads the artifact back and returns the model as
-    * the read-back decimal STRINGS (idx -1 = bias; other rows = the
-    * nonzero weight buckets). The caller builds its Spark literals from
-    * these strings and the oracle builder splices the same artifact at
-    * dump time, so both engines derive from one on-disk source of truth
-    * — no in-JVM mutable state crosses the entry→dump boundary (the
-    * r11 q248 defect class). Always retrains and overwrites: the
-    * artifact describes THIS run. */
-  def trainPersisted(spark: org.apache.spark.sql.SparkSession,
-                     docs: DataFrame, labelCol: String, artifact: String,
-                     sfDir: String,
-                     idCol: String = "doc_id", textCol: String = "text",
-                     dims: Int = 1024): (Map[Int, String], String) = {
-    val (w, b) = train(docs, labelCol, idCol, textCol, dims)
-    val rows = (-1, dec(b).bigDecimal.toPlainString) +:
-      w.zipWithIndex.collect { case (x, i) if x != 0.0 =>
-        (i, dec(x).bigDecimal.toPlainString)
-      }.toSeq
-    graft.ArtifactStore.writePairs(spark, artifact, rows, sfDir)
-    val back = graft.ArtifactStore.readPairs(artifact).getOrElse(
-      throw new IllegalStateException(
-        s"quality classifier: artifact '$artifact' unreadable after write"))
-    val bias = back.find(_._1 == -1).map(_._2).getOrElse(
-      throw new IllegalStateException(
-        s"quality classifier: artifact '$artifact' has no bias row"))
-    (back.filter(_._1 >= 0).toMap, bias)
-  }
-
-  /** Map-only scoring from the PERSISTED string form of the model (the
-    * [[trainPersisted]] return): sparse weights rebuilt into the dense
-    * plan literal, each string parsed to the identical BigDecimal the
-    * oracle's CAST parses. */
+  /** Map-only scoring from the STRING form of the model (the committed
+    * [[Q248PinnedModel]] constants, or any (bucket, 12-dp-decimal)
+    * rendering of [[train]]'s output): sparse weights rebuilt into the
+    * dense plan literal, each string parsed to the identical BigDecimal
+    * the oracle's CAST parses. */
   def scoreFromStrings(docs: DataFrame, weights: Map[Int, String],
                        bias: String, dims: Int = 1024,
                        idCol: String = "doc_id", textCol: String = "text",

@@ -55,11 +55,15 @@ object SpatialJoin {
         GeoNetFunctions.latitude(col(aPtCol)).as("lat"))
       .unionAll(b.select(GeoNetFunctions.longitude(col(bPtCol)).as("lon"),
         GeoNetFunctions.latitude(col(bPtCol)).as("lat")))
+    // coalesce: sum() over EMPTY inputs is NULL, and a NULL count would
+    // make a downstream (seam_pts === 0 && polar_pts === 0) fact NULL —
+    // silently failing the no-silent-miss gate on an empty fixture
+    // (ADVICE r12)
     val drops = pts.agg(
-      sum(when(abs(col("lon")) >= 180.0 - cell, 1L).otherwise(0L))
-        .as("seam_pts"),
-      sum(when(abs(col("lat")) >= 80.0, 1L).otherwise(0L))
-        .as("polar_pts"))
+      coalesce(sum(when(abs(col("lon")) >= 180.0 - cell, 1L).otherwise(0L)),
+        lit(0L)).as("seam_pts"),
+      coalesce(sum(when(abs(col("lat")) >= 80.0, 1L).otherwise(0L)),
+        lit(0L)).as("polar_pts"))
     graft.operators.Dedup.CappedPairs(
       radiusJoin(a, b, radiusKm, aIdCol, aPtCol, bIdCol, bPtCol, cellDeg),
       drops)

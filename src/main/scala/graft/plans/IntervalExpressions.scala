@@ -247,6 +247,19 @@ object GraftInterval {
   private val Precisions =
     Vector("year", "month", "day", "hour", "minute", "second")
 
+  /** Constructor-time whitelist for the typed-precision slots: doGenCode
+    * splices these strings into generated Java, so anything outside the
+    * grammar must be rejected BEFORE codegen — a direct SQL call like
+    * `graft_interval(s, 'ho"ur')` would otherwise inject into the
+    * generated source instead of raising the interpreted path's clean
+    * error (ADVICE r12). */
+  def requirePrecision(o: Option[String]): Unit =
+    o.foreach { p =>
+      if (!Precisions.contains(p))
+        throw new IllegalArgumentException(
+          s"Invalid interval precision: $p")
+    }
+
   /** `INTERVAL 'v' start [TO end]` — the reference's two precision
     * behaviors: a BARE NUMBER takes the (start, end) unit directly
     * (NumericalIntervalParser — '1' HOUR TO SECOND is 1 second,
@@ -327,15 +340,21 @@ object GraftInterval {
       }
     val (y, mo, d, h, mi, se, ms) = p
     // Period.normalizedStandard(yearMonthDayTime): years fold into
-    // months; whole days fold out of the precise time fields
-    // (truncation toward zero)
+    // months; DAYS fold into the precise-time total before the re-split
+    // (joda sums days*86400000 into the millis total, then divides back
+    // out), so mixed-sign day/time inputs like '1 -2:00' normalize to
+    // (0 days, 22:00:00) — not (1 day, -02:00:00). Truncation toward
+    // zero; overflow of the combined total is LOUD (the one documented
+    // divergence — joda would raise its own ArithmeticException here
+    // via toStandardDuration's checked arithmetic as well)
     val microsPerDay = 86400000000L
     val months = y * 12 + mo
-    val totalMicros =
-      ((h * 3600L + mi * 60L + se) * 1000L + ms) * 1000L
-    val extraDays = (totalMicros / microsPerDay).toInt
-    val micros = totalMicros - extraDays * microsPerDay
-    (months, d + extraDays, micros)
+    val totalMicros = Math.addExact(
+      Math.multiplyExact(d.toLong, microsPerDay),
+      ((h * 3600L + mi * 60L + se) * 1000L + ms) * 1000L)
+    val days = (totalMicros / microsPerDay).toInt
+    val micros = totalMicros - days * microsPerDay
+    (months, days, micros)
   }
 
   /** The reference's display form (IntervalType.PERIOD_FORMATTER — the
@@ -386,6 +405,141 @@ object GraftInterval {
     UTF8String.fromString(formatParts(m, d, us))
   }
 
+  def formatCal(ci: CalendarInterval): UTF8String =
+    UTF8String.fromString(formatParts(ci.months, ci.days, ci.microseconds))
+
+  def partsCal(ci: CalendarInterval): org.apache.spark.sql.catalyst.InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](ci.months, ci.days, ci.microseconds))
+
+  /** The reference's interval ORDERING key (io.crate.types.IntervalType
+    * .compare → toStandardDuration, IntervalType.java:171): months count
+    * 30 days, years 12 months, and the total is exact unbounded-integer
+    * arithmetic (the reference uses BigInteger to dodge long overflow).
+    * Rendered in MICROS as DECIMAL(38,0) — comparable, hash-gateable,
+    * and ORDER BY on it distributes through Spark's native range sort
+    * (a 100 TB sort needs no special operator, just this key column).
+    * Invariant under parse normalization: folding whole days between
+    * the micros and days fields moves exactly 86 400 000 000 per day on
+    * both sides of the sum. */
+  private val MicrosPerDay = java.math.BigInteger.valueOf(86400000000L)
+  private val MicrosPer30Days = java.math.BigInteger.valueOf(2592000000000L)
+
+  def orderKey(months: Int, days: Int, micros: Long): org.apache.spark.sql.types.Decimal = {
+    val total = java.math.BigInteger.valueOf(months).multiply(MicrosPer30Days)
+      .add(java.math.BigInteger.valueOf(days).multiply(MicrosPerDay))
+      .add(java.math.BigInteger.valueOf(micros))
+    org.apache.spark.sql.types.Decimal(
+      new java.math.BigDecimal(total), 38, 0)
+  }
+
+  def orderKeyString(s: UTF8String): org.apache.spark.sql.types.Decimal = {
+    val (m, d, us) = parseParts(s.toString)
+    orderKey(m, d, us)
+  }
+
+  def orderKeyCal(ci: CalendarInterval): org.apache.spark.sql.types.Decimal =
+    orderKey(ci.months, ci.days, ci.microseconds)
+
+  // ---- interval arithmetic (reference IntervalArithmeticFunctions /
+  // IntervalTimestampArithmeticScalar / SubtractTimestampScalar) ----
+
+  /** `interval + interval` / `interval - interval` are joda
+    * `Period::plus/minus` — FIELD-WISE, with NO normalization after
+    * (IntervalArithmeticFunctions.java:52/62: '20 hours' + '20 hours'
+    * is 40:00:00, not 1 day 16:00:00). On the (months, days, micros)
+    * triple that is exact field-wise addition. Representation note:
+    * joda keeps hours/minutes/seconds/millis as separate int fields, so
+    * a reference sum can carry e.g. minutes=118 internally — but its
+    * OWN pg wire encoding (protocols IntervalType.writeAsBinary)
+    * collapses the time fields into one micros total, which is exactly
+    * this triple; graft's value (and display) equals what a reference
+    * client receives over the wire. Overflow is LOUD (addExact). */
+  def add(a: CalendarInterval, b: CalendarInterval): CalendarInterval =
+    new CalendarInterval(Math.addExact(a.months, b.months),
+      Math.addExact(a.days, b.days),
+      Math.addExact(a.microseconds, b.microseconds))
+
+  def subtract(a: CalendarInterval, b: CalendarInterval): CalendarInterval =
+    new CalendarInterval(Math.subtractExact(a.months, b.months),
+      Math.subtractExact(a.days, b.days),
+      Math.subtractExact(a.microseconds, b.microseconds))
+
+  /** joda FieldUtils.safeMultiply(int, int) — the reference's exact
+    * overflow message for Period.multipliedBy. */
+  private def safeMulInt(field: Int, k: Int): Int = {
+    val total = field.toLong * k
+    if (total < Int.MinValue || total > Int.MaxValue)
+      throw new ArithmeticException(
+        s"Multiplication overflows an int: $field * $k")
+    total.toInt
+  }
+
+  /** `interval * integer` is `Period.multipliedBy(k)
+    * .normalizedStandard(yearMonthDayTime)` — each FIELD multiplied
+    * with an int-overflow check (so '2 second' * 2147483647 raises
+    * "Multiplication overflows an int: 2 * 2147483647" even though the
+    * micros total would fit a long), THEN normalized (so '20 hours' * 2
+    * IS 1 day 16:00:00, unlike addition). The micros total decomposes
+    * into the h/mi/s/ms fields the parsed period carries. Documented
+    * divergence: the reference multiplies years and months as separate
+    * int fields, graft carries total months — a product that fits the
+    * years field but overflows total-months (> ~178 M years) is LOUD
+    * here where the reference succeeds (CalendarInterval month-int
+    * representation limit). */
+  def multiply(iv: CalendarInterval, k: Int): CalendarInterval = {
+    var us = iv.microseconds
+    val h = us / 3600000000L; us -= h * 3600000000L
+    val mi = us / 60000000L; us -= mi * 60000000L
+    val s = us / 1000000L; us -= s * 1000000L
+    val ms = us / 1000L
+    val months = safeMulInt(iv.months, k)
+    val days = safeMulInt(iv.days, k)
+    val totalMicros = Math.addExact(
+      Math.multiplyExact(days.toLong, 86400000000L),
+      ((safeMulInt(Math.toIntExact(h), k) * 3600L +
+        safeMulInt(Math.toIntExact(mi), k) * 60L +
+        safeMulInt(Math.toIntExact(s), k)) * 1000L +
+        safeMulInt(Math.toIntExact(ms), k)) * 1000L)
+    val d2 = (totalMicros / 86400000000L).toInt
+    new CalendarInterval(months, d2, totalMicros - d2 * 86400000000L)
+  }
+
+  /** The reference's integer implicit cast for a fractional multiplier
+    * (interval '1 hour' * 3.5 is 3 hours — Number.intValue truncation,
+    * IntervalFunctionTest.test_implicit_cast_to_integer_while_
+    * multiplying_by_double); longs out of int range are LOUD. */
+  def factorToInt(x: Any): Int = x match {
+    case i: Int     => i
+    case l: Long    => Math.toIntExact(l)
+    case s: Short   => s.toInt
+    case b: Byte    => b.toInt
+    case d: Double  => d.toInt
+    case f: Float   => f.toInt
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble.toInt
+    case other => throw new IllegalArgumentException(
+      s"interval multiplier must be numeric, got $other")
+  }
+
+  /** `timestamp - timestamp` returns an interval in the reference
+    * (SubtractTimestampScalar: Period(end - start millis)
+    * .normalizedStandard(yearMonthDayTime) — pure duration split into
+    * days + time, NO months). Inputs are epoch micros. */
+  def tsDiff(endMicros: Long, startMicros: Long): CalendarInterval = {
+    val total = Math.subtractExact(endMicros, startMicros)
+    val d = (total / 86400000000L).toInt
+    new CalendarInterval(0, d, total - d * 86400000000L)
+  }
+
+  /** micros → (0 months, days, micros) fold — the reference's
+    * back-conversion for duration-valued results (interval percentile:
+    * PercentileAggregation's `new Period((long) x).normalizedStandard
+    * (yearMonthDayTime)`). */
+  def fromMicros(totalMicros: Long): CalendarInterval = {
+    val d = (totalMicros / 86400000000L).toInt
+    new CalendarInterval(0, d, totalMicros - d * 86400000000L)
+  }
+
   def parse(s: UTF8String): CalendarInterval = parse(s, null, null)
 
   def parse(s: UTF8String, start: String, end: String): CalendarInterval = {
@@ -416,6 +570,8 @@ case class IntervalParseExpr(child: Expression,
                              startPrec: Option[String] = None,
                              endPrec: Option[String] = None)
     extends UnaryExpression {
+  GraftInterval.requirePrecision(startPrec)
+  GraftInterval.requirePrecision(endPrec)
   override def prettyName: String = "graft_interval"
   override def dataType: DataType = CalendarIntervalType
   override def nullable: Boolean = true
@@ -443,6 +599,8 @@ case class IntervalPartsExpr(child: Expression,
                              startPrec: Option[String] = None,
                              endPrec: Option[String] = None)
     extends UnaryExpression {
+  GraftInterval.requirePrecision(startPrec)
+  GraftInterval.requirePrecision(endPrec)
   override def prettyName: String = "graft_interval_parts"
   override def dataType: DataType = GraftInterval.partsType
   override def nullable: Boolean = true
@@ -450,16 +608,189 @@ case class IntervalPartsExpr(child: Expression,
   private def jq(o: Option[String]): String =
     o.map(v => "\"" + v + "\"").getOrElse("null")
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == StringType)
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case CalendarIntervalType if startPrec.isEmpty && endPrec.isEmpty =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string (or bare interval) argument, " +
+            s"got ${other.simpleString}")
+    }
+  override def nullSafeEval(input: Any): Any = input match {
+    case s: UTF8String =>
+      GraftInterval.parseStruct(s, jn(startPrec), jn(endPrec))
+    case ci: CalendarInterval => GraftInterval.partsCal(ci)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.dataType match {
+      case CalendarIntervalType =>
+        defineCodeGen(ctx, ev, c => s"graft.plans.GraftInterval.partsCal($c)")
+      case _ =>
+        defineCodeGen(ctx, ev,
+          c => s"graft.plans.GraftInterval.parseStruct($c, ${jq(startPrec)}, ${jq(endPrec)})")
+    }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_interval_order(x)` — the reference's interval ordering key
+  * (IntervalType.compare semantics: 30-day months, exact arithmetic)
+  * as DECIMAL(38,0) micros. Accepts an interval string (parsed through
+  * the reference grammar) or a CalendarInterval. Codegen'd. */
+case class IntervalOrderKeyExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_interval_order"
+  override def dataType: DataType = DecimalType(38, 0)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | CalendarIntervalType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string or interval argument, got " +
+            other.simpleString)
+    }
+  override def nullSafeEval(input: Any): Any = input match {
+    case s: UTF8String       => GraftInterval.orderKeyString(s)
+    case ci: CalendarInterval => GraftInterval.orderKeyCal(ci)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.dataType match {
+      case StringType =>
+        defineCodeGen(ctx, ev,
+          c => s"graft.plans.GraftInterval.orderKeyString($c)")
+      case _ =>
+        defineCodeGen(ctx, ev,
+          c => s"graft.plans.GraftInterval.orderKeyCal($c)")
+    }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_interval_add(a, b)` / `graft_interval_sub(a, b)` — the
+  * reference's interval±interval: joda Period::plus/minus field-wise,
+  * NO post-normalization ('20 hours' + '20 hours' = 40:00:00). */
+case class IntervalAddExpr(left: Expression, right: Expression,
+                           negate: Boolean = false)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String =
+    if (negate) "graft_interval_sub" else "graft_interval_add"
+  override def dataType: DataType = CalendarIntervalType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    // NullType allowed: the reference registers these STRICTNULL, so a
+    // bare NULL operand yields NULL (nullSafeEval never runs)
+    if (Seq(left, right).forall(e => e.dataType == CalendarIntervalType ||
+        e.dataType == NullType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
-  override def nullSafeEval(input: Any): Any =
-    GraftInterval.parseStruct(input.asInstanceOf[UTF8String], jn(startPrec),
-      jn(endPrec))
+      s"$prettyName requires two interval arguments")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    if (negate)
+      GraftInterval.subtract(a.asInstanceOf[CalendarInterval],
+        b.asInstanceOf[CalendarInterval])
+    else GraftInterval.add(a.asInstanceOf[CalendarInterval],
+      b.asInstanceOf[CalendarInterval])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (negate) "subtract" else "add"
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.GraftInterval.$m($a, $b)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_interval_mul(iv, k)` — the reference's interval×integer:
+  * per-field int multiply with joda's loud overflow, THEN
+  * normalizedStandard; fractional factors implicit-cast by truncation
+  * (1 hour × 3.5 = 3 hours). */
+case class IntervalMulExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "graft_interval_mul"
+  override def dataType: DataType = CalendarIntervalType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if ((left.dataType == CalendarIntervalType ||
+        left.dataType == NullType) &&
+        (right.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+          || right.dataType == NullType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (interval, numeric) arguments")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftInterval.multiply(a.asInstanceOf[CalendarInterval],
+      GraftInterval.factorToInt(b))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.GraftInterval.multiply($a, " +
+        s"graft.plans.GraftInterval.factorToInt(((Object) $b)));")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_ts_diff(end, start)` — the reference's timestamp−timestamp →
+  * INTERVAL (SubtractTimestampScalar: duration split into days + time,
+  * no months). */
+case class TsDiffExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "graft_ts_diff"
+  override def dataType: DataType = CalendarIntervalType
+  private def isTs(t: DataType): Boolean =
+    t == TimestampType || t == TimestampNTZType || t == NullType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (isTs(left.dataType) && isTs(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two timestamp arguments")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftInterval.tsDiff(a.asInstanceOf[Long], b.asInstanceOf[Long])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.plans.GraftInterval.parseStruct($c, ${jq(startPrec)}, ${jq(endPrec)})")
+      (a, b) => s"graft.plans.GraftInterval.tsDiff($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_interval_from_micros(x)` — duration micros → the folded
+  * (0 months, days, micros) interval (the reference's back-conversion
+  * for duration-valued aggregates like interval percentile). */
+case class IntervalFromMicrosExpr(child: Expression)
+    extends UnaryExpression {
+  override def prettyName: String = "graft_interval_from_micros"
+  override def dataType: DataType = CalendarIntervalType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType | _: DecimalType | DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a numeric micros argument, got " +
+            other.simpleString)
+    }
+  override def nullSafeEval(input: Any): Any = {
+    val us = input match {
+      case l: Long    => l
+      case i: Int     => i.toLong
+      case d: Double  => math.rint(d).toLong
+      case d: org.apache.spark.sql.types.Decimal => d.toLong
+    }
+    GraftInterval.fromMicros(us)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.dataType match {
+      case DoubleType =>
+        defineCodeGen(ctx, ev, c =>
+          s"graft.plans.GraftInterval.fromMicros((long) java.lang.Math.rint($c))")
+      case _: DecimalType =>
+        defineCodeGen(ctx, ev,
+          c => s"graft.plans.GraftInterval.fromMicros($c.toLong())")
+      case _ =>
+        defineCodeGen(ctx, ev,
+          c => s"graft.plans.GraftInterval.fromMicros((long) $c)")
+    }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -471,14 +802,26 @@ case class IntervalFormatExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == StringType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
-  override def nullSafeEval(input: Any): Any =
-    GraftInterval.formatString(input.asInstanceOf[UTF8String])
+    child.dataType match {
+      case StringType | CalendarIntervalType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string or interval argument, got " +
+            other.simpleString)
+    }
+  override def nullSafeEval(input: Any): Any = input match {
+    case s: UTF8String        => GraftInterval.formatString(s)
+    case ci: CalendarInterval => GraftInterval.formatCal(ci)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.GraftInterval.formatString($c)")
+    child.dataType match {
+      case CalendarIntervalType =>
+        defineCodeGen(ctx, ev, c => s"graft.plans.GraftInterval.formatCal($c)")
+      case _ =>
+        defineCodeGen(ctx, ev,
+          c => s"graft.plans.GraftInterval.formatString($c)")
+    }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -53,7 +53,7 @@ object QueriesRound10 {
   private val Q240Artifact = "q240_centroids"
 
   private def q240Splice: Option[String] =
-    graft.ArtifactStore.readPairs(Q240Artifact).flatMap { rows =>
+    graft.ArtifactStore.readPairsForOracle(Q240Artifact).flatMap { rows =>
       if (rows.isEmpty) None
       else Some(rows.map { case (i, v) =>
         s"($i, CAST('$v' AS DOUBLE[]))"

@@ -20,27 +20,24 @@ object QueriesRound11 {
   private val routerRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** q248's model artifact (ArtifactStore): written by the entry at run
-    * time, read back for the entry's own Spark literals AND by
-    * [[oracles]] at dump time — one on-disk source of truth, no mutable
-    * JVM state between the entry and the dump (the r11 driver-gate red's
-    * root cause). idx -1 = bias; idx ≥ 0 = nonzero weight buckets. */
-  private val Q248Artifact = "q248_weights"
-
-  /** The artifact rendered as (weight VALUES rows, bias literal) for the
-    * DuckDB oracle; None when the artifact is absent (the oracle then
-    * degrades to a loud per-entry error, never silently-wrong VALUES). */
-  private def q248Splice: Option[(String, String)] =
-    graft.ArtifactStore.readPairs(Q248Artifact).flatMap { rows =>
-      rows.find(_._1 == -1).map { case (_, b) =>
-        val w = rows.filter(_._1 >= 0).map { case (i, v) =>
-          s"($i, CAST('$v' AS DECIMAL(28,12)))"
-        }
-        (if (w.isEmpty) "(0, CAST('0' AS DECIMAL(28,12)))"
-         else w.mkString(", "),
-         s"CAST('$b' AS DECIMAL(28,12))")
-      }
+  /** q248's model is PINNED: the committed constants in
+    * [[graft.operators.Q248PinnedModel]] (generated once by
+    * graft.tools.PinQ248 from the sf0.01 fixture) feed BOTH the entry's
+    * Spark literals and the static oracle VALUES below — after two
+    * rounds of driver-only hash reds on the dynamic-oracle path, no
+    * run-time state touches this entry at all (VERDICT r12 ask #1).
+    * ArtifactOracleSpec pins "retraining on the sf0.01 fixture
+    * reproduces these constants bit-for-bit", so fixture drift fails
+    * the spec — a deliberate regeneration point — never the gate. */
+  private def q248Splice: (String, String) = {
+    val m = graft.operators.Q248PinnedModel
+    val w = m.pairs.filter(_._1 >= 0).map { case (i, v) =>
+      s"($i, CAST('$v' AS DECIMAL(28,12)))"
     }
+    (if (w.isEmpty) "(0, CAST('0' AS DECIMAL(28,12)))"
+     else w.mkString(", "),
+     s"CAST('${m.bias}' AS DECIMAL(28,12))")
+  }
 
   /** Same deterministic 64-dim literal as q209/q210/q239. */
   private val vecLit: String =
@@ -456,16 +453,16 @@ object QueriesRound11 {
     }),
 
     "q248_quality_classifier" -> ((s, dir) => {
-      import graft.operators.QualityClassifier
+      import graft.operators.{QualityClassifier, Q248PinnedModel}
       val docs = graft.Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"))
         .withColumn("is_en", col("lang") === "en")
-      // train → persist → read back: the Spark literals below come from
-      // the READ-BACK artifact strings, the oracle splices the same
-      // artifact at dump time (q248Splice) — one source of truth
-      val (wStrs, bStr) = QualityClassifier.trainPersisted(
-        s, docs, "is_en", Q248Artifact, dir)
-      val scored = QualityClassifier.scoreFromStrings(docs, wStrs, bStr)
+      // MAP-ONLY scoring from the COMMITTED constants — no training, no
+      // artifact round-trip, no run-time state; the oracle below splices
+      // the identical strings (VERDICT r12 ask #1). Also deletes the
+      // ~0.5 s per-bench retrain cost ("What's wrong #4").
+      val scored = QualityClassifier.scoreFromStrings(docs,
+        Q248PinnedModel.weights, Q248PinnedModel.bias)
       val out = scored.join(docs.select(col("doc_id"), col("is_en")), "doc_id")
       val acc = out.agg(
         avg(when(col("predicted") === col("is_en"), 1.0).otherwise(0.0))
@@ -475,9 +472,9 @@ object QueriesRound11 {
     })
   )
 
-  // a def, not a val: q248's oracle splices the weights its entry
-  // trained (Verify dumps oracle_sql.json after running the queries)
-  def oracles: Map[String, String] = Map(
+  // fully static since r13: q248's weights are the committed
+  // Q248PinnedModel constants, so every dump splices identical SQL
+  val oracles: Map[String, String] = Map(
     // identical exact-verdict replay to q243; the Bloom guarantees and
     // the degrade-route equivalence replay as constants
     "q245_bloom_bucketed_dedup" ->
@@ -619,14 +616,13 @@ object QueriesRound11 {
         |         * (2 * (c_custkey % 25) + 1)) // 6 AS gsum
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
-    // full independent replay over the TRAINED weights (read from the
-    // persisted artifact at dump time — see Q248Artifact): same
-    // tokenization (filter empties -> first 64 -> distinct), same
-    // md5-prefix bucket hash, exact decimal sum, same threshold — and
-    // the accuracy fact recomputed from DuckDB's own predictions, not
-    // echoed. Missing artifact ⇒ a loud DuckDB error(), never silently
-    // -wrong VALUES.
-    "q248_quality_classifier" -> q248Splice.map { case (wVals, bias) =>
+    // full independent replay over the PINNED weights (the committed
+    // Q248PinnedModel constants — a STATIC splice, identical on every
+    // dump): same tokenization (filter empties -> first 64 -> distinct),
+    // same md5-prefix bucket hash, exact decimal sum, same threshold —
+    // and the accuracy fact recomputed from DuckDB's own predictions,
+    // not echoed.
+    "q248_quality_classifier" -> { val (wVals, bias) = q248Splice
       s"""WITH w(bkt, wt) AS (VALUES $wVals),
          |d AS (
          |  SELECT doc_id, lang = 'en' AS is_en,
@@ -654,7 +650,6 @@ object QueriesRound11 {
          |       (SELECT avg(CASE WHEN predicted = is_en THEN 1.0 ELSE 0.0 END)
          |        FROM scored) >= 0.7 AS acc_ok
          |FROM scored ORDER BY doc_id""".stripMargin
-    }.getOrElse(graft.ArtifactStore.missingOracle(
-      Q248Artifact, "q248_quality_classifier"))
+    }
   )
 }

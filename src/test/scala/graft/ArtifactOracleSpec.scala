@@ -2,51 +2,62 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** The r11 driver-gate red's fix, gated (VERDICT r11 ask #1): dynamic
-  * oracles (q248 classifier weights, q240 centroids) must derive BOTH
-  * engines' inputs from one persisted artifact — the entry writes it,
-  * builds its Spark literals from the read-back strings, and the oracle
-  * builder splices the same artifact at dump time. No `@volatile` state
-  * crosses the entry→dump boundary, and a missing artifact degrades to
-  * a LOUD DuckDB error() oracle instead of silently-wrong VALUES. */
+/** Dynamic-oracle hygiene, gated:
+  *  - q248 is PINNED since r13 (VERDICT r12 ask #1): its committed
+  *    constants must be bit-for-bit reproducible by retraining on the
+  *    sf0.01 fixture (fixture drift fails HERE — a deliberate
+  *    regeneration point via graft.tools.PinQ248 — never the driver's
+  *    gate), the static oracle must splice exactly those constants, and
+  *    the entry's scores must replay from them.
+  *  - q240 stays dynamic (entry-written ArtifactStore artifact spliced
+  *    at dump time), so its persisted == spliced invariant stays gated,
+  *    and the store's sf_dir staleness guard (VERDICT r12 ask #2) must
+  *    turn a cross-fixture stale artifact into a LOUD degrade. */
 class ArtifactOracleSpec extends SparkTestBase {
 
-  test("q248: persisted weights == spliced oracle values, idempotent") {
+  test("q248: retraining on sf0.01 reproduces the PINNED constants") {
+    val pinDir = operators.Q248PinnedModel.trainedOn
+    assert(new java.io.File(pinDir).isDirectory,
+      s"pin fixture $pinDir missing - cannot verify the committed model")
+    val docs = Tables.load(spark, pinDir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .withColumn("is_en", col("lang") === "en")
+    val (w, b) = operators.QualityClassifier.train(docs, "is_en")
+    def dec(x: Double): String =
+      operators.QualityClassifier.dec(x).bigDecimal.toPlainString
+    val retrained = ((-1, dec(b)) +:
+      w.zipWithIndex.collect { case (x, i) if x != 0.0 => (i, dec(x)) }
+        .toSeq).sortBy(_._1)
+    assert(retrained == operators.Q248PinnedModel.pairs.sortBy(_._1),
+      "sf0.01 retrain != committed Q248PinnedModel - the fixture " +
+        "changed; regenerate deliberately with graft.tools.PinQ248")
+  }
+
+  test("q248: static oracle splices the pinned constants verbatim") {
+    val m = operators.Q248PinnedModel
+    val oracle = SparkEntry.oracleSql("q248_quality_classifier")
+    assert(oracle.contains(s"CAST('${m.bias}' AS DECIMAL(28,12))"),
+      "oracle bias != pinned bias")
+    m.pairs.filter(_._1 >= 0).foreach { case (i, v) =>
+      assert(oracle.contains(s"($i, CAST('$v' AS DECIMAL(28,12)))"),
+        s"weight bucket $i missing or different in the static oracle")
+    }
+    assert(!oracle.contains("error("), "static oracle must never degrade")
+    // and it IS static: two reads of the oracle map splice identically
+    assert(oracle == SparkEntry.oracleSql("q248_quality_classifier"))
+  }
+
+  test("q248: entry scores replay from the pinned strings alone") {
     val fn = SparkEntry.queries("q248_quality_classifier")
     val out1 = fn(spark, sfDir).collect()
-    val rows = ArtifactStore.readPairs("q248_weights")
-      .getOrElse(fail("q248 weights artifact missing after the entry ran"))
-    val bias = rows.find(_._1 == -1).map(_._2)
-      .getOrElse(fail("no bias row (idx -1) in the q248 artifact"))
-    val weights = rows.filter(_._1 >= 0)
-    assert(weights.nonEmpty, "trained classifier has no nonzero weights")
-
-    // every persisted weight string appears VERBATIM in the spliced
-    // oracle (same strings → DuckDB casts the identical decimals)
-    val oracle = SparkEntry.oracleSql("q248_quality_classifier")
-    assert(oracle.contains(s"CAST('$bias' AS DECIMAL(28,12))"),
-      "spliced oracle bias != persisted artifact bias")
-    weights.foreach { case (i, v) =>
-      assert(oracle.contains(s"($i, CAST('$v' AS DECIMAL(28,12)))"),
-        s"weight bucket $i missing or different in the spliced oracle")
-    }
-    assert(!oracle.contains("error("), "oracle degraded despite artifact")
-
-    // idempotence: a re-run retrains deterministically, overwrites the
-    // artifact with identical content, and scores identically
     val out2 = fn(spark, sfDir).collect()
-    assert(ArtifactStore.readPairs("q248_weights").get == rows,
-      "artifact changed across identical re-runs")
     assert(out1.map(_.toString).toSeq == out2.map(_.toString).toSeq,
       "entry output changed across identical re-runs")
-
-    // and the Spark-side scores really are the artifact's model: replay
-    // the logit for one doc from the persisted strings alone
-    val wMap = weights.toMap
+    val m = operators.Q248PinnedModel
     val doc = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text")).orderBy("doc_id").limit(1)
       .collect()(0)
-    val toks = graft.operators.QualityClassifier
+    val toks = operators.QualityClassifier
       .tokensJvm(Option(doc.getString(1)).getOrElse(""), 64)
     val md = java.security.MessageDigest.getInstance("MD5")
     def bucket(t: String): Int = {
@@ -54,13 +65,12 @@ class ArtifactOracleSpec extends SparkTestBase {
         .map(b => f"$b%02x").mkString.substring(0, 15)
       (java.lang.Long.parseLong(hex, 16) % 1024).toInt
     }
-    val expect = toks.foldLeft(BigDecimal(bias)) { (acc, t) =>
-      acc + BigDecimal(wMap.getOrElse(bucket(t), "0"))
+    val expect = toks.foldLeft(BigDecimal(m.bias)) { (acc, t) =>
+      acc + BigDecimal(m.weights.getOrElse(bucket(t), "0"))
     }.setScale(12)
-    val got = out1.find(_.getLong(0) == doc.getLong(0)).get
-      .getDecimal(1)
+    val got = out1.find(_.getLong(0) == doc.getLong(0)).get.getDecimal(1)
     assert(BigDecimal(got) == expect,
-      s"score for doc ${doc.getLong(0)}: plan=$got artifact-replay=$expect")
+      s"score for doc ${doc.getLong(0)}: plan=$got pinned-replay=$expect")
   }
 
   test("q240: persisted centroids == spliced oracle values") {
@@ -74,6 +84,36 @@ class ArtifactOracleSpec extends SparkTestBase {
         s"centroid $i missing or different in the spliced oracle")
     }
     assert(!oracle.contains("error("), "oracle degraded despite artifact")
+  }
+
+  test("stale artifact (wrong sf_dir) degrades to the loud error oracle") {
+    val name = "stale_guard_probe"
+    ArtifactStore.writePairs(spark, name, Seq((0, "1.5"), (1, "2.5")),
+      sfDir = "/data/dirA")
+    // matching expectation reads back; mismatched expectation is None
+    assert(ArtifactStore.readPairs(name, "/data/dirA")
+      .contains(Seq((0, "1.5"), (1, "2.5"))))
+    assert(ArtifactStore.readPairs(name, "/data/dirB").isEmpty,
+      "a stale artifact from a different fixture must NOT splice")
+    // the oracle-facing read honors the invocation-level expectation
+    // property (what Verify sets), so a Verify dump against dirB would
+    // degrade to missingOracle's error() text
+    val prev = System.getProperty(ArtifactStore.ExpectSfDirProperty)
+    try {
+      System.setProperty(ArtifactStore.ExpectSfDirProperty, "/data/dirB")
+      assert(ArtifactStore.readPairsForOracle(name).isEmpty)
+      val degraded = ArtifactStore.readPairsForOracle(name)
+        .map(_ => "SELECT 1")
+        .getOrElse(ArtifactStore.missingOracle(name, "q_stale_probe"))
+      assert(degraded.startsWith("SELECT error("))
+      assert(degraded.contains(name))
+      System.setProperty(ArtifactStore.ExpectSfDirProperty, "/data/dirA")
+      assert(ArtifactStore.readPairsForOracle(name).nonEmpty)
+    } finally {
+      if (prev == null)
+        System.clearProperty(ArtifactStore.ExpectSfDirProperty)
+      else System.setProperty(ArtifactStore.ExpectSfDirProperty, prev)
+    }
   }
 
   test("missing artifact degrades to a loud error() oracle") {

@@ -147,6 +147,34 @@ class FringeReferenceConformanceSpec extends SparkTestBase {
     assert(e2.getMessage.contains("Failed to convert long"), e2.getMessage)
   }
 
+  test("A3b IP casts, round-13 review fixes: RFC 5952 compressed IPv6, " +
+      "Guava-strict IPv4") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    import graft.plans.IpCastUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    def ip(s: String): String =
+      IpCastUtil.fromString(UTF8String.fromString(s)).toString
+    // the reference renders IPv6 via Guava toAddrString = RFC 5952
+    // compressed, not java.net's expanded form (ADVICE r12)
+    assert(ip("::1") == "::1")
+    assert(ip("0:0:0:0:0:0:0:1") == "::1")
+    assert(ip("2001:0DB8:0:0:0:0:0:1") == "2001:db8::1") // lowercase hex
+    assert(ip("2001:db8:0:1:1:1:1:1") == "2001:db8:0:1:1:1:1:1") // 1-run stays
+    assert(ip("2001:0:0:1:0:0:0:1") == "2001:0:0:1::1") // longest run wins
+    assert(ip("2001:db8:0:0:1:0:0:1") == "2001:db8::1:0:0:1") // tie → leftmost
+    assert(ip("fe80::") == "fe80::")
+    assert(ip("::") == "::")
+    // Guava-strict IPv4 (InetAddresses.isInetAddress): no surrounding
+    // whitespace, no sign, no leading zeros (ADVICE r12)
+    for (bad <- Seq("010.0.0.1", "+1.2.3.4", " 127.0.0.1", "127.0.0.1 ",
+        "1.2.3", "1.2.3.4.5", "1..2.3", "256.1.1.1", " ::1")) {
+      val e = intercept[IllegalArgumentException](ip(bad))
+      assert(e.getMessage.contains("Failed to validate ip"), bad)
+    }
+    assert(ip("0.0.0.0") == "0.0.0.0") // lone '0' octets stay legal
+    assert(ip("255.255.255.255") == "255.255.255.255")
+  }
+
   test("B4 valueForInsert requires the exact length (write-time)") {
     // test_value_for_insert_only_allows_exact_length_matches: a column
     // write rejects a length mismatch even though the CAST would extend

@@ -162,6 +162,95 @@ class IntervalReferenceConformanceSpec extends SparkTestBase {
     assert(e2.getMessage.contains("out of range"))
   }
 
+  test("typed-precision truncation table tail (IntervalAnalysisTest " +
+      "DAY/HOUR TO MINUTE/SECOND + seconds_millis + odd vectors)") {
+    def pp(s: String, a: String = null, b: String = null) =
+      GraftInterval.parseParts(s, a, b)
+    val base = "6 years 5 mons 4 days 03:02:01"
+    // the full (start, end) truncation table from the analyze tests
+    assert(pp(base, "day", "minute") == (77, 4, 3 * H + 2 * 60000000L))
+    assert(pp(base, "day", "second") ==
+      (77, 4, 3 * H + 2 * 60000000L + 1000000L))
+    // HOUR TO MINUTE drops seconds AND the fraction
+    assert(pp("6 years 5 mons 4 days 03:02:01.100", "hour", "minute") ==
+      (77, 4, 3 * H + 2 * 60000000L))
+    assert(pp(base, "hour", "second") ==
+      (77, 4, 3 * H + 2 * 60000000L + 1000000L))
+    // test_seconds_millis: bare numerics and ms-unit forms normalize
+    assert(pp("1") == (0, 0, 1000000L))
+    assert(pp("1.1") == (0, 0, 1100000L))
+    assert(pp("60.1") == (0, 0, 60100000L)) // 1 min 100 ms
+    assert(pp("1000 milliseconds") == (0, 0, 1000000L))
+    assert(pp("1 secs 100 ms") == (0, 0, 1100000L))
+    assert(pp("60 secs 100 ms") == (0, 0, 60100000L))
+    // test_odd: '100.123' SECOND = 1m 40.123s; '101 MILLISECOND' in
+    // quotes is 101 ms, numeric '101' with a precision normalizes as
+    // seconds
+    assert(pp("100.123", "second") == (0, 0, 100123000L))
+    assert(pp("101 MILLISECOND") == (0, 0, 101000L))
+    assert(pp("101", "second") == (0, 0, 101000000L))
+  }
+
+  test("pg wire format (protocols IntervalType): binary triple = the " +
+      "parsed (months, days, micros); ordering = toStandardDuration") {
+    // writeAsBinary streams exactly (time-micros, weeks*7+days,
+    // years*12+months) — the triple graft's parseParts produces; the
+    // reference's streaming-round-trip Period(1,2,3,4,5,6,7,8)
+    // (y mo w d h mi s ms) therefore IS this triple:
+    assert(GraftInterval.parseParts(
+      "1 year 2 mons 3 weeks 4 days 05:06:07.008") ==
+      (14, 25, 5 * H + 6 * 60000000L + 7000000L + 8000L))
+    // test_compare, ported with the same component arithmetic the
+    // reference Periods use (months → 30 days, exact integers):
+    def key(y: Int, mo: Int, w: Int, d: Int, h: Int, mi: Int, s: Int,
+            ms: Int) =
+      GraftInterval.orderKey(y * 12 + mo, w * 7 + d,
+        (h * 3600L + mi * 60L + s) * 1000000L + ms * 1000L)
+    val p1 = key(1, 13, 8, 568, 128, 678, 91234, 1234567)
+    val p2 = key(1, 16, 68, 64, 20, 59, 8, 567)
+    assert(p1.compare(p2) == 0, s"$p1 != $p2") // wildly different fields, equal duration
+    assert(p1.compare(key(1, 17, 68, 64, 20, 59, 8, 567)) < 0)
+    assert(key(1, 13, 8, 568, 129, 678, 91234, 1234567).compare(p2) > 0)
+    // SQL surface: graft_interval_order on strings and intervals
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = Engine.sql(spark,
+      "SELECT graft_interval_order('1 mon') AS a, " +
+        "graft_interval_order('30 days') AS b, " +
+        "graft_interval_order('-2:00') AS c, " +
+        "graft_interval_order(graft_interval('P1DT-2H')) AS d").collect()(0)
+    assert(r.getDecimal(0) == r.getDecimal(1)) // 30-day months
+    assert(r.getDecimal(2).longValueExact == -7200000000L)
+    assert(r.getDecimal(3).longValueExact == 79200000000L)
+  }
+
+  test("round-13 review fixes: mixed-sign day/time normalization, " +
+      "precision whitelist blocks codegen injection") {
+    // Period.normalizedStandard folds DAYS into the time total before
+    // re-splitting, so opposite-sign day/time inputs collapse (ADVICE
+    // r12: graft used to keep (1 day, -02:00:00))
+    assert(p("1 -2:00") == (0, 0, 22 * H))
+    assert(p("P1DT-2H") == (0, 0, 22 * H))
+    assert(p("-1 2:00") == (0, 0, -22 * H))
+    assert(p("P-1DT26H") == (0, 0, 2 * H))
+    assert(p("2 days -30:00:00") == (0, 0, 18 * H))
+    assert(GraftInterval.formatParts(0, 0, 22 * H) == "22:00:00")
+    // same-sign folds unchanged
+    assert(p("1 2:00") == (0, 1, 2 * H))
+    // a non-grammar precision string is rejected in the CONSTRUCTOR —
+    // before doGenCode could splice it into generated Java (ADVICE r12)
+    graft.functions.GraftFunctions.registerAll(spark)
+    val e = intercept[Exception](Engine.sql(spark,
+      "SELECT graft_interval('1', 'ho\"ur') AS x").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+    assert(msgs(e).exists(m => m != null &&
+      m.contains("Invalid interval precision")), msgs(e).mkString(" | "))
+    val e2 = intercept[Exception](Engine.sql(spark,
+      "SELECT graft_interval_parts('1', 'hour', 'bogus') AS x").collect())
+    assert(msgs(e2).exists(m => m != null &&
+      m.contains("Invalid interval precision")), msgs(e2).mkString(" | "))
+  }
+
   test("SQL surface: ::interval and CAST AS interval route; ts arithmetic") {
     graft.functions.GraftFunctions.registerAll(spark)
     val r = Engine.sql(spark,

@@ -51,6 +51,20 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.loads(Path(out_dir, "oracle_sql.json").read_text())
 
+    # engine-version forensics (VERDICT r12 ask #4): record the oracle
+    # engine's version beside graft.Verify's spark/java/scala record so
+    # a driver-vs-local hash divergence is adjudicable from artifacts
+    art = Path(str(out_dir).rstrip("/") + "_artifacts")
+    try:
+        art.mkdir(parents=True, exist_ok=True)
+        vf = art / "engine_versions.json"
+        rec = json.loads(vf.read_text()) if vf.exists() else {}
+        rec["duckdb"] = duckdb.__version__
+        rec["python"] = sys.version.split()[0]
+        vf.write_text(json.dumps(rec))
+    except Exception as e:
+        print(f"(engine_versions.json not written: {e})", file=sys.stderr)
+
     results = {}
     for d in sorted(Path(out_dir).iterdir()):
         if not d.is_dir() or not d.name.startswith(prefix):

@@ -47,6 +47,33 @@ for m in re.finditer(r"(\d+) queries as of round", arch):
     check(int(m.group(1)) == entries,
           f"ARCHITECTURE.md: '{m.group(0)}' != actual {entries}")
 
+# ---- fact: the DRIVER gate (VERDICT r12 ask #3) ----
+# while the newest CORRECTNESS_r*.json has ANY red row, every full
+# "N/N green" claim in the prose must be QUALIFIED (name the gate it is
+# true of — 'local' or 'driver' within the surrounding sentence); an
+# unqualified blanket green claim contradicting the driver artifact is
+# exactly the drift r11 and r12 both flagged.
+corr_files = sorted(ROOT.glob("CORRECTNESS_r*.json"),
+                    key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)))
+if corr_files:
+    rows = json.loads(corr_files[-1].read_text())
+    if isinstance(rows, dict) and "results" in rows:
+        rows = rows["results"]
+    reds = [k for k, v in rows.items()
+            if isinstance(v, dict) and not (v.get("rows_match")
+            and v.get("schema_match") and v.get("hash_match"))]
+    if reds:
+        for doc_name, text in (("README.md", readme),
+                               ("ARCHITECTURE.md", arch)):
+            for m in re.finditer(r"(\d+)/(\d+) green", text):
+                if m.group(1) != m.group(2):
+                    continue  # partial claims state their own red count
+                ctx = text[max(0, m.start() - 200):m.end() + 200].lower()
+                check("local" in ctx or "driver" in ctx or "judge" in ctx,
+                      f"{doc_name}: unqualified '{m.group(0)}' claim while "
+                      f"{corr_files[-1].name} has red rows ({', '.join(reds)})"
+                      " - say which gate it is true of")
+
 # ---- fact: sf1 scale-proof ratios ----
 # the HEADLINE quote for each tail key must be the artifact's number
 # (historical round-N numbers elsewhere in the narrative are fine, so
