@@ -47,7 +47,7 @@ object Dialect {
     def sig: Boolean = kind != K.Ws && kind != K.Cmt
   }
 
-  private val twoCharSyms = Set("::", "<=", ">=", "<>", "!=", "||", "->", "&&", "~*", "!~")
+  private val twoCharSyms = Set("::", "<=", ">=", "<>", "!=", "||", "->", "&&", "~*", "!~", "<<")
 
   private[graft] def lex(s: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -1075,6 +1075,31 @@ object Dialect {
     None
   }
 
+  /** The reference's CIDR containment operator (CIDROperator.java:48):
+    * `a << b` → graft_contained_within(a, b). In the reference grammar
+    * `<<` is ONLY this operator (there is no integer shift), so the
+    * token-level rewrite is unambiguous. */
+  private def passCidrOp(ts: Vector[Tok]): Option[Vector[Tok]] = {
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).isSym("<<")) {
+        val lhsEnd = prevSig(ts, i)
+        val rhsStart = nextSig(ts, i)
+        if (lhsEnd >= 0 && rhsStart >= 0) {
+          val lhsStart = operandStart(ts, lhsEnd)
+          val rhsEnd = operandEnd(ts, rhsStart)
+          val lhs = render(ts.slice(lhsStart, lhsEnd + 1))
+          val rhs = render(ts.slice(rhsStart, rhsEnd + 1))
+          val repl = lex(s"graft_contained_within($lhs, $rhs)")
+          return Some(ts.slice(0, lhsStart) ++ repl ++
+            ts.slice(rhsEnd + 1, ts.length))
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
   /** PG/CrateDB regex-match operators (RegexpMatchOperator.java:50):
     * `a ~ 'p'` → rlike, `~*` case-insensitive, `!~`/`!~*` negated. Binary
     * use only — a `~` with no operand on its left is Spark's bitwise NOT
@@ -1412,8 +1437,8 @@ object Dialect {
       passIntervalLiteral,
       passBitLiteral, passCastAsFringe, passCasts, passAnyAll,
       passObjectLiteral, passBrackets, passFetchOffset, passFilterClause,
-      passSystemSchemas, passArrayOverlap, passRegexOps, passArraySubquery,
-      passEmptyRow, passSessionKeywords)
+      passSystemSchemas, passArrayOverlap, passRegexOps, passCidrOp,
+      passArraySubquery, passEmptyRow, passSessionKeywords)
 
   // ---------- DDL: CREATE TABLE ----------
 

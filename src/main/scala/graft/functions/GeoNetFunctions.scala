@@ -129,26 +129,17 @@ object GeoNetFunctions {
     } catch { case _: NumberFormatException => None }
   }
 
-  /** `ip << cidr` membership test, e.g. `'10.0.1.7' << '10.0.0.0/16'`. */
-  def ipInCidr(ip: String, cidr: String): Option[Boolean] = {
-    val Array(net, lenStr) = cidr.split('/') match {
-      case a if a.length == 2 => a
-      case _                  => return None
-    }
-    for {
-      ipL <- ipv4ToLong(ip)
-      netL <- ipv4ToLong(net)
-      len <- lenStr.toIntOption if len >= 0 && len <= 32
-    } yield {
-      val mask = if (len == 0) 0L else (0xffffffffL << (32 - len)) & 0xffffffffL
-      (ipL & mask) == (netL & mask)
-    }
-  }
+  /** `ip << cidr` membership test, e.g. `'10.0.1.7' << '10.0.0.0/16'` —
+    * the reference CIDROperator.containedWithin semantics (r13: strict
+    * IPv4 AND IPv6 with LOUD errors on malformed operands, replacing
+    * the IPv4-only silently-null form; see plans.CidrUtil). */
+  def ipInCidr(ip: String, cidr: String): Boolean =
+    graft.plans.CidrUtil.containedWithin(ip, cidr)
 
   val ipInCidrUdf: UserDefinedFunction =
     udf((ip: String, cidr: String) =>
       if (ip == null || cidr == null) null
-      else ipInCidr(ip, cidr).map(Boolean.box).orNull)
+      else Boolean.box(graft.plans.CidrUtil.containedWithin(ip, cidr)))
 
   def inCidr(ip: Column, cidr: Column): Column = ipInCidrUdf(ip, cidr)
 

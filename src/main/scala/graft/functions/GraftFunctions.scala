@@ -46,7 +46,7 @@ object GraftFunctions {
     u.register("ip_in_cidr",
       (ip: String, cidr: String) =>
         if (ip == null || cidr == null) null
-        else GeoNetFunctions.ipInCidr(ip, cidr).map(Boolean.box).orNull)
+        else Boolean.box(graft.plans.CidrUtil.containedWithin(ip, cidr)))
     GeoShapeFunctions.registerAll(spark) // geo_within/geo_intersects/geo_area/…
     // full regexp_matches TABLE semantics (reference tablefunctions/
     // MatchesFunction.java returns one row per match, each row the array of
@@ -439,6 +439,12 @@ object GraftFunctions {
       exprs => graft.plans.TsDiffExpr(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_interval_from_micros",
       exprs => graft.plans.IntervalFromMicrosExpr(exprs(0)), "scala_udf")
+    // the reference's CIDR containment operator `ip << 'cidr'`
+    // (CIDROperator.containedWithin — strict IPv4/IPv6, loud on
+    // malformed operands); the Dialect rewrites `<<` here
+    reg.createOrReplaceTempFunction("graft_contained_within",
+      exprs => graft.plans.CidrContainedWithinExpr(exprs(0), exprs(1)),
+      "scala_udf")
     // value→TEXT with the reference's boolean rendering ('t'/'f' —
     // StringTypeTest); non-boolean inputs keep Spark's Cast codegen
     reg.createOrReplaceTempFunction("graft_to_text",

@@ -62,6 +62,19 @@ object IpCastUtil {
     sb.toString
   }
 
+  /** Strict IP literal → address bytes (4 for IPv4 and IPv4-mapped
+    * forms, 16 for IPv6), loud on garbage — the byte view the CIDR
+    * operator ranges over. */
+  def parseBytes(s: String): Array[Byte] =
+    if (s.indexOf(':') >= 0) {
+      if (s != s.trim) fail(s)
+      try java.net.InetAddress.getByName(s).getAddress
+      catch { case _: Exception => fail(s) }
+    } else {
+      if (!Ipv4Strict.matcher(s).matches()) fail(s)
+      s.split('.').map(o => o.toInt.toByte)
+    }
+
   def fromString(s0: UTF8String): UTF8String = {
     val s = s0.toString
     val norm =
@@ -129,4 +142,76 @@ case class IpCastExpr(child: Expression) extends UnaryExpression {
     }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** The reference's CIDR containment operator `ip << 'cidr'`
+  * (server/src/main/java/io/crate/expression/operator/CIDROperator.java:64
+  * containedWithin): an ip with a '/' or a cidr without one raises the
+  * reference's exact "operands are incorrect" message; both literals
+  * parse strictly (IPv4 AND IPv6 — the previous graft operator was
+  * IPv4-only and silently null on garbage); the cidr's address need not
+  * be the network base (obtainBounds masks it); containment is an
+  * unsigned BigInteger range test over the address bytes, so a
+  * mixed-family probe compares numerically exactly like the reference. */
+object CidrUtil {
+
+  def containedWithin(ipS: UTF8String, cidrS: UTF8String): Boolean =
+    containedWithin(ipS.toString, cidrS.toString)
+
+  def containedWithin(ip: String, cidr: String): Boolean = {
+    if (!cidr.contains("/") || ip.contains("/"))
+      throw new IllegalArgumentException(
+        s"operands are incorrect, expected [ip, cidr], got [$ip, $cidr]")
+    val ipNum = new java.math.BigInteger(1, IpCastUtil.parseBytes(ip))
+    val slash = cidr.lastIndexOf('/')
+    val addr = IpCastUtil.parseBytes(cidr.substring(0, slash))
+    val len =
+      try Integer.parseInt(cidr.substring(slash + 1))
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"Invalid CIDR prefix length in [$cidr]")
+      }
+    val bits = addr.length * 8
+    if (len < 0 || len > bits)
+      throw new IllegalArgumentException(
+        s"Invalid CIDR prefix length in [$cidr]")
+    val lower = new Array[Byte](addr.length)
+    val upper = new Array[Byte](addr.length)
+    var i = 0
+    while (i < addr.length) {
+      val maskBits = math.max(0, math.min(8, len - i * 8))
+      val mask = (0xff << (8 - maskBits)) & 0xff
+      lower(i) = (addr(i) & mask).toByte
+      upper(i) = ((addr(i) & mask) | (~mask & 0xff)).toByte
+      i += 1
+    }
+    new java.math.BigInteger(1, lower).compareTo(ipNum) <= 0 &&
+      ipNum.compareTo(new java.math.BigInteger(1, upper)) <= 0
+  }
+}
+
+/** `ip << cidr` — registered as graft_contained_within; the Dialect
+  * rewrites the reference's `<<` operator (which is ONLY the CIDR
+  * containment in the reference grammar — there is no integer shift)
+  * to this. Codegen'd. */
+case class CidrContainedWithinExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "graft_contained_within"
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (Seq(left, right).forall(e => e.dataType == StringType ||
+        e.dataType == NullType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ip string, cidr string) arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CidrUtil.containedWithin(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.CidrUtil.containedWithin($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

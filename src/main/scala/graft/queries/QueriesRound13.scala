@@ -150,6 +150,32 @@ object QueriesRound13 {
         .orderBy(col("c_nationkey"))
     }),
 
+    // The reference's CIDR containment operator `<<`
+    // (CIDROperator.containedWithin), driver-gated through the SQL
+    // spelling the Dialect now rewrites: IPv4 and IPv6 arms, masked
+    // cidr addresses (the address need not be the network base),
+    // non-byte-aligned prefixes, and a mixed-family probe. Golden
+    // replay — DuckDB re-derives each verdict from VALUES.
+    "q259_cidr_op" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      graft.Engine.sql(s,
+        """SELECT CAST(doc_id % 8 AS INT) AS arm,
+          |       (CASE CAST(doc_id % 8 AS INT)
+          |          WHEN 0 THEN '192.168.0.0'   << '192.168.0.1/24'
+          |          WHEN 1 THEN '192.168.0.255' << '192.168.0.1/24'
+          |          WHEN 2 THEN '192.168.1.0'   << '192.168.0.1/24'
+          |          WHEN 3 THEN '2001:db8::c7'  << '2001:db8::1/120'
+          |          WHEN 4 THEN '2001:db8::1:0' << '2001:db8::1/120'
+          |          WHEN 5 THEN '192.168.0.63'  << '192.168.0.0/26'
+          |          WHEN 6 THEN '192.168.0.64'  << '192.168.0.0/26'
+          |          ELSE '192.168.0.1' << '2001:db8::1/120' END) AS contained
+          |FROM documents""".stripMargin)
+        .groupBy(col("arm"), col("contained"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("arm"))
+    }),
+
     "q256_ip_render" -> ((s, dir) => {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
@@ -284,6 +310,17 @@ object QueriesRound13 {
         |       CAST(q100 // 86400000000 AS INT) AS p100_days,
         |       q100 % 86400000000 AS p100_micros
         |FROM q ORDER BY c_nationkey""".stripMargin,
+
+    // golden replay of the containment verdicts
+    "q259_cidr_op" ->
+      """WITH d AS (SELECT CAST(doc_id % 8 AS INT) AS arm FROM documents),
+        |g(arm, contained) AS (VALUES
+        |  (0, TRUE), (1, TRUE), (2, FALSE), (3, TRUE),
+        |  (4, FALSE), (5, TRUE), (6, FALSE), (7, FALSE))
+        |SELECT d.arm, g.contained, count(*) AS n
+        |FROM d JOIN g ON d.arm = g.arm
+        |GROUP BY d.arm, g.contained
+        |ORDER BY d.arm""".stripMargin,
 
     // golden replay of the RFC 5952 / strict-IPv4 renderings
     "q256_ip_render" ->

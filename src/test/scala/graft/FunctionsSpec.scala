@@ -69,13 +69,16 @@ class TimePatternSpec extends AnyFunSuite {
 class GeoNetKernelSpec extends AnyFunSuite {
   import GeoNetFunctions._
 
-  test("ipv4 parse + CIDR membership") {
+  test("ipv4 parse + CIDR membership (r13: reference-strict, loud)") {
     assert(ipv4ToLong("10.0.0.1").contains(0x0a000001L))
     assert(ipv4ToLong("300.0.0.1").isEmpty)
-    assert(ipInCidr("10.1.2.3", "10.0.0.0/8").contains(true))
-    assert(ipInCidr("11.1.2.3", "10.0.0.0/8").contains(false))
-    assert(ipInCidr("10.5.2.3", "10.5.0.0/16").contains(true))
-    assert(ipInCidr("bogus", "10.0.0.0/8").isEmpty)
+    assert(ipInCidr("10.1.2.3", "10.0.0.0/8"))
+    assert(!ipInCidr("11.1.2.3", "10.0.0.0/8"))
+    assert(ipInCidr("10.5.2.3", "10.5.0.0/16"))
+    // malformed operands are LOUD like the reference's containedWithin,
+    // not silently null
+    val e = intercept[IllegalArgumentException](ipInCidr("bogus", "10.0.0.0/8"))
+    assert(e.getMessage.contains("Failed to validate ip"))
   }
 
   test("geohash matches known value") {
