@@ -445,6 +445,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_contained_within",
       exprs => graft.plans.CidrContainedWithinExpr(exprs(0), exprs(1)),
       "scala_udf")
+    // the reference's IP total order (IpType.compare =
+    // Arrays.compareUnsigned over address bytes) as a BINARY sort key —
+    // correct across mixed IPv4/IPv6 columns, unlike the numeric
+    // IPv4-only ipOrderKey
+    reg.createOrReplaceTempFunction("graft_ip_sortkey",
+      exprs => graft.plans.IpSortKeyExpr(exprs(0)), "scala_udf")
     // value→TEXT with the reference's boolean rendering ('t'/'f' —
     // StringTypeTest); non-boolean inputs keep Spark's Cast codegen
     reg.createOrReplaceTempFunction("graft_to_text",

@@ -215,3 +215,31 @@ case class CidrContainedWithinExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** `graft_ip_sortkey(ip)` — the reference's IP ordering key
+  * (IpType.java:199 compare: `Arrays.compareUnsigned` over the parsed
+  * address bytes) as BINARY: Spark orders BinaryType by the same
+  * unsigned lexicographic byte comparison with shorter-prefix-first
+  * ties, so ORDER BY this key reproduces the reference's total order
+  * across MIXED IPv4/IPv6 columns (a 4-byte v4 value compares against
+  * a v6 value's leading bytes — '::1' sorts before '10.0.0.1', which
+  * sorts before '2001:db8::1') and distributes through Spark's native
+  * range sort. Codegen'd. */
+case class IpSortKeyExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_ip_sortkey"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == NullType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an ip string argument, got " +
+        child.dataType.simpleString)
+  override def nullSafeEval(input: Any): Any =
+    IpCastUtil.parseBytes(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.IpCastUtil.parseBytes($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

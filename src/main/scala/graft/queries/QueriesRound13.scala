@@ -176,6 +176,29 @@ object QueriesRound13 {
         .orderBy(col("arm"))
     }),
 
+    // The reference's IP total order (IpType.compare =
+    // Arrays.compareUnsigned over parsed address bytes) across a MIXED
+    // IPv4/IPv6 column: v4 values interleave with v6 by leading bytes
+    // ('::1' < '0.0.0.1' < mapped '1.2.3.4' < '9.x' < '10.x' <
+    // '2001:db8::1' < '192.168.x' < 'ff02::1'). The golden ranks are
+    // hand-derived from the byte arrays; DuckDB replays them as VALUES.
+    "q260_ip_sort" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.registerAll(s)
+      val arms = Seq("::1", "9.0.0.1", "10.0.0.1", "192.168.0.1",
+        "2001:db8::1", "::ffff:1.2.3.4", "ff02::1", "0.0.0.1")
+      val docs = graft.Tables.load(s, dir, "documents")
+        .select((col("doc_id") % 8).cast("int").as("arm"))
+      val withIp = docs.groupBy(col("arm")).agg(count(lit(1)).as("n"))
+        .withColumn("ip", element_at(array(arms.map(lit): _*),
+          col("arm") + 1))
+      withIp.select(col("arm"), col("ip"), col("n"),
+          row_number().over(
+            Window.orderBy(call_function("graft_ip_sortkey", col("ip"))))
+            .as("rk"))
+        .orderBy(col("arm"))
+    }),
+
     "q256_ip_render" -> ((s, dir) => {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
@@ -310,6 +333,18 @@ object QueriesRound13 {
         |       CAST(q100 // 86400000000 AS INT) AS p100_days,
         |       q100 % 86400000000 AS p100_micros
         |FROM q ORDER BY c_nationkey""".stripMargin,
+
+    // golden replay of the hand-derived byte-order ranks
+    "q260_ip_sort" ->
+      """WITH d AS (SELECT CAST(doc_id % 8 AS INT) AS arm FROM documents),
+        |g(arm, ip, rk) AS (VALUES
+        |  (0, '::1', 1), (1, '9.0.0.1', 4), (2, '10.0.0.1', 5),
+        |  (3, '192.168.0.1', 7), (4, '2001:db8::1', 6),
+        |  (5, '::ffff:1.2.3.4', 3), (6, 'ff02::1', 8), (7, '0.0.0.1', 2))
+        |SELECT d.arm, g.ip, count(*) AS n, g.rk
+        |FROM d JOIN g ON d.arm = g.arm
+        |GROUP BY d.arm, g.ip, g.rk
+        |ORDER BY d.arm""".stripMargin,
 
     // golden replay of the containment verdicts
     "q259_cidr_op" ->

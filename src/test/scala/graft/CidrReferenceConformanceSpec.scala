@@ -65,6 +65,27 @@ class CidrReferenceConformanceSpec extends SparkTestBase {
       CidrUtil.containedWithin("2001:db8::1", "2001:db8::1/129"))
   }
 
+  test("mixed-family IP ordering = Arrays.compareUnsigned over bytes " +
+      "(IpType.compare)") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    // the reference compares PARSED BYTES unsigned-lexicographically,
+    // so a 4-byte v4 value interleaves with v6 values by leading bytes:
+    // '::1' (00…01) < '9.0.0.1' < '10.0.0.1' < '2001:db8::1' (20 01 …)
+    // < 'ff02::1'
+    val ips = Seq("10.0.0.1", "ff02::1", "::1", "2001:db8::1", "9.0.0.1")
+      .toDF("ip")
+    ips.createOrReplaceTempView("ips_mixed")
+    val sorted = Engine.sql(spark,
+      "SELECT ip FROM ips_mixed ORDER BY graft_ip_sortkey(ip)")
+      .collect().map(_.getString(0)).toSeq
+    assert(sorted ==
+      Seq("::1", "9.0.0.1", "10.0.0.1", "2001:db8::1", "ff02::1"))
+    // within-v4 the numeric order is preserved ('9.x' < '10.x', the
+    // q108 property)
+    assert(sorted.indexOf("9.0.0.1") < sorted.indexOf("10.0.0.1"))
+  }
+
   test("SQL surface: << routes through the Dialect; null propagation") {
     graft.functions.GraftFunctions.registerAll(spark)
     val r = Engine.sql(spark,
