@@ -346,6 +346,14 @@ object Dialect {
               // grammar (Spark's CAST to interval types accepts only its
               // own literal syntax)
               Some(s"graft_interval($operand)")
+            else if (!isArray && (base == "timestamp" || base == "timestamptz"))
+              // the reference cast: bare-integer strings/numbers are
+              // epoch MILLIS, doubles are seconds, string grammar loud
+              // (TimestampType.implicitCast); bare `timestamp` is
+              // WITHOUT tz (DataTypes.java:89 — offsets parsed but
+              // ignored), `timestamptz`/`with time zone` applies them
+              Some(s"graft_ts_cast($operand, " +
+                s"${base == "timestamptz" || timeWithTz})")
             else if (!isArray && (base == "text" || base == "string" ||
                 base == "varchar" || base == "char" ||
                 base == "character") && params.isEmpty &&
@@ -1349,7 +1357,17 @@ object Dialect {
               // CAST(x AS interval) — the reference string grammar;
               // typed forms (INTERVAL … HOUR TO MINUTE) stay native
               Some(s"graft_interval($operand)")
-            else None
+            else if (head == "timestamp" || head == "timestamptz") {
+              // the reference cast: bare-integer strings/numbers are
+              // epoch MILLIS, doubles are seconds, the string grammar
+              // is loud (TimestampType.implicitCast); bare `timestamp`
+              // is WITHOUT tz (offsets parsed but ignored),
+              // `timestamptz`/`with time zone` applies them.
+              // timestamp/date operands pass through unchanged.
+              val withTz = head == "timestamptz" ||
+                (tyToks.length >= 2 && tyToks(1).is("with"))
+              Some(s"graft_ts_cast($operand, $withTz)")
+            } else None
           repl.foreach { f =>
             return Some(ts.slice(0, i) ++ lex(f) ++
               ts.slice(close + 1, ts.length))

@@ -451,6 +451,11 @@ object GraftFunctions {
     // IPv4-only ipOrderKey
     reg.createOrReplaceTempFunction("graft_ip_sortkey",
       exprs => graft.plans.IpSortKeyExpr(exprs(0)), "scala_udf")
+    // the reference's TIMESTAMP cast (TimestampType.implicitCast):
+    // 2nd arg = with-time-zone flag (bare `timestamp` is without)
+    reg.createOrReplaceTempFunction("graft_ts_cast",
+      exprs => graft.plans.TimestampCastExpr(exprs(0),
+        exprs.lift(1).exists(_.eval(null) == true)), "scala_udf")
     // value→TEXT with the reference's boolean rendering ('t'/'f' —
     // StringTypeTest); non-boolean inputs keep Spark's Cast codegen
     reg.createOrReplaceTempFunction("graft_to_text",

@@ -199,6 +199,31 @@ object QueriesRound13 {
         .orderBy(col("arm"))
     }),
 
+    // The reference's TIMESTAMP cast (TimestampType.implicitCast +
+    // TIMESTAMP_PARSER), driver-gated through the Dialect's rewritten
+    // `::timestamp`/`::timestamptz`: bare-integer strings are epoch
+    // MILLIS, doubles are seconds, offsets apply under timestamptz and
+    // are IGNORED under timestamp, sub-milli fraction digits truncate.
+    // Golden replay via DuckDB VALUES.
+    "q261_ts_cast" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      graft.Engine.sql(s,
+        """SELECT CAST(doc_id % 7 AS INT) AS arm,
+          |       CAST(CASE CAST(doc_id % 7 AS INT)
+          |          WHEN 0 THEN '86400000'::timestamp
+          |          WHEN 1 THEN 86400000::timestamp
+          |          WHEN 2 THEN 1.5::timestamp
+          |          WHEN 3 THEN '1999-01-08T04:00:00+03:00'::timestamptz
+          |          WHEN 4 THEN '1999-01-08T04:00:00+03:00'::timestamp
+          |          WHEN 5 THEN '2021-01-13 14:37:17.25988'::timestamp
+          |          ELSE '1999-01-08'::timestamp END AS STRING) AS ts_str
+          |FROM documents""".stripMargin)
+        .groupBy(col("arm"), col("ts_str"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("arm"))
+    }),
+
     "q256_ip_render" -> ((s, dir) => {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
@@ -333,6 +358,22 @@ object QueriesRound13 {
         |       CAST(q100 // 86400000000 AS INT) AS p100_days,
         |       q100 % 86400000000 AS p100_micros
         |FROM q ORDER BY c_nationkey""".stripMargin,
+
+    // golden replay of the reference-cast renderings
+    "q261_ts_cast" ->
+      """WITH d AS (SELECT CAST(doc_id % 7 AS INT) AS arm FROM documents),
+        |g(arm, ts_str) AS (VALUES
+        |  (0, '1970-01-02 00:00:00'),
+        |  (1, '1970-01-02 00:00:00'),
+        |  (2, '1970-01-01 00:00:01.5'),
+        |  (3, '1999-01-08 01:00:00'),
+        |  (4, '1999-01-08 04:00:00'),
+        |  (5, '2021-01-13 14:37:17.259'),
+        |  (6, '1999-01-08 00:00:00'))
+        |SELECT d.arm, g.ts_str, count(*) AS n
+        |FROM d JOIN g ON d.arm = g.arm
+        |GROUP BY d.arm, g.ts_str
+        |ORDER BY d.arm""".stripMargin,
 
     // golden replay of the hand-derived byte-order ranks
     "q260_ip_sort" ->

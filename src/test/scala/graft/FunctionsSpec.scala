@@ -108,7 +108,11 @@ class DialectSpec extends AnyFunSuite {
     // ::text routes through graft_to_text (PG boolean 't'/'f' rendering)
     "SELECT abs(x)::text FROM t" -> "SELECT graft_to_text(abs(x)) FROM t",
     "SELECT x::int[] FROM t" -> "SELECT CAST(x AS ARRAY<INT>) FROM t",
-    "SELECT ts::timestamp with time zone FROM t" -> "SELECT CAST(ts AS TIMESTAMP) FROM t",
+    // ::timestamp routes to the reference cast (bare-integer strings =
+    // epoch millis, loud grammar); bare `timestamp` is WITHOUT tz
+    "SELECT ts::timestamp with time zone FROM t" -> "SELECT graft_ts_cast(ts, true) FROM t",
+    "SELECT ts::timestamp FROM t" -> "SELECT graft_ts_cast(ts, false) FROM t",
+    "SELECT ts::timestamptz FROM t" -> "SELECT graft_ts_cast(ts, true) FROM t",
     // ::ip validates+normalizes (IpType.implicitCast)
     "SELECT o.col::ip FROM t" -> "SELECT graft_ip_cast(o.col) FROM t",
     // regex-match operators and PG bitwise XOR
