@@ -354,6 +354,15 @@ object Dialect {
               // ignored), `timestamptz`/`with time zone` applies them
               Some(s"graft_ts_cast($operand, " +
                 s"${base == "timestamptz" || timeWithTz})")
+            else if (!isArray && base == "date")
+              // DateType.implicitCast: grammar-first (date part of a
+              // datetime wins), bare-long epoch millis, numeric
+              // truncation to the day, loud on garbage
+              Some(s"graft_date_cast($operand)")
+            else if (!isArray && (base == "boolean" || base == "bool"))
+              // BooleanType.implicitCast: PG map incl. on/off,
+              // untrimmed, loud; numbers true iff strictly positive
+              Some(s"graft_bool_cast($operand)")
             else if (!isArray && (base == "text" || base == "string" ||
                 base == "varchar" || base == "char" ||
                 base == "character") && params.isEmpty &&
@@ -1367,7 +1376,17 @@ object Dialect {
               val withTz = head == "timestamptz" ||
                 (tyToks.length >= 2 && tyToks(1).is("with"))
               Some(s"graft_ts_cast($operand, $withTz)")
-            } else None
+            } else if (head == "date" && tyToks.length == 1 &&
+                operand.trim.toUpperCase != "NULL")
+              Some(s"graft_date_cast($operand)")
+            else if ((head == "boolean" || head == "bool") &&
+                tyToks.length == 1 &&
+                // a literal-NULL cast (incl. the dialect's OWN typed-null
+                // emissions in quantified rewrites) has no semantics to
+                // fix — keep Spark's CAST
+                operand.trim.toUpperCase != "NULL")
+              Some(s"graft_bool_cast($operand)")
+            else None
           repl.foreach { f =>
             return Some(ts.slice(0, i) ++ lex(f) ++
               ts.slice(close + 1, ts.length))

@@ -456,6 +456,14 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_ts_cast",
       exprs => graft.plans.TimestampCastExpr(exprs(0),
         exprs.lift(1).exists(_.eval(null) == true)), "scala_udf")
+    // the reference's DATE and BOOLEAN casts (DateType/BooleanType
+    // implicitCast): grammar-first dates with epoch-millis fallback and
+    // truncation-to-day; the PG boolean map incl. on/off, loud, with
+    // numbers true iff strictly positive
+    reg.createOrReplaceTempFunction("graft_date_cast",
+      exprs => graft.plans.DateCastExpr(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bool_cast",
+      exprs => graft.plans.BoolCastExpr(exprs(0)), "scala_udf")
     // value→TEXT with the reference's boolean rendering ('t'/'f' —
     // StringTypeTest); non-boolean inputs keep Spark's Cast codegen
     reg.createOrReplaceTempFunction("graft_to_text",

@@ -33,3 +33,75 @@ case class ToTextExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** The reference's BOOLEAN cast (server/src/main/java/io/crate/types/
+  * BooleanType.java:205 implicitCast): the PG string map with
+  * `on`/`off` included (Spark's cast lacks them), UNTRIMMED lookup
+  * (' t' raises), LOUD "Can't convert … to boolean" on garbage
+  * (Spark silently nulls), and numbers true iff STRICTLY POSITIVE
+  * (booleanFromNumber: `doubleValue() > 0.0` — so -1 is FALSE where
+  * Spark's nonzero rule says true). */
+object BoolCastUtil {
+
+  private val Map: java.util.HashMap[String, java.lang.Boolean] = {
+    val m = new java.util.HashMap[String, java.lang.Boolean]()
+    for (f <- Seq("f", "false", "n", "no", "off", "0")) m.put(f, false)
+    for (t <- Seq("t", "true", "y", "yes", "on", "1")) m.put(t, true)
+    m
+  }
+
+  def fromString(s0: org.apache.spark.unsafe.types.UTF8String): Boolean = {
+    val v = Map.get(s0.toString.toLowerCase(java.util.Locale.ENGLISH))
+    if (v == null)
+      throw new IllegalArgumentException(
+        "Can't convert \"" + s0 + "\" to boolean")
+    v.booleanValue()
+  }
+
+  def fromDouble(v: Double): Boolean = v > 0.0
+}
+
+/** `x::boolean` — the reference cast. Codegen'd. */
+case class BoolCastExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_bool_cast"
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | LongType | IntegerType | ShortType | ByteType |
+           DoubleType | FloatType | _: DecimalType | NullType |
+           BooleanType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"Can't cast ${other.simpleString} to boolean")
+    }
+  override def nullSafeEval(input: Any): Any = input match {
+    case b: Boolean => b
+    case s: org.apache.spark.unsafe.types.UTF8String =>
+      BoolCastUtil.fromString(s)
+    case l: Long    => BoolCastUtil.fromDouble(l.toDouble)
+    case i: Int     => BoolCastUtil.fromDouble(i.toDouble)
+    case i: Short   => BoolCastUtil.fromDouble(i.toDouble)
+    case i: Byte    => BoolCastUtil.fromDouble(i.toDouble)
+    case d: Double  => BoolCastUtil.fromDouble(d)
+    case f: Float   => BoolCastUtil.fromDouble(f.toDouble)
+    case d: org.apache.spark.sql.types.Decimal =>
+      BoolCastUtil.fromDouble(d.toDouble)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.dataType match {
+      case BooleanType => defineCodeGen(ctx, ev, c => s"$c")
+      case StringType =>
+        defineCodeGen(ctx, ev,
+          c => s"graft.plans.BoolCastUtil.fromString($c)")
+      case _: DecimalType =>
+        defineCodeGen(ctx, ev,
+          c => s"graft.plans.BoolCastUtil.fromDouble($c.toDouble())")
+      case _ =>
+        defineCodeGen(ctx, ev,
+          c => s"graft.plans.BoolCastUtil.fromDouble((double) $c)")
+    }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -70,6 +70,22 @@ object TsCastUtil {
     }
   }
 
+  /** The DATE cast's string leg (DateType.java:100): the grammar
+    * without zone queries, keeping the DATE part of a datetime. */
+  def parseLocal(s: String): java.time.LocalDate = {
+    import java.time._
+    val dt =
+      try Parser.parseBest(s, LocalDateTime.from _, LocalDate.from _)
+      catch {
+        case e: format.DateTimeParseException =>
+          throw new IllegalArgumentException(e.getMessage)
+      }
+    dt match {
+      case ldt: LocalDateTime => ldt.toLocalDate
+      case ld: LocalDate      => ld
+    }
+  }
+
   // Spark TimestampType carries MICROS; the reference value is millis.
   def fromString(s: UTF8String, withTz: Boolean): Long =
     Math.multiplyExact(parseMillis(s.toString, withTz), 1000L)
@@ -145,6 +161,93 @@ case class TimestampCastExpr(child: Expression, withTz: Boolean)
       case _ =>
         defineCodeGen(ctx, ev,
           c => s"graft.plans.TsCastUtil.fromLong((long) $c)")
+    }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The reference's DATE cast (server/src/main/java/io/crate/types/
+  * DateType.java:94 implicitCast): strings try the TIMESTAMP grammar
+  * first (the date part of a datetime wins), then bare-long epoch
+  * MILLIS; doubles are seconds; every numeric path truncates to the
+  * day with `/ 1000 / 86400` — TRUNCATION TOWARD ZERO, a faithful
+  * quirk: pre-1970 millis land one day late vs floor division (the
+  * reference uses `/`, not floorDiv). Garbage raises the reference's
+  * "Can't cast … to date". Spark representation: DateType days. */
+object DateCastUtil {
+
+  def fromString(s0: UTF8String): Int = {
+    val s = s0.toString
+    try {
+      val dt = TsCastUtil.parseLocal(s)
+      dt.toEpochDay.toInt
+    } catch {
+      case _: IllegalArgumentException =>
+        val millis =
+          try java.lang.Long.parseLong(s)
+          catch {
+            case _: NumberFormatException =>
+              throw new ClassCastException(s"Can't cast '$s' to date")
+          }
+        fromMillis(millis)
+    }
+  }
+
+  def fromMillis(millis: Long): Int = (millis / 1000 / 86400).toInt
+
+  def fromDouble(v: Double): Int = fromMillis((v * 1000).toLong)
+}
+
+/** `x::date` — the reference cast; date/timestamp operands take the
+  * reference's numeric truncation path. Codegen'd. */
+case class DateCastExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_date_cast"
+  override def dataType: DataType = DateType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | LongType | IntegerType | ShortType | ByteType |
+           DoubleType | FloatType | _: DecimalType | NullType |
+           TimestampType | TimestampNTZType | DateType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"Can't cast ${other.simpleString} to date")
+    }
+  override def nullSafeEval(input: Any): Any = child.dataType match {
+    case DateType => input
+    case TimestampType | TimestampNTZType =>
+      DateCastUtil.fromMillis(input.asInstanceOf[Long] / 1000L)
+    case _ => input match {
+      case s: UTF8String => DateCastUtil.fromString(s)
+      case l: Long       => DateCastUtil.fromMillis(l)
+      case i: Int        => DateCastUtil.fromMillis(i.toLong)
+      case i: Short      => DateCastUtil.fromMillis(i.toLong)
+      case i: Byte       => DateCastUtil.fromMillis(i.toLong)
+      case d: Double     => DateCastUtil.fromDouble(d)
+      case f: Float      => DateCastUtil.fromDouble(f.toDouble)
+      case d: org.apache.spark.sql.types.Decimal =>
+        DateCastUtil.fromDouble(d.toDouble)
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.dataType match {
+      case DateType => defineCodeGen(ctx, ev, c => s"$c")
+      case TimestampType | TimestampNTZType =>
+        defineCodeGen(ctx, ev,
+          c => s"graft.plans.DateCastUtil.fromMillis($c / 1000L)")
+      case StringType =>
+        defineCodeGen(ctx, ev,
+          c => s"graft.plans.DateCastUtil.fromString($c)")
+      case DoubleType | FloatType =>
+        defineCodeGen(ctx, ev,
+          c => s"graft.plans.DateCastUtil.fromDouble((double) $c)")
+      case _: DecimalType =>
+        defineCodeGen(ctx, ev,
+          c => s"graft.plans.DateCastUtil.fromDouble($c.toDouble())")
+      case _ =>
+        defineCodeGen(ctx, ev,
+          c => s"graft.plans.DateCastUtil.fromMillis((long) $c)")
     }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -224,6 +224,36 @@ object QueriesRound13 {
         .orderBy(col("arm"))
     }),
 
+    // The reference's BOOLEAN and DATE casts (BooleanType/DateType
+    // implicitCast), driver-gated via the Dialect's rewritten
+    // `::boolean`/`::date`: on/off in the boolean map, numbers true iff
+    // STRICTLY positive (-1 is false), grammar-first dates with the
+    // epoch-millis fallback and truncation to the day. Golden replay.
+    "q262_bool_date_cast" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      graft.Engine.sql(s,
+        """SELECT CAST(doc_id % 6 AS INT) AS arm,
+          |       (CASE CAST(doc_id % 6 AS INT)
+          |          WHEN 0 THEN 'on'::boolean
+          |          WHEN 1 THEN 'OFF'::boolean
+          |          WHEN 2 THEN (0 - 1)::boolean
+          |          WHEN 3 THEN 2::boolean
+          |          WHEN 4 THEN 'yes'::boolean
+          |          ELSE '0'::boolean END) AS b,
+          |       CAST(CASE CAST(doc_id % 6 AS INT)
+          |          WHEN 0 THEN '1999-01-08T04:00:00'::date
+          |          WHEN 1 THEN '86400000'::date
+          |          WHEN 2 THEN 86400000::date
+          |          WHEN 3 THEN 86400.5::date
+          |          WHEN 4 THEN '2021-01-13'::date
+          |          ELSE '1969-12-31T23:59:59.999'::date END AS STRING) AS d
+          |FROM documents""".stripMargin)
+        .groupBy(col("arm"), col("b"), col("d"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("arm"))
+    }),
+
     "q256_ip_render" -> ((s, dir) => {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
@@ -358,6 +388,23 @@ object QueriesRound13 {
         |       CAST(q100 // 86400000000 AS INT) AS p100_days,
         |       q100 % 86400000000 AS p100_micros
         |FROM q ORDER BY c_nationkey""".stripMargin,
+
+    // golden replay of the bool/date verdicts (arm 5's date: a DATE
+    // STRING parses through the grammar → its calendar date 1969-12-31,
+    // NOT the truncation quirk, which applies only to numeric inputs)
+    "q262_bool_date_cast" ->
+      """WITH dd AS (SELECT CAST(doc_id % 6 AS INT) AS arm FROM documents),
+        |g(arm, b, d) AS (VALUES
+        |  (0, TRUE,  '1999-01-08'),
+        |  (1, FALSE, '1970-01-02'),
+        |  (2, FALSE, '1970-01-02'),
+        |  (3, TRUE,  '1970-01-02'),
+        |  (4, TRUE,  '2021-01-13'),
+        |  (5, FALSE, '1969-12-31'))
+        |SELECT dd.arm, g.b, g.d, count(*) AS n
+        |FROM dd JOIN g ON dd.arm = g.arm
+        |GROUP BY dd.arm, g.b, g.d
+        |ORDER BY dd.arm""".stripMargin,
 
     // golden replay of the reference-cast renderings
     "q261_ts_cast" ->

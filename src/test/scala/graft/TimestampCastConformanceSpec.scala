@@ -69,6 +69,50 @@ class TimestampCastConformanceSpec extends SparkTestBase {
     }
   }
 
+  test("DATE cast (DateType.implicitCast): grammar-first, epoch-millis " +
+      "fallback, truncation-to-day quirk, loud garbage") {
+    import graft.plans.DateCastUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    def d(s: String): Int = DateCastUtil.fromString(UTF8String.fromString(s))
+    assert(d("1999-01-08") == 10599) // epoch day
+    assert(d("1999-01-08T04:00:00") == 10599) // date part of a datetime wins
+    assert(d("86400000") == 1) // bare long = epoch millis → 1970-01-02
+    assert(DateCastUtil.fromMillis(86400000L + 3600_000L) == 1)
+    assert(DateCastUtil.fromDouble(86400.5) == 1) // double = seconds
+    // the faithful truncation-toward-zero quirk: -1 ms is epoch day 0,
+    // not -1 (the reference divides with `/`, not floorDiv)
+    assert(DateCastUtil.fromMillis(-1L) == 0)
+    val e = intercept[ClassCastException](d("not a date"))
+    assert(e.getMessage == "Can't cast 'not a date' to date")
+  }
+
+  test("BOOLEAN cast (BooleanType.implicitCast): PG map with on/off, " +
+      "untrimmed, loud; numbers true iff strictly positive") {
+    import graft.plans.BoolCastUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    def b(s: String): Boolean = BoolCastUtil.fromString(UTF8String.fromString(s))
+    for (t <- Seq("t", "TRUE", "y", "Yes", "on", "1")) assert(b(t), t)
+    for (f <- Seq("f", "false", "N", "no", "OFF", "0")) assert(!b(f), f)
+    val e = intercept[IllegalArgumentException](b(" t")) // untrimmed
+    assert(e.getMessage == "Can't convert \" t\" to boolean")
+    intercept[IllegalArgumentException](b("maybe"))
+    // strictly-positive rule: -1 is FALSE (Spark's nonzero rule says true)
+    assert(!BoolCastUtil.fromDouble(-1.0))
+    assert(!BoolCastUtil.fromDouble(0.0))
+    assert(BoolCastUtil.fromDouble(0.5))
+    // SQL surface
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = Engine.sql(spark,
+      "SELECT 'on'::boolean AS a, 'off'::boolean AS b, " +
+        "(0 - 1)::boolean AS c, 2::boolean AS d, " +
+        "CAST('1999-01-08T04:00:00' AS DATE) AS e, " +
+        "'86400000'::date AS f").collect()(0)
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(!r.getBoolean(2) && r.getBoolean(3))
+    assert(r.getDate(4).toString == "1999-01-08")
+    assert(r.getDate(5).toString == "1970-01-02")
+  }
+
   test("implicitCast branches through SQL: integer strings/numbers are " +
       "MILLIS, doubles are seconds (::timestamp routes in the Dialect)") {
     graft.functions.GraftFunctions.registerAll(spark)
