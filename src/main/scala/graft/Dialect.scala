@@ -1092,6 +1092,48 @@ object Dialect {
     None
   }
 
+  /** `substring(x FROM y [FOR z])` → `substr(x, y[, z])`: Spark's
+    * parser maps the FROM form DIRECTLY to its builtin Substring
+    * expression (bypassing the function registry), which would defeat
+    * the reference-semantics substr override — in the reference the
+    * FROM form is plain sugar for the function call, including the
+    * (string, string) regex-extract overload
+    * (SubstrFunctionTest: substring('foobar' FROM 'o.b')). */
+  private def passSubstringFrom(ts: Vector[Tok]): Option[Vector[Tok]] = {
+    var i = 0
+    while (i < ts.length - 1) {
+      if (ts(i).is("substring") && ts.lift(nextSig(ts, i)).exists(_.isSym("("))) {
+        val open = nextSig(ts, i)
+        val close = matchFwd(ts, open)
+        if (close > 0) {
+          val inner = ts.slice(open + 1, close)
+          var depth = 0
+          var fromAt = -1
+          var forAt = -1
+          inner.zipWithIndex.foreach { case (t, k) =>
+            if (t.isSym("(")) depth += 1
+            else if (t.isSym(")")) depth -= 1
+            else if (depth == 0 && t.is("from") && fromAt < 0) fromAt = k
+            else if (depth == 0 && t.is("for") && forAt < 0) forAt = k
+          }
+          if (fromAt > 0) {
+            val arg0 = render(inner.slice(0, fromAt))
+            val arg1 = render(inner.slice(fromAt + 1,
+              if (forAt > fromAt) forAt else inner.length))
+            val arg2 = if (forAt > fromAt)
+              Some(render(inner.slice(forAt + 1, inner.length))) else None
+            val repl = lex(
+              s"substr($arg0, $arg1${arg2.map(", " + _).getOrElse("")})")
+            return Some(ts.slice(0, i) ++ repl ++
+              ts.slice(close + 1, ts.length))
+          }
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
   /** The reference's CIDR containment operator (CIDROperator.java:48):
     * `a << b` → graft_contained_within(a, b). In the reference grammar
     * `<<` is ONLY this operator (there is no integer shift), so the
@@ -1475,7 +1517,8 @@ object Dialect {
       passBitLiteral, passCastAsFringe, passCasts, passAnyAll,
       passObjectLiteral, passBrackets, passFetchOffset, passFilterClause,
       passSystemSchemas, passArrayOverlap, passRegexOps, passCidrOp,
-      passArraySubquery, passEmptyRow, passSessionKeywords)
+      passSubstringFrom, passArraySubquery, passEmptyRow,
+      passSessionKeywords)
 
   // ---------- DDL: CREATE TABLE ----------
 

@@ -464,6 +464,14 @@ object GraftFunctions {
       exprs => graft.plans.DateCastExpr(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_bool_cast",
       exprs => graft.plans.BoolCastExpr(exprs(0)), "scala_udf")
+    // the reference's substr/substring (SubstrFunction.java): CLAMP
+    // semantics (begin ≤ 1 clamps to the start — NOT Spark's from-the-
+    // end negatives), '' past the end, loud negative length, plus the
+    // (string, string) REGEX-EXTRACT overload. Overrides the builtins
+    // for SQL-resolved calls; the DataFrame .substr API keeps Spark's.
+    for (name <- Seq("substr", "substring"))
+      reg.createOrReplaceTempFunction(name,
+        exprs => graft.plans.CrateSubstrExpr(exprs), "scala_udf")
     // value→TEXT with the reference's boolean rendering ('t'/'f' —
     // StringTypeTest); non-boolean inputs keep Spark's Cast codegen
     reg.createOrReplaceTempFunction("graft_to_text",

@@ -254,6 +254,33 @@ object QueriesRound13 {
         .orderBy(col("arm"))
     }),
 
+    // The reference's substr/substring (SubstrFunction.java):
+    // CLAMP semantics — begin ≤ 1 clamps to the string start (NOT
+    // Spark's from-the-end negatives), '' past the end, the length
+    // window counted from the clamped start — plus the (string,string)
+    // REGEX-EXTRACT overload incl. the FROM-pattern sugar. Golden
+    // replay (DuckDB's own substr has PG window semantics, so goldens,
+    // not shared evaluation).
+    "q263_substr" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      graft.Engine.sql(s,
+        """SELECT CAST(doc_id % 7 AS INT) AS arm,
+          |       (CASE CAST(doc_id % 7 AS INT)
+          |          WHEN 0 THEN substr('cratedata', 6, 2)
+          |          WHEN 1 THEN substr('hello', 0 - 3)
+          |          WHEN 2 THEN substr('hello', 0 - 2, 4)
+          |          WHEN 3 THEN substr('hello', 6)
+          |          WHEN 4 THEN substring('foobar' FROM 'o.b')
+          |          WHEN 5 THEN substring('foobar', '(.)oo([a-z])')
+          |          ELSE coalesce(substring('foobar', 'nomatch'), '<null>')
+          |        END) AS v
+          |FROM documents""".stripMargin)
+        .groupBy(col("arm"), col("v"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("arm"))
+    }),
+
     "q256_ip_render" -> ((s, dir) => {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
@@ -388,6 +415,17 @@ object QueriesRound13 {
         |       CAST(q100 // 86400000000 AS INT) AS p100_days,
         |       q100 % 86400000000 AS p100_micros
         |FROM q ORDER BY c_nationkey""".stripMargin,
+
+    // golden replay of the reference-substr verdicts
+    "q263_substr" ->
+      """WITH d AS (SELECT CAST(doc_id % 7 AS INT) AS arm FROM documents),
+        |g(arm, v) AS (VALUES
+        |  (0, 'da'), (1, 'hello'), (2, 'hell'), (3, ''),
+        |  (4, 'oob'), (5, 'f'), (6, '<null>'))
+        |SELECT d.arm, g.v, count(*) AS n
+        |FROM d JOIN g ON d.arm = g.arm
+        |GROUP BY d.arm, g.v
+        |ORDER BY d.arm""".stripMargin,
 
     // golden replay of the bool/date verdicts (arm 5's date: a DATE
     // STRING parses through the grammar → its calendar date 1969-12-31,
