@@ -215,6 +215,10 @@ object Dialect {
     "curdate"              -> "current_date",
     "strpos"               -> "instr",
     "array_cat"            -> "concat",
+    // the reference's concat() IGNORES nulls (ConcatFunction.java:222 —
+    // PG behavior; `||` stays strict-null, which Spark's operator
+    // already is); arrays delegate back to Spark's Concat inside
+    "concat"               -> "graft_concat",
     "array_unique"         -> "array_distinct",
     "array_difference"     -> "array_except",
     "random"               -> "rand",
@@ -1186,7 +1190,11 @@ object Dialect {
             val lhs = render(ts.slice(lhsStart, lhsEnd + 1))
             val rhs = render(ts.slice(rhsStart, rhsEnd + 1))
             val body =
-              if (ci || negCi) s"$lhs rlike concat('(?i)', $rhs)"
+              // `||`, not concat( — the renames pass would route a
+              // generated concat( through the null-SKIPPING
+              // graft_concat, and a NULL pattern must stay null here
+              // (the reference's regex operators are strict)
+              if (ci || negCi) s"$lhs rlike ('(?i)' || $rhs)"
               else s"$lhs rlike $rhs"
             val repl = lex(if (neg) s"NOT ($body)" else s"($body)")
             return Some(ts.slice(0, lhsStart) ++ repl ++ ts.slice(rhsEnd + 1, ts.length))

@@ -472,6 +472,10 @@ object GraftFunctions {
     for (name <- Seq("substr", "substring"))
       reg.createOrReplaceTempFunction(name,
         exprs => graft.plans.CrateSubstrExpr(exprs), "scala_udf")
+    // the reference's null-SKIPPING concat() (PG behavior; `||` stays
+    // strict-null) — the Dialect renames SQL `concat(` here
+    reg.createOrReplaceTempFunction("graft_concat",
+      exprs => graft.plans.GraftConcatExpr(exprs), "scala_udf")
     // value→TEXT with the reference's boolean rendering ('t'/'f' —
     // StringTypeTest); non-boolean inputs keep Spark's Cast codegen
     reg.createOrReplaceTempFunction("graft_to_text",

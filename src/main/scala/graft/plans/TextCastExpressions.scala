@@ -105,3 +105,32 @@ case class BoolCastExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** The reference's `concat(...)` (server/src/main/java/io/crate/
+  * expression/scalar/ConcatFunction.java:222 GenericConcatFunction):
+  * null arguments are SKIPPED (PG behavior — concat(null, 'x') is 'x',
+  * all-null is ''), where Spark's concat nulls the whole result. The
+  * `||` operator keeps strict-null semantics on both engines
+  * (StringConcatFunction's calledByOperator branch == Spark's
+  * operator), so only the FUNCTION spelling routes here (Dialect
+  * rename). Array arguments delegate to Spark's Concat (array
+  * concatenation); everything else renders to text with the
+  * reference's implicit casts (booleans as 't'/'f') and concatenates
+  * via codegen'd ConcatWs — which skips nulls natively. */
+case class GraftConcatExpr(children: Seq[Expression])
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  override def prettyName: String = "graft_concat"
+  override lazy val replacement: Expression =
+    if (children.exists(_.dataType.isInstanceOf[ArrayType]))
+      org.apache.spark.sql.catalyst.expressions.Concat(children)
+    else
+      org.apache.spark.sql.catalyst.expressions.ConcatWs(
+        Literal("") +: children.map {
+          case c if c.dataType == StringType => c
+          case c => ToTextExpr(c)
+        })
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}

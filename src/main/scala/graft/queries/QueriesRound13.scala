@@ -281,6 +281,28 @@ object QueriesRound13 {
         .orderBy(col("arm"))
     }),
 
+    // The reference's null-SKIPPING concat() with strict-null `||`
+    // (ConcatFunction.java GenericConcatFunction vs the operator
+    // branch) and the boolean→text implicit cast inside. Golden replay.
+    "q264_concat_nulls" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      graft.Engine.sql(s,
+        """SELECT CAST(doc_id % 5 AS INT) AS arm,
+          |       (CASE CAST(doc_id % 5 AS INT)
+          |          WHEN 0 THEN concat(CAST(NULL AS STRING), 'x')
+          |          WHEN 1 THEN concat('a', CAST(NULL AS STRING), 'b')
+          |          WHEN 2 THEN concat(CAST(NULL AS STRING),
+          |                             CAST(NULL AS STRING))
+          |          WHEN 3 THEN coalesce('a' || CAST(NULL AS STRING),
+          |                               '<null>')
+          |          ELSE concat('v=', doc_id >= 0) END) AS v
+          |FROM documents""".stripMargin)
+        .groupBy(col("arm"), col("v"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("arm"))
+    }),
+
     "q256_ip_render" -> ((s, dir) => {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
@@ -415,6 +437,17 @@ object QueriesRound13 {
         |       CAST(q100 // 86400000000 AS INT) AS p100_days,
         |       q100 % 86400000000 AS p100_micros
         |FROM q ORDER BY c_nationkey""".stripMargin,
+
+    // golden replay of the concat verdicts (arm 4 pins the reference's
+    // boolean→text 't', which DuckDB's own concat would render 'true')
+    "q264_concat_nulls" ->
+      """WITH d AS (SELECT CAST(doc_id % 5 AS INT) AS arm FROM documents),
+        |g(arm, v) AS (VALUES
+        |  (0, 'x'), (1, 'ab'), (2, ''), (3, '<null>'), (4, 'v=t'))
+        |SELECT d.arm, g.v, count(*) AS n
+        |FROM d JOIN g ON d.arm = g.arm
+        |GROUP BY d.arm, g.v
+        |ORDER BY d.arm""".stripMargin,
 
     // golden replay of the reference-substr verdicts
     "q263_substr" ->

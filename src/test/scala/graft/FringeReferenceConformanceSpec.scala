@@ -175,6 +175,26 @@ class FringeReferenceConformanceSpec extends SparkTestBase {
     assert(ip("255.255.255.255") == "255.255.255.255")
   }
 
+  test("A4 concat() SKIPS nulls, || stays strict " +
+      "(ConcatFunction.java:222 vs :197)") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = Engine.sql(spark,
+      "SELECT concat(CAST(NULL AS STRING), 'x') AS a, " +
+        "concat('a', CAST(NULL AS STRING), 'b') AS b, " +
+        "concat(CAST(NULL AS STRING), CAST(NULL AS STRING)) AS c, " +
+        "'a' || CAST(NULL AS STRING) AS d, " +
+        "concat('a', 1) AS e, " +
+        "concat('v=', 2 > 1) AS f, " +
+        "concat(array(1, 2), array(3)) AS g").collect()(0)
+    assert(r.getString(0) == "x")
+    assert(r.getString(1) == "ab")
+    assert(r.getString(2) == "") // all-null concat is '', not NULL
+    assert(r.isNullAt(3)) // the operator is strict on both engines
+    assert(r.getString(4) == "a1")
+    assert(r.getString(5) == "v=t") // implicit boolean→text is 't'/'f'
+    assert(r.getSeq[Int](6) == Seq(1, 2, 3)) // arrays keep Concat
+  }
+
   test("B4 valueForInsert requires the exact length (write-time)") {
     // test_value_for_insert_only_allows_exact_length_matches: a column
     // write rejects a length mismatch even though the CAST would extend

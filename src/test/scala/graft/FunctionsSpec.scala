@@ -99,7 +99,7 @@ class DialectSpec extends AnyFunSuite {
     "SELECT curdate()" -> "SELECT current_date()",
     "SELECT strpos(name, 'a') FROM t" -> "SELECT instr(name, 'a') FROM t",
     "SELECT array_cat(a, b), array_unique(a), array_difference(a, b) FROM t" ->
-      "SELECT concat(a, b), array_distinct(a), array_except(a, b) FROM t",
+      "SELECT graft_concat(a, b), array_distinct(a), array_except(a, b) FROM t",
     // :: casts — simple, literal, parenthesized, call, array type
     "SELECT a::bigint FROM t" -> "SELECT CAST(a AS BIGINT) FROM t",
     "SELECT '1'::decimal(10,2)" -> "SELECT CAST('1' AS DECIMAL(10,2))",
@@ -119,11 +119,11 @@ class DialectSpec extends AnyFunSuite {
     "SELECT * FROM t WHERE name ~ '^ab.*'" ->
       "SELECT * FROM t WHERE (name rlike '^ab.*')",
     "SELECT * FROM t WHERE name ~* '^ab'" ->
-      "SELECT * FROM t WHERE (name rlike concat('(?i)', '^ab'))",
+      "SELECT * FROM t WHERE (name rlike ('(?i)' || '^ab'))",
     "SELECT * FROM t WHERE name !~ 'x$'" ->
       "SELECT * FROM t WHERE NOT (name rlike 'x$')",
     "SELECT * FROM t WHERE name !~* 'x$'" ->
-      "SELECT * FROM t WHERE NOT (name rlike concat('(?i)', 'x$'))",
+      "SELECT * FROM t WHERE NOT (name rlike ('(?i)' || 'x$'))",
     "SELECT a # b FROM t" -> "SELECT a ^ b FROM t",
     "SELECT ~flags FROM t" -> "SELECT ~flags FROM t",
     "SELECT 'a ~ b' FROM t" -> "SELECT 'a ~ b' FROM t",
