@@ -476,6 +476,27 @@ object GraftFunctions {
     // strict-null) — the Dialect renames SQL `concat(` here
     reg.createOrReplaceTempFunction("graft_concat",
       exprs => graft.plans.GraftConcatExpr(exprs), "scala_udf")
+    // the reference's math edges (arithmetic/ package): log(x) is BASE
+    // 10 with the VALUE-FIRST two-arg form, log/ln/sqrt are LOUD on
+    // out-of-domain inputs, 1-arg round is Math.round (ties toward +∞,
+    // integral result); 2-arg round keeps Spark's builtin
+    def toD(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      org.apache.spark.sql.catalyst.expressions.Cast(e,
+        org.apache.spark.sql.types.DoubleType, Some("UTC"))
+    reg.createOrReplaceTempFunction("sqrt",
+      exprs => graft.plans.CrateMathExpr(toD(exprs(0)), "sqrt"), "scala_udf")
+    reg.createOrReplaceTempFunction("ln",
+      exprs => graft.plans.CrateMathExpr(toD(exprs(0)), "ln"), "scala_udf")
+    reg.createOrReplaceTempFunction("log",
+      exprs =>
+        if (exprs.size >= 2)
+          graft.plans.CrateLogBaseExpr(toD(exprs(0)), toD(exprs(1)))
+        else graft.plans.CrateMathExpr(toD(exprs(0)), "log10"), "scala_udf")
+    reg.createOrReplaceTempFunction("round",
+      exprs =>
+        if (exprs.size >= 2)
+          org.apache.spark.sql.catalyst.expressions.Round(exprs(0), exprs(1))
+        else graft.plans.CrateRoundExpr(exprs(0)), "scala_udf")
     // value→TEXT with the reference's boolean rendering ('t'/'f' —
     // StringTypeTest); non-boolean inputs keep Spark's Cast codegen
     reg.createOrReplaceTempFunction("graft_to_text",

@@ -303,6 +303,29 @@ object QueriesRound13 {
         .orderBy(col("arm"))
     }),
 
+    // The reference's math-function edges (arithmetic/ package):
+    // base-10 log with value-first two-arg form, loud domains, and
+    // Math.round's ties-toward-+INF on float/double with integral
+    // returns (round(-2.5) = -2 where HALF_UP says -3). Golden replay.
+    "q265_math_edges" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      graft.Engine.sql(s,
+        """SELECT CAST(doc_id % 6 AS INT) AS arm,
+          |       (CASE CAST(doc_id % 6 AS INT)
+          |          WHEN 0 THEN log(100)
+          |          WHEN 1 THEN log(8.0, 2.0)
+          |          WHEN 2 THEN ln(1.0)
+          |          WHEN 3 THEN CAST(round(CAST(0.0 - 2.5 AS DOUBLE))
+          |                           AS DOUBLE)
+          |          WHEN 4 THEN CAST(round(CAST(2.5 AS DOUBLE)) AS DOUBLE)
+          |          ELSE sqrt(16) END) AS v
+          |FROM documents""".stripMargin)
+        .groupBy(col("arm"), col("v"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("arm"))
+    }),
+
     "q256_ip_render" -> ((s, dir) => {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
@@ -437,6 +460,17 @@ object QueriesRound13 {
         |       CAST(q100 // 86400000000 AS INT) AS p100_days,
         |       q100 % 86400000000 AS p100_micros
         |FROM q ORDER BY c_nationkey""".stripMargin,
+
+    // golden replay of the math-edge verdicts (arm 3 pins Math.round's
+    // -2.5 → -2, the divergence from HALF_UP)
+    "q265_math_edges" ->
+      """WITH d AS (SELECT CAST(doc_id % 6 AS INT) AS arm FROM documents),
+        |g(arm, v) AS (VALUES
+        |  (0, 2.0), (1, 3.0), (2, 0.0), (3, -2.0), (4, 3.0), (5, 4.0))
+        |SELECT d.arm, CAST(g.v AS DOUBLE) AS v, count(*) AS n
+        |FROM d JOIN g ON d.arm = g.arm
+        |GROUP BY d.arm, g.v
+        |ORDER BY d.arm""".stripMargin,
 
     // golden replay of the concat verdicts (arm 4 pins the reference's
     // boolean→text 't', which DuckDB's own concat would render 'true')
