@@ -493,10 +493,13 @@ object GraftFunctions {
           graft.plans.CrateLogBaseExpr(toD(exprs(0)), toD(exprs(1)))
         else graft.plans.CrateMathExpr(toD(exprs(0)), "log10"), "scala_udf")
     reg.createOrReplaceTempFunction("round",
-      exprs =>
-        if (exprs.size >= 2)
+      exprs => {
+        require(exprs.size <= 2,
+          s"round takes 1 or 2 arguments, got ${exprs.size}")
+        if (exprs.size == 2)
           org.apache.spark.sql.catalyst.expressions.Round(exprs(0), exprs(1))
-        else graft.plans.CrateRoundExpr(exprs(0)), "scala_udf")
+        else graft.plans.CrateRoundExpr(exprs(0))
+      }, "scala_udf")
     // value→TEXT with the reference's boolean rendering ('t'/'f' —
     // StringTypeTest); non-boolean inputs keep Spark's Cast codegen
     reg.createOrReplaceTempFunction("graft_to_text",

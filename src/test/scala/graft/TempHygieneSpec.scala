@@ -55,6 +55,14 @@ class TempHygieneSpec extends SparkTestBase {
       .filter(_.getName.startsWith("graft_"))
       .filterNot(_.getName == "graft_sf1")
       .filterNot(f => managed.contains(f.getCanonicalPath))
+      // graft_scratch*/graft_artifacts* roots belong to SOME graft JVM
+      // and are exit-cleaned by its shutdown hook — a CONCURRENT
+      // Verify/Bench process legitimately owns ones this test can see
+      // (test 1's source audit guarantees nothing else creates them);
+      // what this test hunts is any OTHER graft_* path born in this
+      // JVM's lifetime, which would be an unmanaged write
+      .filterNot(f => f.getName.startsWith("graft_scratch") ||
+        f.getName.startsWith("graft_artifacts"))
       .filter { f =>
         // only entries born in THIS JVM's lifetime are attributable
         val attrs = java.nio.file.Files.readAttributes(f.toPath,
