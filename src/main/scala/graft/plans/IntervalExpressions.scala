@@ -645,7 +645,7 @@ case class IntervalOrderKeyExpr(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case StringType | CalendarIntervalType =>
+      case StringType | CalendarIntervalType | NullType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
