@@ -29,7 +29,7 @@ object SparkEntry {
       QueriesRound5.queries ++ QueriesRound7.queries ++
       QueriesRound9.queries ++ QueriesRound10.queries ++
       QueriesRound11.queries ++ QueriesRound12.queries ++
-      QueriesRound13.queries
+      QueriesRound13.queries ++ QueriesRound14.queries
 
   def oracleSql: Map[String, String] =
     QueriesRelational.oracles ++ QueriesWindow.oracles ++
@@ -41,5 +41,5 @@ object SparkEntry {
       QueriesRound5.oracles ++ QueriesRound7.oracles ++
       QueriesRound9.oracles ++ QueriesRound10.oracles ++
       QueriesRound11.oracles ++ QueriesRound12.oracles ++
-      QueriesRound13.oracles
+      QueriesRound13.oracles ++ QueriesRound14.oracles
 }

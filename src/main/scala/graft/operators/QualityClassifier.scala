@@ -104,6 +104,50 @@ object QualityClassifier {
   private[graft] def dec(x: Double): BigDecimal =
     BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
 
+  /** Exact micro-unit (×10¹²) rendering of a pinned 12-dp weight
+    * string — the integer the BIGINT scoring path and the oracle's
+    * integer VALUES both use. `longValueExact` is LOUD if a pin ever
+    * stops being exactly 12-dp (PinQ248 emits 12-dp strings, so every
+    * committed weight is exactly representable). */
+  private[graft] def microsOf(s: String): Long =
+    new java.math.BigDecimal(s).movePointRight(12).longValueExact
+
+  /** Shared token column (the q248 tokenization), public for the
+    * stage-localizing probe entries (q266/q267): same regex, slice
+    * BEFORE distinct, null text → empty array. */
+  def tokenColumn(textCol: Column, maxTokens: Int = 64): Column =
+    coalesce(tokenCol(textCol, maxTokens), array().cast("array<string>"))
+
+  /** The q238/q248 md5-prefix bucket hash as a Column, public for the
+    * probe entries. */
+  def bucketColumn(t: Column, dims: Int = 1024): Column =
+    pmod(conv(substr(md5(t), lit(1), lit(15)), 16, 10).cast("long"),
+      lit(dims)).cast("int")
+
+  /** INTEGER-EXACT map-only scoring (VERDICT r13 ask #1): the pinned
+    * 12-dp weight strings scale ×10¹² into BIGINT micro-units, the fold
+    * runs in pure 64-bit integer arithmetic on both engines, and the
+    * hashed output carries NO decimal/float/hex-cast construct — after
+    * three rounds of driver-only hash reds on the DECIMAL(38,12) shape,
+    * the score column is now a plain BIGINT (`score_micros`).
+    * Range safety: |weight| < 1 ⇒ |micro-unit| < 10¹²; ≤ maxTokens=64
+    * terms + bias keep |score_micros| < 6.6×10¹³, far inside int64. */
+  def scoreMicrosFromStrings(docs: DataFrame, weights: Map[Int, String],
+                             bias: String, dims: Int = 1024,
+                             idCol: String = "doc_id",
+                             textCol: String = "text",
+                             maxTokens: Int = 64): DataFrame = {
+    val wLit = array((0 until dims).map { i =>
+      lit(microsOf(weights.getOrElse(i, "0")))
+    }: _*)
+    val toks = tokenColumn(col(textCol), maxTokens)
+    val z = aggregate(toks, lit(microsOf(bias)),
+      (acc, t) => acc + element_at(wLit, bucketColumn(t, dims) + 1))
+    docs.select(col(idCol),
+      z.as("score_micros"),
+      (z > lit(0L)).as("predicted"))
+  }
+
   /** Map-only scoring from the STRING form of the model (the committed
     * [[Q248PinnedModel]] constants, or any (bucket, 12-dp-decimal)
     * rendering of [[train]]'s output): sparse weights rebuilt into the

@@ -35,13 +35,19 @@ class ArtifactOracleSpec extends SparkTestBase {
 
   test("q248: static oracle splices the pinned constants verbatim") {
     val m = operators.Q248PinnedModel
+    // r14: the splice is INTEGER-EXACT — each 12-dp pin scales ×10¹²
+    // into the BIGINT micro-unit both engines sum (VERDICT r13 ask #1)
+    def micros(v: String): Long =
+      new java.math.BigDecimal(v).movePointRight(12).longValueExact
     val oracle = SparkEntry.oracleSql("q248_quality_classifier")
-    assert(oracle.contains(s"CAST('${m.bias}' AS DECIMAL(28,12))"),
-      "oracle bias != pinned bias")
+    assert(oracle.contains(s"CAST(${micros(m.bias)} AS BIGINT)"),
+      "oracle bias != pinned bias micro-units")
     m.pairs.filter(_._1 >= 0).foreach { case (i, v) =>
-      assert(oracle.contains(s"($i, CAST('$v' AS DECIMAL(28,12)))"),
+      assert(oracle.contains(s"($i, CAST(${micros(v)} AS BIGINT))"),
         s"weight bucket $i missing or different in the static oracle")
     }
+    assert(!oracle.toUpperCase.contains("DECIMAL"),
+      "q248 oracle must stay integer-exact - no DECIMAL in the hashed row")
     assert(!oracle.contains("error("), "static oracle must never degrade")
     // and it IS static: two reads of the oracle map splice identically
     assert(oracle == SparkEntry.oracleSql("q248_quality_classifier"))
@@ -65,11 +71,13 @@ class ArtifactOracleSpec extends SparkTestBase {
         .map(b => f"$b%02x").mkString.substring(0, 15)
       (java.lang.Long.parseLong(hex, 16) % 1024).toInt
     }
-    val expect = toks.foldLeft(BigDecimal(m.bias)) { (acc, t) =>
-      acc + BigDecimal(m.weights.getOrElse(bucket(t), "0"))
-    }.setScale(12)
-    val got = out1.find(_.getLong(0) == doc.getLong(0)).get.getDecimal(1)
-    assert(BigDecimal(got) == expect,
+    def micros(v: String): Long =
+      new java.math.BigDecimal(v).movePointRight(12).longValueExact
+    val expect = toks.foldLeft(micros(m.bias)) { (acc, t) =>
+      acc + micros(m.weights.getOrElse(bucket(t), "0"))
+    }
+    val got = out1.find(_.getLong(0) == doc.getLong(0)).get.getLong(1)
+    assert(got == expect,
       s"score for doc ${doc.getLong(0)}: plan=$got pinned-replay=$expect")
   }
 
