@@ -414,8 +414,18 @@ object GraftInterval {
 
   /** The reference's interval ORDERING key (io.crate.types.IntervalType
     * .compare → toStandardDuration, IntervalType.java:171): months count
-    * 30 days, years 12 months, and the total is exact unbounded-integer
-    * arithmetic (the reference uses BigInteger to dodge long overflow).
+    * 30 days, years count 365 DAYS (the javadoc says "12 months per
+    * year" but the code adds years*365*MILLIS_PER_DAY — ported
+    * bug-for-bug, ADVICE r13 high), and the total is exact
+    * unbounded-integer arithmetic (the reference uses BigInteger to
+    * dodge long overflow). CalendarInterval carries TOTAL months, so
+    * the (years, months) split is re-derived the way the reference's
+    * own parsers leave it — Period.normalizedStandard: years = m/12,
+    * months = m%12, Java truncation-toward-zero on both. Exact for
+    * every parsed value; the one unreachable divergence is a reference
+    * Period HAND-CONSTRUCTED with months outside [-11, 11] and never
+    * normalized (interval±interval keeps fields raw there), a state the
+    * total-months triple cannot represent.
     * Rendered in MICROS as DECIMAL(38,0) — comparable, hash-gateable,
     * and ORDER BY on it distributes through Spark's native range sort
     * (a 100 TB sort needs no special operator, just this key column).
@@ -424,9 +434,13 @@ object GraftInterval {
     * both sides of the sum. */
   private val MicrosPerDay = java.math.BigInteger.valueOf(86400000000L)
   private val MicrosPer30Days = java.math.BigInteger.valueOf(2592000000000L)
+  private val MicrosPer365Days = java.math.BigInteger.valueOf(31536000000000L)
 
   def orderKey(months: Int, days: Int, micros: Long): org.apache.spark.sql.types.Decimal = {
-    val total = java.math.BigInteger.valueOf(months).multiply(MicrosPer30Days)
+    val years = months / 12
+    val moRem = months % 12
+    val total = java.math.BigInteger.valueOf(years).multiply(MicrosPer365Days)
+      .add(java.math.BigInteger.valueOf(moRem).multiply(MicrosPer30Days))
       .add(java.math.BigInteger.valueOf(days).multiply(MicrosPerDay))
       .add(java.math.BigInteger.valueOf(micros))
     org.apache.spark.sql.types.Decimal(
@@ -492,31 +506,51 @@ object GraftInterval {
     val h = us / 3600000000L; us -= h * 3600000000L
     val mi = us / 60000000L; us -= mi * 60000000L
     val s = us / 1000000L; us -= s * 1000000L
-    val ms = us / 1000L
+    val ms = us / 1000L; us -= ms * 1000L
     val months = safeMulInt(iv.months, k)
     val days = safeMulInt(iv.days, k)
-    val totalMicros = Math.addExact(
+    // `us` now holds the sub-millisecond remainder. A reference Period
+    // holds fields only down to MILLIS, so reference inputs never carry
+    // one — but graft itself produces micros-precision intervals (e.g.
+    // graft_ts_diff over Spark's microsecond timestamps), and dropping
+    // the remainder made even multiply(iv, 1) lossy (ADVICE r13). It
+    // scales exactly, outside joda's per-field int checks.
+    val totalMicros = Math.addExact(Math.addExact(
       Math.multiplyExact(days.toLong, 86400000000L),
       ((safeMulInt(Math.toIntExact(h), k) * 3600L +
         safeMulInt(Math.toIntExact(mi), k) * 60L +
         safeMulInt(Math.toIntExact(s), k)) * 1000L +
-        safeMulInt(Math.toIntExact(ms), k)) * 1000L)
+        safeMulInt(Math.toIntExact(ms), k)) * 1000L),
+      Math.multiplyExact(us, k.toLong))
     val d2 = (totalMicros / 86400000000L).toInt
     new CalendarInterval(months, d2, totalMicros - d2 * 86400000000L)
   }
 
   /** The reference's integer implicit cast for a fractional multiplier
-    * (interval '1 hour' * 3.5 is 3 hours — Number.intValue truncation,
+    * (interval '1 hour' * 3.5 is 3 hours — IntegerType.implicitCast,
     * IntervalFunctionTest.test_implicit_cast_to_integer_while_
-    * multiplying_by_double); longs out of int range are LOUD. */
+    * multiplying_by_double): `long longVal = number.longValue()`, LOUD
+    * "integer value out of range" outside int32, else truncate (ADVICE
+    * r13 — graft used Scala's saturating toInt, which silently turned
+    * 1e12 into Int.MaxValue). Faithful corners of Number.longValue:
+    * Double.NaN.longValue() is 0 in Java, so the reference maps a NaN
+    * multiplier to 0 — ported as-is; ±Infinity saturate to
+    * Long.MIN/MAX_VALUE, both out of int range, so they are LOUD. */
+  private def factorRange(longVal: Long): Int =
+    if (longVal < Int.MinValue || longVal > Int.MaxValue)
+      throw new IllegalArgumentException(
+        s"integer value out of range: $longVal")
+    else longVal.toInt
+
   def factorToInt(x: Any): Int = x match {
     case i: Int     => i
-    case l: Long    => Math.toIntExact(l)
+    case l: Long    => factorRange(l)
     case s: Short   => s.toInt
     case b: Byte    => b.toInt
-    case d: Double  => d.toInt
-    case f: Float   => f.toInt
-    case d: org.apache.spark.sql.types.Decimal => d.toDouble.toInt
+    case d: Double  => factorRange(d.toLong)
+    case f: Float   => factorRange(f.toDouble.toLong)
+    case d: org.apache.spark.sql.types.Decimal =>
+      factorRange(d.toBigDecimal.bigDecimal.longValue())
     case other => throw new IllegalArgumentException(
       s"interval multiplier must be numeric, got $other")
   }

@@ -68,6 +68,10 @@ object IpCastUtil {
   def parseBytes(s: String): Array[Byte] =
     if (s.indexOf(':') >= 0) {
       if (s != s.trim) fail(s)
+      // Guava's InetAddresses.forString rejects zone-scoped literals
+      // ('fe80::1%eth0'); java.net resolves the scope id and would
+      // silently drop it on render (ADVICE r13) — gate it first
+      if (s.indexOf('%') >= 0) fail(s)
       try java.net.InetAddress.getByName(s).getAddress
       catch { case _: Exception => fail(s) }
     } else {
@@ -81,8 +85,10 @@ object IpCastUtil {
       if (s.indexOf(':') >= 0) {
         // IPv6 literal (possibly IPv4-mapped); java.net parses literals
         // without DNS because of the ':' gate above. Reject untrimmed
-        // input before java.net gets a chance to be lenient.
+        // and zone-scoped ('%eth0' — Guava-rejected, ADVICE r13) input
+        // before java.net gets a chance to be lenient.
         if (s != s.trim) fail(s)
+        if (s.indexOf('%') >= 0) fail(s)
         val addr =
           try java.net.InetAddress.getByName(s)
           catch { case _: Exception => fail(s) }

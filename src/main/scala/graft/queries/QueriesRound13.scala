@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
   *
   *  - q255: the reference's interval ORDERING (io.crate.types
   *    .IntervalType.compare → toStandardDuration: 30-day months,
-  *    12-month years, exact integer arithmetic) over per-row derived
+  *    365-DAY years — the code's formula, not the javadoc's 12-month
+  *    line (IntervalType.java:183) — exact integer arithmetic) over
+  *    per-row derived
   *    interval strings with MIXED-SIGN day/time parts — so the joda
   *    normalizedStandard fold (days into the time total before the
   *    re-split; ADVICE r12's normalization fix) is hash-gated per row,
@@ -349,8 +351,11 @@ object QueriesRound13 {
 
     // full arithmetic replay: components from the same modular forms,
     // the normalizedStandard fold (days into the signed time total,
-    // re-split truncating toward zero), the 30-day-month ordering key
-    // in HUGEINT rendered as text, and the (key, custkey) rank
+    // re-split truncating toward zero), the toStandardDuration key
+    // (365-DAY years + 30-day months — the reference code's formula,
+    // IntervalType.java:183; ADVICE r13 high — over the re-derived
+    // normalized split y=m//12, m%12) in HUGEINT rendered as text, and
+    // the (key, custkey) rank
     "q255_interval_order" ->
       """WITH b AS (
         |  SELECT c_custkey,
@@ -377,10 +382,12 @@ object QueriesRound13 {
         |         CAST(y * 12 + mo AS INT) AS months,
         |         CAST(days AS INT) AS days,
         |         total - days * 86400000000 AS micros,
-        |         CAST(CAST(y * 12 + mo AS HUGEINT) * 2592000000000
+        |         CAST(CAST((y * 12 + mo) // 12 AS HUGEINT) * 31536000000000
+        |              + CAST((y * 12 + mo) % 12 AS HUGEINT) * 2592000000000
         |              + CAST(days AS HUGEINT) * 86400000000
         |              + (total - days * 86400000000) AS VARCHAR) AS okey,
-        |         CAST(y * 12 + mo AS HUGEINT) * 2592000000000
+        |         CAST((y * 12 + mo) // 12 AS HUGEINT) * 31536000000000
+        |           + CAST((y * 12 + mo) % 12 AS HUGEINT) * 2592000000000
         |           + CAST(days AS HUGEINT) * 86400000000
         |           + (total - days * 86400000000) AS okey_num
         |  FROM n)

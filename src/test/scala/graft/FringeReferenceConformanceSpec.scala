@@ -166,11 +166,16 @@ class FringeReferenceConformanceSpec extends SparkTestBase {
     assert(ip("::") == "::")
     // Guava-strict IPv4 (InetAddresses.isInetAddress): no surrounding
     // whitespace, no sign, no leading zeros (ADVICE r12)
+    // zone-scoped IPv6 literals are Guava-rejected (ADVICE r13:
+    // java.net resolves 'fe80::1%eth0' and silently drops the scope)
     for (bad <- Seq("010.0.0.1", "+1.2.3.4", " 127.0.0.1", "127.0.0.1 ",
-        "1.2.3", "1.2.3.4.5", "1..2.3", "256.1.1.1", " ::1")) {
+        "1.2.3", "1.2.3.4.5", "1..2.3", "256.1.1.1", " ::1",
+        "fe80::1%eth0", "fe80::1%1", "::1%lo")) {
       val e = intercept[IllegalArgumentException](ip(bad))
       assert(e.getMessage.contains("Failed to validate ip"), bad)
     }
+    intercept[IllegalArgumentException](
+      graft.plans.IpCastUtil.parseBytes("fe80::1%eth0"))
     assert(ip("0.0.0.0") == "0.0.0.0") // lone '0' octets stay legal
     assert(ip("255.255.255.255") == "255.255.255.255")
   }

@@ -83,6 +83,46 @@ class IntervalArithmeticConformanceSpec extends SparkTestBase {
     assert(GraftInterval.factorToInt(-2.9d) == -2)
     assert(t(GraftInterval.multiply(p("1 hour"), GraftInterval.factorToInt(3.5d)))
       == (0, 0, 3 * H))
+    // IntegerType.implicitCast range semantics (ADVICE r13: Scala's
+    // saturating toInt silently turned 1e12 into Int.MaxValue): out of
+    // int32 range is LOUD with the reference's message, for doubles,
+    // floats, longs, and decimals alike
+    for (badVal <- Seq(1e12, 2.2e9, -2.3e9, Double.PositiveInfinity,
+        Double.NegativeInfinity)) {
+      val e = intercept[IllegalArgumentException](
+        GraftInterval.factorToInt(badVal))
+      assert(e.getMessage.startsWith("integer value out of range"), badVal)
+    }
+    intercept[IllegalArgumentException](GraftInterval.factorToInt(1L << 40))
+    intercept[IllegalArgumentException](GraftInterval.factorToInt(
+      org.apache.spark.sql.types.Decimal("3000000000")))
+    assert(GraftInterval.factorToInt(
+      org.apache.spark.sql.types.Decimal("3.9")) == 3)
+    // faithful corner of the reference's Number.longValue() path:
+    // Double.NaN.longValue() is 0 in Java, so a NaN multiplier maps to
+    // 0 there — ported as-is, not rejected
+    assert(GraftInterval.factorToInt(Double.NaN) == 0)
+    // boundary values pass exactly
+    assert(GraftInterval.factorToInt(2147483647L) == Int.MaxValue)
+    assert(GraftInterval.factorToInt(-2147483648L) == Int.MinValue)
+  }
+
+  test("multiply keeps the sub-millisecond remainder (ADVICE r13: " +
+      "graft_ts_diff produces micros-precision intervals)") {
+    import GraftInterval.multiply
+    // 1.000001 s: the reference's joda Period cannot hold sub-ms, but
+    // graft's own ts_diff output can — identity must be lossless
+    val iv = new org.apache.spark.unsafe.types.CalendarInterval(
+      0, 0, 1000001L)
+    assert(t(multiply(iv, 1)) == (0, 0, 1000001L))
+    assert(t(multiply(iv, 3)) == (0, 0, 3000003L))
+    val negIv = new org.apache.spark.unsafe.types.CalendarInterval(
+      0, 0, -1500L)
+    assert(t(multiply(negIv, 2)) == (0, 0, -3000L))
+    // the remainder scales with k and folds into days when it carries
+    val dayIv = new org.apache.spark.unsafe.types.CalendarInterval(
+      0, 0, 86399999500L) // 1 day minus 500 us
+    assert(t(multiply(dayIv, 2)) == (0, 1, 86399999000L))
   }
 
   test("SQL surface: add/sub/mul/ts_diff + null propagation") {

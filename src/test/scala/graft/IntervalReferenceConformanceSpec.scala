@@ -201,7 +201,14 @@ class IntervalReferenceConformanceSpec extends SparkTestBase {
       "1 year 2 mons 3 weeks 4 days 05:06:07.008") ==
       (14, 25, 5 * H + 6 * 60000000L + 7000000L + 8000L))
     // test_compare, ported with the same component arithmetic the
-    // reference Periods use (months → 30 days, exact integers):
+    // reference Periods use (months → 30 days, YEARS → 365 days —
+    // toStandardDuration's code, IntervalType.java:182-183; ADVICE r13
+    // high: graft used to weigh years at 12*30=360 days). The triple
+    // carries TOTAL months, so the key re-derives the normalized split
+    // (y = m/12, mo = m%12) — both vectors here resolve to the same
+    // derived years, so the reference's raw-field sums and graft's
+    // normalized sums shift by the SAME constant and every comparison
+    // verdict is preserved:
     def key(y: Int, mo: Int, w: Int, d: Int, h: Int, mi: Int, s: Int,
             ms: Int) =
       GraftInterval.orderKey(y * 12 + mo, w * 7 + d,
@@ -211,6 +218,23 @@ class IntervalReferenceConformanceSpec extends SparkTestBase {
     assert(p1.compare(p2) == 0, s"$p1 != $p2") // wildly different fields, equal duration
     assert(p1.compare(key(1, 17, 68, 64, 20, 59, 8, 567)) < 0)
     assert(key(1, 13, 8, 568, 129, 678, 91234, 1234567).compare(p2) > 0)
+    // UNEQUAL-YEARS vectors (the ADVICE r13 gap — the reference test
+    // holds years equal on both operands, so the 360-vs-365 bug was
+    // invisible to it): '1 year' must outrank '363 days' (365 > 363,
+    // where the 360-day formula inverted it) and stay under '366 days'
+    def k1(s: String) = GraftInterval.orderKeyString(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    assert(k1("1 year").compare(k1("363 days")) > 0)
+    assert(k1("1 year").compare(k1("366 days")) < 0)
+    assert(k1("1 year").toBigDecimal.bigDecimal.longValueExact == 31536000000000L)
+    // parse normalizes 12 mons into a year (joda normalizedStandard),
+    // so '12 mons' == '1 year' == 365 days; 11 mons stays 330 days
+    assert(k1("12 mons").compare(k1("1 year")) == 0)
+    assert(k1("11 mons").toBigDecimal.bigDecimal.longValueExact == 330L * 86400000000L)
+    // negative side mirrors (truncation toward zero on both engines)
+    assert(k1("-1 year").compare(k1("-363 days")) < 0)
+    assert(k1("-13 mons").toBigDecimal.bigDecimal.longValueExact ==
+      -(365L + 30L) * 86400000000L)
     // SQL surface: graft_interval_order on strings and intervals
     graft.functions.GraftFunctions.registerAll(spark)
     val r = Engine.sql(spark,
