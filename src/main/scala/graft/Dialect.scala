@@ -238,6 +238,11 @@ object Dialect {
     "array_to_string"      -> "array_join",
     // StartsWithFunction.java:51 — Spark spells it without the underscore
     "starts_with"          -> "startswith",
+    // StringPaddingFunction: the reference's pad edges differ from
+    // Spark's builtins (50000-len guard is loud, empty fill returns the
+    // string unchanged) — route to the graft twins
+    "lpad"                 -> "graft_lpad",
+    "rpad"                 -> "graft_rpad",
     // CrateDB keeps PG argument order array_prepend(value, array)
     // (ArrayPrependFunction.java:47); Spark's builtin is (array, value).
     // Renamed to a graft-registered twin with the CrateDB order — an
@@ -1163,10 +1168,14 @@ object Dialect {
     None
   }
 
-  /** PG/CrateDB regex-match operators (RegexpMatchOperator.java:50):
-    * `a ~ 'p'` → rlike, `~*` case-insensitive, `!~`/`!~*` negated. Binary
-    * use only — a `~` with no operand on its left is Spark's bitwise NOT
-    * and is left alone. PG bitwise XOR `#` → Spark `^`. */
+  /** PG/CrateDB regex-match operators (RegexpMatchOperator.java:80):
+    * `a ~ 'p'` → graft_regexp_match (FULL-string match, Lucene RegExp
+    * syntax unless the pattern has PCRE features — rlike's substring
+    * find was wrong on both counts), `~*` → graft_regexp_match_ci
+    * (java.util.regex CASE_INSENSITIVE|UNICODE_CASE, .matches()),
+    * `!~`/`!~*` negated. Binary use only — a `~` with no operand on its
+    * left is Spark's bitwise NOT and is left alone. PG bitwise XOR `#`
+    * → Spark `^`. */
   private def passRegexOps(ts: Vector[Tok]): Option[Vector[Tok]] = {
     var i = 0
     while (i < ts.length) {
@@ -1190,12 +1199,8 @@ object Dialect {
             val lhs = render(ts.slice(lhsStart, lhsEnd + 1))
             val rhs = render(ts.slice(rhsStart, rhsEnd + 1))
             val body =
-              // `||`, not concat( — the renames pass would route a
-              // generated concat( through the null-SKIPPING
-              // graft_concat, and a NULL pattern must stay null here
-              // (the reference's regex operators are strict)
-              if (ci || negCi) s"$lhs rlike ('(?i)' || $rhs)"
-              else s"$lhs rlike $rhs"
+              if (ci || negCi) s"graft_regexp_match_ci($lhs, $rhs)"
+              else s"graft_regexp_match($lhs, $rhs)"
             val repl = lex(if (neg) s"NOT ($body)" else s"($body)")
             return Some(ts.slice(0, lhsStart) ++ repl ++ ts.slice(rhsEnd + 1, ts.length))
           }

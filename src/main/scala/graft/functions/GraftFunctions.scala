@@ -417,10 +417,34 @@ object GraftFunctions {
         ivPrec(exprs, 2)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_interval_format",
       exprs => graft.plans.IntervalFormatExpr(exprs(0)), "scala_udf")
+    // the reference's lpad/rpad (StringPaddingFunction): 50000-len
+    // guard, '' on len<=0, str unchanged on empty fill, cyclic fill;
+    // default fill ' ' when the third argument is omitted
+    reg.createOrReplaceTempFunction("graft_lpad",
+      exprs => graft.plans.GraftPadExpr(exprs(0), exprs(1),
+        if (exprs.length > 2) exprs(2)
+        else org.apache.spark.sql.catalyst.expressions.Literal(" "),
+        leftPad = true), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_rpad",
+      exprs => graft.plans.GraftPadExpr(exprs(0), exprs(1),
+        if (exprs.length > 2) exprs(2)
+        else org.apache.spark.sql.catalyst.expressions.Literal(" "),
+        leftPad = false), "scala_udf")
+    // the reference's regex-match operators `~` / `~*`
+    // (RegexpMatchOperator: full-string match; Lucene RegExp syntax
+    // unless the pattern has PCRE features) — the Dialect rewrites the
+    // operator spellings to these
+    reg.createOrReplaceTempFunction("graft_regexp_match",
+      exprs => graft.plans.RegexpMatchOpExpr(exprs(0), exprs(1)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("graft_regexp_match_ci",
+      exprs => graft.plans.RegexpMatchOpExpr(exprs(0), exprs(1), ci = true),
+      "scala_udf")
     // the reference's interval ORDERING key (IntervalType.compare:
-    // 30-day months, 12-month years, exact arithmetic) as
-    // DECIMAL(38,0) micros — ORDER BY on it is the reference's
-    // interval sort, distributed through Spark's native range sort
+    // 30-day months, 365-DAY years — the code's formula, exact
+    // arithmetic) as DECIMAL(38,0) micros — ORDER BY on it is the
+    // reference's interval sort, distributed through Spark's native
+    // range sort
     reg.createOrReplaceTempFunction("graft_interval_order",
       exprs => graft.plans.IntervalOrderKeyExpr(exprs(0)), "scala_udf")
     // the reference's interval arithmetic (IntervalArithmeticFunctions /

@@ -41,6 +41,78 @@ object QueriesRound14 {
       graft.Tables.load(s, dir, "documents")
         .select(col("doc_id"), z.as("bucket_sum"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Reference string-edge semantics (TrimFunctionTest /
+    // StringPaddingFunctionTest / TranslateFunctionTest), driver-gated
+    // through the SQL surface so the Dialect's lpad/rpad routing to the
+    // graft twins is part of what's hashed. Pad arms include the edges
+    // Spark's builtins and DuckDB both get wrong ('yes',5,'' → 'yes';
+    // DuckDB raises "Insufficient padding") — those replay as goldens,
+    // trim/translate re-derive natively in DuckDB.
+    "q268_string_pad_trim" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      graft.Engine.sql(s,
+        """SELECT CAST(doc_id % 4 AS INT) AS arm,
+          |  CASE CAST(doc_id % 4 AS INT)
+          |    WHEN 0 THEN trim(BOTH 'ab' FROM 'abcabcababab')
+          |    WHEN 1 THEN trim(LEADING 'ab' FROM 'abcabcababab')
+          |    WHEN 2 THEN trim(TRAILING 'ab' FROM 'abcabcababab')
+          |    ELSE trim(BOTH 'abc' FROM 'aaabbbcccbbbaaa') END AS tb,
+          |  CASE CAST(doc_id % 4 AS INT)
+          |    WHEN 0 THEN lpad('', 5, 'yes')
+          |    WHEN 1 THEN lpad('yes', 1, 'yes')
+          |    WHEN 2 THEN lpad('yes', 5, '')
+          |    ELSE lpad('yes', 0, 'x') END AS lp,
+          |  CASE CAST(doc_id % 4 AS INT)
+          |    WHEN 0 THEN rpad('', 5, 'yes')
+          |    WHEN 1 THEN rpad('yes', 5, 'ab')
+          |    WHEN 2 THEN rpad('yes', 2, '')
+          |    ELSE rpad('yes', 5) END AS rp,
+          |  CASE CAST(doc_id % 4 AS INT)
+          |    WHEN 0 THEN translate('Crate', 'Ct', 'Dk')
+          |    WHEN 1 THEN translate('Crate', 'rCe', 'c')
+          |    WHEN 2 THEN translate('Crate', 'CtC', 'Dk')
+          |    ELSE translate('Crate', 're', '') END AS tr
+          |FROM documents""".stripMargin)
+        .groupBy(col("arm"), col("tb"), col("lp"), col("rp"), col("tr"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("arm"))
+    }),
+
+    // The reference's regex-match operators `~` / `~*` / `!~`
+    // (RegexpMatchOperatorTest ported arm-for-arm), driver-gated
+    // through the operator SPELLINGS the Dialect rewrites: full-string
+    // anchored match, Lucene RegExp syntax (numeric interval <m-n>,
+    // complement ~x) unless the pattern carries PCRE features, and the
+    // case-insensitive java.util.regex variant. Golden replay — DuckDB
+    // re-derives nothing here (its regexp_matches is a different
+    // dialect); the goldens are pinned against the reference suite in
+    // StringEdgeReferenceConformanceSpec.
+    "q269_regexp_match_op" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      graft.Engine.sql(s,
+        """SELECT CAST(doc_id % 10 AS INT) AS arm,
+          |  (CASE CAST(doc_id % 10 AS INT)
+          |     WHEN 0 THEN 'foo bar' ~ '([A-Z][^ ]+ ?){2}'
+          |     WHEN 1 THEN 'Foo Bar' ~ '([A-Z][^ ]+ ?){2}'
+          |     WHEN 2 THEN '1000 $' ~ '(<1-9999>) $|€'
+          |     WHEN 3 THEN '10000 $' ~ '(<1-9999>) $|€'
+          |     WHEN 4 THEN '' ~ ''
+          |     WHEN 5 THEN 'This is not foo bar' ~ '~(This is foo bar)'
+          |     WHEN 6 THEN 'abc' ~ 'a~bc'
+          |     WHEN 7 THEN 'abc' ~ 'b'
+          |     WHEN 8 THEN 'foo123' ~ 'foo\\d+'
+          |     ELSE 'AbC' ~* 'a.c' END) AS m,
+          |  (CASE CAST(doc_id % 10 AS INT)
+          |     WHEN 0 THEN 'abc' !~ 'b'
+          |     ELSE '100 €' ~ '<10-101> €|$' END) AS m2
+          |FROM documents""".stripMargin)
+        .groupBy(col("arm"), col("m"), col("m2"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("arm"))
     })
   )
 
@@ -73,6 +145,52 @@ object QueriesRound14 {
         |SELECT d.doc_id, CAST(COALESCE(s.bucket_sum, 0) AS BIGINT)
         |         AS bucket_sum
         |FROM d LEFT JOIN s ON d.doc_id = s.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // trim/translate re-derive natively (DuckDB agrees with the
+    // reference on set-trims and first-wins translate); the pad columns
+    // are goldens (DuckDB lpad raises "Insufficient padding" on the
+    // empty-fill arm the reference defines as identity)
+    "q268_string_pad_trim" ->
+      """WITH d AS (SELECT CAST(doc_id % 4 AS INT) AS arm FROM documents),
+        |g AS (
+        |  SELECT arm,
+        |    CASE arm WHEN 0 THEN trim('abcabcababab', 'ab')
+        |             WHEN 1 THEN ltrim('abcabcababab', 'ab')
+        |             WHEN 2 THEN rtrim('abcabcababab', 'ab')
+        |             ELSE trim('aaabbbcccbbbaaa', 'abc') END AS tb,
+        |    CASE arm WHEN 0 THEN 'yesye' WHEN 1 THEN 'y'
+        |             WHEN 2 THEN 'yes' ELSE '' END AS lp,
+        |    CASE arm WHEN 0 THEN 'yesye' WHEN 1 THEN 'yesab'
+        |             WHEN 2 THEN 'ye' ELSE 'yes  ' END AS rp,
+        |    CASE arm WHEN 0 THEN translate('Crate', 'Ct', 'Dk')
+        |             WHEN 1 THEN translate('Crate', 'rCe', 'c')
+        |             WHEN 2 THEN translate('Crate', 'CtC', 'Dk')
+        |             ELSE translate('Crate', 're', '') END AS tr
+        |  FROM (SELECT DISTINCT arm FROM d))
+        |SELECT d.arm, g.tb, g.lp, g.rp, g.tr, count(*) AS n
+        |FROM d JOIN g ON d.arm = g.arm
+        |GROUP BY d.arm, g.tb, g.lp, g.rp, g.tr
+        |ORDER BY d.arm""".stripMargin,
+
+    // golden replay of the reference suite's verdicts (pinned against
+    // RegexpMatchOperatorTest in StringEdgeReferenceConformanceSpec)
+    "q269_regexp_match_op" ->
+      """WITH d AS (SELECT CAST(doc_id % 10 AS INT) AS arm FROM documents),
+        |g(arm, m, m2) AS (VALUES
+        |  (0, FALSE, TRUE),  -- lowercase fails [A-Z]; NOT(full 'b')
+        |  (1, TRUE,  TRUE),  -- Foo Bar matches; interval 100 in 10..101
+        |  (2, TRUE,  TRUE),  -- 1000 in <1-9999>
+        |  (3, FALSE, TRUE),  -- 10000 out of range
+        |  (4, TRUE,  TRUE),  -- '' ~ ''
+        |  (5, TRUE,  TRUE),  -- complement admits the non-equal string
+        |  (6, FALSE, TRUE),  -- '~' is an operator, not a literal
+        |  (7, FALSE, TRUE),  -- FULL match: 'abc' !~= 'b'
+        |  (8, TRUE,  TRUE),  -- PCRE branch via \d
+        |  (9, TRUE,  TRUE))  -- ~* case-insensitive
+        |SELECT d.arm, g.m, g.m2, count(*) AS n
+        |FROM d JOIN g ON d.arm = g.arm
+        |GROUP BY d.arm, g.m, g.m2
+        |ORDER BY d.arm""".stripMargin
   )
 }

@@ -115,15 +115,16 @@ class DialectSpec extends AnyFunSuite {
     "SELECT ts::timestamptz FROM t" -> "SELECT graft_ts_cast(ts, true) FROM t",
     // ::ip validates+normalizes (IpType.implicitCast)
     "SELECT o.col::ip FROM t" -> "SELECT graft_ip_cast(o.col) FROM t",
-    // regex-match operators and PG bitwise XOR
+    // regex-match operators (r14: full-string reference semantics, not
+    // rlike's substring find) and PG bitwise XOR
     "SELECT * FROM t WHERE name ~ '^ab.*'" ->
-      "SELECT * FROM t WHERE (name rlike '^ab.*')",
+      "SELECT * FROM t WHERE (graft_regexp_match(name, '^ab.*'))",
     "SELECT * FROM t WHERE name ~* '^ab'" ->
-      "SELECT * FROM t WHERE (name rlike ('(?i)' || '^ab'))",
+      "SELECT * FROM t WHERE (graft_regexp_match_ci(name, '^ab'))",
     "SELECT * FROM t WHERE name !~ 'x$'" ->
-      "SELECT * FROM t WHERE NOT (name rlike 'x$')",
+      "SELECT * FROM t WHERE NOT (graft_regexp_match(name, 'x$'))",
     "SELECT * FROM t WHERE name !~* 'x$'" ->
-      "SELECT * FROM t WHERE NOT (name rlike ('(?i)' || 'x$'))",
+      "SELECT * FROM t WHERE NOT (graft_regexp_match_ci(name, 'x$'))",
     "SELECT a # b FROM t" -> "SELECT a ^ b FROM t",
     "SELECT ~flags FROM t" -> "SELECT ~flags FROM t",
     "SELECT 'a ~ b' FROM t" -> "SELECT 'a ~ b' FROM t",
