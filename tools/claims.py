@@ -74,6 +74,44 @@ if corr_files:
                       f"{corr_files[-1].name} has red rows ({', '.join(reds)})"
                       " - say which gate it is true of")
 
+# ---- fact: QUOTED driver-gate numbers (VERDICT r13 ask #4) ----
+# every "driver gate rNN: G/T" (or "driver gate's latest run, rNN, was
+# G/T") quote must match the corresponding CORRECTNESS_rNN.json — and
+# a quote for a round OLDER than the newest artifact is itself drift.
+def _gate_counts(path):
+    rows = json.loads(path.read_text())
+    if isinstance(rows, dict) and "results" in rows:
+        rows = rows["results"]
+    green = sum(1 for v in rows.values()
+                if isinstance(v, dict) and v.get("rows_match")
+                and v.get("schema_match") and v.get("hash_match"))
+    total = sum(1 for v in rows.values() if isinstance(v, dict))
+    return green, total
+
+if corr_files:
+    newest_round = int(re.search(r"r(\d+)", corr_files[-1].name).group(1))
+    by_round = {int(re.search(r"r(\d+)", p.name).group(1)): p
+                for p in corr_files}
+    gate_quote = re.compile(
+        r"driver gate(?:'s latest run)?[,:]?\s+r(\d+)[,:]?\s+(?:was\s+)?"
+        r"(\d+)/(\d+)", re.IGNORECASE)
+    for doc_name, text in (("README.md", readme), ("ARCHITECTURE.md", arch)):
+        flat = re.sub(r"\s+", " ", text)
+        for m in gate_quote.finditer(flat):
+            rnd, g, t = int(m.group(1)), int(m.group(2)), int(m.group(3))
+            if rnd not in by_round:
+                continue
+            ag, at = _gate_counts(by_round[rnd])
+            check((g, t) == (ag, at),
+                  f"{doc_name}: '{m.group(0)}' but CORRECTNESS_r{rnd} "
+                  f"records {ag}/{at}")
+        # the "latest run" phrasing must actually be the latest artifact
+        for m in re.finditer(
+                r"driver gate's latest run, r(\d+)", flat, re.IGNORECASE):
+            check(int(m.group(1)) == newest_round,
+                  f"{doc_name}: 'latest run, r{m.group(1)}' is stale - "
+                  f"newest artifact is CORRECTNESS_r{newest_round}")
+
 # ---- fact: sf1 scale-proof ratios ----
 # the HEADLINE quote for each tail key must be the artifact's number
 # (historical round-N numbers elsewhere in the narrative are fine, so
