@@ -305,14 +305,57 @@ object GraftRegexp {
     }
   }
 
+  /** SCALE fast path: when the pattern uses none of Lucene RegExp's
+    * extra operators (`~ & < @ # "`), no escapes, and no `^`/`$`
+    * (LITERALS in Lucene, anchors in java.util.regex), the remaining
+    * grammar (`| . ? * + {m,n} [..] (..)` + literal chars) means the
+    * same language in both dialects — compile java.util.regex with
+    * DOTALL (Lucene's `.` crosses newlines) and match LINEARLY instead
+    * of paying the O(n²) interval DP per row. Long-document matching
+    * (the 100 TB path) rides this branch for every ordinary pattern;
+    * the DP handles the Lucene-only operators, which are bounded by
+    * the memo budget and loud past it. */
+  private def javaCompatible(p: String): Boolean = {
+    var i = 0
+    while (i < p.length) {
+      val c = p.charAt(i)
+      // '^' right after '[' is class negation — identical in both
+      if (c == '^' && i > 0 && p.charAt(i - 1) == '[') ()
+      else if (c == '~' || c == '&' || c == '<' || c == '>' || c == '@' ||
+          c == '#' || c == '"' || c == '^' || c == '$' || c == '\\')
+        return false
+      i += 1
+    }
+    true
+  }
+
+  private val lastFast = new ThreadLocal[(String, java.util.regex.Pattern)]
+
   /** `~` — full-string match; PCRE-feature patterns via java.util.regex,
     * everything else via the Lucene RegExp grammar. */
   def matches(source: UTF8String, pattern: UTF8String): Boolean = {
     val p = pattern.toString
     val s = source.toString
     if (isPcrePattern(p)) s.matches(p)
+    else if (javaCompatible(p)) {
+      val hit = lastFast.get()
+      val compiled =
+        if (hit != null && hit._1 == p) hit._2
+        else {
+          val c = java.util.regex.Pattern.compile(p,
+            java.util.regex.Pattern.DOTALL)
+          lastFast.set((p, c))
+          c
+        }
+      compiled.matcher(s).matches()
+    }
     else new Matcher(s, p).matches(astOf(p))
   }
+
+  /** Test seam: force the DP route (the fast path must agree with it
+    * on the shared-syntax subset — gated in the conformance spec). */
+  private[graft] def matchesDp(s: String, p: String): Boolean =
+    new Matcher(s, p).matches(astOf(p))
 
   private val lastCi = new ThreadLocal[(String, java.util.regex.Pattern)]
 

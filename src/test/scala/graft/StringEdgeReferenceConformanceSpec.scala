@@ -161,6 +161,16 @@ class StringEdgeReferenceConformanceSpec extends SparkTestBase {
     assert(m("a|b", "\"a|b\""))      // quoted literal
     assert(!m("x", "#"))             // empty language matches nothing
     assert(!m("", "#"))
+    // the linear fast path (shared java/Lucene syntax) must agree with
+    // the interval DP on every shared-syntax vector — including the
+    // class-negation '[^ ]' the fast-path gate special-cases
+    for ((s, p) <- Seq(
+        ("Foo Bar", "([A-Z][^ ]+ ?){2}"), ("foo bar", "([A-Z][^ ]+ ?){2}"),
+        ("abc", "a.c"), ("AbC", "a.c"), ("abbbbc", "a(b{1,4})c"),
+        ("", ""), ("abc", "b"), ("a\nb", "a.b"), // Lucene '.' crosses \n
+        ("xyxy", "(xy)+"), ("xyx", "(xy)+")))
+      assert(m(s, p) == graft.plans.GraftRegexp.matchesDp(s, p),
+        s"fast path disagrees with DP on '$s' ~ '$p'")
   }
 
   test("regexp match operators: SQL surface, ~* case-insensitivity, " +
