@@ -137,10 +137,9 @@ object GraftFunctions {
         out.toArray
       })
 
-    // array_set(arr, idx, val) — CrateDB 1-based element replacement
-    u.register("array_set", (arr: Seq[Long], idx: Int, v: Long) =>
-      if (arr == null) null
-      else arr.zipWithIndex.map { case (x, i) => if (i == idx - 1) v else x })
+    // array_set moved to a generic native expression (both reference
+    // overloads incl. append/pad-beyond-end) — registered with `reg`
+    // below alongside the other Catalyst expressions
 
     u.register("to_char", (ts: java.sql.Timestamp, tpl: String) =>
       if (ts == null || tpl == null) null
@@ -417,6 +416,13 @@ object GraftFunctions {
         ivPrec(exprs, 2)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_interval_format",
       exprs => graft.plans.IntervalFormatExpr(exprs(0)), "scala_udf")
+    // the reference's array_set (ArraySetFunction), BOTH overloads:
+    // (array, indexes int[], values[]) with append + NULL-padding past
+    // the end and loud index<=0 / size-mismatch, and (array, int,
+    // value) with strict-null index — r14: replaces the bigint-only UDF
+    reg.createOrReplaceTempFunction("array_set",
+      exprs => graft.plans.GraftArraySetExpr(exprs(0), exprs(1), exprs(2)),
+      "scala_udf")
     // the reference's lpad/rpad (StringPaddingFunction): 50000-len
     // guard, '' on len<=0, str unchanged on empty fill, cyclic fill;
     // default fill ' ' when the third argument is omitted

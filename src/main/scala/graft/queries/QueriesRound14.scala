@@ -113,6 +113,32 @@ object QueriesRound14 {
         .groupBy(col("arm"), col("m"), col("m2"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("arm"))
+    }),
+
+    // The reference's array_set, BOTH overloads (ArraySetFunctionTest
+    // ported; the r14 native expression replaces a bigint-only UDF):
+    // vector set / append / NULL-pad past the end, empty-updates
+    // identity, both-null identity, scalar form with a null value.
+    // DuckDB re-derives every arm with its own list primitives.
+    "q270_array_set" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      graft.Engine.sql(s,
+        """SELECT CAST(doc_id % 7 AS INT) AS arm,
+          |  CASE CAST(doc_id % 7 AS INT)
+          |    WHEN 0 THEN array_set(array(1L,2L,3L), array(3), array(-1L))
+          |    WHEN 1 THEN array_set(array(1L,2L,3L), array(4), array(-1L))
+          |    WHEN 2 THEN array_set(array(1L,2L,3L), array(5), array(-1L))
+          |    WHEN 3 THEN array_set(array(1L,2L,3L),
+          |                          array(1, 3), array(7L, 9L))
+          |    WHEN 4 THEN array_set(array(1L,2L,3L), NULL, NULL)
+          |    WHEN 5 THEN array_set(array(10L,20L,30L), 2, 99L)
+          |    ELSE array_set(array(1L,2L), 1, CAST(NULL AS BIGINT)) END
+          |    AS a
+          |FROM documents""".stripMargin)
+        .groupBy(col("arm"), col("a"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("arm"))
     })
   )
 
@@ -191,6 +217,23 @@ object QueriesRound14 {
         |SELECT d.arm, g.m, g.m2, count(*) AS n
         |FROM d JOIN g ON d.arm = g.arm
         |GROUP BY d.arm, g.m, g.m2
+        |ORDER BY d.arm""".stripMargin,
+
+    // DuckDB replays each arm with its own list values (1-based set,
+    // append, NULL padding)
+    "q270_array_set" ->
+      """WITH d AS (SELECT CAST(doc_id % 7 AS INT) AS arm FROM documents),
+        |g(arm, a) AS (VALUES
+        |  (0, [1, 2, -1]::BIGINT[]),
+        |  (1, [1, 2, 3, -1]::BIGINT[]),
+        |  (2, [1, 2, 3, NULL, -1]::BIGINT[]),
+        |  (3, [7, 2, 9]::BIGINT[]),
+        |  (4, [1, 2, 3]::BIGINT[]),
+        |  (5, [10, 99, 30]::BIGINT[]),
+        |  (6, [NULL, 2]::BIGINT[]))
+        |SELECT d.arm, g.a, count(*) AS n
+        |FROM d JOIN g ON d.arm = g.arm
+        |GROUP BY d.arm, g.a
         |ORDER BY d.arm""".stripMargin
   )
 }

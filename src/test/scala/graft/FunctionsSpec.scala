@@ -697,6 +697,52 @@ class MiscFunctionsSpec extends SparkTestBase {
     assert(r.getSeq[Long](0) == Seq(10L, 99L, 30L))
   }
 
+  test("array_set reference overloads (ArraySetFunctionTest ported)") {
+    def arr(sql: String): Seq[Any] =
+      spark.sql(s"SELECT $sql AS a").head().getSeq[Any](0)
+    // vector form: set / append / NULL-pad beyond the end
+    assert(arr("array_set(array(1,2,3), array(3), array(-1))") ==
+      Seq(1, 2, -1))
+    assert(arr("array_set(array(1,2,3), array(4), array(-1))") ==
+      Seq(1, 2, 3, -1))
+    assert(arr("array_set(array(1,2,3), array(5), array(-1))") ==
+      Seq(1, 2, 3, null, -1))
+    assert(arr("array_set(array(1,2,3), array(), array())") == Seq(1, 2, 3))
+    // both-null indexes/values: the array unchanged (reference
+    // test_null_for_target_indexes_and_null_for_target_values)
+    assert(arr("array_set(array(1,2,3), NULL, NULL)") == Seq(1, 2, 3))
+    // works over non-bigint elements now (the old UDF was Seq[Long])
+    assert(arr("array_set(array('a','b'), array(4), array('z'))") ==
+      Seq("a", "b", null, "z"))
+    // scalar form: strict-null index, null VALUE sets a null element
+    assert(spark.sql(
+      "SELECT array_set(array(1,2), CAST(NULL AS INT), 9) AS a")
+      .head().isNullAt(0))
+    assert(arr("array_set(array(1,2), 1, CAST(NULL AS INT))") ==
+      Seq(null, 2))
+    // null array → null either form
+    assert(spark.sql(
+      "SELECT array_set(CAST(NULL AS ARRAY<INT>), array(1), array(2)) AS a")
+      .head().isNullAt(0))
+    // loud edges: index <= 0, size mismatch, one-sided null
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT array_set(array(1,2,3), array(0, -1), array(0, -1)) AS a")
+      .head())
+    assert(e1.getMessage.contains(
+      "Updating arrays with indexes <= 0 is not supported") ||
+      Option(e1.getCause).exists(_.getMessage.contains(
+        "Updating arrays with indexes <= 0 is not supported")))
+    for (bad <- Seq("array_set(array(1,2,3), array(1), array())",
+        "array_set(array(1,2,3), NULL, array(1))",
+        "array_set(array(1,2,3), array(1), NULL)")) {
+      val e = intercept[Exception](spark.sql(s"SELECT $bad AS a").head())
+      val msg = "`array_set(array, indexes, values)`: the size of " +
+        "indexes and values must match or both be nulls"
+      assert(e.getMessage.contains(msg) ||
+        Option(e.getCause).exists(_.getMessage.contains(msg)), bad)
+    }
+  }
+
   test("session/system info functions evaluate") {
     val r = spark.sql(
       """SELECT current_database() AS db, current_timestamp() AS now,
