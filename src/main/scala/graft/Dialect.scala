@@ -243,6 +243,9 @@ object Dialect {
     // string unchanged) — route to the graft twins
     "lpad"                 -> "graft_lpad",
     "rpad"                 -> "graft_rpad",
+    // RegexpReplaceFunction: PG semantics — FIRST match unless the 'g'
+    // flag; Spark's native always replaces all, so the name must move
+    "regexp_replace"       -> "graft_regexp_replace",
     // CrateDB keeps PG argument order array_prepend(value, array)
     // (ArrayPrependFunction.java:47); Spark's builtin is (array, value).
     // Renamed to a graft-registered twin with the CrateDB order — an

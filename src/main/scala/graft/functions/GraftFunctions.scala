@@ -436,6 +436,18 @@ object GraftFunctions {
         if (exprs.length > 2) exprs(2)
         else org.apache.spark.sql.catalyst.expressions.Literal(" "),
         leftPad = false), "scala_udf")
+    // the reference's regexp scalar family (scalar/regex/*): PG
+    // first-match-unless-'g' replace (the Dialect renames SQL
+    // regexp_replace here — Spark's native always replaces all),
+    // the 7-arg regexp_instr position contract (Spark's 3rd arg is a
+    // GROUP index, the reference's is the start position), and
+    // regexp_count with a 1-based start (loud <1, 'g' rejected)
+    reg.createOrReplaceTempFunction("graft_regexp_replace",
+      exprs => graft.plans.GraftRegexpReplaceExpr(exprs), "scala_udf")
+    reg.createOrReplaceTempFunction("regexp_instr",
+      exprs => graft.plans.GraftRegexpInstrExpr(exprs), "scala_udf")
+    reg.createOrReplaceTempFunction("regexp_count",
+      exprs => graft.plans.GraftRegexpCountExpr(exprs), "scala_udf")
     // the reference's regex-match operators `~` / `~*`
     // (RegexpMatchOperator: full-string match; Lucene RegExp syntax
     // unless the pattern has PCRE features) — the Dialect rewrites the

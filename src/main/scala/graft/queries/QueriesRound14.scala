@@ -139,6 +139,45 @@ object QueriesRound14 {
         .groupBy(col("arm"), col("a"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("arm"))
+    }),
+
+    // The reference's regexp scalar family through the SQL surface:
+    // regexp_replace replaces the FIRST match unless 'g' (the Dialect
+    // routes the name — Spark's native always replaces all), the PG
+    // regexp_instr position contract (start/N/endoption/flags/subexpr),
+    // regexp_count from a 1-based start. DuckDB natively replays the
+    // replace arms (it is PG-compatible here); instr/count arms are
+    // goldens pinned against the reference suite in
+    // StringEdgeReferenceConformanceSpec.
+    "q271_regexp_scalars" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      graft.Engine.sql(s,
+        """SELECT CAST(doc_id % 5 AS INT) AS arm,
+          |  CASE CAST(doc_id % 5 AS INT)
+          |    WHEN 0 THEN regexp_replace('foobarbequebaz', 'ba', 'Crate')
+          |    WHEN 1 THEN regexp_replace('foobarbequebaz', 'ba', 'Crate', 'g')
+          |    WHEN 2 THEN regexp_replace('st. cloud', '[^a-z]', '', 'g')
+          |    WHEN 3 THEN regexp_replace('foobarbequebaz',
+          |                               '(ba).*(ba)', 'First$1Second$2')
+          |    ELSE regexp_replace('foobarbequebaz', 'crate', 'crate') END
+          |    AS repl,
+          |  CASE CAST(doc_id % 5 AS INT)
+          |    WHEN 0 THEN regexp_instr('foobarbequebaz', 'b..')
+          |    WHEN 1 THEN regexp_instr('foobarbequebaz', 'b..', 1, 2)
+          |    WHEN 2 THEN regexp_instr('foobarbequebaz', 'b..', 10, 1, 1)
+          |    WHEN 3 THEN regexp_instr('foobarbequebaz', 'B..', 10, 1, 1, 'i')
+          |    ELSE regexp_instr('foobarbequebaz', 'crate') END AS pos,
+          |  CASE CAST(doc_id % 5 AS INT)
+          |    WHEN 0 THEN regexp_count('foobarbequebaz', 'ba(?:r|z)')
+          |    WHEN 1 THEN regexp_count('aaaa', 'a{2}')
+          |    WHEN 2 THEN regexp_count('abcabc', 'abc', 2)
+          |    WHEN 3 THEN regexp_count('aaaa', 'aa', 2)
+          |    ELSE regexp_count('abc', 'a', 5) END AS cnt
+          |FROM documents""".stripMargin)
+        .groupBy(col("arm"), col("repl"), col("pos"), col("cnt"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("arm"))
     })
   )
 
@@ -234,6 +273,31 @@ object QueriesRound14 {
         |SELECT d.arm, g.a, count(*) AS n
         |FROM d JOIN g ON d.arm = g.arm
         |GROUP BY d.arm, g.a
+        |ORDER BY d.arm""".stripMargin,
+
+    // replace arms re-derive natively (DuckDB regexp_replace is
+    // PG-compatible: first match unless 'g'); instr/count are goldens
+    "q271_regexp_scalars" ->
+      """WITH d AS (SELECT CAST(doc_id % 5 AS INT) AS arm FROM documents),
+        |g AS (
+        |  SELECT arm,
+        |    CASE arm
+        |      WHEN 0 THEN regexp_replace('foobarbequebaz', 'ba', 'Crate')
+        |      WHEN 1 THEN regexp_replace('foobarbequebaz', 'ba', 'Crate', 'g')
+        |      WHEN 2 THEN regexp_replace('st. cloud', '[^a-z]', '', 'g')
+        |      WHEN 3 THEN regexp_replace('foobarbequebaz',
+        |                                 '(ba).*(ba)', 'First\1Second\2')
+        |      ELSE regexp_replace('foobarbequebaz', 'crate', 'crate') END
+        |      AS repl,
+        |    CASE arm WHEN 0 THEN 4 WHEN 1 THEN 7 WHEN 2 THEN 15
+        |             WHEN 3 THEN 15 ELSE 0 END AS pos,
+        |    CASE arm WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 1
+        |             WHEN 3 THEN 1 ELSE 0 END AS cnt
+        |  FROM (SELECT DISTINCT arm FROM d))
+        |SELECT d.arm, g.repl, CAST(g.pos AS INT) AS pos,
+        |       CAST(g.cnt AS INT) AS cnt, count(*) AS n
+        |FROM d JOIN g ON d.arm = g.arm
+        |GROUP BY d.arm, g.repl, g.pos, g.cnt
         |ORDER BY d.arm""".stripMargin
   )
 }

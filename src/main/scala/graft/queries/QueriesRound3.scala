@@ -631,9 +631,10 @@ object QueriesRound3 {
         .orderBy(col("doc_id"))
     }),
 
-    // regexp_instr — Spark's native PG-contract implementation (reference
-    // regex/RegexpPositionFunction.java registers the same name): 1-based
-    // match position, 0 when the pattern does not occur.
+    // regexp_instr — since r14 the reference's own 7-arg contract
+    // (plans/RegexpFunctions.scala, regex/RegexpPositionFunction.java);
+    // this entry exercises the 2-arg form: 1-based match position, 0
+    // when the pattern does not occur.
     "q154_regexp_instr" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(

@@ -173,6 +173,73 @@ class StringEdgeReferenceConformanceSpec extends SparkTestBase {
         s"fast path disagrees with DP on '$s' ~ '$p'")
   }
 
+  test("regexp_replace first-match-unless-g, regexp_instr 7-arg, " +
+      "regexp_count start (reference regex suite ported)") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    // RegexpReplaceFunctionTest
+    val r = one(
+      "SELECT regexp_replace('foobarbequebaz', 'ba', 'Crate') AS a, " +      // FIRST only
+        "regexp_replace('foobarbequebaz', 'ba', 'Crate', 'g') AS b, " +      // global
+        "regexp_replace('foobarbequebaz', '(ba).*(ba)', 'First$1Second$2') AS c, " +
+        "regexp_replace('st. cloud', '[^a-z]', '', 'g') AS d, " +
+        "regexp_replace('foobarbequebaz bar', '(ba)', 'Crate', 'us') AS e, " +
+        "regexp_replace('foobarbequebaz', 'crate', 'crate') AS f")
+    assert(r.getString(0) == "fooCraterbequebaz")
+    assert(r.getString(1) == "fooCraterbequeCratez")
+    assert(r.getString(2) == "fooFirstbaSecondbaz")
+    assert(r.getString(3) == "stcloud")
+    assert(r.getString(4) == "fooCraterbequebaz bar")
+    assert(r.getString(5) == "foobarbequebaz")
+    // the Dialect routes the name (Spark's native replaces ALL)
+    assert(Dialect.translate("SELECT regexp_replace(a, 'x', 'y') FROM t") ==
+      "SELECT graft_regexp_replace(a, 'x', 'y') FROM t")
+    // unknown flag is LOUD with the reference's message
+    val e = intercept[Exception](one(
+      "SELECT regexp_replace('foobar', 'foo', 'bar', 'n') AS x"))
+    val msg = "The regular expression flag is unknown: n"
+    assert(e.getMessage.contains(msg) ||
+      Option(e.getCause).exists(_.getMessage.contains(msg)))
+    // RegexpPositionFunctionTest (regexp_instr): start/N/endoption/
+    // flags/subexpr — Spark's native 3rd arg is a group index, the
+    // reference's is the start position
+    val p = one(
+      "SELECT regexp_instr('foobarbequebaz', 'crate') AS a, " +
+        "regexp_instr('foobarbequebaz', 'b..') AS b, " +
+        "regexp_instr('foobarbequebaz', 'b..', 1, 2) AS c, " +
+        "regexp_instr('foobarbequebaz', 'b..', 10, 1) AS d, " +
+        "regexp_instr('foobarbequebaz', 'b..', 10, 1, 1) AS e, " +
+        "regexp_instr('foobarbequebaz', 'B..', 10, 1, 1, 'i') AS f, " +
+        "regexp_instr('foobarbequebaz', 'B..', 10, 1, 1, '') AS g, " +
+        "regexp_instr('foobarbequebaz', 'O(B..).*(B..)', 1, 1, 0, 'i', 0) AS h, " +
+        "regexp_instr('foobarbequebaz', 'O(B..).*(B..)', 1, 1, 0, 'i', 1) AS i, " +
+        "regexp_instr('foobarbequebaz', 'O(B..).*(B..)', 1, 1, 0, 'i', 2) AS j, " +
+        "regexp_instr('foobarbequebaz', 'O(B..).*(B..)', 1, 1, 1, 'i', 2) AS k")
+    assert(Seq(0, 4, 7, 12, 15, 15, 0, 3, 4, 12, 15) ==
+      (0 to 10).map(p.getInt))
+    // RegexpCountFunctionTest
+    val c = one(
+      "SELECT regexp_count('foobarbequebaz', 'crate') AS a, " +
+        "regexp_count('foobarbequebaz', 'ba(?:r|z)') AS b, " +
+        "regexp_count('aaaa', 'a{2}') AS c, " +
+        "regexp_count('abcabc', 'abc', 2) AS d, " +
+        "regexp_count('abcabc', 'abc', 1) AS e, " +
+        "regexp_count('aaaa', 'aa', 2) AS f, " +
+        "regexp_count('abc', 'a', 5) AS g")
+    assert(Seq(0, 2, 2, 1, 2, 1, 0) == (0 to 6).map(c.getInt))
+    val e2 = intercept[Exception](one(
+      "SELECT regexp_count('abcabc', 'abc', 0) AS x"))
+    val msg2 = "`start` must be greater than or equal to 1"
+    assert(e2.getMessage.contains(msg2) ||
+      Option(e2.getCause).exists(_.getMessage.contains(msg2)))
+    // strict nulls across the families
+    val n = one(
+      "SELECT regexp_count(CAST(NULL AS STRING), 'a') AS a, " +
+        "regexp_count('abc', 'a', CAST(NULL AS INT)) AS b, " +
+        "regexp_instr('abc', CAST(NULL AS STRING)) AS c, " +
+        "graft_regexp_replace('abc', 'a', CAST(NULL AS STRING)) AS d")
+    (0 to 3).foreach(i => assert(n.isNullAt(i)))
+  }
+
   test("regexp match operators: SQL surface, ~* case-insensitivity, " +
       "strict nulls, Dialect rewrite") {
     graft.functions.GraftFunctions.registerAll(spark)
