@@ -203,16 +203,9 @@ object GraftFunctions {
     // null → false, so NOT over it behaves 2-valued.
     u.register("ignore3vl", (b: java.lang.Boolean) => Boolean.box(b != null && b))
 
-    // PG-style string_to_array (reference StringToArrayFunction.java:41):
-    // null input → null, empty → [], null separator → one element per char,
-    // empty separator → whole string. Splits on the LITERAL separator
-    // (unlike Spark's regex `split`).
-    u.register("string_to_array", (s: String, sep: String) =>
-      if (s == null) null
-      else if (s.isEmpty) Seq.empty[String]
-      else if (sep == null) s.map(_.toString)
-      else if (sep.isEmpty) Seq(s)
-      else s.split(java.util.regex.Pattern.quote(sep), -1).toSeq)
+    // string_to_array moved to a native expression with the 3-arg
+    // null_string form (plans/StringToArrayExpression.scala) —
+    // registered with `reg` below
 
     // pg wire-compat lookup scalars (reference scalar/postgres/*,
     // scalar/systeminformation/*) — driver-closure UDFs over plan-time
@@ -436,6 +429,11 @@ object GraftFunctions {
         if (exprs.length > 2) exprs(2)
         else org.apache.spark.sql.catalyst.expressions.Literal(" "),
         leftPad = false), "scala_udf")
+    // PG string_to_array incl. the 3-arg null_string form (reference
+    // StringToArrayFunction.java): literal separator, keep-empties,
+    // per-char split on NULL separator, non-strict null_string
+    reg.createOrReplaceTempFunction("string_to_array",
+      exprs => graft.plans.StringToArrayExpr(exprs), "scala_udf")
     // the reference's regexp scalar family (scalar/regex/*): PG
     // first-match-unless-'g' replace (the Dialect renames SQL
     // regexp_replace here — Spark's native always replaces all),

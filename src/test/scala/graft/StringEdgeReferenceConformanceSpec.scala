@@ -240,6 +240,40 @@ class StringEdgeReferenceConformanceSpec extends SparkTestBase {
     (0 to 3).foreach(i => assert(n.isNullAt(i)))
   }
 
+  test("string_to_array incl. 3-arg null_string " +
+      "(StringToArrayFunctionTest ported)") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    def arr(sql: String): Seq[String] =
+      one(s"SELECT $sql AS a").getSeq[String](0)
+    assert(arr("string_to_array('', '')") == Seq())
+    assert(arr("string_to_array('', 'x')") == Seq())
+    assert(arr("string_to_array('xyz', CAST(NULL AS STRING))") ==
+      Seq("x", "y", "z"))
+    assert(arr("string_to_array('xyz', '')") == Seq("xyz"))
+    assert(arr("string_to_array('x', 'x')") == Seq("", ""))
+    assert(arr("string_to_array('xx', 'x')") == Seq("", "", ""))
+    assert(arr("string_to_array('xyz', 'x')") == Seq("", "yz"))
+    assert(arr("string_to_array('xyz', 'z')") == Seq("xy", ""))
+    assert(arr("string_to_array('xyyz', 'y')") == Seq("x", "", "z"))
+    assert(arr("string_to_array('abcdeabcde', 'ab')") == Seq("", "cde", "cde"))
+    assert(arr("string_to_array('abcdefgabc', 'gabc')") == Seq("abcdef", ""))
+    // 3-arg null_string (new in r14)
+    assert(arr("string_to_array('xyz', '', 'xyz')") == Seq(null))
+    assert(arr("string_to_array('xyz', 'xy', 'z')") == Seq("", null))
+    assert(arr("string_to_array('xyz', 'x', '')") == Seq(null, "yz"))
+    assert(arr("string_to_array('xyz', CAST(NULL AS STRING), 'y')") ==
+      Seq("x", null, "z"))
+    assert(arr("string_to_array('xyzy', CAST(NULL AS STRING), 'y')") ==
+      Seq("x", null, "z", null))
+    // NULL null_string = no substitution, NOT a strict null
+    assert(arr("string_to_array('xyz', '', CAST(NULL AS STRING))") ==
+      Seq("xyz"))
+    assert(one("SELECT string_to_array(CAST(NULL AS STRING), '', " +
+      "CAST(NULL AS STRING)) AS a").isNullAt(0))
+    assert(one("SELECT string_to_array(CAST(NULL AS STRING), 'x') AS a")
+      .isNullAt(0))
+  }
+
   test("regexp match operators: SQL surface, ~* case-insensitivity, " +
       "strict nulls, Dialect rewrite") {
     graft.functions.GraftFunctions.registerAll(spark)
