@@ -124,12 +124,87 @@ case class GraftConcatExpr(children: Seq[Expression])
   override lazy val replacement: Expression =
     if (children.exists(_.dataType.isInstanceOf[ArrayType]))
       org.apache.spark.sql.catalyst.expressions.Concat(children)
+    else if (children.exists(_.dataType.isInstanceOf[MapType])) {
+      // OBJECT merge (ObjectMergeFunction): first-level keys merge with
+      // the RIGHT side winning, null operands are skipped, all-null is
+      // null — Spark's map_concat instead errors on duplicate keys and
+      // nulls the whole result. A foldable EMPTY map literal (`{}` /
+      // `map()`) types as map<string,string> whatever its siblings are;
+      // it contributes no keys, so drop it before the same-type check.
+      def emptyMapLit(c: Expression): Boolean =
+        c.dataType.isInstanceOf[MapType] && c.foldable && {
+          val v = c.eval()
+          v != null && v.asInstanceOf[
+            org.apache.spark.sql.catalyst.util.MapData].numElements() == 0
+        }
+      val kept = children.filterNot(emptyMapLit)
+      if (kept.exists(_.dataType.isInstanceOf[MapType]))
+        GraftObjectMergeExpr(kept)
+      else children.find(_.dataType.isInstanceOf[MapType]).get
+    }
     else
       org.apache.spark.sql.catalyst.expressions.ConcatWs(
         Literal("") +: children.map {
           case c if c.dataType == StringType => c
           case c => ToTextExpr(c)
         })
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+/** The reference's OBJECT merge (scalar/object/ObjectMergeFunction —
+  * the `concat(obj, obj)` overload): only FIRST-level keys merge, the
+  * right operand wins a key conflict, null operands are skipped, and
+  * an all-null argument list is NULL. Spark's own map_concat raises
+  * DUPLICATED_MAP_KEY and is strict-null, so the semantics need their
+  * own expression. Same-typed maps only (Spark's analyzer rejects
+  * heterogeneous map merges long before evaluation). */
+case class GraftObjectMergeExpr(children: Seq[Expression])
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "graft_object_merge"
+  override def dataType: org.apache.spark.sql.types.DataType =
+    children.map(_.dataType)
+      .find(_.isInstanceOf[MapType]).getOrElse(children.head.dataType)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    // compare key/value types only — valueContainsNull may differ
+    // between a map literal and a typed NULL cast
+    val mapTypes = children.map(_.dataType).collect {
+      case MapType(k, v, _) => (k, v)
+    }.distinct
+    if (mapTypes.size == 1 && children.forall(c =>
+        c.dataType.isInstanceOf[MapType] || c.dataType == NullType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires identically-typed map (object) arguments")
+  }
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val mt = dataType.asInstanceOf[MapType]
+    val acc = new java.util.LinkedHashMap[Any, Any]()
+    var sawNonNull = false
+    children.foreach { c =>
+      val v = c.eval(input)
+      if (v != null) {
+        sawNonNull = true
+        val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        val ks = m.keyArray().toObjectArray(mt.keyType)
+        val vs = m.valueArray().toObjectArray(mt.valueType)
+        var i = 0
+        while (i < ks.length) { acc.put(ks(i), vs(i)); i += 1 }
+      }
+    }
+    if (!sawNonNull) return null
+    val ks = new Array[Any](acc.size)
+    val vs = new Array[Any](acc.size)
+    var i = 0
+    val it = acc.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); ks(i) = e.getKey; vs(i) = e.getValue; i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayBasedMapData(ks, vs)
+  }
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(children = newChildren)

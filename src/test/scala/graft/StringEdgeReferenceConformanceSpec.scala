@@ -131,6 +131,42 @@ class StringEdgeReferenceConformanceSpec extends SparkTestBase {
     assert(n.isNullAt(0) && n.isNullAt(1) && n.isNullAt(2))
   }
 
+  test("object concat merges maps last-win, null-skipping " +
+      "(ObjectMergeFunctionTest ported)") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    def js(sql: String): String = one(s"SELECT to_json($sql) AS a")
+      .getString(0)
+    // second overwrites first; empty object is identity
+    assert(js("concat(map('a', 1), map('a', 2, 'b', 2))") ==
+      """{"a":2,"b":2}""")
+    assert(js("concat(map('a', 1), map())") == """{"a":1}""")
+    // only FIRST-level keys merge: right's whole value replaces
+    assert(js("concat(map('b', map('c', 9)), " +
+      "map('a', map('z', 1), 'b', map('c', 2)))") ==
+      """{"b":{"c":2},"a":{"z":1}}""")
+    // null operands are skipped; all-null is NULL
+    assert(js("concat(CAST(NULL AS MAP<STRING,INT>), map('a', 1))") ==
+      """{"a":1}""")
+    assert(js("concat(map('a', 1), CAST(NULL AS MAP<STRING,INT>))") ==
+      """{"a":1}""")
+    assert(one("SELECT concat(CAST(NULL AS MAP<STRING,INT>), " +
+      "CAST(NULL AS MAP<STRING,INT>)) AS a").isNullAt(0))
+  }
+
+  test("ANSI arithmetic overflow is loud like the reference " +
+      "(ArithmeticOverflowTest: integer/long overflow)") {
+    // Spark 4 runs ANSI by default, which IS the reference's behavior —
+    // pin it so a config drift (ansi off) fails here, not at a user
+    for (bad <- Seq("2147483647 + CAST(1 AS INT)",
+        "CAST(2147483647 AS INT) * CAST(2 AS INT)",
+        "CAST(-2147483647 AS INT) - CAST(2 AS INT)",
+        "9223372036854775807 + CAST(1 AS BIGINT)")) {
+      val e = intercept[Exception](spark.sql(s"SELECT $bad").collect())
+      assert(e.getMessage.toLowerCase.contains("overflow"), bad)
+    }
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+  }
+
   test("regexp match operator ~ (RegexpMatchOperatorTest: full-string " +
       "Lucene RegExp + PCRE escape hatch)") {
     import graft.plans.GraftRegexp
