@@ -429,6 +429,33 @@ object GraftFunctions {
         if (exprs.length > 2) exprs(2)
         else org.apache.spark.sql.catalyst.expressions.Literal(" "),
         leftPad = false), "scala_udf")
+    // the reference's date_trunc (DateTruncFunction): the 3-arg
+    // timezone form truncates the instant in the GIVEN zone (wall-clock
+    // trunc in tz, result back as the instant), and a literal interval
+    // outside the reference grammar is LOUD at plan time with the
+    // reference's message — Spark's native returns NULL there
+    reg.createOrReplaceTempFunction("date_trunc", { exprs =>
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Literal => L,
+        FromUTCTimestamp, ToUTCTimestamp, TruncTimestamp}
+      val valid = Set("second", "minute", "hour", "day", "week", "month",
+        "quarter", "year")
+      exprs(0) match {
+        case L(s: org.apache.spark.unsafe.types.UTF8String,
+            org.apache.spark.sql.types.StringType)
+            if !valid.contains(
+              s.toString.toLowerCase(java.util.Locale.ROOT)) =>
+          throw new IllegalArgumentException(
+            s"invalid interval '$s' for scalar 'date_trunc'")
+        case _ => ()
+      }
+      if (exprs.length == 3) {
+        val ts = Cast(exprs(2), org.apache.spark.sql.types.TimestampType,
+          Some("UTC"))
+        ToUTCTimestamp(
+          TruncTimestamp(exprs(0), FromUTCTimestamp(ts, exprs(1))),
+          exprs(1))
+      } else TruncTimestamp(exprs(0), exprs(1))
+    }, "scala_udf")
     // PG string_to_array incl. the 3-arg null_string form (reference
     // StringToArrayFunction.java): literal separator, keep-empties,
     // per-char split on NULL separator, non-strict null_string

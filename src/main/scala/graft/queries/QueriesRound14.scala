@@ -178,6 +178,29 @@ object QueriesRound14 {
         .groupBy(col("arm"), col("repl"), col("pos"), col("cnt"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("arm"))
+    }),
+
+    // The reference's 3-arg date_trunc (DateTruncFunctionTest:
+    // truncation happens on the WALL CLOCK of the given zone, the
+    // result is the corresponding instant). Asia/Kolkata (+05:30, no
+    // DST in the data range) exercises a half-hour offset — its 'hour'
+    // truncation lands on :30 UTC boundaries, which no UTC-side
+    // truncation can produce. DuckDB re-derives every arm with PURE
+    // EPOCH ARITHMETIC (fixed offset), no timezone machinery shared.
+    "q272_date_trunc_tz" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      graft.Engine.sql(s,
+        """SELECT event_id,
+          |       unix_millis(CAST(date_trunc('day', ts)
+          |         AS TIMESTAMP)) AS d_utc,
+          |       unix_millis(CAST(date_trunc('day', 'Asia/Kolkata', ts)
+          |         AS TIMESTAMP)) AS d_ist,
+          |       unix_millis(CAST(date_trunc('hour', 'Asia/Kolkata', ts)
+          |         AS TIMESTAMP)) AS h_ist,
+          |       unix_millis(CAST(date_trunc('month', 'Asia/Kolkata', ts)
+          |         AS TIMESTAMP)) AS m_ist
+          |FROM events ORDER BY event_id LIMIT 500""".stripMargin)
     })
   )
 
@@ -298,6 +321,21 @@ object QueriesRound14 {
         |       CAST(g.cnt AS INT) AS cnt, count(*) AS n
         |FROM d JOIN g ON d.arm = g.arm
         |GROUP BY d.arm, g.repl, g.pos, g.cnt
-        |ORDER BY d.arm""".stripMargin
+        |ORDER BY d.arm""".stripMargin,
+
+    // pure epoch arithmetic for the fixed-period units (+05:30 =
+    // 19 800 000 ms), DuckDB's own calendar trunc on the shifted WALL
+    // time for the month arm — no timezone machinery shared with graft
+    "q272_date_trunc_tz" ->
+      """SELECT event_id,
+        |       (epoch_ms(ts) // 86400000) * 86400000 AS d_utc,
+        |       ((epoch_ms(ts) + 19800000) // 86400000) * 86400000
+        |         - 19800000 AS d_ist,
+        |       ((epoch_ms(ts) + 19800000) // 3600000) * 3600000
+        |         - 19800000 AS h_ist,
+        |       epoch_ms(date_trunc('month',
+        |         make_timestamp((epoch_ms(ts) + 19800000) * 1000)))
+        |         - 19800000 AS m_ist
+        |FROM events ORDER BY event_id LIMIT 500""".stripMargin
   )
 }

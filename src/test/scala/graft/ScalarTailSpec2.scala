@@ -10,6 +10,37 @@ package graft
   */
 class ScalarTailSpec2 extends SparkTestBase {
 
+  test("date_trunc: 3-arg timezone form + loud invalid interval " +
+      "(DateTruncFunctionTest, r14)") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    def ms(sql: String): Long = Engine.sql(spark,
+      s"SELECT unix_millis(CAST($sql AS TIMESTAMP)) AS x").collect()(0)
+      .getLong(0)
+    // reference testDateTruncWithLongLiteral: day-trunc of
+    // 2014-06-03T05:58:05Z is 1401753600000
+    assert(ms("date_trunc('day', TIMESTAMP '2014-06-03 05:58:05')") ==
+      1401753600000L)
+    // 3-arg: truncation on the WALL CLOCK of the zone. Asia/Kolkata is
+    // +05:30 — day-trunc of 05:58 IST-wall (= 11:28 IST) lands at
+    // 2014-06-02T18:30:00Z; hour-trunc lands on a :30 UTC boundary
+    assert(ms("date_trunc('day', 'Asia/Kolkata', " +
+      "TIMESTAMP '2014-06-03 05:58:05')") ==
+      1401753600000L - 19800000L)
+    assert(ms("date_trunc('hour', 'Asia/Kolkata', " +
+      "TIMESTAMP '2014-06-03 05:58:05')") % 3600000L == 1800000L)
+    // 'UTC' 3-arg equals the 2-arg form (reference testNullTimestamp
+    // family uses exactly this spelling)
+    assert(ms("date_trunc('second', 'UTC', " +
+      "TIMESTAMP '1999-02-25 12:38:01.123')") == 919946281000L)
+    // invalid interval is LOUD at plan time with the reference message
+    val e = intercept[Exception](Engine.sql(spark,
+      "SELECT date_trunc('invalid interval', TIMESTAMP '2020-01-01 00:00:00')")
+      .collect())
+    assert(e.getMessage.contains(
+      "invalid interval 'invalid interval' for scalar 'date_trunc'") ||
+      Option(e.getCause).exists(_.getMessage.contains("invalid interval")))
+  }
+
   private def one(sql: String): String = {
     val r = Engine.sql(spark, sql).collect()(0).get(0)
     if (r == null) "null" else r.toString
