@@ -120,6 +120,20 @@ object BenchSf1 {
     "q245_bloom_bucketed_dedup", "q248_quality_classifier",
     "q250_lsh_plan", "q251_fringe_types")
 
+  /** Wave 9 (round 14): the round's new/changed-plan entries — the
+    * integer-exact q248 + its probes (map-only folds over documents),
+    * the string/regexp/array/date-trunc golden-arm families (map-only
+    * scalar projections; q269's DP matcher and q271's java-regex paths
+    * are the per-row-cost rows to watch), and q253/q255/q257 whose
+    * interval parse/order paths the round reworked. Selected with
+    * SPARK_GRAFT_SF1_WAVE=9 → BENCH_sf1_wave9.json. */
+  private val wave9 = Seq(
+    "q248_quality_classifier", "q266_token_count_probe",
+    "q267_bucket_sum_probe", "q268_string_pad_trim",
+    "q269_regexp_match_op", "q270_array_set", "q271_regexp_scalars",
+    "q272_date_trunc_tz", "q253_interval_parse", "q255_interval_order",
+    "q257_interval_arith")
+
   /** The CONSOLIDATED wave (r10 verdict ask #7): the ENTIRE catalog at
     * sf1 in one artifact — the per-wave format proved each round's new
     * entries sublinear when they landed, but hides whether EARLY entries
@@ -217,6 +231,7 @@ object BenchSf1 {
       case "6"    => wave6
       case "7"    => wave7
       case "8"    => wave8
+      case "9"    => wave9
       case "full" => waveFull
       case _      => headline
     }
@@ -228,6 +243,7 @@ object BenchSf1 {
       case "6"    => "BENCH_sf1_wave6.json"
       case "7"    => "BENCH_sf1_wave7.json"
       case "8"    => "BENCH_sf1_wave8.json"
+      case "9"    => "BENCH_sf1_wave9.json"
       case "full" => "BENCH_sf1_full.json"
       case _      => "BENCH_sf1.json"
     }
