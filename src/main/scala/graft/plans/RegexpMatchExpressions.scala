@@ -324,6 +324,20 @@ object GraftRegexp {
       else if (c == '~' || c == '&' || c == '<' || c == '>' || c == '@' ||
           c == '#' || c == '"' || c == '^' || c == '$' || c == '\\')
         return false
+      else if (c == '{') {
+        // java treats a malformed brace ('a{x}') as a LITERAL where
+        // Lucene rejects it — only a well-formed {m[,n]} may fast-path
+        var j = i + 1
+        while (j < p.length && p.charAt(j) >= '0' && p.charAt(j) <= '9')
+          j += 1
+        if (j == i + 1) return false // no digits
+        if (j < p.length && p.charAt(j) == ',') {
+          j += 1
+          while (j < p.length && p.charAt(j) >= '0' && p.charAt(j) <= '9')
+            j += 1
+        }
+        if (j >= p.length || p.charAt(j) != '}') return false
+      }
       i += 1
     }
     true
@@ -342,8 +356,14 @@ object GraftRegexp {
       val compiled =
         if (hit != null && hit._1 == p) hit._2
         else {
-          val c = java.util.regex.Pattern.compile(p,
-            java.util.regex.Pattern.DOTALL)
+          val c =
+            try java.util.regex.Pattern.compile(p,
+              java.util.regex.Pattern.DOTALL)
+            catch { case e: java.util.regex.PatternSyntaxException =>
+              // uniform loud contract with the Lucene-branch parser
+              throw new IllegalArgumentException(
+                s"Invalid regular expression [$p]: ${e.getDescription}")
+            }
           lastFast.set((p, c))
           c
         }

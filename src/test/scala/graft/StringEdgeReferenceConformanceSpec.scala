@@ -310,6 +310,32 @@ class StringEdgeReferenceConformanceSpec extends SparkTestBase {
       .isNullAt(0))
   }
 
+  test("Lucene RegExp parser rejects malformed patterns loudly") {
+    import graft.plans.GraftRegexp
+    def m(s: String, p: String): Boolean =
+      GraftRegexp.matches(UTF8String.fromString(s), UTF8String.fromString(p))
+    // NOTE: '|a' / 'a&' shapes are LEGAL (Lucene's grammar allows empty
+    // alternation/intersection operands — they parse as ε)
+    for (bad <- Seq("(ab", "a)", "a{2,1}", "a{x}", "<9-1>", "<1-", "a\\",
+        "*a", "?a", "[ab")) {
+      val e = intercept[IllegalArgumentException](m("x", bad))
+      assert(e.getMessage.startsWith("Invalid regular expression"),
+        s"'$bad': ${e.getMessage}")
+    }
+    // the PCRE escape hatch propagates java.util.regex's own loud error
+    intercept[java.util.regex.PatternSyntaxException](m("x", "(\\d"))
+  }
+
+  test("q266/q267 probes stay map-only (no join/aggregate in the plan)") {
+    val sfDir = "/root/testdata/sf0.001"
+    for (name <- Seq("q266_token_count_probe", "q267_bucket_sum_probe")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("HashAggregate") && !plan.contains("Join"),
+        s"$name must stay a pure scan-project-sort plan:\n$plan")
+    }
+  }
+
   test("regexp match operators: SQL surface, ~* case-insensitivity, " +
       "strict nulls, Dialect rewrite") {
     graft.functions.GraftFunctions.registerAll(spark)
