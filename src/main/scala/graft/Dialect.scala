@@ -765,6 +765,11 @@ object Dialect {
       if (t.kind == K.Word && t.text.equalsIgnoreCase("pg_catalog") &&
           ts(i + 1).isSym(".") && ts(i + 2).kind == K.Word)
         return Some(ts.patch(i, Seq(Tok(K.Word, ts(i + 2).text)), 3))
+      // pg_get_keywords() — a zero-arg TABLE function in the reference;
+      // served here as the pg_get_keywords view, so the call parens drop
+      if (t.kind == K.Word && t.text.equalsIgnoreCase("pg_get_keywords") &&
+          ts(i + 1).isSym("(") && ts(i + 2).isSym(")"))
+        return Some(ts.patch(i, Seq(Tok(K.Word, "pg_get_keywords")), 3))
       i += 1
     }
     None

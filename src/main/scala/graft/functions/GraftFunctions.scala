@@ -456,6 +456,14 @@ object GraftFunctions {
           exprs(1))
       } else TruncTimestamp(exprs(0), exprs(1))
     }, "scala_udf")
+    // information_schema._pg_expandarray (PgExpandArrayTest): a
+    // set-returning (x = element, n = 1-based index) generator; the
+    // schema-qualified spelling arrives as the flattened name the
+    // Dialect's system-schema pass produces
+    for (name <- Seq("graft_pg_expandarray", "_pg_expandarray",
+        "information_schema__pg_expandarray"))
+      reg.createOrReplaceTempFunction(name,
+        exprs => graft.plans.PgExpandArrayGen(exprs(0)), "scala_udf")
     // PG string_to_array incl. the 3-arg null_string form (reference
     // StringToArrayFunction.java): literal separator, keep-empties,
     // per-char split on NULL separator, non-strict null_string

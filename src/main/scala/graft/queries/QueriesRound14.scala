@@ -201,6 +201,44 @@ object QueriesRound14 {
           |       unix_millis(CAST(date_trunc('month', 'Asia/Kolkata', ts)
           |         AS TIMESTAMP)) AS m_ist
           |FROM events ORDER BY event_id LIMIT 500""".stripMargin)
+    }),
+
+    // SURVEY §2.9 stragglers — the two pg-compat table functions:
+    //  - _pg_expandarray (q274's sibling arm here): (x, n) rows via a
+    //    Catalyst Generator, NULL input → no rows;
+    //  - pg_get_keywords(): the keyword vocabulary served as a view
+    //    (the Dialect drops the call parens), data derived from the
+    //    reference's PUBLIC grammar by tools/gen_pg_keywords.py. The
+    //    entry hash-gates a pinned word subset + the R/U counts, so a
+    //    membership or classification drift fails the gate.
+    "q273_pg_keywords" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      graft.sources.PgCatalog.registerAll(s)
+      graft.Engine.sql(s,
+        """SELECT k.word, k.catcode, k.catdesc, t.n_total, t.n_reserved
+          |FROM pg_get_keywords() k
+          |CROSS JOIN (SELECT CAST(count(*) AS INT) AS n_total,
+          |                   CAST(sum(CASE WHEN catcode = 'R'
+          |                            THEN 1 ELSE 0 END) AS INT)
+          |                     AS n_reserved
+          |            FROM pg_get_keywords()) t
+          |WHERE k.word IN ('select', 'from', 'between', 'analyzer',
+          |                 'char_filters', 'order', 'limit', 'user',
+          |                 'current_date', 'absolute')
+          |ORDER BY k.word""".stripMargin)
+    }),
+
+    "q274_pg_expandarray" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      graft.Engine.sql(s,
+        """SELECT doc_id, x, n
+          |FROM (SELECT doc_id,
+          |             information_schema._pg_expandarray(
+          |               array(lang, 'tail', CAST(doc_id % 3 AS STRING)))
+          |      FROM documents)
+          |ORDER BY doc_id, n""".stripMargin)
     })
   )
 
@@ -336,6 +374,28 @@ object QueriesRound14 {
         |       epoch_ms(date_trunc('month',
         |         make_timestamp((epoch_ms(ts) + 19800000) * 1000)))
         |         - 19800000 AS m_ist
-        |FROM events ORDER BY event_id LIMIT 500""".stripMargin
+        |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
+
+    // golden replay of the pinned keyword subset + the vocabulary
+    // counts (291 words / 97 reserved — derived from the reference's
+    // public grammar; a regeneration changes these goldens loudly)
+    "q273_pg_keywords" ->
+      """SELECT word, catcode, catdesc,
+        |       CAST(291 AS INT) AS n_total, CAST(97 AS INT) AS n_reserved
+        |FROM (VALUES
+        |  ('absolute', 'U', 'unreserved'), ('analyzer', 'U', 'unreserved'),
+        |  ('between', 'R', 'reserved'), ('char_filters', 'U', 'unreserved'),
+        |  ('current_date', 'R', 'reserved'), ('from', 'R', 'reserved'),
+        |  ('limit', 'R', 'reserved'), ('order', 'R', 'reserved'),
+        |  ('select', 'R', 'reserved'), ('user', 'R', 'reserved'))
+        |  g(word, catcode, catdesc)
+        |ORDER BY word""".stripMargin,
+
+    // positional zip of unnest + generate_series re-derives (x, n)
+    "q274_pg_expandarray" ->
+      """SELECT doc_id,
+        |       unnest([lang, 'tail', CAST(doc_id % 3 AS VARCHAR)]) AS x,
+        |       unnest(generate_series(1, 3)) AS n
+        |FROM documents ORDER BY doc_id, n""".stripMargin
   )
 }

@@ -438,6 +438,20 @@ object PgCatalog {
       StructField("srsubstate_reason", StringType),
       StructField("srsublsn", LongType))))
 
+  /** `pg_get_keywords()` (reference tablefunctions/
+    * PgGetKeywordsFunction.java: one row per lexer keyword, catcode
+    * 'R'/'U' with catdesc 'reserved'/'unreserved'). Served as a view —
+    * the Dialect drops the zero-arg call parens — from the committed
+    * [[PgKeywords]] data, which tools/gen_pg_keywords.py derives from
+    * the reference's PUBLIC grammar exactly the way the reference
+    * derives it from its lexer at runtime. */
+  def pgGetKeywords(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    PgKeywords.all.map { case (w, r) =>
+      (w, if (r) "R" else "U", if (r) "reserved" else "unreserved")
+    }.toDF("word", "catcode", "catdesc")
+  }
+
   def registerAll(spark: SparkSession): Unit = {
     pgType(spark).createOrReplaceTempView("pg_type")
     pgNamespace(spark).createOrReplaceTempView("pg_namespace")
@@ -471,5 +485,6 @@ object PgCatalog {
     pgPublicationTables(spark).createOrReplaceTempView("pg_publication_tables")
     pgSubscription(spark).createOrReplaceTempView("pg_subscription")
     pgSubscriptionRel(spark).createOrReplaceTempView("pg_subscription_rel")
+    pgGetKeywords(spark).createOrReplaceTempView("pg_get_keywords")
   }
 }

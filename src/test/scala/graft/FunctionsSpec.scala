@@ -697,6 +697,34 @@ class MiscFunctionsSpec extends SparkTestBase {
     assert(r.getSeq[Long](0) == Seq(10L, 99L, 30L))
   }
 
+  test("pg table functions: _pg_expandarray + pg_get_keywords (r14)") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    graft.sources.PgCatalog.registerAll(spark)
+    // PgExpandArrayTest: (x, n) rows, 1-based; null array -> NO rows
+    val rows = Engine.sql(spark,
+      "SELECT x, n FROM (SELECT information_schema._pg_expandarray(" +
+        "array('a', 'b')) ) ORDER BY n").collect()
+    assert(rows.map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("a", 1), ("b", 2)))
+    assert(Engine.sql(spark,
+      "SELECT x FROM (SELECT information_schema._pg_expandarray(" +
+        "CAST(NULL AS ARRAY<STRING>)))").collect().isEmpty)
+    // pg_get_keywords(): the call parens drop to the view; reserved
+    // words carry 'R'/'reserved' (PgGetKeywordsFunction.java:80)
+    val kw = Engine.sql(spark,
+      "SELECT catcode, catdesc FROM pg_get_keywords() " +
+        "WHERE word = 'select'").collect()(0)
+    assert(kw.getString(0) == "R" && kw.getString(1) == "reserved")
+    val n = Engine.sql(spark,
+      "SELECT count(*) FROM pg_catalog.pg_get_keywords()").collect()(0)
+      .getLong(0)
+    assert(n > 250, s"keyword vocabulary unexpectedly small: $n")
+    // all lowercase, catcodes only R/U
+    assert(Engine.sql(spark, "SELECT count(*) FROM pg_get_keywords() " +
+      "WHERE word != lower(word) OR catcode NOT IN ('R', 'U')")
+      .collect()(0).getLong(0) == 0)
+  }
+
   test("array_set reference overloads (ArraySetFunctionTest ported)") {
     def arr(sql: String): Seq[Any] =
       spark.sql(s"SELECT $sql AS a").head().getSeq[Any](0)
