@@ -239,6 +239,51 @@ object QueriesRound14 {
           |               array(lang, 'tail', CAST(doc_id % 3 AS STRING)))
           |      FROM documents)
           |ORDER BY doc_id, n""".stripMargin)
+    }),
+
+    // COPY TO → COPY FROM round-trip, DRIVER-GATED (upgrades §2.2's
+    // COPY rows from Spec-only): customer slices export to gzip CSV and
+    // json-lines, re-import through the RETURN SUMMARY channel, and the
+    // hashed row zips BOTH legs per key with the summary facts (files
+    // seen > 0, zero errors) — the files are the vehicle, IDENTITY is
+    // the assertion, so the oracle re-derives everything from the
+    // parquet table and constants with no filesystem access. acctbal
+    // travels as DECIMAL(18,2) so the text round-trip is exact.
+    "q275_copy_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      import graft.sources.CopyOps
+      val root = graft.ArtifactStore.scratchDir("q275")
+        .toFile.getAbsolutePath
+      val cust = graft.Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") <= 500)
+        .select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("decimal(18,2)").as("bal"),
+          col("c_mktsegment"))
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_name", StringType),
+        StructField("bal", DecimalType(18, 2)),
+        StructField("c_mktsegment", StringType)))
+      CopyOps.copyToCsv(cust, s"$root/csv", gzip = true)
+      CopyOps.copyToJson(cust, s"$root/json")
+      val (csvGood, csvSum) = CopyOps.copyFromCsv(s, schema, header = true,
+        s"$root/csv/*.csv.gz")
+      val (jsonGood, jsonSum) = CopyOps.copyFromJson(s, schema,
+        s"$root/json/*.json")
+      def facts(sm: org.apache.spark.sql.DataFrame) = sm.agg(
+        (count(lit(1)) > 0).as("f"),
+        (coalesce(sum(col("error_count")), lit(0L)) === 0).as("e"))
+      val cf = facts(csvSum).select(col("f").as("csv_files_ok"),
+        col("e").as("csv_no_errors"))
+      val jf = facts(jsonSum).select(col("f").as("json_files_ok"),
+        col("e").as("json_no_errors"))
+      csvGood.alias("c")
+        .join(jsonGood.alias("j"), Seq("c_custkey"))
+        .select(col("c_custkey"), col("c.c_name").as("name_csv"),
+          col("c.bal").as("bal_csv"), col("j.c_name").as("name_json"),
+          col("j.bal").as("bal_json"),
+          col("c.c_mktsegment").as("seg_csv"))
+        .crossJoin(cf).crossJoin(jf)
+        .orderBy(col("c_custkey"))
     })
   )
 
@@ -396,6 +441,20 @@ object QueriesRound14 {
       """SELECT doc_id,
         |       unnest([lang, 'tail', CAST(doc_id % 3 AS VARCHAR)]) AS x,
         |       unnest(generate_series(1, 3)) AS n
-        |FROM documents ORDER BY doc_id, n""".stripMargin
+        |FROM documents ORDER BY doc_id, n""".stripMargin,
+
+    // IDENTITY replay: both legs must equal the source slice; the
+    // summary facts are constants by the zero-error contract
+    "q275_copy_roundtrip" ->
+      """SELECT c_custkey,
+        |       c_name AS name_csv,
+        |       CAST(c_acctbal AS DECIMAL(18,2)) AS bal_csv,
+        |       c_name AS name_json,
+        |       CAST(c_acctbal AS DECIMAL(18,2)) AS bal_json,
+        |       c_mktsegment AS seg_csv,
+        |       TRUE AS csv_files_ok, TRUE AS csv_no_errors,
+        |       TRUE AS json_files_ok, TRUE AS json_no_errors
+        |FROM customer WHERE c_custkey <= 500
+        |ORDER BY c_custkey""".stripMargin
   )
 }
