@@ -284,6 +284,32 @@ object QueriesRound14 {
           col("c.c_mktsegment").as("seg_csv"))
         .crossJoin(cf).crossJoin(jf)
         .orderBy(col("c_custkey"))
+    }),
+
+    // CLUSTERED BY, DRIVER-GATED (upgrades §2.2's bucketing row from
+    // Spec-only): both sides bucketed on the join key → the join plans
+    // WITHOUT a shuffle exchange, and that plan property rides INSIDE
+    // the hash as an audit fact (the q62 `no_drops` pattern) — a silent
+    // re-shuffle regression fails the driver's gate, not just a spec.
+    // At 100 TB this is the one-time-write/no-repeat-shuffle strategy
+    // for the dominant repeated join.
+    "q276_clustered_join" -> ((s, dir) => {
+      import graft.sources.Bucketing
+      val orders = graft.Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val cust = graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Bucketing.writeBucketed(orders, "q276_orders_b", 8, Seq("o_custkey"))
+      Bucketing.writeBucketed(cust, "q276_cust_b", 8, Seq("o_custkey"))
+      val joined = Bucketing.table(s, "q276_orders_b")
+        .join(Bucketing.table(s, "q276_cust_b"), Seq("o_custkey"))
+      val agg = joined.groupBy(col("o_custkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price")).cast("decimal(18,2)").as("total"))
+      val shuffleFree = Bucketing.isShuffleFree(agg)
+      agg.withColumn("shuffle_free", lit(shuffleFree))
+        .orderBy(col("o_custkey"))
     })
   )
 
@@ -455,6 +481,19 @@ object QueriesRound14 {
         |       TRUE AS csv_files_ok, TRUE AS csv_no_errors,
         |       TRUE AS json_files_ok, TRUE AS json_no_errors
         |FROM customer WHERE c_custkey <= 500
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    // plain join+group replay; the shuffle-free plan fact is the
+    // audited constant (a re-shuffle regression flips it to FALSE and
+    // hash-fails)
+    "q276_clustered_join" ->
+      """SELECT o_custkey, c_mktsegment,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            AS DECIMAL(18,2)) AS total,
+        |       TRUE AS shuffle_free
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_custkey, c_mktsegment
+        |ORDER BY o_custkey""".stripMargin
   )
 }
