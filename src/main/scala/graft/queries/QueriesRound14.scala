@@ -310,6 +310,37 @@ object QueriesRound14 {
       val shuffleFree = Bucketing.isShuffleFree(agg)
       agg.withColumn("shuffle_free", lit(shuffleFree))
         .orderBy(col("o_custkey"))
+    }),
+
+    // STRUCTURED STREAMING, DRIVER-GATED (upgrades §2.11 from
+    // Spec-only): the events fixture replays through a REAL watermarked
+    // file stream — readStream → tumbling window agg → memory sink,
+    // complete mode, run to quiescence — and the final state hashes
+    // against DuckDB's batch replay. Deterministic because the input is
+    // finite and complete-mode state is input-order-independent; value
+    // sums go through DECIMAL(18,2) BEFORE aggregation (the multi-row
+    // double-sum discipline). The same incremental plan is what a
+    // 100 TB/day pipeline runs continuously; trigger cadence is the
+    // only difference.
+    "q277_streaming_tumbling" -> ((s, dir) => {
+      val events = graft.Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val src = graft.ArtifactStore.scratchDir("q277src")
+        .toFile.getAbsolutePath
+      events.write.mode("overwrite").parquet(src)
+      val stream = s.readStream.schema(events.schema).parquet(src)
+      val agg = stream.withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("sum_value"))
+        .select(unix_millis(col("window.start")).as("bin_ms"),
+          col("event_type"), col("n"), col("sum_value"))
+      val sink = s"q277_sink_${math.abs(src.hashCode)}"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).orderBy(col("bin_ms"), col("event_type"))
     })
   )
 
@@ -494,6 +525,17 @@ object QueriesRound14 {
         |       TRUE AS shuffle_free
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY o_custkey, c_mktsegment
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+
+    // batch replay of the streaming query's final state: hour-truncate
+    // by epoch arithmetic, decimal-exact value sums
+    "q277_streaming_tumbling" ->
+      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bin_ms,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |            AS DECIMAL(18,2)) AS sum_value
+        |FROM events
+        |GROUP BY bin_ms, event_type
+        |ORDER BY bin_ms, event_type""".stripMargin
   )
 }
