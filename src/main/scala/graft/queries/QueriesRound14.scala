@@ -341,6 +341,36 @@ object QueriesRound14 {
         .outputMode("complete").start()
       try q.processAllAvailable() finally q.stop()
       s.table(sink).orderBy(col("bin_ms"), col("event_type"))
+    }),
+
+    // Streaming SESSIONIZATION, driver-gated: session_window with a
+    // 30-minute gap over a real watermarked stream, final state hashed
+    // against DuckDB's ISLANDS replay (lag + cumulative break-sum —
+    // the classic batch formulation; a session ends when the next
+    // event is >= gap away, and the window end is last-event + gap,
+    // exactly Spark's session_window contract). The state-store merge
+    // path this exercises is the 100 TB continuous-sessionization
+    // plan.
+    "q278_streaming_sessions" -> ((s, dir) => {
+      val events = graft.Tables.load(s, dir, "events")
+        .filter(col("user_id") <= 200)
+        .select(col("ts"), col("user_id"))
+      val src = graft.ArtifactStore.scratchDir("q278src")
+        .toFile.getAbsolutePath
+      events.write.mode("overwrite").parquet(src)
+      val stream = s.readStream.schema(events.schema).parquet(src)
+      val agg = stream.withWatermark("ts", "2 hours")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sess"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          unix_millis(col("sess.start")).as("start_ms"),
+          unix_millis(col("sess.end")).as("end_ms"), col("n"))
+      val sink = s"q278_sink_${math.abs(src.hashCode)}"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).orderBy(col("user_id"), col("start_ms"))
     })
   )
 
@@ -536,6 +566,29 @@ object QueriesRound14 {
         |            AS DECIMAL(18,2)) AS sum_value
         |FROM events
         |GROUP BY bin_ms, event_type
-        |ORDER BY bin_ms, event_type""".stripMargin
+        |ORDER BY bin_ms, event_type""".stripMargin,
+
+    // islands replay: break when the gap to the previous event is
+    // >= 30 min (Spark's session end is exclusive), session id =
+    // cumulative break count, end = last event + gap
+    "q278_streaming_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms FROM events
+        |  WHERE user_id <= 200),
+        |b AS (
+        |  SELECT user_id, ms,
+        |         CASE WHEN lag(ms) OVER w IS NULL
+        |                OR ms - lag(ms) OVER w >= 1800000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |g AS (
+        |  SELECT user_id, ms,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM b)
+        |SELECT user_id, min(ms) AS start_ms,
+        |       max(ms) + 1800000 AS end_ms, count(*) AS n
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, start_ms""".stripMargin
   )
 }
