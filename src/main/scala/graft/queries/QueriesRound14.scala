@@ -371,6 +371,36 @@ object QueriesRound14 {
         .outputMode("complete").start()
       try q.processAllAvailable() finally q.stop()
       s.table(sink).orderBy(col("user_id"), col("start_ms"))
+    }),
+
+    // STREAM–STREAM interval join, driver-gated: every click matched
+    // to same-user views in the preceding hour, BOTH sides real
+    // watermarked streams (the watermark bounds the join state — the
+    // canonical stream-join footgun at 100 TB/day); on a finite input
+    // every match emits, so the result set hashes against DuckDB's
+    // batch inequality join.
+    "q279_streaming_interval_join" -> ((s, dir) => {
+      val events = graft.Tables.load(s, dir, "events")
+        .filter(col("user_id") <= 300)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"))
+      val src = graft.ArtifactStore.scratchDir("q279src")
+        .toFile.getAbsolutePath
+      events.write.mode("overwrite").parquet(src)
+      def side(t: String) = s.readStream.schema(events.schema).parquet(src)
+        .filter(col("event_type") === t)
+      val joined = graft.streaming.EventsStream.intervalJoin(
+        side("view"), side("click"), horizon = "1 hour",
+        watermark = "30 minutes")
+      val sink = s"q279_sink_${math.abs(src.hashCode)}"
+      val q = joined
+        .select(col("user_id"), col("click_id"), col("view_id"),
+          unix_millis(col("c_ts")).as("c_ms"),
+          unix_millis(col("v_ts")).as("v_ms"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).orderBy(col("user_id"), col("click_id"), col("view_id"))
     })
   )
 
@@ -589,6 +619,20 @@ object QueriesRound14 {
         |SELECT user_id, min(ms) AS start_ms,
         |       max(ms) + 1800000 AS end_ms, count(*) AS n
         |FROM g GROUP BY user_id, sid
-        |ORDER BY user_id, start_ms""".stripMargin
+        |ORDER BY user_id, start_ms""".stripMargin,
+
+    // batch inequality join: view within the hour BEFORE the click,
+    // inclusive both ends (v_ts <= c_ts AND v_ts >= c_ts - 1h)
+    "q279_streaming_interval_join" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id, epoch_ms(ts) AS c_ms
+        |  FROM events WHERE event_type = 'click' AND user_id <= 300),
+        |v AS (
+        |  SELECT user_id, event_id AS view_id, epoch_ms(ts) AS v_ms
+        |  FROM events WHERE event_type = 'view' AND user_id <= 300)
+        |SELECT c.user_id, c.click_id, v.view_id, c.c_ms, v.v_ms
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |  AND v.v_ms <= c.c_ms AND v.v_ms >= c.c_ms - 3600000
+        |ORDER BY c.user_id, c.click_id, v.view_id""".stripMargin
   )
 }
