@@ -132,7 +132,15 @@ object BenchSf1 {
     "q267_bucket_sum_probe", "q268_string_pad_trim",
     "q269_regexp_match_op", "q270_array_set", "q271_regexp_scalars",
     "q272_date_trunc_tz", "q253_interval_parse", "q255_interval_order",
-    "q257_interval_arith")
+    "q257_interval_arith",
+    // post-close continuation entries: the pg table functions, the
+    // COPY round-trip (export+reimport scale linearly with the slice),
+    // the bucketed join (bucketed WRITE dominates — the one-time cost
+    // the strategy amortizes), and the three streaming rows (state
+    // store + scratch-source write at 10× events)
+    "q273_pg_keywords", "q274_pg_expandarray", "q275_copy_roundtrip",
+    "q276_clustered_join", "q277_streaming_tumbling",
+    "q278_streaming_sessions", "q279_streaming_interval_join")
 
   /** The CONSOLIDATED wave (r10 verdict ask #7): the ENTIRE catalog at
     * sf1 in one artifact — the per-wave format proved each round's new

@@ -300,6 +300,16 @@ object QueriesRound14 {
           col("o_totalprice").cast("decimal(18,2)").as("price"))
       val cust = graft.Tables.load(s, dir, "customer")
         .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      // the warehouse DIRECTORY outlives the in-memory catalog across
+      // JVMs — saveAsTable(overwrite) only drops what the catalog
+      // knows, so clear both the entry and any orphaned location first
+      for (t <- Seq("q276_orders_b", "q276_cust_b")) {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir") + s"/$t")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
       Bucketing.writeBucketed(orders, "q276_orders_b", 8, Seq("o_custkey"))
       Bucketing.writeBucketed(cust, "q276_cust_b", 8, Seq("o_custkey"))
       val joined = Bucketing.table(s, "q276_orders_b")
