@@ -23,6 +23,19 @@ import org.apache.spark.sql.functions._
   */
 object QueriesRound14 {
 
+  /** Streaming entries size the state store to the fixture: each
+    * shuffle partition materializes its own state-store instance per
+    * stateful operator, so 32 partitions cost ~4× the setup of 8 on a
+    * 20k-row fixture (measured: the stream-stream join drops 8 → 3.3 s
+    * warm). At 100 TB the same knob goes UP with the key cardinality —
+    * partition count tracks state volume, not a constant. The session
+    * value is restored afterwards. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q266_token_count_probe" -> ((s, dir) => {
@@ -347,9 +360,11 @@ object QueriesRound14 {
         .select(unix_millis(col("window.start")).as("bin_ms"),
           col("event_type"), col("n"), col("sum_value"))
       val sink = s"q277_sink_${math.abs(src.hashCode)}"
-      val q = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      withStatePartitions(s, 8) {
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink).orderBy(col("bin_ms"), col("event_type"))
     }),
 
@@ -377,9 +392,11 @@ object QueriesRound14 {
           unix_millis(col("sess.start")).as("start_ms"),
           unix_millis(col("sess.end")).as("end_ms"), col("n"))
       val sink = s"q278_sink_${math.abs(src.hashCode)}"
-      val q = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      withStatePartitions(s, 8) {
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink).orderBy(col("user_id"), col("start_ms"))
     }),
 
@@ -403,13 +420,15 @@ object QueriesRound14 {
         side("view"), side("click"), horizon = "1 hour",
         watermark = "30 minutes")
       val sink = s"q279_sink_${math.abs(src.hashCode)}"
-      val q = joined
-        .select(col("user_id"), col("click_id"), col("view_id"),
-          unix_millis(col("c_ts")).as("c_ms"),
-          unix_millis(col("v_ts")).as("v_ms"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      withStatePartitions(s, 8) {
+        val q = joined
+          .select(col("user_id"), col("click_id"), col("view_id"),
+            unix_millis(col("c_ts")).as("c_ms"),
+            unix_millis(col("v_ts")).as("v_ms"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink).orderBy(col("user_id"), col("click_id"), col("view_id"))
     })
   )
