@@ -227,7 +227,10 @@ object QueriesRound14 {
     "q273_pg_keywords" -> ((s, dir) => {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
-      graft.sources.PgCatalog.registerAll(s)
+      // only the keywords view is needed — registerAll would rebuild
+      // all 32 pg_catalog relations per invocation (~2 s of plan cost)
+      graft.sources.PgCatalog.pgGetKeywords(s)
+        .createOrReplaceTempView("pg_get_keywords")
       graft.Engine.sql(s,
         """SELECT k.word, k.catcode, k.catdesc, t.n_total, t.n_reserved
           |FROM pg_get_keywords() k
