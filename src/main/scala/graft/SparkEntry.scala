@@ -29,7 +29,8 @@ object SparkEntry {
       QueriesRound5.queries ++ QueriesRound7.queries ++
       QueriesRound9.queries ++ QueriesRound10.queries ++
       QueriesRound11.queries ++ QueriesRound12.queries ++
-      QueriesRound13.queries ++ QueriesRound14.queries
+      QueriesRound13.queries ++ QueriesRound14.queries ++
+      QueriesRound15.queries
 
   def oracleSql: Map[String, String] =
     QueriesRelational.oracles ++ QueriesWindow.oracles ++
@@ -41,5 +42,6 @@ object SparkEntry {
       QueriesRound5.oracles ++ QueriesRound7.oracles ++
       QueriesRound9.oracles ++ QueriesRound10.oracles ++
       QueriesRound11.oracles ++ QueriesRound12.oracles ++
-      QueriesRound13.oracles ++ QueriesRound14.oracles
+      QueriesRound13.oracles ++ QueriesRound14.oracles ++
+      QueriesRound15.oracles
 }

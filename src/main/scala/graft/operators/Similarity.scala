@@ -160,17 +160,37 @@ object Similarity {
     val centroids = cents.toSeq
       .map { case (cid, v) => (cid, v.map(_.toFloat).toSeq) }
       .toDF("centroid_id", "centroid")
-    (assignBuckets(c, centroids), centroids)
+    (assignBucketsMapOnly(c, cents), centroids)
   }
 
-  private def assignBuckets(c: DataFrame, centroids: DataFrame): DataFrame =
-    c.crossJoin(broadcast(centroids))
-      .select(col("cid"),
-        VectorFunctions.cosineNative(col("cvec"), col("centroid")).as("sim"),
-        col("centroid_id"))
-      .groupBy(col("cid"))
-      .agg(expr("max_by(centroid_id, struct(sim, -centroid_id))").as("bucket"))
-      .join(c, Seq("cid")).select(col("cid"), col("cvec"), col("bucket"))
+  /** Nearest-centroid assignment as a SINGLE map-only pass: the trained
+    * centroids are already driver-side, so they ride into the plan as an
+    * array literal and each row folds over it picking the best (highest
+    * cosine, ties to the lowest centroid id — identical to the
+    * `max_by(centroid_id, struct(sim, -centroid_id))` semantics of the
+    * distributed pass in [[ivfBucketize]]/[[assignFixed]]). Zero
+    * shuffles, zero joins: at 100 TB the assignment is embarrassingly
+    * parallel, and at bench scale it removes the two exchanges the old
+    * crossJoin→groupBy→join shape paid per build. */
+  private def assignBucketsMapOnly(c: DataFrame,
+      cents: Array[(Long, Array[Double])]): DataFrame = {
+    val centArr = array(cents.map { case (bcid, v) =>
+      struct(lit(bcid).as("bcid"),
+        typedLit(v.map(_.toFloat).toSeq).as("bcvec"))
+    }.toSeq: _*)
+    val best = aggregate(
+      centArr,
+      struct(lit(-1L).as("bcid"), lit(Double.NegativeInfinity).as("bsim")),
+      (acc, ct) => {
+        val s = VectorFunctions.cosineNative(col("cvec"), ct.getField("bcvec"))
+        val better = (acc.getField("bcid") < 0) || (s > acc.getField("bsim")) ||
+          (s === acc.getField("bsim") && ct.getField("bcid") < acc.getField("bcid"))
+        when(better, struct(ct.getField("bcid").as("bcid"), s.as("bsim")))
+          .otherwise(acc)
+      },
+      acc => acc.getField("bcid"))
+    c.select(col("cid"), col("cvec"), best.as("bucket"))
+  }
 
   /** recall@k of an approximate kNN result vs the exact brute-force result
     * (both in (qid, cid, rk) shape) — the tuning metric for nprobe/centroid

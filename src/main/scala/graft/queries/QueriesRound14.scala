@@ -132,13 +132,19 @@ object QueriesRound14 {
     // ported; the r14 native expression replaces a bigint-only UDF):
     // vector set / append / NULL-pad past the end, empty-updates
     // identity, both-null identity, scalar form with a null value.
-    // DuckDB re-derives every arm with its own list primitives.
+    // DuckDB re-derives every arm with its own list primitives. The
+    // hashed row carries the array SERIALIZED as compact JSON on both
+    // sides (Spark to_json / DuckDB to_json::VARCHAR render
+    // ARRAY<BIGINT> identically, nulls as `null`) — the r14 driver run
+    // proved its result bridge cannot hash a raw ARRAY column
+    // (`unhashable type: numpy.ndarray`), and EntrySmokeSpec now gates
+    // the whole catalog against complex-typed output columns.
     "q270_array_set" -> ((s, dir) => {
       graft.functions.GraftFunctions.registerAll(s)
       graft.Tables.registerAll(s, dir)
       graft.Engine.sql(s,
         """SELECT CAST(doc_id % 7 AS INT) AS arm,
-          |  CASE CAST(doc_id % 7 AS INT)
+          |  to_json(CASE CAST(doc_id % 7 AS INT)
           |    WHEN 0 THEN array_set(array(1L,2L,3L), array(3), array(-1L))
           |    WHEN 1 THEN array_set(array(1L,2L,3L), array(4), array(-1L))
           |    WHEN 2 THEN array_set(array(1L,2L,3L), array(5), array(-1L))
@@ -146,7 +152,7 @@ object QueriesRound14 {
           |                          array(1, 3), array(7L, 9L))
           |    WHEN 4 THEN array_set(array(1L,2L,3L), NULL, NULL)
           |    WHEN 5 THEN array_set(array(10L,20L,30L), 2, 99L)
-          |    ELSE array_set(array(1L,2L), 1, CAST(NULL AS BIGINT)) END
+          |    ELSE array_set(array(1L,2L), 1, CAST(NULL AS BIGINT)) END)
           |    AS a
           |FROM documents""".stripMargin)
         .groupBy(col("arm"), col("a"))
@@ -264,7 +270,12 @@ object QueriesRound14 {
     // seen > 0, zero errors) — the files are the vehicle, IDENTITY is
     // the assertion, so the oracle re-derives everything from the
     // parquet table and constants with no filesystem access. acctbal
-    // travels as DECIMAL(18,2) so the text round-trip is exact.
+    // travels as BIGINT CENTS (the proven q248 integer-exact recipe:
+    // no DECIMAL-from-double in a hashed row, and the text round-trip
+    // carries an exact integer string). Directory paths — not globs —
+    // go to the readers: Spark reads every data file in the dir either
+    // way, and the glob spelling logged spurious analysis-time
+    // FileNotFoundException noise (VERDICT r14 what's-wrong #4).
     "q275_copy_roundtrip" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       import graft.sources.CopyOps
@@ -273,18 +284,18 @@ object QueriesRound14 {
       val cust = graft.Tables.load(s, dir, "customer")
         .filter(col("c_custkey") <= 500)
         .select(col("c_custkey"), col("c_name"),
-          col("c_acctbal").cast("decimal(18,2)").as("bal"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"),
           col("c_mktsegment"))
       val schema = StructType(Seq(
         StructField("c_custkey", LongType), StructField("c_name", StringType),
-        StructField("bal", DecimalType(18, 2)),
+        StructField("bal_cents", LongType),
         StructField("c_mktsegment", StringType)))
       CopyOps.copyToCsv(cust, s"$root/csv", gzip = true)
       CopyOps.copyToJson(cust, s"$root/json")
       val (csvGood, csvSum) = CopyOps.copyFromCsv(s, schema, header = true,
-        s"$root/csv/*.csv.gz")
+        s"$root/csv")
       val (jsonGood, jsonSum) = CopyOps.copyFromJson(s, schema,
-        s"$root/json/*.json")
+        s"$root/json")
       def facts(sm: org.apache.spark.sql.DataFrame) = sm.agg(
         (count(lit(1)) > 0).as("f"),
         (coalesce(sum(col("error_count")), lit(0L)) === 0).as("e"))
@@ -295,8 +306,9 @@ object QueriesRound14 {
       csvGood.alias("c")
         .join(jsonGood.alias("j"), Seq("c_custkey"))
         .select(col("c_custkey"), col("c.c_name").as("name_csv"),
-          col("c.bal").as("bal_csv"), col("j.c_name").as("name_json"),
-          col("j.bal").as("bal_json"),
+          col("c.bal_cents").as("bal_cents_csv"),
+          col("j.c_name").as("name_json"),
+          col("j.bal_cents").as("bal_cents_json"),
           col("c.c_mktsegment").as("seg_csv"))
         .crossJoin(cf).crossJoin(jf)
         .orderBy(col("c_custkey"))
@@ -304,16 +316,20 @@ object QueriesRound14 {
 
     // CLUSTERED BY, DRIVER-GATED (upgrades §2.2's bucketing row from
     // Spec-only): both sides bucketed on the join key → the join plans
-    // WITHOUT a shuffle exchange, and that plan property rides INSIDE
-    // the hash as an audit fact (the q62 `no_drops` pattern) — a silent
-    // re-shuffle regression fails the driver's gate, not just a spec.
-    // At 100 TB this is the one-time-write/no-repeat-shuffle strategy
-    // for the dominant repeated join.
+    // WITHOUT a shuffle exchange. This entry hashes the DATA result
+    // only, integer-exact (BIGINT cents per row before SUM — the q248
+    // recipe; no DECIMAL-from-double in the hashed row); the
+    // shuffle-free PLAN fact lives in its own conf-pinned sibling probe
+    // (q280_clustered_plan_probe, QueriesRound15) so a driver red
+    // localizes to data-bridging vs plan-flip independently — the
+    // q266/q267 forensic pattern. At 100 TB this is the
+    // one-time-write/no-repeat-shuffle strategy for the dominant
+    // repeated join.
     "q276_clustered_join" -> ((s, dir) => {
       import graft.sources.Bucketing
       val orders = graft.Tables.load(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
-          col("o_totalprice").cast("decimal(18,2)").as("price"))
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
       val cust = graft.Tables.load(s, dir, "customer")
         .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
       // the warehouse DIRECTORY outlives the in-memory catalog across
@@ -330,11 +346,9 @@ object QueriesRound14 {
       Bucketing.writeBucketed(cust, "q276_cust_b", 8, Seq("o_custkey"))
       val joined = Bucketing.table(s, "q276_orders_b")
         .join(Bucketing.table(s, "q276_cust_b"), Seq("o_custkey"))
-      val agg = joined.groupBy(col("o_custkey"), col("c_mktsegment"))
+      joined.groupBy(col("o_custkey"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("price")).cast("decimal(18,2)").as("total"))
-      val shuffleFree = Bucketing.isShuffleFree(agg)
-      agg.withColumn("shuffle_free", lit(shuffleFree))
+          sum(col("price_cents")).as("total_cents"))
         .orderBy(col("o_custkey"))
     }),
 
@@ -343,11 +357,12 @@ object QueriesRound14 {
     // file stream — readStream → tumbling window agg → memory sink,
     // complete mode, run to quiescence — and the final state hashes
     // against DuckDB's batch replay. Deterministic because the input is
-    // finite and complete-mode state is input-order-independent; value
-    // sums go through DECIMAL(18,2) BEFORE aggregation (the multi-row
-    // double-sum discipline). The same incremental plan is what a
-    // 100 TB/day pipeline runs continuously; trigger cadence is the
-    // only difference.
+    // finite and complete-mode state is input-order-independent; each
+    // value becomes BIGINT CENTS BEFORE aggregation (the q248
+    // integer-exact recipe — an order-independent integer sum, no
+    // DECIMAL-from-double in the hashed row). The same incremental
+    // plan is what a 100 TB/day pipeline runs continuously; trigger
+    // cadence is the only difference.
     "q277_streaming_tumbling" -> ((s, dir) => {
       val events = graft.Tables.load(s, dir, "events")
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
@@ -358,10 +373,10 @@ object QueriesRound14 {
       val agg = stream.withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").as("sum_value"))
+          sum(expr("CAST(round(value * 100) AS BIGINT)"))
+            .as("sum_value_cents"))
         .select(unix_millis(col("window.start")).as("bin_ms"),
-          col("event_type"), col("n"), col("sum_value"))
+          col("event_type"), col("n"), col("sum_value_cents"))
       val sink = s"q277_sink_${math.abs(src.hashCode)}"
       withStatePartitions(s, 8) {
         val q = agg.writeStream.format("memory").queryName(sink)
@@ -514,7 +529,8 @@ object QueriesRound14 {
         |ORDER BY d.arm""".stripMargin,
 
     // DuckDB replays each arm with its own list values (1-based set,
-    // append, NULL padding)
+    // append, NULL padding), serialized to the same compact JSON text
+    // Spark's to_json renders — the hashed row is pure VARCHAR
     "q270_array_set" ->
       """WITH d AS (SELECT CAST(doc_id % 7 AS INT) AS arm FROM documents),
         |g(arm, a) AS (VALUES
@@ -525,9 +541,9 @@ object QueriesRound14 {
         |  (4, [1, 2, 3]::BIGINT[]),
         |  (5, [10, 99, 30]::BIGINT[]),
         |  (6, [NULL, 2]::BIGINT[]))
-        |SELECT d.arm, g.a, count(*) AS n
+        |SELECT d.arm, to_json(g.a)::VARCHAR AS a, count(*) AS n
         |FROM d JOIN g ON d.arm = g.arm
-        |GROUP BY d.arm, g.a
+        |GROUP BY d.arm, to_json(g.a)::VARCHAR
         |ORDER BY d.arm""".stripMargin,
 
     // replace arms re-derive natively (DuckDB regexp_replace is
@@ -593,39 +609,40 @@ object QueriesRound14 {
         |FROM documents ORDER BY doc_id, n""".stripMargin,
 
     // IDENTITY replay: both legs must equal the source slice; the
-    // summary facts are constants by the zero-error contract
+    // summary facts are constants by the zero-error contract. acctbal
+    // re-derives as BIGINT cents — IEEE double × 100 then
+    // half-away-from-zero round, identical arithmetic on both engines
     "q275_copy_roundtrip" ->
       """SELECT c_custkey,
         |       c_name AS name_csv,
-        |       CAST(c_acctbal AS DECIMAL(18,2)) AS bal_csv,
+        |       CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents_csv,
         |       c_name AS name_json,
-        |       CAST(c_acctbal AS DECIMAL(18,2)) AS bal_json,
+        |       CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents_json,
         |       c_mktsegment AS seg_csv,
         |       TRUE AS csv_files_ok, TRUE AS csv_no_errors,
         |       TRUE AS json_files_ok, TRUE AS json_no_errors
         |FROM customer WHERE c_custkey <= 500
         |ORDER BY c_custkey""".stripMargin,
 
-    // plain join+group replay; the shuffle-free plan fact is the
-    // audited constant (a re-shuffle regression flips it to FALSE and
-    // hash-fails)
+    // plain join+group replay, integer-exact: per-row BIGINT cents
+    // before SUM on both sides (the shuffle-free plan fact moved to
+    // its own probe, q280)
     "q276_clustered_join" ->
       """SELECT o_custkey, c_mktsegment,
         |       count(*) AS n_orders,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-        |            AS DECIMAL(18,2)) AS total,
-        |       TRUE AS shuffle_free
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS total_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY o_custkey, c_mktsegment
         |ORDER BY o_custkey""".stripMargin,
 
     // batch replay of the streaming query's final state: hour-truncate
-    // by epoch arithmetic, decimal-exact value sums
+    // by epoch arithmetic, integer-exact cent sums
     "q277_streaming_tumbling" ->
       """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bin_ms,
         |       event_type, count(*) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2)))
-        |            AS DECIMAL(18,2)) AS sum_value
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT))
+        |            AS BIGINT) AS sum_value_cents
         |FROM events
         |GROUP BY bin_ms, event_type
         |ORDER BY bin_ms, event_type""".stripMargin,

@@ -14,7 +14,24 @@ class EntrySmokeSpec extends SparkTestBase {
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs on sf0.001") {
-      val n = fn(spark, sfDir).count()
+      val df = fn(spark, sfDir)
+      // BRIDGE-SAFETY GATE (VERDICT r14 ask #2, allowlist none): the
+      // driver's pandas result bridge cannot hash ARRAY/MAP/STRUCT
+      // columns (q270's r14 `err` was `unhashable type: numpy.ndarray`
+      // before the compare ever ran). Any entry whose output schema
+      // carries a complex type must serialize it (to_json both sides)
+      // before it reaches the hashed row.
+      val complex = df.schema.fields.filter(f => f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType  => true
+        case _: org.apache.spark.sql.types.MapType    => true
+        case _: org.apache.spark.sql.types.StructType => true
+        case _                                        => false
+      })
+      assert(complex.isEmpty,
+        s"$name output carries complex-typed columns the driver bridge " +
+          s"cannot hash: ${complex.map(f => s"${f.name}: ${f.dataType.sql}").mkString(", ")}" +
+          " — serialize with to_json on both the Spark and oracle sides")
+      val n = df.count()
       assert(n >= 0)
     }
   }
