@@ -57,15 +57,27 @@ object GraftRegexpFns {
   def isGlobal(flags: String): Boolean =
     flags != null && flags.indexOf('g') >= 0
 
-  private val lastPat =
-    new ThreadLocal[(String, String, java.util.regex.Pattern)]
+  /** Per-thread bounded LRU keyed by (pattern, flags) — a single slot
+    * thrashed (full recompile per row) whenever a projection evaluated
+    * two+ patterns per row, e.g. the q271 CASE arms (ADVICE r15). */
+  private val patCache =
+    new ThreadLocal[java.util.LinkedHashMap[(String, String), java.util.regex.Pattern]] {
+      override def initialValue() =
+        new java.util.LinkedHashMap[(String, String), java.util.regex.Pattern](32, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[(String, String), java.util.regex.Pattern]): Boolean =
+            size() > 16
+        }
+    }
 
   def compiled(pattern: String, flags: String): java.util.regex.Pattern = {
-    val hit = lastPat.get()
-    if (hit != null && hit._1 == pattern && hit._2 == flags) hit._3
+    val m = patCache.get()
+    val k = (pattern, flags)
+    val hit = m.get(k)
+    if (hit != null) hit
     else {
       val p = java.util.regex.Pattern.compile(pattern, parseFlags(flags))
-      lastPat.set((pattern, flags, p))
+      m.put(k, p)
       p
     }
   }

@@ -45,21 +45,47 @@ object GraftRegexp {
   def isPcrePattern(p: String): Boolean = PcrePattern.matcher(p).matches()
 
   // ---------- Lucene RegExp AST ----------
-  private val idGen = new java.util.concurrent.atomic.AtomicInteger(0)
-  private sealed trait Rx { val id: Int = idGen.incrementAndGet() }
-  private case class Lit(c: Char) extends Rx
-  private case object AnyChar extends Rx { override val id = -1 }
-  private case object AnyString extends Rx { override val id = -2 }
-  private case object EmptyLang extends Rx { override val id = -3 }
-  private case object Eps extends Rx { override val id = -4 }
-  private case class Str(s: String) extends Rx
-  private case class Cls(neg: Boolean, ranges: Vector[(Char, Char)]) extends Rx
+  // Node ids are assigned PER AST by a numbering walk after parse
+  // (`number` below), starting at 4; the four singletons own the
+  // reserved ids -1..-4, mapped to memo-key slots 0..3. A global
+  // counter packed into the 16-bit memo-key id field aliased once it
+  // wrapped 65536 — easy to reach when a projection alternates
+  // patterns and re-parses — silently cross-contaminating memo results
+  // between nodes (ADVICE r15). Per-AST numbering is bounded by the
+  // pattern's own node count and loud past the 16-bit field.
+  // Lit/Cls/Str carry CODE POINTS, not UTF-16 units: the reference
+  // runs its automaton over code points, so '.' matches one non-BMP
+  // character (a surrogate pair), and the DP must agree.
+  private sealed trait Rx { var id: Int = 0 }
+  private case class Lit(c: Int) extends Rx
+  private case object AnyChar extends Rx { id = -1 }
+  private case object AnyString extends Rx { id = -2 }
+  private case object EmptyLang extends Rx { id = -3 }
+  private case object Eps extends Rx { id = -4 }
+  private case class Str(cps: Vector[Int]) extends Rx
+  private case class Cls(neg: Boolean, ranges: Vector[(Int, Int)]) extends Rx
   private case class Cat(xs: Vector[Rx]) extends Rx
   private case class Or(a: Rx, b: Rx) extends Rx
   private case class And(a: Rx, b: Rx) extends Rx
   private case class Not(x: Rx) extends Rx
   private case class Rep(x: Rx, min: Int, max: Int) extends Rx // max -1 = inf
   private case class Interval(min: Long, max: Long, digits: Int) extends Rx
+
+  /** Assign memo ids 4.. depth-first (singletons keep their reserved
+    * negatives); returns the next free id. */
+  private def number(r: Rx, n0: Int): Int = r match {
+    case AnyChar | AnyString | EmptyLang | Eps => n0
+    case _ =>
+      r.id = n0
+      r match {
+        case Cat(xs)       => xs.foldLeft(n0 + 1)((n, x) => number(x, n))
+        case Or(a, b)      => number(b, number(a, n0 + 1))
+        case And(a, b)     => number(b, number(a, n0 + 1))
+        case Not(x)        => number(x, n0 + 1)
+        case Rep(x, _, _)  => number(x, n0 + 1)
+        case _             => n0 + 1 // Lit / Str / Cls / Interval
+      }
+  }
 
   private def bad(p: String, why: String): Nothing =
     throw new IllegalArgumentException(
@@ -72,6 +98,14 @@ object GraftRegexp {
     private def more: Boolean = pos < p.length
     private def peek: Char = p.charAt(pos)
     private def next(): Char = { val c = p.charAt(pos); pos += 1; c }
+    /** Consume one full CODE POINT — for literal contexts (Lit, class
+      * bounds, quoted strings), where a non-BMP character is one
+      * symbol, not two surrogate units. Operator dispatch stays on
+      * chars: every grammar operator is ASCII, and a high surrogate
+      * simply falls through to the literal case. */
+    private def nextCp(): Int = {
+      val c = p.codePointAt(pos); pos += Character.charCount(c); c
+    }
     private def expect(c: Char): Unit =
       if (!more || next() != c) bad(p, s"expected '$c'")
 
@@ -141,15 +175,15 @@ object GraftRegexp {
         next()
         val neg = more && peek == '^'
         if (neg) next()
-        val rs = Vector.newBuilder[(Char, Char)]
+        val rs = Vector.newBuilder[(Int, Int)]
         var first = true
         while (more && (peek != ']' || first)) {
           first = false
-          val lo = if (peek == '\\') { next(); next() } else next()
+          val lo = if (peek == '\\') { next(); nextCp() } else nextCp()
           if (more && peek == '-' && pos + 1 < p.length &&
               p.charAt(pos + 1) != ']') {
             next()
-            val hi = if (peek == '\\') { next(); next() } else next()
+            val hi = if (peek == '\\') { next(); nextCp() } else nextCp()
             rs += ((lo, hi))
           } else rs += ((lo, lo))
         }
@@ -165,10 +199,10 @@ object GraftRegexp {
         case '#' => next(); EmptyLang
         case '"' =>
           next()
-          val sb = new StringBuilder
-          while (more && peek != '"') sb.append(next())
+          val b = Vector.newBuilder[Int]
+          while (more && peek != '"') b += nextCp()
           expect('"')
-          Str(sb.toString)
+          Str(b.result())
         case '(' =>
           next()
           if (more && peek == ')') { next(); Eps }
@@ -193,25 +227,37 @@ object GraftRegexp {
           Interval(mn, mx, digits)
         case ')' | ']' | '}' | '|' | '&' | '?' | '*' | '+' =>
           bad(p, s"unexpected '$peek' at $pos")
-        case '\\' => next(); if (!more) bad(p, "dangling escape"); Lit(next())
-        case _ => Lit(next())
+        case '\\' => next(); if (!more) bad(p, "dangling escape"); Lit(nextCp())
+        case _ => Lit(nextCp())
       }
     }
   }
 
-  /** Memoized interval DP: does s.substring(i, j) belong to L(node)?
-    * Memo capped so an adversarial pattern fails loudly instead of
-    * consuming the executor. */
+  /** Memoized interval DP over CODE POINTS: does cp[i,j) belong to
+    * L(node)? Memo capped so an adversarial pattern fails loudly
+    * instead of consuming the executor; sources past the key field's
+    * 16-bit index range fail loudly too (silent key truncation
+    * corrupted matches on >65535-char sources before — ADVICE r15;
+    * ordinary long-document patterns ride the java fast path and
+    * never reach here). */
   private final class Matcher(s: String, pattern: String) {
+    private val cp: Array[Int] = s.codePoints().toArray
+    if (cp.length > 0xffff)
+      bad(pattern, "source longer than 65535 code points not supported" +
+        " for Lucene-interval matching")
     private val memo = new java.util.HashMap[Long, java.lang.Boolean]()
-    private def key(id: Int, i: Int, j: Int, extra: Int): Long =
-      ((id & 0xffffL) << 48) | ((extra & 0xffffL) << 32) |
+    // id slots: singletons -1..-4 → 0..3; numbered nodes start at 4
+    // (see `number`) and are guarded against the 16-bit field at parse
+    private def key(id: Int, i: Int, j: Int, extra: Int): Long = {
+      val nid = if (id < 0) -1 - id else id
+      ((nid & 0xffffL) << 48) | ((extra & 0xffffL) << 32) |
         ((i & 0xffffL) << 16) | (j & 0xffffL)
+    }
     private def checkBudget(): Unit =
       if (memo.size > 500000)
         bad(pattern, "pattern too complex for interval matching")
 
-    def matches(r: Rx): Boolean = m(r, 0, s.length)
+    def matches(r: Rx): Boolean = m(r, 0, cp.length)
 
     private def m(r: Rx, i: Int, j: Int): Boolean = {
       val k = key(r.id, i, j, 0)
@@ -219,16 +265,20 @@ object GraftRegexp {
       if (cached != null) return cached.booleanValue()
       checkBudget()
       val res: Boolean = r match {
-        case Lit(c)     => j == i + 1 && s.charAt(i) == c
+        case Lit(c)     => j == i + 1 && cp(i) == c
         case AnyChar    => j == i + 1
         case AnyString  => true
         case EmptyLang  => false
         case Eps        => i == j
         case Str(t) =>
-          j - i == t.length && s.regionMatches(i, t, 0, t.length)
+          j - i == t.length && {
+            var ok = true; var x = 0
+            while (ok && x < t.length) { ok = cp(i + x) == t(x); x += 1 }
+            ok
+          }
         case Cls(neg, rs) =>
           j == i + 1 && {
-            val c = s.charAt(i)
+            val c = cp(i)
             val in = rs.exists { case (lo, hi) => c >= lo && c <= hi }
             in != neg
           }
@@ -242,10 +292,12 @@ object GraftRegexp {
           len > 0 && len <= 18 && {
             var ok = true
             var t = i
-            while (ok && t < j) { ok = s.charAt(t) >= '0' && s.charAt(t) <= '9'; t += 1 }
+            while (ok && t < j) { ok = cp(t) >= '0' && cp(t) <= '9'; t += 1 }
             ok && (if (digits > 0) len == digits
-                   else len == 1 || s.charAt(i) != '0') && {
-              val v = java.lang.Long.parseLong(s.substring(i, j))
+                   else len == 1 || cp(i) != '0') && {
+              var v = 0L
+              var d = i
+              while (d < j) { v = v * 10 + (cp(d) - '0'); d += 1 }
               v >= mn && v <= mx
             }
           }
@@ -257,28 +309,40 @@ object GraftRegexp {
     private def seq(xs: Vector[Rx], idx: Int, i: Int, j: Int): Boolean = {
       if (idx == xs.length) return i == j
       if (idx == xs.length - 1) return m(xs(idx), i, j)
-      val k = key(xs(idx).id, i, j, 0x7000 + idx)
-      val cached = memo.get(k)
-      if (cached != null) return cached.booleanValue()
-      checkBudget()
+      // memoize only while the idx tag fits its key slot (0x7000+idx
+      // must stay below 0x8000); correctness never depends on the memo
+      val memoizable = idx < 0x1000
+      val k = if (memoizable) key(xs(idx).id, i, j, 0x7000 + idx) else 0L
+      if (memoizable) {
+        val cached = memo.get(k)
+        if (cached != null) return cached.booleanValue()
+        checkBudget()
+      }
       var split = i
       var res = false
       while (!res && split <= j) {
         res = m(xs(idx), i, split) && seq(xs, idx + 1, split, j)
         split += 1
       }
-      memo.put(k, res)
+      if (memoizable) memo.put(k, res)
       res
     }
 
     private def rep(x: Rx, i: Int, j: Int, mn: Int, mx: Int): Boolean = {
       if (i == j) return mn == 0 || m(x, i, i)
       if (mx == 0) return false // non-empty remainder, no reps left
-      val k = key(x.id, i, j, 0x1000 | (math.min(mn, 63) << 6) |
-        math.min(if (mx < 0) 63 else mx, 63))
-      val cached = memo.get(k)
-      if (cached != null) return cached.booleanValue()
-      checkBudget()
+      // the key carries the EXACT residual bounds (63 means unbounded,
+      // reserved); larger finite bounds skip the memo rather than
+      // alias with each other or with unbounded (ADVICE r15)
+      val memoizable = mn <= 62 && (mx == -1 || mx <= 62)
+      val k = if (memoizable)
+        key(x.id, i, j, 0x1000 | (mn << 6) | (if (mx == -1) 63 else mx))
+      else 0L
+      if (memoizable) {
+        val cached = memo.get(k)
+        if (cached != null) return cached.booleanValue()
+        checkBudget()
+      }
       var split = i + 1 // first chunk non-empty: guarantees progress
       var res = false
       val mx2 = if (mx < 0) -1 else mx - 1
@@ -286,24 +350,44 @@ object GraftRegexp {
         res = m(x, i, split) && rep(x, split, j, math.max(0, mn - 1), mx2)
         split += 1
       }
-      memo.put(k, res)
+      if (memoizable) memo.put(k, res)
       res
     }
   }
 
-  /** Single-slot AST cache: patterns are plan literals in practice, so
-    * each task thread parses once and replays the AST per row. */
-  private val lastAst = new ThreadLocal[(String, Rx)]
-
-  private def astOf(pattern: String): Rx = {
-    val hit = lastAst.get()
-    if (hit != null && hit._1 == pattern) hit._2
-    else {
-      val ast = new Parser(pattern).parse()
-      lastAst.set((pattern, ast))
-      ast
+  /** Small bounded per-thread LRU for per-pattern compiled artifacts.
+    * A single-slot cache thrashed whenever a projection evaluated two+
+    * patterns per row (the q269/q271 CASE shapes re-parsed or
+    * re-compiled every row — ADVICE r15); 16 slots cover any realistic
+    * projection's pattern set with zero sharing between task threads. */
+  private final class PatternLru[V <: AnyRef](cap: Int = 16) {
+    private val tl = new ThreadLocal[java.util.LinkedHashMap[String, V]] {
+      override def initialValue() =
+        new java.util.LinkedHashMap[String, V](cap * 2, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, V]): Boolean = size() > cap
+        }
+    }
+    def getOrCompute(p: String)(f: => V): V = {
+      val m = tl.get()
+      val hit = m.get(p)
+      if (hit != null) hit
+      else { val v = f; m.put(p, v); v }
     }
   }
+
+  /** Per-thread AST cache: patterns are plan literals in practice, so
+    * each task thread parses each distinct pattern once and replays
+    * the numbered AST per row. */
+  private val astCache = new PatternLru[Rx]()
+
+  private def astOf(pattern: String): Rx =
+    astCache.getOrCompute(pattern) {
+      val ast = new Parser(pattern).parse()
+      if (number(ast, 4) > 0xffff)
+        bad(pattern, "pattern too complex for interval matching")
+      ast
+    }
 
   /** SCALE fast path: when the pattern uses none of Lucene RegExp's
     * extra operators (`~ & < @ # "`), no escapes, and no `^`/`$`
@@ -343,7 +427,7 @@ object GraftRegexp {
     true
   }
 
-  private val lastFast = new ThreadLocal[(String, java.util.regex.Pattern)]
+  private val fastCache = new PatternLru[java.util.regex.Pattern]()
 
   /** `~` — full-string match; PCRE-feature patterns via java.util.regex,
     * everything else via the Lucene RegExp grammar. */
@@ -352,21 +436,15 @@ object GraftRegexp {
     val s = source.toString
     if (isPcrePattern(p)) s.matches(p)
     else if (javaCompatible(p)) {
-      val hit = lastFast.get()
-      val compiled =
-        if (hit != null && hit._1 == p) hit._2
-        else {
-          val c =
-            try java.util.regex.Pattern.compile(p,
-              java.util.regex.Pattern.DOTALL)
-            catch { case e: java.util.regex.PatternSyntaxException =>
-              // uniform loud contract with the Lucene-branch parser
-              throw new IllegalArgumentException(
-                s"Invalid regular expression [$p]: ${e.getDescription}")
-            }
-          lastFast.set((p, c))
-          c
+      val compiled = fastCache.getOrCompute(p) {
+        try java.util.regex.Pattern.compile(p,
+          java.util.regex.Pattern.DOTALL)
+        catch { case e: java.util.regex.PatternSyntaxException =>
+          // uniform loud contract with the Lucene-branch parser
+          throw new IllegalArgumentException(
+            s"Invalid regular expression [$p]: ${e.getDescription}")
         }
+      }
       compiled.matcher(s).matches()
     }
     else new Matcher(s, p).matches(astOf(p))
@@ -377,21 +455,16 @@ object GraftRegexp {
   private[graft] def matchesDp(s: String, p: String): Boolean =
     new Matcher(s, p).matches(astOf(p))
 
-  private val lastCi = new ThreadLocal[(String, java.util.regex.Pattern)]
+  private val ciCache = new PatternLru[java.util.regex.Pattern]()
 
   /** `~*` — java.util.regex full match, CASE_INSENSITIVE|UNICODE_CASE. */
   def matchesCi(source: UTF8String, pattern: UTF8String): Boolean = {
     val p = pattern.toString
-    val hit = lastCi.get()
-    val compiled =
-      if (hit != null && hit._1 == p) hit._2
-      else {
-        val c = java.util.regex.Pattern.compile(p,
-          java.util.regex.Pattern.CASE_INSENSITIVE |
-            java.util.regex.Pattern.UNICODE_CASE)
-        lastCi.set((p, c))
-        c
-      }
+    val compiled = ciCache.getOrCompute(p) {
+      java.util.regex.Pattern.compile(p,
+        java.util.regex.Pattern.CASE_INSENSITIVE |
+          java.util.regex.Pattern.UNICODE_CASE)
+    }
     compiled.matcher(source.toString).matches()
   }
 }

@@ -23,6 +23,19 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftPad {
   val LenLimit = 50000
 
+  /** Entry point takes the len operand as LONG and range-checks it
+    * LOUDLY before narrowing — a raw `(int)` cast silently wrapped
+    * BIGINT lengths past int range (e.g. 2^32 + 49999 padded quietly
+    * to 49999), where the reference's integer implicit cast raises
+    * "integer value out of range" before its 50000 guard (ADVICE r15). */
+  def pad(str: UTF8String, len: Long, fill: UTF8String,
+          left: Boolean): UTF8String = {
+    if (len > Int.MaxValue || len < Int.MinValue)
+      throw new IllegalArgumentException(
+        s"integer value out of range: $len")
+    pad(str, len.toInt, fill, left)
+  }
+
   def pad(str: UTF8String, len: Int, fill: UTF8String,
           left: Boolean): UTF8String = {
     if (len > LenLimit)
@@ -70,10 +83,10 @@ case class GraftPadExpr(first: Expression, second: Expression,
   }
   override def nullSafeEval(s: Any, l: Any, f: Any): Any =
     GraftPad.pad(s.asInstanceOf[UTF8String],
-      l.asInstanceOf[Number].intValue(), f.asInstanceOf[UTF8String], leftPad)
+      l.asInstanceOf[Number].longValue(), f.asInstanceOf[UTF8String], leftPad)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (s, l, f) =>
-      s"graft.plans.GraftPad.pad($s, (int) $l, $f, $leftPad)")
+      s"graft.plans.GraftPad.pad($s, (long) $l, $f, $leftPad)")
   override protected def withNewChildrenInternal(
       f1: Expression, f2: Expression, f3: Expression): Expression =
     copy(first = f1, second = f2, third = f3)

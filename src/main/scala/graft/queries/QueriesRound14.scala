@@ -587,11 +587,13 @@ object QueriesRound14 {
         |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
 
     // golden replay of the pinned keyword subset + the vocabulary
-    // counts (291 words / 97 reserved — derived from the reference's
-    // public grammar; a regeneration changes these goldens loudly)
+    // counts (291 words / 96 reserved — derived from the reference's
+    // public grammar + Identifiers.reserved(); a regeneration changes
+    // these goldens loudly. current_schema is 'U': bare it parses to
+    // FunctionCall and is not in RESERVED_FUNCTIONS — ADVICE r15)
     "q273_pg_keywords" ->
       """SELECT word, catcode, catdesc,
-        |       CAST(291 AS INT) AS n_total, CAST(97 AS INT) AS n_reserved
+        |       CAST(291 AS INT) AS n_total, CAST(96 AS INT) AS n_reserved
         |FROM (VALUES
         |  ('absolute', 'U', 'unreserved'), ('analyzer', 'U', 'unreserved'),
         |  ('between', 'R', 'reserved'), ('char_filters', 'U', 'unreserved'),

@@ -723,6 +723,21 @@ class MiscFunctionsSpec extends SparkTestBase {
     assert(Engine.sql(spark, "SELECT count(*) FROM pg_get_keywords() " +
       "WHERE word != lower(word) OR catcode NOT IN ('R', 'U')")
       .collect()(0).getLong(0) == 0)
+    // Identifiers.reserved() classification edges (ADVICE r15): bare
+    // current_schema parses to FunctionCall and is NOT in
+    // RESERVED_FUNCTIONS -> 'U'; current_date parses to a CurrentTime
+    // node -> 'R'; user is in RESERVED_FUNCTIONS -> 'R'. Vocabulary
+    // pinned 291 words / 96 reserved.
+    val edges = Engine.sql(spark,
+      "SELECT word, catcode FROM pg_get_keywords() " +
+        "WHERE word IN ('current_schema', 'current_date', 'user') " +
+        "ORDER BY word").collect()
+    assert(edges.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("current_date", "R"), ("current_schema", "U"), ("user", "R")))
+    val counts = Engine.sql(spark,
+      "SELECT count(*), sum(CASE WHEN catcode = 'R' THEN 1 ELSE 0 END) " +
+        "FROM pg_get_keywords()").collect()(0)
+    assert((counts.getLong(0), counts.getLong(1)) == (291L, 96L))
   }
 
   test("array_set reference overloads (ArraySetFunctionTest ported)") {

@@ -92,6 +92,16 @@ class StringEdgeReferenceConformanceSpec extends SparkTestBase {
       "of 50000") ||
       Option(e.getCause).exists(_.getMessage.contains(
         "len argument exceeds predefined limit of 50000")))
+    // a BIGINT len past int range is LOUD too — a raw (int) narrowing
+    // wrapped 2^32 + 49999 quietly to 49999 before (ADVICE r15); the
+    // reference's integer implicit cast raises before the 50000 guard
+    val e2 = intercept[Exception](
+      one("SELECT graft_lpad('yes', CAST(4294967296 + 49999 AS BIGINT), " +
+        "'yes') AS x"))
+    def hasOutOfRange(t: Throwable): Boolean = t != null &&
+      (t.getMessage != null && t.getMessage.contains(
+        "integer value out of range") || hasOutOfRange(t.getCause))
+    assert(hasOutOfRange(e2), s"wrong error: ${e2.getMessage}")
     // strict nulls on all three
     val n2 = one("SELECT graft_lpad(CAST(NULL AS STRING), 5, '') AS a, " +
       "graft_lpad('', CAST(NULL AS INT), '') AS b, " +
@@ -207,6 +217,47 @@ class StringEdgeReferenceConformanceSpec extends SparkTestBase {
         ("xyxy", "(xy)+"), ("xyx", "(xy)+")))
       assert(m(s, p) == graft.plans.GraftRegexp.matchesDp(s, p),
         s"fast path disagrees with DP on '$s' ~ '$p'")
+  }
+
+  test("regexp match ~ hardening (ADVICE r15): alternating patterns, " +
+      "non-BMP code points, large rep bounds, long-source loud fail") {
+    import graft.plans.GraftRegexp
+    def m(s: String, p: String): Boolean =
+      GraftRegexp.matches(UTF8String.fromString(s), UTF8String.fromString(p))
+    def dp(s: String, p: String): Boolean = GraftRegexp.matchesDp(s, p)
+    // memo-contamination regression: alternate MANY distinct patterns
+    // on one thread (the old global id counter + single-slot AST cache
+    // allocated fresh ids per re-parse; wraparound aliased singleton
+    // keys). Verdicts must stay stable across thousands of re-parses.
+    for (round <- 1 to 3; k <- 0 until 400) {
+      assert(dp(("ab" * (k % 5 + 1)), "(ab)*&a@"), s"round $round k $k")
+      assert(!dp("10000 $", "(<1-9999>) $|€"), s"round $round k $k")
+      assert(dp(s"x${k % 10}y", s"x[0-9]y"), s"round $round k $k")
+    }
+    // non-BMP: '.' and classes match ONE code point (a surrogate pair),
+    // as the reference's byte/code-point automaton does
+    val clef = "𝄞" // 𝄞 U+1D11E
+    assert(dp(clef, "."))
+    assert(dp(s"a${clef}b", "a.b"))
+    assert(dp(clef * 3, ".{3}"))
+    assert(!dp(clef * 3, ".{6}"))
+    assert(dp(clef, s"[$clef]"))
+    assert(dp(s"$clef$clef", s"$clef+"))
+    assert(m(s"a${clef}b", s"a${clef}b")) // literal non-BMP round-trips
+    // quantifier bounds at/above the old 63 conflation point stay exact
+    assert(dp("a" * 64, "a{64}"))
+    assert(!dp("a" * 63, "a{64}"))
+    assert(!dp("a" * 65, "a{64}"))
+    assert(dp("a" * 100, "a{63,100}"))
+    assert(!dp("a" * 101, "a{63,100}"))
+    assert(dp("a" * 200, "a{100,}"))
+    // sources past the memo key's index range fail LOUDLY in the DP
+    // branch (silent key truncation corrupted them before); ordinary
+    // patterns at that length ride the java fast path untouched
+    val long = "a" * 70000
+    assert(m(long, "a*")) // fast path: fine
+    val e = intercept[IllegalArgumentException](dp(long, "a*&a@"))
+    assert(e.getMessage.contains("65535"))
   }
 
   test("regexp_replace first-match-unless-g, regexp_instr 7-arg, " +
