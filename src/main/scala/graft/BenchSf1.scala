@@ -142,6 +142,21 @@ object BenchSf1 {
     "q276_clustered_join", "q277_streaming_tumbling",
     "q278_streaming_sessions", "q279_streaming_interval_join")
 
+  /** Wave 10 (round 15): the round's changed-plan entries — the
+    * bridge-safety rework (q270 JSON-serialized arrays, q275/q276/q277
+    * integer-cent rows), the new probes (q280 conf-pinned plan fact,
+    * q281 recall audit carrying q66's old exact side), the trimmed q66
+    * (map-only assignment — the row must scale BETTER than its r14
+    * shape), and the regexp rows whose matcher internals were
+    * rebuilt (per-AST memo ids, code-point DP, LRU caches). Selected
+    * with SPARK_GRAFT_SF1_WAVE=10 → BENCH_sf1_wave10.json. */
+  private val wave10 = Seq(
+    "q66_knn_ivf", "q270_array_set", "q275_copy_roundtrip",
+    "q276_clustered_join", "q277_streaming_tumbling",
+    "q280_clustered_plan_probe", "q281_knn_ivf_recall",
+    "q269_regexp_match_op", "q271_regexp_scalars", "q268_string_pad_trim",
+    "q273_pg_keywords", "q177_ddl_alter_view")
+
   /** The CONSOLIDATED wave (r10 verdict ask #7): the ENTIRE catalog at
     * sf1 in one artifact — the per-wave format proved each round's new
     * entries sublinear when they landed, but hides whether EARLY entries
@@ -240,6 +255,7 @@ object BenchSf1 {
       case "7"    => wave7
       case "8"    => wave8
       case "9"    => wave9
+      case "10"   => wave10
       case "full" => waveFull
       case _      => headline
     }
@@ -252,6 +268,7 @@ object BenchSf1 {
       case "7"    => "BENCH_sf1_wave7.json"
       case "8"    => "BENCH_sf1_wave8.json"
       case "9"    => "BENCH_sf1_wave9.json"
+      case "10"   => "BENCH_sf1_wave10.json"
       case "full" => "BENCH_sf1_full.json"
       case _      => "BENCH_sf1.json"
     }

@@ -784,6 +784,17 @@ class MiscFunctionsSpec extends SparkTestBase {
       assert(e.getMessage.contains(msg) ||
         Option(e.getCause).exists(_.getMessage.contains(msg)), bad)
     }
+    // q270's bridge serialization contract: Spark's to_json over an
+    // ARRAY<BIGINT> renders EXACTLY the compact text DuckDB's
+    // to_json(...)::VARCHAR renders ('[1,2,3,null,-1]', nulls as
+    // `null`, no spaces) — the hashed rows compare as strings, so a
+    // rendering drift in either engine must fail here first
+    val js = spark.sql(
+      "SELECT to_json(array_set(array(1L,2L,3L), array(5), array(-1L))) " +
+        "AS a, to_json(array_set(array(1L,2L), 1, CAST(NULL AS BIGINT))) " +
+        "AS b").head()
+    assert(js.getString(0) == "[1,2,3,null,-1]")
+    assert(js.getString(1) == "[null,2]")
   }
 
   test("session/system info functions evaluate") {

@@ -76,6 +76,18 @@ def main():
         except Exception as e:
             results[name] = f"SPARK-READ-FAIL {e}"
             continue
+        # bridge-safety audit (VERDICT r14: the driver's pandas result
+        # bridge cannot hash ARRAY columns, and DECIMAL-from-double
+        # columns hash-drifted four entries) — the catalog discipline is
+        # scalars only in hashed rows: decimals/arrays/structs/maps must
+        # be serialized or integer-scaled BEFORE the dump
+        risky = [
+            f"{c}:{t}" for c, t in zip(rel.columns, map(str, rel.types))
+            if "DECIMAL" in t or "[]" in t or "STRUCT" in t or "MAP" in t
+        ]
+        if risky:
+            results[name] = f"BRIDGE-RISK {', '.join(risky)}"
+            continue
         if name not in oracles:
             results[name] = f"rows-only ({len(got)} rows)" + (" EMPTY!" if not got else "")
             continue
