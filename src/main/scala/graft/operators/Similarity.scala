@@ -241,6 +241,14 @@ object Similarity {
     * delta-maintained index of ANY layout equals a fresh assignment pass
     * over the union corpus against the same centroids. One broadcast
     * pass over the delta only. Returns (bucket, cid, cvec). */
+  /** Test seam: the distributed max_by assignment against arbitrary
+    * centroids — the map-only fold ([[assignBucketsMapOnly]]) must
+    * agree with it bucket-for-bucket (gated in KMeansIvfSpec). */
+  private[graft] def assignDistributed(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignFixed(corpus, centroids, idCol, vecCol)
+      .select(col("cid"), col("bucket"))
+
   private def assignFixed(added: DataFrame, centroids: DataFrame,
                           idCol: String, vecCol: String): DataFrame =
     added.select(col(idCol).as("cid"), col(vecCol).as("cvec"))

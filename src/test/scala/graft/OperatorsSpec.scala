@@ -1146,6 +1146,20 @@ class KMeansIvfSpec extends SparkTestBase {
     assert(rRefined >= rNaive - 0.15, s"refined $rRefined much worse than naive $rNaive")
     // every vector still lands in exactly one bucket
     assert(b1.count() == emb.count())
+    // the r15 perf shape is locked: assignment over driver-trained
+    // centroids is MAP-ONLY — zero exchanges in the bucketed plan
+    // (was crossJoin -> groupBy -> join, two exchanges per build)
+    val plan = b1.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"kmeansBucketize assignment must stay map-only; plan:\n$plan")
+    // and it agrees with the distributed max_by assignment semantics
+    // ivfBucketize uses (same centroids -> same buckets): rebuild the
+    // distributed pass against the TRAINED centroids via the stored
+    // path's shared assignFixed shape and compare
+    val viaStored = Similarity.assignDistributed(emb, c1)
+    val a = b1.select($"cid", $"bucket").as[(Long, Long)].collect().toMap
+    val d = viaStored.select($"cid", $"bucket").as[(Long, Long)].collect().toMap
+    assert(a == d, "map-only fold diverges from distributed max_by assignment")
   }
 
   test("recallAtK runs as a single Spark job") {
