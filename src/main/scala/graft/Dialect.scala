@@ -153,6 +153,11 @@ object Dialect {
         s = prevSig(ts, p); p = prevSig(ts, s)
       }
       s
+    } else if (t.isSym("}")) {
+      // OBJECT literal `{...}` — the whole brace group is the operand
+      // (so `{x=1}::json` and `{a=1} || {b=2}` lift correctly)
+      val o = matchBack(ts, i)
+      if (o < 0) i else o
     } else if (t.isSym(")") || t.isSym("]")) {
       val o = matchBack(ts, i)
       if (o < 0) i
@@ -190,7 +195,7 @@ object Dialect {
           p = nextSig(ts, nx); nx = nextSig(ts, p)
         }
         if (nx >= 0 && (ts(nx).isSym("(") || ts(nx).isSym("["))) matchFwd(ts, nx) else p
-      } else if (t.isSym("(") || t.isSym("[")) matchFwd(ts, i)
+      } else if (t.isSym("(") || t.isSym("[") || t.isSym("{")) matchFwd(ts, i)
       else i
     // trailing subscripts: expr[...] [...]
     var nx = nextSig(ts, e)
@@ -214,13 +219,18 @@ object Dialect {
     "arbitrary"            -> "any_value",
     "curdate"              -> "current_date",
     "strpos"               -> "instr",
-    "array_cat"            -> "concat",
+    // null-array-as-empty + duplicate/order contracts live in the
+    // graft twins (ArrayCatFunctionTest null args → other side;
+    // ArrayDifferenceFunction keeps duplicates, unlike array_except;
+    // ArrayUniqueFunction has a 2-array union form; ArrayOverlap
+    // matches null ELEMENTS — Collections.disjoint, not 3VL)
+    "array_cat"            -> "graft_array_cat",
     // the reference's concat() IGNORES nulls (ConcatFunction.java:222 —
     // PG behavior; `||` stays strict-null, which Spark's operator
     // already is); arrays delegate back to Spark's Concat inside
     "concat"               -> "graft_concat",
-    "array_unique"         -> "array_distinct",
-    "array_difference"     -> "array_except",
+    "array_unique"         -> "graft_array_unique",
+    "array_difference"     -> "graft_array_difference",
     "random"               -> "rand",
     // ArithmeticFunctions.java registers `modulus` as the spelled-out alias
     // of `mod`; aggregation.rst documents `mean` as an alias of `avg`.
@@ -231,7 +241,7 @@ object Dialect {
     "trunc"                -> "graft_trunc",
     "format"               -> "format_string",
     "date_format"          -> "date_format_mysql",
-    "array_overlap"        -> "arrays_overlap",
+    "array_overlap"        -> "graft_array_overlap",
     "gen_random_text_uuid" -> "uuid",
     // ArrayToStringFunction.java:36 — same null-skip / null_string
     // semantics as Spark's array_join
@@ -375,6 +385,16 @@ object Dialect {
               // BooleanType.implicitCast: PG map incl. on/off,
               // untrimmed, loud; numbers true iff strictly positive
               Some(s"graft_bool_cast($operand)")
+            else if (!isArray && (base == "regclass" || base == "regproc" ||
+                base == "regtype"))
+              // PG object-identifier casts (RegclassType & co.): names
+              // hash to the pg_catalog oid scheme, ints pass through,
+              // out-of-int-range longs are loud
+              Some(s"graft_${base}_cast($operand)")
+            else if (!isArray && base == "json")
+              // JsonType.explicitCast: objects/arrays render to their
+              // JSON string; strings pass through
+              Some(s"graft_json_cast($operand)")
             else if (!isArray && (base == "text" || base == "string" ||
                 base == "varchar" || base == "char" ||
                 base == "character") && params.isEmpty &&
@@ -776,7 +796,9 @@ object Dialect {
   }
 
   /** `a && b` (CrateDB/PG array-overlap operator, ArrayOverlapFunction
-    * .java:41) → `arrays_overlap(a, b)`. Operands are simple expressions:
+    * .java:41) → `graft_array_overlap(a, b)` (null ELEMENTS match — the
+    * reference's Collections.disjoint — unlike Spark's 3VL
+    * arrays_overlap). Operands are simple expressions:
     * (dotted) identifiers, literals, calls, parenthesized groups, array
     * literals, subscripted forms — the shapes `operandStart`/`operandEnd`
     * recognize. */
@@ -791,8 +813,69 @@ object Dialect {
           val rhsEnd = operandEnd(ts, rhsStart)
           val lhs = render(ts.slice(lhsStart, lhsEnd + 1))
           val rhs = render(ts.slice(rhsStart, rhsEnd + 1))
-          val repl = lex(s"arrays_overlap($lhs, $rhs)")
+          val repl = lex(s"graft_array_overlap($lhs, $rhs)")
           return Some(ts.slice(0, lhsStart) ++ repl ++ ts.slice(rhsEnd + 1, ts.length))
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** `a || b` (reference parser AstBuilder.visitConcatenation → the
+    * `op_||` function family, ConcatFunction.java): lowered to
+    * `graft_op_concat(a, b)`, which dispatches on the RESOLVED operand
+    * types — strings strict-null (== Spark's own `||`), arrays
+    * null-skipping array_cat, array||element append with null elements
+    * ignored, element||array prepend, objects first-level merge. Spark's
+    * native `||` only covers the string/binary/array-cat strict-null
+    * arms, so the operator must route through the dispatcher. Chained
+    * `a || b || c` splices left-associatively across pass iterations.
+    * Operands are simple expressions (same shapes as [[passArrayOverlap]]).
+    */
+  private def passPipeConcat(ts: Vector[Tok]): Option[Vector[Tok]] = {
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).isSym("||")) {
+        val lhsEnd = prevSig(ts, i)
+        val rhsStart = nextSig(ts, i)
+        if (lhsEnd >= 0 && rhsStart >= 0) {
+          val lhsStart = operandStart(ts, lhsEnd)
+          val rhsEnd = operandEnd(ts, rhsStart)
+          val lhs = render(ts.slice(lhsStart, lhsEnd + 1))
+          val rhs = render(ts.slice(rhsStart, rhsEnd + 1))
+          val repl = lex(s"graft_op_concat($lhs, $rhs)")
+          return Some(ts.slice(0, lhsStart) ++ repl ++ ts.slice(rhsEnd + 1, ts.length))
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** `<ts> AT TIME ZONE <zone>` (reference grammar SqlBaseParser.g4
+    * `AT TIME ZONE`, parsed as a plain call to `timezone(zone, ts)` —
+    * AtTimezoneSyntaxFunctionTest): Spark has no AT TIME ZONE syntax,
+    * so the Dialect lowers it to the registered timezone() twin with
+    * the reference's (zone, ts) argument order. */
+  private def passAtTimeZone(ts: Vector[Tok]): Option[Vector[Tok]] = {
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).kind == K.Word && ts(i).is("at")) {
+        val j = nextSig(ts, i)
+        val k = if (j >= 0) nextSig(ts, j) else -1
+        if (j >= 0 && k >= 0 && ts(j).kind == K.Word && ts(j).is("time") &&
+            ts(k).kind == K.Word && ts(k).is("zone")) {
+          val lhsEnd = prevSig(ts, i)
+          val rhsStart = nextSig(ts, k)
+          if (lhsEnd >= 0 && rhsStart >= 0) {
+            val lhsStart = operandStart(ts, lhsEnd)
+            val rhsEnd = operandEnd(ts, rhsStart)
+            val lhs = render(ts.slice(lhsStart, lhsEnd + 1))
+            val rhs = render(ts.slice(rhsStart, rhsEnd + 1))
+            val repl = lex(s"timezone($rhs, $lhs)")
+            return Some(ts.slice(0, lhsStart) ++ repl ++ ts.slice(rhsEnd + 1, ts.length))
+          }
         }
       }
       i += 1
@@ -1363,7 +1446,8 @@ object Dialect {
     while (i < ts.length) {
       val t = ts(i)
       if (t.kind == K.Word &&
-          (t.is("current_user") || t.is("session_user") || t.is("current_role"))) {
+          (t.is("current_user") || t.is("session_user") ||
+           t.is("current_role") || t.is("current_catalog"))) {
         val nx = nextSig(ts, i)
         val pv = prevSig(ts, i)
         if ((nx < 0 || !ts(nx).isSym("(")) && (pv < 0 || !ts(pv).isSym(".")))
@@ -1449,6 +1533,11 @@ object Dialect {
                 // fix — keep Spark's CAST
                 operand.trim.toUpperCase != "NULL")
               Some(s"graft_bool_cast($operand)")
+            else if ((head == "regclass" || head == "regproc" ||
+                head == "regtype") && tyToks.length == 1)
+              Some(s"graft_${head}_cast($operand)")
+            else if (head == "json" && tyToks.length == 1)
+              Some(s"graft_json_cast($operand)")
             else None
           repl.foreach { f =>
             return Some(ts.slice(0, i) ++ lex(f) ++
@@ -1537,7 +1626,8 @@ object Dialect {
       passIntervalLiteral,
       passBitLiteral, passCastAsFringe, passCasts, passAnyAll,
       passObjectLiteral, passBrackets, passFetchOffset, passFilterClause,
-      passSystemSchemas, passArrayOverlap, passRegexOps, passCidrOp,
+      passSystemSchemas, passArrayOverlap, passAtTimeZone, passPipeConcat,
+      passRegexOps, passCidrOp,
       passSubstringFrom, passArraySubquery, passEmptyRow,
       passSessionKeywords)
 

@@ -547,10 +547,78 @@ object GraftFunctions {
     for (name <- Seq("substr", "substring"))
       reg.createOrReplaceTempFunction(name,
         exprs => graft.plans.CrateSubstrExpr(exprs), "scala_udf")
+    // the reference's left/right NEGATIVE-length (all-but-N) semantics,
+    // chr's loud code-point range, and split_part's loud 1-based /
+    // empty-delimiter-is-no-split contract (StringLeftRightFunction /
+    // ChrFunction / StringSplitPartFunction — Spark's builtins return
+    // '' on negative lengths, wrap chr modulo 256, and split '' into
+    // characters). Overrides the SQL-resolved names; DataFrame-API
+    // calls keep Spark's.
+    reg.createOrReplaceTempFunction("left",
+      exprs => graft.plans.GraftLeftRightExpr(exprs(0), exprs(1),
+        leftSide = true), "scala_udf")
+    reg.createOrReplaceTempFunction("right",
+      exprs => graft.plans.GraftLeftRightExpr(exprs(0), exprs(1),
+        leftSide = false), "scala_udf")
+    reg.createOrReplaceTempFunction("chr",
+      exprs => graft.plans.GraftChrExpr(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("split_part",
+      exprs => graft.plans.GraftSplitPartExpr(exprs(0), exprs(1),
+        exprs(2)), "scala_udf")
     // the reference's null-SKIPPING concat() (PG behavior; `||` stays
     // strict-null) — the Dialect renames SQL `concat(` here
-    reg.createOrReplaceTempFunction("graft_concat",
-      exprs => graft.plans.GraftConcatExpr(exprs), "scala_udf")
+    // concat(array, array) IS the null-skipping array_cat
+    // (ConcatFunction.java:68 registers ArrayCatFunction under the
+    // `concat` name) — peel arrays off at the builder, where the
+    // returned tree still gets analyzer type coercion; scalar/object
+    // argument lists keep GraftConcatExpr's dispatch
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{
+        Coalesce, Concat, CreateArray, Expression}
+      import org.apache.spark.sql.types.{ArrayType, MapType, NullType}
+      def nzA(e: Expression): Expression =
+        Coalesce(Seq(e, CreateArray(Seq.empty)))
+      reg.createOrReplaceTempFunction("graft_concat",
+        exprs =>
+          if (exprs.exists(_.dataType.isInstanceOf[ArrayType]))
+            Concat(exprs.map(nzA))
+          else graft.plans.GraftConcatExpr(exprs), "scala_udf")
+      // the `||` OPERATOR's type-dispatched family (op_|| in
+      // ConcatFunction.java; the parser lowers `a || b` to op_|| —
+      // AstBuilder.visitConcatenation — and Dialect.passPipeConcat
+      // routes it here): strings stay STRICT-null (== Spark's own
+      // Concat; StringConcatFunction's operator registration carries
+      // Feature.STRICTNULL), arrays null-skip (ArrayCatFunction),
+      // array||element APPENDS with a null element IGNORED
+      // (ArrayAppendFunction calledByOperator), element||array
+      // prepends likewise, object||object merges first-level keys.
+      // `[1,2] || NULL` is ambiguous between the cat and append arms
+      // in the reference but both leave the array unchanged, so the
+      // untyped-NULL case dispatches to the cat arm.
+      reg.createOrReplaceTempFunction("graft_op_concat",
+        exprs => {
+          require(exprs.length == 2,
+            s"|| takes exactly 2 operands, got ${exprs.length}")
+          import org.apache.spark.sql.catalyst.expressions.{
+            ArrayAppend, ArrayPrepend, If, IsNull}
+          val (l, r) = (exprs(0), exprs(1))
+          (l.dataType, r.dataType) match {
+            case (_: ArrayType, _: ArrayType) | (_: ArrayType, NullType) |
+                 (NullType, _: ArrayType) =>
+              Concat(Seq(nzA(l), nzA(r)))
+            case (_: ArrayType, _) =>
+              If(IsNull(r), nzA(l), ArrayAppend(nzA(l), r))
+            case (_, _: ArrayType) =>
+              If(IsNull(l), nzA(r), ArrayPrepend(nzA(r), l))
+            case (_: MapType, _) | (_, _: MapType) =>
+              graft.plans.GraftConcatExpr(Seq(l, r))
+            case _ =>
+              // strict-null scalar concatenation — exactly Spark's
+              // `||`; ConcatCoercion casts mixed scalars to STRING
+              Concat(Seq(l, r))
+          }
+        }, "scala_udf")
+    }
     // the reference's math edges (arithmetic/ package): log(x) is BASE
     // 10 with the VALUE-FIRST two-arg form, log/ln/sqrt are LOUD on
     // out-of-domain inputs, 1-arg round is Math.round (ties toward +∞,
@@ -583,6 +651,31 @@ object GraftFunctions {
     // numbers as dotted quads (IpType.implicitCast)
     reg.createOrReplaceTempFunction("graft_ip_cast",
       exprs => graft.plans.IpCastExpr(exprs(0)), "scala_udf")
+    // PG object-identifier casts (types/RegclassType, RegprocType,
+    // Regtype): names resolve to the pg_catalog oid scheme so
+    // introspection joins (`attrelid = 'tbl'::regclass`) line up
+    for (k <- Seq("regclass", "regproc", "regtype"))
+      reg.createOrReplaceTempFunction(s"graft_${k}_cast",
+        exprs => graft.plans.RegOidCastExpr(exprs(0), k), "scala_udf")
+    // ::json (types/JsonType.explicitCast): objects/arrays render to
+    // their JSON string, strings pass through, scalars render as
+    // JSON literals
+    reg.createOrReplaceTempFunction("graft_json_cast",
+      exprs => {
+        val e = exprs(0)
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        import org.apache.spark.sql.types.{ArrayType, MapType, NullType, StructType}
+        e.dataType match {
+          case _: MapType | _: StructType | _: ArrayType =>
+            UnresolvedFunction(Seq("to_json"), Seq(e), isDistinct = false)
+          case org.apache.spark.sql.types.StringType | NullType => e
+          case _ =>
+            // scalars render as JSON literals — Spark's string cast
+            // says true/false (NOT the PG 't'/'f' text rendering)
+            org.apache.spark.sql.catalyst.expressions.Cast(e,
+              org.apache.spark.sql.types.StringType, Some("UTC"))
+        }
+      }, "scala_udf")
 
     // CrateDB array-bound / emptiness scalars as pure Catalyst compositions
     // (codegen'd, no UDF): null_or_empty covers BOTH the OBJECT and ARRAY
@@ -609,9 +702,70 @@ object GraftFunctions {
           Literal(null, IntegerType)), "scala_udf")
       // CrateDB/PG argument order array_prepend(value, array)
       // (ArrayPrependFunction.java:47) — the Dialect renames to this twin.
+      // NULL-array args are EMPTY for the append/prepend/cat/unique
+      // family (ArrayAppendFunctionTest `array_append(null, 1)` → [1],
+      // ArrayPrependFunctionTest `array_prepend(1, null)` → [1],
+      // ArrayCatFunctionTest `array_cat([1,2,3], null)` → [1,2,3] —
+      // the reference registers them NOTNULL and skips null inputs),
+      // unlike Spark's strict-null builtins.
+      import org.apache.spark.sql.catalyst.expressions.{
+        ArrayAppend, ArrayPrepend, Coalesce, Concat, CreateArray,
+        EqualNullSafe, Expression, LambdaFunction, Not,
+        UnresolvedNamedLambdaVariable}
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+      def nzArr(a: Expression): Expression =
+        Coalesce(Seq(a, CreateArray(Seq.empty)))
+      def callF(name: String, args: Expression*) =
+        UnresolvedFunction(Seq(name), args.toSeq, isDistinct = false)
       reg.createOrReplaceTempFunction("graft_array_prepend",
-        exprs => org.apache.spark.sql.catalyst.expressions.ArrayPrepend(
-          exprs(1), exprs(0)), "scala_udf")
+        exprs => ArrayPrepend(nzArr(exprs(1)), exprs(0)), "scala_udf")
+      reg.createOrReplaceTempFunction("array_append",
+        exprs => ArrayAppend(nzArr(exprs(0)), exprs(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("graft_array_cat",
+        exprs => {
+          require(exprs.length == 2,
+            s"array_cat takes exactly 2 arguments, got ${exprs.length}" +
+              " (ArrayCatFunction signature: (array(E), array(E)))")
+          Concat(Seq(nzArr(exprs(0)), nzArr(exprs(1))))
+        }, "scala_udf")
+      // array_unique(a[, b]) — union-dedup, first-seen order, null args
+      // skipped (ArrayUniqueFunction.java evaluate loop)
+      reg.createOrReplaceTempFunction("graft_array_unique",
+        exprs => {
+          require(exprs.length == 1 || exprs.length == 2,
+            s"array_unique takes 1 or 2 arguments, got ${exprs.length}")
+          val unioned =
+            if (exprs.length == 1) nzArr(exprs(0))
+            else Concat(Seq(nzArr(exprs(0)), nzArr(exprs(1))))
+          callF("array_distinct", unioned)
+        }, "scala_udf")
+      // array_difference(a, b) — remove from a every element present in
+      // b, KEEPING duplicates and order (ArrayDifferenceFunction.java:
+      // per-element subtract-set membership — NOT Spark's deduping
+      // array_except); strict-null on a only, null b is empty
+      reg.createOrReplaceTempFunction("graft_array_difference",
+        exprs => {
+          require(exprs.length == 2,
+            s"array_difference takes exactly 2 arguments, got ${exprs.length}")
+          val x = UnresolvedNamedLambdaVariable(Seq("x"))
+          val e = UnresolvedNamedLambdaVariable(Seq("e"))
+          callF("filter", exprs(0), LambdaFunction(
+            Not(callF("exists", nzArr(exprs(1)),
+              LambdaFunction(EqualNullSafe(e, x), Seq(e)))), Seq(x)))
+        }, "scala_udf")
+      // array_overlap(a, b) — `!Collections.disjoint` (ArrayOverlap
+      // Function.java:48): null ELEMENTS match each other, unlike
+      // Spark's arrays_overlap 3VL; null ARRAY args stay strict-null
+      // (exists over a null array is NULL, and an all-NULL predicate
+      // column keeps the outer exists NULL)
+      reg.createOrReplaceTempFunction("graft_array_overlap",
+        exprs => {
+          val x = UnresolvedNamedLambdaVariable(Seq("x"))
+          val e = UnresolvedNamedLambdaVariable(Seq("e"))
+          callF("exists", exprs(0), LambdaFunction(
+            callF("exists", exprs(1),
+              LambdaFunction(EqualNullSafe(e, x), Seq(e))), Seq(x)))
+        }, "scala_udf")
     }
 
     // CrateDB array summary / reshaping scalars as pure analyzer-resolvable
@@ -784,6 +938,12 @@ object GraftFunctions {
       // CrateDB's default schema is `doc` (SessionSettings.currentSchema)
       reg.createOrReplaceTempFunction("current_schema",
         _ => Literal("doc"), "scala_udf")
+      // the single database/catalog is always 'crate'
+      // (CurrentDatabaseFunction.java — current_database() and the
+      // parenthesis-less CURRENT_CATALOG both resolve to it)
+      Seq("current_database", "current_catalog").foreach { n =>
+        reg.createOrReplaceTempFunction(n, _ => Literal("crate"), "scala_udf")
+      }
       reg.createOrReplaceTempFunction("current_schemas",
         exprs => If(call("coalesce", exprs(0), Literal(false)),
           call("array", Literal("pg_catalog"), Literal("doc")),

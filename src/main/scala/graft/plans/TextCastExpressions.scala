@@ -110,11 +110,12 @@ case class BoolCastExpr(child: Expression) extends UnaryExpression {
   * expression/scalar/ConcatFunction.java:222 GenericConcatFunction):
   * null arguments are SKIPPED (PG behavior — concat(null, 'x') is 'x',
   * all-null is ''), where Spark's concat nulls the whole result. The
-  * `||` operator keeps strict-null semantics on both engines
-  * (StringConcatFunction's calledByOperator branch == Spark's
-  * operator), so only the FUNCTION spelling routes here (Dialect
-  * rename). Array arguments delegate to Spark's Concat (array
-  * concatenation); everything else renders to text with the
+  * `||` operator has its own type-dispatched family (op_|| —
+  * strict-null strings, null-skipping arrays, append/prepend arms),
+  * routed by Dialect.passPipeConcat to the graft_op_concat builder in
+  * GraftFunctions; only the FUNCTION spelling routes here (Dialect
+  * rename). Array argument lists peel off at the graft_concat BUILDER
+  * (null-skipping array_cat); everything else renders to text with the
   * reference's implicit casts (booleans as 't'/'f') and concatenates
   * via codegen'd ConcatWs — which skips nulls natively. */
 case class GraftConcatExpr(children: Seq[Expression])
@@ -123,6 +124,9 @@ case class GraftConcatExpr(children: Seq[Expression])
   override def prettyName: String = "graft_concat"
   override lazy val replacement: Expression =
     if (children.exists(_.dataType.isInstanceOf[ArrayType]))
+      // array children normally peel off at the REGISTRY builder
+      // (null-skipping array_cat, GraftFunctions); this branch only
+      // remains for directly-constructed instances
       org.apache.spark.sql.catalyst.expressions.Concat(children)
     else if (children.exists(_.dataType.isInstanceOf[MapType])) {
       // OBJECT merge (ObjectMergeFunction): first-level keys merge with

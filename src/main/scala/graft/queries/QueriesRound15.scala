@@ -102,6 +102,41 @@ object QueriesRound15 {
         .crossJoin(rec)
         .select(col("qid"), col("n_results"), col("recall_ok"))
         .orderBy(col("qid"))
+    }),
+
+    // The reference array-family CONTRACTS through the SQL surface
+    // (reference suites ported in ArrayNullContractConformanceSpec;
+    // this row drives the same semantics over table data, per-row):
+    // null array args are EMPTY for append/prepend/cat/unique
+    // (ArrayAppendFunctionTest `array_append(null,1)` → [1]),
+    // array_unique has the 2-array union-dedup overload,
+    // array_difference KEEPS duplicates (per-element subtract-set —
+    // not Spark's deduping array_except), array_overlap is
+    // Collections.disjoint (strict-null on array args). Every seventh
+    // part gets a NULL `b` array so the null arms are exercised on
+    // real rows. Hashed row is bridge-safe: JSON strings + a nullable
+    // boolean, no raw arrays (the r14 q270 lesson, gated in
+    // EntrySmokeSpec). Map-only at any scale — pure per-row scalars.
+    "q282_array_contracts" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      graft.Engine.sql(s,
+        """SELECT p_partkey,
+          |  to_json(array_cat(a, b)) AS cat_j,
+          |  to_json(array_append(b, sz)) AS app_j,
+          |  to_json(array_prepend(sz, b)) AS prep_j,
+          |  to_json(array_sort(array_unique(a, b))) AS uniq_j,
+          |  to_json(array_difference(a, b)) AS diff_j,
+          |  array_overlap(a, b) AS ovl
+          |FROM (
+          |  SELECT p_partkey, sz,
+          |    array(sz, sz + 1, p_partkey % 5) AS a,
+          |    CASE WHEN p_partkey % 7 = 0 THEN NULL
+          |         ELSE array(sz * 2, p_partkey % 3) END AS b
+          |  FROM (SELECT p_partkey, CAST(p_size AS BIGINT) AS sz
+          |        FROM part)
+          |)""".stripMargin)
+        .orderBy(col("p_partkey"))
     })
   )
 
@@ -117,6 +152,31 @@ object QueriesRound15 {
     "q281_knn_ivf_recall" ->
       """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_results,
         |       TRUE AS recall_ok
-        |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin
+        |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin,
+
+    // DuckDB re-derives the reference contracts natively: COALESCE
+    // spells null-array-as-empty, list_filter keeps duplicates (the
+    // reference's per-element subtract-set), list_sort+list_distinct
+    // mirrors the sorted union-dedup, strict-null overlap via CASE
+    "q282_array_contracts" ->
+      """WITH base AS (
+        |  SELECT p_partkey, CAST(p_size AS BIGINT) AS sz FROM part
+        |), arrs AS (
+        |  SELECT p_partkey, sz,
+        |    [sz, sz + 1, p_partkey % 5] AS a,
+        |    CASE WHEN p_partkey % 7 = 0 THEN NULL
+        |         ELSE [sz * 2, p_partkey % 3] END AS b
+        |  FROM base
+        |)
+        |SELECT p_partkey,
+        |  to_json(list_concat(COALESCE(a, []), COALESCE(b, [])))::VARCHAR AS cat_j,
+        |  to_json(list_append(COALESCE(b, []), sz))::VARCHAR AS app_j,
+        |  to_json(list_prepend(sz, COALESCE(b, [])))::VARCHAR AS prep_j,
+        |  to_json(list_sort(list_distinct(
+        |    list_concat(COALESCE(a, []), COALESCE(b, [])))))::VARCHAR AS uniq_j,
+        |  to_json(list_filter(a, x -> NOT list_contains(COALESCE(b, []), x)))::VARCHAR AS diff_j,
+        |  CASE WHEN b IS NULL THEN NULL
+        |       ELSE len(list_filter(a, x -> list_contains(b, x))) > 0 END AS ovl
+        |FROM arrs ORDER BY p_partkey""".stripMargin
   )
 }

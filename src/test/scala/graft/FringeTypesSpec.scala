@@ -137,3 +137,58 @@ class FringeTypesSpec extends SparkTestBase {
     assert(out == Seq((2L, "08:30:00"), (1L, "09:00:00+02:00")))
   }
 }
+
+/** PG object-identifier and json casts (reference types/RegclassType,
+  * RegprocType, Regtype, JsonType — round-15 tail). Engine
+  * representation of reg* values is the plain INT oid (the reference
+  * keeps an (oid, name) pair; text-rendering divergence documented in
+  * the expression scaladoc). */
+class RegOidCastSpec extends SparkTestBase {
+  private def one(sql: String) = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    Engine.sql(spark, sql).collect()(0)
+  }
+
+  test("regclass: name resolves to the pg_class oid scheme") {
+    // bare, quoted, and schema-qualified names key the same pg_class row
+    val expect = graft.sources.PgCatalog.oid("lineitem")
+    val r = one("SELECT 'lineitem'::regclass AS a, " +
+      "'\"lineitem\"'::regclass AS b, 'doc.lineitem'::regclass AS c, " +
+      "'LINEITEM'::regclass AS d, CAST('lineitem' AS regclass) AS e")
+    (0 until 5).foreach(i => assert(r.getInt(i) == expect))
+    // and an introspection join against pg_class lines up
+    graft.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    graft.sources.PgCatalog.registerAll(spark)
+    val j = Engine.sql(spark,
+      "SELECT relname FROM pg_class WHERE oid = 'lineitem'::regclass").collect()
+    assert(j.map(_.getString(0)).toSeq == Seq("lineitem"))
+  }
+
+  test("regclass/regproc/regtype: ints pass, long range is loud (RegclassTypeTest)") {
+    val r = one("SELECT 123456789::regtype AS a, 1::regproc AS b, " +
+      "42::regclass AS c, CAST(NULL AS regclass) AS d")
+    assert(r.getInt(0) == 123456789 && r.getInt(1) == 1 && r.getInt(2) == 42)
+    assert(r.isNullAt(3))
+    val e = intercept[Exception](one(s"SELECT ${Int.MaxValue.toLong + 42}::regclass"))
+    assert(e.getMessage.contains(
+      "2147483689 is outside of `int` range and cannot be cast to the regclass type"))
+  }
+
+  test("regtype: type names resolve to wire oids") {
+    val r = one("SELECT 'text'::regtype AS a, 'bool'::regtype AS b, " +
+      "'int4'::regtype AS c, 'timestamptz'::regtype AS d")
+    assert(r.getInt(0) == 25 && r.getInt(1) == 16)
+    assert(r.getInt(2) == 23 && r.getInt(3) == 1184)
+    val e = intercept[Exception](one("SELECT 'nosuchtype'::regtype"))
+    assert(e.getMessage.contains("unknown type name"))
+  }
+
+  test("json cast renders objects/arrays, passes strings (JsonTypeTest)") {
+    val r = one("SELECT {x=200}::json AS a, '{\"k\":1}'::json AS b, " +
+      "[1,2,3]::json AS c, 1::json AS d, TRUE::json AS e")
+    assert(r.getString(0) == """{"x":200}""")
+    assert(r.getString(1) == """{"k":1}""")
+    assert(r.getString(2) == "[1,2,3]")
+    assert(r.getString(3) == "1" && r.getString(4) == "true")
+  }
+}

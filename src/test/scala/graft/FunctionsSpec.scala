@@ -99,7 +99,7 @@ class DialectSpec extends AnyFunSuite {
     "SELECT curdate()" -> "SELECT current_date()",
     "SELECT strpos(name, 'a') FROM t" -> "SELECT instr(name, 'a') FROM t",
     "SELECT array_cat(a, b), array_unique(a), array_difference(a, b) FROM t" ->
-      "SELECT graft_concat(a, b), array_distinct(a), array_except(a, b) FROM t",
+      "SELECT graft_array_cat(a, b), graft_array_unique(a), graft_array_difference(a, b) FROM t",
     // :: casts — simple, literal, parenthesized, call, array type
     "SELECT a::bigint FROM t" -> "SELECT CAST(a AS BIGINT) FROM t",
     "SELECT '1'::decimal(10,2)" -> "SELECT CAST('1' AS DECIMAL(10,2))",
@@ -130,12 +130,12 @@ class DialectSpec extends AnyFunSuite {
     "SELECT 'a ~ b' FROM t" -> "SELECT 'a ~ b' FROM t",
     // array-overlap operator and PG-argument-order swaps
     "SELECT tags && ['a', 'b'] FROM t" ->
-      "SELECT arrays_overlap(tags, array('a', 'b')) FROM t",
+      "SELECT graft_array_overlap(tags, array('a', 'b')) FROM t",
     "SELECT a.tags && other_tags FROM t WHERE x = 1" ->
-      "SELECT arrays_overlap(a.tags, other_tags) FROM t WHERE x = 1",
+      "SELECT graft_array_overlap(a.tags, other_tags) FROM t WHERE x = 1",
     "SELECT array_prepend(0, arr) FROM t" ->
       "SELECT graft_array_prepend(0, arr) FROM t",
-    "SELECT array_overlap(a, b) FROM t" -> "SELECT arrays_overlap(a, b) FROM t",
+    "SELECT array_overlap(a, b) FROM t" -> "SELECT graft_array_overlap(a, b) FROM t",
     "SELECT gen_random_text_uuid() FROM t" -> "SELECT uuid() FROM t",
     "SELECT 'a && b' FROM t" -> "SELECT 'a && b' FROM t",
     // system-schema qualifiers → flat registered view names
@@ -837,6 +837,12 @@ class MiscFunctionsSpec extends SparkTestBase {
         "starts_with('hello', 'he') AS sw")
     val dr = d.head()
     assert(dr.getString(0) == "a,?,b" && dr.getBoolean(1))
+    // the single database/catalog is 'crate'
+    // (CurrentDatabaseFunctionTest: current_database() and the bare
+    // CURRENT_CATALOG keyword both resolve to it)
+    val db = graft.Engine.sql(spark,
+      "SELECT current_database() AS a, current_catalog AS b").head()
+    assert(db.getString(0) == "crate" && db.getString(1) == "crate")
   }
 
   test("btrim with custom chars and negative array subscripts") {
