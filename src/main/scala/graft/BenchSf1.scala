@@ -156,9 +156,10 @@ object BenchSf1 {
     "q280_clustered_plan_probe", "q281_knn_ivf_recall",
     "q269_regexp_match_op", "q271_regexp_scalars", "q268_string_pad_trim",
     "q273_pg_keywords", "q177_ddl_alter_view",
-    // the round's conformance tail: per-row array/string scalars —
-    // map-only by construction, the wave pins the constant factor
-    "q282_array_contracts")
+    // the round's conformance tail: per-row array/string/template
+    // scalars — map-only by construction, the wave pins the constant
+    // factor
+    "q282_array_contracts", "q283_pg_to_char")
 
   /** The CONSOLIDATED wave (r10 verdict ask #7): the ENTIRE catalog at
     * sf1 in one artifact — the per-wave format proved each round's new

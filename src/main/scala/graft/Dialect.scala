@@ -1596,9 +1596,24 @@ object Dialect {
             org.apache.spark.sql.catalyst.util.IntervalUtils
               .safeStringToInterval(
                 org.apache.spark.unsafe.types.UTF8String.fromString(s)) != null
+          // Spark's ANSI literal typing REJECTS units from both the
+          // year-month and day-time groups in one literal ("Cannot mix
+          // year-month and day-time fields") even though the legacy
+          // CalendarInterval parser above accepts them — the reference
+          // allows mixing freely, so mixed strings must route to
+          // graft_interval (which builds a CalendarInterval)
+          val words = s.toLowerCase(java.util.Locale.ENGLISH)
+            .split("[^a-z]+").toSet
+          val mixesGroups =
+            words.exists(w => w.startsWith("year") || w.startsWith("month") ||
+              w.startsWith("mon") && w != "monday") &&
+            words.exists(w => w.startsWith("week") || w.startsWith("day") ||
+              w.startsWith("hour") || w.startsWith("min") ||
+              w.startsWith("sec") || w.startsWith("milli") ||
+              w.startsWith("micro"))
           val native =
             !signed && (u1 match {
-              case None => sparkParses
+              case None => sparkParses && !mixesGroups
               case Some(_) if u2.isEmpty => bareInt
               case Some("year") if u2.contains("month") =>
                 s.trim.matches("[+-]?\\d+-\\d+")

@@ -141,11 +141,9 @@ object GraftFunctions {
     // overloads incl. append/pad-beyond-end) — registered with `reg`
     // below alongside the other Catalyst expressions
 
-    u.register("to_char", (ts: java.sql.Timestamp, tpl: String) =>
-      if (ts == null || tpl == null) null
-      else java.time.format.DateTimeFormatter
-        .ofPattern(TimeFunctions.translatePgTemplate(tpl))
-        .withZone(java.time.ZoneOffset.UTC).format(ts.toInstant))
+    // to_char moved to the full PG template engine (PgToCharExpr) —
+    // registered with `reg` below; the r4 java.time-pattern shim could
+    // not express ordinal suffixes, lowercase patterns, or intervals
 
     // vector similarity (SQL surface; Column API in VectorFunctions is
     // native). Edge cases match plans.CosineSimilarityExpr exactly — null on
@@ -1013,6 +1011,36 @@ object GraftFunctions {
 
       reg.createOrReplaceTempFunction("timezone",
         exprs => graft.plans.GraftTimezoneExpr(exprs(0), exprs(1)), "scala_udf")
+
+      // the reference's FULL PG to_char template engine
+      // (PGDateTimeTemplates + ToCharFunction): timestamp and INTERVAL
+      // overloads, lowercase patterns, TH/th ordinal suffixes, quoted
+      // literals; date/string operands implicit-cast to timestamp like
+      // the reference's TIMESTAMPZ sanitize
+      reg.createOrReplaceTempFunction("to_char",
+        exprs => {
+          val v = exprs(0)
+          import org.apache.spark.sql.types.{
+            CalendarIntervalType, DateType, DayTimeIntervalType,
+            StringType => STy, TimestampNTZType, TimestampType,
+            YearMonthIntervalType}
+          v.dataType match {
+            case CalendarIntervalType | TimestampType | TimestampNTZType |
+                 _: YearMonthIntervalType | _: DayTimeIntervalType =>
+              graft.plans.PgToCharExpr(v, exprs(1))
+            case DateType =>
+              graft.plans.PgToCharExpr(Cast(v,
+                org.apache.spark.sql.types.TimestampNTZType, Some("UTC")),
+                exprs(1))
+            case STy =>
+              graft.plans.PgToCharExpr(
+                graft.plans.TimestampCastExpr(v, withTz = true), exprs(1))
+            case _ =>
+              graft.plans.PgToCharExpr(Cast(v,
+                org.apache.spark.sql.types.TimestampNTZType, Some("UTC")),
+                exprs(1))
+          }
+        }, "scala_udf")
 
       // date_bin(interval, ts, origin) — the interval must be a literal
       // (it always is in reference SQL; DateBinFunction.java:41). Pmod is

@@ -137,6 +137,27 @@ object QueriesRound15 {
           |        FROM part)
           |)""".stripMargin)
         .orderBy(col("p_partkey"))
+    }),
+
+    // The full PG to_char template engine through the SQL surface
+    // (PGDateTimeTemplates port, reference suites in
+    // ToCharConformanceSpec): ISO rendering, PG fixed-width day/month
+    // name padding (pad, never truncate), TH ordinal suffixes with the
+    // 11/12/13 cases, quoted literals, quarter/century/ISO-week
+    // tokens. DuckDB re-derives every arm natively (strftime + string
+    // arithmetic). Map-only per-row scalar — constant at any scale.
+    "q283_pg_to_char" -> ((s, dir) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      graft.Tables.registerAll(s, dir)
+      graft.Engine.sql(s,
+        """SELECT o_orderkey,
+          |  to_char(ts, 'YYYY-MM-DD HH24:MI') AS iso,
+          |  to_char(ts, 'Day') AS day_padded,
+          |  to_char(ts, 'DDth "of" Month') AS ord_day,
+          |  to_char(ts, 'Q-CC-IW') AS qcw
+          |FROM (SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS ts
+          |      FROM orders WHERE o_orderkey < 2000)
+          |ORDER BY o_orderkey""".stripMargin)
     })
   )
 
@@ -177,6 +198,33 @@ object QueriesRound15 {
         |  to_json(list_filter(a, x -> NOT list_contains(COALESCE(b, []), x)))::VARCHAR AS diff_j,
         |  CASE WHEN b IS NULL THEN NULL
         |       ELSE len(list_filter(a, x -> list_contains(b, x))) > 0 END AS ovl
-        |FROM arrs ORDER BY p_partkey""".stripMargin
+        |FROM arrs ORDER BY p_partkey""".stripMargin,
+
+    // strftime + string arithmetic re-derive the PG templates: Day/Month
+    // pad-to-width-never-truncate, DD ordinal suffix (day <= 31 so the
+    // 11-13 window needs no mod-100), century as ((y-1)/100)+1, ISO week
+    "q283_pg_to_char" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS ts,
+        |         EXTRACT(day FROM o_orderdate) AS dd,
+        |         EXTRACT(year FROM o_orderdate) AS yy
+        |  FROM orders WHERE o_orderkey < 2000
+        |)
+        |SELECT o_orderkey,
+        |  strftime(ts, '%Y-%m-%d %H:%M') AS iso,
+        |  dayname(ts) || repeat(' ',
+        |    GREATEST(8 - length(dayname(ts)), 0)) AS day_padded,
+        |  lpad(CAST(dd AS VARCHAR), 2, '0') ||
+        |    CASE WHEN dd IN (11, 12, 13) THEN 'th'
+        |         WHEN dd % 10 = 1 THEN 'st'
+        |         WHEN dd % 10 = 2 THEN 'nd'
+        |         WHEN dd % 10 = 3 THEN 'rd'
+        |         ELSE 'th' END ||
+        |    ' of ' || monthname(ts) || repeat(' ',
+        |      GREATEST(7 - length(monthname(ts)), 0)) AS ord_day,
+        |  CAST(EXTRACT(quarter FROM ts) AS VARCHAR) || '-' ||
+        |    CAST(((yy - 1) // 100) + 1 AS VARCHAR) || '-' ||
+        |    lpad(CAST(weekofyear(ts) AS VARCHAR), 2, '0') AS qcw
+        |FROM t ORDER BY o_orderkey""".stripMargin
   )
 }
