@@ -78,6 +78,16 @@ class ToCharConformanceSpec extends SparkTestBase {
     assert(tc("timestamp '2024-12-13T00:00:00', 'j'") == "2460658")
     assert(tc("timestamp '2024-12-13T00:00:00', 'q'") == "4")
     assert(tc("timestamp '1970-09-01T00:00:00', 'RM rm'") == "IX   ix  ")
+    // century boundaries and Julian anchors (PG-compat suite)
+    assert(tc("timestamp '2000-01-01T17:31:12.12345', 'CC'") == "20")
+    assert(tc("timestamp '2001-01-01T17:31:12.12345', 'CC'") == "21")
+    assert(tc(s"$T, 'J'") == "2440588")
+    assert(tc("timestamp '2000-01-01T17:31:12.12345', 'J'") == "2451545")
+    assert(tc("timestamp '1970-12-01T00:00:00', 'RM rm'") == "XII  xii ")
+    // zone tokens render NOTHING (local datetimes) — literals survive
+    assert(tc(s"$T, 'TZ tz'") == " ")
+    assert(tc(s"$T, 'TZH TZM'") == " ")
+    assert(tc(s"$T, 'OF'") == "")
   }
 
   test("lowercase patterns and literals (test_lower_case_patterns)") {
