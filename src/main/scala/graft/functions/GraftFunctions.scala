@@ -954,6 +954,15 @@ object GraftFunctions {
         reg.createOrReplaceTempFunction(n,
           _ => Literal.create(null, StringType), "scala_udf")
       }
+      // pg_get_function_result: NULL for null/non-oid inputs
+      // (PgGetFunctionResultFunctionTest's first two arms). The
+      // reference renders a registered signature's return-type string
+      // for live function oids; Spark's FunctionRegistry is untyped
+      // (builders, not signatures), so that arm is not modeled —
+      // introspection clients treat NULL as "no result type recorded",
+      // same as the comment functions above.
+      reg.createOrReplaceTempFunction("pg_get_function_result",
+        _ => Literal.create(null, StringType), "scala_udf")
       // every registered relation/function is on the search path
       Seq("pg_table_is_visible", "pg_function_is_visible").foreach { n =>
         reg.createOrReplaceTempFunction(n,

@@ -843,6 +843,11 @@ class MiscFunctionsSpec extends SparkTestBase {
     val db = graft.Engine.sql(spark,
       "SELECT current_database() AS a, current_catalog AS b").head()
     assert(db.getString(0) == "crate" && db.getString(1) == "crate")
+    // pg_get_function_result: NULL for null/non-oid inputs
+    // (PgGetFunctionResultFunctionTest)
+    val fr = spark.sql("SELECT pg_get_function_result(NULL) AS a, " +
+      "pg_get_function_result(0) AS b, pg_get_function_result(-14) AS c").head()
+    (0 until 3).foreach(i => assert(fr.isNullAt(i)))
   }
 
   test("btrim with custom chars and negative array subscripts") {
