@@ -751,6 +751,20 @@ object GraftFunctions {
             Not(callF("exists", nzArr(exprs(1)),
               LambdaFunction(EqualNullSafe(e, x), Seq(e)))), Seq(x)))
         }, "scala_udf")
+      // _map(k, v, ...) — the reference's pairwise OBJECT constructor
+      // (arithmetic/MapFunction.java; object literals lower to it and
+      // it is user-callable): keys stringify (`_map(10, 2)` →
+      // {"10": 2}), odd arity is loud
+      reg.createOrReplaceTempFunction("_map",
+        exprs => {
+          require(exprs.length >= 2 && exprs.length % 2 == 0,
+            s"_map requires (key, value) pairs, got ${exprs.length} arguments")
+          val kv = exprs.grouped(2).flatMap { p =>
+            Seq(org.apache.spark.sql.catalyst.expressions.Cast(p(0),
+              org.apache.spark.sql.types.StringType, Some("UTC")), p(1))
+          }.toSeq
+          callF("map", kv: _*)
+        }, "scala_udf")
       // array_overlap(a, b) — `!Collections.disjoint` (ArrayOverlap
       // Function.java:48): null ELEMENTS match each other, unlike
       // Spark's arrays_overlap 3VL; null ARRAY args stay strict-null

@@ -156,6 +156,17 @@ class ArrayNullContractConformanceSpec extends SparkTestBase {
     assert(one("SELECT collection_avg(ARRAY(3L, 7L))").getDouble(0) == 5.0)
   }
 
+  test("_map pairwise constructor (arithmetic/MapFunctionTest)") {
+    val r = one("SELECT to_json(_map('foo', 10)) AS a, " +
+      "to_json(_map(10, 2)) AS b, " +
+      "to_json(_map('a', 1, 'b', 2)) AS c")
+    assert(r.getString(0) == """{"foo":10}""")
+    assert(r.getString(1) == """{"10":2}""")   // keys stringify
+    assert(r.getString(2) == """{"a":1,"b":2}""")
+    val e = intercept[Exception](one("SELECT _map('foo', 1, 'bar')"))
+    assert(e.getMessage.contains("pairs"))
+  }
+
   test("|| operator type dispatch (ConcatFunction.java op_|| family)") {
     // array || array — null-skipping array_cat
     assert(arr("SELECT ARRAY(1,2) || ARRAY(3)") == Seq(1, 2, 3))
