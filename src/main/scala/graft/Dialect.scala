@@ -243,9 +243,10 @@ object Dialect {
     "date_format"          -> "date_format_mysql",
     "array_overlap"        -> "graft_array_overlap",
     "gen_random_text_uuid" -> "uuid",
-    // ArrayToStringFunction.java:36 — same null-skip / null_string
-    // semantics as Spark's array_join
-    "array_to_string"      -> "array_join",
+    // ArrayToStringFunction.java:36 — Spark's array_join with one edge
+    // fixed in the graft twin: a NULL null_string third argument means
+    // SKIP nulls (same as the 2-arg form), not strict-null
+    "array_to_string"      -> "graft_array_to_string",
     // StartsWithFunction.java:51 — Spark spells it without the underscore
     "starts_with"          -> "startswith",
     // StringPaddingFunction: the reference's pad edges differ from
@@ -395,6 +396,10 @@ object Dialect {
               // JsonType.explicitCast: objects/arrays render to their
               // JSON string; strings pass through
               Some(s"graft_json_cast($operand)")
+            else if (!isArray && base == "geo_shape")
+              // canonical WKT — equality on the normalized text IS the
+              // reference's topological shape equality
+              Some(s"graft_shape_norm($operand)")
             else if (!isArray && (base == "text" || base == "string" ||
                 base == "varchar" || base == "char" ||
                 base == "character") && params.isEmpty &&
@@ -425,6 +430,10 @@ object Dialect {
           // VARCHAR demands a length
           val mapped =
             if (params.isEmpty && mapped0 == "VARCHAR") "STRING"
+            // bare NUMERIC is the reference's arbitrary-precision type
+            // (documented ≤38 here); Spark's bare DECIMAL means (10,0),
+            // which can't even hold a BIGINT — widen to the ceiling
+            else if (params.isEmpty && mapped0 == "DECIMAL") "DECIMAL(38,18)"
             else mapped0 + params
           val sparkTy = if (isArray) s"ARRAY<$mapped>" else mapped
           val repl = lex(s"CAST($operand AS $sparkTy)")
@@ -820,6 +829,340 @@ object Dialect {
       i += 1
     }
     None
+  }
+
+  /** PG `E'...'` extended escape strings (the reference's parser,
+    * SqlBaseLexer ESCAPED_STRING): backslash escapes are processed at
+    * translate time into a plain standard-conforming literal —
+    * `\b \f \n \r \t \\ \'`, octal `\ooo`, hex `\xhh`, unicode
+    * `\uXXXX`; an unknown escape is the character itself. */
+  private def passEscapeString(ts: Vector[Tok]): Option[Vector[Tok]] = {
+    var i = 0
+    while (i < ts.length - 1) {
+      if (ts(i).kind == K.Word && ts(i).text.equalsIgnoreCase("e") &&
+          ts(i + 1).kind == K.Str) {
+        val inner = ts(i + 1).text.stripPrefix("'").stripSuffix("'")
+          .replace("''", "'")
+        val sb = new StringBuilder
+        var k = 0
+        while (k < inner.length) {
+          val c = inner.charAt(k)
+          if (c == '\\' && k + 1 < inner.length) {
+            val n = inner.charAt(k + 1)
+            n match {
+              case 'b'  => sb.append('\b'); k += 2
+              case 'f'  => sb.append('\f'); k += 2
+              case 'n'  => sb.append('\n'); k += 2
+              case 'r'  => sb.append('\r'); k += 2
+              case 't'  => sb.append('\t'); k += 2
+              case '\\' => sb.append('\\'); k += 2
+              case '\'' => sb.append('\''); k += 2
+              case 'x' =>
+                var j = k + 2
+                while (j < inner.length && j < k + 4 &&
+                  Character.digit(inner.charAt(j), 16) >= 0) j += 1
+                if (j > k + 2) {
+                  sb.append(Integer.parseInt(inner.substring(k + 2, j), 16).toChar)
+                  k = j
+                } else { sb.append('x'); k += 2 }
+              case 'u' if k + 5 < inner.length + 1 &&
+                  (k + 2 to k + 5).forall(p => p < inner.length &&
+                    Character.digit(inner.charAt(p), 16) >= 0) =>
+                sb.append(Integer.parseInt(
+                  inner.substring(k + 2, k + 6), 16).toChar)
+                k += 6
+              case d if d >= '0' && d <= '7' =>
+                var j = k + 1
+                while (j < inner.length && j < k + 4 &&
+                  inner.charAt(j) >= '0' && inner.charAt(j) <= '7') j += 1
+                sb.append(Integer.parseInt(inner.substring(k + 1, j), 8).toChar)
+                k = j
+              case other => sb.append(other); k += 2
+            }
+          } else { sb.append(c); k += 1 }
+        }
+        val lit = "'" + sb.toString.replace("'", "''") + "'"
+        return Some(ts.slice(0, i) ++ Vector(Tok(K.Str, lit)) ++
+          ts.slice(i + 2, ts.length))
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** CrateDB names an unaliased select item that is a single function
+    * call after the bare function name (`SELECT strpos('crate','ate')`
+    * → column `strpos`; Spark would render the whole expression).
+    * Runs BEFORE the rename passes so the alias carries the ORIGINAL
+    * spelling. Items with trailing tokens (OVER, operators, an
+    * existing alias) and non-call items are untouched. */
+  private val noAutoAlias = Set("cast", "array", "row", "map", "struct",
+    "interval", "exists", "extract", "substring", "trim", "position",
+    "grouping", "if")
+  private def passSelectItemAlias(ts: Vector[Tok]): Option[Vector[Tok]] = {
+    def clauseEnd(t: Tok) = t.kind == K.Word &&
+      Set("from", "where", "group", "having", "order", "limit", "offset",
+        "union", "intersect", "except", "returning", "into",
+        "window")(t.text.toLowerCase)
+    def tryAlias(start: Int, end: Int): Option[Vector[Tok]] = {
+      val item = (start until end).filter(k => ts(k).sig)
+      if (item.isEmpty) return None
+      var k = item.head
+      if (!(ts(k).kind == K.Word || ts(k).kind == K.QId)) return None
+      var name = ts(k).text
+      var nx = nextSig(ts, k)
+      while (nx >= 0 && nx < end && ts(nx).isSym(".") && {
+        val n2 = nextSig(ts, nx)
+        n2 >= 0 && n2 < end && (ts(n2).kind == K.Word || ts(n2).kind == K.QId)
+      }) {
+        k = nextSig(ts, nx); name = ts(k).text; nx = nextSig(ts, k)
+      }
+      val lower = name.toLowerCase
+      if (keywords(lower) || noAutoAlias(lower)) return None
+      // never leak internal spellings produced by LATER passes when the
+      // fixpoint re-runs this one (graft_* twins, explode/inline
+      // lowerings, flattened system-schema names)
+      if (lower.startsWith("graft_") || lower.startsWith("_") ||
+          lower == "explode" || lower == "inline" ||
+          lower == "posexplode" || lower == "json_tuple" ||
+          lower == "stack" ||
+          lower == "try_element_at" || lower == "timetz" ||
+          lower == "named_struct" || lower == "arrays_zip" ||
+          lower == "forall" || lower == "exists" ||
+          lower.contains("__")) return None
+      if (nx < 0 || nx >= end || !ts(nx).isSym("(")) return None
+      val close = matchFwd(ts, nx)
+      if (close < 0 || close >= end) return None
+      if (nextSig(ts, close) >= 0 && nextSig(ts, close) < end) return None
+      // splice right after the call's closing paren so the item's own
+      // trailing whitespace still separates the next clause
+      Some(ts.slice(0, close + 1) ++ lex(s" AS ${name.toLowerCase}") ++
+        ts.slice(close + 1, ts.length))
+    }
+    var i = 0
+    while (i < ts.length) {
+      if (ts(i).kind == K.Word && ts(i).is("select")) {
+        var j = nextSig(ts, i)
+        if (j >= 0 && ts(j).kind == K.Word &&
+            (ts(j).is("distinct") || ts(j).is("all")))
+          j = nextSig(ts, j)
+        if (j >= 0) {
+          var itemStart = j
+          var k = j
+          var depth = 0
+          var done = false
+          while (k < ts.length && !done) {
+            val t = ts(k)
+            if (t.isSym("(") || t.isSym("[") || t.isSym("{")) depth += 1
+            else if (t.isSym(")") || t.isSym("]") || t.isSym("}")) {
+              depth -= 1
+              if (depth < 0) {
+                tryAlias(itemStart, k).foreach(r => return Some(r))
+                done = true
+              }
+            } else if (depth == 0 && (t.isSym(",") || clauseEnd(t))) {
+              tryAlias(itemStart, k).foreach(r => return Some(r))
+              if (clauseEnd(t)) done = true
+              itemStart = k + 1
+            }
+            k += 1
+          }
+          if (!done) tryAlias(itemStart, ts.length).foreach(r => return Some(r))
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** Table functions through the SQL surface (reference
+    * tablefunctions/: UnnestFunction, GenerateSeries,
+    * GenerateSubscripts, MatchesFunction; docs table-functions.rst):
+    *
+    *  - `FROM unnest(a)` → `FROM explode(a) AS unnest_t(col1)`;
+    *    `FROM unnest(a, b, …)` → `FROM inline(arrays_zip(a, b, …))
+    *    AS unnest_t(col1, col2, …)` (arrays_zip NULL-pads the shorter
+    *    arrays exactly like the reference); a user alias passes through.
+    *  - `FROM generate_series(a, b[, step])` → explode(sequence(…))
+    *    (Spark's sequence is inclusive on both ends and takes interval
+    *    steps, same contract); default column `generate_series`.
+    *  - `FROM f(args)` for any other non-keyword call — the reference's
+    *    scalar-as-relation form — wraps to `(SELECT f(args) AS f)`.
+    *    Only applies DIRECTLY after FROM or a FROM-list comma, so ON
+    *    conditions and select-list calls are untouched.
+    *  - select-position `generate_subscripts(…)` →
+    *    `explode(graft_generate_subscripts(…))`.
+    *  - `regexp_matches(args)` → subscripted form
+    *    `regexp_matches(…)[n]` lowers to the scalar first-match groups
+    *    (graft_regexp_groups); otherwise
+    *    `explode(graft_regexp_matches_rows(…))` (row per match under
+    *    the 'g' flag, first match only without it).
+    */
+  private def passTableFunctions(ts: Vector[Tok]): Option[Vector[Tok]] = {
+    def argSplit(inner: Vector[Tok]): Vector[String] = {
+      val parts = Vector.newBuilder[String]
+      var depth = 0; var start = 0; var k = 0
+      while (k < inner.length) {
+        val t = inner(k)
+        if (t.isSym("(") || t.isSym("[") || t.isSym("{")) depth += 1
+        else if (t.isSym(")") || t.isSym("]") || t.isSym("}")) depth -= 1
+        else if (t.isSym(",") && depth == 0) {
+          parts += render(inner.slice(start, k)).trim; start = k + 1
+        }
+        k += 1
+      }
+      parts += render(inner.slice(start, inner.length)).trim
+      parts.result()
+    }
+    def hasUserAlias(after: Int): Boolean = {
+      val nx = nextSig(ts, after)
+      nx >= 0 && ts(nx).kind == K.Word &&
+        (ts(nx).is("as") || !keywords(ts(nx).text.toLowerCase))
+    }
+    var i = 0
+    while (i < ts.length) {
+      val t = ts(i)
+      if (t.kind == K.Word && ts.lift(i + 1).exists(_.isSym("(")) ||
+          (t.kind == K.Word && nextSig(ts, i) >= 0 && ts(nextSig(ts, i)).isSym("("))) {
+        val open = nextSig(ts, i)
+        val close = if (open >= 0 && ts(open).isSym("(")) matchFwd(ts, open) else -1
+        if (close > 0) {
+          val prev = prevSig(ts, i)
+          // directly after FROM, or after a comma whose clause (walking
+          // back at depth 0) is a FROM list — so select-list commas and
+          // ON conditions never match
+          def fromContext(pos: Int): Boolean = {
+            var k = pos; var depth = 0
+            while (k >= 0) {
+              val t0 = ts(k)
+              if (t0.isSym(")") || t0.isSym("]") || t0.isSym("}")) depth += 1
+              else if (t0.isSym("(") || t0.isSym("[") || t0.isSym("{")) {
+                depth -= 1; if (depth < 0) return false
+              } else if (depth == 0 && t0.kind == K.Word) {
+                val w = t0.text.toLowerCase
+                if (w == "from") return true
+                if (w != "as" && (keywords(w) || w == "join" || w == "lateral"))
+                  return false
+              }
+              k -= 1
+            }
+            false
+          }
+          val prevFrom = prev >= 0 &&
+            ((ts(prev).kind == K.Word && ts(prev).is("from")) ||
+             (ts(prev).isSym(",") && fromContext(prev - 1)))
+          val args = argSplit(ts.slice(open + 1, close))
+          val name = t.text.toLowerCase
+          def splice(repl: String, endTok: Int): Option[Vector[Tok]] =
+            Some(ts.slice(0, i) ++ lex(repl) ++ ts.slice(endTok + 1, ts.length))
+          if (prevFrom && name == "unnest") {
+            val core =
+              if (args.length == 1) s"explode(${args.head})"
+              else s"inline(arrays_zip(${args.mkString(", ")}))"
+            val alias =
+              if (hasUserAlias(close)) ""
+              else if (args.length == 1) " AS unnest_t(col1)"
+              else args.indices.map(k => s"col${k + 1}")
+                .mkString(" AS unnest_t(", ", ", ")")
+            return splice(core + alias, close)
+          }
+          if (prevFrom && name == "generate_series") {
+            val alias = if (hasUserAlias(close)) ""
+                        else " AS gs_t(generate_series)"
+            return splice(s"explode(sequence(${args.mkString(", ")}))" + alias,
+              close)
+          }
+          if (name == "generate_subscripts")
+            return splice(
+              s"explode(graft_generate_subscripts(${args.mkString(", ")}))",
+              close)
+          if (name == "regexp_matches") {
+            val withFlags = if (args.length >= 3) args else args :+ "''"
+            val nx = nextSig(ts, close)
+            val repl =
+              if (nx >= 0 && ts(nx).isSym("["))
+                s"graft_regexp_groups(${withFlags.mkString(", ")})"
+              else {
+                val core =
+                  s"explode(graft_regexp_matches_rows(${withFlags.mkString(", ")}))"
+                if (prevFrom && !hasUserAlias(close))
+                  core + " AS rm_t(regexp_matches)"
+                else core
+              }
+            return splice(repl, close)
+          }
+          if (!prevFrom && name == "unnest")
+            // select-position unnest is Spark's explode generator
+            return Some(ts.updated(i, Tok(K.Word, "explode")))
+          if (prevFrom && name == "information_schema__pg_expandarray")
+            // the registered Catalyst Generator in FROM position: a
+            // generator projection with the reference's (x, n) columns
+            return splice("(SELECT information_schema__pg_expandarray(" +
+              s"${args.mkString(", ")}) AS (x, n))", close)
+          if (prevFrom && !keywords(name) && name != "explode" &&
+              name != "inline" && name != "posexplode" && name != "range" &&
+              name != "stack" && name != "values" && name != "lateral" &&
+              name != "empty_row" && name != "table" &&
+              name != "pg_get_keywords" && name != "_pg_expandarray" &&
+              prev >= 0 && !ts(prev).isSym(".")) {
+            // scalar-as-relation: one row, one column named like the fn
+            val inner = render(ts.slice(i, close + 1))
+            return splice(s"(SELECT $inner AS $name)", close)
+          }
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** Select lists consisting solely of `unnest(...)` items with no FROM
+    * (docs table-functions.rst: `select unnest([1,2,3]), unnest([1,2])`
+    * zips row-wise, shorter arrays NULL-padded, every column named
+    * `unnest`). */
+  private def passSelectUnnest(ts: Vector[Tok]): Option[Vector[Tok]] = {
+    val sig = ts.zipWithIndex.filter(_._1.sig)
+    if (sig.isEmpty || !(sig.head._1.kind == K.Word && sig.head._1.is("select")))
+      return None
+    if (sig.exists(p => p._1.kind == K.Word && p._1.is("from"))) return None
+    // items between SELECT and end, split on top-level commas
+    val body = ts.drop(sig.head._2 + 1)
+    val items = {
+      val parts = Vector.newBuilder[Vector[Tok]]
+      var depth = 0; var start = 0; var k = 0
+      while (k < body.length) {
+        val t = body(k)
+        if (t.isSym("(") || t.isSym("[") || t.isSym("{")) depth += 1
+        else if (t.isSym(")") || t.isSym("]") || t.isSym("}")) depth -= 1
+        else if (t.isSym(",") && depth == 0) {
+          parts += body.slice(start, k); start = k + 1
+        }
+        k += 1
+      }
+      parts += body.slice(start, body.length)
+      parts.result()
+    }
+    def unnestArg(item: Vector[Tok]): Option[String] = {
+      val s = item.filter(_.sig)
+      if (s.length >= 3 && s.head.kind == K.Word && s.head.is("unnest")) {
+        val first = item.indexWhere(_.sig)
+        val open = nextSig(item, first)
+        if (open >= 0 && item(open).isSym("(")) {
+          val close = matchFwd(item, open)
+          if (close > 0 && nextSig(item, close) < 0)
+            return Some(render(item.slice(open + 1, close)).trim)
+        }
+      }
+      None
+    }
+    val args = items.map(unnestArg)
+    if (args.exists(_.isEmpty)) return None
+    val as = args.flatten
+    if (as.length == 1)
+      return Some(lex(s"SELECT explode(${as.head}) AS unnest"))
+    val aliases = as.indices.map(_ => "unnest").mkString(", ")
+    Some(lex(s"SELECT * FROM inline(arrays_zip(${as.mkString(", ")})) " +
+      s"AS unnest_t($aliases)"))
   }
 
   /** `a || b` (reference parser AstBuilder.visitConcatenation → the
@@ -1274,7 +1617,22 @@ object Dialect {
       val neg = t.isSym("!~")
       val negCi = neg && i + 1 < ts.length && ts(i + 1).isSym("*")
       val ci = t.isSym("~*")
-      if (t.isSym("#")) return Some(ts.updated(i, Tok(K.Sym, "^")))
+      // `#` is the reference's bitwise XOR and `^` its POWER operator
+      // (arithmetic.rst; Spark's ^ is xor) — both lower to calls so the
+      // spellings can never collide across pass iterations
+      if (t.isSym("#") || t.isSym("^")) {
+        val lhsEnd = prevSig(ts, i)
+        val rhsStart = nextSig(ts, i)
+        if (lhsEnd >= 0 && rhsStart >= 0) {
+          val lhsStart = operandStart(ts, lhsEnd)
+          val rhsEnd = operandEnd(ts, rhsStart)
+          val lhs = render(ts.slice(lhsStart, lhsEnd + 1))
+          val rhs = render(ts.slice(rhsStart, rhsEnd + 1))
+          val fn = if (t.isSym("#")) "graft_bitxor" else "power"
+          return Some(ts.slice(0, lhsStart) ++ lex(s"$fn($lhs, $rhs)") ++
+            ts.slice(rhsEnd + 1, ts.length))
+        }
+      }
       if (t.isSym("~") || ci || neg) {
         val lhsEnd = prevSig(ts, i)
         val binary = lhsEnd >= 0 && {
@@ -1447,10 +1805,12 @@ object Dialect {
       val t = ts(i)
       if (t.kind == K.Word &&
           (t.is("current_user") || t.is("session_user") ||
-           t.is("current_role") || t.is("current_catalog"))) {
+           t.is("current_role") || t.is("current_catalog") ||
+           t.is("current_schema"))) {
         val nx = nextSig(ts, i)
         val pv = prevSig(ts, i)
-        if ((nx < 0 || !ts(nx).isSym("(")) && (pv < 0 || !ts(pv).isSym(".")))
+        if ((nx < 0 || !ts(nx).isSym("(")) && (pv < 0 || !ts(pv).isSym(".")) &&
+            (pv < 0 || !(ts(pv).kind == K.Word && ts(pv).is("as"))))
           return Some(ts.take(i) ++ Vector(Tok(K.Word, t.text.toLowerCase),
             Tok(K.Sym, "("), Tok(K.Sym, ")")) ++ ts.drop(i + 1))
       }
@@ -1637,11 +1997,15 @@ object Dialect {
   }
 
   private val passes: Seq[Vector[Tok] => Option[Vector[Tok]]] =
-    Seq(passKnnMatch, passRenames, passScoreMulti, passMatch, passScore,
+    Seq(passEscapeString, passKnnMatch, passSelectUnnest,
+      passSelectItemAlias, passRenames,
+      passScoreMulti, passMatch, passScore,
       passIntervalLiteral,
       passBitLiteral, passCastAsFringe, passCasts, passAnyAll,
-      passObjectLiteral, passBrackets, passFetchOffset, passFilterClause,
-      passSystemSchemas, passArrayOverlap, passAtTimeZone, passPipeConcat,
+      passObjectLiteral, passTableFunctions, passBrackets,
+      passFetchOffset, passFilterClause,
+      passSystemSchemas, passArrayOverlap, passAtTimeZone,
+      passPipeConcat,
       passRegexOps, passCidrOp,
       passSubstringFrom, passArraySubquery, passEmptyRow,
       passSessionKeywords)

@@ -36,6 +36,9 @@ object Engine {
       // lookup-join/runtime-filter analogue of the reference's doc-id
       // intersection, and a large win at 100 TB fact-dim joins
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // reference/PG standard-conforming strings: no backslash escapes
+      // in '...' literals (also enforced in GraftFunctions.registerAll)
+      .config("spark.sql.parser.escapedStringLiterals", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

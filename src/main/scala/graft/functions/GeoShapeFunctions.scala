@@ -125,7 +125,7 @@ object GeoShapeFunctions {
 
   val shapeWithinUdf: UserDefinedFunction = udf((a: String, b: String) =>
     if (a == null || b == null) null
-    else Boolean.box(parseShape(a).within(parseShape(b))))
+    else Boolean.box(parseShape(a).coveredBy(parseShape(b))))
 
   val shapeIntersectsUdf: UserDefinedFunction = udf((a: String, b: String) =>
     if (a == null || b == null) null
@@ -138,11 +138,35 @@ object GeoShapeFunctions {
   val shapeAreaUdf: UserDefinedFunction = udf((s: String) =>
     if (s == null) null else Double.box(parseShape(s).getArea))
 
+  /** Canonical WKT for shape comparison (reference comparison-operators
+    * .rst: geo_shape equality is TOPOLOGICAL, and homogeneous geometry
+    * collections normalize to Multi* first) — JTS norm() canonicalizes
+    * ring orientation/start and component order, so canonical-text
+    * equality IS topological equality for the documented cases. */
+  val shapeNormUdf: UserDefinedFunction = udf((s: String) =>
+    if (s == null) null
+    else {
+      val g0 = parseShape(s)
+      val g = g0 match {
+        case gc: org.locationtech.jts.geom.GeometryCollection
+            if gc.getGeometryType == "GeometryCollection" &&
+              gc.getNumGeometries > 0 =>
+          val parts = (0 until gc.getNumGeometries).map(gc.getGeometryN)
+          val kinds = parts.map(_.getGeometryType).distinct
+          if (kinds.length == 1)
+            factory.buildGeometry(
+              scala.jdk.CollectionConverters.SeqHasAsJava(parts).asJava)
+          else gc
+        case other => other
+      }
+      g.norm().toText
+    })
+
   /** Point-as-array [lon,lat] within a shape string — the common
     * `within(geo_point, geo_shape)` signature of the reference. */
   val pointWithinShapeUdf: UserDefinedFunction = udf((p: Seq[Double], s: String) =>
     if (p == null || s == null) null
-    else Boolean.box(factory.createPoint(new Coordinate(p(0), p(1))).within(parseShape(s))))
+    else Boolean.box(factory.createPoint(new Coordinate(p(0), p(1))).coveredBy(parseShape(s))))
 
   private[functions] def pointGeometry(lon: Double, lat: Double): Geometry =
     factory.createPoint(new Coordinate(lon, lat))
@@ -177,12 +201,26 @@ object GeoShapeFunctions {
     spark.udf.register("geo_area", shapeAreaUdf)
     spark.udf.register("geo_point_within", pointWithinShapeUdf)
     spark.udf.register("geo_from_text", shapeAsWktUdf)
+    spark.udf.register("graft_shape_norm", shapeNormUdf)
     spark.udf.register("area", shapeAreaUdf)
     val reg = spark.sessionState.functionRegistry
+    // GeoJSON OBJECT literals land as structs — render them back to
+    // JSON text, which parseShape accepts (the reference's geo_shape
+    // implicit cast takes GeoJSON objects and WKT strings alike)
+    def geoArg(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      e.dataType match {
+        case _: org.apache.spark.sql.types.StructType |
+             _: org.apache.spark.sql.types.MapType =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+            Seq("to_json"), Seq(e), isDistinct = false)
+        case _ => e
+      }
     reg.createOrReplaceTempFunction("within",
-      exprs => GeoArgPredicateExpr("within", exprs(0), exprs(1)), "scala_udf")
+      exprs => GeoArgPredicateExpr("within", geoArg(exprs(0)),
+        geoArg(exprs(1))), "scala_udf")
     reg.createOrReplaceTempFunction("intersects",
-      exprs => GeoArgPredicateExpr("intersects", exprs(0), exprs(1)), "scala_udf")
+      exprs => GeoArgPredicateExpr("intersects", geoArg(exprs(0)),
+        geoArg(exprs(1))), "scala_udf")
   }
 }
 
@@ -236,7 +274,10 @@ case class GeoArgPredicateExpr(op: String,
     val ga = toGeom(a, left.dataType)
     val gb = toGeom(b, right.dataType)
     op match {
-      case "within"     => ga.within(gb)
+      // boundary-INCLUSIVE like the reference (WithinFunction.java:108
+      // relate() == SpatialRelation.WITHIN counts boundary points;
+      // JTS within() excludes them)
+      case "within"     => ga.coveredBy(gb)
       case "intersects" => ga.intersects(gb)
       case other        => throw new IllegalStateException(s"bad geo op $other")
     }

@@ -22,6 +22,14 @@ object GraftFunctions {
   private val registered = ConcurrentHashMap.newKeySet[String]()
 
   def registerAll(spark: SparkSession): Unit = {
+    // STANDARD-CONFORMING string literals, always — the reference (like
+    // PG with standard_conforming_strings=on) does NOT process
+    // backslash escapes in '...' literals, so `'foo\d+'` is a regex
+    // pattern, not "food+". Spark's legacy default eats the backslash
+    // (found by the docs corpus: every regex doc example silently
+    // mis-parsed). Set unconditionally, not just on first registration:
+    // a session must never flip back.
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
     if (!registered.add(System.identityHashCode(spark).toString)) return
     val u = spark.udf
 
@@ -63,8 +71,61 @@ object GraftFunctions {
                   else (1 to m.groupCount()).map(m.group))
         out.toSeq
       })
+    // the reference's regexp_matches TABLE function with its FLAGS
+    // contract (RegexpFlags.parseFlags: i/u/U/s/m/x/d map to Pattern
+    // bits, 'g' selects ALL matches — without it only the FIRST match
+    // row is produced). The Dialect lowers SELECT/FROM-position
+    // regexp_matches(...) to explode() over this.
+    def regexFlagBits(f: String): Int = {
+      var bits = 0
+      f.foreach {
+        case 'i' => bits |= java.util.regex.Pattern.CASE_INSENSITIVE
+        case 'u' => bits |= java.util.regex.Pattern.UNICODE_CASE
+        case 'U' => bits |= java.util.regex.Pattern.UNICODE_CHARACTER_CLASS
+        case 's' => bits |= java.util.regex.Pattern.DOTALL
+        case 'm' => bits |= java.util.regex.Pattern.MULTILINE
+        case 'x' => bits |= java.util.regex.Pattern.COMMENTS
+        case 'd' => bits |= java.util.regex.Pattern.UNIX_LINES
+        case ' ' | 'g' => ()
+        case other => throw new IllegalArgumentException(
+          s"The regular expression flag is unknown: $other")
+      }
+      bits
+    }
+    def regexMatchRows(s: String, pattern: String, flags: String): Seq[Seq[String]] = {
+      val fl = if (flags == null) "" else flags
+      val m = java.util.regex.Pattern.compile(pattern, regexFlagBits(fl)).matcher(s)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      val global = fl.contains('g')
+      var go = true
+      while (go && m.find()) {
+        out += (if (m.groupCount() == 0) Seq(m.group(0))
+                else (1 to m.groupCount()).map(m.group))
+        go = global
+      }
+      out.toSeq
+    }
+    u.register("graft_regexp_matches_rows",
+      (s: String, pattern: String, flags: String) =>
+        if (s == null || pattern == null) null
+        else regexMatchRows(s, pattern, flags))
+    // scalar form: the FIRST match's groups (the reference's
+    // table-function-in-scalar-position subscript idiom,
+    // `regexp_matches(...)[2]`), NULL when no match
+    u.register("graft_regexp_groups",
+      (s: String, pattern: String, flags: String) =>
+        if (s == null || pattern == null) null
+        else regexMatchRows(s, pattern, flags).headOption.orNull)
     // Porter 1980 stemmer (reference `english` analyzer's PorterStemFilter)
     u.register("porter_stem", (t: String) => graft.functions.Porter.stem(t))
+    // WKT point text -> [lon, lat] (GeoPointType.implicitCast accepts
+    // WKT wherever a geo_point is expected)
+    u.register("graft_wkt_point", (s: String) =>
+      if (s == null) null
+      else {
+        val c = GeoShapeFunctions.parseShape(s).getCoordinate
+        Seq(c.x, c.y)
+      })
     u.register("quote_ident", GeoNetFunctions.quoteIdentUdf)
     u.register("parse_ident", GeoNetFunctions.parseIdentUdf)
     // CrateDB parse_uri → OBJECT(scheme, userinfo, hostname, port, path,
@@ -545,6 +606,17 @@ object GraftFunctions {
     for (name <- Seq("substr", "substring"))
       reg.createOrReplaceTempFunction(name,
         exprs => graft.plans.CrateSubstrExpr(exprs), "scala_udf")
+    // ltrim/rtrim(text[, trimmingText]) — the reference/PG argument
+    // order (TrimFunctions.java registers (text, trimmingText); the
+    // docs corpus caught that Spark's SQL builtins take the 2-arg form
+    // REVERSED as (trimStr, srcStr), silently trimming the wrong
+    // operand). 1-arg forms are identical.
+    reg.createOrReplaceTempFunction("ltrim",
+      exprs => org.apache.spark.sql.catalyst.expressions.StringTrimLeft(
+        exprs(0), exprs.lift(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("rtrim",
+      exprs => org.apache.spark.sql.catalyst.expressions.StringTrimRight(
+        exprs(0), exprs.lift(1)), "scala_udf")
     // the reference's left/right NEGATIVE-length (all-but-N) semantics,
     // chr's loud code-point range, and split_part's loud 1-based /
     // empty-delimiter-is-no-split contract (StringLeftRightFunction /
@@ -572,14 +644,41 @@ object GraftFunctions {
     // argument lists keep GraftConcatExpr's dispatch
     locally {
       import org.apache.spark.sql.catalyst.expressions.{
-        Coalesce, Concat, CreateArray, Expression}
+        Coalesce, Concat, CreateArray, Expression, Literal}
       import org.apache.spark.sql.types.{ArrayType, MapType, NullType}
       def nzA(e: Expression): Expression =
         Coalesce(Seq(e, CreateArray(Seq.empty)))
+      // OBJECT literals land as STRUCTS — first-level merge with the
+      // right side winning (ObjectMergeFunction), computed statically
+      // over the known field lists. NullType operands are skipped like
+      // the reference's null inputs; dynamic OBJECT columns are MAPs
+      // and take the GraftObjectMergeExpr path instead.
+      def structMerge(parts0: Seq[Expression]): Expression = {
+        import org.apache.spark.sql.catalyst.expressions.{
+          CreateNamedStruct, GetStructField}
+        import org.apache.spark.sql.types.StructType
+        val parts = parts0.filterNot(_.dataType == org.apache.spark.sql.types.NullType)
+        val fields = scala.collection.mutable.LinkedHashMap[String, Expression]()
+        parts.foreach { p =>
+          p.dataType.asInstanceOf[StructType].fields.zipWithIndex.foreach {
+            case (f, i) => fields(f.name) = GetStructField(p, i, Some(f.name))
+          }
+        }
+        CreateNamedStruct(fields.toSeq.flatMap { case (n, e) =>
+          Seq(Literal(n), e)
+        })
+      }
+      def isStructish(e: Expression) =
+        e.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] ||
+          e.dataType == org.apache.spark.sql.types.NullType
       reg.createOrReplaceTempFunction("graft_concat",
         exprs =>
           if (exprs.exists(_.dataType.isInstanceOf[ArrayType]))
             Concat(exprs.map(nzA))
+          else if (exprs.exists(
+              _.dataType.isInstanceOf[org.apache.spark.sql.types.StructType]) &&
+              exprs.forall(isStructish))
+            structMerge(exprs)
           else graft.plans.GraftConcatExpr(exprs), "scala_udf")
       // the `||` OPERATOR's type-dispatched family (op_|| in
       // ConcatFunction.java; the parser lowers `a || b` to op_|| —
@@ -610,6 +709,10 @@ object GraftFunctions {
               If(IsNull(l), nzA(r), ArrayPrepend(nzA(r), l))
             case (_: MapType, _) | (_, _: MapType) =>
               graft.plans.GraftConcatExpr(Seq(l, r))
+            case (_: org.apache.spark.sql.types.StructType, _) |
+                 (_, _: org.apache.spark.sql.types.StructType)
+                 if exprs.forall(isStructish) =>
+              structMerge(exprs)
             case _ =>
               // strict-null scalar concatenation — exactly Spark's
               // `||`; ConcatCoercion casts mixed scalars to STRING
@@ -649,6 +752,11 @@ object GraftFunctions {
     // numbers as dotted quads (IpType.implicitCast)
     reg.createOrReplaceTempFunction("graft_ip_cast",
       exprs => graft.plans.IpCastExpr(exprs(0)), "scala_udf")
+    // the reference's `#` bitwise-xor operator (Dialect lowers it here;
+    // its `^` spelling is POWER, so Spark's ^ operator is never emitted)
+    reg.createOrReplaceTempFunction("graft_bitxor",
+      exprs => org.apache.spark.sql.catalyst.expressions.BitwiseXor(
+        exprs(0), exprs(1)), "scala_udf")
     // PG object-identifier casts (types/RegclassType, RegprocType,
     // Regtype): names resolve to the pg_catalog oid scheme so
     // introspection joins (`attrelid = 'tbl'::regclass`) line up
@@ -751,6 +859,56 @@ object GraftFunctions {
             Not(callF("exists", nzArr(exprs(1)),
               LambdaFunction(EqualNullSafe(e, x), Seq(e)))), Seq(x)))
         }, "scala_udf")
+      // array_to_string(arr, sep[, null_string]) — a NULL null_string
+      // means SKIP nulls like the 2-arg form (ArrayToStringFunction
+      // .java null handling; Spark's 3-arg array_join is strict)
+      reg.createOrReplaceTempFunction("graft_array_to_string",
+        exprs => {
+          require(exprs.length == 2 || exprs.length == 3,
+            s"array_to_string takes 2 or 3 arguments, got ${exprs.length}")
+          val nullRepl = exprs.lift(2).filterNot(e =>
+            e.foldable && e.eval() == null)
+          org.apache.spark.sql.catalyst.expressions.ArrayJoin(
+            exprs(0), exprs(1), nullRepl)
+        }, "scala_udf")
+      // generate_subscripts(arr, dim[, reverse]) as a SCALAR array of
+      // the valid subscripts for the requested dimension (reference
+      // tablefunctions/GenerateSubscripts.java — deeper dimensions are
+      // measured on the first non-null element, arrays assumed
+      // rectangular like the reference); the Dialect lowers the
+      // table-function spelling to explode() over this
+      reg.createOrReplaceTempFunction("graft_generate_subscripts",
+        exprs => {
+          require(exprs.length >= 2 && exprs.length <= 3,
+            s"generate_subscripts takes 2 or 3 arguments, got ${exprs.length}")
+          require(exprs(1).foldable,
+            "generate_subscripts dimension must be a literal")
+          val dim = exprs(1).eval() match {
+            case n: Number => n.intValue
+            case other => throw new IllegalArgumentException(
+              s"generate_subscripts dimension must be an integer, got $other")
+          }
+          require(dim >= 1 && dim <= 3,
+            s"generate_subscripts supports dimensions 1-3, got $dim")
+          var arr: org.apache.spark.sql.catalyst.expressions.Expression = exprs(0)
+          for (_ <- 1 until dim) {
+            val e = UnresolvedNamedLambdaVariable(Seq("e"))
+            arr = callF("element_at",
+              callF("filter", arr,
+                LambdaFunction(
+                  org.apache.spark.sql.catalyst.expressions.IsNotNull(e), Seq(e))),
+              Literal(1))
+          }
+          val size = callF("size", arr)
+          val seq = CaseWhen(Seq((
+            org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+              size, Literal(1)),
+            callF("sequence", Literal(1), size))),
+            callF("array"))
+          val rev = exprs.lift(2).exists(e =>
+            e.foldable && e.eval() == true)
+          if (rev) callF("reverse", seq) else seq
+        }, "scala_udf")
       // _map(k, v, ...) — the reference's pairwise OBJECT constructor
       // (arithmetic/MapFunction.java; object literals lower to it and
       // it is user-callable): keys stringify (`_map(10, 2)` →
@@ -817,8 +975,23 @@ object GraftFunctions {
         call("try_element_at", a, Add(call("size", a), Literal(1)))
       def sumExpr(a: org.apache.spark.sql.catalyst.expressions.Expression) = {
         val acc = lv("acc"); val e = lv("e")
-        call("aggregate", nonNull(a), Add(typedNull(a), Literal(0L)),
-          LambdaFunction(If(IsNull(acc), e, Add(acc, e)), Seq(acc, e)))
+        a.dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+              d: org.apache.spark.sql.types.DecimalType, _) =>
+            // decimal addition GROWS precision, which `aggregate`
+            // rejects (merge must return the accumulator type) — pin
+            // the accumulator at the NUMERIC ceiling (38, scale), the
+            // reference's documented numeric bound
+            val wide = org.apache.spark.sql.types.DecimalType(38, d.scale)
+            call("aggregate", nonNull(a),
+              Cast(Add(typedNull(a), Literal(0L)), wide, Some("UTC")),
+              LambdaFunction(
+                Cast(If(IsNull(acc), e, Add(acc, e)), wide, Some("UTC")),
+                Seq(acc, e)))
+          case _ =>
+            call("aggregate", nonNull(a), Add(typedNull(a), Literal(0L)),
+              LambdaFunction(If(IsNull(acc), e, Add(acc, e)), Seq(acc, e)))
+        }
       }
       def avgExpr(a: org.apache.spark.sql.catalyst.expressions.Expression) =
         org.apache.spark.sql.catalyst.expressions.Divide(
@@ -926,7 +1099,9 @@ object GraftFunctions {
           csv(Map("execute" -> "DQL")))
       }
       reg.createOrReplaceTempFunction("pg_backend_pid",
-        _ => Literal(ProcessHandle.current().pid().toInt), "scala_udf")
+        // the reference returns the CONSTANT -1 (PgBackendPidFunction:
+        // there is no per-connection backend process) — not a real pid
+        _ => Literal(-1), "scala_udf")
       // the effective session user — tracks SET SESSION AUTHORIZATION
       // (reference scalar/UserFunction.java: CURRENT_USER/SESSION_USER/
       // CURRENT_ROLE all resolve the session's authenticated user)
@@ -947,14 +1122,19 @@ object GraftFunctions {
       def nullOr(arg: org.apache.spark.sql.catalyst.expressions.Expression,
                  out: org.apache.spark.sql.catalyst.expressions.Expression) =
         If(IsNull(arg), Literal.create(null, out.dataType), out)
-      // CrateDB's default schema is `doc` (SessionSettings.currentSchema)
+      // CrateDB's default schema is `doc` (SessionSettings.currentSchema).
+      // Aliased so an un-AS'd `SELECT current_schema()` names its column
+      // like the reference does (the literal would otherwise name it 'doc')
       reg.createOrReplaceTempFunction("current_schema",
-        _ => Literal("doc"), "scala_udf")
+        _ => org.apache.spark.sql.catalyst.expressions.Alias(
+          Literal("doc"), "current_schema")(), "scala_udf")
       // the single database/catalog is always 'crate'
       // (CurrentDatabaseFunction.java — current_database() and the
       // parenthesis-less CURRENT_CATALOG both resolve to it)
       Seq("current_database", "current_catalog").foreach { n =>
-        reg.createOrReplaceTempFunction(n, _ => Literal("crate"), "scala_udf")
+        reg.createOrReplaceTempFunction(n,
+          _ => org.apache.spark.sql.catalyst.expressions.Alias(
+            Literal("crate"), n)(), "scala_udf")
       }
       reg.createOrReplaceTempFunction("current_schemas",
         exprs => If(call("coalesce", exprs(0), Literal(false)),
@@ -968,6 +1148,13 @@ object GraftFunctions {
         reg.createOrReplaceTempFunction(n,
           _ => Literal.create(null, StringType), "scala_udf")
       }
+      // version(): clients parse the CrateDB-prefixed format
+      // (VersionFunctionTest expects "CrateDB ..."); the suffix is
+      // honest about the engine underneath
+      reg.createOrReplaceTempFunction("version",
+        _ => org.apache.spark.sql.catalyst.expressions.Alias(
+          Literal("CrateDB 5.10.10 (graft; Apache Spark " +
+            org.apache.spark.SPARK_VERSION + ")"), "version")(), "scala_udf")
       // pg_get_function_result: NULL for null/non-oid inputs
       // (PgGetFunctionResultFunctionTest's first two arms). The
       // reference renders a registered signature's return-type string
@@ -1195,17 +1382,24 @@ object GraftFunctions {
       // optional precision (reference GeoHashFunction emits the full
       // 12-char hash)
       import org.apache.spark.sql.catalyst.expressions.{Add, Divide, Multiply}
+      // geo_point arguments are [lon,lat] arrays; WKT 'POINT (x y)'
+      // strings implicit-cast like the reference's GeoPointType
+      def ptArg(e: Expression): Expression = e.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          call("graft_wkt_point", e)
+        case _ => e
+      }
       reg.createOrReplaceTempFunction("latitude",
-        exprs => call("element_at", exprs(0), Literal(2)), "scala_udf")
+        exprs => call("element_at", ptArg(exprs(0)), Literal(2)), "scala_udf")
       reg.createOrReplaceTempFunction("longitude",
-        exprs => call("element_at", exprs(0), Literal(1)), "scala_udf")
+        exprs => call("element_at", ptArg(exprs(0)), Literal(1)), "scala_udf")
       reg.createOrReplaceTempFunction("geohash",
         exprs => call("graft_geohash_prec", exprs(0),
           exprs.lift(1).getOrElse(Literal(12))), "scala_udf")
       reg.createOrReplaceTempFunction("distance",
         exprs => {
           def el(p: Expression, i: Int) =
-            call("radians", call("element_at", p, Literal(i)))
+            call("radians", call("element_at", ptArg(p), Literal(i)))
           val (lon1, lat1) = (el(exprs(0), 1), el(exprs(0), 2))
           val (lon2, lat2) = (el(exprs(1), 1), el(exprs(1), 2))
           def halfSin2(x: Expression, y: Expression) =
@@ -1213,7 +1407,12 @@ object GraftFunctions {
           val h = Add(halfSin2(lat2, lat1),
             Multiply(Multiply(call("cos", lat1), call("cos", lat2)),
               halfSin2(lon2, lon1)))
-          Multiply(Literal(2.0 * 6371008.8),
+          // Lucene's mean earth radius (SloppyMath.TO_METERS
+          // 6371008.7714150598…), the constant the reference's
+          // distance() is built on — the doc vector
+          // distance('POINT (10 20)','POINT (11 21)') =
+          // 152354.3209044634 pins it
+          Multiply(Literal(2.0 * 6371008.7714150598),
             call("asin", call("least", Literal(1.0), call("sqrt", h))))
         }, "scala_udf")
     }

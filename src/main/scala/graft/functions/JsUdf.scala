@@ -340,10 +340,11 @@ object JsUdf {
               if (!(a(0).str && lit.length >= 2 && lit.head == '\'' && lit.last == '\''))
                 unsupported(".split with a non-literal separator")
               val raw = lit.substring(1, lit.length - 1).replace("''", "'")
-              // double the backslashes: the emitted text re-parses as a
-              // Spark SQL string literal, which processes \-escapes
+              // the emitted text re-parses under STANDARD-CONFORMING
+              // literals (no \-escape processing), so the regex quoting
+              // goes through verbatim
               val quoted = "'" + java.util.regex.Pattern.quote(raw)
-                .replace("\\", "\\\\").replace("'", "''") + "'"
+                .replace("'", "''") + "'"
               e = E(s"split(${e.sql}, $quoted)", str = false)
             case "concat" =>
               expectOp("(")

@@ -53,7 +53,13 @@ object TimeFunctions {
           case None         => sb.append(tok.charAt(1))
         }
         i += 2
-      } else if (c.isLetter) { sb.append('\'').append(c).append('\''); i += 1 }
+      } else if (c.isLetter) {
+        // quote literal runs WHOLE — per-char quoting ('t''h''e')
+        // collapses the inner quotes to literal apostrophes
+        val start = i
+        while (i < p.length && p.charAt(i).isLetter) i += 1
+        sb.append('\'').append(p.substring(start, i)).append('\'')
+      }
       else { sb.append(c); i += 1 }
     }
     sb.toString

@@ -414,7 +414,7 @@ object Dedup {
   def repeatedGramStats(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 8): DataFrame = {
     val base = docs.select(col(idCol).as("id"),
-      expr(s"filter(split(${textCol}, '\\\\s+'), x -> x != '')").as("t"))
+      expr(s"filter(split(${textCol}, '\\s+'), x -> x != '')").as("t"))
     val grams = base.select(col("id"), explode(
         when(size(col("t")) >= k,
           transform(sequence(lit(1), size(col("t")) - k + 1),
@@ -447,7 +447,7 @@ object Dedup {
   def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                           k: Int = 8): DataFrame = {
     val base = docs.select(col(idCol).as("id"),
-      expr(s"filter(split(${textCol}, '\\\\s+'), x -> x != '')").as("t"))
+      expr(s"filter(split(${textCol}, '\\s+'), x -> x != '')").as("t"))
     val grams = base.select(col("id"), posexplode(
         when(size(col("t")) >= k,
           transform(sequence(lit(1), size(col("t")) - k + 1),

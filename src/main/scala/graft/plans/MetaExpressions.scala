@@ -62,9 +62,11 @@ case class GraftDateFormatExpr(fmt: Expression, tz: Expression, ts: Expression)
       litString(fmt, "format"))
     val zone = litString(tz, "timezone")
     val instant = ts.dataType match {
-      case LongType   => MillisToTimestamp(ts)
-      case StringType => Cast(ts, TimestampType)
-      case _          => ts
+      case LongType    => MillisToTimestamp(ts)
+      case IntegerType | ShortType | ByteType =>
+        MillisToTimestamp(Cast(ts, LongType))
+      case StringType  => Cast(ts, TimestampType, Some("UTC"))
+      case _           => ts
     }
     DateFormatClass(instant, Literal(UTF8String.fromString(pattern), StringType), Some(zone))
   }
@@ -93,10 +95,24 @@ case class GraftTimezoneExpr(tz: Expression, ts: Expression)
   override def prettyName: String = "timezone"
   override def children: Seq[Expression] = Seq(tz, ts)
 
+  /** Direction per the reference's overloads (TimezoneFunction.java:
+    * a WITH-time-zone input converts the instant to the zone's WALL
+    * time (timestamp without tz); a WITHOUT-time-zone input (millis
+    * longs, NTZ values, `::timestamp without time zone` casts)
+    * re-anchors the wall time IN the zone, yielding the UTC instant —
+    * `timezone('Europe/Madrid', '…10:00+01:00'::timestamp without
+    * time zone)` is 09:00Z, the docs' 257504400000). */
   override lazy val replacement: Expression = ts.dataType match {
     case LongType   => ToUTCTimestamp(MillisToTimestamp(ts), tz)
-    case StringType => ToUTCTimestamp(Cast(ts, TimestampType), tz)
-    case _          => FromUTCTimestamp(ts, tz)
+    case IntegerType | ShortType | ByteType =>
+      ToUTCTimestamp(MillisToTimestamp(Cast(ts, LongType)), tz)
+    case StringType => ToUTCTimestamp(Cast(ts, TimestampType, Some("UTC")), tz)
+    case TimestampNTZType =>
+      ToUTCTimestamp(Cast(ts, TimestampType, Some("UTC")), tz)
+    case _ => ts match {
+      case graft.plans.TimestampCastExpr(_, false) => ToUTCTimestamp(ts, tz)
+      case _ => FromUTCTimestamp(ts, tz)
+    }
   }
 
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
@@ -181,6 +197,9 @@ case class CurrentSettingExpr(name: Expression, missingOk: Option[Expression])
     val n = name.eval(input)
     if (n == null) return null
     val key = n.toString
+    // the reference's session settings that have no spark.sql.* conf
+    // (SessionSettingRegistry): default search_path is the `doc` schema
+    if (key == "search_path") return UTF8String.fromString("doc")
     val v = try Option(SQLConf.get.getConfString(key, null)) catch {
       case _: Exception => None
     }

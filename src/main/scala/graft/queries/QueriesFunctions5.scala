@@ -277,7 +277,7 @@ object QueriesFunctions5 {
                lpad(n_name, 12, '.') AS pad_l,
                rpad(n_name, 12, '.') AS pad_r,
                trim(BOTH 'AEIOU' FROM n_name) AS trimmed,
-               ltrim('AEIOU', n_name) AS ltrimmed,
+               ltrim(n_name, 'AEIOU') AS ltrimmed,
                left(n_name, 3) AS l3,
                right(n_name, 3) AS r3,
                repeat(left(n_name, 2), 3) AS rep

@@ -117,7 +117,7 @@ object QueriesRound14 {
           |     WHEN 5 THEN 'This is not foo bar' ~ '~(This is foo bar)'
           |     WHEN 6 THEN 'abc' ~ 'a~bc'
           |     WHEN 7 THEN 'abc' ~ 'b'
-          |     WHEN 8 THEN 'foo123' ~ 'foo\\d+'
+          |     WHEN 8 THEN 'foo123' ~ 'foo\d+'
           |     ELSE 'AbC' ~* 'a.c' END) AS m,
           |  (CASE CAST(doc_id % 10 AS INT)
           |     WHEN 0 THEN 'abc' !~ 'b'

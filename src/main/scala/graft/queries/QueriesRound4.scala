@@ -69,7 +69,7 @@ object QueriesRound4 {
                      concat('x', c_custkey % 7, 'y', c_custkey % 3, ' x',
                             c_custkey % 5, 'y', c_custkey % 2, 'z') AS txt
               FROM customer) t
-        LATERAL VIEW posexplode(regexp_matches_all(txt, 'x(\\d+)y(\\d+)')) p AS idx, m
+        LATERAL VIEW posexplode(regexp_matches_all(txt, 'x(\d+)y(\d+)')) p AS idx, m
         ORDER BY c_custkey, idx""")
     }),
 
@@ -1002,9 +1002,9 @@ object QueriesRound4 {
       val docs = T(s, dir, "documents").select(col("doc_id"),
         when(col("doc_id") % 5 === 1,
           concat(expr("repeat('ok ', 60)"), expr("repeat('# ', 10)")))
-        .when(col("doc_id") % 5 === 2, expr("repeat('• item\\n', 10)"))
+        .when(col("doc_id") % 5 === 2, expr("repeat('• item' || chr(10), 10)"))
         .when(col("doc_id") % 5 === 3,
-          concat(expr("repeat('and more to come...\\n', 5)"),
+          concat(expr("repeat('and more to come...' || chr(10), 5)"),
             lit("the tail line with enough words to verify")))
         .when(col("doc_id") % 5 === 4, expr("repeat('12345 67890 ', 40)"))
         .otherwise(col("text")).as("text"))

@@ -94,12 +94,12 @@ class GeoNetKernelSpec extends AnyFunSuite {
 class DialectSpec extends AnyFunSuite {
   private val corpus: Seq[(String, String)] = Seq(
     // function renames
-    "SELECT arbitrary(x) FROM t" -> "SELECT any_value(x) FROM t",
-    "SELECT hyperloglog_distinct(x) FROM t" -> "SELECT approx_count_distinct(x) FROM t",
-    "SELECT curdate()" -> "SELECT current_date()",
-    "SELECT strpos(name, 'a') FROM t" -> "SELECT instr(name, 'a') FROM t",
+    "SELECT arbitrary(x) FROM t" -> "SELECT any_value(x) AS arbitrary FROM t",
+    "SELECT hyperloglog_distinct(x) FROM t" -> "SELECT approx_count_distinct(x) AS hyperloglog_distinct FROM t",
+    "SELECT curdate()" -> "SELECT current_date() AS curdate",
+    "SELECT strpos(name, 'a') FROM t" -> "SELECT instr(name, 'a') AS strpos FROM t",
     "SELECT array_cat(a, b), array_unique(a), array_difference(a, b) FROM t" ->
-      "SELECT graft_array_cat(a, b), graft_array_unique(a), graft_array_difference(a, b) FROM t",
+      "SELECT graft_array_cat(a, b) AS array_cat, graft_array_unique(a) AS array_unique, graft_array_difference(a, b) AS array_difference FROM t",
     // :: casts — simple, literal, parenthesized, call, array type
     "SELECT a::bigint FROM t" -> "SELECT CAST(a AS BIGINT) FROM t",
     "SELECT '1'::decimal(10,2)" -> "SELECT CAST('1' AS DECIMAL(10,2))",
@@ -125,7 +125,8 @@ class DialectSpec extends AnyFunSuite {
       "SELECT * FROM t WHERE NOT (graft_regexp_match(name, 'x$'))",
     "SELECT * FROM t WHERE name !~* 'x$'" ->
       "SELECT * FROM t WHERE NOT (graft_regexp_match_ci(name, 'x$'))",
-    "SELECT a # b FROM t" -> "SELECT a ^ b FROM t",
+    "SELECT a # b FROM t" -> "SELECT graft_bitxor(a, b) FROM t",
+    "SELECT 2 ^ 3" -> "SELECT power(2, 3) AS power",
     "SELECT ~flags FROM t" -> "SELECT ~flags FROM t",
     "SELECT 'a ~ b' FROM t" -> "SELECT 'a ~ b' FROM t",
     // array-overlap operator and PG-argument-order swaps
@@ -134,9 +135,9 @@ class DialectSpec extends AnyFunSuite {
     "SELECT a.tags && other_tags FROM t WHERE x = 1" ->
       "SELECT graft_array_overlap(a.tags, other_tags) FROM t WHERE x = 1",
     "SELECT array_prepend(0, arr) FROM t" ->
-      "SELECT graft_array_prepend(0, arr) FROM t",
-    "SELECT array_overlap(a, b) FROM t" -> "SELECT graft_array_overlap(a, b) FROM t",
-    "SELECT gen_random_text_uuid() FROM t" -> "SELECT uuid() FROM t",
+      "SELECT graft_array_prepend(0, arr) AS array_prepend FROM t",
+    "SELECT array_overlap(a, b) FROM t" -> "SELECT graft_array_overlap(a, b) AS array_overlap FROM t",
+    "SELECT gen_random_text_uuid() FROM t" -> "SELECT uuid() AS gen_random_text_uuid FROM t",
     "SELECT 'a && b' FROM t" -> "SELECT 'a && b' FROM t",
     // system-schema qualifiers → flat registered view names
     "SELECT * FROM sys.shards" -> "SELECT * FROM sys_shards",
@@ -160,9 +161,9 @@ class DialectSpec extends AnyFunSuite {
     "SELECT f(x)[2] FROM t" ->
       "SELECT if((2) <= 0, null, try_element_at(f(x), 2)) FROM t",
     // slices: 1-based inclusive ends, both optional, to clamped to length
-    "SELECT a[2:3] FROM t" -> "SELECT slice(a, 2, greatest((3) - (2) + 1, 0)) FROM t",
-    "SELECT a[2:] FROM t" -> "SELECT slice(a, 2, greatest(size(a) - (2) + 1, 0)) FROM t",
-    "SELECT a[:3] FROM t" -> "SELECT slice(a, 1, greatest(3, 0)) FROM t",
+    "SELECT a[2:3] FROM t" -> "SELECT slice(a, 2, greatest((3) - (2) + 1, 0)) AS slice FROM t",
+    "SELECT a[2:] FROM t" -> "SELECT slice(a, 2, greatest(size(a) - (2) + 1, 0)) AS slice FROM t",
+    "SELECT a[:3] FROM t" -> "SELECT slice(a, 1, greatest(3, 0)) AS slice FROM t",
     // array + object literals
     "SELECT [1, 2, 3]" -> "SELECT array(1, 2, 3)",
     "SELECT ARRAY[1, 2]" -> "SELECT array(1, 2)",
@@ -209,26 +210,26 @@ class DialectSpec extends AnyFunSuite {
       "SELECT exists(graft_dim_match(name, patterns), __t -> NOT (name ILIKE __t)) FROM t",
     // ANY over subqueries is left for the Column-API rewrites (q101+)
     "SELECT x FROM t WHERE x > ANY (SELECT y FROM u)" ->
-      ("SELECT x FROM t WHERE CASE WHEN (SELECT count(*) FROM u) = 0 THEN FALSE " +
-        "WHEN (x) > (SELECT min(y) FROM u) THEN TRUE " +
-        "WHEN (SELECT count(CASE WHEN (y) IS NULL THEN 1 END) FROM u) > 0 " +
+      ("SELECT x FROM t WHERE CASE WHEN (SELECT count(*) AS count FROM u) = 0 THEN FALSE " +
+        "WHEN (x) > (SELECT min(y) AS min FROM u) THEN TRUE " +
+        "WHEN (SELECT count(CASE WHEN (y) IS NULL THEN 1 END) AS count FROM u) > 0 " +
         "OR (x) IS NULL THEN CAST(NULL AS BOOLEAN) ELSE FALSE END"),
     // unsupported subquery shapes stay untouched (Spark reports the original)
     "SELECT x FROM t WHERE x > ANY (SELECT y FROM u LIMIT 3)" ->
       "SELECT x FROM t WHERE x > ANY (SELECT y FROM u LIMIT 3)",
     // ARRAY(subquery) constructor
     "SELECT ARRAY(SELECT y FROM u) AS arr" ->
-      "SELECT (SELECT coalesce(collect_list(y), array()) FROM u) AS arr",
+      "SELECT (SELECT coalesce(collect_list(y), array()) AS coalesce FROM u) AS arr",
     "SELECT array(1, 2) FROM t" -> "SELECT array(1, 2) FROM t",
     // UNION ALL / SELECT ALL must NOT trip the ALL rewrite
     "SELECT a FROM t UNION ALL SELECT b FROM u" -> "SELECT a FROM t UNION ALL SELECT b FROM u",
     // aggregate FILTER clause
     "SELECT count(*) FILTER (WHERE x > 3) FROM t" ->
-      "SELECT count(CASE WHEN x > 3 THEN 1 END) FROM t",
+      "SELECT count(CASE WHEN x > 3 THEN 1 END) AS count FROM t",
     "SELECT sum(v) FILTER (WHERE k = 'a') AS s FROM t" ->
       "SELECT sum(CASE WHEN k = 'a' THEN v END) AS s FROM t",
     "SELECT count(DISTINCT v) FILTER (WHERE ok) FROM t" ->
-      "SELECT count(DISTINCT CASE WHEN ok THEN v END) FROM t",
+      "SELECT count(DISTINCT CASE WHEN ok THEN v END) AS count FROM t",
     // SQL-standard FETCH/OFFSET forms
     "SELECT a FROM t OFFSET 5 ROWS FETCH FIRST 10 ROWS ONLY" ->
       "SELECT a FROM t OFFSET 5 LIMIT 10",
@@ -685,8 +686,9 @@ class MiscFunctionsSpec extends SparkTestBase {
   }
 
   test("escape-format encode/decode round-trips binary") {
+    graft.functions.GraftFunctions.registerAll(spark) // + raw literals
     val r = spark.sql(
-      """SELECT decode_escape(encode_escape(CAST('h\\i' AS BINARY))) AS rt,
+      """SELECT decode_escape(encode_escape(CAST('h\i' AS BINARY))) AS rt,
                 encode_escape(CAST(x'00ff41' AS BINARY)) AS esc""").head()
     assert(new String(r.getAs[Array[Byte]](0)) == "h\\i")
     assert(r.getString(1) == "\\000\\377A")

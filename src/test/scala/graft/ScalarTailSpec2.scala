@@ -105,7 +105,7 @@ class ScalarTailSpec2 extends SparkTestBase {
     assert(one("SELECT encode('abc', 'hex')") == "616263")
     assert(one("SELECT CAST(decode('YWJj', 'base64') AS STRING)") == "abc")
     assert(one("SELECT CAST(decode('616263', 'hex') AS STRING)") == "abc")
-    assert(one(raw"SELECT cast(decode(encode('ab\\cd', 'escape'), 'escape') AS STRING)")
+    assert(one(raw"SELECT cast(decode(encode('ab\cd', 'escape'), 'escape') AS STRING)")
       == raw"ab\cd")
     val e = intercept[Exception](Engine.sql(spark, "SELECT encode('x', 'mime')"))
     assert(e.getMessage.contains("unsupported format"))

@@ -515,11 +515,12 @@ class PgCatalogSpec extends SparkTestBase {
     assert(Engine.sql(spark, "SELECT datname FROM pg_database").head().getString(0) == "graft")
     assert(Engine.sql(spark,
       "SELECT nspname FROM pg_catalog.pg_namespace WHERE oid = 11").head().getString(0) == "pg_catalog")
-    // privilege shims fold TRUE at any arity; pg_backend_pid is this JVM
+    // privilege shims fold TRUE at any arity; pg_backend_pid is the
+    // reference's CONSTANT -1 (no per-connection backend process)
     val p = Engine.sql(spark,
       "SELECT has_table_privilege('orders', 'SELECT') AS a, " +
       "has_schema_privilege('u', 'doc', 'USAGE') AS b, pg_backend_pid() AS pid").head()
-    assert(p.getBoolean(0) && p.getBoolean(1) && p.getInt(2) > 0)
+    assert(p.getBoolean(0) && p.getBoolean(1) && p.getInt(2) == -1)
   }
 
   test("full 31-relation breadth: PK index/constraint rows, roles, cursors, empties") {

@@ -33,8 +33,8 @@ class StringEdgeReferenceConformanceSpec extends SparkTestBase {
         "trim(BOTH 'ab' FROM 'abababcccababab') AS d, " +
         "trim(BOTH 'abc' FROM 'aaabbbcccbbbaaa') AS e, " +
         "btrim('aaabbbcArthurccbbbaaa', 'abc') AS f, " +
-        "ltrim('xyz', 'zyxzyzHello Worldzyxzyz') AS g, " +
-        "rtrim('xyz', 'zyxzyzHello Worldzyxzyz') AS h, " +
+        "ltrim('zyxzyzHello Worldzyxzyz', 'xyz') AS g, " +
+        "rtrim('zyxzyzHello Worldzyxzyz', 'xyz') AS h, " +
         "trim(BOTH '' FROM ' hello') AS i, " +
         "trim('  Hello World   ') AS j")
     assert(r.getString(0) == "cabc")
@@ -110,9 +110,9 @@ class StringEdgeReferenceConformanceSpec extends SparkTestBase {
     (0 to 3).foreach(i => assert(n2.isNullAt(i)))
     // the SQL surface routes lpad/rpad through the graft twins
     assert(Dialect.translate("SELECT lpad(name, 5, 'x') FROM t") ==
-      "SELECT graft_lpad(name, 5, 'x') FROM t")
+      "SELECT graft_lpad(name, 5, 'x') AS lpad FROM t")
     assert(Dialect.translate("SELECT rpad(name, 5) FROM t") ==
-      "SELECT graft_rpad(name, 5) FROM t")
+      "SELECT graft_rpad(name, 5) AS rpad FROM t")
   }
 
   test("translate vectors (TranslateFunctionTest: dup chars first-win, " +
@@ -279,7 +279,7 @@ class StringEdgeReferenceConformanceSpec extends SparkTestBase {
     assert(r.getString(5) == "foobarbequebaz")
     // the Dialect routes the name (Spark's native replaces ALL)
     assert(Dialect.translate("SELECT regexp_replace(a, 'x', 'y') FROM t") ==
-      "SELECT graft_regexp_replace(a, 'x', 'y') FROM t")
+      "SELECT graft_regexp_replace(a, 'x', 'y') AS regexp_replace FROM t")
     // unknown flag is LOUD with the reference's message
     val e = intercept[Exception](one(
       "SELECT regexp_replace('foobar', 'foo', 'bar', 'n') AS x"))

@@ -96,9 +96,9 @@ class StringTailReferenceConformanceSpec extends SparkTestBase {
 
   test("AT TIME ZONE lowers to timezone(zone, ts) (AtTimezoneSyntaxFunctionTest)") {
     assert(Dialect.translate("SELECT ts AT TIME ZONE 'Europe/Madrid' FROM t") ==
-      "SELECT timezone('Europe/Madrid', ts) FROM t")
+      "SELECT timezone('Europe/Madrid', ts) AS timezone FROM t")
     assert(Dialect.translate("SELECT '1978-02-28T10:00:00+01:00' AT TIME ZONE 'Europe/Madrid'") ==
-      "SELECT timezone('Europe/Madrid', '1978-02-28T10:00:00+01:00')")
+      "SELECT timezone('Europe/Madrid', '1978-02-28T10:00:00+01:00') AS timezone")
     // and the lowered call evaluates through the registered twin
     val r = one("SELECT CAST(timezone('Europe/Madrid', 257504400000) AS STRING) AS a")
     assert(r.getString(0).startsWith("1978-02-28 08:00:00"))
