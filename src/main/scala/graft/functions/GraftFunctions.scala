@@ -27,9 +27,11 @@ object GraftFunctions {
     // backslash escapes in '...' literals, so `'foo\d+'` is a regex
     // pattern, not "food+". Spark's legacy default eats the backslash
     // (found by the docs corpus: every regex doc example silently
-    // mis-parsed). Set unconditionally, not just on first registration:
-    // a session must never flip back.
-    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    // mis-parsed). Checked on every call (not just first registration)
+    // so a session can never flip back; guarded to keep Spark's
+    // deprecation WARN out of per-entry logs.
+    if (spark.conf.get("spark.sql.parser.escapedStringLiterals", "false") != "true")
+      spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
     if (!registered.add(System.identityHashCode(spark).toString)) return
     val u = spark.udf
 
