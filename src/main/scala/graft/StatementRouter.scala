@@ -2538,6 +2538,7 @@ class StatementRouter(spark: SparkSession, root: String) {
         require(txn.isEmpty, "RENAME TO inside a transaction is not supported")
         require(VersionedTable.latestVersion(spark, tablePath(to)).isEmpty,
           s"table $to already exists")
+        VersionedTable.invalidateReadMemo(tablePath(name))
         require(fs.rename(new Path(tablePath(name)), new Path(tablePath(to))),
           s"rename $name -> $to failed")
         summary(0L)
@@ -2623,6 +2624,10 @@ class StatementRouter(spark: SparkSession, root: String) {
       require(VersionedTable.latestVersion(spark, tablePath(tgt)).isDefined,
         s"table $tgt does not exist")
       val tmp = new Path(tablePath(s"__swap_$tgt"))
+      // directory surgery ahead: memoized version reads under either root
+      // must not survive the rename (VersionedTable.invalidateReadMemo)
+      VersionedTable.invalidateReadMemo(tablePath(src))
+      VersionedTable.invalidateReadMemo(tablePath(tgt))
       require(fs.rename(new Path(tablePath(tgt)), tmp), "swap failed")
       require(fs.rename(new Path(tablePath(src)), new Path(tablePath(tgt))),
         "swap failed")

@@ -16,7 +16,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Resolved-scan memo: `spark.read.parquet` eagerly lists the dataset and
+    * reads footers for schema inference on EVERY call — pure metadata work
+    * that a catalog-backed engine does once (the reference caches table
+    * metadata in DocTableInfo; Spark caches it for catalog tables but not
+    * for repeated `read.parquet` calls). The fixture files are immutable,
+    * so the resolved DataFrame (plan metadata only — every execution still
+    * scans the parquet) is reused per (session, dir, table). Keyed on the
+    * session REFERENCE (not a hash) so distinct sessions never collide. */
+  private val loadMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // the nanos conf must be set before the first events read in any
+    // session; cheap, so set it unconditionally (memo hit or not)
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    loadMemo.computeIfAbsent((spark, dir, name), _ => build(spark, dir, name))
+  }
+
+  private def build(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts has shipped as INT64 TIMESTAMP(NANOS) (which Spark's
       // vectorized reader rejects — read nanos as long and divide to
@@ -26,7 +45,6 @@ object Tables {
       // NTZ → LTZ cast is instant-preserving and matches DuckDB's naive
       // timestamps.
       import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       raw.schema("ts").dataType match {
         case LongType =>
@@ -50,14 +68,27 @@ object Tables {
     * views over bare file scans never have. `events` is excluded (its
     * TIMESTAMP(NANOS) column needs the converted temp view from [[load]]).
     * Idempotent; call once per session before stats-sensitive planning. */
+  /** ANALYZE is a full scan per table; the fixture files are immutable, so
+    * the computed stats are too — re-ANALYZE per invocation was pure
+    * re-computation (the reference's TableStatsService likewise refreshes
+    * on a schedule, not per statement). The memo skips the scan when this
+    * (session, dir) already analyzed and the catalog tables still exist;
+    * the temp-view unshadowing stays per-call because interleaved entries
+    * re-register fixture temp views. */
+  private val statsMemo = java.util.concurrent.ConcurrentHashMap.newKeySet[
+    (SparkSession, String)]()
+
   def registerAllWithStats(spark: SparkSession, dir: String): Unit = {
     // stats are pointless unless the planner consumes them
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    val firstTime = statsMemo.add((spark, dir))
     names.filterNot(_ == "events").foreach { n =>
       spark.catalog.dropTempView(n)
-      spark.sql(s"CREATE TABLE IF NOT EXISTS $n USING parquet LOCATION '$dir/$n.parquet'")
-      spark.sql(s"ANALYZE TABLE $n COMPUTE STATISTICS")
+      if (firstTime || !spark.catalog.tableExists(n)) {
+        spark.sql(s"CREATE TABLE IF NOT EXISTS $n USING parquet LOCATION '$dir/$n.parquet'")
+        spark.sql(s"ANALYZE TABLE $n COMPUTE STATISTICS")
+      }
     }
     load(spark, dir, "events").createOrReplaceTempView("events")
   }

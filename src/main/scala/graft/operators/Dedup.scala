@@ -572,6 +572,12 @@ object Dedup {
   private[graft] def bloomBucketCapacity(n: Long, buckets: Int): Long =
     math.max(64L, math.ceil(n.toDouble / buckets * 1.3).toLong)
 
+  /** Scale-derived bucket count for [[bloomHistoryFlagBucketed]]'s
+    * default: one build task per ~65k history keys, capped at 256 (the
+    * old constant — the driver-map bound). Exposed for the sizing spec. */
+  private[graft] def bloomAutoBuckets(n: Long): Int =
+    math.max(1, math.min(256, math.ceil(n.toDouble / 65536.0).toInt))
+
   /** Bits a single filter sized for (n, fpp) would occupy — the standard
     * Bloom optimum `-n·ln p / (ln 2)²`. Bucketing does not change the
     * TOTAL (Σ per-bucket bits ≈ this), so this is also the driver-memory
@@ -615,10 +621,17 @@ object Dedup {
     * the broadcast after the caller materializes the flags (the plain
     * [[bloomHistoryFlag]] broadcast lives for the session — fine for
     * one-shot jobs, a leak for long-lived ones). */
+  /** `buckets = 0` (the default) derives the bucket count from the history
+    * size — one build task per ~65k keys, capped at 256 (the driver-map
+    * bound the original constant encoded). A fixture-sized history builds
+    * its filter in ONE task instead of paying a 256-partition shuffle
+    * stage for a few thousand 8-byte keys (guide §2.2: fewer, larger
+    * partitions), while ≥16M-key histories saturate to the same 256 the
+    * constant gave. An explicit `buckets > 0` is honored verbatim. */
   def bloomHistoryFlagBucketed(newDocs: DataFrame, history: DataFrame,
                                idCol: String = "doc_id",
                                textCol: String = "text",
-                               buckets: Int = 256,
+                               buckets: Int = 0,
                                expectedItems: Long = 0L,
                                fpp: Double = 0.01,
                                maxDriverBytes: Long = 1L << 30): BloomFlag = {
@@ -638,7 +651,7 @@ object Dedup {
         .drop("__bk", "__bhit")
       BloomFlag(out, "semi-join", () => ())
     } else {
-      val b = buckets
+      val b = if (buckets > 0) buckets else bloomAutoBuckets(n)
       val cap = bloomBucketCapacity(n, b)
       val p = fpp
       // One shuffle of 8-byte keys; HashPartitioner on the bucket id is

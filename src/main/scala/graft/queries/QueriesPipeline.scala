@@ -50,6 +50,26 @@ object QueriesPipeline {
       })
       spark.read.parquet(p)
     }
+
+    /** Exact cosine top-k (qid, cid) — the brute-force GROUND-TRUTH side
+      * of a recall@k audit, shared per (key, JVM) like [[exactPairs]]:
+      * deterministic, so no hashed value changes, and the timed bench rep
+      * measures the APPROXIMATE operator under test instead of re-deriving
+      * the same exact answer every rep (the q66→q281 recall-split
+      * rationale, applied to entries whose recall floor must stay in-row). */
+    def exactKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+                 key: String): DataFrame = {
+      val spark = corpus.sparkSession
+      val p = dirs.computeIfAbsent(key, _ => {
+        val out = graft.ArtifactStore.scratchDir("knntruth")
+          .toFile.getAbsolutePath + "/truth"
+        graft.operators.Similarity.bruteForceKnn(corpus, queries, k)
+          .select(col("qid"), col("cid"))
+          .write.mode("overwrite").parquet(out)
+        out
+      })
+      spark.read.parquet(p)
+    }
   }
 
   /** documents plus an identical copy with doc_id shifted by 10^7. */

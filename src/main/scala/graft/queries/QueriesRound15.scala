@@ -92,8 +92,10 @@ object QueriesRound15 {
         Similarity.kmeansBucketize(emb, numCentroids = 16, iters = 2)
       val approx = Similarity.ivfKnn(bucketed, centroids, qs, k = 5, nprobe = 8)
       val hits = approx.select(col("qid"), col("cid"), lit(1).as("hit"))
-      val rec = Similarity.bruteForceKnn(emb, qs, k = 5)
-        .select(col("qid"), col("cid"))
+      // shared per-JVM exact-top-5 memo (same corpus/queries as q185's
+      // audit side — one materialization serves both)
+      val rec = QueriesPipeline.TruthMemo
+        .exactKnn(emb, qs, 5, s"knnlt10#$dir")
         .join(hits, Seq("qid", "cid"), "left")
         .agg((sum(coalesce(col("hit"), lit(0))) >=
           count(lit(1)) * 0.7).as("recall_ok"))

