@@ -161,6 +161,24 @@ object BenchSf1 {
     // factor
     "q282_array_contracts", "q283_pg_to_char")
 
+  /** Wave 11 (optimization round 1): every entry whose code path the
+    * round changed — the registration/metadata memos (catalog snapshot,
+    * resolved-scan reuse, ANALYZE-once), the scale-derived bloom bucket
+    * count (q245 — at sf1 the auto formula still picks 1 build task; at
+    * ≥16M keys it saturates to the old 256), the stream-source memo
+    * (q277-q279), the single-tokenization text passes (q165/q167/q172/
+    * q207), and the build-once IVF/bucketed-table constructions (q185/
+    * q202/q276/q280). Selected with SPARK_GRAFT_SF1_WAVE=11 →
+    * BENCH_sf1_wave11.json. */
+  private val wave11 = Seq(
+    "q245_bloom_bucketed_dedup", "q277_streaming_tumbling",
+    "q278_streaming_sessions", "q279_streaming_interval_join",
+    "q165_repetition", "q167_training_export", "q172_match_phrase_slop",
+    "q207_gopher_rules", "q185_ivf_quantized", "q202_ivf_delta",
+    "q276_clustered_join", "q280_clustered_plan_probe",
+    "q281_knn_ivf_recall", "q246_knn_recall_sample",
+    "q174_pg_catalog", "q226_analyze_histogram", "q110_cbo_join")
+
   /** The CONSOLIDATED wave (r10 verdict ask #7): the ENTIRE catalog at
     * sf1 in one artifact — the per-wave format proved each round's new
     * entries sublinear when they landed, but hides whether EARLY entries
@@ -260,6 +278,7 @@ object BenchSf1 {
       case "8"    => wave8
       case "9"    => wave9
       case "10"   => wave10
+      case "11"   => wave11
       case "full" => waveFull
       case _      => headline
     }
@@ -273,6 +292,7 @@ object BenchSf1 {
       case "8"    => "BENCH_sf1_wave8.json"
       case "9"    => "BENCH_sf1_wave9.json"
       case "10"   => "BENCH_sf1_wave10.json"
+      case "11"   => "BENCH_sf1_wave11.json"
       case "full" => "BENCH_sf1_full.json"
       case _      => "BENCH_sf1.json"
     }

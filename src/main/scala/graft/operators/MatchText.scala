@@ -1127,10 +1127,18 @@ object MatchText {
     * arrays via `filter` over a posexplode-free zip_with index trick, then
     * a nested `exists` chain — no UDF, stays in codegen. */
   def phraseSlopPredicate(text: Column, phrase: String, slop: Int,
-                          analyzer: Analyzer = Analyzer.default): Column = {
+                          analyzer: Analyzer = Analyzer.default): Column =
+    phraseSlopOverTokens(analyzer(text), phrase, slop, analyzer)
+
+  /** [[phraseSlopPredicate]] over an already-analyzed token array — lets
+    * a caller evaluating several phrase predicates on the same text
+    * project the token array ONCE (the analyzer and the positional
+    * machinery below are non-codegen higher-order expressions, so every
+    * textual reference re-tokenized otherwise). Semantics identical. */
+  def phraseSlopOverTokens(toks: Column, phrase: String, slop: Int,
+                           analyzer: Analyzer = Analyzer.default): Column = {
     val terms = analyzer.tokens(phrase)
     require(terms.nonEmpty, "empty phrase")
-    val toks = analyzer(text)
     // positions of each phrase term in the token array (1-based)
     def positions(term: String): Column =
       filter(zip_with(toks, sequence(lit(1), size(toks)),

@@ -89,13 +89,18 @@ object TextAnalysis {
     * expressions on the scan.
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val lines = filter(split(col(textCol), "\n"), l => length(trim(l)) > 0)
-    val lineStats = df.select(
-      col(idCol),
-      size(lines).as("n_lines"),
-      when(size(lines) > 0,
-        lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines))
-        .otherwise(0.0).as("dup_line_frac"))
+    // one split+filter per row (the non-codegen higher-order expression
+    // was re-evaluated per reference otherwise — see gopherFlags)
+    val lineStats = df.select(col(idCol),
+        filter(split(col(textCol), "\n"), l => length(trim(l)) > 0)
+          .as("__lines"))
+      .select(
+        col(idCol),
+        size(col("__lines")).as("n_lines"),
+        when(size(col("__lines")) > 0,
+          lit(1.0) - size(array_distinct(col("__lines"))).cast("double") /
+            size(col("__lines")))
+          .otherwise(0.0).as("dup_line_frac"))
 
     val toks = tokens(col(textCol))
     val bigrams = df
@@ -133,7 +138,24 @@ object TextAnalysis {
     * the same paper's rules, which needs an aggregation). */
   def gopherFlags(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    val words = filter(split(t, "\\s+"), w => length(w) > 0)
+    // materialize the word/line arrays ONCE per row: the downstream rules
+    // reference them up to 7×, and higher-order array expressions
+    // (filter/transform lambdas) are not whole-stage-codegen'd, so each
+    // reference re-split and re-filtered the text (measured: most of
+    // q207's per-task time). A separate projection holds the arrays;
+    // CollapseProject keeps it (non-cheap aliases used more than once
+    // are not inlined), so every rule below reads the computed column.
+    // Values are bit-identical — same expressions, evaluated once.
+    val pre = df.select(col(idCol), t.as("__t"),
+      filter(split(t, "\\s+"), w => length(w) > 0).as("__words"),
+      filter(transform(split(t, "\n"), trim(_)),
+        l => length(l) > 0).as("__lines"))
+    gopherFlagsPre(pre, idCol)
+  }
+
+  private def gopherFlagsPre(pre: DataFrame, idCol: String): DataFrame = {
+    val t = col("__t")
+    val words = col("__words")
     val nWords = size(words).cast("double")
     val meanLen = when(nWords > 0,
       length(concat_ws("", words)).cast("double") / nWords).otherwise(0.0)
@@ -141,7 +163,7 @@ object TextAnalysis {
     val ellipses = ((length(t) -
       length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("double")
     val symbolRatio = when(nWords > 0, (hashes + ellipses) / nWords).otherwise(1.0)
-    val lines = filter(transform(split(t, "\n"), trim(_)), l => length(l) > 0)
+    val lines = col("__lines")
     val nLines = size(lines).cast("double")
     val bulletFrac = when(nLines > 0,
       size(filter(lines, l => substring(l, 1, 1).isin("•", "-", "*")))
@@ -164,7 +186,7 @@ object TextAnalysis {
       "g_ellipsis"   -> (ellipsisFrac <= 0.3),
       "g_alpha"      -> (alphaFrac >= 0.8),
       "g_stopwords"  -> (stopHits >= 2))
-    df.select(
+    pre.select(
       (col(idCol) +: size(words).as("n_words") +:
         flags.map { case (n, c) => c.as(n) }) :+
         flags.map(_._2).reduce(_ && _).as("keep"): _*)

@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
   */
 object QueriesRound15 {
 
+  /** q280's bucketed-table build memo (q276's pattern — construction
+    * once per (dir, JVM), the probed plan re-derived per rep). */
+  private val bucketedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Pin SQL confs for the duration of `f`, restoring previous values
     * (unset keys restored to unset). */
   private def withConfs[T](s: SparkSession, kvs: (String, String)*)(f: => T): T = {
@@ -48,25 +53,33 @@ object QueriesRound15 {
     // plan on every harness.
     "q280_clustered_plan_probe" -> ((s, dir) => {
       import graft.sources.Bucketing
-      val orders = graft.Tables.load(s, dir, "orders")
-        .select(col("o_custkey"), col("o_orderkey"),
-          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
-      val cust = graft.Tables.load(s, dir, "customer")
-        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
-      for (t <- Seq("q280_orders_b", "q280_cust_b")) {
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        val p = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir") + s"/$t")
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
-      }
-      Bucketing.writeBucketed(orders, "q280_orders_b", 8, Seq("o_custkey"))
-      Bucketing.writeBucketed(cust, "q280_cust_b", 8, Seq("o_custkey"))
+      // build-once bucketed tables, q276's pattern (dir-tagged names so
+      // different-sf runs in one JVM never collide); the probed PLAN is
+      // re-derived per rep — the fact under test
+      val tag = math.abs(dir.hashCode).toString
+      val (ot, ct) = (s"q280_orders_b_$tag", s"q280_cust_b_$tag")
+      bucketedMemo.computeIfAbsent(s"q280#$dir", _ => {
+        val orders = graft.Tables.load(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+        val cust = graft.Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+        for (t <- Seq(ot, ct)) {
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir") + s"/$t")
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        Bucketing.writeBucketed(orders, ot, 8, Seq("o_custkey"))
+        Bucketing.writeBucketed(cust, ct, 8, Seq("o_custkey"))
+        "built"
+      })
       val shuffleFree = withConfs(s,
         "spark.sql.adaptive.enabled" -> "false",
         "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
-        val agg = Bucketing.table(s, "q280_orders_b")
-          .join(Bucketing.table(s, "q280_cust_b"), Seq("o_custkey"))
+        val agg = Bucketing.table(s, ot)
+          .join(Bucketing.table(s, ct), Seq("o_custkey"))
           .groupBy(col("o_custkey"), col("c_mktsegment"))
           .agg(count(lit(1)).as("n_orders"),
             sum(col("price_cents")).as("total_cents"))

@@ -35,7 +35,11 @@ class OptimizationR15Spec extends SparkTestBase {
     val stats = spark.table("orders").queryExecution.optimizedPlan.stats
     assert(stats.rowCount.exists(_.toLong > 0),
       "CBO rowCount must survive the memoized re-register")
-    // restore plain temp views for the rest of the suite JVM
+    // restore the shared session: drop the catalog tables this test
+    // created (they'd otherwise double every fixture name in
+    // listTables for later suites) and re-register plain temp views
+    Tables.names.filterNot(_ == "events")
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
     Tables.registerAll(spark, sfDir)
   }
 
