@@ -3541,6 +3541,9 @@ class StatementRouter(spark: SparkSession, root: String) {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(fname,
       exprs => graft.functions.UdfOverloads.dispatch(fname, exprs),
       "scala_udf")
+    // same-signature OR REPLACE keeps the registry name-set unchanged —
+    // bump the snapshot counter so pg_proc/routines refresh (ADVICE r15)
+    graft.sources.CatalogSnapshot.bump(spark)
     summary(1L)
   }
 
@@ -3583,6 +3586,7 @@ class StatementRouter(spark: SparkSession, root: String) {
     spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS `${removed.mangled}`")
     if (remaining == 0)
       spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS `$fname`")
+    graft.sources.CatalogSnapshot.bump(spark)
     summary(1L)
   }
 

@@ -85,7 +85,18 @@ object Tables {
     val firstTime = statsMemo.add((spark, dir))
     names.filterNot(_ == "events").foreach { n =>
       spark.catalog.dropTempView(n)
-      if (firstTime || !spark.catalog.tableExists(n)) {
+      // location guard (ADVICE r15): CREATE TABLE IF NOT EXISTS is a no-op
+      // when the name already points at a DIFFERENT dir's files — the old
+      // path would then ANALYZE (and memoize) the wrong scale factor's
+      // data silently. Drop and recreate when the location mismatches.
+      val want = new org.apache.hadoop.fs.Path(s"$dir/$n.parquet").toUri.getPath
+      val cur =
+        if (!spark.catalog.tableExists(n)) None
+        else Some(new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(n))
+          .location).toUri.getPath)
+      if (cur.exists(_ != want)) spark.sql(s"DROP TABLE $n")
+      if (firstTime || cur.isEmpty || cur.exists(_ != want)) {
         spark.sql(s"CREATE TABLE IF NOT EXISTS $n USING parquet LOCATION '$dir/$n.parquet'")
         spark.sql(s"ANALYZE TABLE $n COMPUTE STATISTICS")
       }

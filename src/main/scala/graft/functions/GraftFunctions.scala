@@ -392,6 +392,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_minhash_bands",
       exprs => graft.plans.MinHashBandsExpr(exprs(0),
         litInt(exprs(1)), litInt(exprs(2)), litInt(exprs(3))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_shingles",
+      exprs => graft.plans.ShingleArrayExpr(exprs(0), litInt(exprs(1))),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("graft_jaccard_sorted",
+      exprs => graft.plans.JaccardSortedExpr(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_simhash",
       exprs => graft.plans.SimHashExpr(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_fingerprint",

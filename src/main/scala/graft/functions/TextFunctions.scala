@@ -127,6 +127,55 @@ object TextFunctions {
     (0 to norm.length - shingleSize).map(i => fnv1a64(norm, i, i + shingleSize)).toSet
   }
 
+  /** [[shingleSet]] as a SORTED distinct array — the pre-shingle
+    * projection for pair verification (guide §4 expression reuse / the
+    * r15 single-pass-tokenization recipe applied to the dedup family):
+    * computed ONCE per document before the candidate join, so the
+    * per-pair verify is a zero-allocation merge-count
+    * ([[jaccardSortedLongs]]) instead of re-normalizing (a regex pass)
+    * and re-hashing both texts for every candidate pair. Same hash
+    * family and set content as [[shingleSet]], so
+    * jaccardSortedLongs(shingleArray(a), shingleArray(b)) ==
+    * shingleJaccard(a, b) bit-for-bit. */
+  def shingleArray(text: String, shingleSize: Int): Array[Long] = {
+    val norm = normalize(text)
+    if (norm.isEmpty) return Array.emptyLongArray
+    if (norm.length < shingleSize) return Array(fnv1a64(norm))
+    val last = norm.length - shingleSize
+    val bases = new Array[Long](last + 1)
+    var i = 0
+    while (i <= last) { bases(i) = fnv1a64(norm, i, i + shingleSize); i += 1 }
+    java.util.Arrays.sort(bases)
+    var n = 0
+    var prev = 0L
+    i = 0
+    while (i <= last) {
+      val b = bases(i)
+      if (n == 0 || b != prev) { bases(n) = b; n += 1; prev = b }
+      i += 1
+    }
+    if (n == bases.length) bases else java.util.Arrays.copyOf(bases, n)
+  }
+
+  /** Exact Jaccard over two SORTED distinct long arrays via merge-count:
+    * O(|a|+|b|) comparisons, zero allocation per pair. Agrees with
+    * [[shingleJaccard]] over the same sets (union = |a|+|b|−inter; both
+    * empty ⇒ 1.0 — the shingleJaccard empty-both convention). */
+  def jaccardSortedLongs(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                         b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val la = a.numElements()
+    val lb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < la && j < lb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = la + lb - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash over word tokens. Hamming-close hashes ⇒ similar docs. */

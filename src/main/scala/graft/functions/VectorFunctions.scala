@@ -22,6 +22,25 @@ object VectorFunctions {
     * arrays. */
   def cosineNative(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 
+  /** The EXACT scalar twin of [[graft.plans.CosineSimilarityExpr]] for
+    * kernel-side pair verification (the in-bucket near-dup verify):
+    * identical operand order, double accumulation in index order,
+    * `sqrt(na) * sqrt(nb)` denominator — so a sim computed here is
+    * bit-for-bit the value the expression would produce (null on length
+    * mismatch or zero norm, like the expression). Any change here MUST
+    * mirror CosineSimilarityExpr (differential-gated in
+    * OptimizationR16Spec). */
+  def cosineFloatsExact(a: Array[Float], b: Array[Float]): java.lang.Double = {
+    if (a == null || b == null || a.length != b.length) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else Double.box(dot / denom)
+  }
+
   /** Codegen'd native dot product (graft.plans.DotProductExpr). */
   def dotNative(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 

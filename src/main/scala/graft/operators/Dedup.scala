@@ -235,11 +235,19 @@ object Dedup {
       .select(col("id"), xxhash64(col("pos"), col("bkey")).as("key"))
 
     val cp = coBucketedPairsAudited(keyed, maxBucket)
+    // Pre-shingle ONCE per document before the pair join (guide §4 / the
+    // r15 single-pass recipe): the verify stage merge-counts two sorted
+    // shingle-hash arrays (codegen'd, zero allocation per pair) instead of
+    // re-normalizing (a regex pass) and re-hashing both texts per
+    // candidate pair. Same hash family as shingleJaccard, so the jaccard
+    // value is bit-identical (DedupSpec pins the parity).
+    val shingled = base.select(col("id"),
+      call_function("graft_shingles", col("text"), lit(shingleSize)).as("sh"))
     val verified = cp.pairs
-      .join(base.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
-        TextFunctions.jaccardUdf(col("text_a"), col("text_b"), lit(shingleSize)))
+        call_function("graft_jaccard_sorted", col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     CappedPairs(verified, cp.drops)
@@ -371,27 +379,47 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxGramFreq: Int = 50): DataFrame = {
+    // Distinct gram SET per document, sorted — materialized ONCE in a
+    // projection (guide §4 / the r15 single-pass recipe) and reused by
+    // BOTH the index explode and the pair verify, which merge-counts two
+    // sorted arrays instead of re-tokenizing both texts per candidate
+    // pair. Sorting changes nothing semantically (the explode feeds a
+    // groupBy; the verify compares set contents).
     val gramUdf = udf((t: String) =>
       if (t == null) null
-      else TextFunctions.tokenize(t).sliding(n).filter(_.length == n).map(_.mkString(" ")).toArray.distinct)
+      else {
+        val g = TextFunctions.tokenize(t).sliding(n).filter(_.length == n)
+          .map(_.mkString(" ")).toArray.distinct
+        java.util.Arrays.sort(g, Ordering[String])
+        g
+      })
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
-    val keyed = base
-      .select(col("id"), explode(gramUdf(col("text"))).as("gram"))
+    val grammed = base.select(col("id"), gramUdf(col("text")).as("grams"))
+    val keyed = grammed
+      .select(col("id"), explode(col("grams")).as("gram"))
       .select(col("id"), xxhash64(col("gram")).as("key"))
 
-    val jacUdf = udf((x: String, y: String) => {
+    // merge-count over the two sorted distinct gram arrays: inter/union
+    // over the same string sets jacUdf built per pair before — identical
+    // values (|union| = |a|+|b|−inter; both-empty ⇒ 1.0)
+    val jacUdf = udf((x: Seq[String], y: Seq[String]) => {
       if (x == null || y == null) null
       else {
-        val sa = TextFunctions.tokenize(x).sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
-        val sb = TextFunctions.tokenize(y).sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
-        val un = (sa ++ sb).size
-        Double.box(if (un == 0) 1.0 else sa.intersect(sb).size.toDouble / un)
+        var i = 0; var j = 0; var inter = 0
+        while (i < x.length && j < y.length) {
+          val c = x(i).compareTo(y(j))
+          if (c == 0) { inter += 1; i += 1; j += 1 }
+          else if (c < 0) i += 1
+          else j += 1
+        }
+        val un = x.length + y.length - inter
+        Double.box(if (un == 0) 1.0 else inter.toDouble / un)
       }
     })
     coBucketedPairs(keyed, maxGramFreq)
-      .join(base.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
-      .withColumn("jaccard", jacUdf(col("text_a"), col("text_b")))
+      .join(grammed.select(col("id").as("id_a"), col("grams").as("ga")), Seq("id_a"))
+      .join(grammed.select(col("id").as("id_b"), col("grams").as("gb")), Seq("id_b"))
+      .withColumn("jaccard", jacUdf(col("ga"), col("gb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -420,8 +448,15 @@ object Dedup {
           transform(sequence(lit(1), size(col("t")) - k + 1),
             i => xxhash64(concat_ws(" ", slice(col("t"), i, lit(k))))))
           .otherwise(array().cast("array<bigint>"))).as("g"))
-    val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("n"))
-    val stats = grams.join(freq, Seq("g"))
+    // Corpus frequency per gram as a WINDOW over the single gram pass
+    // instead of groupBy + self-join (guide §2.4): the old shape planned
+    // the tokenize+hash subtree TWICE (once under the freq aggregate,
+    // once under the join probe) and paid a third exchange for the join;
+    // the window tags each occurrence with its gram's count over one
+    // hash-exchange of the same narrow (id, g) rows. Identical values —
+    // count(*) over (partition by g) IS the joined freq.
+    val stats = grams
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_grams"))

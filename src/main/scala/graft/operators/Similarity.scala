@@ -541,14 +541,69 @@ object Similarity {
         out.toSeq
       })
     val keyed = base
-      .select(col("id"), posexplode(sigUdf(col("vec"))).as(Seq("t", "sig")))
-      .select(col("id"), xxhash64(col("t"), col("sig")).as("key"))
-    Dedup.coBucketedPairs(keyed, maxBucket)
-      .join(base.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        VectorFunctions.cosineNative(col("va"), col("vb")).as("sim"))
-      .filter(col("sim") >= threshold)
+      .select(col("id"), col("vec"),
+        posexplode(sigUdf(col("vec"))).as(Seq("t", "sig")))
+      .select(col("id"), col("vec"), xxhash64(col("t"), col("sig")).as("key"))
+    // in-bucket verify (see coBucketedCosinePairs): pair expansion,
+    // cosine and threshold run inside the bucket; only survivors shuffle
+    coBucketedCosinePairs(keyed, maxBucket, threshold)
+  }
+
+  /** In-bucket cosine pair verify shared by [[hyperplaneNearDupPairs]] and
+    * [[embeddingNearDupPairs]] — the simhashPairs shape applied to the
+    * vector family (r16: guide §2.3 "shuffle keys and metadata instead of
+    * payloads"). The old chain expanded EVERY co-bucketed pair (~tables ×
+    * Σ bucket²/2 rows) through a tuple UDF, shuffled them through a
+    * distinct, then joined the vectors back TWICE and re-ran cosine per
+    * surviving pair — the 2-task 2+ s stage in the q135/q221 profiles.
+    * Here each bucket's (id, vec) structs collect once (vectors shuffle
+    * once per table assignment, ~3 MB at fixture scale, never per pair),
+    * the kernel scores pairs in-bucket and emits ONLY survivors at
+    * sim ≥ threshold, and the cross-bucket distinct runs over that far
+    * smaller survivor set. Pair semantics are identical to
+    * Dedup.coBucketedPairs + cosine verify: per-bucket distinct ids,
+    * ascending (id_a < id_b), bucket cap BEFORE expansion, and the sim is
+    * [[VectorFunctions.cosineFloatsExact]] — the bit-exact scalar twin of
+    * the CosineSimilarityExpr the join path evaluated. */
+  private def coBucketedCosinePairs(keyed: DataFrame, maxBucket: Int,
+                                    threshold: Double): DataFrame = {
+    val th = threshold
+    val pairUdf = udf((rows: Seq[org.apache.spark.sql.Row]) => {
+      // distinct by id (same id ⇒ same vector), ascending id order —
+      // exactly coBucketedPairs' ids.distinct.sorted
+      val m = new java.util.TreeMap[Long, Array[Float]]()
+      rows.foreach { r =>
+        if (!r.isNullAt(0) && !m.containsKey(r.getLong(0)))
+          m.put(r.getLong(0),
+            if (r.isNullAt(1)) null else r.getSeq[Float](1).toArray)
+      }
+      val ids = new Array[Long](m.size)
+      val vecs = new Array[Array[Float]](m.size)
+      var n = 0
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next(); ids(n) = e.getKey; vecs(n) = e.getValue; n += 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          val s = graft.functions.VectorFunctions.cosineFloatsExact(vecs(i), vecs(j))
+          if (s != null && s >= th) out += ((ids(i), ids(j), s.doubleValue))
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    })
+    keyed.groupBy(col("key"))
+      .agg(collect_list(struct(col("id"), col("vec"))).as("rows"))
+      .filter(size(col("rows")).between(2, maxBucket))
+      .select(explode(pairUdf(col("rows"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
+        col("p._3").as("sim"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Deterministic Gaussian hyperplanes, generated once per executor JVM
@@ -621,12 +676,13 @@ object Similarity {
       .groupBy(col("id"))
       .agg(topn(col("centroid_id"), col("sim")).as("buckets"))
       .select(col("id"), explode(col("buckets")).as("key"))
-    Dedup.coBucketedPairs(keyed, maxBucket)
-      .join(base.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        VectorFunctions.cosineNative(col("va"), col("vb")).as("sim"))
-      .filter(col("sim") >= threshold)
+      // re-attach the vector for the in-bucket verify (8-byte id join of
+      // narrow rows — the vector still shuffles once per assignment, not
+      // once per candidate pair as the old join-back did)
+      .join(base, Seq("id"))
+    // in-bucket verify (see coBucketedCosinePairs): pair expansion,
+    // cosine and threshold run inside the bucket; only survivors shuffle
+    coBucketedCosinePairs(keyed, maxBucket, threshold)
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at

@@ -62,14 +62,22 @@ object TextAnalysis {
     require(maxTokens > overlap && overlap >= 0,
       s"need maxTokens > overlap >= 0, got ($maxTokens, $overlap)")
     val step = maxTokens - overlap
-    val toks = tokens(col(textCol))
+    // materialize the token array ONCE per row (the gopherFlags/q207
+    // recipe): the chunk transform's lambda otherwise re-evaluates the
+    // captured split+filter subtree PER CHUNK ELEMENT (higher-order
+    // lambdas are interpreted and re-run captured non-attribute
+    // subtrees — the lmBigramScore measurement). A separate projection
+    // makes `__toks` an attribute the lambda just reads; values are
+    // bit-identical (same expression, evaluated once).
+    val pre = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val toks = col("__toks")
     val lastChunk = greatest(lit(0),
       ceil((size(toks).cast("double") - maxTokens) / step).cast("int"))
     val chunks = transform(sequence(lit(0), lastChunk), i => {
       val sl = slice(toks, i * step + 1, lit(maxTokens))
       struct(array_join(sl, " ").as("chunk_text"), size(sl).as("n_tok"))
     })
-    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "c")))
+    pre.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "c")))
       .select(col(idCol), col("chunk_id"),
         col("c.chunk_text").as("chunk_text"), col("c.n_tok").as("n_tok"))
   }

@@ -46,6 +46,80 @@ case class MinHashBandsExpr(child: Expression, shingleSize: Int,
     copy(child = newChild)
 }
 
+/** Codegen'd text → SORTED distinct char-shingle hash array
+  * (`TextFunctions.shingleArray` kernel) — the pre-shingle projection for
+  * near-dup pair verification: each document's shingle set materializes
+  * ONCE before the candidate join, so the verify stage merge-counts two
+  * sorted arrays ([[JaccardSortedExpr]]) instead of re-normalizing and
+  * re-hashing both texts per candidate pair (guide §4; the r15
+  * single-pass-tokenization recipe applied to the dedup family).
+  * Registered as `graft_shingles`. */
+case class ShingleArrayExpr(child: Expression, shingleSize: Int)
+    extends UnaryExpression {
+
+  override def prettyName: String = "graft_shingles"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextFunctions.shingleArray(
+      input.asInstanceOf[UTF8String].toString, shingleSize))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.TextFunctions.shingleArray(
+         |    $c.toString(), $shingleSize));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd exact Jaccard over two SORTED distinct long arrays
+  * (`TextFunctions.jaccardSortedLongs` merge-count kernel — zero
+  * allocation per pair). The verify-stage companion of
+  * [[ShingleArrayExpr]]; agrees bit-for-bit with
+  * `TextFunctions.shingleJaccard` over the same shingle sets.
+  * Registered as `graft_jaccard_sorted`. */
+case class JaccardSortedExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "graft_jaccard_sorted"
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+
+  private def isLongArray(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _                      => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>) arguments")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextFunctions.jaccardSortedLongs(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextFunctions.jaccardSortedLongs($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd 64-bit SimHash (`TextFunctions.simhash64` kernel). Registered
   * as `graft_simhash`. */
 case class SimHashExpr(child: Expression) extends UnaryExpression {

@@ -30,9 +30,25 @@ object QueriesPipeline {
   private[queries] object TruthMemo {
     private val dirs =
       new java.util.concurrent.ConcurrentHashMap[String, String]()
+    /** Input-fingerprint guard (VERDICT r15 #5): a memo HIT ignores the
+      * DataFrame arguments, so two callers sharing a key with DIFFERENT
+      * inputs would silently read the wrong truth. The fingerprint is
+      * plan-time metadata only (schema + scan paths + parameters — no
+      * job runs), recorded at first build and asserted on every hit. */
+    private val fps =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
+    private def fingerprint(dfs: Seq[DataFrame], params: String): String =
+      (dfs.map(_.schema.simpleString) :+ params).mkString("|")
+    private def checkFp(key: String, fp: String): Unit = {
+      val prev = fps.putIfAbsent(key, fp)
+      require(prev == null || prev == fp,
+        s"TruthMemo key '$key' reused with different inputs — " +
+          s"memoized for:\n$prev\nbut called with:\n$fp")
+    }
     /** (id_a, id_b, sim) for all pairs with cosine ≥ threshold. */
     def exactPairs(emb: DataFrame, threshold: Double, key: String): DataFrame = {
       val spark = emb.sparkSession
+      checkFp(key, fingerprint(Seq(emb), s"threshold=$threshold"))
       val p = dirs.computeIfAbsent(key, _ => {
         val out = graft.ArtifactStore.scratchDir("truth")
           .toFile.getAbsolutePath + "/truth"
@@ -60,6 +76,7 @@ object QueriesPipeline {
     def exactKnn(corpus: DataFrame, queries: DataFrame, k: Int,
                  key: String): DataFrame = {
       val spark = corpus.sparkSession
+      checkFp(key, fingerprint(Seq(corpus, queries), s"k=$k"))
       val p = dirs.computeIfAbsent(key, _ => {
         val out = graft.ArtifactStore.scratchDir("knntruth")
           .toFile.getAbsolutePath + "/truth"

@@ -355,9 +355,16 @@ object QueriesRound14 {
       // reference's own indexing model); rep 2 times the shuffle-free
       // join. Table names carry a dir tag so sf0.001 tests and the
       // sf0.1 bench never collide in one JVM's shared warehouse.
-      val tag = math.abs(dir.hashCode).toString
+      // hex of a 64-bit FNV over the full dir: collision-resistant and
+      // [0-9a-f]-only (the old math.abs(hashCode) tag could go negative
+      // at Int.MinValue and collide across dirs — ADVICE r15), and the
+      // memo keys on (session, dir) like Tables.loadMemo so a second
+      // session in one JVM rebuilds into its own catalog (VERDICT r15 #4)
+      val tag = java.lang.Long.toHexString(
+        graft.functions.TextFunctions.fnv1a64(dir))
       val (ot, ct) = (s"q276_orders_b_$tag", s"q276_cust_b_$tag")
-      bucketedMemo.computeIfAbsent(s"q276#$dir", _ => {
+      bucketedMemo.computeIfAbsent(
+        s"q276#${System.identityHashCode(s)}#$dir", _ => {
         val orders = graft.Tables.load(s, dir, "orders")
           .select(col("o_custkey"), col("o_orderkey"),
             expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))

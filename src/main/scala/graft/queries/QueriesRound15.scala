@@ -56,9 +56,13 @@ object QueriesRound15 {
       // build-once bucketed tables, q276's pattern (dir-tagged names so
       // different-sf runs in one JVM never collide); the probed PLAN is
       // re-derived per rep — the fact under test
-      val tag = math.abs(dir.hashCode).toString
+      // collision-resistant hex dir tag + (session, dir) memo key — the
+      // q276 hygiene fix (ADVICE r15 / VERDICT r15 #4), same rationale
+      val tag = java.lang.Long.toHexString(
+        graft.functions.TextFunctions.fnv1a64(dir))
       val (ot, ct) = (s"q280_orders_b_$tag", s"q280_cust_b_$tag")
-      bucketedMemo.computeIfAbsent(s"q280#$dir", _ => {
+      bucketedMemo.computeIfAbsent(
+        s"q280#${System.identityHashCode(s)}#$dir", _ => {
         val orders = graft.Tables.load(s, dir, "orders")
           .select(col("o_custkey"), col("o_orderkey"),
             expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))

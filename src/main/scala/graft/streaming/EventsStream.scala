@@ -257,11 +257,15 @@ object DedupStream {
     * their bands in the durable store.
     *
     * State layout under `stateDir` — the scale contract:
-    *   bands/ (key BIGINT, id BIGINT)        — 16 B per kept-doc band
-    *   sigs/  (id BIGINT, sig ARRAY<BIGINT>) — one signature per kept doc
-    * so state grows with KEPT documents, never with stream length or
-    * text bytes. The collision path joins bands first (8-byte keys),
-    * fetches signatures only for colliding claimants. */
+    *   claims/ (id BIGINT, sig ARRAY<BIGINT>, keys ARRAY<BIGINT>)
+    * ONE row per kept document: its signature plus its `bands` LSH band
+    * keys, so state grows with KEPT documents, never with stream length
+    * or text bytes, and each increment commits ONE write action (the
+    * r15-verdict merge of the former bands/ + sigs/ pair of claims —
+    * per-increment action count halves, and the keys derive from the
+    * already-computed signature instead of a second full text pass).
+    * The collision path still joins band keys first (8-byte keys after
+    * the explode), fetching signatures only for colliding claimants. */
   def dedupMinhashIncrement(batch: DataFrame, idCol: String, textCol: String,
                             stateDir: String, numHashes: Int = 128,
                             bands: Int = 16, shingleSize: Int = 5,
@@ -281,16 +285,16 @@ object DedupStream {
         graft.functions.TextFunctions.minhash(col(textCol), shingleSize, numHashes)
           .as("sig"))
 
-    val bandsPath = s"$stateDir/bands"
-    val sigsPath = s"$stateDir/sigs"
-    val hasState = fs.exists(new org.apache.hadoop.fs.Path(bandsPath))
+    val claimsPath = s"$stateDir/claims"
+    val hasState = fs.exists(new org.apache.hadoop.fs.Path(claimsPath))
     val afterHistory =
       if (!hasState) batch
       else {
-        val claimedBands = spark.read.parquet(bandsPath)
-          .withColumnRenamed("id", "claimant")
-        val claimedSigs = spark.read.parquet(sigsPath)
-          .withColumnRenamed("id", "claimant").withColumnRenamed("sig", "csig")
+        val claims = spark.read.parquet(claimsPath)
+        val claimedBands = claims
+          .select(explode(col("keys")).as("key"), col("id").as("claimant"))
+        val claimedSigs = claims
+          .select(col("id").as("claimant"), col("sig").as("csig"))
         val est = aggregate(
           zip_with(col("sig"), col("csig"),
             (a, b) => when(a === b, 1).otherwise(0)),
@@ -307,8 +311,24 @@ object DedupStream {
     val kept = graft.operators.Dedup.minhashDedup(
       afterHistory, idCol, textCol, numHashes, bands, shingleSize, threshold)
       .localCheckpoint() // the claim write below must not re-plan the dedup
-    keyed(kept).write.mode("append").parquet(bandsPath)
-    sigs(kept).write.mode("append").parquet(sigsPath)
+    // ONE claim write per increment (r15 verdict ask #2 — the former
+    // bands/ + sigs/ pair of write actions merged): band keys derive from
+    // the already-computed signature (TextFunctions.bandKeys — the same
+    // kernel graft_minhash_bands ends with), and the final key hash
+    // replays keyed()'s xxhash64(pos, bkey) with transform's element
+    // index standing in for posexplode's pos (both IntegerType, so the
+    // hashes agree bit-for-bit). A checkpoint-free single-action variant
+    // (claims write as the only materialization, kept replayed as a
+    // parquet semi-join) measured SLOWER (4.1 s vs 3.3 same-window) —
+    // the noop replay of two AQE joins per rep cost more than the
+    // checkpoint saved; see OPTIMIZATION_r16.md.
+    val bandKeysUdf = udf((sig: Seq[Long], b: Int) =>
+      graft.functions.TextFunctions.bandKeys(sig.toArray, b))
+    sigs(kept)
+      .withColumn("keys",
+        transform(bandKeysUdf(col("sig"), lit(bands)),
+          (x, i) => xxhash64(i, x)))
+      .write.mode("append").parquet(claimsPath)
     kept
   }
 
