@@ -179,6 +179,22 @@ object BenchSf1 {
     "q281_knn_ivf_recall", "q246_knn_recall_sample",
     "q174_pg_catalog", "q226_analyze_histogram", "q110_cbo_join")
 
+  /** Wave 12 (optimization round 2): every entry whose code path THIS
+    * round changed — the pre-shingled minhash/ngram verify (q62/q64,
+    * q93/q208 as minhashDedup consumers), the window-shaped
+    * repeatedGramStats (q224), the in-bucket cosine pair verify on the
+    * hyperplane path (q135 — the IVF path q221/q217 A/B'd both verify
+    * shapes at sf1 and keeps its pre-round join verify, so it is NOT in
+    * this wave), the map-only repetitionStats (q165/q167), the merged
+    * q208 claim write, and the c1-from-c2 LM derivation (q229/q242).
+    * Selected with SPARK_GRAFT_SF1_WAVE=12 → BENCH_sf1_wave12.json. */
+  private val wave12 = Seq(
+    "q62_dedup_minhash", "q64_ngram_jaccard", "q224_substring_dedup",
+    "q135_embedding_neardup_lsh", "q165_repetition",
+    "q167_training_export", "q208_incremental_dedup",
+    "q93_curation_pipeline", "q229_lm_perplexity",
+    "q242_perplexity_buckets")
+
   /** The CONSOLIDATED wave (r10 verdict ask #7): the ENTIRE catalog at
     * sf1 in one artifact — the per-wave format proved each round's new
     * entries sublinear when they landed, but hides whether EARLY entries
@@ -279,6 +295,7 @@ object BenchSf1 {
       case "9"    => wave9
       case "10"   => wave10
       case "11"   => wave11
+      case "12"   => wave12
       case "full" => waveFull
       case _      => headline
     }
@@ -293,6 +310,7 @@ object BenchSf1 {
       case "9"    => "BENCH_sf1_wave9.json"
       case "10"   => "BENCH_sf1_wave10.json"
       case "11"   => "BENCH_sf1_wave11.json"
+      case "12"   => "BENCH_sf1_wave12.json"
       case "full" => "BENCH_sf1_full.json"
       case _      => "BENCH_sf1.json"
     }

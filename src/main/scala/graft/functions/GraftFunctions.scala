@@ -392,6 +392,13 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_minhash_bands",
       exprs => graft.plans.MinHashBandsExpr(exprs(0),
         litInt(exprs(1)), litInt(exprs(2)), litInt(exprs(3))), "scala_udf")
+    // row-local Gopher repetition metric (TopBigramShareExpr); null text
+    // is 0.0 — the metric's convention on both the batch and stream paths
+    reg.createOrReplaceTempFunction("graft_top_bigram_share",
+      exprs => {
+        import org.apache.spark.sql.catalyst.expressions.{Coalesce, Literal}
+        Coalesce(Seq(graft.plans.TopBigramShareExpr(exprs(0)), Literal(0.0)))
+      }, "scala_udf")
     reg.createOrReplaceTempFunction("graft_shingles",
       exprs => graft.plans.ShingleArrayExpr(exprs(0), litInt(exprs(1))),
       "scala_udf")

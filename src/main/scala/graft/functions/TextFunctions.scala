@@ -176,6 +176,31 @@ object TextFunctions {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
+  /** Most-frequent word-bigram share (the Gopher/MassiveText repetition
+    * rule): count of the most frequent 2-gram / total 2-grams, 0.0 below
+    * 2 tokens. Case-SENSITIVE whitespace tokens — the exact token stream
+    * `TextAnalysis.tokens` produces, so the row-local kernel and the old
+    * (doc, gram) two-level aggregation agree value-for-value
+    * (StreamRepetitionSpec pins the parity). Row-local and bounded by
+    * document length — the map-only form of the metric, zero shuffle at
+    * any corpus size. */
+  def topBigramShare(text: String): Double = {
+    if (text == null) return 0.0
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < 2) return 0.0
+    val counts = new java.util.HashMap[String, Int]()
+    var i = 0
+    var total = 0
+    while (i < toks.length - 1) {
+      counts.merge(toks(i) + " " + toks(i + 1), 1, Integer.sum)
+      total += 1
+      i += 1
+    }
+    var mx = 0
+    counts.values.forEach(v => if (v > mx) mx = v)
+    mx.toDouble / total
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash over word tokens. Hamming-close hashes ⇒ similar docs. */

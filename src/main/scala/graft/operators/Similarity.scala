@@ -549,13 +549,14 @@ object Similarity {
     coBucketedCosinePairs(keyed, maxBucket, threshold)
   }
 
-  /** In-bucket cosine pair verify shared by [[hyperplaneNearDupPairs]] and
-    * [[embeddingNearDupPairs]] — the simhashPairs shape applied to the
-    * vector family (r16: guide §2.3 "shuffle keys and metadata instead of
-    * payloads"). The old chain expanded EVERY co-bucketed pair (~tables ×
-    * Σ bucket²/2 rows) through a tuple UDF, shuffled them through a
-    * distinct, then joined the vectors back TWICE and re-ran cosine per
-    * surviving pair — the 2-task 2+ s stage in the q135/q221 profiles.
+  /** In-bucket cosine pair verify for [[hyperplaneNearDupPairs]] — the
+    * simhashPairs shape applied to the vector family (r16: guide §2.3
+    * "shuffle keys and metadata instead of payloads"). The old chain
+    * expanded EVERY co-bucketed pair (~tables × Σ bucket²/2 rows) through
+    * a tuple UDF, shuffled them through a distinct, then joined the
+    * vectors back TWICE and re-ran cosine per surviving pair — the
+    * 2-task 2+ s stage in the q135 profile. ([[embeddingNearDupPairs]]
+    * A/B'd this shape and keeps its join verify — see its comment.)
     * Here each bucket's (id, vec) structs collect once (vectors shuffle
     * once per table assignment, ~3 MB at fixture scale, never per pair),
     * the kernel scores pairs in-bucket and emits ONLY survivors at
@@ -676,13 +677,23 @@ object Similarity {
       .groupBy(col("id"))
       .agg(topn(col("centroid_id"), col("sim")).as("buckets"))
       .select(col("id"), explode(col("buckets")).as("key"))
-      // re-attach the vector for the in-bucket verify (8-byte id join of
-      // narrow rows — the vector still shuffles once per assignment, not
-      // once per candidate pair as the old join-back did)
-      .join(base, Seq("id"))
-    // in-bucket verify (see coBucketedCosinePairs): pair expansion,
-    // cosine and threshold run inside the bucket; only survivors shuffle
-    coBucketedCosinePairs(keyed, maxBucket, threshold)
+    // JOIN-side verify kept deliberately (r16 A/B at sf1, BenchOne warm
+    // reps): the in-bucket kernel (coBucketedCosinePairs, the q135 win)
+    // concentrates the pair cosines into the few AQE-coalesced bucket
+    // tasks — right for the hyperplane path, whose 12-table candidate
+    // duplication makes the expand→distinct→join-back chain the dominant
+    // cost, but NOT here: IVF candidates are barely duplicated (≤nprobe
+    // co-bucketings), both variants measured within noise of each other
+    // at sf0.1 (~2.1 s) and sf1 (join 11.7/13.2 s vs in-bucket
+    // 16.7/12.4 s for q221/q217), and the join-back's shuffle keeps the
+    // verify width tied to the cluster, never to AQE's byte-based
+    // coalescing — the structurally safer shape at 100 TB.
+    Dedup.coBucketedPairs(keyed, maxBucket)
+      .join(base.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosineNative(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= threshold)
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at

@@ -97,9 +97,20 @@ object TextAnalysis {
     * expressions on the scan.
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // r16: MAP-ONLY. The old shape exploded per-doc bigrams through a
+    // (doc, gram) two-level aggregation and joined the shares back — two
+    // exchanges plus a join for a metric that is row-local by definition
+    // (one ROW is one DOCUMENT — the DocsStream design note). The
+    // codegen'd TopBigramShareExpr kernel counts bigrams in one pass per
+    // row; StreamRepetitionSpec already pinned kernel-vs-aggregation
+    // value parity (identical token stream, identical max/total math,
+    // 0.0 below 2 tokens), so every value is unchanged and the operator
+    // now runs at scan speed with zero shuffle at any corpus size
+    // (guide §2.4: remove shuffles outright).
+    graft.functions.GraftFunctions.registerAll(df.sparkSession)
     // one split+filter per row (the non-codegen higher-order expression
     // was re-evaluated per reference otherwise — see gopherFlags)
-    val lineStats = df.select(col(idCol),
+    df.select(col(idCol), col(textCol),
         filter(split(col(textCol), "\n"), l => length(trim(l)) > 0)
           .as("__lines"))
       .select(
@@ -108,24 +119,9 @@ object TextAnalysis {
         when(size(col("__lines")) > 0,
           lit(1.0) - size(array_distinct(col("__lines"))).cast("double") /
             size(col("__lines")))
-          .otherwise(0.0).as("dup_line_frac"))
-
-    val toks = tokens(col(textCol))
-    val bigrams = df
-      .select(col(idCol), toks.as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col(idCol),
-        explode(transform(sequence(lit(1), size(col("toks")) - 1),
-          i => concat_ws(" ", element_at(col("toks"), i),
-            element_at(col("toks"), i + 1)))).as("gram"))
-    val share = bigrams.groupBy(col(idCol), col("gram"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol))
-      .agg((max(col("c")).cast("double") / sum(col("c"))).as("top_bigram_share"))
-
-    // docs with < 2 tokens have no bigrams: share 0.0 by definition
-    lineStats.join(share, Seq(idCol), "left")
-      .withColumn("top_bigram_share", coalesce(col("top_bigram_share"), lit(0.0)))
+          .otherwise(0.0).as("dup_line_frac"),
+        call_function("graft_top_bigram_share", col(textCol))
+          .as("top_bigram_share"))
   }
 
   /** The published Gopher quality-rule battery (Rae et al. 2021 §A1.1 —
@@ -261,7 +257,11 @@ object TextAnalysis {
       .select(col("doc_id"), col("b").getField("0").as("prev"),
         col("b").getField("1").as("cur"))
     val c2 = bi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("n2"))
-    val c1 = bi.groupBy(col("prev")).agg(count(lit(1)).as("n1"))
+    // n1 (rows per prev) is exactly Σ n2 over prev — derive it from the
+    // c2 table instead of re-running the tokenize+explode pass over the
+    // corpus a second time (guide §2.3 aggregate-before-shuffle; values
+    // identical integers by construction)
+    val c1 = c2.groupBy(col("prev")).agg(sum(col("n2")).as("n1"))
     val vocab = docs.select(explode(col("toks")).as("t"))
       .agg(countDistinct(col("t")).as("vsz"))
     bi.join(c2, Seq("prev", "cur")).join(c1, Seq("prev")).crossJoin(vocab)

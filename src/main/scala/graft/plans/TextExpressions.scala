@@ -145,6 +145,38 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd most-frequent-bigram share
+  * (`TextFunctions.topBigramShare` kernel) — the row-local form of the
+  * Gopher repetition metric: one call per document, zero shuffle, values
+  * identical to the old (doc, gram) two-level aggregation
+  * (StreamRepetitionSpec parity). Registered as
+  * `graft_top_bigram_share`; shared by the batch `repetitionStats` and
+  * the streaming `DocsStream.docRepetitionMetrics`. */
+case class TopBigramShareExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_top_bigram_share"
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+
+  // null text maps to 0.0 at the REGISTRATION wrapper (coalesce) — the
+  // metric's convention; the expression itself is standard null-safe
+  override def nullSafeEval(input: Any): Any =
+    TextFunctions.topBigramShare(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextFunctions.topBigramShare($c.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Codegen'd rolling 64-bit document fingerprint
   * (`TextFunctions.fingerprint64` kernel). Registered as
   * `graft_fingerprint`. */

@@ -150,30 +150,13 @@ object DocsStream {
   import org.apache.spark.sql.SparkSession
 
   /** Register the row-local bigram-share kernel (same tokens as
-    * `TextAnalysis.tokens` / the fulltext default analyzer). */
+    * `TextAnalysis.tokens` / the fulltext default analyzer). r16: the
+    * kernel moved to `TextFunctions.topBigramShare` behind the codegen'd
+    * `TopBigramShareExpr`, shared with the batch `repetitionStats`
+    * (identical values by construction — one kernel); registration
+    * delegates to the function pack. */
   def registerAll(spark: SparkSession): Unit =
-    spark.udf.register("graft_top_bigram_share", (text: String) =>
-      if (text == null) 0.0
-      else {
-        // the batch twin's tokens (TextAnalysis.tokens): case-SENSITIVE
-        // whitespace split — parity demands the identical token stream
-        val toks = text.split("\\s+").filter(_.nonEmpty)
-        if (toks.length < 2) 0.0
-        else {
-          val counts = new java.util.HashMap[String, Int]()
-          var i = 0
-          var total = 0
-          while (i < toks.length - 1) {
-            val g = toks(i) + " " + toks(i + 1)
-            counts.merge(g, 1, Integer.sum)
-            total += 1
-            i += 1
-          }
-          var mx = 0
-          counts.values.forEach(v => if (v > mx) mx = v)
-          mx.toDouble / total
-        }
-      })
+    graft.functions.GraftFunctions.registerAll(spark)
 
   /** Stateless per-document repetition metrics — safe on ANY streaming
     * DataFrame (no state, no watermark requirement). All input columns
