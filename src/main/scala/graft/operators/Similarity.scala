@@ -1273,13 +1273,31 @@ final case class CentScore(centroid_id: Long, sim: Double)
   * the lowest centroid id so assignment is deterministic. */
 class TopNCentroids(n: Int)
     extends org.apache.spark.sql.expressions.Aggregator[CentScore, Seq[CentScore], Seq[Long]] {
+  /** The exact total order the old `sortBy(c => (-c.sim, c.centroid_id))`
+    * used (scala 2.13's default Ordering[Double] is java.lang.Double
+    * .compare semantics): descending sim, ties to the LOWEST centroid id.
+    * r16: reduce() was a full sort per INPUT ROW and the buffer rode a
+    * kryo encoder — the dominant cost of the assignment stage (q221/q217
+    * profile). Bounded insertion + the columnar expression encoder keep
+    * the buffer ≤ n entries (the documented map-side-combine scale
+    * contract) with identical results (keys (sim, cid) are unique per
+    * group, so the order — and take(n) — is the same). */
+  private def beats(a: CentScore, b: CentScore): Boolean = {
+    val s = java.lang.Double.compare(b.sim, a.sim)
+    s < 0 || (s == 0 && a.centroid_id < b.centroid_id)
+  }
   override def zero: Seq[CentScore] = Nil
-  override def reduce(b: Seq[CentScore], a: CentScore): Seq[CentScore] = merge(b, Seq(a))
+  override def reduce(b: Seq[CentScore], a: CentScore): Seq[CentScore] =
+    if (b.length == n && beats(b.last, a)) b
+    else {
+      val (pre, post) = b.span(c => beats(c, a))
+      (pre ++ (a +: post)).take(n)
+    }
   override def merge(x: Seq[CentScore], y: Seq[CentScore]): Seq[CentScore] =
-    (x ++ y).sortBy(c => (-c.sim, c.centroid_id)).take(n)
+    y.foldLeft(x)(reduce)
   override def finish(b: Seq[CentScore]): Seq[Long] = b.map(_.centroid_id)
   override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[CentScore]] =
-    org.apache.spark.sql.Encoders.kryo[Seq[CentScore]]
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[CentScore]]()
   override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }

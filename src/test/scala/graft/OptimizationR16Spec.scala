@@ -137,6 +137,25 @@ class OptimizationR16Spec extends SparkTestBase {
     assert(VectorFunctions.cosineFloatsExact(Array(0f, 0f), Array(1f, 2f)) == null)
   }
 
+  test("TopNCentroids bounded insertion == full sortBy((-sim, cid)).take(n)") {
+    import graft.operators.{CentScore, TopNCentroids}
+    val rnd = new scala.util.Random(42)
+    val agg = new TopNCentroids(3)
+    for (_ <- 1 to 50) {
+      val rows = Seq.fill(20)(CentScore(rnd.nextInt(8).toLong,
+        // coarse sims force sim ties so the cid tie-break is exercised
+        math.floor(rnd.nextDouble() * 4) / 4.0))
+      val viaAgg = rows.foldLeft(agg.zero)(agg.reduce)
+      val viaSort = rows.sortBy(c => (-c.sim, c.centroid_id)).take(3)
+      assert(agg.finish(viaAgg) == viaSort.map(_.centroid_id))
+      // split-and-merge (the PARTIAL -> FINAL path) agrees too
+      val (l, r) = rows.splitAt(7)
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged) == viaSort.map(_.centroid_id))
+    }
+  }
+
   test("TruthMemo: key reuse with different inputs is loud") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val t1 = graft.queries.QueriesAccess.truthExactPairs(emb, 0.4, "r16spec#fp")
